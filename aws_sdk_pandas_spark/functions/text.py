@@ -1,0 +1,146 @@
+"""Text-analysis column expressions for large-scale training-data pipelines:
+tokenization, token counting, language-ID, quality scoring, document
+fingerprinting, n-gram shingling.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side, codegen'd).
+These extend the reference's surface (its vector/text family is the seed:
+awswrangler/s3/_vectors/) toward the LLM-pipeline operators; formulas are
+deliberately simple and SQL-portable so the DuckDB oracle can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# small multilingual stopword profiles for the n-gram/stopword language
+# heuristic (public, common knowledge lists; intentionally tiny)
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(col)).cast(T.LongType())
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: word/number/punctuation pieces via a
+    GPT-2-style regex split plus a chars/4 correction for long words —
+    cheap, deterministic, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split into word / digit-run / punct pieces
+    pieces = F.split(F.trim(c), r"(?=[^\w\s])|(?<=[^\w\s])|\s+")
+    non_empty = F.filter(pieces, lambda p: F.length(p) > 0)
+    # long words cost ~len/4 subword tokens
+    return F.aggregate(
+        non_empty,
+        F.lit(0).cast(T.LongType()),
+        lambda acc, p: acc + F.greatest(F.lit(1), F.ceil(F.length(p) / F.lit(4))).cast(T.LongType()),
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-profile language heuristic: picks the language whose
+    stopword list has the most hits among the document's tokens; 'und'
+    (undetermined) when no profile hits."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    scores = []
+    for lang, words in _LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def punctuation_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    words = stopwords or _LANG_STOPWORDS["en"]
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length,
+    low punctuation density, presence of stopwords, and sane mean word
+    length (the classic C4/Gopher-style cheap filters, composed from
+    built-ins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punctuation_ratio(c) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    mwl = mean_word_length(c)
+    word_len_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        length_score * 0.3 + punct_score * 0.2 + stop_score * 0.3 + word_len_score * 0.2, 6
+    )
+
+
+def document_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint over normalized text
+    (lower-cased, whitespace-collapsed) — md5 hex, portable to any SQL
+    oracle engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash of the normalized text (JVM-side aggregate
+    over the char array) — the 64-bit fingerprint variant."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    chars = F.split(normalized, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast(T.LongType()),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+    )
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as an array<string> (space-joined)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of normalized text (for MinHash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n_sh = F.greatest(F.length(normalized) - k + 1, F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.when(n_sh <= 0, F.array(normalized)).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.substring(normalized, i, k)))
+    )

@@ -1,0 +1,31 @@
+"""Relational + pipeline operators: merge/upsert family, deduplication,
+similarity search, multimodal column plumbing."""
+
+from __future__ import annotations
+
+from aws_sdk_pandas_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_signatures,
+)
+from aws_sdk_pandas_spark.operators.merge import merge_upsert, upsert_dataframe
+from aws_sdk_pandas_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+    similarity_join,
+)
+
+__all__ = [
+    "dedup_exact",
+    "dedup_fingerprint",
+    "knn_brute_force",
+    "knn_lsh",
+    "merge_upsert",
+    "minhash_duplicates",
+    "ngram_jaccard_duplicates",
+    "simhash_signatures",
+    "similarity_join",
+    "upsert_dataframe",
+]

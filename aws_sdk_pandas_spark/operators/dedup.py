@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale corpora.
+
+Beyond the reference's surface (its vector family seeds the API shape,
+awswrangler/s3/_vectors/), these are the LLM-training-pipeline dedup
+primitives, each designed shuffle-consciously:
+
+- exact:        one hash-aggregate (map-side combine), no Python.
+- fingerprint:  md5 of normalized text -> same single aggregate.
+- minhash LSH:  shingle -> minhash signature (per-row, no shuffle) ->
+                banding -> ONE shuffle on (band, bucket) -> candidate
+                pairs verified with exact Jaccard. No O(n^2) stage; at
+                1000 executors every stage stays key-partitioned.
+- simhash:      per-row 63-bit signature; duplicates = identical signature
+                (single aggregate) — Hamming-radius search is round-2.
+- n-gram Jaccard: inverted-index pair generation with a hot-ngram
+                frequency cutoff (skew guard), then exact Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark.functions.text import document_fingerprint, ngrams, shingles, tokens
+
+# Mersenne prime 2^31-1 for minhash universal hashing: operands stay below
+# 2^31 so a*h+b < 2^62 never overflows a long (ANSI mode would raise)
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_exact(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    *,
+    keep: str = "any",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exact deduplication.
+
+    ``keep='any'`` -> ``dropDuplicates`` (one hash aggregate).
+    ``keep='first'|'last'`` with ``order_col`` -> deterministic winner via
+    a window (one shuffle on the subset keys).
+    """
+    if keep == "any" or order_col is None:
+        return df.dropDuplicates(subset)
+    direction = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(*(subset or df.columns)).orderBy(direction)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Near-exact dedup on the normalized-content fingerprint
+    (case/whitespace-insensitive).  Keeps the smallest id per fingerprint
+    when ``id_col`` given, else an arbitrary representative."""
+    fp = document_fingerprint(F.col(text_col))
+    with_fp = df.withColumn("__fp", fp)
+    if id_col is None:
+        return with_fp.dropDuplicates(["__fp"]).drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def _minhash_signature(shingle_col: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: for hash function i,
+    ``min over shingles of (a_i * xxhash64(s) + b_i) mod p`` — all
+    higher-order functions, evaluated per row with no shuffle."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Attach a MinHash signature column (array<bigint>, len=num_hashes)."""
+    return df.withColumn(out_col, _minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes, seed))
+
+
+def minhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: shingle -> signature (row-local) -> band hashes -> explode ->
+    ONE shuffle grouping by (band, bucket) -> within-bucket candidate
+    pairs (id_a < id_b) -> exact Jaccard verification on shingle sets ->
+    pairs with ``jaccard >= threshold``.
+
+    Returns columns: ``id_a, id_b, jaccard``.
+    At scale the only heavy exchange is the band-bucket shuffle, which is
+    uniformly key-distributed by construction; candidate verification is a
+    self-join on the (much smaller) candidate id set.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles(F.col("__text"), shingle_k))
+        .withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes, seed))
+        .select("__id", "__sh", "__sig")
+    )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select("__id", F.explode(band_structs).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    pairs = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), on=["band", "bucket"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = base.select("__id", "__sh")
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "simhash",
+    bits: int = 63,
+) -> DataFrame:
+    """63-bit SimHash over whitespace tokens (bit 63 left clear to stay in
+    signed-long range).  Row-local: token hashes aggregated into per-bit
+    counters with array-state higher-order aggregate; no shuffle."""
+    tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    zero = F.array(*[F.lit(0).cast(T.LongType()) for _ in range(bits)])
+    # bit positions are compile-time constants: unroll the per-bit array in
+    # Python so shiftright gets int bit counts (stays one JVM expression)
+    counters = F.aggregate(
+        tok_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast(T.LongType())
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << i).cast(T.LongType()) for i in range(bits)])
+    sig = F.aggregate(
+        F.zip_with(
+            counters,
+            weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast(T.LongType())),
+        ),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return df.withColumn(out_col, sig)
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents sharing an identical SimHash signature (Hamming distance
+    0).  Radius>0 banding search is a planned extension."""
+    sigs = simhash_signatures(df.select(id_col, text_col), text_col)
+    l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+    r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return (
+        l.join(r, "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngram_df: int | None = 10_000,
+) -> DataFrame:
+    """Word n-gram Jaccard near-duplicate pairs via an inverted index:
+    explode distinct n-grams -> drop n-grams appearing in more than
+    ``max_ngram_df`` docs (hot-key/skew guard — a stopword n-gram would
+    otherwise create a quadratic bucket) -> self-join on n-gram ->
+    count shared -> ``jaccard = shared / (|A| + |B| - shared)``.
+
+    Returns ``id_a, id_b, jaccard``.
+    """
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__grams", F.array_distinct(ngrams(F.col("__text"), n)))
+        .select("__id", F.size("__grams").alias("__n_grams"), F.explode("__grams").alias("gram"))
+    )
+    if max_ngram_df is not None:
+        hot = grams.groupBy("gram").count().where(F.col("count") > max_ngram_df)
+        grams = grams.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+
+    l = grams.select(F.col("__id").alias("id_a"), F.col("__n_grams").alias("na"), "gram")
+    r = grams.select(F.col("__id").alias("id_b"), F.col("__n_grams").alias("nb"), "gram")
+    shared = (
+        l.join(r, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

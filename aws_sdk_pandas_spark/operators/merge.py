@@ -1,0 +1,134 @@
+"""Upsert / merge family.
+
+The reference orchestrates merges as SQL against remote engines:
+
+- Redshift upsert: DELETE matching rows USING a staging table on the pks,
+  then INSERT SELECT, with optional ``precombine_key`` dedup where the
+  greatest version wins (awswrangler/redshift/_utils.py:173-211).
+- Iceberg ``MERGE INTO`` with null-safe matching via
+  ``IS NOT DISTINCT FROM`` (awswrangler/athena/_write_iceberg.py:366-385).
+- MySQL/PG/Oracle/SQLServer upsert modes (mysql.py:516-560,
+  postgresql.py:597, oracle.py:502, sqlserver.py:426).
+
+Spark-first: for catalog tables that support row-level ops (Delta/Iceberg)
+emit a native ``MERGE INTO`` (null-safe ``<=>``); for plain
+parquet/path-based targets implement the same semantics as a
+DataFrame-level merge (anti-join + union) — a full-shuffle-once plan that
+scales linearly and lets AQE pick broadcast vs sort-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+def _precombine_latest(df: DataFrame, keys: list[str], precombine_key: str) -> DataFrame:
+    """Keep only the greatest-``precombine_key`` row per key
+    (reference: redshift/_utils.py:186-199 precombine dedup)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(precombine_key).desc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_dataframe(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    precombine_key: str | None = None,
+    match_nulls: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame upsert: rows of ``target`` whose key matches a
+    ``source`` row are replaced; new source rows are inserted.
+
+    Equivalent plan to the reference's DELETE USING + INSERT SELECT
+    (redshift/_utils.py:173-211).  ``match_nulls`` uses null-safe equality
+    (``<=>``), mirroring Iceberg's ``IS NOT DISTINCT FROM`` matching
+    (athena/_write_iceberg.py:372-376).
+    """
+    if not keys:
+        raise InvalidArgument("upsert requires at least one key column")
+    if precombine_key is not None:
+        source = _precombine_latest(source, keys, precombine_key)
+
+    if match_nulls:
+        cond = None
+        for k in keys:
+            c = target[k].eqNullSafe(source[k])
+            cond = c if cond is None else (cond & c)
+    else:
+        cond = None
+        for k in keys:
+            c = target[k] == source[k]
+            cond = c if cond is None else (cond & c)
+
+    surviving = target.join(source, cond, "left_anti")
+    return surviving.unionByName(source.select(*target.columns))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame | str,
+    target_table: str,
+    merge_cols: list[str],
+    *,
+    merge_condition: str = "update",
+    merge_match_nulls: bool = False,
+    precombine_key: str | None = None,
+) -> None:
+    """Native ``MERGE INTO`` against a Delta/Iceberg catalog table
+    (reference: athena/_write_iceberg.py:297-420 ``to_iceberg`` merge path).
+
+    ``merge_condition='update'`` -> WHEN MATCHED THEN UPDATE, 'ignore' ->
+    matched rows left untouched; unmatched rows are always inserted.
+    """
+    if merge_condition not in ("update", "ignore"):
+        raise InvalidArgument("merge_condition must be 'update' or 'ignore'")
+    if isinstance(source, DataFrame):
+        df = source
+        if precombine_key is not None:
+            df = _precombine_latest(df, merge_cols, precombine_key)
+        view = f"__asps_merge_src_{abs(hash(target_table)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        source_name = view
+    else:
+        source_name = source
+
+    op = "<=>" if merge_match_nulls else "="
+    on = " AND ".join(f"t.`{c}` {op} s.`{c}`" for c in merge_cols)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET * " if merge_condition == "update" else ""
+    )
+    if precombine_key is not None and merge_condition == "update":
+        matched = (
+            f"WHEN MATCHED AND s.`{precombine_key}` > t.`{precombine_key}` "
+            "THEN UPDATE SET * "
+        )
+    sql = (
+        f"MERGE INTO {target_table} t USING {source_name} s ON {on} "
+        f"{matched}WHEN NOT MATCHED THEN INSERT *"
+    )
+    spark.sql(sql)
+
+
+def delete_from_table(
+    spark: SparkSession,
+    source: DataFrame,
+    target_table: str,
+    merge_cols: list[str],
+) -> None:
+    """Delete target rows whose keys appear in ``source``
+    (reference: athena/_write_iceberg.py:715 delete_from_iceberg_table —
+    MERGE ... WHEN MATCHED THEN DELETE)."""
+    view = f"__asps_delete_src_{abs(hash(target_table)) % 10**8}"
+    source.select(*merge_cols).dropDuplicates().createOrReplaceTempView(view)
+    on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in merge_cols)
+    spark.sql(
+        f"MERGE INTO {target_table} t USING {view} s ON {on} WHEN MATCHED THEN DELETE"
+    )

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas functions
+over ``mapInPandas``.
+
+The decode kernels themselves are STUBBED (no image/audio libs in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder exercises the
+real Spark plumbing (schema, batching, partitioning) end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical multimodal schema: opaque payload + typed metadata
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decode+embed kernel: the payload
+    digest expanded to ``dim`` floats in [0,1)."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "little")).digest()
+        out.extend(b / 255.0 for b in h)
+        counter += 1
+    return [float(x) for x in out[:dim]]
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 64,
+    fake: bool = False,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Decode + feature-extract media payloads via ``mapInPandas``.
+
+    The Spark side is real: Arrow batch transfer, per-partition streaming,
+    stable output schema.  The kernel is stubbed: pass ``fake=True`` for
+    the deterministic fake, otherwise NotImplementedError surfaces from
+    the executors (no decode libs in this environment).
+    """
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libraries not "
+                    "present in this environment; pass fake=True to exercise "
+                    "the pipeline"
+                )
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype(str),
+                        "feature": [
+                            _fake_feature(bytes(p) if p is not None else b"", dim)
+                            for p in chunk[payload_col]
+                        ],
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk[payload_col]],
+                    }
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(_map, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    duration_col: str = "duration_ms",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Plan video frame sampling declaratively: one output row per sampled
+    timestamp (the actual frame decode is the stubbed kernel above).
+    Pure ``sequence``+``explode`` — the expensive fan-out happens JVM-side
+    and partitions naturally."""
+    return (
+        df.select(id_col, duration_col)
+        .where(F.col(duration_col).isNotNull())
+        .withColumn(
+            "sample_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col(duration_col), F.lit(every_ms))),
+        )
+    )

@@ -1,0 +1,37 @@
+"""Plan inspection helpers: assert that the physical plan has the shape
+you want (pushdown reached the scan, no stray shuffles, broadcast where
+expected).  Used by tests and by bench iteration."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_has(df: DataFrame, *needles: str) -> bool:
+    plan = formatted_plan(df)
+    return all(n in plan for n in needles)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    return formatted_plan(df).count("Exchange")
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters line(s) of the scan nodes (empty string if none)."""
+    return "\n".join(
+        line.strip() for line in formatted_plan(df).splitlines() if "PushedFilters" in line
+    )
+
+
+def read_schema(df: DataFrame) -> str:
+    """The ReadSchema line(s) — verify column pruning reached the scan."""
+    return "\n".join(
+        line.strip() for line in formatted_plan(df).splitlines() if "ReadSchema" in line
+    )

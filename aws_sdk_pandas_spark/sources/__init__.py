@@ -1,0 +1,55 @@
+"""Dataset-oriented readers and writers (the reference's ``wr.s3`` surface,
+re-expressed over Spark's file sources + Hadoop FS so the same code runs on
+local paths, HDFS, or s3a:// at cluster scale)."""
+
+from __future__ import annotations
+
+from aws_sdk_pandas_spark.sources.fs import (
+    delete_objects,
+    describe_objects,
+    does_object_exist,
+    list_directories,
+    list_objects,
+    size_objects,
+)
+from aws_sdk_pandas_spark.sources.layout import (
+    apply_partition_filter,
+    discover_partitions,
+)
+from aws_sdk_pandas_spark.sources.orc import read_orc, read_orc_metadata, to_orc
+from aws_sdk_pandas_spark.sources.parquet import (
+    read_parquet,
+    read_parquet_metadata,
+    read_parquet_table,
+    to_parquet,
+)
+from aws_sdk_pandas_spark.sources.text import (
+    read_csv,
+    read_fwf,
+    read_json,
+    to_csv,
+    to_json,
+)
+
+__all__ = [
+    "apply_partition_filter",
+    "delete_objects",
+    "describe_objects",
+    "discover_partitions",
+    "does_object_exist",
+    "list_directories",
+    "list_objects",
+    "read_csv",
+    "read_fwf",
+    "read_json",
+    "read_orc",
+    "read_orc_metadata",
+    "read_parquet",
+    "read_parquet_metadata",
+    "read_parquet_table",
+    "size_objects",
+    "to_csv",
+    "to_json",
+    "to_orc",
+    "to_parquet",
+]

@@ -1,0 +1,187 @@
+"""Parquet read/write (reference: awswrangler/s3/_read_parquet.py:330
+``read_parquet``, awswrangler/s3/_write_parquet.py:340 ``to_parquet``).
+
+The reference hand-builds: listing, wildcard matching, partition pruning,
+footer schema merging, a thread/Ray fan-out, ranged-GET block caching, and
+Arrow concatenation (lifecycle SURVEY §3.1).  In Spark those are the
+built-in InMemoryFileIndex + PartitionPruning + vectorized parquet reader
++ Tungsten, so the operators here only translate the API surface and keep
+the plan declarative so Catalyst sees everything.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_sdk_pandas_spark import _types
+from aws_sdk_pandas_spark.exceptions import NoFilesFound
+from aws_sdk_pandas_spark.sources._write import write_dataset
+from aws_sdk_pandas_spark.sources.layout import PartitionFilter, apply_partition_filter
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    dataset: bool = False,
+    columns: list[str] | None = None,
+    partition_filter: PartitionFilter | None = None,
+    schema: Any = None,
+    dtype: dict[str, str] | None = None,
+    validate_schema: bool = False,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Scan one or many parquet files/prefixes into a DataFrame.
+
+    - ``columns``          -> ``select`` (Catalyst column pruning reaches the
+                              scan: check ``ReadSchema`` in ``.explain``).
+    - ``partition_filter`` -> callable compiled to a partition-column
+                              predicate (Catalyst partition pruning); see
+                              ``sources.layout``.
+    - ``validate_schema``  -> per-file footer merge with conflict detection
+                              (``mergeSchema``; reference merges footers by
+                              hand, awswrangler/s3/_read.py:186-307).
+    - chunked iteration    -> inherent: the returned DataFrame is lazy; use
+                              ``toLocalIterator()`` for the iterator form.
+    """
+    reader = spark.read.format("parquet")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if validate_schema:
+        reader = reader.option("mergeSchema", "true")
+    if dataset:
+        reader = reader.option("basePath", path if isinstance(path, str) else None)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    paths = [path] if isinstance(path, str) else list(path)
+    if not paths:
+        raise NoFilesFound("empty path list")
+    try:
+        df = reader.load(paths)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            raise NoFilesFound(str(exc)) from exc
+        raise
+    if dataset and partition_filter is not None and isinstance(path, str):
+        df = apply_partition_filter(spark, path, df, partition_filter)
+    df = _types.cast_columns(df, dtype)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet_table(
+    spark: SparkSession,
+    table: str,
+    database: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    partition_filter: PartitionFilter | None = None,
+) -> DataFrame:
+    """Scan by catalog table name (reference: s3/_read_parquet.py:591 —
+    resolves location+partitions from Glue; here ``spark.table`` resolves
+    through the session catalog)."""
+    qualified = f"{database}.{table}" if database else table
+    df = spark.table(qualified)
+    if partition_filter is not None:
+        # evaluate the callable against the table's partition values
+        from pyspark.sql import functions as F
+
+        part_cols = [
+            f.name
+            for f in spark.catalog.listColumns(table, database)
+            if f.isPartition
+        ]
+        if part_cols:
+            tuples = [
+                {c: str(r[c]) for c in part_cols}
+                for r in df.select(*part_cols).distinct().collect()
+            ]
+            surviving = [t for t in tuples if partition_filter(t)]
+            pred = F.lit(False)
+            for t in surviving:
+                clause = F.lit(True)
+                for c in part_cols:
+                    clause = clause & (F.col(c).cast("string") == F.lit(t[c]))
+                pred = pred | clause
+            df = df.where(pred)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet_metadata(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    dataset: bool = False,
+) -> tuple[dict[str, str], dict[str, str] | None]:
+    """Infer (columns_types, partitions_types) as Athena-style type strings
+    (reference: s3/_read_parquet.py:765).  Footer-only — Spark resolves the
+    schema without scanning data."""
+    df = read_parquet(spark, path, dataset=dataset)
+    partitions: dict[str, str] = {}
+    columns: dict[str, str] = {}
+    part_names: set[str] = set()
+    if dataset and isinstance(path, str):
+        from aws_sdk_pandas_spark.sources.layout import discover_partitions
+
+        for vals in discover_partitions(spark, path).values():
+            part_names.update(vals.keys())
+    for field in df.schema.fields:
+        target = partitions if field.name in part_names else columns
+        target[field.name] = _types.spark2athena(field.dataType)
+    return columns, (partitions or None) if dataset else None
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    dataset: bool = False,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+    bucketing_info: tuple[list[str], int] | None = None,
+    compression: str | None = "snappy",
+    max_rows_by_file: int = 0,
+    dtype: dict[str, str] | None = None,
+    sanitize_columns: bool = False,
+    options: dict[str, Any] | None = None,
+    database: str | None = None,
+    table: str | None = None,
+) -> dict[str, Any]:
+    """Write a DataFrame as parquet file(s)/dataset
+    (reference: awswrangler/s3/_write_parquet.py:340).
+
+    Modes append/overwrite/overwrite_partitions per the reference
+    (s3/_write_dataset.py); catalog registration when ``table`` given.
+    """
+    result = write_dataset(
+        df,
+        path,
+        "parquet",
+        mode=mode if dataset else "append",
+        partition_cols=partition_cols if dataset else None,
+        bucketing_info=bucketing_info if dataset else None,
+        max_rows_by_file=max_rows_by_file,
+        compression=compression,
+        dtype=dtype,
+        options=options,
+        sanitize_columns=sanitize_columns,
+        dataset=dataset,
+    )
+    if table:
+        from aws_sdk_pandas_spark import catalog as _catalog
+
+        _catalog.create_parquet_table(
+            df.sparkSession,
+            database=database,
+            table=table,
+            path=path,
+            partitions_types=None if not partition_cols else {c: "string" for c in partition_cols},
+            columns_types=None,
+            exist_ok=True,
+        )
+    return result

@@ -1,0 +1,226 @@
+"""The SQL front door (reference: awswrangler/athena/_read.py:951
+``read_sql_query`` — 1.6k LoC of CTAS/UNLOAD/CSV dispatch, polling and
+result fetch that collapse onto ``spark.sql``).
+
+Preserved semantics beyond the bare ``spark.sql`` call:
+
+- parameterized SQL: ``params`` with ``paramstyle='named'|'qmark'``
+  (reference: athena/_utils.py:353-402) -> Spark's native parameterized
+  SQL (args=dict | list).
+- the query-result cache: normalized-SQL keyed reuse within
+  ``max_cache_seconds`` (reference: athena/_cache.py:95-196).  Here a hit
+  returns the cached (persisted) DataFrame instead of re-running.
+- ``unload``: run a query and write its result as a dataset
+  (reference: athena/_read.py:1556).
+- ``create_ctas_table``: CREATE TABLE AS SELECT
+  (reference: athena/_utils.py:686).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_sdk_pandas_spark._config import apply_configs
+from aws_sdk_pandas_spark.exceptions import InvalidArgument, QueryFailed
+
+# ---------------------------------------------------------------------------
+# result cache (reference: awswrangler/athena/_cache.py)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_sql(sql: str) -> str:
+    """Comparison form of a query string: strip comments/whitespace/
+    trailing ';', lower-case (reference: athena/_cache.py:121-130)."""
+    s = re.sub(r"--.*?$", " ", sql, flags=re.MULTILINE)
+    s = re.sub(r"/\*.*?\*/", " ", s, flags=re.DOTALL)
+    s = re.sub(r"\s+", " ", s).strip().rstrip(";").strip().lower()
+    return s
+
+
+@dataclass
+class _CacheEntry:
+    df: DataFrame
+    created_at: float
+
+
+@dataclass
+class _QueryCache:
+    """LRU-ish normalized-SQL -> persisted DataFrame cache
+    (reference: _LocalMetadataCacheManager, athena/_cache.py:29-92)."""
+
+    max_entries: int = 50
+    _entries: dict[str, _CacheEntry] = field(default_factory=dict)
+
+    def get(self, sql: str, max_cache_seconds: int) -> DataFrame | None:
+        if max_cache_seconds <= 0:
+            return None
+        key = _normalize_sql(sql)
+        entry = self._entries.get(key)
+        if entry is None:
+            return None
+        if time.monotonic() - entry.created_at > max_cache_seconds:
+            entry.df.unpersist()
+            del self._entries[key]
+            return None
+        return entry.df
+
+    def put(self, sql: str, df: DataFrame) -> DataFrame:
+        key = _normalize_sql(sql)
+        if len(self._entries) >= self.max_entries:
+            oldest = min(self._entries, key=lambda k: self._entries[k].created_at)
+            self._entries[oldest].df.unpersist()
+            del self._entries[oldest]
+        df = df.persist()
+        self._entries[key] = _CacheEntry(df=df, created_at=time.monotonic())
+        return df
+
+    def clear(self) -> None:
+        for entry in self._entries.values():
+            entry.df.unpersist()
+        self._entries.clear()
+
+
+_cache = _QueryCache()
+
+
+def clear_query_cache() -> None:
+    _cache.clear()
+
+
+# ---------------------------------------------------------------------------
+# parameter handling (reference: athena/_utils.py:353-402 _apply_formatter)
+# ---------------------------------------------------------------------------
+
+
+def _prepare_args(
+    sql: str, params: dict[str, Any] | list[Any] | None, paramstyle: str
+) -> tuple[str, Any]:
+    if params is None:
+        return sql, None
+    if paramstyle == "named":
+        if not isinstance(params, dict):
+            raise InvalidArgument("paramstyle='named' requires dict params")
+        # reference substitutes ``:name`` client-side; Spark's parameterized
+        # SQL uses the same ``:name`` markers natively.
+        return sql, params
+    if paramstyle == "qmark":
+        if not isinstance(params, (list, tuple)):
+            raise InvalidArgument("paramstyle='qmark' requires list params")
+        return sql, list(params)
+    raise InvalidArgument(f"unknown paramstyle {paramstyle!r}")
+
+
+# ---------------------------------------------------------------------------
+# front door
+# ---------------------------------------------------------------------------
+
+
+@apply_configs
+def read_sql_query(
+    spark: SparkSession,
+    sql: str,
+    *,
+    params: dict[str, Any] | list[Any] | None = None,
+    paramstyle: str = "named",
+    max_cache_seconds: int = 0,
+    chunksize: int = 0,
+) -> DataFrame | Any:
+    """Run SQL on the engine (reference: athena/_read.py:951 — the whole
+    CTAS/UNLOAD/CSV strategy dispatch is ``spark.sql``).
+
+    ``chunksize`` returns an iterator of pandas DataFrames (the
+    reference's ``chunksize`` contract) via ``toPandas`` batching.
+    """
+    cached = _cache.get(sql, max_cache_seconds)
+    if cached is not None:
+        df = cached
+    else:
+        sql2, args = _prepare_args(sql, params, paramstyle)
+        try:
+            df = spark.sql(sql2, args=args) if args is not None else spark.sql(sql2)
+        except Exception as exc:
+            raise QueryFailed(str(exc)) from exc
+        if max_cache_seconds > 0:
+            df = _cache.put(sql, df)
+    if chunksize and chunksize > 0:
+        return _iter_pandas_chunks(df, chunksize)
+    return df
+
+
+def _iter_pandas_chunks(df: DataFrame, chunksize: int):
+    """Exact-row chunk iterator (reference: s3/_read_parquet.py:259-282
+    carry-over slicing) over ``toLocalIterator`` Arrow batches."""
+    import pandas as pd
+
+    rows: list[Any] = []
+    cols = df.columns
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        rows.append(row)
+        if len(rows) == chunksize:
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_sql_table(
+    spark: SparkSession, table: str, database: str | None = None, **kwargs: Any
+) -> DataFrame | Any:
+    """(reference: athena/_read.py:1313)"""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return read_sql_query(spark, f"SELECT * FROM {qualified}", **kwargs)
+
+
+def unload(
+    spark: SparkSession,
+    sql: str,
+    path: str,
+    *,
+    file_format: str = "parquet",
+    compression: str | None = "snappy",
+    partitioned_by: list[str] | None = None,
+    params: dict[str, Any] | list[Any] | None = None,
+    paramstyle: str = "named",
+) -> dict[str, Any]:
+    """Run a query and write the result as a dataset
+    (reference: athena/_read.py:1556 ``UNLOAD (sql) TO path WITH (...)``)."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    df = read_sql_query(spark, sql, params=params, paramstyle=paramstyle)
+    return write_dataset(
+        df,
+        path,
+        file_format,
+        mode="overwrite",
+        partition_cols=partitioned_by,
+        compression=compression,
+    )
+
+
+def create_ctas_table(
+    spark: SparkSession,
+    sql: str,
+    table: str,
+    database: str | None = None,
+    *,
+    file_format: str = "parquet",
+    path: str | None = None,
+    partitioned_by: list[str] | None = None,
+) -> str:
+    """CREATE TABLE AS SELECT (reference: athena/_utils.py:686)."""
+    name = f"`{database}`.`{table}`" if database else f"`{table}`"
+    part = f"PARTITIONED BY ({', '.join(partitioned_by)}) " if partitioned_by else ""
+    loc = f"LOCATION '{path}' " if path else ""
+    spark.sql(f"CREATE TABLE {name} USING {file_format} {part}{loc}AS {sql}")
+    return table
+
+
+def start_query_execution(spark: SparkSession, sql: str, **kwargs: Any) -> DataFrame:
+    """Compatibility alias: execution is synchronous and local
+    (reference: athena/_executions.py start_query_execution/wait_query)."""
+    return read_sql_query(spark, sql, **kwargs)
