@@ -46,30 +46,114 @@ def read_parquet(
     - chunked iteration    -> inherent: the returned DataFrame is lazy; use
                               ``toLocalIterator()`` for the iterator form.
     """
-    reader = spark.read.format("parquet")
-    if schema is not None:
-        reader = reader.schema(schema)
-    if validate_schema:
-        reader = reader.option("mergeSchema", "true")
-    if dataset:
-        reader = reader.option("basePath", path if isinstance(path, str) else None)
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
+    def _build_reader():
+        reader = spark.read.format("parquet")
+        if schema is not None:
+            reader = reader.schema(schema)
+        if validate_schema:
+            reader = reader.option("mergeSchema", "true")
+        if dataset and isinstance(path, str):
+            reader = reader.option("basePath", path)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return reader
+
     paths = [path] if isinstance(path, str) else list(path)
     if not paths:
         raise NoFilesFound("empty path list")
     try:
-        df = reader.load(paths)
+        df = _build_reader().load(paths)
+        df.schema  # force footer/schema resolution now so fallbacks trigger here
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+            # conf is sticky session-wide: a previous nanos fallback leaves
+            # ns columns reading as longs — rebuild them here too
+            df = _convert_nanos_columns(spark, df, paths)
     except Exception as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            raise NoFilesFound(str(exc)) from exc
-        raise
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            raise NoFilesFound(msg) from exc
+        if "PARQUET_TYPE_ILLEGAL" in msg and "NANOS" in msg:
+            df = _read_with_nanos(spark, paths, _build_reader)
+        else:
+            raise
     if dataset and partition_filter is not None and isinstance(path, str):
         df = apply_partition_filter(spark, path, df, partition_filter)
     df = _types.cast_columns(df, dtype)
     if columns:
         df = df.select(*columns)
     return df
+
+
+def _read_with_nanos(spark: SparkSession, paths: list[str], build_reader) -> DataFrame:
+    """Nanosecond-timestamp fallback: Spark's parquet reader rejects
+    TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL).  Re-read with
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild the timestamp
+    columns with exact integer ``div 1000`` (micros), identified from the
+    parquet footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    sample = _first_parquet_file(spark, paths)
+    ns_cols: list[str] = []
+    if sample is not None:
+        try:
+            footer = pq.read_schema(sample)
+            ns_cols = [
+                f.name
+                for f in footer
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+        except Exception:
+            ns_cols = []
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = build_reader().load(paths)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _convert_nanos_columns(spark: SparkSession, df: DataFrame, paths: list[str]) -> DataFrame:
+    """Rebuild timestamp columns that the nanosAsLong conf turned into
+    longs (footer says ns, Spark type is long)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sample = _first_parquet_file(spark, paths)
+    if sample is None:
+        return df
+    try:
+        footer = pq.read_schema(sample)
+    except Exception:
+        return df
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    for f in footer:
+        if (
+            pa.types.is_timestamp(f.type)
+            and f.type.unit == "ns"
+            and isinstance(spark_types.get(f.name), T.LongType)
+        ):
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+    return df
+
+
+def _first_parquet_file(spark: SparkSession, paths: list[str]) -> str | None:
+    """A local sample file for footer inspection (None if not local)."""
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    for p in paths:
+        candidates = [p] if p.endswith(".parquet") and _fs._is_file(spark, p) else _fs.list_objects(
+            spark, p, suffix=".parquet"
+        )
+        for c in candidates:
+            local = c.removeprefix("file:")
+            if local.startswith("/"):
+                return local
+    return None
 
 
 def read_parquet_table(
