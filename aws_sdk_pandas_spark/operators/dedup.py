@@ -29,6 +29,19 @@ from aws_sdk_pandas_spark.functions.text import document_fingerprint, ngrams, sh
 _MERSENNE = (1 << 31) - 1
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Heavy per-row compute (shingling, signatures) must not run on a
+    handful of input splits: a small/compacted file set would serialize
+    the whole operator on one core.  Repartition up to the cluster's
+    default parallelism when the scan has fewer partitions (round-robin,
+    no key skew); at real scale inputs already exceed this and it's a
+    no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(
     df: DataFrame,
     subset: list[str] | None = None,
@@ -72,20 +85,28 @@ def dedup_fingerprint(
 
 def _minhash_signature(shingle_col: Column, num_hashes: int, seed: int = 42) -> Column:
     """MinHash signature as array<bigint>: for hash function i,
-    ``min over shingles of (a_i * xxhash64(s) + b_i) mod p`` — all
-    higher-order functions, evaluated per row with no shuffle."""
+    ``min over shingles of (a_i * xxhash64(s) + b_i) mod p``.
+
+    Single pass over the shingle array with an array-of-minima state
+    (aggregate + zip_with over constant coefficient arrays) — one array
+    traversal total instead of ``num_hashes`` separate transforms; all
+    JVM-side, no shuffle."""
     import random
 
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    a_arr = F.array(*[F.lit(a).cast(T.LongType()) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast(T.LongType()) for _, b in coeffs])
+    ab = F.zip_with(a_arr, b_arr, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    init = F.array(*[F.lit(_MERSENNE).cast(T.LongType()) for _ in range(num_hashes)])
     base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return F.array(*mins)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(_MERSENNE))
+        ),
+    )
 
 
 def minhash_signatures(
@@ -98,7 +119,9 @@ def minhash_signatures(
     out_col: str = "minhash",
 ) -> DataFrame:
     """Attach a MinHash signature column (array<bigint>, len=num_hashes)."""
-    return df.withColumn(out_col, _minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes, seed))
+    return _ensure_parallelism(df).withColumn(
+        out_col, _minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes, seed)
+    )
 
 
 def minhash_duplicates(
@@ -129,7 +152,7 @@ def minhash_duplicates(
         raise ValueError("num_hashes must be divisible by bands")
 
     base = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
         .withColumn("__sh", shingles(F.col("__text"), shingle_k))
         .withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes, seed))
         .select("__id", "__sh", "__sig")
@@ -150,12 +173,11 @@ def minhash_duplicates(
         "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    pairs = (
-        buckets.alias("l")
-        .join(buckets.alias("r"), on=["band", "bucket"])
-        .where(F.col("l.__id") < F.col("r.__id"))
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # candidate pairs via group-and-combine (ONE aggregation; a self-join
+    # would recompute the signature pipeline for both sides and shuffle
+    # the full bucket table twice)
+    pairs = _pairs_from_groups(buckets, ["band", "bucket"], "__id").dropDuplicates(
+        ["id_a", "id_b"]
     )
 
     sh = base.select("__id", "__sh")
@@ -173,6 +195,30 @@ def minhash_duplicates(
     return verified
 
 
+def _pairs_from_groups(
+    df: DataFrame, group_cols: list[str], id_col: str, max_group: int = 1000
+) -> DataFrame:
+    """All within-group ordered id pairs: groupBy -> collect sorted ids ->
+    explode the upper-triangle combinations.  ``max_group`` caps quadratic
+    blowup from a degenerate hot bucket (skew guard; capped groups are
+    truncated, mirroring the hot-ngram cutoff)."""
+    groups = (
+        df.groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_set(id_col)), 1, max_group).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return groups.select(F.explode(pair_structs).alias("p")).select("p.id_a", "p.id_b")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -183,6 +229,7 @@ def simhash_signatures(
     """63-bit SimHash over whitespace tokens (bit 63 left clear to stay in
     signed-long range).  Row-local: token hashes aggregated into per-bit
     counters with array-state higher-order aggregate; no shuffle."""
+    df = _ensure_parallelism(df)
     tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     zero = F.array(*[F.lit(0).cast(T.LongType()) for _ in range(bits)])
     # bit positions are compile-time constants: unroll the per-bit array in
@@ -249,19 +296,42 @@ def ngram_jaccard_duplicates(
     Returns ``id_a, id_b, jaccard``.
     """
     grams = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
         .withColumn("__grams", F.array_distinct(ngrams(F.col("__text"), n)))
-        .select("__id", F.size("__grams").alias("__n_grams"), F.explode("__grams").alias("gram"))
+        .select("__id", F.size("__grams").alias("__ng"), F.explode("__grams").alias("gram"))
     )
-    if max_ngram_df is not None:
-        hot = grams.groupBy("gram").count().where(F.col("count") > max_ngram_df)
-        grams = grams.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
-
-    l = grams.select(F.col("__id").alias("id_a"), F.col("__n_grams").alias("na"), "gram")
-    r = grams.select(F.col("__id").alias("id_b"), F.col("__n_grams").alias("nb"), "gram")
+    # one aggregation per gram collecting (id, ng) postings, then explode
+    # the upper-triangle pairs — no self-join (which would recompute the
+    # n-gram split twice and shuffle the posting list twice).  The posting
+    # cap is the hot-key guard: a gram appearing in more than
+    # ``max_ngram_df`` docs is dropped (quadratic-bucket / skew guard).
+    cap = max_ngram_df or 1_000_000
+    postings = (
+        grams.groupBy("gram")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__ng").alias("ng")))
+            ).alias("ids")
+        )
+        .where((F.size("ids") > 1) & (F.size("ids") <= cap))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["ng"].alias("na"),
+                    y["ng"].alias("nb"),
+                ),
+            ),
+        )
+    )
     shared = (
-        l.join(r, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("shared"))
     )

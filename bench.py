@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline subset: relational + window + text + dedup + vector paths
+_BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q10_returned_items",
+    "events_daily_stats",
+    "events_top_users",
+    "doc_lang_stats",
+    "doc_quality_scores",
+    "doc_ngram_jaccard_dups",
+    "dedup_minhash_lsh",
+    "emb_knn_cosine",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    import aws_sdk_pandas_spark as asps
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = asps.get_spark(app_name="bench")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in _BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        elapsed = round(time.time() - t0, 3)
+        timings[name] = elapsed
+        total += elapsed
+        print(f"# {name}: {elapsed:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

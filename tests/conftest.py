@@ -1,0 +1,48 @@
+"""Shared fixtures: one SparkSession for the whole test run.
+
+Mirrors the reference's test strategy (SURVEY §5): round-trip equality as
+the oracle, parametrized over formats × modes × partitioning, plus the
+DuckDB golden-SQL layer the reference never had.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    import aws_sdk_pandas_spark as asps
+
+    spark = asps.get_spark(app_name="tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture()
+def people_df(spark):
+    """Small mixed-type frame (strings, ints, doubles, dates, nulls) —
+    miniature of the reference's 16-column fixture (tests/_utils.py:120)."""
+    from datetime import date
+
+    return spark.createDataFrame(
+        [
+            (1, "alice", 10.5, date(2024, 1, 1), "us"),
+            (2, "bob", None, date(2024, 1, 2), "us"),
+            (3, "carol", 7.25, date(2024, 2, 1), "de"),
+            (4, None, 0.0, date(2024, 2, 2), "de"),
+            (5, "eve", -3.5, date(2024, 3, 1), "fr"),
+        ],
+        "id bigint, name string, score double, d date, country string",
+    )
