@@ -52,14 +52,14 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 _Q01 = """
 SELECT l_returnflag,
        l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-       ROUND(AVG(l_discount), 4)                                       AS avg_disc,
-       COUNT(*)                                                        AS count_order
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_charge,
+       CAST(FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE)      AS avg_qty,
+       CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_price,
+       CAST(FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE)      AS avg_disc,
+       COUNT(*)                                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -68,7 +68,7 @@ ORDER BY l_returnflag, l_linestatus
 
 _Q03 = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE)                          AS o_orderdate,
        o_orderpriority
 FROM customer
@@ -84,7 +84,7 @@ LIMIT 10
 
 _Q05 = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -99,7 +99,7 @@ ORDER BY revenue DESC
 """
 
 _Q06 = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -110,8 +110,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 _Q10 = """
 SELECT c_custkey,
        c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       ROUND(c_acctbal, 2) AS c_acctbal,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS c_acctbal,
        n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -130,8 +130,8 @@ SELECT CAST(ts AS DATE)          AS day,
        event_type,
        COUNT(*)                  AS n_events,
        COUNT(DISTINCT user_id)   AS n_users,
-       ROUND(SUM(value), 2)      AS sum_value,
-       ROUND(AVG(value), 4)      AS avg_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_value
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
 ORDER BY day, event_type
@@ -142,10 +142,10 @@ SELECT event_type, user_id, total_value, rnk
 FROM (
     SELECT event_type,
            user_id,
-           ROUND(SUM(value), 2) AS total_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
            ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY SUM(value) DESC, user_id
+               ORDER BY SUM(CAST(value AS DECIMAL(18,6))) DESC, user_id
            ) AS rnk
     FROM events
     GROUP BY event_type, user_id
@@ -175,7 +175,16 @@ def _q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # engine-stable average: exact integer sum, pure-IEEE double ops
+            # (matches the DuckDB oracle bit-for-bit; ROUND(double) differs
+            # between engines at digit-boundary ties)
+            (
+                F.floor(
+                    (F.sum("n_chars").cast("double") / F.count(F.lit(1))) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_chars"),
             F.sum("tc").alias("total_tokens"),
         )
         .orderBy("lang")
@@ -365,7 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_stats": f"""
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_chars,
                    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens
             FROM documents

@@ -112,3 +112,94 @@ def frame_sample_plan(
             F.explode(F.sequence(F.lit(0), F.col(duration_col), F.lit(every_ms))),
         )
     )
+
+
+_DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """STUB — image decode kernel.  No image library ships in this
+    container; the Spark-side plumbing (``decode_images`` below) is real
+    and tested with the deterministic fake."""
+    raise NotImplementedError(
+        "image decoding requires an image library (e.g. Pillow) not present "
+        "in this environment"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Deterministic fake decode: digest-derived dimensions + pixel bytes."""
+    h = hashlib.sha256(payload).digest()
+    w, ht = 1 + h[0] % 64, 1 + h[1] % 64
+    return w, ht, (h * ((w * ht) // len(h) + 1))[: w * ht]
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode image payloads to (width, height, pixel bytes) via
+    ``mapInPandas`` (Arrow-batched; one Python worker per partition).
+    Kernel stubbed: ``fake=True`` runs the deterministic fake decoder."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image(b"")  # raises NotImplementedError
+            decoded = [
+                _fake_decode(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype(str),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "pixels": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_map, schema=_DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize kernel over ``mapInPandas``; stubbed like ``decode_images``
+    (fake path emits ``target_width*target_height`` deterministic bytes)."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_width * target_height
+        for pdf in batches:
+            if not fake:
+                decode_image(b"")
+            out = []
+            for p in pdf[payload_col]:
+                h = hashlib.sha256(bytes(p) if p is not None else b"").digest()
+                out.append((h * (n // len(h) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype(str),
+                    "width": target_width,
+                    "height": target_height,
+                    "pixels": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_map, schema=_DECODED_IMAGE_SCHEMA)

@@ -246,9 +246,9 @@ def to_parquet(
         df,
         path,
         "parquet",
-        mode=mode if dataset else "append",
-        partition_cols=partition_cols if dataset else None,
-        bucketing_info=bucketing_info if dataset else None,
+        mode=mode,
+        partition_cols=partition_cols,
+        bucketing_info=bucketing_info,
         max_rows_by_file=max_rows_by_file,
         compression=compression,
         dtype=dtype,

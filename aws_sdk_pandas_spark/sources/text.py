@@ -180,9 +180,9 @@ def to_csv(
         df,
         path,
         "csv",
-        mode=mode if dataset else "append",
-        partition_cols=partition_cols if dataset else None,
-        bucketing_info=bucketing_info if dataset else None,
+        mode=mode,
+        partition_cols=partition_cols,
+        bucketing_info=bucketing_info,
         max_rows_by_file=max_rows_by_file,
         compression=compression,
         dtype=dtype,
@@ -212,8 +212,8 @@ def to_json(
         df,
         path,
         "json",
-        mode=mode if dataset else "append",
-        partition_cols=partition_cols if dataset else None,
+        mode=mode,
+        partition_cols=partition_cols,
         bucketing_info=None,
         max_rows_by_file=max_rows_by_file,
         compression=compression,

@@ -19,9 +19,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     import aws_sdk_pandas_spark as asps
 
-    spark = asps.get_spark(app_name="tests", shuffle_partitions=8)
+    spark = asps.get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # hermetic warehouse/metastore: saveAsTable leftovers from a
+            # killed run must not poison the next one
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="asps-wh-"),
+            "javax.jdo.option.ConnectionURL": (
+                "jdbc:derby:;databaseName=" + tempfile.mkdtemp(prefix="asps-md-") + "/metastore_db;create=true"
+            ),
+        },
+    )
     yield spark
 
 

@@ -1,0 +1,164 @@
+"""Operator semantics: dedup family, similarity search, upsert/merge.
+Oracles are hand-computed expectations on small synthetic frames plus
+numpy for vector math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators import (
+    dedup_exact,
+    dedup_fingerprint,
+    knn_brute_force,
+    minhash_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_signatures,
+    upsert_dataframe,
+)
+
+
+@pytest.fixture()
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),                      # near-dup of 1
+        (3, "completely different text about spark engines and shuffles here now"),
+        (4, base),                                   # exact dup of 1
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c")], "k bigint, v string"
+    )
+    assert dedup_exact(df).count() == 3
+    assert dedup_exact(df, subset=["k"]).count() == 2
+
+
+def test_dedup_fingerprint_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id bigint, text string",
+    )
+    kept = dedup_fingerprint(df, text_col="text")
+    assert kept.count() == 2  # 1 and 2 collapse (case/whitespace-normalized)
+
+
+def test_minhash_finds_near_and_exact_dups(docs_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_duplicates(
+            docs_df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.4
+        ).collect()
+    }
+    assert (1, 4) in pairs          # exact dup always survives
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_deterministic(docs_df):
+    a = minhash_duplicates(docs_df, "doc_id", "text", num_hashes=32, bands=8).collect()
+    b = minhash_duplicates(docs_df, "doc_id", "text", num_hashes=32, bands=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ngram_jaccard(docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_duplicates(docs_df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got[(1, 4)] == 1.0
+    assert (1, 3) not in got
+
+
+def test_simhash_properties(docs_df):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_df).collect()}
+    assert sigs[1] == sigs[4]       # identical text -> identical signature
+    # near-dup hamming distance < far-pair hamming distance
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    assert all(s >= 0 for s in sigs.values())  # bit 63 kept clear
+
+
+def test_knn_brute_force_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1, 50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = knn_brute_force(df, [float(x) for x in q], k=5, id_col="vec_id",
+                          vector_col="embedding", metric="cosine")
+    got_ids = [r.vec_id for r in got.collect()]
+
+    sims = vecs[1:] @ q / (np.linalg.norm(vecs[1:], axis=1) * np.linalg.norm(q))
+    want_ids = (np.argsort(1 - sims, kind="stable")[:5] + 1).tolist()
+    assert got_ids == want_ids
+
+
+def test_knn_top_k_plan_is_take_ordered(spark):
+    """orderBy(dist).limit(k) must compile to TakeOrderedAndProject —
+    no global sort of the full table at scale."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)], "vec_id bigint, embedding array<float>"
+    )
+    got = knn_brute_force(df, [1.0, 0.0], k=3, id_col="vec_id", vector_col="embedding")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_upsert_dataframe(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (None, "n", 1)], "k bigint, v string, ver bigint"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 2), (3, "c", 2), (None, "N", 2)], "k bigint, v string, ver bigint"
+    )
+    got = {r.k: (r.v, r.ver) for r in upsert_dataframe(target, source, ["k"]).collect()}
+    assert got[1] == ("a", 1)
+    assert got[2] == ("B", 2)
+    assert got[3] == ("c", 2)
+    assert got[None] == ("N", 2)    # null-safe matching replaced the null-key row
+
+    # match_nulls=False keeps both null-key rows
+    got2 = upsert_dataframe(target, source, ["k"], match_nulls=False)
+    assert got2.where("k IS NULL").count() == 2
+
+
+def test_upsert_precombine(spark):
+    target = spark.createDataFrame([(1, "old", 5)], "k bigint, v string, ver bigint")
+    source = spark.createDataFrame(
+        [(1, "mid", 3), (1, "new", 9)], "k bigint, v string, ver bigint"
+    )
+    got = upsert_dataframe(target, source, ["k"], precombine_key="ver").collect()
+    assert len(got) == 1 and got[0].v == "new" and got[0].ver == 9
+
+
+def test_merge_upsert_into_table(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS asps_merge_t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("asps_merge_t")
+    from aws_sdk_pandas_spark.operators.merge import merge_upsert
+
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
+    try:
+        merge_upsert(spark, src, "asps_merge_t", ["k"])
+    except Exception as exc:
+        # plain parquet saveAsTable doesn't support MERGE in OSS Spark
+        # without Delta/Iceberg; accept the documented failure mode
+        assert "MERGE" in str(exc) or "does not support" in str(exc).lower()
+        pytest.skip("catalog format does not support MERGE (no Delta/Iceberg jar)")
+    got = {r.k: r.v for r in spark.table("asps_merge_t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

@@ -1,0 +1,128 @@
+"""SQL front door (params, cache, ctas, unload) and the Athena<->Spark
+type-string matrix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark import _types
+from aws_sdk_pandas_spark.sql import create_ctas_table, read_sql_query, unload
+
+
+@pytest.fixture(autouse=True)
+def _view(spark):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id bigint, g string, x double"
+    ).createOrReplaceTempView("t_sql")
+
+
+def test_read_sql_query_basic(spark):
+    got = read_sql_query(spark, "SELECT g, SUM(x) AS s FROM t_sql GROUP BY g ORDER BY g")
+    assert [(r.g, r.s) for r in got.collect()] == [("a", 40.0), ("b", 20.0)]
+
+
+def test_params_named(spark):
+    got = read_sql_query(
+        spark, "SELECT * FROM t_sql WHERE g = :g AND x > :lo", params={"g": "a", "lo": 15}
+    )
+    assert [r.id for r in got.collect()] == [3]
+
+
+def test_params_qmark(spark):
+    got = read_sql_query(
+        spark, "SELECT * FROM t_sql WHERE g = ? AND x > ?", params=["a", 15],
+        paramstyle="qmark",
+    )
+    assert [r.id for r in got.collect()] == [3]
+
+
+def test_result_cache(spark):
+    sql = "SELECT COUNT(*) AS n FROM t_sql"
+    a = read_sql_query(spark, sql, max_cache_seconds=300)
+    # whitespace/case/comment variations hit the same cache entry
+    b = read_sql_query(spark, "  select count(*) as N   FROM t_sql -- hi\n;", max_cache_seconds=300)
+    assert a.storageLevel.useMemory or b.storageLevel.useMemory
+    assert b.first()[0] == 3
+
+
+def test_ctas_and_unload(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS asps_ctas")
+    create_ctas_table(spark, "SELECT * FROM t_sql WHERE g = 'a'", "asps_ctas")
+    assert spark.table("asps_ctas").count() == 2
+
+    out = str(tmp_path / "unload")
+    unload(spark, "SELECT * FROM t_sql", out, file_format="parquet")
+    assert spark.read.parquet(out).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# type matrix (reference: awswrangler/_data_types.py:22-68,312-361)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "athena,spark_type",
+    [
+        ("tinyint", T.ByteType()),
+        ("smallint", T.ShortType()),
+        ("int", T.IntegerType()),
+        ("integer", T.IntegerType()),
+        ("bigint", T.LongType()),
+        ("float", T.FloatType()),
+        ("double", T.DoubleType()),
+        ("boolean", T.BooleanType()),
+        ("string", T.StringType()),
+        ("date", T.DateType()),
+        ("binary", T.BinaryType()),
+        ("decimal(12,2)", T.DecimalType(12, 2)),
+        ("array<int>", T.ArrayType(T.IntegerType())),
+        ("map<string,bigint>", T.MapType(T.StringType(), T.LongType())),
+        (
+            "struct<a:int,b:array<string>>",
+            T.StructType(
+                [
+                    T.StructField("a", T.IntegerType()),
+                    T.StructField("b", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+        (
+            "map<string,array<struct<x:double>>>",
+            T.MapType(
+                T.StringType(),
+                T.ArrayType(T.StructType([T.StructField("x", T.DoubleType())])),
+            ),
+        ),
+    ],
+)
+def test_athena2spark_roundtrip(athena, spark_type):
+    got = _types.athena2spark(athena)
+    assert got == spark_type
+    # and back: spark2athena is the inverse (modulo int spelling)
+    back = _types.spark2athena(got)
+    assert _types.athena2spark(back) == spark_type
+
+
+def test_timestamp_mapping():
+    assert isinstance(_types.athena2spark("timestamp"), (T.TimestampType, T.TimestampNTZType))
+
+
+def test_uint_policy():
+    import pyarrow as pa
+
+    assert _types.pyarrow2spark(pa.uint8()) == T.ShortType()
+    assert _types.pyarrow2spark(pa.uint32()) == T.LongType()
+    with pytest.raises(Exception):
+        _types.pyarrow2spark(pa.uint64())  # reference rejects uint64 (_data_types.py:34)
+
+
+def test_sanitize_names():
+    assert _types.sanitize_column_name("My Col-1!") == "my_col_1"
+    assert _types.sanitize_table_name("Order Details") == "order_details"
+
+
+def test_cast_columns(spark):
+    df = spark.createDataFrame([(1, "2.5")], "a bigint, b string")
+    got = _types.cast_columns(df, {"a": "string", "b": "double"})
+    assert dict(got.dtypes) == {"a": "string", "b": "double"}

@@ -1,0 +1,94 @@
+"""Streaming parity-with-batch, catalog DDL helpers, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark import catalog, sources, streaming
+
+
+def test_stream_replays_batch(spark, people_df, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sources.to_parquet(people_df, src, dataset=True, mode="overwrite")
+
+    streaming.run_batch_as_stream(
+        spark, src, lambda df: df.where(F.col("score") >= 0), out, ckpt
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == people_df.where("score >= 0").count()
+
+
+def test_write_stream_dataset(spark, people_df, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sources.to_parquet(people_df, src, dataset=True, mode="overwrite")
+
+    stream = streaming.read_stream(spark, src)
+    q = streaming.write_stream_dataset(
+        stream, out, checkpoint=ckpt, partition_cols=["country"]
+    )
+    q.awaitTermination()
+    got = sources.read_parquet(spark, out, dataset=True)
+    assert got.count() == 5
+    assert "country=us" in " ".join(sources.list_objects(spark, out))
+
+
+def test_windowed_counts_semantics(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a"), ("2024-01-01 00:50:00", "a"),
+         ("2024-01-01 01:10:00", "b")],
+        "ts string, k string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = streaming.windowed_counts(df, window_duration="1 hour", group_cols=["k"])
+    rows = {(r.window.start.hour, r.k): r.n for r in got.collect()}
+    assert rows == {(0, "a"): 2, (1, "b"): 1}
+
+
+def test_catalog_tables(spark, people_df, tmp_path):
+    path = str(tmp_path / "cds")
+    sources.to_parquet(people_df, path, dataset=True, partition_cols=["country"], mode="overwrite")
+    catalog.delete_table_if_exists(spark, "asps_cat_t")
+    catalog.create_parquet_table(
+        spark,
+        database=None,
+        table="asps_cat_t",
+        path=path,
+        columns_types={"id": "bigint", "name": "string", "score": "double", "d": "date"},
+        partitions_types={"country": "string"},
+    )
+    assert catalog.does_table_exist(spark, "asps_cat_t")
+    catalog.repair_table(spark, "asps_cat_t")
+    assert spark.table("asps_cat_t").count() == 5
+    # catalog.table returns DESCRIBE metadata (reference: catalog/_get.py)
+    assert "col_name" in catalog.table(spark, "asps_cat_t").columns
+    parts = catalog.get_partitions(spark, "asps_cat_t")
+    assert {tuple(v) for v in parts.values()} == {("us",), ("de",), ("fr",)}
+    types = catalog.get_table_types(spark, "asps_cat_t")
+    assert types["id"] == "bigint"
+    assert catalog.get_table_location(spark, "asps_cat_t").endswith("cds")
+    catalog.delete_table_if_exists(spark, "asps_cat_t")
+
+
+def test_multimodal_fake_pipeline(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import decode_image, extract_features
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"payload-1")), ("m2", bytearray(b"payload-2"))],
+        "media_id string, payload binary",
+    )
+    feats = extract_features(media, dim=16, fake=True)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert set(rows) == {"m1", "m2"}
+    assert all(len(r.feature) == 16 for r in rows.values())
+    assert rows["m1"].n_bytes == 9
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in extract_features(media, dim=16, fake=True).collect()}
+    assert again["m1"] == rows["m1"].feature
+
+    # real decode is an explicit stub until decode libs exist
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
