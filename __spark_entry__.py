@@ -29,12 +29,21 @@ _TABLES = (
 )
 
 
+_LOADED: dict[tuple[int, str], bool] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for the SQL front door."""
+    """Register every test table as a temp view for the SQL front door.
+    Memoized per (session, sf_dir): repeated registration re-resolves
+    every parquet footer on the driver for no reason."""
     from aws_sdk_pandas_spark.sources import read_parquet
 
+    key = (id(spark), sf_dir)
+    if _LOADED.get(key):
+        return
     for t in _TABLES:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _LOADED[key] = True
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -153,6 +162,102 @@ FROM (
 WHERE rnk <= 3
 ORDER BY event_type, rnk
 """
+
+
+
+_ROLLUP = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+_CUBE = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+_SETOPS = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY c_custkey
+"""
+
+_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+_SEMI_JOIN = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+)
+ORDER BY s_suppkey
+"""
+
+_WINDOW_RUNNING = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_total,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+       ) AS DOUBLE) AS prev_price
+FROM orders
+WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+_Q17_STYLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS small_qty_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+_SCAN_PROJECTION = """
+SELECT l_orderkey, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+ORDER BY l_orderkey, l_shipdate, l_quantity
+"""
+
+
+def _q_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown through the dataset reader
+    (SURVEY 2.3): columns= reaches ReadSchema, the filter reaches
+    PushedFilters in the parquet scan."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_quantity"],
+    )
+    return li.where(F.col("l_shipdate") >= "1998-06-01").orderBy(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -326,10 +431,66 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_vectors_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index lifecycle (SURVEY 2.10): create index, put vectors
+    with metadata, top-k query with a Mongo-style metadata filter."""
+    from aws_sdk_pandas_spark import vectors as V
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/asps_vec_idx_{sf_tag}"
+    V.create_vector_index(spark, path, dimension=len(emb.select("embedding").first()[0]))
+    V.put_vectors_from_df(
+        emb.select(
+            F.col("vec_id").cast("string").alias("key"),
+            F.col("embedding").alias("vector"),
+            "label",
+        ),
+        path,
+        mode="overwrite",
+    )
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    return V.query_vectors(
+        spark,
+        path,
+        q,
+        top_k=10,
+        metadata_filter={"$and": [{"label": {"$gte": 1}}, {"label": {"$ne": 3}}]},
+    )
+
+
+def _q_logs_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch Logs Insights mini-language over the events table
+    (SURVEY 2.1 cloudwatch row): filter | stats ... by | sort."""
+    from aws_sdk_pandas_spark import logs as L
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return L.run_query(
+        events,
+        "filter value > 100 and event_type like 'c'"
+        " | stats count(*) as n, min(value) as min_v, max(value) as max_v by event_type"
+        " | sort event_type",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q01_pricing_summary": lambda s, d: _sql(s, d, _Q01),
+        "q17_small_qty_revenue": lambda s, d: _sql(s, d, _Q17_STYLE),
+        "agg_rollup": lambda s, d: _sql(s, d, _ROLLUP),
+        "agg_cube": lambda s, d: _sql(s, d, _CUBE),
+        "setops_customers": lambda s, d: _sql(s, d, _SETOPS),
+        "join_anti_customers": lambda s, d: _sql(s, d, _ANTI_JOIN),
+        "join_semi_suppliers": lambda s, d: _sql(s, d, _SEMI_JOIN),
+        "window_running_total": lambda s, d: _sql(s, d, _WINDOW_RUNNING),
+        "scan_projection_pushdown": _q_scan_projection,
+        "vectors_query_filtered": _q_vectors_filtered,
+        "logs_insights_stats": _q_logs_insights,
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q05_local_supplier_volume": lambda s, d: _sql(s, d, _Q05),
         "q06_revenue_forecast": lambda s, d: _sql(s, d, _Q06),
@@ -365,6 +526,33 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q01_pricing_summary": _Q01,
+        "q17_small_qty_revenue": _Q17_STYLE,
+        "agg_rollup": _ROLLUP,
+        "agg_cube": _CUBE,
+        "setops_customers": _SETOPS,
+        "join_anti_customers": _ANTI_JOIN,
+        "join_semi_suppliers": _SEMI_JOIN,
+        "window_running_total": _WINDOW_RUNNING,
+        "scan_projection_pushdown": _SCAN_PROJECTION,
+        "vectors_query_filtered": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT CAST(vec_id AS VARCHAR) AS key,
+                   ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS distance
+            FROM embeddings, q
+            WHERE label >= 1 AND label <> 3
+            ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) ASC, CAST(vec_id AS VARCHAR) ASC
+            LIMIT 10
+        """,
+        "logs_insights_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v
+            FROM events
+            WHERE value > 100 AND event_type LIKE '%c%'
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "q03_shipping_priority": _Q03,
         "q05_local_supplier_volume": _Q05,
         "q06_revenue_forecast": _Q06,
@@ -465,21 +653,21 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   ROUND(1.0 - list_cosine_similarity(embedding, qv), 6) AS distance
+                   ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS distance
             FROM embeddings, q
             WHERE vec_id <> 0
-            ORDER BY 1.0 - list_cosine_similarity(embedding, qv) ASC, vec_id ASC
+            ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) ASC, vec_id ASC
             LIMIT 10
         """,
         "emb_knn_euclidean": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
                    ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-                        i -> (embedding[i] - qv[i]) * (embedding[i] - qv[i])))), 6) AS distance
+                        i -> (CAST(embedding[i] AS DOUBLE) - qv[i]) * (CAST(embedding[i] AS DOUBLE) - qv[i])))), 6) AS distance
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-                        i -> (embedding[i] - qv[i]) * (embedding[i] - qv[i])))) ASC, vec_id ASC
+                        i -> (CAST(embedding[i] AS DOUBLE) - qv[i]) * (CAST(embedding[i] AS DOUBLE) - qv[i])))) ASC, vec_id ASC
             LIMIT 10
         """,
         "dedup_exact_lineitem": """

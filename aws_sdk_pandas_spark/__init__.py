@@ -30,7 +30,7 @@ pandas UDFs where built-ins cannot express the semantics.
 
 from __future__ import annotations
 
-from aws_sdk_pandas_spark import catalog, functions, operators, sources, sql
+from aws_sdk_pandas_spark import catalog, functions, operators, sources, sql, streaming, vectors
 from aws_sdk_pandas_spark._config import config
 from aws_sdk_pandas_spark.session import get_spark, stop_spark
 
@@ -44,6 +44,8 @@ __all__ = [
     "operators",
     "sources",
     "sql",
+    "streaming",
+    "vectors",
     "stop_spark",
     "__version__",
 ]

@@ -1,0 +1,167 @@
+"""Vector index operators (reference: awswrangler/s3/_vectors/).
+
+The reference's S3 Vectors surface: ``create_vector_index(dimension,
+distance_metric, non_filterable_metadata_keys)`` (_vectors/_mgmt.py:156),
+``put_vectors_from_df`` (_write.py:109), ``get_vectors``/``list_vectors``
+(_read.py:48,174), ``delete_vectors`` (_write.py:240) and
+``query_vectors(top_k, filter)`` (_read.py:249).
+
+Spark-first design for 100 TB: the index IS a parquet/Delta dataset
+``(key string, vector array<float>, metadata columns...)`` plus a JSON
+sidecar with index properties.  Reads/writes are ordinary dataset ops so
+they partition, prune and parallelize like any table; the ANN path is
+``operators.similarity`` (brute-force top-k via TakeOrderedAndProject,
+LSH at scale).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+from aws_sdk_pandas_spark.operators.similarity import (
+    compile_metadata_filter,
+    knn_brute_force,
+)
+from aws_sdk_pandas_spark.sources import fs as _fs
+from aws_sdk_pandas_spark.sources._write import write_dataset
+
+_INDEX_FILE = "_vector_index.json"
+
+
+def create_vector_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    dimension: int,
+    distance_metric: str = "cosine",
+    non_filterable_metadata_keys: Sequence[str] = (),
+) -> dict[str, Any]:
+    """Create the index sidecar (reference: _vectors/_mgmt.py:156 —
+    bucket/index creation collapses to table properties)."""
+    if distance_metric not in ("cosine", "euclidean"):
+        raise InvalidArgument("distance_metric must be 'cosine' or 'euclidean'")
+    if dimension < 1:
+        raise InvalidArgument("dimension must be >= 1")
+    props = {
+        "dimension": dimension,
+        "distance_metric": distance_metric,
+        "non_filterable_metadata_keys": list(non_filterable_metadata_keys),
+    }
+    _write_sidecar(spark, path, props)
+    return props
+
+
+def describe_vector_index(spark: SparkSession, path: str) -> dict[str, Any]:
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{path.rstrip('/')}/{_INDEX_FILE}")
+    if not jvm_fs.exists(jpath):
+        raise InvalidArgument(f"no vector index at {path}")
+    stream = jvm_fs.open(jpath)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
+def _write_sidecar(spark: SparkSession, path: str, props: dict[str, Any]) -> None:
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{path.rstrip('/')}/{_INDEX_FILE}")
+    out = jvm_fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(props).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def put_vectors_from_df(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str = "key",
+    vector_col: str = "vector",
+    mode: str = "append",
+) -> dict[str, Any]:
+    """Write vectors + metadata columns as the index dataset (reference:
+    _vectors/_write.py:109).  NaN metadata scrubbed to NULL (the
+    reference drops NaN metadata keys per item, _write.py:28)."""
+    if key_col not in df.columns or vector_col not in df.columns:
+        raise InvalidArgument(f"df must have '{key_col}' and '{vector_col}' columns")
+    out = df.withColumn(vector_col, F.col(vector_col).cast("array<float>"))
+    for c, t in out.dtypes:
+        if t in ("double", "float") and c != vector_col:
+            out = out.withColumn(c, F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)))
+    # static overwrite deletes the whole prefix — preserve the index sidecar
+    props = None
+    if mode == "overwrite":
+        try:
+            props = describe_vector_index(df.sparkSession, path)
+        except Exception:
+            props = None
+    result = write_dataset(out, path, "parquet", mode=mode)
+    if props is not None:
+        _write_sidecar(df.sparkSession, path, props)
+    return result
+
+
+def list_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """Full index scan (reference: _vectors/_read.py:174 — the segmented
+    parallel listing is Spark's file-split parallelism)."""
+    return spark.read.parquet(path)
+
+
+def get_vectors(spark: SparkSession, path: str, keys: Sequence[str], *, key_col: str = "key") -> DataFrame:
+    """(reference: _vectors/_read.py:48)"""
+    return list_vectors(spark, path).where(F.col(key_col).isin(list(keys)))
+
+
+def delete_vectors(
+    spark: SparkSession, path: str, keys: Sequence[str], *, key_col: str = "key"
+) -> None:
+    """Anti-join delete, rewrite-in-place (reference: _vectors/_write.py:240;
+    with a Delta/Iceberg catalog this is a native ``DELETE FROM``)."""
+    remaining = list_vectors(spark, path).where(~F.col(key_col).isin(list(keys)))
+    staged = remaining.persist()
+    staged.count()  # materialize before overwriting the source
+    write_dataset(staged, path, "parquet", mode="overwrite")
+    staged.unpersist()
+
+
+def query_vectors(
+    spark: SparkSession,
+    path: str,
+    query_vector: Sequence[float],
+    *,
+    top_k: int = 10,
+    metadata_filter: dict[str, Any] | None = None,
+    key_col: str = "key",
+    vector_col: str = "vector",
+    distance_metric: str | None = None,
+) -> DataFrame:
+    """Reference-compatible top-k query (_vectors/_read.py:249): Mongo-style
+    metadata filter ($eq,$ne,$gt,$gte,$lt,$lte,$in,$nin,$exists,$and,$or)
+    compiled to a Column predicate, distance metric from the index sidecar
+    unless overridden."""
+    if distance_metric is None:
+        try:
+            distance_metric = describe_vector_index(spark, path)["distance_metric"]
+        except Exception:
+            distance_metric = "cosine"
+    df = list_vectors(spark, path)
+    where = compile_metadata_filter(metadata_filter) if metadata_filter else None
+    return knn_brute_force(
+        df,
+        query_vector,
+        k=top_k,
+        id_col=key_col,
+        vector_col=vector_col,
+        metric=distance_metric,
+        where=where,
+    )

@@ -1,0 +1,135 @@
+"""Vector index lifecycle (reference: awswrangler/s3/_vectors/) and the
+CloudWatch Logs Insights translator (reference: awswrangler/cloudwatch.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark import logs, vectors
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+@pytest.fixture()
+def index_path(spark, tmp_path):
+    path = str(tmp_path / "vecidx")
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], "red", 1),
+            ("b", [0.0, 1.0], "blue", 2),
+            ("c", [1.0, 1.0], "red", 3),
+            ("d", [-1.0, 0.0], "blue", 4),
+        ],
+        "key string, vector array<float>, color string, rank bigint",
+    )
+    vectors.create_vector_index(spark, path, dimension=2, distance_metric="cosine")
+    vectors.put_vectors_from_df(df, path, mode="overwrite")
+    return path
+
+
+def test_index_lifecycle(spark, index_path):
+    props = vectors.describe_vector_index(spark, index_path)
+    assert props["dimension"] == 2 and props["distance_metric"] == "cosine"
+
+    assert vectors.list_vectors(spark, index_path).count() == 4
+    got = vectors.get_vectors(spark, index_path, ["a", "c"])
+    assert sorted(r.key for r in got.collect()) == ["a", "c"]
+
+    vectors.delete_vectors(spark, index_path, ["d"])
+    assert sorted(r.key for r in vectors.list_vectors(spark, index_path).collect()) == [
+        "a",
+        "b",
+        "c",
+    ]
+
+
+def test_query_vectors_topk_and_filter(spark, index_path):
+    got = vectors.query_vectors(spark, index_path, [1.0, 0.0], top_k=2)
+    assert [r.key for r in got.collect()] == ["a", "c"]  # exact, then 45°
+
+    filtered = vectors.query_vectors(
+        spark, index_path, [1.0, 0.0], top_k=4,
+        metadata_filter={"color": "blue"},
+    )
+    assert sorted(r.key for r in filtered.collect()) == ["b", "d"]
+
+    ops = vectors.query_vectors(
+        spark, index_path, [1.0, 0.0], top_k=4,
+        metadata_filter={"$or": [{"rank": {"$lte": 1}}, {"color": {"$ne": "red"}}]},
+    )
+    assert sorted(r.key for r in ops.collect()) == ["a", "b", "d"]
+
+
+def test_invalid_index_args(spark, tmp_path):
+    with pytest.raises(InvalidArgument):
+        vectors.create_vector_index(spark, str(tmp_path / "x"), dimension=0)
+    with pytest.raises(InvalidArgument):
+        vectors.create_vector_index(
+            spark, str(tmp_path / "x"), dimension=2, distance_metric="manhattan"
+        )
+    with pytest.raises(InvalidArgument):
+        vectors.describe_vector_index(spark, str(tmp_path / "nope"))
+
+
+@pytest.fixture()
+def logs_df(spark):
+    return spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "api", "GET /users 200 12ms", 200, 12.0),
+            ("2024-01-01 10:01:00", "api", "GET /users 500 3ms", 500, 3.0),
+            ("2024-01-01 10:02:00", "worker", "job ok", 0, 45.0),
+            ("2024-01-01 10:03:00", "api", "POST /items 200 99ms", 200, 99.0),
+            ("2024-01-01 11:00:00", "worker", "job failed", 1, 7.0),
+        ],
+        "ts string, component string, message string, status int, latency double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_insights_fields_filter_sort_limit(logs_df):
+    got = logs.run_query(
+        logs_df, "fields ts, status | filter status >= 200 | sort status desc, ts | limit 2"
+    )
+    assert [r.status for r in got.collect()] == [500, 200]
+
+
+def test_insights_stats_by(logs_df):
+    got = logs.run_query(
+        logs_df,
+        "stats count(*) as n, avg(latency) as lat, max(status) as mx by component"
+        " | sort component",
+    )
+    rows = {r.component: (r.n, r.mx) for r in got.collect()}
+    assert rows == {"api": (3, 500), "worker": (2, 1)}
+
+
+def test_insights_like_and_regex(logs_df):
+    got = logs.run_query(logs_df, "filter message like 'GET' | sort ts")
+    assert got.count() == 2
+    got2 = logs.run_query(logs_df, "filter message =~ /job (ok|failed)/")
+    assert got2.count() == 2
+    got3 = logs.run_query(logs_df, "filter message not like /5\\d\\d/")
+    assert got3.count() == 4
+
+
+def test_insights_parse(logs_df):
+    got = logs.run_query(
+        logs_df,
+        "parse message /(?<verb>GET|POST) (?<path>\\S+)/ | filter verb = 'GET'"
+        " | fields path, verb",
+    )
+    assert sorted(r.path for r in got.collect() if r.verb == "GET") == ["/users", "/users"]
+
+
+def test_read_logs_time_window(logs_df):
+    got = logs.read_logs(
+        logs_df,
+        "stats count(*) as n by component | sort component",
+        start_time="2024-01-01 10:00:00",
+        end_time="2024-01-01 10:30:00",
+    )
+    assert {r.component: r.n for r in got.collect()} == {"api": 3, "worker": 1}
+
+
+def test_insights_unknown_verb(logs_df):
+    with pytest.raises(InvalidArgument):
+        logs.run_query(logs_df, "explode everything")
