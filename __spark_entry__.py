@@ -477,6 +477,86 @@ def _q_logs_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_ddb_read_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamoDB read_items semantics (SURVEY 2.1): key condition + filter
+    expression + projection compiled onto the scan."""
+    from aws_sdk_pandas_spark.connectors import dynamodb as D
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    return D.read_items(
+        spark,
+        cust,
+        key_condition_expression="c_mktsegment = :seg",
+        filter_expression="#bal > :lo AND attribute_exists(c_name)",
+        expression_attribute_values={":seg": "BUILDING", ":lo": 5000},
+        expression_attribute_names={"#bal": "c_acctbal"},
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).orderBy("c_custkey")
+
+
+def _q_opensearch_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch query-DSL compiled to Column predicates (SURVEY 2.1)."""
+    from aws_sdk_pandas_spark.connectors import opensearch as O
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return O.search(
+        docs,
+        search_body={
+            "query": {
+                "bool": {
+                    "must": [{"range": {"n_chars": {"gte": 200, "lt": 900}}}],
+                    "should": [{"term": {"lang": "en"}}, {"term": {"lang": "de"}}],
+                }
+            }
+        },
+        filter_path=["doc_id", "lang", "n_chars"],
+    ).orderBy("doc_id")
+
+
+def _q_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-Select-style SQL over objects (SURVEY 2.1 select_query):
+    filter+projection pushed to the parquet scan."""
+    from aws_sdk_pandas_spark.sources import select_query
+
+    return select_query(
+        spark,
+        "SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice"
+        " FROM s3object s WHERE s.o_orderpriority = '1-URGENT'"
+        " ORDER BY s.o_orderkey",
+        f"{sf_dir}/orders.parquet",
+        "Parquet",
+    )
+
+
+def _q_timestream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestream long-format write (date-partitioned) + SQL read-back
+    (SURVEY 2.1/2.2 timestream rows).  Rows-only: writes to /tmp."""
+    from aws_sdk_pandas_spark.connectors import timestream as TS
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/asps_ts_{sf_tag}"
+    TS.write(
+        events.select("ts", "user_id", "event_type", "value"),
+        path,
+        time_col="ts",
+        dimensions_cols=["user_id", "event_type"],
+        measure_cols=["value"],
+        mode="overwrite",
+    )
+    tbl = spark.read.parquet(path)
+    tbl.createOrReplaceTempView("asps_ts_metrics")
+    return spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM asps_ts_metrics"
+        " GROUP BY event_type ORDER BY event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -491,6 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_projection_pushdown": _q_scan_projection,
         "vectors_query_filtered": _q_vectors_filtered,
         "logs_insights_stats": _q_logs_insights,
+        "ddb_read_items": _q_ddb_read_items,
+        "opensearch_dsl_search": _q_opensearch_dsl,
+        "select_query_pushdown": _q_select_query,
+        "timestream_roundtrip": _q_timestream_roundtrip,
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q05_local_supplier_volume": lambda s, d: _sql(s, d, _Q05),
         "q06_revenue_forecast": lambda s, d: _sql(s, d, _Q06),
@@ -534,6 +618,28 @@ def oracle_sql() -> dict[str, str]:
         "join_semi_suppliers": _SEMI_JOIN,
         "window_running_total": _WINDOW_RUNNING,
         "scan_projection_pushdown": _SCAN_PROJECTION,
+        "ddb_read_items": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000 AND c_name IS NOT NULL
+            ORDER BY c_custkey
+        """,
+        "opensearch_dsl_search": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE n_chars >= 200 AND n_chars < 900 AND (lang = 'en' OR lang = 'de')
+            ORDER BY doc_id
+        """,
+        "select_query_pushdown": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey
+        """,
+        "timestream_roundtrip": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
         "vectors_query_filtered": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT CAST(vec_id AS VARCHAR) AS key,

@@ -30,7 +30,18 @@ pandas UDFs where built-ins cannot express the semantics.
 
 from __future__ import annotations
 
-from aws_sdk_pandas_spark import catalog, functions, operators, sources, sql, streaming, vectors
+from aws_sdk_pandas_spark import (
+    catalog,
+    connectors,
+    databases,
+    functions,
+    logs,
+    operators,
+    sources,
+    sql,
+    streaming,
+    vectors,
+)
 from aws_sdk_pandas_spark._config import config
 from aws_sdk_pandas_spark.session import get_spark, stop_spark
 
@@ -38,6 +49,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "catalog",
+    "connectors",
+    "databases",
+    "logs",
     "config",
     "functions",
     "get_spark",

@@ -1,0 +1,145 @@
+"""Property-graph connector (reference: awswrangler/neptune/_neptune.py:126
+``to_property_graph``, :225 ``to_rdf_graph``, :317 ``bulk_load``, :632
+``flatten_nested_df``).
+
+Graph model = two DataFrames, exactly the reference's bulk-loader CSV
+contract: vertices ``(~id, ~label, props...)``, edges ``(~id, ~label,
+~from, ~to, props...)``.  Analytics (degree, motif, traversal) are joins
+over these frames; ``bulk_load`` lands loader-format CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_V_REQUIRED = ("~id", "~label")
+_E_REQUIRED = ("~id", "~label", "~from", "~to")
+
+
+def validate_vertices(df: DataFrame) -> DataFrame:
+    missing = [c for c in _V_REQUIRED if c not in df.columns]
+    if missing:
+        raise InvalidArgument(f"vertex frame missing required columns: {missing}")
+    return df
+
+
+def validate_edges(df: DataFrame) -> DataFrame:
+    missing = [c for c in _E_REQUIRED if c not in df.columns]
+    if missing:
+        raise InvalidArgument(f"edge frame missing required columns: {missing}")
+    return df
+
+
+def to_property_graph(
+    vertices: DataFrame | None,
+    edges: DataFrame | None,
+    path: str,
+    *,
+    mode: str = "append",
+) -> dict[str, str]:
+    """reference: neptune/_neptune.py:126 — persist the graph as two
+    datasets under ``path`` (vertices/, edges/)."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    out: dict[str, str] = {}
+    if vertices is not None:
+        validate_vertices(vertices)
+        write_dataset(
+            _sanitize_tilde(vertices), f"{path.rstrip('/')}/vertices", "parquet", mode=mode
+        )
+        out["vertices"] = f"{path.rstrip('/')}/vertices"
+    if edges is not None:
+        validate_edges(edges)
+        write_dataset(
+            _sanitize_tilde(edges), f"{path.rstrip('/')}/edges", "parquet", mode=mode
+        )
+        out["edges"] = f"{path.rstrip('/')}/edges"
+    return out
+
+
+def _sanitize_tilde(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.replace("~", "_t_") for c in df.columns])
+
+
+def _restore_tilde(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.replace("_t_", "~") for c in df.columns])
+
+
+def read_property_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    v = _restore_tilde(spark.read.parquet(f"{path.rstrip('/')}/vertices"))
+    e = _restore_tilde(spark.read.parquet(f"{path.rstrip('/')}/edges"))
+    return v, e
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex in/out degree — one aggregation each, union by name."""
+    validate_edges(edges)
+    out_deg = edges.groupBy(F.col("~from").alias("~id")).agg(F.count("*").alias("out_degree"))
+    in_deg = edges.groupBy(F.col("~to").alias("~id")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "~id", "full_outer")
+        .na.fill({"out_degree": 0, "in_degree": 0})
+    )
+
+
+def neighbors(edges: DataFrame, vertex_ids: list[str], *, direction: str = "out") -> DataFrame:
+    validate_edges(edges)
+    if direction == "out":
+        return edges.where(F.col("~from").isin(vertex_ids)).select(
+            F.col("~to").alias("~id")
+        ).distinct()
+    if direction == "in":
+        return edges.where(F.col("~to").isin(vertex_ids)).select(
+            F.col("~from").alias("~id")
+        ).distinct()
+    raise InvalidArgument("direction must be 'in' or 'out'")
+
+
+def flatten_nested_df(
+    df: DataFrame, *, include_prefix: bool = True, separator: str = "_"
+) -> DataFrame:
+    """reference: neptune/_neptune.py:632 — recursively flatten struct
+    columns (graph property bags) into scalar columns."""
+    while True:
+        struct_cols = [c for c, t in df.dtypes if t.startswith("struct<")]
+        if not struct_cols:
+            return df
+        cols = []
+        for c, t in df.dtypes:
+            if t.startswith("struct<"):
+                for f in df.schema[c].dataType.fields:
+                    new_name = f"{c}{separator}{f.name}" if include_prefix else f.name
+                    cols.append(F.col(f"`{c}`.`{f.name}`").alias(new_name))
+            else:
+                cols.append(F.col(f"`{c}`"))
+        df = df.select(*cols)
+
+
+def bulk_load(
+    vertices: DataFrame | None,
+    edges: DataFrame | None,
+    path: str,
+) -> dict[str, str]:
+    """reference: neptune/_neptune.py:317 — land loader-format CSV (the
+    actual loader call is the service-side step that doesn't exist here)."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    out: dict[str, str] = {}
+    if vertices is not None:
+        validate_vertices(vertices)
+        write_dataset(
+            _sanitize_tilde(vertices), f"{path.rstrip('/')}/vertices_csv", "csv",
+            mode="overwrite", options={"header": "true"},
+        )
+        out["vertices"] = f"{path.rstrip('/')}/vertices_csv"
+    if edges is not None:
+        validate_edges(edges)
+        write_dataset(
+            _sanitize_tilde(edges), f"{path.rstrip('/')}/edges_csv", "csv",
+            mode="overwrite", options={"header": "true"},
+        )
+        out["edges"] = f"{path.rstrip('/')}/edges_csv"
+    return out

@@ -1,0 +1,120 @@
+"""Search-store connector (reference: awswrangler/opensearch/_read.py:65
+``search``, :157 ``search_by_sql``; _write.py:432 ``index_df``).
+
+The Query-DSL subset the reference forwards compiles to Column
+predicates: ``match`` (token containment), ``term``/``terms`` (exact),
+``range`` (gt/gte/lt/lte), ``exists``, ``wildcard``, ``prefix``, and
+``bool`` with must/filter/should/must_not.  ``search_by_sql`` is
+``spark.sql``.  Index writes are dataset writes keyed by ``id_keys``
+(last write per id wins, mirroring _id-based overwrite).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+def compile_query_dsl(query: dict[str, Any]) -> Column:
+    """OpenSearch query DSL dict -> Column predicate."""
+    if not isinstance(query, dict) or len(query) != 1:
+        raise InvalidArgument(f"expected a single-key DSL clause, got {query!r}")
+    kind, body = next(iter(query.items()))
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "match":
+        field, text = next(iter(body.items()))
+        if isinstance(text, dict):
+            text = text["query"]
+        toks = [t for t in str(text).split() if t]
+        cond = F.lit(False)
+        for t in toks:  # OR of token containment (analyzer-lite semantics)
+            cond = cond | F.col(field).rlike(f"(?i)\\b{t}\\b")
+        return cond
+    if kind == "term":
+        field, val = next(iter(body.items()))
+        if isinstance(val, dict):
+            val = val["value"]
+        return F.col(field) == F.lit(val)
+    if kind == "terms":
+        field, vals = next(iter(body.items()))
+        return F.col(field).isin(list(vals))
+    if kind == "range":
+        field, ops = next(iter(body.items()))
+        cond = F.lit(True)
+        for op, v in ops.items():
+            col = F.col(field)
+            cond = cond & {
+                "gt": col > v, "gte": col >= v, "lt": col < v, "lte": col <= v
+            }[op]
+        return cond
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "prefix":
+        field, val = next(iter(body.items()))
+        return F.col(field).startswith(str(val))
+    if kind == "wildcard":
+        field, val = next(iter(body.items()))
+        pattern = str(val if not isinstance(val, dict) else val["value"])
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else ("\\" + ch if not ch.isalnum() else ch)
+            for ch in pattern
+        ) + "$"
+        return F.col(field).rlike(rx)
+    if kind == "bool":
+        cond = F.lit(True)
+        for clause in body.get("must", []) + body.get("filter", []):
+            cond = cond & compile_query_dsl(clause)
+        shoulds = body.get("should", [])
+        if shoulds:
+            any_c = F.lit(False)
+            for clause in shoulds:
+                any_c = any_c | compile_query_dsl(clause)
+            cond = cond & any_c
+        for clause in body.get("must_not", []):
+            cond = cond & ~compile_query_dsl(clause)
+        return cond
+    raise InvalidArgument(f"unsupported DSL clause: {kind!r}")
+
+
+def search(
+    df: DataFrame,
+    *,
+    search_body: dict[str, Any] | None = None,
+    filter_path: list[str] | None = None,
+    size: int | None = None,
+) -> DataFrame:
+    """reference: opensearch/_read.py:65 — query-DSL search over the
+    index table; ``filter_path`` ≈ projection, ``size`` ≈ limit."""
+    out = df
+    if search_body and "query" in search_body:
+        out = out.where(compile_query_dsl(search_body["query"]))
+    if filter_path:
+        out = out.select(*filter_path)
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def search_by_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """reference: opensearch/_read.py:157 — the SQL plugin is spark.sql."""
+    return spark.sql(sql)
+
+
+def index_df(
+    df: DataFrame,
+    path: str,
+    *,
+    id_keys: list[str] | None = None,
+    mode: str = "append",
+) -> dict[str, Any]:
+    """reference: opensearch/_write.py:432 — bulk index; ``id_keys``
+    dedups (last wins) like _id overwrite."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    out = df.dropDuplicates(id_keys) if id_keys else df
+    return write_dataset(out, path, "parquet", mode=mode)

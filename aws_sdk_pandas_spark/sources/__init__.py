@@ -16,7 +16,10 @@ from aws_sdk_pandas_spark.sources.layout import (
     apply_partition_filter,
     discover_partitions,
 )
+from aws_sdk_pandas_spark.sources.copy import copy_objects, merge_datasets
+from aws_sdk_pandas_spark.sources.excel import read_excel, to_excel
 from aws_sdk_pandas_spark.sources.orc import read_orc, read_orc_metadata, to_orc
+from aws_sdk_pandas_spark.sources.select import select_query
 from aws_sdk_pandas_spark.sources.parquet import (
     read_parquet,
     read_parquet_metadata,
@@ -33,6 +36,11 @@ from aws_sdk_pandas_spark.sources.text import (
 
 __all__ = [
     "apply_partition_filter",
+    "copy_objects",
+    "merge_datasets",
+    "read_excel",
+    "select_query",
+    "to_excel",
     "delete_objects",
     "describe_objects",
     "discover_partitions",

@@ -1,0 +1,261 @@
+"""Specialty connectors: S3-Select front door, Excel (injected engine),
+copy/merge, DynamoDB expression compiler, Timestream long format,
+OpenSearch DSL, Neptune graph frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark import sources
+from aws_sdk_pandas_spark.connectors import dynamodb, neptune, opensearch, timestream
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+# --------------------------------------------------------------------- select
+def test_select_query_parquet(spark, people_df, tmp_path):
+    path = str(tmp_path / "sel")
+    sources.to_parquet(people_df, path)
+    got = sources.select_query(
+        spark,
+        'SELECT s.id, s.name FROM s3object s WHERE s.score > 5 ORDER BY s.id',
+        path,
+        "Parquet",
+    )
+    assert [r.id for r in got.collect()] == [1, 3]
+
+
+def test_select_query_csv(spark, people_df, tmp_path):
+    path = str(tmp_path / "selcsv")
+    sources.to_csv(people_df, path, header=True)
+    got = sources.select_query(
+        spark,
+        "SELECT COUNT(*) AS n FROM s3object",
+        path,
+        "CSV",
+        {"FileHeaderInfo": "Use"},
+    )
+    assert got.first().n == 5
+
+
+# ---------------------------------------------------------------------- excel
+def test_excel_roundtrip_with_injected_engine(spark, people_df, tmp_path):
+    import pandas as pd
+
+    store: dict[str, pd.DataFrame] = {}
+
+    def fake_writer(pdf, path, **kw):
+        store[path] = pdf
+
+    def fake_reader(path, **kw):
+        return store[path]
+
+    p = str(tmp_path / "x.xlsx")
+    sources.to_excel(people_df, p, pandas_writer=fake_writer)
+    got = sources.read_excel(spark, p, pandas_reader=fake_reader)
+    assert got.count() == 5
+
+
+def test_excel_requires_engine(spark, people_df, tmp_path):
+    with pytest.raises(InvalidArgument, match="openpyxl"):
+        sources.to_excel(people_df, str(tmp_path / "x.xlsx"))
+
+
+# ----------------------------------------------------------------- copy/merge
+def test_copy_and_merge_datasets(spark, people_df, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sources.to_parquet(people_df, src, dataset=True, partition_cols=["country"], mode="overwrite")
+
+    copied = sources.merge_datasets(spark, src, dst, mode="append")
+    assert copied and sources.read_parquet(spark, dst, dataset=True).count() == 5
+
+    # overwrite_partitions: only the us partition is replaced
+    us_only = people_df.where("country = 'us'").withColumn("score", F.lit(1.0))
+    src2 = str(tmp_path / "src2")
+    sources.to_parquet(us_only, src2, dataset=True, partition_cols=["country"], mode="overwrite")
+    sources.merge_datasets(spark, src2, dst, mode="overwrite_partitions")
+    got = sources.read_parquet(spark, dst, dataset=True)
+    assert got.count() == 5
+    assert got.where("country = 'us'").select(F.min("score")).first()[0] == 1.0
+
+
+# ------------------------------------------------------------------- dynamodb
+@pytest.fixture()
+def ddb_items(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "2024-01-01", "click", 5),
+            ("u1", "2024-01-02", "view", 9),
+            ("u2", "2024-01-01", "click", 3),
+            ("u3", "2024-02-01", "purchase", 50),
+        ],
+        "pk string, sk string, kind string, amount bigint",
+    )
+
+
+def test_read_items_key_condition(spark, ddb_items):
+    got = dynamodb.read_items(
+        spark,
+        ddb_items,
+        key_condition_expression="pk = :p AND begins_with(sk, :prefix)",
+        expression_attribute_values={":p": "u1", ":prefix": "2024-01"},
+    )
+    assert got.count() == 2
+
+
+def test_read_items_filter_and_projection(spark, ddb_items):
+    got = dynamodb.read_items(
+        spark,
+        ddb_items,
+        partition_key="pk",
+        partition_values=["u1", "u2"],
+        filter_expression="#a > :lo AND attribute_exists(kind)",
+        expression_attribute_values={":lo": 4},
+        expression_attribute_names={"#a": "amount"},
+        columns=["pk", "amount"],
+        max_items_evaluated=10,
+    )
+    rows = got.collect()
+    assert sorted((r.pk, r.amount) for r in rows) == [("u1", 5), ("u1", 9)]
+    assert got.columns == ["pk", "amount"]
+
+
+def test_read_items_requires_scan_optin(spark, ddb_items):
+    with pytest.raises(InvalidArgument, match="allow_full_scan"):
+        dynamodb.read_items(spark, ddb_items)
+    assert dynamodb.read_items(spark, ddb_items, allow_full_scan=True).count() == 4
+
+
+def test_ddb_put_delete(spark, ddb_items, tmp_path):
+    path = str(tmp_path / "ddb")
+    dynamodb.put_df(
+        ddb_items.unionByName(ddb_items), path,
+        overwrite_by_pkeys=["pk", "sk"], mode="overwrite",
+    )
+    assert spark.read.parquet(path).count() == 4
+    dynamodb.delete_items(
+        spark, path, ddb_items.where("pk = 'u1'"), ["pk", "sk"]
+    )
+    assert spark.read.parquet(path).count() == 2
+
+
+# ------------------------------------------------------------------ timestream
+def test_timestream_write_query_unload(spark, tmp_path):
+    path = str(tmp_path / "ts")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "host1", 0.5, 1),
+            ("2024-01-01 10:00:00", "host1", 0.9, 2),  # newer version wins
+            ("2024-01-02 10:00:00", "host2", 0.7, 1),
+        ],
+        "time string, host string, cpu double, ver bigint",
+    ).withColumn("time", F.to_timestamp("time"))
+    timestream.write(
+        df, path, time_col="time", dimensions_cols=["host"],
+        measure_cols=["cpu"], version_col="ver", mode="overwrite",
+    )
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == 2
+    assert tbl.where("host = 'host1'").first().cpu == 0.9
+    # date partitioning for time-range pruning
+    assert any("__date=" in f for f in sources.list_objects(spark, path))
+
+    tbl.createOrReplaceTempView("ts_metrics")
+    got = timestream.query(spark, "SELECT host, MAX(cpu) AS mx FROM ts_metrics GROUP BY host")
+    assert got.count() == 2
+
+    out = str(tmp_path / "unload")
+    landed = timestream.unload(spark, "SELECT * FROM ts_metrics", out)
+    assert landed.count() == 2
+
+
+def test_timestream_validates_columns(spark, tmp_path):
+    df = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(InvalidArgument):
+        timestream.write(
+            df, str(tmp_path / "bad"), time_col="time",
+            dimensions_cols=["host"], measure_cols=["cpu"],
+        )
+
+
+# ------------------------------------------------------------------ opensearch
+@pytest.fixture()
+def os_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "quick brown fox", "animals", 10),
+            (2, "lazy dog sleeps", "animals", 20),
+            (3, "spark shuffles data", "tech", 30),
+            (4, None, "tech", 40),
+        ],
+        "id bigint, body string, category string, score bigint",
+    )
+
+
+def test_opensearch_dsl(os_docs):
+    got = opensearch.search(
+        os_docs,
+        search_body={
+            "query": {
+                "bool": {
+                    "must": [{"range": {"score": {"gte": 10, "lt": 40}}}],
+                    "should": [
+                        {"match": {"body": "fox"}},
+                        {"term": {"category": "tech"}},
+                    ],
+                    "must_not": [{"term": {"id": 2}}],
+                }
+            }
+        },
+        filter_path=["id", "category"],
+    )
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_opensearch_wildcard_exists_prefix(os_docs):
+    assert opensearch.search(os_docs, search_body={"query": {"exists": {"field": "body"}}}).count() == 3
+    assert opensearch.search(os_docs, search_body={"query": {"wildcard": {"body": "*shuffle*"}}}).count() == 1
+    assert opensearch.search(os_docs, search_body={"query": {"prefix": {"body": "lazy"}}}).count() == 1
+
+
+def test_opensearch_index_df(os_docs, spark, tmp_path):
+    path = str(tmp_path / "osidx")
+    opensearch.index_df(os_docs.unionByName(os_docs), path, id_keys=["id"], mode="overwrite")
+    assert spark.read.parquet(path).count() == 4
+
+
+# --------------------------------------------------------------------- neptune
+def test_neptune_graph(spark, tmp_path):
+    v = spark.createDataFrame(
+        [("v1", "person", "alice"), ("v2", "person", "bob"), ("v3", "city", "berlin")],
+        ["~id", "~label", "name"],
+    )
+    e = spark.createDataFrame(
+        [("e1", "knows", "v1", "v2"), ("e2", "lives_in", "v1", "v3"), ("e3", "lives_in", "v2", "v3")],
+        ["~id", "~label", "~from", "~to"],
+    )
+    path = str(tmp_path / "graph")
+    out = neptune.to_property_graph(v, e, path, mode="overwrite")
+    assert set(out) == {"vertices", "edges"}
+    v2, e2 = neptune.read_property_graph(spark, path)
+    assert v2.count() == 3 and "~id" in v2.columns
+
+    deg = {r["~id"]: (r.in_degree, r.out_degree) for r in neptune.degrees(e).collect()}
+    assert deg["v3"] == (2, 0) and deg["v1"] == (0, 2)
+
+    nb = neptune.neighbors(e, ["v1"], direction="out")
+    assert sorted(r["~id"] for r in nb.collect()) == ["v2", "v3"]
+
+    with pytest.raises(InvalidArgument):
+        neptune.to_property_graph(spark.createDataFrame([("x",)], ["a"]), None, path)
+
+
+def test_neptune_flatten(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": {"c": "x"}})],
+        "id bigint, props struct<a: bigint, b: struct<c: string>>",
+    )
+    flat = neptune.flatten_nested_df(df)
+    assert set(flat.columns) == {"id", "props_a", "props_b_c"}
+    assert flat.first().props_b_c == "x"
