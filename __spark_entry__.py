@@ -557,6 +557,37 @@ def _q_timestream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_dq_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality ruleset evaluated in one aggregation pass
+    (SURVEY 2.11 data_quality row; DQDL -> DataFrame assertions)."""
+    from aws_sdk_pandas_spark import dq
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return dq.evaluate_ruleset(
+        events,
+        [
+            {"rule_type": "RowCount", "expression": "> 0"},
+            {"rule_type": "ColumnCount", "expression": "= 6"},
+            {"rule_type": "Completeness", "parameter": "user_id", "expression": ">= 0.5"},
+            {"rule_type": "Uniqueness", "parameter": "event_id", "expression": "= 1"},
+            {"rule_type": "DistinctValuesCount", "parameter": "event_type", "expression": "= 5"},
+        ],
+    ).orderBy("rule_type")
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH self-join (rows-only:
+    MLlib LSH is not SQL-expressible)."""
+    from aws_sdk_pandas_spark.operators.dedup import embedding_duplicates
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return embedding_duplicates(emb, threshold=0.6, num_hash_tables=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -575,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opensearch_dsl_search": _q_opensearch_dsl,
         "select_query_pushdown": _q_select_query,
         "timestream_roundtrip": _q_timestream_roundtrip,
+        "dq_ruleset_events": _q_dq_ruleset,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q05_local_supplier_volume": lambda s, d: _sql(s, d, _Q05),
         "q06_revenue_forecast": lambda s, d: _sql(s, d, _Q06),
@@ -635,6 +668,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority = '1-URGENT'
             ORDER BY o_orderkey
+        """,
+        "dq_ruleset_events": """
+            SELECT * FROM (
+                SELECT 'RowCount' AS rule_type, NULL AS parameter, '> 0' AS expression,
+                       CAST(COUNT(*) AS DOUBLE) AS value, COUNT(*) > 0 AS passed FROM events
+                UNION ALL
+                SELECT 'ColumnCount', NULL, '= 6', 6.0, TRUE FROM (SELECT 1)
+                UNION ALL
+                SELECT 'Completeness', 'user_id', '>= 0.5',
+                       COUNT(user_id) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE),
+                       COUNT(user_id) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) >= 0.5 FROM events
+                UNION ALL
+                SELECT 'Uniqueness', 'event_id', '= 1',
+                       COUNT(DISTINCT event_id) / CAST(GREATEST(COUNT(event_id), 1) AS DOUBLE),
+                       COUNT(DISTINCT event_id) / CAST(GREATEST(COUNT(event_id), 1) AS DOUBLE) = 1 FROM events
+                UNION ALL
+                SELECT 'DistinctValuesCount', 'event_type', '= 5',
+                       CAST(COUNT(DISTINCT event_type) AS DOUBLE),
+                       COUNT(DISTINCT event_type) = 5 FROM events
+            ) t
+            ORDER BY rule_type
         """,
         "timestream_roundtrip": """
             SELECT event_type, COUNT(*) AS n FROM events

@@ -34,7 +34,9 @@ from aws_sdk_pandas_spark import (
     catalog,
     connectors,
     databases,
+    dq,
     functions,
+    lakehouse,
     logs,
     operators,
     sources,
@@ -51,6 +53,8 @@ __all__ = [
     "catalog",
     "connectors",
     "databases",
+    "dq",
+    "lakehouse",
     "logs",
     "config",
     "functions",

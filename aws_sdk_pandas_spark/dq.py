@@ -1,0 +1,173 @@
+"""Data-quality rules (reference: awswrangler/data_quality/_create.py:40
+``create_ruleset``, :283 ``evaluate_ruleset`` — Glue Data Quality DQDL).
+
+The reference ships DQDL strings to the Glue service.  Spark-first, the
+rules compile to ONE aggregation pass over the table (every rule's
+aggregate computed in the same job — no per-rule scans), and evaluation
+returns a result frame shaped like the reference's
+``evaluate_ruleset`` output (rule, parameter, expression, status).
+
+Supported rule types (the DQDL core): RowCount, ColumnCount, Completeness,
+Uniqueness, ColumnValues (min/max between), Mean, Sum, StandardDeviation,
+DistinctValuesCount, ColumnExists, IsComplete, IsUnique, CustomSql.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+@dataclass
+class Rule:
+    rule_type: str
+    parameter: str | None
+    expression: str  # e.g. "> 100", "between 1 and 9", ">= 0.95"
+
+
+def _parse_expression(expr: str):
+    """Compile a DQDL threshold expression to a predicate over a scalar."""
+    s = expr.strip()
+    m = re.match(r"^between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)$", s, re.IGNORECASE)
+    if m:
+        lo, hi = float(m.group(1)), float(m.group(2))
+        return lambda v: v is not None and lo <= v <= hi
+    m = re.match(r"^(>=|<=|>|<|=|==|!=)\s*(-?[\d.]+)$", s)
+    if m:
+        op, val = m.group(1), float(m.group(2))
+        return {
+            ">": lambda v: v is not None and v > val,
+            ">=": lambda v: v is not None and v >= val,
+            "<": lambda v: v is not None and v < val,
+            "<=": lambda v: v is not None and v <= val,
+            "=": lambda v: v is not None and v == val,
+            "==": lambda v: v is not None and v == val,
+            "!=": lambda v: v is not None and v != val,
+        }[op]
+    raise InvalidArgument(f"unsupported DQDL expression: {expr!r}")
+
+
+def create_ruleset(rules: list[dict[str, Any]] | list[Rule]) -> list[Rule]:
+    """Normalize a ruleset (reference: data_quality/_create.py:40 — the
+    df_rules frame with rule_type/parameter/expression columns)."""
+    out: list[Rule] = []
+    for r in rules:
+        if isinstance(r, Rule):
+            out.append(r)
+        else:
+            out.append(
+                Rule(
+                    rule_type=r["rule_type"],
+                    parameter=r.get("parameter"),
+                    expression=r.get("expression", ""),
+                )
+            )
+    return out
+
+
+_NEEDS_PARAM = {
+    "Completeness", "Uniqueness", "ColumnValues", "Mean", "Sum",
+    "StandardDeviation", "DistinctValuesCount", "ColumnExists",
+    "IsComplete", "IsUnique",
+}
+
+
+def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) -> DataFrame:
+    """Evaluate all rules in ONE aggregation job
+    (reference: data_quality/_create.py:283 ``evaluate_ruleset``).
+
+    Returns a DataFrame (rule_type, parameter, expression, value, passed).
+    """
+    ruleset = create_ruleset(rules)
+    spark = df.sparkSession
+    n_cols = len(df.columns)
+
+    aggs: list = []
+    slots: list[tuple[int | None, Rule]] = []  # agg index (None = no agg needed)
+    for rule in ruleset:
+        t, p = rule.rule_type, rule.parameter
+        if t in _NEEDS_PARAM and not p:
+            raise InvalidArgument(f"{t} requires a parameter (column)")
+        if t in ("ColumnExists",):
+            slots.append((None, rule))
+            continue
+        if t == "RowCount":
+            aggs.append(F.count(F.lit(1)).cast("double"))
+        elif t == "ColumnCount":
+            slots.append((None, rule))
+            continue
+        elif t in ("Completeness", "IsComplete"):
+            aggs.append(
+                (F.count(F.col(p)) / F.greatest(F.count(F.lit(1)), F.lit(1))).cast("double")
+            )
+        elif t in ("Uniqueness", "IsUnique"):
+            aggs.append(
+                (F.count_distinct(F.col(p)) / F.greatest(F.count(F.col(p)), F.lit(1))).cast(
+                    "double"
+                )
+            )
+        elif t == "ColumnValues":
+            # fraction of non-null values satisfying the expression
+            pred = rule.expression.strip()
+            m = re.match(r"^between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)$", pred, re.IGNORECASE)
+            if m:
+                cond = F.col(p).between(float(m.group(1)), float(m.group(2)))
+            else:
+                cond = F.expr(f"`{p}` {pred}")
+            aggs.append(
+                (
+                    F.sum(F.when(cond, 1).otherwise(0))
+                    / F.greatest(F.count(F.col(p)), F.lit(1))
+                ).cast("double")
+            )
+        elif t == "Mean":
+            aggs.append(F.avg(F.col(p)).cast("double"))
+        elif t == "Sum":
+            aggs.append(F.sum(F.col(p)).cast("double"))
+        elif t == "StandardDeviation":
+            aggs.append(F.stddev_pop(F.col(p)).cast("double"))
+        elif t == "DistinctValuesCount":
+            aggs.append(F.count_distinct(F.col(p)).cast("double"))
+        elif t == "CustomSql":
+            # scalar subquery evaluated separately (still one job each)
+            slots.append((None, rule))
+            continue
+        else:
+            raise InvalidArgument(f"unsupported rule type: {rule.rule_type!r}")
+        slots.append((len(aggs) - 1, rule))
+
+    agg_row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).first() if aggs else None
+
+    results: list[tuple] = []
+    for idx, rule in slots:
+        t, p = rule.rule_type, rule.parameter
+        if t == "ColumnExists":
+            value = 1.0 if p in df.columns else 0.0
+            passed = value == 1.0
+        elif t == "ColumnCount":
+            value = float(n_cols)
+            passed = _parse_expression(rule.expression)(value)
+        elif t == "CustomSql":
+            value = float(spark.sql(rule.expression).first()[0])
+            passed = (
+                _parse_expression(rule.parameter)(value) if rule.parameter else value > 0
+            )
+        elif t in ("IsComplete", "IsUnique"):
+            value = float(agg_row[f"v{idx}"])
+            passed = value == 1.0
+        else:
+            value = agg_row[f"v{idx}"]
+            value = float(value) if value is not None else None
+            passed = _parse_expression(rule.expression)(value)
+        results.append(
+            (t, p, rule.expression, value, bool(passed))
+        )
+    return spark.createDataFrame(
+        results, "rule_type string, parameter string, expression string, value double, passed boolean"
+    )

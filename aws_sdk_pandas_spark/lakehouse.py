@@ -1,0 +1,135 @@
+"""Lakehouse table formats (reference: awswrangler/s3/_write_deltalake.py
+``to_deltalake``/``to_deltalake_streaming``, s3/_read_deltalake.py:38
+``read_deltalake``, athena/_write_iceberg.py:411 ``to_iceberg``,
+s3/_s3_tables_iceberg.py:29,160).
+
+Delta/Iceberg need their runtime jars on the Spark classpath (delta-spark
+/ iceberg-spark-runtime).  This container ships neither, so every entry
+point probes for the format and raises a clear, actionable error when
+absent; with the jars present the calls are plain Spark writes — this is
+the documented wiring, kept thin on purpose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_PROBED: dict[str, bool] = {}
+
+
+def _format_available(spark: SparkSession, fmt: str) -> bool:
+    if fmt in _PROBED:
+        return _PROBED[fmt]
+    cls = {
+        "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
+        "iceberg": "org.apache.iceberg.spark.SparkCatalog",
+    }[fmt]
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        ok = True
+    except Exception:
+        ok = False
+    _PROBED[fmt] = ok
+    return ok
+
+
+def _require(spark: SparkSession, fmt: str) -> None:
+    if not _format_available(spark, fmt):
+        jar = "delta-spark" if fmt == "delta" else "iceberg-spark-runtime"
+        raise InvalidArgument(
+            f"{fmt} support requires the {jar} package on the Spark classpath "
+            f"(spark.jars.packages); not present in this environment"
+        )
+
+
+def to_deltalake(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+    schema_mode: str | None = None,
+    options: dict[str, Any] | None = None,
+) -> None:
+    """reference: s3/_write_deltalake.py:51 — modes error/append/overwrite/
+    ignore; ``schema_mode='overwrite'`` -> overwriteSchema."""
+    _require(df.sparkSession, "delta")
+    spark_mode = {"error": "errorifexists", "ignore": "ignore"}.get(mode, mode)
+    writer = df.write.format("delta").mode(spark_mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if schema_mode == "overwrite":
+        writer = writer.option("overwriteSchema", "true")
+    elif schema_mode == "merge":
+        writer = writer.option("mergeSchema", "true")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def read_deltalake(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """reference: s3/_read_deltalake.py:38 — ``version`` = time travel."""
+    _require(spark, "delta")
+    reader = spark.read.format("delta")
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    df = reader.load(path)
+    return df.select(*columns) if columns else df
+
+
+def to_deltalake_streaming(
+    batches: Iterator[DataFrame],
+    path: str,
+    *,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """reference: s3/_write_deltalake.py:182 — iterator of DataFrames as
+    micro-batch appends (Structured Streaming's foreachBatch contract)."""
+    first = True
+    for batch in batches:
+        to_deltalake(
+            batch, path,
+            mode="overwrite" if first else "append",
+            partition_cols=partition_cols,
+        )
+        first = False
+
+
+def to_iceberg(
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "append",
+    merge_cols: list[str] | None = None,
+    merge_condition: str = "update",
+    merge_match_nulls: bool = False,
+) -> None:
+    """reference: athena/_write_iceberg.py:411 — append / overwrite /
+    MERGE INTO when ``merge_cols`` given (null-safe via <=>)."""
+    _require(df.sparkSession, "iceberg")
+    if merge_cols:
+        from aws_sdk_pandas_spark.operators.merge import merge_upsert
+
+        merge_upsert(
+            df.sparkSession, df, table, merge_cols,
+            merge_condition=merge_condition, merge_match_nulls=merge_match_nulls,
+        )
+        return
+    if mode == "append":
+        df.writeTo(table).append()
+    elif mode == "overwrite":
+        df.writeTo(table).createOrReplace()
+    elif mode == "overwrite_partitions":
+        df.writeTo(table).overwritePartitions()
+    else:
+        raise InvalidArgument(f"unsupported iceberg mode {mode!r}")

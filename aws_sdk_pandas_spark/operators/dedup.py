@@ -372,3 +372,39 @@ def ngram_jaccard_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def embedding_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    *,
+    threshold: float = 0.1,
+    num_hash_tables: int = 4,
+    bucket_length: float = 2.0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed approximate
+    self-join (never the O(n^2) cross product), cosine distance <=
+    ``threshold``.  Returns ``id_a, id_b, distance`` with ``id_a < id_b``.
+
+    The scale path for semantic dedup over a 100 TB corpus: random
+    hyperplane bucketing keeps candidate generation key-partitioned; the
+    exact distance check runs only on bucket collisions.
+    """
+    from aws_sdk_pandas_spark.operators.similarity import similarity_join
+
+    pairs = similarity_join(
+        df.select(F.col(id_col).alias("k"), F.col(vector_col).alias("v")),
+        df.select(F.col(id_col).alias("k"), F.col(vector_col).alias("v")),
+        threshold=threshold,
+        id_col="k",
+        vector_col="v",
+        metric="cosine",
+        num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length,
+    )
+    return (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("distance", 6).alias("distance"))
+        .orderBy("id_a", "id_b")
+    )

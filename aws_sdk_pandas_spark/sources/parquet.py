@@ -31,6 +31,7 @@ def read_parquet(
     schema: Any = None,
     dtype: dict[str, str] | None = None,
     validate_schema: bool = False,
+    chunked: bool | int = False,
     options: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Scan one or many parquet files/prefixes into a DataFrame.
@@ -81,6 +82,12 @@ def read_parquet(
     df = _types.cast_columns(df, dtype)
     if columns:
         df = df.select(*columns)
+    if chunked:
+        # reference contract: chunked=True -> stream of pandas frames,
+        # chunked=int -> exact-row chunks (s3/_read_parquet.py:217-282)
+        from aws_sdk_pandas_spark.sql import _iter_pandas_chunks
+
+        return _iter_pandas_chunks(df, 65_536 if chunked is True else int(chunked))
     return df
 
 

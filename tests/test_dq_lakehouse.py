@@ -1,0 +1,103 @@
+"""Data-quality ruleset evaluation, lakehouse gating, chunked readers,
+embedding dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_sdk_pandas_spark import dq, lakehouse, sources
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+@pytest.fixture()
+def dq_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", None), (4, "e", 50.0)],
+        "id bigint, name string, score double",
+    )
+
+
+def test_dq_rules_single_pass(dq_df):
+    got = dq.evaluate_ruleset(
+        dq_df,
+        [
+            {"rule_type": "RowCount", "expression": "= 5"},
+            {"rule_type": "ColumnCount", "expression": "= 3"},
+            {"rule_type": "Completeness", "parameter": "name", "expression": ">= 0.8"},
+            {"rule_type": "Uniqueness", "parameter": "id", "expression": "= 1"},
+            {"rule_type": "ColumnValues", "parameter": "score", "expression": "between 0 and 100"},
+            {"rule_type": "Mean", "parameter": "score", "expression": "between 20 and 35"},
+            {"rule_type": "DistinctValuesCount", "parameter": "id", "expression": "= 4"},
+            {"rule_type": "ColumnExists", "parameter": "score"},
+            {"rule_type": "IsComplete", "parameter": "id"},
+        ],
+    )
+    status = {(r.rule_type, r.parameter): r.passed for r in got.collect()}
+    assert status[("RowCount", None)] is True
+    assert status[("ColumnCount", None)] is True
+    assert status[("Completeness", "name")] is True       # 4/5 = 0.8
+    assert status[("Uniqueness", "id")] is False          # 4 distinct / 5 rows
+    assert status[("ColumnValues", "score")] is True      # nulls excluded
+    assert status[("Mean", "score")] is True              # (10+20+30+50)/4 = 27.5
+    assert status[("DistinctValuesCount", "id")] is True
+    assert status[("ColumnExists", "score")] is True
+    assert status[("IsComplete", "id")] is True
+
+
+def test_dq_custom_sql(spark, dq_df):
+    dq_df.createOrReplaceTempView("dq_t")
+    got = dq.evaluate_ruleset(
+        dq_df,
+        [
+            {"rule_type": "CustomSql", "parameter": "= 2",
+             "expression": "SELECT COUNT(*) FROM dq_t WHERE score > 25"},
+        ],
+    )
+    assert got.first().passed is True
+
+
+def test_dq_invalid(dq_df):
+    with pytest.raises(InvalidArgument):
+        dq.evaluate_ruleset(dq_df, [{"rule_type": "Completeness"}])
+    with pytest.raises(InvalidArgument):
+        dq.evaluate_ruleset(dq_df, [{"rule_type": "Nope", "expression": "= 1"}])
+    with pytest.raises(InvalidArgument):
+        dq.evaluate_ruleset(dq_df, [{"rule_type": "RowCount", "expression": "approx 5"}])
+
+
+def test_lakehouse_gated(spark, people_df, tmp_path):
+    """No delta/iceberg jars in this env: entry points must raise the
+    documented actionable error, not a Java stack."""
+    with pytest.raises(InvalidArgument, match="delta-spark"):
+        lakehouse.to_deltalake(people_df, str(tmp_path / "d"))
+    with pytest.raises(InvalidArgument, match="delta-spark"):
+        lakehouse.read_deltalake(spark, str(tmp_path / "d"))
+    with pytest.raises(InvalidArgument, match="iceberg"):
+        lakehouse.to_iceberg(people_df, "cat.db.t")
+
+
+def test_read_parquet_chunked(spark, people_df, tmp_path):
+    path = str(tmp_path / "chunks")
+    sources.to_parquet(people_df, path)
+    chunks = list(sources.read_parquet(spark, path, chunked=2))
+    assert [len(c) for c in chunks] == [2, 2, 1]  # exact-row carry-over
+    assert sum(len(c) for c in chunks) == 5
+
+
+def test_embedding_duplicates(spark):
+    from aws_sdk_pandas_spark.operators.dedup import embedding_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [1.0, 0.0, 0.0]),      # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_duplicates(df, threshold=0.05, num_hash_tables=8).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs or (2, 4) in pairs
+    assert all(3 not in p for p in pairs)
