@@ -237,6 +237,225 @@ WHERE l.l_quantity < 0.5 * (
 )
 """
 
+_Q02_MAX_SUPP = """
+SELECT s_name,
+       CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS s_acctbal,
+       n_name
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+    SELECT MAX(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+ORDER BY n_name, s_name
+"""
+
+_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q07 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND n2.n_name IN ('NATION_4', 'NATION_5')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q08 = """
+SELECT o_year,
+       CAST(FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_dec
+                                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM(vol_dec) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+           / CAST(10000 AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol_dec,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q09 = """
+SELECT nation, o_year,
+       CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amount
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%e%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q11 = """
+SELECT l_suppkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM lineitem
+GROUP BY l_suppkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM lineitem
+)
+ORDER BY total_value DESC, l_suppkey
+"""
+
+_Q12 = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                  THEN 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q14 = """
+SELECT CAST(FLOOR(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM(disc_price) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+           / CAST(10000 AS DOUBLE) AS promo_revenue_pct
+FROM (
+    SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS disc_price,
+           p_type
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
+) t
+"""
+
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS o_totalprice,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 120
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+_Q19 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 5 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 10 AND l_quantity <= 50)
+"""
+
+_Q22 = """
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) <= 5
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
 _SCAN_PROJECTION = """
 SELECT l_orderkey, l_shipdate, l_quantity
 FROM lineitem
@@ -588,6 +807,48 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_duplicates(emb, threshold=0.6, num_hash_tables=6)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's latest prior purchase
+    (union + one window shuffle, no non-equi join; operators/asof.py).
+    Oracle: DuckDB native ASOF LEFT JOIN."""
+    from aws_sdk_pandas_spark.operators.asof import asof_join
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    return j.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("ts_right").alias("prior_ts"),
+        F.round(F.col("value_right").cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("prior_value"),
+    ).orderBy("event_id")
+
+
+def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type — Spark ``percentile``
+    == DuckDB ``quantile_cont`` (both type-R7 linear interpolation)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -608,10 +869,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestream_roundtrip": _q_timestream_roundtrip,
         "dq_ruleset_events": _q_dq_ruleset,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "asof_join_events": _q_asof_join,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
+        "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
         "q05_local_supplier_volume": lambda s, d: _sql(s, d, _Q05),
         "q06_revenue_forecast": lambda s, d: _sql(s, d, _Q06),
+        "q07_volume_shipping": lambda s, d: _sql(s, d, _Q07),
+        "q08_market_share": lambda s, d: _sql(s, d, _Q08),
+        "q09_product_profit": lambda s, d: _sql(s, d, _Q09),
         "q10_returned_items": lambda s, d: _sql(s, d, _Q10),
+        "q11_important_suppliers": lambda s, d: _sql(s, d, _Q11),
+        "q12_priority_shipping": lambda s, d: _sql(s, d, _Q12),
+        "q13_customer_distribution": lambda s, d: _sql(s, d, _Q13),
+        "q14_promo_revenue": lambda s, d: _sql(s, d, _Q14),
+        "q15_top_supplier": lambda s, d: _sql(s, d, _Q15),
+        "q16_supplier_part_cnt": lambda s, d: _sql(s, d, _Q16),
+        "q18_large_volume_customer": lambda s, d: _sql(s, d, _Q18),
+        "q19_disjunctive_filter": lambda s, d: _sql(s, d, _Q19),
+        "q22_sales_opportunity": lambda s, d: _sql(s, d, _Q22),
         "events_daily_stats": lambda s, d: _sql(s, d, _EVENTS_DAILY),
         "events_top_users": lambda s, d: _sql(s, d, _EVENTS_TOP_USERS),
         "doc_lang_stats": _q_doc_lang_stats,
@@ -713,10 +990,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
+        "asof_join_events": """
+            SELECT l.event_id, l.ts, l.user_id,
+                   r.ts AS prior_ts,
+                   CAST(ROUND(CAST(r.value AS DECIMAL(18,6)), 4) AS DOUBLE) AS prior_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS p75
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "q02_max_acctbal_supplier": _Q02_MAX_SUPP,
         "q03_shipping_priority": _Q03,
+        "q04_order_priority_exists": _Q04,
         "q05_local_supplier_volume": _Q05,
         "q06_revenue_forecast": _Q06,
+        "q07_volume_shipping": _Q07,
+        "q08_market_share": _Q08,
+        "q09_product_profit": _Q09,
         "q10_returned_items": _Q10,
+        "q11_important_suppliers": _Q11,
+        "q12_priority_shipping": _Q12,
+        "q13_customer_distribution": _Q13,
+        "q14_promo_revenue": _Q14,
+        "q15_top_supplier": _Q15,
+        "q16_supplier_part_cnt": _Q16,
+        "q18_large_volume_customer": _Q18,
+        "q19_disjunctive_filter": _Q19,
+        "q22_sales_opportunity": _Q22,
         "events_daily_stats": _EVENTS_DAILY,
         "events_top_users": _EVENTS_TOP_USERS,
         "doc_lang_stats": f"""

@@ -306,3 +306,31 @@ def repair_table(spark: SparkSession, table: str, database: str | None = None) -
     """``MSCK REPAIR TABLE`` — discover partitions on disk
     (reference equivalent: athena.repair_table)."""
     spark.sql(f"MSCK REPAIR TABLE {_qualified(database, table)}")
+
+
+def store_parquet_metadata(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    database: str | None = None,
+    *,
+    dataset: bool = True,
+) -> tuple[dict[str, str], dict[str, str] | None]:
+    """Infer a parquet dataset's (columns, partitions) schema from footers
+    and register it as a table (reference: awswrangler/s3/_read_parquet.py
+    ``store_parquet_metadata`` + catalog create, SURVEY P1)."""
+    from aws_sdk_pandas_spark.sources.parquet import read_parquet_metadata
+
+    columns_types, partitions_types = read_parquet_metadata(spark, path, dataset=dataset)
+    create_parquet_table(
+        spark,
+        database=database,
+        table=table,
+        path=path,
+        columns_types=columns_types,
+        partitions_types=partitions_types,
+        exist_ok=True,
+    )
+    if partitions_types:
+        repair_table(spark, table, database)
+    return columns_types, partitions_types

@@ -11,6 +11,8 @@ from aws_sdk_pandas_spark.sources.fs import (
     list_directories,
     list_objects,
     size_objects,
+    wait_objects_exist,
+    wait_objects_not_exist,
 )
 from aws_sdk_pandas_spark.sources.layout import (
     apply_partition_filter,
@@ -41,6 +43,8 @@ __all__ = [
     "read_excel",
     "select_query",
     "to_excel",
+    "wait_objects_exist",
+    "wait_objects_not_exist",
     "delete_objects",
     "describe_objects",
     "discover_partitions",

@@ -151,3 +151,41 @@ def _is_file(spark: SparkSession, path: str) -> bool:
 def wildcard_filter(paths: list[str], pattern: str) -> list[str]:
     """Unix-wildcard filter, fnmatch semantics (awswrangler/s3/_list.py:174)."""
     return [p for p in paths if fnmatch.fnmatch(p, pattern)]
+
+
+def wait_objects_exist(
+    spark: SparkSession,
+    paths: list[str],
+    *,
+    delay: float = 0.25,
+    max_attempts: int = 20,
+) -> None:
+    """Poll until every path exists (reference: awswrangler/s3/_wait.py:81).
+    Local/HDFS listings are strongly consistent so this returns fast; kept
+    for API parity with eventually-consistent stores."""
+    import time
+
+    for _ in range(max_attempts):
+        if all(does_object_exist(spark, p) for p in paths):
+            return
+        time.sleep(delay)
+    missing = [p for p in paths if not does_object_exist(spark, p)]
+    raise TimeoutError(f"objects still missing after {max_attempts} attempts: {missing}")
+
+
+def wait_objects_not_exist(
+    spark: SparkSession,
+    paths: list[str],
+    *,
+    delay: float = 0.25,
+    max_attempts: int = 20,
+) -> None:
+    """reference: awswrangler/s3/_wait.py:138."""
+    import time
+
+    for _ in range(max_attempts):
+        if not any(does_object_exist(spark, p) for p in paths):
+            return
+        time.sleep(delay)
+    present = [p for p in paths if does_object_exist(spark, p)]
+    raise TimeoutError(f"objects still present after {max_attempts} attempts: {present}")

@@ -224,3 +224,14 @@ def start_query_execution(spark: SparkSession, sql: str, **kwargs: Any) -> DataF
     """Compatibility alias: execution is synchronous and local
     (reference: athena/_executions.py start_query_execution/wait_query)."""
     return read_sql_query(spark, sql, **kwargs)
+
+
+def read_sql_table(
+    spark: SparkSession,
+    table: str,
+    database: str | None = None,
+    **kwargs: Any,
+) -> DataFrame | Any:
+    """``SELECT * FROM table`` convenience (reference: athena/_read.py:1313)."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return read_sql_query(spark, f"SELECT * FROM {qualified}", **kwargs)

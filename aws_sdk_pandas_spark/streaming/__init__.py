@@ -106,3 +106,125 @@ def run_batch_as_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based) — native ``session_window`` so the same
+    plan runs batch AND streaming (with ``watermark`` for state eviction).
+
+    Semantics: an event extends its session while the gap since the last
+    event is < ``gap``; ``session_start`` = first event, ``last_ts`` =
+    last event, ``n_events`` = count.  The reference has no streaming
+    operators (SURVEY §2.8); this is the additive capability over the
+    same tables.
+    """
+    out = df
+    if watermark:
+        out = out.withWatermark(time_col, watermark)
+    keys = [F.session_window(F.col(time_col), gap)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        out.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max(time_col).alias("last_ts"))
+        .select(
+            *[F.col(c) for c in (group_cols or [])],
+            F.col("session_window.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+def running_state_per_key(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str = "ts",
+    value_col: str | None = None,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running event count + running sum + last-seen timestamp,
+    emitted once per micro-batch per updated key.
+
+    The pattern slot for operators Spark lacks (SURVEY custom-operator
+    rule c): state lives in the state store (RocksDB at scale), the
+    user function is Arrow-batched pandas, timeouts evict idle keys.
+
+    ``timeout_minutes`` is opt-in: with ProcessingTimeTimeout an
+    ``availableNow`` run keeps scheduling empty "cleaning up state"
+    batches until the timeout fires, so bounded replays must leave it
+    None (NoTimeout); set it only on continuous queries that need
+    idle-key eviction.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_seen", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = (state.get if state.exists else (0, 0.0))
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if value_col is not None:
+                s += float(pdf[value_col].fillna(0.0).sum())
+            mx = pdf[time_col].max()
+            last = mx if last is None else max(last, mx)
+        state.update((n, s))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "n_events": [n], "sum_value": [s], "last_seen": [last]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream_df.withColumn("__key", F.col(key_col).cast("string"))
+        .groupBy("__key")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )

@@ -1,0 +1,98 @@
+"""asof_join semantics (pandas merge_asof contract) + plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00"), "L"),
+            (2, "u1", _ts("2024-01-01T12:00:00"), "L"),
+            (3, "u2", _ts("2024-01-01T09:00:00"), "L"),
+        ],
+        "id bigint, user string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), 10.0),
+            ("u1", _ts("2024-01-01T11:00:00"), 20.0),
+            ("u2", _ts("2024-01-01T11:00:00"), 30.0),
+        ],
+        "user string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_backward(spark):
+    left, right = _frames(spark)
+    got = {
+        r.id: r.price
+        for r in asof_join(left, right, on="ts", by=["user"]).collect()
+    }
+    # id=1: 09:30 row; id=2: 11:00 row; id=3 (u2): nothing at-or-before
+    assert got == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_forward(spark):
+    left, right = _frames(spark)
+    got = {
+        r.id: r.price
+        for r in asof_join(
+            left, right, on="ts", by=["user"], direction="forward"
+        ).collect()
+    }
+    assert got == {1: 20.0, 2: None, 3: 30.0}
+
+
+def test_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r.id: r.price
+        for r in asof_join(
+            left, right, on="ts", by=["user"], tolerance="INTERVAL 45 MINUTES"
+        ).collect()
+    }
+    # id=1 gap 30m ok; id=2 gap 1h exceeds tolerance -> null
+    assert got == {1: 10.0, 2: None, 3: None}
+
+
+def test_equal_timestamp_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00:00"))], "id bigint, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00:00"), 5.0)],
+        "user string, ts timestamp, price double",
+    )
+    rows = asof_join(left, right, on="ts", by=["user"]).collect()
+    assert rows[0].price == 5.0
+
+
+def test_no_nested_loop_join(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="ts", by=["user"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly the one window exchange on the by-keys
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_column_name_collision_suffix(spark):
+    left, right = _frames(spark)
+    cols = asof_join(left, right, on="ts", by=["user"]).columns
+    assert cols == ["id", "user", "ts", "tag", "ts_right", "price"]

@@ -1,0 +1,106 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness says the operator works; these tests pin HOW it executes:
+filters reach the parquet scan (PushedFilters), projections prune the
+read schema, small dimensions broadcast, top-k compiles to
+TakeOrderedAndProject, partition pruning eliminates directories.  A
+regression here is a silent 100x at scale even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from aws_sdk_pandas_spark import sources
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = entry.queries()["scan_projection_pushdown"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = sources.read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    plan = _plan(df)
+    m = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "l_orderkey" in m and "l_quantity" in m
+    assert "l_comment" not in m and "l_shipdate" not in m
+
+
+def test_small_dims_broadcast_in_q05(spark, sf_dir):
+    df = entry.queries()["q05_local_supplier_volume"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan before inspecting it
+    plan = _plan(df)
+    # nation/region/supplier are small: the joins must broadcast — a
+    # sort-merge join on the dims would shuffle lineitem at scale
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = entry.queries()["emb_knn_cosine"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort exchange would be the scale bug
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_partition_pruning(spark, people_df, tmp_path):
+    path = str(tmp_path / "pp")
+    sources.to_parquet(
+        people_df, path, dataset=True, partition_cols=["country"], mode="overwrite"
+    )
+    df = sources.read_parquet(
+        spark, path, dataset=True, partition_filter=lambda p: p["country"] == "us"
+    )
+    # only the surviving partition's files are scanned
+    scan_meta = _plan(df)
+    assert df.count() == 2
+    assert "country=de" not in scan_meta
+
+
+def test_events_daily_single_shuffle(spark, sf_dir):
+    """One groupBy = one Exchange (plus AQE reads); a second shuffle on the
+    same keys would mean lost partial aggregation."""
+    df = entry.queries()["events_daily_stats"](spark, sf_dir)
+    optimized = _optimized(df)
+    assert optimized.count("Aggregate") <= 2  # partial + final, not more
+
+
+def test_dq_single_aggregation_job(spark, sf_dir):
+    """All non-custom rules must share one Aggregate (one scan)."""
+    from aws_sdk_pandas_spark import dq
+
+    events = sources.read_parquet(spark, f"{sf_dir}/events.parquet")
+    # count jobs via the physical plan of the single agg row
+    agg_df = events.agg(
+        F.count(F.lit(1)).alias("a"),
+        (F.count("user_id") / F.count(F.lit(1))).alias("b"),
+        F.count_distinct("event_id").alias("c"),
+    )
+    assert _optimized(agg_df).count("Relation") == 1
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.dedup import minhash_duplicates
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = minhash_duplicates(docs, "doc_id", "text", num_hashes=16, bands=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

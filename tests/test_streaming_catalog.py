@@ -92,3 +92,102 @@ def test_multimodal_fake_pipeline(spark):
     # real decode is an explicit stub until decode libs exist
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_store_parquet_metadata(spark, people_df, tmp_path):
+    path = str(tmp_path / "spm")
+    sources.to_parquet(
+        people_df, path, dataset=True, partition_cols=["country"], mode="overwrite"
+    )
+    catalog.delete_table_if_exists(spark, "asps_spm_t")
+    cols, parts = catalog.store_parquet_metadata(spark, path, "asps_spm_t")
+    assert cols["id"] == "bigint" and parts == {"country": "string"}
+    assert spark.table("asps_spm_t").count() == 5
+    catalog.delete_table_if_exists(spark, "asps_spm_t")
+
+
+def test_wait_objects(spark, people_df, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "w")
+    sources.to_parquet(people_df, path)
+    objs = [o for o in sources.list_objects(spark, path) if o.endswith(".parquet")]
+    sources.wait_objects_exist(spark, objs[:2])
+    with _pytest.raises(TimeoutError):
+        sources.wait_objects_exist(
+            spark, [path + "/nope.parquet"], delay=0.01, max_attempts=2
+        )
+    sources.wait_objects_not_exist(spark, [path + "/nope.parquet"])
+
+
+def test_sql_read_sql_table(spark, people_df):
+    people_df.createOrReplaceTempView("rst_people")
+    from aws_sdk_pandas_spark.sql import read_sql_table
+
+    assert read_sql_table(spark, "rst_people").count() == 5
+
+
+def test_sessionize_batch(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00"),
+            ("u1", "2024-01-01 10:10:00"),   # same session (gap 30m)
+            ("u1", "2024-01-01 11:30:00"),   # new session
+            ("u2", "2024-01-01 10:00:00"),
+        ],
+        "user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = streaming.sessionize(df, gap="30 minutes", group_cols=["user"]).orderBy(
+        "user", "session_start"
+    )
+    rows = [(r.user, r.session_start.hour, r.n_events) for r in got.collect()]
+    assert rows == [("u1", 10, 2), ("u1", 11, 1), ("u2", 10, 1)]
+
+
+def test_sessionize_streaming_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:05:00"),
+         ("u2", "2024-01-01 12:00:00")],
+        "user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+
+    stream = streaming.read_stream(spark, src)
+    q = (
+        streaming.sessionize(stream, gap="30 minutes", group_cols=["user"],
+                             watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user, r.n_events) for r in spark.table("sess_mem").collect()}
+    assert got == {("u1", 2), ("u2", 1)}
+
+
+def test_running_state_per_key(spark, tmp_path):
+    src = str(tmp_path / "st")
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 5.0), ("u1", "2024-01-01 10:05:00", 7.0),
+         ("u2", "2024-01-01 12:00:00", 1.0)],
+        "user string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+
+    stream = streaming.read_stream(spark, src)
+    q = (
+        streaming.running_state_per_key(stream, key_col="user", value_col="value")
+        # NoTimeout default: a ProcessingTimeTimeout would keep the
+        # availableNow trigger alive in "cleaning up state" batches
+        .writeStream.format("memory")
+        .queryName("state_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.key: (r.n_events, r.sum_value) for r in spark.table("state_mem").collect()}
+    assert got == {"u1": (2, 12.0), "u2": (1, 1.0)}
