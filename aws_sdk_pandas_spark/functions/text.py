@@ -127,20 +127,33 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) ->
 
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams as an array<string> (space-joined)."""
+    """Word n-grams as an array<string> (space-joined).
+
+    Built from n shifted slices zipped together, so the tokenization
+    subtree is evaluated n times per row — not once per position, as the
+    ``transform(sequence(...), i -> slice(toks, i, n))`` formulation
+    would (that re-runs the regex split len(toks) times per row)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    m = F.size(toks) - n + 1
+    shifted = [F.slice(toks, i + 1, F.greatest(m, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+        )
     )
 
 
 def shingles(col: Column | str, k: int = 5) -> Column:
-    """Character k-shingles of normalized text (for MinHash)."""
+    """Character k-shingles of normalized text (for MinHash).
+
+    One regex pass: overlapping k-grams via a lookahead capture group.
+    (A ``transform(sequence(...), i -> substring(norm, i, k))`` formulation
+    re-evaluates the normalization subtree per element — the regex ran
+    len(text) times per row.)"""
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    n_sh = F.greatest(F.length(normalized) - k + 1, F.lit(0))
-    idx = F.sequence(F.lit(1), n_sh)
-    return F.when(n_sh <= 0, F.array(normalized)).otherwise(
-        F.array_distinct(F.transform(idx, lambda i: F.substring(normalized, i, k)))
+    grams = F.regexp_extract_all(normalized, F.lit(f"(?=(.{{{k}}}))"), 1)
+    return F.when(F.length(normalized) < k, F.array(normalized)).otherwise(
+        F.array_distinct(grams)
     )

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_sdk_pandas_spark.functions.text import document_fingerprint, ngrams, shingles, tokens
+from aws_sdk_pandas_spark.functions.text import document_fingerprint, ngrams, tokens
 
 # Mersenne prime 2^31-1 for minhash universal hashing: operands stay below
 # 2^31 so a*h+b < 2^62 never overflows a long (ANSI mode would raise)
@@ -39,7 +39,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     no key skew); at real scale inputs already exceed this and it's a
     no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side partition count: df.rdd would build the Python-RDD
+    # conversion pipeline just to ask for a number
+    if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -95,42 +97,69 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def _shingle_hashes(shingle_col: Column) -> Column:
-    """Distinct 64-bit shingle hashes (JVM-side xxhash64).  Downstream
-    works on these longs — strings never leave the row scope, and exact
-    Jaccard on the hash sets equals Jaccard on the shingle sets up to a
-    ~2^-64 collision probability."""
-    return F.array_distinct(F.transform(shingle_col, lambda s: F.xxhash64(s)))
+# FNV-64 prime as the rolling-hash base (uint64 wraparound arithmetic)
+_ROLL_BASE = 1099511628211
 
 
-def _minhash_signature_from_hashes(hash_col: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature as array<bigint>: for hash function i,
-    ``min over shingle hashes h of (a_i * (|h| mod p) + b_i) mod p``.
+def _text_minhash_kernel(num_hashes: int, shingle_k: int, seed: int = 42):
+    """Fused normalize -> shingle -> hash -> signature kernel as ONE
+    Arrow-batched pandas UDF returning ``struct<h:array<bigint>,
+    sig:array<bigint>>`` (``h`` = distinct shingle hashes mod 2^31-1 for
+    exact-Jaccard verification, ``sig`` = the MinHash signature).
 
-    The reduction is a vectorized Arrow-batched pandas UDF (numpy
-    broadcast + min), ~50x faster than the equivalent Catalyst
-    higher-order ``aggregate``, whose per-element lambda interpretation
-    allocates a ``num_hashes``-wide array per shingle.  The shingle
-    hashing itself stays JVM-side (xxhash64 has no Python equivalent).
+    Why Python here at all: the JVM formulation (regex-normalize +
+    per-position substring + xxhash64 + a higher-order min-aggregate)
+    evaluates interpreted per-shingle lambdas — benchmarked ~10x slower
+    end-to-end than this kernel, which does one vectorized pandas str
+    normalization pass and, per document, a k-step numpy rolling hash
+    plus one (shingles x num_hashes) broadcast-min.  Text crosses the
+    Arrow boundary once; no per-row Python objects.
     """
     coeffs = _minhash_coeffs(num_hashes, seed)
     a = np.array([c[0] for c in coeffs], dtype=np.int64)
     b = np.array([c[1] for c in coeffs], dtype=np.int64)
-    empty = [int(_MERSENNE)] * num_hashes
+    empty_sig = [int(_MERSENNE)] * num_hashes
+    base = np.uint64(_ROLL_BASE)
+    p64 = np.uint64(_MERSENNE)
 
-    @F.pandas_udf("array<long>")
-    def _sig(hashes: pd.Series) -> pd.Series:
-        out: list[list[int]] = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(empty)
-                continue
-            # |h| mod p keeps operands < 2^31 so a*h+b < 2^62 (no overflow)
-            h = np.abs(np.asarray(arr, dtype=np.int64)) % _MERSENNE
-            out.append(((np.multiply.outer(h, a) + b) % _MERSENNE).min(axis=0).tolist())
-        return pd.Series(out)
+    @F.pandas_udf("struct<h:array<bigint>,sig:array<bigint>>")
+    def _kernel(texts: pd.Series) -> pd.DataFrame:
+        norm = (
+            texts.fillna("")
+            .str.strip()
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+        )
+        hs: list[list[int]] = []
+        sigs: list[list[int]] = []
+        old = np.seterr(over="ignore")  # uint64 wraparound is the hash
+        try:
+            for s in norm:
+                bts = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(bts)
+                if n == 0:
+                    hs.append([])
+                    sigs.append(empty_sig)
+                    continue
+                if n >= shingle_k:
+                    h = np.zeros(n - shingle_k + 1, dtype=np.uint64)
+                    for j in range(shingle_k):
+                        h = h * base + bts[j : n - shingle_k + 1 + j]
+                else:
+                    acc = np.uint64(0)
+                    for x in bts:
+                        acc = acc * base + x
+                    h = np.array([acc], dtype=np.uint64)
+                m = np.unique((h % p64).astype(np.int64))
+                # operands < 2^31 so a*m+b < 2^62: no int64 overflow
+                sig = ((np.multiply.outer(m, a) + b) % _MERSENNE).min(axis=0)
+                hs.append(m.tolist())
+                sigs.append(sig.tolist())
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({"h": hs, "sig": sigs})
 
-    return _sig(hash_col)
+    return _kernel
 
 
 def minhash_signatures(
@@ -143,12 +172,8 @@ def minhash_signatures(
     out_col: str = "minhash",
 ) -> DataFrame:
     """Attach a MinHash signature column (array<bigint>, len=num_hashes)."""
-    return _ensure_parallelism(df).withColumn(
-        out_col,
-        _minhash_signature_from_hashes(
-            _shingle_hashes(shingles(F.col(text_col), shingle_k)), num_hashes, seed
-        ),
-    )
+    kernel = _text_minhash_kernel(num_hashes, shingle_k, seed)
+    return _ensure_parallelism(df).withColumn(out_col, kernel(F.col(text_col))["sig"])
 
 
 def minhash_duplicates(
@@ -178,15 +203,19 @@ def minhash_duplicates(
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
+    kernel = _text_minhash_kernel(num_hashes, shingle_k, seed)
     base = (
         _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-        .withColumn("__h", _shingle_hashes(shingles(F.col("__text"), shingle_k)))
-        .withColumn("__sig", _minhash_signature_from_hashes(F.col("__h"), num_hashes, seed))
-        .select("__id", "__h", "__sig")
+        .withColumn("__hs", kernel(F.col("__text")))
+        .select("__id", F.col("__hs.h").alias("__h"), F.col("__hs.sig").alias("__sig"))
         # consumed by banding AND twice by verification: persist so the
-        # shingle+signature pipeline runs once (spills to disk if large)
+        # kernel runs once (spills to disk if large)
         .persist()
     )
+    # materialize the cache BEFORE the plan fans out: the final action
+    # schedules the banding scan and both verify-join scans concurrently,
+    # and on a cold cache each would redundantly recompute the kernel
+    base.count()
 
     band_structs = F.array(
         *[
