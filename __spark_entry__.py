@@ -849,6 +849,19 @@ def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native ``session_window`` (same plan
+    runs batch and streaming; streaming/__init__.py sessionize).
+    Oracle: lag + cumulative-sum session ids in plain SQL."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.streaming import sessionize
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return sessionize(
+        ev, time_col="ts", gap="30 minutes", group_cols=["user_id"]
+    ).orderBy("user_id", "session_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "asof_join_events": _q_asof_join,
         "event_value_quantiles": _q_event_value_quantiles,
+        "sessionize_events": _q_sessionize,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -998,6 +1012,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS newsess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "event_value_quantiles": """
             SELECT event_type,

@@ -356,7 +356,12 @@ def ngram_jaccard_duplicates(
     """
     grams = (
         _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-        .withColumn("__grams", F.array_distinct(ngrams(F.col("__text"), n)))
+        # shuffle 8-byte gram hashes, not gram strings (xxhash64 is
+        # JVM-side; a collision merging two grams is ~2^-64 per pair)
+        .withColumn(
+            "__grams",
+            F.transform(F.array_distinct(ngrams(F.col("__text"), n)), lambda g: F.xxhash64(g)),
+        )
         .select("__id", F.size("__grams").alias("__ng"), F.explode("__grams").alias("gram"))
     )
     # one aggregation per gram collecting (id, ng) postings, then explode
