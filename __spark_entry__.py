@@ -862,6 +862,75 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def _q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-level upsert (anti-join + union), the reference's
+    DELETE USING + INSERT SELECT semantics (operators/merge.py).
+    Updates flag every 97th order, inserts clones keyed +1e9."""
+    from aws_sdk_pandas_spark.operators.merge import upsert_dataframe
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", (F.col("o_orderkey") + F.lit(1_000_000_000)).cast("bigint")
+    )
+    src = updates.unionByName(inserts)
+    merged = upsert_dataframe(orders, src, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    ).orderBy("o_orderkey")
+
+
+def _q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot operator: daily event counts, one column per event type
+    (groupBy().pivot() — map-side partial agg, one shuffle)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object ≈ reference's opensearch
+    json_path / read_json surface): sum of props.k per event type."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
+        .orderBy("event_type")
+    )
+
+
+_RANK_IN_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, rn
+FROM (
+    SELECT c_mktsegment, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -885,6 +954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "event_value_quantiles": _q_event_value_quantiles,
         "sessionize_events": _q_sessionize,
+        "upsert_orders": _q_upsert_orders,
+        "pivot_event_type_daily": _q_pivot_events,
+        "json_extract_props": _q_json_props,
+        "rank_orders_in_segment": lambda s, d: _sql(s, d, _RANK_IN_SEGMENT),
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1013,6 +1086,47 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
         """,
+        "upsert_orders": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            merged AS (
+                SELECT * FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+                UNION ALL
+                SELECT * FROM src
+            )
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS o_totalprice
+            FROM merged
+            ORDER BY o_orderkey
+        """,
+        "pivot_event_type_daily": """
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+            FROM events
+            GROUP BY CAST(ts AS DATE)
+            ORDER BY day
+        """,
+        "json_extract_props": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(json_extract_string(props, '$.k')) AS n_with_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "rank_orders_in_segment": _RANK_IN_SEGMENT,
         "sessionize_events": """
             WITH marked AS (
                 SELECT user_id, ts,
