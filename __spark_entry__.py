@@ -917,6 +917,46 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks inside the 30-minute window before each
+    purchase, same user.  Bucketed equi-join rewrite (operators/
+    rangejoin.py) — a raw BETWEEN join would plan as a nested loop.
+    Oracle: the plain non-equi join."""
+    from aws_sdk_pandas_spark.operators.rangejoin import interval_join
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    return (
+        interval_join(
+            clicks, windows, point_col="ts", start_col="lo", end_col="hi",
+            by=["user_id"], bucket_width="30 minutes",
+        )
+        .select("user_id", "event_id", "p_id")
+        .orderBy("user_id", "event_id", "p_id")
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster labels
+    (operators/graph.py min-label propagation; SURVEY P5 MinHashLSH +
+    connected components).  Oracle: recursive-CTE transitive closure over
+    the same SQL-expressible n-gram pair set."""
+    from aws_sdk_pandas_spark.operators.dedup import ngram_jaccard_duplicates
+    from aws_sdk_pandas_spark.operators.graph import dedup_clusters
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dedup_clusters(pairs).orderBy("id")
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -958,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_type_daily": _q_pivot_events,
         "json_extract_props": _q_json_props,
         "rank_orders_in_segment": lambda s, d: _sql(s, d, _RANK_IN_SEGMENT),
+        "interval_join_purchases": _q_interval_join,
+        "dedup_cluster_labels": _q_dedup_clusters,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1127,6 +1169,51 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "rank_orders_in_segment": _RANK_IN_SEGMENT,
+        "dedup_cluster_labels": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words
+            ), exploded AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded a JOIN exploded b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs AS (
+                SELECT id_a, id_b FROM cand
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.2
+            ), nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+                )
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT id AS src, id AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS id, MIN(dst) AS cluster_id,
+                   (src = MIN(dst)) AS is_representative
+            FROM reach GROUP BY src ORDER BY id
+        """,
+        "interval_join_purchases": """
+            SELECT c.user_id, c.event_id, p.event_id AS p_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             AND c.ts <= p.ts
+            ORDER BY c.user_id, c.event_id, p_id
+        """,
         "sessionize_events": """
             WITH marked AS (
                 SELECT user_id, ts,

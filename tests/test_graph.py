@@ -1,0 +1,22 @@
+"""connected_components / dedup_clusters semantics."""
+
+from __future__ import annotations
+
+from aws_sdk_pandas_spark.operators.graph import connected_components, dedup_clusters
+
+
+def test_chain_and_separate_components(spark):
+    # chain 1-2-3-4 (diameter 3, needs multi-round propagation) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_representatives(spark):
+    pairs = spark.createDataFrame([(5, 7), (7, 6)], "id_a bigint, id_b bigint")
+    rows = dedup_clusters(pairs).collect()
+    reps = {r.id for r in rows if r.is_representative}
+    assert reps == {5}
+    assert {r.cluster_id for r in rows} == {5}
