@@ -957,6 +957,42 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("id")
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: KMeans centroids are not SQL-expressible):
+    build the inverted-file index, probe the 4 nearest of 8 clusters,
+    exact distances within (operators/similarity.py build_ivf_index/knn_ivf)."""
+    from aws_sdk_pandas_spark.operators.similarity import build_ivf_index, knn_ivf
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 0")
+    assigned, centroids = build_ivf_index(corpus, vector_col="embedding", n_clusters=8)
+    return knn_ivf(
+        assigned, centroids, q, k=10, id_col="vec_id", vector_col="embedding", n_probe=4
+    )
+
+
+def _q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — native ``F.window`` with
+    slide < duration; each event lands in two overlapping windows.
+    Oracle: unnest the two computed window starts."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+        .orderBy("wstart")
+    )
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1000,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_orders_in_segment": lambda s, d: _sql(s, d, _RANK_IN_SEGMENT),
         "interval_join_purchases": _q_interval_join,
         "dedup_cluster_labels": _q_dedup_clusters,
+        "emb_knn_ivf": _q_knn_ivf,
+        "hopping_window_stats": _q_hopping_window,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1204,6 +1242,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS id, MIN(dst) AS cluster_id,
                    (src = MIN(dst)) AS is_representative
             FROM reach GROUP BY src ORDER BY id
+        """,
+        "hopping_window_stats": """
+            SELECT wstart, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+            FROM (
+                SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                           AS wstart,
+                       value
+                FROM events
+            )
+            GROUP BY wstart ORDER BY wstart
         """,
         "interval_join_purchases": """
             SELECT c.user_id, c.event_id, p.event_id AS p_id

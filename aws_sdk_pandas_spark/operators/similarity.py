@@ -244,3 +244,78 @@ def similarity_join(
         F.col("datasetB.id_b").alias("id_b"),
         F.round(dist, 6).alias("distance"),
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    *,
+    vector_col: str = "vector",
+    n_clusters: int = 16,
+    metric: str = "cosine",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index build: distributed KMeans over the
+    vectors, every row assigned to its nearest centroid.
+
+    Returns ``(assigned_df, centroids)`` — ``assigned_df`` is the input
+    plus ``__cluster`` (int); ``centroids`` is a small python list
+    [(cluster_id, [floats])].  At scale, WRITE ``assigned_df``
+    partitioned by ``__cluster``: queries then probe ``n_probe``
+    partitions and Catalyst prunes the rest of the corpus at the file
+    level — the classic IVF trade (recall vs fraction scanned).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    normalize = metric == "cosine"
+    ml_df = _as_ml_vectors(df, vector_col, normalize)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(
+        ml_df
+    )
+    assigned = model.transform(ml_df).drop("__vec")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def knn_ivf(
+    assigned_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vector: Sequence[float],
+    *,
+    k: int = 10,
+    id_col: str = "key",
+    vector_col: str = "vector",
+    metric: str = "cosine",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF query: rank centroids by distance to the query (driver-side —
+    centroid count is tiny), scan only the ``n_probe`` nearest clusters,
+    brute-force exact distances within them.  Returns ``id_col, distance``.
+
+    With ``assigned_df`` stored partitioned by ``__cluster`` the
+    ``isin`` filter becomes partition pruning: only n_probe/n_clusters
+    of the corpus is read.
+    """
+    import math
+
+    q = [float(x) for x in query_vector]
+    if metric == "cosine":
+        n = math.sqrt(sum(x * x for x in q)) or 1.0
+        qn = [x / n for x in q]
+
+        def cdist(c: list[float]) -> float:
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            return 1.0 - sum(a * b for a, b in zip(qn, c)) / cn
+    else:
+
+        def cdist(c: list[float]) -> float:
+            return math.sqrt(sum((a - b) ** 2 for a, b in zip(q, c)))
+
+    probe = [cid for cid, _ in sorted(centroids, key=lambda t: cdist(t[1]))[:n_probe]]
+    return knn_brute_force(
+        assigned_df.where(F.col("__cluster").isin(probe)),
+        query_vector,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        metric=metric,
+    )
