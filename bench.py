@@ -33,6 +33,9 @@ _BENCH_QUERIES = [
     "window_running_total",
     "vectors_query_filtered",
     "logs_insights_stats",
+    "asof_join_events",
+    "sessionize_events",
+    "interval_join_purchases",
 ]
 
 
