@@ -993,6 +993,27 @@ def _q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (dq.detect_outliers:
+    one agg + broadcast stats join).  Oracle: window-function stats."""
+    from aws_sdk_pandas_spark.dq import detect_outliers
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        detect_outliers(ev, "value", by=["event_type"], z_threshold=2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("value"),
+            F.round("z_score", 4).alias("z_score"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1038,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_labels": _q_dedup_clusters,
         "emb_knn_ivf": _q_knn_ivf,
         "hopping_window_stats": _q_hopping_window,
+        "dq_outliers_zscore": _q_outliers,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1242,6 +1264,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS id, MIN(dst) AS cluster_id,
                    (src = MIN(dst)) AS is_representative
             FROM reach GROUP BY src ORDER BY id
+        """,
+        "dq_outliers_zscore": """
+            WITH stats AS (
+                SELECT event_id, event_type, value,
+                       AVG(value) OVER (PARTITION BY event_type) AS m,
+                       STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS value,
+                   ROUND((value - m) / s, 4) AS z_score
+            FROM stats
+            WHERE s IS NOT NULL AND s > 0 AND ABS(value - m) > 2.5 * s
+            ORDER BY event_id
         """,
         "hopping_window_stats": """
             SELECT wstart, COUNT(*) AS n_events,

@@ -171,3 +171,35 @@ def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) ->
     return spark.createDataFrame(
         results, "rule_type string, parameter string, expression string, value double, passed boolean"
     )
+
+
+def detect_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``z_threshold`` sample
+    standard deviations from its (per-``by``-group) mean.
+
+    One aggregation + one broadcast-joined stats row per group — the
+    stats side is |groups| rows, so the big table streams through a
+    broadcast hash join; no second full shuffle.  Groups with stddev
+    0/NULL (constant or single-row) yield no outliers.
+    """
+    by = list(by or [])
+    stats = df.groupBy(*by).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__std"),
+    )
+    joined = df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    return (
+        joined.where(
+            F.col("__std").isNotNull()
+            & (F.col("__std") > 0)
+            & (F.abs(F.col(value_col) - F.col("__mean")) > z_threshold * F.col("__std"))
+        )
+        .withColumn("z_score", (F.col(value_col) - F.col("__mean")) / F.col("__std"))
+        .drop("__mean", "__std")
+    )
