@@ -57,11 +57,19 @@ def write_dataset(
     options: dict[str, Any] | None = None,
     sanitize_columns: bool = False,
     dataset: bool = True,
+    files_per_partition: int = 1,
 ) -> dict[str, Any]:
     """Write a DataFrame as a (possibly partitioned/bucketed) dataset.
 
     Returns ``{"paths": [...], "partitions_values": {prefix: [values]}}``
     matching the reference's contract (awswrangler/typing.py:255).
+
+    ``files_per_partition``: partitioned writes are repartitioned on the
+    partition columns first — without this every task writes a file into
+    every partition it touches, i.e. O(tasks x partitions) small files
+    at cluster scale.  Default 1 = one file per partition value; raise it
+    for hot partitions (adds a hash salt so each partition spreads over N
+    tasks/files).  ``max_rows_by_file`` still splits oversized files.
     """
     if mode not in _MODES:
         raise InvalidArgument(f"mode must be one of {_MODES}, got {mode!r}")
@@ -97,6 +105,13 @@ def write_dataset(
         # co-locate each (partition, bucket) group into one task → one file
         # per bucket per partition, matching the reference's physical layout
         df = df.repartition(*[F.col(c) for c in writer_partitions])
+    elif writer_partitions and files_per_partition >= 1:
+        keys: list[F.Column] = [F.col(c) for c in writer_partitions]
+        if files_per_partition > 1:
+            keys.append(
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), files_per_partition)
+            )
+        df = df.repartition(*keys)
 
     writer = df.write.format(file_format)
     if compression is not None:

@@ -68,6 +68,7 @@ def to_orc(
     dtype: dict[str, str] | None = None,
     sanitize_columns: bool = False,
     options: dict[str, Any] | None = None,
+    files_per_partition: int = 1,
 ) -> dict[str, Any]:
     return write_dataset(
         df,
@@ -82,4 +83,5 @@ def to_orc(
         options=options,
         sanitize_columns=sanitize_columns,
         dataset=dataset,
+        files_per_partition=files_per_partition,
     )

@@ -242,6 +242,7 @@ def to_parquet(
     options: dict[str, Any] | None = None,
     database: str | None = None,
     table: str | None = None,
+    files_per_partition: int = 1,
 ) -> dict[str, Any]:
     """Write a DataFrame as parquet file(s)/dataset
     (reference: awswrangler/s3/_write_parquet.py:340).
@@ -262,6 +263,7 @@ def to_parquet(
         options=options,
         sanitize_columns=sanitize_columns,
         dataset=dataset,
+        files_per_partition=files_per_partition,
     )
     if table:
         from aws_sdk_pandas_spark import catalog as _catalog

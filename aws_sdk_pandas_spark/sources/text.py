@@ -173,6 +173,7 @@ def to_csv(
     max_rows_by_file: int = 0,
     dtype: dict[str, str] | None = None,
     options: dict[str, Any] | None = None,
+    files_per_partition: int = 1,
 ) -> dict[str, Any]:
     """CSV dataset write (reference: s3/_write_text.py:86)."""
     opts = {"header": "true" if header else "false", "sep": sep, **(options or {})}
@@ -188,6 +189,7 @@ def to_csv(
         dtype=dtype,
         options=opts,
         dataset=dataset,
+        files_per_partition=files_per_partition,
     )
 
 
@@ -202,6 +204,7 @@ def to_json(
     compression: str | None = None,
     max_rows_by_file: int = 0,
     options: dict[str, Any] | None = None,
+    files_per_partition: int = 1,
 ) -> dict[str, Any]:
     """JSON-lines dataset write (reference: s3/_write_text.py:647).
     ``lines=False`` (array-JSON) is not distributed-friendly and is not
@@ -220,4 +223,5 @@ def to_json(
         dtype=None,
         options=options,
         dataset=dataset,
+        files_per_partition=files_per_partition,
     )

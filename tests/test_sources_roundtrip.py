@@ -166,3 +166,33 @@ def test_list_objects_and_fs(spark, people_df, tmp_path):
     data_files = [o for o in objs if o.endswith(".parquet")]
     sizes = sources.size_objects(spark, data_files[:1])
     assert all(v > 0 for v in sizes.values())
+
+
+def test_partitioned_write_one_file_per_partition(spark, tmp_path):
+    # 200 rows, 4 partition values, 32 input partitions: without the
+    # pre-write repartition this writes up to 32*4 files
+    df = spark.range(200).repartition(32).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS p"
+    )
+    path = str(tmp_path / "fpp1")
+    res = sources.to_parquet(df, path, dataset=True, partition_cols=["p"], mode="overwrite")
+    assert len(res["paths"]) == 4  # exactly one file per partition value
+
+
+def test_partitioned_write_files_per_partition_salt(spark, tmp_path):
+    df = spark.range(2000).repartition(32).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS p"
+    )
+    path = str(tmp_path / "fpp3")
+    res = sources.to_parquet(
+        df, path, dataset=True, partition_cols=["p"], mode="overwrite",
+        files_per_partition=3,
+    )
+    per_part: dict[str, int] = {}
+    for f in res["paths"]:
+        key = f.split("/p=")[1].split("/")[0]
+        per_part[key] = per_part.get(key, 0) + 1
+    assert set(per_part) == {"0", "1"}
+    assert all(1 <= n <= 3 for n in per_part.values())
+    # all rows survive the salted layout
+    assert sources.read_parquet(spark, path, dataset=True).count() == 2000
