@@ -196,3 +196,64 @@ def test_partitioned_write_files_per_partition_salt(spark, tmp_path):
     assert all(1 <= n <= 3 for n in per_part.values())
     # all rows survive the salted layout
     assert sources.read_parquet(spark, path, dataset=True).count() == 2000
+
+
+def test_all_null_column_roundtrip(spark, tmp_path):
+    """SURVEY hard part 3: all-null columns must keep their declared type
+    through write/read (the reference raises UndetectedType only when
+    inferring from data; with an explicit schema nulls are fine)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, maybe string"
+    )
+    path = str(tmp_path / "nulls")
+    sources.to_parquet(df, path, dataset=True, mode="overwrite")
+    back = sources.read_parquet(spark, path, dataset=True)
+    assert dict(back.dtypes)["maybe"] == "string"
+    assert back.where("maybe IS NULL").count() == 2
+
+
+def test_empty_dataframe_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([], "id bigint, v double, s string")
+    path = str(tmp_path / "empty")
+    sources.to_parquet(df, path, dataset=True, mode="overwrite")
+    back = sources.read_parquet(spark, path, dataset=True)
+    assert back.count() == 0
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double", "s": "string"}
+
+
+def test_nested_types_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"a": 1}, (1, "x")), (2, [], {}, (2, "y"))],
+        "id bigint, arr array<int>, m map<string,int>, st struct<a:int,b:string>",
+    )
+    path = str(tmp_path / "nested")
+    sources.to_parquet(df, path, dataset=True, mode="overwrite")
+    back = sources.read_parquet(spark, path, dataset=True)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    row = back.orderBy("id").first()
+    assert row.arr == [1, 2] and row.m == {"a": 1} and row.st.b == "x"
+
+
+def test_decimal_roundtrip(spark, tmp_path):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("12345.6789")), (2, Decimal("-0.0001"))],
+        "id bigint, d decimal(18,4)",
+    )
+    path = str(tmp_path / "dec")
+    sources.to_parquet(df, path, dataset=True, mode="overwrite")
+    back = sources.read_parquet(spark, path, dataset=True)
+    assert dict(back.dtypes)["d"] == "decimal(18,4)"
+    got = {r.id: r.d for r in back.collect()}
+    assert got == {1: Decimal("12345.6789"), 2: Decimal("-0.0001")}
+
+
+def test_chunked_exact_rows(spark, sf_dir):
+    """chunked=int yields exact-row pandas chunks (reference carry-over
+    slicing contract, s3/_read_parquet.py:259-282)."""
+    it = sources.read_parquet(spark, f"{sf_dir}/nation.parquet", chunked=7)
+    sizes = [len(c) for c in it]
+    assert all(s == 7 for s in sizes[:-1])
+    assert 0 < sizes[-1] <= 7
+    assert sum(sizes) == 25
