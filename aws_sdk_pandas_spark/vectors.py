@@ -165,3 +165,65 @@ def query_vectors(
         metric=distance_metric,
         where=where,
     )
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "embedding",
+    dim: int = 64,
+    embed_fn=None,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Batch text embedding via ``mapInPandas`` (reference:
+    awswrangler/s3/_vectors/_bedrock.py:20-73 — a threaded map over an
+    embedding endpoint; here the parallelism is Spark's and the batching
+    is Arrow's).
+
+    ``embed_fn: Callable[[list[str]], list[list[float]]]`` is the model
+    client — inject the real endpoint call; rate-limit by capping
+    concurrent tasks (partition count), exactly like the reference's
+    ``maxConcurrent``.  Default is a deterministic hash-projection
+    embedding (token-hash buckets, L2-normalized) so pipelines are
+    buildable and testable without network access; it is NOT a semantic
+    model and says so here rather than pretending.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def _default_embed(texts: list[str]) -> list[list[float]]:
+        import zlib
+
+        import numpy as np
+
+        out = []
+        for t in texts or []:
+            v = np.zeros(dim, dtype=np.float64)
+            for tok in (t or "").lower().split():
+                # crc32, not hash(): Python's hash is per-process salted
+                # and would differ across executors
+                h = zlib.crc32(tok.encode("utf-8"))
+                v[h % dim] += 1.0 + (h >> 8) % 7 / 7.0
+            n = math.sqrt(float((v * v).sum())) or 1.0
+            out.append((v / n).astype(np.float32).tolist())
+        return out
+
+    fn = embed_fn or _default_embed
+
+    def _map(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            vecs = []
+            for i in range(0, len(texts), batch_size):
+                vecs.extend(fn(texts[i : i + batch_size]))
+            pdf = pdf.copy()
+            pdf[out_col] = vecs
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -133,3 +133,31 @@ def test_read_logs_time_window(logs_df):
 def test_insights_unknown_verb(logs_df):
     with pytest.raises(InvalidArgument):
         logs.run_query(logs_df, "explode everything")
+
+
+def test_embed_texts_deterministic_and_normalized(spark):
+    from aws_sdk_pandas_spark.vectors import embed_texts
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different text"), (4, None)],
+        "id bigint, text string",
+    )
+    out = {r.id: r.embedding for r in embed_texts(df, dim=16).collect()}
+    assert out[1] == out[2]            # deterministic across rows/tasks
+    assert out[1] != out[3]
+    assert len(out[1]) == 16
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5      # L2-normalized
+    assert sum(abs(x) for x in out[4]) == 0.0  # null text -> zero vector
+
+
+def test_embed_texts_custom_fn(spark):
+    from aws_sdk_pandas_spark.vectors import embed_texts
+
+    df = spark.createDataFrame([(1, "abc")], "id bigint, text string")
+
+    def fake(texts):
+        return [[float(len(t)), 0.0] for t in texts]
+
+    row = embed_texts(df, dim=2, embed_fn=fake).first()
+    assert row.embedding == [3.0, 0.0]
