@@ -324,16 +324,70 @@ def simhash_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    radius: int = 0,
+    bits: int = 63,
 ) -> DataFrame:
-    """Documents sharing an identical SimHash signature (Hamming distance
-    0).  Radius>0 banding search is a planned extension."""
-    sigs = simhash_signatures(df.select(id_col, text_col), text_col)
-    l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash"))
-    r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    """Near-duplicates by SimHash Hamming distance <= ``radius``.
+
+    radius=0: identical signatures — a single equi-self-join on the hash.
+    radius>0: pigeonhole banding — the 63 bits split into ``radius+1``
+    bands; two signatures within distance r agree exactly on at least one
+    band, so candidates come from ``radius+1`` equi-joins on (band id,
+    band bits) — never an O(n^2) comparison — then exact verification via
+    ``bit_count(a XOR b) <= radius`` (JVM-side POPCNT).
+    Returns ``id_a, id_b, hamming``.
+    """
+    sigs = simhash_signatures(df.select(id_col, text_col), text_col, bits=bits)
+    if radius == 0:
+        l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+        r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+        return (
+            l.join(r, "simhash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).alias("hamming"))
+        )
+
+    n_bands = radius + 1
+    width = bits // n_bands
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # band b = bits [b*width, ...) (last band takes the rest)
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(
+                            F.lit(
+                                (1 << (bits - b * width)) - 1
+                                if b == n_bands - 1
+                                else (1 << width) - 1
+                            )
+                        )
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+
+    l = banded.select(
+        F.col("band"), F.col("key"), F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    r = banded.select(
+        F.col("band"), F.col("key"), F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
     return (
-        l.join(r, "simhash")
+        l.join(r, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "simhash")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -162,3 +162,53 @@ def test_merge_upsert_into_table(spark, tmp_path):
         pytest.skip("catalog format does not support MERGE (no Delta/Iceberg jar)")
     got = {r.k: r.v for r in spark.table("asps_merge_t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_simhash_radius_banding(spark):
+    from aws_sdk_pandas_spark.operators.dedup import simhash_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "the quick brown fox jumps over the lazy cat again and again"),
+            (4, "completely unrelated text about database query optimization"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {(r.id_a, r.id_b) for r in simhash_duplicates(df).collect()}
+    assert (1, 2) in exact and all(4 not in p for p in exact)
+
+    near = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_duplicates(df, radius=8).collect()
+    }
+    assert near[(1, 2)] == 0
+    assert (1, 3) in near and 0 < near[(1, 3)] <= 8   # one-word change
+    assert all(4 not in (a, b) for (a, b) in near)
+
+
+def test_simhash_radius_matches_brute_force(spark):
+    from aws_sdk_pandas_spark.operators.dedup import simhash_duplicates, simhash_signatures
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} talks about topic {i % 5} in depth") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    radius = 6
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simhash_duplicates(docs, radius=radius).collect()
+    }
+    sigs = simhash_signatures(docs.select("doc_id", "text"))
+    l = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    r = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (x.id_a, x.id_b)
+        for x in l.crossJoin(r)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= radius)
+        .collect()
+    }
+    assert banded == brute  # pigeonhole banding is exact, not approximate
