@@ -228,3 +228,27 @@ def running_state_per_key(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    subset: list[str],
+    *,
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only for the
+    watermark horizon, so the dedup state store cannot grow without bound
+    (a plain ``dropDuplicates`` on a stream retains every key forever).
+
+    Batch DataFrames fall back to plain ``dropDuplicates`` — same result,
+    no state store involved.  Complements the corpus-level dedup operators
+    (operators/dedup.py) for the ingestion path: exact-key dedup at the
+    door, minhash/simhash offline.
+    """
+    if not stream_df.isStreaming:
+        return stream_df.dropDuplicates(subset)
+    return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        subset
+    )

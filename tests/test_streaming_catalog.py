@@ -191,3 +191,29 @@ def test_running_state_per_key(spark, tmp_path):
     q.awaitTermination()
     got = {r.key: (r.n_events, r.sum_value) for r in spark.table("state_mem").collect()}
     assert got == {"u1": (2, 12.0), "u2": (1, 1.0)}
+
+
+def test_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "dds")
+    df = spark.createDataFrame(
+        [("e1", "2024-01-01 10:00:00"), ("e1", "2024-01-01 10:00:30"),
+         ("e2", "2024-01-01 10:01:00")],
+        "event_key string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+
+    stream = streaming.read_stream(spark, src)
+    q = (
+        streaming.dedup_stream(stream, ["event_key"], watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("dds_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    keys = [r.event_key for r in spark.table("dds_mem").collect()]
+    assert sorted(keys) == ["e1", "e2"]
+
+    # batch fallback: same semantics, no state store
+    assert streaming.dedup_stream(df, ["event_key"]).count() == 2
