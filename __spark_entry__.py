@@ -1014,6 +1014,22 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline composition (rows-only): embed documents via
+    the Arrow-batched embed_texts plumbing, then top-k nearest documents
+    to doc 0 — the train-data retrieval pattern at query depth one."""
+    from aws_sdk_pandas_spark.operators.similarity import knn_brute_force
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.vectors import embed_texts
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    embedded = embed_texts(docs, dim=32)
+    q = embedded.where("doc_id = 0").select("embedding").first()[0]
+    return knn_brute_force(
+        embedded.where("doc_id <> 0"), q, k=10, id_col="doc_id", vector_col="embedding"
+    )
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1060,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": _q_knn_ivf,
         "hopping_window_stats": _q_hopping_window,
         "dq_outliers_zscore": _q_outliers,
+        "doc_semantic_knn": _q_semantic_knn,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
