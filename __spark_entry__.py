@@ -439,6 +439,27 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 10 AND l_quantity <= 50)
 """
 
+_Q20_STYLE = """
+SELECT s_name, s_suppkey
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%a%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 0.011 * (
+        SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        WHERE p2.p_name LIKE '%a%'
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+)
+ORDER BY s_name
+"""
+
 _Q22 = """
 SELECT cntrycode,
        COUNT(*) AS numcust,
@@ -1094,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_cnt": lambda s, d: _sql(s, d, _Q16),
         "q18_large_volume_customer": lambda s, d: _sql(s, d, _Q18),
         "q19_disjunctive_filter": lambda s, d: _sql(s, d, _Q19),
+        "q20_top_share_suppliers": lambda s, d: _sql(s, d, _Q20_STYLE),
         "q22_sales_opportunity": lambda s, d: _sql(s, d, _Q22),
         "events_daily_stats": lambda s, d: _sql(s, d, _EVENTS_DAILY),
         "events_top_users": lambda s, d: _sql(s, d, _EVENTS_TOP_USERS),
@@ -1360,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_cnt": _Q16,
         "q18_large_volume_customer": _Q18,
         "q19_disjunctive_filter": _Q19,
+        "q20_top_share_suppliers": _Q20_STYLE,
         "q22_sales_opportunity": _Q22,
         "events_daily_stats": _EVENTS_DAILY,
         "events_top_users": _EVENTS_TOP_USERS,
