@@ -104,3 +104,19 @@ def test_minhash_no_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plans_helpers(spark, sf_dir):
+    from aws_sdk_pandas_spark import plans
+
+    df = entry.queries()["q05_local_supplier_volume"](spark, sf_dir)
+    df.collect()
+    plans.assert_scale_safe(df)
+    assert sum(plans.join_strategies(df).values()) >= 4
+    assert "l_shipdate" in plans.pushed_filters(
+        entry.queries()["scan_projection_pushdown"](spark, sf_dir)
+    )
+
+    a = spark.range(5).crossJoin(spark.range(5))
+    with pytest.raises(AssertionError):
+        plans.assert_scale_safe(a)
