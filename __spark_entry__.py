@@ -1051,6 +1051,24 @@ def _q_semantic_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN: top-3 neighbors for five query vectors in ONE
+    corpus scan (operators/similarity.knn_batch).  Oracle: cross join +
+    row_number in SQL."""
+    from aws_sdk_pandas_spark.operators.similarity import knn_batch
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.where("vec_id >= 5")
+    return knn_batch(
+        corpus, queries, k=3, id_col="vec_id", vector_col="embedding",
+        query_id_col="query_id", query_vector_col="embedding",
+    ).orderBy("query_id", "rank")
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1098,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_stats": _q_hopping_window,
         "dq_outliers_zscore": _q_outliers,
         "doc_semantic_knn": _q_semantic_knn,
+        "emb_knn_batch": _q_knn_batch,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1317,6 +1336,27 @@ def oracle_sql() -> dict[str, str]:
             FROM stats
             WHERE s IS NOT NULL AND s > 0 AND ABS(value - m) > 2.5 * s
             ORDER BY event_id
+        """,
+        "emb_knn_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id >= 5
+            ), d AS (
+                SELECT q.query_id, c.vec_id,
+                       ROUND(1.0 - list_cosine_similarity(c.cv, q.qv), 6) AS distance,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY ROUND(1.0 - list_cosine_similarity(c.cv, q.qv), 6) ASC,
+                                    c.vec_id ASC
+                       ) AS rank
+                FROM c, q
+            )
+            SELECT query_id, vec_id, distance, rank
+            FROM d WHERE rank <= 3
+            ORDER BY query_id, rank
         """,
         "hopping_window_stats": """
             SELECT wstart, COUNT(*) AS n_events,

@@ -319,3 +319,43 @@ def knn_ivf(
         vector_col=vector_col,
         metric=metric,
     )
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "key",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query row at once.
+
+    Plan: corpus x broadcast(queries) — the query set is the small side by
+    construction, so this is a broadcast nested-loop over |corpus| x |Q|
+    with JVM-side distances, then one shuffle on query_id for the
+    per-query top-k window.  For |Q| queries this replaces |Q| separate
+    scans of the corpus with ONE.  Returns ``query_id, id_col, distance,
+    rank``.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vector_col).alias("__qv")
+    )
+    paired = corpus.select(
+        F.col(id_col), F.col(vector_col).alias("__cv")
+    ).crossJoin(F.broadcast(q))
+    dist = _distance(metric, F.col("__cv"), F.col("__qv"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        paired.withColumn("distance", F.round(dist, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "distance", "rank")
+    )

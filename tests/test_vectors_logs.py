@@ -161,3 +161,30 @@ def test_embed_texts_custom_fn(spark):
 
     row = embed_texts(df, dim=2, embed_fn=fake).first()
     assert row.embedding == [3.0, 0.0]
+
+
+def test_knn_batch_matches_single_queries(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.similarity import knn_batch, knn_brute_force
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where("vec_id >= 3")
+    batched = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_batch(
+            corpus, queries, k=3, id_col="vec_id", vector_col="embedding",
+            query_id_col="query_id", query_vector_col="embedding",
+        ).collect()
+    }
+    for qid in range(3):
+        qv = emb.where(f"vec_id = {qid}").select("embedding").first()[0]
+        singles = [
+            r.vec_id
+            for r in knn_brute_force(
+                corpus, qv, k=3, id_col="vec_id", vector_col="embedding"
+            ).collect()
+        ]
+        assert [batched[(qid, rk)] for rk in (1, 2, 3)] == singles
