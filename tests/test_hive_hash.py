@@ -1,0 +1,61 @@
+"""Golden-value tests for the Hive-compatible bucket hash.
+
+Expected values are public Java semantics: String.hashCode
+(h = 31*h + c, 32-bit wraparound), Long.hashCode ((v >>> 32) ^ v),
+Boolean.hashCode (1231/1237) — the contract the reference ports at
+awswrangler/s3/_write_dataset.py:34-72.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark.functions.hashing import hive_bucket, hive_hash_string
+
+
+def _java_string_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def test_string_hash_golden(spark):
+    cases = ["", "a", "ab", "hello", "Supplier#000000064", "polar bear"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.h for r in df.withColumn("h", hive_hash_string(F.col("s"))).collect()}
+    for c in cases:
+        assert got[c] == _java_string_hash(c), c
+    # spot-check the well-known constant
+    assert _java_string_hash("hello") == 99162322
+
+
+def test_long_and_bool_hash(spark):
+    df = spark.createDataFrame(
+        [(1, (1 << 33) + 5, True), (2, -7, False)], "id int, v long, b boolean"
+    )
+    from aws_sdk_pandas_spark.functions.hashing import hive_hash
+
+    got = {
+        r.id: (r.hv, r.hb)
+        for r in df.select(
+            "id",
+            hive_hash(F.col("v"), dtypes=[T.LongType()]).alias("hv"),
+            hive_hash(F.col("b"), dtypes=[T.BooleanType()]).alias("hb"),
+        ).collect()
+    }
+    # Java Long.hashCode((1<<33)+5) = (int)((v>>>32) ^ v) = 2 ^ 5 = 7
+    assert got[1] == (7, 1231)
+    # Long.hashCode(-7): v=0xFFFFFFFFFFFFFFF9; (v>>>32)=0xFFFFFFFF; xor=0x6 -> 6
+    assert got[2] == (6, 1237)
+
+
+def test_bucket_stability_and_range(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    b = df.withColumn("bucket", hive_bucket(8, "k", df=df))
+    vals = [r.bucket for r in b.collect()]
+    assert set(vals) <= set(range(8))
+    assert len(set(vals)) > 1  # spreads
+    again = [r.bucket for r in df.withColumn("bucket", hive_bucket(8, "k", df=df)).collect()]
+    assert vals == again
