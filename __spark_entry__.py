@@ -1069,6 +1069,20 @@ def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to hourly buckets + forward fill
+    (operators/timeseries.resample_locf — the hypertable-rollup/gap-fill
+    pattern).  Oracle: generate_series grid + IGNORE NULLS last_value."""
+    from aws_sdk_pandas_spark.operators.timeseries import resample_locf
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").where("user_id < 10")
+    out = resample_locf(ev, time_col="ts", value_col="value", by=["user_id"], step="1 hour")
+    return out.select(
+        "user_id", "bucket", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "bucket")
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_outliers_zscore": _q_outliers,
         "doc_semantic_knn": _q_semantic_knn,
         "emb_knn_batch": _q_knn_batch,
+        "ts_resample_gapfill": _q_resample_locf,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1336,6 +1351,24 @@ def oracle_sql() -> dict[str, str]:
             FROM stats
             WHERE s IS NOT NULL AND s > 0 AND ABS(value - m) > 2.5 * s
             ORDER BY event_id
+        """,
+        "ts_resample_gapfill": """
+            WITH agg AS (
+                SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS tb,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE) AS v
+                FROM events WHERE user_id < 10
+                GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+            ), b AS (
+                SELECT user_id, MIN(tb) AS lo, MAX(tb) AS hi FROM agg GROUP BY user_id
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tb FROM b
+            ), j AS (
+                SELECT g.user_id, g.tb, a.v FROM grid g LEFT JOIN agg a USING (user_id, tb)
+            )
+            SELECT user_id, tb AS bucket,
+                   ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY tb ROWS UNBOUNDED PRECEDING), 4) AS value
+            FROM j ORDER BY user_id, bucket
         """,
         "emb_knn_batch": """
             WITH q AS (

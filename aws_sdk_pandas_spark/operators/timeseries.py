@@ -1,0 +1,81 @@
+"""Time-series resample / gap-fill — the hypertable-rollup pattern.
+
+The reference ships Timestream SQL through to the service, which owns
+interpolation fns (SURVEY §2.5: timestream/_read.py:130).  Spark-first,
+the same capability is a composition: bucket-aggregate, per-group dense
+time grid (``sequence`` — generated distributed, never on the driver),
+left join observations onto the grid, forward-fill with an
+ignore-nulls window.
+
+Scale: one shuffle for the bucket aggregate, one for the grid join (both
+keyed by the group), one window partitioned by group.  Grid size is
+bounded by (span/step) per group, not by input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_locf(
+    df: DataFrame,
+    *,
+    time_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    step: str = "1 hour",
+    agg: str = "avg",
+) -> DataFrame:
+    """Regularize an irregular series to ``step`` buckets per group and
+    forward-fill (last observation carried forward) the empty buckets.
+
+    Returns ``by..., bucket (timestamp), value`` — ``value`` is the
+    bucket aggregate where observations exist, else the previous bucket's
+    filled value (null until the first observation).
+    """
+    from aws_sdk_pandas_spark.operators.rangejoin import _parse_duration_seconds
+
+    step_s = int(_parse_duration_seconds(step))
+    by = list(by or [])
+
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(time_col)) / step_s) * step_s).cast("long")
+    )
+    if agg == "avg":
+        # decimal-exact mean: IEEE double summation order differs across
+        # engines/partitions; decimal sums do not
+        val = (
+            F.sum(F.col(value_col).cast("decimal(18,6)")) / F.count(F.lit(1))
+        ).cast("double")
+    elif agg in ("sum", "min", "max", "count"):
+        val = getattr(F, agg)(F.col(value_col)).cast("double")
+    else:
+        raise ValueError(f"unsupported agg {agg!r}")
+
+    buckets = (
+        df.withColumn("__b", bucket)
+        .groupBy(*by, "__b")
+        .agg(val.alias("__v"))
+    )
+    bounds = buckets.groupBy(*by).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step_s} SECONDS"))
+        ).alias("__b"),
+    )
+    joined = grid.join(buckets, by + ["__b"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *by,
+        F.col("__b").alias("bucket"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+    )

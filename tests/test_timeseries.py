@@ -1,0 +1,36 @@
+"""resample_locf semantics: bucketing, gap creation, forward fill."""
+
+from __future__ import annotations
+
+from aws_sdk_pandas_spark.operators.timeseries import resample_locf
+from pyspark.sql import functions as F
+
+
+def test_gapfill_locf(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:10:00", 2.0),
+            ("u1", "2024-01-01 00:40:00", 4.0),   # same hour -> avg 3.0
+            ("u1", "2024-01-01 03:30:00", 9.0),   # hours 1,2 are gaps
+            ("u2", "2024-01-01 05:00:00", 1.0),
+        ],
+        "user string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_locf(df, time_col="ts", value_col="value", by=["user"], step="1 hour")
+    rows = {(r.user, r.bucket.hour): r.value for r in out.collect()}
+    assert rows == {
+        ("u1", 0): 3.0,
+        ("u1", 1): 3.0,   # filled
+        ("u1", 2): 3.0,   # filled
+        ("u1", 3): 9.0,
+        ("u2", 5): 1.0,
+    }
+
+
+def test_gapfill_grid_bounded_by_span(spark):
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-02 00:00:00", 2.0)],
+        "user string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_locf(df, time_col="ts", value_col="value", by=["user"], step="6 hours")
+    assert out.count() == 5  # 24h span / 6h step + 1
