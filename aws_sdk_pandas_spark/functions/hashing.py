@@ -101,3 +101,39 @@ def hive_bucket(n_buckets: int, *cols: str | Column, df: DataFrame | None = None
     assignment; reference: s3/_write_dataset.py:67-72)."""
     h = hive_hash(*cols, df=df)
     return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n_buckets)).cast(T.IntegerType())
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split by key hash — the train/val/test
+    assignment for training-data pipelines.  Unlike ``randomSplit`` the
+    assignment is a pure function of the key (stable across runs, Spark
+    versions, and partitionings, and all rows sharing a key land in the
+    same split — no leakage between train and test for duplicated keys).
+
+    ``weights`` maps split name -> fraction (must sum to ~1).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise InvalidDataType(f"split weights must sum to 1, got {total}")
+    # uniform in [0,1): xxhash64 seeded, sign-masked, scaled
+    u = (F.xxhash64(F.col(key_col), F.lit(seed)).bitwiseAND(F.lit((1 << 63) - 1))) / F.lit(
+        float(1 << 63)
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)

@@ -59,3 +59,30 @@ def test_bucket_stability_and_range(spark):
     assert len(set(vals)) > 1  # spreads
     again = [r.bucket for r in df.withColumn("bucket", hive_bucket(8, "k", df=df)).collect()]
     assert vals == again
+
+
+def test_hash_split_deterministic_and_leak_free(spark):
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+
+    df = spark.range(10000).selectExpr("id", "id % 1000 AS user")
+    split = hash_split(df, "user", {"train": 0.8, "val": 0.1, "test": 0.1})
+    frac = {
+        r.split: r.n for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    }
+    assert 0.7 < frac["train"] / 10000 < 0.9
+    assert set(frac) == {"train", "val", "test"}
+    # key-level: every row of a user lands in ONE split (no leakage)
+    leaks = (
+        split.groupBy("user").agg({"split": "approx_count_distinct"}).where(
+            "`approx_count_distinct(split)` > 1"
+        ).count()
+    )
+    assert leaks == 0
+    # stable across invocations
+    a = {r.user: r.split for r in split.select("user", "split").distinct().collect()}
+    b = {
+        r.user: r.split
+        for r in hash_split(df, "user", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("user", "split").distinct().collect()
+    }
+    assert a == b
