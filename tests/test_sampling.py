@@ -1,0 +1,35 @@
+"""cap_per_group / stratified_sample determinism and semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.sampling import cap_per_group, stratified_sample
+
+
+def test_cap_per_group_counts_and_determinism(spark):
+    df = spark.range(1000).selectExpr("id", "id % 3 AS g", "CAST(id AS DOUBLE) AS score")
+    capped = cap_per_group(df, ["g"], 10)
+    counts = {r.g: r["count"] for r in capped.groupBy("g").count().collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
+    again = cap_per_group(df.repartition(7), ["g"], 10)
+    assert {r.id for r in capped.collect()} == {r.id for r in again.collect()}
+
+
+def test_cap_per_group_by_score_keeps_best(spark):
+    df = spark.range(100).selectExpr("id", "id % 2 AS g", "CAST(id AS DOUBLE) AS score")
+    top = cap_per_group(df, ["g"], 3, order_col="score")
+    ids = sorted(r.id for r in top.collect())
+    assert ids == [94, 95, 96, 97, 98, 99]  # highest scores per parity group
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    df = spark.range(20000).selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s")
+    samp = stratified_sample(df, "s", {"a": 0.5, "b": 0.1})
+    n = {r.s: r["count"] for r in samp.groupBy("s").count().collect()}
+    assert 0.45 < n["a"] / 10000 < 0.55
+    assert 0.05 < n["b"] / 10000 < 0.15
+    again = stratified_sample(df.repartition(13), "s", {"a": 0.5, "b": 0.1})
+    assert {r.id for r in samp.collect()} == {r.id for r in again.collect()}
+    # strata not in the dict are dropped entirely
+    assert stratified_sample(df, "s", {"a": 1.0}).where("s = 'b'").count() == 0
