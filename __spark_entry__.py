@@ -1083,6 +1083,19 @@ def _q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep the 5 longest documents per language
+    (operators/sampling.cap_per_group).  Oracle: two-key row_number."""
+    from aws_sdk_pandas_spark.operators.sampling import cap_per_group
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    capped = cap_per_group(
+        docs, ["lang"], 5, order_col=F.struct("n_chars", "doc_id").desc()
+    )
+    return capped.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
+
+
 _RANK_IN_SEGMENT = """
 SELECT c_mktsegment, o_orderkey, rn
 FROM (
@@ -1132,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semantic_knn": _q_semantic_knn,
         "emb_knn_batch": _q_knn_batch,
         "ts_resample_gapfill": _q_resample_locf,
+        "docs_cap_per_lang": _q_cap_per_lang,
         "q02_max_acctbal_supplier": lambda s, d: _sql(s, d, _Q02_MAX_SUPP),
         "q03_shipping_priority": lambda s, d: _sql(s, d, _Q03),
         "q04_order_priority_exists": lambda s, d: _sql(s, d, _Q04),
@@ -1351,6 +1365,17 @@ def oracle_sql() -> dict[str, str]:
             FROM stats
             WHERE s IS NOT NULL AND s > 0 AND ABS(value - m) > 2.5 * s
             ORDER BY event_id
+        """,
+        "docs_cap_per_lang": """
+            SELECT lang, doc_id, n_chars
+            FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id DESC) AS rn
+                FROM documents
+            ) t
+            WHERE rn <= 5
+            ORDER BY lang, doc_id
         """,
         "ts_resample_gapfill": """
             WITH agg AS (
