@@ -8,12 +8,20 @@ from __future__ import annotations
 from aws_sdk_pandas_spark.functions.hashing import hive_hash, hive_hash_string
 from aws_sdk_pandas_spark.functions.text import (
     document_fingerprint,
+    extract_emails,
+    extract_urls,
     language_id,
     ngrams,
     quality_score,
+    redact_pii,
     shingles,
     token_count,
     tokens,
+)
+from aws_sdk_pandas_spark.functions.zorder import (
+    write_zordered,
+    zorder_key,
+    zorder_key_sql,
 )
 from aws_sdk_pandas_spark.functions.vectors import (
     cosine_similarity,
@@ -28,14 +36,20 @@ __all__ = [
     "document_fingerprint",
     "dot_product",
     "euclidean_distance",
+    "extract_emails",
+    "extract_urls",
     "hive_hash",
     "hive_hash_string",
     "l2_norm",
     "language_id",
     "ngrams",
     "quality_score",
+    "redact_pii",
     "shingles",
     "token_count",
     "tokens",
     "vector_literal",
+    "write_zordered",
+    "zorder_key",
+    "zorder_key_sql",
 ]

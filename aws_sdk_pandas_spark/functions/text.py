@@ -126,6 +126,48 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) ->
     )
 
 
+# PII / entity patterns — deliberately RE2-and-Java-compatible (no
+# backreferences, no lookbehind) so the same pattern text runs on Spark
+# (java.util.regex) and any RE2-based SQL oracle engine.
+PII_PATTERNS: dict[str, str] = {
+    # URLs first: an email-looking token inside a URL must be consumed as
+    # part of the URL, not double-redacted
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace PII-ish spans with ``<KIND>`` placeholders — the standard
+    pre-training scrub pass, kept entirely JVM-side as a chain of
+    ``regexp_replace`` (one codegen'd pass per pattern, no Python UDF).
+
+    Order matters and is fixed: URLs before emails (so ``http://a@b.com``
+    is one ``<URL>``), phones before IPv4 (``555-123-4567`` must not be
+    half-eaten by the IP rule after digit runs are replaced).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or list(PII_PATTERNS):
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}")
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def extract_emails(col: Column | str) -> Column:
+    """All email addresses in the text, in order (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), 0)
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All http(s) URLs in the text, in order (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(PII_PATTERNS["url"]), 0)
+
+
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams as an array<string> (space-joined).
 

@@ -10,7 +10,12 @@ from aws_sdk_pandas_spark.operators.dedup import (
     ngram_jaccard_duplicates,
     simhash_signatures,
 )
-from aws_sdk_pandas_spark.operators.merge import merge_upsert, upsert_dataframe
+from aws_sdk_pandas_spark.operators.merge import (
+    latest_snapshot,
+    merge_upsert,
+    upsert_dataframe,
+)
+from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
 from aws_sdk_pandas_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
@@ -22,7 +27,9 @@ __all__ = [
     "dedup_fingerprint",
     "knn_brute_force",
     "knn_lsh",
+    "latest_snapshot",
     "merge_upsert",
+    "scd2_from_changes",
     "minhash_duplicates",
     "ngram_jaccard_duplicates",
     "simhash_signatures",

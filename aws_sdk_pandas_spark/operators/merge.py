@@ -36,6 +36,29 @@ def _precombine_latest(df: DataFrame, keys: list[str], precombine_key: str) -> D
     )
 
 
+def latest_snapshot(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """CDC log compaction: keep only the newest row per key.
+
+    The batch form of "replication stream -> current table" (the
+    reference's precombine semantics, redshift/_utils.py:186-199,
+    generalized to a deterministic multi-column version order).  One
+    shuffle on the keys; ``order_by`` must be deterministic — include a
+    tiebreaker column.
+    """
+    if not keys or not order_by:
+        raise InvalidArgument("keys and order_by are required")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def upsert_dataframe(
     target: DataFrame,
     source: DataFrame,

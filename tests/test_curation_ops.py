@@ -1,0 +1,211 @@
+"""Round-2 curation/warehouse operators: PII redaction, SCD2 history,
+CDC latest-snapshot, Z-order clustering, small-file compaction."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.functions.text import (
+    extract_emails,
+    extract_urls,
+    redact_pii,
+)
+from aws_sdk_pandas_spark.functions.zorder import (
+    write_zordered,
+    zorder_key,
+    zorder_key_sql,
+)
+from aws_sdk_pandas_spark.operators.merge import latest_snapshot
+from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
+from aws_sdk_pandas_spark.sources.compaction import compact_dataset
+
+
+# ---------------------------------------------------------------- text / PII
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "mail a.b+c@test.org or visit https://x.io/p?q=1 "
+                "call 555-123-4567 from 10.0.0.1 end",
+            )
+        ],
+        "text string",
+    )
+    out = df.select(redact_pii("text").alias("t")).first().t
+    assert out == "mail <EMAIL> or visit <URL> call <PHONE> from <IPV4> end"
+
+
+def test_redact_pii_url_swallows_embedded_email(spark):
+    df = spark.createDataFrame([("see http://user@host.com/path now",)], "text string")
+    out = df.select(redact_pii("text").alias("t")).first().t
+    assert out == "see <URL> now"
+
+
+def test_redact_pii_selected_kinds_only(spark):
+    df = spark.createDataFrame([("a@b.co 1.2.3.4",)], "text string")
+    out = df.select(redact_pii("text", kinds=["email"]).alias("t")).first().t
+    assert out == "<EMAIL> 1.2.3.4"
+    with pytest.raises(ValueError):
+        redact_pii("text", kinds=["ssn"])
+
+
+def test_extract_emails_and_urls(spark):
+    df = spark.createDataFrame(
+        [("x a@b.co y c@d.org z https://e.fg/h i",)], "text string"
+    )
+    row = df.select(
+        extract_emails("text").alias("e"), extract_urls("text").alias("u")
+    ).first()
+    assert row.e == ["a@b.co", "c@d.org"]
+    assert row.u == ["https://e.fg/h"]
+
+
+# ---------------------------------------------------------------- SCD2 / CDC
+@pytest.fixture()
+def change_log(spark):
+    return spark.createDataFrame(
+        [
+            # key 1: gold -> gold (no change, collapses) -> silver
+            (1, date(2024, 1, 1), "gold", 1),
+            (1, date(2024, 2, 1), "gold", 2),
+            (1, date(2024, 3, 1), "silver", 3),
+            # key 2: single row stays current
+            (2, date(2024, 1, 15), "bronze", 4),
+            # key 3: null attr -> value (null-safe change detection)
+            (3, date(2024, 1, 1), None, 5),
+            (3, date(2024, 2, 1), "gold", 6),
+        ],
+        "k int, d date, tier string, seq int",
+    )
+
+
+def test_scd2_versions_and_intervals(change_log):
+    hist = scd2_from_changes(change_log, ["k"], ["d", "seq"], ["tier"])
+    rows = {(r.k, r.tier): r for r in hist.collect()}
+    assert len(rows) == 5  # six change-log rows, the one no-change row collapsed
+    v1 = rows[(1, "gold")]
+    assert v1.valid_from == date(2024, 1, 1)
+    assert v1.valid_to == date(2024, 3, 1)
+    assert not v1.is_current
+    v2 = rows[(1, "silver")]
+    assert v2.valid_to is None and v2.is_current
+    assert rows[(2, "bronze")].is_current
+    v3 = rows[(3, None)]
+    assert v3.valid_to == date(2024, 2, 1) and not v3.is_current
+
+
+def test_scd2_requires_args(change_log):
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    with pytest.raises(InvalidArgument):
+        scd2_from_changes(change_log, [], ["d"], ["tier"])
+
+
+def test_latest_snapshot_keeps_newest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c"), (1, 2, "b"), (2, 1, "x")],
+        "k int, v int, payload string",
+    )
+    out = latest_snapshot(df, ["k"], ["v"])
+    got = {(r.k, r.payload) for r in out.collect()}
+    assert got == {(1, "c"), (2, "x")}
+    # deterministic under repartitioning
+    again = latest_snapshot(df.repartition(5), ["k"], ["v"])
+    assert {(r.k, r.payload) for r in again.collect()} == got
+
+
+# ---------------------------------------------------------------- Z-order
+def _py_morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 255, 1023) for b in (0, 2, 7, 512)],
+        "a long, b long",
+    )
+    rows = df.select("a", "b", zorder_key(["a", "b"], bits=10).alias("z")).collect()
+    for r in rows:
+        assert r.z == _py_morton([r.a, r.b], 10), (r.a, r.b)
+
+
+def test_zorder_key_sql_matches_column_expr(spark):
+    df = spark.createDataFrame([(13, 900), (1023, 0)], "a long, b long")
+    expr = zorder_key_sql(["a", "b"], bits=10)
+    rows = df.select(
+        zorder_key(["a", "b"], bits=10).alias("z1"),
+        F.expr(expr).alias("z2"),
+    ).collect()
+    for r in rows:
+        assert r.z1 == r.z2
+
+
+def test_zorder_key_guards():
+    with pytest.raises(ValueError):
+        zorder_key([])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 62
+
+
+def test_write_zordered_clusters_files(spark, tmp_path):
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS x", "CAST((id * 7) % 64 AS LONG) AS y"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, ["x", "y"], bits=6, num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    # range partitioning on the z-key => per-file key ranges are disjoint
+    withf = back.withColumn("f", F.input_file_name()).withColumn(
+        "z", zorder_key([F.pmod(F.col("x"), F.lit(64)), F.pmod(F.col("y"), F.lit(64))], bits=6)
+    )
+    spans = withf.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
+# ---------------------------------------------------------------- compaction
+def test_compact_dataset_flat(spark, tmp_path):
+    out = str(tmp_path / "flat")
+    spark.range(10000).repartition(40).write.parquet(out)
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    report = compact_dataset(spark, out, target_file_bytes=64 * 1024 * 1024)
+    (leaf_stats,) = report.values()
+    assert leaf_stats["files_before"] == 40
+    assert leaf_stats["files_after"] < 40
+    back = spark.read.parquet(out)
+    assert back.count() == n_before
+    assert {r.id for r in back.collect()} == set(range(10000))
+
+
+def test_compact_dataset_partitioned_preserves_layout(spark, tmp_path):
+    out = str(tmp_path / "part")
+    (
+        spark.range(2000)
+        .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+        .repartition(10)
+        .write.partitionBy("p")
+        .parquet(out)
+    )
+    report = compact_dataset(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert len(report) == 2  # one rewrite per partition leaf
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert set(back.columns) == {"id", "p"}
+    assert back.groupBy("p").count().count() == 2
+
+
+def test_compact_dataset_skips_already_compact(spark, tmp_path):
+    out = str(tmp_path / "ok")
+    spark.range(100).coalesce(1).write.parquet(out)
+    report = compact_dataset(spark, out)
+    assert report == {}
