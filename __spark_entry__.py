@@ -1109,6 +1109,161 @@ WHERE rn <= 3
 ORDER BY c_mktsegment, rn
 """
 
+# q21's shape (the waiting-supplier double-correlated EXISTS / NOT EXISTS)
+# over the slim schema: l_shipdate stands in for the receipt/commit pair the
+# driver's lineitem lacks — "the supplier whose shipment is the latest in a
+# multi-supplier order of a finished order"
+_Q21_STYLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+_GROUPING_SETS = """
+SELECT CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+       o_orderpriority,
+       o_orderstatus,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+ORDER BY g_pri, g_status, o_orderpriority, o_orderstatus
+"""
+
+_STATS_SUMMARY = """
+SELECT CAST(ROUND(CORR(l_quantity, l_extendedprice), 4) AS DOUBLE)        AS corr_qty_price,
+       CAST(ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS DOUBLE)  AS covar_qty_price,
+       CAST(ROUND(STDDEV_SAMP(l_discount), 6) AS DOUBLE)                  AS std_discount,
+       CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)   AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+"""
+
+_HISTOGRAM_EVENTS = """
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(ROUND(MIN(value), 2) AS DOUBLE) AS min_v,
+       CAST(ROUND(MAX(value), 2) AS DOUBLE) AS max_v
+FROM events
+GROUP BY CAST(FLOOR(value / 25.0) AS BIGINT)
+ORDER BY bucket
+"""
+
+
+def _q_cdc_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: newest order per customer
+    (operators/merge.latest_snapshot; reference precombine semantics,
+    redshift/_utils.py:186-199)."""
+    from aws_sdk_pandas_spark.operators.merge import latest_snapshot
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return latest_snapshot(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    ).orderBy("o_custkey")
+
+
+def _q_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each customer's order priority over the order
+    log (operators/scd.scd2_from_changes)."""
+    from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    hist = scd2_from_changes(
+        orders,
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        track_cols=["o_orderpriority"],
+    )
+    return hist.orderBy("o_custkey", "valid_from")
+
+
+def _q_doc_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word frequency top-k (explode + aggregate; the
+    distributed word count every text pipeline starts from)."""
+    from aws_sdk_pandas_spark.functions.text import tokens
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def _q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: deterministic synthetic PII is appended
+    per document (the synthetic corpus has none) and redacted with
+    functions/text.redact_pii; the md5 of the redacted text is the
+    hash-checkable witness."""
+    from aws_sdk_pandas_spark.functions.text import redact_pii
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or 555-123-4567 at 192.168.0.1"),
+    )
+    red = redact_pii(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+def _q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (partkey, suppkey) — the data-skipping
+    sort key functions/zorder.write_zordered writes with; checked
+    value-exact against the unrolled bit-interleave SQL."""
+    from aws_sdk_pandas_spark.functions.zorder import zorder_key
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    key = zorder_key(
+        [F.pmod(F.col("l_partkey"), F.lit(1024)), F.pmod(F.col("l_suppkey"), F.lit(1024))],
+        bits=10,
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", key.alias("zval")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _zorder_oracle_sql() -> str:
+    """The unrolled bit-interleave as portable SQL (same formula the Spark
+    expression builds — functions/zorder.zorder_key_sql)."""
+    from aws_sdk_pandas_spark.functions.zorder import zorder_key_sql
+
+    z = zorder_key_sql(["(l_partkey % 1024)", "(l_suppkey % 1024)"], bits=10)
+    return f"""
+        SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
@@ -1176,6 +1331,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_cosine": _q_knn_cosine,
         "emb_knn_euclidean": _q_knn_euclidean,
         "dedup_exact_lineitem": _q_dedup_exact,
+        "q21_blocking_supplier": lambda s, d: _sql(s, d, _Q21_STYLE),
+        "agg_grouping_sets": lambda s, d: _sql(s, d, _GROUPING_SETS),
+        "stats_summary_lineitem": lambda s, d: _sql(s, d, _STATS_SUMMARY),
+        "histogram_event_values": lambda s, d: _sql(s, d, _HISTOGRAM_EVENTS),
+        "cdc_latest_order": _q_cdc_latest_order,
+        "scd2_order_priority": _q_scd2_priority,
+        "doc_word_topk": _q_doc_word_topk,
+        "doc_pii_redaction": _q_doc_pii_redaction,
+        "zorder_clustering_key": _q_zorder_values,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -1601,4 +1765,68 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "q21_blocking_supplier": _Q21_STYLE,
+        "agg_grouping_sets": _GROUPING_SETS,
+        "stats_summary_lineitem": _STATS_SUMMARY,
+        "histogram_event_values": _HISTOGRAM_EVENTS,
+        "cdc_latest_order": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) t
+            WHERE rn = 1
+            ORDER BY o_custkey
+        """,
+        "scd2_order_priority": """
+            WITH ordered AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                       LAG(o_orderpriority) OVER w AS prev,
+                       ROW_NUMBER() OVER w AS rn
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ), changes AS (
+                SELECT * FROM ordered
+                WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+            )
+            SELECT o_custkey, o_orderpriority,
+                   o_orderdate AS valid_from,
+                   LEAD(o_orderdate) OVER w2 AS valid_to,
+                   LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+            FROM changes
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, valid_from
+        """,
+        "doc_word_topk": r"""
+            SELECT w AS word, COUNT(*) AS n
+            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY w
+            ORDER BY n DESC, word
+            LIMIT 20
+        """,
+        "doc_pii_redaction": r"""
+            SELECT doc_id, md5(redacted) AS redacted_md5,
+                   CAST(length(redacted) AS INT) AS redacted_len
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com via https://ex.com/d/'
+                                || CAST(doc_id AS VARCHAR)
+                                || ' or 555-123-4567 at 192.168.0.1',
+                           'https?://[^\s]+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+                       AS redacted
+                FROM documents
+            ) t
+            ORDER BY doc_id
+        """,
+        "zorder_clustering_key": _zorder_oracle_sql(),
     }
