@@ -391,6 +391,44 @@ def simhash_duplicates(
     )
 
 
+def _ngram_hash_kernel(n: int):
+    """Fused tokenize -> n-gram -> hash kernel as one Arrow-batched pandas
+    UDF returning the *distinct* hashed word n-grams per document
+    (array<bigint>).
+
+    Same rationale as ``_text_minhash_kernel``: the JVM formulation
+    (regex split + arrays_zip + concat_ws + per-element xxhash64) runs
+    interpreted higher-order lambdas per gram — benchmarked ~4x slower
+    end-to-end.  Here: one vectorized split pass, one cython
+    ``pd.util.hash_array`` call over ALL grams of the batch, per-doc
+    ``np.unique`` on slices.  Only set cardinalities matter downstream
+    (Jaccard), so a 64-bit hash stands in for the gram string (collision
+    odds ~2^-64 per pair).
+    """
+
+    @F.pandas_udf("array<bigint>")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        toks_list = texts.fillna("").str.split()
+        all_grams: list[str] = []
+        offsets = [0]
+        for toks in toks_list:
+            m = len(toks) - n + 1
+            if m > 0:
+                all_grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+            offsets.append(len(all_grams))
+        if all_grams:
+            hashed = pd.util.hash_array(np.array(all_grams, dtype=object)).astype(np.int64)
+        else:
+            hashed = np.array([], dtype=np.int64)
+        out = [
+            np.unique(hashed[offsets[i] : offsets[i + 1]]).tolist()
+            for i in range(len(offsets) - 1)
+        ]
+        return pd.Series(out)
+
+    return _kernel
+
+
 def ngram_jaccard_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -401,57 +439,44 @@ def ngram_jaccard_duplicates(
     max_ngram_df: int | None = 10_000,
 ) -> DataFrame:
     """Word n-gram Jaccard near-duplicate pairs via an inverted index:
-    explode distinct n-grams -> drop n-grams appearing in more than
-    ``max_ngram_df`` docs (hot-key/skew guard — a stopword n-gram would
-    otherwise create a quadratic bucket) -> self-join on n-gram ->
-    count shared -> ``jaccard = shared / (|A| + |B| - shared)``.
+    per-doc distinct hashed n-grams (fused Arrow kernel) -> explode ->
+    drop n-grams appearing in more than ``max_ngram_df`` docs (hot-key /
+    skew guard — a stopword n-gram would otherwise create a quadratic
+    bucket) -> equi-self-join on the gram hash -> count shared ->
+    ``jaccard = shared / (|A| + |B| - shared)``.
 
     Returns ``id_a, id_b, jaccard``.
+
+    Scale shape: ONE shuffle keyed by gram hash feeds both the
+    document-frequency window (the skew guard) and, via the persisted
+    8-byte-key posting table, the codegen'd self-join; candidate volume is
+    bounded by ``max_ngram_df``^2 per gram, never O(n^2) in documents.
     """
-    grams = (
-        _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-        # shuffle 8-byte gram hashes, not gram strings (xxhash64 is
-        # JVM-side; a collision merging two grams is ~2^-64 per pair)
-        .withColumn(
-            "__grams",
-            F.transform(F.array_distinct(ngrams(F.col("__text"), n)), lambda g: F.xxhash64(g)),
-        )
-        .select("__id", F.size("__grams").alias("__ng"), F.explode("__grams").alias("gram"))
-    )
-    # one aggregation per gram collecting (id, ng) postings, then explode
-    # the upper-triangle pairs — no self-join (which would recompute the
-    # n-gram split twice and shuffle the posting list twice).  The posting
-    # cap is the hot-key guard: a gram appearing in more than
-    # ``max_ngram_df`` docs is dropped (quadratic-bucket / skew guard).
+    kernel = _ngram_hash_kernel(n)
     cap = max_ngram_df or 1_000_000
-    postings = (
-        grams.groupBy("gram")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__ng").alias("ng")))
-            ).alias("ids")
+    grams = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         )
-        .where((F.size("ids") > 1) & (F.size("ids") <= cap))
+        .select("__id", kernel(F.col("__text")).alias("__grams"))
+        .select("__id", F.size("__grams").alias("__ng"), F.explode("__grams").alias("gram"))
+        # document frequency per gram: same shuffle key the join needs
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .where((F.col("__df") > 1) & (F.col("__df") <= cap))
+        .drop("__df")
+        # both join sides scan this; persist so the Python kernel and the
+        # gram shuffle run once (the filtered posting table is 3 longs/row)
+        .persist()
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["ng"].alias("na"),
-                    y["ng"].alias("nb"),
-                ),
-            ),
-        )
-    )
+    grams.count()  # materialize before the join fans out
+
+    a = grams.select("gram", F.col("__id").alias("id_a"), F.col("__ng").alias("na"))
+    b = grams.select("gram", F.col("__id").alias("id_b"), F.col("__ng").alias("nb"))
     shared = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.na", "p.nb")
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
         shared.withColumn(
