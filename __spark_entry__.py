@@ -1265,6 +1265,33 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs whose 3-gram vocabulary
+    overlaps the 'src0' documents' gram set by >= 0.5
+    (operators/textstats.benchmark_contamination)."""
+    from aws_sdk_pandas_spark.operators.textstats import benchmark_contamination
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return benchmark_contamination(
+        docs.where("source <> 'src0'"),
+        docs.where("source = 'src0'"),
+        n=3,
+        threshold=0.5,
+    ).orderBy("doc_id")
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document
+    (operators/textstats.tfidf_top_terms; integer-only ranking so the
+    order is engine-exact, TF-IDF weight attached)."""
+    from aws_sdk_pandas_spark.operators.textstats import tfidf_top_terms
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1340,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_topk": _q_doc_word_topk,
         "doc_pii_redaction": _q_doc_pii_redaction,
         "zorder_clustering_key": _q_zorder_values,
+        "doc_contamination_check": _q_contamination,
+        "doc_tfidf_top_terms": _q_tfidf_top_terms,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -1829,4 +1858,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "zorder_clustering_key": _zorder_oracle_sql(),
+        "doc_contamination_check": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), gr AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                FROM toks
+            ), ev AS (
+                SELECT DISTINCT g FROM gr WHERE source = 'src0'
+            ), corpus AS (
+                SELECT doc_id, g FROM gr WHERE source <> 'src0'
+            )
+            SELECT corpus.doc_id, COUNT(*) AS n_grams, COUNT(ev.g) AS n_hit,
+                   CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS overlap
+            FROM corpus LEFT JOIN ev ON corpus.g = ev.g
+            GROUP BY corpus.doc_id
+            HAVING CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) >= 0.5
+            ORDER BY doc_id
+        """,
+        "doc_tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+                SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+            )
+            SELECT doc_id, term, tf, df,
+                   CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS DOUBLE) AS tfidf,
+                   "rank"
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nd.n,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS "rank"
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            ) t
+            WHERE "rank" <= 3
+            ORDER BY doc_id, "rank"
+        """,
     }

@@ -16,6 +16,10 @@ from aws_sdk_pandas_spark.operators.merge import (
     upsert_dataframe,
 )
 from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
+from aws_sdk_pandas_spark.operators.textstats import (
+    benchmark_contamination,
+    tfidf_top_terms,
+)
 from aws_sdk_pandas_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
@@ -23,6 +27,7 @@ from aws_sdk_pandas_spark.operators.similarity import (
 )
 
 __all__ = [
+    "benchmark_contamination",
     "dedup_exact",
     "dedup_fingerprint",
     "knn_brute_force",
@@ -34,5 +39,6 @@ __all__ = [
     "ngram_jaccard_duplicates",
     "simhash_signatures",
     "similarity_join",
+    "tfidf_top_terms",
     "upsert_dataframe",
 ]

@@ -1,0 +1,104 @@
+"""Corpus-level text statistics: benchmark-contamination checking and
+TF-IDF term ranking.
+
+Training-data pipelines must answer "does my corpus leak the eval set?"
+(n-gram overlap contamination, the decontamination pass every LLM corpus
+runs) and "what characterizes this document?" (TF-IDF).  Both are
+compositions of the fused n-gram/token kernels with joins and windows —
+shuffle-keyed by gram/term hash, never O(n^2) in documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_sdk_pandas_spark.functions.text import tokens
+from aws_sdk_pandas_spark.operators.dedup import _ensure_parallelism, _ngram_hash_kernel
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag corpus documents whose distinct word ``n``-grams overlap the
+    eval set's gram vocabulary by at least ``threshold``.
+
+    Returns ``id_col, n_grams, n_hit, overlap`` for flagged documents.
+
+    Scale shape: the eval side reduces to a distinct 8-byte gram-hash set
+    (tiny next to the corpus — benchmarks are small); the overlap count is
+    a semi-join keyed on the gram hash, so the corpus is shuffled once by
+    gram and never compared document-to-document.
+    """
+    kernel = _ngram_hash_kernel(n)
+    corpus = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        )
+        .select("__id", F.explode(kernel(F.col("__text"))).alias("gram"))
+    )
+    eval_grams = (
+        eval_df.select(F.explode(kernel(F.col(text_col))).alias("gram")).distinct()
+    )
+    hits = (
+        corpus.join(eval_grams, "gram", "left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = corpus.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    out = (
+        totals.join(hits, "__id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn("overlap", F.round(F.col("n_hit") / F.col("n_grams"), 6))
+        .where(F.col("overlap") >= threshold)
+    )
+    return out.select(F.col("__id").alias(id_col), "n_grams", "n_hit", "overlap")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document.
+
+    Rank is by term frequency, tie-broken by rarity (ascending document
+    frequency) then term text — integer-only ordering, so the ranking is
+    bit-identical across engines; the TF-IDF score ``tf * ln(N/df)`` is
+    attached (rounded) as the informational weight.
+
+    Returns ``id_col, term, tf, df, tfidf, rank``.
+
+    Scale shape: one explode + two aggregations (term-in-doc, term-df) and
+    one window partitioned by document; the document-frequency aggregate is
+    map-side-combinable and the join back to terms is keyed by term.
+    """
+    toks = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        )
+        .select("__id", F.explode(tokens(F.col("__text"))).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
+    )

@@ -1,0 +1,52 @@
+"""benchmark_contamination / tfidf_top_terms semantics."""
+
+from __future__ import annotations
+
+from aws_sdk_pandas_spark.operators.textstats import (
+    benchmark_contamination,
+    tfidf_top_terms,
+)
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams: abc bcd cde -> all in eval
+            (2, "x y z w v"),        # no overlap
+            (3, "a b c q r s"),      # 1 of 4 grams hits -> 0.25 < 0.5
+        ],
+        "doc_id int, text string",
+    )
+    eval_df = spark.createDataFrame([(9, "a b c d e f")], "doc_id int, text string")
+    out = benchmark_contamination(corpus, eval_df, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_grams == 3 and rows[1].n_hit == 3 and rows[1].overlap == 1.0
+
+
+def test_contamination_short_docs_excluded(spark):
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    eval_df = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    assert benchmark_contamination(corpus, eval_df).count() == 0
+
+
+def test_tfidf_ranking_and_scores(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana common common"),
+            (2, "banana banana common"),
+            (3, "cherry common common common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # doc 1: apple tf=3 wins; common/banana tie on tf -> lower df (banana=2 < common=3)
+    assert rows[(1, 1)].term == "apple" and rows[(1, 1)].tf == 3
+    assert rows[(1, 2)].term == "common"  # tf=2 beats banana tf=1
+    # doc 3: common tf=3 but cherry is rarer; ranking is tf-first
+    assert rows[(3, 1)].term == "common"
+    assert rows[(3, 2)].term == "cherry"
+    # idf of a term present in all docs is ln(1)=0 -> tfidf 0
+    assert rows[(3, 1)].tfidf == 0.0
+    assert rows[(3, 2)].tfidf > 0
