@@ -106,6 +106,68 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_semi_join_no_cartesian(spark, sf_dir):
+    """The decontamination overlap count must be a gram-keyed semi join —
+    never a doc-by-doc comparison."""
+    from aws_sdk_pandas_spark.operators.textstats import benchmark_contamination
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = benchmark_contamination(
+        docs.where("source <> 'src0'"), docs.where("source = 'src0'")
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
+    """Change detection (lag) and interval close (lead) share the same
+    partitioning+ordering: Catalyst must plan ONE shuffle, one sort."""
+    from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
+
+    orders = sources.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    df = scd2_from_changes(
+        orders,
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        track_cols=["o_orderpriority"],
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1 or plan.count("[o_custkey") >= 1
+
+
+def test_zorder_write_is_range_partitioned(spark, sf_dir):
+    """write_zordered must plan a range partitioning on the Morton key
+    (disjoint per-file key spans -> tight row-group stats), not a plain
+    round-robin repartition."""
+    from aws_sdk_pandas_spark.functions.zorder import zorder_key
+
+    li = sources.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    key = zorder_key(
+        [F.pmod(F.col("l_partkey"), F.lit(1024)), F.pmod(F.col("l_suppkey"), F.lit(1024))],
+        bits=10,
+    )
+    staged = (
+        li.withColumn("__zkey", key)
+        .repartitionByRange(8, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    plan = _plan(staged)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_latest_snapshot_single_window_shuffle(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.merge import latest_snapshot
+
+    orders = sources.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    df = latest_snapshot(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_plans_helpers(spark, sf_dir):
     from aws_sdk_pandas_spark import plans
 
