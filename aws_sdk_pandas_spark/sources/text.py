@@ -59,6 +59,100 @@ def _csv_reader_options(pandas_kwargs: dict[str, Any]) -> tuple[dict[str, str], 
     return options, rest
 
 
+# rest-keys read_csv handles itself after the scan; anything else falls
+# back to per-file pandas (the reference's own two-tier datasource trick,
+# ADR 0008)
+_CSV_POSTPROCESS_KEYS = {"nrows", "names", "usecols", "dtype", "parse_dates"}
+
+
+def _csv_files(spark: SparkSession, path: str | list[str]) -> list[str]:
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    paths = [path] if isinstance(path, str) else list(path)
+    out: list[str] = []
+    for p in paths:
+        if _fs._is_file(spark, p):
+            out.append(p)
+        else:
+            out.extend(
+                f
+                for f in _fs.list_objects(spark, p)
+                # skip committer markers (_SUCCESS) and hidden files, same
+                # as Spark's own file-source listing rules
+                if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+            )
+    return out
+
+
+def _read_csv_pandas_fallback(
+    spark: SparkSession,
+    path: str | list[str],
+    pandas_kwargs: dict[str, Any],
+) -> DataFrame:
+    """The untranslatable-kwargs path (``converters=``, ``thousands=``,
+    ``skipfooter=`` ...): distribute the *file list* and run the real
+    ``pandas.read_csv`` per file inside ``mapInPandas`` — full pandas
+    semantics, Arrow-batched back to the JVM, parallel per file (the same
+    per-object parallelism the reference's pandas datasource uses,
+    s3/_read_text_core.py:34-120).
+
+    Schema comes from a driver-side sample read of the first file (1000
+    rows) with the SAME kwargs, so converter outputs type consistently.
+    """
+    import pandas as pd
+
+    files = _csv_files(spark, path)
+    if not files:
+        from aws_sdk_pandas_spark.exceptions import NoFilesFound
+
+        raise NoFilesFound(f"no CSV files under {path!r}")
+    local = [f.removeprefix("file:") for f in files]
+
+    sample_kwargs = dict(pandas_kwargs)
+    sample_kwargs.pop("nrows", None)
+    if "skipfooter" not in sample_kwargs:
+        # skipfooter forbids nrows; only sample-limit when safe
+        sample_kwargs["nrows"] = 1000
+    # a dataset write leaves empty/part-only files: sample the first file
+    # that yields rows (schema inference needs typed values)
+    sample = None
+    for cand in local:
+        try:
+            s = pd.read_csv(cand, **sample_kwargs)
+        except pd.errors.EmptyDataError:
+            continue
+        if sample is None:
+            sample = s
+        if len(s):
+            sample = s
+            break
+    if sample is None:
+        from aws_sdk_pandas_spark.exceptions import NoFilesFound
+
+        raise NoFilesFound(f"no parsable CSV content under {path!r}")
+    sdf_schema = spark.createDataFrame(
+        sample if len(sample) else sample.astype("string")
+    ).schema
+
+    nrows_total = pandas_kwargs.get("nrows")
+    kwargs = {k: v for k, v in pandas_kwargs.items() if k != "nrows"}
+
+    def _read(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                try:
+                    out = pd.read_csv(p, **kwargs)
+                except pd.errors.EmptyDataError:
+                    continue
+                # align to the sampled schema's column order
+                yield out[[f.name for f in sdf_schema.fields]]
+
+    paths_df = spark.createDataFrame([(p,) for p in local], "path string")
+    n = min(len(local), spark.sparkContext.defaultParallelism)
+    df = paths_df.repartition(n).mapInPandas(_read, schema=sdf_schema)
+    return df.limit(int(nrows_total)) if nrows_total else df
+
+
 def read_csv(
     spark: SparkSession,
     path: str | list[str],
@@ -72,8 +166,12 @@ def read_csv(
     **pandas_kwargs: Any,
 ) -> DataFrame:
     """CSV scan (reference: s3/_read_text.py:153).  pandas kwargs translated
-    to Spark options where possible."""
+    to Spark options where possible; kwargs with no Spark equivalent fall
+    back to per-file ``pandas.read_csv`` via ``mapInPandas`` (two-tier
+    strategy, ADR 0008)."""
     spark_opts, rest = _csv_reader_options(pandas_kwargs)
+    if not all(k in _CSV_POSTPROCESS_KEYS for k in rest):
+        return _read_csv_pandas_fallback(spark, path, pandas_kwargs)
     reader = spark.read.format("csv")
     reader = reader.option("header", "true" if header in (True, 0, "infer") else "false")
     if schema is not None:

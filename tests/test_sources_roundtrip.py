@@ -139,6 +139,31 @@ def test_csv_dataset_roundtrip(spark, people_df, tmp_path):
     assert set(got.columns) == set(people_df.columns)
 
 
+def test_csv_pandas_fallback_converters(spark, tmp_path):
+    """Untranslatable pandas kwargs (converters=, thousands=) must route
+    through the per-file pandas fallback with identical pandas semantics."""
+    import pandas as pd
+
+    p1 = tmp_path / "a.csv"
+    p2 = tmp_path / "b.csv"
+    p1.write_text("id,amount,flag\n1,\"1,234\",y\n2,\"5,678\",n\n")
+    p2.write_text("id,amount,flag\n3,\"9,000\",y\n")
+    kwargs = dict(thousands=",", converters={"flag": lambda v: 1 if v == "y" else 0})
+    got = sources.read_csv(spark, [str(p1), str(p2)], **kwargs)
+    expect = pd.concat([pd.read_csv(p1, **kwargs), pd.read_csv(p2, **kwargs)])
+    assert got.count() == 3
+    rows = {r.id: (r.amount, r.flag) for r in got.collect()}
+    for _, e in expect.iterrows():
+        assert rows[e["id"]] == (e["amount"], e["flag"])
+
+
+def test_csv_pandas_fallback_directory_and_nrows(spark, people_df, tmp_path):
+    path = str(tmp_path / "csvdir")
+    sources.to_csv(people_df, path, dataset=True, mode="overwrite", header=True)
+    got = sources.read_csv(spark, path, skipfooter=0, engine="python", nrows=3)
+    assert got.count() == 3
+
+
 def test_json_lines_roundtrip(spark, people_df, tmp_path):
     path = str(tmp_path / "jsonds")
     sources.to_json(people_df, path, dataset=True, mode="overwrite")
