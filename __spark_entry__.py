@@ -1292,6 +1292,44 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
+def _q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write path under the hash gate: UNLOAD a filtered projection as
+    a partitioned parquet dataset (sql.unload -> sources._write.write_dataset),
+    read it back with a partition filter (pruning path), aggregate.  The
+    oracle aggregates the source table directly, so any write/read
+    corruption (schema drift, partition-value mangling, lost rows)
+    hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import sql as asql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    _load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="asps-unload-") + "/orders_ds"
+    asql.unload(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders",
+        out,
+        partitioned_by=["o_orderpriority"],
+    )
+    back = read_parquet(
+        spark,
+        out,
+        dataset=True,
+        partition_filter=lambda p: p["o_orderpriority"] in ("1-URGENT", "2-HIGH"),
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1369,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_clustering_key": _q_zorder_values,
         "doc_contamination_check": _q_contamination,
         "doc_tfidf_top_terms": _q_tfidf_top_terms,
+        "unload_partitioned_roundtrip": _q_unload_roundtrip,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -1879,6 +1918,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corpus.doc_id
             HAVING CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) >= 0.5
             ORDER BY doc_id
+        """,
+        "unload_partitioned_roundtrip": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "doc_tfidf_top_terms": r"""
             WITH toks AS (
