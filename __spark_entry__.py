@@ -1292,6 +1292,45 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
+# conversion funnel: first-touch ordering per user (view -> click ->
+# purchase), conditional-min + count aggregates — one shuffle on user_id
+_EVENTS_FUNNEL = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel
+FROM firsts
+"""
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, counted per
+    day offset they return.  Two user-keyed aggregations + one join —
+    classic warehouse analytics the reference ships to Athena."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("day_offset", F.datediff(F.col("d"), F.col("cohort")))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
 def _q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write path under the hash gate: UNLOAD a filtered projection as
     a partitioned parquet dataset (sql.unload -> sources._write.write_dataset),
@@ -1408,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination_check": _q_contamination,
         "doc_tfidf_top_terms": _q_tfidf_top_terms,
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
+        "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
+        "events_retention_cohorts": _q_retention_cohorts,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -1918,6 +1959,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corpus.doc_id
             HAVING CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) >= 0.5
             ORDER BY doc_id
+        """,
+        "events_funnel": _EVENTS_FUNNEL,
+        "events_retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d FROM events
+            ), first AS (
+                SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, d FROM ev
+            )
+            SELECT cohort, CAST(active.d - first.cohort AS INT) AS day_offset,
+                   COUNT(DISTINCT active.user_id) AS n_active
+            FROM active JOIN first USING (user_id)
+            GROUP BY cohort, day_offset
+            ORDER BY cohort, day_offset
         """,
         "unload_partitioned_roundtrip": """
             SELECT o_orderpriority, COUNT(*) AS n,
