@@ -1292,6 +1292,37 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
+def _q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each click joined to the user's NEXT
+    purchase within 24h (operators/asof.py direction='forward',
+    tolerance).  Oracle: DuckDB ASOF with <= plus an interval guard."""
+    from aws_sdk_pandas_spark.operators.asof import asof_join
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance="INTERVAL 24 HOURS",
+    )
+    return j.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("ts_right").alias("next_ts"),
+        F.round(F.col("value_right").cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("next_value"),
+    ).orderBy("event_id")
+
+
 # conversion funnel: first-touch ordering per user (view -> click ->
 # purchase), conditional-min + count aggregates — one shuffle on user_id
 _EVENTS_FUNNEL = """
@@ -1449,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
         "events_retention_cohorts": _q_retention_cohorts,
+        "asof_join_forward_tol": _q_asof_forward_tol,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -1961,6 +1993,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "events_funnel": _EVENTS_FUNNEL,
+        "asof_join_forward_tol": """
+            SELECT l.event_id, l.ts, l.user_id,
+                   CASE WHEN r.ts - l.ts <= INTERVAL 24 HOURS THEN r.ts END AS next_ts,
+                   CASE WHEN r.ts - l.ts <= INTERVAL 24 HOURS
+                        THEN CAST(ROUND(CAST(r.value AS DECIMAL(18,6)), 4) AS DOUBLE)
+                   END AS next_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+            ORDER BY l.event_id
+        """,
         "events_retention_cohorts": """
             WITH ev AS (
                 SELECT user_id, CAST(ts AS DATE) AS d FROM events

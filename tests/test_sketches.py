@@ -1,0 +1,45 @@
+"""Sketch aggregates: accuracy bounds vs exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.functions.sketches import (
+    approx_distinct,
+    approx_percentile_col,
+    approx_quantiles,
+    frequent_items,
+)
+
+
+def test_approx_distinct_within_rsd(spark):
+    df = spark.range(100_000).selectExpr("CAST(id % 9173 AS STRING) AS k")
+    got = df.agg(approx_distinct("k", rsd=0.02).alias("n")).first().n
+    assert abs(got - 9173) / 9173 < 0.06  # 3x rsd
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    df = spark.range(50_000).selectExpr("CAST(id AS DOUBLE) AS v")
+    q25, q50, q99 = approx_quantiles(df, "v", [0.25, 0.5, 0.99], relative_error=0.001)
+    assert abs(q25 - 12_500) < 200
+    assert abs(q50 - 25_000) < 200
+    assert abs(q99 - 49_500) < 300
+
+
+def test_approx_percentile_col_in_groupby(spark):
+    df = spark.range(10_000).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS v")
+    rows = {
+        r.g: r.p50
+        for r in df.groupBy("g")
+        .agg(approx_percentile_col("v", 0.5).alias("p50"))
+        .collect()
+    }
+    assert abs(rows[0] - 5_000) < 120 and abs(rows[1] - 5_000) < 120
+
+
+def test_frequent_items_finds_heavy_hitter(spark):
+    df = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 4 THEN 'hot' ELSE CAST(id AS STRING) END AS k"
+    )
+    freq = frequent_items(df, ["k"], support=0.3).first()[0]
+    assert "hot" in freq
