@@ -1400,6 +1400,65 @@ def _q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source under the hash gate (sources/orc.py): partitioned
+    ORC dataset write, read back, aggregate; oracle aggregates the source
+    parquet directly."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.orc import read_orc, to_orc
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = tempfile.mkdtemp(prefix="asps-orc-") + "/orders_orc"
+    to_orc(orders, out, dataset=True, partition_cols=["o_orderstatus"], mode="overwrite")
+    back = read_orc(spark, out, dataset=True)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source under the hash gate (sources/text.py): header'd CSV
+    dataset write, schema'd read-back (no inference drift), aggregate."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.text import read_csv, to_csv
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    out = tempfile.mkdtemp(prefix="asps-csv-") + "/customer_csv"
+    to_csv(cust, out, dataset=True, mode="overwrite", header=True)
+    back = read_csv(
+        spark,
+        out,
+        header=True,
+        infer_schema=False,
+        schema="c_custkey bigint, c_acctbal double, c_mktsegment string",
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1481,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
         "events_retention_cohorts": _q_retention_cohorts,
         "asof_join_forward_tol": _q_asof_forward_tol,
+        "orc_partitioned_roundtrip": _q_orc_roundtrip,
+        "csv_dataset_roundtrip": _q_csv_roundtrip,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -2017,6 +2078,20 @@ def oracle_sql() -> dict[str, str]:
             FROM active JOIN first USING (user_id)
             GROUP BY cohort, day_offset
             ORDER BY cohort, day_offset
+        """,
+        "orc_partitioned_roundtrip": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "csv_dataset_roundtrip": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "unload_partitioned_roundtrip": """
             SELECT o_orderpriority, COUNT(*) AS n,
