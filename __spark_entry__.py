@@ -1459,6 +1459,126 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style token-repetition quality signals per document
+    (operators/textstats.repetition_signals).  Oracle: unnest + two-level
+    aggregation in DuckDB."""
+    from aws_sdk_pandas_spark.operators.textstats import repetition_signals
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/val/test split in portable md5 mode
+    (functions/hashing.hash_split) — every row's assignment is a pure
+    function of its key, reproducible by any engine.  Weights
+    0.75/0.125/0.125 keep the cumulative cutoffs exact binary doubles."""
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}, seed=42, algo="md5"
+    )
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+def _q_time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics (LAG window over per-user-and-type
+    ordered streams): avg/max seconds between consecutive events."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from pyspark.sql.window import Window
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_s", F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST distribution windows per brand
+    over part retail prices — the remaining ranking-window family."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from pyspark.sql.window import Window
+
+    part = read_parquet(spark, f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            F.ntile(4).over(w).alias("price_band"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source under the hash gate (sources/text.py):
+    partitioned dataset write, schema'd read-back, aggregate."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.text import read_json, to_json
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="asps-json-") + "/events_json"
+    to_json(ev, out, dataset=True, mode="overwrite", partition_cols=["event_type"])
+    back = read_json(
+        spark, out, dataset=True, schema="event_id bigint, value double, event_type string"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outliers per event type (dq.detect_outliers_mad:
+    two broadcast-stat aggregation passes, no global sort).  Oracle:
+    nested median CTEs."""
+    from aws_sdk_pandas_spark.dq import detect_outliers_mad
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        detect_outliers_mad(ev, "value", by=["event_type"], threshold=3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_val"),
+            F.round(F.max("value"), 4).alias("max_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1542,6 +1662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward_tol": _q_asof_forward_tol,
         "orc_partitioned_roundtrip": _q_orc_roundtrip,
         "csv_dataset_roundtrip": _q_csv_roundtrip,
+        "doc_repetition_signals": _q_repetition_signals,
+        "docs_hash_split": _q_hash_split,
+        "events_time_between": _q_time_between_events,
+        "window_ntile_price_bands": _q_ntile_price_bands,
+        "json_dataset_roundtrip": _q_json_roundtrip,
+        "dq_outliers_mad": _q_outliers_mad,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -2124,5 +2250,86 @@ def oracle_sql() -> dict[str, str]:
             ) t
             WHERE "rank" <= 3
             ORDER BY doc_id, "rank"
+        """,
+        "doc_repetition_signals": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, token, COUNT(*) AS c
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_token_frac,
+                   ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
+            FROM cnt
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "docs_hash_split": """
+            SELECT lang,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM (
+                SELECT lang,
+                       ('0x' || substring(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM documents
+            ) t
+            GROUP BY lang, split
+            ORDER BY lang, split
+        """,
+        "events_time_between": """
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   ROUND(AVG(gap_s), 4) AS avg_gap_s,
+                   ROUND(MAX(gap_s), 4) AS max_gap_s
+            FROM (
+                SELECT event_type,
+                       epoch_us(ts) / 1000000.0 - LAG(epoch_us(ts) / 1000000.0) OVER (
+                           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_s
+                FROM events
+            ) g
+            WHERE gap_s IS NOT NULL
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "window_ntile_price_bands": """
+            SELECT p_partkey, p_brand,
+                   NTILE(4) OVER w AS price_band,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+            ORDER BY p_brand, p_partkey
+        """,
+        "json_dataset_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "dq_outliers_mad": """
+            WITH med AS (
+                SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type, median(abs(e.value - med.m)) AS mad
+                FROM events e JOIN med USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_type, COUNT(*) AS n_outliers,
+                   ROUND(MIN(e.value), 4) AS min_val,
+                   ROUND(MAX(e.value), 4) AS max_val
+            FROM events e
+            JOIN med ON e.event_type = med.event_type
+            JOIN mad ON e.event_type = mad.event_type
+            WHERE mad.mad IS NOT NULL AND mad.mad > 0
+              AND abs(e.value - med.m) > 3.0 * 1.4826 * mad.mad
+            GROUP BY e.event_type
+            ORDER BY e.event_type
         """,
     }

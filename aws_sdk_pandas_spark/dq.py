@@ -203,3 +203,40 @@ def detect_outliers(
         .withColumn("z_score", (F.col(value_col) - F.col("__mean")) / F.col("__std"))
         .drop("__mean", "__std")
     )
+
+
+def detect_outliers_mad(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    threshold: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection: rows where
+    ``|x - median| > threshold * consistency * MAD``, with MAD the median
+    absolute deviation per ``by``-group.  Unlike z-scores, the cutoff
+    itself is immune to the outliers it hunts (breakdown point 50%).
+
+    Two aggregation passes (exact medians), each producing |groups| rows
+    broadcast back against the big table — the data is never sorted
+    globally and never shuffled beyond the per-group aggregates.  Groups
+    with MAD 0/NULL yield no outliers.  ``robust_z`` is the scaled score.
+    """
+    by = list(by or [])
+    med = df.groupBy(*by).agg(F.median(value_col).alias("__med"))
+    j1 = df.join(F.broadcast(med), by) if by else df.crossJoin(F.broadcast(med))
+    mad = j1.groupBy(*by).agg(
+        F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
+    )
+    j2 = j1.join(F.broadcast(mad), by) if by else j1.crossJoin(F.broadcast(mad))
+    scale = F.lit(consistency) * F.col("__mad")
+    return (
+        j2.where(
+            F.col("__mad").isNotNull()
+            & (F.col("__mad") > 0)
+            & (F.abs(F.col(value_col) - F.col("__med")) > threshold * scale)
+        )
+        .withColumn("robust_z", (F.col(value_col) - F.col("__med")) / scale)
+        .drop("__med", "__mad")
+    )

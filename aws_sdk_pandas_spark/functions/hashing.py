@@ -110,6 +110,7 @@ def hash_split(
     *,
     seed: int = 42,
     out_col: str = "split",
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic dataset split by key hash — the train/val/test
     assignment for training-data pipelines.  Unlike ``randomSplit`` the
@@ -118,14 +119,30 @@ def hash_split(
     same split — no leakage between train and test for duplicated keys).
 
     ``weights`` maps split name -> fraction (must sum to ~1).
+
+    ``algo``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"`` — a portable assignment any engine can reproduce from the
+    key's string form (``md5(key || ':' || seed)`` first 8 hex digits,
+    scaled to [0,1)); use it when the split must be re-derivable outside
+    Spark (audits, cross-engine pipelines).
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:
         raise InvalidDataType(f"split weights must sum to 1, got {total}")
-    # uniform in [0,1): xxhash64 seeded, sign-masked, scaled
-    u = (F.xxhash64(F.col(key_col), F.lit(seed)).bitwiseAND(F.lit((1 << 63) - 1))) / F.lit(
-        float(1 << 63)
-    )
+    if algo == "md5":
+        # uniform in [0,1): first 32 hash bits of md5(key:seed), scaled
+        u = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8),
+            16,
+            10,
+        ).cast("long") / F.lit(float(1 << 32))
+    elif algo == "xxhash64":
+        # uniform in [0,1): xxhash64 seeded, sign-masked, scaled
+        u = (F.xxhash64(F.col(key_col), F.lit(seed)).bitwiseAND(F.lit((1 << 63) - 1))) / F.lit(
+            float(1 << 63)
+        )
+    else:
+        raise InvalidDataType(f"unknown hash_split algo: {algo!r}")
     expr = None
     acc = 0.0
     names = list(weights)

@@ -102,3 +102,44 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col("__id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-repetition quality signals (the Gopher-rules
+    family: repetitious documents are low-quality training data).
+
+    Returns ``id_col, n_tokens, n_distinct, dup_token_frac,
+    top_token_frac`` where ``dup_token_frac = 1 - distinct/total`` and
+    ``top_token_frac`` is the share of the single most frequent token.
+
+    Scale shape: explode + two map-side-combinable aggregations keyed by
+    ``(doc, token)`` then ``doc`` — linear in corpus size, never holds a
+    whole document's vocabulary on one executor thread beyond the
+    per-group aggregate state.  No Python in the plan.
+    """
+    per_token = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        )
+        .select("__id", F.explode(tokens(F.lower(F.col("__text")))).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_token.groupBy("__id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_token_frac"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_distinct",
+        "dup_token_frac",
+        "top_token_frac",
+    )

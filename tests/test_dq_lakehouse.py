@@ -101,3 +101,17 @@ def test_embedding_duplicates(spark):
     assert (1, 4) in pairs
     assert (1, 2) in pairs or (2, 4) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_detect_outliers_mad(spark):
+    """MAD flags the planted spike and, unlike the z-score, is not
+    dragged by it; constant groups yield nothing."""
+    from aws_sdk_pandas_spark.dq import detect_outliers_mad
+
+    rows = [("a", float(v)) for v in [10, 11, 10, 12, 11, 10, 11, 1000]] + [
+        ("const", 5.0)
+    ] * 6
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = detect_outliers_mad(df, "value", by=["grp"], threshold=3.0).collect()
+    assert [(r["grp"], r["value"]) for r in out] == [("a", 1000.0)]
+    assert out[0]["robust_z"] > 100

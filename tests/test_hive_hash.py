@@ -86,3 +86,36 @@ def test_hash_split_deterministic_and_leak_free(spark):
         .select("user", "split").distinct().collect()
     }
     assert a == b
+
+
+def test_hash_split_md5_portable(spark):
+    """md5 mode must match an independent python re-derivation of the
+    assignment (the portability contract)."""
+    import hashlib
+
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    rows = hash_split(
+        df, "k", {"train": 0.75, "val": 0.125, "test": 0.125}, seed=7, algo="md5"
+    ).collect()
+    for r in rows:
+        u = int(hashlib.md5(f"{r['k']}:7".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        want = "train" if u < 0.75 else ("val" if u < 0.875 else "test")
+        assert r["split"] == want
+    # sane proportions on 500 keys
+    from collections import Counter
+
+    c = Counter(r["split"] for r in rows)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_hash_split_bad_algo(spark):
+    import pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidDataType
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+
+    df = spark.range(5)
+    with pytest.raises(InvalidDataType):
+        hash_split(df, "id", {"a": 0.5, "b": 0.5}, algo="sha999")

@@ -50,3 +50,24 @@ def test_tfidf_ranking_and_scores(spark):
     # idf of a term present in all docs is ln(1)=0 -> tfidf 0
     assert rows[(3, 1)].tfidf == 0.0
     assert rows[(3, 2)].tfidf > 0
+
+
+def test_repetition_signals(spark):
+    from aws_sdk_pandas_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct, top = a
+            (2, "w x y z"),          # all distinct
+            (3, "Spam spam ham"),    # case-folded: spam x2, ham x1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 1
+    assert abs(out[1]["dup_token_frac"] - 0.75) < 1e-9
+    assert abs(out[1]["top_token_frac"] - 1.0) < 1e-9
+    assert out[2]["dup_token_frac"] == 0.0
+    assert abs(out[2]["top_token_frac"] - 0.25) < 1e-9
+    assert out[3]["n_tokens"] == 3 and out[3]["n_distinct"] == 2
+    assert abs(out[3]["top_token_frac"] - round(2 / 3, 6)) < 1e-9
