@@ -1579,6 +1579,99 @@ def _q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-file source under the hash gate (sources/text.read_fwf:
+    spark.read.text + substring projection — no native Spark reader).
+    The entry first renders nation as fixed-width text, then parses it
+    back with declared widths and dtypes."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.text import read_fwf
+
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    out = tempfile.mkdtemp(prefix="asps-fwf-") + "/nation_fwf"
+    (
+        nation.select(
+            F.concat(
+                F.rpad(F.col("n_nationkey").cast("string"), 6, " "),
+                F.rpad(F.col("n_name"), 20, " "),
+                F.rpad(F.col("n_regionkey").cast("string"), 6, " "),
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = read_fwf(
+        spark,
+        out,
+        widths=[6, 20, 6],
+        names=["n_nationkey", "n_name", "n_regionkey"],
+        dtype={"n_nationkey": "bigint", "n_regionkey": "bigint"},
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+def _q_merge_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-prefix merge under the hash gate (sources/copy.py:
+    merge_datasets append mode — reference s3/_copy.py:75): two disjoint
+    partitioned writes merged into one prefix, read back whole."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.copy import merge_datasets
+    from aws_sdk_pandas_spark.sources.parquet import to_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="asps-merge-")
+    src, dst = f"{root}/src", f"{root}/dst"
+    to_parquet(
+        orders.where("o_orderstatus = 'F'").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        dst,
+        dataset=True,
+        mode="overwrite",
+    )
+    to_parquet(
+        orders.where("o_orderstatus <> 'F'").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        src,
+        dataset=True,
+        mode="overwrite",
+    )
+    merge_datasets(spark, src, dst, mode="append")
+    back = read_parquet(spark, dst)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free per-stratum sampling in portable md5 mode
+    (operators/sampling.stratified_sample with key_col): the keep
+    decision is re-derivable from md5(doc_id).  Fractions are exact
+    binary doubles so the cutoffs compare identically everywhere."""
+    from aws_sdk_pandas_spark.operators.sampling import stratified_sample
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125},
+        seed=42,
+        key_col="doc_id",
+        algo="md5",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1668,6 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile_price_bands": _q_ntile_price_bands,
         "json_dataset_roundtrip": _q_json_roundtrip,
         "dq_outliers_mad": _q_outliers_mad,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "merge_datasets_append": _q_merge_datasets,
+        "docs_stratified_sample": _q_stratified_sample,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -2331,5 +2427,31 @@ def oracle_sql() -> dict[str, str]:
               AND abs(e.value - med.m) > 3.0 * 1.4826 * mad.mad
             GROUP BY e.event_type
             ORDER BY e.event_type
+        """,
+        "fwf_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation
+            ORDER BY n_nationkey
+        """,
+        "merge_datasets_append": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang
+            FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substring(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM documents
+            ) t
+            WHERE (lang = 'en' AND u < 0.5)
+               OR (lang = 'de' AND u < 0.25)
+               OR (lang = 'fr' AND u < 0.25)
+               OR (lang = 'es' AND u < 0.125)
+            ORDER BY doc_id
         """,
     }

@@ -47,18 +47,40 @@ def stratified_sample(
     fractions: dict,
     *,
     seed: int = 42,
+    key_col: str | None = None,
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff the seeded hash
-    of the full row falls below the stratum's fraction.  Unlike
-    ``DataFrame.sampleBy`` the decision is a pure function of row content
-    — reruns and repartitions select the same rows.
+    of the row (or of ``key_col`` when given — all rows sharing the key
+    then decide together, the leak-free form) falls below the stratum's
+    fraction.  Unlike ``DataFrame.sampleBy`` the decision is a pure
+    function of row content — reruns and repartitions select the same
+    rows.
+
+    ``algo="md5"`` (requires ``key_col``) makes the decision re-derivable
+    by any engine from ``md5(key || ':' || seed)``, for cross-engine
+    audits of what was sampled.
     """
-    u = (
-        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)).bitwiseAND(
-            F.lit((1 << 63) - 1)
+    if algo == "md5":
+        if key_col is None:
+            raise ValueError("algo='md5' requires key_col=")
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(float(1 << 32))
+    elif algo == "xxhash64":
+        hash_cols = [F.col(key_col)] if key_col is not None else [F.col(c) for c in df.columns]
+        u = (
+            F.xxhash64(*hash_cols, F.lit(seed)).bitwiseAND(
+                F.lit((1 << 63) - 1)
+            )
+            / F.lit(float(1 << 63))
         )
-        / F.lit(float(1 << 63))
-    )
+    else:
+        raise ValueError(f"unknown stratified_sample algo: {algo!r}")
     frac = F.create_map(
         *[F.lit(x) for kv in fractions.items() for x in kv]
     )[F.col(strata_col)]

@@ -33,3 +33,35 @@ def test_stratified_sample_fractions_and_determinism(spark):
     assert {r.id for r in samp.collect()} == {r.id for r in again.collect()}
     # strata not in the dict are dropped entirely
     assert stratified_sample(df, "s", {"a": 1.0}).where("s = 'b'").count() == 0
+
+
+def test_stratified_sample_md5_portable(spark):
+    """md5+key mode: decision must match an independent python
+    re-derivation, and all rows sharing a key decide together."""
+    import hashlib
+
+    from aws_sdk_pandas_spark.operators.sampling import stratified_sample
+
+    rows = [(i % 50, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample(
+        df, "s", {"a": 0.5, "b": 0.25}, seed=3, key_col="k", algo="md5"
+    ).collect()
+    for r in out:
+        u = int(hashlib.md5(f"{r['k']}:3".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        assert u < (0.5 if r["s"] == "a" else 0.25)
+    # keys decide as a unit: every kept (k, s) keeps all 4 copies
+    from collections import Counter
+
+    c = Counter((r["k"], r["s"]) for r in out)
+    assert c and all(v == 4 for v in c.values())
+
+
+def test_stratified_sample_md5_requires_key(spark):
+    import pytest
+
+    from aws_sdk_pandas_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "s", {"a": 0.5}, algo="md5")
