@@ -1672,6 +1672,31 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing per language shard
+    (operators/packing.pack_sequences: distributed prefix-sum chunking).
+    Oracle: window cumulative sum in SQL."""
+    from aws_sdk_pandas_spark.functions.text import token_count
+    from aws_sdk_pandas_spark.operators.packing import pack_sequences
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", 2000, by=["lang"], order_cols=["doc_id"], out_col="seq_id"
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1764,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwf_roundtrip": _q_fwf_roundtrip,
         "merge_datasets_append": _q_merge_datasets,
         "docs_stratified_sample": _q_stratified_sample,
+        "docs_pack_sequences": _q_pack_sequences,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
@@ -2439,6 +2465,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "docs_pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT lang, n_tokens,
+                       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                                   - n_tokens) / 2000.0) AS BIGINT) AS seq_id
+                FROM toks
+            )
+            SELECT lang, seq_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+            FROM packed
+            GROUP BY lang, seq_id
+            ORDER BY lang, seq_id
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang

@@ -182,3 +182,39 @@ def test_plans_helpers(spark, sf_dir):
     a = spark.range(5).crossJoin(spark.range(5))
     with pytest.raises(AssertionError):
         plans.assert_scale_safe(a)
+
+
+def test_repetition_signals_stays_jvm_side(spark, sf_dir):
+    """The Gopher-signal pipeline must be pure JVM (explode + two
+    hash aggregates) — a Python eval node here is a 10-100x at scale."""
+    df = entry.queries()["doc_repetition_signals"](spark, sf_dir)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # no row- or arrow-batched Python
+    assert plan.count("HashAggregate") >= 2  # partial + final per level
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Median/MAD stats are |groups| rows — they must broadcast back
+    against events, never sort-merge the big side."""
+    df = entry.queries()["dq_outliers_mad"](spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle_per_group_key(spark, sf_dir):
+    """Chunk packing is one window over the shard key: exactly one
+    exchange for the window (plus the final agg) — no global sort."""
+    from aws_sdk_pandas_spark.functions.text import token_count
+    from aws_sdk_pandas_spark.operators.packing import pack_sequences
+    from aws_sdk_pandas_spark import sources
+
+    docs = (
+        sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    )
+    packed = pack_sequences(docs, "n_tokens", 2000, by=["lang"], order_cols=["doc_id"])
+    plan = _plan(packed)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()
