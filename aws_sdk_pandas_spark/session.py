@@ -24,6 +24,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dedup/similarity operators persist mid-pipeline tables (signature and
+    # posting tables consumed by several downstream joins); without this
+    # flag a cached plan pins its 200-partition shuffle layout and AQE
+    # cannot coalesce the (often tiny) post-filter stages that follow.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
