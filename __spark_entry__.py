@@ -1697,6 +1697,153 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew mitigation (operators/skew.salted_join): lineitem x
+    orders with the orders side replicated per salt so a hot orderkey
+    spreads over 8 tasks.  Semantics identical to the unsalted join, so
+    the oracle is the plain SQL join + aggregate."""
+    from aws_sdk_pandas_spark.operators.skew import salted_join
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], num_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) as two uniformly-keyed shuffles (operators/
+    skew.two_stage_distinct) — a hot supplier's parts spread over the
+    cluster in the dedup stage instead of funneling through one task.
+    Oracle: the direct COUNT(DISTINCT)."""
+    from aws_sdk_pandas_spark.operators.skew import two_stage_distinct
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return (
+        two_stage_distinct(li, ["l_suppkey"], "l_partkey")
+        .orderBy("l_suppkey")
+    )
+
+
+def _q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-property flattening (connectors/neptune.flatten_nested_df,
+    reference neptune/_neptune.py:632): pack customer attributes into a
+    nested struct, flatten recursively back to scalar columns.  Oracle:
+    select the scalars directly."""
+    from aws_sdk_pandas_spark.connectors.neptune import flatten_nested_df
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(
+                F.col("c_acctbal").alias("acctbal"),
+                F.col("c_mktsegment").alias("segment"),
+            ).alias("account"),
+        ).alias("props"),
+    )
+    flat = flatten_nested_df(cust)
+    return flat.select(
+        "c_custkey",
+        F.col("props_name").alias("name"),
+        F.col("props_account_acctbal").alias("acctbal"),
+        F.col("props_account_segment").alias("segment"),
+    ).orderBy("c_custkey")
+
+
+def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate (sources/compaction.
+    compact_dataset): write documents as a lang-partitioned dataset
+    fragmented into many small files, compact each leaf to one file, read
+    back and aggregate.  Oracle aggregates the source table — lost or
+    duplicated rows hash-mismatch."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.compaction import compact_dataset
+    from aws_sdk_pandas_spark.sources.parquet import to_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="asps-compact-") + "/docs_ds"
+    to_parquet(
+        docs.repartition(16),
+        out,
+        dataset=True,
+        partition_cols=["lang"],
+        mode="overwrite",
+    )
+    compact_dataset(spark, out, target_file_bytes=1 << 30)
+    back = read_parquet(spark, out, dataset=True)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_chunked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-row chunked iteration (sources/parquet.read_parquet
+    chunked=int, reference s3/_read_parquet.py:259-282 carry-over
+    slicing): every chunk has exactly 10_000 rows except the last.
+    Returns (chunk_id, n_rows); the oracle reproduces the boundaries with
+    a row_number window — any chunking drift (short chunks, lost rows)
+    mismatches."""
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    chunks = read_parquet(spark, f"{sf_dir}/orders.parquet", chunked=10_000)
+    sizes = [(i, len(pdf)) for i, pdf in enumerate(chunks)]
+    return spark.createDataFrame(
+        pd.DataFrame(sizes, columns=["chunk_id", "n_rows"])
+    ).orderBy("chunk_id")
+
+
+def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (functions/sketches.py): HyperLogLog++ distinct
+    users and GK approximate median value per event type — the
+    bounded-memory scale path for distinct/percentile at 100 TB.
+    Approximate by nature -> rows-only check (accuracy bounds are pinned
+    in tests/test_sketches.py)."""
+    from aws_sdk_pandas_spark.functions.sketches import (
+        approx_distinct,
+        approx_percentile_col,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            approx_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(approx_percentile_col("value", 0.5), 4).alias("approx_median_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1790,7 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_datasets_append": _q_merge_datasets,
         "docs_stratified_sample": _q_stratified_sample,
         "docs_pack_sequences": _q_pack_sequences,
+        "salted_join_priority_revenue": _q_salted_join,
+        "skew_two_stage_distinct": _q_two_stage_distinct,
+        "flatten_nested_props": _q_flatten_struct,
+        "compaction_roundtrip": _q_compaction_roundtrip,
+        "chunked_read_exact_rows": _q_chunked_read,
         # rows-only (no SQL-expressible oracle):
+        "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
         "simhash_signatures": _q_simhash,
         "emb_knn_lsh_ann": _q_knn_lsh,
@@ -2497,5 +2650,41 @@ def oracle_sql() -> dict[str, str]:
                OR (lang = 'fr' AND u < 0.25)
                OR (lang = 'es' AND u < 0.125)
             ORDER BY doc_id
+        """,
+        "salted_join_priority_revenue": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "skew_two_stage_distinct": """
+            SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+            FROM lineitem
+            GROUP BY l_suppkey
+            ORDER BY l_suppkey
+        """,
+        "flatten_nested_props": """
+            SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+                   c_mktsegment AS segment
+            FROM customer
+            ORDER BY c_custkey
+        """,
+        "compaction_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "chunked_read_exact_rows": """
+            SELECT chunk_id, COUNT(*) AS n_rows
+            FROM (
+                SELECT CAST(FLOOR((ROW_NUMBER() OVER () - 1) / 10000) AS BIGINT) AS chunk_id
+                FROM orders
+            ) t
+            GROUP BY chunk_id
+            ORDER BY chunk_id
         """,
     }
