@@ -1497,8 +1497,11 @@ def _q_time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ cannot cast straight to DOUBLE in Spark 4; go through
+    # epoch microseconds (exact integers, so the LAG difference is exact too).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gaps = ev.withColumn(
-        "gap_s", F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        "gap_s", (ts_us - F.lag(ts_us).over(w)) / F.lit(1_000_000.0)
     ).where(F.col("gap_s").isNotNull())
     return (
         gaps.groupBy("event_type")

@@ -31,6 +31,16 @@ def _parse_duration_seconds(width: str | float | int) -> float:
     return n * scale[unit]
 
 
+def _seconds(df: DataFrame, colname: str) -> F.Column:
+    """Numeric seconds for bucketing: timestamps (incl. TIMESTAMP_NTZ,
+    which Spark 4 refuses to cast straight to DOUBLE) go through exact
+    epoch microseconds; numeric columns cast directly."""
+    dtype = dict(df.dtypes).get(colname, "")
+    if dtype.startswith("timestamp") or dtype == "date":
+        return F.unix_micros(F.col(colname).cast("timestamp_ltz")) / F.lit(1_000_000.0)
+    return F.col(colname).cast("double")
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -61,11 +71,11 @@ def interval_join(
         if c not in by
     }
 
-    p_sec = F.col(point_col).cast("double")
+    p_sec = _seconds(points, point_col)
     pts = points.withColumn("__bucket", F.floor(p_sec / width))
 
-    s_sec = F.col(start_col).cast("double")
-    e_sec = F.col(end_col).cast("double")
+    s_sec = _seconds(intervals, start_col)
+    e_sec = _seconds(intervals, end_col)
     ivl = (
         intervals.select(
             *[F.col(c) for c in by],
