@@ -68,6 +68,19 @@ def main() -> None:
         F.sum(_warm(F.col("id")))
     ).collect()
 
+    # warm the write path too (FileFormatWriter/committer/codec classes load
+    # once per JVM — at cluster scale this is cluster-startup cost, not
+    # per-query cost): one tiny parquet dataset write + read-back
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    write_dataset(
+        spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("p")),
+        "/tmp/asps_bench_warm",
+        "parquet",
+        mode="overwrite",
+    )
+    spark.read.parquet("/tmp/asps_bench_warm").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in _BENCH_QUERIES:
