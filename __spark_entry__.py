@@ -1700,6 +1700,51 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (operators/sampling.
+    temperature_sample, T=2): downsample common languages toward
+    share^(1/T).  Keep decision = md5(doc_id) so the oracle re-derives
+    the exact same corpus."""
+    from aws_sdk_pandas_spark.operators.sampling import temperature_sample
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    kept = temperature_sample(docs, "lang", temperature=2.0, key_col="doc_id", seed=42)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
+def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph degree analytics (connectors/neptune.degrees over
+    the two-DataFrame graph model, SURVEY 2.2 neptune row): events as
+    user -> event_type edges, per-vertex in/out degree."""
+    from aws_sdk_pandas_spark.connectors.neptune import degrees
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.col("event_id").cast("string").alias("~id"),
+        F.lit("did").alias("~label"),
+        F.col("user_id").cast("string").alias("~from"),
+        F.col("event_type").alias("~to"),
+    )
+    return degrees(edges).orderBy("~id")
+
+
+_RANGE_WINDOW = """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS avg_1h,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM (SELECT event_id, user_id, value,
+                 unix_micros(CAST(ts AS TIMESTAMP_LTZ)) AS epoch_us
+          FROM events)
+    ORDER BY event_id
+"""
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew mitigation (operators/skew.salted_join): lineitem x
     orders with the orders side replicated per salt so a hot orderkey
@@ -1942,6 +1987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_pack_sequences,
         "salted_join_priority_revenue": _q_salted_join,
         "skew_two_stage_distinct": _q_two_stage_distinct,
+        "docs_temperature_sample": _q_temperature_sample,
+        "graph_user_degrees": _q_graph_degrees,
+        "events_sliding_time_window": lambda s, d: _sql(s, d, _RANGE_WINDOW),
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2662,6 +2710,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_temperature_sample": """
+            WITH stats AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+            tot AS (SELECT SUM(c) AS n FROM stats),
+            w AS (SELECT lang, POW(c * 1.0 / n, 1.0 / 2.0 - 1.0) AS raw FROM stats, tot),
+            k AS (SELECT lang, ROUND(raw / (SELECT MAX(raw) FROM w), 12) AS keep_p FROM w)
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM documents d JOIN k USING (lang)
+            WHERE ('0x' || substring(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                      / 4294967296.0 < keep_p
+            GROUP BY d.lang
+            ORDER BY d.lang
+        """,
+        "graph_user_degrees": """
+            WITH edges AS (SELECT CAST(user_id AS VARCHAR) AS f, event_type AS t FROM events),
+            o AS (SELECT f AS id, COUNT(*) AS out_degree FROM edges GROUP BY f),
+            i AS (SELECT t AS id, COUNT(*) AS in_degree FROM edges GROUP BY t)
+            SELECT COALESCE(o.id, i.id) AS "~id",
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree
+            FROM o FULL OUTER JOIN i ON o.id = i.id
+            ORDER BY "~id"
+        """,
+        "events_sliding_time_window": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS avg_1h,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+            FROM (SELECT event_id, user_id, value, epoch_us(ts) AS epoch_us FROM events)
+            ORDER BY event_id
         """,
         "skew_two_stage_distinct": """
             SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey

@@ -41,6 +41,67 @@ def cap_per_group(
     )
 
 
+def _md5_uniform(key_col: str, seed: int) -> Column:
+    """Deterministic U[0,1) from ``md5(key || ':' || seed)`` — portable:
+    any engine (DuckDB, Trino, pandas) re-derives the same decision from
+    the same key, so what-was-sampled is auditable cross-engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    *,
+    temperature: float = 2.0,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled group rebalancing (the multilingual-corpus
+    sampler): downsample each group so the output distribution over
+    groups is proportional to ``share^(1/T)`` instead of ``share``.
+
+    ``T=1`` keeps the natural distribution; ``T->inf`` tends to uniform.
+    Keep probability per group = ``(share)^(1/T - 1)`` normalized so the
+    rarest group's probability is 1 (downsample-only — no row is ever
+    duplicated).  The keep decision is a pure function of
+    ``md5(key, seed)`` — deterministic across reruns, repartitions and
+    engines.
+
+    Scale shape: one tiny per-group aggregate (broadcast back, no
+    shuffle of the corpus) + one filter — the corpus is scanned once.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    exponent = 1.0 / temperature - 1.0
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    # groups are few (languages, domains): broadcast the weight table
+    weights = stats.withColumn("__n", F.sum("__c").over(Window.partitionBy())).select(
+        group_col,
+        F.pow(F.col("__c") / F.col("__n"), F.lit(exponent)).alias("__raw"),
+    )
+    weights = weights.withColumn(
+        # round: POW is the one libm call here; 12 decimals makes the
+        # keep threshold reproducible bit-for-bit across engines
+        "__keep_p",
+        F.round(F.col("__raw") / F.max("__raw").over(Window.partitionBy()), 12),
+    ).select(group_col, "__keep_p")
+    u = _md5_uniform(key_col, seed)
+    return (
+        df.join(F.broadcast(weights), group_col)
+        .where(u < F.col("__keep_p"))
+        .drop("__keep_p")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

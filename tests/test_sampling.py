@@ -65,3 +65,31 @@ def test_stratified_sample_md5_requires_key(spark):
     df = spark.createDataFrame([(1, "a")], "k long, s string")
     with pytest.raises(ValueError):
         stratified_sample(df, "s", {"a": 0.5}, algo="md5")
+
+
+def test_temperature_sample_rebalances(spark):
+    """T=2 flattens the group distribution: the rarest group survives
+    whole, the dominant group is downsampled, and the kept shares are
+    strictly flatter than the input shares."""
+    from aws_sdk_pandas_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    kept = temperature_sample(df, "g", temperature=2.0, key_col="doc_id", seed=7)
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts["small"] == 100            # rarest group keep_p == 1
+    assert counts["big"] < 900               # dominant group downsampled
+    # flatter: kept big-share strictly below input big-share (0.9)
+    assert counts["big"] / (counts["big"] + counts["small"]) < 0.9
+
+
+def test_temperature_sample_deterministic_and_identity(spark):
+    from aws_sdk_pandas_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    a = sorted(r["doc_id"] for r in temperature_sample(df, "g", temperature=3.0, key_col="doc_id").collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df, "g", temperature=3.0, key_col="doc_id").collect())
+    assert a == b and a
+    # T=1 keeps everything (keep_p == 1 for every group)
+    assert temperature_sample(df, "g", temperature=1.0, key_col="doc_id").count() == 300
