@@ -1700,6 +1700,33 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup deliverable (operators/graph.dedup_keep_best):
+    n-gram near-dup pairs -> connected components -> keep the longest
+    (n_chars, tie: min doc_id) member per cluster + all unpaired docs.
+    Oracle: recursive-CTE closure + window argmax."""
+    from aws_sdk_pandas_spark.operators.dedup import ngram_jaccard_duplicates
+    from aws_sdk_pandas_spark.operators.graph import dedup_keep_best
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.2)
+    kept = dedup_keep_best(docs, pairs, id_col="doc_id", score_col="n_chars")
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_MARKOV = """
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+"""
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled language rebalancing (operators/sampling.
     temperature_sample, T=2): downsample common languages toward
@@ -1990,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_sample": _q_temperature_sample,
         "graph_user_degrees": _q_graph_degrees,
         "events_sliding_time_window": lambda s, d: _sql(s, d, _RANGE_WINDOW),
+        "dedup_keep_best_doc": _q_dedup_keep_best,
+        "events_markov_transitions": lambda s, d: _sql(s, d, _MARKOV),
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2710,6 +2739,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "dedup_keep_best_doc": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words
+            ), exploded AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded a JOIN exploded b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs AS (
+                SELECT id_a, id_b FROM cand
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.2
+            ), nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+                )
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT id AS src, id AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ), labels AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ), joined AS (
+                SELECT d.doc_id, d.lang, d.n_chars, l.cluster_id
+                FROM documents d LEFT JOIN labels l USING (doc_id)
+            ), best AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM joined WHERE cluster_id IS NOT NULL)
+                WHERE rn = 1
+            )
+            SELECT doc_id, lang, n_chars FROM joined WHERE cluster_id IS NULL
+            UNION ALL
+            SELECT j.doc_id, j.lang, j.n_chars FROM joined j JOIN best USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "events_markov_transitions": """
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM (SELECT event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+            ORDER BY prev_type, next_type
         """,
         "docs_temperature_sample": """
             WITH stats AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),

@@ -84,3 +84,43 @@ def dedup_clusters(
     in the cluster is a duplicate to drop."""
     cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
     return cc.withColumn("is_representative", F.col("id") == F.col("cluster_id"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The end-to-end dedup deliverable: given the corpus and its
+    near-duplicate PAIRS, keep exactly one row per duplicate cluster —
+    the highest-``score_col`` member (ties and no-score: minimum id) —
+    and every row that was never paired.
+
+    Scale shape: connected components over the pair list (never the
+    corpus), one left join corpus x labels (labels side is |paired docs|,
+    typically << corpus, broadcast by AQE), one window shuffle on
+    cluster_id for the argmax.  The corpus is scanned once.
+    """
+    from pyspark.sql.window import Window
+
+    labels = connected_components(pairs, max_iter=max_iter).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+    joined = df.join(labels, id_col, "left")
+    # unpaired rows (the vast majority) must NOT enter the window — a
+    # NULL cluster_id would funnel them all into one window partition
+    singles = joined.where(F.col("cluster_id").isNull()).drop("cluster_id")
+    order = (
+        [F.col(score_col).desc()] if score_col is not None else []
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    best = (
+        joined.where(F.col("cluster_id").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "cluster_id")
+    )
+    return singles.unionByName(best)

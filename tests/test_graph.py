@@ -20,3 +20,21 @@ def test_representatives(spark):
     reps = {r.id for r in rows if r.is_representative}
     assert reps == {5}
     assert {r.cluster_id for r in rows} == {5}
+
+
+def test_dedup_keep_best(spark):
+    """Clusters keep exactly the best-scoring member; unpaired rows
+    survive untouched."""
+    from aws_sdk_pandas_spark.operators.graph import dedup_keep_best
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 99), (5, 7)], "doc_id bigint, score bigint"
+    )
+    # {1,2,3} one cluster (2 wins on score), {4} and {5} unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    kept = sorted(r.doc_id for r in dedup_keep_best(docs, pairs, score_col="score").collect())
+    assert kept == [2, 4, 5]
+    # no score: minimum id wins
+    kept_min = sorted(r.doc_id for r in dedup_keep_best(docs, pairs).collect())
+    assert kept_min == [1, 4, 5]
