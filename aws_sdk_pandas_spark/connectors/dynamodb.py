@@ -170,6 +170,67 @@ def put_df(
     write_dataset(df, path, "parquet", mode=mode)
 
 
+def put_items(
+    spark: SparkSession,
+    items: list[dict[str, Any]],
+    path: str,
+    *,
+    overwrite_by_pkeys: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """reference: dynamodb/_write.py:221 ``put_items`` — literal items
+    (list of dicts) batched through the same writer as ``put_df``."""
+    if not items:
+        return
+    put_df(
+        spark.createDataFrame(items),
+        path,
+        overwrite_by_pkeys=overwrite_by_pkeys,
+        mode=mode,
+    )
+
+
+def put_csv(
+    spark: SparkSession,
+    csv_path: str,
+    path: str,
+    *,
+    overwrite_by_pkeys: list[str] | None = None,
+    mode: str = "append",
+    **pandas_kwargs: Any,
+) -> None:
+    """reference: dynamodb/_write.py:76 ``put_csv`` — read the CSV with
+    the full pandas-kwargs surface, then ``put_df``."""
+    from aws_sdk_pandas_spark.sources.text import read_csv
+
+    put_df(
+        read_csv(spark, csv_path, **pandas_kwargs),
+        path,
+        overwrite_by_pkeys=overwrite_by_pkeys,
+        mode=mode,
+    )
+
+
+def put_json(
+    spark: SparkSession,
+    json_path: str,
+    path: str,
+    *,
+    overwrite_by_pkeys: list[str] | None = None,
+    mode: str = "append",
+    **kwargs: Any,
+) -> None:
+    """reference: dynamodb/_write.py:32 ``put_json``."""
+    from aws_sdk_pandas_spark.sources.text import read_json
+
+    put_df(
+        read_json(spark, json_path, **kwargs),
+        path,
+        overwrite_by_pkeys=overwrite_by_pkeys,
+        mode=mode,
+    )
+
+
 def delete_items(
     spark: SparkSession,
     path: str,

@@ -118,3 +118,53 @@ def index_df(
 
     out = df.dropDuplicates(id_keys) if id_keys else df
     return write_dataset(out, path, "parquet", mode=mode)
+
+
+def index_documents(
+    spark: SparkSession,
+    documents: list[dict[str, Any]],
+    path: str,
+    *,
+    id_keys: list[str] | None = None,
+    mode: str = "append",
+) -> dict[str, Any]:
+    """reference: opensearch/_write.py:489 ``index_documents`` — literal
+    document dicts through the same bulk path as ``index_df``."""
+    if not documents:
+        return {"paths": [], "partitions_values": {}}
+    return index_df(spark.createDataFrame(documents), path, id_keys=id_keys, mode=mode)
+
+
+def index_csv(
+    spark: SparkSession,
+    csv_path: str,
+    path: str,
+    *,
+    id_keys: list[str] | None = None,
+    mode: str = "append",
+    **pandas_kwargs: Any,
+) -> dict[str, Any]:
+    """reference: opensearch/_write.py:356 ``index_csv``."""
+    from aws_sdk_pandas_spark.sources.text import read_csv
+
+    return index_df(
+        read_csv(spark, csv_path, **pandas_kwargs), path, id_keys=id_keys, mode=mode
+    )
+
+
+def index_json(
+    spark: SparkSession,
+    json_path: str,
+    path: str,
+    *,
+    id_keys: list[str] | None = None,
+    mode: str = "append",
+    **kwargs: Any,
+) -> dict[str, Any]:
+    """reference: opensearch/_write.py:278 ``index_json`` (JSON-lines or
+    array-of-objects, matching read_json's surface)."""
+    from aws_sdk_pandas_spark.sources.text import read_json
+
+    return index_df(
+        read_json(spark, json_path, **kwargs), path, id_keys=id_keys, mode=mode
+    )

@@ -88,11 +88,56 @@ def unload(
 ) -> DataFrame:
     """reference: redshift/_read.py:392 ``unload`` — run SQL, land parquet
     at ``path``, return the scan of the landed data."""
-    from aws_sdk_pandas_spark.sources import read_parquet, to_parquet
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    unload_to_files(
+        spark, sql, path, con,
+        partition_cols=partition_cols,
+        max_file_size_rows=max_file_size_rows,
+        **read_kwargs,
+    )
+    return read_parquet(spark, path, dataset=True)
+
+
+def unload_to_files(
+    spark: SparkSession,
+    sql: str,
+    path: str,
+    con: core.ConnectionConfig,
+    *,
+    partition_cols: list[str] | None = None,
+    max_file_size_rows: int = 0,
+    **read_kwargs: Any,
+) -> None:
+    """reference: redshift/_read.py:230 ``unload_to_files`` — land the
+    query result as parquet files WITHOUT reading them back."""
+    from aws_sdk_pandas_spark.sources import to_parquet
 
     df = core.read_sql_query(spark, sql, con, **read_kwargs)
     to_parquet(
         df, path, dataset=True, mode="overwrite",
         partition_cols=partition_cols, max_rows_by_file=max_file_size_rows,
     )
-    return read_parquet(spark, path, dataset=True)
+
+
+def copy_from_files(
+    spark: SparkSession,
+    path: str,
+    con: core.ConnectionConfig,
+    table: str,
+    *,
+    schema: str | None = None,
+    mode: str = "append",
+    keys: list[str] | None = None,
+    precombine_key: str | None = None,
+) -> None:
+    """reference: redshift/_write.py:278 ``copy_from_files`` — load an
+    already-staged parquet dataset into the target table (the second half
+    of ``copy``, for files staged by another job)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    staged = read_parquet(spark, path, dataset=True)
+    to_sql(
+        staged, con, table, schema=schema, mode=mode, keys=keys,
+        precombine_key=precombine_key,
+    )

@@ -189,3 +189,20 @@ def wait_objects_not_exist(
         time.sleep(delay)
     present = [p for p in paths if does_object_exist(spark, p)]
     raise TimeoutError(f"objects still present after {max_attempts} attempts: {present}")
+
+
+def upload(spark: SparkSession, local_file: str, path: str) -> None:
+    """reference: awswrangler/s3/_upload.py:15 — raw object transfer from
+    a local file into the dataset filesystem (Hadoop FS copyFromLocal,
+    so the same call works for s3a://, hdfs://, file://)."""
+    fs, jpath, jvm = _jvm_fs(spark, path)
+    src = jvm.org.apache.hadoop.fs.Path(f"file://{local_file}")
+    fs.copyFromLocalFile(False, True, src, jpath)
+
+
+def download(spark: SparkSession, path: str, local_file: str) -> None:
+    """reference: awswrangler/s3/_download.py:15 — raw object transfer to
+    a local file."""
+    fs, jpath, jvm = _jvm_fs(spark, path)
+    dst = jvm.org.apache.hadoop.fs.Path(f"file://{local_file}")
+    fs.copyToLocalFile(False, jpath, dst, True)

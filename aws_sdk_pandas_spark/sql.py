@@ -220,10 +220,39 @@ def create_ctas_table(
     return table
 
 
+_EXECUTIONS: dict[str, DataFrame] = {}
+
+
 def start_query_execution(spark: SparkSession, sql: str, **kwargs: Any) -> DataFrame:
     """Compatibility alias: execution is synchronous and local
-    (reference: athena/_executions.py start_query_execution/wait_query)."""
-    return read_sql_query(spark, sql, **kwargs)
+    (reference: athena/_executions.py start_query_execution/wait_query).
+    The returned DataFrame carries ``query_execution_id`` in
+    ``df.query_execution_id`` so ``get_query_results`` can re-fetch it —
+    the reference's id-based result retrieval (athena/_read.py:843)."""
+    import uuid
+
+    df = read_sql_query(spark, sql, **kwargs)
+    exec_id = str(uuid.uuid4())
+    _EXECUTIONS[exec_id] = df
+    try:
+        df.query_execution_id = exec_id  # type: ignore[attr-defined]
+    except AttributeError:  # chunked iterators
+        pass
+    return df
+
+
+def get_query_results(spark: SparkSession, query_execution_id: str) -> DataFrame:
+    """Fetch the result of a previous ``start_query_execution`` by id
+    (reference: athena/_read.py:843 ``get_query_results``).  Executions
+    are session-local; lazy plans re-run on collection exactly like the
+    reference re-reads the S3 result objects."""
+    try:
+        return _EXECUTIONS[query_execution_id]
+    except KeyError:
+        raise InvalidArgument(
+            f"unknown query_execution_id {query_execution_id!r} "
+            "(executions are registered by start_query_execution in this session)"
+        ) from None
 
 
 def read_sql_table(

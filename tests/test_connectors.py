@@ -259,3 +259,62 @@ def test_neptune_flatten(spark):
     flat = neptune.flatten_nested_df(df)
     assert set(flat.columns) == {"id", "props_a", "props_b_c"}
     assert flat.first().props_b_c == "x"
+
+
+def test_ddb_put_items_csv_json(spark, tmp_path):
+    """put_items / put_csv / put_json land through the same writer as
+    put_df (reference: dynamodb/_write.py:221,76,32)."""
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.connectors import dynamodb as D
+
+    tbl = f"file://{tmp_path}/items"
+    D.put_items(
+        spark,
+        [{"pk": 1, "v": "a"}, {"pk": 2, "v": "b"}, {"pk": 2, "v": "c"}],
+        tbl,
+        overwrite_by_pkeys=["pk"],
+    )
+    assert spark.read.parquet(tbl).count() == 2  # pk=2 deduped, last wins
+
+    csv_file = tmp_path / "in.csv"
+    pd.DataFrame({"pk": [10, 11], "v": ["x", "y"]}).to_csv(csv_file, index=False)
+    D.put_csv(spark, f"file://{csv_file}", tbl)
+    assert spark.read.parquet(tbl).count() == 4
+
+    json_file = tmp_path / "in.json"
+    json_file.write_text('{"pk": 20, "v": "z"}\n')
+    D.put_json(spark, f"file://{json_file}", tbl)
+    assert spark.read.parquet(tbl).count() == 5
+
+
+def test_opensearch_index_documents_csv_json(spark, tmp_path):
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.connectors import opensearch as O
+
+    idx = f"file://{tmp_path}/idx"
+    O.index_documents(spark, [{"_id": 1, "t": "a"}, {"_id": 1, "t": "b"}], idx, id_keys=["_id"])
+    assert spark.read.parquet(idx).count() == 1
+
+    csv_file = tmp_path / "docs.csv"
+    pd.DataFrame({"_id": [2, 3], "t": ["c", "d"]}).to_csv(csv_file, index=False)
+    O.index_csv(spark, f"file://{csv_file}", idx)
+    json_file = tmp_path / "docs.json"
+    json_file.write_text('{"_id": 4, "t": "e"}\n')
+    O.index_json(spark, f"file://{json_file}", idx)
+    assert spark.read.parquet(idx).count() == 4
+
+
+def test_fs_upload_download(spark, tmp_path):
+    from aws_sdk_pandas_spark.sources import fs as FS
+
+    local = tmp_path / "payload.bin"
+    local.write_bytes(b"hello spark fs")
+    remote = f"file://{tmp_path}/remote/payload.bin"
+    FS.upload(spark, str(local), remote)
+    assert FS.does_object_exist(spark, remote)
+
+    back = tmp_path / "back.bin"
+    FS.download(spark, remote, str(back))
+    assert back.read_bytes() == b"hello spark fs"

@@ -126,3 +126,19 @@ def test_cast_columns(spark):
     df = spark.createDataFrame([(1, "2.5")], "a bigint, b string")
     got = _types.cast_columns(df, {"a": "string", "b": "double"})
     assert dict(got.dtypes) == {"a": "string", "b": "double"}
+
+
+def test_get_query_results_by_execution_id(spark):
+    """start_query_execution registers an id; get_query_results re-fetches
+    (reference: athena/_read.py:843)."""
+    import pytest
+
+    from aws_sdk_pandas_spark import sql as S
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    df = S.start_query_execution(spark, "SELECT 1 AS one")
+    exec_id = df.query_execution_id
+    again = S.get_query_results(spark, exec_id)
+    assert again.collect() == df.collect()
+    with pytest.raises(InvalidArgument):
+        S.get_query_results(spark, "no-such-id")
