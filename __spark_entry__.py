@@ -656,6 +656,24 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.minhash_match_against): the
+    last 10% of documents arrive as a 'new batch' and match against the
+    prebuilt index of the first 90% — corpus text is never re-shingled.
+    Rows-only (MinHash banding is not SQL-expressible)."""
+    from aws_sdk_pandas_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_match_against,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    cut = docs.selectExpr("percentile(doc_id, 0.9) AS c").first()["c"]
+    index = build_minhash_index(docs.where(F.col("doc_id") < cut))
+    new_docs = docs.where(F.col("doc_id") >= cut)
+    return minhash_match_against(index, new_docs, threshold=0.5)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_sdk_pandas_spark.operators.multimodal import extract_features
     from aws_sdk_pandas_spark.sources import read_parquet
@@ -2025,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
+        "dedup_minhash_incremental": _q_minhash_incremental,
         "simhash_signatures": _q_simhash,
         "emb_knn_lsh_ann": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,

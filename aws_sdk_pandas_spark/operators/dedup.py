@@ -275,6 +275,123 @@ def minhash_duplicates(
     return verified
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable MinHash index over a corpus: one row per document
+    with the shingle-hash set (``h``, for exact-Jaccard verification) and
+    the MinHash signature (``sig``).  WRITE this as a parquet/Delta
+    dataset once; incremental batches then dedup against it with
+    ``minhash_match_against`` without re-processing the corpus — the
+    nightly-crawl pattern at 100 TB.
+
+    Same kernel and hash coefficients as ``minhash_duplicates``: indexes
+    built with the same (num_hashes, shingle_k, seed) are compatible.
+    """
+    kernel = _text_minhash_kernel(num_hashes, shingle_k, seed)
+    return (
+        _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+        .withColumn("__hs", kernel(F.col("__text")))
+        .select("id", F.col("__hs.h").alias("h"), F.col("__hs.sig").alias("sig"))
+    )
+
+
+def minhash_match_against(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-duplicate detection: match a NEW batch of
+    documents against an existing ``build_minhash_index`` output without
+    touching the corpus text.
+
+    Pipeline: kernel over the new batch only -> band hashes on both sides
+    (the index side recomputes band keys from stored signatures — cheap
+    JVM slicing, no Python) -> equi-join per (band, bucket) -> signature
+    prefilter -> exact Jaccard on the stored shingle sets.  Returns
+    ``new_id, index_id, jaccard``.
+
+    Scale shape: the corpus-side shuffle carries (id, 8-byte band keys)
+    only; shingle sets move only for pairs surviving the prefilter.
+    """
+    import math
+
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    kernel = _text_minhash_kernel(num_hashes, shingle_k, seed)
+    new_base = (
+        _ensure_parallelism(
+            new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        )
+        .withColumn("__hs", kernel(F.col("__text")))
+        .select("id", F.col("__hs.h").alias("h"), F.col("__hs.sig").alias("sig"))
+        .persist()
+    )
+    new_base.count()
+
+    def band_keys(side: DataFrame) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return side.select("id", "sig", F.explode(structs).alias("bb")).select(
+            "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+    min_match = max(0, int(math.ceil((threshold - 3.0 * sigma) * num_hashes)))
+
+    n_side = band_keys(new_base).withColumnsRenamed({"id": "new_id", "sig": "sig_n"})
+    i_side = band_keys(index.select("id", "sig")).withColumnsRenamed(
+        {"id": "index_id", "sig": "sig_i"}
+    )
+    candidates = (
+        n_side.join(i_side, ["band", "bucket"])
+        .withColumn(
+            "__match",
+            F.size(F.filter(F.zip_with("sig_n", "sig_i", lambda a, b: a == b), lambda x: x)),
+        )
+        .where(F.col("__match") >= min_match)
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    verified = (
+        candidates.join(
+            new_base.select(F.col("id").alias("new_id"), F.col("h").alias("h_n")), "new_id"
+        )
+        .join(index.select(F.col("id").alias("index_id"), F.col("h").alias("h_i")), "index_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("h_n", "h_i")) / F.size(F.array_union("h_n", "h_i")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
 def _sig_filtered_pairs_from_buckets(
     buckets: DataFrame, min_match: int, max_group: int = 1000
 ) -> DataFrame:

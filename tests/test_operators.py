@@ -212,3 +212,29 @@ def test_simhash_radius_matches_brute_force(spark):
         .collect()
     }
     assert banded == brute  # pigeonhole banding is exact, not approximate
+
+
+def test_minhash_incremental_match(spark, docs_df):
+    """A new batch matches against a prebuilt index: the exact dup is
+    found, the unrelated doc is not, and the corpus text is never
+    re-kerneled (index carries h+sig only)."""
+    from aws_sdk_pandas_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_match_against,
+    )
+
+    index = build_minhash_index(docs_df, "doc_id", "text", num_hashes=64)
+    base_text = docs_df.where("doc_id = 1").collect()[0]["text"]
+    new_docs = spark.createDataFrame(
+        [(100, base_text), (101, "entirely unrelated content about databases only")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.new_id, r.index_id): r.jaccard
+        for r in minhash_match_against(
+            index, new_docs, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got[(100, 1)] == 1.0          # exact dup of corpus doc 1
+    assert got.get((100, 4)) == 1.0      # ...and of its corpus twin
+    assert all(nid != 101 for nid, _ in got)
