@@ -143,3 +143,14 @@ def bulk_load(
         )
         out["edges"] = f"{path.rstrip('/')}/edges_csv"
     return out
+
+
+def bulk_load_from_files(spark, path: str, *, kind: str = "vertices") -> DataFrame:
+    """reference: neptune/_neptune.py:428 ``bulk_load_from_files`` —
+    ingest loader-format CSV landed by ``bulk_load`` (or another job)
+    back into the two-DataFrame graph model."""
+    if kind not in ("vertices", "edges"):
+        raise InvalidArgument("kind must be 'vertices' or 'edges'")
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    restored = _restore_tilde(df)
+    return (validate_vertices if kind == "vertices" else validate_edges)(restored)

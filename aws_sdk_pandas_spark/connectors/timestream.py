@@ -122,3 +122,24 @@ def batch_load(
         measure_cols=measure_cols,
         mode="overwrite",
     )
+
+
+def unload_to_files(
+    spark: SparkSession,
+    sql: str,
+    path: str,
+    *,
+    unload_format: str = "PARQUET",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """reference: timestream/_read.py:334 ``unload_to_files`` — land the
+    query result WITHOUT reading it back."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    fmt = unload_format.lower()
+    if fmt not in ("parquet", "csv"):
+        raise InvalidArgument("unload_format must be PARQUET or CSV")
+    write_dataset(
+        spark.sql(sql), path, fmt, mode="overwrite", partition_cols=partition_cols,
+        options={"header": "true"} if fmt == "csv" else None,
+    )

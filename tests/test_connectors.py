@@ -318,3 +318,25 @@ def test_fs_upload_download(spark, tmp_path):
     back = tmp_path / "back.bin"
     FS.download(spark, remote, str(back))
     assert back.read_bytes() == b"hello spark fs"
+
+
+def test_neptune_bulk_load_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.connectors import neptune as N
+
+    verts = spark.createDataFrame(
+        [("v1", "person"), ("v2", "person")], "`~id` string, `~label` string"
+    )
+    out = N.bulk_load(verts, None, f"file://{tmp_path}/graph")
+    back = N.bulk_load_from_files(spark, out["vertices"], kind="vertices")
+    assert sorted(r["~id"] for r in back.collect()) == ["v1", "v2"]
+
+
+def test_timestream_unload_to_files(spark, tmp_path):
+    from aws_sdk_pandas_spark.connectors import timestream as T
+
+    spark.range(5).createOrReplaceTempView("tiny_ts")
+    path = f"file://{tmp_path}/ts_unload"
+    T.unload_to_files(spark, "SELECT id FROM tiny_ts", path)
+    assert spark.read.parquet(path).count() == 5
