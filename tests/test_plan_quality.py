@@ -218,3 +218,62 @@ def test_pack_sequences_single_shuffle_per_group_key(spark, sf_dir):
     plan = _plan(packed)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_temperature_sample_broadcasts_weights(spark, sf_dir):
+    """The per-group weight table must broadcast — a shuffle join on the
+    group key would exchange the whole corpus to apply a 5-row map."""
+    from aws_sdk_pandas_spark.operators.sampling import temperature_sample
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = temperature_sample(docs, "lang", temperature=2.0, key_col="doc_id")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_best_no_cartesian_and_split_window(spark, sf_dir):
+    """keep-best must never cross-product, and unpaired rows must bypass
+    the cluster window (a NULL-keyed window partition would funnel the
+    whole corpus into one task)."""
+    from aws_sdk_pandas_spark.operators.graph import dedup_keep_best
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    df = dedup_keep_best(docs, pairs, id_col="doc_id", score_col="n_chars")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # two branches (unpaired bypass + clustered argmax), ONE window total —
+    # the corpus never funnels through a NULL-keyed window partition —
+    # and rank<=1 compiles to WindowGroupLimit (partial top-1 per group
+    # before the exchange)
+    assert "Union" in plan
+    assert plan.count("Window [row_number") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_incremental_index_side_no_python(spark, sf_dir):
+    """Matching against a stored index must not re-run the Python kernel
+    over the corpus: exactly ONE Arrow/pandas evaluation (the new batch);
+    the index side is JVM signature slicing."""
+    from aws_sdk_pandas_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_match_against,
+    )
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    index_path = "/tmp/asps_mh_idx_plan"
+    build_minhash_index(docs.where(F.col("doc_id") < 100)).write.mode("overwrite").parquet(
+        index_path
+    )
+    index = spark.read.parquet(index_path)
+    new_docs = docs.where(F.col("doc_id") >= 100).limit(50)
+    df = minhash_match_against(index, new_docs, threshold=0.5)
+    plan = _plan(df)
+    # the stored index is scanned as parquet (id, h, sig) — no text
+    # column read, no Python kernel on the corpus side
+    index_scans = [
+        l for l in plan.splitlines() if "asps_mh_idx_plan" in l and "Scan parquet" in l
+    ]
+    assert index_scans, "index must be read from its parquet files"
+    assert all("text" not in l for l in index_scans)
