@@ -123,6 +123,31 @@ def merge_upsert(
     else:
         source_name = source
 
+    spark.sql(
+        build_merge_sql(
+            target_table,
+            source_name,
+            merge_cols,
+            merge_condition=merge_condition,
+            merge_match_nulls=merge_match_nulls,
+            precombine_key=precombine_key,
+        )
+    )
+
+
+def build_merge_sql(
+    target_table: str,
+    source_name: str,
+    merge_cols: list[str],
+    *,
+    merge_condition: str = "update",
+    merge_match_nulls: bool = False,
+    precombine_key: str | None = None,
+) -> str:
+    """The MERGE INTO template (exposed for tests/inspection): null-safe
+    ``<=>`` matching mirrors the reference's ``IS NOT DISTINCT FROM``
+    (athena/_write_iceberg.py:372-376); the precombine guard reproduces
+    Redshift's greatest-version-wins upsert (redshift/_utils.py:186-199)."""
     op = "<=>" if merge_match_nulls else "="
     on = " AND ".join(f"t.`{c}` {op} s.`{c}`" for c in merge_cols)
     matched = (
@@ -133,11 +158,10 @@ def merge_upsert(
             f"WHEN MATCHED AND s.`{precombine_key}` > t.`{precombine_key}` "
             "THEN UPDATE SET * "
         )
-    sql = (
+    return (
         f"MERGE INTO {target_table} t USING {source_name} s ON {on} "
         f"{matched}WHEN NOT MATCHED THEN INSERT *"
     )
-    spark.sql(sql)
 
 
 def delete_from_table(

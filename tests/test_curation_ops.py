@@ -209,3 +209,27 @@ def test_compact_dataset_skips_already_compact(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(out)
     report = compact_dataset(spark, out)
     assert report == {}
+
+
+def test_build_merge_sql_templates():
+    """Pin the MERGE INTO templates without needing Delta/Iceberg jars:
+    null-safe <=> (reference IS NOT DISTINCT FROM), precombine version
+    guard, and the 'ignore' (insert-only) mode."""
+    from aws_sdk_pandas_spark.operators.merge import build_merge_sql
+
+    assert build_merge_sql("db.t", "src", ["k1", "k2"]) == (
+        "MERGE INTO db.t t USING src s ON t.`k1` = s.`k1` AND t.`k2` = s.`k2` "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert build_merge_sql("t", "s0", ["k"], merge_match_nulls=True) == (
+        "MERGE INTO t t USING s0 s ON t.`k` <=> s.`k` "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert build_merge_sql("t", "s0", ["k"], precombine_key="v") == (
+        "MERGE INTO t t USING s0 s ON t.`k` = s.`k` "
+        "WHEN MATCHED AND s.`v` > t.`v` THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert build_merge_sql("t", "s0", ["k"], merge_condition="ignore") == (
+        "MERGE INTO t t USING s0 s ON t.`k` = s.`k` WHEN NOT MATCHED THEN INSERT *"
+    )
