@@ -81,6 +81,20 @@ def main() -> None:
     )
     spark.read.parquet("/tmp/asps_bench_warm").count()
 
+    # warm the dedup kernel paths on a 100-doc sliver: interpreted
+    # higher-order-expression evaluators, struct-returning pandas-UDF
+    # Arrow serialization, and window/join codegen classes JIT once per
+    # JVM — measured 2-3x run-to-run variance on the dedup queries when
+    # these compile inside the timed region
+    from aws_sdk_pandas_spark.operators.dedup import (
+        minhash_duplicates,
+        ngram_jaccard_duplicates,
+    )
+
+    sliver = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    minhash_duplicates(sliver, "doc_id", "text", threshold=0.5).count()
+    ngram_jaccard_duplicates(sliver, "doc_id", "text", n=3, threshold=0.2).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in _BENCH_QUERIES:
