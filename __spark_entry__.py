@@ -1745,6 +1745,30 @@ _MARKOV = """
 """
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation gauntlet as ONE operator (operators/pipeline.
+    curate_corpus): fingerprint dedup -> language whitelist -> token
+    gates -> n-gram near-dup keep-best -> per-language caps.  Oracle:
+    the same stages composed as CTEs."""
+    from aws_sdk_pandas_spark.operators.pipeline import curate_corpus
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    kept = curate_corpus(
+        docs,
+        lang_col="lang",
+        langs=["en", "de", "fr", "es"],
+        min_tokens=15,
+        max_tokens=90,
+        near_dup=True,
+        ngram_n=3,
+        jaccard_threshold=0.2,
+        score_col="n_chars",
+        cap_per_language=60,
+    )
+    return kept.select("doc_id", "lang", "n_chars", "n_tokens").orderBy("doc_id")
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled language rebalancing (operators/sampling.
     temperature_sample, T=2): downsample common languages toward
@@ -2037,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_time_window": lambda s, d: _sql(s, d, _RANGE_WINDOW),
         "dedup_keep_best_doc": _q_dedup_keep_best,
         "events_markov_transitions": lambda s, d: _sql(s, d, _MARKOV),
+        "docs_curation_pipeline": _q_curation_pipeline,
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2758,6 +2783,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_curation_pipeline": """
+            WITH RECURSIVE fp AS (
+                SELECT doc_id, lang, n_chars, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS fp_rn
+                FROM documents
+            ), surv AS (
+                SELECT doc_id, lang, n_chars, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                FROM fp
+                WHERE fp_rn = 1 AND lang IN ('en', 'de', 'fr', 'es')
+            ), gated AS (
+                SELECT * FROM surv WHERE n_tokens >= 15 AND n_tokens <= 90
+            ), words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM gated
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words
+            ), exploded AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded a JOIN exploded b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs AS (
+                SELECT id_a, id_b FROM cand
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.2
+            ), nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+                )
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT id AS src, id AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ), labels AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ), joined AS (
+                SELECT g.doc_id, g.lang, g.n_chars, g.n_tokens, l.cluster_id
+                FROM gated g LEFT JOIN labels l USING (doc_id)
+            ), best AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM joined WHERE cluster_id IS NOT NULL)
+                WHERE rn = 1
+            ), kept AS (
+                SELECT doc_id, lang, n_chars, n_tokens FROM joined WHERE cluster_id IS NULL
+                UNION ALL
+                SELECT j.doc_id, j.lang, j.n_chars, j.n_tokens
+                FROM joined j JOIN best USING (doc_id)
+            ), capped AS (
+                SELECT doc_id, lang, n_chars, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM kept
+            )
+            SELECT doc_id, lang, n_chars, n_tokens FROM capped
+            WHERE rn <= 60
+            ORDER BY doc_id
         """,
         "dedup_keep_best_doc": """
             WITH RECURSIVE words AS (

@@ -1,0 +1,89 @@
+"""End-to-end corpus curation pipeline.
+
+The composition a pre-training data pipeline actually runs, as ONE
+operator building ONE DataFrame plan (every stage is an existing
+shuffle-conscious operator; nothing collects to the driver):
+
+  1. exact dedup on the normalized-content fingerprint (md5 — portable
+     to any audit engine),
+  2. language whitelist,
+  3. token-count gates (too-short docs are boilerplate, too-long are
+     concatenation artifacts),
+  4. near-duplicate removal (word n-gram Jaccard pairs -> connected
+     components -> keep the best-scoring member per cluster),
+  5. per-language caps (deterministic: best score first).
+
+Every stage is individually oracle-checked elsewhere; the composite is
+hash-checked end-to-end as the ``docs_curation_pipeline`` entry.
+
+Scale shape: stages 1-3 are one scan + one fingerprint shuffle; stage 4
+shuffles only the (hot-gram-capped) posting lists and the pair set;
+stage 5 is one window shuffle on the language key.  The corpus text
+never moves more than once per stage that needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_sdk_pandas_spark.functions.text import token_count
+from aws_sdk_pandas_spark.operators.dedup import (
+    dedup_fingerprint,
+    ngram_jaccard_duplicates,
+)
+from aws_sdk_pandas_spark.operators.graph import dedup_keep_best
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    langs: list[str] | None = None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    near_dup: bool = True,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.2,
+    score_col: str | None = None,
+    cap_per_language: int | None = None,
+) -> DataFrame:
+    """Run the standard curation gauntlet; returns the surviving rows
+    with all original columns plus ``n_tokens``."""
+    out = dedup_fingerprint(docs, text_col, id_col=id_col)
+    if langs is not None:
+        if lang_col is None:
+            raise ValueError("langs= requires lang_col=")
+        out = out.where(F.col(lang_col).isin(list(langs)))
+    out = out.withColumn("n_tokens", token_count(text_col))
+    if min_tokens is not None:
+        out = out.where(F.col("n_tokens") >= min_tokens)
+    if max_tokens is not None:
+        out = out.where(F.col("n_tokens") <= max_tokens)
+
+    if near_dup:
+        # the survivors so far feed BOTH pair generation and keep-best:
+        # persist so the fingerprint window and token filters run once
+        out = out.persist()
+        out.count()
+        pairs = ngram_jaccard_duplicates(
+            out, id_col, text_col, n=ngram_n, threshold=jaccard_threshold
+        )
+        out = dedup_keep_best(out, pairs, id_col=id_col, score_col=score_col)
+
+    if cap_per_language is not None:
+        if lang_col is None:
+            raise ValueError("cap_per_language= requires lang_col=")
+        order = (
+            [F.col(score_col).desc()] if score_col is not None else []
+        ) + [F.col(id_col).asc()]
+        w = Window.partitionBy(lang_col).orderBy(*order)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap_per_language)
+            .drop("__rn")
+        )
+    return out
