@@ -1745,6 +1745,17 @@ _MARKOV = """
 """
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style perplexity proxy (operators/textstats.
+    unigram_logprob_score): mean log10 unigram probability per document
+    under the corpus's own distribution."""
+    from aws_sdk_pandas_spark.operators.textstats import unigram_logprob_score
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return unigram_logprob_score(docs).orderBy("doc_id")
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation gauntlet as ONE operator (operators/pipeline.
     curate_corpus): fingerprint dedup -> language whitelist -> token
@@ -2062,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_doc": _q_dedup_keep_best,
         "events_markov_transitions": lambda s, d: _sql(s, d, _MARKOV),
         "docs_curation_pipeline": _q_curation_pipeline,
+        "doc_unigram_logprob": _q_unigram_logprob,
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2783,6 +2795,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "doc_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ), total AS (SELECT COUNT(*) AS n FROM toks),
+            vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(LOG10(tf / (SELECT n * 1.0 FROM total))), 6) AS logprob
+            FROM toks JOIN vocab USING (tok)
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "docs_curation_pipeline": """
             WITH RECURSIVE fp AS (

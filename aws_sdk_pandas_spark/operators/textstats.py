@@ -143,3 +143,44 @@ def repetition_signals(
         "dup_token_frac",
         "top_token_frac",
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's own
+    unigram distribution — the cheap perplexity proxy used by
+    CCNet/C4-style quality filtering (docs of rare/garbled tokens score
+    low, natural prose scores high) without shipping a language model.
+
+    Two passes over the token stream, both keyed by token (uniform
+    shuffle): (1) corpus token counts, (2) join scores back.  The
+    frequency table is vocabulary-sized — broadcast it; the corpus text
+    is scanned once per pass and never collected.
+
+    Returns ``id_col, n_tokens, logprob`` (logprob NULL for empty docs).
+    """
+    from aws_sdk_pandas_spark.functions.text import tokens
+
+    toks = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    ).persist()
+    toks.count()
+
+    total = toks.count()
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .withColumn("__lp", F.log10(F.col("__tf") / F.lit(float(total))))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__lp"), round_to).alias("logprob"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "logprob")
+    )
+    return scored

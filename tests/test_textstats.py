@@ -71,3 +71,20 @@ def test_repetition_signals(spark):
     assert abs(out[2]["top_token_frac"] - 0.25) < 1e-9
     assert out[3]["n_tokens"] == 3 and out[3]["n_distinct"] == 2
     assert abs(out[3]["top_token_frac"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_unigram_logprob_ranks_natural_text_higher(spark):
+    """A doc of corpus-common tokens scores higher than a doc of hapax
+    gibberish; counts are exact."""
+    from aws_sdk_pandas_spark.operators.textstats import unigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zxqv wploc jfkdl mnbpq"),   # all hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob_score(df).collect()}
+    assert got[1][0] == 6 and got[3][0] == 4
+    assert got[1][1] > got[3][1]         # common tokens -> higher logprob
+    assert got[2][1] > got[3][1]
