@@ -49,23 +49,23 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # carry old and new labels in ONE frame: the convergence check is
+        # then a filter-count on the checkpointed result instead of a
+        # second full join against the previous labels (halves the
+        # per-iteration shuffle work)
+        updated = (
             labels.join(nbr, labels["id"] == nbr["a"], "left")
             .select(
                 labels["id"],
+                labels["label"].alias("__old"),
                 F.least(
                     labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = updated.where(F.col("label") != F.col("__old")).count()
+        labels = updated.drop("__old")
         if changed == 0:
             break
     edges.unpersist()
