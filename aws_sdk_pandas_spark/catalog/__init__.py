@@ -7,10 +7,12 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_sdk_pandas_spark._types import (
     athena2spark,
     sanitize_column_name,
+    sanitize_dataframe_columns_names,
     sanitize_table_name,
     spark2athena,
 )
@@ -334,3 +336,258 @@ def store_parquet_metadata(
     if partitions_types:
         repair_table(spark, table, database)
     return columns_types, partitions_types
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity surface (catalog/_add.py, _delete.py, _get.py, _utils.py):
+# column DDL, partition deletion, table parameters (TBLPROPERTIES), search,
+# duplicate-column repair, and the per-format partition aliases.
+# ---------------------------------------------------------------------------
+
+
+def add_column(
+    spark: SparkSession,
+    table: str,
+    column_name: str,
+    column_type: str = "string",
+    database: str | None = None,
+    column_comment: str | None = None,
+) -> None:
+    """reference: catalog/_add.py ``add_column`` — ALTER TABLE ADD COLUMNS."""
+    comment = f" COMMENT '{column_comment}'" if column_comment else ""
+    spark.sql(
+        f"ALTER TABLE {_qualified(database, table)} "
+        f"ADD COLUMNS ({_quote(column_name)} {column_type}{comment})"
+    )
+
+
+def delete_column(
+    spark: SparkSession, table: str, column_name: str, database: str | None = None
+) -> None:
+    """reference: catalog/_delete.py ``delete_column``.  Spark file-source
+    tables cannot drop columns in place (no Glue-style schema versioning);
+    rebuild the table definition without the column, matching the
+    reference's observable result."""
+    name = _qualified(database, table)
+    cols = [
+        (f.name, f.dataType, f.isPartition)
+        for f in spark.catalog.listColumns(table, database)
+    ]
+    if column_name not in [c for c, _, _ in cols]:
+        raise InvalidArgument(f"column {column_name!r} not found in {name}")
+    if any(p and c == column_name for c, _, p in cols):
+        raise InvalidArgument("cannot drop a partition column")
+    try:
+        spark.sql(f"ALTER TABLE {name} DROP COLUMN {_quote(column_name)}")
+    except Exception:
+        location = get_table_location(spark, table, database)
+        columns_types = {c: t for c, t, p in cols if not p and c != column_name}
+        partitions_types = {c: t for c, t, p in cols if p}
+        provider = _table_provider(spark, table, database)
+        spark.sql(f"DROP TABLE {name}")
+        _create_table(
+            spark, table, provider, database=database, path=location,
+            columns_types=columns_types, partitions_types=partitions_types or None,
+        )
+        if partitions_types:
+            repair_table(spark, table, database)
+
+
+def _table_provider(spark: SparkSession, table: str, database: str | None = None) -> str:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {_qualified(database, table)}").collect():
+        if r.col_name == "Provider":
+            return r.data_type
+    return "parquet"
+
+
+def delete_partitions(
+    spark: SparkSession,
+    table: str,
+    partitions_values: list[list[str]],
+    database: str | None = None,
+) -> None:
+    """reference: catalog/_delete.py ``delete_partitions`` — ALTER TABLE
+    DROP PARTITION per value tuple (metadata only, files untouched —
+    the reference's BatchDeletePartition semantics)."""
+    name = _qualified(database, table)
+    part_cols = [
+        f.name for f in spark.catalog.listColumns(table, database) if f.isPartition
+    ]
+    if not part_cols:
+        raise InvalidArgument(f"table {table} is not partitioned")
+    for values in partitions_values:
+        spec = ", ".join(f"{_quote(c)}='{v}'" for c, v in zip(part_cols, values))
+        spark.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})")
+
+
+def delete_all_partitions(
+    spark: SparkSession, table: str, database: str | None = None
+) -> list[list[str]]:
+    """reference: catalog/_delete.py ``delete_all_partitions``; returns the
+    deleted partition value tuples."""
+    parts = get_partitions(spark, table, database)
+    values = list(parts.values())
+    delete_partitions(spark, table, values, database)
+    return values
+
+
+def get_table_parameters(
+    spark: SparkSession, table: str, database: str | None = None
+) -> dict[str, str]:
+    """reference: catalog/_get.py ``get_table_parameters`` — TBLPROPERTIES."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {_qualified(database, table)}").collect()
+    return {r.key: r.value for r in rows}
+
+
+def upsert_table_parameters(
+    spark: SparkSession,
+    table: str,
+    parameters: dict[str, str],
+    database: str | None = None,
+) -> dict[str, str]:
+    """reference: catalog/_create.py ``upsert_table_parameters`` — merge
+    the given TBLPROPERTIES into the existing set."""
+    if parameters:
+        props = ", ".join(f"'{k}'='{v}'" for k, v in parameters.items())
+        spark.sql(
+            f"ALTER TABLE {_qualified(database, table)} SET TBLPROPERTIES ({props})"
+        )
+    return get_table_parameters(spark, table, database)
+
+
+def overwrite_table_parameters(
+    spark: SparkSession,
+    table: str,
+    parameters: dict[str, str],
+    database: str | None = None,
+) -> dict[str, str]:
+    """reference: catalog/_create.py ``overwrite_table_parameters`` —
+    user-settable properties are replaced wholesale (engine-reserved
+    properties are left alone, as Glue does with its system keys)."""
+    current = get_table_parameters(spark, table, database)
+    reserved = {
+        k for k in current
+        if k in ("owner", "provider", "location", "comment")
+        or k.startswith(("spark.", "transient_", "external", "numFiles", "Statistics"))
+    }
+    to_unset = [k for k in current if k not in reserved and k not in parameters]
+    if to_unset:
+        keys = ", ".join(f"'{k}'" for k in to_unset)
+        spark.sql(
+            f"ALTER TABLE {_qualified(database, table)} "
+            f"UNSET TBLPROPERTIES IF EXISTS ({keys})"
+        )
+    return upsert_table_parameters(spark, table, parameters, database)
+
+
+def get_table_description(
+    spark: SparkSession, table: str, database: str | None = None
+) -> str | None:
+    """reference: catalog/_get.py ``get_table_description`` — the table
+    comment."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {_qualified(database, table)}").collect():
+        if r.col_name == "Comment":
+            return r.data_type
+    return None
+
+
+def get_columns_comments(
+    spark: SparkSession, table: str, database: str | None = None
+) -> dict[str, str | None]:
+    """reference: catalog/_get.py ``get_columns_comments``."""
+    out: dict[str, str | None] = {}
+    for r in spark.sql(f"DESCRIBE TABLE {_qualified(database, table)}").collect():
+        if not r.col_name or r.col_name.startswith("#"):
+            continue
+        if r.col_name not in out:
+            out[r.col_name] = r.comment if r.comment else None
+    return out
+
+
+def search_tables(spark: SparkSession, text: str, database: str | None = None) -> list[str]:
+    """reference: catalog/_get.py ``search_tables`` — substring match on
+    table names."""
+    return [t for t in tables(spark, database) if text.lower() in t.lower()]
+
+
+def drop_duplicated_columns(df: DataFrame) -> DataFrame:
+    """reference: catalog/_utils.py ``drop_duplicated_columns`` — keep the
+    FIRST occurrence of each duplicated column name."""
+    seen: set[str] = set()
+    keep_idx = []
+    for i, c in enumerate(df.columns):
+        if c not in seen:
+            seen.add(c)
+            keep_idx.append(i)
+    if len(keep_idx) == len(df.columns):
+        return df
+    all_cols = df.columns
+    return df.toDF(*[f"__c{i}" for i in range(len(all_cols))]).select(
+        *[F.col(f"__c{i}").alias(all_cols[i]) for i in keep_idx]
+    )
+
+
+def rename_duplicated_columns(df: DataFrame) -> DataFrame:
+    """reference: catalog/_utils.py ``rename_duplicated_columns`` — second
+    and later occurrences get ``_n`` suffixes."""
+    counts: dict[str, int] = {}
+    new_names = []
+    for c in df.columns:
+        n = counts.get(c, 0)
+        counts[c] = n + 1
+        new_names.append(c if n == 0 else f"{c}_{n}")
+    return df.toDF(*new_names)
+
+
+def extract_athena_types(
+    df: DataFrame, partition_cols: list[str] | None = None
+) -> tuple[dict[str, str], dict[str, str]]:
+    """reference: catalog/_utils.py ``extract_athena_types`` — split a
+    DataFrame's schema into (columns, partitions) Athena/Spark DDL type
+    strings."""
+    from aws_sdk_pandas_spark._types import spark2athena
+
+    partition_cols = partition_cols or []
+    cols = {f.name: spark2athena(f.dataType) for f in df.schema.fields
+            if f.name not in partition_cols}
+    parts = {f.name: spark2athena(f.dataType) for f in df.schema.fields
+             if f.name in partition_cols}
+    return cols, parts
+
+
+# reference naming aliases (per-format partition fns share one implementation
+# here — Spark's catalog is format-agnostic; get_databases/get_tables mirror
+# the reference's names for databases()/tables())
+add_parquet_partitions = add_partitions
+add_csv_partitions = add_partitions
+add_json_partitions = add_partitions
+add_orc_partitions = add_partitions
+get_parquet_partitions = get_partitions
+get_csv_partitions = get_partitions
+get_databases = databases
+get_tables = tables
+
+__all__ += [
+    "add_column",
+    "delete_column",
+    "delete_partitions",
+    "delete_all_partitions",
+    "get_table_parameters",
+    "upsert_table_parameters",
+    "overwrite_table_parameters",
+    "get_table_description",
+    "get_columns_comments",
+    "search_tables",
+    "drop_duplicated_columns",
+    "rename_duplicated_columns",
+    "extract_athena_types",
+    "sanitize_dataframe_columns_names",
+    "add_parquet_partitions",
+    "add_csv_partitions",
+    "add_json_partitions",
+    "add_orc_partitions",
+    "get_parquet_partitions",
+    "get_csv_partitions",
+    "get_databases",
+    "get_tables",
+]

@@ -217,3 +217,69 @@ def test_dedup_stream(spark, tmp_path):
 
     # batch fallback: same semantics, no state store
     assert streaming.dedup_stream(df, ["event_key"]).count() == 2
+
+
+def test_catalog_table_parameters_roundtrip(spark, tmp_path):
+    """TBLPROPERTIES upsert/overwrite/get (reference: catalog
+    get/upsert/overwrite_table_parameters)."""
+    from aws_sdk_pandas_spark import catalog as C
+
+    spark.range(3).write.mode("overwrite").option("path", f"{tmp_path}/tp").saveAsTable("tp_tbl")
+    try:
+        got = C.upsert_table_parameters(spark, "tp_tbl", {"team": "data", "stage": "raw"})
+        assert got["team"] == "data" and got["stage"] == "raw"
+        got = C.upsert_table_parameters(spark, "tp_tbl", {"stage": "clean"})
+        assert got["team"] == "data" and got["stage"] == "clean"
+        got = C.overwrite_table_parameters(spark, "tp_tbl", {"only": "this"})
+        assert got.get("only") == "this" and "team" not in got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tp_tbl")
+
+
+def test_catalog_add_column_and_search(spark, tmp_path):
+    from aws_sdk_pandas_spark import catalog as C
+
+    spark.range(3).write.mode("overwrite").option("path", f"{tmp_path}/ac").saveAsTable("ac_tbl")
+    try:
+        C.add_column(spark, "ac_tbl", "extra", "string")
+        assert "extra" in [f.name for f in spark.catalog.listColumns("ac_tbl")]
+        assert "ac_tbl" in C.search_tables(spark, "ac_")
+        assert C.get_tables(spark) == C.tables(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ac_tbl")
+
+
+def test_catalog_delete_partitions(spark, tmp_path):
+    from aws_sdk_pandas_spark import catalog as C
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "v long, p string")
+    df.write.mode("overwrite").partitionBy("p").option("path", f"{tmp_path}/dp").saveAsTable("dp_tbl")
+    try:
+        assert len(C.get_partitions(spark, "dp_tbl")) == 2
+        C.delete_partitions(spark, "dp_tbl", [["a"]])
+        assert len(C.get_partitions(spark, "dp_tbl")) == 1
+        deleted = C.delete_all_partitions(spark, "dp_tbl")
+        assert deleted == [["b"]]
+        assert C.get_partitions(spark, "dp_tbl") == {}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dp_tbl")
+
+
+def test_catalog_duplicate_column_repair(spark):
+    from aws_sdk_pandas_spark import catalog as C
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long").toDF("x", "y", "x")
+    dropped = C.drop_duplicated_columns(df)
+    assert dropped.columns == ["x", "y"]
+    assert dropped.collect()[0] == (1, 2)  # first occurrence kept
+    renamed = C.rename_duplicated_columns(df)
+    assert renamed.columns == ["x", "y", "x_1"]
+
+
+def test_catalog_extract_athena_types(spark):
+    from aws_sdk_pandas_spark import catalog as C
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "k long, p string, v double")
+    cols, parts = C.extract_athena_types(df, partition_cols=["p"])
+    assert cols == {"k": "bigint", "v": "double"}
+    assert parts == {"p": "string"}
