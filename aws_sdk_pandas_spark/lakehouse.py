@@ -133,3 +133,46 @@ def to_iceberg(
         df.writeTo(table).overwritePartitions()
     else:
         raise InvalidArgument(f"unsupported iceberg mode {mode!r}")
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    *,
+    columns: list[str] | None = None,
+    row_filter: str | None = None,
+    snapshot_id: int | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """reference: s3/_s3_tables_iceberg.py:29 ``from_iceberg`` — catalog
+    scan with column pruning, row filter, snapshot pin and limit (all
+    pushed into the Iceberg scan by Catalyst)."""
+    _require(spark, "iceberg")
+    if snapshot_id is not None:
+        df = spark.read.option("snapshot-id", str(snapshot_id)).table(table)
+    else:
+        df = spark.table(table)
+    if row_filter:
+        df = df.where(row_filter)
+    if columns:
+        df = df.select(*columns)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+# reference naming alias (s3/_s3_tables_iceberg.py ``from_iceberg``)
+from_iceberg = read_iceberg
+
+
+def delete_from_iceberg_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    merge_cols: list[str],
+) -> None:
+    """reference: athena/_write_iceberg.py:715 ``delete_from_iceberg_table``."""
+    from aws_sdk_pandas_spark.operators.merge import delete_from_table
+
+    _require(spark, "iceberg")
+    delete_from_table(spark, df, table, merge_cols)

@@ -74,3 +74,20 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# reference naming alias: athena/_spark.py:90 ``create_spark_session`` — in
+# a Spark-native engine the "remote Athena Spark session" IS the local
+# SparkSession factory
+create_spark_session = get_spark
+
+
+def run_spark_calculation(spark: SparkSession, code: str) -> dict:
+    """reference: athena/_spark.py:166 ``run_spark_calculation`` — execute a
+    PySpark code block against the session and return its result payload.
+    The code runs with ``spark`` in scope, exactly like an Athena Spark
+    calculation cell; only use with trusted code (same trust model as the
+    reference, which ships the block to your own Athena workgroup)."""
+    scope: dict = {"spark": spark}
+    exec(compile(code, "<calculation>", "exec"), scope)  # noqa: S102
+    return {"Result": scope.get("result"), "Status": {"State": "COMPLETED"}}

@@ -65,3 +65,5 @@ __all__ = [
     "to_orc",
     "to_parquet",
 ]
+
+from aws_sdk_pandas_spark.catalog import store_parquet_metadata  # noqa: E402  (reference: wr.s3.store_parquet_metadata)

@@ -206,3 +206,10 @@ def download(spark: SparkSession, path: str, local_file: str) -> None:
     fs, jpath, jvm = _jvm_fs(spark, path)
     dst = jvm.org.apache.hadoop.fs.Path(f"file://{local_file}")
     fs.copyToLocalFile(False, jpath, dst, True)
+
+
+def list_buckets(spark: SparkSession, root: str = "file:///") -> list[str]:
+    """reference: awswrangler/s3/_list.py:403 ``list_buckets`` — top-level
+    containers of the filesystem root (buckets on s3a://, directories on
+    file:// and hdfs://)."""
+    return list_directories(spark, root)

@@ -85,3 +85,10 @@ def to_orc(
         dataset=dataset,
         files_per_partition=files_per_partition,
     )
+
+
+def read_orc_table(spark, table: str, database: str | None = None):
+    """reference: s3/_read_orc.py:343 ``read_orc_table`` — scan by catalog
+    table name (format-agnostic in Spark's catalog)."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.table(qualified)

@@ -264,3 +264,106 @@ def read_sql_table(
     """``SELECT * FROM table`` convenience (reference: athena/_read.py:1313)."""
     qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
     return read_sql_query(spark, f"SELECT * FROM {qualified}", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Execution-introspection + prepared-statement surface
+# (reference: athena/_executions.py, athena/_statements.py, athena/_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def get_query_execution(spark: SparkSession, query_execution_id: str) -> dict[str, Any]:
+    """reference: athena/_executions.py ``get_query_execution`` — status
+    metadata for an execution id (local executions are synchronous, so
+    state is always SUCCEEDED once registered)."""
+    df = get_query_results(spark, query_execution_id)
+    return {
+        "QueryExecutionId": query_execution_id,
+        "Status": {"State": "SUCCEEDED"},
+        "ResultSchema": dict(df.dtypes),
+    }
+
+
+def get_query_executions(
+    spark: SparkSession, query_execution_ids: list[str]
+) -> list[dict[str, Any]]:
+    """reference: athena/_utils.py ``get_query_executions``."""
+    return [get_query_execution(spark, i) for i in query_execution_ids]
+
+
+def list_query_executions(spark: SparkSession) -> list[str]:
+    """reference: athena/_executions.py ``list_query_executions``."""
+    return list(_EXECUTIONS)
+
+
+def stop_query_execution(spark: SparkSession, query_execution_id: str) -> None:
+    """reference: athena/_executions.py ``stop_query_execution`` — local
+    executions are synchronous; stopping drops the registered result."""
+    _EXECUTIONS.pop(query_execution_id, None)
+
+
+def wait_query(spark: SparkSession, query_execution_id: str) -> dict[str, Any]:
+    """reference: athena/_executions.py:201 ``wait_query`` — synchronous
+    engine: already complete."""
+    return get_query_execution(spark, query_execution_id)
+
+
+def get_query_columns_types(spark: SparkSession, query_execution_id: str) -> dict[str, str]:
+    """reference: athena/_utils.py ``get_query_columns_types`` — column ->
+    Athena type string of a result."""
+    from aws_sdk_pandas_spark._types import spark2athena
+
+    df = get_query_results(spark, query_execution_id)
+    return {f.name: spark2athena(f.dataType) for f in df.schema.fields}
+
+
+_PREPARED: dict[str, str] = {}
+
+
+def create_prepared_statement(spark: SparkSession, sql: str, statement_name: str) -> None:
+    """reference: athena/_statements.py ``create_prepared_statement`` —
+    register a named parameterized statement (executed later with
+    ``read_sql_query(params=..., paramstyle='qmark')``)."""
+    _PREPARED[statement_name] = sql
+
+
+def get_prepared_statement(spark: SparkSession, statement_name: str) -> str:
+    try:
+        return _PREPARED[statement_name]
+    except KeyError:
+        raise InvalidArgument(f"unknown prepared statement {statement_name!r}") from None
+
+
+def list_prepared_statements(spark: SparkSession) -> list[str]:
+    """reference: athena/_statements.py ``list_prepared_statements``."""
+    return sorted(_PREPARED)
+
+
+def delete_prepared_statement(spark: SparkSession, statement_name: str) -> None:
+    """reference: athena/_statements.py ``delete_prepared_statement``."""
+    _PREPARED.pop(statement_name, None)
+
+
+def get_named_query_statement(spark: SparkSession, named_query_id: str) -> str:
+    """reference: athena/_utils.py ``get_named_query_statement`` — same
+    registry as prepared statements in the local engine."""
+    return get_prepared_statement(spark, named_query_id)
+
+
+def describe_table(spark: SparkSession, table: str, database: str | None = None) -> DataFrame:
+    """reference: athena/_utils.py ``describe_table`` — DESCRIBE as a
+    DataFrame."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.sql(f"DESCRIBE TABLE {qualified}")
+
+
+def show_create_table(spark: SparkSession, table: str, database: str | None = None) -> str:
+    """reference: athena/_utils.py ``show_create_table``."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.sql(f"SHOW CREATE TABLE {qualified}").collect()[0][0]
+
+
+def generate_create_query(spark: SparkSession, table: str, database: str | None = None) -> str:
+    """reference: athena/_utils.py ``generate_create_query`` — alias of
+    show_create_table in a DDL-native engine."""
+    return show_create_table(spark, table, database)

@@ -227,3 +227,49 @@ def embed_texts(
             yield pdf
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+def put_vectors(
+    spark: SparkSession,
+    path: str,
+    vectors: list[dict[str, Any]],
+    *,
+    key_col: str = "key",
+    vector_col: str = "vector",
+    mode: str = "append",
+) -> dict[str, Any]:
+    """reference: _vectors/_write.py ``put_vectors`` — literal vector dicts
+    through the same writer as ``put_vectors_from_df``."""
+    if not vectors:
+        return {"paths": [], "partitions_values": {}}
+    return put_vectors_from_df(
+        spark.createDataFrame(vectors), path, key_col=key_col,
+        vector_col=vector_col, mode=mode,
+    )
+
+
+def get_vector_index(spark: SparkSession, path: str) -> dict[str, Any]:
+    """reference: _vectors/_mgmt.py ``get_vector_index`` — the sidecar
+    properties (alias of describe_vector_index)."""
+    return describe_vector_index(spark, path)
+
+
+def delete_vector_index(spark: SparkSession, path: str) -> None:
+    """reference: _vectors/_mgmt.py ``delete_vector_index`` — remove the
+    index dataset and its sidecar."""
+    from aws_sdk_pandas_spark.sources import fs as _fsmod
+
+    _fsmod.delete_objects(spark, path)
+
+
+def list_vector_indexes(spark: SparkSession, root: str) -> list[str]:
+    """reference: _vectors/_mgmt.py ``list_vector_indexes`` — every child
+    prefix of ``root`` carrying an index sidecar."""
+    from aws_sdk_pandas_spark.sources import fs as _fsmod
+
+    out = []
+    for d in _fsmod.list_directories(spark, root):
+        jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{d.rstrip('/')}/{_INDEX_FILE}")
+        if jvm_fs.exists(jpath):
+            out.append(d)
+    return sorted(out)

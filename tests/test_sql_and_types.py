@@ -142,3 +142,45 @@ def test_get_query_results_by_execution_id(spark):
     assert again.collect() == df.collect()
     with pytest.raises(InvalidArgument):
         S.get_query_results(spark, "no-such-id")
+
+
+def test_execution_introspection_and_prepared_statements(spark):
+    from aws_sdk_pandas_spark import sql as S
+
+    df = S.start_query_execution(spark, "SELECT 2 AS two")
+    eid = df.query_execution_id
+    assert S.get_query_execution(spark, eid)["Status"]["State"] == "SUCCEEDED"
+    assert eid in S.list_query_executions(spark)
+    assert S.get_query_columns_types(spark, eid) == {"two": "int"}
+    assert S.wait_query(spark, eid)["QueryExecutionId"] == eid
+    S.stop_query_execution(spark, eid)
+    assert eid not in S.list_query_executions(spark)
+
+    S.create_prepared_statement(spark, "SELECT ? AS v", "stmt1")
+    assert S.list_prepared_statements(spark) == ["stmt1"]
+    sql = S.get_prepared_statement(spark, "stmt1")
+    got = S.read_sql_query(spark, sql, params=[7], paramstyle="qmark").collect()
+    assert got[0].v == 7
+    S.delete_prepared_statement(spark, "stmt1")
+    assert S.list_prepared_statements(spark) == []
+
+
+def test_describe_and_show_create_table(spark, tmp_path):
+    from aws_sdk_pandas_spark import sql as S
+
+    spark.range(2).write.mode("overwrite").option("path", f"{tmp_path}/sct").saveAsTable("sct_tbl")
+    try:
+        desc = S.describe_table(spark, "sct_tbl")
+        assert "id" in [r.col_name for r in desc.collect()]
+        ddl = S.show_create_table(spark, "sct_tbl")
+        assert ddl.startswith("CREATE TABLE") and "sct_tbl" in ddl
+        assert S.generate_create_query(spark, "sct_tbl") == ddl
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sct_tbl")
+
+
+def test_run_spark_calculation(spark):
+    from aws_sdk_pandas_spark.session import run_spark_calculation
+
+    out = run_spark_calculation(spark, "result = spark.range(5).count()")
+    assert out["Result"] == 5 and out["Status"]["State"] == "COMPLETED"

@@ -188,3 +188,23 @@ def test_knn_batch_matches_single_queries(spark, sf_dir):
             ).collect()
         ]
         assert [batched[(qid, rk)] for rk in (1, 2, 3)] == singles
+
+
+def test_vector_index_mgmt(spark, tmp_path):
+    """put_vectors (literal dicts), get/delete_vector_index,
+    list_vector_indexes (reference: _vectors/_mgmt.py)."""
+    from aws_sdk_pandas_spark import vectors as V
+
+    root = f"file://{tmp_path}"
+    idx = f"{root}/idx_a"
+    V.create_vector_index(spark, idx, dimension=2, distance_metric="euclidean")
+    V.put_vectors(
+        spark, idx,
+        [{"key": "a", "vector": [1.0, 0.0]}, {"key": "b", "vector": [0.0, 1.0]}],
+    )
+    assert V.get_vector_index(spark, idx)["distance_metric"] == "euclidean"
+    assert V.list_vectors(spark, idx).count() == 2
+    found = V.list_vector_indexes(spark, root)
+    assert len(found) == 1 and found[0].rstrip("/").endswith("/idx_a")
+    V.delete_vector_index(spark, idx)
+    assert V.list_vector_indexes(spark, root) == []
