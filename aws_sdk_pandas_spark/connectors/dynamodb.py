@@ -245,3 +245,29 @@ def delete_items(
         keys_df.select(*key_cols).dropDuplicates(), on=key_cols, how="left_anti"
     ).localCheckpoint(eager=True)
     write_dataset(remaining, path, "parquet", mode="overwrite")
+
+
+def execute_statement(
+    spark: SparkSession,
+    statement: str,
+    *,
+    parameters: list[Any] | None = None,
+) -> DataFrame | None:
+    """reference: dynamodb/_utils.py:116 ``execute_statement`` — PartiQL.
+    SELECT statements return a DataFrame (positional ``?`` parameters);
+    INSERT/UPDATE/DELETE against path-backed tables are expressed with
+    ``put_df``/``delete_items`` (documented divergence: Spark file tables
+    have no row-level PartiQL DML)."""
+    head = statement.lstrip().split(None, 1)[0].upper() if statement.strip() else ""
+    if head == "SELECT":
+        return read_partiql_query(spark, statement, parameters=parameters)
+    raise InvalidArgument(
+        "only PartiQL SELECT is executable against path-backed tables; "
+        "use put_df/put_items for INSERT and delete_items for DELETE"
+    )
+
+
+def get_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """reference: dynamodb/_utils.py ``get_table`` — the table handle is
+    its DataFrame scan here."""
+    return spark.read.parquet(table_path)

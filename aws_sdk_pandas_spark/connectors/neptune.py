@@ -10,6 +10,8 @@ over these frames; ``bulk_load`` lands loader-format CSV.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -154,3 +156,67 @@ def bulk_load_from_files(spark, path: str, *, kind: str = "vertices") -> DataFra
     df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     restored = _restore_tilde(df)
     return (validate_vertices if kind == "vertices" else validate_edges)(restored)
+
+
+def validate_triples(df: DataFrame) -> DataFrame:
+    """RDF triples frame: subject / predicate / object columns (the
+    reference's SPARQL INSERT shape, neptune/_neptune.py:225)."""
+    required = {"s", "p", "o"}
+    if not required <= set(df.columns):
+        raise InvalidArgument(f"RDF frame needs columns {sorted(required)}")
+    return df
+
+
+def to_rdf_graph(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+) -> dict[str, Any]:
+    """reference: neptune/_neptune.py:225 ``to_rdf_graph`` — land the
+    triples frame as a dataset (the SPARQL INSERT batching becomes a
+    partitioned write; IRI formatting is the caller's contract, exactly
+    like the reference's ``s``/``p``/``o`` columns)."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    return write_dataset(validate_triples(df), path, "parquet", mode=mode)
+
+
+def read_rdf_graph(spark, path: str) -> DataFrame:
+    """Scan a triples dataset back."""
+    return validate_triples(spark.read.parquet(path))
+
+
+def connect(root: str, **_ignored: Any):
+    """reference: neptune/_neptune.py ``connect`` — endpoint/IAM kwargs are
+    deployment concerns; the handle carries the graph dataset root."""
+    return {"root": root.rstrip("/")}
+
+
+def execute_gremlin(*_a, **_k):
+    """reference: neptune/_neptune.py ``execute_gremlin``.  Gremlin
+    traversal execution needs a TinkerPop runtime; the DataFrame
+    equivalents are ``degrees``/``neighbors``/``flatten_nested_df`` and
+    plain joins over the vertex/edge frames."""
+    raise NotImplementedError(
+        "Gremlin traversals are not executed locally; express the traversal "
+        "over the vertex/edge DataFrames (degrees, neighbors, joins)"
+    )
+
+
+def execute_opencypher(*_a, **_k):
+    """reference: neptune/_neptune.py ``execute_opencypher`` — see
+    execute_gremlin."""
+    raise NotImplementedError(
+        "openCypher is not executed locally; express the pattern as "
+        "DataFrame joins over the vertex/edge frames"
+    )
+
+
+def execute_sparql(*_a, **_k):
+    """reference: neptune/_neptune.py ``execute_sparql`` — see
+    to_rdf_graph/read_rdf_graph for the triples dataset path."""
+    raise NotImplementedError(
+        "SPARQL is not executed locally; scan the triples dataset "
+        "(read_rdf_graph) and express the pattern as DataFrame joins"
+    )

@@ -168,3 +168,49 @@ def index_json(
     return index_df(
         read_json(spark, json_path, **kwargs), path, id_keys=id_keys, mode=mode
     )
+
+
+class OpenSearchConnection:
+    """Connection handle (reference: opensearch/_utils.py ``connect`` —
+    the client object).  Here an 'index' is a dataset prefix under
+    ``root``; the handle just carries that root."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def index_path(self, index: str) -> str:
+        return f"{self.root}/{index}"
+
+
+def connect(root: str, **_ignored: Any) -> OpenSearchConnection:
+    """reference: opensearch/_utils.py ``connect`` — host/auth kwargs are
+    deployment concerns; accepted and ignored."""
+    return OpenSearchConnection(root)
+
+
+def create_index(
+    spark: SparkSession,
+    client: OpenSearchConnection,
+    index: str,
+    *,
+    mappings: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """reference: opensearch/_write.py ``create_index`` — the index is its
+    dataset prefix; mappings (if any) are recorded as a sidecar-free
+    no-op (Spark infers schema from data)."""
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    path = client.index_path(index)
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, path)
+    jvm_fs.mkdirs(jpath)
+    return {"acknowledged": True, "index": index}
+
+
+def delete_index(
+    spark: SparkSession, client: OpenSearchConnection, index: str
+) -> dict[str, Any]:
+    """reference: opensearch/_delete.py ``delete_index``."""
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    _fs.delete_objects(spark, client.index_path(index))
+    return {"acknowledged": True, "index": index}

@@ -143,3 +143,89 @@ def unload_to_files(
         spark.sql(sql), path, fmt, mode="overwrite", partition_cols=partition_cols,
         options={"header": "true"} if fmt == "csv" else None,
     )
+
+
+def create_database(spark: SparkSession, database: str) -> str:
+    """reference: timestream/_manage.py ``create_database``."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    _catalog.create_database(spark, database, exist_ok=True)
+    return database
+
+
+def delete_database(spark: SparkSession, database: str) -> None:
+    """reference: timestream/_manage.py ``delete_database``."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    _catalog.delete_database(spark, database)
+
+
+def create_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    *,
+    path: str | None = None,
+    columns_types: dict[str, str] | None = None,
+) -> str:
+    """reference: timestream/_manage.py ``create_table`` — a long-format
+    time-series table.  Timestream tables are schemaless at creation; a
+    Spark table needs columns, so the minimal long-format spine
+    ``(time timestamp)`` is registered unless ``columns_types`` given —
+    dims/measures evolve on first write (mergeSchema)."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    _catalog.create_parquet_table(
+        spark, table, database=database, path=path,
+        columns_types=columns_types or {"time": "timestamp"},
+        exist_ok=True,
+    )
+    return table
+
+
+def delete_table(spark: SparkSession, database: str, table: str) -> None:
+    """reference: timestream/_manage.py ``delete_table``."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    _catalog.delete_table_if_exists(spark, table, database)
+
+
+def list_databases(spark: SparkSession) -> list[str]:
+    """reference: timestream/_manage.py ``list_databases``."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    return _catalog.databases(spark)
+
+
+def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """reference: timestream/_manage.py ``list_tables``."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    return _catalog.tables(spark, database)
+
+
+def batch_load_from_files(
+    spark: SparkSession,
+    staging_path: str,
+    table_path: str,
+    *,
+    time_col: str,
+    dimensions_cols: list[str],
+    measure_cols: list[str],
+) -> dict[str, Any]:
+    """reference: timestream/_write.py:570 ``batch_load_from_files`` —
+    load CSV already staged by another job."""
+    staged = (
+        spark.read.option("header", "true").option("inferSchema", "true").csv(staging_path)
+    )
+    return write(
+        staged, table_path,
+        time_col=time_col, dimensions_cols=dimensions_cols,
+        measure_cols=measure_cols, mode="overwrite",
+    )
+
+
+def wait_batch_load_task(spark: SparkSession, task_id: str) -> dict[str, Any]:
+    """reference: timestream/_write.py ``wait_batch_load_task`` — loads are
+    synchronous here; already complete."""
+    return {"TaskId": task_id, "TaskStatus": "SUCCEEDED"}

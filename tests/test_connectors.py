@@ -340,3 +340,78 @@ def test_timestream_unload_to_files(spark, tmp_path):
     path = f"file://{tmp_path}/ts_unload"
     T.unload_to_files(spark, "SELECT id FROM tiny_ts", path)
     assert spark.read.parquet(path).count() == 5
+
+
+def test_ddb_execute_statement_and_get_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.connectors import dynamodb as D
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    import pytest
+
+    tbl = f"file://{tmp_path}/es_items"
+    D.put_items(spark, [{"pk": 1, "v": "a"}, {"pk": 2, "v": "b"}], tbl)
+    D.get_table(spark, tbl).createOrReplaceTempView("es_items")
+    got = D.execute_statement(
+        spark, "SELECT pk, v FROM es_items WHERE pk = ?", parameters=[2]
+    ).collect()
+    assert [(r.pk, r.v) for r in got] == [(2, "b")]
+    with pytest.raises(InvalidArgument):
+        D.execute_statement(spark, "DELETE FROM es_items WHERE pk = 1")
+
+
+def test_timestream_mgmt_and_batch_load_from_files(spark, tmp_path):
+    from aws_sdk_pandas_spark.connectors import timestream as T
+
+    assert T.create_database(spark, "ts_mgmt_db") == "ts_mgmt_db"
+    assert "ts_mgmt_db" in T.list_databases(spark)
+    try:
+        T.create_table(spark, "ts_mgmt_db", "metrics", path=f"{tmp_path}/metrics_tbl")
+        assert "metrics" in T.list_tables(spark, "ts_mgmt_db")
+        T.delete_table(spark, "ts_mgmt_db", "metrics")
+        assert "metrics" not in T.list_tables(spark, "ts_mgmt_db")
+    finally:
+        T.delete_database(spark, "ts_mgmt_db")
+
+    import pandas as pd
+
+    staging = tmp_path / "stage.csv"
+    pd.DataFrame({
+        "ts": ["2026-01-01 00:00:00", "2026-01-01 00:01:00"],
+        "host": ["a", "b"], "cpu": [0.5, 0.7],
+    }).to_csv(staging, index=False)
+    out_tbl = f"file://{tmp_path}/ts_loaded"
+    T.batch_load_from_files(
+        spark, f"file://{staging}", out_tbl,
+        time_col="ts", dimensions_cols=["host"], measure_cols=["cpu"],
+    )
+    assert spark.read.parquet(out_tbl).count() == 2
+    assert T.wait_batch_load_task(spark, "t1")["TaskStatus"] == "SUCCEEDED"
+
+
+def test_opensearch_index_mgmt(spark, tmp_path):
+    from aws_sdk_pandas_spark.connectors import opensearch as O
+
+    client = O.connect(f"file://{tmp_path}/search")
+    O.create_index(spark, client, "docs_idx")
+    O.index_documents(spark, [{"_id": 1, "t": "x"}], client.index_path("docs_idx"))
+    assert spark.read.parquet(client.index_path("docs_idx")).count() == 1
+    O.delete_index(spark, client, "docs_idx")
+    from aws_sdk_pandas_spark.sources import fs as FS
+    assert not FS.does_object_exist(spark, client.index_path("docs_idx"))
+
+
+def test_neptune_rdf_roundtrip(spark, tmp_path):
+    import pytest
+
+    from aws_sdk_pandas_spark.connectors import neptune as N
+
+    triples = spark.createDataFrame(
+        [("<a>", "<knows>", "<b>"), ("<b>", "<knows>", "<c>")], "s string, p string, o string"
+    )
+    path = f"file://{tmp_path}/rdf"
+    N.to_rdf_graph(triples, path, mode="overwrite")
+    back = N.read_rdf_graph(spark, path)
+    assert back.count() == 2
+    with pytest.raises(NotImplementedError):
+        N.execute_sparql("SELECT * WHERE { ?s ?p ?o }")
