@@ -184,3 +184,40 @@ def test_run_spark_calculation(spark):
 
     out = run_spark_calculation(spark, "result = spark.range(5).count()")
     assert out["Result"] == 5 and out["Status"]["State"] == "COMPLETED"
+
+
+def test_sql_formatter_literal_grammar(spark):
+    """Pure literal grammar (reference: _sql_formatter.py:18-192, Spark
+    dialect) — types, escaping, nested collections; formatted literals
+    must round-trip through spark.sql."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    from aws_sdk_pandas_spark.sql_formatter import format_literal, format_sql
+
+    assert format_literal(None) == "NULL"
+    assert format_literal(True) == "TRUE"
+    assert format_literal(42) == "42"
+    assert format_literal(Decimal("12.50")) == "12.50BD"
+    assert format_literal("it's") == "'it''s'"
+    assert format_literal(b"\x01\xff") == "X'01FF'"
+    assert format_literal(dt.date(2026, 1, 2)) == "DATE '2026-01-02'"
+    assert format_literal(dt.datetime(2026, 1, 2, 3, 4, 5)) == "TIMESTAMP '2026-01-02 03:04:05'"
+    assert format_literal([1, 2]) == "ARRAY(1, 2)"
+    assert format_literal({"a": 1}) == "MAP('a', 1)"
+
+    sql = format_sql(
+        "SELECT :v AS v, ':notaparam' AS s, :arr AS arr",
+        {"v": Decimal("1.5"), "arr": [1, 2]},
+    )
+    assert sql == "SELECT 1.5BD AS v, ':notaparam' AS s, ARRAY(1, 2) AS arr"
+    row = spark.sql(sql).collect()[0]
+    assert row.s == ":notaparam" and row.arr == [1, 2] and float(row.v) == 1.5
+
+    with pytest.raises(InvalidArgument):
+        format_sql("SELECT :missing", {"v": 1})
+    with pytest.raises(InvalidArgument):
+        format_literal(object())
