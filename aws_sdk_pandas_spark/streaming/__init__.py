@@ -252,3 +252,55 @@ def dedup_stream(
     return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         subset
     )
+
+
+def upsert_stream(
+    changes: DataFrame,
+    target_path: str,
+    keys: list[str],
+    *,
+    checkpoint: str,
+    precombine_key: str | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming CDC apply: each micro-batch of change rows upserts into
+    the target dataset (newest-version-wins within the batch via
+    ``precombine_key``) — the streaming form of the reference's staged
+    upsert (redshift/_utils.py:173-211) over the same batch writer.
+
+    At scale the target re-write per batch is the plain-parquet cost of
+    row-level merge; with a Delta/Iceberg target swap the sink body for
+    ``operators.merge.merge_upsert`` and the rewrite disappears.
+    """
+    from aws_sdk_pandas_spark.operators.merge import upsert_dataframe
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    spark = changes.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            target = None
+        if target is None:
+            merged = batch_df
+            if precombine_key is not None:
+                from aws_sdk_pandas_spark.operators.merge import _precombine_latest
+
+                merged = _precombine_latest(batch_df, keys, precombine_key)
+        else:
+            merged = upsert_dataframe(
+                target, batch_df.select(*target.columns), keys,
+                precombine_key=precombine_key,
+            )
+        staged = merged.localCheckpoint(eager=True)  # break lineage off the files being replaced
+        write_dataset(staged, target_path, "parquet", mode="overwrite")
+
+    writer = changes.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

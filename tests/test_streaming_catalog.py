@@ -283,3 +283,28 @@ def test_catalog_extract_athena_types(spark):
     cols, parts = C.extract_athena_types(df, partition_cols=["p"])
     assert cols == {"k": "bigint", "v": "double"}
     assert parts == {"p": "string"}
+
+
+def test_upsert_stream_applies_cdc(spark, tmp_path):
+    """Streaming CDC apply == batch upsert semantics: the change stream
+    lands on the target with newest-version-wins."""
+    from aws_sdk_pandas_spark import streaming as S
+
+    target = f"file://{tmp_path}/target"
+    changes_path = f"file://{tmp_path}/changes"
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ver long"
+    ).write.parquet(target)
+    # two change rows for k=2 (ver 2 and 3 — 3 must win) and an insert k=3
+    spark.createDataFrame(
+        [(2, "b2", 2), (2, "b3", 3), (3, "c", 1)], "k long, v string, ver long"
+    ).write.parquet(changes_path)
+
+    stream = S.read_stream(spark, changes_path)
+    q = S.upsert_stream(
+        stream, target, ["k"],
+        checkpoint=f"{tmp_path}/ckpt", precombine_key="ver",
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("b3", 3), 3: ("c", 1)}
