@@ -238,3 +238,23 @@ def test_minhash_incremental_match(spark, docs_df):
     assert got[(100, 1)] == 1.0          # exact dup of corpus doc 1
     assert got.get((100, 4)) == 1.0      # ...and of its corpus twin
     assert all(nid != 101 for nid, _ in got)
+
+
+def test_minhash_signatures_partitioning_invariant(spark, docs_df):
+    """Signatures are a pure function of (text, num_hashes, shingle_k,
+    seed) — identical across partition layouts and row orders.  This is
+    what makes a stored index (minhash_match_against) valid across runs
+    and cluster sizes."""
+    from aws_sdk_pandas_spark.operators.dedup import minhash_signatures
+
+    a = {
+        r.doc_id: tuple(r.minhash)
+        for r in minhash_signatures(docs_df.repartition(1), num_hashes=32).collect()
+    }
+    b = {
+        r.doc_id: tuple(r.minhash)
+        for r in minhash_signatures(
+            docs_df.repartition(8).sortWithinPartitions("text"), num_hashes=32
+        ).collect()
+    }
+    assert a == b and len(a) == 5
