@@ -1745,6 +1745,24 @@ _MARKOV = """
 """
 
 
+def _q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (operators/timeseries.
+    resample_interpolate — Timestream INTERPOLATE_LINEAR, SURVEY 2.5):
+    hourly grid per event type, gaps blended between neighbors."""
+    from aws_sdk_pandas_spark.operators.timeseries import resample_interpolate
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = resample_interpolate(
+        ev, by=["event_type"], step="1 hour", time_col="ts", value_col="value"
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "value",
+    ).orderBy("event_type", "bucket_s")
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/C4-style perplexity proxy (operators/textstats.
     unigram_logprob_score): mean log10 unigram probability per document
@@ -2074,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": lambda s, d: _sql(s, d, _MARKOV),
         "docs_curation_pipeline": _q_curation_pipeline,
         "doc_unigram_logprob": _q_unigram_logprob,
+        "ts_resample_interpolate": _q_resample_interpolate,
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2795,6 +2814,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "ts_resample_interpolate": """
+            WITH buckets AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE) AS v
+                FROM events GROUP BY event_type, 2
+            ), bounds AS (
+                SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM buckets GROUP BY event_type
+            ), grid AS (
+                SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b FROM bounds
+            ), j AS (
+                SELECT g.event_type, g.b, bu.v
+                FROM grid g LEFT JOIN buckets bu USING (event_type, b)
+            ), n AS (
+                SELECT event_type, b, v,
+                    LAST_VALUE(v IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+                    LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                    FIRST_VALUE(v IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+                FROM j
+            )
+            SELECT event_type, b AS bucket_s,
+                   ROUND(CASE WHEN v IS NOT NULL THEN v
+                              WHEN tp IS NOT NULL AND tn IS NOT NULL
+                              THEN vp + (vn - vp) * (b - tp) * 1.0 / (tn - tp)
+                         END, 6) AS value
+            FROM n
+            ORDER BY event_type, bucket_s
         """,
         "doc_unigram_logprob": """
             WITH toks AS (

@@ -34,3 +34,27 @@ def test_gapfill_grid_bounded_by_span(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = resample_locf(df, time_col="ts", value_col="value", by=["user"], step="6 hours")
     assert out.count() == 5  # 24h span / 6h step + 1
+
+
+def test_resample_interpolate_linear(spark):
+    """Gap buckets get the linear blend of their neighbors; edges stay
+    NULL; observed buckets keep their aggregate."""
+    from datetime import datetime
+
+    from aws_sdk_pandas_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        ("a", datetime(2026, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2026, 1, 1, 3, 15), 40.0),   # 2 empty buckets between
+        ("b", datetime(2026, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    got = {
+        (r.g, r.bucket.hour): r.value
+        for r in resample_interpolate(
+            df, by=["g"], step="1 hour", time_col="ts", value_col="value"
+        ).collect()
+    }
+    assert got[("a", 0)] == 10.0 and got[("a", 3)] == 40.0
+    assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0   # linear blend
+    assert got[("b", 0)] == 5.0
