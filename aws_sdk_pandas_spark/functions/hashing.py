@@ -96,10 +96,18 @@ def hive_hash(*cols: str | Column, df: DataFrame | None = None, dtypes: list[T.D
     return _to_signed32(acc)
 
 
-def hive_bucket(n_buckets: int, *cols: str | Column, df: DataFrame | None = None) -> Column:
+def hive_bucket(
+    n_buckets: int,
+    *cols: str | Column,
+    df: DataFrame | None = None,
+    dtypes: list[T.DataType] | None = None,
+) -> Column:
     """Bucket id = ``(hash & Integer.MAX_VALUE) % n`` (Hive's bucket
-    assignment; reference: s3/_write_dataset.py:67-72)."""
-    h = hive_hash(*cols, df=df)
+    assignment; reference: s3/_write_dataset.py:67-72).  Pass ``df`` (for
+    column names) or ``dtypes`` (for Column expressions) so non-string
+    keys hash with their Java type's hashCode — a bare Column without
+    either falls back to string hashing."""
+    h = hive_hash(*cols, df=df, dtypes=dtypes)
     return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n_buckets)).cast(T.IntegerType())
 
 

@@ -277,3 +277,29 @@ def test_minhash_incremental_index_side_no_python(spark, sf_dir):
     ]
     assert index_scans, "index must be read from its parquet files"
     assert all("text" not in l for l in index_scans)
+
+
+def test_bucket_layout_prunes_point_lookup(spark, tmp_path):
+    """The Hive-hash bucket directories (bucket=N/) must partition-prune:
+    a point lookup on the bucketing key computes its bucket client-side
+    and scans 1/n of the dataset files."""
+    from aws_sdk_pandas_spark.functions.hashing import hive_bucket
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    path = f"file://{tmp_path}/bucketed"
+    write_dataset(df, path, "parquet", bucketing_info=(["k"], 8))
+
+    # client-side bucket of the probe key (same ported Java hash; dtype
+    # resolved from a one-row frame matching the table's key type)
+    probe_df = spark.createDataFrame([(123,)], "k bigint")
+    probe_bucket = probe_df.select(hive_bucket(8, "k", df=probe_df)).first()[0]
+    out = read_parquet(spark, path, dataset=True).where(
+        (F.col("bucket") == probe_bucket) & (F.col("k") == 123)
+    )
+    assert [r.v for r in out.collect()] == [246]
+    plan = _plan(out)
+    # partition pruning: only the probe bucket's directory is scanned
+    m = [l for l in plan.splitlines() if "partitions read" in l.lower() or "PartitionFilters" in l]
+    assert any("bucket" in l for l in m), plan[:2000]
