@@ -1745,6 +1745,27 @@ _MARKOV = """
 """
 
 
+def _q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantile (operators/aggregates.weighted_quantile):
+    char-count-weighted median order value per priority — the
+    quality-weighted cutoff primitive.  Oracle: the same cum-weight
+    window in SQL."""
+    from aws_sdk_pandas_spark.operators.aggregates import weighted_quantile
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    rows = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("price"),
+        (F.col("o_orderkey") % 10 + 1).cast("double").alias("w"),
+    )
+    return weighted_quantile(
+        rows, ["o_orderpriority"], "price", "w", 0.5, out_col="wmedian_price"
+    ).orderBy("o_orderpriority")
+
+
 def _q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resample (operators/timeseries.
     resample_interpolate — Timestream INTERPOLATE_LINEAR, SURVEY 2.5):
@@ -2093,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_pipeline": _q_curation_pipeline,
         "doc_unigram_logprob": _q_unigram_logprob,
         "ts_resample_interpolate": _q_resample_interpolate,
+        "weighted_median_price": _q_weighted_median,
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
@@ -2812,6 +2834,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "weighted_median_price": """
+            WITH rows_w AS (
+                SELECT o_orderpriority,
+                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS price,
+                       CAST(o_orderkey % 10 + 1 AS DOUBLE) AS w
+                FROM orders
+            ), cum AS (
+                SELECT o_orderpriority, price,
+                       SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY price
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                       SUM(w) OVER (PARTITION BY o_orderpriority) AS t
+                FROM rows_w
+            )
+            SELECT o_orderpriority, MIN(price) AS wmedian_price
+            FROM cum WHERE c >= t * 0.5
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
         """,

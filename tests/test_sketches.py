@@ -43,3 +43,24 @@ def test_frequent_items_finds_heavy_hitter(spark):
     )
     freq = frequent_items(df, ["k"], support=0.3).first()[0]
     assert "hot" in freq
+
+
+def test_weighted_quantile_exact(spark):
+    """Lower weighted quantile: heavy row dominates the median; q=1.0 is
+    the max; zero/null weights ignored."""
+    import pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    from aws_sdk_pandas_spark.operators.aggregates import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0),
+         ("b", 10.0, 1.0), ("b", 20.0, 0.0), ("b", 30.0, None)],
+        "g string, v double, w double",
+    )
+    got = {r.g: r.wq_v for r in weighted_quantile(df, ["g"], "v", "w", 0.5).collect()}
+    assert got == {"a": 3.0, "b": 10.0}
+    top = {r.g: r.wq_v for r in weighted_quantile(df, ["g"], "v", "w", 1.0).collect()}
+    assert top == {"a": 3.0, "b": 10.0}
+    with pytest.raises(InvalidArgument):
+        weighted_quantile(df, ["g"], "v", "w", 0.0)
