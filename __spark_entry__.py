@@ -2011,6 +2011,27 @@ def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-passage removal (operators/dedup.py
+    remove_repeated_passages): the MassiveText/RefinedWeb 'drop passages
+    duplicated across documents' step.  3-word windows so the synthetic
+    corpus actually has cross-document repeats at sf0.01."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_passages
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        remove_repeated_passages(docs, passage_words=3, min_count=2)
+        .select(
+            "doc_id",
+            F.col("text").alias("text_clean"),
+            "n_passages",
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2118,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_nested_props": _q_flatten_struct,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
+        "docs_remove_repeated_passages": _q_remove_passages,
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
@@ -2836,6 +2858,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_remove_repeated_passages": r"""
+            WITH ws AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), passages AS (
+                SELECT doc_id, CAST(i AS INT) AS pidx,
+                       array_to_string(w[(i*3+1):(i*3+3)], ' ') AS passage
+                FROM ws, UNNEST(range(CAST(ceil(len(w) / 3.0) AS BIGINT))) AS t(i)
+            ), dups AS (
+                SELECT passage FROM passages
+                GROUP BY passage HAVING COUNT(*) >= 2
+            ), flagged AS (
+                SELECT p.doc_id, p.pidx, p.passage,
+                       CASE WHEN d.passage IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+                FROM passages p LEFT JOIN dups d USING (passage)
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(passage, ' ' ORDER BY pidx)
+                            FILTER (WHERE is_dup = 0), '') AS text_clean,
+                   COUNT(*) AS n_passages,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_removed
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "weighted_median_price": """
             WITH rows_w AS (

@@ -705,3 +705,84 @@ def embedding_duplicates(
         .select("id_a", "id_b", F.round("distance", 6).alias("distance"))
         .orderBy("id_a", "id_b")
     )
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    passage_words: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-passage removal (the MassiveText / RefinedWeb
+    "remove duplicated paragraphs across documents" step, adapted to
+    word-window passages since the corpus has no newline structure).
+
+    Every document is chunked into consecutive ``passage_words``-word
+    passages; any passage whose exact text occurs ``min_count``+ times
+    ACROSS THE WHOLE CORPUS is dropped from every document, and the
+    survivors are stitched back in original order.
+
+    Shuffle plan (scale path):
+      1. chunking is pure per-row JVM compute — split + sequence/
+         transform/slice higher-order functions, no Python, no shuffle;
+      2. ONE hash aggregate on xxhash64(passage) with map-side combine
+         finds the duplicated passage set (at 100 TB the dup set is the
+         small minority, so the agg output is orders of magnitude
+         smaller than the corpus);
+      3. the dup set joins back AS THE SMALL SIDE — AQE broadcasts it,
+         so the corpus-side passage rows never shuffle for the join;
+      4. one groupBy(id) reassembles documents (array_sort on the
+         (pidx, passage) structs — no per-group window sort).
+
+    Returns ``id_col, text (cleaned), n_passages, n_removed``; documents
+    whose every passage was duplicated come back with ``text = ''``.
+
+    Reference parity: nothing in awswrangler — this is the
+    training-pipeline extension family (SURVEY.md §2.10).
+    """
+    W = int(passage_words)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.ceil(F.size(words) / F.lit(float(W)))
+    passages = F.transform(
+        F.sequence(F.lit(0), (n_pass - 1).cast("int")),
+        lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
+    )
+
+    ex = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.posexplode(passages).alias("pidx", "passage"))
+        .withColumn("phash", F.xxhash64("passage"))
+    )
+
+    dup_hashes = (
+        ex.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("phash", F.lit(1).alias("is_dup"))
+    )
+
+    # no forced broadcast: at web scale the min_count=2 dup set can be
+    # billions of rows — AQE broadcasts it at runtime when it IS small
+    flagged = ex.join(dup_hashes, "phash", "left").select(
+        id_col,
+        "pidx",
+        "passage",
+        F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+    )
+
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("pidx", "passage", "is_dup"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(sorted_structs, lambda s: s["is_dup"] == 0),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum("is_dup").alias("n_removed"),
+    )

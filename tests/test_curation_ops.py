@@ -279,3 +279,49 @@ def test_curate_corpus_cap(spark):
     )
     # top-3 by n_chars desc = ids 9, 8, 7
     assert sorted(r.doc_id for r in kept.collect()) == [7, 8, 9]
+
+
+# ------------------------------------------------- repeated-passage removal
+def test_remove_repeated_passages_cross_corpus(spark):
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_passages
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, "unique text only here nothing shared at"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_passages(
+            docs, passage_words=3, min_count=2
+        ).collect()
+    }
+    # the shared 3-word passage sits at chunk index 1 in both docs
+    assert out[1].text == "alpha beta gamma delta epsilon zeta"
+    assert out[2].text == "one two three four five six"
+    assert out[1].n_removed == 1 and out[2].n_removed == 1
+    assert out[3].text == "unique text only here nothing shared at"
+    assert out[3].n_removed == 0
+    assert out[3].n_passages == 3  # ceil(8/3) -> tail chunk kept
+
+
+def test_remove_repeated_passages_fully_duplicated_doc(spark):
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_passages
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam"), (2, "spam spam spam"), (3, "keep me please")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_passages(
+            docs, passage_words=3, min_count=2
+        ).collect()
+    }
+    assert out[1].text == "" and out[2].text == ""
+    assert out[1].n_removed == 1
+    assert out[3].text == "keep me please"
