@@ -2032,6 +2032,42 @@ def _q_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style data skipping (sources/stats.py): write a
+    shipdate-sorted multi-file dataset, harvest per-file min/max from the
+    footers (distributed mapInPandas), prune the file list with a range
+    predicate, scan only survivors.  The oracle filters the source table
+    directly, so a pruning bug that drops a needed file hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet, read_parquet_pruned
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = tempfile.mkdtemp(prefix="asps-skip-") + "/li_sorted"
+    (
+        li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_shipdate")
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 4000)
+        .parquet(out)
+    )
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 6, 30)
+    pruned = read_parquet_pruned(spark, out, {"l_shipdate": (lo, hi)})
+    return (
+        pruned.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("ship_month")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2140,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _q_compaction_roundtrip,
         "chunked_read_exact_rows": _q_chunked_read,
         "docs_remove_repeated_passages": _q_remove_passages,
+        "stats_pruned_scan": _q_stats_pruned_scan,
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
@@ -2858,6 +2895,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "stats_pruned_scan": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <= TIMESTAMP '1997-06-30'
+            GROUP BY ship_month
+            ORDER BY ship_month
         """,
         "docs_remove_repeated_passages": r"""
             WITH ws AS (

@@ -28,6 +28,11 @@ from aws_sdk_pandas_spark.sources.parquet import (
     read_parquet_table,
     to_parquet,
 )
+from aws_sdk_pandas_spark.sources.stats import (
+    collect_file_stats,
+    prune_files,
+    read_parquet_pruned,
+)
 from aws_sdk_pandas_spark.sources.text import (
     read_csv,
     read_fwf,
@@ -38,6 +43,9 @@ from aws_sdk_pandas_spark.sources.text import (
 
 __all__ = [
     "apply_partition_filter",
+    "collect_file_stats",
+    "prune_files",
+    "read_parquet_pruned",
     "copy_objects",
     "merge_datasets",
     "read_excel",

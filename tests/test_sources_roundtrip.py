@@ -282,3 +282,53 @@ def test_chunked_exact_rows(spark, sf_dir):
     assert all(s == 7 for s in sizes[:-1])
     assert 0 < sizes[-1] <= 7
     assert sum(sizes) == 25
+
+
+# ----------------------------------------------------------- data skipping
+def test_file_stats_pruning_exact_and_effective(spark, tmp_path):
+    from datetime import datetime
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_sorted")
+    # sort by shipdate so per-file min/max ranges are disjoint -> prunable
+    (
+        src.select("l_orderkey", "l_quantity", "l_shipdate")
+        .orderBy("l_shipdate")
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 500)
+        .parquet(out)
+    )
+
+    stats = sources.collect_file_stats(spark, out)
+    total = stats.count()
+    assert total >= 8
+    assert {"l_shipdate__min", "l_shipdate__max", "num_rows"} <= set(stats.columns)
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 12, 31)
+    kept = sources.prune_files(stats, {"l_shipdate": (lo, hi)})
+    # a one-year slice of a seven-year sorted range must skip most files
+    assert 0 < len(kept) < total
+
+    pruned = sources.read_parquet_pruned(spark, out, {"l_shipdate": (lo, hi)})
+    full = src.select("l_orderkey", "l_quantity", "l_shipdate").where(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+    )
+    assert pruned.count() == full.count()
+    assert (
+        pruned.agg(F.sum("l_quantity"), F.sum("l_orderkey")).collect()
+        == full.agg(F.sum("l_quantity"), F.sum("l_orderkey")).collect()
+    )
+
+
+def test_prune_files_keeps_unknown_stats(spark, tmp_path):
+    out = str(tmp_path / "strs")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(out)
+    stats = sources.collect_file_stats(spark, out)
+    # nothing matches the range, but a file with NULL stats must survive
+    import pandas as pd  # noqa: F401  (schema sanity only)
+    null_stats = stats.withColumn("k__min", F.lit(None).cast("long")).withColumn(
+        "k__max", F.lit(None).cast("long")
+    )
+    assert sources.prune_files(null_stats, {"k": (100, 200)}) != []
