@@ -2068,6 +2068,35 @@ def _q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_stream_join run on batch frames (the watermark is
+    a no-op in batch, so the SAME definition that powers the live
+    watermarked stream-stream join is hash-checked here): per-user clicks
+    attributed to the views they followed within 30 minutes."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.streaming import stream_stream_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    out = stream_stream_join(
+        views, clicks, ["user_id"], within="30 minutes", watermark="1 hour"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("right_value"), 4).alias("attributed_value"),
+            F.min("view_id").alias("first_view_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2177,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_read_exact_rows": _q_chunked_read,
         "docs_remove_repeated_passages": _q_remove_passages,
         "stats_pruned_scan": _q_stats_pruned_scan,
+        "stream_join_attribution": _q_stream_join_attribution,
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
@@ -2895,6 +2925,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "stream_join_attribution": """
+            SELECT v.user_id,
+                   COUNT(*) AS n_attributed,
+                   ROUND(SUM(c.value), 4) AS attributed_value,
+                   MIN(v.event_id) AS first_view_id
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'view') v
+            JOIN (SELECT user_id, ts, event_id, value FROM events
+                  WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND v.ts <= c.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
+            GROUP BY v.user_id
+            ORDER BY v.user_id
         """,
         "stats_pruned_scan": """
             SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,

@@ -304,3 +304,52 @@ def upsert_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the ad-view -> click
+    attribution shape): match right rows whose timestamp falls in
+    ``[left_time, left_time + within]`` on the equi-keys ``on``.
+
+    Both sides get a watermark and the join carries the time-interval
+    condition, which is what lets Spark BOUND THE JOIN STATE: each side's
+    buffered rows are evicted once the other side's watermark passes
+    ``within`` + ``watermark`` — without it, stream-stream state grows
+    forever at 100 TB/day ingest.  The same plan runs on batch frames
+    unchanged (the watermark is a no-op there), so batch backfill and the
+    live stream share one definition.
+
+    The reference has no streaming surface (SURVEY §2.8 additive family).
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    cond = lt <= rt
+    cond = cond & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    joined = l.join(r, cond, how)
+    keep = [F.col(f"l.{k}").alias(k) for k in on]
+    keep += [lt.alias(left_time)]
+    keep += [rt.alias(f"right_{right_time}")]
+    others_l = [
+        F.col(f"l.{c}").alias(c)
+        for c in left.columns
+        if c not in set(on) | {left_time}
+    ]
+    others_r = [
+        F.col(f"r.{c}").alias(f"right_{c}")
+        for c in right.columns
+        if c not in set(on) | {right_time}
+    ]
+    return joined.select(*keep, *others_l, *others_r)

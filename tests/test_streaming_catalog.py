@@ -308,3 +308,44 @@ def test_upsert_stream_applies_cdc(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: (r.v, r.ver) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1), 2: ("b3", 3), 3: ("c", 1)}
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    views = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "ad1"),
+         ("u1", "2024-01-01 11:00:00", "ad2"),
+         ("u2", "2024-01-01 10:30:00", "ad3")],
+        "user string, ts string, ad string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    clicks = spark.createDataFrame(
+        [("u1", "2024-01-01 10:05:00", 1.0),   # within 15m of ad1
+         ("u1", "2024-01-01 11:40:00", 2.0),   # outside 15m of ad2
+         ("u2", "2024-01-01 10:31:00", 3.0)],  # within 15m of ad3
+        "user string, ts string, paid double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    expected = {("u1", "ad1", 1.0), ("u2", "ad3", 3.0)}
+    batch = streaming.stream_stream_join(
+        views, clicks, ["user"], within="15 minutes"
+    )
+    assert {(r.user, r.ad, r.right_paid) for r in batch.collect()} == expected
+
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vsrc)
+    clicks.write.parquet(csrc)
+    q = (
+        streaming.stream_stream_join(
+            streaming.read_stream(spark, vsrc),
+            streaming.read_stream(spark, csrc),
+            ["user"],
+            within="15 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user, r.ad, r.right_paid) for r in spark.table("ssj_mem").collect()}
+    assert got == expected
