@@ -2097,6 +2097,28 @@ def _q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample, Efraimidis–Spirakis keys from
+    md5 uniforms): 7 orders per priority, inclusion odds proportional to
+    o_totalprice.  The DuckDB oracle re-derives the exact same sample."""
+    from aws_sdk_pandas_spark.operators.sampling import weighted_sample
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return (
+        weighted_sample(
+            orders,
+            7,
+            weight_col="o_totalprice",
+            key_col="o_orderkey",
+            group_cols=["o_orderpriority"],
+        )
+        .select("o_orderpriority", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2207,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_remove_repeated_passages": _q_remove_passages,
         "stats_pruned_scan": _q_stats_pruned_scan,
         "stream_join_attribution": _q_stream_join_attribution,
+        "docs_weighted_sample": _q_weighted_sample,
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
@@ -2925,6 +2948,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_weighted_sample": """
+            SELECT o_orderpriority, o_orderkey
+            FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY k ASC, o_orderkey ASC
+                       ) AS rn
+                FROM (
+                    SELECT o_orderpriority, o_orderkey,
+                           ROUND(
+                               -ln((('0x' || substring(md5(o_orderkey::VARCHAR || ':42'), 1, 8))::BIGINT + 0.5)
+                                   / 4294967296.0)
+                               / o_totalprice, 12) AS k
+                    FROM orders WHERE o_totalprice > 0
+                )
+            )
+            WHERE rn <= 7
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "stream_join_attribution": """
             SELECT v.user_id,

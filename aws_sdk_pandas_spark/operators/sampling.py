@@ -146,3 +146,57 @@ def stratified_sample(
         *[F.lit(x) for kv in fractions.items() for x in kv]
     )[F.col(strata_col)]
     return df.where(frac.isNotNull() & (u < frac))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    deterministic: each row draws ``u`` from ``md5(key,seed)`` and is
+    ranked by the exponential key ``-ln(u)/w``; the ``n`` smallest keys
+    per group win.  Inclusion probability is proportional to weight, the
+    decision is a pure function of row content — reruns, repartitions
+    and other engines (the DuckDB oracle) re-derive the same sample.
+
+    One shuffle (the per-group top-n window).  At 100 TB with a global
+    sample (``group_cols=None``) the window would single-partition; the
+    scale form is per-group (domains/languages) where each group's top-n
+    is key-partitioned.  Rows with weight <= 0 are excluded (ln-key
+    undefined), matching A-ES.
+
+    The key is rounded to 12 decimals before ranking so the cross-engine
+    comparison never hinges on the last ulp of libm's ``ln``; ties break
+    on ``key_col``.
+    """
+    w = F.col(weight_col).cast("double")
+    # +0.5 keeps u strictly inside (0,1): a raw u=0 would make ln(u)
+    # -inf and that row would win every sample drawn at corpus scale
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.round(-F.log(u) / w, 12)
+    part = [F.col(c) for c in (group_cols or [])]
+    rn = F.row_number().over(
+        Window.partitionBy(*part).orderBy(key.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("__rn", rn)
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -93,3 +93,50 @@ def test_temperature_sample_deterministic_and_identity(spark):
     assert a == b and a
     # T=1 keeps everything (keep_p == 1 for every group)
     assert temperature_sample(df, "g", temperature=1.0, key_col="doc_id").count() == 300
+
+
+# ---------------------------------------------------------- weighted sample
+def test_weighted_sample_deterministic_and_capped(spark):
+    from aws_sdk_pandas_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i < 50 else "g2", float(1 + i % 7)) for i in range(100)],
+        "id long, g string, w double",
+    )
+    a = weighted_sample(df, 10, weight_col="w", key_col="id", group_cols=["g"])
+    b = weighted_sample(
+        df.repartition(13), 10, weight_col="w", key_col="id", group_cols=["g"]
+    )
+    rows_a = sorted((r.g, r.id) for r in a.collect())
+    rows_b = sorted((r.g, r.id) for r in b.collect())
+    assert rows_a == rows_b
+    per_g = {}
+    for g, _ in rows_a:
+        per_g[g] = per_g.get(g, 0) + 1
+    assert per_g == {"g1": 10, "g2": 10}
+
+
+def test_weighted_sample_bias_and_edge(spark):
+    from aws_sdk_pandas_spark.operators.sampling import weighted_sample
+
+    # one heavy row among light ones: across seeds it must be included
+    # far more often than any individual light row
+    df = spark.createDataFrame(
+        [(0, 1000.0)] + [(i, 1.0) for i in range(1, 40)], "id long, w double"
+    )
+    heavy = light = 0
+    for seed in range(30):
+        got = {r.id for r in
+               weighted_sample(df, 5, weight_col="w", key_col="id", seed=seed).collect()}
+        assert len(got) == 5
+        heavy += 0 in got
+        light += 1 in got
+    assert heavy > 25 and heavy > light * 3
+
+    # zero/negative weights never sampled; n > group size returns all valid
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double"
+    )
+    got = {r.id for r in
+           weighted_sample(df2, 10, weight_col="w", key_col="id").collect()}
+    assert got == {3}
