@@ -303,3 +303,47 @@ def test_bucket_layout_prunes_point_lookup(spark, tmp_path):
     # partition pruning: only the probe bucket's directory is scanned
     m = [l for l in plan.splitlines() if "partitions read" in l.lower() or "PartitionFilters" in l]
     assert any("bucket" in l for l in m), plan[:2000]
+
+
+def test_remove_passages_stays_jvm_no_cartesian(spark, sf_dir):
+    """Passage chunking/reassembly must compile to higher-order JVM
+    expressions (no Python workers in the hot path), and the dup-set
+    join must never degenerate to a cartesian."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_passages
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = remove_repeated_passages(docs, passage_words=3)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_weighted_sample_single_window_shuffle_jvm(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.sampling import weighted_sample
+
+    orders = sources.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    df = weighted_sample(
+        orders, 7, weight_col="o_totalprice", key_col="o_orderkey",
+        group_cols=["o_orderpriority"],
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # rank-then-keep-n compiles to the window-group-limit pushdown, so
+    # each task keeps n rows per group instead of materializing the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_stream_stream_join_batch_plan_is_hash_or_merge(spark, sf_dir):
+    """The interval condition must ride on an equi-join (SortMerge/Hash),
+    never a nested loop over the streams' cross product."""
+    from aws_sdk_pandas_spark.streaming import stream_stream_join
+
+    ev = sources.read_parquet(spark, f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    df = stream_stream_join(views, clicks, ["user_id"], within="30 minutes")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
