@@ -359,6 +359,7 @@ def add_column(
         f"ALTER TABLE {_qualified(database, table)} "
         f"ADD COLUMNS ({_quote(column_name)} {column_type}{comment})"
     )
+    bump_table_version(spark, table, database)
 
 
 def delete_column(
@@ -386,11 +387,18 @@ def delete_column(
         provider = _table_provider(spark, table, database)
         spark.sql(f"DROP TABLE {name}")
         _create_table(
-            spark, table, provider, database=database, path=location,
-            columns_types=columns_types, partitions_types=partitions_types or None,
+            spark,
+            file_format=provider,
+            database=database,
+            table=table,
+            path=location,
+            columns_types=columns_types,
+            partitions_types=partitions_types or None,
+            exist_ok=False,
         )
         if partitions_types:
             repair_table(spark, table, database)
+    bump_table_version(spark, table, database)
 
 
 def _table_provider(spark: SparkSession, table: str, database: str | None = None) -> str:
@@ -591,3 +599,92 @@ __all__ += [
     "get_databases",
     "get_tables",
 ]
+
+
+# ---------------------------------------------------------------------------
+# table versions, column parameters, connections
+# ---------------------------------------------------------------------------
+
+_VERSIONS_KEY = "asps.table.versions"
+
+
+def bump_table_version(
+    spark: SparkSession, table: str, database: str | None = None
+) -> int:
+    """Record a new schema version for the table (Glue bumps VersionId on
+    every UpdateTable; Spark's catalog has no version log, so one is kept
+    in TBLPROPERTIES).  Called by the schema-changing DDL helpers; safe to
+    call directly after external ALTERs."""
+    import json
+    from datetime import datetime, timezone
+
+    params = get_table_parameters(spark, table, database)
+    versions = json.loads(params.get(_VERSIONS_KEY, "[]"))
+    vid = len(versions) + 1
+    versions.append(
+        {
+            "VersionId": str(vid),
+            "UpdateTime": datetime.now(timezone.utc).isoformat(),
+        }
+    )
+    upsert_table_parameters(
+        spark, table, {_VERSIONS_KEY: json.dumps(versions)}, database
+    )
+    return vid
+
+
+def get_table_versions(
+    spark: SparkSession, table: str, database: str | None = None
+) -> list[dict[str, str]]:
+    """reference: catalog/_get.py:925 ``get_table_versions`` — the
+    recorded version history (newest last), Glue response shape."""
+    import json
+
+    params = get_table_parameters(spark, table, database)
+    return json.loads(params.get(_VERSIONS_KEY, "[]"))
+
+
+def get_table_number_of_versions(
+    spark: SparkSession, table: str, database: str | None = None
+) -> int:
+    """reference: catalog/_get.py:964 ``get_table_number_of_versions``."""
+    return len(get_table_versions(spark, table, database))
+
+
+def get_columns_parameters(
+    spark: SparkSession, table: str, database: str | None = None
+) -> dict[str, dict[str, str]]:
+    """reference: catalog/_get.py:883 ``get_columns_parameters`` — per-
+    column parameter dicts.  Spark columns carry a comment only; it is
+    surfaced under the reference's ``{column: {key: value}}`` shape."""
+    cols = spark.catalog.listColumns(
+        _qualified(database, table).replace("`", "")
+    )
+    return {
+        c.name: ({"comment": c.description} if c.description else {})
+        for c in cols
+    }
+
+
+_CONNECTIONS: dict[str, dict[str, Any]] = {}
+
+
+def register_connection(name: str, connection: dict[str, Any]) -> None:
+    """Register a named connection (the Glue Connections registry the
+    reference resolves with catalog/_get.py:516 ``get_connection``).
+    ``connection`` holds JDBC url/driver/credentials keys as the caller's
+    databases.connect expects them."""
+    _CONNECTIONS[name] = dict(connection)
+
+
+def get_connection(name: str) -> dict[str, Any]:
+    """reference: catalog/_get.py:516 ``get_connection`` — resolve a named
+    connection registered in this session."""
+    if name not in _CONNECTIONS:
+        from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+        raise InvalidArgument(
+            f"connection {name!r} is not registered; call "
+            "catalog.register_connection(name, {...}) first"
+        )
+    return dict(_CONNECTIONS[name])

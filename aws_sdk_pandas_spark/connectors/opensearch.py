@@ -214,3 +214,28 @@ def delete_index(
 
     _fs.delete_objects(spark, client.index_path(index))
     return {"acknowledged": True, "index": index}
+
+
+def create_collection(
+    spark: SparkSession,
+    name: str,
+    *,
+    root: str,
+    collection_type: str = "SEARCH",
+    **_ignored: Any,
+) -> dict[str, Any]:
+    """reference: opensearch/_utils.py:288 ``create_collection``
+    (OpenSearch Serverless).  A collection is the prefix that holds its
+    indexes: materialized as a directory; policies/VPC kwargs are
+    service-deployment concerns, accepted and ignored."""
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    path = f"{root.rstrip('/')}/{name}"
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, path)
+    jvm_fs.mkdirs(jpath)
+    return {
+        "name": name,
+        "type": collection_type,
+        "status": "ACTIVE",
+        "collectionEndpoint": path,
+    }

@@ -141,3 +141,27 @@ def copy_from_files(
         staged, con, table, schema=schema, mode=mode, keys=keys,
         precombine_key=precombine_key,
     )
+
+
+def connect_temp(
+    url: str,
+    user: str,
+    *,
+    duration_seconds: int = 900,
+    auto_create: bool = False,
+    db_groups: list[str] | None = None,
+    **properties: Any,
+) -> core.ConnectionConfig:
+    """reference: redshift/_connect.py:141 ``connect_temp`` — GetClusterCredentials
+    issues a short-lived password for ``user``.  Without the service there
+    is no credential issuer: the descriptor carries the user plus the
+    requested-credential metadata so a cluster-side deployment can swap in
+    the issued secret; execution paths treat it exactly like connect()."""
+    props = {k: str(v) for k, v in properties.items()}
+    props["asps.temp_credentials"] = "true"
+    props["asps.temp_duration_seconds"] = str(duration_seconds)
+    if auto_create:
+        props["asps.temp_auto_create"] = "true"
+    if db_groups:
+        props["asps.temp_db_groups"] = ",".join(db_groups)
+    return core.ConnectionConfig(url=url, user=user, properties=props)

@@ -240,3 +240,111 @@ def detect_outliers_mad(
         .withColumn("robust_z", (F.col(value_col) - F.col("__med")) / scale)
         .drop("__med", "__mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# ruleset registry + recommendations
+# ---------------------------------------------------------------------------
+
+_RULESETS: dict[str, list[Rule]] = {}
+
+
+def store_ruleset(name: str, rules: list[dict[str, Any]] | list[Rule]) -> list[Rule]:
+    """Register a named ruleset (the Glue-side half of
+    data_quality/_create.py:40 ``create_ruleset`` — the reference stores
+    the DQDL under a name; evaluation is a separate call)."""
+    parsed = create_ruleset(rules)
+    _RULESETS[name] = parsed
+    return parsed
+
+
+def get_ruleset(name: str) -> list[Rule]:
+    """reference: data_quality/_get.py:13 ``get_ruleset``."""
+    if name not in _RULESETS:
+        raise InvalidArgument(f"ruleset {name!r} is not stored")
+    return list(_RULESETS[name])
+
+
+def update_ruleset(
+    name: str,
+    rules: list[dict[str, Any]] | list[Rule],
+    *,
+    mode: str = "overwrite",
+) -> list[Rule]:
+    """reference: data_quality/_create.py:124 ``update_ruleset`` —
+    ``mode='overwrite'`` replaces, ``'upsert'`` appends/replaces by
+    (rule_type, parameter)."""
+    parsed = create_ruleset(rules)
+    if mode == "overwrite":
+        _RULESETS[name] = parsed
+    elif mode == "upsert":
+        if name not in _RULESETS:
+            raise InvalidArgument(f"ruleset {name!r} is not stored")
+        merged = {(r.rule_type, r.parameter): r for r in _RULESETS[name]}
+        for r in parsed:
+            merged[(r.rule_type, r.parameter)] = r
+        _RULESETS[name] = list(merged.values())
+    else:
+        raise InvalidArgument("mode must be 'overwrite' or 'upsert'")
+    return list(_RULESETS[name])
+
+
+def create_recommendation_ruleset(
+    df: DataFrame,
+    *,
+    completeness_threshold: float = 0.95,
+    name: str | None = None,
+) -> list[Rule]:
+    """reference: data_quality/_create.py:193
+    ``create_recommendation_ruleset`` — profile the frame and propose
+    rules, like Glue's recommendation run: a RowCount floor, IsComplete
+    for near-complete columns, IsUnique for key-like columns, and
+    ColumnValues ranges for numerics.  ONE aggregation job computes every
+    profile statistic (no per-column scans)."""
+    import math
+
+    n = df.count()
+    if n == 0:
+        rules = [Rule("RowCount", None, "> 0")]
+        if name:
+            _RULESETS[name] = rules
+        return rules
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    numeric = set()
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__d"))
+        if f.dataType.typeName() in (
+            "byte", "short", "integer", "long", "float", "double", "decimal"
+        ):
+            numeric.add(c)
+            aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    rules: list[Rule] = [Rule("RowCount", None, f">= {max(1, int(n * 0.5))}")]
+    for f in df.schema.fields:
+        c = f.name
+        nn, d = row[f"{c}__nn"], row[f"{c}__d"]
+        if nn == n:
+            rules.append(Rule("IsComplete", c, ">= 1.0"))
+        elif nn / n >= completeness_threshold:
+            rules.append(
+                Rule("Completeness", c, f">= {math.floor(nn / n * 100) / 100}")
+            )
+        # approx_count_distinct ~2% error: treat >= 98% distinct as key-like
+        if nn == n and d >= 0.98 * n:
+            rules.append(Rule("IsUnique", c, ">= 1.0"))
+        if c in numeric and row[f"{c}__min"] is not None:
+            rules.append(
+                Rule(
+                    "ColumnValues",
+                    c,
+                    f"between {row[f'{c}__min']} and {row[f'{c}__max']}",
+                )
+            )
+    if name:
+        _RULESETS[name] = rules
+    return rules

@@ -8,9 +8,13 @@ from aws_sdk_pandas_spark.sources.fs import (
     delete_objects,
     describe_objects,
     does_object_exist,
+    download,
+    get_bucket_region,
+    list_buckets,
     list_directories,
     list_objects,
     size_objects,
+    upload,
     wait_objects_exist,
     wait_objects_not_exist,
 )
@@ -20,7 +24,12 @@ from aws_sdk_pandas_spark.sources.layout import (
 )
 from aws_sdk_pandas_spark.sources.copy import copy_objects, merge_datasets
 from aws_sdk_pandas_spark.sources.excel import read_excel, to_excel
-from aws_sdk_pandas_spark.sources.orc import read_orc, read_orc_metadata, to_orc
+from aws_sdk_pandas_spark.sources.orc import (
+    read_orc,
+    read_orc_metadata,
+    read_orc_table,
+    to_orc,
+)
 from aws_sdk_pandas_spark.sources.select import select_query
 from aws_sdk_pandas_spark.sources.parquet import (
     read_parquet,
@@ -44,6 +53,11 @@ from aws_sdk_pandas_spark.sources.text import (
 __all__ = [
     "apply_partition_filter",
     "collect_file_stats",
+    "download",
+    "get_bucket_region",
+    "list_buckets",
+    "read_orc_table",
+    "upload",
     "prune_files",
     "read_parquet_pruned",
     "copy_objects",

@@ -213,3 +213,13 @@ def list_buckets(spark: SparkSession, root: str = "file:///") -> list[str]:
     containers of the filesystem root (buckets on s3a://, directories on
     file:// and hdfs://)."""
     return list_directories(spark, root)
+
+
+def get_bucket_region(spark: SparkSession, bucket: str) -> str:
+    """reference: s3/_describe.py:206 ``get_bucket_region``.  Against a local /
+    HDFS filesystem there is no region; returns the filesystem scheme's
+    authority (bucket host) or ``"local"`` — callers that branch on
+    region get a stable, truthful token."""
+    jvm_fs, jpath, _ = _jvm_fs(spark, bucket if "://" in bucket else f"file:///{bucket}")
+    uri = jvm_fs.getUri()
+    return uri.getAuthority() or "local"

@@ -367,3 +367,53 @@ def generate_create_query(spark: SparkSession, table: str, database: str | None 
     """reference: athena/_utils.py ``generate_create_query`` — alias of
     show_create_table in a DDL-native engine."""
     return show_create_table(spark, table, database)
+
+
+def create_athena_bucket(spark: SparkSession, path: str | None = None) -> str:
+    """reference: athena/_utils.py:461 ``create_athena_bucket`` — ensure
+    the default query-results staging location exists and return it.
+    Spark's equivalent is the warehouse-adjacent staging dir."""
+    from aws_sdk_pandas_spark.sources import fs as _fs
+
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = warehouse.rstrip("/") + "/_query_results"
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, path)
+    jvm_fs.mkdirs(jpath)
+    return path
+
+
+def get_work_group(spark: SparkSession, workgroup: str = "primary") -> dict[str, Any]:
+    """reference: athena/_utils.py:1099 ``get_work_group`` — workgroup
+    description.  Spark has no workgroups; returns the session's
+    equivalent execution profile (result staging dir, engine version,
+    shuffle partitions) in the reference's response shape."""
+    return {
+        "WorkGroup": {
+            "Name": workgroup,
+            "State": "ENABLED",
+            "Configuration": {
+                "ResultConfiguration": {
+                    "OutputLocation": spark.conf.get(
+                        "spark.sql.warehouse.dir", "spark-warehouse"
+                    ).rstrip("/")
+                    + "/_query_results"
+                },
+                "EngineVersion": {
+                    "SelectedEngineVersion": f"Spark {spark.version}",
+                    "EffectiveEngineVersion": f"Spark {spark.version}",
+                },
+            },
+            "AdditionalConfiguration": {
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions")
+            },
+        }
+    }
+
+
+def repair_table(spark: SparkSession, table: str, database: str | None = None) -> None:
+    """reference: athena/_utils.py:526 ``repair_table`` — MSCK REPAIR
+    (partition discovery); delegates to catalog.repair_table."""
+    from aws_sdk_pandas_spark import catalog as _catalog
+
+    _catalog.repair_table(spark, table, database)

@@ -273,3 +273,58 @@ def list_vector_indexes(spark: SparkSession, root: str) -> list[str]:
         if jvm_fs.exists(jpath):
             out.append(d)
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# vector bucket management (reference: s3/_vectors/_mgmt.py bucket surface)
+# ---------------------------------------------------------------------------
+
+_BUCKET_FILE = "_vector_bucket.json"
+
+
+def create_vector_bucket(spark: SparkSession, path: str) -> str:
+    """reference: s3/_vectors/_mgmt.py ``create_vector_bucket`` — a vector
+    bucket is the root prefix that holds vector indexes; materialized as a
+    directory with a JSON marker so list/get can distinguish it from
+    arbitrary prefixes."""
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{path.rstrip('/')}/{_BUCKET_FILE}")
+    jvm_fs.mkdirs(jpath.getParent())
+    out = jvm_fs.create(jpath, True)
+    out.write(bytearray(json.dumps({"type": "vector-bucket"}).encode()))
+    out.close()
+    return path
+
+
+def get_vector_bucket(spark: SparkSession, path: str) -> dict[str, Any]:
+    """reference: s3/_vectors/_mgmt.py ``get_vector_bucket``."""
+    jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{path.rstrip('/')}/{_BUCKET_FILE}")
+    if not jvm_fs.exists(jpath):
+        raise InvalidArgument(f"{path!r} is not a vector bucket")
+    return {
+        "Path": path,
+        "Indexes": list_vector_indexes(spark, path),
+    }
+
+
+def list_vector_buckets(spark: SparkSession, root: str) -> list[str]:
+    """reference: s3/_vectors/_mgmt.py ``list_vector_buckets`` — direct
+    children of ``root`` carrying the bucket marker."""
+    out = []
+    for d in _fs.list_directories(spark, root):
+        jvm_fs, jpath, _ = _fs._jvm_fs(spark, f"{d.rstrip('/')}/{_BUCKET_FILE}")
+        if jvm_fs.exists(jpath):
+            out.append(d)
+    return sorted(out)
+
+
+def delete_vector_bucket(spark: SparkSession, path: str, *, force: bool = False) -> None:
+    """reference: s3/_vectors/_mgmt.py ``delete_vector_bucket``; refuses a
+    non-empty bucket unless ``force`` (the service requires indexes gone
+    first)."""
+    indexes = get_vector_bucket(spark, path)["Indexes"]
+    if indexes and not force:
+        raise InvalidArgument(
+            f"vector bucket {path!r} still holds indexes {indexes}; "
+            "pass force=True to delete everything"
+        )
+    _fs.delete_objects(spark, path)

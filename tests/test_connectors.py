@@ -415,3 +415,26 @@ def test_neptune_rdf_roundtrip(spark, tmp_path):
     assert back.count() == 2
     with pytest.raises(NotImplementedError):
         N.execute_sparql("SELECT * WHERE { ?s ?p ?o }")
+
+
+# ------------------------------------------------------------- parity fills
+def test_opensearch_create_collection(spark, tmp_path):
+    from aws_sdk_pandas_spark.connectors import opensearch as oss
+
+    out = oss.create_collection(spark, "col1", root=str(tmp_path))
+    assert out["status"] == "ACTIVE"
+    import os
+    assert os.path.isdir(tmp_path / "col1")
+
+
+def test_redshift_connect_temp_descriptor():
+    from aws_sdk_pandas_spark.databases import redshift
+
+    con = redshift.connect_temp(
+        "jdbc:redshift://h:5439/db", "analyst",
+        duration_seconds=600, db_groups=["g1", "g2"],
+    )
+    assert con.user == "analyst"
+    props = con.jdbc_properties()
+    assert props["asps.temp_credentials"] == "true"
+    assert props["asps.temp_db_groups"] == "g1,g2"

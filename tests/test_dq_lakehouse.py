@@ -115,3 +115,37 @@ def test_detect_outliers_mad(spark):
     out = detect_outliers_mad(df, "value", by=["grp"], threshold=3.0).collect()
     assert [(r["grp"], r["value"]) for r in out] == [("a", 1000.0)]
     assert out[0]["robust_z"] > 100
+
+
+# ------------------------------------------------------------ ruleset store
+def test_ruleset_registry_and_update():
+    from aws_sdk_pandas_spark import dq
+
+    dq.store_ruleset("rs1", [{"rule_type": "RowCount", "expression": "> 1"}])
+    assert [r.rule_type for r in dq.get_ruleset("rs1")] == ["RowCount"]
+    dq.update_ruleset(
+        "rs1",
+        [{"rule_type": "RowCount", "expression": "> 5"},
+         {"rule_type": "IsComplete", "parameter": "x", "expression": ">= 1.0"}],
+        mode="upsert",
+    )
+    rules = {(r.rule_type, r.parameter): r.expression for r in dq.get_ruleset("rs1")}
+    assert rules[("RowCount", None)] == "> 5"
+    assert ("IsComplete", "x") in rules
+
+
+def test_recommendation_ruleset_profiles_and_passes(spark):
+    from aws_sdk_pandas_spark import dq
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10), "a" if i % 3 else None) for i in range(100)],
+        "id long, v double, s string",
+    )
+    rules = dq.create_recommendation_ruleset(df, name="rec1")
+    kinds = {(r.rule_type, r.parameter) for r in rules}
+    assert ("IsUnique", "id") in kinds          # key-like column
+    assert ("IsComplete", "id") in kinds
+    assert ("ColumnValues", "v") in kinds       # numeric range rule
+    # the recommended rules must PASS on the frame they were profiled from
+    res = dq.evaluate_ruleset(df, dq.get_ruleset("rec1"))
+    assert all(r.passed for r in res.collect())

@@ -349,3 +349,67 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     q.awaitTermination()
     got = {(r.user, r.ad, r.right_paid) for r in spark.table("ssj_mem").collect()}
     assert got == expected
+
+
+def test_catalog_table_versions_and_column_params(spark, tmp_path):
+    from aws_sdk_pandas_spark import catalog
+
+    src = str(tmp_path / "t1")
+    spark.createDataFrame([(1, "x")], "id long, name string").write.parquet(src)
+    catalog.create_parquet_table(
+        spark, table="vers_t", columns_types={"id": "bigint", "name": "string"},
+        path=src,
+    )
+    try:
+        assert catalog.get_table_number_of_versions(spark, "vers_t") == 0
+        catalog.add_column(spark, "vers_t", "extra", "int")
+        catalog.add_column(spark, "vers_t", "extra2", "int")
+        vers = catalog.get_table_versions(spark, "vers_t")
+        assert [v["VersionId"] for v in vers] == ["1", "2"]
+        assert catalog.get_table_number_of_versions(spark, "vers_t") == 2
+        params = catalog.get_columns_parameters(spark, "vers_t")
+        assert "id" in params and "extra" in params
+    finally:
+        catalog.delete_table_if_exists(spark, "vers_t")
+
+
+def test_catalog_connection_registry():
+    from aws_sdk_pandas_spark import catalog
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    import pytest as _pytest
+
+    catalog.register_connection("pg_main", {"url": "jdbc:postgresql://h/db", "user": "u"})
+    assert catalog.get_connection("pg_main")["url"] == "jdbc:postgresql://h/db"
+    with _pytest.raises(InvalidArgument):
+        catalog.get_connection("nope")
+
+
+def test_vector_bucket_lifecycle(spark, tmp_path):
+    from aws_sdk_pandas_spark import vectors
+
+    root = str(tmp_path)
+    b = vectors.create_vector_bucket(spark, f"{root}/vb1")
+    assert vectors.list_vector_buckets(spark, root) != []
+    info = vectors.get_vector_bucket(spark, b)
+    assert info["Indexes"] == []
+    vectors.delete_vector_bucket(spark, b)
+    assert vectors.list_vector_buckets(spark, root) == []
+
+
+def test_delete_column_rebuild_fallback(spark, tmp_path):
+    from aws_sdk_pandas_spark import catalog
+
+    src = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "x", 2.0)], "id long, name string, v double").write.parquet(src)
+    catalog.create_parquet_table(
+        spark, table="dropc_t",
+        columns_types={"id": "bigint", "name": "string", "v": "double"},
+        path=src,
+    )
+    try:
+        catalog.delete_column(spark, "dropc_t", "name")
+        cols = [c.name for c in spark.catalog.listColumns("dropc_t")]
+        assert cols == ["id", "v"]
+        assert spark.table("dropc_t").count() == 1
+    finally:
+        catalog.delete_table_if_exists(spark, "dropc_t")
