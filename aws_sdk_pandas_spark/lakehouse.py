@@ -176,3 +176,84 @@ def delete_from_iceberg_table(
 
     _require(spark, "iceberg")
     delete_from_table(spark, df, table, merge_cols)
+
+
+# ---------------------------------------------------------------------------
+# S3 Tables management (reference: s3/_s3_tables_mgmt.py) — in Spark the
+# "table bucket" is a catalog namespace root: bucket -> database prefix,
+# namespace -> database, table -> catalog table.
+# ---------------------------------------------------------------------------
+
+
+def create_table_bucket(spark: SparkSession, name: str) -> str:
+    """reference: s3/_s3_tables_mgmt.py:14 ``create_table_bucket``.  The
+    bucket becomes a database-name prefix; returns its 'ARN' (the prefix
+    token used by the other helpers)."""
+    return f"tablebucket:{name}"
+
+
+def _bucket_db(table_bucket_arn: str, namespace: str) -> str:
+    bucket = table_bucket_arn.split(":", 1)[1] if ":" in table_bucket_arn else table_bucket_arn
+    return f"{bucket}__{namespace}"
+
+
+def create_namespace(spark: SparkSession, table_bucket_arn: str, namespace: str) -> str:
+    """reference: s3/_s3_tables_mgmt.py:44 ``create_namespace`` — a
+    database scoped by the bucket prefix."""
+    from aws_sdk_pandas_spark import catalog
+
+    db = _bucket_db(table_bucket_arn, namespace)
+    catalog.create_database(spark, db, exist_ok=True)
+    return db
+
+
+def create_table(
+    spark: SparkSession,
+    table_bucket_arn: str,
+    namespace: str,
+    table_name: str,
+    columns_types: dict[str, str],
+    *,
+    file_format: str = "parquet",
+) -> str:
+    """reference: s3/_s3_tables_mgmt.py:82 ``create_table`` (format
+    'ICEBERG' there; any Spark provider here — iceberg requires the
+    runtime jars, see to_iceberg)."""
+    from aws_sdk_pandas_spark import catalog
+
+    db = _bucket_db(table_bucket_arn, namespace)
+    catalog._create_table(
+        spark,
+        file_format=file_format,
+        database=db,
+        table=table_name,
+        path=None,
+        columns_types=columns_types,
+        partitions_types=None,
+        exist_ok=False,
+    )
+    return f"{db}.{table_name}"
+
+
+def delete_table(
+    spark: SparkSession, table_bucket_arn: str, namespace: str, table_name: str
+) -> None:
+    """reference: s3/_s3_tables_mgmt.py:187 ``delete_table``."""
+    db = _bucket_db(table_bucket_arn, namespace)
+    spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{table_name}`")
+
+
+def delete_namespace(spark: SparkSession, table_bucket_arn: str, namespace: str) -> None:
+    """reference: s3/_s3_tables_mgmt.py:155 ``delete_namespace``."""
+    from aws_sdk_pandas_spark import catalog
+
+    catalog.delete_database(spark, _bucket_db(table_bucket_arn, namespace))
+
+
+def delete_table_bucket(spark: SparkSession, table_bucket_arn: str) -> None:
+    """reference: s3/_s3_tables_mgmt.py:130 ``delete_table_bucket`` —
+    drops every namespace database carrying the bucket prefix."""
+    bucket = table_bucket_arn.split(":", 1)[1] if ":" in table_bucket_arn else table_bucket_arn
+    for db in spark.catalog.listDatabases():
+        if db.name.startswith(f"{bucket}__"):
+            spark.sql(f"DROP DATABASE IF EXISTS `{db.name}` CASCADE")

@@ -149,3 +149,20 @@ def test_recommendation_ruleset_profiles_and_passes(spark):
     # the recommended rules must PASS on the frame they were profiled from
     res = dq.evaluate_ruleset(df, dq.get_ruleset("rec1"))
     assert all(r.passed for r in res.collect())
+
+
+def test_s3_tables_mgmt_lifecycle(spark):
+    from aws_sdk_pandas_spark import lakehouse as lh
+
+    arn = lh.create_table_bucket(spark, "tb1")
+    db = lh.create_namespace(spark, arn, "ns1")
+    try:
+        fq = lh.create_table(
+            spark, arn, "ns1", "t1", {"id": "bigint", "name": "string"}
+        )
+        assert spark.table(fq).columns == ["id", "name"]
+        lh.delete_table(spark, arn, "ns1", "t1")
+        assert not spark.catalog.tableExists(f"{db}.t1")
+    finally:
+        lh.delete_table_bucket(spark, arn)
+    assert db not in [d.name for d in spark.catalog.listDatabases()]
