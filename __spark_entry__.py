@@ -2119,6 +2119,49 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (operators/textstats.py
+    chunk_documents): 16-word chunks, 4-word overlap, map-only JVM plan."""
+    from aws_sdk_pandas_spark.operators.textstats import chunk_documents
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        chunk_documents(docs, chunk_words=16, overlap_words=4)
+        .select("doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_md5"), "n_words")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable aggregation state (operators/aggregates.py): orders
+    arrive as three independent batches, each partially aggregated, the
+    states merged and finalized — the oracle aggregates the whole table
+    in one pass, so a broken merge algebra hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.aggregates import (
+        finalize_aggregates,
+        merge_aggregates,
+        partial_aggregate,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    metrics = {"o_totalprice": ["sum", "avg", "min", "max"]}
+    batches = [orders.where(F.col("o_orderkey") % 3 == k) for k in range(3)]
+    states = [partial_aggregate(b, ["o_orderpriority"], metrics) for b in batches]
+    out = finalize_aggregates(
+        merge_aggregates(states, ["o_orderpriority"]), metrics, ["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("o_totalprice_sum", 2).alias("price_sum"),
+        F.round("o_totalprice_avg", 4).alias("price_avg"),
+        F.round("o_totalprice_min", 2).alias("price_min"),
+        F.round("o_totalprice_max", 2).alias("price_max"),
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2230,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": _q_stats_pruned_scan,
         "stream_join_attribution": _q_stream_join_attribution,
         "docs_weighted_sample": _q_weighted_sample,
+        "docs_chunk_sliding": _q_chunk_documents,
+        "orders_incremental_agg": _q_incremental_agg,
         # rows-only (no SQL-expressible oracle):
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
@@ -2946,6 +2991,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "docs_chunk_sliding": r"""
+            WITH ws AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                       w[(i*12+1):(i*12+16)] AS cw
+                FROM ws, UNNEST(range(CAST(
+                    CASE WHEN len(w) <= 16 THEN 1
+                         ELSE ceil((len(w) - 16) / 12.0) + 1 END AS BIGINT))) AS t(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   md5(array_to_string(cw, ' ')) AS chunk_md5,
+                   CAST(len(cw) AS INT) AS n_words
+            FROM chunks
+            ORDER BY doc_id, chunk_idx
+        """,
+        "orders_incremental_agg": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   ROUND(SUM(o_totalprice) / COUNT(o_totalprice), 4) AS price_avg,
+                   ROUND(MIN(o_totalprice), 2) AS price_min,
+                   ROUND(MAX(o_totalprice), 2) AS price_max
+            FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
         """,

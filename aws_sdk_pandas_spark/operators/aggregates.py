@@ -55,3 +55,88 @@ def weighted_quantile(
         hit.groupBy(*keys)
         .agg(F.min(value_col).alias(out_col))
     )
+
+
+_MERGEABLE = ("sum", "count", "min", "max", "avg")
+
+
+def partial_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    metrics: dict[str, list[str]],
+) -> DataFrame:
+    """Decomposable aggregation STATE for incremental rollups: per key,
+    emit the mergeable components (sum/count/min/max; avg rides on
+    sum+count) instead of final values.
+
+    This is the map-side-combine algebra made durable: at 100 TB you
+    aggregate each arriving partition/day ONCE, store the tiny state
+    table, and answer the running rollup by merging states — never
+    re-scanning history.  ``merge_aggregates`` folds states; 
+    ``finalize_aggregates`` produces the user-facing values.
+
+    State columns: ``<col>__sum, <col>__min, <col>__max`` per requested
+    family plus the shared row count ``__n`` (sum/avg also add
+    ``<col>__cnt`` — non-null count, the avg denominator).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for col, fns in metrics.items():
+        bad = set(fns) - set(_MERGEABLE)
+        if bad:
+            raise ValueError(f"non-mergeable aggregates for {col}: {sorted(bad)}")
+        if "sum" in fns or "avg" in fns:
+            aggs.append(F.sum(col).alias(f"{col}__sum"))
+        if "sum" in fns or "avg" in fns or "count" in fns:
+            aggs.append(F.count(col).alias(f"{col}__cnt"))
+        if "min" in fns:
+            aggs.append(F.min(col).alias(f"{col}__min"))
+        if "max" in fns:
+            aggs.append(F.max(col).alias(f"{col}__max"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregates(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold any number of partial-aggregate states into one: union (no
+    shuffle) + a single re-aggregate on the keys.  Sums/counts add,
+    mins/maxes fold — the algebra that makes the state mergeable across
+    days, backfills and late partitions."""
+    from functools import reduce
+
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    aggs = []
+    for c in u.columns:
+        if c in keys:
+            continue
+        if c.endswith("__min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("__max"):
+            aggs.append(F.max(c).alias(c))
+        else:  # __sum, __cnt, __n
+            aggs.append(F.sum(c).alias(c))
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize_aggregates(
+    state: DataFrame,
+    metrics: dict[str, list[str]],
+    keys: list[str],
+) -> DataFrame:
+    """State -> user-facing values: ``<col>_sum/_min/_max/_count/_avg``
+    (avg = stored sum / stored non-null count) plus row count ``n``."""
+    cols: list = [F.col(k) for k in keys] + [F.col("__n").alias("n")]
+    for col, fns in metrics.items():
+        if "sum" in fns:
+            cols.append(F.col(f"{col}__sum").alias(f"{col}_sum"))
+        if "count" in fns:
+            cols.append(F.col(f"{col}__cnt").alias(f"{col}_count"))
+        if "min" in fns:
+            cols.append(F.col(f"{col}__min").alias(f"{col}_min"))
+        if "max" in fns:
+            cols.append(F.col(f"{col}__max").alias(f"{col}_max"))
+        if "avg" in fns:
+            cols.append(
+                (F.col(f"{col}__sum") / F.col(f"{col}__cnt")).alias(f"{col}_avg")
+            )
+    return state.select(*cols)

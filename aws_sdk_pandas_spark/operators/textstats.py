@@ -184,3 +184,52 @@ def unigram_logprob_score(
         .select(F.col("__id").alias(id_col), "n_tokens", "logprob")
     )
     return scored
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_words: int = 100,
+    overlap_words: int = 20,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / embedding-pipeline
+    splitter): word windows of ``chunk_words`` advancing by
+    ``chunk_words - overlap_words``, so consecutive chunks share
+    ``overlap_words`` words of context.
+
+    Pure per-row JVM compute — split + sequence/transform/slice higher-
+    order expressions, then one posexplode; no Python workers, no
+    shuffle.  At 100 TB this is the map-only stage in front of the
+    embedding Pandas UDF, so it chains into ``vectors.embed_texts``
+    without a repartition.
+
+    Returns ``id_col, chunk_idx, chunk_text, n_words``; a document
+    shorter than ``chunk_words`` yields exactly one chunk.
+
+    Reference parity: none (awswrangler has no text operators) —
+    SURVEY.md §2.10 extension family.
+    """
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError("need 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    size = F.size(words)
+    # one chunk when size <= chunk_words, else 1 + ceil((size-chunk)/stride)
+    n_chunks = F.when(size <= chunk_words, F.lit(1)).otherwise(
+        F.ceil((size - F.lit(chunk_words)) / F.lit(float(stride))) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(words, i * stride + 1, chunk_words),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__w"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("__w", " ").alias("chunk_text"),
+        F.size("__w").alias("n_words"),
+    )

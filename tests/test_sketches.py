@@ -64,3 +64,42 @@ def test_weighted_quantile_exact(spark):
     assert top == {"a": 3.0, "b": 10.0}
     with pytest.raises(InvalidArgument):
         weighted_quantile(df, ["g"], "v", "w", 0.0)
+
+
+# ------------------------------------------------- incremental aggregation
+def test_incremental_aggregate_equals_full_recompute(spark):
+    from aws_sdk_pandas_spark.operators.aggregates import (
+        finalize_aggregates,
+        merge_aggregates,
+        partial_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, float(i), float(-i) if i % 5 else None) for i in range(200)],
+        "g int, a double, b double",
+    )
+    metrics = {"a": ["sum", "avg", "max"], "b": ["min", "count"]}
+    # three arriving batches aggregated independently, then merged
+    batches = [df.where(F.col("a") % 3 == k) for k in range(3)]
+    states = [partial_aggregate(b, ["g"], metrics) for b in batches]
+    merged = finalize_aggregates(merge_aggregates(states, ["g"]), metrics, ["g"])
+    direct = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("a_sum"),
+        F.avg("a").alias("a_avg"),
+        F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"),
+        F.count("b").alias("b_count"),
+    )
+    got = {r.g: r.asDict() for r in merged.collect()}
+    want = {r.g: r.asDict() for r in direct.collect()}
+    assert got == want
+
+
+def test_partial_aggregate_rejects_non_mergeable(spark):
+    import pytest as _pytest
+    from aws_sdk_pandas_spark.operators.aggregates import partial_aggregate
+
+    df = spark.createDataFrame([(1, 2.0)], "g int, a double")
+    with _pytest.raises(ValueError, match="non-mergeable"):
+        partial_aggregate(df, ["g"], {"a": ["median"]})

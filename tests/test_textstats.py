@@ -88,3 +88,44 @@ def test_unigram_logprob_ranks_natural_text_higher(spark):
     assert got[1][0] == 6 and got[3][0] == 4
     assert got[1][1] > got[3][1]         # common tokens -> higher logprob
     assert got[2][1] > got[3][1]
+
+
+# --------------------------------------------------------------- chunking
+def test_chunk_documents_overlap_and_tail(spark):
+    from aws_sdk_pandas_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_words=4, overlap_words=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_words))
+    got = [t for _, t, _ in sorted(by_doc[1])]
+    # stride 2: starts 0,2,4,6 — the window starting at 6 reaches the end,
+    # so no redundant suffix-only chunk follows it
+    assert got == ["w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+    # consecutive chunks share exactly the 2-word overlap
+    assert got[0].split()[-2:] == got[1].split()[:2]
+    # short doc -> one chunk, unpadded
+    assert by_doc[2] == [(0, "a b", 2)]
+
+
+def test_chunk_documents_reconstructs_corpus(spark):
+    """Concatenating stride-length prefixes of all chunks (plus the last
+    chunk's tail) must reproduce the original text: no word lost at any
+    chunk boundary, for any length mod stride."""
+    from aws_sdk_pandas_spark.operators.textstats import chunk_documents
+
+    docs = [(i, " ".join(f"t{j}" for j in range(i))) for i in range(1, 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_documents(df, chunk_words=7, overlap_words=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text.split()))
+    for doc_id, text in docs:
+        chunks = [w for _, w in sorted(by_doc[doc_id])]
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c[:4])  # stride = 7-3 = 4
+        rebuilt.extend(chunks[-1])
+        assert rebuilt == text.split(), doc_id
