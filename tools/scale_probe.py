@@ -128,6 +128,19 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     asof_join(clicks, quotes, on="ts", by=["user_id"], direction="backward").count()
     timings["asof_join"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_passages
+    from aws_sdk_pandas_spark.operators.textstats import chunk_documents
+
+    t0 = time.time()
+    remove_repeated_passages(docs, passage_words=3).select(
+        F.sum("n_removed")
+    ).collect()
+    timings["remove_repeated_passages"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    chunk_documents(docs, chunk_words=16, overlap_words=4).count()
+    timings["chunk_documents"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     return timings
 
