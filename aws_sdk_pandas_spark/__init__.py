@@ -44,6 +44,26 @@ from aws_sdk_pandas_spark import (
     streaming,
     vectors,
 )
+
+# awswrangler-shaped namespaces: every ``wr.<module>.<fn>`` name from the
+# reference resolves under the same path here (``asps.s3.read_parquet``,
+# ``asps.athena.read_sql_query``, ...) so reference call-sites port by
+# swapping the import; each is pure re-export wiring over the modules above
+from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
+    athena,
+    cloudwatch,
+    data_quality,
+    dynamodb,
+    mysql,
+    neptune,
+    opensearch,
+    oracle,
+    postgresql,
+    redshift,
+    s3,
+    sqlserver,
+    timestream,
+)
 from aws_sdk_pandas_spark._config import config
 from aws_sdk_pandas_spark.session import get_spark, stop_spark
 
@@ -65,5 +85,20 @@ __all__ = [
     "streaming",
     "vectors",
     "stop_spark",
+    # awswrangler-compatible namespaces
+    "s3",
+    "athena",
+    "catalog",
+    "cloudwatch",
+    "dynamodb",
+    "timestream",
+    "opensearch",
+    "neptune",
+    "redshift",
+    "mysql",
+    "postgresql",
+    "oracle",
+    "sqlserver",
+    "data_quality",
     "__version__",
 ]

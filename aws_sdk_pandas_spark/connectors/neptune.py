@@ -220,3 +220,43 @@ def execute_sparql(*_a, **_k):
         "SPARQL is not executed locally; scan the triples dataset "
         "(read_rdf_graph) and express the pattern as DataFrame joins"
     )
+
+
+class BulkLoadParserConfiguration(dict):
+    """Typed-dict-style parser configuration for ``bulk_load``
+    (reference: neptune/_client.py:35).  Keys: ``namedGraphUri``,
+    ``baseUri``, ``allowEmptyStrings`` — accepted and attached to the
+    load request metadata; the local loader only consumes
+    ``allowEmptyStrings`` (empty CSV strings kept as values vs nulls)."""
+
+
+class GremlinParser:
+    """Gremlin result -> list[dict] normalizer (reference:
+    neptune/_gremlin_parser.py:11).  Works over plain Python structures
+    (lists, dicts, scalars, objects with ``__dict__``) — the gremlin
+    driver's Path/Vertex/Edge types are not in this environment, but any
+    mapping/sequence a connector yields normalizes the same way."""
+
+    @staticmethod
+    def gremlin_results_to_dict(result) -> list[dict]:
+        """Normalize one result batch to a list of row dicts."""
+        res: list[dict] = []
+        items = result if isinstance(result, list) else [result]
+        for x in items:
+            res.append(GremlinParser._parse_dict(x))
+        return res
+
+    @staticmethod
+    def _parse_dict(data) -> dict:
+        d: dict = {}
+        if isinstance(data, dict):
+            for k, v in data.items():
+                # single-element lists unwrap (gremlin valueMap convention)
+                if isinstance(v, list) and len(v) == 1:
+                    d[str(k)] = v[0]
+                else:
+                    d[str(k)] = v
+            return d
+        if hasattr(data, "__dict__"):
+            return {str(k): v for k, v in vars(data).items()}
+        return {"_result": data}

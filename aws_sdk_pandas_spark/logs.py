@@ -152,3 +152,140 @@ def read_logs(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Execution-id surface + raw event access
+# (reference: cloudwatch.py:31 start_query, :102 wait_query,
+#  :266 describe_log_streams, :373 filter_log_events)
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, DataFrame] = {}
+
+
+def start_query(
+    df: DataFrame,
+    query: str,
+    *,
+    start_time=None,
+    end_time=None,
+    limit: int | None = None,
+    time_col: str = "ts",
+) -> str:
+    """reference: cloudwatch.py:31 ``start_query`` — returns a query id.
+    The plan is registered (lazily — nothing executes until fetched),
+    standing in for the service-side asynchronous execution."""
+    import uuid
+
+    out = read_logs(
+        df, query, start_time=start_time, end_time=end_time, time_col=time_col, limit=limit
+    )
+    query_id = str(uuid.uuid4())
+    _QUERIES[query_id] = out
+    return query_id
+
+
+def wait_query(query_id: str) -> DataFrame:
+    """reference: cloudwatch.py:102 ``wait_query`` — the local engine is
+    synchronous, so the registered result is returned directly."""
+    try:
+        return _QUERIES[query_id]
+    except KeyError:
+        raise InvalidArgument(
+            f"unknown query_id {query_id!r} (queries are registered by "
+            "start_query in this session)"
+        ) from None
+
+
+def describe_log_streams(
+    df: DataFrame,
+    log_stream_name_prefix: str | None = None,
+    order_by: str | None = "LogStreamName",
+    descending: bool | None = False,
+    limit: int | None = 50,
+    *,
+    stream_col: str = "log_stream",
+    time_col: str = "ts",
+    message_col: str = "message",
+) -> DataFrame:
+    """reference: cloudwatch.py:266 ``describe_log_streams`` — one
+    aggregation over the events table, mirroring the API's response
+    fields (name, first/last event time, stored bytes)."""
+    out = df
+    if log_stream_name_prefix is not None:
+        out = out.where(F.col(stream_col).startswith(log_stream_name_prefix))
+    agg = out.groupBy(F.col(stream_col).alias("logStreamName")).agg(
+        F.min(time_col).alias("firstEventTimestamp"),
+        F.max(time_col).alias("lastEventTimestamp"),
+        F.sum(F.length(message_col)).alias("storedBytes"),
+    )
+    if order_by == "LastEventTime":
+        key = F.col("lastEventTimestamp")
+    elif order_by in (None, "LogStreamName"):
+        key = F.col("logStreamName")
+    else:
+        raise InvalidArgument("order_by must be 'LogStreamName' or 'LastEventTime'")
+    agg = agg.orderBy(key.desc() if descending else key.asc())
+    return agg.limit(limit) if limit is not None else agg
+
+
+def _filter_pattern_predicate(pattern: str, message_col: str):
+    """CloudWatch filter-pattern subset -> Column predicate:
+    unquoted terms all match (AND), ``"quoted phrase"`` matches exactly,
+    ``-term`` excludes, ``?term`` means any-of (OR across ?-terms)."""
+    terms = re.findall(r'"([^"]*)"|(\S+)', pattern)
+    musts, nots, anys = [], [], []
+    for quoted, bare in terms:
+        if quoted:
+            musts.append(quoted)
+        elif bare.startswith("-"):
+            nots.append(bare[1:])
+        elif bare.startswith("?"):
+            anys.append(bare[1:])
+        else:
+            musts.append(bare)
+    pred = F.lit(True)
+    for t in musts:
+        pred = pred & F.col(message_col).contains(t)
+    for t in nots:
+        pred = pred & ~F.col(message_col).contains(t)
+    if anys:
+        any_pred = F.lit(False)
+        for t in anys:
+            any_pred = any_pred | F.col(message_col).contains(t)
+        pred = pred & any_pred
+    return pred
+
+
+def filter_log_events(
+    df: DataFrame,
+    log_stream_name_prefix: str | None = None,
+    log_stream_names: list[str] | None = None,
+    filter_pattern: str | None = None,
+    start_time=None,
+    end_time=None,
+    *,
+    stream_col: str = "log_stream",
+    time_col: str = "ts",
+    message_col: str = "message",
+) -> DataFrame:
+    """reference: cloudwatch.py:373 ``filter_log_events`` — raw event scan
+    with stream/pattern/time pruning, all as Column predicates (the time
+    and stream filters prune partitions when the events table is laid out
+    by date/stream)."""
+    if log_stream_name_prefix is not None and log_stream_names is not None:
+        raise InvalidArgument(
+            "cannot pass both log_stream_names and log_stream_name_prefix"
+        )
+    out = df
+    if log_stream_name_prefix is not None:
+        out = out.where(F.col(stream_col).startswith(log_stream_name_prefix))
+    if log_stream_names is not None:
+        out = out.where(F.col(stream_col).isin(log_stream_names))
+    if filter_pattern:
+        out = out.where(_filter_pattern_predicate(filter_pattern, message_col))
+    if start_time is not None:
+        out = out.where(F.col(time_col) >= F.lit(start_time))
+    if end_time is not None:
+        out = out.where(F.col(time_col) <= F.lit(end_time))
+    return out

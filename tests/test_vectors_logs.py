@@ -208,3 +208,68 @@ def test_vector_index_mgmt(spark, tmp_path):
     assert len(found) == 1 and found[0].rstrip("/").endswith("/idx_a")
     V.delete_vector_index(spark, idx)
     assert V.list_vector_indexes(spark, root) == []
+
+
+def test_cloudwatch_start_wait_query(logs_df):
+    qid = logs.start_query(logs_df, "fields ts, status | filter status = 200 | sort ts")
+    got = logs.wait_query(qid)
+    assert [r.status for r in got.collect()] == [200, 200]
+    with pytest.raises(InvalidArgument):
+        logs.wait_query("not-a-query-id")
+
+
+def test_cloudwatch_describe_log_streams(logs_df):
+    got = logs.describe_log_streams(logs_df, stream_col="component").collect()
+    assert [r.logStreamName for r in got] == ["api", "worker"]
+    api = got[0]
+    assert str(api.firstEventTimestamp) == "2024-01-01 10:00:00"
+    assert str(api.lastEventTimestamp) == "2024-01-01 10:03:00"
+    assert api.storedBytes > 0
+    by_time = logs.describe_log_streams(
+        logs_df, stream_col="component", order_by="LastEventTime", descending=True
+    ).collect()
+    assert by_time[0].logStreamName == "worker"
+    pref = logs.describe_log_streams(
+        logs_df, log_stream_name_prefix="wor", stream_col="component"
+    ).collect()
+    assert [r.logStreamName for r in pref] == ["worker"]
+
+
+def test_cloudwatch_filter_log_events(logs_df):
+    got = logs.filter_log_events(
+        logs_df, log_stream_names=["api"], filter_pattern="GET", stream_col="component"
+    )
+    assert got.count() == 2
+    # -term excludes, "quoted phrase" matches exactly, ?any-of ORs
+    assert (
+        logs.filter_log_events(
+            logs_df, filter_pattern="GET -500", stream_col="component"
+        ).count()
+        == 1
+    )
+    assert (
+        logs.filter_log_events(
+            logs_df, filter_pattern='"job ok"', stream_col="component"
+        ).count()
+        == 1
+    )
+    assert (
+        logs.filter_log_events(
+            logs_df, filter_pattern="?ok ?failed", stream_col="component"
+        ).count()
+        == 2
+    )
+    # time bounds are inclusive start / inclusive end (reference semantics)
+    assert (
+        logs.filter_log_events(
+            logs_df,
+            start_time="2024-01-01 10:01:00",
+            end_time="2024-01-01 10:03:00",
+            stream_col="component",
+        ).count()
+        == 3
+    )
+    with pytest.raises(InvalidArgument):
+        logs.filter_log_events(
+            logs_df, log_stream_name_prefix="a", log_stream_names=["api"]
+        )
