@@ -2162,6 +2162,64 @@ def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.dsir_importance_weights,
+    arXiv:2302.03169): hashed {uni,bi}-gram bucket distributions, target =
+    the English slice of the corpus, raw = the whole corpus; log-weight =
+    sum of per-gram log(p/q).  md5 bucketing makes the DuckDB oracle
+    re-derive the exact same buckets."""
+    from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    return (
+        dsir_importance_weights(docs, target, buckets=512, alpha=1.0)
+        .select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup, arXiv:2303.09540):
+    KMeans clusters + within-cluster cosine dominance pruning.  Rows-only
+    gate (KMeans is not SQL-expressible); survivors at threshold 0.35 on
+    the synthetic embeddings."""
+    from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return (
+        semantic_dedup(emb, id_col="vec_id", vector_col="embedding", n_clusters=8, threshold=0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def _q_filter_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch filter_log_events semantics (logs.filter_log_events)
+    over the events table: stream prefix + filter-pattern (must-term and
+    exclusion over the props payload) + inclusive time bounds, all as
+    Column predicates."""
+    from aws_sdk_pandas_spark import logs as L
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        L.filter_log_events(
+            events,
+            log_stream_name_prefix="c",
+            filter_pattern='"k" -9',
+            start_time="2024-01-08 00:00:00",
+            end_time="2024-01-28 00:00:00",
+            stream_col="event_type",
+            message_col="props",
+        )
+        .select("event_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2275,7 +2333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": _q_weighted_sample,
         "docs_chunk_sliding": _q_chunk_documents,
         "orders_incremental_agg": _q_incremental_agg,
+        "docs_dsir_weights": _q_dsir_weights,
+        "logs_filter_events": _q_filter_log_events,
         # rows-only (no SQL-expressible oracle):
+        "dedup_semantic": _q_semantic_dedup,
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
         "dedup_minhash_incremental": _q_minhash_incremental,
@@ -3041,6 +3102,48 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn <= 7
             ORDER BY o_orderpriority, o_orderkey
+        """,
+        "docs_dsir_weights": """
+            WITH rw AS (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS ws
+                        FROM documents),
+            rg AS (
+                SELECT doc_id, g FROM (
+                    SELECT doc_id, unnest(ws) AS g FROM rw
+                    UNION ALL
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+                    FROM rw
+                ) WHERE g <> ''
+            ),
+            rb AS (SELECT doc_id,
+                          ('0x' || substring(md5(g), 1, 8))::BIGINT % 512 AS b
+                   FROM rg),
+            tb AS (SELECT rb.doc_id, b FROM rb
+                   JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+            q AS (SELECT b, COUNT(*) AS qc FROM rb GROUP BY b),
+            p AS (SELECT b, COUNT(*) AS pc FROM tb GROUP BY b),
+            qt AS (SELECT SUM(qc) AS t FROM q),
+            pt AS (SELECT SUM(pc) AS t FROM p),
+            r AS (SELECT COALESCE(q.b, p.b) AS b,
+                         ln((COALESCE(pc, 0) + 1.0) / ((SELECT t FROM pt) + 512.0))
+                       - ln((COALESCE(qc, 0) + 1.0) / ((SELECT t FROM qt) + 512.0)) AS logr
+                  FROM q FULL OUTER JOIN p ON q.b = p.b),
+            s AS (SELECT doc_id, SUM(logr) AS lw
+                  FROM rb JOIN r USING (b) GROUP BY doc_id)
+            SELECT d.doc_id, ROUND(COALESCE(s.lw, 0.0), 6) AS log_weight
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "logs_filter_events": """
+            SELECT event_id, event_type, ts
+            FROM events
+            WHERE event_type LIKE 'c%'
+              AND props LIKE '%k%' AND props NOT LIKE '%9%'
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-28 00:00:00'
+            ORDER BY event_id
         """,
         "stream_join_attribution": """
             SELECT v.user_id,

@@ -786,3 +786,93 @@ def remove_repeated_passages(
         F.count(F.lit(1)).alias("n_passages"),
         F.sum("is_dup").alias("n_removed"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    keep: str = "low_centroid_sim",
+    max_cluster: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans-cluster the embeddings, then WITHIN each
+    cluster drop any item whose cosine similarity to a kept-preferred
+    neighbor is ``>= threshold``.
+
+    Kept-preference is a deterministic total order per cluster —
+    ``keep="low_centroid_sim"`` prefers the item FARTHEST from the
+    centroid (the paper's best-performing variant: extreme points
+    survive, prototypical near-dups drop), ``"high_centroid_sim"`` the
+    reverse; ties break on id.  An item is dropped iff some
+    kept-preferred item sits within the threshold — a single dominance
+    rule, so the result is order-independent and needs no iterative
+    clustering of the duplicate graph.
+
+    Plan shape (100 TB): one KMeans fit (MLlib, sampled init), one
+    cluster assignment pass, then a per-cluster self-join — the classic
+    SemDeDup trade where ``n_clusters`` bounds the quadratic term:
+    clusters average ``n / n_clusters`` rows, so the join does
+    ``n^2 / n_clusters`` candidate work distributed over cluster-keyed
+    shuffle partitions.  Size ``n_clusters ~ n / 10k`` to keep each
+    bucket's pair count bounded; ``max_cluster`` hard-caps a degenerate
+    cluster (rows beyond it pass through undeduped rather than fanning
+    out quadratically).
+
+    Returns the input rows that SURVIVE, plus ``__cluster`` (int) and
+    ``__centroid_sim`` (double) for inspection.
+    """
+    from aws_sdk_pandas_spark.functions.vectors import cosine_similarity
+    from aws_sdk_pandas_spark.operators.similarity import build_ivf_index
+
+    if keep not in ("low_centroid_sim", "high_centroid_sim"):
+        raise ValueError("keep must be low_centroid_sim|high_centroid_sim")
+
+    assigned, centroids = build_ivf_index(
+        df, vector_col=vector_col, n_clusters=n_clusters, metric="cosine", seed=seed
+    )
+    centroid_df = assigned.sparkSession.createDataFrame(
+        [(int(c), v) for c, v in centroids], "__cluster int, __centroid array<float>"
+    )
+    scored = (
+        assigned.join(F.broadcast(centroid_df), "__cluster")
+        .withColumn("__centroid_sim", cosine_similarity(F.col(vector_col), F.col("__centroid")))
+        .drop("__centroid")
+    )
+    # deterministic kept-priority inside each cluster (rank 1 = kept first)
+    order = (
+        [F.col("__centroid_sim").asc(), F.col(id_col).asc()]
+        if keep == "low_centroid_sim"
+        else [F.col("__centroid_sim").desc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("__cluster").orderBy(*order)
+    ranked = scored.withColumn("__rank", F.row_number().over(w)).persist()
+    ranked.count()
+
+    # dominance join: drop i iff a kept-preferred j (rank_j < rank_i,
+    # same cluster) is cosine-similar above the threshold.  Only the
+    # (id, rank, vector) projection shuffles for the join.
+    left = ranked.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__i"),
+        F.col("__rank").alias("__ri"),
+        F.col(vector_col).alias("__vi"),
+    ).where(F.col("__ri") <= max_cluster)
+    right = ranked.select(
+        F.col("__cluster"),
+        F.col("__rank").alias("__rj"),
+        F.col(vector_col).alias("__vj"),
+    ).where(F.col("__rj") <= max_cluster)
+    dropped = (
+        left.join(right, "__cluster")
+        .where(F.col("__rj") < F.col("__ri"))
+        .where(cosine_similarity(F.col("__vi"), F.col("__vj")) >= threshold)
+        .select(F.col("__i").alias(id_col))
+        .distinct()
+    )
+    out = ranked.join(dropped, id_col, "left_anti").drop("__rank")
+    return out

@@ -200,3 +200,109 @@ def weighted_sample(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str, ngrams: tuple, buckets: int) -> DataFrame:
+    """Explode a text column into md5-hashed n-gram feature buckets.
+
+    Words = whitespace split of the trimmed, lowercased text; n-grams are
+    space-joined word windows.  Bucket = first 32 bits of md5(gram) mod
+    ``buckets`` — deliberately md5 (not xxhash64) so any engine can
+    re-derive the assignment from the gram's string form (DuckDB oracle,
+    other runtimes).  All JVM-side: split/transform/explode/conv, no UDF.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    parts = []
+    for n in ngrams:
+        if n == 1:
+            parts.append(words)
+        else:
+            # w[i..i+n-1] joined by spaces; guard short docs (Spark's
+            # sequence(0, -k) would COUNT DOWN, not return empty)
+            parts.append(
+                F.when(
+                    F.size(words) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - n),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+    all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(all_grams).alias("__gram"))
+        .where(F.col("__gram") != "")
+        .withColumn(
+            "__bucket",
+            F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
+            % F.lit(buckets),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngrams: tuple = (1, 2),
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    out_col: str = "log_weight",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how target-domain-like its hashed
+    n-gram profile is, for importance resampling of pre-training data.
+
+    Feature space = word {uni,bi}-grams hashed into ``buckets`` buckets.
+    Bag-of-buckets distributions ``p`` (target) and ``q`` (raw) are
+    estimated with add-``alpha`` smoothing; a document's log-weight is
+    ``sum_k c_k(x) * (log p_k - log q_k)`` over its gram counts.
+
+    Plan shape (100 TB): the two distribution estimates are single
+    map-side-combined aggregations down to ``buckets`` rows each, the
+    ratio table broadcasts (8k doubles), and scoring is one explode ->
+    broadcast-join -> sum-by-id pass over the raw corpus — no shuffle
+    wider than the per-id sum, nothing driver-side, no Python.  Compose
+    with :func:`weighted_sample` (Efraimidis–Spirakis on
+    ``exp(log_weight / T)``) for the paper's Gumbel-style resample.
+
+    Returns ``raw_df`` columns ``(id_col, out_col)``; documents with no
+    grams score 0.0.
+    """
+    raw_grams = _hashed_grams(raw_df, id_col, text_col, ngrams, buckets)
+    tgt_grams = _hashed_grams(target_df, id_col, text_col, ngrams, buckets)
+
+    q = raw_grams.groupBy("__bucket").agg(F.count("*").alias("__qc"))
+    p = tgt_grams.groupBy("__bucket").agg(F.count("*").alias("__pc"))
+    # outer-join the two B-row tables, smooth, take the log ratio
+    ratio = (
+        q.join(p, "__bucket", "full_outer")
+        .select(
+            "__bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("__pc"), F.lit(0)) + F.lit(alpha))
+                    / (F.sum(F.coalesce(F.col("__pc"), F.lit(0))).over(Window.partitionBy()) + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__qc"), F.lit(0)) + F.lit(alpha))
+                    / (F.sum(F.coalesce(F.col("__qc"), F.lit(0))).over(Window.partitionBy()) + F.lit(alpha * buckets))
+                )
+            ).alias("__logr"),
+        )
+    )
+    scored = (
+        raw_grams.join(F.broadcast(ratio), "__bucket")
+        .groupBy("__id")
+        .agg(F.sum("__logr").alias(out_col))
+    )
+    # docs with zero grams (empty text) keep weight 0
+    return (
+        raw_df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
+    )

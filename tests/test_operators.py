@@ -258,3 +258,59 @@ def test_minhash_signatures_partitioning_invariant(spark, docs_df):
         ).collect()
     }
     assert a == b and len(a) == 5
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    import random
+
+    random.seed(7)
+    # three well-separated base directions in R^8, each with 3 near-copies
+    # (tiny jitter) and one genuinely distinct member
+    bases = [[1, 0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0, 0, 0]]
+    rows = []
+    for bi, base in enumerate(bases):
+        for ci in range(3):
+            vec = [x + random.uniform(-0.01, 0.01) for x in base]
+            rows.append((f"b{bi}_dup{ci}", vec))
+        distinct = [x * 0.5 for x in base]
+        distinct[(bi + 3) % 8] = 1.0
+        rows.append((f"b{bi}_far", distinct))
+    df = spark.createDataFrame(rows, "id string, vector array<double>")
+    from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(df, "id", "vector", n_clusters=3, threshold=0.99)
+    kept = sorted(r.id for r in out.collect())
+    # exactly one of each near-copy trio survives; the far members all survive
+    assert len([k for k in kept if "_far" in k]) == 3
+    assert len([k for k in kept if "_dup" in k]) == 3
+    assert len(kept) == 6
+
+    # survivors are pairwise below the threshold within clusters
+    from aws_sdk_pandas_spark.functions.vectors import cosine_similarity
+
+    a = out.select(F.col("id").alias("ia"), F.col("vector").alias("va"), "__cluster")
+    b = out.select(F.col("id").alias("ib"), F.col("vector").alias("vb"), "__cluster")
+    bad = (
+        a.join(b, "__cluster")
+        .where(F.col("ia") < F.col("ib"))
+        .where(cosine_similarity("va", "vb") >= 0.99)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_semantic_dedup_keep_preference(spark):
+    # two identical-direction vectors: low_centroid_sim keeps the one
+    # farther from the centroid of its cluster; ids break ties
+    rows = [
+        ("near", [1.0, 0.0, 0.0]),
+        ("near2", [1.0, 0.001, 0.0]),
+        ("other", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id string, vector array<double>")
+    from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(df, "id", "vector", n_clusters=2, threshold=0.999)
+    kept = sorted(r.id for r in out.collect())
+    assert "other" in kept
+    assert len(kept) == 2  # one of near/near2 dropped

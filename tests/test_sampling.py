@@ -140,3 +140,59 @@ def test_weighted_sample_bias_and_edge(spark):
     got = {r.id for r in
            weighted_sample(df2, 10, weight_col="w", key_col="id").collect()}
     assert got == {3}
+
+
+def test_dsir_importance_weights_match_numpy(spark):
+    import hashlib
+    import math
+    import re as _re
+
+    raw_rows = [
+        ("1", "the cat sat on the mat"),
+        ("2", "le chat est noir"),
+        ("3", "the dog ran in the park"),
+        ("4", ""),
+        ("5", "the bird sang a song  today"),
+    ]
+    tgt_rows = [("t1", "the cat and the dog"), ("t2", "a bird in the park")]
+    B, ALPHA = 64, 1.0
+
+    def grams(text):
+        ws = [w for w in _re.split(r"\s+", text.strip().lower()) if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, t in rows:
+            for g in grams(t):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    q, p = counts(raw_rows), counts(tgt_rows)
+    qt, pt = sum(q.values()), sum(p.values())
+
+    def logr(b):
+        return math.log((p.get(b, 0) + ALPHA) / (pt + ALPHA * B)) - math.log(
+            (q.get(b, 0) + ALPHA) / (qt + ALPHA * B)
+        )
+
+    expected = {
+        i: sum(logr(bucket(g)) for g in grams(t)) for i, t in raw_rows
+    }
+
+    from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
+
+    raw = spark.createDataFrame(raw_rows, "doc_id string, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id string, text string")
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance_weights(raw, tgt, buckets=B, alpha=ALPHA).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+    assert got["4"] == 0.0  # empty doc
