@@ -2220,6 +2220,41 @@ def _q_filter_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_select_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection (operators/sampling.select_by_budget):
+    keep the largest documents best-first until a 100k-char budget; the
+    running total is a range-partitioned two-phase prefix sum (no
+    single-partition global window)."""
+    from aws_sdk_pandas_spark.operators.sampling import select_by_budget
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        select_by_budget(
+            docs, 100_000, cost_col="n_chars", score_col="n_chars", id_col="doc_id"
+        )
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier apply (operators/textstats.
+    hashed_ngram_score) with a fixed synthetic weight table (weight =
+    ((bucket*37) mod 13 - 6)/10): JVM featurize -> broadcast join ->
+    sigmoid(mean).  The DuckDB oracle re-derives buckets and weights."""
+    from aws_sdk_pandas_spark.operators.textstats import hashed_ngram_score
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    weights = {b: ((b * 37) % 13 - 6) / 10.0 for b in range(512)}
+    return (
+        hashed_ngram_score(docs, weights, buckets=512, bias=0.1)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2335,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incremental_agg": _q_incremental_agg,
         "docs_dsir_weights": _q_dsir_weights,
         "logs_filter_events": _q_filter_log_events,
+        "docs_select_by_budget": _q_select_by_budget,
+        "doc_classifier_score": _q_classifier_score,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "sketch_distinct_stats": _q_sketch_stats,
@@ -3133,6 +3170,40 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT doc_id, SUM(logr) AS lw
                   FROM rb JOIN r USING (b) GROUP BY doc_id)
             SELECT d.doc_id, ROUND(COALESCE(s.lw, 0.0), 6) AS log_weight
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "docs_select_by_budget": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS rt
+                FROM documents
+            ) WHERE rt <= 100000
+            ORDER BY doc_id
+        """,
+        "doc_classifier_score": """
+            WITH rw AS (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS ws
+                        FROM documents),
+            rg AS (
+                SELECT doc_id, g FROM (
+                    SELECT doc_id, unnest(ws) AS g FROM rw
+                    UNION ALL
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+                    FROM rw
+                ) WHERE g <> ''
+            ),
+            rb AS (SELECT doc_id,
+                          ('0x' || substring(md5(g), 1, 8))::BIGINT % 512 AS b
+                   FROM rg),
+            s AS (SELECT doc_id,
+                         AVG(((b * 37) % 13 - 6) / 10.0) AS m
+                  FROM rb GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(1.0 / (1.0 + EXP(-(0.1 + COALESCE(s.m, 0.0)))), 6) AS score
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
         """,

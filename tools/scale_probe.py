@@ -141,6 +141,26 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     chunk_documents(docs, chunk_words=16, overlap_words=4).count()
     timings["chunk_documents"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
+    from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
+
+    # DSIR: two corpus-wide bucket aggregations + one explode->broadcast->
+    # sum pass; time should track token volume linearly
+    t0 = time.time()
+    dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), buckets=2048
+    ).select(F.sum("log_weight")).collect()
+    timings["dsir_weights"] = round(time.time() - t0, 2)
+
+    # SemDeDup: cluster count grows with the corpus so per-cluster pair
+    # work stays constant — the probe scales n_clusters with mult
+    t0 = time.time()
+    semantic_dedup(
+        emb, id_col="vec_id", vector_col="embedding",
+        n_clusters=8 * mult, threshold=0.35,
+    ).count()
+    timings["semantic_dedup"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     return timings
 
