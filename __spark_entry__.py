@@ -2255,6 +2255,24 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.build_pq_index +
+    knn_pq, Jégou 2011): 8x6-bit codes, ADC lookup-table scan, exact
+    refine of the top-k*8 sliver.  Rows-only gate (k-means codebooks are
+    not SQL-expressible); recall vs brute force pinned in test_ivf.py."""
+    from aws_sdk_pandas_spark.operators.similarity import build_pq_index, knn_pq
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 7").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 7")
+    enc, cb = build_pq_index(corpus, id_col="vec_id", vector_col="embedding", m=8, bits=6)
+    return knn_pq(
+        enc, cb, q, k=10, id_col="vec_id",
+        refine_vector_col="embedding", refine_factor=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2374,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_score": _q_classifier_score,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
+        "emb_knn_pq": _q_knn_pq,
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
         "dedup_minhash_incremental": _q_minhash_incremental,

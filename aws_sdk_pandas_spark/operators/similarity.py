@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -358,4 +359,164 @@ def knn_batch(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("__qid").alias(query_id_col), id_col, "distance", "rank")
+    )
+
+
+def _pq_kmeans(x, k: int, iters: int, seed: int):
+    """Driver-side Lloyd k-means for one PQ subspace (numpy, deterministic).
+
+    PQ codebooks train on a bounded SAMPLE by design (the FAISS recipe):
+    the corpus-scale stages are encode and score, which distribute; the
+    trainer sees at most ``pq_train_sample`` rows, so a driver fit is the
+    right cost model and keeps the centroids bit-reproducible.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    centroids = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                centroids[j] = pts.mean(axis=0)
+    return centroids
+
+
+def build_pq_index(
+    df: DataFrame,
+    *,
+    id_col: str = "key",
+    vector_col: str = "vector",
+    m: int = 8,
+    bits: int = 8,
+    metric: str = "cosine",
+    train_sample: int = 65536,
+    kmeans_iters: int = 12,
+    seed: int = 42,
+    code_col: str = "pq_code",
+):
+    """Product-quantization index (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subspaces, learn a ``2^bits``-centroid codebook per subspace,
+    and encode every vector as ``m`` small codes — 4-32x less data
+    scanned per query than raw floats, the standard billion-vector scale
+    path (compose with the IVF partitioning for IVF-PQ).
+
+    Returns ``(encoded_df, codebooks)``: ``encoded_df`` is the input plus
+    ``code_col array<int>`` (len m); ``codebooks`` is a python list of m
+    ``(2^bits, dim/m)`` float lists.  ``metric="cosine"`` L2-normalizes
+    vectors first (inner-product ADC on normalized vectors == cosine).
+
+    Plan shape: training samples ``train_sample`` rows to the driver
+    (bounded, the FAISS recipe); encoding is ONE Arrow-batched pandas-UDF
+    pass over the corpus with the codebooks broadcast in the closure —
+    no shuffle at all.
+    """
+    import numpy as np
+
+    if metric not in ("cosine", "euclidean"):
+        raise InvalidArgument(f"unknown metric {metric!r} (cosine|euclidean)")
+    dim = len(df.select(vector_col).first()[0])
+    if dim % m:
+        raise InvalidArgument(f"vector dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = 1 << bits
+
+    n = df.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample = df.select(vector_col) if frac >= 1.0 else df.select(vector_col).sample(frac, seed=seed)
+    x = np.array(sample.toPandas()[vector_col].tolist(), dtype=np.float64)
+    if metric == "cosine":
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codebooks = [
+        _pq_kmeans(x[:, i * sub : (i + 1) * sub], k, kmeans_iters, seed + i) for i in range(m)
+    ]
+    cb = [c.tolist() for c in codebooks]
+
+    cbs = [np.asarray(c, dtype=np.float64) for c in cb]
+    normalize = metric == "cosine"
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            if normalize:
+                a = a / max(np.linalg.norm(a), 1e-12)
+            codes = [
+                int(((cbs[i] - a[i * sub : (i + 1) * sub]) ** 2).sum(axis=1).argmin())
+                for i in range(m)
+            ]
+            out.append(codes)
+        return pd.Series(out)
+
+    encoded = df.withColumn(code_col, _encode(F.col(vector_col)))
+    return encoded, cb
+
+
+def knn_pq(
+    encoded: DataFrame,
+    codebooks: list,
+    query_vec,
+    *,
+    k: int = 10,
+    id_col: str = "key",
+    code_col: str = "pq_code",
+    metric: str = "cosine",
+    refine_vector_col: str | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """ANN top-k over a PQ-encoded corpus via asymmetric distance
+    computation (ADC): the query precomputes one ``m x 2^bits`` lookup
+    table of subspace distances (tiny, rides into the plan as a literal
+    array), and each corpus row's distance is ``m`` table lookups — the
+    scan never touches the original floats.
+
+    With ``refine_vector_col`` the PQ top ``k*refine_factor`` candidates
+    are re-ranked by exact distance on the raw vectors (re-reading only
+    that sliver), the standard two-stage recall fix.  Returns
+    ``id_col, distance`` (ADC distance, or exact when refined), ascending.
+    """
+    import numpy as np
+
+    if metric not in ("cosine", "euclidean"):
+        raise InvalidArgument(f"unknown metric {metric!r} (cosine|euclidean)")
+    cbs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cbs)
+    kk = cbs[0].shape[0]
+    sub = cbs[0].shape[1]
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if metric == "cosine":
+        q = q / max(np.linalg.norm(q), 1e-12)
+    # flat LUT: position i*2^bits + code  ->  subspace distance
+    lut = np.concatenate(
+        [((cbs[i] - q[i * sub : (i + 1) * sub]) ** 2).sum(axis=1) for i in range(m)]
+    )
+    lut_col = F.array(*[F.lit(float(v)) for v in lut])
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.element_at(lut_col, (i * kk + F.element_at(F.col(code_col), i + 1) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    take = k * refine_factor if refine_vector_col else k
+    cand = (
+        encoded.withColumn("__adc", adc)
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(take)
+    )
+    if not refine_vector_col:
+        return cand.select(id_col, F.round("__adc", 6).alias("distance"))
+    exact = _distance(metric, F.col(refine_vector_col), F.array(*[F.lit(float(v)) for v in query_vec]))
+    return (
+        cand.withColumn("distance", F.round(exact, 6))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "distance")
     )

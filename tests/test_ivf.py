@@ -54,3 +54,47 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     ]
     assert full == exact  # probing every cluster = exact search
+
+
+def test_pq_refined_recall_vs_brute_force(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.similarity import build_pq_index, knn_pq
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 7").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 7")
+
+    exact = {
+        r.vec_id
+        for r in knn_brute_force(
+            corpus, q, k=10, id_col="vec_id", vector_col="embedding"
+        ).collect()
+    }
+    enc, cb = build_pq_index(corpus, id_col="vec_id", vector_col="embedding", m=8, bits=6)
+    # raw ADC never touches the floats; refined re-ranks a k*factor sliver
+    refined = [
+        r.vec_id
+        for r in knn_pq(
+            enc, cb, q, k=10, id_col="vec_id",
+            refine_vector_col="embedding", refine_factor=8,
+        ).collect()
+    ]
+    assert len(refined) == 10
+    assert len(exact & set(refined)) >= 8  # >= 0.8 recall with refine
+
+    # codebook shape: m tables of 2^bits x dim/m
+    assert len(cb) == 8 and all(len(t[0]) == 8 for t in cb)
+    # encode is deterministic: same seed -> same codes
+    enc2, cb2 = build_pq_index(corpus, id_col="vec_id", vector_col="embedding", m=8, bits=6)
+    assert cb == cb2
+
+
+def test_pq_self_query_ranks_itself_first(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.similarity import build_pq_index, knn_pq
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").limit(100)
+    q = emb.where("vec_id = 3").select("embedding").first()[0]
+    enc, cb = build_pq_index(emb, id_col="vec_id", vector_col="embedding", m=8, bits=6)
+    top = knn_pq(
+        enc, cb, q, k=1, id_col="vec_id", refine_vector_col="embedding"
+    ).collect()
+    assert top[0].vec_id == 3 and top[0].distance <= 1e-6
