@@ -2273,6 +2273,51 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit target-mixture materialization (operators/sampling.
+    materialize_mixture, DoReMi-style): 50/30/20 en/fr/de over 600 docs,
+    quality-first (n_chars desc) within each language; one window
+    shuffle keyed by language."""
+    from aws_sdk_pandas_spark.operators.sampling import materialize_mixture
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        materialize_mixture(
+            docs,
+            "lang",
+            {"en": 0.5, "fr": 0.3, "de": 0.2},
+            total=600,
+            key_col="doc_id",
+            score_col="n_chars",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("lang")
+    )
+
+
+def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators/similarity.build_ivf_pq_index):
+    cluster-pruned ADC scan + exact refine.  Rows-only gate."""
+    from aws_sdk_pandas_spark.operators.similarity import (
+        build_ivf_pq_index,
+        knn_ivf_pq,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 11").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 11")
+    enc, cents, cbs = build_ivf_pq_index(
+        corpus, id_col="vec_id", vector_col="embedding", n_clusters=8, m=8, bits=6
+    )
+    return knn_ivf_pq(
+        enc, cents, cbs, q, k=10, id_col="vec_id", n_probe=8,
+        refine_vector_col="embedding", refine_factor=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2390,9 +2435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logs_filter_events": _q_filter_log_events,
         "docs_select_by_budget": _q_select_by_budget,
         "doc_classifier_score": _q_classifier_score,
+        "docs_materialize_mixture": _q_materialize_mixture,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
+        "emb_knn_ivf_pq": _q_knn_ivf_pq,
         "sketch_distinct_stats": _q_sketch_stats,
         "dedup_minhash_lsh": _q_minhash_dups,
         "dedup_minhash_incremental": _q_minhash_incremental,
@@ -3191,6 +3238,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, ROUND(COALESCE(s.lw, 0.0), 6) AS log_weight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "docs_materialize_mixture": """
+            WITH quota AS (
+                SELECT * FROM (VALUES ('en', 300.0), ('fr', 180.0), ('de', 120.0))
+                AS t(lang, q)
+            ),
+            ranked AS (
+                SELECT d.lang, d.n_chars, q.q,
+                       ROW_NUMBER() OVER (PARTITION BY d.lang
+                                          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+                FROM documents d JOIN quota q USING (lang)
+            )
+            SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+            FROM ranked WHERE rn <= ROUND(q)
+            GROUP BY lang ORDER BY lang
         """,
         "docs_select_by_budget": """
             SELECT doc_id, n_chars FROM (

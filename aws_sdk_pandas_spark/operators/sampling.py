@@ -394,3 +394,62 @@ def select_by_budget(
     out = global_prefix_sum(df, cost_col, order, out_col=tot)
     out = out.where(F.col(tot) <= budget)
     return out if out_col else out.drop(tot)
+
+
+def materialize_mixture(
+    df: DataFrame,
+    domain_col: str,
+    mixture: dict,
+    *,
+    total: int,
+    key_col: str | None = None,
+    score_col: str | None = None,
+    cost_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize an EXPLICIT target domain mixture (DoReMi-style
+    reweighting, Xie et al. 2023): given ``mixture = {domain: weight}``
+    (normalized internally) and a ``total`` budget, keep a deterministic
+    per-domain quota.
+
+    - ``cost_col=None``: quotas are row counts — ``round(total * w_d)``
+      rows per domain.
+    - ``cost_col="tokens"``: quotas are cost budgets — rows are taken
+      best-first per domain while the within-domain running cost stays
+      ``<= total * w_d``.
+
+    Rank within a domain = ``score_col`` descending (quality-first) or,
+    when absent, the md5(key,seed) uniform — deterministic and
+    engine-rederivable either way; ties break on ``key_col``.  Domains
+    absent from ``mixture`` are dropped.  One window shuffle keyed by
+    domain; quotas a domain can't fill are left unfilled (no
+    reallocation — callers wanting spillover re-run on the remainder).
+
+    Complements :func:`temperature_sample` (implicit share^(1/T)
+    rebalancing) when the pipeline needs to hit published mixture
+    weights exactly.
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+    if not mixture:
+        raise ValueError("mixture must be non-empty")
+    if key_col is None:
+        raise ValueError("key_col is required (deterministic ranking + tie-break)")
+    z = float(sum(mixture.values()))
+    quota = {d: total * (w / z) for d, w in mixture.items()}
+    qmap = F.create_map(
+        *[F.lit(x) for d, q in quota.items() for x in (d, float(q))]
+    )[F.col(domain_col)]
+    order = (
+        F.col(score_col).desc() if score_col is not None else _md5_uniform(key_col, seed).asc()
+    )
+    w = Window.partitionBy(domain_col).orderBy(order, F.col(key_col).asc())
+    out = df.where(qmap.isNotNull())
+    if cost_col is None:
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.round(qmap).cast("bigint"))
+            .drop("__rn")
+        )
+    running = F.sum(F.col(cost_col)).over(w)
+    return out.withColumn("__rt", running).where(F.col("__rt") <= qmap).drop("__rt")

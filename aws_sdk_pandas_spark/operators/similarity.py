@@ -520,3 +520,77 @@ def knn_pq(
         .limit(k)
         .select(id_col, "distance")
     )
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    *,
+    id_col: str = "key",
+    vector_col: str = "vector",
+    n_clusters: int = 16,
+    m: int = 8,
+    bits: int = 8,
+    metric: str = "cosine",
+    seed: int = 42,
+):
+    """IVF-PQ: the billion-vector composition — IVF partitioning picks
+    WHICH sliver of the corpus a query scans, PQ codes decide HOW CHEAP
+    each scanned row is.  Returns ``(encoded_assigned_df, centroids,
+    codebooks)``; write ``encoded_assigned_df`` partitioned by
+    ``__cluster`` (ids + codes only — the floats can live in a separate
+    refine table) and a query reads n_probe/n_clusters of a corpus
+    that is itself 4-32x smaller than raw."""
+    assigned, centroids = build_ivf_index(
+        df, vector_col=vector_col, n_clusters=n_clusters, metric=metric, seed=seed
+    )
+    encoded, codebooks = build_pq_index(
+        assigned, id_col=id_col, vector_col=vector_col, m=m, bits=bits,
+        metric=metric, seed=seed,
+    )
+    return encoded, centroids, codebooks
+
+
+def knn_ivf_pq(
+    encoded_assigned: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_vec,
+    *,
+    k: int = 10,
+    id_col: str = "key",
+    code_col: str = "pq_code",
+    metric: str = "cosine",
+    n_probe: int = 4,
+    refine_vector_col: str | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Query the IVF-PQ index: centroid ranking is driver-side (tiny),
+    the n_probe cluster filter prunes partitions, and the surviving rows
+    are scored by ADC table lookups (optionally exact-refined)."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    if metric == "cosine":
+        n = math.sqrt(sum(x * x for x in q)) or 1.0
+        qn = [x / n for x in q]
+
+        def cdist(c):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            return 1.0 - sum(a * b for a, b in zip(qn, c)) / cn
+    else:
+
+        def cdist(c):
+            return math.sqrt(sum((a - b) ** 2 for a, b in zip(q, c)))
+
+    probe = [cid for cid, c in sorted(centroids, key=lambda t: cdist(t[1]))[:n_probe]]
+    return knn_pq(
+        encoded_assigned.where(F.col("__cluster").isin(probe)),
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        metric=metric,
+        refine_vector_col=refine_vector_col,
+        refine_factor=refine_factor,
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aws_sdk_pandas_spark.operators.similarity import (
     build_ivf_index,
     knn_brute_force,
@@ -98,3 +100,41 @@ def test_pq_self_query_ranks_itself_first(spark, sf_dir):
         enc, cb, q, k=1, id_col="vec_id", refine_vector_col="embedding"
     ).collect()
     assert top[0].vec_id == 3 and top[0].distance <= 1e-6
+
+
+def test_ivf_pq_recall_and_pruning(spark, sf_dir):
+    from aws_sdk_pandas_spark.operators.similarity import (
+        build_ivf_pq_index,
+        knn_ivf_pq,
+    )
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 11").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 11")
+    exact = {
+        r.vec_id
+        for r in knn_brute_force(
+            corpus, q, k=5, id_col="vec_id", vector_col="embedding"
+        ).collect()
+    }
+    enc, cents, cbs = build_ivf_pq_index(
+        corpus, id_col="vec_id", vector_col="embedding", n_clusters=8, m=8, bits=6
+    )
+    enc = enc.persist()
+    # full probe + refine must recover most of the exact set
+    got = [
+        r.vec_id
+        for r in knn_ivf_pq(
+            enc, cents, cbs, q, k=5, id_col="vec_id", n_probe=8,
+            refine_vector_col="embedding", refine_factor=8,
+        ).collect()
+    ]
+    assert len(exact & set(got)) >= 4
+    # probing fewer clusters scans strictly fewer rows
+    n_all = enc.count()
+    n_probe2 = enc.where(
+        F.col("__cluster").isin(
+            [c for c, _ in cents][:2]
+        )
+    ).count()
+    assert n_probe2 < n_all

@@ -245,3 +245,43 @@ def test_select_by_budget_deterministic_top_slice(spark):
         ).collect()
     )
     assert kept == ["a", "b", "c", "d"]
+
+
+def test_materialize_mixture_row_quotas(spark):
+    rows = [(f"d{i}", "en" if i < 60 else ("fr" if i < 90 else "de"), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score long")
+    from aws_sdk_pandas_spark.operators.sampling import materialize_mixture
+
+    out = materialize_mixture(
+        df, "lang", {"en": 0.5, "fr": 0.5}, total=40, key_col="doc_id", score_col="score"
+    )
+    got = {r.lang: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.lang] += 1
+    assert got == {"en": 20, "fr": 20}  # de dropped, quotas exact
+    # score-ranked: the kept en docs are the top-scored ones
+    kept_en = sorted(int(r.doc_id[1:]) for r in out.collect() if r.lang == "en")
+    assert kept_en == list(range(40, 60))
+
+
+def test_materialize_mixture_token_budgets(spark):
+    rows = [(f"d{i}", "en" if i % 2 == 0 else "fr", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, tokens long")
+    from aws_sdk_pandas_spark.operators.sampling import materialize_mixture
+
+    out = materialize_mixture(
+        df, "lang", {"en": 3, "fr": 1}, total=200, key_col="doc_id", cost_col="tokens"
+    )
+    got = {}
+    for r in out.collect():
+        got[r.lang] = got.get(r.lang, 0) + r.tokens
+    # en budget = 150 tokens -> 15 docs; fr budget = 50 -> 5 docs
+    assert got == {"en": 150, "fr": 50}
+    # md5-ranked (no score col): determinism across reruns
+    again = {
+        r.doc_id
+        for r in materialize_mixture(
+            df, "lang", {"en": 3, "fr": 1}, total=200, key_col="doc_id", cost_col="tokens"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
