@@ -2318,6 +2318,24 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered eval-set decontamination (operators/bloom.
+    decontaminate): drop corpus docs sharing any exact word 5-gram with
+    the 'src0' eval docs (4-gram).  The eval gram set becomes a broadcast Bloom
+    filter (~10 bits/gram, no false negatives); corpus grams are tested
+    map-side and only the bloom-positive sliver is shuffled into the
+    exact verify join — the result equals the plain gram anti-join for
+    any hash function, which is exactly what the DuckDB oracle checks."""
+    from aws_sdk_pandas_spark.operators.bloom import decontaminate
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = decontaminate(
+        docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
+    )
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2436,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_select_by_budget": _q_select_by_budget,
         "doc_classifier_score": _q_classifier_score,
         "docs_materialize_mixture": _q_materialize_mixture,
+        "docs_decontaminate_bloom": _q_decontaminate_bloom,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -2950,6 +2969,26 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus LEFT JOIN ev ON corpus.g = ev.g
             GROUP BY corpus.doc_id
             HAVING CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) >= 0.5
+            ORDER BY doc_id
+        """,
+        "docs_decontaminate_bloom": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), gr AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(list_transform(range(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks
+                WHERE len(t) >= 4
+            ), bad AS (
+                SELECT DISTINCT doc_id FROM gr
+                WHERE source <> 'src0'
+                  AND g IN (SELECT g FROM gr WHERE source = 'src0')
+            )
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
             ORDER BY doc_id
         """,
         "events_funnel": _EVENTS_FUNNEL,

@@ -121,6 +121,30 @@ def test_contamination_semi_join_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_bloom_decontaminate_prefilters_before_join(spark, sf_dir):
+    """The bloom test (xxhash64 bit probes) must sit BELOW the exact
+    verify join — the join only ever sees the bloom-positive sliver —
+    and the contaminated-id set must broadcast back, not shuffle the
+    corpus."""
+    from aws_sdk_pandas_spark.operators.bloom import decontaminate
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = decontaminate(
+        docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=3
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan  # bloom probe is a JVM expression in the scan stage
+    assert "LeftSemi" in plan  # exact verify of bloom positives
+    assert "LeftAnti" in plan  # contaminated ids dropped from the corpus
+    opt = _optimized(df)
+    # the bloom membership Filter must appear before (below) the semi join
+    assert opt.index("xxhash64") > opt.index("LeftSemi"), (
+        "bloom filter not pushed beneath the verify join"
+    )
+
+
 def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
     """Change detection (lag) and interval close (lead) share the same
     partitioning+ordering: Catalyst must plan ONE shuffle, one sort."""
