@@ -2318,6 +2318,34 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty (operators/textstats.novelty_score):
+    per-doc fraction of distinct 3-grams unique to that doc — flags
+    boilerplate/template content no pairwise near-dup threshold
+    catches.  Gram doc-frequency is one hash-keyed aggregation; only the
+    8-byte gram hash is shuffled."""
+    from aws_sdk_pandas_spark.operators.textstats import novelty_score
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return novelty_score(docs, n=3).orderBy("doc_id")
+
+
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.training_order):
+    every doc gets a stable 1-based position in the (seed=1, epoch=2)
+    permutation via the two-phase global prefix sum — no
+    single-partition row_number funnel."""
+    from aws_sdk_pandas_spark.operators.sampling import training_order
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        training_order(docs.select("doc_id"), key_col="doc_id", seed=1, epoch=2)
+        .orderBy("position")
+    )
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered eval-set decontamination (operators/bloom.
     decontaminate): drop corpus docs sharing any exact word 5-gram with
@@ -2455,6 +2483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_score": _q_classifier_score,
         "docs_materialize_mixture": _q_materialize_mixture,
         "docs_decontaminate_bloom": _q_decontaminate_bloom,
+        "doc_novelty_scores": _q_novelty_scores,
+        "docs_training_order": _q_training_order,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -2970,6 +3000,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corpus.doc_id
             HAVING CAST(ROUND(COUNT(ev.g) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) >= 0.5
             ORDER BY doc_id
+        """,
+        "doc_novelty_scores": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), gr AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                FROM toks
+                WHERE len(t) >= 3
+            ), freq AS (
+                SELECT g, COUNT(*) AS c FROM gr GROUP BY g
+            )
+            SELECT gr.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+            FROM gr JOIN freq USING (g)
+            GROUP BY gr.doc_id
+            ORDER BY doc_id
+        """,
+        "docs_training_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('1|2|' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS position
+            FROM documents
+            ORDER BY position
         """,
         "docs_decontaminate_bloom": r"""
             WITH toks AS (

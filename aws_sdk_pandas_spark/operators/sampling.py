@@ -453,3 +453,45 @@ def materialize_mixture(
         )
     running = F.sum(F.col(cost_col)).over(w)
     return out.withColumn("__rt", running).where(F.col("__rt") <= qmap).drop("__rt")
+
+
+def training_order(
+    df: DataFrame,
+    *,
+    key_col: str,
+    seed: int = 0,
+    epoch: int = 0,
+    out_col: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data delivery:
+    every row gets a stable 1-based ``position`` in a pseudo-random
+    permutation keyed by ``(seed, epoch, key)``.  Re-running on the same
+    corpus reproduces the exact epoch order on any engine (md5-derived,
+    no engine RNG); bumping ``epoch`` is a fresh permutation, which is
+    how a trainer replays epoch k of a 100 TB corpus without
+    materializing k shuffled copies.
+
+    Scale shape: built on :func:`global_prefix_sum` — a range
+    repartition on the md5 shuffle key, a within-partition window, and a
+    partition-count-sized offset table.  No single-partition
+    ``row_number`` funnel; writing the result sorted by ``position``
+    (``.sortWithinPartitions`` after the range partition) yields
+    sequential-read training shards.
+    """
+    shuf = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.lit(str(epoch)),
+            F.col(key_col).cast("string"),
+        )
+    )
+    out = global_prefix_sum(
+        df.withColumn("__shufkey", shuf).withColumn("__one", F.lit(1)),
+        "__one",
+        ["__shufkey", key_col],
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return out.drop("__one", "__shufkey")

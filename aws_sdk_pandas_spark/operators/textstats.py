@@ -365,3 +365,50 @@ def fit_hashed_ngram_classifier(
     ]
     weights_df = spark.createDataFrame(rows or [(0, 0.0)], "bucket int, weight double")
     return weights_df, float(model.intercept)
+
+
+def novelty_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word ``n``-grams that appear in NO other document.  Low novelty marks
+    boilerplate / template / mirrored content even when no single pair of
+    documents crosses a near-dup threshold — a standard corpus-quality
+    signal alongside the Gopher repetition rules (which are
+    *within*-document; this is the *cross*-document complement).
+
+    Returns ``id_col, n_grams, n_novel, novelty`` (documents shorter than
+    ``n`` tokens have no grams and are absent).
+
+    Scale shape: the corpus is exploded to (doc, gram-hash) once, the
+    corpus-wide gram document-frequency is one map-side-combinable
+    aggregation keyed by the 8-byte gram hash, and the join back rides
+    the SAME gram-hash partitioning before the final per-document
+    aggregation — two shuffle keys total (gram, doc), nothing quadratic,
+    no driver state.  The gram string never leaves the map stage: only
+    its xxhash64 is shuffled.
+    """
+    from aws_sdk_pandas_spark.operators.bloom import _word_ngrams
+
+    grams = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        )
+        .select("__id", F.explode(_word_ngrams(F.col("__text"), n)).alias("g"))
+        .select("__id", F.xxhash64("g").alias("gh"))
+    )
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
+    out = (
+        grams.join(freq, "gh")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+    return out.select(F.col("__id").alias(id_col), "n_grams", "n_novel", "novelty")

@@ -285,3 +285,29 @@ def test_materialize_mixture_token_budgets(spark):
         ).collect()
     }
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_training_order_is_a_permutation_and_reproducible(spark):
+    from aws_sdk_pandas_spark.operators.sampling import training_order
+
+    rows = [(f"d{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string")
+    out = training_order(df, key_col="doc_id", seed=7, epoch=0, num_partitions=8)
+    got = {r.doc_id: r.position for r in out.collect()}
+    assert sorted(got.values()) == list(range(1, 501))  # exact 1..N permutation
+
+    # engine-independent definition: position == rank of md5('7|0|'||key)
+    import hashlib
+
+    want = sorted(rows, key=lambda r: (hashlib.md5(f"7|0|{r[0]}".encode()).hexdigest(), r[0]))
+    for pos, (doc_id,) in enumerate(want, start=1):
+        assert got[doc_id] == pos
+
+    # same seed+epoch reproduces; next epoch is a different permutation
+    again = {r.doc_id: r.position for r in training_order(
+        df, key_col="doc_id", seed=7, epoch=0, num_partitions=8).collect()}
+    assert again == got
+    ep1 = {r.doc_id: r.position for r in training_order(
+        df, key_col="doc_id", seed=7, epoch=1, num_partitions=8).collect()}
+    assert ep1 != got
+    assert sorted(ep1.values()) == list(range(1, 501))

@@ -195,3 +195,31 @@ def test_hashed_ngram_score_matches_numpy(spark):
     }
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-12, k
+
+
+def test_novelty_score_matches_brute_force(spark):
+    from aws_sdk_pandas_spark.operators.textstats import novelty_score
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox sat very still today friend"),
+        ("c", "completely different words appear in this one here"),
+        ("d", "too short"),  # < 3 tokens -> no grams -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in novelty_score(df, n=3).collect()}
+
+    # brute force in python
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    gsets = {d: grams(t) for d, t in rows if len(t.split()) >= 3}
+    from collections import Counter
+
+    freq = Counter(g for s in gsets.values() for g in s)
+    want = {
+        d: (len(s), sum(1 for g in s if freq[g] == 1)) for d, s in gsets.items()
+    }
+    assert got == want
+    assert "d" not in got
