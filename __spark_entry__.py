@@ -2318,6 +2318,24 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus's own word-frequency table
+    (operators/bpe.train_bpe, Sennrich 2016) then applied in one
+    Arrow-batched pass: per-doc real-token counts for budget accounting.
+    Rows-only gate (merge learning is not SQL-expressible); exactness vs
+    an independent reference implementation is pinned in test_bpe.py."""
+    from aws_sdk_pandas_spark.operators.bpe import apply_bpe, train_bpe
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=40, max_words=8_000)
+    return (
+        apply_bpe(docs, merges)
+        .select("doc_id", F.size("bpe_tokens").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document n-gram novelty (operators/textstats.novelty_score):
     per-doc fraction of distinct 3-grams unique to that doc — flags
@@ -2495,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "emb_knn_lsh_ann": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,
+        "docs_bpe_tokens": _q_bpe_tokens,
     }
     return out
 

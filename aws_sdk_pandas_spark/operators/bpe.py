@@ -1,0 +1,173 @@
+"""Distributed BPE tokenizer training and application.
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) trains on a
+WORD-FREQUENCY table, not the raw corpus — which is exactly the split a
+Spark pipeline wants:
+
+- **corpus-wide stage** (distributed, once): whitespace-word counts — a
+  map-side-combinable aggregation whose output is bounded by the top
+  ``max_words`` distinct words, not the corpus size.  This is the same
+  reduction HuggingFace ``tokenizers`` / sentencepiece make before
+  their merge loops; at 100 TB it is the only stage that reads the
+  data.
+- **merge learning** (driver, bounded): the classic greedy loop over
+  the word-frequency dict — pick the most frequent adjacent symbol
+  pair, merge it everywhere, repeat ``n_merges`` times.  Work is
+  O(n_merges x |vocab| x word-length) on at most ``max_words`` rows;
+  ties break lexicographically so the merge list is deterministic on
+  any engine.
+- **apply** (distributed, once): one Arrow-batched pandas UDF with a
+  per-batch word->tokens cache; natural-language batches repeat words
+  heavily, so the greedy merge walk runs ~once per DISTINCT word per
+  batch, and everything else is a dict hit.
+
+Reference parity: aws-sdk-pandas has no tokenizer surface; this extends
+the token-counting family (`functions/text.py`) with a trainable,
+reproducible segmentation — the piece a pre-training data pipeline
+needs for token-budget accounting and sequence packing
+(`operators/packing.py`) to be denominated in REAL tokens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_words: int = 30_000,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Corpus word-frequency table: ``word, freq``, top ``max_words`` by
+    (freq desc, word) — the bounded input every BPE trainer consumes.
+    One explode + one map-side-combinable aggregation; the top-k is a
+    TakeOrdered, not a global sort."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    toks = df.select(F.explode(F.split(F.trim(col), r"\s+")).alias("word")).where(
+        F.length("word") > 0
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        freq = freq.where(F.col("freq") >= min_freq)
+    return freq.orderBy(F.col("freq").desc(), F.col("word")).limit(max_words)
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 200,
+    lowercase: bool = True,
+    max_words: int = 30_000,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns the
+    ordered merge list (rank = position); feed it to :func:`apply_bpe`.
+
+    Words are char sequences with a terminal ``</w>`` marker, so merges
+    may capture word-final units (``e</w>``) and token streams
+    reconstruct the text exactly (join tokens, split on the marker).
+    """
+    wf = word_frequencies(
+        df,
+        text_col=text_col,
+        lowercase=lowercase,
+        max_words=max_words,
+        min_freq=min_freq,
+    ).collect()
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + (END_OF_WORD,): r["freq"] for r in wf
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge walk over one word (the standard
+    BPE inference algorithm)."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge list; adds ``out_col``
+    (``array<string>``).  The merge table rides task broadcast (it is a
+    few KB); each Arrow batch keeps a word->tokens cache so the merge
+    walk runs once per distinct word per batch."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts.fillna(""):
+            if lowercase:
+                t = t.lower()
+            doc: list[str] = []
+            for w in t.split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _encode_word(w, ranks)
+                doc.extend(hit)
+            out.append(doc)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+def decode_bpe(tokens: list[str]) -> str:
+    """Inverse of :func:`apply_bpe` for one token sequence (test oracle:
+    tokenize -> decode is the identity on whitespace-normalized text)."""
+    return "".join(tokens).replace(END_OF_WORD, " ").strip()

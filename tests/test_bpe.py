@@ -1,0 +1,116 @@
+"""BPE: merge learning matches an independent in-test reference on the
+same word counts, tokenize->decode is the identity, merges actually
+compress, and the whole path is deterministic."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_bpe,
+    decode_bpe,
+    train_bpe,
+    word_frequencies,
+)
+
+CORPUS = [
+    ("a", "the lowest lowland lowers slowly below the glowing low sun"),
+    ("b", "low lower lowest newest newer new news knows lows below"),
+    ("c", "the newest news flows slowly over the lowest lowland"),
+    ("d", "glowing flowing slowing knowing lowing snowing rowing"),
+]
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent re-derivation of Sennrich's algorithm for the test."""
+    vocab = {tuple(w) + (END_OF_WORD,): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges
+
+
+def test_train_matches_reference_implementation(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    got = train_bpe(df, n_merges=30, min_freq=1)
+
+    wf = Counter()
+    for _, t in CORPUS:
+        wf.update(t.lower().split())
+    want = _reference_bpe(dict(wf), 30)
+    assert got == want
+    assert len(got) > 5  # the corpus supports real merges
+
+
+def test_word_frequencies_top_k_and_min_freq(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    rows = {r["word"]: r["freq"] for r in word_frequencies(df, min_freq=2, max_words=5).collect()}
+    wf = Counter()
+    for _, t in CORPUS:
+        wf.update(t.lower().split())
+    want = dict(sorted(((w, f) for w, f in wf.items() if f >= 2),
+                       key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert rows == want
+
+
+def test_apply_roundtrip_and_compression(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    merges = train_bpe(df, n_merges=40, min_freq=1)
+    out = apply_bpe(df, merges).collect()
+    by_id = {r["doc_id"]: r["bpe_tokens"] for r in out}
+    for doc_id, text in CORPUS:
+        toks = by_id[doc_id]
+        assert decode_bpe(toks) == " ".join(text.lower().split())
+        n_words = len(text.split())
+        n_chars_with_markers = len(text.replace(" ", "")) + n_words
+        # merges learned -> strictly fewer symbols than characters,
+        # never fewer than one token per word
+        assert n_words <= len(toks) < n_chars_with_markers
+
+    # zero merges degenerates to char+marker segmentation
+    raw = apply_bpe(df, []).collect()
+    for r in raw:
+        text = dict(CORPUS)[r["doc_id"]]
+        assert len(r["bpe_tokens"]) == len(text.replace(" ", "")) + len(text.split())
+
+
+def test_deterministic_across_runs(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    m1 = train_bpe(df, n_merges=25, min_freq=1)
+    m2 = train_bpe(df, n_merges=25, min_freq=1)
+    assert m1 == m2
+
+
+def test_sf_corpus_end_to_end(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=60)
+    assert len(merges) == 60
+    out = apply_bpe(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe")
+    )
+    assert out.where(F.col("n_bpe") <= 0).count() == 0
+    assert out.count() == docs.count()
