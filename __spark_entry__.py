@@ -2318,6 +2318,40 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of the event values
+    (operators/features.normalize_columns): one aggregation for the
+    statistics, constants folded into a pure-codegen projection —
+    outlier-immune, unlike z-score."""
+    from aws_sdk_pandas_spark.operators.features import normalize_columns
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        normalize_columns(ev, ["value"], method="robust")
+        .select("event_id", F.round("value_norm", 6).alias("value_robust"))
+        .orderBy("event_id")
+    )
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed PCA over the embedding column
+    (operators/features.fit_pca: per-partition (n, sum, X^T X) partials,
+    driver-side d x d eigh, broadcast projection).  Rows-only gate;
+    numpy-exactness and partitioning invariance pinned in
+    test_features.py."""
+    from aws_sdk_pandas_spark.operators.features import apply_pca, fit_pca
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(emb, k=8)
+    return (
+        apply_pca(emb, model)
+        .select("vec_id", F.size("pca").alias("pca_dim"))
+        .orderBy("vec_id")
+    )
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer trained on the corpus's own word-frequency table
     (operators/bpe.train_bpe, Sennrich 2016) then applied in one
@@ -2503,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate_bloom": _q_decontaminate_bloom,
         "doc_novelty_scores": _q_novelty_scores,
         "docs_training_order": _q_training_order,
+        "events_normalize_robust": _q_normalize_robust,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -2514,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh_ann": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,
         "docs_bpe_tokens": _q_bpe_tokens,
+        "emb_pca_project": _q_pca_project,
     }
     return out
 
@@ -3048,6 +3084,15 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_normalize_robust": """
+            SELECT event_id,
+                   CAST(ROUND((value - quantile_cont(value, 0.5) OVER ())
+                        / (quantile_cont(value, 0.75) OVER ()
+                           - quantile_cont(value, 0.25) OVER ()), 6) AS DOUBLE)
+                       AS value_robust
+            FROM events
+            ORDER BY event_id
         """,
         "docs_decontaminate_bloom": r"""
             WITH toks AS (

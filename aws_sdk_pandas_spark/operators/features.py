@@ -1,0 +1,151 @@
+"""Feature-column conditioning: scalar normalization and embedding PCA.
+
+Both follow the same scale discipline: ONE distributed pass reduces the
+corpus to a statistics object whose size depends only on the schema
+(per-column moments; a d x d Gram matrix), the driver does O(d^3)-at-
+most work on that object, and the result is applied JVM-side (or one
+Arrow pass for vectors) with the statistics riding broadcast.  No stage
+ever holds data proportional to the corpus on the driver.
+
+Reference parity: aws-sdk-pandas ships no feature conditioning; these
+back the embedding pipeline (similarity/IVF/PQ in
+`operators/similarity.py`) the way OPQ-style rotations and feature
+scaling precede ANN indexing in FAISS (Jégou 2011; Ge 2013).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_columns(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    method: str = "zscore",
+    suffix: str = "_norm",
+) -> DataFrame:
+    """Normalize numeric columns: ``zscore`` ((x-mean)/stddev),
+    ``minmax`` ((x-min)/(max-min)), or ``robust``
+    ((x-median)/(p75-p25) — the scikit-learn RobustScaler recipe, immune
+    to the outliers z-score absorbs).  Adds ``<col><suffix>`` per input.
+
+    One aggregation computes every column's statistics together
+    (map-side combinable; exact percentiles for ``robust`` via Spark's
+    ``percentile`` — swap in ``approx_percentile`` at extreme scale);
+    the constants fold into the projection, so the apply stage is pure
+    whole-stage-codegen arithmetic with no second shuffle.  Degenerate
+    columns (zero spread) normalize to 0.0, not NaN.
+    """
+    aggs = []
+    for c in cols:
+        if method == "zscore":
+            aggs += [F.avg(c).alias(f"{c}__a"), F.stddev_samp(c).alias(f"{c}__b")]
+        elif method == "minmax":
+            aggs += [F.min(c).alias(f"{c}__a"), F.max(c).alias(f"{c}__b")]
+        elif method == "robust":
+            aggs += [
+                F.expr(f"percentile({c}, 0.5)").alias(f"{c}__a"),
+                F.expr(f"percentile({c}, 0.75) - percentile({c}, 0.25)").alias(f"{c}__b"),
+            ]
+        else:
+            raise ValueError(f"unknown method {method!r} (zscore|minmax|robust)")
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        a, b = stats[f"{c}__a"], stats[f"{c}__b"]
+        if method == "minmax":
+            spread = (b - a) if (a is not None and b is not None) else None
+            center = a
+        else:
+            spread, center = b, a
+        if spread is None or center is None or spread == 0:
+            expr = F.when(F.col(c).isNotNull(), F.lit(0.0))
+        else:
+            expr = (F.col(c) - F.lit(float(center))) / F.lit(float(spread))
+        out = out.withColumn(f"{c}{suffix}", expr.cast("double"))
+    return out
+
+
+def fit_pca(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    k: int = 16,
+) -> dict:
+    """Principal components of an ``array<float>`` column in ONE
+    distributed pass: each partition reduces its Arrow batches to
+    ``(count, sum, X^T X)`` partial sums (d x d each — for d=1024 that
+    is 8 MB per partition, independent of row count), the driver
+    combines them and eigendecomposes the d x d covariance.
+
+    Returns ``{"mean": [d], "components": [k][d], "explained_variance":
+    [k]}`` with components sign-fixed (largest-|coef| entry positive) so
+    the model is deterministic across partitionings.
+    """
+    first = df.select(vector_col).first()
+    if first is None:
+        raise ValueError("empty DataFrame")
+    d = len(first[0])
+
+    def _partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            x = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    parts = df.select(vector_col).mapInPandas(
+        _partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    if n < 2:
+        raise ValueError("need at least 2 vectors")
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = (g - np.outer(mean, s) - np.outer(s, mean) + n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k x d
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": vals[order].tolist(),
+    }
+
+
+def apply_pca(
+    df: DataFrame,
+    model: dict,
+    *,
+    vector_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vector_col`` onto the fitted components (center then
+    matmul) in one Arrow-batched pass; the (k x d) model broadcasts with
+    the task binary.  Output is ``array<float>`` of length k."""
+    mean = np.array(model["mean"])
+    comps = np.array(model["components"])
+
+    @F.pandas_udf("array<float>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64) - mean
+        y = (x @ comps.T).astype(np.float32)
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, _proj(F.col(vector_col)))

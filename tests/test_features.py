@@ -1,0 +1,97 @@
+"""Feature conditioning: normalization matches numpy/duckdb formulas,
+PCA matches numpy's full-data eigendecomposition regardless of
+partitioning, and projection preserves pairwise geometry."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.features import apply_pca, fit_pca, normalize_columns
+
+
+def test_normalize_zscore_minmax_robust(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, x double")
+    a = np.array(vals)
+
+    z = {r.id: r.x_norm for r in normalize_columns(df, ["x"]).collect()}
+    want_z = (a - a.mean()) / a.std(ddof=1)
+    for i in range(5):
+        assert abs(z[i] - want_z[i]) < 1e-9
+
+    m = {r.id: r.x_norm for r in normalize_columns(df, ["x"], method="minmax").collect()}
+    want_m = (a - a.min()) / (a.max() - a.min())
+    for i in range(5):
+        assert abs(m[i] - want_m[i]) < 1e-9
+
+    r_ = {r.id: r.x_norm for r in normalize_columns(df, ["x"], method="robust").collect()}
+    med = np.percentile(a, 50, method="linear")
+    iqr = np.percentile(a, 75, method="linear") - np.percentile(a, 25, method="linear")
+    want_r = (a - med) / iqr
+    for i in range(5):
+        assert abs(r_[i] - want_r[i]) < 1e-9
+    # robust is outlier-immune: the inliers stay within ~2 IQRs
+    assert all(abs(r_[i]) < 2 for i in range(4)) and r_[4] > 10
+
+
+def test_normalize_degenerate_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, 5.0, 1.0), (1, 5.0, None), (2, 5.0, 3.0)], "id int, c double, x double"
+    )
+    out = {r.id: (r.c_norm, r.x_norm) for r in normalize_columns(df, ["c", "x"]).collect()}
+    assert out[0][0] == 0.0 and out[2][0] == 0.0  # zero-spread -> 0, not NaN
+    assert out[1][1] is None  # nulls stay null
+
+
+def _random_vectors(spark, n=300, d=12, seed=5, partitions=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud so PCA has a well-separated spectrum
+    scales = np.linspace(5.0, 0.2, d)
+    x = rng.normal(size=(n, d)) * scales + rng.normal(size=d)
+    rows = [(i, x[i].astype(float).tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>").repartition(partitions),
+        x,
+    )
+
+
+def test_pca_matches_numpy_any_partitioning(spark):
+    df, x = _random_vectors(spark)
+    model = fit_pca(df, k=4)
+    want_mean = x.mean(axis=0)
+    assert np.allclose(model["mean"], want_mean, atol=1e-9)
+
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    assert np.allclose(model["explained_variance"], vals[order], rtol=1e-9)
+    for i, j in enumerate(order):
+        got = np.array(model["components"][i])
+        want = vecs[:, j]
+        # eigenvectors match up to sign
+        assert min(np.abs(got - want).max(), np.abs(got + want).max()) < 1e-8
+
+    # partitioning invariance: same model from a different layout
+    model2 = fit_pca(df.repartition(3), k=4)
+    assert np.allclose(model["components"], model2["components"], atol=1e-8)
+
+
+def test_apply_pca_projection_geometry(spark):
+    df, x = _random_vectors(spark, n=200, d=10)
+    model = fit_pca(df, k=10)  # full rank: projection is an isometry
+    out = apply_pca(df, model).select("vec_id", "pca").collect()
+    got = {r.vec_id: np.array(r.pca) for r in out}
+    centered = x - x.mean(axis=0)
+    # full-rank projection preserves pairwise distances (rotation)
+    for a, b in [(0, 1), (5, 17), (42, 99)]:
+        want = np.linalg.norm(centered[a] - centered[b])
+        have = np.linalg.norm(got[a] - got[b])
+        assert abs(want - have) < 1e-3
+
+    # truncated projection: variance concentrates in the first axes
+    m4 = fit_pca(df, k=4)
+    o4 = np.stack([np.array(r.pca) for r in apply_pca(df, m4).select("pca").collect()])
+    v = o4.var(axis=0, ddof=1)
+    assert v[0] > v[1] > v[2] > v[3]
+    assert np.allclose(v, m4["explained_variance"], rtol=5e-3)
