@@ -2318,6 +2318,28 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (operators/sampling.
+    leakage_free_split): near-dup clusters (3-gram Jaccard >= 0.2 ->
+    connected components) ride ONE md5 hash-split decision keyed by the
+    cluster representative, so a test doc's near-copy can never sit in
+    train.  Oracle: recursive-CTE transitive closure + the same md5
+    assignment."""
+    from aws_sdk_pandas_spark.operators.dedup import ngram_jaccard_duplicates
+    from aws_sdk_pandas_spark.operators.sampling import leakage_free_split
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_duplicates(docs, "doc_id", "text", n=3, threshold=0.2)
+    return (
+        leakage_free_split(
+            docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _q_normalize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/IQR) feature scaling of the event values
     (operators/features.normalize_columns): one aggregation for the
@@ -2538,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty_scores": _q_novelty_scores,
         "docs_training_order": _q_training_order,
         "events_normalize_robust": _q_normalize_robust,
+        "docs_leakage_free_split": _q_leakage_free_split,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3084,6 +3107,55 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_leakage_free_split": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words
+            ), exploded AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded a JOIN exploded b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs AS (
+                SELECT id_a, id_b FROM cand
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.2
+            ), nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+                )
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT id AS src, id AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ), labels AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ), keyed AS (
+                SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS k
+                FROM documents d LEFT JOIN labels l USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substring(md5(k::VARCHAR || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM keyed
+            ) t
+            ORDER BY doc_id
         """,
         "events_normalize_robust": """
             SELECT event_id,

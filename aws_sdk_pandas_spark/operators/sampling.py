@@ -495,3 +495,44 @@ def training_order(
         num_partitions=num_partitions,
     )
     return out.drop("__one", "__shufkey")
+
+
+def leakage_free_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    *,
+    weights: dict,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    out_col: str = "split",
+    algo: str = "md5",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents can
+    NEVER straddle splits — the eval-hygiene failure ``hash_split`` on
+    the raw id cannot prevent (a test doc's near-copy in train is
+    silent contamination).
+
+    The split key is the duplicate-cluster representative: connected
+    components over ``dup_pairs`` (from MinHash-LSH / n-gram Jaccard /
+    SimHash), minimum reachable id as the label, singletons keyed by
+    their own id.  The whole cluster then rides one hash-split decision.
+
+    Scale shape: component labels exist only for docs that appear in a
+    pair (a small fraction of any curated corpus), so the label table
+    broadcasts; everything else is the one-pass deterministic
+    ``hash_split`` projection.
+    """
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+    from aws_sdk_pandas_spark.operators.graph import connected_components
+
+    labels = connected_components(dup_pairs, id_a, id_b).withColumnRenamed("id", id_col)
+    keyed = (
+        df.join(F.broadcast(labels), id_col, "left")
+        .withColumn("__split_key", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("cluster_id")
+    )
+    return hash_split(
+        keyed, "__split_key", weights, seed=seed, out_col=out_col, algo=algo
+    ).drop("__split_key")

@@ -311,3 +311,30 @@ def test_training_order_is_a_permutation_and_reproducible(spark):
         df, key_col="doc_id", seed=7, epoch=1, num_partitions=8).collect()}
     assert ep1 != got
     assert sorted(ep1.values()) == list(range(1, 501))
+
+
+def test_leakage_free_split_clusters_stay_together(spark):
+    from aws_sdk_pandas_spark.functions.hashing import hash_split
+    from aws_sdk_pandas_spark.operators.sampling import leakage_free_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    # components: {1,2,3,50} (chain), {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 50), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = {r.doc_id: r.split for r in leakage_free_split(docs, pairs, weights=w).collect()}
+    assert len(out) == 100
+    assert out[1] == out[2] == out[3] == out[50]  # whole component together
+    assert out[10] == out[11]
+
+    # cluster members get the REPRESENTATIVE's hash_split assignment...
+    rep = spark.createDataFrame([(1,), (10,)], "doc_id bigint")
+    rep_split = {r.doc_id: r.split for r in hash_split(rep, "doc_id", w, algo="md5").collect()}
+    assert out[1] == rep_split[1] and out[10] == rep_split[10]
+    # ...and singletons exactly match plain hash_split on their own id
+    plain = {r.doc_id: r.split for r in hash_split(docs, "doc_id", w, algo="md5").collect()}
+    clustered = {1, 2, 3, 50, 10, 11}
+    for d in range(100):
+        if d not in clustered:
+            assert out[d] == plain[d]
