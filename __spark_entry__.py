@@ -2318,6 +2318,21 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic uniform sample (operators/sampling.
+    uniform_sample_k): the 100 smallest md5(seed||doc_id) — compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from aws_sdk_pandas_spark.operators.sampling import uniform_sample_k
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        uniform_sample_k(docs, 100, key_col="doc_id", seed=9)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test split (operators/sampling.
     leakage_free_split): near-dup clusters (3-gram Jaccard >= 0.2 ->
@@ -2561,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_order": _q_training_order,
         "events_normalize_robust": _q_normalize_robust,
         "docs_leakage_free_split": _q_leakage_free_split,
+        "docs_uniform_sample_k": _q_uniform_sample_k,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3107,6 +3123,15 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_uniform_sample_k": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source
+                FROM documents
+                ORDER BY md5('9|' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT 100
+            ) t
+            ORDER BY doc_id
         """,
         "docs_leakage_free_split": """
             WITH RECURSIVE words AS (

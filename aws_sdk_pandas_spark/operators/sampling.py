@@ -536,3 +536,31 @@ def leakage_free_split(
     return hash_split(
         keyed, "__split_key", weights, seed=seed, out_col=out_col, algo=algo
     ).drop("__split_key")
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    k: int,
+    *,
+    key_col: str,
+    seed: int = 0,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """EXACTLY ``k`` rows, uniformly and deterministically: the k
+    smallest md5(seed||key) values.  ``df.sample(fraction)`` only hits
+    the target count in expectation and changes membership with the
+    partitioning; this is the fixed-size, engine-rederivable variant
+    (distributed reservoir sampling without the sequential reservoir).
+
+    Scale shape: Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject — each partition keeps its local top-k heap
+    and only k rows per partition reach the driver-side merge; there is
+    no global sort and no full shuffle (pinned in test_plan_quality).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    out = df.withColumn("__u", key).orderBy("__u", key_col).limit(k)
+    if keep_rank:
+        return out.withColumnRenamed("__u", "sample_rank")
+    return out.drop("__u")

@@ -121,6 +121,17 @@ def test_contamination_semi_join_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_uniform_sample_k_is_take_ordered(spark, sf_dir):
+    """Exact-k sampling must be per-partition heaps + driver merge, not
+    a global sort of the corpus."""
+    from aws_sdk_pandas_spark.operators.sampling import uniform_sample_k
+
+    docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(uniform_sample_k(docs, 10, key_col="doc_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_bloom_decontaminate_prefilters_before_join(spark, sf_dir):
     """The bloom test (xxhash64 bit probes) must sit BELOW the exact
     verify join — the join only ever sees the bloom-positive sliver —

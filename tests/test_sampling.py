@@ -338,3 +338,23 @@ def test_leakage_free_split_clusters_stay_together(spark):
     for d in range(100):
         if d not in clustered:
             assert out[d] == plain[d]
+
+
+def test_uniform_sample_k_exact_and_deterministic(spark):
+    import hashlib
+
+    from aws_sdk_pandas_spark.operators.sampling import uniform_sample_k
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id bigint").repartition(9)
+    got = sorted(r.doc_id for r in uniform_sample_k(df, 50, key_col="doc_id", seed=3).collect())
+    assert len(got) == 50
+    want = sorted(
+        range(1000), key=lambda i: (hashlib.md5(f"3|{i}".encode()).hexdigest(), i)
+    )[:50]
+    assert got == sorted(want)
+    # repartitioning does not change membership
+    again = sorted(
+        r.doc_id
+        for r in uniform_sample_k(df.repartition(3), 50, key_col="doc_id", seed=3).collect()
+    )
+    assert again == got

@@ -161,6 +161,27 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     ).count()
     timings["semantic_dedup"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.bloom import decontaminate
+    from aws_sdk_pandas_spark.operators.sampling import training_order
+
+    # Bloom decontamination: the eval side stays FIXED (benchmarks don't
+    # grow) while the corpus multiplies — time should track the corpus
+    # gram volume; the bloom build cost is constant
+    eval_docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        "source = 'src0'"
+    )
+    t0 = time.time()
+    decontaminate(docs, eval_docs, n=4).count()
+    timings["bloom_decontaminate"] = round(time.time() - t0, 2)
+
+    # deterministic epoch shuffle: range repartition + window + offset
+    # join — nothing should funnel through one partition
+    t0 = time.time()
+    training_order(docs.select("doc_id"), key_col="doc_id").select(
+        F.max("position")
+    ).collect()
+    timings["training_order"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     return timings
 
