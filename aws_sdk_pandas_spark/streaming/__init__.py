@@ -440,3 +440,65 @@ def near_dup_filter_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def decontaminate_stream(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    fpp: float = 0.01,
+    reject_path: str | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming eval-set decontamination guard: every micro-batch of
+    incoming documents is checked against a FIXED benchmark corpus and
+    only docs sharing no exact word ``n``-gram with it are admitted
+    (``reject_path`` captures the contaminated rows for audit).  The
+    ingestion-time complement of the offline ``operators.bloom.
+    decontaminate`` pass — run both: offline for the backfill, this for
+    the continuously-arriving crawl.
+
+    Scale shape: the eval gram set is reduced ONCE at stream start —
+    distinct grams persist, and the Bloom filter is built a single time
+    and reused by every batch (the per-batch work is one map-side bloom
+    probe over the batch's grams plus a sliver-sized exact verify join
+    against the persisted gram set).  Batch-replay equivalence with the
+    offline operator is pinned in tests.
+    """
+    from aws_sdk_pandas_spark.operators.bloom import (
+        _word_ngrams,
+        build_bloom,
+        might_contain,
+    )
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    grams_col = _word_ngrams(F.col(text_col), n)
+    eval_grams = (
+        eval_df.select(F.explode(grams_col).alias("g")).distinct().persist()
+    )
+    bloom = build_bloom(eval_grams, "g", fpp=fpp)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cand = batch_df.select(F.col(id_col), F.explode(grams_col).alias("g")).where(
+            might_contain(F.col("g"), bloom)
+        )
+        bad = cand.join(eval_grams, "g", "left_semi").select(id_col).distinct()
+        survivors = batch_df.join(F.broadcast(bad), id_col, "left_anti")
+        write_dataset(survivors, out_path, "parquet", mode="append")
+        if reject_path:
+            rejected = batch_df.join(F.broadcast(bad), id_col, "left_semi")
+            write_dataset(rejected, reject_path, "parquet", mode="append")
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

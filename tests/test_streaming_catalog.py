@@ -466,3 +466,36 @@ def test_near_dup_filter_stream_two_batches(spark, tmp_path):
     assert admitted == [1, 3, 5]  # 4 rejected by the index match
     # index holds exactly the admitted signatures
     assert sorted(r.id for r in spark.read.parquet(idx).collect()) == [1, 3, 5]
+
+
+def test_decontaminate_stream_matches_offline(spark, tmp_path, sf_dir):
+    """Stream-replay of the corpus through the decontamination guard
+    admits exactly the offline operator's survivor set."""
+    from aws_sdk_pandas_spark.operators.bloom import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("source <> 'src0'").select("doc_id", "text")
+    eval_df = docs.where("source = 'src0'").select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rej = str(tmp_path / "rej")
+    ckpt = str(tmp_path / "ckpt")
+    # two arrival batches -> two files
+    half = corpus.where("doc_id % 2 = 0")
+    rest = corpus.where("doc_id % 2 = 1")
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming.decontaminate_stream(
+        streaming.read_stream(spark, src, schema="doc_id long, text string"),
+        eval_df, out, checkpoint=ckpt, n=3, reject_path=rej,
+    )
+    q.awaitTermination()
+
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.doc_id for r in decontaminate(corpus, eval_df, n=3).collect())
+    assert admitted == want
+    rejected = sorted(r.doc_id for r in spark.read.parquet(rej).collect())
+    assert sorted(admitted + rejected) == sorted(r.doc_id for r in corpus.collect())
+    assert len(rejected) > 0
