@@ -2318,6 +2318,39 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pre-training data pipeline as one call (operators/
+    pipeline.build_training_corpus): curation gauntlet -> 4-gram
+    eval-set decontamination -> leakage-free split (pairs re-mined at
+    0.15, below the 0.2 dedup threshold) -> deterministic epoch order ->
+    64-token sequence packing.  Oracle: every stage as CTEs, including
+    BOTH transitive closures and the packing prefix sum."""
+    from aws_sdk_pandas_spark.operators.pipeline import build_training_corpus
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = build_training_corpus(
+        docs.where("source <> 'src0'"),
+        eval_df=docs.where("source = 'src0'"),
+        lang_col="lang",
+        langs=["en", "de", "fr", "es"],
+        min_tokens=15,
+        max_tokens=90,
+        near_dup=True,
+        ngram_n=3,
+        jaccard_threshold=0.2,
+        score_col="n_chars",
+        cap_per_language=60,
+        decontaminate_n=4,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_pair_threshold=0.15,
+        pack_budget=64,
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "split", "position", "seq_id"
+    ).orderBy("doc_id")
+
+
 def _q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic uniform sample (operators/sampling.
     uniform_sample_k): the 100 smallest md5(seed||doc_id) — compiles to
@@ -2577,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_normalize_robust": _q_normalize_robust,
         "docs_leakage_free_split": _q_leakage_free_split,
         "docs_uniform_sample_k": _q_uniform_sample_k,
+        "docs_training_corpus": _q_training_corpus,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3123,6 +3157,151 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_training_corpus": """
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, lang, n_chars, text FROM documents WHERE source <> 'src0'
+            ), fp AS (
+                SELECT doc_id, lang, n_chars, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS fp_rn
+                FROM corpus
+            ), surv AS (
+                SELECT doc_id, lang, n_chars, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                FROM fp
+                WHERE fp_rn = 1 AND lang IN ('en', 'de', 'fr', 'es')
+            ), gated AS (
+                SELECT * FROM surv WHERE n_tokens >= 15 AND n_tokens <= 90
+            ), words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM gated
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words
+            ), exploded AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded a JOIN exploded b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs AS (
+                SELECT id_a, id_b FROM cand
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.2
+            ), nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+                )
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT id AS src, id AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ), labels AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ), joined AS (
+                SELECT g.*, l.cluster_id FROM gated g LEFT JOIN labels l USING (doc_id)
+            ), best AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM joined WHERE cluster_id IS NOT NULL)
+                WHERE rn = 1
+            ), kept AS (
+                SELECT doc_id, lang, n_chars, n_tokens, text FROM joined WHERE cluster_id IS NULL
+                UNION ALL
+                SELECT j.doc_id, j.lang, j.n_chars, j.n_tokens, j.text
+                FROM joined j JOIN best USING (doc_id)
+            ), capped AS (
+                SELECT * FROM (
+                    SELECT doc_id, lang, n_chars, n_tokens, text,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM kept) t
+                WHERE rn <= 60
+            ), ev AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+                                       i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents WHERE source = 'src0') s
+                WHERE len(t) >= 4
+            ), cgrams AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                      FROM capped) s
+                WHERE len(t) >= 4
+            ), bad AS (
+                SELECT DISTINCT doc_id FROM cgrams WHERE g IN (SELECT g FROM ev)
+            ), clean AS (
+                SELECT * FROM capped WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            ), words2 AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM clean
+            ), grams2 AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+                FROM words2
+            ), exploded2 AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM grams2
+            ), cand2 AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                       COUNT(*) AS shared
+                FROM exploded2 a JOIN exploded2 b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.ng, b.ng
+            ), pairs2 AS (
+                SELECT id_a, id_b FROM cand2
+                WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.15
+            ), nodes2 AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM pairs2 UNION SELECT id_b FROM pairs2
+                )
+            ), edges2 AS (
+                SELECT id_a AS a, id_b AS b FROM pairs2
+                UNION SELECT id_b, id_a FROM pairs2
+            ), reach2 AS (
+                SELECT id AS src, id AS dst FROM nodes2
+                UNION
+                SELECT r.src, e.b FROM reach2 r JOIN edges2 e ON r.dst = e.a
+            ), labels2 AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach2 GROUP BY src
+            ), keyed AS (
+                SELECT c.doc_id, c.lang, c.n_tokens,
+                       COALESCE(l2.cluster_id, c.doc_id) AS k
+                FROM clean c LEFT JOIN labels2 l2 USING (doc_id)
+            ), splitd AS (
+                SELECT doc_id, lang, n_tokens,
+                       CASE WHEN u < 0.8 THEN 'train'
+                            WHEN u < 0.9 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id, lang, n_tokens,
+                           ('0x' || substring(md5(k::VARCHAR || ':42'), 1, 8))::BIGINT
+                               / 4294967296.0 AS u
+                    FROM keyed) t
+            ), ordered AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (
+                            ORDER BY md5('0|0|' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS position
+                FROM splitd
+            )
+            SELECT doc_id, lang, n_tokens, split, position,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY split ORDER BY position)
+                               - n_tokens) / 64.0) AS BIGINT) AS seq_id
+            FROM ordered
+            ORDER BY doc_id
         """,
         "docs_uniform_sample_k": """
             SELECT doc_id, lang, source FROM (

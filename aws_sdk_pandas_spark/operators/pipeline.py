@@ -87,3 +87,109 @@ def curate_corpus(
             .drop("__rn")
         )
     return out
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    *,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    langs: list[str] | None = None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    near_dup: bool = True,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.2,
+    score_col: str | None = None,
+    cap_per_language: int | None = None,
+    decontaminate_n: int = 4,
+    decontaminate_fpp: float = 0.01,
+    split_weights: dict | None = None,
+    split_pair_threshold: float | None = None,
+    split_seed: int = 42,
+    seed: int = 0,
+    epoch: int = 0,
+    pack_budget: int | None = None,
+) -> DataFrame:
+    """Corpus to training-ready rows in ONE call — the full pipeline a
+    pre-training run needs, each stage an existing shuffle-conscious
+    operator:
+
+    1. :func:`curate_corpus` (fingerprint dedup, language whitelist,
+       token gates, near-dup keep-best, per-language caps),
+    2. eval-set decontamination (``operators.bloom.decontaminate``,
+       when ``eval_df`` is given),
+    3. leakage-free train/val/test split: near-dup pairs are RE-MINED at
+       ``split_pair_threshold`` (set it BELOW ``jaccard_threshold`` —
+       docs similar enough to leak eval signal but not similar enough to
+       have been deduped are exactly the ones that must not straddle
+       splits),
+    4. deterministic epoch order (``training_order`` — one global
+       permutation; within every split the order restricted to it is
+       still a uniform permutation, so trainers filter their split and
+       sort by ``position``),
+    5. optional sequence packing (``pack_sequences`` per split on the
+       epoch order, ``pack_budget`` tokens per sequence).
+
+    Returns the surviving rows + ``n_tokens`` [+ ``split``] +
+    ``position`` [+ ``seq_id``].  Every stage is deterministic
+    (md5-keyed) — the same corpus rebuilds the same shards on any
+    engine.
+    """
+    out = curate_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        langs=langs,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        near_dup=near_dup,
+        ngram_n=ngram_n,
+        jaccard_threshold=jaccard_threshold,
+        score_col=score_col,
+        cap_per_language=cap_per_language,
+    )
+    if eval_df is not None:
+        from aws_sdk_pandas_spark.operators.bloom import decontaminate
+
+        out = decontaminate(
+            out,
+            eval_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=decontaminate_n,
+            fpp=decontaminate_fpp,
+        )
+    if split_weights is not None:
+        from aws_sdk_pandas_spark.operators.sampling import leakage_free_split
+
+        out = out.persist()
+        out.count()
+        pairs = ngram_jaccard_duplicates(
+            out,
+            id_col,
+            text_col,
+            n=ngram_n,
+            threshold=(
+                split_pair_threshold
+                if split_pair_threshold is not None
+                else jaccard_threshold
+            ),
+        )
+        out = leakage_free_split(
+            out, pairs, weights=split_weights, id_col=id_col, seed=split_seed
+        )
+    from aws_sdk_pandas_spark.operators.sampling import training_order
+
+    out = training_order(out, key_col=id_col, seed=seed, epoch=epoch)
+    if pack_budget is not None:
+        from aws_sdk_pandas_spark.operators.packing import pack_sequences
+
+        by = ["split"] if split_weights is not None else None
+        out = pack_sequences(
+            out, "n_tokens", pack_budget, by=by, order_cols=["position"]
+        )
+    return out

@@ -325,3 +325,79 @@ def test_remove_repeated_passages_fully_duplicated_doc(spark):
     assert out[1].text == "" and out[2].text == ""
     assert out[1].n_removed == 1
     assert out[3].text == "keep me please"
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir):
+    """The one-call pipeline: stage wiring, decontamination invariant,
+    split-leakage invariant, permutation positions, packing vs a serial
+    recompute, and full-rerun determinism."""
+    import hashlib
+
+    from aws_sdk_pandas_spark.operators.pipeline import build_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("source <> 'src0'")
+    eval_df = docs.where("source = 'src0'")
+    kw = dict(
+        eval_df=eval_df,
+        lang_col="lang",
+        min_tokens=10,
+        near_dup=True,
+        ngram_n=3,
+        jaccard_threshold=0.3,
+        score_col="n_chars",
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_pair_threshold=0.15,
+        seed=5,
+        epoch=1,
+        pack_budget=64,
+    )
+    out = build_training_corpus(corpus, **kw).persist()
+    rows = out.collect()
+    assert rows
+    cols = set(out.columns)
+    assert {"n_tokens", "split", "position", "seq_id"} <= cols
+
+    # decontamination invariant: no survivor shares a 4-gram with eval
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.operators.bloom import _word_ngrams
+
+    ev = eval_df.select(F.explode(_word_ngrams(F.col("text"), 4)).alias("g")).distinct()
+    leaks = (
+        out.select("doc_id", F.explode(_word_ngrams(F.col("text"), 4)).alias("g"))
+        .join(ev, "g", "left_semi")
+        .count()
+    )
+    assert leaks == 0
+
+    # split-leakage invariant at the SPLIT threshold
+    from aws_sdk_pandas_spark.operators.dedup import ngram_jaccard_duplicates
+
+    pairs = ngram_jaccard_duplicates(out, "doc_id", "text", n=3, threshold=0.15)
+    split_of = {r.doc_id: r.split for r in rows}
+    for p in pairs.collect():
+        assert split_of[p.id_a] == split_of[p.id_b]
+
+    # positions form a 1..N permutation consistent with md5(seed|epoch|id)
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    want_order = sorted(rows, key=lambda r: (hashlib.md5(f"5|1|{r.doc_id}".encode()).hexdigest(), r.doc_id))
+    for pos, r in enumerate(want_order, start=1):
+        assert split_of[r.doc_id] is not None
+        assert next(x.position for x in rows if x.doc_id == r.doc_id) == pos
+
+    # packing matches a serial prefix-sum recompute per split
+    for split in ("train", "val", "test"):
+        seq = sorted((r for r in rows if r.split == split), key=lambda r: r.position)
+        running = 0
+        for r in seq:
+            assert r.seq_id == running // 64
+            running += r.n_tokens
+
+    # whole-pipeline determinism
+    again = build_training_corpus(corpus, **kw).collect()
+    assert sorted((r.doc_id, r.split, r.position, r.seq_id) for r in again) == sorted(
+        (r.doc_id, r.split, r.position, r.seq_id) for r in rows
+    )
+    out.unpersist()
