@@ -2470,8 +2470,8 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered eval-set decontamination (operators/bloom.
-    decontaminate): drop corpus docs sharing any exact word 5-gram with
-    the 'src0' eval docs (4-gram).  The eval gram set becomes a broadcast Bloom
+    decontaminate): drop corpus docs sharing any exact word 4-gram with
+    the 'src0' eval docs.  The eval gram set becomes a broadcast Bloom
     filter (~10 bits/gram, no false negatives); corpus grams are tested
     map-side and only the bloom-positive sliver is shuffled into the
     exact verify join — the result equals the plain gram anti-join for

@@ -61,12 +61,21 @@ class BloomFilter:
 
 
 def _size_for(n_items: int, fpp: float) -> tuple[int, int]:
-    """Standard Bloom sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2.
+
+    k is capped at 8 probes (each probe is an xxhash64 + bit test per
+    row — past 8 the CPU cost beats the shuffle it saves); when the cap
+    binds (requested fpp below ~1e-3), m is RE-SIZED for k=8 via
+    m = -k n / ln(1 - fpp^(1/k)) so the realized false-positive rate
+    still meets the request — more bits instead of more probes."""
     n = max(n_items, 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = ((m + 63) // 64) * 64  # whole words
     k = max(1, round(m / n * math.log(2)))
-    return m, min(k, 8)
+    if k > 8:
+        k = 8
+        m = int(math.ceil(-k * n / math.log(1.0 - fpp ** (1.0 / k))))
+    m = ((m + 63) // 64) * 64  # whole words
+    return m, k
 
 
 def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
@@ -226,17 +235,33 @@ def decontaminate(
 
 
 def _word_ngrams(col: Column, n: int) -> Column:
-    """Distinct space-joined word n-grams of a text column, pure JVM
-    (split -> sequence -> slice -> concat_ws): portable gram STRINGS, so
-    exact-verify joins and cross-engine oracles agree byte-for-byte."""
-    toks = F.split(F.trim(col), r"\s+")
-    if n == 1:
-        return F.array_distinct(toks)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct space-joined word n-grams of a text column, pure JVM:
+    portable gram STRINGS, so exact-verify joins and cross-engine
+    oracles agree byte-for-byte.  Delegates to ``functions.text.ngrams``
+    (n shifted slices zipped — the tokenize subtree evaluates n times
+    per row, not len(toks) times as a transform-over-sequence would) and
+    inherits its empty-text -> empty-array guard for every n."""
+    from aws_sdk_pandas_spark.functions.text import ngrams
+
+    return F.array_distinct(ngrams(col, n))
+
+
+def save_bloom(bloom: BloomFilter, path: str) -> None:
+    """Persist a built filter as a one-row parquet dataset (the words
+    array plus sizing params) — a nightly decontamination/blocklist run
+    builds the eval bloom once and every later run loads it instead of
+    re-reducing the membership set."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(bloom.m_bits, bloom.k, bloom.n_items, bloom.words)],
+        "m_bits long, k int, n_items long, words array<long>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Inverse of :func:`save_bloom`."""
+    r = spark.read.parquet(path).first()
+    return BloomFilter(list(r["words"]), r["m_bits"], r["k"], r["n_items"])

@@ -30,11 +30,19 @@ needs for token-budget accounting and sequence packing
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
+
+# ASCII-only whitespace, matching the JVM side's Java-regex \s+ used by
+# word_frequencies — python str.split() would ALSO break on Unicode
+# whitespace (U+00A0 etc.), silently training and applying the tokenizer
+# on different word boundaries.
+_WS = re.compile(r"\s+", flags=re.ASCII)
 
 
 def word_frequencies(
@@ -156,7 +164,7 @@ def apply_bpe(
             if lowercase:
                 t = t.lower()
             doc: list[str] = []
-            for w in t.split():
+            for w in (x for x in _WS.split(t) if x):
                 hit = cache.get(w)
                 if hit is None:
                     hit = cache[w] = _encode_word(w, ranks)

@@ -48,8 +48,8 @@ def normalize_columns(
             aggs += [F.min(c).alias(f"{c}__a"), F.max(c).alias(f"{c}__b")]
         elif method == "robust":
             aggs += [
-                F.expr(f"percentile({c}, 0.5)").alias(f"{c}__a"),
-                F.expr(f"percentile({c}, 0.75) - percentile({c}, 0.25)").alias(f"{c}__b"),
+                F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__a"),
+                F.expr(f"percentile(`{c}`, 0.75) - percentile(`{c}`, 0.25)").alias(f"{c}__b"),
             ]
         else:
             raise ValueError(f"unknown method {method!r} (zscore|minmax|robust)")
@@ -86,9 +86,10 @@ def fit_pca(
     [k]}`` with components sign-fixed (largest-|coef| entry positive) so
     the model is deterministic across partitionings.
     """
-    first = df.select(vector_col).first()
-    if first is None:
-        raise ValueError("empty DataFrame")
+    df = df.select(vector_col).where(F.col(vector_col).isNotNull())
+    first = df.first()
+    if first is None or first[0] is None:
+        raise ValueError("no non-null vectors to fit PCA on")
     d = len(first[0])
 
     def _partials(batches):
@@ -144,8 +145,13 @@ def apply_pca(
     def _proj(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack(vecs.to_numpy()).astype(np.float64) - mean
-        y = (x @ comps.T).astype(np.float32)
-        return pd.Series(list(y))
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            x = np.stack(vecs[mask].to_numpy()).astype(np.float64) - mean
+            y = iter((x @ comps.T).astype(np.float32))
+        else:
+            y = iter(())
+        # null vectors project to null, not a crash
+        return pd.Series([next(y) if ok else None for ok in mask], dtype=object)
 
     return df.withColumn(out_col, _proj(F.col(vector_col)))

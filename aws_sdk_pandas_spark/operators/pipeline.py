@@ -184,6 +184,12 @@ def build_training_corpus(
         )
     from aws_sdk_pandas_spark.operators.sampling import training_order
 
+    if split_weights is None:
+        # training_order's prefix sum runs two jobs over its input;
+        # without the split stage's persist the whole curation +
+        # decontamination chain would recompute per job
+        out = out.persist()
+        out.count()
     out = training_order(out, key_col=id_col, seed=seed, epoch=epoch)
     if pack_budget is not None:
         from aws_sdk_pandas_spark.operators.packing import pack_sequences

@@ -353,7 +353,14 @@ def global_prefix_sum(
         offsets.append((pid, acc))
         acc += totals.get(pid, 0) or 0
     off_df = spark.createDataFrame(offsets, "__pid int, __off bigint") if offsets else None
-    w = Window.partitionBy("__pid").orderBy(*order)
+    # ROWS frame, not the default RANGE: RANGE gives tied order keys one
+    # shared inclusive sum, so duplicate keys would collapse to the same
+    # running total instead of consecutive ones
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = r.withColumn("__local", F.sum(value_col).over(w))
     if off_df is not None:
         out = out.join(F.broadcast(off_df), "__pid")
@@ -472,6 +479,12 @@ def training_order(
     how a trainer replays epoch k of a 100 TB corpus without
     materializing k shuffled copies.
 
+    ``key_col`` must be UNIQUE per row: it is the tie-break of the total
+    order, so duplicate keys would make the assignment between those
+    rows partition-layout-dependent (positions stay a valid 1..N
+    permutation either way, but cross-engine reproducibility needs the
+    unique key).
+
     Scale shape: built on :func:`global_prefix_sum` — a range
     repartition on the md5 shuffle key, a within-partition window, and a
     partition-count-sized offset table.  No single-partition
@@ -551,6 +564,8 @@ def uniform_sample_k(
     the target count in expectation and changes membership with the
     partitioning; this is the fixed-size, engine-rederivable variant
     (distributed reservoir sampling without the sequential reservoir).
+    ``key_col`` must be unique per row — it tie-breaks the boundary, so
+    duplicate keys there would make membership layout-dependent.
 
     Scale shape: Catalyst compiles orderBy+limit to
     TakeOrderedAndProject — each partition keeps its local top-k heap

@@ -482,19 +482,30 @@ def decontaminate_stream(
         eval_df.select(F.explode(grams_col).alias("g")).distinct().persist()
     )
     bloom = build_bloom(eval_grams, "g", fpp=fpp)
+    # build the membership-test Column ONCE: in broadcast mode the bloom
+    # words ride a SparkContext broadcast created at construction time —
+    # building it per batch would leak one broadcast per micro-batch
+    g_test = might_contain(F.col("g"), bloom)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        cand = batch_df.select(F.col(id_col), F.explode(grams_col).alias("g")).where(
-            might_contain(F.col("g"), bloom)
+        batch = batch_df.persist()
+        cand = batch.select(F.col(id_col), F.explode(grams_col).alias("g")).where(
+            g_test
         )
-        bad = cand.join(eval_grams, "g", "left_semi").select(id_col).distinct()
-        survivors = batch_df.join(F.broadcast(bad), id_col, "left_anti")
+        bad = (
+            cand.join(eval_grams, "g", "left_semi")
+            .select(id_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # computed once, reused by both writes
+        )
+        survivors = batch.join(F.broadcast(bad), id_col, "left_anti")
         write_dataset(survivors, out_path, "parquet", mode="append")
         if reject_path:
-            rejected = batch_df.join(F.broadcast(bad), id_col, "left_semi")
+            rejected = batch.join(F.broadcast(bad), id_col, "left_semi")
             write_dataset(rejected, reject_path, "parquet", mode="append")
+        batch.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -89,3 +89,19 @@ def test_decontaminate_flag_mode(spark, sf_dir):
     assert flagged.count() == corpus.count()
     n_clean = flagged.where(~F.col("contaminated")).count()
     assert n_clean == decontaminate(corpus, eval_df, n=3).count()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from aws_sdk_pandas_spark.operators.bloom import load_bloom, save_bloom
+
+    members = _members(spark, 300)
+    bloom = build_bloom(members, "v", fpp=0.01)
+    p = str(tmp_path / "bloom")
+    save_bloom(bloom, p)
+    loaded = load_bloom(spark, p)
+    assert (loaded.m_bits, loaded.k, loaded.n_items) == (bloom.m_bits, bloom.k, bloom.n_items)
+    assert loaded.words == bloom.words
+    probe = _probe(spark, 1500)
+    a = sorted(r["v"] for r in probe.where(might_contain(F.col("v"), bloom)).collect())
+    b = sorted(r["v"] for r in probe.where(might_contain(F.col("v"), loaded)).collect())
+    assert a == b

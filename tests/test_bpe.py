@@ -114,3 +114,20 @@ def test_sf_corpus_end_to_end(spark, sf_dir):
     )
     assert out.where(F.col("n_bpe") <= 0).count() == 0
     assert out.count() == docs.count()
+
+
+def test_unicode_whitespace_consistent_with_jvm_split(spark):
+    """U+00A0 is NOT a word boundary on the JVM side (Java \\s is
+    ASCII); apply_bpe must agree, or the tokenizer trains and applies on
+    different words."""
+    df = spark.createDataFrame(
+        [("a", "foo bar baz"), ("b", "foo bar qux")],
+        "doc_id string, text string",
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(df, min_freq=1).collect()}
+    assert wf.get("foo bar") == 2  # one word, not two
+
+    toks = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, []).collect()}
+    # zero merges -> chars + one end-of-word marker PER WORD: 2 words each
+    assert toks["a"].count(END_OF_WORD) == 2
+    assert decode_bpe(toks["a"]) == "foo bar baz"

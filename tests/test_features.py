@@ -95,3 +95,12 @@ def test_apply_pca_projection_geometry(spark):
     v = o4.var(axis=0, ddof=1)
     assert v[0] > v[1] > v[2] > v[3]
     assert np.allclose(v, m4["explained_variance"], rtol=5e-3)
+
+
+def test_pca_null_vectors(spark):
+    rows = [(0, [1.0, 2.0, 3.0]), (1, None), (2, [2.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    model = fit_pca(df, k=2)  # nulls ignored in the fit
+    out = {r.vec_id: r.pca for r in apply_pca(df, model).collect()}
+    assert out[1] is None  # null in -> null out
+    assert all(out[i] is not None and len(out[i]) == 2 for i in (0, 2, 3))
