@@ -2318,6 +2318,20 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift (operators/drift.corpus_divergence): per-bucket
+    Jensen-Shannon + PSI contributions between the en and fr document
+    sets over md5-hashed {1,2}-gram buckets — each corpus reduces to a
+    512-row histogram before any cross-corpus math."""
+    from aws_sdk_pandas_spark.operators.drift import corpus_divergence
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return corpus_divergence(
+        docs.where("lang = 'en'"), docs.where("lang = 'fr'"), buckets=512
+    ).orderBy("bucket")
+
+
 def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE pre-training data pipeline as one call (operators/
     pipeline.build_training_corpus): curation gauntlet -> 4-gram
@@ -2611,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_free_split": _q_leakage_free_split,
         "docs_uniform_sample_k": _q_uniform_sample_k,
         "docs_training_corpus": _q_training_corpus,
+        "docs_corpus_drift": _q_corpus_drift,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3157,6 +3172,47 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_corpus_drift": """
+            WITH ra AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+                        FROM documents WHERE lang = 'en'),
+            ga AS (SELECT g FROM (
+                       SELECT unnest(ws) AS g FROM ra
+                       UNION ALL
+                       SELECT unnest(list_transform(range(1, len(ws)),
+                                                    i -> ws[i] || ' ' || ws[i+1])) AS g
+                       FROM ra) t
+                   WHERE g <> ''),
+            ba AS (SELECT ('0x' || substring(md5(g), 1, 8))::BIGINT % 512 AS b FROM ga),
+            cau AS (SELECT b, COUNT(*) AS na FROM ba GROUP BY b),
+            rb2 AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+                    FROM documents WHERE lang = 'fr'),
+            gb AS (SELECT g FROM (
+                       SELECT unnest(ws) AS g FROM rb2
+                       UNION ALL
+                       SELECT unnest(list_transform(range(1, len(ws)),
+                                                    i -> ws[i] || ' ' || ws[i+1])) AS g
+                       FROM rb2) t
+                   WHERE g <> ''),
+            bb AS (SELECT ('0x' || substring(md5(g), 1, 8))::BIGINT % 512 AS b FROM gb),
+            cbu AS (SELECT b, COUNT(*) AS nb FROM bb GROUP BY b),
+            ta AS (SELECT SUM(na) AS t FROM cau),
+            tb AS (SELECT SUM(nb) AS t FROM cbu),
+            j AS (SELECT COALESCE(cau.b, cbu.b) AS bucket,
+                         COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b
+                  FROM cau FULL OUTER JOIN cbu ON cau.b = cbu.b),
+            probs AS (SELECT bucket, n_a, n_b,
+                             (n_a + 1.0) / ((SELECT t FROM ta) + 512.0) AS p,
+                             (n_b + 1.0) / ((SELECT t FROM tb) + 512.0) AS q
+                      FROM j)
+            SELECT bucket, n_a, n_b,
+                   CAST(ROUND(p, 8) AS DOUBLE) AS p_a,
+                   CAST(ROUND(q, 8) AS DOUBLE) AS p_b,
+                   CAST(ROUND((p * ln(p / ((p + q) / 2))
+                               + q * ln(q / ((p + q) / 2))) / 2, 8) AS DOUBLE) AS js,
+                   CAST(ROUND((p - q) * ln(p / q), 8) AS DOUBLE) AS psi
+            FROM probs
+            ORDER BY bucket
         """,
         "docs_training_corpus": """
             WITH RECURSIVE corpus AS (
