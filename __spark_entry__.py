@@ -2318,6 +2318,66 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.diff_frames): orders 'last week'
+    (keys % 7 != 0) vs 'this week' (keys % 11 != 0, priority rewritten
+    on % 5 == 0) — added/removed/changed via one key-shuffled full-outer
+    join over portable md5 row hashes."""
+    from aws_sdk_pandas_spark.operators.diff import diff_frames
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    a = orders.where("o_orderkey % 7 != 0")
+    b = orders.where("o_orderkey % 11 != 0").withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-MOD")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return diff_frames(
+        a, b, keys=["o_orderkey"], compare_cols=["o_orderpriority", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+def _q_discretize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quantile discretization (operators/features.
+    discretize_quantiles): event values into 4 equal-population buckets
+    from interpolated quartile cut points — value-property boundaries,
+    engine-rederivable (unlike ntile's rank-property ones)."""
+    from aws_sdk_pandas_spark.operators.features import discretize_quantiles
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        discretize_quantiles(ev, "value", 4)
+        .select("event_id", "value_bucket")
+        .orderBy("event_id")
+    )
+
+
+def _q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (operators/scd.scd2_lookup): each order
+    resolves the customer's priority version valid at its order date —
+    key-shuffled join, validity predicate rides the join condition
+    (non-overlapping versions guarantee at most one match)."""
+    from aws_sdk_pandas_spark.operators.scd import scd2_from_changes, scd2_lookup
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    hist = scd2_from_changes(
+        orders,
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        track_cols=["o_orderpriority"],
+    )
+    facts = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        scd2_lookup(facts, hist, keys=["o_custkey"], ts_col="o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift (operators/drift.corpus_divergence): per-bucket
     Jensen-Shannon + PSI contributions between the en and fr document
@@ -2626,6 +2686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_uniform_sample_k": _q_uniform_sample_k,
         "docs_training_corpus": _q_training_corpus,
         "docs_corpus_drift": _q_corpus_drift,
+        "scd2_priority_lookup": _q_scd2_lookup,
+        "diff_orders_snapshots": _q_diff_snapshots,
+        "events_discretize_quartiles": _q_discretize_values,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3172,6 +3235,67 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "diff_orders_snapshots": """
+            WITH a AS (
+                SELECT o_orderkey, o_orderpriority, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ), b AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'X-MOD'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT o_orderkey, change_type FROM (
+                SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                            WHEN b.o_orderkey IS NULL THEN 'removed'
+                            WHEN a.o_orderpriority <> b.o_orderpriority
+                              OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                       END AS change_type
+                FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            ) t
+            WHERE change_type IS NOT NULL
+            ORDER BY o_orderkey
+        """,
+        "events_discretize_quartiles": """
+            WITH cuts AS (
+                SELECT quantile_cont(value, 0.25) AS c1,
+                       quantile_cont(value, 0.5)  AS c2,
+                       quantile_cont(value, 0.75) AS c3
+                FROM events
+            )
+            SELECT event_id,
+                   CAST((value >= c1)::INT + (value >= c2)::INT
+                        + (value >= c3)::INT AS INT) AS value_bucket
+            FROM events, cuts
+            ORDER BY event_id
+        """,
+        "scd2_priority_lookup": """
+            WITH ordered AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                       LAG(o_orderpriority) OVER w AS prev,
+                       ROW_NUMBER() OVER w AS rn
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ), changes AS (
+                SELECT * FROM ordered
+                WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+            ), hist AS (
+                SELECT o_custkey, o_orderpriority,
+                       o_orderdate AS valid_from,
+                       LEAD(o_orderdate) OVER w2 AS valid_to
+                FROM changes
+                WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            )
+            SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, h.o_orderpriority
+            FROM orders f
+            LEFT JOIN hist h
+              ON f.o_custkey = h.o_custkey
+             AND f.o_orderdate >= h.valid_from
+             AND (h.valid_to IS NULL OR f.o_orderdate < h.valid_to)
+            ORDER BY f.o_orderkey
         """,
         "docs_corpus_drift": """
             WITH ra AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws

@@ -155,3 +155,39 @@ def apply_pca(
         return pd.Series([next(y) if ok else None for ok in mask], dtype=object)
 
     return df.withColumn(out_col, _proj(F.col(vector_col)))
+
+
+def discretize_quantiles(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact-quantile discretization: assign each row the bucket
+    ``0..n_buckets-1`` delimited by the column's exact interpolated
+    quantile cut points (bucket i holds values in [q_i, q_{i+1})) —
+    equal-POPULATION bins for feature binning and stratified reporting,
+    where fixed-width histograms collapse under skew.
+
+    One aggregation computes all n-1 cut points together; assignment
+    folds the cut array into a codegen-only comparison sum (no second
+    shuffle, no UDF).  Nulls stay null.  Unlike ``ntile`` the boundary
+    is a VALUE property, so equal values always share a bucket and the
+    assignment is reproducible on any engine from the cut points.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    cuts = df.agg(F.expr(f"percentile(`{col}`, array({fracs}))")).first()[0]
+    if cuts is None:
+        raise ValueError(f"no non-null values in {col!r}")
+    b = F.aggregate(
+        F.lit([float(c) for c in cuts]),
+        F.lit(0),
+        lambda acc, cut: acc + F.when(F.col(col) >= cut, 1).otherwise(0),
+    )
+    return df.withColumn(
+        out_col or f"{col}_bucket",
+        F.when(F.col(col).isNotNull(), b).cast("int"),
+    )

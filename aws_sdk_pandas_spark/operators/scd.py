@@ -66,3 +66,53 @@ def scd2_from_changes(
         valid_to.alias(valid_to_col),
         valid_to.isNull().alias(current_col),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    pick_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension resolution: each fact row joins the
+    dimension version valid at its timestamp
+    (``valid_from <= ts < valid_to``; the open version has null
+    ``valid_to``) — the lookup every fact table runs against a type-2
+    history built by :func:`scd2_from_changes`.
+
+    Scale shape: the join is keyed on the business keys (one hash
+    shuffle); the validity predicate rides the join condition and only
+    ever filters the per-key version candidates — a well-formed SCD2
+    history has non-overlapping versions per key, so at most ONE version
+    matches each fact and the join never expands rows (no interval
+    bucketing needed, unlike a general range join).
+
+    ``pick_cols``: dimension columns to attach (default: everything but
+    the keys and validity columns).
+    """
+    if not keys:
+        raise InvalidArgument("keys are required")
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
+    ts = F.col(f"__f.{ts_col}")
+    cond = cond & (ts >= F.col(f"__d.{valid_from_col}"))
+    cond = cond & (
+        F.col(f"__d.{valid_to_col}").isNull() | (ts < F.col(f"__d.{valid_to_col}"))
+    )
+    pick = pick_cols or [
+        c
+        for c in dim.columns
+        if c not in set(keys) | {valid_from_col, valid_to_col, "is_current"}
+    ]
+    return f.join(d, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}") for c in pick],
+    )

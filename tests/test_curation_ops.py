@@ -401,3 +401,34 @@ def test_build_training_corpus_end_to_end(spark, sf_dir):
         (r.doc_id, r.split, r.position, r.seq_id) for r in rows
     )
     out.unpersist()
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from datetime import date
+
+    from aws_sdk_pandas_spark.operators.scd import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [
+            (1, "gold", date(2024, 1, 1), date(2024, 3, 1), False),
+            (1, "platinum", date(2024, 3, 1), None, True),
+            (2, "silver", date(2024, 2, 1), None, True),
+        ],
+        "cust int, tier string, valid_from date, valid_to date, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, date(2024, 1, 15)),   # inside v1
+            (11, 1, date(2024, 3, 1)),    # ON the change date -> new version
+            (12, 1, date(2024, 2, 28)),   # last day of v1
+            (13, 2, date(2024, 1, 15)),   # before any version -> null (left)
+            (14, 3, date(2024, 6, 1)),    # unknown key -> null
+        ],
+        "fact_id int, cust int, ts date",
+    )
+    out = {r.fact_id: r.tier for r in scd2_lookup(
+        facts, hist, keys=["cust"], ts_col="ts").collect()}
+    assert out == {10: "gold", 11: "platinum", 12: "gold", 13: None, 14: None}
+    # inner join drops the unmatched facts, never duplicates matches
+    inner = scd2_lookup(facts, hist, keys=["cust"], ts_col="ts", how="inner")
+    assert sorted(r.fact_id for r in inner.collect()) == [10, 11, 12]

@@ -104,3 +104,28 @@ def test_pca_null_vectors(spark):
     out = {r.vec_id: r.pca for r in apply_pca(df, model).collect()}
     assert out[1] is None  # null in -> null out
     assert all(out[i] is not None and len(out[i]) == 2 for i in (0, 2, 3))
+
+
+def test_discretize_quantiles_equal_population(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.features import discretize_quantiles
+
+    vals = [float(v) for v in range(100)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(100, None)], "id int, x double"
+    )
+    out = {r.id: r.x_bucket for r in discretize_quantiles(df, "x", 4).collect()}
+    assert out[100] is None
+    counts = {}
+    for i, v in enumerate(vals):
+        counts[out[i]] = counts.get(out[i], 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())  # equal-population-ish
+    # assignment consistent with numpy cutpoints
+    cuts = [np.percentile(vals, q, method="linear") for q in (25, 50, 75)]
+    for i, v in enumerate(vals):
+        assert out[i] == sum(v >= c for c in cuts)
+    # equal values share a bucket
+    df2 = spark.createDataFrame([(i, 5.0) for i in range(8)], "id int, x double")
+    assert {r.x_bucket for r in discretize_quantiles(df2, "x", 4).collect()} == {3}
