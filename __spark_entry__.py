@@ -2318,6 +2318,22 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (operators/timeseries.
+    detect_anomalies_rolling): per-user 1-hour trailing baseline,
+    current row excluded, z>2 flags — one range-frame window shuffle."""
+    from aws_sdk_pandas_spark.operators.timeseries import detect_anomalies_rolling
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = detect_anomalies_rolling(
+        ev, ts_col="ts", value_col="value", by=["user_id"], z=2.0, min_points=3
+    )
+    return out.select(
+        "event_id", "anomaly_n_prior", "anomaly_zscore", "anomaly_flag"
+    ).orderBy("event_id")
+
+
 def _q_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/diff.diff_frames): orders 'last week'
     (keys % 7 != 0) vs 'this week' (keys % 11 != 0, priority rewritten
@@ -2689,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_priority_lookup": _q_scd2_lookup,
         "diff_orders_snapshots": _q_diff_snapshots,
         "events_discretize_quartiles": _q_discretize_values,
+        "events_rolling_anomalies": _q_rolling_anomalies,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3235,6 +3252,27 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_rolling_anomalies": """
+            WITH stats AS (
+                SELECT event_id, value,
+                       COUNT(value) OVER w AS n_prior,
+                       AVG(value) OVER w AS m,
+                       STDDEV_SAMP(value) OVER w AS s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id,
+                   n_prior AS anomaly_n_prior,
+                   CAST(ROUND(CASE WHEN n_prior >= 3 AND s IS NOT NULL AND s > 0
+                                   THEN (value - m) / s END, 4) AS DOUBLE)
+                       AS anomaly_zscore,
+                   COALESCE(abs(CASE WHEN n_prior >= 3 AND s IS NOT NULL AND s > 0
+                                     THEN (value - m) / s END) > 2.0, FALSE)
+                       AS anomaly_flag
+            FROM stats
+            ORDER BY event_id
         """,
         "diff_orders_snapshots": """
             WITH a AS (

@@ -153,3 +153,60 @@ def resample_interpolate(
         F.col("__b").alias("bucket"),
         F.round(interp, round_to).alias("value"),
     )
+
+
+def detect_anomalies_rolling(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    window_seconds: int = 3600,
+    z: float = 3.0,
+    min_points: int = 5,
+    out_prefix: str = "anomaly",
+) -> DataFrame:
+    """Trailing-window anomaly detection: flag points whose value sits
+    more than ``z`` sample standard deviations from the mean of the
+    PRECEDING ``window_seconds`` within each ``by`` group — the baseline
+    excludes the current row, so an anomaly cannot damp its own
+    threshold.  Points with fewer than ``min_points`` trailing
+    neighbours (cold start) or a degenerate (zero/NULL) trailing spread
+    are never flagged.
+
+    Adds ``<prefix>_n_prior``, ``<prefix>_zscore`` (rounded, NULL when
+    undefined), ``<prefix>_flag``.
+
+    Scale shape: ONE range-frame window over (group, epoch) — the same
+    single-shuffle shape as the sliding-time-window features; state per
+    task is bounded by the window span, never the series length.
+    """
+    # TIMESTAMP_NTZ refuses a straight cast to long in Spark 4: go
+    # through exact epoch micros (same helper contract as rangejoin)
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp") or dtype == "date":
+        epoch = (F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / 1_000_000).cast(
+            "long"
+        )
+    else:
+        epoch = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    zscore = F.when(
+        (n >= min_points) & std.isNotNull() & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return (
+        df.withColumn(f"{out_prefix}_n_prior", n)
+        .withColumn(f"{out_prefix}_zscore", F.round(zscore, 4))
+        .withColumn(
+            f"{out_prefix}_flag",
+            F.coalesce(F.abs(zscore) > F.lit(z), F.lit(False)),
+        )
+    )

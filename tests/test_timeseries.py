@@ -58,3 +58,31 @@ def test_resample_interpolate_linear(spark):
     assert got[("a", 0)] == 10.0 and got[("a", 3)] == 40.0
     assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0   # linear blend
     assert got[("b", 0)] == 5.0
+
+
+def test_detect_anomalies_rolling(spark):
+    from datetime import datetime
+
+    from aws_sdk_pandas_spark.operators.timeseries import detect_anomalies_rolling
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: stable series then a spike inside the window
+    for i in range(10):
+        rows.append((i, 1, base.replace(minute=i * 2), 10.0 + (i % 3) * 0.1))
+    rows.append((10, 1, base.replace(minute=30), 50.0))  # spike
+    # user 2: only 2 points -> cold start, never flagged
+    rows.append((11, 2, base, 1.0))
+    rows.append((12, 2, base.replace(minute=5), 100.0))
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+
+    out = {r.event_id: r for r in detect_anomalies_rolling(
+        df, ts_col="ts", value_col="value", by=["user_id"], z=3.0).collect()}
+    assert out[10].anomaly_flag is True
+    assert all(out[i].anomaly_flag is False for i in range(10))  # stable points
+    assert out[12].anomaly_flag is False and out[12].anomaly_n_prior == 1  # cold start
+    assert out[0].anomaly_zscore is None  # first point: no baseline
+
+    # baseline excludes the current row: the spike's own value is absent
+    # from its trailing stats (z computed against the stable 10.x mean)
+    assert out[10].anomaly_zscore > 100
