@@ -2318,6 +2318,20 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join on part names (operators/fuzzy.
+    fuzzy_match_join): SymSpell deletion-neighborhood equi-join + real
+    levenshtein verify — complete blocking, so the oracle is the plain
+    brute-force all-pairs definition."""
+    from aws_sdk_pandas_spark.operators.fuzzy import fuzzy_match_join
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    part = read_parquet(spark, f"{sf_dir}/part.parquet")
+    return fuzzy_match_join(
+        part, part, "p_name", max_distance=2, self_pairs=True
+    ).orderBy("p_name_a", "p_name_b")
+
+
 def _q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection (operators/timeseries.
     detect_anomalies_rolling): per-user 1-hour trailing baseline,
@@ -2706,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_orders_snapshots": _q_diff_snapshots,
         "events_discretize_quartiles": _q_discretize_values,
         "events_rolling_anomalies": _q_rolling_anomalies,
+        "fuzzy_part_names": _q_fuzzy_part_names,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3252,6 +3267,14 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "fuzzy_part_names": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS p_name_a, b.p_name AS p_name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY p_name_a, p_name_b
         """,
         "events_rolling_anomalies": """
             WITH stats AS (

@@ -1,0 +1,64 @@
+"""Fuzzy join: deletion-neighborhood completeness (result == brute
+force), variant generation correctness, and the no-cross-product plan."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.fuzzy import deletion_variants, fuzzy_match_join
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_deletion_variants(spark):
+    df = spark.createDataFrame([("abc",), ("x",), ("",)], "s string")
+    got = {r.s: sorted(r.v) for r in df.select(
+        "s", deletion_variants(F.col("s"), 2).alias("v")).collect()}
+    want_abc = {"abc"}
+    for i in range(3):
+        want_abc.add("abc"[:i] + "abc"[i + 1:])
+    for i, j in itertools.combinations(range(3), 2):
+        want_abc.add("".join(c for k, c in enumerate("abc") if k not in (i, j)))
+    assert got["abc"] == sorted(want_abc)
+    assert got["x"] == ["", "x"]
+    assert got[""] == [""]
+
+
+def test_fuzzy_join_equals_brute_force(spark):
+    names = [
+        "cold plate", "old plate", "gold plate", "cold slate", "red widget",
+        "red gadget", "blue bolt", "glue bolt", "blue jolt", "completely other",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    for d in (1, 2):
+        got = sorted(
+            (r.name_a, r.name_b, r.distance)
+            for r in fuzzy_match_join(df, df, "name", max_distance=d, self_pairs=True).collect()
+        )
+        want = sorted(
+            (a, b, _lev(a, b))
+            for a, b in itertools.combinations(sorted(names), 2)
+            if _lev(a, b) <= d
+        )
+        assert got == want, f"d={d}: symmetric-delete blocking lost a pair"
+        assert len(got) > 0
+
+
+def test_fuzzy_join_two_sided_and_plan(spark):
+    a = spark.createDataFrame([("kitten",), ("apple",)], "name string")
+    b = spark.createDataFrame([("sitten",), ("applq",), ("banana",)], "name string")
+    out = fuzzy_match_join(a, b, "name", max_distance=1)
+    rows = sorted((r.name_a, r.name_b, r.distance) for r in out.collect())
+    assert rows == [("apple", "applq", 1), ("kitten", "sitten", 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
