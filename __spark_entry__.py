@@ -2318,6 +2318,30 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user -> event_type property graph
+    (connectors/neptune.pagerank: one shuffle per iteration, dangling
+    mass redistributed, localCheckpoint keeps plans bounded).
+    Rows-only gate; numpy power-iteration exactness pinned in
+    test_graph.py."""
+    from aws_sdk_pandas_spark.connectors.neptune import pagerank
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.col("event_id").cast("string").alias("~id"),
+        F.lit("did").alias("~label"),
+        F.col("user_id").cast("string").alias("~from"),
+        F.col("event_type").alias("~to"),
+    )
+    return (
+        pagerank(edges, max_iter=5)
+        .select(F.col("~id").alias("vertex"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "vertex")
+        .limit(50)
+    )
+
+
 def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance self-join on part names (operators/fuzzy.
     fuzzy_match_join): SymSpell deletion-neighborhood equi-join + real
@@ -2731,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "emb_knn_lsh_ann": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,
+        "graph_pagerank": _q_graph_pagerank,
         "docs_bpe_tokens": _q_bpe_tokens,
         "emb_pca_project": _q_pca_project,
     }

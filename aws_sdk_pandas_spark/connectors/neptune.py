@@ -260,3 +260,76 @@ class GremlinParser:
         if hasattr(data, "__dict__"):
             return {str(k): v for k, v in vars(data).items()}
         return {"_result": data}
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank over the two-DataFrame property-graph model: returns
+    ``~id, rank`` (ranks sum to 1), with proper dangling-node handling
+    (their mass redistributes uniformly each round, as in the original
+    formulation — dropping it makes ranks leak and the sum drift).
+
+    Scale shape: the edge list persists once with its out-degree
+    attached; each iteration is ONE shuffle (contributions grouped by
+    destination) plus two bounded driver actions (dangling mass — a
+    1-row aggregate — and the L1 delta for convergence).  Rank frames
+    localCheckpoint per round so the plan never grows with the
+    iteration count — the same pattern as
+    ``operators.graph.connected_components``.
+    """
+    validate_edges(edges)
+    e = edges.select(F.col("~from").alias("src"), F.col("~to").alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(F.col("id").alias("~id"), F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(out_deg, "src").persist()
+    e_deg.count()
+
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    dangling = verts.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+
+    for _ in range(max_iter):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        d_mass = (
+            dangling.join(ranks, "id").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        base = (1.0 - damping) / n + damping * d_mass / n
+        updated = (
+            verts.join(contribs, "id", "left")
+            .join(ranks.withColumnRenamed("rank", "__old"), "id")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+                "__old",
+            )
+            .localCheckpoint()
+        )
+        delta = updated.agg(F.sum(F.abs(F.col("rank") - F.col("__old")))).first()[0]
+        ranks = updated.drop("__old")
+        if delta is not None and delta < tol:
+            break
+    verts.unpersist()
+    e_deg.unpersist()
+    dangling.unpersist()
+    return ranks.select(F.col("id").alias("~id"), "rank")

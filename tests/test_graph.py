@@ -38,3 +38,37 @@ def test_dedup_keep_best(spark):
     # no score: minimum id wins
     kept_min = sorted(r.doc_id for r in dedup_keep_best(docs, pairs).collect())
     assert kept_min == [1, 4, 5]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.connectors.neptune import pagerank
+
+    # graph with a dangling node (d) and a hub (a)
+    pairs = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"), ("c", "d"), ("e", "a")]
+    edges = spark.createDataFrame(
+        [(f"e{i}", "link", s, t) for i, (s, t) in enumerate(pairs)],
+        "`~id` string, `~label` string, `~from` string, `~to` string",
+    )
+    got = {r["~id"]: r["rank"] for r in pagerank(edges, max_iter=25, tol=1e-9).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    outd = {}
+    for s, t in pairs:
+        outd[s] = outd.get(s, 0) + 1
+    for s, t in pairs:
+        M[idx[t], idx[s]] = 1.0 / outd[s]
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(25):
+        dangling_mass = sum(r[idx[v]] for v in nodes if v not in outd)
+        r = (1 - d) / n + d * (M @ r + dangling_mass / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # ranks are a distribution
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, v  # same 25 rounds both sides
+    # the hub receiving 3 in-links outranks everything
+    assert got["a"] == max(got.values())
