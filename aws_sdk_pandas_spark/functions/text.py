@@ -199,3 +199,29 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     return F.when(F.length(normalized) < k, F.array(normalized)).otherwise(
         F.array_distinct(grams)
     )
+
+
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """Crawl-cleaning scrub: drop ``<script>``/``<style>`` blocks with
+    their content, strip remaining tags and HTML comments, decode the
+    common entities, collapse whitespace.  Pure JVM regexp chain — runs
+    in whole-stage codegen on the raw-crawl scan, no UDF.
+
+    A heuristic text extractor (the CCNet/C4 preprocessing step), not an
+    HTML parser: pathological markup (unclosed scripts, CDATA) degrades
+    to over-stripping, never to leaking script bodies.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"&#(\d+);", " ")  # numeric entities -> separator
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -314,3 +314,24 @@ def test_semantic_dedup_keep_preference(spark):
     kept = sorted(r.id for r in out.collect())
     assert "other" in kept
     assert len(kept) == 2  # one of near/near2 dropped
+
+
+def test_strip_html(spark):
+    from aws_sdk_pandas_spark.functions.text import strip_html
+
+    rows = [
+        (1, "<html><head><style>p{color:red}</style></head>"
+            "<body><p>Hello <b>world</b></p><script>var x=1;</script></body></html>"),
+        (2, "plain text stays"),
+        (3, "a &amp; b &lt;tag&gt; &quot;q&quot; &nbsp; c"),
+        (4, "<!-- comment -->visible<br/>text"),
+        (5, "<SCRIPT>alert('x')</SCRIPT>safe"),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    got = {r.id: r.text for r in df.select("id", strip_html("html").alias("text")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "plain text stays"
+    assert got[3] == 'a & b <tag> "q" c'
+    assert got[4] == "visible text"
+    assert got[5] == "safe"  # case-insensitive script scrub
+    assert "var x" not in got[1] and "color" not in got[1]
