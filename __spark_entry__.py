@@ -3308,8 +3308,8 @@ def oracle_sql() -> dict[str, str]:
                        AVG(value) OVER w AS m,
                        STDDEV_SAMP(value) OVER w AS s
                 FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
             )
             SELECT event_id,
                    n_prior AS anomaly_n_prior,
@@ -3408,9 +3408,12 @@ def oracle_sql() -> dict[str, str]:
             cbu AS (SELECT b, COUNT(*) AS nb FROM bb GROUP BY b),
             ta AS (SELECT SUM(na) AS t FROM cau),
             tb AS (SELECT SUM(nb) AS t FROM cbu),
-            j AS (SELECT COALESCE(cau.b, cbu.b) AS bucket,
+            allb AS (SELECT unnest(range(512)) AS bucket),
+            j AS (SELECT allb.bucket,
                          COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b
-                  FROM cau FULL OUTER JOIN cbu ON cau.b = cbu.b),
+                  FROM allb
+                  LEFT JOIN cau ON cau.b = allb.bucket
+                  LEFT JOIN cbu ON cbu.b = allb.bucket),
             probs AS (SELECT bucket, n_a, n_b,
                              (n_a + 1.0) / ((SELECT t FROM ta) + 512.0) AS p,
                              (n_b + 1.0) / ((SELECT t FROM tb) + 512.0) AS q

@@ -201,9 +201,12 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+# &amp; decodes LAST (standard single-decode): doing it first would
+# over-decode double-encoded text ('&amp;lt;' must yield the literal
+# '&lt;' the author wrote, not '<')
 _HTML_ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
 ]
 
 
@@ -223,5 +226,6 @@ def strip_html(col: Column | str) -> Column:
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.regexp_replace(out, ent, rep)
-    out = F.regexp_replace(out, r"&#(\d+);", " ")  # numeric entities -> separator
+    # remaining numeric refs (decimal AND hex) -> separator
+    out = F.regexp_replace(out, r"&#[xX]?[0-9a-fA-F]+;", " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -246,14 +246,18 @@ def _word_ngrams(col: Column, n: int) -> Column:
     return F.array_distinct(ngrams(col, n))
 
 
-def save_bloom(bloom: BloomFilter, path: str) -> None:
+def save_bloom(bloom: BloomFilter, path: str, spark=None) -> None:
     """Persist a built filter as a one-row parquet dataset (the words
     array plus sizing params) — a nightly decontamination/blocklist run
     builds the eval bloom once and every later run loads it instead of
     re-reducing the membership set."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "no active SparkSession on this thread — pass save_bloom(..., spark=...)"
+        )
     df = spark.createDataFrame(
         [(bloom.m_bits, bloom.k, bloom.n_items, bloom.words)],
         "m_bits long, k int, n_items long, words array<long>",

@@ -57,9 +57,21 @@ def diff_frames(
     if compare_cols is None:
         shared = [c for c in df_a.columns if c in set(df_b.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
-    a = df_a.select(*keys, row_hash(compare_cols).alias("__ha"))
-    b = df_b.select(*keys, row_hash(compare_cols).alias("__hb"))
-    j = a.join(b, keys, "full_outer")
+    a = df_a.select(*keys, row_hash(compare_cols).alias("__ha")).alias("__l")
+    b = df_b.select(*keys, row_hash(compare_cols).alias("__hb")).alias("__r")
+    # null-SAFE key equality: a row with a NULL business key present in
+    # both snapshots must match itself, not surface as added+removed
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+    j = a.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__l.{k}"), F.col(f"__r.{k}")).alias(k)
+            for k in keys
+        ],
+        "__ha",
+        "__hb",
+    )
     return (
         j.withColumn(
             "change_type",

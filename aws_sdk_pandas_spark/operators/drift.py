@@ -12,9 +12,12 @@ contributions come from one full-outer join of the two histograms.
 Corpus size only affects the two counting passes; the divergence math
 runs on at most ``buckets`` rows.
 
-Buckets unobserved in BOTH corpora are absent from the output — their
-smoothed probabilities are equal, so their JS and PSI contributions are
-exactly zero and the totals are unaffected.
+Every bucket 0..buckets-1 appears in the output, including those
+unobserved in both corpora: when the corpora differ in SIZE the
+smoothed probabilities of an empty bucket differ too
+(alpha/(Ta+alpha*B) vs alpha/(Tb+alpha*B)), so empty buckets carry
+real divergence mass — dropping them would bias the JS/PSI totals
+low exactly when one snapshot is much larger than the other.
 
 Reference parity: aws-sdk-pandas has no drift surface; this extends its
 data-quality family (`wr.data_quality`, reference
@@ -76,9 +79,11 @@ def corpus_divergence(
     """
     ca = gram_bucket_counts(df_a, text_col=text_col, ngrams=ngrams, buckets=buckets)
     cb = gram_bucket_counts(df_b, text_col=text_col, ngrams=ngrams, buckets=buckets)
+    spark = df_a.sparkSession
+    all_buckets = spark.range(buckets).select(F.col("id").alias("bucket"))
     j = (
-        ca.withColumnRenamed("n", "n_a")
-        .join(cb.withColumnRenamed("n", "n_b"), "bucket", "full_outer")
+        all_buckets.join(ca.withColumnRenamed("n", "n_a"), "bucket", "left")
+        .join(cb.withColumnRenamed("n", "n_b"), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("n_a", F.lit(0)).alias("n_a"),

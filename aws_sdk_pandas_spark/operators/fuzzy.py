@@ -78,6 +78,11 @@ def fuzzy_match_join(
     """
     va = df_a.select(F.col(on).alias("__a")).where(F.col("__a").isNotNull()).distinct()
     vb = df_b.select(F.col(on).alias("__b")).where(F.col("__b").isNotNull()).distinct()
+    if self_pairs:
+        # one SET: union both inputs so a pair split across the two
+        # frames is still found (the a < b filter below assumes one set)
+        va = va.union(vb.withColumnRenamed("__b", "__a")).distinct()
+        vb = va.withColumnRenamed("__a", "__b")
     ea = va.select("__a", F.explode(deletion_variants(F.col("__a"), max_distance)).alias("__v"))
     eb = vb.select("__b", F.explode(deletion_variants(F.col("__b"), max_distance)).alias("__v"))
     cand = ea.join(eb, "__v").select("__a", "__b").distinct()

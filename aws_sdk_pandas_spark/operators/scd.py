@@ -107,11 +107,16 @@ def scd2_lookup(
     cond = cond & (
         F.col(f"__d.{valid_to_col}").isNull() | (ts < F.col(f"__d.{valid_to_col}"))
     )
-    pick = pick_cols or [
-        c
-        for c in dim.columns
-        if c not in set(keys) | {valid_from_col, valid_to_col, "is_current"}
-    ]
+    if pick_cols is not None:
+        pick = pick_cols  # explicit [] = attach nothing (existence join)
+    else:
+        # default also skips names the facts already carry — otherwise a
+        # shared attribute (updated_at etc.) would produce a duplicate
+        # column and AMBIGUOUS_REFERENCE downstream
+        taken = set(keys) | {valid_from_col, valid_to_col, "is_current"} | set(
+            facts.columns
+        )
+        pick = [c for c in dim.columns if c not in taken]
     return f.join(d, cond, how).select(
         *[F.col(f"__f.{c}") for c in facts.columns],
         *[F.col(f"__d.{c}") for c in pick],

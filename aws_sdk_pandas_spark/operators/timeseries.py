@@ -181,19 +181,19 @@ def detect_anomalies_rolling(
     single-shuffle shape as the sliding-time-window features; state per
     task is bounded by the window span, never the series length.
     """
-    # TIMESTAMP_NTZ refuses a straight cast to long in Spark 4: go
-    # through exact epoch micros (same helper contract as rangejoin)
+    # order by exact epoch MICROseconds: a whole-second epoch would
+    # exclude every preceding row inside the same truncated second (not
+    # just the current row) on sub-second series; TIMESTAMP_NTZ also
+    # refuses a straight numeric cast in Spark 4
     dtype = dict(df.dtypes).get(ts_col, "")
     if dtype.startswith("timestamp") or dtype == "date":
-        epoch = (F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / 1_000_000).cast(
-            "long"
-        )
+        epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     else:
-        epoch = F.col(ts_col).cast("long")
+        epoch_us = (F.col(ts_col).cast("double") * 1_000_000).cast("long")
     w = (
         Window.partitionBy(*(by or []))
-        .orderBy(epoch)
-        .rangeBetween(-window_seconds, -1)
+        .orderBy(epoch_us)
+        .rangeBetween(-window_seconds * 1_000_000, -1)
     )
     mean = F.avg(value_col).over(w)
     std = F.stddev_samp(value_col).over(w)

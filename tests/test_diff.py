@@ -37,3 +37,14 @@ def test_null_sentinel_no_collision(spark):
 def test_identical_snapshots_empty_diff(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert diff_frames(orders, orders, keys=["o_orderkey"]).count() == 0
+
+
+def test_null_keys_match_null_safe(spark):
+    a = spark.createDataFrame([(None, "same"), (1, "x")], "id int, v string")
+    b = spark.createDataFrame([(None, "same"), (1, "y")], "id int, v string")
+    got = {r.id: r.change_type for r in diff_frames(a, b, keys=["id"]).collect()}
+    # the NULL-key row is identical in both snapshots: NOT added+removed
+    assert got == {1: "changed"}
+    b2 = spark.createDataFrame([(None, "different"), (1, "x")], "id int, v string")
+    got2 = {r.id: r.change_type for r in diff_frames(a, b2, keys=["id"]).collect()}
+    assert got2 == {None: "changed"}

@@ -62,3 +62,11 @@ def test_fuzzy_join_two_sided_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_self_pairs_across_two_frames_unions_the_set(spark):
+    # pair split across the two inputs, B-side sorts lower: must be found
+    a = spark.createDataFrame([("zee",)], "name string")
+    b = spark.createDataFrame([("zed",)], "name string")
+    out = fuzzy_match_join(a, b, "name", max_distance=1, self_pairs=True).collect()
+    assert [(r.name_a, r.name_b, r.distance) for r in out] == [("zed", "zee", 1)]

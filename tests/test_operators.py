@@ -335,3 +335,10 @@ def test_strip_html(spark):
     assert got[4] == "visible text"
     assert got[5] == "safe"  # case-insensitive script scrub
     assert "var x" not in got[1] and "color" not in got[1]
+
+    extra = spark.createDataFrame(
+        [(6, "&amp;lt;b&amp;gt; literal"), (7, "don&#x27;t stop")], "id int, html string"
+    )
+    got2 = {r.id: r.text for r in extra.select("id", strip_html("html").alias("text")).collect()}
+    assert got2[6] == "&lt;b&gt; literal"  # double-encoded stays single-decoded
+    assert "&#x27;" not in got2[7]  # hex refs cleaned like decimal ones

@@ -86,3 +86,21 @@ def test_detect_anomalies_rolling(spark):
     # baseline excludes the current row: the spike's own value is absent
     # from its trailing stats (z computed against the stable 10.x mean)
     assert out[10].anomaly_zscore > 100
+
+
+def test_rolling_anomaly_subsecond_baseline(spark):
+    """Sub-second points must still see their same-second predecessors:
+    only the current row is excluded from its own baseline."""
+    from datetime import datetime, timedelta
+
+    from aws_sdk_pandas_spark.operators.timeseries import detect_anomalies_rolling
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, 1, base + timedelta(milliseconds=100 * i), 10.0 + (i % 3) * 0.1)
+            for i in range(8)]
+    rows.append((8, 1, base + timedelta(milliseconds=850), 99.0))  # spike at .85s
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+    out = {r.event_id: r for r in detect_anomalies_rolling(
+        df, ts_col="ts", value_col="value", by=["user_id"], z=3.0, min_points=5).collect()}
+    assert out[8].anomaly_n_prior == 8  # all same-second predecessors counted
+    assert out[8].anomaly_flag is True
