@@ -2318,6 +2318,17 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus report (operators/textstats.summarize_corpus):
+    per-language volume/token/length stats + exact-duplicate rate via a
+    rollup — the __all__ total rides the same shuffle."""
+    from aws_sdk_pandas_spark.operators.textstats import summarize_corpus
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return summarize_corpus(docs, lang_col="lang").orderBy("lang")
+
+
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the user -> event_type property graph
     (connectors/neptune.pagerank: one shuffle per iteration, dangling
@@ -2745,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_discretize_quartiles": _q_discretize_values,
         "events_rolling_anomalies": _q_rolling_anomalies,
         "fuzzy_part_names": _q_fuzzy_part_names,
+        "docs_corpus_summary": _q_corpus_summary,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3292,6 +3304,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_corpus_summary": r"""
+            SELECT COALESCE(lang, '__all__') AS lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END)
+                        AS BIGINT) AS n_tokens,
+                   CAST(ROUND(AVG(length(text)), 2) AS DOUBLE) AS avg_chars,
+                   CAST(quantile_cont(length(text), 0.5) AS DOUBLE) AS p50_chars,
+                   COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                       AS n_distinct_fp,
+                   COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                       AS n_dup_docs
+            FROM documents
+            GROUP BY ROLLUP(lang)
+            ORDER BY lang
         """,
         "fuzzy_part_names": """
             WITH n AS (SELECT DISTINCT p_name FROM part)

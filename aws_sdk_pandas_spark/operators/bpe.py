@@ -179,3 +179,25 @@ def decode_bpe(tokens: list[str]) -> str:
     """Inverse of :func:`apply_bpe` for one token sequence (test oracle:
     tokenize -> decode is the identity on whitespace-normalized text)."""
     return "".join(tokens).replace(END_OF_WORD, " ").strip()
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str, spark=None) -> None:
+    """Persist a trained merge list as a parquet dataset (rank-ordered)
+    so later runs tokenize with the SAME vocabulary instead of
+    retraining — token-budget accounting is only comparable across runs
+    when the segmentation is frozen."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession — pass save_bpe(..., spark=...)")
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_bpe` (rank order preserved)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

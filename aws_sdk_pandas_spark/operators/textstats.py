@@ -412,3 +412,49 @@ def novelty_score(
         .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
     )
     return out.select(F.col("__id").alias(id_col), "n_grams", "n_novel", "novelty")
+
+
+def summarize_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The first call on a new corpus: per-language volume, token and
+    length statistics, and the exact-duplicate rate, in ONE aggregation
+    pass (a ``rollup`` on the language column, so the ``__all__`` total
+    rides the same shuffle as the per-language rows).
+
+    Returns ``lang, n_docs, n_tokens, avg_chars, p50_chars,
+    n_distinct_fp, n_dup_docs`` — ``n_dup_docs`` counts docs beyond the
+    first per normalized-content fingerprint (the same md5 fingerprint
+    ``dedup_fingerprint`` keys on, so the report predicts exactly what
+    that dedup would remove).
+    """
+    from aws_sdk_pandas_spark.functions.text import document_fingerprint, token_count
+
+    length = F.length(F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.round(F.avg(length), 2).alias("avg_chars"),
+        F.expr(f"percentile(length(`{text_col}`), 0.5)").alias("p50_chars"),
+        F.countDistinct(document_fingerprint(F.col(text_col))).alias("n_distinct_fp"),
+    ]
+    if lang_col is None:
+        out = df.agg(*aggs).withColumn("lang", F.lit("__all__"))
+    else:
+        out = (
+            df.rollup(F.col(lang_col).alias("lang"))
+            .agg(*aggs)
+            .withColumn("lang", F.coalesce("lang", F.lit("__all__")))
+        )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "avg_chars",
+        F.col("p50_chars").cast("double").alias("p50_chars"),
+        "n_distinct_fp",
+        (F.col("n_docs") - F.col("n_distinct_fp")).alias("n_dup_docs"),
+    )

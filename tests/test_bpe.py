@@ -131,3 +131,19 @@ def test_unicode_whitespace_consistent_with_jvm_split(spark):
     # zero merges -> chars + one end-of-word marker PER WORD: 2 words each
     assert toks["a"].count(END_OF_WORD) == 2
     assert decode_bpe(toks["a"]) == "foo bar baz"
+
+
+def test_save_load_bpe_roundtrip(spark, tmp_path):
+    from aws_sdk_pandas_spark.operators.bpe import load_bpe, save_bpe
+
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    merges = train_bpe(df, n_merges=20, min_freq=1)
+    p = str(tmp_path / "bpe")
+    save_bpe(merges, p)
+    loaded = load_bpe(spark, p)
+    assert loaded == merges
+    a = apply_bpe(df, merges).collect()
+    b = apply_bpe(df, loaded).collect()
+    assert sorted((r.doc_id, tuple(r.bpe_tokens)) for r in a) == sorted(
+        (r.doc_id, tuple(r.bpe_tokens)) for r in b
+    )

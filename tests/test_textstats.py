@@ -223,3 +223,25 @@ def test_novelty_score_matches_brute_force(spark):
     }
     assert got == want
     assert "d" not in got
+
+
+def test_summarize_corpus(spark):
+    from aws_sdk_pandas_spark.operators.textstats import summarize_corpus
+
+    rows = [
+        ("a", "en", "one two three"),
+        ("b", "en", "one two three"),      # exact dup of a
+        ("c", "en", "ONE  two   three"),   # fingerprint dup (case/ws)
+        ("d", "fr", "quatre cinq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {r.lang: r for r in summarize_corpus(df, lang_col="lang").collect()}
+    assert set(got) == {"en", "fr", "__all__"}
+    assert got["en"].n_docs == 3 and got["en"].n_dup_docs == 2
+    assert got["fr"].n_docs == 1 and got["fr"].n_dup_docs == 0
+    assert got["__all__"].n_docs == 4 and got["__all__"].n_tokens == 3 * 3 + 2
+    assert got["fr"].p50_chars == len("quatre cinq")
+
+    total_only = summarize_corpus(df).collect()
+    assert len(total_only) == 1 and total_only[0].lang == "__all__"
+    assert total_only[0].n_docs == 4
