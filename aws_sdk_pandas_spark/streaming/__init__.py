@@ -513,3 +513,82 @@ def decontaminate_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    metrics_path: str,
+    *,
+    checkpoint: str,
+    text_col: str = "text",
+    ngrams: tuple = (1, 2),
+    buckets: int = 512,
+    alpha: float = 1.0,
+    trigger_once: bool = True,
+):
+    """Streaming corpus-drift monitor: every micro-batch's gram
+    distribution is compared against a FROZEN baseline corpus and one
+    metrics row ``(batch_id, n_docs, js_total, psi_total)`` appends to
+    ``metrics_path`` — the alerting feed for a continuously-ingesting
+    crawl (PSI > 0.1 warn / > 0.25 act).
+
+    Scale shape: the baseline reduces ONCE at stream start to a
+    ``buckets``-row histogram that persists across batches; per batch
+    the only corpus-sized work is the batch's own bucket count, and the
+    divergence math runs on the bounded joined histogram
+    (``operators.drift.corpus_divergence`` semantics, baseline side
+    precomputed).
+    """
+    from aws_sdk_pandas_spark.operators.drift import gram_bucket_counts
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    spark = stream_df.sparkSession
+    base_counts = (
+        gram_bucket_counts(baseline_df, text_col=text_col, ngrams=ngrams, buckets=buckets)
+        .withColumnRenamed("n", "n_b")
+        .persist()
+    )
+    t_base = base_counts.agg(F.sum("n_b")).first()[0] or 0
+    all_buckets = spark.range(buckets).select(F.col("id").alias("bucket"))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch = batch_df.persist()
+        n_docs = batch.count()
+        ca = (
+            gram_bucket_counts(batch, text_col=text_col, ngrams=ngrams, buckets=buckets)
+            .withColumnRenamed("n", "n_a")
+            .persist()
+        )
+        t_batch = ca.agg(F.sum("n_a")).first()[0] or 0
+        j = (
+            all_buckets.join(ca, "bucket", "left")
+            .join(base_counts, "bucket", "left")
+            .select(
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            )
+        )
+        p = (F.col("n_a") + F.lit(alpha)) / (F.lit(t_batch) + F.lit(alpha * buckets))
+        q = (F.col("n_b") + F.lit(alpha)) / (F.lit(t_base) + F.lit(alpha * buckets))
+        m = (p + q) / 2
+        row = j.agg(
+            F.sum((p * F.log(p / m) + q * F.log(q / m)) / 2).alias("js_total"),
+            F.sum((p - q) * F.log(p / q)).alias("psi_total"),
+        ).first()
+        metrics = spark.createDataFrame(
+            [(int(batch_id), int(n_docs), float(row["js_total"]), float(row["psi_total"]))],
+            "batch_id long, n_docs long, js_total double, psi_total double",
+        )
+        write_dataset(metrics, metrics_path, "parquet", mode="append")
+        ca.unpersist()
+        batch.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -499,3 +499,45 @@ def test_decontaminate_stream_matches_offline(spark, tmp_path, sf_dir):
     rejected = sorted(r.doc_id for r in spark.read.parquet(rej).collect())
     assert sorted(admitted + rejected) == sorted(r.doc_id for r in corpus.collect())
     assert len(rejected) > 0
+
+
+def test_drift_monitor_stream(spark, tmp_path, sf_dir):
+    """Two arrival batches against a frozen baseline: the same-language
+    batch shows less drift than the different-language batch, and each
+    batch's metrics equal the batch-mode corpus_divergence totals."""
+    from aws_sdk_pandas_spark.operators.drift import corpus_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    baseline = docs.where("lang = 'en'").select("doc_id", "text")
+    same = docs.where("lang = 'en'").select("doc_id", "text")
+    other = docs.where("lang = 'fr'").select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    met = str(tmp_path / "met")
+    ckpt = str(tmp_path / "ckpt")
+    same.coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming.drift_monitor_stream(
+        streaming.read_stream(spark, src, schema="doc_id long, text string"),
+        baseline, met, checkpoint=ckpt, buckets=64,
+    )
+    q.awaitTermination()
+    other.coalesce(1).write.mode("append").parquet(src)
+    q = streaming.drift_monitor_stream(
+        streaming.read_stream(spark, src, schema="doc_id long, text string"),
+        baseline, met, checkpoint=ckpt, buckets=64,
+    )
+    q.awaitTermination()
+
+    rows = sorted(spark.read.parquet(met).collect(), key=lambda r: r.batch_id)
+    assert len(rows) == 2
+    js_same, js_other = rows[0].js_total, rows[1].js_total
+    assert js_same < js_other  # identical distribution drifts less
+
+    # batch-mode parity: the stream metric equals corpus_divergence sums
+    for batch_df, row in ((same, rows[0]), (other, rows[1])):
+        d = corpus_divergence(batch_df, baseline, buckets=64).agg(
+            F.sum("js"), F.sum("psi")
+        ).first()
+        assert abs(row.js_total - d[0]) < 1e-6
+        assert abs(row.psi_total - d[1]) < 1e-6
