@@ -2318,6 +2318,17 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (dq.profile_table, exact-distinct audit
+    mode): one aggregation job computes every column's statistics; the
+    reshape is driver-side and bounded by the schema width."""
+    from aws_sdk_pandas_spark.dq import profile_table
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return profile_table(li, exact_distinct=True).orderBy("column")
+
+
 def _q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus report (operators/textstats.summarize_corpus):
     per-language volume/token/length stats + exact-duplicate rate via a
@@ -2757,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_anomalies": _q_rolling_anomalies,
         "fuzzy_part_names": _q_fuzzy_part_names,
         "docs_corpus_summary": _q_corpus_summary,
+        "profile_lineitem": _q_profile_lineitem,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3304,6 +3316,110 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "profile_lineitem": """
+            SELECT * FROM (
+                SELECT 'l_orderkey' AS "column", 'bigint' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_orderkey) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_orderkey) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_orderkey) AS n_distinct,
+                       CAST(MIN(l_orderkey) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_orderkey) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_orderkey), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_orderkey, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_partkey' AS "column", 'bigint' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_partkey) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_partkey) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_partkey) AS n_distinct,
+                       CAST(MIN(l_partkey) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_partkey) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_partkey), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_partkey, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_suppkey' AS "column", 'bigint' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_suppkey) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_suppkey) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_suppkey) AS n_distinct,
+                       CAST(MIN(l_suppkey) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_suppkey) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_suppkey), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_suppkey, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linenumber' AS "column", 'int' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_linenumber) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_linenumber) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_linenumber) AS n_distinct,
+                       CAST(MIN(l_linenumber) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_linenumber) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_linenumber), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_linenumber, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity' AS "column", 'double' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_quantity) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_quantity) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_quantity) AS n_distinct,
+                       CAST(MIN(l_quantity) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_quantity) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice' AS "column", 'double' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_extendedprice) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_extendedprice) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_extendedprice) AS n_distinct,
+                       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_extendedprice), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount' AS "column", 'double' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_discount) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_discount) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_discount) AS n_distinct,
+                       CAST(MIN(l_discount) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_discount) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_discount, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax' AS "column", 'double' AS dtype, COUNT(*) AS n_rows,
+                       COUNT(l_tax) AS n_nonnull,
+                       CAST(ROUND(COUNT(l_tax) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS completeness,
+                       COUNT(DISTINCT l_tax) AS n_distinct,
+                       CAST(MIN(l_tax) AS DOUBLE) AS min_value,
+                       CAST(MAX(l_tax) AS DOUBLE) AS max_value,
+                       CAST(ROUND(AVG(l_tax), 6) AS DOUBLE) AS avg_value,
+                       CAST(quantile_cont(l_tax, 0.5) AS DOUBLE) AS p50_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_returnflag', 'string', COUNT(*), COUNT(l_returnflag),
+                       CAST(ROUND(COUNT(l_returnflag) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE),
+                       COUNT(DISTINCT l_returnflag),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus', 'string', COUNT(*), COUNT(l_linestatus),
+                       CAST(ROUND(COUNT(l_linestatus) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE),
+                       COUNT(DISTINCT l_linestatus),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_shipdate', 'timestamp_ntz', COUNT(*), COUNT(l_shipdate),
+                       CAST(ROUND(COUNT(l_shipdate) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE),
+                       COUNT(DISTINCT l_shipdate),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                FROM lineitem
+            ) t ORDER BY "column"
         """,
         "docs_corpus_summary": r"""
             SELECT COALESCE(lang, '__all__') AS lang,

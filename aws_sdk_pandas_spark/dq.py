@@ -348,3 +348,65 @@ def create_recommendation_ruleset(
     if name:
         _RULESETS[name] = rules
     return rules
+
+
+def profile_table(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column data profile — the ``describe()`` of the engine, one
+    row per column: ``column, dtype, n_rows, n_nonnull, completeness,
+    n_distinct, min_value, max_value, avg_value, p50_value`` (numeric
+    stats are NULL for non-numeric columns).
+
+    ONE aggregation job computes every statistic for every column (the
+    same single-pass shape as ``create_recommendation_ruleset``); the
+    result is reshaped driver-side from one row of width O(#columns) —
+    bounded by the schema, never the data.  ``exact_distinct=False``
+    (default) uses ``approx_count_distinct`` (HLL, ~2% error, one pass);
+    ``True`` uses exact ``countDistinct`` — portable/audit mode, but
+    each distinct count is its own expand at scale.
+    """
+    cols = columns or df.columns
+    types = dict(df.dtypes)
+    numeric_types = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    numeric = {c for c in cols if types[c].startswith(numeric_types)}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(
+            (F.countDistinct(F.col(c)) if exact_distinct else F.approx_count_distinct(F.col(c))).alias(f"{c}__d")
+        )
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+                F.avg(F.col(c)).cast("double").alias(f"{c}__avg"),
+                F.expr(f"percentile(`{c}`, 0.5)").cast("double").alias(f"{c}__p50"),
+            ]
+    row = df.agg(*aggs).first().asDict()
+    n = row["__n"]
+    out_rows = []
+    for c in cols:
+        out_rows.append(
+            (
+                c,
+                types[c],
+                n,
+                row[f"{c}__nn"],
+                round(row[f"{c}__nn"] / n, 6) if n else None,
+                row[f"{c}__d"],
+                row.get(f"{c}__min"),
+                row.get(f"{c}__max"),
+                round(row[f"{c}__avg"], 6) if row.get(f"{c}__avg") is not None else None,
+                row.get(f"{c}__p50"),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "column string, dtype string, n_rows bigint, n_nonnull bigint, "
+        "completeness double, n_distinct bigint, min_value double, "
+        "max_value double, avg_value double, p50_value double",
+    )

@@ -166,3 +166,20 @@ def test_s3_tables_mgmt_lifecycle(spark):
     finally:
         lh.delete_table_bucket(spark, arn)
     assert db not in [d.name for d in spark.catalog.listDatabases()]
+
+
+def test_profile_table(spark):
+    from aws_sdk_pandas_spark.dq import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0), (4, None, 20.0)],
+        "id bigint, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nonnull == 4
+    assert prof["id"].n_distinct == 4 and prof["id"].completeness == 1.0
+    assert prof["s"].n_nonnull == 3 and prof["s"].n_distinct == 2
+    assert prof["s"].min_value is None and prof["s"].avg_value is None
+    assert prof["v"].min_value == 10.0 and prof["v"].max_value == 30.0
+    assert prof["v"].avg_value == 20.0 and prof["v"].p50_value == 20.0
