@@ -203,3 +203,52 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_map, schema=_DECODED_IMAGE_SCHEMA)
+
+
+def chunk_audio_plan(
+    df: DataFrame,
+    *,
+    window_ms: int = 10_000,
+    overlap_ms: int = 0,
+    sample_rate_col: str = "sample_rate",
+    n_samples_col: str = "n_samples",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Plan audio windowing declaratively from typed metadata: one row
+    per (media, chunk) with sample offsets — the audio analog of
+    ``frame_sample_plan``, and the input shape an ASR/feature pipeline
+    feeds to the (stubbed) decode kernel.  Pure sequence+explode,
+    JVM-side; chunk boundaries derive from ``sample_rate`` and
+    ``n_samples`` metadata, the binary payload is never touched here.
+
+    Returns ``id_col, chunk_idx, start_sample, end_sample`` where
+    windows are ``window_ms`` wide and advance ``window_ms -
+    overlap_ms`` (overlap preserved for boundary-spanning events).
+    """
+    if overlap_ms >= window_ms:
+        raise ValueError("overlap_ms must be smaller than window_ms")
+    base = df.select(
+        id_col,
+        F.col(sample_rate_col).alias("__sr"),
+        F.col(n_samples_col).alias("__n"),
+    ).where(
+        F.col(n_samples_col).isNotNull()
+        & F.col(sample_rate_col).isNotNull()
+        & (F.col(n_samples_col) > 0)
+    )
+    win = (F.col("__sr") * window_ms / 1000).cast("long")
+    step = (F.col("__sr") * (window_ms - overlap_ms) / 1000).cast("long")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("__n") - win) / step.cast("double")) + F.lit(1)
+    ).cast("int")
+    out = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = F.col("chunk_idx").cast("long") * step
+    end = F.least(start + win, F.col("__n"))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+    )

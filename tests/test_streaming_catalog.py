@@ -541,3 +541,29 @@ def test_drift_monitor_stream(spark, tmp_path, sf_dir):
         ).first()
         assert abs(row.js_total - d[0]) < 1e-6
         assert abs(row.psi_total - d[1]) < 1e-6
+
+
+def test_chunk_audio_plan(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import chunk_audio_plan
+
+    rows = [
+        ("a", 16000, 16000 * 25),   # 25 s @ 16 kHz
+        ("b", 8000, 8000 * 5),      # 5 s @ 8 kHz -> one short tail chunk
+        ("c", 16000, None),         # no metadata -> excluded
+    ]
+    df = spark.createDataFrame(rows, "media_id string, sample_rate int, n_samples long")
+    out = chunk_audio_plan(df, window_ms=10_000, overlap_ms=2_000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.media_id, []).append((r.chunk_idx, r.start_sample, r.end_sample))
+    assert "c" not in got
+    # 25s with 10s windows advancing 8s: minimal cover is starts 0,8,16
+    # (the 16s window clamps to 25s; a 24s start would be redundant)
+    a = sorted(got["a"])
+    assert [s for _, s, _ in a] == [0, 16000 * 8, 16000 * 16]
+    assert a[0][2] == 16000 * 10 and a[-1][2] == 16000 * 25  # tail clamps
+    # coverage: consecutive windows overlap, nothing is skipped
+    for (_, s1, e1), (_, s2, e2) in zip(a, a[1:]):
+        assert s2 < e1
+    b = sorted(got["b"])
+    assert b == [(0, 0, 8000 * 5)]  # shorter than one window -> single clamped chunk
