@@ -2318,6 +2318,47 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names (operators/fuzzy.
+    resolve_entities): SymSpell fuzzy pairs -> connected components ->
+    canonical (min reachable) name per record.  Oracle: brute-force
+    levenshtein pairs + recursive-CTE closure."""
+    from aws_sdk_pandas_spark.operators.fuzzy import resolve_entities
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    part = read_parquet(spark, f"{sf_dir}/part.parquet")
+    return (
+        resolve_entities(part, name_col="p_name", max_distance=2)
+        .select("p_partkey", "p_name", "entity")
+        .orderBy("p_partkey")
+    )
+
+
+def _q_itemsets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (operators/itemsets.frequent_itemsets, MLlib
+    FP-Growth): part-name itemsets of size <= 2 across orders, flattened
+    to columns for the co-occurrence self-join oracle (FP-Growth's
+    minCount = ceil(s*n) semantics replicated in SQL)."""
+    from aws_sdk_pandas_spark.operators.itemsets import frequent_itemsets
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    part = read_parquet(spark, f"{sf_dir}/part.parquet")
+    df = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_name"
+    )
+    out = frequent_itemsets(
+        df, basket_col="l_orderkey", item_col="p_name",
+        min_support=0.002, max_size=2,
+    )
+    return out.select(
+        F.element_at("items", 1).alias("item_a"),
+        F.when(F.col("size") == 2, F.element_at("items", 2)).alias("item_b"),
+        "freq",
+        "support",
+    ).orderBy("item_a", "item_b")
+
+
 def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile (dq.profile_table, exact-distinct audit
     mode): one aggregation job computes every column's statistics; the
@@ -2769,6 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": _q_fuzzy_part_names,
         "docs_corpus_summary": _q_corpus_summary,
         "profile_lineitem": _q_profile_lineitem,
+        "itemsets_part_names": _q_itemsets_parts,
+        "entities_part_names": _q_resolve_entities,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3316,6 +3359,53 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "entities_part_names": """
+            WITH RECURSIVE names AS (
+                SELECT DISTINCT p_name FROM part
+            ), pairs AS (
+                SELECT a.p_name AS na, b.p_name AS nb
+                FROM names a JOIN names b ON a.p_name < b.p_name
+                WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ), nodes AS (
+                SELECT DISTINCT n FROM (
+                    SELECT na AS n FROM pairs UNION SELECT nb FROM pairs
+                ) t
+            ), edges AS (
+                SELECT na AS a, nb AS b FROM pairs
+                UNION SELECT nb, na FROM pairs
+            ), reach AS (
+                SELECT n AS src, n AS dst FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ), labels AS (
+                SELECT src AS p_name, MIN(dst) AS canon FROM reach GROUP BY src
+            )
+            SELECT p.p_partkey, p.p_name, COALESCE(l.canon, p.p_name) AS entity
+            FROM part p LEFT JOIN labels l USING (p_name)
+            ORDER BY p.p_partkey
+        """,
+        "itemsets_part_names": """
+            WITH baskets AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_name AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), nb AS (
+                SELECT COUNT(DISTINCT b) AS n FROM baskets
+            ), singles AS (
+                SELECT i AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+                       COUNT(*) AS freq
+                FROM baskets GROUP BY i
+            ), pairs AS (
+                SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS freq
+                FROM baskets a JOIN baskets b ON a.b = b.b AND a.i < b.i
+                GROUP BY a.i, b.i
+            )
+            SELECT item_a, item_b, freq,
+                   CAST(ROUND(freq / CAST((SELECT n FROM nb) AS DOUBLE), 6) AS DOUBLE)
+                       AS support
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs) t
+            WHERE freq >= CAST(CEIL(0.002 * (SELECT n FROM nb)) AS BIGINT)
+            ORDER BY item_a, item_b
         """,
         "profile_lineitem": """
             SELECT * FROM (

@@ -94,3 +94,36 @@ def fuzzy_match_join(
     return out.select(
         F.col("__a").alias(f"{on}_a"), F.col("__b").alias(f"{on}_b"), "distance"
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    *,
+    name_col: str,
+    max_distance: int = 2,
+    out_col: str = "entity",
+) -> DataFrame:
+    """End-to-end entity resolution on a name column: fuzzy pairs
+    (exact edit-distance join above) -> connected components ->
+    every record labeled with its cluster's canonical name (the
+    lexicographic minimum reachable within ``max_distance`` chains).
+    'old plate' and 'cold plate' and 'gold plate' collapse to one
+    entity even though the two ends differ by more than
+    ``max_distance`` — the transitive closure is the point.
+
+    Scale shape: matching runs on DISTINCT names (tiny next to the
+    records), components iterate on the name graph only, and the final
+    label table broadcasts back onto the records — the record table is
+    touched exactly once.
+    """
+    from aws_sdk_pandas_spark.operators.graph import connected_components
+
+    pairs = fuzzy_match_join(df, df, name_col, max_distance=max_distance, self_pairs=True)
+    labels = connected_components(pairs, f"{name_col}_a", f"{name_col}_b").select(
+        F.col("id").alias(name_col), F.col("cluster_id").alias("__canon")
+    )
+    return (
+        df.join(F.broadcast(labels), name_col, "left")
+        .withColumn(out_col, F.coalesce("__canon", F.col(name_col)))
+        .drop("__canon")
+    )

@@ -1,0 +1,93 @@
+"""Frequent-itemset mining (market basket) on MLlib FP-Growth.
+
+The classic "what co-occurs?" analytics — products per order, tags per
+document, hosts per session.  FP-Growth is the right distributed shape
+(two scans: item counts, then conditional FP-trees per partition —
+never the candidate-explosion of Apriori), and Spark ships it in MLlib;
+this wraps it onto plain DataFrames with deterministic, SQL-checkable
+output columns.
+
+Reference parity: aws-sdk-pandas has no mining surface; its users run
+this class of query through Athena self-joins (pair co-occurrence),
+which is exactly what the DuckDB oracle for the size<=2 slice does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequent itemsets over (basket, item) rows: returns ``items``
+    (sorted array — deterministic across runs/partitionings), ``size``,
+    ``freq`` (baskets containing the set) and ``support`` (freq /
+    n_baskets, rounded).
+
+    Scale shape: one groupBy builds the distinct-item baskets, MLlib
+    FP-Growth does its two passes; ``min_support`` bounds the result
+    (and the tree depth) — the knob that keeps 100 TB tractable.
+    ``max_size`` optionally truncates to small itemsets (the size<=2
+    slice is what co-occurrence dashboards consume).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .where(F.col("__i").isNotNull())
+        .groupBy("__b")
+        .agg(F.collect_set("__i").alias("items"))
+    )
+    n_baskets = baskets.count()
+    if n_baskets == 0:
+        raise ValueError("no baskets")
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    out = model.freqItemsets.select(
+        F.array_sort("items").alias("items"),
+        F.size("items").alias("size"),
+        F.col("freq"),
+        F.round(F.col("freq") / F.lit(float(n_baskets)), 6).alias("support"),
+    )
+    if max_size is not None:
+        out = out.where(F.col("size") <= max_size)
+    return out
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Association rules from the same FP-Growth run: ``antecedent,
+    consequent, confidence, lift, support`` with sorted arrays for
+    deterministic output."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .where(F.col("__i").isNotNull())
+        .groupBy("__b")
+        .agg(F.collect_set("__i").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    return model.associationRules.select(
+        F.array_sort("antecedent").alias("antecedent"),
+        F.array_sort("consequent").alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("support", 6).alias("support"),
+    )

@@ -70,3 +70,22 @@ def test_self_pairs_across_two_frames_unions_the_set(spark):
     b = spark.createDataFrame([("zed",)], "name string")
     out = fuzzy_match_join(a, b, "name", max_distance=1, self_pairs=True).collect()
     assert [(r.name_a, r.name_b, r.distance) for r in out] == [("zed", "zee", 1)]
+
+
+def test_resolve_entities_transitive_chain(spark):
+    from aws_sdk_pandas_spark.operators.fuzzy import resolve_entities
+
+    rows = [
+        (1, "cold plate"), (2, "old plate"), (3, "gold plate"),  # chain via 'old plate'
+        (4, "red widget"), (5, "red gadget"),
+        (6, "unrelated thing"),
+        (7, "cold plate"),  # duplicate record, same entity
+    ]
+    df = spark.createDataFrame(rows, "rec_id int, name string")
+    out = {r.rec_id: r.entity for r in resolve_entities(
+        df, name_col="name", max_distance=2).collect()}
+    # lev(cold,gold)=1 via substitution? 'cold plate'->'gold plate' is 1 sub;
+    # all three chain regardless through 'old plate'
+    assert out[1] == out[2] == out[3] == out[7] == "cold plate"
+    assert out[4] == out[5] == "red gadget"  # min of the pair
+    assert out[6] == "unrelated thing"  # singleton keeps its own name

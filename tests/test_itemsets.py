@@ -1,0 +1,56 @@
+"""Frequent itemsets: exact counts vs a brute-force python recompute,
+support filtering, and rule confidence/lift arithmetic."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from aws_sdk_pandas_spark.operators.itemsets import association_rules, frequent_itemsets
+
+BASKETS = {
+    1: {"bread", "milk"},
+    2: {"bread", "butter", "milk"},
+    3: {"bread", "butter"},
+    4: {"milk", "eggs"},
+    5: {"bread", "milk", "eggs"},
+    6: {"butter"},
+}
+
+
+def _rows(spark):
+    rows = [(b, i) for b, items in BASKETS.items() for i in items]
+    return spark.createDataFrame(rows, "order_id int, item string")
+
+
+def test_itemsets_match_brute_force(spark):
+    out = frequent_itemsets(
+        _rows(spark), basket_col="order_id", item_col="item", min_support=0.3
+    ).collect()
+    got = {tuple(r.items): r.freq for r in out}
+
+    # brute force over all subsets of size 1..3
+    universe = sorted({i for s in BASKETS.values() for i in s})
+    want = {}
+    for k in (1, 2, 3):
+        for combo in combinations(universe, k):
+            freq = sum(1 for s in BASKETS.values() if set(combo) <= s)
+            if freq / len(BASKETS) >= 0.3:
+                want[combo] = freq
+    assert got == want
+    assert got[("bread",)] == 4 and got[("bread", "milk")] == 3
+
+    # support column arithmetic
+    for r in out:
+        assert abs(r.support - round(r.freq / len(BASKETS), 6)) < 1e-9
+
+
+def test_association_rules_confidence_lift(spark):
+    rules = association_rules(
+        _rows(spark), basket_col="order_id", item_col="item",
+        min_support=0.3, min_confidence=0.6,
+    ).collect()
+    by_rule = {(tuple(r.antecedent), tuple(r.consequent)): r for r in rules}
+    r = by_rule[(("milk",), ("bread",))]
+    # P(bread|milk) = 3/4; lift = conf / P(bread) = 0.75 / (4/6)
+    assert abs(r.confidence - 0.75) < 1e-6
+    assert abs(r.lift - 0.75 / (4 / 6)) < 1e-5
