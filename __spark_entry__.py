@@ -2318,6 +2318,36 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample comparison of every event type against the
+    'view' baseline (operators/stats.ab_test): one groupBy over the
+    metric table, one-row baseline broadcast, engine-checkable
+    arithmetic."""
+    from aws_sdk_pandas_spark.operators.stats import ab_test
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return ab_test(
+        ev, group_col="event_type", metric_col="value", baseline="view"
+    ).orderBy("group")
+
+
+def _q_normalize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (operators/features.
+    normalize_columns with by=): each event type's values scaled by its
+    OWN statistics via one window shuffle — the cross-scorer
+    calibration step before any global selection."""
+    from aws_sdk_pandas_spark.operators.features import normalize_columns
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        normalize_columns(ev, ["value"], by=["event_type"])
+        .select("event_id", F.round("value_norm", 6).alias("value_z"))
+        .orderBy("event_id")
+    )
+
+
 def _q_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution on part names (operators/fuzzy.
     resolve_entities): SymSpell fuzzy pairs -> connected components ->
@@ -2812,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": _q_profile_lineitem,
         "itemsets_part_names": _q_itemsets_parts,
         "entities_part_names": _q_resolve_entities,
+        "events_ab_test": _q_ab_test,
+        "events_normalize_by_group": _q_normalize_by_group,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3359,6 +3391,34 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_ab_test": """
+            WITH stats AS (
+                SELECT event_type AS grp, COUNT(value) AS n,
+                       AVG(value) AS m, VAR_SAMP(value) AS v
+                FROM events GROUP BY 1
+            ), base AS (
+                SELECT n AS n_base, m AS m_base, v AS v_base
+                FROM stats WHERE grp = 'view'
+            )
+            SELECT grp AS "group", n_base, n AS n_treat,
+                   CAST(ROUND(m_base, 6) AS DOUBLE) AS mean_base,
+                   CAST(ROUND(m, 6) AS DOUBLE) AS mean_treat,
+                   CAST(ROUND(m - m_base, 6) AS DOUBLE) AS diff,
+                   CAST(ROUND(sqrt(v_base / n_base + v / n), 6) AS DOUBLE) AS se,
+                   CAST(ROUND((m - m_base) / sqrt(v_base / n_base + v / n), 4) AS DOUBLE)
+                       AS z_score
+            FROM stats, base
+            WHERE grp <> 'view'
+            ORDER BY "group"
+        """,
+        "events_normalize_by_group": """
+            SELECT event_id,
+                   CAST(ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                        / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6)
+                        AS DOUBLE) AS value_z
+            FROM events
+            ORDER BY event_id
         """,
         "entities_part_names": """
             WITH RECURSIVE names AS (

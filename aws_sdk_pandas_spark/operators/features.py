@@ -27,11 +27,18 @@ def normalize_columns(
     *,
     method: str = "zscore",
     suffix: str = "_norm",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Normalize numeric columns: ``zscore`` ((x-mean)/stddev),
     ``minmax`` ((x-min)/(max-min)), or ``robust``
     ((x-median)/(p75-p25) — the scikit-learn RobustScaler recipe, immune
     to the outliers z-score absorbs).  Adds ``<col><suffix>`` per input.
+
+    ``by`` switches to PER-GROUP statistics (one window shuffle keyed on
+    the group columns — no driver stats): the curation use case is
+    normalizing quality scores per language/domain before a GLOBAL
+    budget selection, so no group dominates just because its scorer runs
+    hot.
 
     One aggregation computes every column's statistics together
     (map-side combinable; exact percentiles for ``robust`` via Spark's
@@ -40,6 +47,31 @@ def normalize_columns(
     whole-stage-codegen arithmetic with no second shuffle.  Degenerate
     columns (zero spread) normalize to 0.0, not NaN.
     """
+    if by:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*by)
+        out = df
+        for c in cols:
+            if method == "zscore":
+                center, spread = F.avg(c).over(w), F.stddev_samp(c).over(w)
+            elif method == "minmax":
+                center = F.min(c).over(w)
+                spread = F.max(c).over(w) - F.min(c).over(w)
+            elif method == "robust":
+                center = F.expr(f"percentile(`{c}`, 0.5)").over(w)
+                spread = (
+                    F.expr(f"percentile(`{c}`, 0.75)").over(w)
+                    - F.expr(f"percentile(`{c}`, 0.25)").over(w)
+                )
+            else:
+                raise ValueError(f"unknown method {method!r} (zscore|minmax|robust)")
+            expr = F.when(
+                spread.isNull() | (spread == 0),
+                F.when(F.col(c).isNotNull(), F.lit(0.0)),
+            ).otherwise((F.col(c) - center) / spread)
+            out = out.withColumn(f"{c}{suffix}", expr.cast("double"))
+        return out
     aggs = []
     for c in cols:
         if method == "zscore":

@@ -1,0 +1,59 @@
+"""Experiment statistics: distributed two-sample comparisons.
+
+The "did the treatment move the metric?" query — every variant compared
+against the baseline with Welch's unequal-variance z statistic, computed
+from ONE aggregation over the metric table (count/mean/variance per
+group are map-side-combinable; the test arithmetic runs on the
+groups-sized result).  At experiment scale (millions of users per
+variant) the normal approximation is exact for practical purposes; the
+z threshold |z| > 1.96 is the usual 5% two-sided gate.
+
+Reference parity: aws-sdk-pandas users run this through Athena SQL
+aggregates; this packages the statistics with engine-checkable
+arithmetic (the DuckDB oracle recomputes the same formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ab_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    metric_col: str,
+    baseline: str,
+) -> DataFrame:
+    """Welch two-sample comparison of every group against ``baseline``:
+    returns one row per non-baseline group with ``group, n_base,
+    n_treat, mean_base, mean_treat, diff, se, z_score`` (rounded for
+    cross-engine reproducibility).
+
+    Scale shape: one groupBy computes (n, mean, variance) for every
+    group simultaneously; the baseline row broadcasts onto the
+    groups-sized frame for the test arithmetic — the metric table is
+    scanned exactly once regardless of variant count.
+    """
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(metric_col).alias("n"),
+        F.avg(metric_col).alias("m"),
+        F.var_samp(metric_col).alias("v"),
+    )
+    base = stats.where(F.col("grp") == baseline).select(
+        F.col("n").alias("n_base"), F.col("m").alias("m_base"), F.col("v").alias("v_base")
+    )
+    treat = stats.where(F.col("grp") != baseline)
+    j = treat.crossJoin(F.broadcast(base))  # base is ONE row
+    se = F.sqrt(F.col("v_base") / F.col("n_base") + F.col("v") / F.col("n"))
+    return j.select(
+        F.col("grp").alias("group"),
+        "n_base",
+        F.col("n").alias("n_treat"),
+        F.round("m_base", 6).alias("mean_base"),
+        F.round("m", 6).alias("mean_treat"),
+        F.round(F.col("m") - F.col("m_base"), 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round((F.col("m") - F.col("m_base")) / se, 4).alias("z_score"),
+    )

@@ -129,3 +129,23 @@ def test_discretize_quantiles_equal_population(spark):
     # equal values share a bucket
     df2 = spark.createDataFrame([(i, 5.0) for i in range(8)], "id int, x double")
     assert {r.x_bucket for r in discretize_quantiles(df2, "x", 4).collect()} == {3}
+
+
+def test_normalize_per_group(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0), ("b", 200.0), ("b", 300.0)]
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)], "id int, g string, x double")
+    out = {r.id: r.x_norm for r in normalize_columns(df, ["x"], by=["g"]).collect()}
+    # per-group z-scores are identical across the two groups despite 100x scale
+    assert abs(out[0] - out[3]) < 1e-9 and abs(out[2] - out[5]) < 1e-9
+    assert abs(out[0] + 1.0) < 1e-9 and abs(out[1]) < 1e-9  # (1-2)/1
+
+    mm = {r.id: r.x_norm for r in normalize_columns(df, ["x"], method="minmax", by=["g"]).collect()}
+    assert mm[0] == 0.0 and mm[2] == 1.0 and mm[3] == 0.0 and mm[5] == 1.0
+
+    rb = {r.id: r.x_norm for r in normalize_columns(df, ["x"], method="robust", by=["g"]).collect()}
+    assert abs(rb[1]) < 1e-9  # median of its group -> 0
+
+    # degenerate group -> 0.0 not NaN
+    dg = spark.createDataFrame([(0, "c", 5.0), (1, "c", 5.0)], "id int, g string, x double")
+    z = {r.id: r.x_norm for r in normalize_columns(dg, ["x"], by=["g"]).collect()}
+    assert z == {0: 0.0, 1: 0.0}
