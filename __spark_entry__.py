@@ -2318,6 +2318,22 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change-point statistic per user (operators/
+    timeseries.page_hinkley): running cumsum of mean deviations minus
+    its running min — two windows, one shuffle, exactly
+    SQL-recomputable."""
+    from aws_sdk_pandas_spark.operators.timeseries import page_hinkley
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        page_hinkley(ev, ts_col="ts", value_col="value", by=["user_id"])
+        .select("event_id", "ph_stat")
+        .orderBy("event_id")
+    )
+
+
 def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch two-sample comparison of every event type against the
     'view' baseline (operators/stats.ab_test): one groupBy over the
@@ -2844,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entities_part_names": _q_resolve_entities,
         "events_ab_test": _q_ab_test,
         "events_normalize_by_group": _q_normalize_by_group,
+        "events_page_hinkley": _q_page_hinkley,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3391,6 +3408,24 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_page_hinkley": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       value - AVG(value) OVER (PARTITION BY user_id) AS dev
+                FROM events
+            ), c AS (
+                SELECT event_id, user_id, ts,
+                       SUM(dev) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+                FROM d
+            )
+            SELECT event_id,
+                   CAST(ROUND(m - MIN(m) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                        AS DOUBLE) AS ph_stat
+            FROM c
+            ORDER BY event_id
         """,
         "events_ab_test": """
             WITH stats AS (

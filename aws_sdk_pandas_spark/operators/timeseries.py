@@ -210,3 +210,51 @@ def detect_anomalies_rolling(
             F.coalesce(F.abs(zscore) > F.lit(z), F.lit(False)),
         )
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    delta: float = 0.0,
+    threshold: float | None = None,
+    out_prefix: str = "ph",
+) -> DataFrame:
+    """Page-Hinkley change-point statistic per group: detects a sustained
+    upward shift in the mean of a series (the drift alarm for metrics and
+    data-quality monitors).  ``PH_t = M_t - min(M_0..M_t)`` where
+    ``M_t = cumsum(x - mean - delta)`` — a small dip is forgiven, a
+    sustained shift accumulates until ``PH`` crosses ``threshold``.
+
+    Unlike clamped CUSUM (a non-linear recursion that cannot distribute),
+    Page-Hinkley is exactly two window functions — a running sum and a
+    running min over the same (group, time) order — so it rides ONE
+    shuffle.  The reference mean is each group's own series mean
+    (retrospective monitoring); subtract a known baseline from
+    ``value_col`` upstream for a fixed reference.
+
+    Adds ``<prefix>_stat`` (rounded) and, when ``threshold`` is given,
+    ``<prefix>_alarm``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    grand = Window.partitionBy(*keys)
+    order = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col) - F.avg(value_col).over(grand) - F.lit(delta)
+    m = F.sum(dev).over(order)
+    out = df.withColumn("__m", m).withColumn(
+        f"{out_prefix}_stat",
+        F.round(F.col("__m") - F.min("__m").over(order), 6),
+    ).drop("__m")
+    if threshold is not None:
+        out = out.withColumn(
+            f"{out_prefix}_alarm", F.col(f"{out_prefix}_stat") > threshold
+        )
+    return out

@@ -104,3 +104,35 @@ def test_rolling_anomaly_subsecond_baseline(spark):
         df, ts_col="ts", value_col="value", by=["user_id"], z=3.0, min_points=5).collect()}
     assert out[8].anomaly_n_prior == 8  # all same-second predecessors counted
     assert out[8].anomaly_flag is True
+
+
+def test_page_hinkley_detects_mean_shift(spark):
+    from datetime import datetime, timedelta
+
+    from aws_sdk_pandas_spark.operators.timeseries import page_hinkley
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # group 1: flat 10 for 50 points, then shifts to 14
+    for i in range(80):
+        v = 10.0 if i < 50 else 14.0
+        rows.append((i, 1, base + timedelta(minutes=i), v))
+    # group 2: flat throughout -> no alarm
+    for i in range(80):
+        rows.append((100 + i, 2, base + timedelta(minutes=i), 10.0))
+    df = spark.createDataFrame(rows, "event_id int, k int, ts timestamp, value double")
+
+    out = {r.event_id: r for r in page_hinkley(
+        df, ts_col="ts", value_col="value", by=["k"], delta=0.1, threshold=20.0).collect()}
+    g1_alarms = [i for i in range(80) if out[i].ph_alarm]
+    assert g1_alarms and min(g1_alarms) > 50  # fires after the shift, not before
+    assert all(not out[100 + i].ph_alarm for i in range(80))  # flat series silent
+
+    # exact recompute of the statistic for group 1
+    vals = [10.0] * 50 + [14.0] * 30
+    mean = sum(vals) / len(vals)
+    m, mn = 0.0, 0.0
+    for i, v in enumerate(vals):
+        m += v - mean - 0.1
+        mn = min(mn, m)
+        assert abs(out[i].ph_stat - round(m - mn, 6)) < 1e-6
