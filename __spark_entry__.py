@@ -2318,6 +2318,20 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators/asof.
+    attribute_conversions): every purchase credits its user's clicks in
+    the trailing 24h with 1/n each — bucketed interval join, one
+    conversion-keyed window."""
+    from aws_sdk_pandas_spark.operators.asof import attribute_conversions
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return attribute_conversions(ev, lookback="24 hours", model="linear").orderBy(
+        "conversion_id", "touch_id"
+    )
+
+
 def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-Hinkley change-point statistic per user (operators/
     timeseries.page_hinkley): running cumsum of mean deviations minus
@@ -2861,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": _q_ab_test,
         "events_normalize_by_group": _q_normalize_by_group,
         "events_page_hinkley": _q_page_hinkley,
+        "events_attribution_linear": _q_attribution_linear,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3408,6 +3423,24 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_attribution_linear": """
+            WITH t AS (
+                SELECT event_id AS touch_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ), c AS (
+                SELECT event_id AS conversion_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            ), pairs AS (
+                SELECT c.conversion_id, t.touch_id
+                FROM c JOIN t ON c.user_id = t.user_id
+                 AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 24 HOURS
+            )
+            SELECT conversion_id, touch_id,
+                   CAST(ROUND(1.0 / COUNT(*) OVER (PARTITION BY conversion_id), 6)
+                        AS DOUBLE) AS weight
+            FROM pairs
+            ORDER BY conversion_id, touch_id
         """,
         "events_page_hinkley": """
             WITH d AS (

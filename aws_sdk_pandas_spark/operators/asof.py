@@ -106,3 +106,77 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(out_names[c]) for c in right_payload],
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    lookback: str = "24 hours",
+    model: str = "linear",
+) -> DataFrame:
+    """Multi-touch conversion attribution: credit each conversion to the
+    touch events of the same user inside the lookback window
+    (``conv.ts - lookback < touch.ts <= conv.ts``), weighted by the
+    chosen model — ``last`` / ``first`` (all credit to one touch) or
+    ``linear`` (1/n to each of the n touches).
+
+    Returns ``conversion_id, touch_id, weight`` (conversions with no
+    touch in window are absent — join back for unattributed volume).
+
+    Scale shape: the candidate join rides the bucketed interval join
+    (``operators.rangejoin.interval_join`` — user-and-bucket equi keys,
+    never a time cross product); the weighting is one window partitioned
+    by conversion, bounded by touches-per-window.
+    """
+    from aws_sdk_pandas_spark.operators.rangejoin import (
+        _parse_duration_seconds,
+        interval_join,
+    )
+
+    if model not in ("last", "first", "linear"):
+        raise ValueError("model must be last|first|linear")
+    lb = _parse_duration_seconds(lookback)
+    touches = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("__touch_ts"),
+    )
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("__conv_ts"),
+        (F.col(ts_col).cast("timestamp_ltz") - F.expr(f"INTERVAL {int(lb)} SECONDS")).alias(
+            "__win_start"
+        ),
+    )
+    pairs = interval_join(
+        touches,
+        convs,
+        point_col="__touch_ts",
+        start_col="__win_start",
+        end_col="__conv_ts",
+        by=["__u"],
+        bucket_width=lookback,
+    ).where(F.col("__touch_ts") > F.col("__win_start"))  # window is half-open
+    w = Window.partitionBy("conversion_id")
+    if model == "linear":
+        out = pairs.withColumn(
+            "weight", F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6)
+        )
+    else:
+        order = (
+            [F.col("__touch_ts").desc(), F.col("touch_id").desc()]
+            if model == "last"
+            else [F.col("__touch_ts").asc(), F.col("touch_id").asc()]
+        )
+        out = pairs.withColumn(
+            "weight",
+            F.when(F.row_number().over(w.orderBy(*order)) == 1, 1.0),
+        ).where(F.col("weight").isNotNull())
+    return out.select("conversion_id", "touch_id", "weight")

@@ -96,3 +96,34 @@ def test_column_name_collision_suffix(spark):
     left, right = _frames(spark)
     cols = asof_join(left, right, on="ts", by=["user"]).columns
     assert cols == ["id", "user", "ts", "tag", "ts_right", "price"]
+
+
+def test_attribute_conversions_models(spark):
+    from datetime import datetime, timedelta
+
+    from aws_sdk_pandas_spark.operators.asof import attribute_conversions
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two touches then a purchase; one stale touch outside window
+        (1, 1, "click", t0 - timedelta(hours=30)),
+        (2, 1, "click", t0 - timedelta(hours=2)),
+        (3, 1, "click", t0 - timedelta(hours=1)),
+        (4, 1, "purchase", t0),
+        # user 2: purchase with no touches -> absent
+        (5, 2, "purchase", t0),
+        # user 3: touch AFTER the purchase -> absent
+        (6, 3, "click", t0 + timedelta(hours=1)),
+        (7, 3, "purchase", t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, event_type string, ts timestamp")
+
+    lin = attribute_conversions(df, lookback="24 hours", model="linear").collect()
+    got = {(r.conversion_id, r.touch_id): r.weight for r in lin}
+    assert got == {(4, 2): 0.5, (4, 3): 0.5}  # stale touch excluded, weights sum to 1
+
+    last = attribute_conversions(df, lookback="24 hours", model="last").collect()
+    assert [(r.conversion_id, r.touch_id, r.weight) for r in last] == [(4, 3, 1.0)]
+
+    first = attribute_conversions(df, lookback="24 hours", model="first").collect()
+    assert [(r.conversion_id, r.touch_id, r.weight) for r in first] == [(4, 2, 1.0)]
