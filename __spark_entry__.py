@@ -3454,8 +3454,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT event_id,
-                   CAST(ROUND(m - MIN(m) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   CAST(ROUND(m - LEAST(0, MIN(m) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                         AS DOUBLE) AS ph_stat
             FROM c
             ORDER BY event_id
@@ -3640,7 +3640,8 @@ def oracle_sql() -> dict[str, str]:
             ) t ORDER BY "column"
         """,
         "docs_corpus_summary": r"""
-            SELECT COALESCE(lang, '__all__') AS lang,
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+                        ELSE COALESCE(lang, '__unknown__') END AS lang,
                    COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\s+')) END)

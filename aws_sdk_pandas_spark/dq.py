@@ -371,8 +371,12 @@ def profile_table(
     """
     cols = columns or df.columns
     types = dict(df.dtypes)
-    numeric_types = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
-    numeric = {c for c in cols if types[c].startswith(numeric_types)}
+    # exact names, not prefixes: 'interval day to second'.startswith('int')
+    # must NOT classify an interval column as numeric
+    numeric_prefixes = ("tinyint", "smallint", "bigint", "float", "double", "decimal")
+    numeric = {
+        c for c in cols if types[c] == "int" or types[c].startswith(numeric_prefixes)
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))

@@ -151,9 +151,9 @@ def attribute_conversions(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("conversion_id"),
         F.col(ts_col).alias("__conv_ts"),
-        (F.col(ts_col).cast("timestamp_ltz") - F.expr(f"INTERVAL {int(lb)} SECONDS")).alias(
-            "__win_start"
-        ),
+        # NTZ interval arithmetic directly: an ltz round-trip would make
+        # the boundary instant-based (DST-sensitive) for wall-clock data
+        (F.col(ts_col) - F.expr(f"INTERVAL {int(lb)} SECONDS")).alias("__win_start"),
     )
     pairs = interval_join(
         touches,

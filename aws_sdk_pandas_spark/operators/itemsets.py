@@ -18,6 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _baskets(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct-item baskets — persisted by the callers across their
+    count + FP-Growth actions so the shuffle runs once."""
+    return (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .where(F.col("__i").isNotNull())
+        .groupBy("__b")
+        .agg(F.collect_set("__i").alias("items"))
+    )
+
+
 def frequent_itemsets(
     df: DataFrame,
     *,
@@ -39,18 +50,15 @@ def frequent_itemsets(
     """
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = (
-        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
-        .where(F.col("__i").isNotNull())
-        .groupBy("__b")
-        .agg(F.collect_set("__i").alias("items"))
-    )
-    n_baskets = baskets.count()
+    baskets = _baskets(df, basket_col, item_col).persist()
+    n_baskets = baskets.count()  # also materializes the cache for the fit
     if n_baskets == 0:
+        baskets.unpersist()
         raise ValueError("no baskets")
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=0.5
     ).fit(baskets)
+    baskets.unpersist()
     out = model.freqItemsets.select(
         F.array_sort("items").alias("items"),
         F.size("items").alias("size"),
@@ -70,20 +78,19 @@ def association_rules(
     min_support: float = 0.01,
     min_confidence: float = 0.5,
 ) -> DataFrame:
-    """Association rules from the same FP-Growth run: ``antecedent,
-    consequent, confidence, lift, support`` with sorted arrays for
-    deterministic output."""
+    """Association rules from an FP-Growth run over the same basket
+    construction as :func:`frequent_itemsets` (its own fit — call this
+    directly when rules are the goal): ``antecedent, consequent,
+    confidence, lift, support`` with sorted arrays for deterministic
+    output."""
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = (
-        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
-        .where(F.col("__i").isNotNull())
-        .groupBy("__b")
-        .agg(F.collect_set("__i").alias("items"))
-    )
+    baskets = _baskets(df, basket_col, item_col).persist()
+    baskets.count()
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(baskets)
+    baskets.unpersist()
     return model.associationRules.select(
         F.array_sort("antecedent").alias("antecedent"),
         F.array_sort("consequent").alias("consequent"),

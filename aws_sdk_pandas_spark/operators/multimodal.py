@@ -236,8 +236,10 @@ def chunk_audio_plan(
         & F.col(sample_rate_col).isNotNull()
         & (F.col(n_samples_col) > 0)
     )
-    win = (F.col("__sr") * window_ms / 1000).cast("long")
-    step = (F.col("__sr") * (window_ms - overlap_ms) / 1000).cast("long")
+    # long arithmetic BEFORE the multiply: int32 sample_rate * window_ms
+    # overflows at 48 kHz x 60 s windows
+    win = (F.col("__sr").cast("long") * window_ms / 1000).cast("long")
+    step = (F.col("__sr").cast("long") * (window_ms - overlap_ms) / 1000).cast("long")
     n_chunks = F.greatest(
         F.lit(1), F.ceil((F.col("__n") - win) / step.cast("double")) + F.lit(1)
     ).cast("int")

@@ -44,6 +44,11 @@ def ab_test(
     base = stats.where(F.col("grp") == baseline).select(
         F.col("n").alias("n_base"), F.col("m").alias("m_base"), F.col("v").alias("v_base")
     )
+    if not base.head(1):
+        raise ValueError(
+            f"baseline group {baseline!r} not present in {group_col!r} — "
+            "an empty comparison would silently read as 'nothing significant'"
+        )
     treat = stats.where(F.col("grp") != baseline)
     j = treat.crossJoin(F.broadcast(base))  # base is ONE row
     se = F.sqrt(F.col("v_base") / F.col("n_base") + F.col("v") / F.col("n"))

@@ -444,10 +444,19 @@ def summarize_corpus(
     if lang_col is None:
         out = df.agg(*aggs).withColumn("lang", F.lit("__all__"))
     else:
+        # GROUPING() tags the rollup total — a NULL-language group (failed
+        # lang-id, common in crawls) must NOT collide with the grand total
         out = (
-            df.rollup(F.col(lang_col).alias("lang"))
-            .agg(*aggs)
-            .withColumn("lang", F.coalesce("lang", F.lit("__all__")))
+            df.rollup(lang_col)  # grouping() must see the RAW column, not an alias
+            .agg(*aggs, F.grouping(lang_col).alias("__t"))
+            .withColumn(
+                "__lang",
+                F.when(F.col("__t") == 1, F.lit("__all__")).otherwise(
+                    F.coalesce(F.col(lang_col), F.lit("__unknown__"))
+                ),
+            )
+            .drop("__t", lang_col)
+            .withColumnRenamed("__lang", "lang")
         )
     return out.select(
         "lang",

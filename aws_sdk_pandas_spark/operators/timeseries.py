@@ -249,9 +249,11 @@ def page_hinkley(
     )
     dev = F.col(value_col) - F.avg(value_col).over(grand) - F.lit(delta)
     m = F.sum(dev).over(order)
+    # the running min includes M_0 = 0 (the pre-series state): a series
+    # that starts ABOVE its mean must accumulate from 0, not from M_1
     out = df.withColumn("__m", m).withColumn(
         f"{out_prefix}_stat",
-        F.round(F.col("__m") - F.min("__m").over(order), 6),
+        F.round(F.col("__m") - F.least(F.lit(0.0), F.min("__m").over(order)), 6),
     ).drop("__m")
     if threshold is not None:
         out = out.withColumn(

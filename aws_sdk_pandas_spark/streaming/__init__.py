@@ -534,7 +534,8 @@ def drift_monitor_stream(
     crawl (PSI > 0.1 warn / > 0.25 act).
 
     Scale shape: the baseline reduces ONCE at stream start to a
-    ``buckets``-row histogram that persists across batches; per batch
+    ``buckets``-row histogram held on the driver (bounded; no cache
+    entry to leak past query termination); per batch
     the only corpus-sized work is the batch's own bucket count, and the
     divergence math runs on the bounded joined histogram
     (``operators.drift.corpus_divergence`` semantics, baseline side
@@ -544,12 +545,16 @@ def drift_monitor_stream(
     from aws_sdk_pandas_spark.sources._write import write_dataset
 
     spark = stream_df.sparkSession
-    base_counts = (
+    # the baseline histogram is <= `buckets` rows: hold it on the DRIVER
+    # and rebuild a literal frame per batch — a persisted DataFrame here
+    # would leak a cache entry past query termination (nothing owns its
+    # unpersist in the foreachBatch lifecycle)
+    base_rows = (
         gram_bucket_counts(baseline_df, text_col=text_col, ngrams=ngrams, buckets=buckets)
-        .withColumnRenamed("n", "n_b")
-        .persist()
+        .collect()
     )
-    t_base = base_counts.agg(F.sum("n_b")).first()[0] or 0
+    base_hist = [(int(r["bucket"]), int(r["n"])) for r in base_rows]
+    t_base = sum(n for _, n in base_hist)
     all_buckets = spark.range(buckets).select(F.col("id").alias("bucket"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -563,6 +568,9 @@ def drift_monitor_stream(
             .persist()
         )
         t_batch = ca.agg(F.sum("n_a")).first()[0] or 0
+        base_counts = spark.createDataFrame(
+            base_hist or [(0, 0)], "bucket long, n_b long"
+        )
         j = (
             all_buckets.join(ca, "bucket", "left")
             .join(base_counts, "bucket", "left")

@@ -245,3 +245,13 @@ def test_summarize_corpus(spark):
     total_only = summarize_corpus(df).collect()
     assert len(total_only) == 1 and total_only[0].lang == "__all__"
     assert total_only[0].n_docs == 4
+
+
+def test_summarize_corpus_null_lang_group(spark):
+    from aws_sdk_pandas_spark.operators.textstats import summarize_corpus
+
+    rows = [("a", "en", "one two"), ("b", None, "three four"), ("c", None, "five six")]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {r.lang: r.n_docs for r in summarize_corpus(df, lang_col="lang").collect()}
+    # NULL-language subtotal must NOT collide with the grand total
+    assert got == {"en": 1, "__unknown__": 2, "__all__": 3}

@@ -136,3 +136,26 @@ def test_page_hinkley_detects_mean_shift(spark):
         m += v - mean - 0.1
         mn = min(mn, m)
         assert abs(out[i].ph_stat - round(m - mn, 6)) < 1e-6
+
+
+def test_page_hinkley_series_starting_above_mean(spark):
+    """Series whose early deviations are POSITIVE: the running min must
+    include M_0 = 0, so the shift accumulates from the first row."""
+    from datetime import datetime, timedelta
+
+    from aws_sdk_pandas_spark.operators.timeseries import page_hinkley
+
+    base = datetime(2024, 1, 1)
+    vals = [14.0] * 30 + [10.0] * 50  # starts high, drops to flat
+    rows = [(i, 1, base + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id int, k int, ts timestamp, value double")
+    out = {r.event_id: r.ph_stat for r in page_hinkley(
+        df, ts_col="ts", value_col="value", by=["k"]).collect()}
+
+    mean = sum(vals) / len(vals)
+    m, mn = 0.0, 0.0
+    for i, v in enumerate(vals):
+        m += v - mean
+        mn = min(mn, m)
+        assert abs(out[i] - round(m - mn, 6)) < 1e-6, i
+    assert out[0] > 0  # first row already above the M_0=0 floor
