@@ -2318,6 +2318,21 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (functions/hashing.kfold_split,
+    md5 mode): engine-rederivable fold per doc, stable across
+    partitionings."""
+    from aws_sdk_pandas_spark.functions.hashing import kfold_split
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        kfold_split(docs, "doc_id", 5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")
+    )
+
+
 def _q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch linear attribution (operators/asof.
     attribute_conversions): every purchase credits its user's clicks in
@@ -2876,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_normalize_by_group": _q_normalize_by_group,
         "events_page_hinkley": _q_page_hinkley,
         "events_attribution_linear": _q_attribution_linear,
+        "docs_kfold_split": _q_kfold_split,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3423,6 +3439,13 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "docs_kfold_split": """
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                        % 5 AS INT) AS fold
+            FROM documents
+            ORDER BY doc_id
         """,
         "events_attribution_linear": """
             WITH t AS (

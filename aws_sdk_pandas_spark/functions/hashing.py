@@ -162,3 +162,39 @@ def hash_split(
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn(out_col, expr)
+
+
+def kfold_split(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    seed: int = 42,
+    out_col: str = "fold",
+    algo: str = "md5",
+) -> DataFrame:
+    """Deterministic k-fold assignment by key hash — cross-validation
+    folds with the same guarantees as :func:`hash_split`: stable across
+    runs/partitionings/engines, and every row sharing a key lands in the
+    same fold (no leakage across folds for duplicated keys).
+
+    ``algo='md5'`` folds are re-derivable by any engine from the key's
+    string form; ``'xxhash64'`` is the faster JVM-native variant.
+    """
+    if k < 2:
+        raise InvalidDataType("k must be >= 2")
+    if algo == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif algo == "xxhash64":
+        h = F.xxhash64(F.col(key_col), F.lit(seed)).bitwiseAND(F.lit((1 << 63) - 1))
+    else:
+        raise InvalidDataType(f"unknown kfold algo: {algo!r}")
+    return df.withColumn(out_col, F.pmod(h, F.lit(k)).cast("int"))

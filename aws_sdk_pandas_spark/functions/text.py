@@ -229,3 +229,34 @@ def strip_html(col: Column | str) -> Column:
     # remaining numeric refs (decimal AND hex) -> separator
     out = F.regexp_replace(out, r"&#[xX]?[0-9a-fA-F]+;", " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# explicit latin accent fold — the SAME map rides the SQL oracle, so the
+# normalization is engine-rederivable (builtin strip_accents functions
+# differ across engines in their long tail)
+_ACCENTED = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_PLAIN = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def normalize_text(
+    col: Column | str,
+    *,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text form for cross-variant matching: lowercase,
+    latin-accent fold (explicit translate map — portable), whitespace
+    collapse.  'Café  RÉSUMÉ' and 'cafe resume' fingerprint identically;
+    feed the result to ``document_fingerprint``/``dedup_fingerprint``
+    for accent-insensitive dedup of multilingual corpora.  Pure JVM
+    expression chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.trim(c)
+    if strip_accents:
+        out = F.translate(out, _ACCENTED, _PLAIN)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.regexp_replace(out, r"\s+", " ")
+    return out

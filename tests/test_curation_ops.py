@@ -432,3 +432,19 @@ def test_scd2_lookup_point_in_time(spark):
     # inner join drops the unmatched facts, never duplicates matches
     inner = scd2_lookup(facts, hist, keys=["cust"], ts_col="ts", how="inner")
     assert sorted(r.fact_id for r in inner.collect()) == [10, 11, 12]
+
+
+def test_normalize_text_accent_fold(spark):
+    from aws_sdk_pandas_spark.functions.text import document_fingerprint, normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Café  RÉSUMÉ"), (2, "cafe resume"), (3, "naïve Señor"), (4, "naive senor")],
+        "id int, t string",
+    )
+    got = {r.id: r.n for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    assert got[1] == got[2] == "cafe resume"
+    assert got[3] == got[4] == "naive senor"
+    # composes with fingerprinting for accent-insensitive dedup
+    fp = {r.id: r.f for r in df.select(
+        "id", document_fingerprint(normalize_text("t")).alias("f")).collect()}
+    assert fp[1] == fp[2] and fp[3] == fp[4]

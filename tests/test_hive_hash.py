@@ -119,3 +119,25 @@ def test_hash_split_bad_algo(spark):
     df = spark.range(5)
     with pytest.raises(InvalidDataType):
         hash_split(df, "id", {"a": 0.5, "b": 0.5}, algo="sha999")
+
+
+def test_kfold_split_balanced_and_deterministic(spark):
+    import hashlib
+
+    from aws_sdk_pandas_spark.functions.hashing import kfold_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+    out = {r.id: r.fold for r in kfold_split(df, "id", 5).collect()}
+    assert set(out.values()) == {0, 1, 2, 3, 4}
+    # md5-rederivable assignment
+    for i in (0, 17, 999):
+        want = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 5
+        assert out[i] == want
+    # roughly balanced folds
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert all(150 < n < 250 for n in c.values())
+    # partitioning invariance
+    again = {r.id: r.fold for r in kfold_split(df.repartition(7), "id", 5).collect()}
+    assert again == out
