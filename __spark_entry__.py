@@ -2318,6 +2318,27 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered event chains per user (operators/itemsets.
+    sequential_patterns, MLlib PrefixSpan, length <= 2): support counts
+    users containing the subsequence; oracle = DISTINCT-user ordered
+    pair counting under PrefixSpan's ceil(s*n) threshold."""
+    from aws_sdk_pandas_spark.operators.itemsets import sequential_patterns
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = sequential_patterns(
+        ev, sequence_col="user_id", item_col="event_type", order_col="ts",
+        min_support=0.3, max_pattern_length=2,
+    )
+    return out.select(
+        F.element_at("pattern", 1).alias("item_a"),
+        F.when(F.col("length") == 2, F.element_at("pattern", 2)).alias("item_b"),
+        "freq",
+        "support",
+    ).orderBy("item_a", "item_b")
+
+
 def _q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold CV assignment (functions/hashing.kfold_split,
     md5 mode): engine-rederivable fold per doc, stable across
@@ -2892,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page_hinkley": _q_page_hinkley,
         "events_attribution_linear": _q_attribution_linear,
         "docs_kfold_split": _q_kfold_split,
+        "events_sequential_patterns": _q_sequential_patterns,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3439,6 +3461,26 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS position
             FROM documents
             ORDER BY position
+        """,
+        "events_sequential_patterns": """
+            WITH n AS (SELECT COUNT(DISTINCT user_id) AS c FROM events),
+            singles AS (
+                SELECT event_type AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+                       COUNT(DISTINCT user_id) AS freq
+                FROM events GROUP BY event_type
+            ), pairs AS (
+                SELECT a.event_type AS item_a, b.event_type AS item_b,
+                       COUNT(DISTINCT a.user_id) AS freq
+                FROM events a JOIN events b
+                  ON a.user_id = b.user_id AND a.ts < b.ts
+                GROUP BY a.event_type, b.event_type
+            )
+            SELECT item_a, item_b, freq,
+                   CAST(ROUND(freq / CAST((SELECT c FROM n) AS DOUBLE), 6) AS DOUBLE)
+                       AS support
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs) t
+            WHERE freq >= CAST(CEIL(0.3 * (SELECT c FROM n)) AS BIGINT)
+            ORDER BY item_a, item_b
         """,
         "docs_kfold_split": """
             SELECT doc_id,

@@ -98,3 +98,65 @@ def association_rules(
         F.round("lift", 6).alias("lift"),
         F.round("support", 6).alias("support"),
     )
+
+
+def sequential_patterns(
+    df: DataFrame,
+    *,
+    sequence_col: str,
+    item_col: str,
+    order_col: str,
+    min_support: float = 0.1,
+    max_pattern_length: int = 2,
+) -> DataFrame:
+    """Frequent sequential patterns (MLlib PrefixSpan): which ordered
+    event chains recur across users/sessions — the "what happens before
+    a purchase" complement to unordered itemsets.  Support counts
+    SEQUENCES (users) containing the pattern as an ordered subsequence.
+
+    Returns ``pattern`` (array of items, one per step), ``length``,
+    ``freq``, ``support`` — deterministic output ordering left to the
+    caller.
+
+    Scale shape: one groupBy builds each sequence (sorted by
+    ``order_col`` inside the aggregation, not a global sort); PrefixSpan
+    grows patterns by projected-database recursion, bounded by
+    ``max_pattern_length`` and ``min_support`` — the two knobs that keep
+    the lattice tractable at scale.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        df.select(
+            F.col(sequence_col).alias("__s"),
+            F.col(order_col).alias("__o"),
+            F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__i").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__o", "__i"))),
+                lambda s: F.array(s["__i"]),
+            ).alias("sequence")
+        )
+    ).persist()
+    n_seqs = seqs.count()
+    if n_seqs == 0:
+        seqs.unpersist()
+        raise ValueError("no sequences")
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    res = out.select(
+        F.flatten("sequence").alias("pattern"),
+        F.size("sequence").alias("length"),
+        F.col("freq"),
+        F.round(F.col("freq") / F.lit(float(n_seqs)), 6).alias("support"),
+    )
+    res = res.localCheckpoint(eager=True)  # materialize before unpersisting input
+    seqs.unpersist()
+    return res

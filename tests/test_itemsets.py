@@ -54,3 +54,45 @@ def test_association_rules_confidence_lift(spark):
     # P(bread|milk) = 3/4; lift = conf / P(bread) = 0.75 / (4/6)
     assert abs(r.confidence - 0.75) < 1e-6
     assert abs(r.lift - 0.75 / (4 / 6)) < 1e-5
+
+
+def test_sequential_patterns_match_brute_force(spark):
+    from itertools import product
+
+    from aws_sdk_pandas_spark.operators.itemsets import sequential_patterns
+
+    SEQS = {
+        1: ["view", "click", "purchase"],
+        2: ["view", "view", "click"],
+        3: ["click", "view", "purchase"],
+        4: ["view", "purchase"],
+        5: ["click", "click"],
+    }
+    rows = [(u, i, t) for u, seq in SEQS.items() for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id int, step int, event_type string")
+    out = sequential_patterns(
+        df, sequence_col="user_id", item_col="event_type", order_col="step",
+        min_support=0.4, max_pattern_length=2,
+    ).collect()
+    got = {tuple(r.pattern): r.freq for r in out}
+
+    def contains_sub(seq, pat):
+        i = 0
+        for x in seq:
+            if i < len(pat) and x == pat[i]:
+                i += 1
+        return i == len(pat)
+
+    universe = ["view", "click", "purchase"]
+    want = {}
+    import math
+
+    min_count = math.ceil(0.4 * len(SEQS))
+    for length in (1, 2):
+        for pat in product(universe, repeat=length):
+            freq = sum(1 for s in SEQS.values() if contains_sub(s, list(pat)))
+            if freq >= min_count:
+                want[pat] = freq
+    assert got == want
+    assert got[("view", "purchase")] == 3  # ordered: view BEFORE purchase
+    assert ("purchase", "view") not in got  # reverse order infrequent
