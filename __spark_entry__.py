@@ -2773,6 +2773,107 @@ def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (connectors/neptune.triangle_count,
+    the degree-oriented Suri-Vassilvitskii MapReduce recipe: oriented
+    out-degrees are O(sqrt(E))-bounded so hub vertices never explode
+    the wedge join) on the part co-purchase graph — parts linked when
+    they ship in the same order (first 3 line numbers keep the gate
+    graph sparse)."""
+    from aws_sdk_pandas_spark.connectors.neptune import triangle_count
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where("l_linenumber <= 3")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where("pa < pb")
+        .select(
+            F.concat_ws("-", "pa", "pb").alias("~id"),
+            F.lit("co").alias("~label"),
+            F.col("pa").cast("string").alias("~from"),
+            F.col("pb").cast("string").alias("~to"),
+        )
+    )
+    return (
+        triangle_count(edges)
+        .select(F.col("~id").alias("vertex"), "triangles")
+        .orderBy(F.col("vertex").cast("long"))
+    )
+
+
+def _q_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (connectors/neptune.k_hop_neighbors — the
+    Gremlin repeat(out()).times(k) traversal as k frontier-joins, each
+    one keyed shuffle, visited set via anti-join) on the undirected
+    user<->event_type bipartite graph: hop 1 = users who clicked,
+    hop 2 = everything those users did."""
+    from aws_sdk_pandas_spark.connectors.neptune import k_hop_neighbors
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.col("event_id").cast("string").alias("~id"),
+        F.lit("did").alias("~label"),
+        F.col("user_id").cast("string").alias("~from"),
+        F.col("event_type").alias("~to"),
+    )
+    return (
+        k_hop_neighbors(edges, ["click"], k=2, direction="both")
+        .select(F.col("~id").alias("vertex"), "hops")
+        .orderBy("vertex")
+    )
+
+
+def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user
+    (operators/timeseries.ewma): the non-associative recursion rides a
+    BOUNDED rows-frame JVM fold — per-row work O(lookback), independent
+    of series length.  The explicit lookback=60 makes the frame cap
+    part of the definition, so the DuckDB weighted-sum oracle computes
+    the algebraically identical quantity."""
+    from aws_sdk_pandas_spark.operators.timeseries import ewma
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ewma(
+            ev,
+            ts_col="ts",
+            value_col="value",
+            by=["user_id"],
+            alpha=0.3,
+            lookback=60,
+            tie_breakers=["event_id"],
+        )
+        .select("event_id", "user_id", F.round("ewma", 6).alias("ewma_value"))
+        .orderBy("event_id")
+    )
+
+
+def _q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at lags 1 and 7 per event_type
+    (operators/timeseries.autocorr): one window shuffle computes every
+    lag column, one aggregate per (group, lag); corr from guarded
+    moments so degenerate spreads yield NULL, not ANSI errors."""
+    from aws_sdk_pandas_spark.operators.timeseries import autocorr
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        autocorr(
+            ev,
+            ts_col="ts",
+            value_col="value",
+            by=["event_type"],
+            lags=[1, 7],
+            tie_breakers=["event_id"],
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2914,6 +3015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_linear": _q_attribution_linear,
         "docs_kfold_split": _q_kfold_split,
         "events_sequential_patterns": _q_sequential_patterns,
+        "graph_triangle_counts": _q_triangle_counts,
+        "graph_k_hop": _q_graph_k_hop,
+        "events_ewma": _q_events_ewma,
+        "events_autocorr": _q_events_autocorr,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -4738,5 +4843,82 @@ def oracle_sql() -> dict[str, str]:
             ) t
             GROUP BY chunk_id
             ORDER BY chunk_id
+        """,
+        "graph_triangle_counts": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 3),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            verts AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+            cnt AS (
+                SELECT v, COUNT(*) AS c FROM (
+                    SELECT x AS v FROM tri
+                    UNION ALL SELECT y AS v FROM tri
+                    UNION ALL SELECT z AS v FROM tri
+                ) roles GROUP BY v
+            )
+            SELECT CAST(verts.v AS VARCHAR) AS vertex, COALESCE(cnt.c, 0) AS triangles
+            FROM verts LEFT JOIN cnt ON cnt.v = verts.v
+            ORDER BY verts.v
+        """,
+        "graph_k_hop": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) AS s, event_type AS t FROM events
+                UNION
+                SELECT event_type AS s, CAST(user_id AS VARCHAR) AS t FROM events
+            ),
+            r AS (
+                SELECT 'click' AS id, 0 AS hops
+                UNION ALL
+                SELECT e.t AS id, r.hops + 1 AS hops
+                FROM r JOIN e ON e.s = r.id WHERE r.hops < 2
+            )
+            SELECT id AS vertex, MIN(hops) AS hops FROM r GROUP BY id ORDER BY vertex
+        """,
+        "events_ewma": """
+            WITH x AS (
+                SELECT event_id, user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT a.event_id, a.user_id,
+                   ROUND(SUM(CASE WHEN b.rn = GREATEST(1, a.rn - 60)
+                                  THEN POW(0.7, a.rn - b.rn)
+                                  ELSE 0.3 * POW(0.7, a.rn - b.rn) END * b.value),
+                         6) AS ewma_value
+            FROM x a JOIN x b
+              ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 60 AND a.rn
+            GROUP BY a.event_id, a.user_id
+            ORDER BY a.event_id
+        """,
+        "events_autocorr": """
+            WITH x AS (
+                SELECT event_type, value,
+                       LAG(value, 1) OVER w AS l1,
+                       LAG(value, 7) OVER w AS l7
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            u AS (
+                SELECT event_type, 1 AS lag, value AS cur, l1 AS prev FROM x
+                UNION ALL
+                SELECT event_type, 7 AS lag, value AS cur, l7 AS prev FROM x
+            )
+            SELECT event_type, lag,
+                   CASE WHEN STDDEV_SAMP(cur) > 0 AND STDDEV_SAMP(prev) > 0
+                        THEN ROUND(COVAR_SAMP(cur, prev)
+                                   / (STDDEV_SAMP(cur) * STDDEV_SAMP(prev)), 6)
+                   END AS acf,
+                   COUNT(*) AS n_pairs
+            FROM u WHERE prev IS NOT NULL
+            GROUP BY event_type, lag
+            ORDER BY event_type, lag
         """,
     }

@@ -333,3 +333,132 @@ def pagerank(
     e_deg.unpersist()
     dangling.unpersist()
     return ranks.select(F.col("id").alias("~id"), "rank")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the property-graph edge frame,
+    treating the graph as UNDIRECTED and simple (direction, multi-edges
+    and self-loops are collapsed before counting).  Returns
+    ``~id, triangles`` for every vertex that appears in an edge.
+
+    Scale shape (the MapReduce-triangle recipe of Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient every undirected edge from its lower (degree, id) endpoint to
+    the higher one — out-degrees are then bounded by O(sqrt(|E|)) even
+    on power-law graphs, so the wedge self-join never explodes on hub
+    vertices.  One self-join on the oriented source builds wedges, one
+    equi-join against the oriented edge list closes them, one
+    explode+aggregate distributes each triangle to its three corners.
+    Every stage is a keyed shuffle; nothing is driver-side.
+    """
+    validate_edges(edges)
+    und = (
+        edges.select(F.col("~from").alias("u"), F.col("~to").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist()
+    oriented.count()  # reused by the wedge join AND the closing join
+
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    # wedge (src; v, w) with rank(v) < rank(w): each unordered pair of
+    # out-neighbours appears exactly once, so each triangle closes once
+    v_first = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = e1.join(e2, "src").where(v_first)
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+
+    corners = (
+        tri.select(F.col("src").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.select("id")
+        .join(corners, "id", "left")
+        .select(
+            F.col("id").alias("~id"),
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        )
+    )
+    oriented.unpersist(blocking=False)
+    return out
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    seeds: list[str],
+    *,
+    k: int = 2,
+    direction: str = "both",
+) -> DataFrame:
+    """Minimum-hop distance from a seed set: returns ``~id, hops`` for
+    every vertex reachable within ``k`` hops (seeds themselves at hop
+    0).  ``direction`` is ``out``/``in``/``both`` over the edge frame.
+
+    The bounded-depth traversal behind Gremlin ``g.V(seeds).repeat(
+    out()).times(k)`` (reference executes server-side:
+    neptune/_neptune.py:96 ``execute_gremlin``) — here it is k rounds
+    of frontier-join against the edge list, each ONE keyed shuffle;
+    the visited set accumulates via anti-join so no vertex is expanded
+    twice (BFS work is O(|E|) total, not O(|E| * k)).
+    ``localCheckpoint`` bounds the plan as rounds accumulate.
+    """
+    validate_edges(edges)
+    if direction not in ("out", "in", "both"):
+        raise InvalidArgument("direction must be out|in|both")
+    e = edges.select(F.col("~from").alias("s"), F.col("~to").alias("t"))
+    if direction == "in":
+        e = e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    elif direction == "both":
+        e = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    e = e.distinct().persist()
+    e.count()
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], "id string, hops int"
+    ).localCheckpoint()
+    frontier = visited.select("id")
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e["s"] == frontier["id"])
+            .select(F.col("t").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    e.unpersist(blocking=False)
+    return visited.select(F.col("id").alias("~id"), "hops")

@@ -260,3 +260,126 @@ def page_hinkley(
             f"{out_prefix}_alarm", F.col(f"{out_prefix}_stat") > threshold
         )
     return out
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    alpha: float = 0.3,
+    lookback: int | None = None,
+    tie_breakers: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per series:
+    ``s_t = (1-alpha) * s_{t-1} + alpha * x_t`` seeded with the first
+    value (pandas ``ewm(alpha=..., adjust=False)``).
+
+    The recursion is non-associative, so it cannot ride a plain window
+    aggregate — but its memory decays geometrically: terms older than
+    ``lookback`` rows carry weight ``(1-alpha)^lookback``, which is
+    below double-precision noise once ``(1-alpha)^L < 1e-16``.  That L
+    (derived from ``alpha`` when ``lookback`` is None, capped at 1024)
+    makes a BOUNDED rows-frame exact in double precision: each row
+    folds the frame's values oldest-to-newest through the recursion
+    with ``aggregate`` — pure JVM, no Python.  One window shuffle on
+    (group, time); per-row work is O(L), independent of series length,
+    so a 10-billion-row series costs the same per row as a small one.
+
+    ``tie_breakers`` orders equal timestamps deterministically (required
+    for a reproducible fold).
+    """
+    import math
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    if lookback is None:
+        lookback = min(1024, int(math.ceil(-16 * math.log(10) / math.log(1.0 - alpha))))
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(*order)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    # collect (ts, ties..., value) structs so the fold order is pinned by
+    # an explicit sort, not by frame-accumulation order
+    skey = F.struct(
+        F.col(ts_col).alias("_t"),
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(tie_breakers or [])],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    frame = F.array_sort(F.collect_list(skey).over(w))
+    folded = F.aggregate(
+        frame,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["_v"]).otherwise(
+            acc * F.lit(1.0 - alpha) + x["_v"] * F.lit(alpha)
+        ),
+    )
+    return df.withColumn(out_col, folded)
+
+
+def autocorr(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    lags: list[int] | None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Sample autocorrelation function per series: for each lag ``k``,
+    the Pearson correlation between ``x_t`` and ``x_{t-k}`` over the
+    aligned pairs within each group.  Returns
+    ``by..., lag, acf, n_pairs`` (``acf`` NULL when fewer than two
+    pairs or a degenerate spread makes it undefined).
+
+    The seasonality probe for the resample/gap-fill family: a daily
+    cycle shows as a peak at the daily lag.  ONE window shuffle
+    computes every lag column (same (group, time) order), then one
+    aggregate per (group, lag) after an inline stack — lags never
+    cause extra passes over the data.
+    """
+    keys = list(by or [])
+    lags = lags or [1]
+    if any(k <= 0 for k in lags):
+        raise ValueError("lags must be positive")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    x = df.select(
+        *keys, F.col(value_col).cast("double").alias("__x"),
+        *[
+            F.lag(F.col(value_col).cast("double"), k).over(w).alias(f"__l{k}")
+            for k in lags
+        ],
+    )
+    stacked = x.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("__x").alias("cur"),
+                        F.col(f"__l{k}").alias("prev"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys, "p.lag", "p.cur", "p.prev")
+    # corr from guarded moments: ANSI mode turns the zero-variance case
+    # into DIVIDE_BY_ZERO inside corr(); this yields NULL instead
+    s_cur = F.stddev_samp("cur")
+    s_prev = F.stddev_samp("prev")
+    cc = F.when(
+        (s_cur > 0) & (s_prev > 0), F.covar_samp("cur", "prev") / (s_cur * s_prev)
+    )
+    acf = F.round(cc, 6)
+    return (
+        stacked.where(F.col("prev").isNotNull())
+        .groupBy(*keys, "lag")
+        .agg(acf.alias("acf"), F.count("*").alias("n_pairs"))
+    )

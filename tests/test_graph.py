@@ -72,3 +72,68 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-6, v  # same 25 rounds both sides
     # the hub receiving 3 in-links outranks everything
     assert got["a"] == max(got.values())
+
+
+def _edge_frame(spark, pairs):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame(pairs, "f string, t string")
+        .select(
+            F.concat_ws("-", "f", "t").alias("~id"),
+            F.lit("e").alias("~label"),
+            F.col("f").alias("~from"),
+            F.col("t").alias("~to"),
+        )
+    )
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (every vertex in C(3,2)=3 triangles) + a pendant vertex with 0;
+    duplicate/reversed/self-loop edges collapse before counting."""
+    from aws_sdk_pandas_spark.connectors.neptune import triangle_count
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    noise = [("b", "a"), ("a", "a"), ("a", "b"), ("d", "e")]  # dup, loop, reverse, pendant
+    got = {r["~id"]: r.triangles for r in triangle_count(_edge_frame(spark, k4 + noise)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented counting equals the itertools definition on a
+    pseudo-random graph (deterministic seed)."""
+    import itertools
+    import random
+
+    from aws_sdk_pandas_spark.connectors.neptune import triangle_count
+
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(30)]
+    edges = sorted(
+        {tuple(sorted((rng.choice(verts), rng.choice(verts)))) for _ in range(120)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    eset = set(edges)
+    expect = {v: 0 for v in {x for e in edges for x in e}}
+    for x, y, z in itertools.combinations(sorted(expect), 3):
+        if ((x, y) in eset) and ((y, z) in eset) and ((x, z) in eset):
+            expect[x] += 1
+            expect[y] += 1
+            expect[z] += 1
+    got = {r["~id"]: r.triangles for r in triangle_count(_edge_frame(spark, edges)).collect()}
+    assert got == expect
+
+
+def test_k_hop_neighbors_min_hop_and_direction(spark):
+    from aws_sdk_pandas_spark.connectors.neptune import k_hop_neighbors
+
+    # a -> b -> c -> d, plus shortcut a -> c: c is 1 hop via the shortcut
+    edges = _edge_frame(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    got = {r["~id"]: r.hops for r in k_hop_neighbors(edges, ["a"], k=2, direction="out").collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # undirected from d reaches everything within 3
+    both = {r["~id"]: r.hops for r in k_hop_neighbors(edges, ["d"], k=3, direction="both").collect()}
+    assert both == {"d": 0, "c": 1, "a": 2, "b": 2}
+    # in-direction from b: only a
+    inc = {r["~id"]: r.hops for r in k_hop_neighbors(edges, ["b"], k=2, direction="in").collect()}
+    assert inc == {"b": 0, "a": 1}

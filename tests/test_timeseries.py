@@ -159,3 +159,96 @@ def test_page_hinkley_series_starting_above_mean(spark):
         mn = min(mn, m)
         assert abs(out[i] - round(m - mn, 6)) < 1e-6, i
     assert out[0] > 0  # first row already above the M_0=0 floor
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """Full-lookback fold == pandas ewm(adjust=False) per group, and the
+    default truncated lookback agrees to double precision."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import ewma
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 60),
+            "i": list(range(60)) * 2,
+            "x": rng.normal(50, 10, 120).round(3),
+        }
+    )
+    expect = pdf.groupby("g")["x"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        ewma(df, ts_col="i", value_col="x", by=["g"], alpha=0.3, lookback=200)
+        .orderBy("g", "i")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["ewma"].to_numpy(), expect.to_numpy(), rtol=1e-12)
+    # derived lookback (alpha=0.3 -> ~104 rows) is exact in double precision
+    got_trunc = (
+        ewma(df, ts_col="i", value_col="x", by=["g"], alpha=0.3)
+        .orderBy("g", "i")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got_trunc["ewma"].to_numpy(), expect.to_numpy(), rtol=1e-12)
+
+
+def test_ewma_tie_breakers_deterministic(spark):
+    """Equal timestamps fold in tie_breaker order, so reruns and
+    repartitionings agree."""
+    from aws_sdk_pandas_spark.operators.timeseries import ewma
+
+    rows = [(1, "r1", 10.0), (1, "r2", 20.0), (2, "r3", 30.0)]
+    df = spark.createDataFrame(rows, "t int, rid string, x double")
+    got = {
+        r.rid: r.ewma
+        for r in ewma(
+            df, ts_col="t", value_col="x", alpha=0.5, tie_breakers=["rid"]
+        ).collect()
+    }
+    assert got["r1"] == 10.0
+    assert got["r2"] == 15.0  # 0.5*10 + 0.5*20
+    assert got["r3"] == 22.5
+
+
+def test_autocorr_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import autocorr
+
+    rng = np.random.default_rng(5)
+    n = 200
+    # AR(1)-ish series: strong lag-1 autocorrelation
+    x = [0.0]
+    for _ in range(n - 1):
+        x.append(0.8 * x[-1] + rng.normal())
+    pdf = pd.DataFrame({"t": range(n), "x": x})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.lag: (r.acf, r.n_pairs)
+        for r in autocorr(df, ts_col="t", value_col="x", lags=[1, 3]).collect()
+    }
+    s = pdf.set_index("t")["x"]
+    for k in (1, 3):
+        expect = float(np.corrcoef(s[k:], s.shift(k)[k:])[0, 1])
+        assert got[k][1] == n - k
+        assert abs(got[k][0] - round(expect, 6)) < 1e-6
+
+
+def test_autocorr_degenerate_is_null(spark):
+    from aws_sdk_pandas_spark.operators.timeseries import autocorr
+
+    const = spark.createDataFrame(
+        [("g", i, 7.0) for i in range(10)] + [("h", 0, 1.0)],
+        "g string, t int, x double",
+    )
+    rows = {
+        (r.g, r.lag): r.acf
+        for r in autocorr(const, ts_col="t", value_col="x", by=["g"], lags=[1]).collect()
+    }
+    assert rows[("g", 1)] is None  # zero spread -> NaN corr -> NULL
+    assert ("h", 1) not in rows  # no pairs at all -> no row
