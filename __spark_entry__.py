@@ -2874,6 +2874,34 @@ def _q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-header parsing (operators/multimodal.image_dimensions):
+    PNG IHDR dimensions are fixed-offset big-endian, so BOTH the synth
+    (hex -> lpad -> unhex byte packing) and the parse (substring -> hex
+    -> conv) are pure codegen — the whole round trip never leaves the
+    JVM.  The oracle recomputes the width/height arithmetic directly:
+    synth -> byte-level parse must be the identity."""
+    from aws_sdk_pandas_spark.operators.multimodal import image_dimensions
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    def be4(col):  # 4 big-endian bytes of an int, JVM-side
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    w = F.col("doc_id") % 1920 + 1
+    h = F.col("doc_id") % 1080 + 1
+    payload = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), be4(F.lit(13)), F.lit(b"IHDR"), be4(w), be4(h)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    return (
+        image_dimensions(media, jpeg=False)
+        .select("doc_id", "img_format", "img_width", "img_height")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3019,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_k_hop": _q_graph_k_hop,
         "events_ewma": _q_events_ewma,
         "events_autocorr": _q_events_autocorr,
+        "multimodal_image_dims": _q_image_dims,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -4897,6 +4926,13 @@ def oracle_sql() -> dict[str, str]:
               ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 60 AND a.rn
             GROUP BY a.event_id, a.user_id
             ORDER BY a.event_id
+        """,
+        "multimodal_image_dims": """
+            SELECT doc_id, 'png' AS img_format,
+                   CAST(doc_id % 1920 + 1 AS INT) AS img_width,
+                   CAST(doc_id % 1080 + 1 AS INT) AS img_height
+            FROM documents
+            ORDER BY doc_id
         """,
         "events_autocorr": """
             WITH x AS (

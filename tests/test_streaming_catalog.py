@@ -567,3 +567,72 @@ def test_chunk_audio_plan(spark):
         assert s2 < e1
     b = sorted(got["b"])
     assert b == [(0, 0, 8000 * 5)]  # shorter than one window -> single clamped chunk
+
+
+def test_image_dimensions_real_headers(spark):
+    """PNG/GIF/BMP parse as pure JVM expressions; JPEG via the Arrow
+    kernel; negative BMP height (top-down) normalizes; garbage is
+    'unknown' with NULL dims."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        image_dimensions,
+        make_test_media,
+    )
+
+    rows = [
+        ("png", make_test_media("png", 640, 480)),
+        ("gif", make_test_media("gif", 320, 200)),
+        ("bmp", make_test_media("bmp", 800, 600)),
+        ("bmp_td", make_test_media("bmp", 100, 0, signed_height=-50)),
+        ("jpeg", make_test_media("jpeg", 1024, 768)),
+        ("junk", b"\x00\x01\x02\x03 not an image"),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    got = {
+        r.name: (r.img_format, r.img_width, r.img_height)
+        for r in image_dimensions(df).collect()
+    }
+    assert got["png"] == ("png", 640, 480)
+    assert got["gif"] == ("gif", 320, 200)
+    assert got["bmp"] == ("bmp", 800, 600)
+    assert got["bmp_td"] == ("bmp", 100, 50)
+    assert got["jpeg"] == ("jpeg", 1024, 768)
+    assert got["junk"] == ("unknown", None, None)
+
+
+def test_image_dimensions_jvm_only_plan_has_no_python(spark):
+    """With jpeg=False the whole parse is codegen — no Python eval node
+    in the plan (the 100 TB fast path for PNG/GIF/BMP corpora)."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        image_dimensions,
+        make_test_media,
+    )
+
+    df = spark.createDataFrame(
+        [("a", make_test_media("png", 2, 3))], "name string, payload binary"
+    )
+    out = image_dimensions(df, jpeg=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    r = out.collect()[0]
+    assert (r.img_width, r.img_height) == (2, 3)
+
+
+def test_audio_metadata_wav_walk(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_metadata,
+        make_test_media,
+    )
+
+    rows = [
+        ("a", make_test_media("wav", sample_rate=16000, channels=1, bits=16, n_frames=16000)),
+        ("b", make_test_media("wav", sample_rate=48000, channels=2, bits=16, n_frames=12000)),
+        ("c", b"RIFFxxxxNOPE"),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    got = {
+        r.name: (r.audio_channels, r.audio_sample_rate, r.audio_bits, r.audio_duration_ms)
+        for r in audio_metadata(df).collect()
+    }
+    assert got["a"] == (1, 16000, 16, 1000)
+    assert got["b"] == (2, 48000, 16, 250)
+    assert got["c"] == (None, None, None, None)
