@@ -2902,6 +2902,34 @@ def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch set operations (functions/sketches): distinct
+    user-day audience of 'click' vs 'view' — counts, union, intersection
+    and Jaccard estimated from two 256-hash sketches (the raw key sets
+    never meet; the join ships ~2 KB per side).  md5-derived hashes are
+    engine-rederivable, so DuckDB recomputes the IDENTICAL sketch and
+    arithmetic — a deterministic gate on an approximate operator."""
+    from aws_sdk_pandas_spark.functions.sketches import kmv_set_ops, kmv_sketch
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        F.concat_ws(
+            "@", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("ud"),
+    )
+    sa = kmv_sketch(base.where("event_type = 'click'"), "ud", k=256)
+    sb = kmv_sketch(base.where("event_type = 'view'"), "ud", k=256)
+    return kmv_set_ops(sa, sb, k=256).select(
+        F.round("est_a", 4).alias("est_click"),
+        F.round("est_b", 4).alias("est_view"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3048,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": _q_events_ewma,
         "events_autocorr": _q_events_autocorr,
         "multimodal_image_dims": _q_image_dims,
+        "sketch_user_overlap": _q_sketch_overlap,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -4926,6 +4955,42 @@ def oracle_sql() -> dict[str, str]:
               ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 60 AND a.rn
             GROUP BY a.event_id, a.user_id
             ORDER BY a.event_id
+        """,
+        "sketch_user_overlap": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS ud
+                FROM events
+            ),
+            ha AS (SELECT DISTINCT ('0x' || substring(md5(ud || ':0'), 1, 13))::BIGINT AS h
+                   FROM base WHERE event_type = 'click'),
+            hb AS (SELECT DISTINCT ('0x' || substring(md5(ud || ':0'), 1, 13))::BIGINT AS h
+                   FROM base WHERE event_type = 'view'),
+            ta AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+            tb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+            na AS (SELECT COUNT(*) AS c, MAX(h) AS t FROM ta),
+            nb AS (SELECT COUNT(*) AS c, MAX(h) AS t FROM tb),
+            m AS (SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb) u
+                  ORDER BY h LIMIT 256),
+            nm AS (SELECT COUNT(*) AS c, MAX(h) AS t FROM m),
+            cm AS (SELECT COUNT(*) AS c FROM m
+                   WHERE h IN (SELECT h FROM ta) AND h IN (SELECT h FROM tb)),
+            est AS (
+                SELECT
+                    CASE WHEN na.c < 256 THEN na.c::DOUBLE
+                         ELSE 255e0 * 4503599627370496e0 / na.t END AS ea,
+                    CASE WHEN nb.c < 256 THEN nb.c::DOUBLE
+                         ELSE 255e0 * 4503599627370496e0 / nb.t END AS eb,
+                    CASE WHEN nm.c < 256 THEN nm.c::DOUBLE
+                         ELSE 255e0 * 4503599627370496e0 / nm.t END AS eu,
+                    nm.c AS kk, cm.c AS common
+                FROM na, nb, nm, cm
+            )
+            SELECT ROUND(ea, 4) AS est_click, ROUND(eb, 4) AS est_view,
+                   ROUND(eu, 4) AS est_union,
+                   ROUND(eu * common / kk, 4) AS est_intersection,
+                   ROUND((eu * common / kk) / eu, 6) AS est_jaccard
+            FROM est
         """,
         "multimodal_image_dims": """
             SELECT doc_id, 'png' AS img_format,

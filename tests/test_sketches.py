@@ -103,3 +103,64 @@ def test_partial_aggregate_rejects_non_mergeable(spark):
     df = spark.createDataFrame([(1, 2.0)], "g int, a double")
     with _pytest.raises(ValueError, match="non-mergeable"):
         partial_aggregate(df, ["g"], {"a": ["median"]})
+
+
+def test_kmv_exact_below_k(spark):
+    """Unsaturated sketches are exact for counts, union AND intersection."""
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 50).select(F.col("id").alias("k"))
+    b = spark.range(30, 110).select(F.col("id").alias("k"))  # overlap = 20
+    sa = kmv_sketch(a, "k", k=256)
+    sb = kmv_sketch(b, "k", k=256)
+    assert kmv_estimate(sa, k=256).first().est_distinct == 50.0
+    r = kmv_set_ops(sa, sb, k=256).first()
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersection) == (50.0, 80.0, 110.0, 20.0)
+    assert abs(r.est_jaccard - 20.0 / 110.0) < 1e-12
+
+
+def test_kmv_estimate_accuracy_saturated(spark):
+    """10k distinct keys, k=256: estimate within ~4 standard errors
+    (1/sqrt(k-2) ~ 6.3%); union/intersection track a 50% overlap."""
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    n = 10_000
+    a = spark.range(0, n).select(F.col("id").alias("k"))
+    b = spark.range(n // 2, n + n // 2).select(F.col("id").alias("k"))
+    sa = kmv_sketch(a, "k", k=256)
+    sb = kmv_sketch(b, "k", k=256)
+    est = kmv_estimate(sa, k=256).first().est_distinct
+    assert abs(est - n) / n < 0.25
+    r = kmv_set_ops(sa, sb, k=256).first()
+    assert abs(r.est_union - 1.5 * n) / (1.5 * n) < 0.25
+    assert abs(r.est_intersection - 0.5 * n) / (0.5 * n) < 0.35
+    assert 0.15 < r.est_jaccard < 0.55  # true jaccard = 1/3
+
+
+def test_kmv_grouped_and_deterministic(spark):
+    """Per-group sketches ride one frame; md5 derivation makes reruns
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.functions.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(30)] + [("g2", i) for i in range(5)],
+        "g string, k int",
+    )
+    s1 = kmv_sketch(df, "k", by=["g"], k=16).orderBy("g").collect()
+    s2 = kmv_sketch(df.repartition(7), "k", by=["g"], k=16).orderBy("g").collect()
+    assert [r.hashes for r in s1] == [r.hashes for r in s2]
+    assert {r.g: r.n_kept for r in s1} == {"g1": 16, "g2": 5}
