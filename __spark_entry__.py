@@ -2930,6 +2930,41 @@ def _q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "table", "merge"]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.bm25_scores): tokens
+    filtered to the query terms MAP-SIDE so the shuffle carries only
+    (doc, query-term) hits; doc-frequency and corpus stats broadcast
+    back; top-k compiles to TakeOrderedAndProject.  Ranking runs on the
+    round-6 score so the cut is engine-reproducible."""
+    from aws_sdk_pandas_spark.operators.retrieval import bm25_scores
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, _BM25_TERMS, top_k=25)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+vector retrieval (operators/retrieval.rrf_fuse):
+    BM25 top-20 fused with exact-cosine top-20 by reciprocal-rank —
+    no score calibration across modalities, ranks derived from rounded
+    scores with id tie-breaks so both engines agree."""
+    from aws_sdk_pandas_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from aws_sdk_pandas_spark.operators.similarity import knn_brute_force
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    bm = bm25_scores(docs, _BM25_TERMS, top_k=20)
+    qv = emb.where("vec_id = 0").select("embedding").first()[0]
+    kn = knn_brute_force(
+        emb, qv, k=20, id_col="vec_id", vector_col="embedding", metric="cosine"
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([bm, kn], ascending=[False, True], top_k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3077,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": _q_events_autocorr,
         "multimodal_image_dims": _q_image_dims,
         "sketch_user_overlap": _q_sketch_overlap,
+        "docs_bm25_search": _q_bm25_search,
+        "docs_hybrid_rrf": _q_hybrid_rrf,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -4991,6 +5028,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(eu * common / kk, 4) AS est_intersection,
                    ROUND((eu * common / kk) / eu, 6) AS est_jaccard
             FROM est
+        """,
+        "docs_bm25_search": """
+            WITH toks AS (
+                SELECT doc_id, dl, lower(tok) AS term
+                FROM (
+                    SELECT doc_id,
+                           len(string_split_regex(trim(text), '\\s+')) AS dl,
+                           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                    FROM documents
+                ) raw
+                WHERE lower(tok) IN ('spark', 'table', 'merge')
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS nt FROM toks GROUP BY term),
+            stats AS (SELECT COUNT(*) AS n,
+                             AVG(len(string_split_regex(trim(text), '\\s+'))) AS avgdl
+                      FROM documents)
+            SELECT doc_id,
+                   ROUND(SUM(ln(1 + (n - nt + 0.5) / (nt + 0.5))
+                             * tf * 2.2
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+            FROM tf JOIN dfq USING (term), stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 25
+        """,
+        "docs_hybrid_rrf": """
+            WITH toks AS (
+                SELECT doc_id, dl, lower(tok) AS term
+                FROM (
+                    SELECT doc_id,
+                           len(string_split_regex(trim(text), '\\s+')) AS dl,
+                           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                    FROM documents
+                ) raw
+                WHERE lower(tok) IN ('spark', 'table', 'merge')
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS nt FROM toks GROUP BY term),
+            stats AS (SELECT COUNT(*) AS n,
+                             AVG(len(string_split_regex(trim(text), '\\s+'))) AS avgdl
+                      FROM documents),
+            bm AS (
+                SELECT doc_id,
+                       ROUND(SUM(ln(1 + (n - nt + 0.5) / (nt + 0.5))
+                                 * tf * 2.2
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+                FROM tf JOIN dfq USING (term), stats
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id
+                LIMIT 20
+            ),
+            bmr AS (SELECT doc_id,
+                           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM bm),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            kn AS (
+                SELECT vec_id AS doc_id,
+                       ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                          CAST(qv AS DOUBLE[])), 6) AS distance
+                FROM embeddings, q
+                ORDER BY ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                            CAST(qv AS DOUBLE[])), 6) ASC,
+                         vec_id ASC
+                LIMIT 20
+            ),
+            knr AS (SELECT doc_id,
+                           ROW_NUMBER() OVER (ORDER BY distance ASC, doc_id) AS r
+                    FROM kn)
+            SELECT doc_id,
+                   ROUND(COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + k.r), 0), 6)
+                       AS rrf_score,
+                   (CASE WHEN b.r IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN k.r IS NULL THEN 0 ELSE 1 END) AS n_lists
+            FROM bmr b FULL OUTER JOIN knr k USING (doc_id)
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 15
         """,
         "multimodal_image_dims": """
             SELECT doc_id, 'png' AS img_format,

@@ -182,7 +182,65 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     ).collect()
     timings["training_order"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.connectors.neptune import triangle_count
+
+    # triangle counting: per-copy partkey offsets make copies DISJOINT
+    # subgraphs, so edge and triangle volume scale linearly — the honest
+    # graph-growth model (shared vertices would collapse under distinct)
+    lig = _multiply(
+        read_parquet(spark, f"{sf_dir}/lineitem.parquet").where("l_linenumber <= 3"),
+        mult,
+        lambda d, i: d.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 1_000_000_000)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 100_000_000)),
+    )
+    ga = lig.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    gb = lig.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    g_edges = (
+        ga.join(gb, "l_orderkey")
+        .where("pa < pb")
+        .select(
+            F.concat_ws("-", "pa", "pb").alias("~id"),
+            F.lit("co").alias("~label"),
+            F.col("pa").cast("string").alias("~from"),
+            F.col("pb").cast("string").alias("~to"),
+        )
+    )
+    t0 = time.time()
+    n_tri = triangle_count(g_edges).agg(F.sum("triangles")).collect()[0][0]
+    timings["triangle_count"] = round(time.time() - t0, 2)
+
+    from aws_sdk_pandas_spark.operators.timeseries import ewma
+
+    # EWMA: user count grows with mult, per-user series length constant —
+    # per-row O(lookback) fold should weak-scale cleanly
+    t0 = time.time()
+    ewma(
+        ev, ts_col="ts", value_col="value", by=["user_id"], alpha=0.3,
+        lookback=60, tie_breakers=["event_id"],
+    ).agg(F.sum("ewma")).collect()
+    timings["ewma"] = round(time.time() - t0, 2)
+
+    from aws_sdk_pandas_spark.functions.sketches import kmv_set_ops, kmv_sketch
+
+    # KMV overlap: distinct user-day keys grow with mult; sketch work is
+    # the distinct shuffle + bottom-k, set ops are O(k) per pair
+    ud = ev.select(
+        "event_type",
+        F.concat_ws(
+            "@", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("ud"),
+    )
+    t0 = time.time()
+    kmv_set_ops(
+        kmv_sketch(ud.where("event_type = 'click'"), "ud", k=256),
+        kmv_sketch(ud.where("event_type = 'view'"), "ud", k=256),
+        k=256,
+    ).collect()
+    timings["kmv_overlap"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
+    timings["_triangles"] = n_tri
     return timings
 
 
