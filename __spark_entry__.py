@@ -2965,6 +2965,58 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, kn], ascending=[False, True], top_k=15)
 
 
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/timeseries.
+    seasonal_decompose) of the daily event value per type, weekly
+    period: one (group, time) window shuffle carries row number +
+    centered MA, phase means are a groups x 7 broadcast join.  The
+    daily mean uses decimal-exact summation so both engines bucket
+    identically before the float window math."""
+    from aws_sdk_pandas_spark.operators.timeseries import seasonal_decompose
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    return (
+        seasonal_decompose(daily, ts_col="day", value_col="v", period=7, by=["event_type"])
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            "sd_phase",
+            "sd_trend",
+            "sd_seasonal",
+            "sd_residual",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization (operators/features.winsorize): one
+    aggregation for the exact interpolated cut points, clip folded into
+    a codegen least/greatest projection — no second shuffle."""
+    from aws_sdk_pandas_spark.operators.features import winsorize
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return (
+        winsorize(li, ["l_extendedprice"], lower=0.01, upper=0.99)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice_w", 6).alias("price_w"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3114,6 +3166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_user_overlap": _q_sketch_overlap,
         "docs_bm25_search": _q_bm25_search,
         "docs_hybrid_rrf": _q_hybrid_rrf,
+        "events_seasonal_decompose": _q_seasonal_decompose,
+        "lineitem_winsorized": _q_winsorize_prices,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5107,6 +5161,44 @@ def oracle_sql() -> dict[str, str]:
             FROM bmr b FULL OUTER JOIN knr k USING (doc_id)
             ORDER BY rrf_score DESC, doc_id
             LIMIT 15
+        """,
+        "events_seasonal_decompose": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+                FROM events GROUP BY event_type, date_trunc('day', ts)
+            ),
+            o AS (
+                SELECT event_type, day, v,
+                       CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1) % 7 AS INT)
+                           AS phase,
+                       CASE WHEN COUNT(v) OVER f = 7 THEN AVG(v) OVER f END AS trend
+                FROM daily
+                WINDOW f AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            pm AS (SELECT event_type, phase, AVG(v - trend) AS m_raw
+                   FROM o GROUP BY event_type, phase),
+            pm2 AS (SELECT event_type, phase,
+                           m_raw - AVG(m_raw) OVER (PARTITION BY event_type) AS m
+                    FROM pm)
+            SELECT o.event_type, CAST(o.day AS DATE) AS day, o.phase AS sd_phase,
+                   ROUND(o.trend, 6) AS sd_trend,
+                   ROUND(pm2.m, 6) AS sd_seasonal,
+                   ROUND(o.v - o.trend - pm2.m, 6) AS sd_residual
+            FROM o JOIN pm2 USING (event_type, phase)
+            ORDER BY o.event_type, o.day
+        """,
+        "lineitem_winsorized": """
+            WITH cuts AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                       quantile_cont(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
+            FROM lineitem, cuts
+            ORDER BY l_orderkey, l_linenumber
         """,
         "multimodal_image_dims": """
             SELECT doc_id, 'png' AS img_format,

@@ -223,3 +223,63 @@ def discretize_quantiles(
         out_col or f"{col}_bucket",
         F.when(F.col(col).isNotNull(), b).cast("int"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: list[str] | None = None,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Clip each column to its [``lower``, ``upper``] exact interpolated
+    quantiles — the outlier guard that keeps extreme rows (unlike a
+    filter) while bounding their leverage; standard before z-scoring
+    quality signals whose tails are garbage-in artifacts.  Adds
+    ``<col><suffix>``; NULLs pass through.
+
+    Same shape as ``normalize_columns``: one aggregation computes every
+    cut point (``by=`` switches to one window shuffle for per-group
+    cuts), and the clip itself folds into a codegen
+    ``least``/``greatest`` projection — no second shuffle, no UDF.
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    if by:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*by)
+        out = df
+        for c in cols:
+            lo = F.expr(f"percentile(`{c}`, {lower!r})").over(w)
+            hi = F.expr(f"percentile(`{c}`, {upper!r})").over(w)
+            clipped = F.least(F.greatest(F.col(c).cast("double"), lo), hi)
+            # least/greatest skip NULLs, which would clip a NULL to the
+            # cut point — pass NULLs through explicitly
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(F.col(c).isNotNull(), clipped)
+            )
+        return out
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"percentile(`{c}`, {lower!r})").alias(f"{c}__lo"),
+            F.expr(f"percentile(`{c}`, {upper!r})").alias(f"{c}__hi"),
+        ]
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        lo, hi = stats[f"{c}__lo"], stats[f"{c}__hi"]
+        if lo is None:
+            out = out.withColumn(f"{c}{suffix}", F.col(c).cast("double"))
+        else:
+            clipped = F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(float(lo))),
+                F.lit(float(hi)),
+            )
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(F.col(c).isNotNull(), clipped)
+            )
+    return out

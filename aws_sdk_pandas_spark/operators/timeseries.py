@@ -383,3 +383,76 @@ def autocorr(
         .groupBy(*keys, "lag")
         .agg(acf.alias("acf"), F.count("*").alias("n_pairs"))
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    by: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    out_prefix: str = "sd",
+) -> DataFrame:
+    """Classical additive decomposition ``x = trend + seasonal +
+    residual`` per series (the statsmodels ``seasonal_decompose``
+    recipe): trend = centered moving average over one period (the
+    standard 2x``period`` MA with half-weight endpoints when the period
+    is even), seasonal = per-phase mean of the detrended series
+    normalized to sum zero over the period, residual = the rest.
+
+    Adds ``<prefix>_phase``, ``<prefix>_trend``, ``<prefix>_seasonal``,
+    ``<prefix>_residual``.  Trend (and so residual) is NULL within half
+    a period of each series edge — exactly statsmodels' behavior.
+
+    Scale shape: ONE (group, time) window shuffle carries the row
+    number, the centered sum and the edge lag/lead; phase means are a
+    <= |groups| x period aggregate joined back broadcast-size.  Nothing
+    is driver-side, and per-row state is bounded by the period.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    keys = list(by or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    h = period // 2
+    frame = w.rowsBetween(-h, h)
+    x = F.col(value_col).cast("double")
+
+    out = df.withColumn("__rn", F.row_number().over(w) - 1)
+    out = out.withColumn(f"{out_prefix}_phase", (F.col("__rn") % period).cast("int"))
+    n_in_frame = F.count(x).over(frame)
+    if period % 2 == 1:
+        trend = F.when(n_in_frame == period, F.avg(x).over(frame))
+    else:
+        # 2 x m centered MA: endpoints carry half weight
+        s = F.sum(x).over(frame)
+        ends = F.lag(x, h).over(w) + F.lead(x, h).over(w)
+        trend = F.when(
+            n_in_frame == period + 1, (s - F.lit(0.5) * ends) / F.lit(float(period))
+        )
+    out = out.withColumn("__trend", trend).withColumn(
+        "__detr", x - F.col("__trend")
+    )
+
+    phase_means = (
+        out.groupBy(*keys, f"{out_prefix}_phase")
+        .agg(F.avg("__detr").alias("__m_raw"))
+        .withColumn(
+            "__m",
+            F.col("__m_raw")
+            - F.avg("__m_raw").over(Window.partitionBy(*keys)),
+        )
+        .drop("__m_raw")
+    )
+    out = out.join(phase_means, keys + [f"{out_prefix}_phase"], "left")
+    return (
+        out.withColumn(f"{out_prefix}_trend", F.round(F.col("__trend"), 6))
+        .withColumn(f"{out_prefix}_seasonal", F.round(F.col("__m"), 6))
+        .withColumn(
+            f"{out_prefix}_residual",
+            F.round(x - F.col("__trend") - F.col("__m"), 6),
+        )
+        .drop("__rn", "__trend", "__detr", "__m")
+    )

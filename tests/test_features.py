@@ -149,3 +149,33 @@ def test_normalize_per_group(spark):
     dg = spark.createDataFrame([(0, "c", 5.0), (1, "c", 5.0)], "id int, g string, x double")
     z = {r.id: r.x_norm for r in normalize_columns(dg, ["x"], by=["g"]).collect()}
     assert z == {0: 0.0, 1: 0.0}
+
+
+def test_winsorize_matches_numpy(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.features import winsorize
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(50, 5, 200), [1000.0, -1000.0]])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = winsorize(df, ["x"], lower=0.05, upper=0.95).toPandas()
+    lo, hi = np.quantile(vals, [0.05, 0.95])  # linear interpolation == Spark percentile
+    np.testing.assert_allclose(
+        np.sort(got["x_w"]), np.sort(np.clip(vals, lo, hi)), rtol=1e-12
+    )
+    assert got["x_w"].max() <= hi + 1e-9 and got["x_w"].min() >= lo - 1e-9
+
+
+def test_winsorize_per_group_and_nulls(spark):
+    from aws_sdk_pandas_spark.operators.features import winsorize
+
+    rows = [("a", float(i)) for i in range(11)] + [("b", float(100 + i)) for i in range(11)]
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = winsorize(df, ["x"], lower=0.1, upper=0.9, by=["g"]).collect()
+    a = sorted(r.x_w for r in got if r.g == "a" and r.x_w is not None)
+    b = sorted(r.x_w for r in got if r.g == "b")
+    assert a[0] == 1.0 and a[-1] == 9.0  # group-local cut points
+    assert b[0] == 101.0 and b[-1] == 109.0
+    assert any(r.x_w is None for r in got if r.g == "a")  # NULL passes through

@@ -252,3 +252,64 @@ def test_autocorr_degenerate_is_null(spark):
     }
     assert rows[("g", 1)] is None  # zero spread -> NaN corr -> NULL
     assert ("h", 1) not in rows  # no pairs at all -> no row
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Planted trend + period-4 seasonal + zero noise: the decomposition
+    recovers each part (up to the centered-MA edge NULLs), and
+    x == trend + seasonal + residual wherever defined."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import seasonal_decompose
+
+    n = 40
+    season = [3.0, -1.0, -2.0, 0.0]  # sums to zero
+    pdf = pd.DataFrame(
+        {
+            "t": range(n),
+            "x": [10 + 0.5 * i + season[i % 4] for i in range(n)],
+        }
+    )
+    got = (
+        seasonal_decompose(
+            spark.createDataFrame(pdf), ts_col="t", value_col="x", period=4
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    mid = got.iloc[4:-4]
+    # linear trend passes through the centered MA exactly
+    np.testing.assert_allclose(mid["sd_trend"], 10 + 0.5 * mid["t"], atol=1e-6)
+    for i, s in enumerate(season):
+        vals = mid[mid["sd_phase"] == i]["sd_seasonal"].unique()
+        assert len(vals) == 1 and abs(vals[0] - s) < 1e-6
+    np.testing.assert_allclose(mid["sd_residual"], 0.0, atol=1e-6)
+    # edges: trend/residual NULL, seasonal still assigned
+    assert got.iloc[0]["sd_trend"] != got.iloc[0]["sd_trend"]  # NaN
+    assert abs(got.iloc[0]["sd_seasonal"] - season[0]) < 1e-6
+
+
+def test_seasonal_decompose_matches_statsmodels_shape_odd_period(spark):
+    """Odd period: plain centered mean; per-group independence."""
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import seasonal_decompose
+
+    rows = []
+    for g, base in (("a", 0.0), ("b", 100.0)):
+        for i in range(15):
+            rows.append((g, i, base + i + [1.0, 0.0, -1.0][i % 3]))
+    pdf = pd.DataFrame(rows, columns=["g", "t", "x"])
+    got = (
+        seasonal_decompose(
+            spark.createDataFrame(pdf), ts_col="t", value_col="x", period=3, by=["g"]
+        )
+        .orderBy("g", "t")
+        .toPandas()
+    )
+    mid = got[(got["t"] >= 1) & (got["t"] <= 13)]
+    for g, base in (("a", 0.0), ("b", 100.0)):
+        sub = mid[mid["g"] == g]
+        assert (abs(sub["sd_trend"] - (base + sub["t"])) < 1e-6).all()
+        assert (abs(sub["sd_residual"]) < 1e-6).all()
