@@ -3017,6 +3017,52 @@ def _q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (operators/timeseries.cross_corr): does
+    yesterday's purchase volume predict today's clicks?  One window
+    shuffle for all lag columns, corr from guarded moments."""
+    from aws_sdk_pandas_spark.operators.timeseries import cross_corr
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    return cross_corr(
+        daily, ts_col="day", x_col="clicks", y_col="purchases", lags=[0, 1]
+    ).orderBy("lag")
+
+
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/timeseries.holt_smoothing):
+    daily click volume per event type with a 7-step-ahead forecast —
+    the coupled level/trend recursion folds a bounded rows-frame
+    through a struct accumulator (pure JVM).  Rows-only gate (the fold
+    has no SQL equivalent); exactness vs the serial recursion is pinned
+    in test_timeseries.py."""
+    from aws_sdk_pandas_spark.operators.timeseries import holt_smoothing
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        holt_smoothing(
+            daily, ts_col="day", value_col="n", by=["event_type"],
+            alpha=0.4, beta=0.2, horizon=7,
+        )
+        .select(
+            "event_type", "day",
+            F.round("holt_level", 6).alias("level"),
+            F.round("holt_trend", 6).alias("trend"),
+            F.round("holt_forecast", 6).alias("forecast_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3168,6 +3214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hybrid_rrf": _q_hybrid_rrf,
         "events_seasonal_decompose": _q_seasonal_decompose,
         "lineitem_winsorized": _q_winsorize_prices,
+        "events_cross_corr": _q_cross_corr,
+        "events_holt_forecast": _q_holt_forecast,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5199,6 +5247,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_cross_corr": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+                       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+                FROM events GROUP BY 1
+            ),
+            lagd AS (
+                SELECT day, clicks::DOUBLE AS x, purchases::DOUBLE AS p0,
+                       LAG(purchases::DOUBLE, 1) OVER (ORDER BY day) AS p1
+                FROM daily
+            ),
+            u AS (
+                SELECT 0 AS lag, x AS cur, p0 AS prev FROM lagd
+                UNION ALL
+                SELECT 1 AS lag, x AS cur, p1 AS prev FROM lagd
+            )
+            SELECT lag,
+                   CASE WHEN STDDEV_SAMP(cur) > 0 AND STDDEV_SAMP(prev) > 0
+                        THEN ROUND(COVAR_SAMP(cur, prev)
+                                   / (STDDEV_SAMP(cur) * STDDEV_SAMP(prev)), 6)
+                   END AS xcorr,
+                   COUNT(*) AS n_pairs
+            FROM u WHERE prev IS NOT NULL AND cur IS NOT NULL
+            GROUP BY lag
+            ORDER BY lag
         """,
         "multimodal_image_dims": """
             SELECT doc_id, 'png' AS img_format,

@@ -456,3 +456,129 @@ def seasonal_decompose(
         )
         .drop("__rn", "__trend", "__detr", "__m")
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 0,
+    lookback: int = 512,
+    tie_breakers: list[str] | None = None,
+    out_prefix: str = "holt",
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per series:
+    ``level_t = a*x_t + (1-a)*(level + trend)``,
+    ``trend_t = b*(level_t - level) + (1-b)*trend`` seeded
+    ``level_1 = x_1, trend_1 = 0``.  Adds ``<prefix>_level``,
+    ``<prefix>_trend`` and, when ``horizon`` > 0, ``<prefix>_forecast``
+    = level + horizon * trend (the h-step-ahead point forecast).
+
+    Same distribution trick as ``ewma``: the coupled recursion folds a
+    BOUNDED rows-frame through a struct accumulator (pure JVM
+    ``aggregate``); initial-condition influence decays geometrically
+    (spectral radius < 1 for 0 < a,b < 1), so ``lookback`` rows back the
+    seed is noise.  One window shuffle, O(lookback) per row regardless
+    of series length.  Unlike EWMA there is no tidy closed-form cutoff,
+    so ``lookback`` is explicit — 512 covers any practical (a, b).
+    """
+    if not (0 < alpha < 1 and 0 < beta < 1):
+        raise ValueError("alpha and beta must be in (0, 1)")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(*order)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    skey = F.struct(
+        F.col(ts_col).alias("_t"),
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(tie_breakers or [])],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    frame = F.array_sort(F.collect_list(skey).over(w))
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(None).cast("double").alias("b")
+    )
+
+    def _step(acc, x):
+        lnew = F.lit(alpha) * x["_v"] + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+        bnew = F.lit(beta) * (lnew - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x["_v"].alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(lnew.alias("l"), bnew.alias("b")))
+
+    state = F.aggregate(frame, zero, _step)
+    out = df.withColumn(f"{out_prefix}_level", state["l"]).withColumn(
+        f"{out_prefix}_trend", state["b"]
+    )
+    if horizon > 0:
+        out = out.withColumn(
+            f"{out_prefix}_forecast",
+            F.col(f"{out_prefix}_level")
+            + F.lit(float(horizon)) * F.col(f"{out_prefix}_trend"),
+        )
+    return out
+
+
+def cross_corr(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    lags: list[int] | None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Lagged cross-correlation between two metrics of the same series:
+    for each lag ``k >= 0``, ``corr(x_t, y_{t-k})`` — does yesterday's
+    y predict today's x?  Returns ``by..., lag, xcorr, n_pairs``.
+    Lag 0 is the plain contemporaneous correlation.
+
+    Same single-window-shuffle shape as ``autocorr``; corr from guarded
+    moments so degenerate spreads yield NULL rather than ANSI errors.
+    """
+    keys = list(by or [])
+    lags = lags if lags is not None else [0, 1]
+    if any(k < 0 for k in lags):
+        raise ValueError("lags must be >= 0 (swap x and y for leads)")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    base = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        *[
+            F.lag(F.col(y_col).cast("double"), k).over(w).alias(f"__y{k}")
+            for k in lags
+        ],
+    )
+    stacked = base.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("__x").alias("cur"),
+                        F.col(f"__y{k}").alias("prev"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys, "p.lag", "p.cur", "p.prev")
+    s_cur = F.stddev_samp("cur")
+    s_prev = F.stddev_samp("prev")
+    cc = F.when(
+        (s_cur > 0) & (s_prev > 0), F.covar_samp("cur", "prev") / (s_cur * s_prev)
+    )
+    return (
+        stacked.where(F.col("prev").isNotNull() & F.col("cur").isNotNull())
+        .groupBy(*keys, "lag")
+        .agg(F.round(cc, 6).alias("xcorr"), F.count("*").alias("n_pairs"))
+    )

@@ -313,3 +313,97 @@ def test_seasonal_decompose_matches_statsmodels_shape_odd_period(spark):
         sub = mid[mid["g"] == g]
         assert (abs(sub["sd_trend"] - (base + sub["t"])) < 1e-6).all()
         assert (abs(sub["sd_residual"]) < 1e-6).all()
+
+
+def test_holt_matches_serial_recursion(spark):
+    """Full-lookback fold equals the serial Holt recursion exactly; the
+    default truncated lookback agrees to double precision; forecast is
+    level + h*trend."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import holt_smoothing
+
+    rng = np.random.default_rng(17)
+    n = 80
+    xs = [10 + 0.7 * i + rng.normal(0, 2) for i in range(n)]
+    pdf = pd.DataFrame({"t": range(n), "x": xs})
+
+    a, b = 0.4, 0.2
+    levels, trends = [], []
+    l = t_ = None
+    for x in xs:
+        if l is None:
+            l, t_ = x, 0.0
+        else:
+            lnew = a * x + (1 - a) * (l + t_)
+            t_ = b * (lnew - l) + (1 - b) * t_
+            l = lnew
+        levels.append(l)
+        trends.append(t_)
+
+    got = (
+        holt_smoothing(
+            spark.createDataFrame(pdf), ts_col="t", value_col="x",
+            alpha=a, beta=b, horizon=3, lookback=200,
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["holt_level"], levels, rtol=1e-12)
+    np.testing.assert_allclose(got["holt_trend"], trends, rtol=1e-12)
+    np.testing.assert_allclose(
+        got["holt_forecast"], np.array(levels) + 3 * np.array(trends), rtol=1e-12
+    )
+    # trend on a clean linear series converges to the slope
+    assert abs(got["holt_trend"].iloc[-1] - 0.7) < 1.0
+
+
+def test_holt_truncated_lookback_converges(spark):
+    """A 64-row lookback agrees with the full recursion to ~1e-6 on a
+    200-row series (geometric seed decay)."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import holt_smoothing
+
+    n = 200
+    pdf = pd.DataFrame({"t": range(n), "x": [50 + 0.3 * i for i in range(n)]})
+    df = spark.createDataFrame(pdf)
+    full = (
+        holt_smoothing(df, ts_col="t", value_col="x", alpha=0.4, beta=0.2, lookback=400)
+        .orderBy("t").toPandas()
+    )
+    trunc = (
+        holt_smoothing(df, ts_col="t", value_col="x", alpha=0.4, beta=0.2, lookback=64)
+        .orderBy("t").toPandas()
+    )
+    np.testing.assert_allclose(
+        trunc["holt_level"].iloc[100:], full["holt_level"].iloc[100:], rtol=1e-6
+    )
+
+
+def test_cross_corr_lead_lag(spark):
+    """y leads x by 2: xcorr peaks at lag 2, near zero elsewhere; lag 0
+    equals numpy's plain correlation."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import cross_corr
+
+    rng = np.random.default_rng(23)
+    n = 300
+    y = rng.normal(0, 1, n)
+    x = np.roll(y, 2) + rng.normal(0, 0.05, n)  # x_t ~ y_{t-2}
+    x[:2] = rng.normal(0, 1, 2)
+    pdf = pd.DataFrame({"t": range(n), "x": x, "y": y})
+    got = {
+        r.lag: (r.xcorr, r.n_pairs)
+        for r in cross_corr(
+            spark.createDataFrame(pdf), ts_col="t", x_col="x", y_col="y", lags=[0, 1, 2]
+        ).collect()
+    }
+    assert got[2][0] > 0.99 and got[2][1] == n - 2
+    assert abs(got[1][0]) < 0.2 and abs(got[0][0]) < 0.2
+    expect0 = float(np.corrcoef(x, y)[0, 1])
+    assert abs(got[0][0] - round(expect0, 6)) < 1e-6
