@@ -371,12 +371,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # localCheckpoint (eager) rather than persist+unpersist: the caller
+    # executes the returned PLAN after this function exits, so an
+    # unpersist here would evict the cache before the wedge and closing
+    # joins ever read it — checkpointing materializes the oriented edge
+    # list once and both joins scan the checkpointed blocks
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    ).persist()
-    oriented.count()  # reused by the wedge join AND the closing join
+    ).localCheckpoint()
 
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
@@ -408,7 +412,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.coalesce("triangles", F.lit(0)).alias("triangles"),
         )
     )
-    oriented.unpersist(blocking=False)
     return out
 
 

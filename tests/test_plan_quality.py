@@ -410,3 +410,58 @@ def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
     df = semantic_dedup(emb, id_col="vec_id", vector_col="embedding", n_clusters=8, threshold=0.35)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_top_k_is_take_ordered_and_no_python(spark, sf_dir):
+    """BM25 top-k must heap-merge, not globally sort, and the whole
+    scoring pipeline stays JVM-side."""
+    df = entry.queries()["docs_bm25_search"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Wedge join + closing join are equi-joins; a cartesian here is a
+    quadratic blow-up on any real graph."""
+    df = entry.queries()["graph_triangle_counts"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_window_shuffle(spark, sf_dir):
+    """The EWMA fold rides ONE hash exchange on the group key — the
+    frame collect and the fold are projection-level, not extra
+    shuffles."""
+    from aws_sdk_pandas_spark.operators.timeseries import ewma
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    df = ewma(
+        ev, ts_col="ts", value_col="value", by=["user_id"], lookback=60,
+        tie_breakers=["event_id"],
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_kmv_ungrouped_is_take_ordered(spark, sf_dir):
+    """Ungrouped bottom-k must compile to TakeOrderedAndProject, not a
+    single-partition window funnel."""
+    from aws_sdk_pandas_spark.functions.sketches import kmv_sketch
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    df = kmv_sketch(ev, "user_id", k=64)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_image_dimensions_jvm_only_no_python(spark, sf_dir):
+    """PNG/GIF/BMP header parse is whole-stage codegen — the jpeg=False
+    path must contain no Python eval node."""
+    df = entry.queries()["multimodal_image_dims"](spark, sf_dir)
+    assert "EvalPython" not in _plan(df)
