@@ -3063,6 +3063,35 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (connectors/neptune.label_propagation):
+    synchronous LPA with deterministic min-label tie-breaks over the
+    part co-purchase graph.  Rows-only gate (iterative argmax has no
+    SQL form); determinism across repartitionings pinned in
+    test_graph.py."""
+    from aws_sdk_pandas_spark.connectors.neptune import label_propagation
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").where("l_linenumber <= 2")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where("pa < pb")
+        .select(
+            F.concat_ws("-", "pa", "pb").alias("~id"),
+            F.lit("co").alias("~label"),
+            F.col("pa").cast("string").alias("~from"),
+            F.col("pb").cast("string").alias("~to"),
+        )
+    )
+    return (
+        label_propagation(edges, max_iter=5)
+        .select(F.col("~id").alias("vertex"), "community")
+        .orderBy(F.col("vertex").cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3216,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_winsorized": _q_winsorize_prices,
         "events_cross_corr": _q_cross_corr,
         "events_holt_forecast": _q_holt_forecast,
+        "graph_communities_lpa": _q_label_propagation,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,

@@ -465,3 +465,65 @@ def k_hop_neighbors(
         frontier = nxt.select("id")
     e.unpersist(blocking=False)
     return visited.select(F.col("id").alias("~id"), "hops")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the undirected simple graph: every node simultaneously
+    adopts the most frequent label among its neighbours (ties -> the
+    smallest label, so the algorithm is DETERMINISTIC — reruns and
+    repartitionings agree), for ``max_iter`` rounds or until no label
+    changes.  Returns ``~id, community``.
+
+    Unlike ``connected_components`` (one community per connected
+    component) this splits dense regions joined by sparse cuts — the
+    coarse clustering pass over near-dup graphs before per-community
+    work.  Each round is one edge-labels join + one (node, label)
+    count + one argmax window, all keyed shuffles; ``localCheckpoint``
+    bounds plan growth exactly as in ``pagerank``.
+    """
+    from pyspark.sql.window import Window
+
+    validate_edges(edges)
+    e = (
+        edges.select(F.col("~from").alias("u"), F.col("~to").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    und.count()
+
+    labels = (
+        und.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+
+    w = Window.partitionBy("u").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(max_iter):
+        freq = (
+            und.join(labels, und["v"] == labels["id"])
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("u").alias("id"), F.col("label").alias("__new"))
+        )
+        updated = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("__old"),
+                F.coalesce("__new", F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(F.col("label") != F.col("__old")).count()
+        labels = updated.drop("__old")
+        if changed == 0:
+            break
+    und.unpersist(blocking=False)
+    return labels.select(F.col("id").alias("~id"), F.col("label").alias("community"))

@@ -137,3 +137,31 @@ def test_k_hop_neighbors_min_hop_and_direction(spark):
     # in-direction from b: only a
     inc = {r["~id"]: r.hops for r in k_hop_neighbors(edges, ["b"], k=2, direction="in").collect()}
     assert inc == {"b": 0, "a": 1}
+
+
+def test_label_propagation_splits_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA finds two
+    communities where connected_components finds one; deterministic
+    across repartitionings."""
+    import itertools
+
+    from aws_sdk_pandas_spark.connectors.neptune import label_propagation
+
+    a = [f"a{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(5)]
+    edges = (
+        list(itertools.combinations(a, 2))
+        + list(itertools.combinations(b, 2))
+        + [("a0", "b0")]
+    )
+    ef = _edge_frame(spark, edges)
+    got = {r["~id"]: r.community for r in label_propagation(ef).collect()}
+    comm_a = {got[v] for v in a}
+    comm_b = {got[v] for v in b}
+    assert len(comm_a) == 1 and len(comm_b) == 1
+    assert comm_a != comm_b
+    got2 = {
+        r["~id"]: r.community
+        for r in label_propagation(ef.repartition(7)).collect()
+    }
+    assert got2 == got
