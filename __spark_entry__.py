@@ -3092,6 +3092,42 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling median per user (operators/timeseries.
+    rolling_quantile): exact interpolated percentile over ONE
+    range-frame window — the robust baseline that pairs with the
+    z-score anomaly detector on heavy-tailed metrics."""
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_quantile
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        rolling_quantile(
+            ev, ts_col="ts", value_col="value", by=["user_id"], window_seconds=3600
+        )
+        .select("event_id", "user_id", "rq_0_5")
+        .orderBy("event_id")
+    )
+
+
+def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational surface: UNPIVOT/melt (native Spark ``unpivot`` —
+    wide metric columns to long (metric, val) rows, the inverse of the
+    pivot gate; map-only, no shuffle)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3246,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cross_corr": _q_cross_corr,
         "events_holt_forecast": _q_holt_forecast,
         "graph_communities_lpa": _q_label_propagation,
+        "events_rolling_median": _q_rolling_median,
+        "lineitem_unpivot": _q_unpivot_lineitem,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5277,6 +5315,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_rolling_median": """
+            SELECT event_id, user_id,
+                   ROUND(quantile_cont(value, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS rq_0_5
+            FROM events
+            ORDER BY event_id
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, metric, val FROM (
+                SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                       l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            ) u
+            ORDER BY l_orderkey, l_linenumber, metric
         """,
         "events_cross_corr": """
             WITH daily AS (

@@ -582,3 +582,43 @@ def cross_corr(
         .groupBy(*keys, "lag")
         .agg(F.round(cc, 6).alias("xcorr"), F.count("*").alias("n_pairs"))
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    q: float = 0.5,
+    by: list[str] | None = None,
+    window_seconds: int = 3600,
+    include_current: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact interpolated quantile of the trailing ``window_seconds``
+    per group — the robust rolling baseline (a trailing MEDIAN shrugs
+    off the spikes that drag a trailing mean, so it pairs with
+    ``detect_anomalies_rolling`` for heavy-tailed metrics).
+
+    ONE range-frame window over (group, epoch-microseconds) — the same
+    single-shuffle shape as the anomaly detector; per-task state is
+    bounded by the window span.  ``include_current=False`` excludes the
+    row from its own baseline.
+    """
+    if not 0 <= q <= 1:
+        raise ValueError("q must be in [0, 1]")
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp") or dtype == "date":
+        epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    else:
+        epoch_us = (F.col(ts_col).cast("double") * 1_000_000).cast("long")
+    hi = 0 if include_current else -1
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(epoch_us)
+        .rangeBetween(-window_seconds * 1_000_000, hi)
+    )
+    name = out_col or f"rq_{str(q).replace('.', '_')}"
+    return df.withColumn(
+        name, F.round(F.expr(f"percentile(`{value_col}`, {q!r})").over(w), 6)
+    )

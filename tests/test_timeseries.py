@@ -407,3 +407,40 @@ def test_cross_corr_lead_lag(spark):
     assert abs(got[1][0]) < 0.2 and abs(got[0][0]) < 0.2
     expect0 = float(np.corrcoef(x, y)[0, 1])
     assert abs(got[0][0] - round(expect0, 6)) < 1e-6
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    """Trailing-hour median per group equals a pandas recompute; the
+    exclude-current variant shifts the frame."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_quantile
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in ("a", "b"):
+        t = 0.0
+        for _ in range(120):
+            t += float(rng.integers(60, 600))
+            rows.append((g, t, round(float(rng.normal(10, 3)), 3)))
+    pdf = pd.DataFrame(rows, columns=["g", "t", "x"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling_quantile(df, ts_col="t", value_col="x", by=["g"], window_seconds=3600)
+        .orderBy("g", "t")
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        sub = pdf[(pdf["g"] == r["g"]) & (pdf["t"] >= r["t"] - 3600) & (pdf["t"] <= r["t"])]
+        assert abs(r["rq_0_5"] - round(float(np.quantile(sub["x"], 0.5)), 6)) < 1e-9
+    ex = (
+        rolling_quantile(
+            df, ts_col="t", value_col="x", by=["g"], window_seconds=3600,
+            include_current=False, out_col="m",
+        )
+        .orderBy("g", "t")
+        .toPandas()
+    )
+    first = ex.groupby("g").head(1)
+    assert first["m"].isna().all()  # no trailing rows yet
