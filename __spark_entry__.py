@@ -3128,6 +3128,30 @@ def _q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators/
+    similarity.mine_hard_negatives): for each of 20 anchor embeddings,
+    the 3 nearest DIFFERENT-label rows — one broadcast corpus scan +
+    one anchor-keyed top-k window; same-label neighbors (positives)
+    and the anchor itself never appear."""
+    from aws_sdk_pandas_spark.operators.similarity import mine_hard_negatives
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("vector"), "label"
+    )
+    return mine_hard_negatives(
+        emb,
+        anchors,
+        k=3,
+        id_col="vec_id",
+        vector_col="embedding",
+        label_col="label",
+        metric="cosine",
+    ).orderBy("anchor_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3284,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities_lpa": _q_label_propagation,
         "events_rolling_median": _q_rolling_median,
         "lineitem_unpivot": _q_unpivot_lineitem,
+        "emb_hard_negatives": _q_hard_negatives,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5315,6 +5340,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "emb_hard_negatives": """
+            WITH anchors AS (
+                SELECT vec_id AS aid, embedding AS av, label AS albl
+                FROM embeddings WHERE vec_id < 20
+            ),
+            pairs AS (
+                SELECT a.aid, e.vec_id AS neg_id,
+                       ROUND(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(a.av AS DOUBLE[])), 6)
+                           AS distance
+                FROM embeddings e, anchors a
+                WHERE e.vec_id <> a.aid AND e.label <> a.albl
+            ),
+            r AS (
+                SELECT aid, neg_id, distance,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY aid
+                                               ORDER BY distance, neg_id) AS INT) AS rank
+                FROM pairs
+            )
+            SELECT aid AS anchor_id, neg_id, distance, rank
+            FROM r WHERE rank <= 3
+            ORDER BY anchor_id, rank
         """,
         "events_rolling_median": """
             SELECT event_id, user_id,

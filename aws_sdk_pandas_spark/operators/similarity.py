@@ -594,3 +594,68 @@ def knn_ivf_pq(
         refine_vector_col=refine_vector_col,
         refine_factor=refine_factor,
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "key",
+    vector_col: str = "vector",
+    label_col: str | None = None,
+    anchor_id_col: str = "anchor_id",
+    anchor_vector_col: str = "vector",
+    anchor_label_col: str | None = None,
+    metric: str = "cosine",
+    min_distance: float = 0.0,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each anchor, the ``k`` NEAREST corpus rows that are (a) not the
+    anchor itself, (b) a different ``label_col`` when labels are given
+    (same-label neighbors are positives, not negatives), and (c) at
+    least ``min_distance`` away — the floor drops near-duplicates that
+    would be FALSE negatives.  Returns ``anchor_id, neg_id, distance,
+    rank``.
+
+    Same scale shape as ``knn_batch`` (anchors are the training batch —
+    small by construction, broadcast): ONE corpus scan with JVM-side
+    distances, one shuffle on anchor_id for the per-anchor top-k.  For
+    corpus-wide mining, feed anchors through in batches or swap the
+    scan for ``knn_ivf`` candidates.
+    """
+    from pyspark.sql.window import Window
+
+    a_cols = [
+        F.col(anchor_id_col).alias("__aid"),
+        F.col(anchor_vector_col).alias("__av"),
+    ]
+    if label_col is not None:
+        a_cols.append(
+            F.col(anchor_label_col or label_col).alias("__albl")
+        )
+    a = anchors.select(*a_cols)
+    c_cols = [F.col(id_col).alias("__cid"), F.col(vector_col).alias("__cv")]
+    if label_col is not None:
+        c_cols.append(F.col(label_col).alias("__clbl"))
+    paired = corpus.select(*c_cols).crossJoin(F.broadcast(a))
+    paired = paired.where(F.col("__cid") != F.col("__aid"))
+    if label_col is not None:
+        paired = paired.where(F.col("__clbl") != F.col("__albl"))
+    dist = F.round(_distance(metric, F.col("__cv"), F.col("__av")), 6)
+    paired = paired.withColumn("distance", dist)
+    if min_distance > 0:
+        paired = paired.where(F.col("distance") >= min_distance)
+    w = Window.partitionBy("__aid").orderBy(
+        F.col("distance").asc(), F.col("__cid").asc()
+    )
+    return (
+        paired.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__aid").alias("anchor_id"),
+            F.col("__cid").alias("neg_id"),
+            "distance",
+            "rank",
+        )
+    )

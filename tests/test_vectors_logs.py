@@ -273,3 +273,33 @@ def test_cloudwatch_filter_log_events(logs_df):
         logs.filter_log_events(
             logs_df, log_stream_name_prefix="a", log_stream_names=["api"]
         )
+
+
+def test_mine_hard_negatives_excludes_self_and_label(spark):
+    """Hardest different-label neighbor wins; self and same-label rows
+    never appear; min_distance floors out near-dups."""
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.operators.similarity import mine_hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.99, 0.14], "a"),   # same label: excluded
+        (3, [0.95, 0.31], "b"),   # hard negative
+        (4, [0.0, 1.0], "b"),     # easy negative
+        (5, [1.0, 0.001], "b"),   # near-dup of anchor
+    ]
+    df = spark.createDataFrame(rows, "key int, vector array<double>, label string")
+    anchors = df.where("key = 1").select(
+        F.col("key").alias("anchor_id"), "vector", "label"
+    )
+    got = mine_hard_negatives(
+        df, anchors, k=2, id_col="key", vector_col="vector", label_col="label"
+    ).collect()
+    assert [(r.neg_id, r.rank) for r in got] == [(5, 1), (3, 2)]
+    # floor drops the near-duplicate false negative
+    floored = mine_hard_negatives(
+        df, anchors, k=2, id_col="key", vector_col="vector", label_col="label",
+        min_distance=0.01,
+    ).collect()
+    assert [(r.neg_id, r.rank) for r in floored] == [(3, 1), (4, 2)]
