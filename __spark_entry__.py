@@ -5437,7 +5437,7 @@ def oracle_sql() -> dict[str, str]:
                                    / (STDDEV_SAMP(cur) * STDDEV_SAMP(prev)), 6)
                    END AS acf,
                    COUNT(*) AS n_pairs
-            FROM u WHERE prev IS NOT NULL
+            FROM u WHERE prev IS NOT NULL AND cur IS NOT NULL
             GROUP BY event_type, lag
             ORDER BY event_type, lag
         """,

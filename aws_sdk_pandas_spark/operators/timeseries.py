@@ -311,11 +311,15 @@ def ewma(
         F.col(value_col).cast("double").alias("_v"),
     )
     frame = F.array_sort(F.collect_list(skey).over(w))
+    # NULL observations are SKIPPED (state carries over) — otherwise one
+    # null would poison every later row in its lookback
     folded = F.aggregate(
         frame,
         F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x["_v"]).otherwise(
-            acc * F.lit(1.0 - alpha) + x["_v"] * F.lit(alpha)
+        lambda acc, x: F.when(x["_v"].isNull(), acc).otherwise(
+            F.when(acc.isNull(), x["_v"]).otherwise(
+                acc * F.lit(1.0 - alpha) + x["_v"] * F.lit(alpha)
+            )
         ),
     )
     return df.withColumn(out_col, folded)
@@ -379,7 +383,7 @@ def autocorr(
     )
     acf = F.round(cc, 6)
     return (
-        stacked.where(F.col("prev").isNotNull())
+        stacked.where(F.col("prev").isNotNull() & F.col("cur").isNotNull())
         .groupBy(*keys, "lag")
         .agg(acf.alias("acf"), F.count("*").alias("n_pairs"))
     )
@@ -507,10 +511,13 @@ def holt_smoothing(
     def _step(acc, x):
         lnew = F.lit(alpha) * x["_v"] + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
         bnew = F.lit(beta) * (lnew - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
-        return F.when(
-            acc["l"].isNull(),
-            F.struct(x["_v"].alias("l"), F.lit(0.0).alias("b")),
-        ).otherwise(F.struct(lnew.alias("l"), bnew.alias("b")))
+        # NULL observations skipped: state carries over (same policy as ewma)
+        return F.when(x["_v"].isNull(), acc).otherwise(
+            F.when(
+                acc["l"].isNull(),
+                F.struct(x["_v"].alias("l"), F.lit(0.0).alias("b")),
+            ).otherwise(F.struct(lnew.alias("l"), bnew.alias("b")))
+        )
 
     state = F.aggregate(frame, zero, _step)
     out = df.withColumn(f"{out_prefix}_level", state["l"]).withColumn(

@@ -444,3 +444,26 @@ def test_rolling_quantile_matches_pandas(spark):
     )
     first = ex.groupby("g").head(1)
     assert first["m"].isna().all()  # no trailing rows yet
+
+
+def test_ewma_and_holt_skip_null_observations(spark):
+    """A NULL mid-series carries state over instead of poisoning every
+    later row in its lookback."""
+    from aws_sdk_pandas_spark.operators.timeseries import ewma, holt_smoothing
+
+    rows = [(1, 10.0), (2, None), (3, 20.0)]
+    df = spark.createDataFrame(rows, "t int, x double")
+    e = {r.t: r.ewma for r in ewma(df, ts_col="t", value_col="x", alpha=0.5).collect()}
+    assert e[1] == 10.0
+    assert e[2] == 10.0  # state carried
+    assert e[3] == 15.0  # 0.5*10 + 0.5*20
+    h = {
+        r.t: (r.holt_level, r.holt_trend)
+        for r in holt_smoothing(
+            df, ts_col="t", value_col="x", alpha=0.5, beta=0.5
+        ).collect()
+    }
+    assert h[1] == (10.0, 0.0)
+    assert h[2] == (10.0, 0.0)
+    lnew = 0.5 * 20 + 0.5 * 10
+    assert h[3] == (lnew, 0.5 * (lnew - 10.0))
