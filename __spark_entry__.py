@@ -3152,6 +3152,25 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rank")
 
 
+def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG pipeline end-to-end (operators/pipeline.build_rag_index +
+    rag_search): chunk -> deterministic-hash embed -> IVF cluster ->
+    hybrid BM25+ANN query fused by reciprocal rank.  Rows-only gate
+    (KMeans assignment has no SQL form); end-to-end relevance and
+    determinism pinned in test_curation_ops.py."""
+    from aws_sdk_pandas_spark.operators.pipeline import build_rag_index, rag_search
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    idx, cents = build_rag_index(
+        docs, chunk_words=32, overlap_words=8, dim=32, n_clusters=8
+    )
+    idx = idx.localCheckpoint()
+    return rag_search(idx, cents, "spark table merge", k=10, dim=32).select(
+        "chunk_id", "rrf_score", "n_lists"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3309,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_median": _q_rolling_median,
         "lineitem_unpivot": _q_unpivot_lineitem,
         "emb_hard_negatives": _q_hard_negatives,
+        "docs_rag_search": _q_rag_search,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,

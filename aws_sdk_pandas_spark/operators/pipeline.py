@@ -199,3 +199,83 @@ def build_training_corpus(
             out, "n_tokens", pack_budget, by=by, order_cols=["position"]
         )
     return out
+
+
+def build_rag_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+    dim: int = 64,
+    embed_fn=None,
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """The RAG ingestion pipeline as one composition: sliding-window
+    chunking (map-only JVM) -> batch embedding (Arrow ``mapInPandas``,
+    injectable endpoint; deterministic hash embedding by default) ->
+    IVF cluster assignment (distributed KMeans).  Returns
+    ``(index_df, centroids)`` where ``index_df`` carries ``chunk_id,
+    chunk_idx, chunk_text, embedding, __cluster`` per chunk.
+
+    At scale: WRITE ``index_df`` partitioned by ``__cluster`` so
+    ``rag_search`` probes become partition-pruned scans of
+    n_probe/n_clusters of the corpus.
+    """
+    from aws_sdk_pandas_spark.operators.similarity import build_ivf_index
+    from aws_sdk_pandas_spark.operators.textstats import chunk_documents
+    from aws_sdk_pandas_spark.vectors import embed_texts
+
+    chunks = chunk_documents(
+        docs, id_col, text_col, chunk_words=chunk_words, overlap_words=overlap_words
+    ).withColumn(
+        "chunk_id",
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
+    )
+    emb = embed_texts(chunks, "chunk_text", out_col="embedding", dim=dim, embed_fn=embed_fn)
+    return build_ivf_index(emb, vector_col="embedding", n_clusters=n_clusters, seed=seed)
+
+
+def rag_search(
+    index_df: DataFrame,
+    centroids,
+    query_text: str,
+    *,
+    k: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    embed_fn=None,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval over a ``build_rag_index`` output: the query is
+    embedded through the SAME function as the corpus, IVF-ANN top-k
+    (cluster-pruned scan) fuses with BM25 keyword top-k by reciprocal
+    rank, and the fused chunks come back with their text:
+    ``chunk_id, rrf_score, n_lists, chunk_text``.
+
+    Scale shape: the ANN leg scans n_probe/n_clusters of the corpus
+    (partition-pruned when the index is stored clustered); the BM25 leg
+    shuffles only (chunk, query-term) hits; fusion joins two top-k-sized
+    frames (broadcast)."""
+    from aws_sdk_pandas_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from aws_sdk_pandas_spark.operators.similarity import knn_ivf
+    from aws_sdk_pandas_spark.vectors import default_embedding
+
+    qv = (embed_fn([query_text]) if embed_fn else default_embedding([query_text], dim))[0]
+    vec = knn_ivf(
+        index_df, centroids, qv, k=k, id_col="chunk_id",
+        vector_col="embedding", n_probe=n_probe,
+    )
+    terms = sorted(set(query_text.lower().split()))
+    bm = bm25_scores(index_df, terms, id_col="chunk_id", text_col="chunk_text", top_k=k)
+    fused = rrf_fuse(
+        [bm, vec], id_col="chunk_id", k=rrf_k, ascending=[False, True], top_k=k
+    )
+    return (
+        fused.join(
+            index_df.select("chunk_id", "chunk_text"), "chunk_id", "left"
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("chunk_id").asc())
+    )

@@ -167,6 +167,30 @@ def query_vectors(
     )
 
 
+def default_embedding(texts: list[str], dim: int = 64) -> list[list[float]]:
+    """The deterministic no-network embedding ``embed_texts`` uses by
+    default (token-hash buckets, L2-normalized) — module-level so the
+    QUERY side of a retrieval pipeline can embed through the identical
+    function (a query embedded differently than its corpus never
+    matches).  NOT a semantic model; inject a real endpoint for one."""
+    import math
+    import zlib
+
+    import numpy as np
+
+    out = []
+    for t in texts or []:
+        v = np.zeros(dim, dtype=np.float64)
+        for tok in (t or "").lower().split():
+            # crc32, not hash(): Python's hash is per-process salted
+            # and would differ across executors
+            h = zlib.crc32(tok.encode("utf-8"))
+            v[h % dim] += 1.0 + (h >> 8) % 7 / 7.0
+        n = math.sqrt(float((v * v).sum())) or 1.0
+        out.append((v / n).astype(np.float32).tolist())
+    return out
+
+
 def embed_texts(
     df: DataFrame,
     text_col: str = "text",
@@ -197,24 +221,7 @@ def embed_texts(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
     )
 
-    def _default_embed(texts: list[str]) -> list[list[float]]:
-        import zlib
-
-        import numpy as np
-
-        out = []
-        for t in texts or []:
-            v = np.zeros(dim, dtype=np.float64)
-            for tok in (t or "").lower().split():
-                # crc32, not hash(): Python's hash is per-process salted
-                # and would differ across executors
-                h = zlib.crc32(tok.encode("utf-8"))
-                v[h % dim] += 1.0 + (h >> 8) % 7 / 7.0
-            n = math.sqrt(float((v * v).sum())) or 1.0
-            out.append((v / n).astype(np.float32).tolist())
-        return out
-
-    fn = embed_fn or _default_embed
+    fn = embed_fn or (lambda texts: default_embedding(texts, dim))
 
     def _map(batches):
         for pdf in batches:

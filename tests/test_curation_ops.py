@@ -448,3 +448,31 @@ def test_normalize_text_accent_fold(spark):
     fp = {r.id: r.f for r in df.select(
         "id", document_fingerprint(normalize_text("t")).alias("f")).collect()}
     assert fp[1] == fp[2] and fp[3] == fp[4]
+
+
+def test_rag_pipeline_end_to_end(spark):
+    """build_rag_index -> rag_search: the chunk from the on-topic doc
+    wins, hits carry text, reruns are deterministic."""
+    from aws_sdk_pandas_spark.operators.pipeline import build_rag_index, rag_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition broadcast join " * 12),
+            (2, "pandas dataframe index groupby merge " * 12),
+            (3, "gardening soil tomato compost watering " * 12),
+        ],
+        "doc_id int, text string",
+    )
+    idx, cents = build_rag_index(
+        docs, chunk_words=16, overlap_words=4, dim=32, n_clusters=2
+    )
+    idx = idx.persist()
+    hits = rag_search(idx, cents, "spark broadcast join", k=5, dim=32).collect()
+    assert hits and hits[0].chunk_id.startswith("1#")
+    assert "spark" in hits[0].chunk_text
+    assert all(h.n_lists >= 1 for h in hits)
+    again = rag_search(idx, cents, "spark broadcast join", k=5, dim=32).collect()
+    assert [(h.chunk_id, h.rrf_score) for h in again] == [
+        (h.chunk_id, h.rrf_score) for h in hits
+    ]
+    idx.unpersist()
