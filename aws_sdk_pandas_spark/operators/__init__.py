@@ -25,10 +25,32 @@ from aws_sdk_pandas_spark.operators.textstats import (
 from aws_sdk_pandas_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
+    mine_hard_negatives,
     similarity_join,
 )
+from aws_sdk_pandas_spark.operators.retrieval import bm25_scores, rrf_fuse
+from aws_sdk_pandas_spark.operators.timeseries import (
+    autocorr,
+    cross_corr,
+    ewma,
+    holt_smoothing,
+    rolling_quantile,
+    seasonal_decompose,
+)
+from aws_sdk_pandas_spark.operators.pipeline import build_rag_index, rag_search
 
 __all__ = [
+    "autocorr",
+    "bm25_scores",
+    "build_rag_index",
+    "cross_corr",
+    "ewma",
+    "holt_smoothing",
+    "mine_hard_negatives",
+    "rag_search",
+    "rolling_quantile",
+    "rrf_fuse",
+    "seasonal_decompose",
     "benchmark_contamination",
     "dedup_exact",
     "dedup_fingerprint",
