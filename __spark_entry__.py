@@ -3171,6 +3171,40 @@ def _q_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type (operators/timeseries.
+    time_weighted_avg — Timestream's avg(time_weight()) family): each
+    observation weighted by how long it was current (LOCF step
+    integral), the correct gauge aggregate under irregular sampling.
+    One lead window + one keyed aggregate."""
+    from aws_sdk_pandas_spark.operators.timeseries import time_weighted_avg
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return time_weighted_avg(
+        ev, ts_col="ts", value_col="value", by=["event_type"],
+        tie_breakers=["event_id"],
+    ).orderBy("event_type")
+
+
+def _q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type (operators/timeseries.
+    resample_ohlc): open/close via min_by/max_by on the (time, id)
+    struct — ONE keyed aggregation, no window pass, partitioning-
+    invariant tie order."""
+    from aws_sdk_pandas_spark.operators.timeseries import resample_ohlc
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        resample_ohlc(
+            ev, time_col="ts", value_col="value", by=["event_type"],
+            step="1 hour", tie_breakers=["event_id"],
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3329,6 +3363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": _q_unpivot_lineitem,
         "emb_hard_negatives": _q_hard_negatives,
         "docs_rag_search": _q_rag_search,
+        "events_time_weighted_avg": _q_time_weighted_avg,
+        "events_ohlc_hourly": _q_ohlc_hourly,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5360,6 +5396,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_time_weighted_avg": """
+            WITH x AS (
+                SELECT event_type, value,
+                       epoch_us(ts) / 1e6 AS t,
+                       LEAD(epoch_us(ts) / 1e6) OVER (
+                           PARTITION BY event_type
+                           ORDER BY epoch_us(ts) / 1e6, event_id) AS nt
+                FROM events
+            )
+            SELECT event_type,
+                   ROUND(CASE WHEN MAX(t) - MIN(t) > 0
+                         THEN SUM(value * (nt - t)) / (MAX(t) - MIN(t))
+                         ELSE AVG(value) END, 6) AS twa,
+                   COUNT(*) AS n_obs,
+                   ROUND(MAX(t) - MIN(t), 6) AS span_seconds
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
+        "events_ohlc_hourly": """
+            WITH x AS (
+                SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                           ORDER BY ts, event_id) AS rf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM events
+            )
+            SELECT event_type, bucket,
+                   ROUND(MAX(CASE WHEN rf = 1 THEN value END), 6) AS open,
+                   ROUND(MAX(value), 6) AS high,
+                   ROUND(MIN(value), 6) AS low,
+                   ROUND(MAX(CASE WHEN rl = 1 THEN value END), 6) AS close,
+                   COUNT(*) AS n_obs
+            FROM x GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
         """,
         "emb_hard_negatives": """
             WITH anchors AS (

@@ -629,3 +629,97 @@ def rolling_quantile(
     return df.withColumn(
         name, F.round(F.expr(f"percentile(`{value_col}`, {q!r})").over(w), 6)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted average per series (Timestream's
+    ``avg(time_weight())`` / TWA family — the reference ships that SQL
+    to the service, timestream/_read.py): each observation holds until
+    the next one (LOCF step function), so the mean weights every value
+    by HOW LONG it was current, not how often it was sampled — the
+    correct aggregate for irregularly sampled gauges, where a plain AVG
+    over-weights chatty periods.
+
+    ``TWA = sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first)`` per
+    group (the last observation carries no weight; a single-observation
+    series returns its value).  Returns ``by..., twa, n_obs,
+    span_seconds``.
+
+    ONE (group, time) window shuffle for the lead, one keyed aggregate.
+    """
+    keys = list(by or [])
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp") or dtype == "date":
+        t = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("double") / 1e6
+    else:
+        t = F.col(ts_col).cast("double")
+    order = [t] + [F.col(c) for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(t).over(w)
+    x = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v"),
+        t.alias("__t"),
+        (nxt - t).alias("__dt"),
+    )
+    span = F.max("__t") - F.min("__t")
+    twa = F.when(
+        span > 0, F.sum(F.col("__v") * F.col("__dt")) / span
+    ).otherwise(F.avg("__v"))
+    return x.groupBy(*keys).agg(
+        F.round(twa, round_to).alias("twa"),
+        F.count("*").alias("n_obs"),
+        F.round(span, round_to).alias("span_seconds"),
+    )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    *,
+    time_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    step: str = "1 hour",
+    tie_breakers: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Open/high/low/close resampling per bucket — the candlestick
+    aggregate (Timestream/financial rollup): first and last observation
+    by time (ties broken by ``tie_breakers`` so the answer is
+    partitioning-invariant), min and max, per ``step`` bucket per
+    group.  Returns ``by..., bucket, open, high, low, close, n_obs``.
+
+    ONE keyed aggregation — first/last ride ``min_by``/``max_by`` on
+    the (time, tie...) struct, so no window pass and no second shuffle.
+    """
+    from aws_sdk_pandas_spark.operators.rangejoin import _parse_duration_seconds
+
+    step_s = int(_parse_duration_seconds(step))
+    keys = list(by or [])
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(time_col)) / step_s) * step_s).cast("long")
+    )
+    order_key = F.struct(
+        F.col(time_col).alias("_t"),
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(tie_breakers or [])],
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.withColumn("__b", bucket)
+        .groupBy(*keys, F.col("__b").alias("bucket"))
+        .agg(
+            F.round(F.min_by(v, order_key), round_to).alias("open"),
+            F.round(F.max(v), round_to).alias("high"),
+            F.round(F.min(v), round_to).alias("low"),
+            F.round(F.max_by(v, order_key), round_to).alias("close"),
+            F.count("*").alias("n_obs"),
+        )
+    )

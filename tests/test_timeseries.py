@@ -467,3 +467,52 @@ def test_ewma_and_holt_skip_null_observations(spark):
     assert h[2] == (10.0, 0.0)
     lnew = 0.5 * 20 + 0.5 * 10
     assert h[3] == (lnew, 0.5 * (lnew - 10.0))
+
+
+def test_time_weighted_avg_vs_plain_avg(spark):
+    """A gauge at 10 for 9s then 100 for 1s: TWA ~ 10 + 90/10, while a
+    plain mean of samples would over-weight the chatty spike; single
+    observation returns itself."""
+    from aws_sdk_pandas_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        ("a", 0.0, 10.0),
+        ("a", 9.0, 100.0),   # held 1s
+        ("a", 10.0, 100.0),  # last: no weight
+        ("b", 5.0, 7.0),     # singleton
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, x double")
+    got = {r.g: r for r in time_weighted_avg(df, ts_col="t", value_col="x", by=["g"]).collect()}
+    # (10*9 + 100*1) / 10 = 19
+    assert got["a"].twa == 19.0 and got["a"].span_seconds == 10.0
+    assert got["b"].twa == 7.0 and got["b"].n_obs == 1
+
+
+def test_resample_ohlc_first_last_semantics(spark):
+    from datetime import datetime
+
+    from aws_sdk_pandas_spark.operators.timeseries import resample_ohlc
+
+    base = datetime(2026, 1, 1, 10)
+    rows = [
+        ("a", base.replace(minute=5), 1, 10.0),   # open
+        ("a", base.replace(minute=20), 2, 50.0),  # high
+        ("a", base.replace(minute=40), 3, 5.0),   # low
+        ("a", base.replace(minute=55), 4, 30.0),  # close
+        ("a", base.replace(hour=11, minute=1), 5, 99.0),  # next bucket
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid int, x double")
+    got = {
+        (r.g, r.bucket.hour): (r.open, r.high, r.low, r.close, r.n_obs)
+        for r in resample_ohlc(
+            df, by=["g"], step="1 hour", value_col="x", tie_breakers=["eid"]
+        ).collect()
+    }
+    assert got[("a", 10)] == (10.0, 50.0, 5.0, 30.0, 4)
+    assert got[("a", 11)] == (99.0, 99.0, 99.0, 99.0, 1)
+    # same-timestamp ties break on the tie_breaker deterministically
+    tie = spark.createDataFrame(
+        [("g", base, 2, 8.0), ("g", base, 1, 3.0)], "g string, ts timestamp, eid int, x double"
+    )
+    r = resample_ohlc(tie, by=["g"], step="1 hour", value_col="x", tie_breakers=["eid"]).collect()[0]
+    assert (r.open, r.close) == (3.0, 8.0)
