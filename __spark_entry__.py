@@ -3205,6 +3205,24 @@ def _q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative per user series (operators/timeseries.
+    rate_of_change — Timestream rate/derivative): per-minute rate of
+    the value gauge, one (group, time) window shuffle."""
+    from aws_sdk_pandas_spark.operators.timeseries import rate_of_change
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        rate_of_change(
+            ev, ts_col="ts", value_col="value", by=["user_id"],
+            tie_breakers=["event_id"], per_seconds=60.0,
+        )
+        .select("event_id", "user_id", "rate")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3365,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rag_search": _q_rag_search,
         "events_time_weighted_avg": _q_time_weighted_avg,
         "events_ohlc_hourly": _q_ohlc_hourly,
+        "events_rate_of_change": _q_rate_of_change,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5396,6 +5415,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_rate_of_change": """
+            SELECT event_id, user_id,
+                   ROUND(CASE WHEN epoch_us(ts) / 1e6
+                                   - LAG(epoch_us(ts) / 1e6) OVER w > 0
+                         THEN (value - LAG(value) OVER w)
+                              / (epoch_us(ts) / 1e6 - LAG(epoch_us(ts) / 1e6) OVER w)
+                              * 60.0
+                         END, 6) AS rate
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) / 1e6, event_id)
+            ORDER BY event_id
         """,
         "events_time_weighted_avg": """
             WITH x AS (

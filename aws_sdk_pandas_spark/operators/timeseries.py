@@ -723,3 +723,44 @@ def resample_ohlc(
             F.count("*").alias("n_obs"),
         )
     )
+
+
+def rate_of_change(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    per_seconds: float = 1.0,
+    monotonic: bool = False,
+    out_col: str = "rate",
+    round_to: int = 6,
+) -> DataFrame:
+    """Discrete derivative per series (Timestream's ``rate``/
+    ``derivative``): ``(value - prev_value) / (t - prev_t) *
+    per_seconds`` — per second by default, ``per_seconds=60`` for
+    per-minute.  ``monotonic=True`` treats the input as a monotone
+    counter (Prometheus ``rate`` semantics): negative deltas are
+    counter RESETS and yield NULL instead of a huge negative rate.
+    First row per series is NULL (no predecessor); equal-timestamp
+    pairs yield NULL rather than dividing by zero.
+
+    ONE (group, time) window shuffle — the same exchange every op in
+    this family rides.
+    """
+    keys = list(by or [])
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp") or dtype == "date":
+        t = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("double") / 1e6
+    else:
+        t = F.col(ts_col).cast("double")
+    order = [t] + [F.col(c) for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    dv = v - F.lag(v).over(w)
+    dt = t - F.lag(t).over(w)
+    rate = F.when(dt > 0, dv / dt * F.lit(float(per_seconds)))
+    if monotonic:
+        rate = F.when(dv >= 0, rate)
+    return df.withColumn(out_col, F.round(rate, round_to))

@@ -516,3 +516,37 @@ def test_resample_ohlc_first_last_semantics(spark):
     )
     r = resample_ohlc(tie, by=["g"], step="1 hour", value_col="x", tie_breakers=["eid"]).collect()[0]
     assert (r.open, r.close) == (3.0, 8.0)
+
+
+def test_rate_of_change_and_counter_resets(spark):
+    from aws_sdk_pandas_spark.operators.timeseries import rate_of_change
+
+    rows = [
+        ("a", 0.0, 100.0),
+        ("a", 10.0, 150.0),   # +5/s
+        ("a", 20.0, 30.0),    # counter reset
+        ("a", 20.0, 31.0),    # same t (with tie id): dt=0 -> NULL
+        ("b", 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(g, t, v, i) for i, (g, t, v) in enumerate(rows)],
+        "g string, t double, x double, i int",
+    )
+    got = {
+        r.i: r.rate
+        for r in rate_of_change(
+            df, ts_col="t", value_col="x", by=["g"], tie_breakers=["i"]
+        ).collect()
+    }
+    assert got[0] is None and got[4] is None          # first rows
+    assert got[1] == 5.0
+    assert got[2] == -12.0                            # raw derivative
+    assert got[3] is None                             # dt == 0
+    mono = {
+        r.i: r.rate
+        for r in rate_of_change(
+            df, ts_col="t", value_col="x", by=["g"], tie_breakers=["i"],
+            monotonic=True,
+        ).collect()
+    }
+    assert mono[1] == 5.0 and mono[2] is None         # reset suppressed
