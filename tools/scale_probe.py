@@ -267,7 +267,7 @@ def main() -> None:
     # driver-side work that a long-running cluster amortizes away)
     probe(spark, sf_dir, 1)
 
-    mults = [m for m in (1, 4, 16) if m <= max_mult]
+    mults = [m for m in (1, 4, 16, 64) if m <= max_mult]
     results = {}
     for m in mults:
         r = probe(spark, sf_dir, m)
