@@ -3223,6 +3223,28 @@ def _q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (operators/stats.linear_fit): drift of the
+    value gauge in units/day per event type — regr_* moment aggregates,
+    one map-side-combinable pass, O(1) state per group."""
+    from aws_sdk_pandas_spark.operators.stats import linear_fit
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double") / 86400e6
+    ).alias("day_x")
+    return (
+        linear_fit(
+            ev.select("event_type", x, "value"),
+            x_col="day_x",
+            y_col="value",
+            by=["event_type"],
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3384,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted_avg": _q_time_weighted_avg,
         "events_ohlc_hourly": _q_ohlc_hourly,
         "events_rate_of_change": _q_rate_of_change,
+        "events_value_trend_ols": _q_linear_fit,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5415,6 +5438,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_value_trend_ols": """
+            SELECT event_type,
+                   ROUND(regr_slope(value, epoch_us(ts) / 86400e6), 6) AS slope,
+                   ROUND(regr_intercept(value, epoch_us(ts) / 86400e6), 6) AS intercept,
+                   ROUND(regr_r2(value, epoch_us(ts) / 86400e6), 6) AS r2,
+                   regr_count(value, epoch_us(ts) / 86400e6) AS n
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_rate_of_change": """
             SELECT event_id, user_id,

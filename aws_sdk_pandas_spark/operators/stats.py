@@ -62,3 +62,37 @@ def ab_test(
         F.round(se, 6).alias("se"),
         F.round((F.col("m") - F.col("m_base")) / se, 4).alias("z_score"),
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line ``y = slope*x + intercept``
+    — the distributed trend estimator (per-series drift, per-segment
+    elasticity) as ONE aggregation of sufficient statistics: Spark's
+    ``regr_slope``/``regr_intercept``/``regr_r2``/``regr_count`` are
+    moment aggregates (map-side combinable), so a billion-row group
+    costs one pass and O(1) state.
+
+    Returns ``by..., slope, intercept, r2, n``.  Groups with fewer than
+    two points or zero x-spread return NULL slope/intercept (r2 NULL on
+    zero y- or x-spread), matching SQL ``REGR_*`` semantics.
+
+    If the trend should be removed rather than reported, join the
+    result back and subtract — or use ``seasonal_decompose`` whose
+    moving-average trend handles nonlinearity.
+    """
+    keys = list(by or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.round(F.regr_slope(y, x), round_to).alias("slope"),
+        F.round(F.regr_intercept(y, x), round_to).alias("intercept"),
+        F.round(F.regr_r2(y, x), round_to).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
