@@ -3245,6 +3245,29 @@ def _q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest-key diagnostic (operators/skew.key_distribution): the
+    top-10 l_suppkey values with their shuffle shares — the direct
+    input to a salting-factor choice before a big join."""
+    from aws_sdk_pandas_spark.operators.skew import key_distribution
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return key_distribution(li, "l_suppkey", top_k=10)
+
+
+def _q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution summary per candidate column (operators/skew.
+    skew_metrics): max_share bounds the straggler task, entropy_norm
+    (H = ln N - sum n ln n / N, pure aggregates — no window) says
+    whether salting pays off."""
+    from aws_sdk_pandas_spark.operators.skew import skew_metrics
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return skew_metrics(li, ["l_suppkey", "l_returnflag"]).orderBy("column")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3407,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_hourly": _q_ohlc_hourly,
         "events_rate_of_change": _q_rate_of_change,
         "events_value_trend_ols": _q_linear_fit,
+        "lineitem_key_distribution": _q_key_distribution,
+        "lineitem_skew_metrics": _q_skew_metrics,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5438,6 +5463,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "lineitem_key_distribution": """
+            WITH c AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT SUM(n) AS total FROM c)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+                   key, n,
+                   ROUND(n / (SELECT total FROM t), 6) AS share
+            FROM c ORDER BY n DESC, key LIMIT 10
+        """,
+        "lineitem_skew_metrics": """
+            WITH c1 AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
+                FROM lineitem GROUP BY 1
+            ),
+            m1 AS (
+                SELECT 'l_suppkey' AS "column",
+                       CAST(SUM(n) AS BIGINT) AS n_rows,
+                       COUNT(CASE WHEN key IS NOT NULL THEN 1 END) AS n_distinct,
+                       CAST(COALESCE(SUM(CASE WHEN key IS NULL THEN n END), 0) AS BIGINT)
+                           AS n_nulls,
+                       ROUND(MAX(n) / SUM(n), 6) AS max_share,
+                       ROUND(CASE WHEN COUNT(*) > 1
+                             THEN (ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) / ln(COUNT(*))
+                             ELSE 0 END, 6) AS entropy_norm
+                FROM c1
+            ),
+            c2 AS (
+                SELECT CAST(l_returnflag AS VARCHAR) AS key, COUNT(*) AS n
+                FROM lineitem GROUP BY 1
+            ),
+            m2 AS (
+                SELECT 'l_returnflag' AS "column",
+                       CAST(SUM(n) AS BIGINT) AS n_rows,
+                       COUNT(CASE WHEN key IS NOT NULL THEN 1 END) AS n_distinct,
+                       CAST(COALESCE(SUM(CASE WHEN key IS NULL THEN n END), 0) AS BIGINT)
+                           AS n_nulls,
+                       ROUND(MAX(n) / SUM(n), 6) AS max_share,
+                       ROUND(CASE WHEN COUNT(*) > 1
+                             THEN (ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) / ln(COUNT(*))
+                             ELSE 0 END, 6) AS entropy_norm
+                FROM c2
+            )
+            SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY "column"
         """,
         "events_value_trend_ols": """
             SELECT event_type,
