@@ -3268,6 +3268,45 @@ def _q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_metrics(li, ["l_suppkey", "l_returnflag"]).orderBy("column")
 
 
+def _q_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for crawl curation (functions/urls.
+    url_components — try_parse_url, pure codegen): synth URLs from
+    doc_id arithmetic (three host families incl. a co.uk two-label
+    public suffix), parse back scheme/host/registrable-domain/path/
+    depth/query; the oracle recomputes every part from the same
+    arithmetic, so synth -> parse must be the identity."""
+    from aws_sdk_pandas_spark.functions.urls import url_components
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    host = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("www.site"), F.col("doc_id") % 7, F.lit(".com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("news.portal"), F.col("doc_id") % 5, F.lit(".co.uk")),
+        )
+        .otherwise(F.concat(F.lit("cdn.img"), F.col("doc_id") % 4, F.lit(".org")))
+    )
+    path = F.repeat(F.lit("/p"), (F.col("doc_id") % 4).cast("int"))
+    query = F.when(
+        F.col("doc_id") % 2 == 1, F.concat(F.lit("?q="), F.col("doc_id"))
+    ).otherwise(F.lit(""))
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path, query).alias("url")
+    )
+    return (
+        url_components(urls)
+        .select(
+            "doc_id", "url_scheme", "url_host", "url_domain", "url_path",
+            "url_depth", "url_query",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3432,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_trend_ols": _q_linear_fit,
         "lineitem_key_distribution": _q_key_distribution,
         "lineitem_skew_metrics": _q_skew_metrics,
+        "docs_url_components": _q_url_components,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5463,6 +5503,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "docs_url_components": """
+            SELECT doc_id,
+                   'https' AS url_scheme,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'www.site' || (doc_id % 7) || '.com'
+                        WHEN 1 THEN 'news.portal' || (doc_id % 5) || '.co.uk'
+                        ELSE 'cdn.img' || (doc_id % 4) || '.org' END AS url_host,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'site' || (doc_id % 7) || '.com'
+                        WHEN 1 THEN 'portal' || (doc_id % 5) || '.co.uk'
+                        ELSE 'img' || (doc_id % 4) || '.org' END AS url_domain,
+                   repeat('/p', CAST(doc_id % 4 AS INT)) AS url_path,
+                   CAST(doc_id % 4 AS INT) AS url_depth,
+                   CASE WHEN doc_id % 2 = 1 THEN 'q=' || doc_id END AS url_query
+            FROM documents
+            ORDER BY doc_id
         """,
         "lineitem_key_distribution": """
             WITH c AS (

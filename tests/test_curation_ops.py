@@ -476,3 +476,34 @@ def test_rag_pipeline_end_to_end(spark):
         (h.chunk_id, h.rrf_score) for h in hits
     ]
     idx.unpersist()
+
+
+def test_url_components_and_domain(spark):
+    from aws_sdk_pandas_spark.functions.urls import url_components
+
+    rows = [
+        (1, "https://Blog.Example.COM/a/b/c?x=1&y=2"),
+        (2, "http://news.bbc.co.uk/sport"),
+        (3, "https://example.org/"),
+        (4, "ftp://files.internal.corp.example.com.au/data/file.bin"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "i int, url string")
+    got = {r.i: r for r in url_components(df).collect()}
+    assert got[1].url_scheme == "https"
+    assert got[1].url_host == "blog.example.com"
+    assert got[1].url_domain == "example.com"
+    assert got[1].url_depth == 3 and got[1].url_query == "x=1&y=2"
+    assert got[2].url_domain == "bbc.co.uk"          # two-label suffix
+    assert got[3].url_domain == "example.org" and got[3].url_depth == 0
+    assert got[4].url_scheme == "ftp"
+    assert got[4].url_domain == "example.com.au"
+    assert got[5].url_host is None and got[5].url_domain is None
+
+
+def test_url_components_plan_is_jvm_only(spark):
+    from aws_sdk_pandas_spark.functions.urls import url_components
+
+    df = spark.createDataFrame([(1, "https://a.b/c")], "i int, url string")
+    plan = url_components(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
