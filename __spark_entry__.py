@@ -3307,6 +3307,42 @@ def _q_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct via MERGEABLE HLL state (operators/
+    aggregates: approx_distinct in the partial/merge/finalize algebra):
+    three day-sliced partials merged with hll_union_agg answer the
+    running distinct-user count without re-scanning history.  At gate
+    cardinality the Datasketches sketch is still in exact
+    (coupon-list) mode, so COUNT(DISTINCT) is a valid oracle — the
+    point under test is the merge algebra, not the asymptotic
+    estimate."""
+    from aws_sdk_pandas_spark.operators.aggregates import (
+        finalize_aggregates,
+        merge_aggregates,
+        partial_aggregate,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    metrics = {"user_id": ["approx_distinct", "count"]}
+    states = [
+        partial_aggregate(
+            ev.where(F.dayofmonth("ts") % 3 == m), ["event_type"], metrics
+        )
+        for m in range(3)
+    ]
+    merged = merge_aggregates(states, ["event_type"])
+    return (
+        finalize_aggregates(merged, metrics, ["event_type"])
+        .select(
+            "event_type",
+            F.col("user_id_approx_distinct").alias("n_users"),
+            F.col("user_id_count").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3472,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_key_distribution": _q_key_distribution,
         "lineitem_skew_metrics": _q_skew_metrics,
         "docs_url_components": _q_url_components,
+        "events_incremental_distinct": _q_incremental_distinct,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5503,6 +5540,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_incremental_distinct": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(user_id) AS n_events
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "docs_url_components": """
             SELECT doc_id,

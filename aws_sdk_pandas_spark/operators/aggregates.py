@@ -57,7 +57,7 @@ def weighted_quantile(
     )
 
 
-_MERGEABLE = ("sum", "count", "min", "max", "avg")
+_MERGEABLE = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 def partial_aggregate(
@@ -78,6 +78,13 @@ def partial_aggregate(
     State columns: ``<col>__sum, <col>__min, <col>__max`` per requested
     family plus the shared row count ``__n`` (sum/avg also add
     ``<col>__cnt`` — non-null count, the avg denominator).
+
+    ``approx_distinct`` stores a MERGEABLE HyperLogLog sketch
+    (``<col>__hll``, Datasketches binary): register-wise max under
+    union means the merged estimate is IDENTICAL to aggregating the
+    raw history directly — incremental distinct users/keys across
+    days/backfills without re-scanning, the aggregate plain COUNT
+    DISTINCT state can never provide.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for col, fns in metrics.items():
@@ -92,6 +99,8 @@ def partial_aggregate(
             aggs.append(F.min(col).alias(f"{col}__min"))
         if "max" in fns:
             aggs.append(F.max(col).alias(f"{col}__max"))
+        if "approx_distinct" in fns:
+            aggs.append(F.hll_sketch_agg(col).alias(f"{col}__hll"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -113,6 +122,8 @@ def merge_aggregates(states: list[DataFrame], keys: list[str]) -> DataFrame:
             aggs.append(F.min(c).alias(c))
         elif c.endswith("__max"):
             aggs.append(F.max(c).alias(c))
+        elif c.endswith("__hll"):
+            aggs.append(F.hll_union_agg(c).alias(c))
         else:  # __sum, __cnt, __n
             aggs.append(F.sum(c).alias(c))
     return u.groupBy(*keys).agg(*aggs)
@@ -138,5 +149,11 @@ def finalize_aggregates(
         if "avg" in fns:
             cols.append(
                 (F.col(f"{col}__sum") / F.col(f"{col}__cnt")).alias(f"{col}_avg")
+            )
+        if "approx_distinct" in fns:
+            cols.append(
+                F.hll_sketch_estimate(F.col(f"{col}__hll")).alias(
+                    f"{col}_approx_distinct"
+                )
             )
     return state.select(*cols)

@@ -164,3 +164,33 @@ def test_kmv_grouped_and_deterministic(spark):
     s2 = kmv_sketch(df.repartition(7), "k", by=["g"], k=16).orderBy("g").collect()
     assert [r.hashes for r in s1] == [r.hashes for r in s2]
     assert {r.g: r.n_kept for r in s1} == {"g1": 16, "g2": 5}
+
+
+def test_incremental_hll_distinct_equals_direct(spark):
+    """Daily partial HLL states merged across days give EXACTLY the
+    estimate of aggregating the raw history directly (register-wise
+    max is order/partition-independent)."""
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.operators.aggregates import (
+        finalize_aggregates,
+        merge_aggregates,
+        partial_aggregate,
+    )
+
+    rows = [("g", d, f"u{i % 37}") for d in range(3) for i in range(d * 10, d * 10 + 50)]
+    df = spark.createDataFrame(rows, "g string, day int, user string")
+    metrics = {"user": ["approx_distinct", "count"]}
+    states = [
+        partial_aggregate(df.where(F.col("day") == d), ["g"], metrics)
+        for d in range(3)
+    ]
+    merged = merge_aggregates(states, ["g"])
+    inc = finalize_aggregates(merged, metrics, ["g"]).collect()[0]
+    direct = finalize_aggregates(
+        partial_aggregate(df, ["g"], metrics), metrics, ["g"]
+    ).collect()[0]
+    assert inc.user_approx_distinct == direct.user_approx_distinct
+    assert inc.user_count == direct.user_count == 150
+    # 37 true distincts: HLL at default precision is exact at this size
+    assert inc.user_approx_distinct == 37
