@@ -3343,6 +3343,32 @@ def _q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (dq.suggest_keys): uniqueness profile of
+    orders columns in ONE aggregation job — o_orderkey surfaces as the
+    key, o_custkey and o_orderstatus don't."""
+    from aws_sdk_pandas_spark.dq import suggest_keys
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return suggest_keys(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).orderBy("column")
+
+
+def _q_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK containment (dq.fk_containment): lineitem.l_orderkey against
+    orders.o_orderkey — both sides reduce to distinct-key tables BEFORE
+    the semi-join, so the comparison is bounded by key cardinality, not
+    table size; referential integrity holds (containment = 1.0)."""
+    from aws_sdk_pandas_spark.dq import fk_containment
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return fk_containment(li, o, child_col="l_orderkey", parent_col="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3509,6 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_skew_metrics": _q_skew_metrics,
         "docs_url_components": _q_url_components,
         "events_incremental_distinct": _q_incremental_distinct,
+        "orders_key_discovery": _q_key_discovery,
+        "orders_fk_containment": _q_fk_containment,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5540,6 +5568,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "orders_key_discovery": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                   ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*), 6) AS uniqueness,
+                   (COUNT(DISTINCT o_orderkey) = COUNT(*)
+                    AND COUNT(o_orderkey) = COUNT(*)) AS is_candidate_key
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey),
+                   COUNT(*) - COUNT(o_custkey),
+                   ROUND(COUNT(DISTINCT o_custkey) * 1.0 / COUNT(*), 6),
+                   (COUNT(DISTINCT o_custkey) = COUNT(*)
+                    AND COUNT(o_custkey) = COUNT(*))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+                   COUNT(*) - COUNT(o_orderstatus),
+                   ROUND(COUNT(DISTINCT o_orderstatus) * 1.0 / COUNT(*), 6),
+                   (COUNT(DISTINCT o_orderstatus) = COUNT(*)
+                    AND COUNT(o_orderstatus) = COUNT(*))
+            FROM orders
+            ORDER BY "column"
+        """,
+        "orders_fk_containment": """
+            WITH ck AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                        WHERE l_orderkey IS NOT NULL),
+            pk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                   WHERE o_orderkey IS NOT NULL),
+            m AS (SELECT COUNT(*) AS c FROM ck WHERE k IN (SELECT k FROM pk)),
+            n AS (SELECT COUNT(*) AS c FROM ck)
+            SELECT n.c AS n_child_keys, m.c AS n_matched,
+                   ROUND(m.c * 1.0 / n.c, 6) AS containment,
+                   n.c - m.c AS n_orphans
+            FROM n, m
         """,
         "events_incremental_distinct": """
             SELECT event_type,

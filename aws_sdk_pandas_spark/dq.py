@@ -414,3 +414,83 @@ def profile_table(
         "completeness double, n_distinct bigint, min_value double, "
         "max_value double, avg_value double, p50_value double",
     )
+
+
+def suggest_keys(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """Candidate-key discovery (the Glue-crawler-style profiling step
+    the reference delegates to the service): per column ``n_rows,
+    n_distinct, n_nulls, uniqueness`` and ``is_candidate_key``
+    (distinct == rows and no NULLs).  ``exact=False`` swaps the
+    distinct count for HLL when a 2% error is acceptable at 100 TB.
+
+    One aggregation job for every column together (count_distinct /
+    approx_count_distinct are map-side-combinable); driver reshape
+    bounded by schema width — same shape as ``profile_table``.
+    """
+    cols = cols or [c for c, t in df.dtypes if not t.startswith(("array", "map", "struct", "binary"))]
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        d = F.countDistinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        aggs.append(d.alias(f"{c}__d"))
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            n,
+            row[f"{c}__d"],
+            n - row[f"{c}__nn"],
+            round(row[f"{c}__d"] / n, 6) if n else 0.0,
+            bool(n and row[f"{c}__d"] == n and row[f"{c}__nn"] == n),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_distinct bigint, n_nulls bigint, "
+        "uniqueness double, is_candidate_key boolean",
+    )
+
+
+def fk_containment(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    child_col: str,
+    parent_col: str,
+) -> DataFrame:
+    """Foreign-key containment check: what fraction of the child's
+    DISTINCT non-null keys exist in the parent (1.0 = referential
+    integrity holds; the discovery signal for undocumented FK edges).
+    Returns one row: ``n_child_keys, n_matched, containment,
+    n_orphans``.
+
+    Both sides reduce to distinct-key tables BEFORE the join (the join
+    input is bounded by key cardinality, not table size); the match is
+    a semi-join — at 100 TB this is two distinct shuffles and one
+    keyed join of the reduced tables, never a row-level comparison.
+    """
+    ck = child.select(F.col(child_col).alias("k")).where(F.col(child_col).isNotNull()).distinct()
+    pk = parent.select(F.col(parent_col).alias("k")).where(F.col(parent_col).isNotNull()).distinct()
+    matched = ck.join(pk, "k", "left_semi")
+    n_child = ck.count()
+    n_match = matched.count()
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_child,
+                n_match,
+                round(n_match / n_child, 6) if n_child else 1.0,
+                n_child - n_match,
+            )
+        ],
+        "n_child_keys bigint, n_matched bigint, containment double, n_orphans bigint",
+    )

@@ -183,3 +183,21 @@ def test_profile_table(spark):
     assert prof["s"].min_value is None and prof["s"].avg_value is None
     assert prof["v"].min_value == 10.0 and prof["v"].max_value == 30.0
     assert prof["v"].avg_value == 20.0 and prof["v"].p50_value == 20.0
+
+
+def test_suggest_keys_and_fk_containment(spark):
+    from aws_sdk_pandas_spark.dq import fk_containment, suggest_keys
+
+    child = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, None), (4, 99, "d")],
+        "id int, ref int, name string",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pid int")
+    keys = {r.column: r for r in suggest_keys(child).collect()}
+    assert keys["id"].is_candidate_key and keys["id"].uniqueness == 1.0
+    assert not keys["ref"].is_candidate_key  # duplicates
+    assert not keys["name"].is_candidate_key and keys["name"].n_nulls == 1
+    fk = fk_containment(child, parent, child_col="ref", parent_col="pid").collect()[0]
+    # distinct child refs {10,20,99}: 2 of 3 contained
+    assert fk.n_child_keys == 3 and fk.n_matched == 2 and fk.n_orphans == 1
+    assert abs(fk.containment - 2 / 3) < 1e-6
