@@ -3369,6 +3369,46 @@ def _q_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk_containment(li, o, child_col="l_orderkey", parent_col="o_orderkey")
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib repetitiveness signal (operators/textstats.
+    compression_ratio — the MassiveText/Gopher boilerplate detector):
+    one Arrow-batched pass.  Rows-only gate (no SQL zlib); value
+    exactness vs direct zlib pinned in test_textstats.py."""
+    from aws_sdk_pandas_spark.operators.textstats import compression_ratio
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return compression_ratio(docs).select("doc_id", "zlib_ratio").orderBy("doc_id")
+
+
+def _q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier distance (operators/features.fit/apply_
+    mahalanobis): correlation-aware distance over (value, event time)
+    — the d x d inverse covariance folds into codegen literals, no UDF.
+    For d=2 the inverse has a closed form, so the oracle recomputes the
+    identical quadratic form from VAR_SAMP/COVAR_SAMP."""
+    from aws_sdk_pandas_spark.operators.features import (
+        apply_mahalanobis,
+        fit_mahalanobis,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double") / 1e6).alias(
+            "y"
+        ),
+    )
+    model = fit_mahalanobis(base, ["x", "y"])
+    return (
+        apply_mahalanobis(base, model)
+        .select("event_id", "mahalanobis")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3537,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_distinct": _q_incremental_distinct,
         "orders_key_discovery": _q_key_discovery,
         "orders_fk_containment": _q_fk_containment,
+        "doc_compression_ratio": _q_compression_ratio,
+        "events_mahalanobis": _q_mahalanobis,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5568,6 +5610,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w
             FROM lineitem, cuts
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_mahalanobis": """
+            WITH base AS (
+                SELECT event_id, CAST(value AS DOUBLE) AS x,
+                       epoch_us(ts) / 1e6 AS y
+                FROM events
+            ),
+            s AS (
+                SELECT AVG(x) AS mx, AVG(y) AS my,
+                       VAR_SAMP(x) + 1e-9 AS a,
+                       COVAR_SAMP(x, y) AS b,
+                       VAR_SAMP(y) + 1e-9 AS c
+                FROM base
+            )
+            SELECT event_id,
+                   ROUND(SQRT(GREATEST(
+                       (c * (x - mx) * (x - mx)
+                        - 2 * b * (x - mx) * (y - my)
+                        + a * (y - my) * (y - my)) / (a * c - b * b),
+                       0)), 6) AS mahalanobis
+            FROM base, s
+            ORDER BY event_id
         """,
         "orders_key_discovery": """
             SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,

@@ -283,3 +283,89 @@ def winsorize(
                 f"{c}{suffix}", F.when(F.col(c).isNotNull(), clipped)
             )
     return out
+
+
+def fit_mahalanobis(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    regularization: float = 1e-9,
+) -> dict:
+    """Fit the multivariate outlier model: mean vector and inverse
+    covariance over ``cols`` — the correlation-aware distance that
+    flags rows NO per-column z-score can (each coordinate typical, the
+    COMBINATION impossible).
+
+    TWO schema-bounded aggregations (means first, then CENTERED second
+    moments): the textbook one-pass ``E[xy] - mx*my`` form loses ~9
+    digits to catastrophic cancellation on large-magnitude features
+    (epoch timestamps: E[y^2] ~ 1e18 vs variance ~ 1e13), which is
+    enough to flip rounded distances; centering first keeps every sum
+    at the variance's own scale.  O(d^2) state either way, row-count
+    independent; the d x d inversion is driver-side numpy on a
+    schema-bounded matrix.  Returns ``{cols, mean, inv_cov}`` for
+    ``apply_mahalanobis``.
+    """
+    import numpy as np
+
+    d = len(cols)
+    m_row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.avg(F.col(c).cast("double")).alias(f"__m{i}") for i, c in enumerate(cols)],
+    ).first()
+    mean = np.array([m_row[f"__m{i}"] for i in range(d)])
+    centered = [
+        (F.col(c).cast("double") - F.lit(float(mean[i]))) for i, c in enumerate(cols)
+    ]
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.avg(centered[i] * centered[j]).alias(f"__s{i}_{j}"))
+    row = df.agg(*aggs).first()
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = row[f"__s{i}_{j}"]
+    n = m_row["__n"]
+    if n > 1:
+        cov *= n / (n - 1)  # sample covariance
+    cov += np.eye(d) * regularization
+    return {"cols": list(cols), "mean": mean.tolist(), "inv_cov": np.linalg.inv(cov).tolist()}
+
+
+def apply_mahalanobis(
+    df: DataFrame,
+    model: dict,
+    *,
+    out_col: str = "mahalanobis",
+    threshold: float | None = None,
+    flag_col: str = "mahalanobis_flag",
+) -> DataFrame:
+    """Mahalanobis distance per row from a ``fit_mahalanobis`` model:
+    the d x d inverse covariance folds into LITERALS, so the quadratic
+    form ``sqrt((x-mu)' S^-1 (x-mu))`` is pure whole-stage-codegen
+    arithmetic — no UDF, no broadcast, no second shuffle.  Rows with
+    any NULL coordinate get NULL distance.  With ``threshold`` (in
+    distance units; sqrt of the chi-square quantile at d dof is the
+    classical choice) a boolean flag is added."""
+    cols = model["cols"]
+    mean = model["mean"]
+    inv = model["inv_cov"]
+    centered = [F.col(c).cast("double") - F.lit(float(mean[i])) for i, c in enumerate(cols)]
+    quad = F.lit(0.0)
+    for i in range(len(cols)):
+        for j in range(len(cols)):
+            if inv[i][j] != 0.0:
+                quad = quad + F.lit(float(inv[i][j])) * centered[i] * centered[j]
+    # greatest() skips NULLs, which would turn a NULL-coordinate row
+    # into distance 0 — require every coordinate explicitly
+    all_present = F.lit(True)
+    for c in cols:
+        all_present = all_present & F.col(c).isNotNull()
+    dist = F.when(all_present, F.round(F.sqrt(F.greatest(quad, F.lit(0.0))), 6))
+    out = df.withColumn(out_col, dist)
+    if threshold is not None:
+        out = out.withColumn(
+            flag_col, F.coalesce(F.col(out_col) > threshold, F.lit(False))
+        )
+    return out

@@ -10,6 +10,8 @@ shuffle-keyed by gram/term hash, never O(n^2) in documents.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -467,3 +469,37 @@ def summarize_corpus(
         "n_distinct_fp",
         (F.col("n_docs") - F.col("n_distinct_fp")).alias("n_dup_docs"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    utf-8 bytes) — the MassiveText/Gopher-family repetitiveness signal
+    the n-gram repetition rules miss: machine-generated boilerplate
+    compresses far below prose (~0.3 vs ~0.6), encrypted/binary junk
+    sits near 1.0.  NULL for NULL/empty text.
+
+    A bytes-level kernel has no JVM expression form, so this is one
+    Arrow-batched pass (zlib C speed per batch); composes with
+    ``repetition_signals`` and ``quality gates`` in ``curate_corpus``
+    score columns.
+    """
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, F.round(_ratio(F.col(text_col)), 6))

@@ -179,3 +179,34 @@ def test_winsorize_per_group_and_nulls(spark):
     assert a[0] == 1.0 and a[-1] == 9.0  # group-local cut points
     assert b[0] == 101.0 and b[-1] == 109.0
     assert any(r.x_w is None for r in got if r.g == "a")  # NULL passes through
+
+
+def test_mahalanobis_flags_combination_outliers(spark):
+    """A row typical in each coordinate but impossible in combination
+    (against a strong correlation) scores far above aligned rows;
+    distances match a numpy recompute; NULL coordinates -> NULL."""
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.features import (
+        apply_mahalanobis,
+        fit_mahalanobis,
+    )
+
+    rng = np.random.default_rng(41)
+    x = rng.normal(0, 1, 300)
+    y = x * 2 + rng.normal(0, 0.1, 300)   # strong correlation
+    rows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    rows.append((1000, 2.0, -4.0))        # each coord ~2 sigma, combo impossible
+    rows.append((1001, None, 1.0))
+    df = spark.createDataFrame(rows, "i int, a double, b double")
+    model = fit_mahalanobis(df.where("i < 1000"), ["a", "b"])
+    got = {r.i: r for r in apply_mahalanobis(df, model, threshold=5.0).collect()}
+    assert got[1000].mahalanobis > 20 and got[1000].mahalanobis_flag
+    typical = [got[i].mahalanobis for i in range(300)]
+    assert sum(1 for t in typical if t > 5.0) < 5
+    assert got[1001].mahalanobis is None and not got[1001].mahalanobis_flag
+
+    mu = np.array(model["mean"]); inv = np.array(model["inv_cov"])
+    v = np.array([2.0, -4.0]) - mu
+    expect = float(np.sqrt(v @ inv @ v))
+    assert abs(got[1000].mahalanobis - round(expect, 6)) < 1e-6

@@ -255,3 +255,30 @@ def test_summarize_corpus_null_lang_group(spark):
     got = {r.lang: r.n_docs for r in summarize_corpus(df, lang_col="lang").collect()}
     # NULL-language subtotal must NOT collide with the grand total
     assert got == {"en": 1, "__unknown__": 2, "__all__": 3}
+
+
+def test_compression_ratio_separates_boilerplate_from_prose(spark):
+    import zlib
+
+    from aws_sdk_pandas_spark.operators.textstats import compression_ratio
+
+    import random
+    rng = random.Random(3)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(2000))
+    rows = [
+        (1, "menu home about contact " * 200),            # boilerplate
+        (2, "The quick brown fox jumps over the lazy dog. "
+            "A different sentence follows with new words entirely." * 10),
+        (3, noise),                                        # incompressible
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert got[1] < 0.05                 # highly repetitive
+    assert 0.1 < got[2] < 0.6            # prose
+    assert got[3] > 0.8                  # noise
+    assert got[4] is None and got[5] is None
+    # exact value matches a direct zlib call
+    raw = rows[0][1].encode()
+    assert got[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
