@@ -3409,6 +3409,75 @@ def _q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (operators/stats.
+    ks_test): exact sup|F_a - F_b| between the click and purchase value
+    distributions.  Raw rows reduce to a distinct-value count table,
+    then the two cumulative counts ride ONE range-partitioned two-phase
+    prefix sum — no single-partition window.  Oracle recomputes the
+    same CDFs with a SQL window (valid at gate cardinalities)."""
+    from aws_sdk_pandas_spark.operators.stats import ks_test
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return ks_test(
+        ev, value_col="value", group_col="event_type",
+        group_a="click", group_b="purchase",
+    )
+
+
+def _q_mwu_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test (operators/stats.mann_whitney_u):
+    nonparametric click-vs-view comparison, robust to the heavy tails
+    that distort Welch's z.  Same distinct-value + two-phase prefix-sum
+    shape as ks_test; tie-corrected normal approximation."""
+    from aws_sdk_pandas_spark.operators.stats import mann_whitney_u
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return mann_whitney_u(
+        ev, value_col="value", group_col="event_type",
+        group_a="click", group_b="view",
+    )
+
+
+def _q_chisq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence + Cramer's V (operators/stats.
+    chi_square_test) between order status and priority: the raw table
+    reduces to the contingency table in one map-side-combinable pass;
+    marginals are aggregations OF that bounded table, broadcast back."""
+    from aws_sdk_pandas_spark.operators.stats import chi_square_test
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return chi_square_test(o, col_a="o_orderstatus", col_b="o_orderpriority")
+
+
+def _q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/stats.benford_test) on
+    extended price — the fabricated-numbers detector for ingested
+    financial columns; ONE aggregation, pure-codegen digit extraction."""
+    from aws_sdk_pandas_spark.operators.stats import benford_test
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return benford_test(li, value_col="l_extendedprice")
+
+
+def _q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per priority class (operators/stats.
+    gini_coefficient): exact sorted-formulation Gini, ranks from one
+    keyed window shuffle (ungrouped mode uses the two-phase prefix-sum
+    rank instead — no global-order funnel)."""
+    from aws_sdk_pandas_spark.operators.stats import gini_coefficient
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return gini_coefficient(
+        o, value_col="o_totalprice", by=["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3579,6 +3648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fk_containment": _q_fk_containment,
         "doc_compression_ratio": _q_compression_ratio,
         "events_mahalanobis": _q_mahalanobis,
+        "stats_ks_events": _q_ks_events,
+        "stats_mwu_events": _q_mwu_events,
+        "stats_chisq_orders": _q_chisq_orders,
+        "dq_benford_lineitem": _q_benford_lineitem,
+        "stats_gini_orders": _q_gini_orders,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -5898,5 +5972,136 @@ def oracle_sql() -> dict[str, str]:
             FROM u WHERE prev IS NOT NULL AND cur IS NOT NULL
             GROUP BY event_type, lag
             ORDER BY event_type, lag
+        """,
+        "stats_ks_events": """
+            WITH s AS (
+                SELECT value AS val,
+                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                FROM events
+                WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+                GROUP BY 1
+            ), c AS (
+                SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+                FROM s
+                WINDOW w AS (ORDER BY val
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM s),
+            d AS (
+                SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / na
+                               - CAST(cum_b AS DOUBLE) / nb)) AS d_raw,
+                       CAST(MAX(na) AS BIGINT) AS n_a,
+                       CAST(MAX(nb) AS BIGINT) AS n_b
+                FROM c, t
+            ), l AS (
+                SELECT d_raw, n_a, n_b,
+                       SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) AS sn
+                FROM d
+            )
+            SELECT CAST(ROUND(d_raw, 6) AS DOUBLE) AS d_stat,
+                   CAST(ROUND(LEAST(1.0, 2 * EXP(-2 * ((sn + 0.12 + 0.11 / sn) * d_raw)
+                                               * ((sn + 0.12 + 0.11 / sn) * d_raw))),
+                              6) AS DOUBLE) AS p_value,
+                   n_a, n_b
+            FROM l
+        """,
+        "stats_mwu_events": """
+            WITH s AS (
+                SELECT value AS val,
+                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+                FROM events
+                WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+                GROUP BY 1
+            ), c AS (
+                SELECT ca, cb, ca + cb AS cc,
+                       SUM(ca + cb) OVER (ORDER BY val
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM s
+            ), a AS (
+                SELECT SUM(ca * (cum - cc + (cc + 1.0) / 2.0)) AS ra,
+                       CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b,
+                       SUM(POW(CAST(cc AS DOUBLE), 3) - cc) AS ties
+                FROM c
+            ), z AS (
+                SELECT ra - n_a * (n_a + 1) / 2.0 AS u_a,
+                       CAST(n_a AS DOUBLE) * n_b AS prod, n_a, n_b,
+                       SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                            * ((n_a + n_b + 1)
+                               - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))
+                           AS sigma
+                FROM a
+            )
+            SELECT CAST(ROUND(u_a, 4) AS DOUBLE) AS u_a,
+                   CAST(ROUND(prod - u_a, 4) AS DOUBLE) AS u_b,
+                   CAST(ROUND((u_a - prod / 2.0) / sigma, 4) AS DOUBLE) AS z_score,
+                   n_a, n_b
+            FROM z
+        """,
+        "stats_chisq_orders": """
+            WITH obs AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2
+            ), rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY 1),
+            cm AS (SELECT b, SUM(o) AS cbt FROM obs GROUP BY 1),
+            tt AS (
+                SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+                FROM obs
+            ), j AS (
+                SELECT obs.o, CAST(rm.ra AS DOUBLE) * cm.cbt / tt.n AS e,
+                       tt.n, tt.r, tt.c
+                FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
+            ), res AS (
+                SELECT SUM(POW(o - e, 2) / e) AS chi2,
+                       MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
+                FROM j
+            )
+            SELECT CAST(ROUND(chi2, 4) AS DOUBLE) AS chi2,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                   n,
+                   CAST(ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 4) AS DOUBLE)
+                       AS cramers_v
+            FROM res
+        """,
+        "dq_benford_lineitem": """
+            WITH v AS (
+                SELECT ABS(CAST(l_extendedprice AS DOUBLE)) AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND ABS(CAST(l_extendedprice AS DOUBLE)) > 0
+                  AND NOT ISNAN(CAST(l_extendedprice AS DOUBLE))
+            ), d AS (
+                SELECT CAST(FLOOR(x / POW(10.0, FLOOR(LOG10(x)))) AS INT) AS digit
+                FROM v
+            ), obs AS (
+                SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+            ), t AS (SELECT SUM(n) AS tt FROM obs)
+            SELECT digit, n,
+                   CAST(ROUND(CAST(n AS DOUBLE) / tt, 6) AS DOUBLE) AS observed_p,
+                   CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS expected_p,
+                   CAST(ROUND(POW(n - LOG10(1.0 + 1.0 / digit) * tt, 2)
+                              / (LOG10(1.0 + 1.0 / digit) * tt), 6) AS DOUBLE)
+                       AS chi2_contrib
+            FROM obs, t
+            ORDER BY digit
+        """,
+        "stats_gini_orders": """
+            WITH r AS (
+                SELECT o_orderpriority,
+                       CAST(o_totalprice AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY CAST(o_totalprice AS DOUBLE)) AS i
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT o_orderpriority,
+                   CAST(ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                              - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE) AS gini,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM r
+            GROUP BY 1
+            ORDER BY 1
         """,
     }

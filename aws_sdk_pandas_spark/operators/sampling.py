@@ -319,10 +319,10 @@ def dsir_importance_weights(
 
 def global_prefix_sum(
     df: DataFrame,
-    value_col: str,
+    value_col: str | list[str],
     order_by: list,
     *,
-    out_col: str = "running_total",
+    out_col: str | list[str] = "running_total",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT the single-partition funnel.
@@ -338,21 +338,49 @@ def global_prefix_sum(
 
     ``order_by`` must be a deterministic total order (include a unique
     tie-break column); ``out_col`` is the inclusive running sum.
+
+    ``value_col``/``out_col`` accept parallel lists to produce several
+    running sums over the SAME order in one pass (one range shuffle, one
+    totals aggregation) — e.g. the per-sample cumulative counts a KS
+    statistic needs.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must have the same length")
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    r = df.repartitionByRange(n, *order).withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint is CORRECTNESS, not cache: repartitionByRange picks
+    # its boundaries by sampling with an RDD-id-dependent seed, so the
+    # totals job below and the final window job would otherwise each
+    # re-sample and can assign rows near a boundary to DIFFERENT
+    # partitions — offsets from one assignment added to local sums from
+    # another (observed: wrong KS cumulative counts at 8 partitions).
+    # Materializing pins ONE assignment for both phases; the two-phase
+    # algorithm reads r twice anyway, so this also saves the recompute.
+    r = (
+        df.repartitionByRange(n, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # per-partition totals -> driver (n rows) -> exclusive offsets
     totals = {
-        row["__pid"]: row["__t"]
-        for row in r.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+        row["__pid"]: [row[f"__t{i}"] or 0 for i in range(len(value_cols))]
+        for row in r.groupBy("__pid")
+        .agg(*[F.sum(c).alias(f"__t{i}") for i, c in enumerate(value_cols)])
+        .collect()
     }
-    offsets, acc = [], 0
+    offsets, acc = [], [0] * len(value_cols)
     for pid in range(max(totals, default=-1) + 1):
-        offsets.append((pid, acc))
-        acc += totals.get(pid, 0) or 0
-    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint") if offsets else None
+        offsets.append((pid, *acc))
+        t = totals.get(pid)
+        if t:
+            acc = [a + v for a, v in zip(acc, t)]
+    flt = any(isinstance(v, float) for vs in totals.values() for v in vs)
+    typ = "double" if flt else "bigint"
+    schema = "__pid int, " + ", ".join(f"__off{i} {typ}" for i in range(len(value_cols)))
+    off_df = spark.createDataFrame(offsets, schema) if offsets else None
     # ROWS frame, not the default RANGE: RANGE gives tied order keys one
     # shared inclusive sum, so duplicate keys would collapse to the same
     # running total instead of consecutive ones
@@ -361,13 +389,20 @@ def global_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = r.withColumn("__local", F.sum(value_col).over(w))
+    out = r
+    for i, c in enumerate(value_cols):
+        out = out.withColumn(f"__local{i}", F.sum(c).over(w))
     if off_df is not None:
         out = out.join(F.broadcast(off_df), "__pid")
-        out = out.withColumn(out_col, F.col("__local") + F.col("__off"))
+        for i, oc in enumerate(out_cols):
+            out = out.withColumn(oc, F.col(f"__local{i}") + F.col(f"__off{i}"))
     else:
-        out = out.withColumn(out_col, F.col("__local"))
-    return out.drop("__pid", "__local", "__off")
+        for i, oc in enumerate(out_cols):
+            out = out.withColumn(oc, F.col(f"__local{i}"))
+    drop = ["__pid"] + [f"__local{i}" for i in range(len(value_cols))] + [
+        f"__off{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)
 
 
 def select_by_budget(

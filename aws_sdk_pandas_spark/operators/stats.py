@@ -96,3 +96,303 @@ def linear_fit(
         F.round(F.regr_r2(y, x), round_to).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: did the distribution of
+    ``value_col`` shift between two cohorts?  Returns ONE row
+    ``(d_stat, p_value, n_a, n_b)`` where ``d_stat`` is the exact
+    supremum |F_a(x) − F_b(x)| over the empirical CDFs and ``p_value``
+    the Smirnov asymptotic approximation ``min(1, 2·exp(−2λ²))`` with
+    ``λ = (√n_eff + 0.12 + 0.11/√n_eff)·D`` (one-term; exact enough for
+    the "is this drift real" decision at data-pipeline sample sizes).
+
+    Scale shape: the raw rows reduce to a DISTINCT-VALUE count table
+    first (groupBy value → (count_a, count_b)), so everything after the
+    first aggregation is bounded by value cardinality, not row volume;
+    the two cumulative counts ride ONE range-partitioned two-phase
+    prefix sum (`global_prefix_sum` — no single-partition window).
+
+    Complements `corpus_divergence` (JS/PSI over binned histograms):
+    KS is binning-free and comes with a significance level.  Groups
+    absent from the data yield NULL d_stat rather than raising — the
+    caller sees (NULL, NULL, 0, n) and can decide.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    s = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        v.alias("__val"),
+        F.when(g == F.lit(group_a), 1).otherwise(0).alias("__ia"),
+        F.when(g == F.lit(group_b), 1).otherwise(0).alias("__ib"),
+    )
+    counts = s.groupBy("__val").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+    from .sampling import global_prefix_sum
+
+    cum = global_prefix_sum(
+        counts,
+        ["__ca", "__cb"],
+        [F.col("__val").asc()],
+        out_col=["__cum_a", "__cum_b"],
+        num_partitions=num_partitions,
+    )
+    tot = counts.agg(F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b"))
+    j = cum.crossJoin(F.broadcast(tot))  # tot is ONE row
+    # try_divide: an absent cohort (count 0) must yield NULL, not an
+    # ANSI divide-by-zero, so the caller sees (NULL, NULL, 0, n)
+    res = j.agg(
+        F.max(
+            F.abs(
+                F.try_divide(F.col("__cum_a"), F.col("n_a"))
+                - F.try_divide(F.col("__cum_b"), F.col("n_b"))
+            )
+        ).alias("__d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    n_eff = F.try_divide(F.col("n_a") * F.col("n_b"), F.col("n_a") + F.col("n_b"))
+    lam = (F.sqrt(n_eff) + F.lit(0.12) + F.try_divide(F.lit(0.11), F.sqrt(n_eff))) * F.col(
+        "__d"
+    )
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam))
+    return res.select(
+        F.round("__d", round_to).alias("d_stat"),
+        F.round(p, round_to).alias("p_value"),
+        "n_a",
+        "n_b",
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum): the nonparametric "is cohort
+    A stochastically larger than cohort B" test — robust where the
+    Welch `ab_test` is distorted by heavy tails.  Returns ONE row
+    ``(u_a, u_b, z_score, n_a, n_b)``; z uses the normal approximation
+    with the standard tie correction (valid for n ≳ 20 per side — i.e.
+    always, at pipeline scale).  Sign convention: positive z means
+    group_a's values rank higher.
+
+    Scale shape: identical to `ks_test` — reduce to the distinct-value
+    count table, ONE two-phase prefix sum for the cumulative combined
+    count (average rank of a tied run = preceding count + (run+1)/2),
+    then rank sums and tie terms are plain aggregates over the
+    value-cardinality-sized table.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    s = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        v.alias("__val"),
+        F.when(g == F.lit(group_a), 1).otherwise(0).alias("__ia"),
+        F.when(g == F.lit(group_b), 1).otherwise(0).alias("__ib"),
+    )
+    counts = s.groupBy("__val").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+    counts = counts.withColumn("__c", F.col("__ca") + F.col("__cb"))
+    from .sampling import global_prefix_sum
+
+    cum = global_prefix_sum(
+        counts, "__c", [F.col("__val").asc()], out_col="__cum", num_partitions=num_partitions
+    )
+    # average rank of the tied run ending at cumulative count __cum:
+    # ranks (__cum-__c+1 .. __cum) average to __cum - __c + (__c+1)/2
+    avg_rank = F.col("__cum") - F.col("__c") + (F.col("__c") + F.lit(1.0)) / F.lit(2.0)
+    agg = cum.agg(
+        F.sum(F.col("__ca") * avg_rank).alias("__ra"),
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.sum(
+            F.pow(F.col("__c").cast("double"), F.lit(3.0)) - F.col("__c")
+        ).alias("__ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u_a = F.col("__ra") - na * (na + F.lit(1)) / F.lit(2.0)
+    u_b = na.cast("double") * nb - u_a
+    mu = na * nb / F.lit(2.0)
+    # try_divide twice: n<2 (tie term) and sigma=0 (ALL values tied)
+    # both mean "no test", which must read as NULL z, not an ANSI error
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1)) - F.try_divide(F.col("__ties"), n * (n - F.lit(1))))
+    )
+    return agg.select(
+        F.round(u_a, round_to).alias("u_a"),
+        F.round(u_b, round_to).alias("u_b"),
+        F.round(F.try_divide(u_a - mu, sigma), round_to).alias("z_score"),
+        "n_a",
+        "n_b",
+    )
+
+
+def chi_square_test(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns,
+    plus Cramér's V effect size — the "did the label mix shift per
+    segment" drift check for categorical features.  Returns ONE row
+    ``(chi2, dof, n, cramers_v)``.
+
+    Scale shape: the raw table reduces to the contingency table in one
+    map-side-combinable aggregation; marginals are aggregations OF the
+    contingency table (bounded by category-product cardinality, never
+    row volume) broadcast back onto it.  NULL categories are excluded
+    (a NULL level is a completeness question — `profile_table`'s job).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    obs = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    )
+    j = (
+        obs.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra").cast("double") * F.col("__cb") / F.col("__n")
+    cell = F.pow(F.col("__o") - e, F.lit(2.0)) / e
+    res = j.agg(
+        F.sum(cell).alias("__chi2"),
+        F.max("__n").alias("n"),
+        F.max("__r").alias("__r"),
+        F.max("__c").alias("__c"),
+    )
+    dof = (F.col("__r") - F.lit(1)) * (F.col("__c") - F.lit(1))
+    vmin = F.least(F.col("__r") - F.lit(1), F.col("__c") - F.lit(1))
+    cramers = F.sqrt(F.col("__chi2") / (F.col("n") * vmin))
+    return res.select(
+        F.round("__chi2", round_to).alias("chi2"),
+        dof.alias("dof"),
+        "n",
+        F.round(cramers, round_to).alias("cramers_v"),
+    )
+
+
+def benford_test(
+    df: DataFrame,
+    *,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated/synthetic-numbers screen for ingested financial
+    or measurement columns.  Returns one row per OBSERVED leading digit
+    ``(digit, n, observed_p, expected_p, chi2_contrib)``; sum
+    ``chi2_contrib`` and compare against χ²₈ (15.51 at 5%) for the
+    verdict, or eyeball the per-digit deviations to see WHERE the
+    distribution bends (the diagnostic the single number hides).
+
+    Zero, NULL, and NaN values are excluded (they have no leading
+    digit); sign is ignored.  One aggregation over the raw rows; the
+    digit extraction ``floor(|x| / 10^floor(log10 |x|))`` is pure
+    codegen.
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    ok = x.isNotNull() & (x > 0) & ~F.isnan(x)
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    obs = (
+        df.where(ok)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("__t"))
+    j = obs.crossJoin(F.broadcast(tot))
+    obs_p = F.col("n") / F.col("__t")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    e_cnt = exp_p * F.col("__t")
+    return j.select(
+        "digit",
+        "n",
+        F.round(obs_p, round_to).alias("observed_p"),
+        F.round(exp_p, round_to).alias("expected_p"),
+        F.round(F.pow(F.col("n") - e_cnt, F.lit(2.0)) / e_cnt, round_to).alias(
+            "chi2_contrib"
+        ),
+    ).orderBy("digit")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient of ``value_col`` (0 = perfectly
+    even, →1 = one row holds everything) — the "is 1% of domains 90% of
+    the corpus / 1% of customers 90% of revenue" inequality measure,
+    via the exact sorted formulation G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+
+    Grouped (``by=``): ranks come from ONE keyed window shuffle (state
+    bounded by group size).  Ungrouped: rank = two-phase global prefix
+    sum of ones — no single-partition window at corpus scale.  Within a
+    run of equal values Σ i·xᵢ is tie-order invariant (consecutive
+    ranks × the same x), so no tie-break column is needed.  NULLs are
+    excluded; negative values make G ill-defined and are the caller's
+    responsibility to filter.
+
+    Returns ``by..., gini, n``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    keys = list(by or [])
+    s = df.where(v.isNotNull())
+    if keys:
+        ranked = s.select(*keys, v.alias("__x")).withColumn(
+            "__i", F.row_number().over(Window.partitionBy(*keys).orderBy(F.col("__x").asc()))
+        )
+    else:
+        from .sampling import global_prefix_sum
+
+        ranked = global_prefix_sum(
+            s.select(v.alias("__x"), F.lit(1).alias("__one")),
+            "__one",
+            [F.col("__x").asc()],
+            out_col="__i",
+            num_partitions=num_partitions,
+        )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+    )
+    n_, sx = F.col("n"), F.col("__sx")
+    # try_divide: an empty input (ungrouped agg still emits one row with
+    # n=0) or an all-zero column reads as NULL gini, not an ANSI error
+    g = F.try_divide(F.lit(2.0) * F.col("__six"), n_ * sx) - F.try_divide(
+        n_ + F.lit(1.0), n_
+    )
+    return agg.select(*keys, F.round(g, round_to).alias("gini"), "n")

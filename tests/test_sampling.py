@@ -217,6 +217,43 @@ def test_global_prefix_sum_matches_single_partition(spark):
     assert got == expected
 
 
+def test_global_prefix_sum_multi_column_and_stable(spark):
+    """Two value columns ride one pass; repeated executions agree.
+
+    Regression: repartitionByRange samples boundaries with an
+    RDD-id-dependent seed, so without pinning the assignment the totals
+    job and the window job could split boundary rows differently —
+    offsets from one assignment added to local sums from another
+    (observed as wrong KS cumulative counts at 8 partitions)."""
+    import random
+
+    random.seed(9)
+    # duplicate-heavy float keys: the boundary-straddling case
+    rows = [(i, round(random.uniform(0, 50), 1), random.randint(0, 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, key double, flag long").repartition(16)
+    from aws_sdk_pandas_spark.operators.sampling import global_prefix_sum
+
+    def run():
+        out = global_prefix_sum(
+            df,
+            ["flag", "__one"],
+            [F.col("key").asc(), F.col("id").asc()],
+            out_col=["cum_flag", "cum_one"],
+            num_partitions=8,
+        )
+        return {r.id: (r.cum_flag, r.cum_one) for r in out.collect()}
+
+    df = df.withColumn("__one", F.lit(1))
+    got = run()
+    acc_f, acc_1, expected = 0, 0, {}
+    for i, _, fl in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc_f += fl
+        acc_1 += 1
+        expected[i] = (acc_f, acc_1)
+    assert got == expected
+    assert run() == got  # deterministic across materializations
+
+
 def test_select_by_budget_deterministic_top_slice(spark):
     rows = [
         ("a", 0.9, 40),

@@ -62,3 +62,194 @@ def test_linear_fit_matches_numpy(spark):
         assert got[g].r2 > 0.99 and got[g].n == 60
     assert got["single"].slope is None
     assert got["flatx"].slope is None
+
+
+def _np_ks(a, b):
+    """Independent two-sample KS recompute (numpy only)."""
+    xs = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_ks_test_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import ks_test
+
+    rng = np.random.default_rng(8)
+    a = rng.normal(0.0, 1.0, 500)
+    b = rng.normal(0.4, 1.3, 450)          # shifted + widened: real drift
+    c = rng.normal(0.0, 1.0, 480)          # same distribution: no drift
+    rows = (
+        [("a", float(v)) for v in a]
+        + [("b", float(v)) for v in b]
+        + [("c", float(v)) for v in c]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+
+    r = ks_test(df, value_col="value", group_col="grp",
+                group_a="a", group_b="b", num_partitions=8).collect()[0]
+    d = _np_ks(a, b)
+    assert abs(r.d_stat - round(d, 6)) < 1e-9
+    assert r.n_a == 500 and r.n_b == 450
+    n_eff = 500 * 450 / 950
+    lam = (np.sqrt(n_eff) + 0.12 + 0.11 / np.sqrt(n_eff)) * d
+    assert abs(r.p_value - round(min(1.0, 2 * np.exp(-2 * lam * lam)), 6)) < 1e-9
+    assert r.p_value < 0.01                 # the real shift is significant
+
+    r0 = ks_test(df, value_col="value", group_col="grp",
+                 group_a="a", group_b="c", num_partitions=8).collect()[0]
+    assert r0.p_value > 0.05                # the null pair is not
+
+
+def test_ks_test_ties_and_missing_group(spark):
+    from aws_sdk_pandas_spark.operators.stats import ks_test
+
+    # heavy ties: integer-valued samples exercise the distinct-value path
+    rows = [("a", float(v % 5)) for v in range(100)] + [
+        ("b", float(v % 7)) for v in range(70)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    a = np.array([v % 5 for v in range(100)], dtype=float)
+    b = np.array([v % 7 for v in range(70)], dtype=float)
+    r = ks_test(df, value_col="value", group_col="grp",
+                group_a="a", group_b="b", num_partitions=4).collect()[0]
+    assert abs(r.d_stat - round(_np_ks(a, b), 6)) < 1e-9
+    # absent cohort -> NULL stat, zero count (no exception)
+    r2 = ks_test(df, value_col="value", group_col="grp",
+                 group_a="a", group_b="nope").collect()[0]
+    assert r2.d_stat is None and r2.n_b == 0
+
+
+def _np_mwu(a, b):
+    """Rank-sum U + tie-corrected z, numpy only."""
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0   # average rank of the tied run
+        i = j
+    na, nb = len(a), len(b)
+    ra = ranks[:na].sum()
+    u_a = ra - na * (na + 1) / 2.0
+    n = na + nb
+    _, cnt = np.unique(allv, return_counts=True)
+    ties = float((cnt.astype(float) ** 3 - cnt).sum())
+    sigma = np.sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u_a - na * nb / 2.0) / sigma
+    return u_a, z
+
+
+def test_mann_whitney_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import mann_whitney_u
+
+    rng = np.random.default_rng(13)
+    # lognormal: exactly the heavy-tail case where Welch misleads
+    a = np.round(rng.lognormal(0.0, 1.0, 300), 2)   # rounding forces ties
+    b = np.round(rng.lognormal(0.35, 1.0, 280), 2)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = mann_whitney_u(df, value_col="value", group_col="grp",
+                       group_a="a", group_b="b", num_partitions=8).collect()[0]
+    u_a, z = _np_mwu(a, b)
+    assert abs(r.u_a - round(u_a, 4)) < 1e-9
+    assert abs(r.u_b - round(300 * 280 - u_a, 4)) < 1e-9
+    assert abs(r.z_score - round(z, 4)) < 1e-9
+    assert r.z_score < -1.96                # b ranks higher -> a's z negative
+    assert r.n_a == 300 and r.n_b == 280
+
+
+def test_chi_square_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import chi_square_test
+
+    rng = np.random.default_rng(17)
+    # dependent pair: y's distribution depends on x
+    rows = []
+    for _ in range(2000):
+        x = int(rng.integers(0, 3))
+        p = [[0.6, 0.3, 0.1], [0.2, 0.5, 0.3], [0.1, 0.2, 0.7]][x]
+        y = int(rng.choice(3, p=p))
+        rows.append((f"x{x}", f"y{y}"))
+    rows.append((None, "y0"))               # NULLs are excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_test(df, col_a="a", col_b="b").collect()[0]
+
+    obs = np.zeros((3, 3))
+    for a, b in rows:
+        if a is not None:
+            obs[int(a[1]), int(b[1])] += 1
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    assert abs(r.chi2 - round(chi2, 4)) < 1e-9
+    assert r.dof == 4 and r.n == 2000
+    v = np.sqrt(chi2 / (2000 * 2))
+    assert abs(r.cramers_v - round(float(v), 4)) < 1e-9
+    assert r.chi2 > 9.49                    # dependence detected at 5% / dof=4
+
+    # independent pair: chi2 small
+    rows2 = [(f"x{int(rng.integers(0,3))}", f"y{int(rng.integers(0,3))}")
+             for _ in range(2000)]
+    r2 = chi_square_test(
+        spark.createDataFrame(rows2, "a string, b string"), col_a="a", col_b="b"
+    ).collect()[0]
+    assert r2.chi2 < 9.49
+
+
+def test_benford_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import benford_test
+
+    rng = np.random.default_rng(19)
+    # products of uniforms are Benford-ish; include zero/NULL/negatives
+    vals = [float(v) for v in np.exp(rng.uniform(0, np.log(10) * 6, 3000))]
+    vals += [0.0, None]
+    vals += [-v for v in vals[:50] if v]    # sign ignored
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.digit: r for r in benford_test(df, value_col="x").collect()}
+    arr = np.array([abs(v) for v in vals if v])
+    digits = (arr / 10 ** np.floor(np.log10(arr))).astype(int)
+    total = len(digits)
+    assert set(got) == set(np.unique(digits))
+    for d in sorted(got):
+        n_d = int((digits == d).sum())
+        assert got[d].n == n_d
+        assert abs(got[d].observed_p - round(n_d / total, 6)) < 1e-9
+        exp_p = np.log10(1 + 1 / d)
+        assert abs(got[d].expected_p - round(float(exp_p), 6)) < 1e-9
+        e_cnt = exp_p * total
+        assert abs(got[d].chi2_contrib
+                   - round(float((n_d - e_cnt) ** 2 / e_cnt), 6)) < 1e-9
+    # a Benford-ish source passes the chi-square gate chi2_8 (5%) = 15.51
+    assert sum(r.chi2_contrib for r in got.values()) < 15.51
+
+
+def _np_gini(x):
+    x = np.sort(np.asarray(x, dtype=float))
+    n = len(x)
+    return float(2 * np.sum((np.arange(1, n + 1)) * x) / (n * x.sum()) - (n + 1) / n)
+
+
+def test_gini_grouped_and_global(spark):
+    from aws_sdk_pandas_spark.operators.stats import gini_coefficient
+
+    rng = np.random.default_rng(23)
+    even = rng.uniform(99.9, 100.1, 400)        # near-equal -> G ~ 0
+    skew = rng.pareto(1.2, 400) + 0.01           # heavy concentration
+    rows = [("even", float(v)) for v in even] + [("skew", float(v)) for v in skew]
+    rows.append(("even", None))                  # NULL excluded
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    got = {r.g: r for r in gini_coefficient(df, value_col="x", by=["g"]).collect()}
+    assert abs(got["even"].gini - round(_np_gini(even), 6)) < 1e-9
+    assert abs(got["skew"].gini - round(_np_gini(skew), 6)) < 1e-9
+    assert got["even"].gini < 0.01 < 0.5 < got["skew"].gini
+    assert got["even"].n == 400
+
+    # ungrouped path (two-phase prefix-sum ranks) == same formula globally
+    allv = np.array([v for _, v in rows if v is not None])
+    r = gini_coefficient(df, value_col="x", num_partitions=8).collect()[0]
+    assert abs(r.gini - round(_np_gini(allv), 6)) < 1e-9
+    assert r.n == 800
