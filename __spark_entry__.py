@@ -3478,6 +3478,66 @@ def _q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def _q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve (operators/behavior.survival_curve):
+    per-user lifetime = first-to-last event gap, churned iff the last
+    event predates the dataset horizon by >7 days (otherwise CENSORED
+    — the still-active correction naive churn rates get wrong).  Raw
+    events reduce to per-(duration) counts before any window."""
+    from aws_sdk_pandas_spark.operators.behavior import survival_curve
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    d = F.col("ts").cast("date")
+    mx = ev.agg(F.max(d).alias("__mx"))
+    per = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(d), F.min(d)).alias("dur"),
+            F.when(F.datediff(F.max("__mx"), F.max(d)) > 7, 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    return survival_curve(per, duration_col="dur", event_col="ev")
+
+
+def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov matrix (operators/behavior.
+    event_transitions): P(next event type | current) from one keyed
+    lead window + a pair-keyed aggregation; conditionals come from a
+    src-marginal aggregation of the bounded pair table broadcast
+    back."""
+    from aws_sdk_pandas_spark.operators.behavior import event_transitions
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return event_transitions(
+        ev, key_col="user_id", state_col="event_type",
+        order_by=["ts", "event_id"],
+    )
+
+
+def _q_rfm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers by order history (operators/
+    behavior.rfm_segments): rank-quintile scores per metric WITHOUT a
+    global ntile window — three two-phase prefix-sum ranking passes
+    over the already-reduced one-row-per-customer table."""
+    from aws_sdk_pandas_spark.operators.behavior import rfm_segments
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return rfm_segments(
+        o,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+        monetary_round=2,
+    ).orderBy("o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3653,6 +3713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chisq_orders": _q_chisq_orders,
         "dq_benford_lineitem": _q_benford_lineitem,
         "stats_gini_orders": _q_gini_orders,
+        "events_survival_curve": _q_survival_curve,
+        "events_transition_matrix": _q_transition_matrix,
+        "orders_rfm_segments": _q_rfm_orders,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -6103,5 +6166,98 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             GROUP BY 1
             ORDER BY 1
+        """,
+        "events_survival_curve": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), ref AS (SELECT MAX(d) AS mx FROM ev),
+            per AS (
+                SELECT user_id,
+                       CAST(MAX(d) - MIN(d) AS INT) AS dur,
+                       CASE WHEN (SELECT mx FROM ref) - MAX(d) > 7
+                            THEN 1 ELSE 0 END AS e
+                FROM ev GROUP BY 1
+            ), counts AS (
+                SELECT dur AS t, SUM(e) AS ne, SUM(1 - e) AS nc
+                FROM per GROUP BY 1
+            ), cum AS (
+                SELECT t, ne, nc,
+                       SUM(ne + nc) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen,
+                       SUM(ne + nc) OVER () AS total
+                FROM counts
+            ), fac AS (
+                SELECT t,
+                       total - seen + ne + nc AS n_risk,
+                       ne AS n_events, nc AS n_censored,
+                       1.0 - CAST(ne AS DOUBLE) / (total - seen + ne + nc) AS f
+                FROM cum
+            )
+            SELECT t,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(ROUND(CASE WHEN MIN(f) OVER w <= 0 THEN 0.0
+                                   ELSE EXP(SUM(CASE WHEN f > 0 THEN LN(f)
+                                                     ELSE 0.0 END) OVER w)
+                              END, 6) AS DOUBLE) AS survival
+            FROM fac
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY t
+        """,
+        "events_transition_matrix": """
+            WITH seq AS (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dst
+                FROM events
+            ), pairs AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+            ), marg AS (
+                SELECT src, SUM(n) AS tot FROM pairs GROUP BY 1
+            )
+            SELECT pairs.src, pairs.dst, pairs.n,
+                   CAST(ROUND(CAST(pairs.n AS DOUBLE) / marg.tot, 6) AS DOUBLE) AS p
+            FROM pairs JOIN marg USING (src)
+            ORDER BY src, dst
+        """,
+        "orders_rfm_segments": """
+            WITH base AS (
+                SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            ), ref AS (SELECT MAX(od) AS mx FROM base),
+            per AS (
+                SELECT o_custkey AS key,
+                       CAST((SELECT mx FROM ref) - MAX(od) AS INT) AS recency,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS monetary
+                FROM base GROUP BY o_custkey
+            ), n AS (SELECT COUNT(*) AS cnt FROM per),
+            rr AS (SELECT key, ROW_NUMBER() OVER (ORDER BY recency DESC, key ASC) AS rk
+                   FROM per),
+            ff AS (SELECT key, ROW_NUMBER() OVER (ORDER BY frequency ASC, key ASC) AS rk
+                   FROM per),
+            mm AS (SELECT key, ROW_NUMBER() OVER (ORDER BY monetary ASC, key ASC) AS rk
+                   FROM per),
+            sc AS (
+                SELECT per.key, per.recency, per.frequency, per.monetary,
+                       CAST(FLOOR((rr.rk - 1) * 5.0 / n.cnt) + 1 AS INT) AS r_score,
+                       CAST(FLOOR((ff.rk - 1) * 5.0 / n.cnt) + 1 AS INT) AS f_score,
+                       CAST(FLOOR((mm.rk - 1) * 5.0 / n.cnt) + 1 AS INT) AS m_score
+                FROM per
+                JOIN rr ON per.key = rr.key
+                JOIN ff ON per.key = ff.key
+                JOIN mm ON per.key = mm.key
+                CROSS JOIN n
+            )
+            SELECT key AS o_custkey, recency, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS segment
+            FROM sc
+            ORDER BY o_custkey
         """,
     }

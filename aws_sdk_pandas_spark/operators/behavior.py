@@ -1,0 +1,217 @@
+"""Behavioral analytics: survival/retention curves, event-transition
+matrices, RFM segmentation.
+
+The reference's users run these as hand-rolled Athena SQL over event
+exports (aws-sdk-pandas feeds the query, the analyst writes the window
+math); this packages the three canonical shapes with engine-checkable
+arithmetic and 100 TB-safe plans:
+
+- `survival_curve`: Kaplan–Meier product-limit estimator — the churn /
+  retention curve with correct censoring (users still active at the
+  observation cutoff are NOT counted as churned).
+- `event_transitions`: first-order Markov transition matrix over
+  per-entity event sequences — the user-journey graph.
+- `rfm_segments`: recency/frequency/monetary rank-quintile scoring —
+  the classic base segmentation, built WITHOUT a global ntile window
+  (rank-based quantiles need a global order; this uses the two-phase
+  prefix-sum rank so no single-partition funnel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def survival_curve(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate S(t) per group: one row per
+    distinct event time with ``by..., t, n_risk, n_events, n_censored,
+    survival``.  ``event_col`` is 1 when the terminal event (churn,
+    failure) was OBSERVED at ``duration_col``, 0 when the subject was
+    censored then (still alive at cutoff) — the correction naive
+    "fraction churned by day t" gets wrong.
+
+    S(t) = Π_{u ≤ t} (1 − d_u / n_u) over observed-event times, with
+    n_u = subjects still at risk entering time u.  Distributed shape:
+    raw rows reduce to a per-(group, duration) count table in one
+    map-side-combinable pass; at-risk counts and the running product
+    (as exp of a running log-sum, zero-factor guarded) come from keyed
+    windows over that bounded table — state is distinct durations per
+    group, never subjects.
+
+    Rows with NULL duration or event flag are excluded.
+    """
+    keys = list(by or [])
+    d = F.col(duration_col)
+    e = F.col(event_col).cast("int")
+    s = df.where(d.isNotNull() & e.isNotNull())
+    counts = s.groupBy(*keys, d.alias("t")).agg(
+        F.sum(e).alias("n_events"),
+        F.sum(F.lit(1) - e).alias("n_censored"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    w_cum = w_all.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    seen = F.sum(F.col("n_events") + F.col("n_censored")).over(w_cum)
+    # at risk ENTERING time t: everyone not yet dead or censored before t
+    n_risk = total - seen + F.col("n_events") + F.col("n_censored")
+    c = counts.withColumn("n_risk", n_risk)
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_risk")
+    c = c.withColumn("__f", factor)
+    # running product via exp(sum(ln)) with the factor==0 tail guarded:
+    # once anyone's factor hits 0, survival is 0 from there on
+    log_f = F.when(F.col("__f") > 0, F.log("__f")).otherwise(F.lit(0.0))
+    any_zero = F.max((F.col("__f") <= 0).cast("int")).over(w_cum)
+    surv = F.when(any_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_f).over(w_cum))
+    )
+    out = c.select(
+        *keys,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, round_to).alias("survival"),
+    )
+    return out.orderBy(*keys, "t")
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    order_by: list,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: one row per observed (src, dst) pair with ``src, dst,
+    n, p`` where p = P(next = dst | current = src).  The user-journey
+    graph — which screens feed conversion, where error loops live.
+
+    ``order_by`` must totally order events within a key (include a
+    unique tie-break).  ONE keyed window (lead) + one pair-keyed
+    aggregation; the conditional probabilities come from a src-marginal
+    aggregation of the already-bounded pair table broadcast back.
+    Terminal events (no successor) simply emit no pair.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("src").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(marg), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), round_to).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    monetary_round: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """RFM segmentation: per entity ``recency`` (days since last
+    activity, vs the dataset max), ``frequency`` (activity count),
+    ``monetary`` (amount sum), each scored 1..n_bins by GLOBAL rank
+    (equal-population quantiles; 1 = worst, n_bins = best), plus the
+    concatenated ``segment`` string ("555" = best customers).
+
+    Rank-based scoring needs a global order, which ntile would funnel
+    through one partition; instead each metric's rank is a two-phase
+    prefix-sum of ones (`global_prefix_sum`) and the score is
+    ``floor((rank−1)·k/n)+1`` — deterministic (ties broken by key),
+    identical in the SQL oracle, and bounded by partition size at any
+    scale.  Three ranking passes over the ALREADY-REDUCED per-entity
+    table (one row per customer), never the raw activity.
+    """
+    from .sampling import global_prefix_sum
+
+    k = F.col(key_col)
+    ts = F.col(ts_col)
+    base = df.where(k.isNotNull() & ts.isNotNull())
+    ref = base.agg(F.max(ts).alias("__ref"))
+    per = (
+        base.crossJoin(F.broadcast(ref))  # ref is ONE row
+        .groupBy(k.alias("key"))
+        .agg(
+            F.datediff(F.max("__ref"), F.max(ts)).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(amount_col).alias("monetary"),
+        )
+    )
+    if monetary_round is not None:
+        # rounding BEFORE ranking: a float sum's last ulp can differ
+        # between engines/partitionings, which would flip the rank of
+        # two near-equal customers; rounded values tie instead, and
+        # ties break deterministically on the key
+        per = per.withColumn("monetary", F.round("monetary", monetary_round))
+    # entity count drives the score formula; per is one row per entity,
+    # so this job is bounded by entity cardinality
+    n_rows = per.count()
+    if n_rows == 0:
+        raise ValueError("rfm_segments: no non-null (key, ts) rows to segment")
+
+    def score(frame: DataFrame, metric, ascending_is_good: bool, out: str) -> DataFrame:
+        order = (
+            [F.col(metric).desc(), F.col("key").asc()]
+            if not ascending_is_good
+            else [F.col(metric).asc(), F.col("key").asc()]
+        )
+        ranked = global_prefix_sum(
+            frame.withColumn("__one", F.lit(1)),
+            "__one",
+            order,
+            out_col="__rank",
+            num_partitions=num_partitions,
+        )
+        sc = (
+            F.floor((F.col("__rank") - 1) * F.lit(n_bins) / F.lit(n_rows)) + 1
+        ).cast("int")
+        return ranked.withColumn(out, sc).drop("__one", "__rank")
+
+    # recency: SMALL is good -> order desc so most-stale ranks first (score 1)
+    out = score(per, "recency", ascending_is_good=False, out="r_score")
+    out = score(out, "frequency", ascending_is_good=True, out="f_score")
+    out = score(out, "monetary", ascending_is_good=True, out="m_score")
+    return out.select(
+        F.col("key").alias(key_col),
+        "recency",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

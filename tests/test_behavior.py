@@ -1,0 +1,156 @@
+"""Behavioral analytics: Kaplan–Meier vs a serial recompute (censoring
+semantics), Markov transitions vs brute force, RFM vs serial ranks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.operators.behavior import (
+    event_transitions,
+    rfm_segments,
+    survival_curve,
+)
+
+
+def _km(pairs):
+    """Serial Kaplan–Meier over (duration, observed) pairs."""
+    from collections import Counter
+
+    d = Counter(t for t, e in pairs if e)
+    c = Counter(t for t, e in pairs if not e)
+    times = sorted(set(d) | set(c))
+    total, seen, s, out = len(pairs), 0, 1.0, {}
+    for t in times:
+        at_risk = total - seen
+        if d[t]:
+            s *= 1 - d[t] / at_risk
+        out[t] = (at_risk, d[t], c[t], s)
+        seen += d[t] + c[t]
+    return out
+
+
+def test_survival_curve_matches_serial_km(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # mixed observed/censored, heavy ties (integer days)
+    pairs = [
+        (int(rng.integers(1, 30)), int(rng.random() < 0.7)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [("g",) + p for p in pairs], "g string, dur int, ev int"
+    )
+    got = {
+        r.t: r
+        for r in survival_curve(
+            df, duration_col="dur", event_col="ev", by=["g"]
+        ).collect()
+    }
+    want = _km(pairs)
+    assert set(got) == set(want)
+    for t, (n_risk, n_ev, n_cen, s) in want.items():
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, n_ev, n_cen)
+        assert abs(r.survival - round(s, 6)) < 1e-9
+
+    # censoring matters: ignoring it would call everyone at t=29 churned
+    last = max(want)
+    assert got[last].survival > 0 or want[last][3] == 0
+
+
+def test_survival_curve_zero_tail_and_nulls(spark):
+    # everyone dies at t=3 -> survival exactly 0 from there on (the
+    # exp(sum(ln)) guard), NULL rows excluded
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1), ("a", None, 1), ("a", 2, None)]
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    got = {r.t: r for r in survival_curve(df, duration_col="dur", event_col="ev").collect()}
+    assert set(got) == {1, 2, 3}
+    assert abs(got[1].survival - round(1 - 1 / 4, 6)) < 1e-9
+    assert got[2].n_censored == 1 and got[2].survival == got[1].survival
+    assert got[3].n_risk == 2 and got[3].survival == 0.0
+
+
+def test_event_transitions_brute_force(spark):
+    from collections import Counter
+
+    rows = []
+    seqs = {
+        "u1": ["view", "click", "view", "purchase"],
+        "u2": ["view", "view", "error", "view"],
+        "u3": ["click"],                     # terminal-only: no pairs
+    }
+    for u, states in seqs.items():
+        for i, st in enumerate(states):
+            rows.append((u, i, st))
+    df = spark.createDataFrame(rows, "user string, seq int, state string")
+    got = {
+        (r.src, r.dst): r
+        for r in event_transitions(
+            df, key_col="user", state_col="state", order_by=["seq"]
+        ).collect()
+    }
+    pairs = Counter()
+    for states in seqs.values():
+        for a, b in zip(states, states[1:]):
+            pairs[(a, b)] += 1
+    assert set(got) == set(pairs)
+    src_tot = Counter()
+    for (a, _), n in pairs.items():
+        src_tot[a] += n
+    for (a, b), n in pairs.items():
+        assert got[(a, b)].n == n
+        assert abs(got[(a, b)].p - round(n / src_tot[a], 6)) < 1e-9
+
+
+def test_rfm_segments_match_serial_ranks(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for cust in range(40):
+        for _ in range(int(rng.integers(1, 12))):
+            rows.append(
+                (
+                    f"c{cust:02d}",
+                    base + dt.timedelta(days=int(rng.integers(0, 200))),
+                    float(np.round(rng.uniform(5, 500), 2)),
+                )
+            )
+    df = spark.createDataFrame(rows, "cust string, d date, amt double")
+    got = {r.cust: r for r in rfm_segments(
+        df, key_col="cust", ts_col="d", amount_col="amt", num_partitions=4
+    ).collect()}
+
+    # serial recompute
+    ref = max(d for _, d, _ in rows)
+    per = {}
+    for c, d, a in rows:
+        r = per.setdefault(c, [10**9, 0, 0.0])
+        r[0] = min(r[0], (ref - d).days)
+        r[1] += 1
+        r[2] += a
+    n = len(per)
+
+    def scores(metric_idx, good_asc):
+        order = sorted(
+            per.items(),
+            key=lambda kv: (
+                (-kv[1][metric_idx]) if not good_asc else kv[1][metric_idx],
+                kv[0],
+            ),
+        )
+        return {c: (rank * 5) // n + 1 for rank, (c, _) in enumerate(order)}
+
+    rs, fs, ms = scores(0, False), scores(1, True), scores(2, True)
+    for c, vals in per.items():
+        r = got[c]
+        assert (r.recency, r.frequency) == (vals[0], vals[1])
+        assert abs(r.monetary - vals[2]) < 1e-6
+        assert (r.r_score, r.f_score, r.m_score) == (rs[c], fs[c], ms[c])
+        assert r.segment == f"{rs[c]}{fs[c]}{ms[c]}"
+    # directionality: the most stale customer must hold r_score 1
+    stalest = max(per, key=lambda c: (per[c][0], c))
+    assert got[stalest].r_score == 1
