@@ -3538,6 +3538,70 @@ def _q_rfm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scored frame for the evaluation gates: the engine's own
+    quality_score as the classifier score, lang='en' as the label —
+    exactly the 'trust the filter before sweeping 100 TB' setup."""
+    from aws_sdk_pandas_spark.functions.text import quality_score
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+
+
+def _q_eval_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC/log-loss/Brier summary (operators/evaluation.
+    binary_metrics): tie-aware rank-sum AUC over the distinct-score
+    count table + one two-phase prefix sum; losses in one raw-row
+    aggregation."""
+    from aws_sdk_pandas_spark.operators.evaluation import binary_metrics
+
+    return binary_metrics(
+        _eval_scored(spark, sf_dir), score_col="score", label_col="label"
+    )
+
+
+def _q_eval_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC + PR operating points (operators/evaluation.roc_curve): one
+    row per distinct score, cumulative counts from ONE descending
+    prefix sum — the threshold-picking table for corpus filtering."""
+    from aws_sdk_pandas_spark.operators.evaluation import roc_curve
+
+    return roc_curve(
+        _eval_scored(spark, sf_dir), score_col="score", label_col="label"
+    )
+
+
+def _q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/evaluation.calibration_curve):
+    fixed-width score bins, mean score vs positive fraction, ONE
+    map-side-combinable aggregation."""
+    from aws_sdk_pandas_spark.operators.evaluation import calibration_curve
+
+    return calibration_curve(
+        _eval_scored(spark, sf_dir), score_col="score", label_col="label", n_bins=10
+    )
+
+
+def _q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains deciles (operators/evaluation.lift_curve):
+    best-score-first global rank via the two-phase prefix sum (doc_id
+    tie-break), equal-population buckets, cumulative positive capture."""
+    from aws_sdk_pandas_spark.operators.evaluation import lift_curve
+
+    return lift_curve(
+        _eval_scored(spark, sf_dir),
+        score_col="score",
+        label_col="label",
+        id_col="doc_id",
+        n_buckets=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3716,6 +3780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_curve": _q_survival_curve,
         "events_transition_matrix": _q_transition_matrix,
         "orders_rfm_segments": _q_rfm_orders,
+        "eval_binary_metrics": _q_eval_binary,
+        "eval_roc_points": _q_eval_roc,
+        "eval_calibration": _q_eval_calibration,
+        "eval_lift_gains": _q_eval_lift,
         # rows-only (no SQL-expressible oracle):
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
@@ -3741,6 +3809,34 @@ def oracle_sql() -> dict[str, str]:
     stop_de = "['der','die','und','das','von','zu','mit','den','ist','ein']"
 
     toks = "list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))"
+
+    # shared scored frame for the evaluation gates: quality_score as the
+    # classifier score (same CTE as doc_quality_scores), lang='en' label
+    eval_scored = f"""
+            qbase AS (
+                SELECT doc_id, lang,
+                       length(text) AS n,
+                       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+                       {toks} AS toks
+                FROM documents
+            ), qfeat AS (
+                SELECT doc_id, lang,
+                       LEAST(n / 500.0, 1.0) AS length_score,
+                       1.0 - LEAST((CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+                       LEAST((CASE WHEN len(toks) > 0
+                              THEN len(list_filter(toks, t -> list_contains({stop_en}, t))) / CAST(len(toks) AS DOUBLE)
+                              ELSE 0.0 END) * 5.0, 1.0) AS stop_score,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mwl
+                FROM qbase
+            ), scored AS (
+                SELECT doc_id,
+                       ROUND(length_score * 0.3 + punct_score * 0.2 + stop_score * 0.3 +
+                             (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS score,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+                FROM qfeat
+            )"""
 
     return {
         "q01_pricing_summary": _Q01,
@@ -6259,5 +6355,90 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(m_score AS VARCHAR) AS segment
             FROM sc
             ORDER BY o_custkey
+        """,
+        "eval_binary_metrics": f"""
+            WITH {eval_scored},
+            counts AS (
+                SELECT score AS sc, SUM(label) AS cp, SUM(1 - label) AS cn
+                FROM scored GROUP BY 1
+            ), cum AS (
+                SELECT cp, cn, cp + cn AS cc,
+                       SUM(cp + cn) OVER (ORDER BY sc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM counts
+            ), a AS (
+                SELECT SUM(cp * (cum - cc + (cc + 1.0) / 2.0)) AS rp,
+                       CAST(SUM(cp) AS BIGINT) AS n_pos,
+                       CAST(SUM(cn) AS BIGINT) AS n_neg
+                FROM cum
+            ), l AS (
+                SELECT AVG(-(label * LN(LEAST(GREATEST(score, 1e-15), 1 - 1e-15))
+                             + (1 - label) * LN(1 - LEAST(GREATEST(score, 1e-15), 1 - 1e-15))))
+                           AS ll,
+                       AVG(POW(score - label, 2)) AS brier
+                FROM scored
+            )
+            SELECT CAST(ROUND((rp - n_pos * (n_pos + 1) / 2.0)
+                              / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS DOUBLE) AS auc,
+                   CAST(ROUND(ll, 6) AS DOUBLE) AS log_loss,
+                   CAST(ROUND(brier, 6) AS DOUBLE) AS brier,
+                   n_pos, n_neg
+            FROM a, l
+        """,
+        "eval_roc_points": f"""
+            WITH {eval_scored},
+            counts AS (
+                SELECT score AS sc, SUM(label) AS cp, SUM(1 - label) AS cn
+                FROM scored GROUP BY 1
+            ), cum AS (
+                SELECT sc, SUM(cp) OVER w AS cum_p, SUM(cn) OVER w AS cum_n
+                FROM counts
+                WINDOW w AS (ORDER BY sc DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), t AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM counts)
+            SELECT sc AS threshold,
+                   CAST(ROUND(CAST(cum_p AS DOUBLE) / np, 6) AS DOUBLE) AS tpr,
+                   CAST(ROUND(CAST(cum_n AS DOUBLE) / nn, 6) AS DOUBLE) AS fpr,
+                   CAST(ROUND(CAST(cum_p AS DOUBLE) / (cum_p + cum_n), 6) AS DOUBLE)
+                       AS precision,
+                   CAST(cum_p + cum_n AS BIGINT) AS n_predicted
+            FROM cum, t
+            ORDER BY threshold DESC
+        """,
+        "eval_calibration": f"""
+            WITH {eval_scored}
+            SELECT CAST(LEAST(GREATEST(FLOOR(score * 10), 0), 9) AS INT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(AVG(score), 6) AS DOUBLE) AS mean_score,
+                   CAST(ROUND(AVG(label), 6) AS DOUBLE) AS frac_positive
+            FROM scored
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "eval_lift_gains": f"""
+            WITH {eval_scored},
+            ranked AS (
+                SELECT label,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+                FROM scored
+            ), t AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS tot, SUM(label) AS npos FROM scored
+            ), b AS (
+                SELECT CAST(FLOOR((rk - 1) * 10.0 / t.tot) + 1 AS INT) AS bucket, label
+                FROM ranked, t
+            ), per AS (
+                SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(label) AS BIGINT) AS n_pos
+                FROM b GROUP BY 1
+            ), fin AS (SELECT per.*, t.tot, t.npos FROM per, t)
+            SELECT bucket, n, n_pos,
+                   CAST(ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS DOUBLE) AS pos_rate,
+                   CAST(ROUND((CAST(n_pos AS DOUBLE) / n)
+                              / (CAST(npos AS DOUBLE) / tot), 6) AS DOUBLE) AS lift,
+                   CAST(ROUND(CAST(SUM(n_pos) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS DOUBLE) / npos, 6) AS DOUBLE) AS cum_capture
+            FROM fin
+            ORDER BY bucket
         """,
     }

@@ -1,0 +1,290 @@
+"""Classifier evaluation at corpus scale: AUC, ROC/PR points,
+calibration, lift/gains, confusion — the measurement side of
+score-driven data curation (`fit_hashed_ngram_classifier`,
+`doc_classifier_score`, DSIR weights all produce scores; these
+operators tell you whether to TRUST them before filtering 100 TB
+on a threshold).
+
+Scale shapes: every curve reduces the raw rows to a distinct-score
+count table first (cost bounded by score cardinality), cumulative
+counts ride the two-phase `global_prefix_sum` (no single-partition
+window), and scalar metrics are single map-side-combinable
+aggregations.  AUC uses the rank-sum identity
+AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with average ranks
+for ties — the exact trapezoidal ROC area, no binning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _score_counts(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .select(
+            s.alias("__s"),
+            y.alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__cp"),
+            F.sum(F.lit(1) - F.col("__y")).alias("__cn"),
+        )
+    )
+
+
+def binary_metrics(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-row summary ``(auc, log_loss, brier, n_pos, n_neg)`` of a
+    probabilistic binary classifier.  AUC is the exact tie-aware
+    rank-sum form; log-loss clips scores to [1e-15, 1−1e-15] (the
+    sklearn convention) so a confident-and-wrong 0/1 score costs ~34.5
+    nats instead of infinity; Brier is mean squared error against the
+    0/1 label.
+
+    Scale: log-loss/Brier are ONE aggregation over raw rows; AUC runs
+    on the distinct-score count table + one two-phase prefix sum.
+    Degenerate inputs (no positives or no negatives) yield NULL auc.
+    """
+    from .sampling import global_prefix_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+
+    eps = 1e-15
+    p = F.least(F.greatest(s, F.lit(eps)), F.lit(1.0 - eps))
+    ll = -(y * F.log(p) + (F.lit(1) - y) * F.log(F.lit(1.0) - p))
+    losses = base.agg(
+        F.avg(ll).alias("__ll"),
+        F.avg(F.pow(s - y, F.lit(2.0))).alias("__brier"),
+    )
+
+    counts = _score_counts(df, score_col, label_col).withColumn(
+        "__c", F.col("__cp") + F.col("__cn")
+    )
+    cum = global_prefix_sum(
+        counts, "__c", [F.col("__s").asc()], out_col="__cum",
+        num_partitions=num_partitions,
+    )
+    avg_rank = F.col("__cum") - F.col("__c") + (F.col("__c") + F.lit(1.0)) / F.lit(2.0)
+    agg = cum.agg(
+        F.sum(F.col("__cp") * avg_rank).alias("__rp"),
+        F.sum("__cp").alias("n_pos"),
+        F.sum("__cn").alias("n_neg"),
+    )
+    np_, nn_ = F.col("n_pos"), F.col("n_neg")
+    auc = F.try_divide(
+        F.col("__rp") - np_ * (np_ + F.lit(1)) / F.lit(2.0),
+        np_.cast("double") * nn_,
+    )
+    return (
+        agg.crossJoin(F.broadcast(losses))  # both are ONE row
+        .select(
+            F.round(auc, round_to).alias("auc"),
+            F.round("__ll", round_to).alias("log_loss"),
+            F.round("__brier", round_to).alias("brier"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
+def roc_curve(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ROC + PR operating points: one row per DISTINCT score with
+    ``threshold, tpr, fpr, precision, n_predicted`` for the classifier
+    "predict positive iff score ≥ threshold".  recall ≡ tpr.  This is
+    the threshold-picking table for corpus filtering: find the point
+    where precision holds and read the kept-volume (n_predicted) off
+    the same row.
+
+    Scale: distinct-score count table + ONE two-phase prefix sum in
+    DESCENDING score order (cumulative counts = predicted-positive
+    set); totals broadcast back as a one-row join.
+    """
+    from .sampling import global_prefix_sum
+
+    counts = _score_counts(df, score_col, label_col)
+    cum = global_prefix_sum(
+        counts,
+        ["__cp", "__cn"],
+        [F.col("__s").desc()],
+        out_col=["__cum_p", "__cum_n"],
+        num_partitions=num_partitions,
+    )
+    tot = counts.agg(F.sum("__cp").alias("__np"), F.sum("__cn").alias("__nn"))
+    j = cum.crossJoin(F.broadcast(tot))  # tot is ONE row
+    return (
+        j.select(
+            F.col("__s").alias("threshold"),
+            F.round(F.try_divide(F.col("__cum_p"), F.col("__np")), round_to).alias("tpr"),
+            F.round(F.try_divide(F.col("__cum_n"), F.col("__nn")), round_to).alias("fpr"),
+            F.round(
+                F.try_divide(F.col("__cum_p"), F.col("__cum_p") + F.col("__cum_n")),
+                round_to,
+            ).alias("precision"),
+            (F.col("__cum_p") + F.col("__cum_n")).alias("n_predicted"),
+        )
+        .orderBy(F.col("threshold").desc())
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram: scores binned into ``n_bins`` fixed-width
+    buckets over [0, 1]; per OBSERVED bin ``bin, n, mean_score,
+    frac_positive``.  A calibrated classifier tracks the diagonal
+    (mean_score ≈ frac_positive); systematic bowing means the scores
+    are rankings, not probabilities — threshold accordingly.  ONE
+    map-side-combinable aggregation; scores outside [0, 1] clamp into
+    the edge bins.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), round_to).alias("mean_score"),
+            F.round(F.avg(y), round_to).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Lift / gains table: rows ranked best-score-first and cut into
+    ``n_buckets`` equal-population buckets; per bucket ``bucket, n,
+    n_pos, pos_rate, lift, cum_capture`` where lift = bucket positive
+    rate / overall rate and cum_capture = fraction of ALL positives
+    found in buckets 1..k — the "how deep must I dig" answer for
+    review/labeling budgets.
+
+    Scale: per-row global rank via the two-phase prefix sum ordered
+    (score desc, id asc) — ``id_col`` must be unique for a
+    deterministic cut; totals broadcast as a one-row join; the final
+    cumulative runs over the n_buckets-sized result.
+    """
+    from .sampling import global_prefix_sum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y"), F.col(id_col).alias("__id"), F.lit(1).alias("__one")
+    )
+    ranked = global_prefix_sum(
+        base,
+        "__one",
+        [F.col("__s").desc(), F.col("__id").asc()],
+        out_col="__rank",
+        num_partitions=num_partitions,
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))  # tot is ONE row
+    bucket = (
+        F.floor((F.col("__rank") - 1) * F.lit(n_buckets) / F.col("__n")) + 1
+    ).cast("int")
+    per = (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.max("__n").alias("__n"),
+            F.max("__npos").alias("__npos"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rate = F.try_divide(F.col("n_pos"), F.col("n"))
+    overall = F.try_divide(F.col("__npos"), F.col("__n"))
+    return (
+        per.select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(rate, round_to).alias("pos_rate"),
+            F.round(F.try_divide(rate, overall), round_to).alias("lift"),
+            F.round(
+                F.try_divide(F.sum("n_pos").over(w), F.col("__npos")), round_to
+            ).alias("cum_capture"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def confusion_at(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Confusion matrix + headline rates at one threshold (predict
+    positive iff score ≥ threshold): one row ``tp, fp, tn, fn,
+    precision, recall, f1, accuracy``.  ONE aggregation over raw rows;
+    degenerate denominators (no predicted positives, no actual
+    positives) yield NULL rates rather than errors.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    pred = (s >= F.lit(float(threshold))).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (F.lit(1) - y)).alias("fp"),
+        F.sum((F.lit(1) - pred) * (F.lit(1) - y)).alias("tn"),
+        F.sum((F.lit(1) - pred) * y).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    acc = F.try_divide(tp + tn, tp + fp + tn + fn)
+    return agg.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+        F.round(acc, round_to).alias("accuracy"),
+    )

@@ -1,0 +1,144 @@
+"""Classifier-evaluation operators vs independent numpy recomputes:
+tie-aware AUC, clipped log-loss, ROC/PR points, calibration bins,
+lift/gains, confusion rates."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aws_sdk_pandas_spark.operators.evaluation import (
+    binary_metrics,
+    calibration_curve,
+    confusion_at,
+    lift_curve,
+    roc_curve,
+)
+
+
+def _mk(spark, seed=41, n=600, ties=True):
+    rng = np.random.default_rng(seed)
+    y = (rng.random(n) < 0.4).astype(int)
+    # informative but noisy scores; quantize to force ties
+    s = np.clip(0.55 * y + 0.35 * rng.random(n) + 0.05, 0, 1)
+    if ties:
+        s = np.round(s, 2)
+    df = spark.createDataFrame(
+        [(int(i), float(a), int(b)) for i, (a, b) in enumerate(zip(s, y))],
+        "id long, score double, label int",
+    )
+    return df, s, y
+
+
+def _np_auc(s, y):
+    """Tie-aware rank-sum AUC."""
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sv = s[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    r_pos = ranks[y == 1].sum()
+    return (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_binary_metrics_match_numpy(spark):
+    df, s, y = _mk(spark)
+    r = binary_metrics(df, score_col="score", label_col="label",
+                       num_partitions=8).collect()[0]
+    auc = _np_auc(s, y)
+    assert abs(r.auc - round(auc, 6)) < 1e-9
+    assert r.auc > 0.8                      # informative scores
+    eps = 1e-15
+    p = np.clip(s, eps, 1 - eps)
+    ll = float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+    assert abs(r.log_loss - round(ll, 6)) < 1e-9
+    assert abs(r.brier - round(float(((s - y) ** 2).mean()), 6)) < 1e-9
+    assert r.n_pos == int(y.sum()) and r.n_neg == int((1 - y).sum())
+
+    # degenerate: single class -> NULL auc, losses still defined
+    one = df.where("label = 1")
+    r1 = binary_metrics(one, score_col="score", label_col="label").collect()[0]
+    assert r1.auc is None and r1.log_loss is not None
+
+
+def test_roc_curve_matches_numpy(spark):
+    df, s, y = _mk(spark, seed=43, n=400)
+    rows = roc_curve(df, score_col="score", label_col="label",
+                     num_partitions=8).collect()
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    thresholds = sorted(set(s), reverse=True)
+    assert [r.threshold for r in rows] == thresholds
+    for r in rows:
+        pred = s >= r.threshold
+        tp, fp = int((pred & (y == 1)).sum()), int((pred & (y == 0)).sum())
+        assert abs(r.tpr - round(tp / n_pos, 6)) < 1e-9
+        assert abs(r.fpr - round(fp / n_neg, 6)) < 1e-9
+        assert abs(r.precision - round(tp / (tp + fp), 6)) < 1e-9
+        assert r.n_predicted == tp + fp
+    # monotone cumulative structure
+    tprs = [r.tpr for r in rows]
+    assert tprs == sorted(tprs)
+
+
+def test_calibration_curve_bins(spark):
+    df, s, y = _mk(spark, seed=47)
+    rows = calibration_curve(df, score_col="score", label_col="label",
+                             n_bins=10).collect()
+    got = {r.bin: r for r in rows}
+    bins = np.minimum(np.maximum(np.floor(s * 10), 0), 9).astype(int)
+    for b in np.unique(bins):
+        m = bins == b
+        r = got[int(b)]
+        assert r.n == int(m.sum())
+        assert abs(r.mean_score - round(float(s[m].mean()), 6)) < 1e-9
+        assert abs(r.frac_positive - round(float(y[m].mean()), 6)) < 1e-9
+    assert set(got) == set(int(b) for b in np.unique(bins))
+
+
+def test_lift_curve_matches_serial(spark):
+    df, s, y = _mk(spark, seed=53, n=500)
+    rows = lift_curve(df, score_col="score", label_col="label", id_col="id",
+                      n_buckets=10, num_partitions=8).collect()
+    order = sorted(range(len(s)), key=lambda i: (-s[i], i))
+    n = len(s)
+    buckets = {}
+    for rank0, i in enumerate(order):
+        b = (rank0 * 10) // n + 1
+        bb = buckets.setdefault(b, [0, 0])
+        bb[0] += 1
+        bb[1] += int(y[i])
+    overall = y.sum() / n
+    cum = 0
+    for r in rows:
+        nb, pb = buckets[r.bucket]
+        cum += pb
+        assert (r.n, r.n_pos) == (nb, pb)
+        assert abs(r.pos_rate - round(pb / nb, 6)) < 1e-9
+        assert abs(r.lift - round(pb / nb / overall, 6)) < 1e-9
+        assert abs(r.cum_capture - round(cum / int(y.sum()), 6)) < 1e-9
+    # informative scores: top bucket beats base rate, capture ends at 1
+    assert rows[0].lift > 1.5 and rows[-1].cum_capture == 1.0
+
+
+def test_confusion_at_threshold(spark):
+    df, s, y = _mk(spark, seed=59, n=300)
+    r = confusion_at(df, score_col="score", label_col="label",
+                     threshold=0.5).collect()[0]
+    pred = (s >= 0.5).astype(int)
+    tp = int((pred & y).sum()); fp = int((pred & (1 - y)).sum())
+    tn = int(((1 - pred) & (1 - y)).sum()); fn = int(((1 - pred) & y).sum())
+    assert (r.tp, r.fp, r.tn, r.fn) == (tp, fp, tn, fn)
+    assert abs(r.precision - round(tp / (tp + fp), 6)) < 1e-9
+    assert abs(r.recall - round(tp / (tp + fn), 6)) < 1e-9
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert abs(r.f1 - round(2 * prec * rec / (prec + rec), 6)) < 1e-9
+    assert abs(r.accuracy - round((tp + tn) / 300, 6)) < 1e-9
+    # threshold above every score -> no predicted positives -> NULL precision
+    r2 = confusion_at(df, score_col="score", label_col="label",
+                      threshold=2.0).collect()[0]
+    assert r2.tp == 0 and r2.precision is None and r2.recall == 0.0
