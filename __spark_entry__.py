@@ -3602,6 +3602,50 @@ def _q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/textstats.collocations):
+    bigrams from a map-only zip of each token array with its own tail
+    (no self-join), vocabulary-bounded pair/unigram aggregations,
+    top-k by PMI with min_count guarding the hapax pathology."""
+    from aws_sdk_pandas_spark.operators.textstats import collocations
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return collocations(docs, text_col="text", min_count=5, top_k=100)
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability (operators/textstats.
+    readability): pure-codegen word/sentence/vowel-group counts, one
+    map-only projection — scan-speed at any scale."""
+    from aws_sdk_pandas_spark.operators.textstats import readability
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return readability(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+def _q_eval_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (operators/evaluation.fit_isotonic /
+    apply_isotonic): distributed PAVA via MLlib over the scored docs
+    frame, JVM-side piecewise-linear apply.  Rows-only: the pooled
+    violator blocks have no SQL equivalent (test_evaluation.py pins
+    the fit against an independent numpy PAVA instead)."""
+    from aws_sdk_pandas_spark.operators.evaluation import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    scored = _eval_scored(spark, sf_dir)
+    model = fit_isotonic(scored, score_col="score", label_col="label")
+    return (
+        apply_isotonic(scored, model, score_col="score")
+        .select("doc_id", "score", "calibrated")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3784,7 +3828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_roc_points": _q_eval_roc,
         "eval_calibration": _q_eval_calibration,
         "eval_lift_gains": _q_eval_lift,
+        "docs_collocations_pmi": _q_collocations,
+        "docs_readability": _q_readability,
         # rows-only (no SQL-expressible oracle):
+        "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
         "emb_knn_ivf_pq": _q_knn_ivf_pq,
@@ -6440,5 +6487,54 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / npos, 6) AS DOUBLE) AS cum_capture
             FROM fin
             ORDER BY bucket
+        """,
+        "docs_collocations_pmi": f"""
+            WITH tok AS (SELECT {toks} AS t FROM documents),
+            uni AS (
+                SELECT u.w, COUNT(*) AS c FROM tok, UNNEST(t) AS u(w) GROUP BY 1
+            ), pairs AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_pair
+                FROM tok, UNNEST(range(1, len(t))) AS r(i)
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 5
+            ), tot AS (
+                SELECT SUM(len(t)) AS nw,
+                       SUM(CASE WHEN len(t) > 0 THEN len(t) - 1 ELSE 0 END) AS nb
+                FROM tok
+            )
+            SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(ROUND(LN((n_pair / CAST(nb AS DOUBLE))
+                                 / ((u1.c / CAST(nw AS DOUBLE))
+                                    * (u2.c / CAST(nw AS DOUBLE)))), 6) AS DOUBLE)
+                       AS pmi
+            FROM pairs
+            JOIN uni u1 ON pairs.w1 = u1.w
+            JOIN uni u2 ON pairs.w2 = u2.w
+            CROSS JOIN tot
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 100
+        """,
+        "docs_readability": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len({toks}) AS BIGINT) END AS n_words,
+                       CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                            AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(ROUND(CASE WHEN n_words = 0 THEN NULL
+                        ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END, 4)
+                       AS DOUBLE) AS flesch,
+                   CAST(ROUND(CASE WHEN n_words = 0 THEN NULL
+                        ELSE 0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END, 4)
+                       AS DOUBLE) AS fk_grade
+            FROM m
+            ORDER BY doc_id
         """,
     }

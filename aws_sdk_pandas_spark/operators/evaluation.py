@@ -288,3 +288,65 @@ def confusion_at(
         F.round(f1, round_to).alias("f1"),
         F.round(acc, round_to).alias("accuracy"),
     )
+
+
+def fit_isotonic(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> dict:
+    """Fit an isotonic (monotone non-decreasing) calibration map from
+    raw scores to empirical positive rates — the non-parametric fix
+    when `calibration_curve` shows the classifier ranks well but its
+    probabilities bow off the diagonal.  Distributed PAVA via MLlib's
+    IsotonicRegression (ties aggregate per distinct score BEFORE the
+    pooling pass, so cost is bounded by score cardinality).
+
+    Returns ``{"model", "boundaries", "predictions"}``; feed to
+    `apply_isotonic`.  Boundaries/predictions are the pooled piecewise
+    points (driver-sized after violator pooling), useful for export.
+    """
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import IsotonicRegression
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        array_to_vector(F.array(s)).alias("__features"), y.alias("__label")
+    )
+    iso = IsotonicRegression(
+        featuresCol="__features", labelCol="__label", predictionCol="__cal"
+    )
+    model = iso.fit(base)
+    return {
+        "model": model,
+        "boundaries": list(model.boundaries),
+        "predictions": list(model.predictions),
+    }
+
+
+def apply_isotonic(
+    df: DataFrame,
+    model: dict,
+    *,
+    score_col: str,
+    out_col: str = "calibrated",
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply a `fit_isotonic` map: adds ``out_col`` with the calibrated
+    probability (linear interpolation between pooled boundary points,
+    clamped at the ends — MLlib model semantics, JVM-side transform,
+    no Python in the row path).  NULL scores yield NULL."""
+    from pyspark.ml.functions import array_to_vector
+
+    s = F.col(score_col).cast("double")
+    # the JVM transform NPEs on a NULL vector, so NULL scores ride a
+    # dummy 0.0 feature and the OUTPUT is nulled instead
+    withf = df.withColumn(
+        "__features", array_to_vector(F.array(F.coalesce(s, F.lit(0.0))))
+    )
+    out = model["model"].setPredictionCol("__cal").transform(withf)
+    return out.withColumn(
+        out_col, F.when(s.isNotNull(), F.round(F.col("__cal"), round_to))
+    ).drop("__features", "__cal")

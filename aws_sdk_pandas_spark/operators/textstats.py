@@ -503,3 +503,109 @@ def compression_ratio(
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, F.round(_ratio(F.col(text_col)), 6))
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs ranked by
+    pointwise mutual information — the multi-word-expression detector
+    ("new york", "machine learning") behind phrase-aware tokenization
+    and boilerplate fingerprinting.  Returns the ``top_k`` pairs with
+    ``w1, w2, n_pair, pmi`` where
+    PMI = ln( (c₁₂/N_pairs) / ((c₁/N_words)·(c₂/N_words)) ).
+
+    ``min_count`` suppresses the classic PMI pathology (a pair seen
+    once between two hapaxes scores arbitrarily high).
+
+    Scale shape: bigrams come from a zip of the token array with its
+    own tail — a map-only JVM expression, no self-join; pair and
+    unigram tables are map-side-combinable aggregations bounded by
+    vocabulary (not corpus) size; unigram marginals join the pair
+    table on the word key; final top-k is TakeOrderedAndProject.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    base = df.select(toks.alias("__t"), bigrams.alias("__b"))
+    pair = (
+        base.select(F.explode("__b").alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = base.agg(
+        F.sum(F.size("__t")).alias("__nw"),
+        F.sum(F.size("__b")).alias("__nb"),
+    )
+    j = (
+        pair.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "__c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "__c2"), "w2")
+        .crossJoin(F.broadcast(totals))  # totals is ONE row
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__nb"))
+        / ((F.col("__c1") / F.col("__nw")) * (F.col("__c2") / F.col("__nw")))
+    )
+    return (
+        j.select("w1", "w2", "n_pair", F.round(pmi, round_to).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    classic complexity signal for audience filtering (too-simple spam
+    vs too-dense OCR debris).  Returns ``id, n_words, n_sentences,
+    n_syllables, flesch, fk_grade``.
+
+    Heuristics, pure codegen (no UDF): words = whitespace tokens,
+    sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    runs [aeiouy]+ in the lowercased text (word boundaries break
+    groups, so this is the per-word group count summed).  Empty texts
+    yield NULL scores.  One map-only projection — at 100 TB this is a
+    scan-speed pass.
+    """
+    t = F.col(text_col)
+    n_words = F.size(tokens(t)).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("bigint")
+    wps = F.try_divide(n_words, n_sent)
+    spw = F.try_divide(n_syl, n_words)
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(flesch, round_to).alias("flesch"),
+        F.round(fk, round_to).alias("fk_grade"),
+    )

@@ -5,6 +5,7 @@ lift/gains, confusion rates."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from aws_sdk_pandas_spark.operators.evaluation import (
     binary_metrics,
@@ -142,3 +143,82 @@ def test_confusion_at_threshold(spark):
     r2 = confusion_at(df, score_col="score", label_col="label",
                       threshold=2.0).collect()[0]
     assert r2.tp == 0 and r2.precision is None and r2.recall == 0.0
+
+
+def _np_pava(scores, labels):
+    """Numpy PAVA: aggregate per distinct score, pool adjacent
+    violators (weighted), return {score: fitted}."""
+    import collections
+
+    agg = collections.OrderedDict()
+    for s, y in sorted(zip(scores, labels)):
+        w, t = agg.get(s, (0, 0.0))
+        agg[s] = (w + 1, t + y)
+    xs = list(agg)
+    blocks = [[x, agg[x][0], agg[x][1] / agg[x][0]] for x in xs]  # [x, w, mean]
+    # pool adjacent violators
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][2] >= out[-1][2] + 1e-15:
+            x2, w2, m2 = out.pop()
+            x1, w1, m1 = out.pop()
+            out.append([x2, w1 + w2, (w1 * m1 + w2 * m2) / (w1 + w2)])
+    # reconstruct membership by walking xs and consuming block weights
+    fitted = {}
+    xi = 0
+    for bx, bw, bm in out:
+        consumed = 0
+        while consumed < bw:
+            x = xs[xi]
+            fitted[x] = bm
+            consumed += agg[x][0]
+            xi += 1
+    return fitted
+
+
+def test_isotonic_calibration_matches_pava(spark):
+    from aws_sdk_pandas_spark.operators.evaluation import (
+        apply_isotonic,
+        binary_metrics,
+        fit_isotonic,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 800
+    true_p = rng.random(n)
+    y = (rng.random(n) < true_p).astype(int)
+    # miscalibrated but monotone scores: sqrt warps the probabilities
+    s = np.round(np.sqrt(true_p), 2)
+    df = spark.createDataFrame(
+        [(int(i), float(a), int(b)) for i, (a, b) in enumerate(zip(s, y))],
+        "id long, score double, label int",
+    )
+    model = fit_isotonic(df, score_col="score", label_col="label")
+    out = apply_isotonic(df, model, score_col="score").collect()
+    cal = {r.id: r.calibrated for r in out}
+
+    fitted = _np_pava(s.tolist(), y.tolist())
+    for r in out:
+        assert abs(cal[r.id] - round(fitted[s[r.id]], 6)) < 1e-6
+
+    # calibrated output is monotone in the raw score
+    pts = sorted(set((float(s[i]), cal[i]) for i in range(n)))
+    vals = [v for _, v in pts]
+    assert vals == sorted(vals)
+
+    # calibration improves the proper scores on held-in data
+    cal_df = apply_isotonic(df, model, score_col="score")
+    before = binary_metrics(df, score_col="score", label_col="label").collect()[0]
+    after = binary_metrics(
+        cal_df.select("id", F.col("calibrated").alias("score"), "label"),
+        score_col="score",
+        label_col="label",
+    ).collect()[0]
+    assert after.brier < before.brier
+    assert after.log_loss < before.log_loss
+
+    # NULL score passes through as NULL
+    null_df = spark.createDataFrame([(99, None, 1)], "id long, score double, label int")
+    rn = apply_isotonic(null_df, model, score_col="score").collect()[0]
+    assert rn.calibrated is None

@@ -282,3 +282,76 @@ def test_compression_ratio_separates_boilerplate_from_prose(spark):
     # exact value matches a direct zlib call
     raw = rows[0][1].encode()
     assert got[1] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def test_collocations_pmi(spark):
+    from aws_sdk_pandas_spark.operators.textstats import collocations
+
+    # "data lake" always together (strong collocation); "the" everywhere
+    docs = [
+        "the data lake stores the files",
+        "query the data lake with the engine",
+        "the data lake holds the data lake rows",
+        "files and rows and the engine",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    rows = collocations(df, text_col="text", min_count=2, top_k=50).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+
+    # serial recompute
+    from collections import Counter
+
+    uni, pair = Counter(), Counter()
+    nb = 0
+    for d in docs:
+        ws = d.lower().split()
+        uni.update(ws)
+        pair.update(zip(ws, ws[1:]))
+        nb += len(ws) - 1
+    nw = sum(uni.values())
+    import math
+
+    want = {
+        p: math.log((c / nb) / ((uni[p[0]] / nw) * (uni[p[1]] / nw)))
+        for p, c in pair.items()
+        if c >= 2
+    }
+    assert set(got) == set(want)
+    for p, v in want.items():
+        assert got[p].n_pair == pair[p]
+        assert abs(got[p].pmi - round(v, 6)) < 1e-9
+    # the dedicated pair outranks the function-word pair
+    assert got[("data", "lake")].pmi > got[("the", "data")].pmi
+    # ranked descending
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_readability_formulas(spark):
+    from aws_sdk_pandas_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "Extraordinarily complicated considerations necessitate comprehensive analysis."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in readability(df, id_col="id", text_col="text").collect()}
+
+    import re
+
+    for i, text in rows:
+        r = got[i]
+        words = len(text.split())
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        syls = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (words, sents, syls)
+        if words:
+            fl = 206.835 - 1.015 * words / sents - 84.6 * syls / words
+            fk = 0.39 * words / sents + 11.8 * syls / words - 15.59
+            assert abs(r.flesch - round(fl, 4)) < 1e-9
+            assert abs(r.fk_grade - round(fk, 4)) < 1e-9
+        else:
+            assert r.flesch is None and r.fk_grade is None
+    # simple prose reads easier than the polysyllabic wall
+    assert got[1].flesch > got[2].flesch
