@@ -3646,6 +3646,46 @@ def _q_eval_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk gate (dq.k_anonymity): equivalence
+    classes over (nation, segment) quasi-identifiers in one map-side
+    aggregation; the summary aggregates the class-bounded result."""
+    from aws_sdk_pandas_spark.dq import k_anonymity
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    return k_anonymity(c, quasi_cols=["c_nationkey", "c_mktsegment"], k=10)
+
+
+def _q_risky_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable k-anonymity detail (dq.risky_classes): every
+    violating quasi-identifier combination with its class size and
+    distinct sensitive values — output bounded by violators."""
+    from aws_sdk_pandas_spark.dq import risky_classes
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    return risky_classes(
+        c,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="c_acctbal",
+    )
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-disclosure check (dq.l_diversity): distinct market
+    segments per nation class — k-anonymity's blind spot when a whole
+    class shares one sensitive value."""
+    from aws_sdk_pandas_spark.dq import l_diversity
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    return l_diversity(
+        c, quasi_cols=["c_nationkey"], sensitive_col="c_mktsegment", l=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3830,6 +3870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_lift_gains": _q_eval_lift,
         "docs_collocations_pmi": _q_collocations,
         "docs_readability": _q_readability,
+        "customer_k_anonymity": _q_k_anonymity,
+        "customer_risky_classes": _q_risky_classes,
+        "customer_l_diversity": _q_l_diversity,
         # rows-only (no SQL-expressible oracle):
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
@@ -6536,5 +6579,43 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE) AS fk_grade
             FROM m
             ORDER BY doc_id
+        """,
+        "customer_k_anonymity": """
+            WITH sizes AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(sz) AS BIGINT) AS min_class_size,
+                   CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_classes_below_k,
+                   CAST(ROUND(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END)
+                              / CAST(SUM(sz) AS DOUBLE), 6) AS DOUBLE)
+                       AS pct_rows_below_k
+            FROM sizes
+        """,
+        "customer_risky_classes": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
+            FROM customer
+            GROUP BY 1, 2
+            HAVING COUNT(*) < 10
+            ORDER BY class_size, c_nationkey, c_mktsegment
+        """,
+        "customer_l_diversity": """
+            WITH per AS (
+                SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS d
+                FROM customer GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(d) AS BIGINT) AS min_diversity,
+                   CAST(SUM(CASE WHEN d < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_classes_below_l,
+                   CAST(ROUND(SUM(CASE WHEN d < 5 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+                       AS pct_classes_below_l
+            FROM per
         """,
     }

@@ -494,3 +494,92 @@ def fk_containment(
         ],
         "n_child_keys bigint, n_matched bigint, containment double, n_orphans bigint",
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Re-identification risk summary: rows grouped into equivalence
+    classes by the quasi-identifier combination; ONE row ``n_rows,
+    n_classes, min_class_size, n_classes_below_k, pct_rows_below_k``.
+    A dataset is k-anonymous iff ``min_class_size >= k`` — every
+    record hides among at least k-1 identical-looking others.  The
+    release gate to run BEFORE shipping a training corpus that carries
+    demographic/geographic columns (complements `redact_pii`, which
+    handles free text).
+
+    Scale shape: raw rows reduce to class sizes in one
+    map-side-combinable aggregation; the summary aggregates the
+    class-cardinality-bounded result.  NULL quasi values form their
+    own class (SQL GROUP BY semantics — NULL patterns are themselves
+    identifying).
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__sz"))
+    below = F.when(F.col("__sz") < k, F.col("__sz")).otherwise(F.lit(0))
+    return sizes.agg(
+        F.sum("__sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__sz").alias("min_class_size"),
+        F.sum((F.col("__sz") < k).cast("int")).alias("n_classes_below_k"),
+        F.round(F.try_divide(F.sum(below), F.sum("__sz")), round_to).alias(
+            "pct_rows_below_k"
+        ),
+    )
+
+
+def risky_classes(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """The actionable detail behind `k_anonymity`: every equivalence
+    class smaller than ``k`` with its quasi-identifier values and
+    ``class_size`` (plus ``n_sensitive`` distinct sensitive values
+    when ``sensitive_col`` is given — a 1 means attribute disclosure,
+    not just linkage).  Output is bounded by the number of VIOLATING
+    classes; generalize or suppress exactly these combinations."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("n_sensitive"))
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .where(F.col("class_size") < k)
+        .orderBy("class_size", *quasi_cols)
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Attribute-disclosure check: k-anonymity is not enough when an
+    entire equivalence class shares ONE sensitive value (the attacker
+    learns it without singling anyone out).  Distinct-l-diversity: ONE
+    row ``n_classes, min_diversity, n_classes_below_l,
+    pct_classes_below_l`` where diversity = distinct sensitive values
+    per class.  Same two-stage shape as `k_anonymity`; NULL sensitive
+    values don't count toward diversity (COUNT DISTINCT semantics).
+    """
+    per = df.groupBy(*quasi_cols).agg(
+        F.countDistinct(sensitive_col).alias("__d")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__d").alias("min_diversity"),
+        F.sum((F.col("__d") < l).cast("int")).alias("n_classes_below_l"),
+        F.round(
+            F.try_divide(F.sum((F.col("__d") < l).cast("int")), F.count(F.lit(1))),
+            round_to,
+        ).alias("pct_classes_below_l"),
+    )

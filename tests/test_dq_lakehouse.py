@@ -201,3 +201,40 @@ def test_suggest_keys_and_fk_containment(spark):
     # distinct child refs {10,20,99}: 2 of 3 contained
     assert fk.n_child_keys == 3 and fk.n_matched == 2 and fk.n_orphans == 1
     assert abs(fk.containment - 2 / 3) < 1e-6
+
+
+def test_k_anonymity_and_risky_classes(spark):
+    from aws_sdk_pandas_spark.dq import k_anonymity, l_diversity, risky_classes
+
+    rows = (
+        [("NY", "M", f"d{i % 3}") for i in range(10)]     # class of 10, 3 diagnoses
+        + [("NY", "F", "d0")] * 4                          # class of 4, 1 diagnosis
+        + [("SF", "M", "d1")] * 2                          # class of 2
+        + [("SF", None, "d2")]                             # NULL quasi: class of 1
+    )
+    df = spark.createDataFrame(rows, "city string, sex string, diag string")
+
+    r = k_anonymity(df, quasi_cols=["city", "sex"], k=5).collect()[0]
+    assert r.n_rows == 17 and r.n_classes == 4
+    assert r.min_class_size == 1 and r.n_classes_below_k == 3
+    assert abs(r.pct_rows_below_k - round(7 / 17, 6)) < 1e-9
+
+    risky = risky_classes(
+        df, quasi_cols=["city", "sex"], k=5, sensitive_col="diag"
+    ).collect()
+    assert [(x.city, x.sex, x.class_size, x.n_sensitive) for x in risky] == [
+        ("SF", None, 1, 1),
+        ("SF", "M", 2, 1),
+        ("NY", "F", 4, 1),
+    ]
+
+    d = l_diversity(
+        df, quasi_cols=["city", "sex"], sensitive_col="diag", l=2
+    ).collect()[0]
+    assert d.n_classes == 4 and d.min_diversity == 1
+    assert d.n_classes_below_l == 3
+    assert abs(d.pct_classes_below_l - round(3 / 4, 6)) < 1e-9
+
+    # the big class is fine at k=5; everything passes at k=1
+    ok = k_anonymity(df, quasi_cols=["city", "sex"], k=1).collect()[0]
+    assert ok.n_classes_below_k == 0 and ok.pct_rows_below_k == 0.0
