@@ -3686,6 +3686,21 @@ def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (operators/itemsets.
+    item_similarity): the bought-X-also-bought-Y table over order
+    baskets — both join sides are the DEDUPED (basket, item) table so
+    the one self-join shuffle is bounded by basket sizes; marginals
+    join back on the item key; min_pairs drops the noise tail."""
+    from aws_sdk_pandas_spark.operators.itemsets import item_similarity
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return item_similarity(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pairs=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3873,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_k_anonymity": _q_k_anonymity,
         "customer_risky_classes": _q_risky_classes,
         "customer_l_diversity": _q_l_diversity,
+        "lineitem_item_similarity": _q_item_similarity,
         # rows-only (no SQL-expressible oracle):
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
@@ -6617,5 +6633,31 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
                        AS pct_classes_below_l
             FROM per
+        """,
+        "lineitem_item_similarity": """
+            WITH base AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), items AS (
+                SELECT i, COUNT(*) AS c FROM base GROUP BY 1
+            ), nb AS (SELECT COUNT(DISTINCT b) AS n FROM base),
+            pairs AS (
+                SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_pair
+                FROM base a JOIN base b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            )
+            SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(ROUND(n_pair / SQRT(CAST(ca.c AS DOUBLE) * cb.c), 6)
+                        AS DOUBLE) AS cosine,
+                   CAST(ROUND(CAST(n_pair AS DOUBLE) * nb.n
+                              / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS DOUBLE) AS lift,
+                   CAST(ROUND(n_pair / CAST(ca.c + cb.c - n_pair AS DOUBLE), 6)
+                        AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN items ca ON pairs.item_a = ca.i
+            JOIN items cb ON pairs.item_b = cb.i
+            CROSS JOIN nb
+            ORDER BY item_a, item_b
         """,
     }

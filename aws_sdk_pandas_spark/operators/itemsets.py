@@ -14,7 +14,7 @@ which is exactly what the DuckDB oracle for the size<=2 slice does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,3 +160,108 @@ def sequential_patterns(
     res = res.localCheckpoint(eager=True)  # materialize before unpersisting input
     seqs.unpersist()
     return res
+
+
+def item_similarity(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+    top_k: int | None = None,
+    cap_per_basket: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item co-occurrence similarity — the "customers who bought X
+    also bought Y" table: one row per unordered item pair with
+    ``item_a, item_b, n_pair, cosine, lift, jaccard`` over basket
+    co-membership (cosine = c_ab/√(c_a·c_b); lift > 1 means the pair
+    co-occurs more than independence predicts; Jaccard penalizes
+    popular-with-everything items).  With ``top_k``, instead returns
+    the k nearest neighbors PER item (both directions materialized,
+    ranked by cosine with deterministic tie-breaks) — the direct input
+    to an item-to-item recommender.
+
+    Scale shape: both sides of the pair join are the DEDUPLICATED
+    (basket, item) table, so the single self-join shuffle is keyed on
+    basket and bounded by Σ basket_size² — ``cap_per_basket`` caps
+    that quadratic term for hub baskets (keeps the lexicographically
+    first N items per basket, deterministic) the way the dedup family
+    caps hot shingles.  Item marginals are aggregations of the deduped
+    table, joined back on the item key.  ``min_pairs`` drops the
+    noise tail before any metric math.
+    """
+    b = F.col(basket_col)
+    it = F.col(item_col)
+    base = (
+        df.where(b.isNotNull() & it.isNotNull())
+        .select(b.alias("__b"), it.alias("__i"))
+        .distinct()
+    )
+    if cap_per_basket is not None:
+        w = Window.partitionBy("__b").orderBy(F.col("__i").asc())
+        base = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap_per_basket)
+            .drop("__rn")
+        )
+    n_baskets = base.agg(F.countDistinct("__b").alias("__nb"))
+    items = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
+    left = base.select(F.col("__b"), F.col("__i").alias("item_a"))
+    right = base.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        left.join(right, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pairs)
+    )
+    j = (
+        pairs.join(
+            items.select(F.col("__i").alias("item_a"), F.col("__c").alias("__ca")),
+            "item_a",
+        )
+        .join(
+            items.select(F.col("__i").alias("item_b"), F.col("__c").alias("__cb")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))  # ONE row
+    )
+    cos = F.col("n_pair") / F.sqrt(F.col("__ca").cast("double") * F.col("__cb"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("__nb")
+        / (F.col("__ca").cast("double") * F.col("__cb"))
+    )
+    jac = F.col("n_pair") / (
+        F.col("__ca") + F.col("__cb") - F.col("n_pair")
+    ).cast("double")
+    out = j.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        F.round(cos, round_to).alias("cosine"),
+        F.round(lift, round_to).alias("lift"),
+        F.round(jac, round_to).alias("jaccard"),
+    )
+    if top_k is None:
+        return out.orderBy("item_a", "item_b")
+    # materialize both directions, rank neighbors per item
+    both = out.unionByName(
+        out.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_pair",
+            "cosine",
+            "lift",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("n_pair").desc(), F.col("item_b").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .orderBy("item_a", "rank")
+    )

@@ -96,3 +96,76 @@ def test_sequential_patterns_match_brute_force(spark):
     assert got == want
     assert got[("view", "purchase")] == 3  # ordered: view BEFORE purchase
     assert ("purchase", "view") not in got  # reverse order infrequent
+
+
+def test_item_similarity_matches_brute_force(spark):
+    from collections import Counter
+    from itertools import combinations
+    import math
+
+    from aws_sdk_pandas_spark.operators.itemsets import item_similarity
+
+    baskets = {
+        1: ["milk", "bread", "eggs"],
+        2: ["milk", "bread"],
+        3: ["milk", "eggs", "beer"],
+        4: ["bread", "eggs"],
+        5: ["beer", "chips"],
+        6: ["milk", "bread", "chips", "milk"],   # duplicate row dedups
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    rows.append((None, "milk"))
+    rows.append((7, None))
+    df = spark.createDataFrame(rows, "basket int, item string")
+
+    got = {
+        (r.item_a, r.item_b): r
+        for r in item_similarity(
+            df, basket_col="basket", item_col="item", min_pairs=2
+        ).collect()
+    }
+
+    uniq = {b: sorted(set(i)) for b, i in baskets.items()}
+    c = Counter(i for items in uniq.values() for i in items)
+    pc = Counter()
+    for items in uniq.values():
+        pc.update(combinations(items, 2))
+    nb = len(uniq)
+    want = {p: n for p, n in pc.items() if n >= 2}
+    assert set(got) == set(want)
+    for (a, bb), n in want.items():
+        r = got[(a, bb)]
+        assert r.n_pair == n
+        assert abs(r.cosine - round(n / math.sqrt(c[a] * c[bb]), 6)) < 1e-9
+        assert abs(r.lift - round(n * nb / (c[a] * c[bb]), 6)) < 1e-9
+        assert abs(r.jaccard - round(n / (c[a] + c[bb] - n), 6)) < 1e-9
+
+    # top_k mode: both directions, ranked by cosine, capped per item
+    top = item_similarity(
+        df, basket_col="basket", item_col="item", min_pairs=1, top_k=2
+    ).collect()
+    per = {}
+    for r in top:
+        per.setdefault(r.item_a, []).append(r)
+    for a, rs in per.items():
+        assert len(rs) <= 2
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    # symmetric pair appears in both items' neighbor lists at k big enough
+    allpairs = item_similarity(
+        df, basket_col="basket", item_col="item", min_pairs=1, top_k=100
+    ).collect()
+    keys = {(r.item_a, r.item_b) for r in allpairs}
+    assert all((b2, a2) in keys for a2, b2 in keys)
+
+    # cap_per_basket bounds the hub quadratic: with cap=2 only the
+    # lexicographically first two items of each basket pair up
+    capped = item_similarity(
+        df, basket_col="basket", item_col="item", min_pairs=1, cap_per_basket=2
+    ).collect()
+    capped_uniq = {b: sorted(set(i))[:2] for b, i in baskets.items()}
+    pc2 = Counter()
+    for items in capped_uniq.values():
+        pc2.update(combinations(items, 2))
+    assert {(r.item_a, r.item_b) for r in capped} == set(pc2)
