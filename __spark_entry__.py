@@ -3701,6 +3701,36 @@ def _q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical encoders (operators/features.target_encode /
+    frequency_encode): smoothed mean-label, leave-one-out (train-time
+    leakage block), and popularity-share encodings of order priority
+    against the 'finished' label — each one category-bounded
+    aggregation broadcast back, the one-row prior crossJoined."""
+    from aws_sdk_pandas_spark.operators.features import (
+        frequency_encode,
+        target_encode,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("__y"),
+    )
+    out = target_encode(
+        base, cat_col="o_orderpriority", label_col="__y",
+        smoothing=10.0, out_col="te",
+    )
+    out = target_encode(
+        out, cat_col="o_orderpriority", label_col="__y",
+        smoothing=10.0, leave_one_out=True, out_col="te_loo",
+    )
+    out = frequency_encode(out, cat_col="o_orderpriority", out_col="freq")
+    return out.select("o_orderkey", "te", "te_loo", "freq").orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3889,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_risky_classes": _q_risky_classes,
         "customer_l_diversity": _q_l_diversity,
         "lineitem_item_similarity": _q_item_similarity,
+        "orders_target_encoding": _q_target_encoding,
         # rows-only (no SQL-expressible oracle):
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
@@ -6659,5 +6690,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN items cb ON pairs.item_b = cb.i
             CROSS JOIN nb
             ORDER BY item_a, item_b
+        """,
+        "orders_target_encoding": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderpriority AS cat,
+                       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+                FROM orders
+            ), stats AS (
+                SELECT cat, SUM(y) AS s, COUNT(*) AS n FROM base GROUP BY 1
+            ), p AS (SELECT AVG(y) AS prior FROM base),
+            t AS (SELECT SUM(n) AS tot FROM stats)
+            SELECT b.o_orderkey,
+                   CAST(ROUND((s + 10.0 * prior) / (n + 10.0), 6) AS DOUBLE) AS te,
+                   CAST(ROUND((s - y + 10.0 * prior) / (n - 1 + 10.0), 6) AS DOUBLE)
+                       AS te_loo,
+                   CAST(ROUND(n / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS freq
+            FROM base b
+            JOIN stats USING (cat)
+            CROSS JOIN p CROSS JOIN t
+            ORDER BY b.o_orderkey
         """,
     }

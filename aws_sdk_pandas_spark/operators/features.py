@@ -369,3 +369,88 @@ def apply_mahalanobis(
             flag_col, F.coalesce(F.col(out_col) > threshold, F.lit(False))
         )
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = False,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean-label) encoding of a categorical column —
+    the standard high-cardinality alternative to one-hot: each category
+    maps to ``(sum_label + m·prior) / (n + m)`` where prior is the
+    global label mean and ``m = smoothing`` (an m-row pseudo-sample of
+    the prior, so rare categories shrink toward it instead of
+    memorizing noise).
+
+    ``leave_one_out=True`` excludes each row's OWN label from its
+    encoding — ``((sum − y_i) + m·prior) / (n − 1 + m)`` — the
+    train-time variant that blocks single-row target leakage; use the
+    plain variant at serve time.
+
+    Scale shape: one category-bounded aggregation, broadcast-joined
+    back on the category key; the one-row prior crossJoins.  NULL
+    categories encode as the prior (their own group would be a leak of
+    the NULL pattern); NULL labels are excluded from the statistics and
+    encode non-LOO.
+    """
+    out = out_col or f"{cat_col}_te"
+    c = F.col(cat_col)
+    y = F.col(label_col).cast("double")
+    m = float(smoothing)
+    stats = (
+        df.where(c.isNotNull() & y.isNotNull())
+        .groupBy(c.alias("__cat"))
+        .agg(F.sum(y).alias("__sum"), F.count(F.lit(1)).alias("__n"))
+    )
+    prior = df.where(y.isNotNull()).agg(F.avg(y).alias("__prior"))
+    j = (
+        df.join(F.broadcast(stats), c == F.col("__cat"), "left")
+        .crossJoin(F.broadcast(prior))  # ONE row
+    )
+    s_ = F.coalesce(F.col("__sum"), F.lit(0.0))
+    n_ = F.coalesce(F.col("__n"), F.lit(0))
+    if leave_one_out:
+        own = F.when(y.isNotNull() & c.isNotNull(), y).otherwise(F.lit(0.0))
+        dec = F.when(y.isNotNull() & c.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        enc = F.try_divide(
+            (s_ - own) + F.lit(m) * F.col("__prior"), (n_ - dec) + F.lit(m)
+        )
+    else:
+        enc = F.try_divide(s_ + F.lit(m) * F.col("__prior"), n_ + F.lit(m))
+    return j.withColumn(out, F.round(enc, round_to)).drop(
+        "__cat", "__sum", "__n", "__prior"
+    )
+
+
+def frequency_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Frequency encoding: each category maps to its share of rows —
+    the zero-leakage ordinal stand-in that preserves popularity
+    information.  One category-bounded aggregation broadcast back;
+    NULL categories get NULL (their share is a completeness question).
+    """
+    out = out_col or f"{cat_col}_freq"
+    c = F.col(cat_col)
+    stats = (
+        df.where(c.isNotNull())
+        .groupBy(c.alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = df.where(c.isNotNull()).agg(F.count(F.lit(1)).alias("__t"))
+    j = df.join(F.broadcast(stats), c == F.col("__cat"), "left").crossJoin(
+        F.broadcast(tot)
+    )
+    return j.withColumn(
+        out, F.round(F.try_divide(F.col("__n"), F.col("__t")), round_to)
+    ).drop("__cat", "__n", "__t")

@@ -210,3 +210,55 @@ def test_mahalanobis_flags_combination_outliers(spark):
     v = np.array([2.0, -4.0]) - mu
     expect = float(np.sqrt(v @ inv @ v))
     assert abs(got[1000].mahalanobis - round(expect, 6)) < 1e-6
+
+
+def test_target_encode_smoothing_and_loo(spark):
+    from aws_sdk_pandas_spark.operators.features import target_encode
+
+    rows = [
+        (1, "a", 1.0), (2, "a", 0.0), (3, "a", 1.0), (4, "a", 1.0),  # a: 3/4
+        (5, "b", 0.0), (6, "b", 0.0),                                 # b: 0/2
+        (7, "c", 1.0),                                                # singleton
+        (8, None, 1.0),                                               # NULL cat
+        (9, "a", None),                                               # NULL label
+    ]
+    df = spark.createDataFrame(rows, "id int, cat string, y double")
+    prior = (1 + 0 + 1 + 1 + 0 + 0 + 1 + 1) / 8  # NULL label excluded
+    m = 2.0
+    got = {r.id: r for r in target_encode(
+        df, cat_col="cat", label_col="y", smoothing=m).collect()}
+    exp = {
+        "a": (3 + m * prior) / (4 + m),
+        "b": (0 + m * prior) / (2 + m),
+        "c": (1 + m * prior) / (1 + m),
+    }
+    for i, cat, y in rows:
+        want = exp[cat] if cat else (0 + m * prior) / (0 + m)  # NULL -> prior
+        assert abs(got[i].cat_te - round(want, 6)) < 1e-9, i
+    assert abs(got[8].cat_te - round(prior, 6)) < 1e-9
+
+    # LOO: own label excluded; singleton shrinks fully to the prior term
+    loo = {r.id: r for r in target_encode(
+        df, cat_col="cat", label_col="y", smoothing=m, leave_one_out=True
+    ).collect()}
+    assert abs(loo[1].cat_te - round((3 - 1 + m * prior) / (3 + m), 6)) < 1e-9
+    assert abs(loo[2].cat_te - round((3 - 0 + m * prior) / (3 + m), 6)) < 1e-9
+    assert abs(loo[7].cat_te - round((0 + m * prior) / (0 + m), 6)) < 1e-9
+    # NULL-label row in a known category: no own-label to remove
+    assert abs(loo[9].cat_te - round((3 + m * prior) / (4 + m), 6)) < 1e-9
+
+    # m=0, LOO, singleton -> 0/0 -> NULL, not an ANSI error
+    z = {r.id: r for r in target_encode(
+        df, cat_col="cat", label_col="y", smoothing=0.0, leave_one_out=True
+    ).collect()}
+    assert z[7].cat_te is None
+
+
+def test_frequency_encode(spark):
+    from aws_sdk_pandas_spark.operators.features import frequency_encode
+
+    rows = [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, None)]
+    df = spark.createDataFrame(rows, "id int, cat string")
+    got = {r.id: r.cat_freq for r in frequency_encode(df, cat_col="cat").collect()}
+    assert abs(got[1] - 0.75) < 1e-9 and abs(got[4] - 0.25) < 1e-9
+    assert got[5] is None

@@ -239,6 +239,42 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     ).collect()
     timings["kmv_overlap"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.evaluation import lift_curve
+    from aws_sdk_pandas_spark.operators.itemsets import item_similarity
+    from aws_sdk_pandas_spark.operators.stats import ks_test
+
+    # KS drift test: raw rows grow with mult but the 2-decimal value
+    # domain SATURATES, so after the first reduction cost is bounded by
+    # value cardinality — time should flatten, demonstrating the
+    # distinct-value-table design rather than linear growth
+    t0 = time.time()
+    ks_test(
+        ev, value_col="value", group_col="event_type",
+        group_a="click", group_b="purchase",
+    ).collect()
+    timings["ks_test"] = round(time.time() - t0, 2)
+
+    # lift/gains deciles: PER-ROW global ranks via the two-phase prefix
+    # sum — true linear volume growth, no single-partition window
+    t0 = time.time()
+    lift_curve(
+        ev.select(
+            "event_id", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        ),
+        score_col="value", label_col="label", id_col="event_id", n_buckets=10,
+    ).collect()
+    timings["lift_curve"] = round(time.time() - t0, 2)
+
+    # item-item similarity: disjoint order keys per copy, SHARED part
+    # space — basket count and pair volume grow linearly while item
+    # marginals densify, the honest catalog-growth model
+    t0 = time.time()
+    item_similarity(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pairs=2
+    ).count()
+    timings["item_similarity"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     timings["_triangles"] = n_tri
     return timings
