@@ -3731,6 +3731,32 @@ def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "te", "te_loo", "freq").orderBy("o_orderkey")
 
 
+def _q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression by distributed normal equations (operators/
+    stats.fit_ols): price ~ quantity + discount, two schema-bounded
+    CENTERED aggregations + a driver 2x2 solve.  Oracle recomputes the
+    closed-form two-feature solution from VAR_SAMP/COVAR_SAMP (the
+    covariance scaling cancels in the solve)."""
+    from aws_sdk_pandas_spark.operators.stats import fit_ols
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    m = fit_ols(li, x_cols=["l_quantity", "l_discount"], y_col="l_extendedprice")
+    return spark.createDataFrame(
+        [
+            (
+                round(m["coef"][0], 6),
+                round(m["coef"][1], 6),
+                round(m["intercept"], 6),
+                round(m["r2"], 6),
+                m["n"],
+            )
+        ],
+        "coef_quantity double, coef_discount double, intercept double, "
+        "r2 double, n bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3920,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_l_diversity": _q_l_diversity,
         "lineitem_item_similarity": _q_item_similarity,
         "orders_target_encoding": _q_target_encoding,
+        "lineitem_ols_price": _q_ols_lineitem,
         # rows-only (no SQL-expressible oracle):
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
@@ -6709,5 +6736,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN stats USING (cat)
             CROSS JOIN p CROSS JOIN t
             ORDER BY b.o_orderkey
+        """,
+        "lineitem_ols_price": """
+            WITH m AS (
+                SELECT VAR_SAMP(l_quantity) AS s11,
+                       COVAR_SAMP(l_quantity, l_discount) AS s12,
+                       VAR_SAMP(l_discount) AS s22,
+                       COVAR_SAMP(l_quantity, l_extendedprice) AS c1,
+                       COVAR_SAMP(l_discount, l_extendedprice) AS c2,
+                       VAR_SAMP(l_extendedprice) AS vy,
+                       AVG(l_quantity) AS m1, AVG(l_discount) AS m2,
+                       AVG(l_extendedprice) AS my,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), b AS (
+                SELECT (s22 * c1 - s12 * c2) / (s11 * s22 - s12 * s12) AS b1,
+                       (s11 * c2 - s12 * c1) / (s11 * s22 - s12 * s12) AS b2,
+                       m1, m2, my, c1, c2, vy, n
+                FROM m
+            )
+            SELECT CAST(ROUND(b1, 6) AS DOUBLE) AS coef_quantity,
+                   CAST(ROUND(b2, 6) AS DOUBLE) AS coef_discount,
+                   CAST(ROUND(my - b1 * m1 - b2 * m2, 6) AS DOUBLE) AS intercept,
+                   CAST(ROUND((b1 * c1 + b2 * c2) / vy, 6) AS DOUBLE) AS r2,
+                   n
+            FROM b
         """,
     }

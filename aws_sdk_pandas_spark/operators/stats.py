@@ -396,3 +396,105 @@ def gini_coefficient(
         n_ + F.lit(1.0), n_
     )
     return agg.select(*keys, F.round(g, round_to).alias("gini"), "n")
+
+
+def fit_ols(
+    df: DataFrame,
+    *,
+    x_cols: list[str],
+    y_col: str,
+) -> dict:
+    """Multiple linear regression by distributed normal equations —
+    `linear_fit` generalized to d features: TWO schema-bounded
+    aggregations (means first, then CENTERED second moments — the same
+    cancellation discipline as `fit_mahalanobis`: the one-pass
+    E[xy]−mx·my form loses ~9 digits on large-magnitude features),
+    then a driver-side d×d solve.  Everything row-wise is pure JVM
+    codegen (d²/2+d sum expressions, map-side combinable); no Python
+    touches the data path.
+
+    Returns ``{"x_cols", "coef", "intercept", "r2", "n"}`` for
+    `apply_ols`.  Rows with any NULL feature or label are excluded.
+    Raises on n ≤ d (underdetermined) or a singular Gram matrix
+    (collinear features — drop one).
+    """
+    import numpy as np
+
+    d = len(x_cols)
+    xs = [F.col(c).cast("double") for c in x_cols]
+    y = F.col(y_col).cast("double")
+    ok = y.isNotNull()
+    for x in xs:
+        ok = ok & x.isNotNull()
+    base = df.where(ok)
+
+    means = base.agg(
+        *[F.avg(x).alias(f"mx{i}") for i, x in enumerate(xs)],
+        F.avg(y).alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = means["n"]
+    if n <= d:
+        raise ValueError(f"fit_ols: n={n} rows cannot determine {d} coefficients")
+    mx = [means[f"mx{i}"] for i in range(d)]
+    my = means["my"]
+
+    cx = [x - F.lit(m) for x, m in zip(xs, mx)]
+    cy = y - F.lit(my)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(cx[i] * cx[j]).alias(f"g{i}_{j}"))
+        aggs.append(F.sum(cx[i] * cy).alias(f"c{i}"))
+    aggs.append(F.sum(cy * cy).alias("sst"))
+    row = base.agg(*aggs).collect()[0]
+
+    g = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            g[i, j] = g[j, i] = row[f"g{i}_{j}"]
+    c = np.array([row[f"c{i}"] for i in range(d)])
+    sst = row["sst"]
+    det = np.linalg.det(g)
+    if not np.isfinite(det) or abs(det) < 1e-300:
+        raise ValueError("fit_ols: singular Gram matrix (collinear features)")
+    coef = np.linalg.solve(g, c)
+    intercept = my - float(coef @ np.array(mx))
+    sse = sst - float(coef @ c)
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    return {
+        "x_cols": list(x_cols),
+        "coef": coef.tolist(),
+        "intercept": intercept,
+        "r2": r2,
+        "n": n,
+    }
+
+
+def apply_ols(
+    df: DataFrame,
+    model: dict,
+    *,
+    out_col: str = "prediction",
+    residual_col: str | None = None,
+    y_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Apply a `fit_ols` model: adds the fitted value (pure-codegen
+    linear combination — scan-speed at any scale) and optionally the
+    residual against ``y_col`` (the de-trending / anomaly input).  NULL
+    features yield NULL predictions."""
+    pred = F.lit(model["intercept"])
+    for c, b in zip(model["x_cols"], model["coef"]):
+        pred = pred + F.lit(b) * F.col(c).cast("double")
+    if round_to is not None:
+        pred = F.round(pred, round_to)
+    out = df.withColumn(out_col, pred)
+    if residual_col is not None:
+        if y_col is None:
+            raise ValueError("residual_col requires y_col")
+        res = F.col(y_col).cast("double") - F.col(out_col)
+        if round_to is not None:
+            res = F.round(res, round_to)
+        out = out.withColumn(residual_col, res)
+    return out

@@ -253,3 +253,64 @@ def test_gini_grouped_and_global(spark):
     r = gini_coefficient(df, value_col="x", num_partitions=8).collect()[0]
     assert abs(r.gini - round(_np_gini(allv), 6)) < 1e-9
     assert r.n == 800
+
+
+def test_fit_ols_matches_numpy_lstsq(spark):
+    from aws_sdk_pandas_spark.operators.stats import apply_ols, fit_ols
+
+    rng = np.random.default_rng(29)
+    n = 500
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-5, 5, n)
+    # large-magnitude third feature: the cancellation trap two-pass
+    # centering is there to survive
+    x3 = 1.7e9 + rng.uniform(0, 1000, n)
+    y = 3.0 * x1 - 1.25 * x2 + 4e-3 * x3 + 7.5 + rng.normal(0, 0.5, n)
+    rows = [
+        (int(i), float(a), float(b), float(c), float(d))
+        for i, (a, b, c, d) in enumerate(zip(x1, x2, x3, y))
+    ]
+    rows.append((n, None, 1.0, 1.7e9, 5.0))  # NULL feature row excluded
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, x3 double, y double")
+
+    m = fit_ols(df, x_cols=["x1", "x2", "x3"], y_col="y")
+    # reference: the SAME centered normal-equation estimator in numpy
+    # (raw-column lstsq on a 1.7e9-magnitude feature loses ~5 digits to
+    # conditioning — that's the failure mode centering avoids)
+    Xc = np.column_stack([x1, x2, x3])
+    Xm = Xc - Xc.mean(axis=0)
+    beta = np.linalg.solve(Xm.T @ Xm, Xm.T @ (y - y.mean()))
+    intercept = y.mean() - beta @ Xc.mean(axis=0)
+    assert m["n"] == n
+    for got, want in zip(m["coef"] + [m["intercept"]], list(beta) + [intercept]):
+        assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+    # and loosely against the generating truth
+    for got, want in zip(m["coef"], [3.0, -1.25, 4e-3]):
+        assert abs(got - want) < 0.05 * max(1.0, abs(want))
+    pred = Xc @ beta + intercept
+    resid = y - pred
+    r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(m["r2"] - r2) < 1e-9
+    assert m["r2"] > 0.99
+
+    out = {r.id: r for r in apply_ols(
+        df, m, residual_col="resid", y_col="y").collect()}
+    for i in range(n):
+        assert abs(out[i].prediction - pred[i]) < 1e-6
+        assert abs(out[i].resid - (y[i] - pred[i])) < 1e-6
+    assert out[n].prediction is None  # NULL feature propagates
+
+
+def test_fit_ols_degenerate_inputs(spark):
+    import pytest
+
+    from aws_sdk_pandas_spark.operators.stats import fit_ols
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (3.0, 6.0, 7.0), (4.0, 8.0, 9.0)],
+        "a double, b double, y double",
+    )
+    with pytest.raises(ValueError, match="singular"):
+        fit_ols(df, x_cols=["a", "b"], y_col="y")  # b = 2a exactly
+    with pytest.raises(ValueError, match="cannot determine"):
+        fit_ols(df.limit(2), x_cols=["a", "b"], y_col="y")
