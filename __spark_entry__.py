@@ -3757,6 +3757,21 @@ def _q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant user journeys (operators/behavior.top_paths): per-user
+    first-5-event path strings built inside ONE aggregation
+    (sort_array over collected structs), counted in a second
+    path-bounded aggregation, deterministic top-k."""
+    from aws_sdk_pandas_spark.operators.behavior import top_paths
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return top_paths(
+        ev, key_col="user_id", state_col="event_type",
+        order_by=["ts", "event_id"], max_len=5, top_k=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3947,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_item_similarity": _q_item_similarity,
         "orders_target_encoding": _q_target_encoding,
         "lineitem_ols_price": _q_ols_lineitem,
+        "events_top_paths": _q_top_paths,
         # rows-only (no SQL-expressible oracle):
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
@@ -6763,5 +6779,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((b1 * c1 + b2 * c2) / vy, 6) AS DOUBLE) AS r2,
                    n
             FROM b
+        """,
+        "events_top_paths": """
+            WITH per AS (
+                SELECT user_id,
+                       array_to_string(
+                           list_slice(list(event_type ORDER BY ts, event_id), 1, 5),
+                           '>') AS path
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1
+            ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM per)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(ROUND(COUNT(*) / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS share
+            FROM per, t
+            GROUP BY path, tot
+            ORDER BY n_keys DESC, path ASC
+            LIMIT 20
         """,
     }

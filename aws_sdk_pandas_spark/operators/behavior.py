@@ -215,3 +215,62 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    order_by: list,
+    max_len: int = 5,
+    top_k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Most-traveled user journeys: per entity, the first ``max_len``
+    events in order form a path string ("view>click>purchase"); paths
+    are counted corpus-wide and the ``top_k`` returned with ``path,
+    n_keys, share``.  The complement of `event_transitions`: the
+    matrix says where single steps lead, this says which WHOLE routes
+    dominate — the funnel-design input.
+
+    Scale shape: events collapse to one ordered array per entity
+    inside ONE aggregation (`sort_array` over collected (order, state)
+    structs — state bounded by max_len·entity, and the slice happens
+    before the path string materializes); path counting is a second
+    map-side-combinable aggregation on the path-cardinality-bounded
+    result; top-k is TakeOrderedAndProject.  ``order_by`` needs a
+    unique tie-break for a deterministic path per entity.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    key = F.col(key_col)
+    st = F.col(state_col)
+    base = df.where(key.isNotNull() & st.isNotNull())
+    per = base.groupBy(key.alias("__k")).agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(*order, st.alias("__s")))
+                    ),
+                    lambda s: s["__s"],
+                ),
+                1,
+                max_len,
+            ),
+        ).alias("path")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(F.broadcast(tot))  # ONE row
+        .select(
+            "path",
+            "n_keys",
+            F.round(F.col("n_keys") / F.col("__t"), round_to).alias("share"),
+        )
+        .orderBy(F.col("n_keys").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

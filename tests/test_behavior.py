@@ -154,3 +154,34 @@ def test_rfm_segments_match_serial_ranks(spark):
     # directionality: the most stale customer must hold r_score 1
     stalest = max(per, key=lambda c: (per[c][0], c))
     assert got[stalest].r_score == 1
+
+
+def test_top_paths(spark):
+    from aws_sdk_pandas_spark.operators.behavior import top_paths
+
+    seqs = {
+        "u1": ["view", "click", "purchase"],
+        "u2": ["view", "click", "purchase"],
+        "u3": ["view", "view"],
+        "u4": ["view", "click", "purchase", "view", "view", "view", "error"],
+        "u5": ["error"],
+    }
+    rows = [
+        (u, i, s) for u, states in seqs.items() for i, s in enumerate(states)
+    ]
+    rows.append((None, 0, "view"))
+    df = spark.createDataFrame(rows, "user string, seq int, state string")
+    got = top_paths(
+        df, key_col="user", state_col="state", order_by=["seq"],
+        max_len=5, top_k=10,
+    ).collect()
+    paths = {r.path: r for r in got}
+    # u4's path truncates at 5 steps
+    assert paths["view>click>purchase"].n_keys == 2
+    assert "view>click>purchase>view>view" in paths
+    assert paths["view>view"].n_keys == 1
+    assert paths["error"].n_keys == 1
+    assert abs(paths["view>click>purchase"].share - 0.4) < 1e-9  # 2 of 5 users
+    # ordering: most-traveled first, ties lexicographic
+    counts = [r.n_keys for r in got]
+    assert counts == sorted(counts, reverse=True)
