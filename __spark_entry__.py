@@ -3772,6 +3772,37 @@ def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple smoothing (operators/timeseries.
+    holt_winters): weekly-seasonal daily-revenue forecast per event
+    type — the bounded rows-frame JVM struct fold with O(period)
+    seasonal state.  Rows-only: the array-state fold has no SQL
+    equivalent (test_timeseries.py pins it against the serial
+    recursion exactly instead)."""
+    from aws_sdk_pandas_spark.operators.timeseries import holt_winters
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    return (
+        holt_winters(
+            daily, ts_col="d", value_col="v", period=7,
+            by=["event_type"], alpha=0.4, beta=0.1, gamma=0.3, horizon=7,
+        )
+        .select(
+            "event_type",
+            "d",
+            F.round("hw_level", 4).alias("level"),
+            F.round("hw_trend", 4).alias("trend"),
+            F.round("hw_seasonal", 4).alias("seasonal"),
+            F.round("hw_forecast", 4).alias("forecast_7d"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3964,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_ols_price": _q_ols_lineitem,
         "events_top_paths": _q_top_paths,
         # rows-only (no SQL-expressible oracle):
+        "events_holt_winters": _q_holt_winters,
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,

@@ -764,3 +764,134 @@ def rate_of_change(
     if monotonic:
         rate = F.when(dv >= 0, rate)
     return df.withColumn(out_col, F.round(rate, round_to))
+
+
+def holt_winters(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    by: list[str] | None = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    horizon: int = 0,
+    lookback: int = 1024,
+    tie_breakers: list[str] | None = None,
+    out_prefix: str = "hw",
+) -> DataFrame:
+    """Holt–Winters additive triple smoothing per series — `holt_
+    smoothing` plus a ``period``-slot seasonal state, the
+    level/trend/seasonality forecaster for daily-with-weekly-cycle or
+    hourly-with-daily-cycle metrics:
+
+    ``level_t = α(x_t − s_{t−m}) + (1−α)(level + trend)``
+    ``trend_t = β(level_t − level) + (1−β)trend``
+    ``s_t     = γ(x_t − level_t) + (1−γ)s_{t−m}``
+
+    seeded from the FIRST observed season (level = its mean, trend = 0,
+    s_i = x_i − mean — the classical textbook init).  Adds
+    ``<prefix>_level``, ``<prefix>_trend``, ``<prefix>_seasonal`` (the
+    just-updated component for the current row's phase) and, when
+    ``horizon`` > 0, ``<prefix>_forecast`` = level + h·trend +
+    s[phase(t+h)].
+
+    Distribution: the same bounded rows-frame JVM struct fold as
+    `holt_smoothing`, with the seasonal slots carried as an
+    array<double> in the accumulator (state is O(period), per-row cost
+    O(lookback·period) array rebuilds in codegen — no Python).  Level
+    and trend forget the frame edge geometrically; each seasonal slot
+    is updated once per period, so its memory is (1−γ)^(L/m) —
+    ``lookback`` should be ≥ ~35·period for edge-exactness (series
+    shorter than ``lookback`` are EXACT vs the serial recursion).
+    NULL observations are skipped (state and PHASE hold — the series'
+    own observed cadence defines the season, so gaps should be
+    gap-filled first via `resample_locf` if calendar phase matters).
+    Rows before the first full season yield NULL outputs.
+    """
+    if not (0 < alpha < 1 and 0 < beta < 1 and 0 < gamma < 1):
+        raise ValueError("alpha, beta, gamma must be in (0, 1)")
+    if period < 2:
+        raise ValueError("period must be >= 2 (use holt_smoothing for m=1)")
+    m = int(period)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(*order)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    skey = F.struct(
+        F.col(ts_col).alias("_t"),
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(tie_breakers or [])],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    frame = F.array_sort(F.collect_list(skey).over(w))
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+        F.lit(0).alias("cnt"),
+        F.array().cast("array<double>").alias("s"),
+    )
+
+    def _step(acc, x):
+        v = x["_v"]
+        # warm-up: collect the first season's raw values
+        collecting = F.struct(
+            acc["l"].alias("l"),
+            acc["b"].alias("b"),
+            (acc["cnt"] + 1).alias("cnt"),
+            F.concat(acc["s"], F.array(v)).alias("s"),
+        )
+        raw = F.concat(acc["s"], F.array(v))
+        mean = F.aggregate(raw, F.lit(0.0), lambda a, e: a + e) / F.lit(float(m))
+        finalize = F.struct(
+            mean.alias("l"),
+            F.lit(0.0).alias("b"),
+            (acc["cnt"] + 1).alias("cnt"),
+            F.transform(raw, lambda e: e - mean).alias("s"),
+        )
+        idx = (acc["cnt"] % F.lit(m)).cast("int")
+        sidx = F.element_at(acc["s"], idx + 1)
+        lnew = F.lit(alpha) * (v - sidx) + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+        bnew = F.lit(beta) * (lnew - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
+        recurse = F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            (acc["cnt"] + 1).alias("cnt"),
+            F.transform(
+                acc["s"],
+                lambda e, i: F.when(
+                    i == idx, F.lit(gamma) * (v - lnew) + F.lit(1.0 - gamma) * e
+                ).otherwise(e),
+            ).alias("s"),
+        )
+        return F.when(v.isNull(), acc).otherwise(
+            F.when(acc["cnt"] < m - 1, collecting).otherwise(
+                F.when(acc["cnt"] == m - 1, finalize).otherwise(recurse)
+            )
+        )
+
+    state = F.aggregate(frame, zero, _step)
+    # phase of the CURRENT row (last consumed observation) = cnt-1 mod m
+    cur_idx = ((state["cnt"] - 1) % F.lit(m)).cast("int")
+    seasonal = F.when(
+        state["cnt"] >= m, F.element_at(state["s"], cur_idx + 1)
+    )
+    level = F.when(state["cnt"] >= m, state["l"])
+    trend = F.when(state["cnt"] >= m, state["b"])
+    out = (
+        df.withColumn(f"{out_prefix}_level", level)
+        .withColumn(f"{out_prefix}_trend", trend)
+        .withColumn(f"{out_prefix}_seasonal", seasonal)
+    )
+    if horizon > 0:
+        h_idx = ((state["cnt"] - 1 + horizon) % F.lit(m)).cast("int")
+        fc = F.when(
+            state["cnt"] >= m,
+            state["l"]
+            + F.lit(float(horizon)) * state["b"]
+            + F.element_at(state["s"], h_idx + 1),
+        )
+        out = out.withColumn(f"{out_prefix}_forecast", fc)
+    return out

@@ -550,3 +550,105 @@ def test_rate_of_change_and_counter_resets(spark):
         ).collect()
     }
     assert mono[1] == 5.0 and mono[2] is None         # reset suppressed
+
+
+def _serial_hw(xs, m, a, bcoef, g, h=0):
+    """Serial Holt-Winters additive recursion mirroring holt_winters'
+    init: first season -> level=mean, trend=0, s=x-mean."""
+    l = b = None
+    s = []
+    cnt = 0
+    out = []
+    for x in xs:
+        if cnt < m - 1:
+            s.append(x)
+            cnt += 1
+            out.append((None, None, None, None))
+            continue
+        if cnt == m - 1:
+            s.append(x)
+            l = sum(s) / m
+            b = 0.0
+            s = [v - l for v in s]
+            cnt += 1
+        else:
+            idx = cnt % m
+            lnew = a * (x - s[idx]) + (1 - a) * (l + b)
+            b = bcoef * (lnew - l) + (1 - bcoef) * b
+            s[idx] = g * (x - lnew) + (1 - g) * s[idx]
+            l = lnew
+            cnt += 1
+        cur = s[(cnt - 1) % m]
+        fc = (l + h * b + s[(cnt - 1 + h) % m]) if h else None
+        out.append((l, b, cur, fc))
+    return out
+
+
+def test_holt_winters_matches_serial(spark):
+    import math
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import holt_winters
+
+    rng = np.random.default_rng(71)
+    m = 7
+    n = 120
+    xs = [
+        50 + 0.3 * t + 10 * math.sin(2 * math.pi * (t % m) / m)
+        + float(rng.normal(0, 0.5))
+        for t in range(n)
+    ]
+    rows = [("g", t, float(x)) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = {
+        r.t: r
+        for r in holt_winters(
+            df, ts_col="t", value_col="x", period=m, by=["g"],
+            alpha=0.4, beta=0.1, gamma=0.3, horizon=m,
+        ).collect()
+    }
+    want = _serial_hw(xs, m, 0.4, 0.1, 0.3, h=m)
+    for t in range(n):
+        wl, wb, ws, wf = want[t]
+        r = got[t]
+        if wl is None:
+            assert r.hw_level is None and r.hw_seasonal is None
+        else:
+            assert abs(r.hw_level - wl) < 1e-9
+            assert abs(r.hw_trend - wb) < 1e-9
+            assert abs(r.hw_seasonal - ws) < 1e-9
+            assert abs(r.hw_forecast - wf) < 1e-9
+
+    # the m-step forecast from t tracks the actual x at t+m (seasonality
+    # captured); a seasonal-blind forecast (level+trend only) does worse
+    errs_hw, errs_flat = [], []
+    for t in range(3 * m, n - m):
+        actual = xs[t + m]
+        errs_hw.append(abs(got[t].hw_forecast - actual))
+        errs_flat.append(abs(got[t].hw_level + m * got[t].hw_trend - actual))
+    assert np.mean(errs_hw) < 0.5 * np.mean(errs_flat)
+
+
+def test_holt_winters_null_hold_and_validation(spark):
+    import pytest
+
+    from aws_sdk_pandas_spark.operators.timeseries import holt_winters
+
+    xs = [10.0, 20.0, 10.0, 20.0, 10.0, None, 20.0]
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs)], "g string, t int, x double"
+    )
+    got = {r.t: r for r in holt_winters(
+        df, ts_col="t", value_col="x", period=2, by=["g"]).collect()}
+    # NULL row holds the previous state verbatim
+    assert got[5].hw_level == got[4].hw_level
+    assert got[5].hw_seasonal == got[4].hw_seasonal
+    # phase advances only on observed rows: row 6 continues the recursion
+    want = _serial_hw([x for x in xs if x is not None], 2, 0.3, 0.1, 0.1)
+    assert abs(got[6].hw_level - want[-1][0]) < 1e-9
+
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(df, ts_col="t", value_col="x", period=1)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters(df, ts_col="t", value_col="x", period=2, alpha=1.5)
