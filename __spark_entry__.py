@@ -3803,6 +3803,28 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean extended price (operators/stats.
+    bootstrap_ci): md5-deterministic Poisson(1) weights per (row,
+    replicate), map-side partial aggregation bounds shuffle volume at
+    replicates x partitions.  The oracle re-derives the IDENTICAL
+    weights from the same md5 stream."""
+    from aws_sdk_pandas_spark.operators.stats import bootstrap_ci
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        "l_extendedprice",
+    )
+    return bootstrap_ci(
+        li, value_col="l_extendedprice", id_col="rid",
+        n_replicates=100, conf=0.95, seed=42,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3994,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_target_encoding": _q_target_encoding,
         "lineitem_ols_price": _q_ols_lineitem,
         "events_top_paths": _q_top_paths,
+        "lineitem_bootstrap_ci": _q_bootstrap_ci,
         # rows-only (no SQL-expressible oracle):
         "events_holt_winters": _q_holt_winters,
         "eval_isotonic_calibrated": _q_eval_isotonic,
@@ -6828,5 +6851,48 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY path, tot
             ORDER BY n_keys DESC, path ASC
             LIMIT 20
+        """,
+        "lineitem_bootstrap_ci": """
+            WITH base AS (
+                SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR) AS rid,
+                       CAST(l_extendedprice AS DOUBLE) AS x
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), drawn AS (
+                SELECT r.b, base.x,
+                       ('0x' || substring(md5(rid || ':' || CAST(r.b AS VARCHAR)
+                                              || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM base, UNNEST(range(0, 100)) AS r(b)
+            ), weighted AS (
+                SELECT b, x,
+                       CASE WHEN u < 0.36787944117144233 THEN 0.0
+                            WHEN u < 0.7357588823428847 THEN 1.0
+                            WHEN u < 0.919698602928606 THEN 2.0
+                            WHEN u < 0.9810118431238462 THEN 3.0
+                            WHEN u < 0.9963401531726563 THEN 4.0
+                            WHEN u < 0.9994058151824183 THEN 5.0
+                            WHEN u < 0.9999167588507119 THEN 6.0
+                            WHEN u < 0.9999897508033253 THEN 7.0
+                            WHEN u < 0.9999988747278268 THEN 8.0
+                            ELSE 9.0 END AS w
+                FROM drawn
+            ), rep AS (
+                SELECT b, SUM(w * x) / SUM(w) AS r FROM weighted GROUP BY b
+            ), summ AS (
+                SELECT quantile_cont(r, 0.025) AS lo,
+                       quantile_cont(r, 0.975) AS hi,
+                       stddev_samp(r) AS se
+                FROM rep
+            ), pt AS (
+                SELECT AVG(x) AS est, CAST(COUNT(*) AS BIGINT) AS n FROM base
+            )
+            SELECT CAST(ROUND(est, 6) AS DOUBLE) AS estimate,
+                   CAST(ROUND(se, 6) AS DOUBLE) AS se,
+                   CAST(ROUND(lo, 6) AS DOUBLE) AS ci_lo,
+                   CAST(ROUND(hi, 6) AS DOUBLE) AS ci_hi,
+                   n,
+                   CAST(100 AS INT) AS n_replicates
+            FROM pt, summ
         """,
     }

@@ -498,3 +498,128 @@ def apply_ols(
             res = F.round(res, round_to)
         out = out.withColumn(residual_col, res)
     return out
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! sums, k=0..8);
+# mass beyond 9 is < 1.2e-6 — the draw clamps there
+_POISSON1_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747278268,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    stat: str = "mean",
+    n_replicates: int = 200,
+    conf: float = 0.95,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bootstrap confidence interval for a corpus-level statistic via
+    the POISSON bootstrap — the one-pass distributed formulation:
+    instead of resampling n rows with replacement (which needs n known
+    up front and a global shuffle per replicate), each row draws an
+    independent Poisson(1) weight per replicate, which converges to
+    multinomial resampling at corpus n.  Returns ONE row ``(estimate,
+    se, ci_lo, ci_hi, n, n_replicates)`` — the percentile interval
+    over replicate statistics plus the bootstrap standard error.
+
+    Weights are md5-derived from ``(id, replicate, seed)`` — fully
+    deterministic and re-derivable by any engine (the DuckDB oracle
+    reproduces the exact interval).  ``stat``: "mean" (weighted mean
+    per replicate) or "sum" (weighted sum — for totals, each replicate
+    sum is comparable because E[w]=1).
+
+    Scale shape: each row expands to ``n_replicates`` (replicate,
+    weighted-value) pairs MAP-SIDE, but partial aggregation combines
+    them to ``n_replicates`` rows per partition before the shuffle —
+    shuffle volume is replicates × partitions, never replicates × rows;
+    the replicate table (B rows) reduces on the driver side of one
+    final aggregation.  ``id_col`` must be unique per row.
+    """
+    if stat not in ("mean", "sum"):
+        raise ValueError("stat must be 'mean' or 'sum'")
+    if not (0 < conf < 1):
+        raise ValueError("conf must be in (0, 1)")
+    B = int(n_replicates)
+    x = F.col(value_col).cast("double")
+    rid = F.col(id_col)
+    base = df.where(x.isNotNull() & rid.isNotNull())
+
+    def _w(b):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            rid.cast("string"),
+                            b.cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 32))
+        )
+        w = F.lit(9)
+        for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+            w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+        return w.cast("double")
+
+    rep = (
+        base.select(
+            x.alias("__x"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(B - 1)),
+                    lambda b: F.struct(b.alias("b"), _w(b).alias("w")),
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.b").alias("__b"),
+            (F.col("e.w") * F.col("__x")).alias("__wx"),
+            F.col("e.w").alias("__w"),
+        )
+        .groupBy("__b")
+        .agg(F.sum("__wx").alias("__swx"), F.sum("__w").alias("__sw"))
+    )
+    rstat = (
+        F.try_divide(F.col("__swx"), F.col("__sw"))
+        if stat == "mean"
+        else F.col("__swx")
+    )
+    lo, hi = (1 - conf) / 2, 1 - (1 - conf) / 2
+    reps = rep.select(rstat.alias("__r")).agg(
+        F.percentile(F.col("__r"), F.lit(lo)).alias("__lo"),
+        F.percentile(F.col("__r"), F.lit(hi)).alias("__hi"),
+        F.stddev_samp("__r").alias("__se"),
+    )
+    point = base.agg(
+        (F.avg(x) if stat == "mean" else F.sum(x)).alias("__est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return point.crossJoin(F.broadcast(reps)).select(  # both ONE row
+        F.round("__est", round_to).alias("estimate"),
+        F.round("__se", round_to).alias("se"),
+        F.round("__lo", round_to).alias("ci_lo"),
+        F.round("__hi", round_to).alias("ci_hi"),
+        "n",
+        F.lit(B).alias("n_replicates"),
+    )

@@ -314,3 +314,65 @@ def test_fit_ols_degenerate_inputs(spark):
         fit_ols(df, x_cols=["a", "b"], y_col="y")  # b = 2a exactly
     with pytest.raises(ValueError, match="cannot determine"):
         fit_ols(df.limit(2), x_cols=["a", "b"], y_col="y")
+
+
+def test_bootstrap_ci_matches_serial_poisson(spark):
+    import hashlib
+
+    from aws_sdk_pandas_spark.operators.stats import _POISSON1_CUM, bootstrap_ci
+
+    rng = np.random.default_rng(37)
+    vals = rng.normal(50.0, 8.0, 400)
+    rows = [(int(i), float(v)) for i, v in enumerate(vals)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    B = 80
+    r = bootstrap_ci(
+        df, value_col="v", id_col="id", n_replicates=B, conf=0.9, seed=7
+    ).collect()[0]
+
+    # serial recompute with the identical md5-derived Poisson weights
+    def w(i, b):
+        h = hashlib.md5(f"{i}:{b}:7".encode()).hexdigest()[:8]
+        u = int(h, 16) / 2**32
+        for k, c in enumerate(_POISSON1_CUM):
+            if u < c:
+                return k
+        return 9
+
+    stats = []
+    for b in range(B):
+        ws = np.array([w(i, b) for i in range(400)], dtype=float)
+        stats.append((ws * vals).sum() / ws.sum())
+    stats = np.sort(np.array(stats))
+    assert abs(r.estimate - round(float(vals.mean()), 6)) < 1e-9
+    assert abs(r.se - round(float(stats.std(ddof=1)), 6)) < 1e-9
+    # Spark percentile: exact interpolated — mirror numpy linear interp
+    for got, q in ((r.ci_lo, 0.05), (r.ci_hi, 0.95)):
+        want = float(np.percentile(stats, q * 100, method="linear"))
+        assert abs(got - round(want, 6)) < 1e-9
+    assert r.n == 400 and r.n_replicates == B
+    # the interval behaves like one: covers the true mean, width ~ 2*1.64*se
+    assert r.ci_lo < 50.0 < r.ci_hi
+    assert r.ci_lo < r.estimate < r.ci_hi
+
+
+def test_bootstrap_ci_sum_mode_and_validation(spark):
+    import pytest
+
+    from aws_sdk_pandas_spark.operators.stats import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    r = bootstrap_ci(
+        df, value_col="v", id_col="id", stat="sum", n_replicates=40
+    ).collect()[0]
+    assert r.estimate == sum(range(50))
+    assert r.ci_lo < r.estimate < r.ci_hi  # E[w]=1 keeps sums centered
+
+    with pytest.raises(ValueError, match="stat"):
+        bootstrap_ci(df, value_col="v", id_col="id", stat="median")
+    with pytest.raises(ValueError, match="conf"):
+        bootstrap_ci(df, value_col="v", id_col="id", conf=1.5)
