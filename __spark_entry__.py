@@ -3825,6 +3825,26 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel depth (operators/behavior.
+    window_funnel, ClickHouse windowFunnel semantics): deepest
+    view->click->purchase prefix completed within 24h of its step-1
+    event, per user — the greedy chain DP as a pure-JVM array fold.
+    Rows-only: the stateful DP has no SQL equivalent
+    (test_behavior.py pins it against a serial replication)."""
+    from aws_sdk_pandas_spark.operators.behavior import window_funnel
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        window_funnel(
+            ev, key_col="user_id", ts_col="ts", state_col="event_type",
+            steps=["view", "click", "purchase"], window_seconds=86400.0,
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4018,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": _q_top_paths,
         "lineitem_bootstrap_ci": _q_bootstrap_ci,
         # rows-only (no SQL-expressible oracle):
+        "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,

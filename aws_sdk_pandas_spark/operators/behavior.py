@@ -274,3 +274,79 @@ def top_paths(
         .orderBy(F.col("n_keys").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list,
+    window_seconds: float,
+    max_events: int = 10_000,
+    order_by: list | None = None,
+) -> DataFrame:
+    """Time-constrained funnel depth (ClickHouse ``windowFunnel``
+    semantics): per entity, the deepest prefix of ``steps`` completed
+    IN ORDER with the whole chain inside ``window_seconds`` of its
+    step-1 event.  Returns ``key, level`` (0 = never hit step 1) —
+    unlike the plain `events_funnel` conditional-min shape, a user who
+    signs up Monday and converts in March does NOT count here.
+
+    Algorithm (the standard greedy, exact for "does a chain exist"):
+    events sorted per entity; a step-1 event (re)opens a chain with
+    itself as start — keeping the LATEST start maximizes room for
+    later steps; a step-j event extends level j−1's chain when it
+    falls within the window of that chain's start.  One keyed
+    aggregation collects ``(ts, step)`` pairs (non-step events are
+    filtered BEFORE collection, and ``max_events`` caps pathological
+    entities on the earliest events); the DP is a pure-JVM array fold,
+    O(steps) state.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps for a funnel")
+    k = len(steps)
+    key = F.col(key_col)
+    st = F.col(state_col)
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    step_idx = F.lit(None).cast("int")
+    for i in range(k - 1, -1, -1):
+        step_idx = F.when(st == F.lit(steps[i]), F.lit(i)).otherwise(step_idx)
+    order_cols = [F.col(c) for c in (order_by or [])]
+    base = df.where(key.isNotNull() & step_idx.isNotNull() & t.isNotNull()).select(
+        key.alias("__k"),
+        F.struct(t.alias("_t"), *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+                 step_idx.alias("_s")).alias("__e"),
+    )
+    per = base.groupBy("__k").agg(
+        F.slice(F.array_sort(F.collect_list("__e")), 1, max_events).alias("__es")
+    )
+    # DP state: array of k chain-start times (NULL = level unreached)
+    zero = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+
+    def _step(acc, e):
+        return F.transform(
+            acc,
+            lambda start, i: F.when(
+                (e["_s"] == 0) & (i == 0), e["_t"]  # (re)open: latest start wins
+            ).otherwise(
+                # F.get is 0-based and NULL-safe out of range (i-1 = -1 at
+                # level 0), unlike element_at which raises on index 0
+                F.when(
+                    (e["_s"] == i)
+                    & (i > 0)
+                    & F.get(acc, i - 1).isNotNull()
+                    & (e["_t"] - F.get(acc, i - 1) <= F.lit(float(window_seconds))),
+                    F.get(acc, i - 1),  # extend: chain start propagates
+                ).otherwise(start)
+            ),
+        )
+
+    state = F.aggregate(F.col("__es"), zero, _step)
+    level = F.aggregate(
+        F.transform(state, lambda s, i: F.when(s.isNotNull(), i + 1).otherwise(0)),
+        F.lit(0),
+        lambda a, x: F.greatest(a, x),
+    )
+    return per.select(F.col("__k").alias(key_col), level.alias("level"))

@@ -185,3 +185,75 @@ def test_top_paths(spark):
     # ordering: most-traveled first, ties lexicographic
     counts = [r.n_keys for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def _serial_window_funnel(events, steps, window):
+    """ClickHouse-style greedy DP: (ts, state) events, sorted."""
+    idx = {s: i for i, s in enumerate(steps)}
+    starts = [None] * len(steps)
+    for t, s in sorted(events):
+        if s not in idx:
+            continue
+        i = idx[s]
+        if i == 0:
+            starts[0] = t  # latest start wins
+        elif starts[i - 1] is not None and t - starts[i - 1] <= window:
+            starts[i] = starts[i - 1]
+    level = 0
+    for i, v in enumerate(starts):
+        if v is not None:
+            level = i + 1
+    return level
+
+
+def test_window_funnel_matches_serial(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.behavior import window_funnel
+
+    steps = ["view", "click", "purchase"]
+    rng = np.random.default_rng(83)
+    rows, want = [], {}
+    for u in range(60):
+        evs = []
+        for _ in range(int(rng.integers(1, 15))):
+            t = float(rng.integers(0, 1000))
+            s = ["view", "click", "purchase", "error"][int(rng.integers(0, 4))]
+            evs.append((t, s))
+        # dedupe times so the total order is unambiguous cross-impl
+        seen, uniq = set(), []
+        for t, s in evs:
+            if t not in seen:
+                seen.add(t)
+                uniq.append((t, s))
+        for t, s in uniq:
+            rows.append((f"u{u}", t, s))
+        want[f"u{u}"] = _serial_window_funnel(uniq, steps, 100.0)
+
+    df = spark.createDataFrame(rows, "user string, ts double, state string")
+    got = {
+        r.user: r.level
+        for r in window_funnel(
+            df, key_col="user", ts_col="ts", state_col="state",
+            steps=steps, window_seconds=100.0,
+        ).collect()
+    }
+    # users with no step events at all don't appear; they'd be level 0
+    for u, lvl in want.items():
+        assert got.get(u, 0) == lvl, u
+    assert max(want.values()) == 3  # the full chain occurs somewhere
+
+    # hand cases: restart resets the clock; out-of-window step 2 ignored
+    hand = [
+        ("a", 0.0, "view"), ("a", 50.0, "click"), ("a", 90.0, "purchase"),   # 3
+        ("b", 0.0, "view"), ("b", 150.0, "click"),                            # 1
+        ("c", 0.0, "view"), ("c", 120.0, "view"), ("c", 160.0, "click"),
+        ("c", 219.0, "purchase"),                                             # 3: restart at 120
+        ("d", 10.0, "click"), ("d", 20.0, "purchase"),                        # 0: no step 1
+    ]
+    hdf = spark.createDataFrame(hand, "user string, ts double, state string")
+    hg = {r.user: r.level for r in window_funnel(
+        hdf, key_col="user", ts_col="ts", state_col="state",
+        steps=steps, window_seconds=100.0,
+    ).collect()}
+    assert hg["a"] == 3 and hg["b"] == 1 and hg["c"] == 3 and hg["d"] == 0
