@@ -3845,6 +3845,46 @@ def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/stats.diff_in_diff):
+    click-vs-view value shift across the mid-January boundary — all
+    four cells' n/mean/variance in ONE conditional aggregation, ATT
+    strips the shared time trend."""
+    from aws_sdk_pandas_spark.operators.stats import diff_in_diff
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    )
+    return diff_in_diff(
+        base, group_col="event_type", period_col="post", metric_col="value",
+        treat_value="click", post_value=1, control_value="view",
+    )
+
+
+def _q_cuped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/stats.cuped_adjust):
+    extended price adjusted by the quantity covariate — one moment
+    aggregation broadcast back, codegen projection."""
+    from aws_sdk_pandas_spark.operators.stats import cuped_adjust
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return (
+        cuped_adjust(
+            li, metric_col="l_extendedprice", covariate_col="l_quantity",
+            out_col="price_cuped", round_to=4,
+        )
+        .select("l_orderkey", "l_linenumber", "price_cuped")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4037,6 +4077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_ols_price": _q_ols_lineitem,
         "events_top_paths": _q_top_paths,
         "lineitem_bootstrap_ci": _q_bootstrap_ci,
+        "events_diff_in_diff": _q_diff_in_diff,
+        "lineitem_cuped": _q_cuped_lineitem,
         # rows-only (no SQL-expressible oracle):
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
@@ -6915,5 +6957,57 @@ def oracle_sql() -> dict[str, str]:
                    n,
                    CAST(100 AS INT) AS n_replicates
             FROM pt, summ
+        """,
+        "events_diff_in_diff": """
+            WITH base AS (
+                SELECT event_type AS g, value AS y,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                           AS post
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('click', 'view')
+            ), agg AS (
+                SELECT AVG(CASE WHEN g = 'click' AND post = 0 THEN y END) AS m_tp,
+                       VAR_SAMP(CASE WHEN g = 'click' AND post = 0 THEN y END) AS v_tp,
+                       COUNT(CASE WHEN g = 'click' AND post = 0 THEN y END) AS n_tp,
+                       AVG(CASE WHEN g = 'click' AND post = 1 THEN y END) AS m_tq,
+                       VAR_SAMP(CASE WHEN g = 'click' AND post = 1 THEN y END) AS v_tq,
+                       COUNT(CASE WHEN g = 'click' AND post = 1 THEN y END) AS n_tq,
+                       AVG(CASE WHEN g = 'view' AND post = 0 THEN y END) AS m_cp,
+                       VAR_SAMP(CASE WHEN g = 'view' AND post = 0 THEN y END) AS v_cp,
+                       COUNT(CASE WHEN g = 'view' AND post = 0 THEN y END) AS n_cp,
+                       AVG(CASE WHEN g = 'view' AND post = 1 THEN y END) AS m_cq,
+                       VAR_SAMP(CASE WHEN g = 'view' AND post = 1 THEN y END) AS v_cq,
+                       COUNT(CASE WHEN g = 'view' AND post = 1 THEN y END) AS n_cq
+                FROM base
+            )
+            SELECT CAST(ROUND(m_tp, 6) AS DOUBLE) AS mean_treat_pre,
+                   CAST(ROUND(m_tq, 6) AS DOUBLE) AS mean_treat_post,
+                   CAST(ROUND(m_cp, 6) AS DOUBLE) AS mean_ctrl_pre,
+                   CAST(ROUND(m_cq, 6) AS DOUBLE) AS mean_ctrl_post,
+                   CAST(ROUND((m_tq - m_tp) - (m_cq - m_cp), 6) AS DOUBLE) AS att,
+                   CAST(ROUND(SQRT(v_tp / n_tp + v_tq / n_tq
+                                   + v_cp / n_cp + v_cq / n_cq), 6) AS DOUBLE) AS se,
+                   CAST(ROUND(((m_tq - m_tp) - (m_cq - m_cp))
+                              / SQRT(v_tp / n_tp + v_tq / n_tq
+                                     + v_cp / n_cp + v_cq / n_cq), 4) AS DOUBLE)
+                       AS z_score,
+                   CAST(n_tp + n_tq + n_cp + n_cq AS BIGINT) AS n
+            FROM agg
+        """,
+        "lineitem_cuped": """
+            WITH s AS (
+                SELECT COVAR_SAMP(l_quantity, l_extendedprice)
+                           / VAR_SAMP(l_quantity) AS theta,
+                       AVG(l_quantity) AS mx
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(l_extendedprice
+                              - theta * (l_quantity - mx), 4) AS DOUBLE)
+                       AS price_cuped
+            FROM lineitem, s
+            ORDER BY l_orderkey, l_linenumber
         """,
     }

@@ -623,3 +623,116 @@ def bootstrap_ci(
         "n",
         F.lit(B).alias("n_replicates"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    group_col: str,
+    period_col: str,
+    metric_col: str,
+    treat_value,
+    post_value,
+    control_value=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group two-period difference-in-differences: the treatment
+    effect estimate when you COULDN'T randomize — subtracting the
+    control group's pre→post drift removes the shared time trend a
+    naive before/after comparison absorbs.  Returns ONE row
+    ``mean_treat_pre, mean_treat_post, mean_ctrl_pre, mean_ctrl_post,
+    att, se, z_score, n`` where att = (T_post−T_pre) − (C_post−C_pre)
+    and se pools the four cell variances (unequal-variance normal
+    approximation, same convention as `ab_test`).
+
+    ONE conditional aggregation over the metric table — every cell's
+    n/mean/variance in a single map-side-combinable pass.  Control is
+    every non-treat group, or exactly ``control_value`` when given
+    (other groups then excluded); ``period_col`` is binarized against
+    ``post_value``.
+    """
+    g = F.col(group_col)
+    y = F.col(metric_col).cast("double")
+    is_post = F.col(period_col) == F.lit(post_value)
+    is_treat = g == F.lit(treat_value)
+    base = df.where(y.isNotNull())
+    if control_value is not None:
+        base = base.where(is_treat | (g == F.lit(control_value)))
+
+    def cell(t: bool, p: bool):
+        cond = (is_treat if t else ~is_treat) & (is_post if p else ~is_post)
+        return F.when(cond, y)
+
+    agg = base.agg(
+        *[
+            a
+            for t, p, tag in (
+                (True, False, "tp"),
+                (True, True, "tq"),
+                (False, False, "cp"),
+                (False, True, "cq"),
+            )
+            for a in (
+                F.avg(cell(t, p)).alias(f"m_{tag}"),
+                F.var_samp(cell(t, p)).alias(f"v_{tag}"),
+                F.count(cell(t, p)).alias(f"n_{tag}"),
+            )
+        ]
+    )
+    att = (F.col("m_tq") - F.col("m_tp")) - (F.col("m_cq") - F.col("m_cp"))
+    se = F.sqrt(
+        F.col("v_tp") / F.col("n_tp")
+        + F.col("v_tq") / F.col("n_tq")
+        + F.col("v_cp") / F.col("n_cp")
+        + F.col("v_cq") / F.col("n_cq")
+    )
+    return agg.select(
+        F.round("m_tp", round_to).alias("mean_treat_pre"),
+        F.round("m_tq", round_to).alias("mean_treat_post"),
+        F.round("m_cp", round_to).alias("mean_ctrl_pre"),
+        F.round("m_cq", round_to).alias("mean_ctrl_post"),
+        F.round(att, round_to).alias("att"),
+        F.round(se, round_to).alias("se"),
+        F.round(F.try_divide(att, se), 4).alias("z_score"),
+        (F.col("n_tp") + F.col("n_tq") + F.col("n_cp") + F.col("n_cq")).alias("n"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    *,
+    metric_col: str,
+    covariate_col: str,
+    out_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): replaces the
+    experiment metric with ``y − θ(x − E[x])`` where x is a
+    PRE-experiment covariate (last month's spend, historical CTR) and
+    θ = cov(x,y)/var(x) — the regression adjustment that shrinks
+    metric variance by the covariate's r², so `ab_test` on the
+    adjusted column detects the same effect with ~1/(1−r²) fewer
+    users.  Group means shift identically (θ and E[x] are GLOBAL
+    constants), so treatment-effect estimates are unbiased as long as
+    the covariate predates assignment.
+
+    ONE moment aggregation (covar/var/mean, map-side combinable)
+    broadcast as a one-row join; the adjustment itself is a codegen
+    projection.  Rows with NULL covariate keep ``y`` unadjusted
+    (θ·0 correction) rather than dropping.
+    """
+    out = out_col or f"{metric_col}_cuped"
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    stats = df.where(y.isNotNull() & x.isNotNull()).agg(
+        F.try_divide(F.covar_samp(x, y), F.var_samp(x)).alias("__theta"),
+        F.avg(x).alias("__mx"),
+    )
+    j = df.crossJoin(F.broadcast(stats))  # ONE row
+    adj = F.when(
+        x.isNotNull(),
+        y - F.coalesce(F.col("__theta"), F.lit(0.0)) * (x - F.col("__mx")),
+    ).otherwise(y)
+    if round_to is not None:
+        adj = F.round(adj, round_to)
+    return j.withColumn(out, adj).drop("__theta", "__mx")

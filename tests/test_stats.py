@@ -376,3 +376,75 @@ def test_bootstrap_ci_sum_mode_and_validation(spark):
         bootstrap_ci(df, value_col="v", id_col="id", stat="median")
     with pytest.raises(ValueError, match="conf"):
         bootstrap_ci(df, value_col="v", id_col="id", conf=1.5)
+
+
+def test_diff_in_diff_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import diff_in_diff
+
+    rng = np.random.default_rng(43)
+    rows = []
+    # shared time trend +5, true treatment effect +3
+    cells = {
+        ("t", "pre"): rng.normal(20, 2, 300),
+        ("t", "post"): rng.normal(28, 2, 320),   # 20 + 5 trend + 3 effect
+        ("c", "pre"): rng.normal(22, 2, 310),
+        ("c", "post"): rng.normal(27, 2, 290),   # 22 + 5 trend
+    }
+    for (g, p), vs in cells.items():
+        rows += [(g, p, float(v)) for v in vs]
+    df = spark.createDataFrame(rows, "grp string, period string, y double")
+    r = diff_in_diff(
+        df, group_col="grp", period_col="period", metric_col="y",
+        treat_value="t", post_value="post",
+    ).collect()[0]
+
+    m = {k: v.mean() for k, v in cells.items()}
+    v = {k: v.var(ddof=1) for k, v in cells.items()}
+    n = {k: len(v) for k, v in cells.items()}
+    att = (m[("t", "post")] - m[("t", "pre")]) - (m[("c", "post")] - m[("c", "pre")])
+    se = np.sqrt(sum(v[k] / n[k] for k in cells))
+    assert abs(r.att - round(float(att), 6)) < 1e-9
+    assert abs(r.se - round(float(se), 6)) < 1e-9
+    assert abs(r.z_score - round(float(att / se), 4)) < 1e-9
+    assert r.n == sum(n.values())
+    assert 2.0 < r.att < 4.0 and r.z_score > 1.96   # recovers the +3 effect
+    # a naive before/after on the treated group absorbs the trend
+    naive = m[("t", "post")] - m[("t", "pre")]
+    assert naive > 6.0  # trend+effect; DiD strips the trend
+
+
+def test_cuped_reduces_variance_unbiased(spark):
+    from aws_sdk_pandas_spark.operators.stats import ab_test, cuped_adjust
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    # pre-experiment covariate drives most of the metric variance
+    x = rng.normal(100, 20, n)
+    grp = np.where(np.arange(n) % 2 == 0, "control", "treat")
+    effect = np.where(grp == "treat", 1.0, 0.0)
+    y = 0.8 * x + effect + rng.normal(0, 3, n)
+    rows = [(str(g), float(a), float(b)) for g, a, b in zip(grp, x, y)]
+    rows.append(("treat", None, 50.0))    # NULL covariate -> y unadjusted
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+
+    adj = cuped_adjust(df, metric_col="y", covariate_col="x")
+    got = adj.collect()
+
+    xs = np.array([r[1] for r in rows if r[1] is not None])
+    ys = np.array([r[2] for r in rows if r[1] is not None])
+    theta = np.cov(xs, ys, ddof=1)[0, 1] / xs.var(ddof=1)
+    for r in got:
+        if r.x is None:
+            assert r.y_cuped == 50.0
+        else:
+            want = r.y - theta * (r.x - xs.mean())
+            assert abs(r.y_cuped - want) < 1e-9
+
+    raw = ab_test(df, group_col="grp", metric_col="y",
+                  baseline="control").collect()[0]
+    cup = ab_test(adj, group_col="grp", metric_col="y_cuped",
+                  baseline="control").collect()[0]
+    # same effect estimate (up to noise), much tighter standard error
+    assert abs(cup.diff - raw.diff) < 0.5
+    assert cup.se < 0.35 * raw.se
+    assert abs(cup.z_score) > abs(raw.z_score)
