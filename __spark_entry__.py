@@ -3885,6 +3885,40 @@ def _q_cuped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature PSI (operators/drift.psi_numeric): price drift
+    between early and late ship-date cohorts — baseline-quantile bin
+    edges (one exact-percentile pass, rounded engine-exact), each
+    snapshot reduces with one map-side count."""
+    from aws_sdk_pandas_spark.operators.drift import psi_numeric
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    cut = F.lit("1998-05-24").cast("timestamp")
+    return psi_numeric(
+        li.where(F.col("l_shipdate") < cut),
+        li.where(F.col("l_shipdate") >= cut),
+        value_col="l_extendedprice",
+        n_bins=10,
+    )
+
+
+def _q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / information value (operators/features.woe_iv): how much
+    order priority separates the 'finished' label — one
+    category-bounded aggregation, Laplace-smoothed so pure categories
+    stay finite."""
+    from aws_sdk_pandas_spark.operators.features import woe_iv
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    base = o.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("__y"),
+    )
+    return woe_iv(base, cat_col="o_orderpriority", label_col="__y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4079,6 +4113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_bootstrap_ci": _q_bootstrap_ci,
         "events_diff_in_diff": _q_diff_in_diff,
         "lineitem_cuped": _q_cuped_lineitem,
+        "lineitem_psi_priceshift": _q_psi_lineitem,
+        "orders_woe_priority": _q_woe_orders,
         # rows-only (no SQL-expressible oracle):
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
@@ -7009,5 +7045,73 @@ def oracle_sql() -> dict[str, str]:
                        AS price_cuped
             FROM lineitem, s
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "lineitem_psi_priceshift": """
+            WITH basev AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1998-05-24'
+                  AND l_extendedprice IS NOT NULL
+            ), newv AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-05-24'
+                  AND l_extendedprice IS NOT NULL
+            ), e AS (
+                SELECT list_transform(
+                           quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                           v -> ROUND(v, 6)) AS edges
+                FROM basev
+            ), bb AS (
+                SELECT CAST(len(list_filter(e.edges, ed -> ed < x)) AS INT) AS bin,
+                       COUNT(*) AS c
+                FROM basev, e GROUP BY 1
+            ), bn AS (
+                SELECT CAST(len(list_filter(e.edges, ed -> ed < x)) AS INT) AS bin,
+                       COUNT(*) AS c
+                FROM newv, e GROUP BY 1
+            ), bins AS (SELECT UNNEST(range(0, 10)) AS bin),
+            tb AS (SELECT SUM(c) AS t FROM bb), tn AS (SELECT SUM(c) AS t FROM bn),
+            sh AS (
+                SELECT CAST(bins.bin AS INT) AS bin,
+                       COALESCE(bb.c, 0) / CAST(tb.t AS DOUBLE) AS sb,
+                       COALESCE(bn.c, 0) / CAST(tn.t AS DOUBLE) AS sn
+                FROM bins
+                LEFT JOIN bb ON bins.bin = bb.bin
+                LEFT JOIN bn ON bins.bin = bn.bin
+                CROSS JOIN tb CROSS JOIN tn
+            )
+            SELECT sh.bin,
+                   CASE WHEN sh.bin > 0 THEN e.edges[sh.bin] END AS lo,
+                   CASE WHEN sh.bin < 9 THEN e.edges[sh.bin + 1] END AS hi,
+                   CAST(ROUND(sb, 6) AS DOUBLE) AS share_base,
+                   CAST(ROUND(sn, 6) AS DOUBLE) AS share_new,
+                   CAST(ROUND((GREATEST(sn, 1e-6) - GREATEST(sb, 1e-6))
+                              * LN(GREATEST(sn, 1e-6) / GREATEST(sb, 1e-6)), 6)
+                        AS DOUBLE) AS psi_contrib
+            FROM sh, e
+            ORDER BY sh.bin
+        """,
+        "orders_woe_priority": """
+            WITH base AS (
+                SELECT o_orderpriority AS category,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                FROM orders
+            ), per AS (
+                SELECT category, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+                FROM base GROUP BY 1
+            ), tot AS (SELECT SUM(y) AS tp, SUM(1 - y) AS tn FROM base)
+            SELECT category,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CAST(ROUND(LN(((n_pos + 0.5) / (tp + 1.0))
+                                 / ((n_neg + 0.5) / (tn + 1.0))), 6) AS DOUBLE)
+                       AS woe,
+                   CAST(ROUND(((n_pos + 0.5) / (tp + 1.0)
+                               - (n_neg + 0.5) / (tn + 1.0))
+                              * LN(((n_pos + 0.5) / (tp + 1.0))
+                                   / ((n_neg + 0.5) / (tn + 1.0))), 6) AS DOUBLE)
+                       AS iv_contrib
+            FROM per, tot
+            ORDER BY category
         """,
     }

@@ -107,3 +107,89 @@ def corpus_divergence(
         F.round(js, 8).alias("js"),
         F.round(psi, 8).alias("psi"),
     )
+
+
+def psi_numeric(
+    df_base: DataFrame,
+    df_new: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population stability index for a NUMERIC feature between two
+    snapshots — the serving-vs-training drift gate scorecard teams run
+    per feature (rule of thumb: PSI < 0.1 stable, > 0.25 investigate).
+    Bin edges are the BASELINE's exact interpolated quantiles (so the
+    baseline lands ~uniform across bins and drift shows as mass
+    imbalance in the new snapshot); returns one row per bin with
+    ``bin, lo, hi, share_base, share_new, psi_contrib`` — sum
+    ``psi_contrib`` for the index, read the rows to see WHERE the
+    distribution moved.
+
+    Scale shape: one exact-percentile aggregation on the baseline (all
+    edges in one pass), edges collected (n_bins-1 scalars) and folded
+    into a codegen bin assignment; each snapshot then reduces with one
+    map-side-combinable count.  Shares are smoothed by eps=1e-6 so an
+    empty bin contributes a large-but-finite term; edges are rounded
+    to 6 decimals so the cut points are engine-exact.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = (
+        df_base.where(v.isNotNull())
+        .agg(F.percentile(v, F.lit(qs)).alias("e"))
+        .collect()[0]["e"]
+    )
+    edges = [round(float(e), 6) for e in edges_row]
+
+    def binned(frame: DataFrame) -> DataFrame:
+        b = F.lit(n_bins - 1)
+        for i in range(len(edges) - 1, -1, -1):
+            b = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(b)
+        return (
+            frame.where(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    lo_hi = {
+        i: (
+            edges[i - 1] if i > 0 else None,
+            edges[i] if i < len(edges) else None,
+        )
+        for i in range(n_bins)
+    }
+    spark = df_base.sparkSession
+    bounds = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in lo_hi.items()],
+        "bin int, lo double, hi double",
+    )
+    base_c = binned(df_base).withColumnRenamed("c", "cb")
+    new_c = binned(df_new).withColumnRenamed("c", "cn")
+    tot_b = df_base.where(v.isNotNull()).count()
+    tot_n = df_new.where(v.isNotNull()).count()
+    if tot_b == 0 or tot_n == 0:
+        raise ValueError("psi_numeric: empty snapshot")
+    eps = 1e-6
+    j = (
+        bounds.join(base_c, "bin", "left")
+        .join(new_c, "bin", "left")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            (F.coalesce(F.col("cb"), F.lit(0)) / F.lit(float(tot_b))).alias("__sb"),
+            (F.coalesce(F.col("cn"), F.lit(0)) / F.lit(float(tot_n))).alias("__sn"),
+        )
+    )
+    sb = F.greatest(F.col("__sb"), F.lit(eps))
+    sn = F.greatest(F.col("__sn"), F.lit(eps))
+    return j.select(
+        "bin",
+        "lo",
+        "hi",
+        F.round("__sb", round_to).alias("share_base"),
+        F.round("__sn", round_to).alias("share_new"),
+        F.round((sn - sb) * F.log(sn / sb), round_to).alias("psi_contrib"),
+    ).orderBy("bin")

@@ -72,3 +72,44 @@ def test_bucket_bound(spark, sf_dir):
     assert out.count() <= 128
     psi_total = sum(r.psi for r in out.collect())
     assert psi_total > 0  # different languages genuinely diverge
+
+
+def test_psi_numeric_detects_shift(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.drift import psi_numeric
+
+    rng = np.random.default_rng(67)
+    base_v = np.round(rng.normal(50, 10, 2000), 2)
+    same_v = np.round(rng.normal(50, 10, 1800), 2)
+    shift_v = np.round(rng.normal(58, 14, 1800), 2)
+    mk = lambda vs: spark.createDataFrame([(float(v),) for v in vs], "x double")
+    base = mk(base_v)
+
+    stable = psi_numeric(base, mk(same_v), value_col="x", n_bins=10).collect()
+    shifted = psi_numeric(base, mk(shift_v), value_col="x", n_bins=10).collect()
+
+    # serial recompute for the shifted case
+    edges = [round(float(np.percentile(base_v, q * 10, method="linear")), 6)
+             for q in range(1, 10)]
+    def shares(vs):
+        bins = np.searchsorted(edges, vs, side="left")
+        # searchsorted 'left': v <= edge -> bin i matches the operator's v <= e
+        bins = np.array([next((i for i, e in enumerate(edges) if v <= e), 9)
+                         for v in vs])
+        return np.bincount(bins, minlength=10) / len(vs)
+    sb, sn = shares(base_v), shares(shift_v)
+    got = {r.bin: r for r in shifted}
+    eps = 1e-6
+    for i in range(10):
+        assert abs(got[i].share_base - round(float(sb[i]), 6)) < 1e-9
+        assert abs(got[i].share_new - round(float(sn[i]), 6)) < 1e-9
+        b, n = max(sb[i], eps), max(sn[i], eps)
+        assert abs(got[i].psi_contrib - round(float((n - b) * np.log(n / b)), 6)) < 1e-9
+    # baseline ~uniform across its own quantile bins
+    assert all(abs(r.share_base - 0.1) < 0.03 for r in shifted)
+    # the index separates stable from shifted
+    assert sum(r.psi_contrib for r in stable) < 0.05
+    assert sum(r.psi_contrib for r in shifted) > 0.25
+    # bounds carried through
+    assert shifted[0].lo is None and shifted[-1].hi is None

@@ -262,3 +262,37 @@ def test_frequency_encode(spark):
     got = {r.id: r.cat_freq for r in frequency_encode(df, cat_col="cat").collect()}
     assert abs(got[1] - 0.75) < 1e-9 and abs(got[4] - 0.25) < 1e-9
     assert got[5] is None
+
+
+def test_woe_iv_matches_serial(spark):
+    import math
+
+    from aws_sdk_pandas_spark.operators.features import woe_iv
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 10      # positive-heavy
+        + [("b", 1)] * 10 + [("b", 0)] * 30    # negative-heavy
+        + [("c", 1)] * 20 + [("c", 0)] * 20    # neutral
+        + [("d", 1)] * 5                        # pure category: smoothing kicks in
+        + [(None, 0)] * 5                       # NULL category keeps its row
+        + [("a", None)]                         # NULL label excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    got = {r.category: r for r in woe_iv(df, cat_col="cat", label_col="y").collect()}
+
+    tp = 30 + 10 + 20 + 5
+    tn = 10 + 30 + 20 + 5
+    s = 0.5
+    for cat, (np_, nn_) in {
+        "a": (30, 10), "b": (10, 30), "c": (20, 20), "d": (5, 0), None: (0, 5)
+    }.items():
+        pp = (np_ + s) / (tp + 2 * s)
+        pn = (nn_ + s) / (tn + 2 * s)
+        woe = math.log(pp / pn)
+        r = got[cat]
+        assert (r.n_pos, r.n_neg) == (np_, nn_)
+        assert abs(r.woe - round(woe, 6)) < 1e-9
+        assert abs(r.iv_contrib - round((pp - pn) * woe, 6)) < 1e-9
+    assert got["a"].woe > 0 > got["b"].woe
+    assert abs(got["c"].woe) < 0.1
+    assert got["d"].woe > 1.5        # pure but finite
