@@ -3919,6 +3919,33 @@ def _q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(base, cat_col="o_orderpriority", label_col="__y")
 
 
+def _q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (operators/stats.fit_conformal):
+    md5-deterministic calibration split, centered-normal-equation OLS
+    on the rest, conformal radius = exact k-th order statistic of
+    calibration |residuals| via prefix-sum rank (never a driver sort
+    of 30%% of the corpus).  The oracle re-derives the whole chain:
+    split, closed-form 2-feature OLS, ROW_NUMBER order statistic."""
+    from aws_sdk_pandas_spark.operators.stats import fit_conformal
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        "l_quantity", "l_discount", "l_extendedprice",
+    )
+    m = fit_conformal(
+        li, x_cols=["l_quantity", "l_discount"], y_col="l_extendedprice",
+        id_col="rid", alpha=0.1, calib_frac=0.3, seed=42,
+    )
+    return spark.createDataFrame(
+        [(round(m["q"], 4), m["alpha"], m["n_train"], m["n_calib"])],
+        "q double, alpha double, n_train bigint, n_calib bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4115,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cuped": _q_cuped_lineitem,
         "lineitem_psi_priceshift": _q_psi_lineitem,
         "orders_woe_priority": _q_woe_orders,
+        "lineitem_conformal_band": _q_conformal_lineitem,
         # rows-only (no SQL-expressible oracle):
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
@@ -7113,5 +7141,55 @@ def oracle_sql() -> dict[str, str]:
                        AS iv_contrib
             FROM per, tot
             ORDER BY category
+        """,
+        "lineitem_conformal_band": """
+            WITH rows_ AS (
+                SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR) AS rid,
+                       CAST(l_quantity AS DOUBLE) AS x1,
+                       CAST(l_discount AS DOUBLE) AS x2,
+                       CAST(l_extendedprice AS DOUBLE) AS y,
+                       ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM lineitem
+            ), train AS (
+                SELECT * FROM rows_
+                WHERE u >= 0.3 AND x1 IS NOT NULL AND x2 IS NOT NULL
+                  AND y IS NOT NULL
+            ), m AS (
+                SELECT VAR_SAMP(x1) AS s11, COVAR_SAMP(x1, x2) AS s12,
+                       VAR_SAMP(x2) AS s22,
+                       COVAR_SAMP(x1, y) AS c1, COVAR_SAMP(x2, y) AS c2,
+                       AVG(x1) AS m1, AVG(x2) AS m2, AVG(y) AS my,
+                       CAST(COUNT(*) AS BIGINT) AS n_train
+                FROM train
+            ), b AS (
+                SELECT (s22 * c1 - s12 * c2) / (s11 * s22 - s12 * s12) AS b1,
+                       (s11 * c2 - s12 * c1) / (s11 * s22 - s12 * s12) AS b2,
+                       m1, m2, my, n_train
+                FROM m
+            ), calib AS (
+                SELECT rid,
+                       ABS(y - (b.my - b.b1 * b.m1 - b.b2 * b.m2
+                                + b.b1 * x1 + b.b2 * x2)) AS ares
+                FROM rows_, b
+                WHERE u < 0.3 AND x1 IS NOT NULL AND x2 IS NOT NULL
+                  AND y IS NOT NULL
+            ), ranked AS (
+                SELECT ares, ROW_NUMBER() OVER (ORDER BY ares, rid) AS rk
+                FROM calib
+            ), kk AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+                       LEAST(COUNT(*),
+                             CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT)) AS k
+                FROM calib
+            )
+            SELECT CAST(ROUND(ranked.ares, 4) AS DOUBLE) AS q,
+                   CAST(0.1 AS DOUBLE) AS alpha,
+                   b.n_train,
+                   kk.n_calib
+            FROM ranked, kk, b
+            WHERE ranked.rk = kk.k
         """,
     }

@@ -448,3 +448,61 @@ def test_cuped_reduces_variance_unbiased(spark):
     assert abs(cup.diff - raw.diff) < 0.5
     assert cup.se < 0.35 * raw.se
     assert abs(cup.z_score) > abs(raw.z_score)
+
+
+def test_conformal_matches_serial_and_covers(spark):
+    import hashlib
+    import math
+
+    from aws_sdk_pandas_spark.operators.stats import apply_conformal, fit_conformal
+
+    rng = np.random.default_rng(53)
+    n = 1200
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-3, 3, n)
+    # heteroskedastic, NON-Gaussian noise: the case where OLS +-1.96s lies
+    y = 2.0 * x1 - x2 + 5 + rng.laplace(0, 1.0 + 0.2 * x1)
+    rows = [
+        (int(i), float(a), float(b), float(c))
+        for i, (a, b, c) in enumerate(zip(x1, x2, y))
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+
+    m = fit_conformal(
+        df, x_cols=["x1", "x2"], y_col="y", id_col="id",
+        alpha=0.1, calib_frac=0.3, seed=9, num_partitions=8,
+    )
+
+    # serial recompute: same md5 split, same centered OLS, same k-th stat
+    def u(i):
+        return int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], 16) / 2**32
+
+    calib_ids = [i for i in range(n) if u(i) < 0.3]
+    train_ids = [i for i in range(n) if u(i) >= 0.3]
+    Xt = np.column_stack([x1[train_ids], x2[train_ids]])
+    yt = y[train_ids]
+    Xm = Xt - Xt.mean(axis=0)
+    beta = np.linalg.solve(Xm.T @ Xm, Xm.T @ (yt - yt.mean()))
+    intercept = yt.mean() - beta @ Xt.mean(axis=0)
+    pred_c = np.column_stack([x1[calib_ids], x2[calib_ids]]) @ beta + intercept
+    ares = np.abs(y[calib_ids] - pred_c)
+    k = min(len(ares), math.ceil((len(ares) + 1) * 0.9))
+    q = float(np.sort(ares)[k - 1])
+    assert m["n_calib"] == len(calib_ids) and m["n_train"] == len(train_ids)
+    assert abs(m["q"] - q) < 1e-9
+    for got, want in zip(m["ols"]["coef"], beta):
+        assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+
+    # marginal coverage ~ 90% on fresh exchangeable data
+    x1f = rng.uniform(0, 10, 2000)
+    x2f = rng.uniform(-3, 3, 2000)
+    yf = 2.0 * x1f - x2f + 5 + rng.laplace(0, 1.0 + 0.2 * x1f)
+    fresh = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1f, x2f, yf)],
+        "x1 double, x2 double, y double",
+    )
+    iv = apply_conformal(fresh, m).collect()
+    cov = np.mean([r.pred_lo <= r.y <= r.pred_hi for r in iv])
+    assert 0.87 <= cov <= 0.94
+    width = iv[0].pred_hi - iv[0].pred_lo
+    assert abs(width - 2 * q) < 1e-9
