@@ -465,3 +465,39 @@ def test_image_dimensions_jvm_only_no_python(spark, sf_dir):
     path must contain no Python eval node."""
     df = entry.queries()["multimodal_image_dims"](spark, sf_dir)
     assert "EvalPython" not in _plan(df)
+
+
+def test_plan_lint_findings(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.plans import lint
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(100).withColumnRenamed("id", "y")
+
+    # clean equi-join: no findings at error/warn level
+    clean = a.join(b, a.x == b.y).groupBy().count()
+    assert [f for f in lint(clean) if f["severity"] != "info"] == []
+
+    # cartesian product flagged as error
+    cart = a.crossJoin(b)
+    codes = {f["code"] for f in lint(cart)}
+    assert "cartesian_product" in codes or "nested_loop_join" in codes
+
+    # global window funnel flagged as warn
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    funnel = a.withColumn("rt", F.sum("x").over(w))
+    assert any(f["code"] == "single_partition_exchange" for f in lint(funnel))
+
+    # row-at-a-time python UDF flagged as error
+    @F.udf("long")
+    def slow(v):
+        return v + 1
+
+    pyudf = a.select(slow("x"))
+    assert any(f["code"] == "python_row_udf" for f in lint(pyudf))
+
+    # one-row summary agg is NOT flagged as a funnel
+    summary = a.agg(F.sum("x"))
+    assert not any(f["code"] == "single_partition_exchange" for f in lint(summary))
