@@ -3946,6 +3946,41 @@ def _q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc consecutive-duplicate-line collapse (functions/text.
+    collapse_repeated_lines): docs are newline-ized (space->\\n) so
+    repeated-word runs become repeated lines, then collapsed — a pure
+    JVM index-aware array filter, scan-speed."""
+    from aws_sdk_pandas_spark.functions.text import collapse_repeated_lines
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    lined = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("\n")).alias("t")
+    )
+    return lined.select(
+        "doc_id", collapse_repeated_lines("t").alias("collapsed")
+    ).orderBy("doc_id")
+
+
+def _q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage screen (functions/text.
+    encoding_issues): replacement-char, control-char, and
+    UTF-8-as-Latin-1 artifact counts as pure codegen regexp counts."""
+    from aws_sdk_pandas_spark.functions.text import encoding_issues
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    e = encoding_issues("text")
+    return docs.select(
+        "doc_id",
+        e["n_replacement"].alias("n_replacement"),
+        e["n_control"].alias("n_control"),
+        e["n_mojibake"].alias("n_mojibake"),
+        e["suspect"].alias("suspect"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4143,6 +4178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_psi_priceshift": _q_psi_lineitem,
         "orders_woe_priority": _q_woe_orders,
         "lineitem_conformal_band": _q_conformal_lineitem,
+        "docs_collapse_lines": _q_collapse_lines,
+        "docs_encoding_screen": _q_encoding_screen,
         # rows-only (no SQL-expressible oracle):
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
@@ -7191,5 +7228,33 @@ def oracle_sql() -> dict[str, str]:
                    kk.n_calib
             FROM ranked, kk, b
             WHERE ranked.rk = kk.k
+        """,
+        "docs_collapse_lines": """
+            WITH lined AS (
+                SELECT doc_id,
+                       string_split(replace(text, ' ', chr(10)), chr(10)) AS l
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(l, (x, i) -> i = 1 OR x != l[i - 1]),
+                       chr(10)) AS collapsed
+            FROM lined
+            ORDER BY doc_id
+        """,
+        "docs_encoding_screen": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '�')) AS INT)
+                       AS n_replacement,
+                   CAST(len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS INT) AS n_control,
+                   CAST(len(regexp_extract_all(text, 'Ã.|Â.|â€')) AS INT)
+                       AS n_mojibake,
+                   (len(regexp_extract_all(text, '�')) > 0
+                    OR len(regexp_extract_all(text,
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0
+                    OR len(regexp_extract_all(text, 'Ã.|Â.|â€')) > 0) AS suspect
+            FROM documents
+            ORDER BY doc_id
         """,
     }

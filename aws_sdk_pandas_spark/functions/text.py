@@ -260,3 +260,42 @@ def normalize_text(
     if collapse_whitespace:
         out = F.regexp_replace(out, r"\s+", " ")
     return out
+
+
+def collapse_repeated_lines(col: Column | str) -> Column:
+    """Collapse CONSECUTIVE duplicate lines within a document (keep the
+    first) — the within-doc counterpart of corpus-wide
+    `remove_repeated_passages`: boilerplate navigation blocks, scraped
+    pagination spam, and terminal echo all repeat adjacently.  Pure
+    JVM array expression (split → index-aware filter → rejoin); exact
+    line equality, no normalization (compose with `normalize_text`
+    upstream if wanted).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines, lambda x, i: (i == 0) | (x != F.get(lines, i - 1))
+    )
+    return F.array_join(kept, "\n")
+
+
+def encoding_issues(col: Column | str) -> Column:
+    """Encoding-damage signals as a struct ``(n_replacement, n_control,
+    n_mojibake, suspect)`` — the mojibake screen for crawled text:
+    U+FFFD replacement characters (decode already failed), C0 control
+    characters other than tab/newline/CR (binary junk), and the
+    classic UTF-8-read-as-Latin-1 artifacts (Ã/Â/â€ sequences).
+    ``suspect`` fires when any counter is positive.  Pure codegen
+    regexp counts — scan-speed; filter on it before tokenization
+    (mojibake inflates vocabulary and poisons n-gram stats).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_rep = F.regexp_count(c, F.lit("�"))
+    n_ctl = F.regexp_count(c, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    n_moj = F.regexp_count(c, F.lit("Ã.|Â.|â€"))
+    return F.struct(
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moj.alias("n_mojibake"),
+        ((n_rep > 0) | (n_ctl > 0) | (n_moj > 0)).alias("suspect"),
+    )

@@ -507,3 +507,48 @@ def test_url_components_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "https://a.b/c")], "i int, url string")
     plan = url_components(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_collapse_repeated_lines(spark):
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.functions.text import collapse_repeated_lines
+
+    docs = [
+        (1, "nav\nnav\nnav\nbody text\nmore text\nfooter\nfooter"),
+        (2, "a\nb\na"),          # non-consecutive duplicates survive
+        (3, "only line"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got = {r.id: r.t for r in df.select(
+        "id", collapse_repeated_lines("text").alias("t")).collect()}
+    assert got[1] == "nav\nbody text\nmore text\nfooter"
+    assert got[2] == "a\nb\na"
+    assert got[3] == "only line"
+    assert got[4] == ""
+    # plan stays pure JVM (no Python stage)
+    from aws_sdk_pandas_spark.plans import lint
+    assert not any(
+        f["code"] in ("python_row_udf", "arrow_python_udf")
+        for f in lint(df.select(collapse_repeated_lines("text")))
+    )
+
+
+def test_encoding_issues(spark):
+    from aws_sdk_pandas_spark.functions.text import encoding_issues
+
+    docs = [
+        (1, "clean english text, nothing wrong"),
+        (2, "broken � char and another �"),
+        (3, "mojibake: donÃ¢â‚¬â„¢t and cafÃ©"),
+        (4, "control\x07chars\x00here"),
+        (5, "tabs\tand\nnewlines\rare fine"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got = {r.id: r.e for r in df.select(
+        "id", encoding_issues("text").alias("e")).collect()}
+    assert not got[1].suspect and not got[5].suspect
+    assert got[2].n_replacement == 2 and got[2].suspect
+    assert got[3].n_mojibake >= 2 and got[3].suspect
+    assert got[4].n_control == 2 and got[4].suspect
