@@ -3981,6 +3981,21 @@ def _q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostics (operators/bpe.vocab_stats): fertility
+    and char-token (OOV-fragmentation) rate of the corpus-trained BPE
+    vocab over the corpus itself — distinct-word reduction first, one
+    Arrow-batched merge walk per DISTINCT word, frequency-weighted
+    sums.  Rows-only (BPE machinery; exactness pinned in test_bpe.py
+    against a serial recompute)."""
+    from aws_sdk_pandas_spark.operators.bpe import train_bpe, vocab_stats
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=40, max_words=8_000)
+    return vocab_stats(docs, merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4181,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_collapse_lines": _q_collapse_lines,
         "docs_encoding_screen": _q_encoding_screen,
         # rows-only (no SQL-expressible oracle):
+        "docs_vocab_stats": _q_vocab_stats,
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
         "eval_isotonic_calibrated": _q_eval_isotonic,

@@ -201,3 +201,96 @@ def load_bpe(spark, path: str) -> list[tuple[str, str]]:
     """Inverse of :func:`save_bpe` (rank order preserved)."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["a"], r["b"]) for r in rows]
+
+
+def vocab_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_words: int = 200_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus fit of a FROZEN tokenizer vocabulary: one row
+    ``(n_words, n_tokens, fertility, char_token_rate)`` where
+    fertility = tokens per word (the compression the vocab achieves on
+    THIS corpus — rising fertility on new data means the domain moved)
+    and char_token_rate = fraction of emitted tokens that are single
+    characters (the OOV-fragmentation proxy: unknown words shatter to
+    characters).
+
+    Scale shape: the corpus reduces to the distinct-word frequency
+    table FIRST (`word_frequencies` — vocabulary-bounded, min_freq=1
+    so hapaxes count), the merge walk runs once per DISTINCT word in
+    Arrow batches, and the stats are frequency-weighted sums.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    wf = word_frequencies(
+        df, text_col=text_col, lowercase=lowercase,
+        max_words=max_words, min_freq=1,
+    )
+
+    @F.pandas_udf("struct<n_tok:long,n_char:long>")
+    def _enc(words: pd.Series) -> pd.DataFrame:
+        toks, chars = [], []
+        for w in words.fillna(""):
+            enc = _encode_word(w, ranks)
+            toks.append(len(enc))
+            chars.append(sum(1 for t in enc if len(t.replace(END_OF_WORD, "")) <= 1))
+        return pd.DataFrame({"n_tok": toks, "n_char": chars})
+
+    e = wf.withColumn("__e", _enc(F.col("word")))
+    return e.agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("__e.n_tok")).alias("n_tokens"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("freq") * F.col("__e.n_tok")), F.sum("freq")
+            ),
+            round_to,
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("freq") * F.col("__e.n_char")),
+                F.sum(F.col("freq") * F.col("__e.n_tok")),
+            ),
+            round_to,
+        ).alias("char_token_rate"),
+    )
+
+
+def fragmented_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_freq: int = 2,
+    lowercase: bool = True,
+    max_words: int = 200_000,
+) -> DataFrame:
+    """The vocabulary-gap report: the ``top_k`` words a frozen
+    tokenizer shatters worst, ranked by (tokens-per-word, corpus
+    frequency) — exactly the candidates the next vocab training round
+    should absorb.  Returns ``word, freq, n_tokens, tokens``.  Same
+    distinct-word + Arrow-batch shape as `vocab_stats`; top-k is
+    TakeOrderedAndProject."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    wf = word_frequencies(
+        df, text_col=text_col, lowercase=lowercase,
+        max_words=max_words, min_freq=min_freq,
+    )
+
+    @F.pandas_udf("array<string>")
+    def _enc(words: pd.Series) -> pd.Series:
+        return pd.Series([_encode_word(w, ranks) for w in words.fillna("")])
+
+    e = wf.withColumn("tokens", _enc(F.col("word")))
+    return (
+        e.select(
+            "word", "freq", F.size("tokens").alias("n_tokens"), "tokens"
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("freq").desc(), F.col("word").asc())
+        .limit(top_k)
+    )

@@ -147,3 +147,49 @@ def test_save_load_bpe_roundtrip(spark, tmp_path):
     assert sorted((r.doc_id, tuple(r.bpe_tokens)) for r in a) == sorted(
         (r.doc_id, tuple(r.bpe_tokens)) for r in b
     )
+
+
+def test_vocab_stats_and_fragmented_words(spark):
+    from aws_sdk_pandas_spark.operators.bpe import (
+        _encode_word,
+        fragmented_words,
+        train_bpe,
+        vocab_stats,
+    )
+
+    # train on a repetitive corpus so common words fuse into few tokens
+    train = spark.createDataFrame(
+        [("the cat sat on the mat the cat sat again",)] * 30, "text string"
+    )
+    merges = train_bpe(train, n_merges=60, min_freq=2)
+
+    got = vocab_stats(train, merges).collect()[0]
+    # serial recompute over the known word multiset
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    words = ("the cat sat on the mat the cat sat again".split()) * 30
+    toks = [_encode_word(w, ranks) for w in words]
+    n_tokens = sum(len(t) for t in toks)
+    from aws_sdk_pandas_spark.operators.bpe import END_OF_WORD
+    n_char = sum(
+        1 for t in toks for x in t if len(x.replace(END_OF_WORD, "")) <= 1
+    )
+    assert got.n_words == len(words)
+    assert got.n_tokens == n_tokens
+    assert abs(got.fertility - round(n_tokens / len(words), 6)) < 1e-9
+    assert abs(got.char_token_rate - round(n_char / n_tokens, 6)) < 1e-9
+    # in-domain text tokenizes compactly
+    assert got.fertility < 2.0
+
+    # a shifted corpus (unseen vocabulary) fragments: fertility rises
+    shifted = spark.createDataFrame(
+        [("zyxwvut qponmlk jihgfed zyxwvut qponmlk",)] * 10, "text string"
+    )
+    far = vocab_stats(shifted, merges).collect()[0]
+    assert far.fertility > got.fertility + 1.0
+    assert far.char_token_rate > got.char_token_rate
+
+    frag = fragmented_words(shifted, merges, top_k=3).collect()
+    # tie on (n_tokens, freq) breaks lexicographically
+    assert {r.word for r in frag[:2]} == {"zyxwvut", "qponmlk"}
+    assert all(r.n_tokens >= 7 for r in frag[:2])   # shattered to chars
+    assert frag[0].tokens == _encode_word(frag[0].word, ranks)
