@@ -600,3 +600,55 @@ def drift_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_rollup_stream(
+    events: DataFrame,
+    state_path: str,
+    *,
+    keys: list[str],
+    metrics: dict[str, list[str]],
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Streaming materialization of the incremental rollup algebra
+    (`operators.aggregates`): each micro-batch reduces to its PARTIAL
+    aggregate state (sum/count/min/max/HLL-distinct components — batch
+    volume collapses to key cardinality before anything durable
+    happens), merges with the stored state table, and swaps it.  The
+    running rollup is then `finalize_aggregates(spark.read.parquet(
+    state_path), metrics, keys)` at any moment — answered from the
+    state table alone, the raw history is NEVER re-scanned.
+
+    This is the streaming face of the same mergeable-state discipline
+    the batch `partial_aggregate`/`merge_aggregates` pair provides for
+    daily partitions and backfills: one algebra, three arrival modes.
+    The per-batch cost is (batch partial) + (state-sized merge), so a
+    year of history costs the same per batch as day one.
+    """
+    from aws_sdk_pandas_spark.operators.aggregates import (
+        merge_aggregates,
+        partial_aggregate,
+    )
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+
+    spark = events.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        part = partial_aggregate(batch_df, keys, metrics)
+        try:
+            prev = spark.read.parquet(state_path)
+        except Exception:
+            prev = None
+        merged = part if prev is None else merge_aggregates([prev, part], keys)
+        staged = merged.localCheckpoint(eager=True)  # break lineage off the files being replaced
+        write_dataset(staged, state_path, "parquet", mode="overwrite")
+
+    writer = events.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -395,3 +395,49 @@ def test_uniform_sample_k_exact_and_deterministic(spark):
         for r in uniform_sample_k(df.repartition(3), 50, key_col="doc_id", seed=3).collect()
     )
     assert again == got
+
+
+def test_global_prefix_sum_property(spark):
+    """Property-based hardening of the most-reused primitive: random
+    value shapes (duplicates, negatives, zero runs), random partition
+    counts — the running sum must equal the serial cumsum and be
+    independent of both input partitioning and num_partitions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_sdk_pandas_spark.operators.sampling import global_prefix_sum
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=-3, max_value=3),   # heavy key ties
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        n_parts=st.integers(min_value=1, max_value=9),
+        in_parts=st.integers(min_value=1, max_value=6),
+    )
+    def check(vals, n_parts, in_parts):
+        rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "id long, key long, cost long"
+        ).repartition(in_parts)
+        out = {
+            r.id: r.rt
+            for r in global_prefix_sum(
+                df,
+                "cost",
+                [F.col("key").asc(), F.col("id").asc()],
+                out_col="rt",
+                num_partitions=n_parts,
+            ).collect()
+        }
+        acc = 0
+        for i, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+            acc += v
+            assert out[i] == acc
+
+    check()

@@ -636,3 +636,62 @@ def test_audio_metadata_wav_walk(spark):
     assert got["a"] == (1, 16000, 16, 1000)
     assert got["b"] == (2, 48000, 16, 250)
     assert got["c"] == (None, None, None, None)
+
+
+def test_incremental_rollup_stream_equals_direct(spark, tmp_path):
+    """Two arrival batches stream into the mergeable state table; the
+    finalized rollup equals aggregating ALL raw rows directly —
+    including the HLL distinct state (register-wise max under union)."""
+    from aws_sdk_pandas_spark import streaming as S
+    from aws_sdk_pandas_spark.operators.aggregates import finalize_aggregates
+
+    src = str(tmp_path / "roll_src")
+    state = str(tmp_path / "roll_state")
+    metrics = {"v": ["sum", "avg", "min", "max"], "u": ["approx_distinct"]}
+
+    day1 = [("a", 1.0, 10), ("a", 3.0, 11), ("b", 5.0, 12)]
+    day2 = [("a", 7.0, 10), ("b", -1.0, 13), ("b", 2.0, 12), ("c", 9.0, 14)]
+    spark.createDataFrame(day1, "g string, v double, u long").write.parquet(src)
+
+    def run():
+        q = S.incremental_rollup_stream(
+            S.read_stream(spark, src),
+            state,
+            keys=["g"],
+            metrics=metrics,
+            checkpoint=str(tmp_path / "roll_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(day2, "g string, v double, u long").write.mode(
+        "append"
+    ).parquet(src)
+    run()  # second availableNow pass picks up only the new files
+
+    got = {
+        r.g: r
+        for r in finalize_aggregates(
+            spark.read.parquet(state), metrics, ["g"]
+        ).collect()
+    }
+    direct = {
+        r.g: r
+        for r in finalize_aggregates(
+            __import__("aws_sdk_pandas_spark.operators.aggregates",
+                       fromlist=["partial_aggregate"]).partial_aggregate(
+                spark.createDataFrame(day1 + day2, "g string, v double, u long"),
+                ["g"], metrics,
+            ),
+            metrics, ["g"],
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in got:
+        assert got[g].n == direct[g].n
+        assert abs(got[g].v_sum - direct[g].v_sum) < 1e-9
+        assert abs(got[g].v_avg - direct[g].v_avg) < 1e-9
+        assert got[g].v_min == direct[g].v_min
+        assert got[g].v_max == direct[g].v_max
+        # HLL merged across batches == direct sketch of all history
+        assert got[g].u_approx_distinct == direct[g].u_approx_distinct
