@@ -3996,6 +3996,35 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, merges)
 
 
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority (operators/
+    stats.mutual_information): the association strength chi-square's
+    p-value can't express at corpus n — contingency reduction, bounded
+    marginals broadcast, entropy folds."""
+    from aws_sdk_pandas_spark.operators.stats import mutual_information
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return mutual_information(o, col_a="o_orderstatus", col_b="o_orderpriority")
+
+
+def _q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (operators/skyline.pareto_front): biggest-part-
+    for-least-money front — per-partition Arrow local fronts (a
+    globally-non-dominated point survives every subset), then one
+    exact pass over the survivor sliver.  Oracle is the O(n²)
+    NOT-EXISTS dominance check, valid at gate cardinality."""
+    from aws_sdk_pandas_spark.operators.skyline import pareto_front
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    p = read_parquet(spark, f"{sf_dir}/part.parquet")
+    return (
+        pareto_front(p, maximize=["p_size"], minimize=["p_retailprice"])
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4195,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_conformal_band": _q_conformal_lineitem,
         "docs_collapse_lines": _q_collapse_lines,
         "docs_encoding_screen": _q_encoding_screen,
+        "orders_mutual_information": _q_mutual_info,
+        "part_pareto_front": _q_pareto_parts,
         # rows-only (no SQL-expressible oracle):
         "docs_vocab_stats": _q_vocab_stats,
         "events_window_funnel": _q_window_funnel,
@@ -7272,5 +7303,51 @@ def oracle_sql() -> dict[str, str]:
                     OR len(regexp_extract_all(text, 'Ã.|Â.|â€')) > 0) AS suspect
             FROM documents
             ORDER BY doc_id
+        """,
+        "orders_mutual_information": """
+            WITH obs AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2
+            ), rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY 1),
+            cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY 1),
+            tt AS (SELECT SUM(o) AS n FROM obs),
+            mi AS (
+                SELECT SUM((o / CAST(tt.n AS DOUBLE))
+                           * LN((o / CAST(tt.n AS DOUBLE))
+                                / ((rm.ra / CAST(tt.n AS DOUBLE))
+                                   * (cm.cb / CAST(tt.n AS DOUBLE))))) AS mi,
+                       CAST(MAX(tt.n) AS BIGINT) AS n
+                FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
+            ), ha AS (
+                SELECT SUM(-(ra / CAST(tt.n AS DOUBLE))
+                           * LN(ra / CAST(tt.n AS DOUBLE))) AS ha
+                FROM rm, tt
+            ), hb AS (
+                SELECT SUM(-(cb / CAST(tt.n AS DOUBLE))
+                           * LN(cb / CAST(tt.n AS DOUBLE))) AS hb
+                FROM cm, tt
+            )
+            SELECT CAST(ROUND(mi, 6) AS DOUBLE) AS mi,
+                   CAST(ROUND(mi / LEAST(ha, hb), 6) AS DOUBLE) AS nmi,
+                   CAST(ROUND(ha, 6) AS DOUBLE) AS h_a,
+                   CAST(ROUND(hb, 6) AS DOUBLE) AS h_b,
+                   n
+            FROM mi, ha, hb
+        """,
+        "part_pareto_front": """
+            SELECT a.p_partkey, a.p_size, a.p_retailprice
+            FROM part a
+            WHERE a.p_size IS NOT NULL AND a.p_retailprice IS NOT NULL
+              AND NOT EXISTS (
+                  SELECT 1 FROM part b
+                  WHERE b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL
+                    AND b.p_size >= a.p_size
+                    AND b.p_retailprice <= a.p_retailprice
+                    AND (b.p_size > a.p_size
+                         OR b.p_retailprice < a.p_retailprice)
+              )
+            ORDER BY a.p_partkey
         """,
     }

@@ -821,3 +821,62 @@ def apply_conformal(
     return out.withColumn(f"{out_prefix}_lo", lo).withColumn(
         f"{out_prefix}_hi", hi
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns (nats), with
+    the normalized variant: ONE row ``(mi, nmi, h_a, h_b, n)`` where
+    nmi = MI/min(H(a),H(b)) ∈ [0,1].  The association measure that —
+    unlike `chi_square_test`'s p-value — doesn't saturate at corpus n
+    (everything is "significant" at 10⁹ rows; MI measures HOW MUCH
+    structure, in bits' worth of nats).
+
+    Same contingency-table shape as chi-square: raw rows reduce once,
+    marginals aggregate the bounded table and broadcast back; entropies
+    fold as Σ −p ln p.  NULL categories are excluded.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    obs = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    j = (
+        obs.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("__n").cast("double")
+    pij = F.col("__o") / n
+    pi = F.col("__ra") / n
+    pj = F.col("__cb") / n
+    agg = j.agg(
+        F.sum(pij * F.log(pij / (pi * pj))).alias("__mi"),
+        F.max("__n").alias("n"),
+    )
+    ha = (
+        row_m.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("__ra") / n) * F.log(F.col("__ra") / n)).alias("__ha"))
+    )
+    hb = (
+        col_m.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("__cb") / n) * F.log(F.col("__cb") / n)).alias("__hb"))
+    )
+    out = agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.try_divide(F.col("__mi"), F.least(F.col("__ha"), F.col("__hb")))
+    return out.select(
+        F.round("__mi", round_to).alias("mi"),
+        F.round(nmi, round_to).alias("nmi"),
+        F.round("__ha", round_to).alias("h_a"),
+        F.round("__hb", round_to).alias("h_b"),
+        "n",
+    )

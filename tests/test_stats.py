@@ -506,3 +506,45 @@ def test_conformal_matches_serial_and_covers(spark):
     assert 0.87 <= cov <= 0.94
     width = iv[0].pred_hi - iv[0].pred_lo
     assert abs(width - 2 * q) < 1e-9
+
+
+def test_mutual_information_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import mutual_information
+
+    rng = np.random.default_rng(73)
+    rows = []
+    for _ in range(3000):
+        x = int(rng.integers(0, 3))
+        # y copies x 70% of the time: strong but not perfect association
+        y = x if rng.random() < 0.7 else int(rng.integers(0, 3))
+        rows.append((f"x{x}", f"y{y}"))
+    rows.append((None, "y0"))
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, col_a="a", col_b="b").collect()[0]
+
+    obs = np.zeros((3, 3))
+    for a, b in rows:
+        if a is not None:
+            obs[int(a[1]), int(b[1])] += 1
+    p = obs / obs.sum()
+    pi, pj = p.sum(1, keepdims=True), p.sum(0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi = float(np.nansum(np.where(p > 0, p * np.log(p / (pi * pj)), 0)))
+    ha = float(-(pi * np.log(pi)).sum())
+    hb = float(-(pj * np.log(pj)).sum())
+    assert abs(r.mi - round(mi, 6)) < 1e-9
+    assert abs(r.h_a - round(ha, 6)) < 1e-9
+    assert abs(r.h_b - round(hb, 6)) < 1e-9
+    assert abs(r.nmi - round(mi / min(ha, hb), 6)) < 1e-9
+    assert 0.2 < r.nmi < 0.8 and r.n == 3000
+
+    # independent pair: MI near zero; identical pair: NMI = 1
+    ind = spark.createDataFrame(
+        [(f"x{int(rng.integers(0,3))}", f"y{int(rng.integers(0,3))}")
+         for _ in range(3000)],
+        "a string, b string",
+    )
+    assert mutual_information(ind, col_a="a", col_b="b").collect()[0].nmi < 0.02
+    same = spark.createDataFrame([(f"v{i%4}", f"v{i%4}") for i in range(100)],
+                                 "a string, b string")
+    assert mutual_information(same, col_a="a", col_b="b").collect()[0].nmi == 1.0
