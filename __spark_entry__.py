@@ -4025,6 +4025,37 @@ def _q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_balance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (operators/sampling.
+    balance_classes): every status class downsampled toward the rarest
+    via md5 keep decisions — one class-bounded aggregation broadcast
+    back, codegen hash filter, engine-rederivable."""
+    from aws_sdk_pandas_spark.operators.sampling import balance_classes
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return (
+        balance_classes(o, label_col="o_orderstatus", key_col="o_orderkey")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def _q_diverse_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diverse representatives (operators/similarity.
+    diverse_subset): farthest-first traversal, one codegen scan per
+    pick — the eval-set selector uniform sampling gets wrong.
+    Rows-only (iterative; serial-greedy equality pinned in
+    test_vectors_logs.py)."""
+    from aws_sdk_pandas_spark.operators.similarity import diverse_subset
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return diverse_subset(emb, 16, id_col="vec_id").select(
+        "vec_id", "sel_order", "sel_distance"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4226,7 +4257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_encoding_screen": _q_encoding_screen,
         "orders_mutual_information": _q_mutual_info,
         "part_pareto_front": _q_pareto_parts,
+        "orders_balanced_classes": _q_balance_orders,
         # rows-only (no SQL-expressible oracle):
+        "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
@@ -7349,5 +7382,17 @@ def oracle_sql() -> dict[str, str]:
                          OR b.p_retailprice < a.p_retailprice)
               )
             ORDER BY a.p_partkey
+        """,
+        "orders_balanced_classes": """
+            WITH counts AS (
+                SELECT o_orderstatus AS s, COUNT(*) AS c FROM orders
+                WHERE o_orderstatus IS NOT NULL GROUP BY 1
+            ), mn AS (SELECT MIN(c) AS m FROM counts),
+            rates AS (SELECT s, CAST(m AS DOUBLE) / c AS p FROM counts, mn)
+            SELECT o.o_orderkey, o.o_orderstatus
+            FROM orders o JOIN rates ON o.o_orderstatus = rates.s
+            WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':42'),
+                                     1, 8))::BIGINT / 4294967296.0 < rates.p
+            ORDER BY o.o_orderkey
         """,
     }

@@ -614,3 +614,39 @@ def uniform_sample_k(
     if keep_rank:
         return out.withColumnRenamed("__u", "sample_rank")
     return out.drop("__u")
+
+
+def balance_classes(
+    df: DataFrame,
+    *,
+    label_col: str,
+    key_col: str,
+    seed: int = 42,
+    target: str = "min",
+) -> DataFrame:
+    """Deterministic class rebalancing by downsampling every class to
+    (approximately) the rarest class's size — the imbalanced-label
+    prep step (a 99:1 label ratio makes accuracy a lie and starves the
+    minority gradient).  Keep decisions are md5-derived from
+    ``key_col`` (auditable, rerun-stable, engine-rederivable), so the
+    kept set is a deterministic function of the data — no RNG state.
+
+    ``target="min"`` keeps ~min-class-count rows per class (keep
+    probability ``min_n/n_c``; expected-size, exact for the rarest
+    class which keeps everything).  Scale shape: one class-bounded
+    count aggregation broadcast back + a codegen hash filter — one
+    scan, no shuffle of the data itself.
+    """
+    if target != "min":
+        raise ValueError("only target='min' is implemented")
+    lab = F.col(label_col)
+    counts = df.where(lab.isNotNull()).groupBy(lab.alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    mn = counts.agg(F.min("__c").alias("__mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "__lab", (F.col("__mn") / F.col("__c")).alias("__p")
+    )
+    j = df.join(F.broadcast(rates), lab == F.col("__lab"), "inner")
+    u = _md5_uniform(key_col, seed)
+    return j.where(u < F.col("__p")).drop("__lab", "__p")

@@ -659,3 +659,92 @@ def mine_hard_negatives(
             "rank",
         )
     )
+
+
+def diverse_subset(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vector_col: str = "embedding",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Greedy k-center diverse subset: ``k`` rows that maximally spread
+    over the embedding space (2-approximation of the optimal max-min
+    cover) — the "pick 64 REPRESENTATIVE eval documents" selector that
+    uniform sampling gets wrong (it oversamples dense clusters and
+    misses tails).
+
+    Deterministic: starts from the point farthest from the corpus
+    centroid (one mean + one max pass), then each round adds the point
+    with the LARGEST distance to its nearest already-chosen center
+    (farthest-first traversal), ties broken on ``id_col``.  Each round
+    is one corpus scan with the centers folded in as codegen literals
+    — k scans total, no pairwise matrix ever materializes.  Returns
+    the selected rows with ``sel_order`` (0-based pick order) and
+    ``sel_distance`` (distance to the nearest earlier center — the
+    cover radius as k grows).
+    """
+    from aws_sdk_pandas_spark.functions.vectors import (
+        cosine_distance,
+        euclidean_distance,
+        vector_literal,
+    )
+
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError("metric must be 'euclidean' or 'cosine'")
+    dist_fn = euclidean_distance if metric == "euclidean" else cosine_distance
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(vector_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(vector_col).alias("__v"))
+    first = base.first()
+    if first is None:
+        raise ValueError("diverse_subset: no non-null vectors")
+    d = len(first["__v"])
+
+    # seed: farthest from the centroid (deterministic, outlier-reaching)
+    cent_row = base.select(
+        F.array(
+            *[F.avg(F.col("__v")[i]) for i in range(d)]
+        ).alias("c")
+    ).collect()[0]["c"]
+    centroid = [float(x) for x in cent_row]
+
+    def farthest(from_expr):
+        row = (
+            base.select("__id", "__v", from_expr.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        return row["__id"], [float(x) for x in row["__v"]], float(row["__d"])
+
+    sid, svec, sdist = farthest(dist_fn(F.col("__v"), vector_literal(centroid)))
+    chosen = [(sid, svec, 0.0)]  # seed's sel_distance defined as 0
+    while len(chosen) < k:
+        min_d = None
+        for _, cv, _ in chosen:
+            dd = dist_fn(F.col("__v"), vector_literal(cv))
+            min_d = dd if min_d is None else F.least(min_d, dd)
+        already = [c[0] for c in chosen]
+        row = (
+            base.where(~F.col("__id").isin(already))
+            .select("__id", "__v", min_d.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        chosen.append((r["__id"], [float(x) for x in r["__v"]], float(r["__d"])))
+    spark = df.sparkSession
+    sel = spark.createDataFrame(
+        [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)],
+        f"__id {df.schema[id_col].dataType.simpleString()}, sel_order int, sel_distance double",
+    )
+    return (
+        df.join(sel, F.col(id_col) == F.col("__id"))
+        .drop("__id")
+        .orderBy("sel_order")
+    )

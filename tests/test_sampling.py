@@ -441,3 +441,27 @@ def test_global_prefix_sum_property(spark):
             assert out[i] == acc
 
     check()
+
+
+def test_balance_classes_deterministic(spark):
+    import hashlib
+
+    from aws_sdk_pandas_spark.operators.sampling import balance_classes
+
+    rows = [(i, "maj" if i < 900 else "min") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, y string")
+    out = balance_classes(df, label_col="y", key_col="id", seed=5).collect()
+    kept = {r.id for r in out}
+    # rarest class keeps everything (p = 1)
+    assert all(i in kept for i in range(900, 1000))
+    # majority downsampled to ~100 (expected 100/900 rate)
+    n_maj = sum(1 for r in out if r.y == "maj")
+    assert 70 <= n_maj <= 130
+    # decisions re-derivable from md5(key:seed)
+    for r in out:
+        if r.y == "maj":
+            u = int(hashlib.md5(f"{r.id}:5".encode()).hexdigest()[:8], 16) / 2**32
+            assert u < 100 / 900
+    # rerun identical
+    again = {r.id for r in balance_classes(df, label_col="y", key_col="id", seed=5).collect()}
+    assert again == kept

@@ -303,3 +303,59 @@ def test_mine_hard_negatives_excludes_self_and_label(spark):
         min_distance=0.01,
     ).collect()
     assert [(r.neg_id, r.rank) for r in floored] == [(3, 1), (4, 2)]
+
+
+def test_diverse_subset_matches_serial_greedy(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.similarity import diverse_subset
+
+    rng = np.random.default_rng(91)
+    # three tight clusters + one outlier: k=4 must hit all four regions
+    centers = np.array([[0, 0], [10, 0], [0, 10]])
+    pts = []
+    for ci, c in enumerate(centers):
+        for _ in range(30):
+            pts.append(c + rng.normal(0, 0.3, 2))
+    pts.append(np.array([30.0, 30.0]))      # outlier
+    pts = np.array(pts)
+    rows = [(int(i), [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>").repartition(5)
+
+    got = diverse_subset(df, 4, id_col="vid", vector_col="embedding").collect()
+    assert [r.sel_order for r in got] == [0, 1, 2, 3]
+
+    # serial replication of the same deterministic greedy
+    centroid = pts.mean(axis=0)
+    d0 = np.linalg.norm(pts - centroid, axis=1)
+    seed = int(np.lexsort((np.arange(len(pts)), -d0))[0])
+    chosen = [seed]
+    dists = [0.0]
+    while len(chosen) < 4:
+        dmin = np.min(
+            np.stack([np.linalg.norm(pts - pts[c], axis=1) for c in chosen]),
+            axis=0,
+        )
+        dmin[chosen] = -1
+        nxt = int(np.lexsort((np.arange(len(pts)), -dmin))[0])
+        chosen.append(nxt)
+        dists.append(float(dmin[nxt]))
+    assert [r.vid for r in got] == chosen
+    for r, want in zip(got, dists):
+        assert abs(r.sel_distance - round(want, 6)) < 1e-6
+
+    # coverage: one pick per cluster + the outlier
+    picked = pts[[r.vid for r in got]]
+    regions = set()
+    for p in picked:
+        if p[0] > 20:
+            regions.add("outlier")
+        else:
+            regions.add(int(np.argmin(np.linalg.norm(centers - p, axis=1))))
+    assert len(regions) == 4
+
+    # determinism across partitionings
+    again = diverse_subset(
+        df.repartition(11), 4, id_col="vid", vector_col="embedding"
+    ).collect()
+    assert [r.vid for r in again] == chosen
