@@ -6711,9 +6711,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_extendedprice IS NOT NULL
                   AND ABS(CAST(l_extendedprice AS DOUBLE)) > 0
                   AND NOT ISNAN(CAST(l_extendedprice AS DOUBLE))
-            ), d AS (
-                SELECT CAST(FLOOR(x / POW(10.0, FLOOR(LOG10(x)))) AS INT) AS digit
+            ), d0 AS (
+                SELECT CAST(FLOOR(x / POW(10.0, FLOOR(LOG10(x)))) AS INT) AS rd
                 FROM v
+            ), d AS (
+                -- log10 rounding up at near-powers-of-ten floors to 0;
+                -- the true leading digit there is 9 (mirrors the engine)
+                SELECT CASE WHEN rd < 1 THEN 9 ELSE rd END AS digit FROM d0
             ), obs AS (
                 SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
             ), t AS (SELECT SUM(n) AS tt FROM obs)
@@ -6787,6 +6791,7 @@ def oracle_sql() -> dict[str, str]:
                        LEAD(event_type) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS dst
                 FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             ), pairs AS (
                 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
                 FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2

@@ -106,8 +106,13 @@ def event_transitions(
     """
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # NULL keys would collapse unrelated entities into ONE window
+    # partition and fabricate cross-entity transitions; NULL states
+    # carry no journey information — both excluded (same policy as
+    # top_paths / window_funnel)
+    base = df.where(F.col(key_col).isNotNull() & F.col(state_col).isNotNull())
     pairs = (
-        df.select(
+        base.select(
             F.col(state_col).alias("src"),
             F.lead(state_col).over(w).alias("dst"),
         )
@@ -234,30 +239,33 @@ def top_paths(
     matrix says where single steps lead, this says which WHOLE routes
     dominate — the funnel-design input.
 
-    Scale shape: events collapse to one ordered array per entity
-    inside ONE aggregation (`sort_array` over collected (order, state)
-    structs — state bounded by max_len·entity, and the slice happens
-    before the path string materializes); path counting is a second
+    Scale shape: a keyed row_number caps each entity to its FIRST
+    ``max_len`` events BEFORE anything is collected (so a bot entity
+    with 10⁸ events never materializes a 10⁸-element aggregation
+    buffer — the window and the collection share the same key
+    partitioning, one effective shuffle); the capped events collapse
+    to one path string per entity, path counting is a second
     map-side-combinable aggregation on the path-cardinality-bounded
-    result; top-k is TakeOrderedAndProject.  ``order_by`` needs a
+    result, and top-k is TakeOrderedAndProject.  ``order_by`` needs a
     unique tie-break for a deterministic path per entity.
     """
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
     key = F.col(key_col)
     st = F.col(state_col)
-    base = df.where(key.isNotNull() & st.isNotNull())
-    per = base.groupBy(key.alias("__k")).agg(
+    base = df.where(key.isNotNull() & st.isNotNull()).select(
+        key.alias("__k"), F.struct(*order, st.alias("__s")).alias("__e")
+    )
+    wcap = Window.partitionBy("__k").orderBy(F.col("__e").asc())
+    capped = (
+        base.withColumn("__rn", F.row_number().over(wcap))
+        .where(F.col("__rn") <= max_len)
+        .drop("__rn")
+    )
+    per = capped.groupBy("__k").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(*order, st.alias("__s")))
-                    ),
-                    lambda s: s["__s"],
-                ),
-                1,
-                max_len,
+            F.transform(
+                F.sort_array(F.collect_list("__e")), lambda s: s["__s"]
             ),
         ).alias("path")
     )
@@ -319,8 +327,17 @@ def window_funnel(
         F.struct(t.alias("_t"), *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
                  step_idx.alias("_s")).alias("__e"),
     )
-    per = base.groupBy("__k").agg(
-        F.slice(F.array_sort(F.collect_list("__e")), 1, max_events).alias("__es")
+    # cap BEFORE collecting: the row_number window and the aggregation
+    # share the key partitioning, so a bot entity with 10^8 step events
+    # never materializes a 10^8-element aggregation buffer
+    wcap = Window.partitionBy("__k").orderBy(F.col("__e").asc())
+    capped = (
+        base.withColumn("__rn", F.row_number().over(wcap))
+        .where(F.col("__rn") <= max_events)
+        .drop("__rn")
+    )
+    per = capped.groupBy("__k").agg(
+        F.array_sort(F.collect_list("__e")).alias("__es")
     )
     # DP state: array of k chain-start times (NULL = level unreached)
     zero = F.array(*[F.lit(None).cast("double") for _ in range(k)])

@@ -141,6 +141,10 @@ def psi_numeric(
         .agg(F.percentile(v, F.lit(qs)).alias("e"))
         .collect()[0]["e"]
     )
+    if edges_row is None:
+        # percentile of zero rows is NULL — fail with the real reason,
+        # not a TypeError from iterating None
+        raise ValueError("psi_numeric: empty snapshot")
     edges = [round(float(e), 6) for e in edges_row]
 
     def binned(frame: DataFrame) -> DataFrame:

@@ -41,14 +41,19 @@ def cap_per_group(
     )
 
 
-def _md5_uniform(key_col: str, seed: int) -> Column:
+def _md5_uniform(key_col: str | Column, seed: int) -> Column:
     """Deterministic U[0,1) from ``md5(key || ':' || seed)`` — portable:
     any engine (DuckDB, Trino, pandas) re-derives the same decision from
-    the same key, so what-was-sampled is auditable cross-engine."""
+    the same key, so what-was-sampled is auditable cross-engine.  This
+    is THE canonical hash-to-uniform for every md5-deterministic
+    operator (sampling, bootstrap, conformal split) — keep one copy so
+    the cross-engine oracles can never drift.  Accepts a column name or
+    any Column expression (e.g. a concat of id and replicate index)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 8
+                F.md5(F.concat_ws(":", k.cast("string"), F.lit(str(seed)))), 1, 8
             ),
             16,
             10,
@@ -371,13 +376,16 @@ def global_prefix_sum(
         .agg(*[F.sum(c).alias(f"__t{i}") for i, c in enumerate(value_cols)])
         .collect()
     }
-    offsets, acc = [], [0] * len(value_cols)
+    flt = any(isinstance(v, float) for vs in totals.values() for v in vs)
+    zero = 0.0 if flt else 0
+    offsets, acc = [], [zero] * len(value_cols)
     for pid in range(max(totals, default=-1) + 1):
-        offsets.append((pid, *acc))
+        # a float column must ship float offsets throughout (the Python
+        # int 0 placeholder fails createDataFrame's DoubleType verifier)
+        offsets.append((pid, *([float(a) for a in acc] if flt else acc)))
         t = totals.get(pid)
         if t:
             acc = [a + v for a, v in zip(acc, t)]
-    flt = any(isinstance(v, float) for vs in totals.values() for v in vs)
     typ = "double" if flt else "bigint"
     schema = "__pid int, " + ", ".join(f"__off{i} {typ}" for i in range(len(value_cols)))
     off_df = spark.createDataFrame(offsets, schema) if offsets else None

@@ -73,9 +73,13 @@ def pareto_front(
     crit_exprs = [F.col(c).cast("double") for c in maxs] + [
         (-F.col(c).cast("double")) for c in mins
     ]
+    # NaN criteria make every dominance comparison false, so a NaN row
+    # could never be pruned and would pollute every front — exclude
+    # them with the NULLs
     ok = F.lit(True)
     for c in maxs + mins:
-        ok = ok & F.col(c).isNotNull()
+        cc = F.col(c).cast("double")
+        ok = ok & cc.isNotNull() & ~F.isnan(cc)
     base = df.where(ok).withColumn("__crit", F.array(*crit_exprs))
     d = len(crit_exprs)
     schema = base.schema

@@ -98,6 +98,41 @@ def linear_fit(
     )
 
 
+
+def _group_value_counts(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Shared reduction for the two-sample rank/CDF tests: raw rows ->
+    distinct-value table with per-cohort counts (__val, __ca, __cb).
+    One edit point so ks_test and mann_whitney_u can never disagree on
+    filtering/casting for the same cohort column."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    s = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        v.alias("__val"),
+        F.when(g == F.lit(group_a), 1).otherwise(0).alias("__ia"),
+        F.when(g == F.lit(group_b), 1).otherwise(0).alias("__ib"),
+    )
+    return s.groupBy("__val").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+
+
+def _contingency(df: DataFrame, col_a: str, col_b: str):
+    """Shared contingency reduction for the categorical-association
+    tests: (obs(__a,__b,__o), row_marginals, col_marginals) with NULL
+    categories excluded."""
+    a, b = F.col(col_a), F.col(col_b)
+    obs = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    return obs, row_m, col_m
+
+
 def ks_test(
     df: DataFrame,
     *,
@@ -127,16 +162,7 @@ def ks_test(
     absent from the data yield NULL d_stat rather than raising — the
     caller sees (NULL, NULL, 0, n) and can decide.
     """
-    v = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    s = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
-        v.alias("__val"),
-        F.when(g == F.lit(group_a), 1).otherwise(0).alias("__ia"),
-        F.when(g == F.lit(group_b), 1).otherwise(0).alias("__ib"),
-    )
-    counts = s.groupBy("__val").agg(
-        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
-    )
+    counts = _group_value_counts(df, value_col, group_col, group_a, group_b)
     from .sampling import global_prefix_sum
 
     cum = global_prefix_sum(
@@ -197,17 +223,9 @@ def mann_whitney_u(
     then rank sums and tie terms are plain aggregates over the
     value-cardinality-sized table.
     """
-    v = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    s = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
-        v.alias("__val"),
-        F.when(g == F.lit(group_a), 1).otherwise(0).alias("__ia"),
-        F.when(g == F.lit(group_b), 1).otherwise(0).alias("__ib"),
-    )
-    counts = s.groupBy("__val").agg(
-        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
-    )
-    counts = counts.withColumn("__c", F.col("__ca") + F.col("__cb"))
+    counts = _group_value_counts(
+        df, value_col, group_col, group_a, group_b
+    ).withColumn("__c", F.col("__ca") + F.col("__cb"))
     from .sampling import global_prefix_sum
 
     cum = global_prefix_sum(
@@ -262,14 +280,7 @@ def chi_square_test(
     row volume) broadcast back onto it.  NULL categories are excluded
     (a NULL level is a completeness question — `profile_table`'s job).
     """
-    a, b = F.col(col_a), F.col(col_b)
-    obs = (
-        df.where(a.isNotNull() & b.isNotNull())
-        .groupBy(a.alias("__a"), b.alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__o"))
-    )
-    row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    obs, row_m, col_m = _contingency(df, col_a, col_b)
     tot = obs.agg(
         F.sum("__o").alias("__n"),
         F.countDistinct("__a").alias("__r"),
@@ -320,7 +331,12 @@ def benford_test(
     """
     x = F.abs(F.col(value_col).cast("double"))
     ok = x.isNotNull() & (x > 0) & ~F.isnan(x)
-    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    raw_digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    # doubles a hair below a power of ten (9.999...e-301) make log10
+    # round UP to the integer exponent, so the quotient lands just
+    # under 1 and floors to 0 — the true leading digit there is 9, and
+    # an unguarded 0 would divide-by-zero in expected_p under ANSI
+    digit = F.when(raw_digit < 1, F.lit(9)).otherwise(raw_digit)
     obs = (
         df.where(ok)
         .groupBy(digit.alias("digit"))
@@ -455,9 +471,16 @@ def fit_ols(
             g[i, j] = g[j, i] = row[f"g{i}_{j}"]
     c = np.array([row[f"c{i}"] for i in range(d)])
     sst = row["sst"]
-    det = np.linalg.det(g)
-    if not np.isfinite(det) or abs(det) < 1e-300:
-        raise ValueError("fit_ols: singular Gram matrix (collinear features)")
+    # condition number, not |det|: a determinant threshold is scale-
+    # dependent (huge-magnitude near-collinear features pass it and
+    # solve() emits garbage; tiny well-conditioned ones fail it).
+    # cond > ~1e12 leaves < 4 significant digits in double precision.
+    cond = np.linalg.cond(g)
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            f"fit_ols: singular/ill-conditioned Gram matrix (cond={cond:.3g}) "
+            "— features are (near-)collinear; drop or combine one"
+        )
     coef = np.linalg.solve(g, c)
     intercept = my - float(coef @ np.array(mx))
     sse = sst - float(coef @ c)
@@ -558,25 +581,10 @@ def bootstrap_ci(
     base = df.where(x.isNotNull() & rid.isNotNull())
 
     def _w(b):
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            rid.cast("string"),
-                            b.cast("string"),
-                            F.lit(str(seed)),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(float(1 << 32))
-        )
+        from .sampling import _md5_uniform
+
+        # md5("rid:b:seed") via the ONE canonical hash-to-uniform
+        u = _md5_uniform(F.concat_ws(":", rid.cast("string"), b.cast("string")), seed)
         w = F.lit(9)
         for k in range(len(_POISSON1_CUM) - 1, -1, -1):
             w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
@@ -841,14 +849,7 @@ def mutual_information(
     marginals aggregate the bounded table and broadcast back; entropies
     fold as Σ −p ln p.  NULL categories are excluded.
     """
-    a, b = F.col(col_a), F.col(col_b)
-    obs = (
-        df.where(a.isNotNull() & b.isNotNull())
-        .groupBy(a.alias("__a"), b.alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__o"))
-    )
-    row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    obs, row_m, col_m = _contingency(df, col_a, col_b)
     tot = obs.agg(F.sum("__o").alias("__n"))
     j = (
         obs.join(F.broadcast(row_m), "__a")

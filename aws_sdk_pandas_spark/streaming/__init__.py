@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_state_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a state/target dataset, returning None ONLY when the path
+    genuinely does not exist yet (first batch).  Any other failure —
+    storage throttling, a corrupt footer, permissions — re-raises so
+    the batch fails and retries, instead of silently treating a year of
+    accumulated state as absent and OVERWRITING it with one batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def read_stream(
     spark: SparkSession,
     path: str,
@@ -280,10 +297,7 @@ def upsert_stream(
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:
-            target = None
+        target = _read_state_if_exists(spark, target_path)
         if target is None:
             merged = batch_df
             if precombine_key is not None:
@@ -411,10 +425,7 @@ def near_dup_filter_stream(
         batch_losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         remaining = batch.join(batch_losers, id_col, "left_anti")
         # (2) against the persistent index
-        try:
-            index = spark.read.parquet(index_path)
-        except Exception:
-            index = None
+        index = _read_state_if_exists(spark, index_path)
         if index is not None:
             matched = minhash_match_against(
                 index, remaining, id_col, text_col,
@@ -625,6 +636,12 @@ def incremental_rollup_stream(
     daily partitions and backfills: one algebra, three arrival modes.
     The per-batch cost is (batch partial) + (state-sized merge), so a
     year of history costs the same per batch as day one.
+
+    Delivery caveat: the parquet state swap is at-least-once — a crash
+    BETWEEN the state write and the checkpoint commit replays the batch
+    and merges it twice.  For exactly-once state, point ``state_path``
+    at a transactional table (Delta/Iceberg via `lakehouse`) and make
+    the swap a MERGE keyed on batch_id.
     """
     from aws_sdk_pandas_spark.operators.aggregates import (
         merge_aggregates,
@@ -638,10 +655,7 @@ def incremental_rollup_stream(
         if not batch_df.head(1):
             return
         part = partial_aggregate(batch_df, keys, metrics)
-        try:
-            prev = spark.read.parquet(state_path)
-        except Exception:
-            prev = None
+        prev = _read_state_if_exists(spark, state_path)
         merged = part if prev is None else merge_aggregates([prev, part], keys)
         staged = merged.localCheckpoint(eager=True)  # break lineage off the files being replaced
         write_dataset(staged, state_path, "parquet", mode="overwrite")

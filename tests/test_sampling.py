@@ -465,3 +465,22 @@ def test_balance_classes_deterministic(spark):
     # rerun identical
     again = {r.id for r in balance_classes(df, label_col="y", key_col="id", seed=5).collect()}
     assert again == kept
+
+
+def test_global_prefix_sum_float_values(spark):
+    """Regression: a float value column used to crash createDataFrame
+    (int 0 offsets under a double schema)."""
+    from aws_sdk_pandas_spark.operators.sampling import global_prefix_sum
+
+    rows = [(i, float(i) * 0.5 + 0.25) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r.id: r.rt
+        for r in global_prefix_sum(
+            df, "v", [F.col("id").asc()], out_col="rt", num_partitions=5
+        ).collect()
+    }
+    acc = 0.0
+    for i, v in rows:
+        acc += v
+        assert abs(got[i] - acc) < 1e-9

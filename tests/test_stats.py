@@ -548,3 +548,17 @@ def test_mutual_information_matches_numpy(spark):
     same = spark.createDataFrame([(f"v{i%4}", f"v{i%4}") for i in range(100)],
                                  "a string, b string")
     assert mutual_information(same, col_a="a", col_b="b").collect()[0].nmi == 1.0
+
+
+def test_benford_near_power_of_ten_digit(spark):
+    """Regression: doubles a hair below a power of ten made log10 round
+    UP, flooring the leading digit to 0 — which then divided by zero in
+    expected_p under ANSI.  The true leading digit there is 9."""
+    from aws_sdk_pandas_spark.operators.stats import benford_test
+
+    tricky = 9.999999999999999e-301   # log10 rounds to exactly -300
+    df = spark.createDataFrame(
+        [(tricky,), (123.0,), (987.0,)], "x double"
+    )
+    got = {r.digit: r.n for r in benford_test(df, value_col="x").collect()}
+    assert got == {1: 1, 9: 2}        # tricky counted as digit 9, no error
