@@ -4056,6 +4056,20 @@ def _q_diverse_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU (operators/behavior.rolling_active_users): events
+    dedupe to (day, user) pairs, each pair contributes FORWARD to the
+    w report days it covers — the explode-the-deduped-table inversion
+    that avoids a per-day range join over raw events."""
+    from aws_sdk_pandas_spark.operators.behavior import rolling_active_users
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return rolling_active_users(
+        ev, ts_col="ts", user_col="user_id", windows=[1, 7]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4258,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mutual_information": _q_mutual_info,
         "part_pareto_front": _q_pareto_parts,
         "orders_balanced_classes": _q_balance_orders,
+        "events_rolling_active_users": _q_rolling_active,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7399,5 +7414,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':42'),
                                      1, 8))::BIGINT / 4294967296.0 < rates.p
             ORDER BY o.o_orderkey
+        """,
+        "events_rolling_active_users": """
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM du),
+            a1 AS (
+                SELECT d AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS active_1d
+                FROM du GROUP BY 1
+            ), a7 AS (
+                SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS active_7d
+                FROM (
+                    SELECT d + CAST(r.o AS INT) AS day, u
+                    FROM du, UNNEST(range(0, 7)) AS r(o)
+                ) x, span
+                WHERE day >= lo AND day <= hi
+                GROUP BY day
+            )
+            SELECT day, a1.active_1d, a7.active_7d
+            FROM a1 FULL JOIN a7 USING (day)
+            ORDER BY day
         """,
     }

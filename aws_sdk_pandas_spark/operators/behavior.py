@@ -367,3 +367,55 @@ def window_funnel(
         lambda a, x: F.greatest(a, x),
     )
     return per.select(F.col("__k").alias(key_col), level.alias("level"))
+
+
+def rolling_active_users(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    user_col: str,
+    windows: list[int] = (1, 7, 28),
+) -> DataFrame:
+    """DAU/WAU/MAU in one pass: for every calendar day in the data's
+    span, the count of DISTINCT users active in the trailing w days,
+    for each requested window — the canonical engagement report and
+    the denominators for stickiness ratios (DAU/MAU).
+
+    Scale shape: raw events first dedupe to (day, user) pairs (bounded
+    by users × active days — the volume collapse); each pair then
+    CONTRIBUTES FORWARD to the w report days it keeps the user active
+    for (an explode of the deduped table by at most max(window) — the
+    standard inversion that avoids a per-day range join over raw
+    events); one countDistinct per (report day, window).  Report days
+    clamp to the observed span.  Output: ``day, active_<w>d...`` one
+    row per day, windows as columns.
+    """
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError("windows must be positive integers")
+    d = F.col(ts_col).cast("date")
+    u = F.col(user_col)
+    du = (
+        df.where(d.isNotNull() & u.isNotNull())
+        .select(d.alias("__d"), u.alias("__u"))
+        .distinct()
+    )
+    span = du.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    out = None
+    for w in ws:
+        contrib = du.select(
+            F.explode(
+                F.sequence(
+                    F.col("__d"), F.date_add(F.col("__d"), w - 1)
+                )
+            ).alias("day"),
+            "__u",
+        )
+        per = (
+            contrib.crossJoin(F.broadcast(span))  # ONE row
+            .where((F.col("day") >= F.col("__lo")) & (F.col("day") <= F.col("__hi")))
+            .groupBy("day")
+            .agg(F.countDistinct("__u").alias(f"active_{w}d"))
+        )
+        out = per if out is None else out.join(per, "day", "full")
+    return out.orderBy("day")

@@ -257,3 +257,39 @@ def test_window_funnel_matches_serial(spark):
         steps=steps, window_seconds=100.0,
     ).collect()}
     assert hg["a"] == 3 and hg["b"] == 1 and hg["c"] == 3 and hg["d"] == 0
+
+
+def test_rolling_active_users(spark):
+    import datetime as dtm
+
+    from aws_sdk_pandas_spark.operators.behavior import rolling_active_users
+
+    base = dtm.date(2024, 3, 1)
+    # u1 active days 0,1; u2 active day 0 only; u3 active day 5
+    rows = [
+        ("u1", base), ("u1", base), ("u1", base + dtm.timedelta(days=1)),
+        ("u2", base),
+        ("u3", base + dtm.timedelta(days=5)),
+        (None, base), ("u1", None),
+    ]
+    df = spark.createDataFrame(rows, "user string, d date")
+    got = {r.day: r for r in rolling_active_users(
+        df, ts_col="d", user_col="user", windows=[1, 3]).collect()}
+
+    # serial recompute over the span
+    active = {("u1", 0), ("u1", 1), ("u2", 0), ("u3", 5)}
+    for off in range(6):
+        day = base + dtm.timedelta(days=off)
+        for w, col in ((1, "active_1d"), (3, "active_3d")):
+            users = {u for u, a in active if a <= off <= a + w - 1 and off >= 0}
+            want = len({u for u, a in active if off - w + 1 <= a <= off})
+            r = got.get(day)
+            if want == 0:
+                assert r is None or getattr(r, col) in (None, 0)
+            else:
+                assert getattr(r, col) == want, (day, col)
+    # spot values
+    assert got[base].active_1d == 2                      # u1,u2 day0
+    assert got[base + dtm.timedelta(days=1)].active_1d == 1
+    assert got[base + dtm.timedelta(days=2)].active_3d == 2  # u1,u2 in window
+    assert got[base + dtm.timedelta(days=5)].active_3d == 1  # u3
