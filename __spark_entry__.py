@@ -4070,6 +4070,37 @@ def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate control chart (operators/timeseries.p_chart):
+    binomial 3-sigma bands around the overall rate, widening as
+    1/sqrt(n) for thin days — ONE aggregation to the period table,
+    one-row overall rate broadcast back."""
+    from aws_sdk_pandas_spark.operators.timeseries import p_chart
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    return p_chart(base, time_col="day", flag_col="is_err")
+
+
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (operators/behavior.cohort_ltv): first-touch
+    cohorts x days-since-first-touch cumulative revenue per user —
+    first-touch collapse, bounded (cohort, offset) revenue table,
+    cohort-keyed cumulative window, sizes broadcast back."""
+    from aws_sdk_pandas_spark.operators.behavior import cohort_ltv
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return cohort_ltv(
+        o, key_col="o_custkey", ts_col="o_orderdate",
+        amount_col="o_totalprice", round_to=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4273,6 +4304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pareto_front": _q_pareto_parts,
         "orders_balanced_classes": _q_balance_orders,
         "events_rolling_active_users": _q_rolling_active,
+        "events_error_pchart": _q_error_pchart,
+        "orders_cohort_ltv": _q_cohort_ltv,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7435,5 +7468,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, a1.active_1d, a7.active_7d
             FROM a1 FULL JOIN a7 USING (day)
             ORDER BY day
+        """,
+        "events_error_pchart": """
+            WITH base AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f
+                FROM events
+            ), per AS (
+                SELECT day AS period, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(f) AS pos
+                FROM base GROUP BY 1
+            ), o AS (SELECT SUM(f) / CAST(COUNT(*) AS DOUBLE) AS pbar FROM base)
+            SELECT period, n,
+                   CAST(ROUND(pos / CAST(n AS DOUBLE), 6) AS DOUBLE) AS rate,
+                   CAST(ROUND(pbar, 6) AS DOUBLE) AS p_bar,
+                   CAST(ROUND(LEAST(pbar + 3.0 * SQRT(pbar * (1 - pbar) / n), 1.0),
+                              6) AS DOUBLE) AS ucl,
+                   CAST(ROUND(GREATEST(pbar - 3.0 * SQRT(pbar * (1 - pbar) / n), 0.0),
+                              6) AS DOUBLE) AS lcl,
+                   (pos / CAST(n AS DOUBLE)
+                        > LEAST(pbar + 3.0 * SQRT(pbar * (1 - pbar) / n), 1.0)
+                    OR pos / CAST(n AS DOUBLE)
+                        < GREATEST(pbar - 3.0 * SQRT(pbar * (1 - pbar) / n), 0.0))
+                       AS out_of_control
+            FROM per, o
+            ORDER BY period
+        """,
+        "orders_cohort_ltv": """
+            WITH base AS (
+                SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+                       CAST(o_totalprice AS DOUBLE) AS a
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+            ), first AS (
+                SELECT k, MIN(d) AS cohort FROM base GROUP BY 1
+            ), sizes AS (
+                SELECT cohort, CAST(COUNT(DISTINCT k) AS BIGINT)
+                           AS n_cohort_users
+                FROM first GROUP BY 1
+            ), per AS (
+                SELECT first.cohort,
+                       CAST(base.d - first.cohort AS INT) AS day_offset,
+                       SUM(a) AS rev
+                FROM base JOIN first USING (k)
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT cohort, day_offset, rev,
+                       SUM(rev) OVER (PARTITION BY cohort ORDER BY day_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cumrev
+                FROM per
+            )
+            SELECT cum.cohort, cum.day_offset, sizes.n_cohort_users,
+                   CAST(ROUND(rev, 4) AS DOUBLE) AS revenue,
+                   CAST(ROUND(cumrev, 4) AS DOUBLE) AS cum_revenue,
+                   CAST(ROUND(cumrev / sizes.n_cohort_users, 4) AS DOUBLE)
+                       AS cum_ltv_per_user
+            FROM cum JOIN sizes USING (cohort)
+            ORDER BY cohort, day_offset
         """,
     }

@@ -419,3 +419,60 @@ def rolling_active_users(
         )
         out = per if out is None else out.join(per, "day", "full")
     return out.orderBy("day")
+
+
+def cohort_ltv(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    day (the cohort), revenue accumulated by days-since-first-touch —
+    ``cohort, day_offset, n_cohort_users, revenue, cum_revenue,
+    cum_ltv_per_user``.  The payback-period table: read across a row
+    to see when a cohort's cumulative LTV crosses acquisition cost,
+    read down a column to compare cohort quality at equal age.
+
+    Scale shape: first-touch per user is one keyed aggregation (the
+    volume collapse); revenue buckets to the (cohort, offset) table
+    in a second map-side-combinable pass; the cumulative runs as a
+    cohort-keyed window over that BOUNDED table; cohort sizes join
+    back broadcast.
+    """
+    k = F.col(key_col)
+    ts = F.col(ts_col).cast("date")
+    amt = F.col(amount_col).cast("double")
+    base = df.where(k.isNotNull() & ts.isNotNull() & amt.isNotNull())
+    first = base.groupBy(k.alias("__k")).agg(F.min(ts).alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("__k").alias("n_cohort_users")
+    )
+    j = base.join(first, k == F.col("__k")).select(
+        "cohort",
+        F.datediff(ts, F.col("cohort")).alias("day_offset"),
+        amt.alias("__a"),
+    )
+    per = j.groupBy("cohort", "day_offset").agg(F.sum("__a").alias("__rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        per.withColumn("__cum", F.sum("__rev").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "day_offset",
+            "n_cohort_users",
+            F.round("__rev", round_to).alias("revenue"),
+            F.round("__cum", round_to).alias("cum_revenue"),
+            F.round(
+                F.col("__cum") / F.col("n_cohort_users"), round_to
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+    return out.orderBy("cohort", "day_offset")

@@ -895,3 +895,58 @@ def holt_winters(
         )
         out = out.withColumn(f"{out_prefix}_forecast", fc)
     return out
+
+
+def p_chart(
+    df: DataFrame,
+    *,
+    time_col: str,
+    flag_col: str,
+    by: list[str] | None = None,
+    sigma: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Attribute control chart for a rate (p-chart): per period, the
+    observed failure/positive rate against ``sigma``-limit binomial
+    bands around the overall rate — the SPC answer to "is today's
+    error rate noise or a real shift", with limits that WIDEN for
+    small-sample periods instead of flagging them spuriously.
+
+    ``flag_col`` is the 0/1 outcome; periods come pre-bucketed in
+    ``time_col`` (cast dates/hours upstream).  Returns ``by...,
+    period, n, rate, p_bar, ucl, lcl, out_of_control``; limits are
+    p̄ ± σ·√(p̄(1−p̄)/n_period), LCL floored at 0, UCL capped at 1.
+
+    ONE aggregation to the per-period table (bounded by periods), the
+    one-row-per-group overall rate broadcast back.  NULL flags are
+    excluded.
+    """
+    keys = list(by or [])
+    f = F.col(flag_col).cast("int")
+    base = df.where(f.isNotNull())
+    per = base.groupBy(*keys, F.col(time_col).alias("period")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(f).alias("__pos")
+    )
+    overall = base.groupBy(*keys).agg(
+        (F.sum(f) / F.count(F.lit(1))).alias("__pbar")
+    )
+    j = (
+        per.join(F.broadcast(overall), keys)
+        if keys
+        else per.crossJoin(F.broadcast(overall))
+    )
+    rate = F.col("__pos") / F.col("n")
+    pbar = F.col("__pbar")
+    half = F.lit(float(sigma)) * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    ucl = F.least(pbar + half, F.lit(1.0))
+    lcl = F.greatest(pbar - half, F.lit(0.0))
+    return j.select(
+        *keys,
+        "period",
+        "n",
+        F.round(rate, round_to).alias("rate"),
+        F.round(pbar, round_to).alias("p_bar"),
+        F.round(ucl, round_to).alias("ucl"),
+        F.round(lcl, round_to).alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    ).orderBy(*keys, "period")

@@ -293,3 +293,36 @@ def test_rolling_active_users(spark):
     assert got[base + dtm.timedelta(days=1)].active_1d == 1
     assert got[base + dtm.timedelta(days=2)].active_3d == 2  # u1,u2 in window
     assert got[base + dtm.timedelta(days=5)].active_3d == 1  # u3
+
+
+def test_cohort_ltv(spark):
+    import datetime as dtm
+
+    from aws_sdk_pandas_spark.operators.behavior import cohort_ltv
+
+    d0 = dtm.date(2024, 1, 1)
+    d1 = dtm.date(2024, 1, 2)
+    rows = [
+        # cohort d0: u1 and u2
+        ("u1", d0, 10.0), ("u1", d0, 5.0), ("u1", d1, 20.0),
+        ("u2", d0, 1.0), ("u2", dtm.date(2024, 1, 4), 4.0),
+        # cohort d1: u3
+        ("u3", d1, 7.0),
+        (None, d0, 9.0), ("u1", None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, d date, amt double")
+    got = {(r.cohort, r.day_offset): r for r in cohort_ltv(
+        df, key_col="user", ts_col="d", amount_col="amt").collect()}
+
+    r00 = got[(d0, 0)]
+    assert r00.n_cohort_users == 2
+    assert r00.revenue == 16.0 and r00.cum_revenue == 16.0
+    assert abs(r00.cum_ltv_per_user - 8.0) < 1e-9
+    r01 = got[(d0, 1)]
+    assert r01.revenue == 20.0 and r01.cum_revenue == 36.0
+    r03 = got[(d0, 3)]
+    assert r03.revenue == 4.0 and r03.cum_revenue == 40.0
+    assert abs(r03.cum_ltv_per_user - 20.0) < 1e-9
+    r10 = got[(d1, 0)]
+    assert r10.n_cohort_users == 1 and r10.cum_ltv_per_user == 7.0
+    assert set(got) == {(d0, 0), (d0, 1), (d0, 3), (d1, 0)}

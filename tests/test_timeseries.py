@@ -652,3 +652,43 @@ def test_holt_winters_null_hold_and_validation(spark):
         holt_winters(df, ts_col="t", value_col="x", period=1)
     with pytest.raises(ValueError, match="alpha"):
         holt_winters(df, ts_col="t", value_col="x", period=2, alpha=1.5)
+
+
+def test_p_chart_limits_and_flags(spark):
+    import math
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import p_chart
+
+    rng = np.random.default_rng(97)
+    rows = []
+    # 20 in-control days at p=0.05, one shifted day at p=0.4, one tiny day
+    for day in range(20):
+        for _ in range(400):
+            rows.append((f"d{day:02d}", int(rng.random() < 0.05)))
+    for _ in range(400):
+        rows.append(("d20", int(rng.random() < 0.4)))
+    # tiny day at ~3x the base rate: at n=400 that would flag, but the
+    # binomial limits WIDEN as 1/sqrt(n) and must absorb it at n=20
+    rows += [("d21", 1)] * 3 + [("d21", 0)] * 17
+    rows.append(("dnull", None))
+    df = spark.createDataFrame(rows, "period string, fail int")
+    got = {r.period: r for r in p_chart(
+        df, time_col="period", flag_col="fail").collect()}
+
+    flags = [p for p, r in got.items() if r.out_of_control]
+    assert "d20" in flags
+    assert "d21" not in flags            # wide limits protect small n
+    assert len(flags) <= 3               # in-control days mostly quiet
+
+    # arithmetic vs serial recompute
+    all_flags = [f for _, f in rows if f is not None]
+    pbar = sum(all_flags) / len(all_flags)
+    r = got["d20"]
+    assert r.n == 400
+    assert abs(r.p_bar - round(pbar, 6)) < 1e-9
+    half = 3.0 * math.sqrt(pbar * (1 - pbar) / 400)
+    assert abs(r.ucl - round(min(pbar + half, 1.0), 6)) < 1e-9
+    assert abs(r.lcl - round(max(pbar - half, 0.0), 6)) < 1e-9
+    assert "dnull" not in got
