@@ -4101,6 +4101,20 @@ def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency (operators/behavior.step_latency): first
+    view -> first subsequent purchase per user — first-step collapse,
+    conditional-min against the bounded table, no raw-event window."""
+    from aws_sdk_pandas_spark.operators.behavior import step_latency
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return step_latency(
+        ev, key_col="user_id", ts_col="ts", state_col="event_type",
+        from_state="view", to_state="purchase",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4306,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_active_users": _q_rolling_active,
         "events_error_pchart": _q_error_pchart,
         "orders_cohort_ltv": _q_cohort_ltv,
+        "events_step_latency": _q_step_latency,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7527,5 +7542,25 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_ltv_per_user
             FROM cum JOIN sizes USING (cohort)
             ORDER BY cohort, day_offset
+        """,
+        "events_step_latency": """
+            WITH base AS (
+                SELECT user_id AS k, ts, event_type AS s FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+            ), firsts AS (
+                SELECT k, MIN(ts) AS from_ts FROM base
+                WHERE s = 'view' GROUP BY 1
+            ), conv AS (
+                SELECT base.k, MIN(base.ts) AS to_ts
+                FROM base JOIN firsts USING (k)
+                WHERE base.s = 'purchase' AND base.ts >= firsts.from_ts
+                GROUP BY 1
+            )
+            SELECT firsts.k AS user_id, firsts.from_ts, conv.to_ts,
+                   CAST(ROUND(EPOCH_US(conv.to_ts - firsts.from_ts) / 1e6, 3)
+                        AS DOUBLE) AS latency_seconds
+            FROM firsts LEFT JOIN conv USING (k)
+            ORDER BY user_id
         """,
     }

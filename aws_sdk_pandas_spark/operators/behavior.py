@@ -476,3 +476,59 @@ def cohort_ltv(
         )
     )
     return out.orderBy("cohort", "day_offset")
+
+
+def step_latency(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    from_state,
+    to_state,
+    round_to: int = 3,
+) -> DataFrame:
+    """Per-entity conversion latency: seconds from the FIRST
+    ``from_state`` event to the first ``to_state`` event AT OR AFTER
+    it — the time-to-convert distribution behind funnel health
+    ("median signup→purchase is 2 days, p95 is 3 weeks").  Returns
+    ``key, from_ts, to_ts, latency_seconds`` with NULL to_ts/latency
+    for entities that reached the first step but never converted
+    (feed those to `survival_curve` as censored).
+
+    Scale shape: the first-step time is one keyed aggregation (volume
+    collapse to entities); the conditional "first B after A" is a
+    second aggregation of the to-events joined against that bounded
+    table — two key shuffles, no window over raw events, no
+    cross product.
+    """
+    k = F.col(key_col)
+    ts = F.col(ts_col).cast("timestamp")
+    st = F.col(state_col)
+    base = df.where(k.isNotNull() & ts.isNotNull() & st.isNotNull())
+    firsts = (
+        base.where(st == F.lit(from_state))
+        .groupBy(k.alias("__k"))
+        .agg(F.min(ts).alias("from_ts"))
+    )
+    tos = base.where(st == F.lit(to_state)).select(
+        k.alias("__k2"), ts.alias("__t")
+    )
+    conv = (
+        tos.join(firsts, F.col("__k2") == F.col("__k"))
+        .where(F.col("__t") >= F.col("from_ts"))
+        .groupBy("__k")
+        .agg(F.min("__t").alias("to_ts"))
+    )
+    out = firsts.join(conv, "__k", "left")
+    lat = F.round(
+        (F.unix_micros(F.col("to_ts")) - F.unix_micros(F.col("from_ts")))
+        / F.lit(1e6),
+        round_to,
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        "from_ts",
+        "to_ts",
+        lat.alias("latency_seconds"),
+    ).orderBy(key_col)

@@ -326,3 +326,36 @@ def test_cohort_ltv(spark):
     r10 = got[(d1, 0)]
     assert r10.n_cohort_users == 1 and r10.cum_ltv_per_user == 7.0
     assert set(got) == {(d0, 0), (d0, 1), (d0, 3), (d1, 0)}
+
+
+def test_step_latency(spark):
+    import datetime as dtm
+
+    from aws_sdk_pandas_spark.operators.behavior import step_latency
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dtm.timedelta(seconds=sec)
+
+    rows = [
+        # u1: converts 90s after first signup (purchase BEFORE signup ignored)
+        ("u1", at(-50), "purchase"), ("u1", at(0), "signup"),
+        ("u1", at(90), "purchase"), ("u1", at(500), "purchase"),
+        # u2: signs up twice; latency from the FIRST signup
+        ("u2", at(10), "signup"), ("u2", at(100), "signup"),
+        ("u2", at(130), "purchase"),
+        # u3: never converts
+        ("u3", at(5), "signup"),
+        # u4: converts but never signed up -> no row
+        ("u4", at(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, state string")
+    got = {r.user: r for r in step_latency(
+        df, key_col="user", ts_col="ts", state_col="state",
+        from_state="signup", to_state="purchase",
+    ).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"].latency_seconds == 90.0
+    assert got["u2"].latency_seconds == 120.0
+    assert got["u3"].to_ts is None and got["u3"].latency_seconds is None
