@@ -4081,7 +4081,9 @@ def _q_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     base = ev.select(
         F.col("ts").cast("date").alias("day"),
-        (F.col("event_type") == "error").cast("int").alias("is_err"),
+        # when/otherwise (not a bare ==): a NULL event_type must count
+        # as 0 exactly like the oracle's CASE, not drop the row
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
     return p_chart(base, time_col="day", flag_col="is_err")
 
@@ -7468,20 +7470,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
                 WHERE ts IS NOT NULL AND user_id IS NOT NULL
             ), span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM du),
-            a1 AS (
-                SELECT d AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS active_1d
-                FROM du GROUP BY 1
-            ), a7 AS (
-                SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS active_7d
-                FROM (
-                    SELECT d + CAST(r.o AS INT) AS day, u
-                    FROM du, UNNEST(range(0, 7)) AS r(o)
-                ) x, span
+            contrib AS (
+                SELECT d, u, d + CAST(r.o AS INT) AS day
+                FROM du, UNNEST(range(0, 7)) AS r(o)
+            ), per AS (
+                SELECT day,
+                       CAST(COUNT(DISTINCT CASE WHEN day - d < 1 THEN u END)
+                            AS BIGINT) AS active_1d,
+                       CAST(COUNT(DISTINCT CASE WHEN day - d < 7 THEN u END)
+                            AS BIGINT) AS active_7d
+                FROM contrib, span
                 WHERE day >= lo AND day <= hi
                 GROUP BY day
+            ), grid AS (
+                SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                   CAST(hi AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE)
+                           AS day
+                FROM span
             )
-            SELECT day, a1.active_1d, a7.active_7d
-            FROM a1 FULL JOIN a7 USING (day)
+            SELECT grid.day,
+                   CAST(COALESCE(per.active_1d, 0) AS BIGINT) AS active_1d,
+                   CAST(COALESCE(per.active_7d, 0) AS BIGINT) AS active_7d
+            FROM grid LEFT JOIN per USING (day)
             ORDER BY day
         """,
         "events_error_pchart": """

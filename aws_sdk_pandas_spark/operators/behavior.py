@@ -376,23 +376,25 @@ def rolling_active_users(
     user_col: str,
     windows: list[int] = (1, 7, 28),
 ) -> DataFrame:
-    """DAU/WAU/MAU in one pass: for every calendar day in the data's
-    span, the count of DISTINCT users active in the trailing w days,
-    for each requested window — the canonical engagement report and
-    the denominators for stickiness ratios (DAU/MAU).
+    """DAU/WAU/MAU in one pass: for EVERY calendar day in the data's
+    span (dead days included, as zeros), the count of DISTINCT users
+    active in the trailing w days, for each requested window — the
+    canonical engagement report and the denominators for stickiness
+    ratios (DAU/MAU).
 
     Scale shape: raw events first dedupe to (day, user) pairs (bounded
     by users × active days — the volume collapse); each pair then
-    CONTRIBUTES FORWARD to the w report days it keeps the user active
-    for (an explode of the deduped table by at most max(window) — the
-    standard inversion that avoids a per-day range join over raw
-    events); one countDistinct per (report day, window).  Report days
-    clamp to the observed span.  Output: ``day, active_<w>d...`` one
-    row per day, windows as columns.
+    CONTRIBUTES FORWARD to the max(window) report days it can keep the
+    user active for — ONE explode of the deduped table, with every
+    window's count read off the same pass as a conditional
+    countDistinct (one shuffle for all windows, not one per window);
+    finally the full day grid left-joins the counts so gaps read as 0,
+    never as missing rows or NULLs.
     """
     ws = sorted(set(int(w) for w in windows))
     if not ws or ws[0] < 1:
         raise ValueError("windows must be positive integers")
+    mx = ws[-1]
     d = F.col(ts_col).cast("date")
     u = F.col(user_col)
     du = (
@@ -401,23 +403,34 @@ def rolling_active_users(
         .distinct()
     )
     span = du.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
-    out = None
+    contrib = du.select(
+        "__d",
+        "__u",
+        F.explode(
+            F.sequence(F.col("__d"), F.date_add(F.col("__d"), mx - 1))
+        ).alias("day"),
+    )
+    per = (
+        contrib.crossJoin(F.broadcast(span))  # ONE row
+        .where((F.col("day") >= F.col("__lo")) & (F.col("day") <= F.col("__hi")))
+        .groupBy("day")
+        .agg(
+            *[
+                F.countDistinct(
+                    F.when(F.datediff(F.col("day"), F.col("__d")) < w, F.col("__u"))
+                ).alias(f"active_{w}d")
+                for w in ws
+            ]
+        )
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    out = grid.join(per, "day", "left")
     for w in ws:
-        contrib = du.select(
-            F.explode(
-                F.sequence(
-                    F.col("__d"), F.date_add(F.col("__d"), w - 1)
-                )
-            ).alias("day"),
-            "__u",
+        out = out.withColumn(
+            f"active_{w}d", F.coalesce(F.col(f"active_{w}d"), F.lit(0))
         )
-        per = (
-            contrib.crossJoin(F.broadcast(span))  # ONE row
-            .where((F.col("day") >= F.col("__lo")) & (F.col("day") <= F.col("__hi")))
-            .groupBy("day")
-            .agg(F.countDistinct("__u").alias(f"active_{w}d"))
-        )
-        out = per if out is None else out.join(per, "day", "full")
     return out.orderBy("day")
 
 
@@ -447,8 +460,9 @@ def cohort_ltv(
     amt = F.col(amount_col).cast("double")
     base = df.where(k.isNotNull() & ts.isNotNull() & amt.isNotNull())
     first = base.groupBy(k.alias("__k")).agg(F.min(ts).alias("cohort"))
+    # first is one row per key by construction — plain count
     sizes = first.groupBy("cohort").agg(
-        F.countDistinct("__k").alias("n_cohort_users")
+        F.count(F.lit(1)).alias("n_cohort_users")
     )
     j = base.join(first, k == F.col("__k")).select(
         "cohort",

@@ -930,11 +930,20 @@ def p_chart(
     overall = base.groupBy(*keys).agg(
         (F.sum(f) / F.count(F.lit(1))).alias("__pbar")
     )
-    j = (
-        per.join(F.broadcast(overall), keys)
-        if keys
-        else per.crossJoin(F.broadcast(overall))
-    )
+    if keys:
+        # eqNullSafe: a NULL-keyed group is a real group out of groupBy,
+        # and a plain equi-join (NULL != NULL) would silently drop its
+        # entire control chart
+        ov = overall
+        for k in keys:
+            ov = ov.withColumnRenamed(k, f"__o_{k}")
+        cond = None
+        for k in keys:
+            c = per[k].eqNullSafe(ov[f"__o_{k}"])
+            cond = c if cond is None else (cond & c)
+        j = per.join(F.broadcast(ov), cond).drop(*[f"__o_{k}" for k in keys])
+    else:
+        j = per.crossJoin(F.broadcast(overall))
     rate = F.col("__pos") / F.col("n")
     pbar = F.col("__pbar")
     half = F.lit(float(sigma)) * F.sqrt(pbar * (1 - pbar) / F.col("n"))

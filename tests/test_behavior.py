@@ -276,18 +276,16 @@ def test_rolling_active_users(spark):
     got = {r.day: r for r in rolling_active_users(
         df, ts_col="d", user_col="user", windows=[1, 3]).collect()}
 
-    # serial recompute over the span
+    # serial recompute: EVERY day in the span must have a row, zeros
+    # for dead days (the contract downstream stickiness ratios need)
     active = {("u1", 0), ("u1", 1), ("u2", 0), ("u3", 5)}
+    assert set(got) == {base + dtm.timedelta(days=o) for o in range(6)}
     for off in range(6):
         day = base + dtm.timedelta(days=off)
         for w, col in ((1, "active_1d"), (3, "active_3d")):
-            users = {u for u, a in active if a <= off <= a + w - 1 and off >= 0}
             want = len({u for u, a in active if off - w + 1 <= a <= off})
-            r = got.get(day)
-            if want == 0:
-                assert r is None or getattr(r, col) in (None, 0)
-            else:
-                assert getattr(r, col) == want, (day, col)
+            assert getattr(got[day], col) == want, (day, col)
+    assert got[base + dtm.timedelta(days=3)].active_1d == 0  # dead day -> 0
     # spot values
     assert got[base].active_1d == 2                      # u1,u2 day0
     assert got[base + dtm.timedelta(days=1)].active_1d == 1
