@@ -4117,6 +4117,38 @@ def _q_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_title_body_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column coherence (functions/text.token_jaccard): each
+    doc's first-5-word 'title' against its full text — pure JVM token
+    set ops, scan-speed."""
+    from aws_sdk_pandas_spark.functions.text import token_jaccard, tokens
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    titled = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
+        "text",
+    )
+    return titled.select(
+        "doc_id",
+        F.round(token_jaccard("title", "text"), 6).alias("coherence"),
+    ).orderBy("doc_id")
+
+
+def _q_nzv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance screen (dq.near_zero_variance, caret
+    recipe): degenerate-column report over order status/priority —
+    value-cardinality-bounded frequency aggregations per column."""
+    from aws_sdk_pandas_spark.dq import near_zero_variance
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return near_zero_variance(
+        o, ["o_orderstatus", "o_orderpriority"]
+    ).orderBy("column")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4323,6 +4355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_pchart": _q_error_pchart,
         "orders_cohort_ltv": _q_cohort_ltv,
         "events_step_latency": _q_step_latency,
+        "docs_title_body_jaccard": _q_title_body_jaccard,
+        "orders_nzv_screen": _q_nzv_orders,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7573,5 +7607,57 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS latency_seconds
             FROM firsts LEFT JOIN conv USING (k)
             ORDER BY user_id
+        """,
+        "docs_title_body_jaccard": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           list_slice({toks}, 1, 5), x -> x)) AS ta,
+                       list_distinct({toks}) AS tb
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(ROUND(CASE WHEN len(list_distinct(ta || tb)) > 0
+                        THEN len(list_intersect(ta, tb))
+                             / CAST(len(list_distinct(ta || tb)) AS DOUBLE)
+                        END, 6) AS DOUBLE) AS coherence
+            FROM t
+            ORDER BY doc_id
+        """,
+        "orders_nzv_screen": """
+            WITH s AS (
+                SELECT 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS v
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+            ), freqs AS (
+                SELECT col, v, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY col
+                           ORDER BY COUNT(*) DESC, v ASC NULLS LAST) AS rk
+                FROM s GROUP BY col, v
+            ), top2 AS (
+                SELECT col,
+                       MAX(CASE WHEN rk = 1 THEN v END) AS top_value,
+                       MAX(CASE WHEN rk = 1 THEN n END) AS top_n,
+                       MAX(CASE WHEN rk = 2 THEN n END) AS second_n
+                FROM freqs WHERE rk <= 2 GROUP BY col
+            ), d AS (
+                SELECT col, CAST(COUNT(DISTINCT v) AS BIGINT)
+                           + MAX(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                           AS n_vals,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM s GROUP BY col
+            )
+            SELECT d.col AS column, d.n,
+                   d.n_vals AS n_distinct,
+                   top2.top_value,
+                   CAST(ROUND(CAST(top2.top_n AS DOUBLE) / top2.second_n, 4)
+                        AS DOUBLE) AS freq_ratio,
+                   CAST(ROUND(100.0 * d.n_vals / d.n, 4) AS DOUBLE) AS unique_pct,
+                   (top2.second_n IS NULL
+                    OR (CAST(top2.top_n AS DOUBLE) / top2.second_n > 19.0
+                        AND 100.0 * d.n_vals / d.n < 10.0)) AS nzv
+            FROM d JOIN top2 USING (col)
+            ORDER BY d.col
         """,
     }

@@ -583,3 +583,62 @@ def l_diversity(
             round_to,
         ).alias("pct_classes_below_l"),
     )
+
+
+def near_zero_variance(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    freq_ratio_cutoff: float = 19.0,
+    unique_pct_cutoff: float = 10.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-zero-variance feature screen (the caret recipe): a column
+    is degenerate when its most common value dwarfs the runner-up
+    (freq_ratio = top/second frequency > cutoff) AND distinct values
+    are rare (unique_pct = 100·distinct/rows < cutoff, caret defaults 19/10) — constants and
+    almost-constants that waste model capacity, break CV folds, and
+    usually signal a broken upstream join.  One row per column:
+    ``column, n, n_distinct, top_value, freq_ratio, unique_pct, nzv``.
+
+    Scale shape: per column, value frequencies are one map-side
+    aggregation; top-2 frequencies via TakeOrderedAndProject on the
+    value-cardinality-bounded table.  NULLs count as a value (an
+    all-NULL column IS degenerate).  Driver assembles the
+    schema-bounded report.
+    """
+    spark = df.sparkSession
+    use = cols or df.columns
+    n_rows = df.count()
+    out = []
+    for c in use:
+        freqs = (
+            df.groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__v").asc_nulls_last())
+            .limit(2)
+            .collect()
+        )
+        n_distinct = df.select(F.countDistinct(F.col(c).cast("string"))).collect()[0][0]
+        has_null = df.where(F.col(c).isNull()).head(1)
+        n_vals = n_distinct + (1 if has_null else 0)
+        top = freqs[0]["__n"] if freqs else 0
+        second = freqs[1]["__n"] if len(freqs) > 1 else 0
+        ratio = float(top) / second if second else float("inf")
+        unique_pct = 100.0 * n_vals / n_rows if n_rows else 0.0
+        out.append(
+            (
+                c,
+                n_rows,
+                n_vals,
+                freqs[0]["__v"] if freqs else None,
+                round(ratio, round_to) if second else None,
+                round(unique_pct, round_to),
+                bool(second == 0 or (ratio > freq_ratio_cutoff and unique_pct < unique_pct_cutoff)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n bigint, n_distinct bigint, top_value string, "
+        "freq_ratio double, unique_pct double, nzv boolean",
+    )

@@ -299,3 +299,17 @@ def encoding_issues(col: Column | str) -> Column:
         n_moj.alias("n_mojibake"),
         ((n_rep > 0) | (n_ctl > 0) | (n_moj > 0)).alias("suspect"),
     )
+
+
+def token_jaccard(col_a: Column | str, col_b: Column | str) -> Column:
+    """Token-set Jaccard between two text columns of the SAME row —
+    the title-vs-body / query-vs-doc coherence signal (a title sharing
+    no vocabulary with its body is boilerplate or mislabeled).  Pure
+    JVM: lowered whitespace token sets, |∩|/|∪|; both empty → NULL
+    (no evidence either way), one empty → 0.0.
+    """
+    ta = F.array_distinct(F.transform(tokens(col_a), lambda t: F.lower(t)))
+    tb = F.array_distinct(F.transform(tokens(col_b), lambda t: F.lower(t)))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union > 0, inter / union)

@@ -552,3 +552,21 @@ def test_encoding_issues(spark):
     assert got[2].n_replacement == 2 and got[2].suspect
     assert got[3].n_mojibake >= 2 and got[3].suspect
     assert got[4].n_control == 2 and got[4].suspect
+
+
+def test_token_jaccard(spark):
+    from aws_sdk_pandas_spark.functions.text import token_jaccard
+
+    rows = [
+        (1, "Deep Learning Basics", "deep learning basics for everyone"),
+        (2, "Cats", "dogs and more dogs"),
+        (3, "", ""),
+        (4, "", "something"),
+    ]
+    df = spark.createDataFrame(rows, "id int, title string, body string")
+    got = {r.id: r.j for r in df.select(
+        "id", token_jaccard("title", "body").alias("j")).collect()}
+    assert abs(got[1] - 3 / 5) < 1e-9       # {deep,learning,basics} of 5 union
+    assert got[2] == 0.0
+    assert got[3] is None                    # both empty: no evidence
+    assert got[4] == 0.0

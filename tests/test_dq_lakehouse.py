@@ -238,3 +238,20 @@ def test_k_anonymity_and_risky_classes(spark):
     # the big class is fine at k=5; everything passes at k=1
     ok = k_anonymity(df, quasi_cols=["city", "sex"], k=1).collect()[0]
     assert ok.n_classes_below_k == 0 and ok.pct_rows_below_k == 0.0
+
+
+def test_near_zero_variance(spark):
+    from aws_sdk_pandas_spark.dq import near_zero_variance
+
+    rows = [(i, "const", "a" if i < 990 else "b", f"v{i}", None) for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "id long, c_const string, c_skew string, c_id string, c_null string"
+    )
+    got = {r.column: r for r in near_zero_variance(df).collect()}
+    assert got["c_const"].nzv and got["c_const"].freq_ratio is None
+    assert got["c_null"].nzv                         # all-NULL is degenerate
+    assert got["c_skew"].nzv                         # 99:1 with 0.2% unique
+    assert abs(got["c_skew"].freq_ratio - 99.0) < 1e-9
+    assert not got["c_id"].nzv and got["c_id"].unique_pct == 100.0
+    assert not got["id"].nzv
+    assert got["c_skew"].top_value == "a" and got["c_skew"].n == 1000
