@@ -4149,6 +4149,45 @@ def _q_nzv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def _q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (operators/stats.fdr_correct)
+    over a deterministic md5-derived p-value table (the operator under
+    test is the step-up correction itself — p provenance is upstream's
+    job): rank, monotone q-values, rejection set."""
+    from aws_sdk_pandas_spark.operators.sampling import _md5_uniform
+    from aws_sdk_pandas_spark.operators.stats import fdr_correct
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    tests = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(300)
+        .withColumn("p", F.round(F.pow(_md5_uniform("o_orderkey", 11), 2), 8))
+    )
+    return fdr_correct(tests, p_col="p", alpha=0.05).orderBy("o_orderkey")
+
+
+def _q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast evaluation (operators/timeseries.forecast_accuracy):
+    persistence (lag-1) forecast of event values per user, scored per
+    event type — MAE/RMSE/sMAPE plus MASE against the in-sample naive
+    benchmark (season=1), NULL-lag rows excluded."""
+    from aws_sdk_pandas_spark.operators.timeseries import forecast_accuracy
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from pyspark.sql import Window
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.withColumn("fcst", F.lag("value").over(w)).where(
+        F.col("fcst").isNotNull()
+    )
+    return forecast_accuracy(
+        base, actual_col="value", forecast_col="fcst",
+        by=["event_type"], ts_col="ts", season=1, tie_breakers=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4357,6 +4396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_step_latency": _q_step_latency,
         "docs_title_body_jaccard": _q_title_body_jaccard,
         "orders_nzv_screen": _q_nzv_orders,
+        "orders_fdr_screen": _q_fdr_screen,
+        "events_forecast_accuracy": _q_forecast_accuracy,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7659,5 +7700,66 @@ def oracle_sql() -> dict[str, str]:
                         AND 100.0 * d.n_vals / d.n < 10.0)) AS nzv
             FROM d JOIN top2 USING (col)
             ORDER BY d.col
+        """,
+        "orders_fdr_screen": """
+            WITH tests AS (
+                SELECT o_orderkey,
+                       ROUND(POW(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                           || ':11'), 1, 8))::BIGINT / 4294967296.0, 2), 8) AS p
+                FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 300)
+            ), ranked AS (
+                SELECT o_orderkey, p,
+                       CAST(ROW_NUMBER() OVER (ORDER BY p ASC) AS INT) AS rank
+                FROM tests
+            ), m AS (SELECT COUNT(*) AS mm FROM tests),
+            adj AS (
+                SELECT o_orderkey, p, rank,
+                       LEAST(1.0, p * mm / rank) AS a
+                FROM ranked, m
+            )
+            SELECT o_orderkey, p, rank,
+                   CAST(ROUND(MIN(a) OVER (ORDER BY p DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS DOUBLE) AS q_value,
+                   (ROUND(MIN(a) OVER (ORDER BY p DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       <= 0.05) AS rejected
+            FROM adj
+            ORDER BY o_orderkey
+        """,
+        "events_forecast_accuracy": """
+            WITH lagged AS (
+                SELECT event_type, value AS y,
+                       LAG(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS f
+                FROM events
+            ), base AS (
+                SELECT event_type, y, f,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY 1) AS dummy
+                FROM lagged WHERE f IS NOT NULL AND y IS NOT NULL
+            ), naive AS (
+                SELECT event_type, y, f,
+                       ABS(y - LAG(y) OVER (PARTITION BY event_type
+                           ORDER BY ts2, eid)) AS nv
+                FROM (
+                    SELECT event_type, value AS y, ts AS ts2, event_id AS eid,
+                           LAG(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS f
+                    FROM events
+                ) x
+                WHERE f IS NOT NULL AND y IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(AVG(ABS(y - f)), 6) AS DOUBLE) AS mae,
+                   CAST(ROUND(SQRT(AVG((y - f) * (y - f))), 6) AS DOUBLE) AS rmse,
+                   CAST(ROUND(AVG(CASE WHEN ABS(y) + ABS(f) > 0
+                        THEN 2.0 * ABS(y - f) / (ABS(y) + ABS(f)) END), 6)
+                        AS DOUBLE) AS smape,
+                   CAST(ROUND(AVG(ABS(y - f)) / AVG(nv), 6) AS DOUBLE) AS mase
+            FROM naive
+            GROUP BY event_type
+            ORDER BY event_type
         """,
     }

@@ -881,3 +881,43 @@ def mutual_information(
         F.round("__hb", round_to).alias("h_b"),
         "n",
     )
+
+
+def fdr_correct(
+    df: DataFrame,
+    *,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate correction over a table
+    of test results — the fix for "we ran `ab_test`/`ks_test` on 500
+    metrics and 25 came up significant by luck".  Adds ``rank``
+    (ascending p), ``q_value`` (the BH adjusted p: monotone suffix-min
+    of p·m/rank) and ``rejected`` (q ≤ alpha ⟺ the classic step-up
+    rule).  Expected false-discovery fraction among rejections ≤ alpha
+    under independence/PRDS.
+
+    The input is one row per TEST (experiments, features, segments) —
+    bounded by the number of tests, not data volume, so the two
+    ordered windows run on a table of at most thousands of rows; the
+    heavy lifting happened upstream in the per-test operators.  NULL
+    p-values are excluded.
+    """
+    from pyspark.sql import Window
+
+    p = F.col(p_col).cast("double")
+    base = df.where(p.isNotNull())
+    w_rank = Window.orderBy(p.asc())
+    w_suffix = Window.orderBy(p.desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = base.count()
+    ranked = base.withColumn("rank", F.row_number().over(w_rank))
+    adj = F.least(F.lit(1.0), p * F.lit(float(m)) / F.col("rank"))
+    out = ranked.withColumn("__adj", adj).withColumn(
+        "q_value", F.round(F.min("__adj").over(w_suffix), round_to)
+    )
+    return out.drop("__adj").withColumn(
+        "rejected", F.col("q_value") <= F.lit(float(alpha))
+    )

@@ -959,3 +959,64 @@ def p_chart(
         F.round(lcl, round_to).alias("lcl"),
         ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
     ).orderBy(*keys, "period")
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    *,
+    actual_col: str,
+    forecast_col: str,
+    by: list[str] | None = None,
+    ts_col: str | None = None,
+    season: int = 1,
+    tie_breakers: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Forecast evaluation per series: ``by..., n, mae, rmse, smape,
+    mase`` — the metric set that survives scale differences between
+    series (sMAPE is unit-free; MASE scales each series' error by its
+    own in-sample seasonal-naive error, so MASE < 1 means "beats the
+    naive repeat-last-season forecast", comparable across series of
+    any magnitude — the M-competition standard).
+
+    ``mase`` needs the naive benchmark: provide ``ts_col`` so the
+    seasonal-naive error |y_t − y_{t−season}| comes from one keyed lag
+    window; without ``ts_col`` mase is NULL.  sMAPE uses the
+    2|e|/(|y|+|ŷ|) form with 0/0 terms skipped.  One window (when
+    mase) + one aggregation; NULL actual/forecast rows are excluded.
+    """
+    keys = list(by or [])
+    y = F.col(actual_col).cast("double")
+    f = F.col(forecast_col).cast("double")
+    base = df.where(y.isNotNull() & f.isNotNull())
+    err = y - f
+    sm_den = F.abs(y) + F.abs(f)
+    sm_term = F.when(sm_den > 0, F.lit(2.0) * F.abs(err) / sm_den)
+    if ts_col is not None:
+        # tie_breakers make the naive-lag order total — tied timestamps
+        # would otherwise make MASE partition-order-dependent
+        order = [F.col(ts_col).asc()] + [
+            F.col(c).asc() for c in (tie_breakers or [])
+        ]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        naive = F.abs(y - F.lag(y, season).over(w))
+        base = base.withColumn("__naive", naive)
+    else:
+        base = base.withColumn("__naive", F.lit(None).cast("double"))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(err)).alias("__mae"),
+        F.sqrt(F.avg(err * err)).alias("__rmse"),
+        F.avg(sm_term).alias("__smape"),
+        F.avg("__naive").alias("__naive_mae"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round("__mae", round_to).alias("mae"),
+        F.round("__rmse", round_to).alias("rmse"),
+        F.round("__smape", round_to).alias("smape"),
+        F.round(F.try_divide(F.col("__mae"), F.col("__naive_mae")), round_to).alias(
+            "mase"
+        ),
+    ).orderBy(*keys)

@@ -562,3 +562,34 @@ def test_benford_near_power_of_ten_digit(spark):
     )
     got = {r.digit: r.n for r in benford_test(df, value_col="x").collect()}
     assert got == {1: 1, 9: 2}        # tricky counted as digit 9, no error
+
+
+def test_fdr_correct_matches_serial_bh(spark):
+    rng = np.random.default_rng(101)
+    # 20 true effects (tiny p) among 480 nulls (uniform p)
+    ps = np.concatenate([rng.uniform(0, 1e-4, 20), rng.uniform(0, 1, 480)])
+    rows = [(int(i), float(p)) for i, p in enumerate(ps)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "test_id long, p double")
+
+    from aws_sdk_pandas_spark.operators.stats import fdr_correct
+
+    got = {r.test_id: r for r in fdr_correct(df, p_col="p", alpha=0.05).collect()}
+    assert 999 not in got
+
+    # serial BH
+    order = np.argsort(ps, kind="mergesort")
+    m = len(ps)
+    adj = np.minimum(1.0, ps[order] * m / (np.arange(m) + 1))
+    q_sorted = np.minimum.accumulate(adj[::-1])[::-1]
+    q = np.empty(m)
+    q[order] = q_sorted
+    for i in range(m):
+        assert abs(got[i].q_value - round(float(q[i]), 6)) < 1e-9
+        assert got[i].rejected == (round(float(q[i]), 6) <= 0.05)
+    n_rej = sum(1 for i in range(m) if got[i].rejected)
+    assert 20 <= n_rej <= 40      # finds the real effects, few extras
+    # q-values are monotone in p
+    byp = sorted(got.values(), key=lambda r: r.p)
+    qs = [r.q_value for r in byp]
+    assert qs == sorted(qs)

@@ -692,3 +692,45 @@ def test_p_chart_limits_and_flags(spark):
     assert abs(r.ucl - round(min(pbar + half, 1.0), 6)) < 1e-9
     assert abs(r.lcl - round(max(pbar - half, 0.0), 6)) < 1e-9
     assert "dnull" not in got
+
+
+def test_forecast_accuracy_matches_numpy(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import forecast_accuracy
+
+    rng = np.random.default_rng(103)
+    rows = []
+    series = {}
+    for g, scale in (("small", 1.0), ("big", 1000.0)):
+        # trend + weekly cycle: the seasonal-naive benchmark misses the
+        # trend (its error ~= 7*slope), so a decent forecast wins
+        t = np.arange(40)
+        y = scale * (10 + 0.5 * t + np.sin(t * 2 * np.pi / 7)) + rng.normal(
+            0, 0.1 * scale, 40
+        )
+        f = y + rng.normal(0, 0.2 * scale, 40)    # decent forecast
+        series[g] = (y, f)
+        rows += [(g, int(t), float(a), float(b)) for t, (a, b) in enumerate(zip(y, f))]
+    df = spark.createDataFrame(rows, "g string, t int, y double, f double")
+    got = {r.g: r for r in forecast_accuracy(
+        df, actual_col="y", forecast_col="f", by=["g"], ts_col="t", season=7
+    ).collect()}
+
+    for g, (y, f) in series.items():
+        e = y - f
+        mae = np.abs(e).mean()
+        rmse = np.sqrt((e**2).mean())
+        sm = (2 * np.abs(e) / (np.abs(y) + np.abs(f))).mean()
+        naive = np.abs(y[7:] - y[:-7]).mean()
+        r = got[g]
+        assert abs(r.mae - round(float(mae), 6)) < 1e-9
+        assert abs(r.rmse - round(float(rmse), 6)) < 1e-9
+        assert abs(r.smape - round(float(sm), 6)) < 1e-9
+        assert abs(r.mase - round(float(mae / naive), 6)) < 1e-9
+    # MASE is scale-free: both series land in the same ballpark even
+    # though raw MAE differs 1000x
+    assert abs(got["small"].mase - got["big"].mase) < 0.15
+    assert got["big"].mae > 100 * got["small"].mae
+    # good forecast beats seasonal naive
+    assert got["small"].mase < 1.0
