@@ -4188,6 +4188,31 @@ def _q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burst_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scan-statistic burst profile (operators/timeseries.
+    burst_detect): per user, the max events in ANY trailing hour plus
+    when it peaked — one keyed range-frame window, state bounded by
+    the window span."""
+    from aws_sdk_pandas_spark.operators.timeseries import burst_detect
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return burst_detect(
+        ev, ts_col="ts", by=["user_id"], window="1 hour", threshold=20
+    )
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness per user (operators/timeseries.
+    burstiness): inter-event-time dispersion separating scripted
+    cadence (B=-1) from organic (B~0) and bursty (B->1) traffic."""
+    from aws_sdk_pandas_spark.operators.timeseries import burstiness
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return burstiness(ev, ts_col="ts", by=["user_id"], tie_breakers=["event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4398,6 +4423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_nzv_screen": _q_nzv_orders,
         "orders_fdr_screen": _q_fdr_screen,
         "events_forecast_accuracy": _q_forecast_accuracy,
+        "events_burst_profile": _q_burst_profile,
+        "events_burstiness": _q_burstiness,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7761,5 +7788,53 @@ def oracle_sql() -> dict[str, str]:
             FROM naive
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "events_burst_profile": """
+            WITH base AS (
+                SELECT user_id, ts, EPOCH_US(ts) / 1e6 AS sec FROM events
+                WHERE ts IS NOT NULL
+            ), counted AS (
+                SELECT user_id, ts, sec,
+                       COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS inw
+                FROM base
+            ), peak AS (
+                SELECT user_id, ts AS peak_ts, inw,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY inw DESC, sec ASC) AS rk
+                FROM counted
+            ), agg AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(MAX(inw) AS BIGINT) AS max_in_window
+                FROM counted GROUP BY 1
+            )
+            SELECT agg.user_id, agg.n_events, agg.max_in_window,
+                   peak.peak_ts,
+                   (agg.max_in_window >= 20) AS burst
+            FROM agg JOIN peak USING (user_id)
+            WHERE peak.rk = 1
+            ORDER BY agg.user_id
+        """,
+        "events_burstiness": """
+            WITH gaps AS (
+                SELECT user_id,
+                       (EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))) / 1e6
+                           AS gap
+                FROM events WHERE ts IS NOT NULL
+            ), g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+            agg AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                       AVG(gap) AS mu,
+                       COALESCE(STDDEV_POP(gap), 0.0) AS sigma
+                FROM g GROUP BY 1
+            )
+            SELECT user_id, n_gaps,
+                   CAST(ROUND(mu, 6) AS DOUBLE) AS mean_gap_s,
+                   CAST(ROUND(sigma, 6) AS DOUBLE) AS std_gap_s,
+                   CAST(ROUND((sigma - mu) / NULLIF(sigma + mu, 0), 6) AS DOUBLE)
+                       AS burstiness
+            FROM agg
+            ORDER BY user_id
         """,
     }

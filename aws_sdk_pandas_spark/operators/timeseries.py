@@ -1020,3 +1020,100 @@ def forecast_accuracy(
             "mase"
         ),
     ).orderBy(*keys)
+
+
+def burst_detect(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    by: list[str] | None = None,
+    window: str = "60 seconds",
+    threshold: int | None = None,
+    round_to: int = 3,
+) -> DataFrame:
+    """Per-entity burst profile: the maximum number of events falling
+    in ANY trailing time window (exact scan statistic, not bucketed —
+    a burst straddling a bucket boundary can't hide), plus when it
+    peaked — the bot/DDoS/scraper screen rate-limiting decisions need.
+    Returns ``by..., n_events, max_in_window, peak_ts, burst`` (burst
+    only when ``threshold`` given).
+
+    ONE keyed range-frame window (state bounded by events inside the
+    window span, never the series) + one aggregation; `max_by` picks
+    the earliest peak deterministically via a (count, -ts) struct.
+    """
+    import re as _re
+
+    m = _re.match(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*$", window)
+    if not m:
+        raise ValueError("window must look like '<n> seconds|minutes|hours|days'")
+    secs = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2)]
+    keys = list(by or [])
+    t = F.col(ts_col).cast("timestamp")
+    base = df.where(t.isNotNull()).withColumn(
+        "__sec", F.unix_micros(t) / F.lit(1e6)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__sec").asc())
+        .rangeBetween(-secs, 0)
+    )
+    counted = base.withColumn("__inw", F.count(F.lit(1)).over(w))
+    agg = counted.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__inw").alias("max_in_window"),
+        # earliest timestamp achieving the max: max_by on (count, -sec)
+        F.max_by(t, F.struct(F.col("__inw"), (-F.col("__sec")))).alias("peak_ts"),
+    )
+    out = agg
+    if threshold is not None:
+        out = out.withColumn("burst", F.col("max_in_window") >= threshold)
+    return out.orderBy(*keys)
+
+
+def burstiness(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    by: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Goh–Barabási burstiness index per entity: B = (σ−μ)/(σ+μ) over
+    inter-event times — −1 = metronome-regular (machine heartbeat),
+    0 = Poisson-random (organic), →1 = heavy-tailed bursts (human
+    sessions, incident storms).  The single number that separates
+    scripted traffic from people when rates alone look identical.
+    Returns ``by..., n_gaps, mean_gap_s, std_gap_s, burstiness``
+    (NULL for entities with <2 events or zero spread — a constant gap
+    IS B=−1 only when n_gaps≥2 and σ=0... which the σ+μ form handles:
+    σ=0 → B=−1 exactly).
+
+    One keyed lag window + one aggregation.
+    """
+    keys = list(by or [])
+    t = F.col(ts_col).cast("timestamp")
+    order = [t.asc()] + [F.col(c).asc() for c in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    base = df.where(t.isNotNull()).withColumn(
+        "__gap",
+        (F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) / F.lit(1e6),
+    )
+    gaps = base.where(F.col("__gap").isNotNull())
+    agg = gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("__gap").alias("__mu"),
+        F.coalesce(F.stddev_pop("__gap"), F.lit(0.0)).alias("__sigma"),
+    )
+    b = F.try_divide(
+        F.col("__sigma") - F.col("__mu"), F.col("__sigma") + F.col("__mu")
+    )
+    return agg.select(
+        *keys,
+        "n_gaps",
+        F.round("__mu", round_to).alias("mean_gap_s"),
+        F.round("__sigma", round_to).alias("std_gap_s"),
+        F.round(b, round_to).alias("burstiness"),
+    ).orderBy(*keys)

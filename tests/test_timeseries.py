@@ -734,3 +734,40 @@ def test_forecast_accuracy_matches_numpy(spark):
     assert got["big"].mae > 100 * got["small"].mae
     # good forecast beats seasonal naive
     assert got["small"].mase < 1.0
+
+
+def test_burst_detect_and_burstiness(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import burst_detect, burstiness
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # metronome: every 10s exactly (B -> -1), no burst
+    for i in range(30):
+        rows.append(("steady", t0 + timedelta(seconds=10 * i)))
+    # bursty bot: 20 events in 5s, then silence, then 20 more
+    for i in range(20):
+        rows.append(("bot", t0 + timedelta(seconds=0.25 * i)))
+    for i in range(20):
+        rows.append(("bot", t0 + timedelta(seconds=600 + 0.25 * i)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+
+    bd = {r.k: r for r in burst_detect(
+        df, ts_col="ts", by=["k"], window="60 seconds", threshold=15).collect()}
+    assert bd["steady"].max_in_window == 7      # 60s window at 10s cadence
+    assert not bd["steady"].burst
+    assert bd["bot"].max_in_window == 20 and bd["bot"].burst
+    # earliest peak: the 20th event of the first volley (index 19)
+    assert bd["bot"].peak_ts == t0 + timedelta(seconds=0.25 * 19)
+
+    bs = {r.k: r for r in burstiness(df, ts_col="ts", by=["k"]).collect()}
+    assert bs["steady"].burstiness == -1.0      # sigma=0 exactly
+    # serial recompute for the bot
+    gaps = [0.25] * 19 + [600 - 0.25 * 19] + [0.25] * 19
+    mu, sigma = float(np.mean(gaps)), float(np.std(gaps))
+    assert abs(bs["bot"].burstiness - round((sigma - mu) / (sigma + mu), 6)) < 1e-9
+    assert bs["bot"].burstiness > 0.5           # strongly bursty signature
+    assert bs["bot"].n_gaps == 39
