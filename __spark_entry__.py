@@ -4213,6 +4213,28 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(ev, ts_col="ts", by=["user_id"], tie_breakers=["event_id"])
 
 
+def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-DQ gate (vectors.embedding_health): NULL/NaN/zero/mixed-
+    dim counts + norm percentiles in ONE aggregation — run before any
+    index build on a fresh embedding batch."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.vectors import embedding_health
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return embedding_health(emb, vector_col="embedding")
+
+
+def _q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume monitor (dq.volume_anomalies): per-type daily
+    counts with robust median/MAD flags — the broken-feed screen whose
+    baseline is immune to the outliers it hunts."""
+    from aws_sdk_pandas_spark.dq import volume_anomalies
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return volume_anomalies(ev, ts_col="ts", by=["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4425,6 +4447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_accuracy": _q_forecast_accuracy,
         "events_burst_profile": _q_burst_profile,
         "events_burstiness": _q_burstiness,
+        "emb_health_report": _q_embedding_health,
+        "events_volume_anomalies": _q_volume_anomalies,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7836,5 +7860,63 @@ def oracle_sql() -> dict[str, str]:
                        AS burstiness
             FROM agg
             ORDER BY user_id
+        """,
+        "emb_health_report": """
+            WITH base AS (
+                SELECT embedding AS v,
+                       CASE WHEN embedding IS NULL THEN NULL
+                            ELSE len(list_filter(embedding, x -> isnan(x))) > 0
+                       END AS has_nan,
+                       CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS d
+                FROM embeddings
+            ), norms AS (
+                SELECT *,
+                       CASE WHEN v IS NOT NULL AND NOT has_nan
+                            THEN SQRT(list_sum(list_transform(v, x -> x * x)))
+                       END AS nrm
+                FROM base
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   CAST(SUM(CASE WHEN COALESCE(has_nan, FALSE) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_nan,
+                   CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dims,
+                   CAST(MODE(d) AS INT) AS dim_mode,
+                   CAST(ROUND(quantile_cont(nrm, 0.01), 6) AS DOUBLE) AS norm_p01,
+                   CAST(ROUND(quantile_cont(nrm, 0.5), 6) AS DOUBLE) AS norm_p50,
+                   CAST(ROUND(quantile_cont(nrm, 0.99), 6) AS DOUBLE) AS norm_p99
+            FROM norms
+        """,
+        "events_volume_anomalies": """
+            WITH counts AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY 1, 2
+            ), med AS (
+                SELECT event_type, quantile_cont(n_rows, 0.5) AS m
+                FROM counts GROUP BY 1
+            ), j AS (
+                SELECT counts.*, med.m,
+                       ABS(n_rows - med.m) AS ad
+                FROM counts JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_cont(ad, 0.5) AS md
+                FROM j GROUP BY 1
+            )
+            SELECT j.event_type, j.day, j.n_rows,
+                   CAST(ROUND(j.m, 4) AS DOUBLE) AS median_n,
+                   CAST(ROUND(mad.md, 4) AS DOUBLE) AS mad_n,
+                   CAST(ROUND(CASE WHEN mad.md > 0
+                        THEN 0.6745 * (j.n_rows - j.m) / mad.md END, 4) AS DOUBLE)
+                       AS robust_z,
+                   CASE WHEN mad.md > 0
+                        THEN ABS(0.6745 * (j.n_rows - j.m) / mad.md) > 3.5
+                        ELSE j.n_rows != j.m END AS anomaly
+            FROM j JOIN mad USING (event_type)
+            ORDER BY j.event_type, j.day
         """,
     }

@@ -642,3 +642,65 @@ def near_zero_variance(
         "column string, n bigint, n_distinct bigint, top_value string, "
         "freq_ratio double, unique_pct double, nzv boolean",
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    by: list[str] | None = None,
+    z: float = 3.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Ingestion-volume monitoring: daily row counts per group with
+    robust median/MAD outlier flags — the "did yesterday's load drop
+    90% / double-ingest" screen that catches broken upstream feeds
+    before any content-level check can.  Returns ``by..., day, n_rows,
+    median_n, mad_n, robust_z, anomaly``; the median/MAD baseline is
+    immune to the very outliers it hunts (a mean/σ baseline lets one
+    double-ingest day mask a later drop).
+
+    Raw rows reduce to the (group, day) count table in one pass;
+    median/MAD are exact percentiles of that BOUNDED table per group,
+    broadcast back.  Zero-MAD groups (perfectly constant volume) flag
+    any deviation.
+    """
+    keys = list(by or [])
+    d = F.col(ts_col).cast("date")
+    counts = (
+        df.where(d.isNotNull())
+        .groupBy(*keys, d.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = counts.groupBy(*keys).agg(
+        F.percentile(F.col("n_rows"), F.lit(0.5)).alias("__med")
+    )
+    j = (
+        counts.join(F.broadcast(stats), keys)
+        if keys
+        else counts.crossJoin(F.broadcast(stats))
+    )
+    j = j.withColumn("__absdev", F.abs(F.col("n_rows") - F.col("__med")))
+    mads = j.groupBy(*keys).agg(
+        F.percentile(F.col("__absdev"), F.lit(0.5)).alias("__mad")
+    )
+    j2 = (
+        j.join(F.broadcast(mads), keys)
+        if keys
+        else j.crossJoin(F.broadcast(mads))
+    )
+    # 0.6745: the MAD->sigma consistency constant for the normal
+    rz = F.lit(0.6745) * (F.col("n_rows") - F.col("__med")) / F.col("__mad")
+    rz = F.when(F.col("__mad") > 0, rz)
+    anomaly = F.when(
+        F.col("__mad") > 0, F.abs(rz) > F.lit(float(z))
+    ).otherwise(F.col("n_rows") != F.col("__med"))
+    return j2.select(
+        *keys,
+        "day",
+        "n_rows",
+        F.round("__med", round_to).alias("median_n"),
+        F.round("__mad", round_to).alias("mad_n"),
+        F.round(rz, round_to).alias("robust_z"),
+        anomaly.alias("anomaly"),
+    ).orderBy(*keys, "day")

@@ -335,3 +335,49 @@ def delete_vector_bucket(spark: SparkSession, path: str, *, force: bool = False)
             "pass force=True to delete everything"
         )
     _fs.delete_objects(spark, path)
+
+
+def embedding_health(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row health report for an embedding column — the vector-DQ
+    gate to run BEFORE building any index on a fresh batch (a model
+    rollout that starts emitting zero vectors or NaNs silently poisons
+    every downstream similarity): ``n, n_null, n_nan, n_zero, n_dims,
+    dim_mode, norm_p01, norm_p50, norm_p99``.
+
+    - ``n_nan``: vectors containing any NaN coordinate.
+    - ``n_zero``: exact all-zero vectors (cosine-undefined).
+    - ``n_dims``: DISTINCT dimensionalities observed (anything but 1
+      means a mixed batch — fail fast).
+    - norm percentiles: collapsed-embedding detection (a norm
+      distribution that suddenly tightens toward 0 is the classic
+      collapse signature).
+
+    ONE aggregation; norms via a JVM fold, no Python.
+    """
+    v = F.col(vector_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    is_zero = ~has_nan & (norm == 0.0)
+    base = df.select(
+        v.alias("__v"),
+        has_nan.alias("__nan"),
+        F.when(v.isNotNull() & ~has_nan, norm).alias("__norm"),
+        is_zero.alias("__zero"),
+        F.size(v).alias("__d"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__v").isNull().cast("int")).alias("n_null"),
+        F.sum(F.coalesce(F.col("__nan"), F.lit(False)).cast("int")).alias("n_nan"),
+        F.sum(F.coalesce(F.col("__zero"), F.lit(False)).cast("int")).alias("n_zero"),
+        F.countDistinct(F.when(F.col("__d") >= 0, F.col("__d"))).alias("n_dims"),
+        F.mode("__d").alias("dim_mode"),
+        F.round(F.percentile(F.col("__norm"), F.lit(0.01)), round_to).alias("norm_p01"),
+        F.round(F.percentile(F.col("__norm"), F.lit(0.5)), round_to).alias("norm_p50"),
+        F.round(F.percentile(F.col("__norm"), F.lit(0.99)), round_to).alias("norm_p99"),
+    )

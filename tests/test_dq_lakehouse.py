@@ -255,3 +255,32 @@ def test_near_zero_variance(spark):
     assert not got["c_id"].nzv and got["c_id"].unique_pct == 100.0
     assert not got["id"].nzv
     assert got["c_skew"].top_value == "a" and got["c_skew"].n == 1000
+
+
+def test_volume_anomalies(spark):
+    import datetime as dtm
+
+    from aws_sdk_pandas_spark.dq import volume_anomalies
+
+    base = dtm.date(2024, 2, 1)
+    rows = []
+    # feed A: ~100/day for 14 days, one collapsed day at 5
+    for day in range(14):
+        n = 5 if day == 9 else 100 + (day % 3)
+        rows += [("A", base + dtm.timedelta(days=day))] * n
+    # feed B: perfectly constant 50 — zero MAD, then one changed day
+    for day in range(10):
+        rows += [("B", base + dtm.timedelta(days=day))] * (50 if day != 7 else 60)
+    df = spark.createDataFrame(rows, "feed string, d date")
+    got = {(r.feed, r.day): r for r in volume_anomalies(
+        df, ts_col="d", by=["feed"]).collect()}
+
+    collapsed = got[("A", base + dtm.timedelta(days=9))]
+    assert collapsed.anomaly and collapsed.n_rows == 5
+    normal = [r for (f, _), r in got.items() if f == "A" and r.n_rows >= 100]
+    assert all(not r.anomaly for r in normal)
+    # the robust baseline ignored the collapsed day
+    assert collapsed.median_n >= 100
+    # zero-MAD constant feed: only the deviating day flags
+    b_flags = [d for (f, d), r in got.items() if f == "B" and r.anomaly]
+    assert b_flags == [base + dtm.timedelta(days=7)]

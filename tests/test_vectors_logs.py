@@ -359,3 +359,26 @@ def test_diverse_subset_matches_serial_greedy(spark):
         df.repartition(11), 4, id_col="vid", vector_col="embedding"
     ).collect()
     assert [r.vid for r in again] == chosen
+
+
+def test_embedding_health(spark):
+    import math
+
+    from aws_sdk_pandas_spark.vectors import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero vector
+        (3, [float("nan"), 1.0]),   # NaN coordinate
+        (4, None),                  # NULL vector
+        (5, [1.0, 0.0, 0.0]),       # wrong dimensionality
+        (6, [6.0, 8.0]),            # norm 10
+    ]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    r = embedding_health(df).collect()[0]
+    assert r.n == 6 and r.n_null == 1 and r.n_nan == 1 and r.n_zero == 1
+    assert r.n_dims == 2 and r.dim_mode == 2
+    # norm percentiles over the 4 valid-norm vectors {0, 1, 5, 10}:
+    # p50 interpolates 1..5 -> 3
+    assert abs(r.norm_p50 - 3.0) < 1e-9
+    assert r.norm_p99 > 9.0 and r.norm_p01 < 1.0
