@@ -7769,10 +7769,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM ranked, m
             )
             SELECT o_orderkey, p, rank,
-                   CAST(ROUND(MIN(a) OVER (ORDER BY p DESC
+                   CAST(ROUND(MIN(a) OVER (ORDER BY rank DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        AS DOUBLE) AS q_value,
-                   (ROUND(MIN(a) OVER (ORDER BY p DESC
+                   (ROUND(MIN(a) OVER (ORDER BY rank DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        <= 0.05) AS rejected
             FROM adj
@@ -7784,11 +7784,6 @@ def oracle_sql() -> dict[str, str]:
                        LAG(value) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS f
                 FROM events
-            ), base AS (
-                SELECT event_type, y, f,
-                       ROW_NUMBER() OVER (PARTITION BY event_type
-                           ORDER BY 1) AS dummy
-                FROM lagged WHERE f IS NOT NULL AND y IS NOT NULL
             ), naive AS (
                 SELECT event_type, y, f,
                        ABS(y - LAG(y) OVER (PARTITION BY event_type
@@ -7867,11 +7862,15 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN embedding IS NULL THEN NULL
                             ELSE len(list_filter(embedding, x -> isnan(x))) > 0
                        END AS has_nan,
+                       CASE WHEN embedding IS NULL THEN NULL
+                            ELSE len(list_filter(embedding, x -> x IS NULL)) > 0
+                       END AS has_nullc,
                        CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS d
                 FROM embeddings
             ), norms AS (
                 SELECT *,
-                       CASE WHEN v IS NOT NULL AND NOT has_nan
+                       CASE WHEN v IS NOT NULL AND NOT COALESCE(has_nan, FALSE)
+                                 AND NOT COALESCE(has_nullc, FALSE)
                             THEN SQRT(list_sum(list_transform(v, x -> x * x)))
                        END AS nrm
                 FROM base
@@ -7881,6 +7880,8 @@ def oracle_sql() -> dict[str, str]:
                        AS n_null,
                    CAST(SUM(CASE WHEN COALESCE(has_nan, FALSE) THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_nan,
+                   CAST(SUM(CASE WHEN COALESCE(has_nullc, FALSE) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null_coord,
                    CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_zero,
                    CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dims,
@@ -7891,11 +7892,24 @@ def oracle_sql() -> dict[str, str]:
             FROM norms
         """,
         "events_volume_anomalies": """
-            WITH counts AS (
+            WITH observed AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
                        CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events WHERE ts IS NOT NULL
                 GROUP BY 1, 2
+            ), span AS (
+                SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+                FROM observed GROUP BY 1
+            ), grid AS (
+                SELECT event_type,
+                       CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                   CAST(hi AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span
+            ), counts AS (
+                SELECT grid.event_type, grid.day,
+                       CAST(COALESCE(observed.n_rows, 0) AS BIGINT) AS n_rows
+                FROM grid LEFT JOIN observed USING (event_type, day)
             ), med AS (
                 SELECT event_type, quantile_cont(n_rows, 0.5) AS m
                 FROM counts GROUP BY 1

@@ -612,16 +612,20 @@ def near_zero_variance(
     n_rows = df.count()
     out = []
     for c in use:
-        freqs = (
+        # ONE full scan per column: the frequency table is
+        # value-cardinality-bounded and localCheckpointed, then top-2,
+        # distinct count and null presence all read the cached table
+        freq_tbl = (
             df.groupBy(F.col(c).cast("string").alias("__v"))
             .agg(F.count(F.lit(1)).alias("__n"))
-            .orderBy(F.col("__n").desc(), F.col("__v").asc_nulls_last())
+            .localCheckpoint(eager=True)
+        )
+        freqs = (
+            freq_tbl.orderBy(F.col("__n").desc(), F.col("__v").asc_nulls_last())
             .limit(2)
             .collect()
         )
-        n_distinct = df.select(F.countDistinct(F.col(c).cast("string"))).collect()[0][0]
-        has_null = df.where(F.col(c).isNull()).head(1)
-        n_vals = n_distinct + (1 if has_null else 0)
+        n_vals = freq_tbl.count()
         top = freqs[0]["__n"] if freqs else 0
         second = freqs[1]["__n"] if len(freqs) > 1 else 0
         ratio = float(top) / second if second else float("inf")
@@ -667,10 +671,22 @@ def volume_anomalies(
     """
     keys = list(by or [])
     d = F.col(ts_col).cast("date")
-    counts = (
+    observed = (
         df.where(d.isNotNull())
         .groupBy(*keys, d.alias("day"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # densify: a TOTAL outage day produces no count row at all — the
+    # worst anomaly this monitor exists for — so each group gets its
+    # full day grid and missing days read n_rows = 0
+    span = observed.groupBy(*keys).agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    grid = span.select(
+        *keys, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    counts = grid.join(observed, keys + ["day"], "left").withColumn(
+        "n_rows", F.coalesce(F.col("n_rows"), F.lit(0))
     )
     stats = counts.groupBy(*keys).agg(
         F.percentile(F.col("n_rows"), F.lit(0.5)).alias("__med")

@@ -909,11 +909,15 @@ def fdr_correct(
     p = F.col(p_col).cast("double")
     base = df.where(p.isNotNull())
     w_rank = Window.orderBy(p.asc())
-    w_suffix = Window.orderBy(p.desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     m = base.count()
     ranked = base.withColumn("rank", F.row_number().over(w_rank))
+    # suffix-min scans by RANK desc (a total order), not p desc: tied
+    # p-values share adj only through rank, and a p-ordered scan frame
+    # is nondeterministic among ties — BH would reject one of two
+    # identical p-values and flip which between runs
+    w_suffix = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     adj = F.least(F.lit(1.0), p * F.lit(float(m)) / F.col("rank"))
     out = ranked.withColumn("__adj", adj).withColumn(
         "q_value", F.round(F.min("__adj").over(w_suffix), round_to)

@@ -988,28 +988,36 @@ def forecast_accuracy(
     keys = list(by or [])
     y = F.col(actual_col).cast("double")
     f = F.col(forecast_col).cast("double")
-    base = df.where(y.isNotNull() & f.isNotNull())
     err = y - f
     sm_den = F.abs(y) + F.abs(f)
     sm_term = F.when(sm_den > 0, F.lit(2.0) * F.abs(err) / sm_den)
-    if ts_col is not None:
-        # tie_breakers make the naive-lag order total — tied timestamps
-        # would otherwise make MASE partition-order-dependent
-        order = [F.col(ts_col).asc()] + [
-            F.col(c).asc() for c in (tie_breakers or [])
-        ]
-        w = Window.partitionBy(*keys).orderBy(*order)
-        naive = F.abs(y - F.lag(y, season).over(w))
-        base = base.withColumn("__naive", naive)
-    else:
-        base = base.withColumn("__naive", F.lit(None).cast("double"))
-    agg = base.groupBy(*keys).agg(
+    scored = df.where(y.isNotNull() & f.isNotNull())
+    agg = scored.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.abs(err)).alias("__mae"),
         F.sqrt(F.avg(err * err)).alias("__rmse"),
         F.avg(sm_term).alias("__smape"),
-        F.avg("__naive").alias("__naive_mae"),
     )
+    if ts_col is not None:
+        # the naive benchmark runs over ALL actuals (filtered only on
+        # y), BEFORE the forecast filter: dropping forecast-less rows
+        # first would stretch the "seasonal" lag across gaps and score
+        # MASE against a corrupted benchmark
+        order = [F.col(ts_col).asc()] + [
+            F.col(c).asc() for c in (tie_breakers or [])
+        ]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        actuals = df.where(y.isNotNull()).withColumn(
+            "__naive", F.abs(y - F.lag(y, season).over(w))
+        )
+        nmae = actuals.groupBy(*keys).agg(F.avg("__naive").alias("__naive_mae"))
+        agg = (
+            agg.join(nmae, keys)
+            if keys
+            else agg.crossJoin(nmae)
+        )
+    else:
+        agg = agg.withColumn("__naive_mae", F.lit(None).cast("double"))
     return agg.select(
         *keys,
         "n",
@@ -1029,7 +1037,6 @@ def burst_detect(
     by: list[str] | None = None,
     window: str = "60 seconds",
     threshold: int | None = None,
-    round_to: int = 3,
 ) -> DataFrame:
     """Per-entity burst profile: the maximum number of events falling
     in ANY trailing time window (exact scan statistic, not bucketed —
@@ -1042,14 +1049,11 @@ def burst_detect(
     window span, never the series) + one aggregation; `max_by` picks
     the earliest peak deterministically via a (count, -ts) struct.
     """
-    import re as _re
+    from aws_sdk_pandas_spark.operators.rangejoin import _parse_duration_seconds
 
-    m = _re.match(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*$", window)
-    if not m:
-        raise ValueError("window must look like '<n> seconds|minutes|hours|days'")
-    secs = int(m.group(1)) * {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400
-    }[m.group(2)]
+    secs = int(round(_parse_duration_seconds(window)))
+    if secs < 1:
+        raise ValueError("window must be at least 1 second")
     keys = list(by or [])
     t = F.col(ts_col).cast("timestamp")
     base = df.where(t.isNotNull()).withColumn(
@@ -1086,10 +1090,10 @@ def burstiness(
     0 = Poisson-random (organic), →1 = heavy-tailed bursts (human
     sessions, incident storms).  The single number that separates
     scripted traffic from people when rates alone look identical.
-    Returns ``by..., n_gaps, mean_gap_s, std_gap_s, burstiness``
-    (NULL for entities with <2 events or zero spread — a constant gap
-    IS B=−1 only when n_gaps≥2 and σ=0... which the σ+μ form handles:
-    σ=0 → B=−1 exactly).
+    Returns ``by..., n_gaps, mean_gap_s, std_gap_s, burstiness``.
+    Entities with <2 events have no gaps and are OMITTED (left-join
+    this report back to an entity list if you need them as NULL rows);
+    a perfectly constant gap gives B = −1 exactly (σ=0).
 
     One keyed lag window + one aggregation.
     """

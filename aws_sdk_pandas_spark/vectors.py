@@ -350,6 +350,9 @@ def embedding_health(
     dim_mode, norm_p01, norm_p50, norm_p99``.
 
     - ``n_nan``: vectors containing any NaN coordinate.
+    - ``n_null_coord``: vectors containing a NULL coordinate (a model
+      emitting them is the same corruption class as NaN, and they would
+      otherwise vanish from every other counter).
     - ``n_zero``: exact all-zero vectors (cosine-undefined).
     - ``n_dims``: DISTINCT dimensionalities observed (anything but 1
       means a mixed batch — fail fast).
@@ -361,12 +364,17 @@ def embedding_health(
     """
     v = F.col(vector_col)
     has_nan = F.exists(v, lambda x: F.isnan(x))
+    has_null_coord = F.exists(v, lambda x: x.isNull())
+    bad = F.coalesce(has_nan, F.lit(False)) | F.coalesce(
+        has_null_coord, F.lit(False)
+    )
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    is_zero = ~has_nan & (norm == 0.0)
+    is_zero = ~bad & (norm == 0.0)
     base = df.select(
         v.alias("__v"),
         has_nan.alias("__nan"),
-        F.when(v.isNotNull() & ~has_nan, norm).alias("__norm"),
+        has_null_coord.alias("__nullc"),
+        F.when(v.isNotNull() & ~bad, norm).alias("__norm"),
         is_zero.alias("__zero"),
         F.size(v).alias("__d"),
     )
@@ -374,6 +382,9 @@ def embedding_health(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("__v").isNull().cast("int")).alias("n_null"),
         F.sum(F.coalesce(F.col("__nan"), F.lit(False)).cast("int")).alias("n_nan"),
+        F.sum(F.coalesce(F.col("__nullc"), F.lit(False)).cast("int")).alias(
+            "n_null_coord"
+        ),
         F.sum(F.coalesce(F.col("__zero"), F.lit(False)).cast("int")).alias("n_zero"),
         F.countDistinct(F.when(F.col("__d") >= 0, F.col("__d"))).alias("n_dims"),
         F.mode("__d").alias("dim_mode"),

@@ -277,6 +277,13 @@ def test_volume_anomalies(spark):
 
     collapsed = got[("A", base + dtm.timedelta(days=9))]
     assert collapsed.anomaly and collapsed.n_rows == 5
+    # a TOTAL outage day (zero rows) must appear via the day grid
+    rows2 = [("C", base)] * 40 + [("C", base + dtm.timedelta(days=2))] * 40
+    got2 = {r.day: r for r in volume_anomalies(
+        spark.createDataFrame(rows2, "feed string, d date"),
+        ts_col="d", by=["feed"]).collect()}
+    gap = got2[base + dtm.timedelta(days=1)]
+    assert gap.n_rows == 0 and gap.anomaly
     normal = [r for (f, _), r in got.items() if f == "A" and r.n_rows >= 100]
     assert all(not r.anomaly for r in normal)
     # the robust baseline ignored the collapsed day

@@ -593,3 +593,20 @@ def test_fdr_correct_matches_serial_bh(spark):
     byp = sorted(got.values(), key=lambda r: r.p)
     qs = [r.q_value for r in byp]
     assert qs == sorted(qs)
+
+
+def test_fdr_correct_ties_deterministic(spark):
+    """Tied p-values must share the SAME q-value (BH assigns the min
+    over the suffix by rank, which spans both ties) — regression for
+    the p-ordered suffix scan that split ties nondeterministically."""
+    from aws_sdk_pandas_spark.operators.stats import fdr_correct
+
+    rows = [(1, 0.001), (2, 0.04), (3, 0.04), (4, 0.9), (5, 1.0), (6, 1.0)]
+    df = spark.createDataFrame(rows, "id long, p double")
+    got = {r.id: r for r in fdr_correct(df, p_col="p", alpha=0.1).collect()}
+    assert got[2].q_value == got[3].q_value
+    assert got[2].rejected == got[3].rejected
+    assert got[5].q_value == got[6].q_value == 1.0
+    # serial BH on this table
+    m = 6
+    assert abs(got[2].q_value - round(min(0.04 * m / 3, 0.9 * m / 4, 1.0), 6)) < 1e-9

@@ -373,10 +373,12 @@ def test_embedding_health(spark):
         (4, None),                  # NULL vector
         (5, [1.0, 0.0, 0.0]),       # wrong dimensionality
         (6, [6.0, 8.0]),            # norm 10
+        (7, [None, 1.0]),           # NULL coordinate: its own counter
     ]
     df = spark.createDataFrame(rows, "id int, embedding array<double>")
     r = embedding_health(df).collect()[0]
-    assert r.n == 6 and r.n_null == 1 and r.n_nan == 1 and r.n_zero == 1
+    assert r.n == 7 and r.n_null == 1 and r.n_nan == 1 and r.n_zero == 1
+    assert r.n_null_coord == 1
     assert r.n_dims == 2 and r.dim_mode == 2
     # norm percentiles over the 4 valid-norm vectors {0, 1, 5, 10}:
     # p50 interpolates 1..5 -> 3
