@@ -39,6 +39,59 @@ from aws_sdk_pandas_spark.operators.timeseries import (
 )
 from aws_sdk_pandas_spark.operators.pipeline import build_rag_index, rag_search
 
+from aws_sdk_pandas_spark.operators.behavior import (
+    cohort_ltv,
+    event_transitions,
+    rfm_segments,
+    rolling_active_users,
+    step_latency,
+    survival_curve,
+    top_paths,
+    window_funnel,
+)
+from aws_sdk_pandas_spark.operators.evaluation import (
+    apply_isotonic,
+    binary_metrics,
+    calibration_curve,
+    confusion_at,
+    fit_isotonic,
+    lift_curve,
+    roc_curve,
+)
+from aws_sdk_pandas_spark.operators.features import (
+    frequency_encode,
+    target_encode,
+    woe_iv,
+)
+from aws_sdk_pandas_spark.operators.itemsets import item_similarity
+from aws_sdk_pandas_spark.operators.skyline import pareto_front
+from aws_sdk_pandas_spark.operators.stats import (
+    ab_test,
+    apply_conformal,
+    apply_ols,
+    benford_test,
+    bootstrap_ci,
+    chi_square_test,
+    cuped_adjust,
+    diff_in_diff,
+    fdr_correct,
+    fit_conformal,
+    fit_ols,
+    gini_coefficient,
+    ks_test,
+    mann_whitney_u,
+    mutual_information,
+)
+from aws_sdk_pandas_spark.operators.timeseries import (
+    burst_detect,
+    burstiness,
+    forecast_accuracy,
+    holt_winters,
+    p_chart,
+)
+from aws_sdk_pandas_spark.operators.sampling import balance_classes
+from aws_sdk_pandas_spark.operators.similarity import diverse_subset
+
 __all__ = [
     "autocorr",
     "bm25_scores",
@@ -67,4 +120,46 @@ __all__ = [
     "similarity_join",
     "tfidf_top_terms",
     "upsert_dataframe",
+    "cohort_ltv",
+    "event_transitions",
+    "rfm_segments",
+    "rolling_active_users",
+    "step_latency",
+    "survival_curve",
+    "top_paths",
+    "window_funnel",
+    "apply_isotonic",
+    "binary_metrics",
+    "calibration_curve",
+    "confusion_at",
+    "fit_isotonic",
+    "lift_curve",
+    "roc_curve",
+    "frequency_encode",
+    "target_encode",
+    "woe_iv",
+    "item_similarity",
+    "pareto_front",
+    "ab_test",
+    "apply_conformal",
+    "apply_ols",
+    "benford_test",
+    "bootstrap_ci",
+    "chi_square_test",
+    "cuped_adjust",
+    "diff_in_diff",
+    "fdr_correct",
+    "fit_conformal",
+    "fit_ols",
+    "gini_coefficient",
+    "ks_test",
+    "mann_whitney_u",
+    "mutual_information",
+    "burst_detect",
+    "burstiness",
+    "forecast_accuracy",
+    "holt_winters",
+    "p_chart",
+    "balance_classes",
+    "diverse_subset",
 ]
