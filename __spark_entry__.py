@@ -4235,6 +4235,23 @@ def _q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(ev, ts_col="ts", by=["event_type"])
 
 
+def _q_join_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join diagnostic (dq.join_health): orders-vs-customer
+    match rates, key multiplicities, and the EXACT inner-join output
+    size — computed from distinct-key count tables without running the
+    join."""
+    from aws_sdk_pandas_spark.dq import join_health
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    return join_health(o, c, ["custkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4449,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": _q_burstiness,
         "emb_health_report": _q_embedding_health,
         "events_volume_anomalies": _q_volume_anomalies,
+        "orders_join_health": _q_join_health,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7932,5 +7950,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE j.n_rows != j.m END AS anomaly
             FROM j JOIN mad USING (event_type)
             ORDER BY j.event_type, j.day
+        """,
+        "orders_join_health": """
+            WITH lk AS (
+                SELECT o_custkey AS k, COUNT(*) AS cl FROM orders
+                WHERE o_custkey IS NOT NULL GROUP BY 1
+            ), rk AS (
+                SELECT c_custkey AS k, COUNT(*) AS cr FROM customer
+                WHERE c_custkey IS NOT NULL GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(lk.k, rk.k) AS k, lk.cl, rk.cr
+                FROM lk FULL JOIN rk ON lk.k = rk.k
+            ), t AS (
+                SELECT (SELECT COUNT(*) FROM orders) AS n_left,
+                       (SELECT COUNT(*) FROM customer) AS n_right
+            )
+            SELECT CAST(t.n_left AS BIGINT) AS n_left,
+                   CAST(t.n_right AS BIGINT) AS n_right,
+                   CAST(COUNT(CASE WHEN cl IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_keys_left,
+                   CAST(COUNT(CASE WHEN cr IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_keys_right,
+                   CAST(COUNT(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS n_keys_common,
+                   CAST(ROUND(SUM(CASE WHEN cr IS NOT NULL THEN cl ELSE 0 END)
+                              / CAST(t.n_left AS DOUBLE), 6) AS DOUBLE)
+                       AS match_rate_left,
+                   CAST(ROUND(SUM(CASE WHEN cl IS NOT NULL THEN cr ELSE 0 END)
+                              / CAST(t.n_right AS DOUBLE), 6) AS DOUBLE)
+                       AS match_rate_right,
+                   CAST(MAX(cl) AS BIGINT) AS max_mult_left,
+                   CAST(MAX(cr) AS BIGINT) AS max_mult_right,
+                   CAST(SUM(COALESCE(cl, 0) * COALESCE(cr, 0)) AS BIGINT)
+                       AS est_output_rows
+            FROM j, t
+            GROUP BY t.n_left, t.n_right
         """,
     }

@@ -720,3 +720,75 @@ def volume_anomalies(
         F.round(rz, round_to).alias("robust_z"),
         anomaly.alias("anomaly"),
     ).orderBy(*keys, "day")
+
+
+def join_health(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pre-flight diagnostic for a join — the "why did my join explode
+    / lose rows" report, computed WITHOUT running the join: ONE row
+    ``n_left, n_right, n_keys_left, n_keys_right, n_keys_common,
+    match_rate_left, match_rate_right, max_mult_left, max_mult_right,
+    est_output_rows``.  ``est_output_rows`` is EXACT for an inner
+    equi-join (Σ over common keys of count_l·count_r) — read it before
+    committing a 100 TB shuffle; a max multiplicity in the thousands
+    on both sides is the many-to-many explosion, a low match rate is
+    the silent row loss.
+
+    Both sides reduce to distinct-key count tables FIRST, so every
+    stage after the two scans is bounded by key cardinality; the key
+    tables join on the key.  NULL keys never match in SQL joins and
+    are excluded from both key tables (their rows still count in
+    n_left/n_right — the match rates expose them).
+    """
+    def keyed(df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for c in on:
+            cond = cond & F.col(c).isNotNull()
+        return df.where(cond).groupBy(*on).agg(F.count(F.lit(1)).alias("__c"))
+
+    lk = keyed(left)
+    rk = keyed(right)
+    n_left = left.count()
+    n_right = right.count()
+    j = lk.withColumnRenamed("__c", "__cl").join(
+        rk.withColumnRenamed("__c", "__cr"), on, "full"
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("__cl").isNotNull(), 1)).alias("n_keys_left"),
+        F.count(F.when(F.col("__cr").isNotNull(), 1)).alias("n_keys_right"),
+        F.count(
+            F.when(F.col("__cl").isNotNull() & F.col("__cr").isNotNull(), 1)
+        ).alias("n_keys_common"),
+        F.sum(
+            F.when(F.col("__cr").isNotNull(), F.col("__cl")).otherwise(0)
+        ).alias("__matched_l"),
+        F.sum(
+            F.when(F.col("__cl").isNotNull(), F.col("__cr")).otherwise(0)
+        ).alias("__matched_r"),
+        F.max("__cl").alias("max_mult_left"),
+        F.max("__cr").alias("max_mult_right"),
+        F.sum(
+            F.coalesce(F.col("__cl"), F.lit(0)) * F.coalesce(F.col("__cr"), F.lit(0))
+        ).alias("est_output_rows"),
+    )
+    return agg.select(
+        F.lit(n_left).alias("n_left"),
+        F.lit(n_right).alias("n_right"),
+        "n_keys_left",
+        "n_keys_right",
+        "n_keys_common",
+        F.round(F.try_divide(F.col("__matched_l"), F.lit(n_left)), round_to).alias(
+            "match_rate_left"
+        ),
+        F.round(F.try_divide(F.col("__matched_r"), F.lit(n_right)), round_to).alias(
+            "match_rate_right"
+        ),
+        "max_mult_left",
+        "max_mult_right",
+        "est_output_rows",
+    )

@@ -291,3 +291,24 @@ def test_volume_anomalies(spark):
     # zero-MAD constant feed: only the deviating day flags
     b_flags = [d for (f, d), r in got.items() if f == "B" and r.anomaly]
     assert b_flags == [base + dtm.timedelta(days=7)]
+
+
+def test_join_health(spark):
+    from aws_sdk_pandas_spark.dq import join_health
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "z"), (2, "w"), (9, "q")], "k long, w string"
+    )
+    r = join_health(left, right, ["k"]).collect()[0]
+    assert (r.n_left, r.n_right) == (5, 5)
+    assert (r.n_keys_left, r.n_keys_right, r.n_keys_common) == (3, 3, 2)
+    # matched rows: left k in {1,2} -> 3 of 5; right k in {1,2} -> 4 of 5
+    assert abs(r.match_rate_left - 0.6) < 1e-9
+    assert abs(r.match_rate_right - 0.8) < 1e-9
+    assert (r.max_mult_left, r.max_mult_right) == (2, 3)
+    # exact inner-join size: k1 2x1 + k2 1x3 = 5
+    assert r.est_output_rows == 5
+    assert r.est_output_rows == left.join(right, "k").count()
