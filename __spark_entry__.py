@@ -4252,6 +4252,28 @@ def _q_join_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_health(o, c, ["custkey"])
 
 
+def _q_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric test (operators/stats.ratio_ab_test):
+    per-user purchase-per-view rate across an md5-deterministic split
+    — the CORRECT variance for a ratio of correlated sums; one moment
+    aggregation per group."""
+    from aws_sdk_pandas_spark.operators.stats import ratio_ab_test
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("purchases"),
+        F.sum((F.col("event_type") == "view").cast("int")).alias("views"),
+    ).withColumn(
+        "grp",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    return ratio_ab_test(
+        per_user, group_col="grp", num_col="purchases", den_col="views",
+        baseline="even",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4467,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_health_report": _q_embedding_health,
         "events_volume_anomalies": _q_volume_anomalies,
         "orders_join_health": _q_join_health,
+        "events_ratio_ab_test": _q_ratio_ab,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -7985,5 +8008,44 @@ def oracle_sql() -> dict[str, str]:
                        AS est_output_rows
             FROM j, t
             GROUP BY t.n_left, t.n_right
+        """,
+        "events_ratio_ab_test": """
+            WITH per_user AS (
+                SELECT user_id,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS purchases,
+                       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS views,
+                       CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+                FROM events GROUP BY user_id
+            ), stats AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS k,
+                       AVG(COALESCE(purchases, 0)) AS mn,
+                       AVG(COALESCE(views, 0)) AS md,
+                       VAR_SAMP(COALESCE(purchases, 0)) AS vn,
+                       VAR_SAMP(COALESCE(views, 0)) AS vd,
+                       COVAR_SAMP(COALESCE(purchases, 0), COALESCE(views, 0))
+                           AS vnd
+                FROM per_user GROUP BY 1
+            ), enr AS (
+                SELECT grp, k, mn / md AS r,
+                       (vn - 2 * (mn / md) * vnd
+                        + (mn / md) * (mn / md) * vd) / (k * md * md) AS vr
+                FROM stats
+            ), b AS (
+                SELECT k AS n_base, r AS r_base, vr AS vr_base
+                FROM enr WHERE grp = 'even'
+            )
+            SELECT enr.grp AS "group", b.n_base,
+                   enr.k AS n_treat,
+                   CAST(ROUND(b.r_base, 6) AS DOUBLE) AS ratio_base,
+                   CAST(ROUND(enr.r, 6) AS DOUBLE) AS ratio_treat,
+                   CAST(ROUND(enr.r - b.r_base, 6) AS DOUBLE) AS diff,
+                   CAST(ROUND(SQRT(enr.vr + b.vr_base), 6) AS DOUBLE) AS se,
+                   CAST(ROUND((enr.r - b.r_base) / SQRT(enr.vr + b.vr_base), 4)
+                        AS DOUBLE) AS z_score
+            FROM enr, b
+            WHERE enr.grp <> 'even'
+            ORDER BY "group"
         """,
     }

@@ -925,3 +925,72 @@ def fdr_correct(
     return out.drop("__adj").withColumn(
         "rejected", F.col("q_value") <= F.lit(float(alpha))
     )
+
+
+def ratio_ab_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    baseline,
+    round_to: int = 6,
+) -> DataFrame:
+    """A/B test for RATIO metrics (CTR = Σclicks/Σviews, revenue per
+    session) with the delta-method variance — the correct math where
+    `ab_test` on per-row ratios is wrong twice over: row-level ratios
+    weight every unit equally regardless of exposure, and the ratio of
+    sums is a ratio of two CORRELATED random totals whose variance the
+    naive per-unit σ²/n ignores.  Input is one row per randomization
+    UNIT (user: clicks, views); returns one row per non-baseline group
+    with ``group, n_base, n_treat, ratio_base, ratio_treat, diff, se,
+    z_score``.
+
+    Var(R) ≈ (σ_n² − 2R·σ_nd + R²·σ_d²) / (k·μ_d²) per group (Deng et
+    al.'s standard delta method); the se pools both groups.  ONE
+    moment aggregation per group (all map-side-combinable), baseline
+    broadcast as one row.  Units with NULL or zero denominator still
+    count (a user shown nothing IS part of the experiment) — drop them
+    upstream only if that's the intended estimand.
+    """
+    g = F.col(group_col)
+    n_ = F.coalesce(F.col(num_col).cast("double"), F.lit(0.0))
+    d_ = F.coalesce(F.col(den_col).cast("double"), F.lit(0.0))
+    stats = df.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.avg(n_).alias("mn"),
+        F.avg(d_).alias("md"),
+        F.var_samp(n_).alias("vn"),
+        F.var_samp(d_).alias("vd"),
+        F.covar_samp(n_, d_).alias("vnd"),
+    )
+    ratio = F.try_divide(F.col("mn"), F.col("md"))
+    var_r = F.try_divide(
+        F.col("vn")
+        - F.lit(2.0) * ratio * F.col("vnd")
+        + ratio * ratio * F.col("vd"),
+        F.col("k") * F.col("md") * F.col("md"),
+    )
+    enriched = stats.select(
+        "grp", "k", ratio.alias("r"), var_r.alias("vr")
+    )
+    base = enriched.where(F.col("grp") == F.lit(baseline)).select(
+        F.col("k").alias("n_base"),
+        F.col("r").alias("r_base"),
+        F.col("vr").alias("vr_base"),
+    )
+    if not base.head(1):
+        raise ValueError(f"baseline group {baseline!r} not present")
+    treat = enriched.where(F.col("grp") != F.lit(baseline))
+    j = treat.crossJoin(F.broadcast(base))  # ONE row
+    se = F.sqrt(F.col("vr") + F.col("vr_base"))
+    return j.select(
+        F.col("grp").alias("group"),
+        "n_base",
+        F.col("k").alias("n_treat"),
+        F.round("r_base", round_to).alias("ratio_base"),
+        F.round("r", round_to).alias("ratio_treat"),
+        F.round(F.col("r") - F.col("r_base"), round_to).alias("diff"),
+        F.round(se, round_to).alias("se"),
+        F.round(F.try_divide(F.col("r") - F.col("r_base"), se), 4).alias("z_score"),
+    ).orderBy("group")

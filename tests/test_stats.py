@@ -610,3 +610,46 @@ def test_fdr_correct_ties_deterministic(spark):
     # serial BH on this table
     m = 6
     assert abs(got[2].q_value - round(min(0.04 * m / 3, 0.9 * m / 4, 1.0), 6)) < 1e-9
+
+
+def test_ratio_ab_test_delta_method(spark):
+    rng = np.random.default_rng(107)
+    rows = []
+    # per-user exposures and clicks; treatment lifts CTR 0.10 -> 0.12
+    for grp, p in (("control", 0.10), ("treat", 0.12), ("null", 0.10)):
+        for u in range(1500):
+            views = int(rng.integers(1, 40))
+            clicks = int(rng.binomial(views, p))
+            rows.append((grp, float(clicks), float(views)))
+    rows.append(("control", None, 0.0))   # NULL num counts as 0
+    df = spark.createDataFrame(rows, "grp string, clicks double, views double")
+
+    from aws_sdk_pandas_spark.operators.stats import ratio_ab_test
+
+    got = {r.group: r for r in ratio_ab_test(
+        df, group_col="grp", num_col="clicks", den_col="views",
+        baseline="control",
+    ).collect()}
+
+    # serial delta-method recompute
+    def stats(g):
+        arr = [(c or 0.0, v) for gg, c, v in rows if gg == g]
+        n = np.array([a for a, _ in arr]); d = np.array([b for _, b in arr])
+        k = len(arr)
+        r = n.mean() / d.mean()
+        vr = (n.var(ddof=1) - 2 * r * np.cov(n, d, ddof=1)[0, 1]
+              + r * r * d.var(ddof=1)) / (k * d.mean() ** 2)
+        return k, r, vr
+
+    kc, rc, vc = stats("control")
+    for g in ("treat", "null"):
+        kt, rt, vt = stats(g)
+        r = got[g]
+        assert r.n_base == kc and r.n_treat == kt
+        assert abs(r.ratio_base - round(rc, 6)) < 1e-9
+        assert abs(r.ratio_treat - round(rt, 6)) < 1e-9
+        se = np.sqrt(vt + vc)
+        assert abs(r.se - round(float(se), 6)) < 1e-9
+        assert abs(r.z_score - round(float((rt - rc) / se), 4)) < 1e-9
+    assert got["treat"].z_score > 1.96      # real lift detected
+    assert abs(got["null"].z_score) < 1.96  # null passes
