@@ -4274,6 +4274,37 @@ def _q_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/offset completeness audit (dq.sequence_gaps): holes in the
+    per-user event_id sequence — distinct collapse then one keyed lag,
+    output bounded by the number of HOLES."""
+    from aws_sdk_pandas_spark.dq import sequence_gaps
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return sequence_gaps(ev, seq_col="event_id", by=["user_id"])
+
+
+def _q_ess_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size (operators/stats.
+    effective_sample_size) of the DSIR importance weights per language
+    — the honest n after weighting toward the English target."""
+    from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
+    from aws_sdk_pandas_spark.operators.stats import effective_sample_size
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    weighted = dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), buckets=512
+    ).withColumn(
+        # exp of the ROUNDED log-weight: the oracle re-derives weights
+        # from the 6-decimal form, and exp amplifies any mismatch
+        "w", F.exp(F.round(F.col("log_weight"), 6))
+    )
+    labeled = weighted.join(docs.select("doc_id", "lang"), "doc_id")
+    return effective_sample_size(labeled, weight_col="w", by=["lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4490,6 +4521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_volume_anomalies": _q_volume_anomalies,
         "orders_join_health": _q_join_health,
         "events_ratio_ab_test": _q_ratio_ab,
+        "events_sequence_gaps": _q_sequence_gaps,
+        "docs_dsir_ess": _q_ess_dsir,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -8047,5 +8080,67 @@ def oracle_sql() -> dict[str, str]:
             FROM enr, b
             WHERE enr.grp <> 'even'
             ORDER BY "group"
+        """,
+        "events_sequence_gaps": """
+            WITH du AS (
+                SELECT DISTINCT user_id, event_id FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+            ), lagged AS (
+                SELECT user_id, event_id,
+                       LAG(event_id) OVER (PARTITION BY user_id
+                           ORDER BY event_id) AS prev
+                FROM du
+            )
+            SELECT user_id,
+                   CAST(prev + 1 AS BIGINT) AS gap_start,
+                   CAST(event_id - 1 AS BIGINT) AS gap_end,
+                   CAST(event_id - prev - 1 AS BIGINT) AS n_missing
+            FROM lagged
+            WHERE prev IS NOT NULL AND event_id - prev > 1
+            ORDER BY user_id, gap_start
+        """,
+        "docs_dsir_ess": """
+            WITH rw AS (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS ws
+                        FROM documents),
+            rg AS (
+                SELECT doc_id, g FROM (
+                    SELECT doc_id, unnest(ws) AS g FROM rw
+                    UNION ALL
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+                    FROM rw
+                ) WHERE g <> ''
+            ),
+            rb AS (SELECT doc_id,
+                          ('0x' || substring(md5(g), 1, 8))::BIGINT % 512 AS b
+                   FROM rg),
+            tb AS (SELECT rb.doc_id, b FROM rb
+                   JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+            q AS (SELECT b, COUNT(*) AS qc FROM rb GROUP BY b),
+            p AS (SELECT b, COUNT(*) AS pc FROM tb GROUP BY b),
+            qt AS (SELECT SUM(qc) AS t FROM q),
+            pt AS (SELECT SUM(pc) AS t FROM p),
+            r AS (SELECT COALESCE(q.b, p.b) AS b,
+                         ln((COALESCE(pc, 0) + 1.0) / ((SELECT t FROM pt) + 512.0))
+                       - ln((COALESCE(qc, 0) + 1.0) / ((SELECT t FROM qt) + 512.0)) AS logr
+                  FROM q FULL OUTER JOIN p ON q.b = p.b),
+            sdoc AS (SELECT doc_id, SUM(logr) AS lw
+                     FROM rb JOIN r USING (b) GROUP BY doc_id),
+            wdoc AS (
+                SELECT d.doc_id, d.lang,
+                       EXP(ROUND(COALESCE(sdoc.lw, 0.0), 6)) AS w
+                FROM documents d LEFT JOIN sdoc USING (doc_id)
+            ), agg AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(w) AS sw, SUM(w * w) AS sw2
+                FROM wdoc WHERE w > 0 GROUP BY 1
+            )
+            SELECT lang, n,
+                   CAST(ROUND(sw * sw / sw2, 4) AS DOUBLE) AS ess,
+                   CAST(ROUND((sw * sw / sw2) / n, 4) AS DOUBLE) AS ess_ratio
+            FROM agg
+            ORDER BY lang
         """,
     }

@@ -792,3 +792,39 @@ def join_health(
         "max_mult_right",
         "est_output_rows",
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    *,
+    seq_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Missing-sequence-number audit for CDC/offset-addressed feeds: a
+    change log or Kafka-offset export claiming completeness should
+    cover every integer in its range — each hole is lost data.
+    Returns one row per gap: ``by..., gap_start, gap_end, n_missing``
+    (inclusive bounds of the missing run).  Duplicated sequence
+    numbers don't produce false gaps (distinct first).
+
+    Scale shape: distinct (group, seq) first — the volume collapse —
+    then ONE keyed lag window over the deduped table; only rows whose
+    predecessor is more than 1 behind emit a gap row, so output is
+    bounded by the number of HOLES, not the sequence length.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    s = F.col(seq_col).cast("long")
+    base = df.where(s.isNotNull()).select(*keys, s.alias("__s")).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("__s").asc())
+    lagged = base.withColumn("__prev", F.lag("__s").over(w))
+    gaps = lagged.where(
+        F.col("__prev").isNotNull() & (F.col("__s") - F.col("__prev") > 1)
+    )
+    return gaps.select(
+        *keys,
+        (F.col("__prev") + 1).alias("gap_start"),
+        (F.col("__s") - 1).alias("gap_end"),
+        (F.col("__s") - F.col("__prev") - 1).alias("n_missing"),
+    ).orderBy(*keys, "gap_start")

@@ -994,3 +994,39 @@ def ratio_ab_test(
         F.round(se, round_to).alias("se"),
         F.round(F.try_divide(F.col("r") - F.col("r_base"), se), 4).alias("z_score"),
     ).orderBy("group")
+
+
+def effective_sample_size(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    by: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Kish effective sample size for weighted data: ESS = (Σw)²/Σw² —
+    the honest n after importance weighting (`dsir_importance_weights`,
+    survey calibration, inverse-propensity).  A 10M-row corpus whose
+    DSIR weights concentrate on 40k rows has ESS ≈ 40k: that's the
+    sample size your variance actually reflects, and reading anything
+    downstream as if n were 10M is self-deception.  Returns ``by...,
+    n, ess, ess_ratio`` (ratio = ESS/n; < 0.1 means the weighting has
+    effectively discarded 90%+ of the data — reconsider the target).
+
+    ONE map-side-combinable aggregation; non-positive and NULL weights
+    are excluded (they carry no sampling mass).
+    """
+    keys = list(by or [])
+    w = F.col(weight_col).cast("double")
+    base = df.where(w.isNotNull() & (w > 0))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("__sw"),
+        F.sum(w * w).alias("__sw2"),
+    )
+    ess = F.try_divide(F.col("__sw") * F.col("__sw"), F.col("__sw2"))
+    return agg.select(
+        *keys,
+        "n",
+        F.round(ess, round_to).alias("ess"),
+        F.round(F.try_divide(ess, F.col("n")), round_to).alias("ess_ratio"),
+    ).orderBy(*keys)

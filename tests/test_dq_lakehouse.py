@@ -312,3 +312,23 @@ def test_join_health(spark):
     # exact inner-join size: k1 2x1 + k2 1x3 = 5
     assert r.est_output_rows == 5
     assert r.est_output_rows == left.join(right, "k").count()
+
+
+def test_sequence_gaps(spark):
+    from aws_sdk_pandas_spark.dq import sequence_gaps
+
+    rows = (
+        [("p0", i) for i in [1, 2, 3, 7, 8, 12]]      # gaps 4-6 and 9-11
+        + [("p1", i) for i in [5, 5, 6, 7]]           # dup seq: no false gap
+        + [("p1", 9)]                                  # gap 8-8
+        + [("p2", 1)]                                  # single row: no gaps
+        + [("p0", None)]
+    )
+    df = spark.createDataFrame(rows, "part string, seq long")
+    got = [(r.part, r.gap_start, r.gap_end, r.n_missing)
+           for r in sequence_gaps(df, seq_col="seq", by=["part"]).collect()]
+    assert got == [
+        ("p0", 4, 6, 3),
+        ("p0", 9, 11, 3),
+        ("p1", 8, 8, 1),
+    ]

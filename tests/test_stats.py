@@ -653,3 +653,22 @@ def test_ratio_ab_test_delta_method(spark):
         assert abs(r.z_score - round(float((rt - rc) / se), 4)) < 1e-9
     assert got["treat"].z_score > 1.96      # real lift detected
     assert abs(got["null"].z_score) < 1.96  # null passes
+
+
+def test_effective_sample_size(spark):
+    from aws_sdk_pandas_spark.operators.stats import effective_sample_size
+
+    rows = (
+        [("uniform", 1.0)] * 100              # ESS = n
+        + [("skewed", 100.0)] + [("skewed", 0.01)] * 99   # mass on one row
+        + [("skewed", None), ("skewed", -5.0)]             # excluded
+    )
+    df = spark.createDataFrame(rows, "g string, w double")
+    got = {r.g: r for r in effective_sample_size(
+        df, weight_col="w", by=["g"]).collect()}
+    assert got["uniform"].ess == 100.0 and got["uniform"].ess_ratio == 1.0
+    sw = 100.0 + 99 * 0.01
+    sw2 = 100.0**2 + 99 * 0.01**2
+    assert abs(got["skewed"].ess - round(sw * sw / sw2, 4)) < 1e-9
+    assert got["skewed"].n == 100
+    assert got["skewed"].ess_ratio < 0.02     # weighting discarded the corpus
