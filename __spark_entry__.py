@@ -4305,6 +4305,40 @@ def _q_ess_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_sample_size(labeled, weight_col="w", by=["lang"])
 
 
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window metric coupling (operators/timeseries.
+    rolling_corr): value vs its square over a 1h window per event type
+    — one range-frame window carrying all five co-moment sums."""
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_corr
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id", "event_type", "ts",
+        F.col("value").alias("x"),
+        (F.col("value") * F.col("value")).alias("y"),
+    )
+    return (
+        rolling_corr(
+            base, ts_col="ts", x_col="x", y_col="y", by=["event_type"],
+            window_seconds=3600, min_points=5,
+        )
+        .select("event_id", "rolling_corr")
+        .orderBy("event_id")
+    )
+
+
+def _q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex + latency SLO summary (operators/stats.apdex): the
+    industry-standard satisfaction collapse with its percentiles, one
+    aggregation per event type (T=10)."""
+    from aws_sdk_pandas_spark.operators.stats import apdex
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return apdex(ev, latency_col="value", threshold=10.0, by=["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4523,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ratio_ab_test": _q_ratio_ab,
         "events_sequence_gaps": _q_sequence_gaps,
         "docs_dsir_ess": _q_ess_dsir,
+        "events_rolling_corr": _q_rolling_corr,
+        "events_apdex": _q_apdex,
         # rows-only (no SQL-expressible oracle):
         "emb_diverse_subset": _q_diverse_subset,
         "docs_vocab_stats": _q_vocab_stats,
@@ -8142,5 +8178,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((sw * sw / sw2) / n, 4) AS DOUBLE) AS ess_ratio
             FROM agg
             ORDER BY lang
+        """,
+        "events_rolling_corr": """
+            WITH base AS (
+                SELECT event_id, event_type, EPOCH_US(ts) / 1e6 AS sec,
+                       value AS x, value * value AS y
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), wind AS (
+                SELECT event_id,
+                       COUNT(*) OVER w AS n,
+                       SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                       SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+                       SUM(x * y) OVER w AS sxy
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id,
+                   CAST(ROUND(CASE WHEN n >= 5
+                                    AND sxx - sx * sx / n > 0
+                                    AND syy - sy * sy / n > 0
+                        THEN (sxy - sx * sy / n)
+                             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                        END, 6) AS DOUBLE) AS rolling_corr
+            FROM wind
+            ORDER BY event_id
+        """,
+        "events_apdex": """
+            WITH base AS (
+                SELECT event_type, value AS v FROM events
+                WHERE value IS NOT NULL AND value >= 0
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(CASE WHEN v <= 10.0 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+                       AS pct_satisfied,
+                   CAST(ROUND(SUM(CASE WHEN v > 10.0 AND v <= 40.0 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+                       AS pct_tolerating,
+                   CAST(ROUND(SUM(CASE WHEN v > 40.0 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+                       AS pct_frustrated,
+                   CAST(ROUND((SUM(CASE WHEN v <= 10.0 THEN 1 ELSE 0 END)
+                               + SUM(CASE WHEN v > 10.0 AND v <= 40.0
+                                     THEN 1 ELSE 0 END) / 2.0)
+                              / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS apdex,
+                   CAST(ROUND(quantile_cont(v, 0.5), 4) AS DOUBLE) AS p50,
+                   CAST(ROUND(quantile_cont(v, 0.95), 4) AS DOUBLE) AS p95,
+                   CAST(ROUND(quantile_cont(v, 0.99), 4) AS DOUBLE) AS p99
+            FROM base
+            GROUP BY event_type
+            ORDER BY event_type
         """,
     }

@@ -1030,3 +1030,54 @@ def effective_sample_size(
         F.round(ess, round_to).alias("ess"),
         F.round(F.try_divide(ess, F.col("n")), round_to).alias("ess_ratio"),
     ).orderBy(*keys)
+
+
+def apdex(
+    df: DataFrame,
+    *,
+    latency_col: str,
+    threshold: float,
+    by: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Apdex score + SLO compliance per group: satisfied (≤ T),
+    tolerating (≤ 4T, weight ½), frustrated (> 4T, weight 0) — the
+    industry-standard user-satisfaction collapse of a latency
+    distribution, reported alongside the raw compliance percentiles it
+    summarizes: ``by..., n, pct_satisfied, pct_tolerating,
+    pct_frustrated, apdex, p50, p95, p99``.
+
+    ONE aggregation (conditional counts + exact percentiles share the
+    pass).  NULL and negative latencies are excluded (a negative
+    latency is a clock bug, not a fast request).
+    """
+    keys = list(by or [])
+    v = F.col(latency_col).cast("double")
+    base = df.where(v.isNotNull() & (v >= 0))
+    t = float(threshold)
+    sat = (v <= t).cast("int")
+    tol = ((v > t) & (v <= 4 * t)).cast("int")
+    fru = (v > 4 * t).cast("int")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sat).alias("__s"),
+        F.sum(tol).alias("__t"),
+        F.sum(fru).alias("__f"),
+        F.round(F.percentile(v, F.lit(0.5)), round_to).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.95)), round_to).alias("p95"),
+        F.round(F.percentile(v, F.lit(0.99)), round_to).alias("p99"),
+    )
+    n_ = F.col("n")
+    return agg.select(
+        *keys,
+        "n",
+        F.round(F.try_divide(F.col("__s"), n_), round_to).alias("pct_satisfied"),
+        F.round(F.try_divide(F.col("__t"), n_), round_to).alias("pct_tolerating"),
+        F.round(F.try_divide(F.col("__f"), n_), round_to).alias("pct_frustrated"),
+        F.round(
+            F.try_divide(F.col("__s") + F.col("__t") / F.lit(2.0), n_), round_to
+        ).alias("apdex"),
+        "p50",
+        "p95",
+        "p99",
+    ).orderBy(*keys)

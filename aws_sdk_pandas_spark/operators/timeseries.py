@@ -1121,3 +1121,53 @@ def burstiness(
         F.round("__sigma", round_to).alias("std_gap_s"),
         F.round(b, round_to).alias("burstiness"),
     ).orderBy(*keys)
+
+
+def rolling_corr(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    window_seconds: float = 3600.0,
+    min_points: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two metrics of the
+    same series — the coupling-drift monitor ("latency used to track
+    load; since the deploy it doesn't"): adds ``rolling_corr`` per row
+    from the co-moments of the trailing window.  Windows with fewer
+    than ``min_points`` rows or zero spread yield NULL.
+
+    ONE keyed range-frame window computing the five co-moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy share the frame — Spark evaluates them
+    over one window spec); corr from guarded moments, no second pass.
+    Rows with NULL in either metric are excluded.
+    """
+    keys = list(by or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    t = F.col(ts_col).cast("timestamp")
+    base = df.where(x.isNotNull() & y.isNotNull() & t.isNotNull()).withColumn(
+        "__sec", F.unix_micros(t) / F.lit(1e6)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__sec").asc())
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    corr = F.when(
+        (n >= min_points) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return base.withColumn("rolling_corr", F.round(corr, round_to)).drop("__sec")

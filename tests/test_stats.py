@@ -672,3 +672,27 @@ def test_effective_sample_size(spark):
     assert abs(got["skewed"].ess - round(sw * sw / sw2, 4)) < 1e-9
     assert got["skewed"].n == 100
     assert got["skewed"].ess_ratio < 0.02     # weighting discarded the corpus
+
+
+def test_apdex(spark):
+    rows = (
+        [("api", 0.1)] * 70        # satisfied (T=0.5)
+        + [("api", 1.0)] * 20      # tolerating (<= 2.0)
+        + [("api", 5.0)] * 10      # frustrated
+        + [("api", None), ("api", -3.0)]
+        + [("db", 0.4)] * 4
+    )
+    df = spark.createDataFrame(rows, "svc string, lat double")
+
+    from aws_sdk_pandas_spark.operators.stats import apdex
+
+    got = {r.svc: r for r in apdex(
+        df, latency_col="lat", threshold=0.5, by=["svc"]).collect()}
+    a = got["api"]
+    assert a.n == 100
+    assert abs(a.pct_satisfied - 0.7) < 1e-9
+    assert abs(a.pct_tolerating - 0.2) < 1e-9
+    assert abs(a.pct_frustrated - 0.1) < 1e-9
+    assert abs(a.apdex - 0.8) < 1e-9       # (70 + 20/2)/100
+    assert a.p50 == 0.1 and a.p99 == 5.0
+    assert got["db"].apdex == 1.0

@@ -771,3 +771,36 @@ def test_burst_detect_and_burstiness(spark):
     assert abs(bs["bot"].burstiness - round((sigma - mu) / (sigma + mu), 6)) < 1e-9
     assert bs["bot"].burstiness > 0.5           # strongly bursty signature
     assert bs["bot"].n_gaps == 39
+
+
+def test_rolling_corr(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_corr
+
+    t0 = datetime(2024, 1, 1)
+    rng = np.random.default_rng(113)
+    xs = rng.normal(10, 2, 40)
+    # first half: y tracks x tightly; second half: decoupled
+    ys = np.where(
+        np.arange(40) < 20, 2 * xs + rng.normal(0, 0.1, 40), rng.normal(0, 2, 40)
+    )
+    rows = [("g", t0 + timedelta(seconds=30 * i), float(a), float(b))
+            for i, (a, b) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, x double, y double")
+    got = rolling_corr(
+        df, ts_col="ts", x_col="x", y_col="y", by=["g"],
+        window_seconds=300, min_points=5,
+    ).orderBy("ts").collect()
+
+    # serial recompute at a coupled and a decoupled point
+    for idx in (15, 39):
+        lo = max(0, idx - 10)  # 300s window at 30s cadence = 11 points
+        xx, yy = xs[lo:idx + 1], ys[lo:idx + 1]
+        want = float(np.corrcoef(xx, yy)[0, 1])
+        assert abs(got[idx].rolling_corr - round(want, 6)) < 1e-6, idx
+    assert got[15].rolling_corr > 0.99     # coupled regime
+    assert abs(got[39].rolling_corr) < 0.8 # decoupled regime
+    assert got[0].rolling_corr is None     # < min_points
