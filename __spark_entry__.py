@@ -8180,10 +8180,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang
         """,
         "events_rolling_corr": """
-            WITH base AS (
-                SELECT event_id, event_type, EPOCH_US(ts) / 1e6 AS sec,
-                       value AS x, value * value AS y
+            WITH raw AS (
+                SELECT event_id, event_type, EPOCH_US(ts) AS us,
+                       value AS x0, value * value AS y0
                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), m AS (
+                SELECT event_type, AVG(x0) AS mx, AVG(y0) AS my
+                FROM raw GROUP BY 1
+            ), base AS (
+                SELECT raw.event_id, raw.event_type, raw.us,
+                       raw.x0 - m.mx AS x, raw.y0 - m.my AS y
+                FROM raw JOIN m USING (event_type)
             ), wind AS (
                 SELECT event_id,
                        COUNT(*) OVER w AS n,
@@ -8191,8 +8198,8 @@ def oracle_sql() -> dict[str, str]:
                        SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
                        SUM(x * y) OVER w AS sxy
                 FROM base
-                WINDOW w AS (PARTITION BY event_type ORDER BY sec
-                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                WINDOW w AS (PARTITION BY event_type ORDER BY us
+                             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             )
             SELECT event_id,
                    CAST(ROUND(CASE WHEN n >= 5

@@ -746,15 +746,29 @@ def join_health(
     n_left/n_right — the match rates expose them).
     """
     def keyed(df: DataFrame) -> DataFrame:
-        cond = F.lit(True)
+        # ONE raw scan per side: NULL-keyed rows ride through the same
+        # aggregation as a marker group (key cols nulled, __nk=true), so
+        # the total row count is a sum over the KEY-BOUNDED table and the
+        # raw lineage is never recomputed; localCheckpoint pins the
+        # table for its two consumers (total + join)
+        anynull = F.lit(False)
         for c in on:
-            cond = cond & F.col(c).isNotNull()
-        return df.where(cond).groupBy(*on).agg(F.count(F.lit(1)).alias("__c"))
+            anynull = anynull | F.col(c).isNull()
+        return (
+            df.groupBy(
+                *[F.when(~anynull, F.col(c)).alias(c) for c in on],
+                anynull.alias("__nk"),
+            )
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True)
+        )
 
-    lk = keyed(left)
-    rk = keyed(right)
-    n_left = left.count()
-    n_right = right.count()
+    lkt = keyed(left)
+    rkt = keyed(right)
+    n_left = lkt.agg(F.sum("__c")).collect()[0][0] or 0
+    n_right = rkt.agg(F.sum("__c")).collect()[0][0] or 0
+    lk = lkt.where(~F.col("__nk")).drop("__nk")
+    rk = rkt.where(~F.col("__nk")).drop("__nk")
     j = lk.withColumnRenamed("__c", "__cl").join(
         rk.withColumnRenamed("__c", "__cr"), on, "full"
     )
@@ -772,8 +786,14 @@ def join_health(
         ).alias("__matched_r"),
         F.max("__cl").alias("max_mult_left"),
         F.max("__cr").alias("max_mult_right"),
-        F.sum(
-            F.coalesce(F.col("__cl"), F.lit(0)) * F.coalesce(F.col("__cr"), F.lit(0))
+        # try_*: an estimate that overflows bigint IS the answer ("too
+        # big to count" reads as NULL) — the explosion regime must not
+        # crash the very pre-flight check that exists to catch it
+        F.try_sum(
+            F.try_multiply(
+                F.coalesce(F.col("__cl"), F.lit(0)),
+                F.coalesce(F.col("__cr"), F.lit(0)),
+            )
         ).alias("est_output_rows"),
     )
     return agg.select(
@@ -816,7 +836,12 @@ def sequence_gaps(
 
     keys = list(by or [])
     s = F.col(seq_col).cast("long")
-    base = df.where(s.isNotNull()).select(*keys, s.alias("__s")).distinct()
+    ok = s.isNotNull()
+    # NULL group keys would collapse unrelated rows into one
+    # pseudo-sequence and audit meaningless gaps — excluded
+    for k in keys:
+        ok = ok & F.col(k).isNotNull()
+    base = df.where(ok).select(*keys, s.alias("__s")).distinct()
     w = Window.partitionBy(*keys).orderBy(F.col("__s").asc())
     lagged = base.withColumn("__prev", F.lag("__s").over(w))
     gaps = lagged.where(

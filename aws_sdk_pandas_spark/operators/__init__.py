@@ -78,9 +78,12 @@ from aws_sdk_pandas_spark.operators.stats import (
     fit_conformal,
     fit_ols,
     gini_coefficient,
+    apdex,
+    effective_sample_size,
     ks_test,
     mann_whitney_u,
     mutual_information,
+    ratio_ab_test,
 )
 from aws_sdk_pandas_spark.operators.timeseries import (
     burst_detect,
@@ -88,6 +91,7 @@ from aws_sdk_pandas_spark.operators.timeseries import (
     forecast_accuracy,
     holt_winters,
     p_chart,
+    rolling_corr,
 )
 from aws_sdk_pandas_spark.operators.sampling import balance_classes
 from aws_sdk_pandas_spark.operators.similarity import diverse_subset
@@ -162,4 +166,8 @@ __all__ = [
     "p_chart",
     "balance_classes",
     "diverse_subset",
+    "apdex",
+    "effective_sample_size",
+    "ratio_ab_test",
+    "rolling_corr",
 ]

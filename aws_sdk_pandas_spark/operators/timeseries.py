@@ -1140,29 +1140,44 @@ def rolling_corr(
     from the co-moments of the trailing window.  Windows with fewer
     than ``min_points`` rows or zero spread yield NULL.
 
-    ONE keyed range-frame window computing the five co-moment sums
-    (n, Σx, Σy, Σx², Σy², Σxy share the frame — Spark evaluates them
-    over one window spec); corr from guarded moments, no second pass.
-    Rows with NULL in either metric are excluded.
+    The metrics are CENTERED by their per-group means first (one
+    aggregation, broadcast back — corr is shift-invariant): the
+    textbook one-pass Σx² − (Σx)²/n loses ~12 digits on epoch-scale
+    magnitudes, enough to report decoupling on perfectly coupled
+    series (the same cancellation fit_mahalanobis/fit_ols guard
+    against).  Then ONE keyed range-frame window — at MICROSECOND
+    resolution, so sub-second windows work — carries the five centered
+    co-moment sums; corr from guarded moments, no further pass.  Rows
+    with NULL in either metric are excluded.
     """
     keys = list(by or [])
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     t = F.col(ts_col).cast("timestamp")
     base = df.where(x.isNotNull() & y.isNotNull() & t.isNotNull()).withColumn(
-        "__sec", F.unix_micros(t) / F.lit(1e6)
+        "__us", F.unix_micros(t)
     )
+    means = base.groupBy(*keys).agg(
+        F.avg(x).alias("__mx"), F.avg(y).alias("__my")
+    )
+    base = (
+        base.join(F.broadcast(means), keys)
+        if keys
+        else base.crossJoin(F.broadcast(means))
+    )
+    cx = x - F.col("__mx")
+    cy = y - F.col("__my")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__sec").asc())
-        .rangeBetween(-int(window_seconds), 0)
+        .orderBy(F.col("__us").asc())
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
     )
     n = F.count(F.lit(1)).over(w)
-    sx = F.sum(x).over(w)
-    sy = F.sum(y).over(w)
-    sxx = F.sum(x * x).over(w)
-    syy = F.sum(y * y).over(w)
-    sxy = F.sum(x * y).over(w)
+    sx = F.sum(cx).over(w)
+    sy = F.sum(cy).over(w)
+    sxx = F.sum(cx * cx).over(w)
+    syy = F.sum(cy * cy).over(w)
+    sxy = F.sum(cx * cy).over(w)
     cov = sxy - sx * sy / n
     vx = sxx - sx * sx / n
     vy = syy - sy * sy / n
@@ -1170,4 +1185,6 @@ def rolling_corr(
         (n >= min_points) & (vx > 0) & (vy > 0),
         cov / F.sqrt(vx * vy),
     )
-    return base.withColumn("rolling_corr", F.round(corr, round_to)).drop("__sec")
+    return base.withColumn("rolling_corr", F.round(corr, round_to)).drop(
+        "__us", "__mx", "__my"
+    )

@@ -804,3 +804,27 @@ def test_rolling_corr(spark):
     assert got[15].rolling_corr > 0.99     # coupled regime
     assert abs(got[39].rolling_corr) < 0.8 # decoupled regime
     assert got[0].rolling_corr is None     # < min_points
+
+
+def test_rolling_corr_epoch_scale_no_cancellation(spark):
+    """Regression: the one-pass co-moment form lost ~12 digits on
+    epoch-scale magnitudes and reported decoupling on perfectly
+    coupled series; centering must keep corr ~1."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_corr
+
+    t0 = datetime(2024, 1, 1)
+    rng = np.random.default_rng(127)
+    xs = 1.7e9 + rng.uniform(0, 60, 30)          # epoch-scale, tiny spread
+    ys = 2 * xs + rng.normal(0, 1e-3, 30)        # near-perfectly coupled
+    rows = [("g", t0 + timedelta(seconds=10 * i), float(a), float(b))
+            for i, (a, b) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, x double, y double")
+    got = rolling_corr(
+        df, ts_col="ts", x_col="x", y_col="y", by=["g"],
+        window_seconds=200, min_points=5,
+    ).orderBy("ts").collect()
+    assert all(r.rolling_corr > 0.999 for r in got[5:])
