@@ -3453,6 +3453,48 @@ def _q_chisq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_test(o, col_a="o_orderstatus", col_b="o_orderpriority")
 
 
+def _q_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (operators/stats.anova_oneway): does the event
+    value's MEAN differ across ANY event type — the k-group screen run
+    before pairwise drill-down.  ONE map-side-combinable aggregation to
+    k rows of (n, mean, var_samp); SSB from means centered on the
+    broadcast grand mean (no sum-of-squares cancellation)."""
+    from aws_sdk_pandas_spark.operators.stats import anova_oneway
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return anova_oneway(ev, value_col="value", group_col="event_type")
+
+
+def _q_kruskal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (operators/stats.kruskal_wallis): the k-group
+    rank test — mann_whitney_u generalized past two cohorts, robust to
+    the heavy tails that distort ANOVA.  Distinct-value reduction + ONE
+    two-phase prefix sum for midranks; H from the k-row rank-sum table,
+    tie-corrected."""
+    from aws_sdk_pandas_spark.operators.stats import kruskal_wallis
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return kruskal_wallis(ev, value_col="value", group_col="event_type")
+
+
+def _q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.spearman_corr)
+    between quantity and extended price: Pearson on average ranks —
+    monotone association that survives outliers.  Midranks via two
+    distinct-value prefix sums joined back on the value keys; final
+    pass is the stable covar/stddev form (try_divide: zero-variance
+    reads NULL, not an ANSI error)."""
+    from aws_sdk_pandas_spark.operators.stats import spearman_corr
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return spearman_corr(
+        li, x_col="l_quantity", y_col="l_extendedprice", round_to=4
+    )
+
+
 def _q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen (operators/stats.benford_test) on
     extended price — the fabricated-numbers detector for ingested
@@ -4512,6 +4554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ks_events": _q_ks_events,
         "stats_mwu_events": _q_mwu_events,
         "stats_chisq_orders": _q_chisq_orders,
+        "stats_anova_events": _q_anova_events,
+        "stats_kruskal_events": _q_kruskal_events,
+        "stats_spearman_lineitem": _q_spearman_lineitem,
         "dq_benford_lineitem": _q_benford_lineitem,
         "stats_gini_orders": _q_gini_orders,
         "events_survival_curve": _q_survival_curve,
@@ -7005,6 +7050,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 4) AS DOUBLE)
                        AS cramers_v
             FROM res
+        """,
+        "stats_anova_events": """
+            WITH b AS (
+                SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND NOT ISNAN(CAST(value AS DOUBLE))
+            ), s AS (
+                SELECT g, COUNT(*) AS n, AVG(v) AS m, VAR_SAMP(v) AS var
+                FROM b GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS ntot, SUM(m * n) AS msum,
+                       CAST(COUNT(*) AS BIGINT) AS k
+                FROM s
+            ), a AS (
+                SELECT SUM(s.n * POW(s.m - t.msum / t.ntot, 2)) AS ssb,
+                       SUM(COALESCE(s.var, 0) * (s.n - 1)) AS ssw,
+                       MAX(t.ntot) AS n, MAX(t.k) AS k
+                FROM s CROSS JOIN t
+            )
+            SELECT CAST(ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS DOUBLE)
+                       AS f_stat,
+                   CAST(ROUND(ssb / (ssb + ssw), 6) AS DOUBLE) AS eta_sq,
+                   CAST(k - 1 AS BIGINT) AS df_between,
+                   CAST(n - k AS BIGINT) AS df_within,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS k
+            FROM a
+        """,
+        "stats_kruskal_events": """
+            WITH b AS (
+                SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND NOT ISNAN(CAST(value AS DOUBLE))
+            ), c AS (
+                SELECT v, g, COUNT(*) AS c FROM b GROUP BY 1, 2
+            ), pv AS (
+                SELECT v, SUM(c) AS t FROM c GROUP BY 1
+            ), cum AS (
+                SELECT v, t, SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM pv
+            ), r AS (
+                SELECT c.g, c.c, cum.cum - cum.t + (cum.t + 1.0) / 2.0 AS r
+                FROM c JOIN cum USING (v)
+            ), gs AS (
+                SELECT g, SUM(c * r) AS rs, SUM(c) AS n FROM r GROUP BY 1
+            ), tt AS (
+                SELECT SUM(POW(CAST(t AS DOUBLE), 3) - t) AS ties FROM pv
+            ), a AS (
+                SELECT SUM(gs.rs * gs.rs / gs.n) AS s,
+                       CAST(SUM(gs.n) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS k,
+                       MAX(tt.ties) AS ties
+                FROM gs CROSS JOIN tt
+            )
+            SELECT CAST(ROUND(
+                       (12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * s
+                        - 3.0 * (n + 1.0))
+                       / (1.0 - ties
+                          / (CAST(n AS DOUBLE) * n * n - n)), 4) AS DOUBLE)
+                       AS h_stat,
+                   CAST(k - 1 AS BIGINT) AS dof, n, k
+            FROM a
+        """,
+        "stats_spearman_lineitem": """
+            WITH b AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS x,
+                       CAST(l_extendedprice AS DOUBLE) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND NOT ISNAN(CAST(l_quantity AS DOUBLE))
+                  AND l_extendedprice IS NOT NULL
+                  AND NOT ISNAN(CAST(l_extendedprice AS DOUBLE))
+            ), r AS (
+                -- midrank = minrank + (t-1)/2 == engine's cum - t + (t+1)/2
+                SELECT RANK() OVER (ORDER BY x)
+                           + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                       RANK() OVER (ORDER BY y)
+                           + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+                FROM b
+            ), a AS (
+                SELECT COVAR_SAMP(rx, ry) AS cov,
+                       STDDEV_SAMP(rx) AS sx, STDDEV_SAMP(ry) AS sy,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM r
+            )
+            SELECT CAST(ROUND(cov / (sx * sy), 4) AS DOUBLE) AS spearman_rho, n
+            FROM a
         """,
         "dq_benford_lineitem": """
             WITH v AS (

@@ -1081,3 +1081,205 @@ def apdex(
         "p95",
         "p99",
     ).orderBy(*keys)
+
+
+def anova_oneway(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """One-way ANOVA: the k-group generalization of `ab_test` — "does
+    the metric's MEAN differ across ANY of these variants/segments", the
+    first screen before pairwise drill-down (which, run naively across k
+    groups, is exactly the multiplicity trap `fdr_correct` exists for).
+    Returns ONE row ``(f_stat, eta_sq, df_between, df_within, n, k)``;
+    eta² = SSB/(SSB+SSW) is the variance-explained effect size.
+
+    Scale shape: ONE map-side-combinable aggregation reduces the raw
+    table to k rows of (n, mean, var_samp) — Spark's var_samp is the
+    stable central-moment form, so no sum-of-squares cancellation.  SSB
+    is computed from means CENTERED on the broadcast grand mean (never
+    Σn·m² − N·gm², which loses digits at epoch-scale magnitudes); all
+    further arithmetic runs on the k-row table.  Singleton groups
+    contribute 0 to SSW (their var_samp is NULL), staying in N and k.
+    Reference analog: the hypothesis-testing tier of
+    awswrangler-style exploratory stats (no direct reference fn).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    )
+    g = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(v).alias("__m"),
+        F.var_samp(v).alias("__v"),
+    )
+    # NOTE: Spark resolution is case-insensitive — the total-row columns
+    # must not collide with g's (__n vs __N reads as ambiguous).
+    tot = g.agg(
+        F.sum("__n").alias("__ntot"),
+        F.sum(F.col("__m") * F.col("__n")).alias("__msum"),
+        F.count(F.lit(1)).alias("__kgrp"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    gm = F.col("__msum") / F.col("__ntot")
+    a = j.agg(
+        F.sum(
+            F.col("__n") * F.pow(F.col("__m") - gm, F.lit(2.0))
+        ).alias("__ssb"),
+        F.sum(
+            F.coalesce(F.col("__v"), F.lit(0.0)) * (F.col("__n") - F.lit(1))
+        ).alias("__ssw"),
+        F.max("__ntot").alias("n"),
+        F.max("__kgrp").alias("k"),
+    )
+    dfb = (F.col("k") - F.lit(1)).cast("long")
+    dfw = (F.col("n") - F.col("k")).cast("long")
+    # try_divide twice: k=1 (no between-variance) and N=k (all-singleton
+    # groups, no within-variance) are "no test", not ANSI errors; a
+    # zero-SSW constant-within-groups table likewise reads NULL f.
+    f_stat = F.try_divide(
+        F.try_divide(F.col("__ssb"), dfb.cast("double")),
+        F.try_divide(F.col("__ssw"), dfw.cast("double")),
+    )
+    eta = F.try_divide(F.col("__ssb"), F.col("__ssb") + F.col("__ssw"))
+    return a.select(
+        F.round(f_stat, round_to).alias("f_stat"),
+        F.round(eta, round_to + 2).alias("eta_sq"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    round_to: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-group rank test — `mann_whitney_u` for
+    more than two cohorts, robust where `anova_oneway` is distorted by
+    heavy tails.  Returns ONE row ``(h_stat, dof, n, k)`` with the
+    standard tie correction already applied to h_stat.
+
+    Scale shape: raw rows reduce to the (value, group) count table,
+    per-value totals get ONE two-phase `global_prefix_sum` for the
+    cumulative count (average rank of a tied run = preceding count +
+    (run+1)/2 — same identity as mann_whitney_u), ranks join back to
+    the count table on the value key (shuffle bounded by distinct-value
+    × group cardinality, never row volume), and H is plain aggregates
+    of the k-row rank-sum table.  All-tied input (tie correction → 0)
+    and n<2 read as NULL h, not an ANSI error.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    )
+    counts = base.groupBy(
+        v.alias("__val"), F.col(group_col).alias("__g")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_val = counts.groupBy("__val").agg(F.sum("__c").alias("__t"))
+    from .sampling import global_prefix_sum
+
+    cum = global_prefix_sum(
+        per_val, "__t", [F.col("__val").asc()],
+        out_col="__cum", num_partitions=num_partitions,
+    )
+    avg_rank = F.col("__cum") - F.col("__t") + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+    ranked = counts.join(
+        cum.select("__val", avg_rank.alias("__r")), "__val"
+    )
+    gs = ranked.groupBy("__g").agg(
+        F.sum(F.col("__c") * F.col("__r")).alias("__R"),
+        F.sum("__c").alias("__n"),
+    )
+    ties = cum.agg(
+        F.sum(
+            F.pow(F.col("__t").cast("double"), F.lit(3.0)) - F.col("__t")
+        ).alias("__ties")
+    )
+    a = gs.crossJoin(F.broadcast(ties)).agg(
+        F.sum(F.col("__R") * F.col("__R") / F.col("__n")).alias("__s"),
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("__ties").alias("__ties"),
+    )
+    nn = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) / (nn * (nn + F.lit(1.0))) * F.col("__s")
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("__ties"), nn * nn * nn - nn
+    )
+    return a.select(
+        F.round(F.try_divide(h_raw, corr), round_to).alias("h_stat"),
+        (F.col("k") - F.lit(1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Spearman rank correlation: Pearson on average ranks — the
+    monotone-association measure that survives the outliers and
+    nonlinearity that flip `stats_summary`'s Pearson corr.  Returns ONE
+    row ``(spearman_rho, n)`` over complete cases (both columns
+    non-NULL, non-NaN — ranks are computed over the SAME row set the
+    correlation runs on).
+
+    Scale shape: each column reduces to its distinct-value count table
+    + ONE two-phase `global_prefix_sum` for average ranks (fractional
+    midrank for ties, same identity as the other rank tests); ranks
+    join back to the complete-case rows on the value keys (two shuffles
+    bounded by row volume), and the final pass is Spark's stable
+    central-moment `F.corr` — no O(n log n) single-task global sort
+    anywhere.  Zero-variance ranks (a constant column) read NULL, not
+    NaN, to match SQL semantics.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    ).select(x.alias("__x"), y.alias("__y"))
+    from .sampling import global_prefix_sum
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        pv = base.groupBy(col).agg(F.count(F.lit(1)).alias("__t"))
+        cum = global_prefix_sum(
+            pv, "__t", [F.col(col).asc()],
+            out_col="__cum", num_partitions=num_partitions,
+        )
+        r = F.col("__cum") - F.col("__t") + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+        return cum.select(col, r.alias(out))
+
+    ranked = base.join(_ranks("__x", "__rx"), "__x").join(
+        _ranks("__y", "__ry"), "__y"
+    )
+    # NOT F.corr: under ANSI it raises DIVIDE_BY_ZERO on a zero-variance
+    # side; the covar/stddev form with try_divide reads NULL instead
+    # (same stable central-moment aggregates underneath).
+    a = ranked.agg(
+        F.covar_samp("__rx", "__ry").alias("__cov"),
+        F.stddev_samp("__rx").alias("__sx"),
+        F.stddev_samp("__ry").alias("__sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rho = F.try_divide(F.col("__cov"), F.col("__sx") * F.col("__sy"))
+    return a.select(
+        F.round(rho, round_to).alias("spearman_rho"),
+        F.col("n").cast("long").alias("n"),
+    )

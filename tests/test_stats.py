@@ -696,3 +696,124 @@ def test_apdex(spark):
     assert abs(a.apdex - 0.8) < 1e-9       # (70 + 20/2)/100
     assert a.p50 == 0.1 and a.p99 == 5.0
     assert got["db"].apdex == 1.0
+
+
+def _np_avg_ranks(v: np.ndarray) -> np.ndarray:
+    import pandas as pd  # noqa: F401  (rank helper uses it)
+
+    return pd.Series(v).rank(method="average").to_numpy()
+
+
+def test_anova_oneway_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import anova_oneway
+
+    rng = np.random.default_rng(23)
+    groups = {
+        "a": rng.normal(10.0, 2.0, 400),
+        "b": rng.normal(10.5, 2.0, 350),
+        "c": rng.normal(12.0, 2.0, 300),
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    rows += [(None, 1.0), ("a", None), ("a", float("nan"))]  # all excluded
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = anova_oneway(df, value_col="value", group_col="grp").collect()[0]
+
+    allv = np.concatenate(list(groups.values()))
+    gm = allv.mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in groups.values())
+    ssw = sum(v.var(ddof=1) * (len(v) - 1) for v in groups.values())
+    n, k = len(allv), 3
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r.f_stat - round(f, 4)) < 1e-9
+    assert abs(r.eta_sq - round(ssb / (ssb + ssw), 6)) < 1e-9
+    assert r.f_stat > 10.0                   # planted mean shift detected
+    assert (r.df_between, r.df_within, r.n, r.k) == (2, n - 3, n, 3)
+
+
+def test_anova_oneway_degenerate(spark):
+    from aws_sdk_pandas_spark.operators.stats import anova_oneway
+
+    # one group -> no between-variance; singleton groups -> no within
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "grp string, value double"
+    )
+    r = anova_oneway(one, value_col="value", group_col="grp").collect()[0]
+    assert r.f_stat is None and r.k == 1
+    singles = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "grp string, value double"
+    )
+    r = anova_oneway(singles, value_col="value", group_col="grp").collect()[0]
+    assert r.f_stat is None and r.df_within == 0 and r.k == 3
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    from aws_sdk_pandas_spark.operators.stats import kruskal_wallis
+
+    rng = np.random.default_rng(29)
+    groups = {
+        "a": np.round(rng.lognormal(0.0, 1.0, 300), 1),  # ties via rounding
+        "b": np.round(rng.lognormal(0.3, 1.0, 250), 1),
+        "c": np.round(rng.lognormal(0.6, 1.0, 200), 1),
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = kruskal_wallis(
+        df, value_col="value", group_col="grp", num_partitions=8
+    ).collect()[0]
+
+    allv = np.concatenate(list(groups.values()))
+    ranks = _np_avg_ranks(allv)
+    n = len(allv)
+    idx = 0
+    s = 0.0
+    for vs in groups.values():
+        rsum = ranks[idx: idx + len(vs)].sum()
+        s += rsum * rsum / len(vs)
+        idx += len(vs)
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    _, t = np.unique(allv, return_counts=True)
+    h /= 1.0 - (t.astype(float) ** 3 - t).sum() / (float(n) ** 3 - n)
+    assert abs(r.h_stat - round(h, 4)) < 1e-6
+    assert r.h_stat > 6.0                    # planted shift detected
+    assert (r.dof, r.n, r.k) == (2, n, 3)
+
+
+def test_kruskal_wallis_all_tied(spark):
+    from aws_sdk_pandas_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 5.0)] * 10, "grp string, value double"
+    )
+    r = kruskal_wallis(df, value_col="value", group_col="grp").collect()[0]
+    assert r.h_stat is None and r.n == 20 and r.k == 2
+
+
+def test_spearman_matches_pandas(spark):
+    import pandas as pd  # noqa: F401  (rank helper uses it)
+
+    from aws_sdk_pandas_spark.operators.stats import spearman_corr
+
+    rng = np.random.default_rng(31)
+    x = np.round(rng.normal(0, 1, 800), 1)               # ties via rounding
+    y = np.round(np.exp(x) + rng.normal(0, 0.5, 800), 1)  # monotone + noise
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    rows += [(None, 1.0), (1.0, None), (float("nan"), 2.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(
+        df, x_col="x", y_col="y", num_partitions=8
+    ).collect()[0]
+    # no scipy in env: spearman == pearson on average ranks
+    exp = float(np.corrcoef(_np_avg_ranks(x), _np_avg_ranks(y))[0, 1])
+    assert abs(r.spearman_rho - round(exp, 6)) < 1e-7
+    assert r.spearman_rho > 0.8              # monotone association found
+    assert r.n == 800
+
+
+def test_spearman_constant_column_is_null(spark):
+    from aws_sdk_pandas_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(10)], "x double, y double"
+    )
+    r = spearman_corr(df, x_col="x", y_col="y").collect()[0]
+    assert r.spearman_rho is None and r.n == 10
