@@ -75,6 +75,9 @@ from aws_sdk_pandas_spark.operators.stats import (
     cuped_adjust,
     diff_in_diff,
     fdr_correct,
+    anova_oneway,
+    kruskal_wallis,
+    spearman_corr,
     fit_conformal,
     fit_ols,
     gini_coefficient,
@@ -169,5 +172,8 @@ __all__ = [
     "apdex",
     "effective_sample_size",
     "ratio_ab_test",
+    "anova_oneway",
+    "kruskal_wallis",
+    "spearman_corr",
     "rolling_corr",
 ]

@@ -1181,9 +1181,15 @@ def kruskal_wallis(
     base = df.where(
         F.col(group_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
     )
-    counts = base.groupBy(
-        v.alias("__val"), F.col(group_col).alias("__g")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    # localCheckpoint: the rank join-back below reads `counts` AGAIN
+    # after the prefix-sum pass — without pinning, that second job
+    # re-scans the raw (possibly-100TB) lineage to rebuild a table
+    # bounded by distinct-value x group cardinality.  One raw scan.
+    counts = (
+        base.groupBy(v.alias("__val"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     per_val = counts.groupBy("__val").agg(F.sum("__c").alias("__t"))
     from .sampling import global_prefix_sum
 
@@ -1241,14 +1247,15 @@ def spearman_corr(
     non-NULL, non-NaN — ranks are computed over the SAME row set the
     correlation runs on).
 
-    Scale shape: each column reduces to its distinct-value count table
-    + ONE two-phase `global_prefix_sum` for average ranks (fractional
-    midrank for ties, same identity as the other rank tests); ranks
-    join back to the complete-case rows on the value keys (two shuffles
-    bounded by row volume), and the final pass is Spark's stable
-    central-moment `F.corr` — no O(n log n) single-task global sort
-    anywhere.  Zero-variance ranks (a constant column) read NULL, not
-    NaN, to match SQL semantics.
+    Scale shape: the raw table is read EXACTLY once, reducing to the
+    pinned (x, y) pair-count table; each axis's midranks come from a
+    distinct-value count + ONE two-phase `global_prefix_sum` (fractional
+    midrank for ties, same identity as the other rank tests) joined
+    back onto the bounded pairs table, and the correlation is a
+    weighted Pearson whose moments are CENTERED analytically on the
+    exact mean rank (n+1)/2 — no single-task global sort, no one-pass
+    cancellation.  Zero-variance ranks (a constant column) read NULL,
+    not NaN, matching SQL semantics.
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -1257,8 +1264,18 @@ def spearman_corr(
     ).select(x.alias("__x"), y.alias("__y"))
     from .sampling import global_prefix_sum
 
+    # ONE raw scan: reduce to the (x, y) pair-count table and pin it —
+    # both rank tables, the join-back, and the final moments all derive
+    # from this bounded table, so the raw lineage is read exactly once
+    # (the eager-checkpoint job itself).
+    pairs = (
+        base.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+
     def _ranks(col: str, out: str) -> DataFrame:
-        pv = base.groupBy(col).agg(F.count(F.lit(1)).alias("__t"))
+        pv = pairs.groupBy(col).agg(F.sum("__c").alias("__t"))
         cum = global_prefix_sum(
             pv, "__t", [F.col(col).asc()],
             out_col="__cum", num_partitions=num_partitions,
@@ -1266,20 +1283,30 @@ def spearman_corr(
         r = F.col("__cum") - F.col("__t") + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
         return cum.select(col, r.alias(out))
 
-    ranked = base.join(_ranks("__x", "__rx"), "__x").join(
+    ranked = pairs.join(_ranks("__x", "__rx"), "__x").join(
         _ranks("__y", "__ry"), "__y"
     )
-    # NOT F.corr: under ANSI it raises DIVIDE_BY_ZERO on a zero-variance
-    # side; the covar/stddev form with try_divide reads NULL instead
-    # (same stable central-moment aggregates underneath).
-    a = ranked.agg(
-        F.covar_samp("__rx", "__ry").alias("__cov"),
-        F.stddev_samp("__rx").alias("__sx"),
-        F.stddev_samp("__ry").alias("__sy"),
-        F.count(F.lit(1)).alias("n"),
+    # Weighted Pearson on midranks, CENTERED analytically: the mean of
+    # average ranks over all rows is EXACTLY (n+1)/2, so the moments
+    # below are true centered sums — no one-pass E[xy]-mx*my
+    # cancellation (repo discipline), and no NaN path: try_divide reads
+    # a zero-spread (constant) column as NULL, where F.corr would raise
+    # DIVIDE_BY_ZERO under ANSI.
+    tot = pairs.agg(F.sum("__c").alias("__ntot"))
+    mu = (F.col("__ntot") + F.lit(1.0)) / F.lit(2.0)
+    dx = F.col("__rx") - mu
+    dy = F.col("__ry") - mu
+    c = F.col("__c")
+    a = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.sum(c * dx * dy).alias("__sxy"),
+        F.sum(c * dx * dx).alias("__sxx"),
+        F.sum(c * dy * dy).alias("__syy"),
+        F.max("__ntot").alias("n"),
     )
-    rho = F.try_divide(F.col("__cov"), F.col("__sx") * F.col("__sy"))
+    rho = F.try_divide(
+        F.col("__sxy"), F.sqrt(F.col("__sxx") * F.col("__syy"))
+    )
     return a.select(
         F.round(rho, round_to).alias("spearman_rho"),
-        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )
