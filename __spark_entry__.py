@@ -3495,6 +3495,26 @@ def _q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/evaluation.cohen_kappa) between the
+    engine's n-gram language_id prediction and the labeled lang column
+    — the chance-corrected weak-label-vs-gold agreement score (percent
+    agreement flatters any skewed label mix).  One scan computes both
+    labelings row-local, one map-side-combinable pass reduces to the
+    label-pair confusion table; marginals/diagonal aggregate that
+    bounded table.  Exact-integer-count ratios: DuckDB reproduces the
+    arithmetic digit-for-digit."""
+    from aws_sdk_pandas_spark.functions.text import language_id
+    from aws_sdk_pandas_spark.operators.evaluation import cohen_kappa
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pred = d.select(
+        language_id("text").alias("pred"), F.col("lang").alias("label")
+    )
+    return cohen_kappa(pred, col_a="pred", col_b="label")
+
+
 def _q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen (operators/stats.benford_test) on
     extended price — the fabricated-numbers detector for ingested
@@ -4557,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_anova_events": _q_anova_events,
         "stats_kruskal_events": _q_kruskal_events,
         "stats_spearman_lineitem": _q_spearman_lineitem,
+        "docs_langid_kappa": _q_langid_kappa,
         "dq_benford_lineitem": _q_benford_lineitem,
         "stats_gini_orders": _q_gini_orders,
         "events_survival_curve": _q_survival_curve,
@@ -5019,6 +5040,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_id
             FROM best WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "docs_langid_kappa": f"""
+            WITH tok AS (
+                SELECT doc_id, lang AS label, {toks} AS toks FROM documents
+            ), hits AS (
+                SELECT doc_id, label, l.lang,
+                       len(list_filter(toks, t -> list_contains(l.words, t))) AS hits
+                FROM tok
+                CROSS JOIN (VALUES ('en', {stop_en}), ('es', {stop_es}),
+                                   ('fr', {stop_fr}), ('de', {stop_de})) AS l(lang, words)
+            ), best AS (
+                SELECT doc_id, label, lang, hits,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+                FROM hits
+            ), pairs AS (
+                SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS a, label AS b
+                FROM best WHERE rn = 1
+            ), obs AS (
+                SELECT a, b, COUNT(*) AS o FROM pairs
+                WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+            ), rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY 1),
+            cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY 1),
+            tot AS (
+                SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       SUM(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+                FROM obs
+            ), pex AS (
+                SELECT SUM(CAST(rm.ra AS DOUBLE) * cm.cb) AS pesum
+                FROM rm JOIN cm ON rm.a = cm.b
+            ), k AS (
+                SELECT COALESCE(diag, 0) / CAST(n AS DOUBLE) AS po,
+                       COALESCE(pesum, 0) / (CAST(n AS DOUBLE) * n) AS pe,
+                       n
+                FROM tot CROSS JOIN pex
+            )
+            SELECT CAST(ROUND((po - pe) / (1 - pe), 6) AS DOUBLE) AS kappa,
+                   CAST(ROUND(po, 6) AS DOUBLE) AS po,
+                   CAST(ROUND(pe, 6) AS DOUBLE) AS pe,
+                   n
+            FROM k
         """,
         "doc_ngram_jaccard_dups": """
             WITH words AS (

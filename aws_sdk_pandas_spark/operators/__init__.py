@@ -50,6 +50,7 @@ from aws_sdk_pandas_spark.operators.behavior import (
     window_funnel,
 )
 from aws_sdk_pandas_spark.operators.evaluation import (
+    cohen_kappa,
     apply_isotonic,
     binary_metrics,
     calibration_curve,
@@ -137,6 +138,7 @@ __all__ = [
     "window_funnel",
     "apply_isotonic",
     "binary_metrics",
+    "cohen_kappa",
     "calibration_curve",
     "confusion_at",
     "fit_isotonic",

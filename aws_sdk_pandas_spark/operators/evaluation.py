@@ -350,3 +350,65 @@ def apply_isotonic(
     return out.withColumn(
         out_col, F.when(s.isNotNull(), F.round(F.col("__cal"), round_to))
     ).drop("__features", "__cal")
+
+
+def cohen_kappa(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    labelings of the same rows — the honest score for annotator pairs,
+    weak-label vs gold, or model vs heuristic, where raw percent
+    agreement flatters any skewed label distribution (two raters who
+    both say 'en' 95% of the time agree 90%+ by luck alone).  Returns
+    ONE row ``(kappa, po, pe, n)``: observed agreement, expected-by-
+    chance agreement, and kappa = (po − pe)/(1 − pe).
+
+    Scale shape: one map-side-combinable pass reduces the raw rows to
+    the label-pair confusion table; marginals and the diagonal are
+    aggregations OF that bounded table (label-cardinality-sized, never
+    row volume).  Rows with a NULL on either side are excluded (a NULL
+    label is a completeness question, not a disagreement).  Degenerate
+    perfect-chance inputs (pe = 1, e.g. both raters emit one constant
+    label) read NULL kappa via try_divide — the statistic is undefined
+    there, and po = 1 already tells the story.
+
+    All arithmetic is exact-integer-count ratios, so the DuckDB oracle
+    reproduces it digit-for-digit.
+    """
+    from aws_sdk_pandas_spark.operators.stats import _contingency
+
+    obs, row_m, col_m = _contingency(df, col_a, col_b)
+    tot = obs.agg(
+        F.sum("__o").alias("__ntot"),
+        F.sum(
+            F.when(F.col("__a") == F.col("__b"), F.col("__o")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__diag"),
+    )
+    # labels missing on one side contribute 0 to pe — inner join drops
+    # exactly those zero products; both marginals are bounded tables
+    # marginal products and n*n in DOUBLE, not bigint: at 100TB row
+    # counts the bigint squares overflow (ANSI error); double is exact
+    # below 2^53 so the oracle still matches digit-for-digit at gate SF
+    pe_num = row_m.join(
+        F.broadcast(col_m), F.col("__a") == F.col("__b")
+    ).agg(
+        F.sum(F.col("__ra").cast("double") * F.col("__cb")).alias("__pesum")
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))
+    n = F.col("__ntot")
+    nd = n.cast("double")
+    po = F.try_divide(F.coalesce(F.col("__diag"), F.lit(0)), n)
+    pe = F.try_divide(F.coalesce(F.col("__pesum"), F.lit(0.0)), nd * nd)
+    kappa = F.try_divide(po - pe, F.lit(1.0) - pe)
+    return j.select(
+        F.round(kappa, round_to).alias("kappa"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n"),
+    )

@@ -222,3 +222,43 @@ def test_isotonic_calibration_matches_pava(spark):
     null_df = spark.createDataFrame([(99, None, 1)], "id long, score double, label int")
     rn = apply_isotonic(null_df, model, score_col="score").collect()[0]
     assert rn.calibrated is None
+
+
+def test_cohen_kappa_hand_case(spark):
+    from aws_sdk_pandas_spark.operators.evaluation import cohen_kappa
+
+    # classic textbook confusion: raters A/B over 50 items
+    #         B:yes  B:no
+    # A:yes     20     5
+    # A:no      10    15
+    rows = (
+        [("yes", "yes")] * 20 + [("yes", "no")] * 5
+        + [("no", "yes")] * 10 + [("no", "no")] * 15
+    )
+    rows += [(None, "yes"), ("no", None)]          # NULLs excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, col_a="a", col_b="b").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    kappa = (po - pe) / (1 - pe)
+    assert abs(r.po - round(po, 6)) < 1e-12
+    assert abs(r.pe - round(pe, 6)) < 1e-12
+    assert abs(r.kappa - round(kappa, 6)) < 1e-12
+    assert r.n == 50
+
+
+def test_cohen_kappa_degenerate(spark):
+    from aws_sdk_pandas_spark.operators.evaluation import cohen_kappa
+
+    # both raters constant and equal: po=1, pe=1 -> kappa undefined
+    const = spark.createDataFrame([("x", "x")] * 8, "a string, b string")
+    r = cohen_kappa(const, col_a="a", col_b="b").collect()[0]
+    assert r.kappa is None and r.po == 1.0 and r.n == 8
+    # disjoint label sets: po=0, pe=0 -> kappa=0
+    disj = spark.createDataFrame([("x", "y")] * 8, "a string, b string")
+    r = cohen_kappa(disj, col_a="a", col_b="b").collect()[0]
+    assert r.kappa == 0.0 and r.po == 0.0 and r.pe == 0.0
+    # empty input: no rows -> n=0, NULL stats (no ANSI error)
+    empty = spark.createDataFrame([], "a string, b string")
+    r = cohen_kappa(empty, col_a="a", col_b="b").collect()[0]
+    assert r.kappa is None and r.n == 0
