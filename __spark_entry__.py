@@ -3515,6 +3515,21 @@ def _q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(pred, col_a="pred", col_b="label")
 
 
+def _q_source_lang_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (operators/evaluation.krippendorff_alpha)
+    with unit=source, value=lang: chance-corrected within-source label
+    homogeneity — "are each source's language labels consistent beyond
+    what the corpus mix predicts", the mixed-language-source detector.
+    One raw pass to the (source, lang) count table; D_o/D_e aggregate
+    bounded tables; singly-documented sources are unpairable and
+    excluded from both terms."""
+    from aws_sdk_pandas_spark.operators.evaluation import krippendorff_alpha
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return krippendorff_alpha(d, unit_col="source", value_col="lang")
+
+
 def _q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen (operators/stats.benford_test) on
     extended price — the fabricated-numbers detector for ingested
@@ -4578,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kruskal_events": _q_kruskal_events,
         "stats_spearman_lineitem": _q_spearman_lineitem,
         "docs_langid_kappa": _q_langid_kappa,
+        "docs_source_lang_alpha": _q_source_lang_alpha,
         "dq_benford_lineitem": _q_benford_lineitem,
         "stats_gini_orders": _q_gini_orders,
         "events_survival_curve": _q_survival_curve,
@@ -7201,6 +7217,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(ROUND(cov / (sx * sy), 4) AS DOUBLE) AS spearman_rho, n
             FROM a
+        """,
+        "docs_source_lang_alpha": """
+            WITH cnt AS (
+                SELECT source AS u, lang AS v, COUNT(*) AS c
+                FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+                GROUP BY 1, 2
+            ), pu AS (SELECT u, SUM(c) AS m FROM cnt GROUP BY 1),
+            j AS (
+                SELECT cnt.u, cnt.v, cnt.c, pu.m
+                FROM cnt JOIN pu USING (u) WHERE pu.m >= 2
+            ), a1 AS (
+                SELECT SUM(CAST(c AS DOUBLE) * (m - c) / (m - 1.0)) AS donum,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT u) AS BIGINT) AS units
+                FROM j
+            ), vt AS (SELECT v, SUM(c) AS nc FROM j GROUP BY 1),
+            a2 AS (
+                SELECT SUM(CAST(vt.nc AS DOUBLE)
+                           * (CAST(a1.n AS DOUBLE) - vt.nc)) AS denum,
+                       MAX(a1.donum) AS donum, MAX(a1.n) AS n,
+                       MAX(a1.units) AS units
+                FROM vt CROSS JOIN a1
+            )
+            SELECT CAST(ROUND(1 - (donum / n)
+                       / (denum / (CAST(n AS DOUBLE) * (n - 1.0))), 6)
+                       AS DOUBLE) AS alpha,
+                   CAST(ROUND(donum / n, 6) AS DOUBLE) AS d_o,
+                   CAST(ROUND(denum / (CAST(n AS DOUBLE) * (n - 1.0)), 6)
+                       AS DOUBLE) AS d_e,
+                   n, units
+            FROM a2
         """,
         "dq_benford_lineitem": """
             WITH v AS (

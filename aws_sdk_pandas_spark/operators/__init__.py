@@ -51,6 +51,7 @@ from aws_sdk_pandas_spark.operators.behavior import (
 )
 from aws_sdk_pandas_spark.operators.evaluation import (
     cohen_kappa,
+    krippendorff_alpha,
     apply_isotonic,
     binary_metrics,
     calibration_curve,
@@ -139,6 +140,7 @@ __all__ = [
     "apply_isotonic",
     "binary_metrics",
     "cohen_kappa",
+    "krippendorff_alpha",
     "calibration_curve",
     "confusion_at",
     "fit_isotonic",

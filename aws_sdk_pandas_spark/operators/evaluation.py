@@ -412,3 +412,74 @@ def cohen_kappa(
         F.round(pe, round_to).alias("pe"),
         F.coalesce(n, F.lit(0)).cast("long").alias("n"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric): chance-corrected agreement
+    over units rated any number of times — the generalization of
+    `cohen_kappa` past two fixed raters, tolerant of missing ratings.
+    Also reads as a label-homogeneity index: unit = source / duplicate
+    cluster, value = lang / quality bucket answers "are this group's
+    labels consistent beyond what the corpus mix predicts".  Returns
+    ONE row ``(alpha, d_o, d_e, n, units)``: observed and expected
+    disagreement, pairable-rating count, pairable-unit count.
+
+    alpha = 1 − D_o/D_e with, for nominal data,
+    D_o = (1/n)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1) and
+    D_e = (1/(n(n−1)))·Σ_c n_c(n − n_c), over units with m_u ≥ 2
+    (singly-rated units are unpairable and excluded from BOTH terms).
+
+    Scale shape: raw rows reduce in ONE map-side-combinable pass to the
+    (unit, value) count table; per-unit totals join back on the unit
+    key (both sides bounded by unit × value cardinality); D_o, the
+    value margins, and D_e are aggregations of those bounded tables —
+    row volume is touched exactly once.  Products run in DOUBLE (the
+    bigint squares overflow under ANSI at 100TB counts; exact below
+    2^53 so gate hashes are unaffected).  D_e = 0 (every pairable
+    rating is one value) reads NULL alpha via try_divide — agreement
+    with no variation is undefined, and d_o = 0 already tells the
+    story.
+    """
+    u = F.col(unit_col)
+    v = F.col(value_col)
+    cnt = (
+        df.where(u.isNotNull() & v.isNotNull())
+        .groupBy(u.alias("__u"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_u = cnt.groupBy("__u").agg(F.sum("__c").alias("__m"))
+    j = cnt.join(per_u, "__u").where(F.col("__m") >= 2)
+    c = F.col("__c").cast("double")
+    m = F.col("__m").cast("double")
+    a1 = j.agg(
+        F.sum(c * (m - c) / (m - F.lit(1.0))).alias("__donum"),
+        F.sum("__c").alias("__ntot"),
+        F.count_distinct(F.col("__u")).alias("__units"),
+    )
+    vt = j.groupBy("__v").agg(F.sum("__c").alias("__nc"))
+    nd = F.col("__ntot").cast("double")
+    a2 = vt.crossJoin(F.broadcast(a1)).agg(
+        F.sum(F.col("__nc").cast("double") * (nd - F.col("__nc"))).alias(
+            "__denum"
+        ),
+        F.max("__donum").alias("__donum"),
+        F.max("__ntot").alias("__ntot"),
+        F.max("__units").alias("__units"),
+    )
+    nd2 = F.col("__ntot").cast("double")
+    d_o = F.try_divide(F.col("__donum"), nd2)
+    d_e = F.try_divide(F.col("__denum"), nd2 * (nd2 - F.lit(1.0)))
+    alpha = F.lit(1.0) - F.try_divide(d_o, d_e)
+    return a2.select(
+        F.round(alpha, round_to).alias("alpha"),
+        F.round(d_o, round_to).alias("d_o"),
+        F.round(d_e, round_to).alias("d_e"),
+        F.coalesce(F.col("__ntot"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("__units"), F.lit(0)).cast("long").alias("units"),
+    )

@@ -262,3 +262,71 @@ def test_cohen_kappa_degenerate(spark):
     empty = spark.createDataFrame([], "a string, b string")
     r = cohen_kappa(empty, col_a="a", col_b="b").collect()[0]
     assert r.kappa is None and r.n == 0
+
+
+def test_krippendorff_alpha_matches_serial(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.evaluation import krippendorff_alpha
+
+    rng = np.random.default_rng(37)
+    labels = ["a", "b", "c"]
+    rows = []
+    units = {}
+    for uid in range(120):
+        # mostly-consistent units with noise; variable rater counts 1..5
+        true = labels[int(rng.integers(0, 3))]
+        k = int(rng.integers(1, 6))
+        vals = [
+            true if rng.random() < 0.8 else labels[int(rng.integers(0, 3))]
+            for _ in range(k)
+        ]
+        units[uid] = vals
+        rows += [(f"u{uid}", val) for val in vals]
+    rows += [(None, "a"), ("u0", None)]            # NULLs excluded
+    df = spark.createDataFrame(rows, "unit string, val string")
+    r = krippendorff_alpha(df, unit_col="unit", value_col="val").collect()[0]
+
+    # serial recompute over pairable units only
+    pair = {u: vs for u, vs in units.items() if len(vs) >= 2}
+    n = sum(len(vs) for vs in pair.values())
+    do_num = 0.0
+    from collections import Counter
+    margin = Counter()
+    for vs in pair.values():
+        m = len(vs)
+        cc = Counter(vs)
+        margin.update(cc)
+        do_num += sum(c * (m - c) / (m - 1) for c in cc.values())
+    de_num = sum(c * (n - c) for c in margin.values())
+    d_o = do_num / n
+    d_e = de_num / (n * (n - 1))
+    alpha = 1 - d_o / d_e
+    assert abs(r.alpha - round(alpha, 6)) < 1e-9
+    assert abs(r.d_o - round(d_o, 6)) < 1e-9
+    assert abs(r.d_e - round(d_e, 6)) < 1e-9
+    assert r.n == n and r.units == len(pair)
+    assert r.alpha > 0.4                  # planted consistency detected
+
+
+def test_krippendorff_alpha_degenerate(spark):
+    from aws_sdk_pandas_spark.operators.evaluation import krippendorff_alpha
+
+    # perfect agreement, >1 value globally -> alpha = 1
+    perfect = spark.createDataFrame(
+        [("u1", "a")] * 3 + [("u2", "b")] * 3, "unit string, val string"
+    )
+    r = krippendorff_alpha(perfect, unit_col="unit", value_col="val").collect()[0]
+    assert r.alpha == 1.0 and r.d_o == 0.0 and r.units == 2
+    # one value everywhere: D_e = 0 -> alpha undefined (NULL), d_o = 0
+    const = spark.createDataFrame(
+        [("u1", "a")] * 3 + [("u2", "a")] * 2, "unit string, val string"
+    )
+    r = krippendorff_alpha(const, unit_col="unit", value_col="val").collect()[0]
+    assert r.alpha is None and r.d_o == 0.0
+    # only singly-rated units: nothing pairable -> NULLs, n = 0
+    single = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b")], "unit string, val string"
+    )
+    r = krippendorff_alpha(single, unit_col="unit", value_col="val").collect()[0]
+    assert r.alpha is None and r.n == 0 and r.units == 0
