@@ -448,10 +448,15 @@ def krippendorff_alpha(
     """
     u = F.col(unit_col)
     v = F.col(value_col)
+    # localCheckpoint: cnt feeds per-unit totals AND the join-back, and
+    # j feeds both disagreement terms — pinning the bounded reduction
+    # makes the one-raw-scan guarantee unconditional (not dependent on
+    # exchange reuse surviving stage retries).
     cnt = (
         df.where(u.isNotNull() & v.isNotNull())
         .groupBy(u.alias("__u"), v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
     per_u = cnt.groupBy("__u").agg(F.sum("__c").alias("__m"))
     j = cnt.join(per_u, "__u").where(F.col("__m") >= 2)

@@ -123,10 +123,16 @@ def _contingency(df: DataFrame, col_a: str, col_b: str):
     tests: (obs(__a,__b,__o), row_marginals, col_marginals) with NULL
     categories excluded."""
     a, b = F.col(col_a), F.col(col_b)
+    # localCheckpoint: obs feeds marginals, totals, AND the expected-
+    # count join — without pinning, each consumer's job re-scans the
+    # raw lineage to rebuild a table bounded by category-product
+    # cardinality (one-raw-scan discipline; exchange reuse alone is
+    # conditional on the shuffle surviving).
     obs = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("__a"), b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint(eager=True)
     )
     row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
     col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
