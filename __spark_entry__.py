@@ -949,9 +949,12 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        ev.withColumn("k", F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
         .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
         .orderBy("event_type")
     )
 
@@ -4815,8 +4818,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   COUNT(json_extract_string(props, '$.k')) AS n_with_k
+                   CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
             FROM events
             GROUP BY event_type
             ORDER BY event_type

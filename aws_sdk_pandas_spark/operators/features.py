@@ -108,11 +108,16 @@ def fit_pca(
     vector_col: str = "embedding",
     k: int = 16,
 ) -> dict:
-    """Principal components of an ``array<float>`` column in ONE
-    distributed pass: each partition reduces its Arrow batches to
-    ``(count, sum, X^T X)`` partial sums (d x d each — for d=1024 that
+    """Principal components of an ``array<float>`` column in TWO
+    schema-bounded distributed passes (mean first, then the CENTERED
+    Gram): each partition reduces its Arrow batches to ``(count, sum)``
+    then ``(X-mu)^T (X-mu)`` partial sums (d x d each — for d=1024 that
     is 8 MB per partition, independent of row count), the driver
-    combines them and eigendecomposes the d x d covariance.
+    combines them and eigendecomposes the d x d covariance.  Centering
+    INSIDE the second pass is the same two-pass-moments discipline as
+    `fit_mahalanobis`/`fit_ols`: the one-pass ``G - mu s' - s mu' +
+    n mu mu'`` form cancels catastrophically (~9 lost digits) on
+    large-magnitude, low-variance coordinates.
 
     Returns ``{"mean": [d], "components": [k][d], "explained_variance":
     [k]}`` with components sign-fixed (largest-|coef| entry positive) so
@@ -124,29 +129,35 @@ def fit_pca(
         raise ValueError("no non-null vectors to fit PCA on")
     d = len(first[0])
 
-    def _partials(batches):
+    def _mean_partials(batches):
         n = 0
         s = np.zeros(d)
-        g = np.zeros((d, d))
         for pdf in batches:
             x = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
             n += x.shape[0]
             s += x.sum(axis=0)
-            g += x.T @ x
-        yield pd.DataFrame(
-            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
-        )
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()]})
 
-    parts = df.select(vector_col).mapInPandas(
-        _partials, "n long, s array<double>, g array<double>"
+    mparts = df.select(vector_col).mapInPandas(
+        _mean_partials, "n long, s array<double>"
     ).collect()
-    n = sum(p["n"] for p in parts)
+    n = sum(p["n"] for p in mparts)
     if n < 2:
         raise ValueError("need at least 2 vectors")
-    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
-    g = np.sum([np.array(p["g"]).reshape(d, d) for p in parts], axis=0)
-    mean = s / n
-    cov = (g - np.outer(mean, s) - np.outer(s, mean) + n * np.outer(mean, mean)) / (n - 1)
+    mean = np.sum([np.array(p["s"]) for p in mparts], axis=0) / n
+
+    def _gram_partials(batches):
+        g = np.zeros((d, d))
+        for pdf in batches:
+            x = np.stack(pdf[vector_col].to_numpy()).astype(np.float64) - mean
+            g += x.T @ x
+        yield pd.DataFrame({"g": [g.reshape(-1).tolist()]})
+
+    gparts = df.select(vector_col).mapInPandas(
+        _gram_partials, "g array<double>"
+    ).collect()
+    g = np.sum([np.array(p["g"]).reshape(d, d) for p in gparts], axis=0)
+    cov = g / (n - 1)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T  # k x d

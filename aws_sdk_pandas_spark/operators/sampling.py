@@ -641,9 +641,11 @@ def balance_classes(
 
     ``target="min"`` keeps ~min-class-count rows per class (keep
     probability ``min_n/n_c``; expected-size, exact for the rarest
-    class which keeps everything).  Scale shape: one class-bounded
-    count aggregation broadcast back + a codegen hash filter — one
-    scan, no shuffle of the data itself.
+    class which keeps everything).  Rows with a NULL label are not a
+    class: they pass through UNCHANGED (never downsampled, never
+    dropped) — unlabeled data is not this operator's to discard.
+    Scale shape: one class-bounded count aggregation broadcast back +
+    a codegen hash filter — one scan, no shuffle of the data itself.
     """
     if target != "min":
         raise ValueError("only target='min' is implemented")
@@ -655,6 +657,7 @@ def balance_classes(
     rates = counts.crossJoin(F.broadcast(mn)).select(
         "__lab", (F.col("__mn") / F.col("__c")).alias("__p")
     )
-    j = df.join(F.broadcast(rates), lab == F.col("__lab"), "inner")
+    # Left join: NULL labels never match (__p stays NULL) and are kept as-is.
+    j = df.join(F.broadcast(rates), lab == F.col("__lab"), "left")
     u = _md5_uniform(key_col, seed)
-    return j.where(u < F.col("__p")).drop("__lab", "__p")
+    return j.where(F.col("__p").isNull() | (u < F.col("__p"))).drop("__lab", "__p")

@@ -168,18 +168,25 @@ def detect_anomalies_rolling(
 ) -> DataFrame:
     """Trailing-window anomaly detection: flag points whose value sits
     more than ``z`` sample standard deviations from the mean of the
-    PRECEDING ``window_seconds`` within each ``by`` group — the baseline
-    excludes the current row, so an anomaly cannot damp its own
-    threshold.  Points with fewer than ``min_points`` trailing
-    neighbours (cold start) or a degenerate (zero/NULL) trailing spread
-    are never flagged.
+    trailing ``window_seconds`` within each ``by`` group — the baseline
+    excludes ONLY the current row itself, so an anomaly cannot damp its
+    own threshold, while points sharing its exact timestamp DO count
+    (a dense same-instant burst forms its own baseline instead of
+    reading NULL z-scores).  Points with fewer than ``min_points``
+    baseline neighbours (cold start) or a degenerate (zero/NULL)
+    baseline spread are never flagged.
 
     Adds ``<prefix>_n_prior``, ``<prefix>_zscore`` (rounded, NULL when
     undefined), ``<prefix>_flag``.
 
     Scale shape: ONE range-frame window over (group, epoch) — the same
     single-shuffle shape as the sliding-time-window features; state per
-    task is bounded by the window span, never the series length.
+    task is bounded by the window span, never the series length.  The
+    self-exclusion is algebraic (inclusive-frame sums minus the row's
+    own contribution) because no frame bound can express "all rows in
+    range except me"; values are centered on the group mean first so
+    the sum-of-squares identity never cancels catastrophically
+    (the repo-wide two-pass-moments discipline, see fit_mahalanobis).
     """
     # order by exact epoch MICROseconds: a whole-second epoch would
     # exclude every preceding row inside the same truncated second (not
@@ -190,17 +197,25 @@ def detect_anomalies_rolling(
         epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     else:
         epoch_us = (F.col(ts_col).cast("double") * 1_000_000).cast("long")
+    grp = list(by or [])
+    wg = Window.partitionBy(*grp)
     w = (
-        Window.partitionBy(*(by or []))
+        Window.partitionBy(*grp)
         .orderBy(epoch_us)
-        .rangeBetween(-window_seconds * 1_000_000, -1)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    mean = F.avg(value_col).over(w)
-    std = F.stddev_samp(value_col).over(w)
-    n = F.count(value_col).over(w)
+    # center on the group mean: variance is shift-invariant and the
+    # centered sums sit near zero, so s2 - s1^2/n cannot cancel
+    xc = F.col(value_col) - F.avg(value_col).over(wg)
+    has_v = F.col(value_col).isNotNull()
+    n = F.count(xc).over(w) - F.when(has_v, F.lit(1)).otherwise(F.lit(0))
+    s1 = F.sum(xc).over(w) - F.coalesce(xc, F.lit(0.0))
+    s2 = F.sum(xc * xc).over(w) - F.coalesce(xc * xc, F.lit(0.0))
+    var = F.when(n >= 2, (s2 - (s1 * s1) / n) / (n - 1))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
     zscore = F.when(
         (n >= min_points) & std.isNotNull() & (std > 0),
-        (F.col(value_col) - mean) / std,
+        (xc - s1 / n) / std,
     )
     return (
         df.withColumn(f"{out_prefix}_n_prior", n)

@@ -168,14 +168,6 @@ def _iter_pandas_chunks(df: DataFrame, chunksize: int):
         yield pd.DataFrame(rows, columns=cols)
 
 
-def read_sql_table(
-    spark: SparkSession, table: str, database: str | None = None, **kwargs: Any
-) -> DataFrame | Any:
-    """(reference: athena/_read.py:1313)"""
-    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
-    return read_sql_query(spark, f"SELECT * FROM {qualified}", **kwargs)
-
-
 def unload(
     spark: SparkSession,
     sql: str,

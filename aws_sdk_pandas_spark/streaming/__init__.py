@@ -34,6 +34,54 @@ def _read_state_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def _read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """State read with crash-recovery fallback: prefer the live path;
+    if it's absent (a crash landed between the two swap renames), fall
+    back to the ``.old`` copy — the complete pre-batch state the swap
+    had just retired.  ``.staging`` is never read: it is the only
+    directory a crash can leave incomplete."""
+    prev = _read_state_if_exists(spark, state_path)
+    if prev is not None:
+        return prev
+    return _read_state_if_exists(spark, state_path.rstrip("/") + ".old")
+
+
+def _atomic_swap_state(spark: SparkSession, staged: DataFrame, state_path: str) -> None:
+    """Crash-safe replacement of a parquet state directory.
+
+    Order of operations (each a metadata-only FS rename, so the
+    exposure windows are tiny and every window leaves at least one
+    COMPLETE copy on disk):
+
+    1. write merged state to ``<state>.staging`` (live state untouched)
+    2. delete any stale ``<state>.old``
+    3. rename ``<state>`` → ``<state>.old``
+    4. rename ``<state>.staging`` → ``<state>``
+    5. delete ``<state>.old``
+
+    A crash during (1) leaves the live state intact; between (3) and
+    (4) the live path is briefly absent but ``.old`` is complete and
+    `_read_rollup_state` falls back to it; after (4) the swap is done
+    and ``.old`` is just garbage collected next batch."""
+    from aws_sdk_pandas_spark.sources._write import write_dataset
+    from aws_sdk_pandas_spark.sources.fs import _jvm_fs
+
+    base = state_path.rstrip("/")
+    staging, old = base + ".staging", base + ".old"
+    write_dataset(staged, staging, "parquet", mode="overwrite")
+    fs, jpath, jvm = _jvm_fs(spark, base)
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if fs.exists(jpath):
+        if not fs.rename(jpath, jold):
+            raise IOError(f"state swap: rename {base} -> {old} failed")
+    if not fs.rename(jstaging, jpath):
+        raise IOError(f"state swap: rename {staging} -> {base} failed")
+    fs.delete(jold, True)
+
+
 def read_stream(
     spark: SparkSession,
     path: str,
@@ -637,17 +685,23 @@ def incremental_rollup_stream(
     The per-batch cost is (batch partial) + (state-sized merge), so a
     year of history costs the same per batch as day one.
 
-    Delivery caveat: the parquet state swap is at-least-once — a crash
-    BETWEEN the state write and the checkpoint commit replays the batch
-    and merges it twice.  For exactly-once state, point ``state_path``
-    at a transactional table (Delta/Iceberg via `lakehouse`) and make
-    the swap a MERGE keyed on batch_id.
+    Durability: the swap is crash-safe.  Each batch writes the merged
+    state to a ``.staging`` sibling directory FIRST (the live state is
+    never the write target), then swaps via two directory renames
+    (state → ``.old``, staging → state).  A crash at any point leaves a
+    complete copy on disk: mid-write → live state untouched; between
+    the renames → ``.old`` holds the pre-batch state and the next
+    attempt (or reader) falls back to it.  Delivery is therefore
+    at-least-once — a crash between the swap and the checkpoint commit
+    replays the batch and merges it twice — but accumulated state is
+    never destroyed.  For exactly-once, point ``state_path`` at a
+    transactional table (Delta/Iceberg via `lakehouse`) and make the
+    swap a MERGE keyed on batch_id.
     """
     from aws_sdk_pandas_spark.operators.aggregates import (
         merge_aggregates,
         partial_aggregate,
     )
-    from aws_sdk_pandas_spark.sources._write import write_dataset
 
     spark = events.sparkSession
 
@@ -655,10 +709,10 @@ def incremental_rollup_stream(
         if not batch_df.head(1):
             return
         part = partial_aggregate(batch_df, keys, metrics)
-        prev = _read_state_if_exists(spark, state_path)
+        prev = _read_rollup_state(spark, state_path)
         merged = part if prev is None else merge_aggregates([prev, part], keys)
         staged = merged.localCheckpoint(eager=True)  # break lineage off the files being replaced
-        write_dataset(staged, state_path, "parquet", mode="overwrite")
+        _atomic_swap_state(spark, staged, state_path)
 
     writer = events.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

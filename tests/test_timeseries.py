@@ -106,6 +106,33 @@ def test_rolling_anomaly_subsecond_baseline(spark):
     assert out[8].anomaly_flag is True
 
 
+def test_rolling_anomaly_cotimestamped_baseline(spark):
+    """Points sharing the exact same timestamp form each other's
+    baseline — only the row itself is excluded.  A dense equal-
+    timestamp burst must get real z-scores, and a spike inside it must
+    be flagged against its same-instant peers."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.timeseries import detect_anomalies_rolling
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    vals = [10.0, 10.1, 10.2, 10.0, 10.1, 10.2, 50.0]  # 7 rows, one instant
+    rows = [(i, 1, t0, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+    out = {r.event_id: r for r in detect_anomalies_rolling(
+        df, ts_col="ts", value_col="value", by=["user_id"], z=3.0, min_points=5).collect()}
+    # every row's baseline = the other 6 rows at the same instant
+    assert all(out[i].anomaly_n_prior == 6 for i in range(7))
+    assert out[6].anomaly_flag is True and all(
+        out[i].anomaly_flag is False for i in range(6))
+    # z-score matches the serial leave-one-out recompute
+    rest = np.array(vals[:-1])
+    want = (vals[-1] - rest.mean()) / rest.std(ddof=1)
+    assert abs(out[6].anomaly_zscore - want) < 1e-3
+
+
 def test_page_hinkley_detects_mean_shift(spark):
     from datetime import datetime, timedelta
 
