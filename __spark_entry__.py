@@ -4419,6 +4419,112 @@ def _q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apdex(ev, latency_col="value", threshold=10.0, by=["event_type"])
 
 
+def _q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics under the hash gate (lakehouse.to_deltalake +
+    lakehouse_shim.merge, reference: athena/_write_iceberg.py:297-420):
+    orders written as a versioned lakelite table, a derived source batch
+    of updates (+1000.0 on price, status 'U', every 10th key) and inserts
+    (shifted keys, status 'N') merged with file-level copy-on-write, the
+    post-merge snapshot aggregated.  The oracle recomputes the upsert
+    relationally, so a lost insert, an unapplied update, or a duplicated
+    carried-over file hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse, lakehouse_shim
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-lakelite-") + "/orders_tbl"
+    base = spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    lakehouse.to_deltalake(base.repartition(8, "o_orderkey"), path, mode="overwrite")
+    updates = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+        """
+    )
+    inserts = spark.sql(
+        """
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+               'N' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 1000 = 0
+        """
+    )
+    lakehouse_shim.merge(spark, updates.unionByName(inserts), path, ["o_orderkey"])
+    back = lakehouse.read_deltalake(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned reads under the hash gate (lakehouse.read_deltalake
+    version=, reference: s3/_read_deltalake.py:38): three commits by
+    order status, each historical snapshot aggregated — version 0 must
+    still see ONLY the first commit after two appends."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-lakelite-") + "/orders_tt"
+    o = spark.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")
+    lakehouse.to_deltalake(o.where("o_orderstatus = 'F'"), path, mode="overwrite")
+    lakehouse.to_deltalake(o.where("o_orderstatus = 'O'"), path, mode="append")
+    lakehouse.to_deltalake(o.where("o_orderstatus NOT IN ('F','O')"), path, mode="append")
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            lakehouse.read_deltalake(spark, path, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "n", "total_price")
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]).orderBy("version")
+
+
+def _q_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-by-key with file-level CoW under the hash gate
+    (lakehouse_shim.delete, reference: athena/_write_iceberg.py:715):
+    customer written versioned, one segment's keys deleted, the surviving
+    snapshot aggregated against a relational anti-filter oracle."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse, lakehouse_shim
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-lakelite-") + "/customer_tbl"
+    c = spark.sql("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer")
+    lakehouse.to_deltalake(c.repartition(8, "c_custkey"), path, mode="overwrite")
+    victims = c.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    lakehouse_shim.delete(spark, victims, path, ["c_custkey"])
+    back = lakehouse.read_deltalake(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4497,6 +4603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination_check": _q_contamination,
         "doc_tfidf_top_terms": _q_tfidf_top_terms,
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
+        "lakehouse_merge_roundtrip": _q_lakehouse_merge,
+        "lakehouse_time_travel": _q_lakehouse_time_travel,
+        "lakehouse_delete_cow": _q_lakehouse_delete,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
         "events_retention_cohorts": _q_retention_cohorts,
         "asof_join_forward_tol": _q_asof_forward_tol,
@@ -5937,6 +6046,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "lakehouse_merge_roundtrip": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       'U' AS o_orderstatus
+                FROM orders WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N'
+                FROM orders WHERE o_orderkey % 1000 = 0
+            ), merged AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 10 <> 0
+                UNION ALL
+                SELECT * FROM src
+            )
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM merged
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "lakehouse_time_travel": """
+            SELECT 0 AS version, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT 1, COUNT(*),
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+            UNION ALL
+            SELECT 2, COUNT(*),
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+            FROM orders
+            ORDER BY version
+        """,
+        "lakehouse_delete_cow": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+            FROM customer
+            WHERE c_mktsegment <> 'BUILDING'
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "doc_tfidf_top_terms": r"""
             WITH toks AS (

@@ -4,10 +4,14 @@
 s3/_s3_tables_iceberg.py:29,160).
 
 Delta/Iceberg need their runtime jars on the Spark classpath (delta-spark
-/ iceberg-spark-runtime).  This container ships neither, so every entry
-point probes for the format and raises a clear, actionable error when
-absent; with the jars present the calls are plain Spark writes — this is
-the documented wiring, kept thin on purpose.
+/ iceberg-spark-runtime).  When the probe finds them, every entry point
+here is a plain native Spark write/read.  When they are absent (as in
+this container), the entry points FALL BACK to ``lakehouse_shim`` — an
+in-repo versioned parquet+manifest format with file-level copy-on-write
+— so append/overwrite/time-travel/MERGE/DELETE semantics are executable
+and tested rather than a classpath-probe error branch.  Pass
+``require_native=True`` (or set ``lakehouse.ALLOW_SHIM = False``) to get
+the old raise-if-no-jar behavior.
 """
 
 from __future__ import annotations
@@ -37,6 +41,10 @@ def _format_available(spark: SparkSession, fmt: str) -> bool:
     return ok
 
 
+# module knob: set False to forbid the shim fallback globally
+ALLOW_SHIM = True
+
+
 def _require(spark: SparkSession, fmt: str) -> None:
     if not _format_available(spark, fmt):
         jar = "delta-spark" if fmt == "delta" else "iceberg-spark-runtime"
@@ -44,6 +52,30 @@ def _require(spark: SparkSession, fmt: str) -> None:
             f"{fmt} support requires the {jar} package on the Spark classpath "
             f"(spark.jars.packages); not present in this environment"
         )
+
+
+def _use_native(spark: SparkSession, fmt: str, require_native: bool) -> bool:
+    """True -> native jar path; False -> lakehouse_shim fallback.
+    Raises (the old behavior) when the jar is missing and the shim is
+    disallowed."""
+    if _format_available(spark, fmt):
+        return True
+    if require_native or not ALLOW_SHIM:
+        _require(spark, fmt)
+    return False
+
+
+def _iceberg_table_path(spark: SparkSession, table: str) -> str:
+    """Map a catalog table name to a shim directory under the warehouse
+    (the shim has no catalog; dots become path segments)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        import urllib.parse
+
+        wh = urllib.parse.urlparse(wh).path
+    return os.path.join(wh, "_lakelite_tables", *table.split("."))
 
 
 def to_deltalake(
@@ -54,10 +86,18 @@ def to_deltalake(
     partition_cols: list[str] | None = None,
     schema_mode: str | None = None,
     options: dict[str, Any] | None = None,
+    require_native: bool = False,
 ) -> None:
     """reference: s3/_write_deltalake.py:51 — modes error/append/overwrite/
-    ignore; ``schema_mode='overwrite'`` -> overwriteSchema."""
-    _require(df.sparkSession, "delta")
+    ignore; ``schema_mode='overwrite'`` -> overwriteSchema.  Shim fallback
+    (no delta jar): lakehouse_shim.write, same mode/schema_mode contract."""
+    if not _use_native(df.sparkSession, "delta", require_native):
+        from aws_sdk_pandas_spark import lakehouse_shim
+
+        lakehouse_shim.write(
+            df, path, mode=mode, partition_cols=partition_cols, schema_mode=schema_mode
+        )
+        return
     spark_mode = {"error": "errorifexists", "ignore": "ignore"}.get(mode, mode)
     writer = df.write.format("delta").mode(spark_mode)
     if partition_cols:
@@ -77,9 +117,13 @@ def read_deltalake(
     *,
     version: int | None = None,
     columns: list[str] | None = None,
+    require_native: bool = False,
 ) -> DataFrame:
     """reference: s3/_read_deltalake.py:38 — ``version`` = time travel."""
-    _require(spark, "delta")
+    if not _use_native(spark, "delta", require_native):
+        from aws_sdk_pandas_spark import lakehouse_shim
+
+        return lakehouse_shim.read(spark, path, version=version, columns=columns)
     reader = spark.read.format("delta")
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
@@ -113,10 +157,32 @@ def to_iceberg(
     merge_cols: list[str] | None = None,
     merge_condition: str = "update",
     merge_match_nulls: bool = False,
+    precombine_key: str | None = None,
+    require_native: bool = False,
 ) -> None:
     """reference: athena/_write_iceberg.py:411 — append / overwrite /
-    MERGE INTO when ``merge_cols`` given (null-safe via <=>)."""
-    _require(df.sparkSession, "iceberg")
+    MERGE INTO when ``merge_cols`` given (null-safe via <=>).  Shim
+    fallback (no iceberg jar): the table name maps to a warehouse
+    directory and lakehouse_shim.merge runs the same matched/unmatched
+    contract with file-level copy-on-write."""
+    spark = df.sparkSession
+    if not _use_native(spark, "iceberg", require_native):
+        from aws_sdk_pandas_spark import lakehouse_shim
+
+        path = _iceberg_table_path(spark, table)
+        if merge_cols:
+            if not lakehouse_shim.table_exists(path):
+                lakehouse_shim.write(df, path, mode="overwrite")
+            else:
+                lakehouse_shim.merge(
+                    spark, df, path, merge_cols,
+                    merge_condition=merge_condition,
+                    match_nulls=merge_match_nulls,
+                    precombine_key=precombine_key,
+                )
+        else:
+            lakehouse_shim.write(df, path, mode=mode)
+        return
     if merge_cols:
         from aws_sdk_pandas_spark.operators.merge import merge_upsert
 
@@ -143,11 +209,25 @@ def read_iceberg(
     row_filter: str | None = None,
     snapshot_id: int | None = None,
     limit: int | None = None,
+    require_native: bool = False,
 ) -> DataFrame:
     """reference: s3/_s3_tables_iceberg.py:29 ``from_iceberg`` — catalog
     scan with column pruning, row filter, snapshot pin and limit (all
-    pushed into the Iceberg scan by Catalyst)."""
-    _require(spark, "iceberg")
+    pushed into the Iceberg scan by Catalyst).  Shim fallback:
+    ``snapshot_id`` is the lakelite version number."""
+    if not _use_native(spark, "iceberg", require_native):
+        from aws_sdk_pandas_spark import lakehouse_shim
+
+        df = lakehouse_shim.read(
+            spark, _iceberg_table_path(spark, table), version=snapshot_id
+        )
+        if row_filter:
+            df = df.where(row_filter)
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
     if snapshot_id is not None:
         df = spark.read.option("snapshot-id", str(snapshot_id)).table(table)
     else:
@@ -170,11 +250,17 @@ def delete_from_iceberg_table(
     df: DataFrame,
     table: str,
     merge_cols: list[str],
+    *,
+    require_native: bool = False,
 ) -> None:
     """reference: athena/_write_iceberg.py:715 ``delete_from_iceberg_table``."""
     from aws_sdk_pandas_spark.operators.merge import delete_from_table
 
-    _require(spark, "iceberg")
+    if not _use_native(spark, "iceberg", require_native):
+        from aws_sdk_pandas_spark import lakehouse_shim
+
+        lakehouse_shim.delete(spark, df, _iceberg_table_path(spark, table), merge_cols)
+        return
     delete_from_table(spark, df, table, merge_cols)
 
 

@@ -1,0 +1,526 @@
+"""Lakelite: an in-repo versioned parquet table format (manifest log +
+file-level copy-on-write) that gives the lakehouse entry points
+(`to_deltalake`/`read_deltalake`/`to_iceberg`/`read_iceberg`/MERGE/
+DELETE, reference: awswrangler/s3/_write_deltalake.py:51,
+s3/_read_deltalake.py:38, athena/_write_iceberg.py:297-420,715)
+*executable* semantics when the delta-spark / iceberg-spark-runtime jars
+are absent — this container ships neither, so without this shim those
+code paths exist only as classpath-probe error branches.
+
+Design (the same shape as the real formats, scaled down to a shim):
+
+- A table is a directory: immutable data files under ``data/<commit>/``
+  plus a JSON manifest log under ``_lakelite/v{N}.json``.  Each manifest
+  is the COMPLETE file list of that snapshot (Iceberg-style snapshot
+  manifests rather than Delta-style action deltas — replay-free reads).
+- Commits are atomic: data files land first, then the manifest is
+  written to a temp name and ``os.rename``d into place.  A crash between
+  the two leaves orphan data files (harmless, vacuum-able), never a
+  corrupt table — the same guarantee the Delta log protocol gives.
+- MERGE / DELETE are file-level copy-on-write: a semi-join of the
+  snapshot's hidden ``_metadata.file_path`` column against the source
+  keys finds the files that contain matching rows; ONLY those files are
+  rewritten, every other file is carried into the new manifest by
+  reference.  At 100 TB this is the property that matters — an upsert
+  touching 0.1% of keys rewrites ~0.1% of the data, exactly like Delta
+  CoW.  The touched-file list is collected on the driver (bounded by
+  file count, the same driver-side set Delta's own commit builds).
+- ``merge_condition='ignore'`` is an insert-only fast path: unmatched
+  source rows become a new commit, NO existing file is read or written.
+- Time travel = read an older manifest.  ``overwrite_partitions`` drops
+  manifest entries whose partition values match the incoming frame's
+  (dynamic partition overwrite).  ``compact`` rewrites the snapshot as
+  one commit (the OPTIMIZE analog) and ``vacuum`` deletes data dirs no
+  kept manifest references.
+
+Honest limits vs the real formats (documented, deliberate): single
+writer (no optimistic-concurrency conflict check on the log), the read
+plan unions one parquet scan per surviving commit dir (bounded by commit
+count — run ``compact`` on long-lived tables), and statistics-based file
+skipping is partition-values-only.  Production deployments should put
+the real jars on the classpath; every entry point in ``lakehouse``
+prefers the native path when the probe finds one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_LOG_DIR = "_lakelite"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme so os-level manifest IO and Spark's
+    ``_metadata.file_path`` URIs compare equal."""
+    if path.startswith("file:"):
+        return urllib.parse.urlparse(path).path
+    return path
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(_local(path), _LOG_DIR)
+
+
+def table_exists(path: str) -> bool:
+    d = _log_dir(path)
+    return os.path.isdir(d) and any(
+        f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+    )
+
+
+def _versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int:
+    vs = _versions(path)
+    if not vs:
+        raise InvalidArgument(f"not a lakelite table: no manifest log under {path!r}")
+    return vs[-1]
+
+
+def _read_manifest(path: str, version: int) -> dict[str, Any]:
+    with open(os.path.join(_log_dir(path), f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict[str, Any]) -> None:
+    """Atomic commit: temp write + rename.  Data files referenced by the
+    manifest are already durable; visibility flips with the rename."""
+    d = _log_dir(path)
+    os.makedirs(d, exist_ok=True)
+    version = manifest["version"]
+    tmp = os.path.join(d, f".v{version:08d}.{uuid.uuid4().hex[:8]}.tmp")
+    final = os.path.join(d, f"v{version:08d}.json")
+    if os.path.exists(final):
+        raise InvalidArgument(
+            f"concurrent write detected: version {version} already committed at {path!r}"
+        )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, final)
+
+
+def _parse_partition_values(rel_file: str, commit_rel: str) -> dict[str, str | None]:
+    """Recover hive partition values from the dir segments between the
+    commit dir and the leaf file."""
+    inner = os.path.dirname(os.path.relpath(rel_file, commit_rel))
+    vals: dict[str, str | None] = {}
+    if inner in ("", "."):
+        return vals
+    for seg in inner.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+    return vals
+
+
+def _write_commit(
+    df: DataFrame, path: str, partition_cols: list[str] | None
+) -> tuple[str, list[dict[str, Any]]]:
+    """Write one immutable commit dir of parquet files; return its
+    relative path and the manifest file entries."""
+    root = _local(path)
+    commit = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join("data", commit)
+    out = os.path.join(root, commit_rel)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out)
+    entries = []
+    for dirpath, _dirs, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            entries.append(
+                {
+                    "path": rel,
+                    "commit": commit_rel,
+                    "partition_values": _parse_partition_values(rel, commit_rel),
+                }
+            )
+    return commit_rel, entries
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+    schema_mode: str | None = None,
+) -> None:
+    """Versioned write.  Modes mirror the reference's ``to_deltalake``
+    (s3/_write_deltalake.py:51): append / overwrite / error|errorifexists
+    / ignore, plus ``overwrite_partitions`` (dynamic partition overwrite,
+    the Iceberg ``overwritePartitions`` analog).  ``schema_mode`` in
+    (None, 'merge', 'overwrite') applies Delta's schema-enforcement
+    contract: a column-set change is rejected unless merge/overwrite."""
+    exists = table_exists(path)
+    if mode in ("error", "errorifexists") and exists:
+        raise InvalidArgument(f"lakelite table already exists at {path!r}")
+    if mode == "ignore" and exists:
+        return
+    if mode in ("error", "errorifexists", "ignore"):
+        mode = "append" if not exists else mode
+
+    prev = _read_manifest(path, latest_version(path)) if exists else None
+    if prev is not None and partition_cols is None:
+        partition_cols = prev["partition_cols"]
+
+    if prev is not None and mode != "overwrite" and schema_mode != "overwrite":
+        old_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+        new_cols = set(df.columns)
+        if old_cols != new_cols and schema_mode != "merge":
+            raise InvalidArgument(
+                "schema change rejected (existing "
+                f"{sorted(old_cols)} vs incoming {sorted(new_cols)}); "
+                "pass schema_mode='merge' or 'overwrite'"
+            )
+
+    _, entries = _write_commit(df, path, partition_cols)
+
+    if mode == "overwrite" or prev is None:
+        files = entries
+        schema = df.schema.json()
+    elif mode == "append":
+        files = prev["files"] + entries
+        schema = _merged_schema(prev["schema"], df) if schema_mode == "merge" else prev["schema"]
+    elif mode == "overwrite_partitions":
+        if not partition_cols:
+            raise InvalidArgument("overwrite_partitions requires a partitioned table")
+        incoming = {
+            tuple(e["partition_values"].get(c) for c in partition_cols) for e in entries
+        }
+        kept = [
+            e
+            for e in prev["files"]
+            if tuple(e["partition_values"].get(c) for c in partition_cols) not in incoming
+        ]
+        files = kept + entries
+        schema = prev["schema"]
+    else:
+        raise InvalidArgument(f"unsupported lakelite mode {mode!r}")
+
+    _commit_manifest(
+        path,
+        {
+            "version": (prev["version"] + 1) if prev is not None else 0,
+            "mode": mode,
+            "schema": schema,
+            "partition_cols": partition_cols or [],
+            "files": files,
+        },
+    )
+
+
+def _merged_schema(prev_schema_json: str, df: DataFrame) -> str:
+    prev_schema = T.StructType.fromJson(json.loads(prev_schema_json))
+    merged = T.StructType(list(prev_schema.fields))
+    have = {f.name for f in prev_schema.fields}
+    for f in df.schema.fields:
+        if f.name not in have:
+            merged = merged.add(f)
+    return merged.json()
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    partition_filter: Callable[[dict[str, str | None]], bool] | None = None,
+    with_file_path: bool = False,
+) -> DataFrame:
+    """Snapshot (or time-travel) read.  ``partition_filter`` prunes
+    manifest entries on the DRIVER before any scan is planned — the log
+    replaces a storage LIST + footer reads, exactly the benefit the real
+    formats buy.  One parquet scan per surviving commit dir (partition
+    columns recovered via basePath discovery), unioned by name so schema
+    evolution reads old files with nulls in new columns."""
+    v = latest_version(path) if version is None else version
+    if version is not None and version not in _versions(path):
+        raise InvalidArgument(
+            f"version {version} not found at {path!r} (have {_versions(path)})"
+        )
+    man = _read_manifest(path, v)
+    root = _local(path)
+    entries = man["files"]
+    if partition_filter is not None:
+        entries = [e for e in entries if partition_filter(e["partition_values"])]
+
+    schema = T.StructType.fromJson(json.loads(man["schema"]))
+    full_schema = schema
+    for c in man["partition_cols"]:
+        if c not in schema.fieldNames():
+            full_schema = full_schema.add(c, T.StringType())
+    if with_file_path and "__lakelite_file" not in full_schema.fieldNames():
+        full_schema = full_schema.add("__lakelite_file", T.StringType())
+
+    if not entries:
+        df = spark.createDataFrame([], full_schema)
+        return df.select(*columns) if columns else df
+
+    by_commit: dict[str, list[str]] = {}
+    for e in entries:
+        by_commit.setdefault(e["commit"], []).append(os.path.join(root, e["path"]))
+
+    parts = []
+    for commit_rel, files in sorted(by_commit.items()):
+        part = (
+            spark.read.option("basePath", os.path.join(root, commit_rel)).parquet(*files)
+        )
+        if with_file_path:
+            # scheme-normalized so it compares equal to os.path manifest joins
+            part = part.withColumn(
+                "__lakelite_file",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+        parts.append(part)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df.select(*columns) if columns else df
+
+
+def history(path: str) -> list[dict[str, Any]]:
+    """The DESCRIBE HISTORY analog: one row per committed version."""
+    out = []
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "mode": m["mode"],
+                "num_files": len(m["files"]),
+                "partition_cols": m["partition_cols"],
+            }
+        )
+    return out
+
+
+def _key_cond(left: DataFrame, right: DataFrame, keys: list[str], match_nulls: bool):
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k]) if match_nulls else (left[k] == right[k])
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _touched_files(
+    spark: SparkSession, path: str, source: DataFrame, keys: list[str], match_nulls: bool
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], DataFrame]:
+    """Split the current manifest into (touched, untouched) by semi-joining
+    the snapshot's _metadata.file_path against the source keys; return the
+    rewrite input (rows of touched files only)."""
+    man = _read_manifest(path, latest_version(path))
+    root = _local(path)
+    snap = read(spark, path, with_file_path=True)
+    src_keys = source.select(*keys).distinct()
+    hit = (
+        snap.join(F.broadcast(src_keys), _key_cond(snap, src_keys, keys, match_nulls), "leftsemi")
+        .select("__lakelite_file")
+        .distinct()
+        .collect()
+    )
+    hit_paths = {r[0] for r in hit}
+    touched = [e for e in man["files"] if os.path.join(root, e["path"]) in hit_paths]
+    untouched = [e for e in man["files"] if os.path.join(root, e["path"]) not in hit_paths]
+    touched_abs = sorted(os.path.join(root, e["path"]) for e in touched)
+    rewrite_input = snap.where(
+        F.col("__lakelite_file").isin(touched_abs) if touched_abs else F.lit(False)
+    ).drop("__lakelite_file")
+    return touched, untouched, rewrite_input
+
+
+def merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    merge_condition: str = "update",
+    match_nulls: bool = False,
+    precombine_key: str | None = None,
+) -> dict[str, int]:
+    """MERGE INTO semantics (reference: athena/_write_iceberg.py:297-420):
+    matched target rows updated (or kept, ``merge_condition='ignore'``),
+    unmatched source rows inserted; ``match_nulls`` = null-safe ``<=>``
+    matching; ``precombine_key`` = greatest-version-wins both within the
+    source batch and against the target row (redshift/_utils.py:186-199).
+
+    File-level copy-on-write: only files containing matched keys are
+    rewritten.  Returns {'files_rewritten': n, 'files_kept': m}."""
+    if merge_condition not in ("update", "ignore"):
+        raise InvalidArgument("merge_condition must be 'update' or 'ignore'")
+    if not table_exists(path):
+        write(source, path, mode="overwrite")
+        return {"files_rewritten": 0, "files_kept": 0}
+
+    from aws_sdk_pandas_spark.operators.merge import _precombine_latest
+
+    man = _read_manifest(path, latest_version(path))
+    pcols = man["partition_cols"]
+    if precombine_key is not None:
+        source = _precombine_latest(source, keys, precombine_key)
+
+    if merge_condition == "ignore":
+        # insert-only fast path: no existing file read or rewritten
+        snap_keys = read(spark, path, columns=keys).distinct()
+        inserts = source.join(
+            snap_keys, _key_cond(source, snap_keys, keys, match_nulls), "left_anti"
+        )
+        target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
+        _, entries = _write_commit(inserts.select(*target_cols), path, pcols)
+        _commit_manifest(
+            path,
+            {
+                "version": man["version"] + 1,
+                "mode": "merge_ignore",
+                "schema": man["schema"],
+                "partition_cols": pcols,
+                "files": man["files"] + entries,
+            },
+        )
+        return {"files_rewritten": 0, "files_kept": len(man["files"])}
+
+    touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
+    target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    src = source.select(*target_cols)
+    if precombine_key is None:
+        from aws_sdk_pandas_spark.operators.merge import upsert_dataframe
+
+        merged = upsert_dataframe(rewrite_input, src, keys, match_nulls=match_nulls)
+    else:
+        # greatest precombine wins between the target row and the source
+        # row; source wins ties (WHEN MATCHED AND s.v >= t.v semantics
+        # made deterministic)
+        from pyspark.sql import Window
+
+        tagged = rewrite_input.withColumn("__src", F.lit(0)).unionByName(
+            src.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(precombine_key).desc_nulls_last(), F.col("__src").desc()
+        )
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    _, entries = _write_commit(merged, path, pcols)
+    _commit_manifest(
+        path,
+        {
+            "version": man["version"] + 1,
+            "mode": "merge",
+            "schema": man["schema"],
+            "partition_cols": pcols,
+            "files": untouched + entries,
+        },
+    )
+    return {"files_rewritten": len(touched), "files_kept": len(untouched)}
+
+
+def delete(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    match_nulls: bool = False,
+) -> dict[str, int]:
+    """DELETE-by-key (reference: athena/_write_iceberg.py:715
+    ``delete_from_iceberg_table``) with the same file-level CoW: files
+    with no matching key survive by reference."""
+    man = _read_manifest(path, latest_version(path))
+    touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
+    src_keys = source.select(*keys).distinct()
+    survivors = rewrite_input.join(
+        F.broadcast(src_keys), _key_cond(rewrite_input, src_keys, keys, match_nulls), "left_anti"
+    )
+    entries: list[dict[str, Any]] = []
+    if touched:
+        _, entries = _write_commit(survivors, path, man["partition_cols"])
+    _commit_manifest(
+        path,
+        {
+            "version": man["version"] + 1,
+            "mode": "delete",
+            "schema": man["schema"],
+            "partition_cols": man["partition_cols"],
+            "files": untouched + entries,
+        },
+    )
+    return {"files_rewritten": len(touched), "files_kept": len(untouched)}
+
+
+def compact(spark: SparkSession, path: str, *, target_partitions: int | None = None) -> None:
+    """OPTIMIZE analog: rewrite the current snapshot as one commit so the
+    read plan collapses back to a single parquet scan.  Run periodically
+    on long-lived tables — the shim's per-commit union is the one read
+    cost the real formats don't pay."""
+    man = _read_manifest(path, latest_version(path))
+    df = read(spark, path)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    _, entries = _write_commit(df, path, man["partition_cols"])
+    _commit_manifest(
+        path,
+        {
+            "version": man["version"] + 1,
+            "mode": "compact",
+            "schema": man["schema"],
+            "partition_cols": man["partition_cols"],
+            "files": entries,
+        },
+    )
+
+
+def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete data commit dirs referenced by NO kept manifest (the
+    VACUUM analog; also reclaims orphans from crashed writes).  Keeping
+    fewer versions truncates time travel, exactly as in Delta."""
+    vs = _versions(path)
+    kept = vs[-keep_versions:] if keep_versions > 0 else []
+    root = _local(path)
+    referenced: set[str] = set()
+    for v in kept:
+        for e in _read_manifest(path, v)["files"]:
+            referenced.add(e["commit"])
+    removed = []
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for commit in os.listdir(data_dir):
+            rel = os.path.join("data", commit)
+            if rel not in referenced:
+                import shutil
+
+                shutil.rmtree(os.path.join(root, rel))
+                removed.append(rel)
+    for v in vs:
+        if v not in kept:
+            os.remove(os.path.join(_log_dir(path), f"v{v:08d}.json"))
+    return removed

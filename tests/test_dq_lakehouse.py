@@ -66,14 +66,15 @@ def test_dq_invalid(dq_df):
 
 
 def test_lakehouse_gated(spark, people_df, tmp_path):
-    """No delta/iceberg jars in this env: entry points must raise the
+    """No delta/iceberg jars in this env: with require_native the entry
+    points must raise the
     documented actionable error, not a Java stack."""
     with pytest.raises(InvalidArgument, match="delta-spark"):
-        lakehouse.to_deltalake(people_df, str(tmp_path / "d"))
+        lakehouse.to_deltalake(people_df, str(tmp_path / "d"), require_native=True)
     with pytest.raises(InvalidArgument, match="delta-spark"):
-        lakehouse.read_deltalake(spark, str(tmp_path / "d"))
+        lakehouse.read_deltalake(spark, str(tmp_path / "d"), require_native=True)
     with pytest.raises(InvalidArgument, match="iceberg"):
-        lakehouse.to_iceberg(people_df, "cat.db.t")
+        lakehouse.to_iceberg(people_df, "cat.db.t", require_native=True)
 
 
 def test_read_parquet_chunked(spark, people_df, tmp_path):
