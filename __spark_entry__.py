@@ -4525,6 +4525,147 @@ def _q_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under the FULL hash gate (verdict item 5): with n_probe ==
+    n_clusters every cluster is scanned, so knn_ivf provably equals
+    brute force regardless of where KMeans put the centroids — which
+    gives the IVF code path (index build, centroid ranking, cluster
+    filter, within-cluster exact distances) a DuckDB-recomputable
+    oracle: the brute-force cosine top-k SQL."""
+    from aws_sdk_pandas_spark.operators.similarity import build_ivf_index, knn_ivf
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 0")
+    assigned, centroids = build_ivf_index(corpus, vector_col="embedding", n_clusters=8)
+    return knn_ivf(
+        assigned, centroids, q, k=10, id_col="vec_id", vector_col="embedding", n_probe=8
+    )
+
+
+def _q_knn_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking IVF probe invariants (verdict item 5): the probe
+    candidate sets nest (probe=2 ⊆ probe=4 ⊆ probe=8), so recall against
+    brute force must be monotone non-decreasing in n_probe, and the
+    full probe must match brute force EXACTLY (ids and distances).  The
+    booleans are recomputed from scratch every run — a regression in
+    centroid ranking, cluster filtering, or distance math flips them,
+    and the oracle is the literal expected row."""
+    from aws_sdk_pandas_spark.operators.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    corpus = emb.where("vec_id <> 0")
+    assigned, centroids = build_ivf_index(corpus, vector_col="embedding", n_clusters=8)
+    brute = [
+        (r[0], r[1])
+        for r in knn_brute_force(
+            corpus, q, k=10, id_col="vec_id", vector_col="embedding"
+        ).collect()
+    ]
+    brute_ids = {t[0] for t in brute}
+    got = {}
+    for n_probe in (2, 4, 8):
+        got[n_probe] = [
+            (r[0], r[1])
+            for r in knn_ivf(
+                assigned, centroids, q, k=10,
+                id_col="vec_id", vector_col="embedding", n_probe=n_probe,
+            ).collect()
+        ]
+    recall = {p: len({t[0] for t in rows} & brute_ids) / 10.0 for p, rows in got.items()}
+    mono_ok = recall[2] <= recall[4] <= recall[8]
+    fullprobe_exact = got[8] == brute
+    return spark.createDataFrame(
+        [(10, bool(mono_ok), bool(fullprobe_exact))],
+        "k int, recall_monotone_ok boolean, fullprobe_exact_ok boolean",
+    )
+
+
+def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs under the FULL hash gate (verdict
+    item 5): on a bounded corpus slice the LSH-bucketed pair generator
+    (operators/dedup.embedding_duplicates, seeded) is compared pair-for-
+    pair against DuckDB's exact O(n^2) self-join — ids AND distances.
+    Distances are recomputed here in double precision from the raw
+    embeddings (not taken from the LSH distCol) so both engines evaluate
+    the same expression; the nearest pair to the 0.6 threshold sits
+    ~2e-3 away at every SF, so cross-engine float drift (~1e-7) cannot
+    flip membership.  A recall loss in the banding would hash-mismatch."""
+    from aws_sdk_pandas_spark.operators.dedup import embedding_duplicates
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    sl = read_parquet(spark, f"{sf_dir}/embeddings.parquet").where("vec_id < 400")
+    cand = embedding_duplicates(sl, threshold=0.6, num_hash_tables=6).select("id_a", "id_b")
+    va = sl.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    vb = sl.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(F.lit(1.0) - dot / (na * nb), 5).alias("distance"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking semantic-retrieval pipeline (verdict item 5):
+    embed_texts must be DETERMINISTIC (two independent plans over the
+    documents produce bit-identical vectors — the property that makes
+    every downstream dedup/knn gate reproducible), and the batched
+    one-scan knn_batch path must return exactly the per-query brute
+    force result.  Oracle = the literal expected row."""
+    from aws_sdk_pandas_spark.operators.similarity import knn_batch, knn_brute_force
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.vectors import embed_texts
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    e1 = embed_texts(docs, dim=32)
+    e2 = embed_texts(docs, dim=32)
+    mismatch = (
+        e1.alias("a")
+        .join(e2.alias("b"), "doc_id")
+        .where(F.expr("a.embedding <> b.embedding"))
+        .count()
+    )
+    q = e1.where("doc_id = 0").select("embedding").first()[0]
+    corpus = e1.where("doc_id <> 0")
+    brute = [
+        (r[0], r[1])
+        for r in knn_brute_force(
+            corpus, q, k=10, id_col="doc_id", vector_col="embedding"
+        ).collect()
+    ]
+    queries_df = e1.where("doc_id = 0").select(
+        F.col("doc_id").alias("query_id"), F.col("embedding")
+    )
+    batched = [
+        (r["doc_id"], r["distance"])
+        for r in knn_batch(
+            corpus, queries_df, k=10, id_col="doc_id", vector_col="embedding",
+            query_vector_col="embedding",
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    return spark.createDataFrame(
+        [(10, bool(mismatch == 0), bool(batched == brute))],
+        "k int, embed_deterministic_ok boolean, batch_equals_brute_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4555,6 +4696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_purchases": _q_interval_join,
         "dedup_cluster_labels": _q_dedup_clusters,
         "emb_knn_ivf": _q_knn_ivf,
+        "emb_knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
+        "emb_knn_ivf_invariants": _q_knn_ivf_invariants,
+        "dedup_embedding_pairs_exact": _q_dedup_embedding_pairs,
+        "doc_semantic_knn_selfcheck": _q_semantic_knn_selfcheck,
         "hopping_window_stats": _q_hopping_window,
         "dq_outliers_zscore": _q_outliers,
         "doc_semantic_knn": _q_semantic_knn,
@@ -5241,6 +5386,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) ASC, vec_id ASC
             LIMIT 10
+        """,
+        "emb_knn_ivf_fullprobe": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS distance
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "emb_knn_ivf_invariants": """
+            SELECT 10 AS k, TRUE AS recall_monotone_ok, TRUE AS fullprobe_exact_ok
+        """,
+        "dedup_embedding_pairs_exact": """
+            WITH sl AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 400
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(1.0 - list_cosine_similarity(a.v, b.v), 5) AS distance
+            FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+            WHERE 1.0 - list_cosine_similarity(a.v, b.v) <= 0.6
+            ORDER BY id_a, id_b
+        """,
+        "doc_semantic_knn_selfcheck": """
+            SELECT 10 AS k, TRUE AS embed_deterministic_ok, TRUE AS batch_equals_brute_ok
         """,
         "emb_knn_euclidean": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
