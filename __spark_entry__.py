@@ -4666,6 +4666,65 @@ def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gremlin_graph(spark: SparkSession, sf_dir: str):
+    """events as a property graph: user vertices --did--> event-type
+    vertices, edge property = the event value."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    users = (
+        ev.select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("~id"))
+        .distinct()
+        .withColumn("~label", F.lit("user"))
+    )
+    etypes = (
+        ev.select(F.col("event_type").alias("~id"))
+        .distinct()
+        .withColumn("~label", F.lit("etype"))
+    )
+    vertices = users.unionByName(etypes)
+    edges = ev.select(
+        F.col("event_id").cast("string").alias("~id"),
+        F.lit("did").alias("~label"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("~from"),
+        F.col("event_type").alias("~to"),
+        F.col("value").alias("value"),
+    )
+    return vertices, edges
+
+
+def _q_gremlin_out_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin traversal execution under the hash gate (verdict item 6,
+    connectors/gremlin.py compile_gremlin via neptune.execute_gremlin,
+    reference: neptune/_neptune.py:126): hasLabel -> out-hop -> grouped
+    traverser count, bag semantics — the oracle is the per-event-type
+    COUNT(*) the hop multiplicity must reproduce."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('user').out('did').groupCount().by('~id')",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
+def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin edge-step chain under the hash gate: vertex -> inE with a
+    property predicate -> outV -> dedup -> count; the oracle is the
+    distinct-user count over the same value filter."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('etype').inE('did').has('value', gt(50)).outV().dedup().count()",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4749,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": _q_tfidf_top_terms,
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
+        "graph_gremlin_out_counts": _q_gremlin_out_counts,
+        "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
         "lakehouse_delete_cow": _q_lakehouse_delete,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
@@ -6217,6 +6278,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "graph_gremlin_out_counts": """
+            SELECT event_type AS "~id", COUNT(*) AS count
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "graph_gremlin_edge_filter": """
+            SELECT COUNT(DISTINCT user_id) AS count
+            FROM events
+            WHERE value > 50
         """,
         "lakehouse_merge_roundtrip": """
             WITH src AS (

@@ -1,0 +1,336 @@
+"""Gremlin-subset traversal compiler (reference: awswrangler/neptune/
+_neptune.py:126 ``execute_gremlin`` — there, the traversal string is
+shipped to a Neptune TinkerPop endpoint; here it is COMPILED to joins
+over the vertex/edge DataFrames of the property-graph model in
+``connectors/neptune.py``, so the reference's query-language surface is
+executable without a graph server).
+
+Supported grammar (the traversal shapes the reference's docs/tests
+exercise):
+
+    g.V(ids...) / g.E(ids...)
+    .hasLabel('a', 'b', ...)
+    .has('prop', value) / .has('prop', gt(v)|gte|lt|lte|eq|neq|within(...))
+    .has('label', 'prop', value)
+    .out('el', ...) / .in('el', ...) / .both('el', ...)      vertex -> vertex
+    .outE('el', ...) / .inE('el', ...)                        vertex -> edge
+    .inV() / .outV()                                          edge -> vertex
+    .values('prop')           .id()          .label()
+    .valueMap()
+    .dedup()   .limit(n)   .count()
+    .order().by('prop'[, 'desc'])  /  .order() on a value stream
+    .groupCount().by('prop')
+
+Semantics are Gremlin's BAG semantics: a traverser per path, so
+``.out('x').groupCount().by('~id')`` counts one per edge, duplicates
+preserved until an explicit ``dedup()`` — exactly what the equivalent
+SQL (joins preserve multiplicity, COUNT(*) counts rows) computes, which
+is what makes these traversals DuckDB-oracle-checkable.
+
+Scale shape: every hop is ONE equi-join keyed on the edge endpoint
+(shuffle on ~from/~to, AQE broadcasts the small side); filters are plain
+Column predicates pushed into the scans; no driver-side iteration, no
+RDDs, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+
+# ---------------------------------------------------------------------------
+# parser: traversal string -> [(step_name, [args]), ...]
+# ---------------------------------------------------------------------------
+
+
+class _Pred:
+    """A Gremlin predicate like gt(5) / within('a','b')."""
+
+    def __init__(self, op: str, operands: list[Any]):
+        self.op = op
+        self.operands = operands
+
+    def to_column(self, col) -> Any:
+        ops = self.operands
+        if self.op == "eq":
+            return col == ops[0]
+        if self.op == "neq":
+            return col != ops[0]
+        if self.op == "gt":
+            return col > ops[0]
+        if self.op == "gte":
+            return col >= ops[0]
+        if self.op == "lt":
+            return col < ops[0]
+        if self.op == "lte":
+            return col <= ops[0]
+        if self.op == "within":
+            return col.isin(ops)
+        if self.op == "without":
+            return ~col.isin(ops)
+        raise InvalidArgument(f"unsupported gremlin predicate {self.op!r}")
+
+
+_PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within", "without"}
+
+
+def _parse(query: str) -> list[tuple[str, list[Any]]]:
+    s = query.strip()
+    if not s.startswith("g."):
+        raise InvalidArgument("gremlin traversal must start with 'g.'")
+    i = 2
+    steps: list[tuple[str, list[Any]]] = []
+    n = len(s)
+    while i < n:
+        j = i
+        while j < n and (s[j].isalnum() or s[j] == "_"):
+            j += 1
+        name = s[i:j]
+        if not name or j >= n or s[j] != "(":
+            raise InvalidArgument(f"expected step call at position {i} in {query!r}")
+        args, j = _parse_args(s, j + 1, query)
+        steps.append((name, args))
+        i = j
+        if i < n:
+            if s[i] != ".":
+                raise InvalidArgument(f"expected '.' at position {i} in {query!r}")
+            i += 1
+    return steps
+
+
+def _parse_args(s: str, i: int, query: str) -> tuple[list[Any], int]:
+    """Parse a comma-separated arg list up to the matching ')'."""
+    args: list[Any] = []
+    n = len(s)
+    while True:
+        while i < n and s[i] in " \t\n":
+            i += 1
+        if i >= n:
+            raise InvalidArgument(f"unterminated arg list in {query!r}")
+        if s[i] == ")":
+            return args, i + 1
+        val, i = _parse_value(s, i, query)
+        args.append(val)
+        while i < n and s[i] in " \t\n":
+            i += 1
+        if i < n and s[i] == ",":
+            i += 1
+        elif i < n and s[i] == ")":
+            return args, i + 1
+        else:
+            raise InvalidArgument(f"expected ',' or ')' at position {i} in {query!r}")
+
+
+def _parse_value(s: str, i: int, query: str) -> tuple[Any, int]:
+    n = len(s)
+    c = s[i]
+    if c in "'\"":
+        j = i + 1
+        out = []
+        while j < n and s[j] != c:
+            if s[j] == "\\" and j + 1 < n:
+                j += 1
+            out.append(s[j])
+            j += 1
+        if j >= n:
+            raise InvalidArgument(f"unterminated string literal in {query!r}")
+        return "".join(out), j + 1
+    if c.isdigit() or c == "-" or c == "+":
+        j = i + 1
+        while j < n and (s[j].isdigit() or s[j] in ".eE+-"):
+            # stop a trailing +/- that isn't an exponent sign
+            if s[j] in "+-" and s[j - 1] not in "eE":
+                break
+            j += 1
+        tok = s[i:j]
+        return (float(tok) if any(ch in tok for ch in ".eE") else int(tok)), j
+    if c.isalpha() or c == "_":
+        j = i
+        while j < n and (s[j].isalnum() or s[j] in "._"):
+            j += 1
+        word = s[i:j]
+        if j < n and s[j] == "(":
+            op = word.rsplit(".", 1)[-1]  # accept P.gt as well as gt
+            if op not in _PREDICATES:
+                raise InvalidArgument(f"unsupported gremlin predicate {word!r}")
+            operands, j = _parse_args(s, j + 1, query)
+            return _Pred(op, operands), j
+        if word == "true":
+            return True, j
+        if word == "false":
+            return False, j
+        raise InvalidArgument(f"unsupported bare token {word!r} in {query!r}")
+    raise InvalidArgument(f"cannot parse value at position {i} in {query!r}")
+
+
+# ---------------------------------------------------------------------------
+# compiler: steps -> DataFrame plan over (vertices, edges)
+# ---------------------------------------------------------------------------
+
+
+def _labels_filter(df: DataFrame, labels: list[Any]) -> DataFrame:
+    if not labels:
+        return df
+    return df.where(F.col("~label").isin([str(x) for x in labels]))
+
+
+def _has(df: DataFrame, args: list[Any]) -> DataFrame:
+    if len(args) == 1:  # has('prop'): property exists
+        return df.where(F.col(str(args[0])).isNotNull())
+    if len(args) == 3:  # has('label','prop',value)
+        df = df.where(F.col("~label") == str(args[0]))
+        args = args[1:]
+    prop, val = str(args[0]), args[1]
+    col = F.col(prop)
+    if isinstance(val, _Pred):
+        return df.where(val.to_column(col))
+    return df.where(col == val)
+
+
+class _Traversal:
+    def __init__(self, kind: str, df: DataFrame, vertices: DataFrame, edges: DataFrame):
+        self.kind = kind  # 'V' | 'E' | 'value'
+        self.df = df
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- movement ----------------------------------------------------------
+    def _hop(self, elabels: list[Any], direction: str) -> None:
+        if self.kind != "V":
+            raise InvalidArgument(f"{direction} step requires a vertex stream")
+        e = _labels_filter(self.edges, elabels).select(
+            F.col("~from").alias("__src"), F.col("~to").alias("__dst")
+        )
+        cur = self.df.select(F.col("~id").alias("__cur"))
+        if direction == "out":
+            nxt = cur.join(e, cur["__cur"] == e["__src"]).select(F.col("__dst").alias("__nid"))
+        elif direction == "in":
+            nxt = cur.join(e, cur["__cur"] == e["__dst"]).select(F.col("__src").alias("__nid"))
+        else:  # both
+            o = cur.join(e, cur["__cur"] == e["__src"]).select(F.col("__dst").alias("__nid"))
+            i = cur.join(e, cur["__cur"] == e["__dst"]).select(F.col("__src").alias("__nid"))
+            nxt = o.unionAll(i)
+        self.df = nxt.join(self.vertices, nxt["__nid"] == self.vertices["~id"]).drop("__nid")
+
+    def _hop_e(self, elabels: list[Any], direction: str) -> None:
+        if self.kind != "V":
+            raise InvalidArgument(f"{direction}E step requires a vertex stream")
+        e = _labels_filter(self.edges, elabels)
+        cur = self.df.select(F.col("~id").alias("__cur"))
+        key = "~from" if direction == "out" else "~to"
+        self.df = cur.join(e, cur["__cur"] == e[key]).drop("__cur")
+        self.kind = "E"
+
+    def _edge_vertex(self, end: str) -> None:
+        if self.kind != "E":
+            raise InvalidArgument(f"{end}V step requires an edge stream")
+        key = "~to" if end == "in" else "~from"
+        cur = self.df.select(F.col(key).alias("__nid"))
+        self.df = cur.join(self.vertices, cur["__nid"] == self.vertices["~id"]).drop("__nid")
+        self.kind = "V"
+
+    # -- terminals / modulated steps ----------------------------------------
+    def apply(self, name: str, args: list[Any], by: list[Any] | None) -> None:
+        if name == "hasLabel":
+            self.df = _labels_filter(self.df, args)
+        elif name == "has":
+            self.df = _has(self.df, args)
+        elif name == "hasId":
+            self.df = self.df.where(F.col("~id").isin([str(a) for a in args]))
+        elif name == "out":
+            self._hop(args, "out")
+        elif name == "in":
+            self._hop(args, "in")
+        elif name == "both":
+            self._hop(args, "both")
+        elif name == "outE":
+            self._hop_e(args, "out")
+        elif name == "inE":
+            self._hop_e(args, "in")
+        elif name == "inV":
+            self._edge_vertex("in")
+        elif name == "outV":
+            self._edge_vertex("out")
+        elif name == "values":
+            if len(args) != 1:
+                raise InvalidArgument("values() supports exactly one property here; use valueMap()")
+            prop = str(args[0])
+            self.df = self.df.where(F.col(prop).isNotNull()).select(prop)
+            self.kind = "value"
+        elif name == "id":
+            self.df = self.df.select(F.col("~id").alias("id"))
+            self.kind = "value"
+        elif name == "label":
+            self.df = self.df.select(F.col("~label").alias("label"))
+            self.kind = "value"
+        elif name == "valueMap":
+            pass  # the frame already carries every property column
+        elif name == "dedup":
+            self.df = self.df.distinct()
+        elif name == "limit":
+            self.df = self.df.limit(int(args[0]))
+        elif name == "count":
+            self.df = self.df.agg(F.count(F.lit(1)).alias("count"))
+            self.kind = "value"
+        elif name == "order":
+            if by:
+                prop = str(by[0])
+                desc = len(by) > 1 and str(by[1]).lower() in ("desc", "decr")
+                col = F.col(prop).desc() if desc else F.col(prop).asc()
+                # deterministic order: tiebreak on id when present
+                tie = [F.col("~id").asc()] if "~id" in self.df.columns else []
+                self.df = self.df.orderBy(col, *tie)
+            else:
+                self.df = self.df.orderBy(*[F.col(c).asc() for c in self.df.columns])
+        elif name == "groupCount":
+            key = str(by[0]) if by else "~label"
+            self.df = (
+                self.df.groupBy(F.col(key))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.col(key).asc())
+            )
+            self.kind = "value"
+        else:
+            raise InvalidArgument(f"unsupported gremlin step {name!r}")
+
+
+def compile_gremlin(
+    query: str, vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Compile a traversal string to a DataFrame plan (see module doc for
+    the supported grammar)."""
+    steps = _parse(query)
+    if not steps or steps[0][0] not in ("V", "E"):
+        raise InvalidArgument("traversal must start with g.V(...) or g.E(...)")
+
+    # fold .by(...) modulators onto their predecessor
+    folded: list[tuple[str, list[Any], list[Any] | None]] = []
+    for name, args in steps:
+        if name == "by":
+            if not folded:
+                raise InvalidArgument("by() without a preceding step")
+            pname, pargs, _ = folded[-1]
+            folded[-1] = (pname, pargs, args)
+        else:
+            folded.append((name, args, None))
+
+    start, sargs, _ = folded[0]
+    if start == "V":
+        df = vertices
+        if sargs:
+            df = df.where(F.col("~id").isin([str(a) for a in sargs]))
+        t = _Traversal("V", df, vertices, edges)
+    else:
+        df = edges
+        if sargs:
+            df = df.where(F.col("~id").isin([str(a) for a in sargs]))
+        t = _Traversal("E", df, vertices, edges)
+
+    for name, args, by in folded[1:]:
+        t.apply(name, args, by)
+    return t.df

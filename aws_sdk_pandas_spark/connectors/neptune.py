@@ -193,15 +193,38 @@ def connect(root: str, **_ignored: Any):
     return {"root": root.rstrip("/")}
 
 
-def execute_gremlin(*_a, **_k):
-    """reference: neptune/_neptune.py ``execute_gremlin``.  Gremlin
-    traversal execution needs a TinkerPop runtime; the DataFrame
-    equivalents are ``degrees``/``neighbors``/``flatten_nested_df`` and
-    plain joins over the vertex/edge frames."""
-    raise NotImplementedError(
-        "Gremlin traversals are not executed locally; express the traversal "
-        "over the vertex/edge DataFrames (degrees, neighbors, joins)"
-    )
+def execute_gremlin(
+    client: dict,
+    query: str,
+    *,
+    spark=None,
+    vertices: DataFrame | None = None,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """reference: neptune/_neptune.py:126 ``execute_gremlin``.  The
+    reference ships the traversal string to a Neptune TinkerPop endpoint;
+    here the supported subset (see ``connectors/gremlin.py`` — V/E
+    sources, hasLabel/has/hasId, out/in/both, outE/inE/inV/outV, values/
+    id/label/valueMap, dedup/limit/count, order().by, groupCount().by) is
+    COMPILED to DataFrame joins over the property-graph frames, bag
+    semantics preserved.  Frames come from ``vertices``/``edges`` or are
+    read from the ``connect`` handle's graph root."""
+    from aws_sdk_pandas_spark.connectors.gremlin import compile_gremlin
+
+    if vertices is None or edges is None:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise InvalidArgument(
+                "execute_gremlin needs vertices/edges frames or a SparkSession "
+                "to read them from the connect handle root"
+            )
+        v, e = read_property_graph(spark, client["root"])
+        vertices = vertices if vertices is not None else v
+        edges = edges if edges is not None else e
+    return compile_gremlin(query, vertices, edges)
 
 
 def execute_opencypher(*_a, **_k):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from aws_sdk_pandas_spark.operators.graph import connected_components, dedup_clusters
 
 
@@ -165,3 +167,130 @@ def test_label_propagation_splits_cliques(spark):
         for r in label_propagation(ef.repartition(7)).collect()
     }
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# Gremlin-subset compiler (connectors/gremlin.py + neptune.execute_gremlin)
+# over the classic TinkerPop "modern" toy graph.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def modern(spark):
+    vertices = spark.createDataFrame(
+        [
+            ("marko", "person", "marko", 29, None),
+            ("vadas", "person", "vadas", 27, None),
+            ("josh", "person", "josh", 32, None),
+            ("peter", "person", "peter", 35, None),
+            ("lop", "software", "lop", None, "java"),
+            ("ripple", "software", "ripple", None, "java"),
+        ],
+        "`~id` string, `~label` string, name string, age int, lang string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("e1", "knows", "marko", "vadas", 0.5),
+            ("e2", "knows", "marko", "josh", 1.0),
+            ("e3", "created", "marko", "lop", 0.4),
+            ("e4", "created", "josh", "ripple", 1.0),
+            ("e5", "created", "josh", "lop", 0.4),
+            ("e6", "created", "peter", "lop", 0.2),
+        ],
+        "`~id` string, `~label` string, `~from` string, `~to` string, weight double",
+    )
+    return vertices, edges
+
+
+def _g(modern, q):
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    v, e = modern
+    return execute_gremlin({"root": ""}, q, vertices=v, edges=e)
+
+
+def test_gremlin_counts_and_labels(modern):
+    assert _g(modern, "g.V().count()").first()[0] == 6
+    assert _g(modern, "g.E().count()").first()[0] == 6
+    assert _g(modern, "g.V().hasLabel('person').count()").first()[0] == 4
+    assert _g(modern, "g.V().hasLabel('person', 'software').count()").first()[0] == 6
+
+
+def test_gremlin_has_predicates(modern):
+    got = {r[0] for r in _g(modern, "g.V().has('person','age',gt(30)).values('name')").collect()}
+    assert got == {"josh", "peter"}
+    got = {r[0] for r in _g(modern, "g.V().has('age', within(27, 29)).values('name')").collect()}
+    assert got == {"marko", "vadas"}
+    assert _g(modern, "g.V().has('lang').count()").first()[0] == 2
+
+
+def test_gremlin_out_in_both(modern):
+    got = {r["name"] for r in _g(modern, "g.V('marko').out('knows')").collect()}
+    assert got == {"vadas", "josh"}
+    # bag semantics: marko reaches 3 vertices via any out edge
+    assert _g(modern, "g.V('marko').out().count()").first()[0] == 3
+    got = [r[0] for r in _g(modern, "g.V('lop').in('created').values('age').order()").collect()]
+    assert got == [29, 32, 35]
+    assert _g(modern, "g.V().hasLabel('person').both('knows').count()").first()[0] == 4
+
+
+def test_gremlin_group_count(modern):
+    rows = _g(
+        modern, "g.V().hasLabel('person').out('created').groupCount().by('~id')"
+    ).collect()
+    assert {(r[0], r["count"]) for r in rows} == {("lop", 3), ("ripple", 1)}
+
+
+def test_gremlin_edge_steps(modern):
+    q = "g.V().hasLabel('person').outE('created').has('weight', gte(0.4)).inV().dedup().values('name').order()"
+    assert [r[0] for r in _g(modern, q).collect()] == ["lop", "ripple"]
+    got = [r[0] for r in _g(modern, "g.E().hasLabel('knows').values('weight').order()").collect()]
+    assert got == [0.5, 1.0]
+    # outV from filtered edges
+    q2 = "g.V().hasLabel('software').inE('created').has('weight', lt(0.4)).outV().values('name')"
+    assert [r[0] for r in _g(modern, q2).collect()] == ["peter"]
+
+
+def test_gremlin_dedup_order_limit(modern):
+    assert _g(modern, "g.V().in('created').dedup().count()").first()[0] == 3
+    got = {r["name"] for r in _g(
+        modern, "g.V().hasLabel('person').order().by('age','desc').limit(2)"
+    ).collect()}
+    assert got == {"peter", "josh"}
+    assert _g(modern, "g.V().hasLabel('person').id().order().limit(1)").first()[0] == "josh"
+    assert _g(modern, "g.V('lop').label()").first()[0] == "software"
+
+
+def test_gremlin_start_from_ids_and_E(modern):
+    assert _g(modern, "g.V('marko', 'vadas').count()").first()[0] == 2
+    assert _g(modern, "g.E('e1').values('weight')").first()[0] == 0.5
+    assert _g(modern, "g.V().hasId('lop').in('created').count()").first()[0] == 3
+
+
+def test_gremlin_errors(modern):
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    with pytest.raises(InvalidArgument, match="unsupported gremlin step"):
+        _g(modern, "g.V().repeat()")
+    with pytest.raises(InvalidArgument, match="must start with"):
+        _g(modern, "V().count()")
+    with pytest.raises(InvalidArgument, match="unterminated string"):
+        _g(modern, "g.V().hasLabel('person")
+    with pytest.raises(InvalidArgument, match="requires an edge stream"):
+        _g(modern, "g.V().inV()")
+    with pytest.raises(InvalidArgument, match="requires a vertex stream"):
+        _g(modern, "g.E().out()")
+
+
+def test_gremlin_roundtrip_through_graph_root(spark, modern, tmp_path):
+    """execute_gremlin via the connect-handle path: persist with
+    to_property_graph, read frames back implicitly."""
+    from aws_sdk_pandas_spark.connectors.neptune import connect, execute_gremlin, to_property_graph
+
+    v, e = modern
+    to_property_graph(v, e, str(tmp_path / "g"))
+    client = connect(str(tmp_path / "g"))
+    got = execute_gremlin(
+        client, "g.V().hasLabel('person').out('created').groupCount().by('~id')", spark=spark
+    )
+    assert {(r[0], r["count"]) for r in got.collect()} == {("lop", 3), ("ripple", 1)}
