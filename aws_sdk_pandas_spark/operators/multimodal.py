@@ -2,10 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas functions
 over ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder exercises the
-real Spark plumbing (schema, batching, partitioning) end-to-end.
+Decode kernels: REAL pure-python/numpy decoders for the formats whose
+encodings are raw enough to need no media library — uncompressed BMP
+(``decode_bmp``: 24/32-bit + 8-bit palette, padding, bottom-up/top-down)
+and PCM WAV (``decode_wav``: 8/16/32-bit, normalized float32) — feeding
+real pixel/PCM statistics and histogram features.  Compressed formats
+(PNG/GIF/JPEG pixel data) still need an image library this container
+doesn't ship: those raise ``NotImplementedError`` with the sniffed
+format name unless ``fake=True`` substitutes a deterministic fake that
+exercises the Spark plumbing (schema, batching, partitioning).
 """
 
 from __future__ import annotations
@@ -64,19 +69,33 @@ def extract_features(
     """Decode + feature-extract media payloads via ``mapInPandas``.
 
     The Spark side is real: Arrow batch transfer, per-partition streaming,
-    stable output schema.  The kernel is stubbed: pass ``fake=True`` for
-    the deterministic fake, otherwise NotImplementedError surfaces from
-    the executors (no decode libs in this environment).
+    stable output schema.  The kernel is REAL for the formats this
+    container can decode natively — uncompressed BMP (normalized
+    luminance histogram over the decoded pixels) and PCM WAV (normalized
+    amplitude histogram over the decoded samples); compressed formats
+    raise from the executors unless ``fake=True`` substitutes the
+    deterministic fake.
     """
+
+    def _real_feature(payload: bytes) -> list[float]:
+        import numpy as np
+
+        if payload[:2] == b"BM":
+            w, h, rgb = decode_bmp(payload)
+            px = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.float64)
+            lum = px @ np.array([0.299, 0.587, 0.114])
+            hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+        elif payload[:4] == b"RIFF":
+            _ch, _sr, samples = decode_wav(payload)
+            hist, _ = np.histogram(samples.mean(axis=1), bins=dim, range=(-1.0, 1.0))
+        else:
+            decode_image(payload)  # raises with the sniffed format name
+            raise AssertionError("unreachable")
+        total = hist.sum() or 1
+        return [float(x) for x in hist / total]
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries not "
-                    "present in this environment; pass fake=True to exercise "
-                    "the pipeline"
-                )
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
                 yield pd.DataFrame(
@@ -84,6 +103,8 @@ def extract_features(
                         "media_id": chunk[id_col].astype(str),
                         "feature": [
                             _fake_feature(bytes(p) if p is not None else b"", dim)
+                            if fake
+                            else _real_feature(bytes(p) if p is not None else b"")
                             for p in chunk[payload_col]
                         ],
                         "n_bytes": [len(p) if p is not None else 0 for p in chunk[payload_col]],
@@ -124,13 +145,112 @@ _DECODED_IMAGE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """STUB — image decode kernel.  No image library ships in this
-    container; the Spark-side plumbing (``decode_images`` below) is real
-    and tested with the deterministic fake."""
+def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-python/numpy BMP decode — uncompressed (BI_RGB) 24/32-bit
+    and 8-bit-paletted Windows bitmaps, bottom-up or top-down.  Returns
+    ``(width, height, rgb_bytes)`` with pixels row-major top-down RGB.
+
+    No media library needed: the format is a fixed header + padded raw
+    rows, so frombuffer+reshape decodes it exactly (BGR(A)->RGB channel
+    flip, 4-byte row padding stripped, vertical flip for bottom-up)."""
+    import numpy as np
+
+    if not b or len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"only uncompressed BI_RGB supported (compression={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    top_down, height = h < 0, abs(h)
+    row_size = ((w * bpp + 31) // 32) * 4
+    need = data_offset + row_size * height
+    if len(b) < need:
+        raise ValueError(f"truncated BMP: {len(b)} bytes, need {need}")
+    rows = np.frombuffer(b, np.uint8, count=row_size * height, offset=data_offset).reshape(
+        height, row_size
+    )
+    if bpp == 24:
+        arr = rows[:, : w * 3].reshape(height, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        arr = rows[:, : w * 4].reshape(height, w, 4)[:, :, 2::-1]
+    elif bpp == 8:
+        n_colors = int.from_bytes(b[46:50], "little") or 256
+        pal = np.frombuffer(
+            b, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, 2::-1]
+        arr = pal[rows[:, :w]]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if not top_down:
+        arr = arr[::-1]
+    return w, height, np.ascontiguousarray(arr).tobytes()
+
+
+def decode_wav(b: bytes):
+    """REAL pure-python/numpy WAV PCM decode: RIFF chunk walk to the fmt
+    and data chunks, then frombuffer to float32 samples normalized to
+    [-1, 1).  Returns ``(channels, sample_rate, samples)`` where samples
+    is an ``(n_frames, channels)`` float32 array.  Supports PCM 8-bit
+    unsigned, 16/32-bit signed (format tag 1)."""
+    import numpy as np
+
+    if not b or len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, n = 12, len(b)
+    ch = sr = bits = tag = None
+    data_off = data_len = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            tag = int.from_bytes(b[i + 8 : i + 10], "little")
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            sr = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_off, data_len = i + 8, clen
+        i += 8 + clen + (clen % 2)
+    if tag != 1 or not ch or not sr or data_off is None:
+        raise ValueError("only PCM (format tag 1) WAV with fmt+data chunks supported")
+    data_len = min(data_len, n - data_off)
+    if bits == 16:
+        raw = np.frombuffer(b, np.int16, count=data_len // 2, offset=data_off)
+        samples = raw.astype(np.float32) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(b, np.uint8, count=data_len, offset=data_off)
+        samples = (raw.astype(np.float32) - 128.0) / 128.0
+    elif bits == 32:
+        raw = np.frombuffer(b, np.int32, count=data_len // 4, offset=data_off)
+        samples = raw.astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    frames = len(samples) // ch
+    return ch, sr, samples[: frames * ch].reshape(frames, ch)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Image decode kernel: REAL for uncompressed BMP (``decode_bmp``);
+    compressed formats (PNG/GIF/JPEG) still need an image library not
+    present in this container and raise with the sniffed format name."""
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    fmt = "unknown"
+    if payload:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            fmt = "png"
+        elif payload[:4] == b"GIF8":
+            fmt = "gif"
+        elif payload[:2] == b"\xff\xd8":
+            fmt = "jpeg"
     raise NotImplementedError(
-        "image decoding requires an image library (e.g. Pillow) not present "
-        "in this environment"
+        f"decoding {fmt} requires an image library (e.g. Pillow) not present "
+        "in this environment; uncompressed BMP decodes natively"
     )
 
 
@@ -150,14 +270,16 @@ def decode_images(
 ) -> DataFrame:
     """Decode image payloads to (width, height, pixel bytes) via
     ``mapInPandas`` (Arrow-batched; one Python worker per partition).
-    Kernel stubbed: ``fake=True`` runs the deterministic fake decoder."""
+    Kernel REAL for uncompressed BMP (``decode_bmp``); ``fake=True``
+    substitutes the deterministic fake decoder for formats the
+    container can't decode (compressed PNG/GIF/JPEG)."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                decode_image(b"")  # raises NotImplementedError
             decoded = [
                 _fake_decode(bytes(p) if p is not None else b"")
+                if fake
+                else decode_image(bytes(p) if p is not None else b"")
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
@@ -203,6 +325,106 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_map, schema=_DECODED_IMAGE_SCHEMA)
+
+
+_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("std_pixel", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL pixel statistics from the native BMP decode: per-image mean/
+    std over all channels plus per-channel means — the quality/outlier
+    screen an image-curation pipeline runs before expensive model
+    scoring.  Arrow-batched mapInPandas; map-only, no shuffle; numpy does
+    the per-image reduction so Python never loops over pixels."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = decode_image(bytes(p) if p is not None else b"")
+                arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+                out.append(
+                    (
+                        str(mid), w, h,
+                        float(arr.mean()), float(arr.std()),
+                        float(arr[:, :, 0].mean()),
+                        float(arr[:, :, 1].mean()),
+                        float(arr[:, :, 2].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "mean_pixel", "std_pixel",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_map, schema=_PIXEL_STATS_SCHEMA)
+
+
+_PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_pcm_stats(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL PCM statistics from the native WAV decode: RMS, peak and
+    zero-crossing rate of the mono mixdown — the silence/clipping/
+    speech-vs-tone screens an audio-curation pipeline gates on.  Map-only
+    Arrow-batched kernel, numpy reductions."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                ch, sr, samples = decode_wav(bytes(p) if p is not None else b"")
+                # float64 reductions: keeps the stats bit-comparable to a
+                # double-precision recomputation (the oracle gate)
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                peak = float(np.abs(mono).max()) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                out.append((str(mid), ch, sr, n, rms, peak, zcr))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "channels", "sample_rate", "n_frames",
+                    "rms", "peak", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_map, schema=_PCM_STATS_SCHEMA)
 
 
 def chunk_audio_plan(
@@ -457,11 +679,38 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
     if fmt == "gif":
         return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00\x00\x00"
     if fmt == "bmp":
-        return (
-            b"BM"
-            + _s.pack("<IHHI", 26, 0, 0, 26)
-            + _s.pack("<IiiHH", 40, width, kw.get("signed_height", height), 1, 24)
+        pixels = kw.get("pixels")  # RGB bytes, row-major TOP-DOWN
+        if pixels is None:
+            # header-only fixture (dimension sniffing tests)
+            return (
+                b"BM"
+                + _s.pack("<IHHI", 26, 0, 0, 26)
+                + _s.pack("<IiiHH", 40, width, kw.get("signed_height", height), 1, 24)
+            )
+        # full decodable 24-bit BI_RGB file: bottom-up unless top_down,
+        # BGR channel order, rows padded to 4 bytes
+        top_down = kw.get("top_down", False)
+        row_size = ((width * 24 + 31) // 32) * 4
+        pad = b"\x00" * (row_size - width * 3)
+        rows = []
+        for r in range(height):
+            row = bytearray()
+            for c in range(width):
+                off = (r * width + c) * 3
+                rgb = pixels[off : off + 3]
+                row += bytes((rgb[2], rgb[1], rgb[0]))  # ->BGR
+            rows.append(bytes(row) + pad)
+        if not top_down:
+            rows.reverse()
+        data = b"".join(rows)
+        data_offset = 14 + 40
+        hdr = b"BM" + _s.pack("<IHHI", data_offset + len(data), 0, 0, data_offset)
+        info = _s.pack(
+            "<IiiHHIIiiII",
+            40, width, (-height if top_down else height), 1, 24, 0,
+            len(data), 2835, 2835, 0, 0,
         )
+        return hdr + info + data
     if fmt == "jpeg":
         app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", height, width) + b"\x01\x11\x00"
@@ -472,7 +721,9 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
         bits = kw.get("bits", 16)
         n_frames = kw.get("n_frames", sr)  # 1 second default
         byte_rate = sr * ch * bits // 8
-        data = b"\x00" * (n_frames * ch * bits // 8)
+        data = kw.get("data")  # raw little-endian PCM bytes
+        if data is None:
+            data = b"\x00" * (n_frames * ch * bits // 8)
         fmt_chunk = b"fmt " + _s.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, ch * bits // 8, bits)
         data_chunk = b"data" + _s.pack("<I", len(data)) + data
         body = b"WAVE" + fmt_chunk + data_chunk

@@ -1,0 +1,197 @@
+"""REAL media decode kernels (operators/multimodal.py decode_bmp /
+decode_wav) — exact-value assertions, no media library involved:
+uncompressed BMP (24/32-bit, 8-bit palette, row padding, bottom-up and
+top-down) and PCM WAV (8/16/32-bit, stereo mixdown), plus the Spark-side
+stats/feature operators built on them."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from aws_sdk_pandas_spark.operators.multimodal import (
+    audio_pcm_stats,
+    decode_bmp,
+    decode_image,
+    decode_images,
+    decode_wav,
+    extract_features,
+    image_pixel_stats,
+    make_test_media,
+)
+
+RGB_2x2 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+
+
+def test_bmp_24bit_roundtrip_exact():
+    payload = make_test_media("bmp", 2, 2, pixels=RGB_2x2)
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert rgb == RGB_2x2
+
+
+def test_bmp_row_padding():
+    # 3 px * 3 B = 9 B rows padded to 12: decode must strip the padding
+    pixels = bytes(range(3 * 2 * 3))
+    payload = make_test_media("bmp", 3, 2, pixels=pixels)
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    assert rgb == pixels
+
+
+def test_bmp_top_down_equals_bottom_up():
+    up = make_test_media("bmp", 2, 2, pixels=RGB_2x2)
+    down = make_test_media("bmp", 2, 2, pixels=RGB_2x2, top_down=True)
+    assert up != down  # genuinely different files
+    assert decode_bmp(up) == decode_bmp(down)
+
+
+def _bmp32(width, height, rgba_rows):
+    """Hand-built 32-bit BI_RGB bottom-up file (BGRA in-file order)."""
+    data = b""
+    for row in reversed(rgba_rows):
+        for (r, g, b, a) in row:
+            data += bytes((b, g, r, a))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 32, 0, len(data), 0, 0, 0, 0)
+    return hdr + info + data
+
+
+def test_bmp_32bit():
+    payload = _bmp32(2, 1, [[(1, 2, 3, 255), (4, 5, 6, 0)]])
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (2, 1)
+    assert rgb == bytes([1, 2, 3, 4, 5, 6])  # alpha dropped, BGR flipped
+
+
+def _bmp8(width, height, idx_rows, palette):
+    row_size = ((width * 8 + 31) // 32) * 4
+    data = b""
+    for row in reversed(idx_rows):
+        data += bytes(row) + b"\x00" * (row_size - width)
+    pal = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 0, 0, len(palette), 0
+    )
+    return hdr + info + pal + data
+
+
+def test_bmp_8bit_palette():
+    payload = _bmp8(2, 2, [[0, 1], [2, 0]], [(10, 10, 10), (200, 0, 0), (0, 0, 99)])
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert rgb == bytes([10, 10, 10, 200, 0, 0, 0, 0, 99, 10, 10, 10])
+
+
+def test_bmp_errors():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(make_test_media("bmp", 4, 4, pixels=bytes(48))[:-10])
+    rle = bytearray(make_test_media("bmp", 2, 2, pixels=RGB_2x2))
+    rle[30] = 1  # compression = BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp(bytes(rle))
+    with pytest.raises(NotImplementedError, match="png"):
+        decode_image(make_test_media("png", 4, 4))
+
+
+def test_wav_16bit_exact():
+    raw = struct.pack("<4h", 0, 16384, -32768, 32767)
+    payload = make_test_media("wav", sample_rate=8000, channels=1, bits=16, data=raw)
+    ch, sr, samples = decode_wav(payload)
+    assert (ch, sr) == (1, 8000)
+    assert samples[:, 0].tolist() == [0.0, 0.5, -1.0, 32767 / 32768]
+
+
+def test_wav_stereo_mixdown_and_8bit():
+    raw = struct.pack("<4h", 16384, -16384, 8192, 8192)  # L,R,L,R
+    payload = make_test_media("wav", sample_rate=8000, channels=2, bits=16, data=raw)
+    ch, _sr, samples = decode_wav(payload)
+    assert ch == 2 and samples.shape == (2, 2)
+    assert samples.mean(axis=1).tolist() == [0.0, 0.25]
+
+    p8 = make_test_media("wav", sample_rate=8000, channels=1, bits=8, data=bytes([128, 255, 0]))
+    _, _, s8 = decode_wav(p8)
+    assert s8[:, 0].tolist() == [0.0, 127 / 128, -1.0]
+
+
+def test_wav_errors():
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"RIFFxxxx????")
+    bad = bytearray(make_test_media("wav", sample_rate=8000, n_frames=4))
+    bad[20] = 3  # format tag = IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(bad))
+
+
+def test_decode_images_real_path(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(make_test_media("bmp", 2, 2, pixels=RGB_2x2))),
+            ("b", bytearray(make_test_media("bmp", 1, 1, pixels=bytes([9, 8, 7])))),
+        ],
+        "media_id string, payload binary",
+    )
+    got = {r.media_id: r for r in decode_images(df).collect()}
+    assert bytes(got["a"].pixels) == RGB_2x2 and got["a"].width == 2
+    assert bytes(got["b"].pixels) == bytes([9, 8, 7])
+
+
+def test_image_pixel_stats_exact(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(make_test_media("bmp", 2, 2, pixels=RGB_2x2)))],
+        "media_id string, payload binary",
+    )
+    r = image_pixel_stats(df).first()
+    vals = list(RGB_2x2)
+    mean = sum(vals) / 12
+    assert r.mean_pixel == pytest.approx(mean)
+    assert r.std_pixel == pytest.approx(math.sqrt(sum((v - mean) ** 2 for v in vals) / 12))
+    assert r.mean_r == pytest.approx((255 + 0 + 0 + 10) / 4)
+    assert r.mean_g == pytest.approx((0 + 255 + 0 + 20) / 4)
+    assert r.mean_b == pytest.approx((0 + 0 + 255 + 30) / 4)
+
+
+def test_audio_pcm_stats_exact(spark):
+    raw = struct.pack("<4h", 16384, -16384, 16384, -16384)
+    df = spark.createDataFrame(
+        [("a", bytearray(make_test_media("wav", sample_rate=8000, channels=1, bits=16, data=raw)))],
+        "media_id string, payload binary",
+    )
+    r = audio_pcm_stats(df).first()
+    assert (r.channels, r.sample_rate, r.n_frames) == (1, 8000, 4)
+    assert r.rms == pytest.approx(0.5)
+    assert r.peak == pytest.approx(0.5)
+    assert r.zero_crossing_rate == pytest.approx(1.0)  # alternating signs
+
+
+def test_extract_features_real_histograms(spark):
+    bmp = make_test_media("bmp", 2, 2, pixels=bytes([0, 0, 0] * 4))  # all-black
+    wav = make_test_media(
+        "wav", sample_rate=8000, channels=1, bits=16, data=struct.pack("<2h", 0, 0)
+    )
+    df = spark.createDataFrame(
+        [("img", bytearray(bmp)), ("aud", bytearray(wav))],
+        "media_id string, payload binary",
+    )
+    got = {r.media_id: r.feature for r in extract_features(df, dim=16).collect()}
+    # all-black image: every luminance value in bin 0
+    assert got["img"][0] == pytest.approx(1.0)
+    assert sum(got["img"]) == pytest.approx(1.0)
+    # all-zero audio: amplitude 0 falls in the bin containing 0 (bin 8 of [-1,1))
+    assert got["aud"][8] == pytest.approx(1.0)
+
+    png = spark.createDataFrame(
+        [("p", bytearray(make_test_media("png", 4, 4)))], "media_id string, payload binary"
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        extract_features(png).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
