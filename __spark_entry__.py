@@ -4815,6 +4815,33 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cleanrooms_protected_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean Rooms protected aggregation under the hash gate
+    (cleanrooms.read_sql_query, reference: cleanrooms/_read.py:29): a
+    segment x nation rollup runs under an AGGREGATION analysis rule —
+    plan must aggregate, and groups below the k-threshold are SUPPRESSED.
+    The oracle applies the same HAVING, so both the aggregation and the
+    suppression semantics are hash-pinned."""
+    from aws_sdk_pandas_spark import cleanrooms
+
+    _load(spark, sf_dir)
+    return cleanrooms.read_sql_query(
+        spark,
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+        """,
+        analysis_rule={
+            "type": "AGGREGATION",
+            "k_threshold": 8,
+            "count_column": "n",
+            "allowed_columns": ["c_mktsegment", "c_nationkey", "total_bal"],
+        },
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4900,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6370,6 +6398,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "cleanrooms_protected_agg": """
+            SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+            FROM customer
+            GROUP BY c_mktsegment, c_nationkey
+            HAVING COUNT(*) >= 8
+            ORDER BY c_mktsegment, c_nationkey
         """,
         "multimodal_bmp_pixel_stats": """
             SELECT d.doc_id, 4 AS width, 4 AS height,

@@ -51,6 +51,7 @@ from aws_sdk_pandas_spark import (
 # swapping the import; each is pure re-export wiring over the modules above
 from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     athena,
+    cleanrooms,
     cloudwatch,
     data_quality,
     dynamodb,
@@ -89,6 +90,7 @@ __all__ = [
     "s3",
     "athena",
     "catalog",
+    "cleanrooms",
     "cloudwatch",
     "dynamodb",
     "timestream",

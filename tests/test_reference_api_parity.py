@@ -4,9 +4,8 @@ its in-scope namespaces resolves at the same path in this package.
 The export lists below are transcribed from the reference's per-module
 ``__all__`` (e.g. /root/reference/awswrangler/s3/__init__.py) so a
 reference user can port any call-site by swapping the import.  Out of
-scope (per README): quicksight, emr, emr_serverless, cleanrooms,
-secretsmanager, sts, chime, data_api (covered by the `databases` JDBC
-family).
+scope (per README): quicksight, emr, emr_serverless, secretsmanager,
+sts, chime, data_api (covered by the `databases` JDBC family).
 """
 
 from __future__ import annotations
@@ -88,6 +87,8 @@ REFERENCE_EXPORTS: dict[str, list[str]] = {
         "index_csv", "index_documents", "index_df", "index_json", "search",
         "search_by_sql",
     ],
+    # /root/reference/awswrangler/cleanrooms/__init__.py
+    "cleanrooms": ["read_sql_query", "wait_query"],
     # /root/reference/awswrangler/neptune/__init__.py
     "neptune": [
         "execute_gremlin", "execute_opencypher", "execute_sparql",
