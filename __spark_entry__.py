@@ -4815,6 +4815,26 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cypher_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher execution under the hash gate
+    (connectors/opencypher.compile_opencypher via
+    neptune.execute_opencypher, reference: neptune/_neptune.py:225): a
+    directed MATCH with an edge-property WHERE and Cypher's implicit
+    aggregation grouping; the oracle recomputes the grouped counts from
+    the flat events table."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user)-[r:did]->(t:etype) WHERE r.value > 20 "
+        "RETURN t AS etype, count(*) AS n, count(DISTINCT u) AS n_users "
+        "ORDER BY etype",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_cleanrooms_protected_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clean Rooms protected aggregation under the hash gate
     (cleanrooms.read_sql_query, reference: cleanrooms/_read.py:29): a
@@ -4928,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
+        "graph_cypher_agg": _q_cypher_agg,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6398,6 +6419,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "graph_cypher_agg": """
+            SELECT event_type AS etype, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE value > 20
+            GROUP BY event_type
+            ORDER BY etype
         """,
         "cleanrooms_protected_agg": """
             SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,

@@ -227,13 +227,35 @@ def execute_gremlin(
     return compile_gremlin(query, vertices, edges)
 
 
-def execute_opencypher(*_a, **_k):
-    """reference: neptune/_neptune.py ``execute_opencypher`` — see
-    execute_gremlin."""
-    raise NotImplementedError(
-        "openCypher is not executed locally; express the pattern as "
-        "DataFrame joins over the vertex/edge frames"
-    )
+def execute_opencypher(
+    client: dict,
+    query: str,
+    *,
+    spark=None,
+    vertices: DataFrame | None = None,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """reference: neptune/_neptune.py:225 ``execute_opencypher``.  The
+    supported MATCH/WHERE/RETURN subset (see ``connectors/opencypher.py``
+    — multi-hop directed/undirected patterns, inline property maps,
+    implicit aggregation grouping, DISTINCT/ORDER BY/SKIP/LIMIT) is
+    compiled to DataFrame joins over the property-graph frames."""
+    from aws_sdk_pandas_spark.connectors.opencypher import compile_opencypher
+
+    if vertices is None or edges is None:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise InvalidArgument(
+                "execute_opencypher needs vertices/edges frames or a "
+                "SparkSession to read them from the connect handle root"
+            )
+        v, e = read_property_graph(spark, client["root"])
+        vertices = vertices if vertices is not None else v
+        edges = edges if edges is not None else e
+    return compile_opencypher(query, vertices, edges)
 
 
 def execute_sparql(*_a, **_k):

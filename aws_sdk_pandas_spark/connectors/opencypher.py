@@ -1,0 +1,265 @@
+"""openCypher-subset compiler (reference: awswrangler/neptune/_neptune.py:225
+``execute_opencypher`` — there, the query string is shipped to Neptune's
+openCypher endpoint; here the supported subset is COMPILED to DataFrame
+joins over the property-graph frames, completing the query-language
+family next to ``connectors/gremlin.py``).
+
+Supported grammar::
+
+    MATCH (a:Label {prop: val})-[r:REL]->(b)-[:REL2]-(c) ...
+    [WHERE <boolean expr over var.prop, literals, AND/OR/NOT, comparisons>]
+    RETURN [DISTINCT] item [AS alias], ...
+    [ORDER BY item [DESC], ...] [SKIP n] [LIMIT n]
+
+- edges: ``-[r:T]->`` (out), ``<-[r:T]-`` (in), ``-[r:T]-`` (undirected =
+  union of both orientations); label and variable both optional
+- RETURN items: ``v``, ``v.prop``, ``count(*)``, ``count(x)``,
+  ``count(DISTINCT x)``, ``sum/avg/min/max(v.prop)`` — any aggregate in
+  the RETURN list triggers Cypher's implicit grouping by the non-
+  aggregated items, which is exactly Spark's groupBy/agg
+- a bare node variable in RETURN projects its ``~id`` (the useful
+  server-free projection of a vertex)
+
+Pattern-match semantics are Cypher's: one result row per distinct
+BINDING of the pattern (path), so multiplicities match what the
+equivalent SQL joins produce — DuckDB-oracle-checkable.  Each hop is one
+equi-join on the edge endpoint; filters compile to Column predicates
+pushed into the scans; nothing runs driver-side.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
+_EDGE_RE = re.compile(r"(<-|-)\s*(?:\[\s*(\w+)?\s*(?::\s*(\w+))?\s*\])?\s*(->|-)")
+_AGG_RE = re.compile(r"^(count|sum|avg|min|max)\s*\(\s*(distinct\s+)?(.+?)\s*\)$", re.I)
+
+
+def _prefix_frame(df: DataFrame, var: str) -> DataFrame:
+    """Vertex/edge frame with every column renamed ``<var>_<name>``
+    (``~id`` -> ``<var>_id``, ``~label`` -> ``<var>_label``, ...)."""
+    cols = []
+    for c in df.columns:
+        clean = c.replace("~", "")
+        cols.append(F.col(f"`{c}`").alias(f"{var}_{clean}"))
+    return df.select(*cols)
+
+
+def _apply_inline_props(df: DataFrame, var: str, props: str | None) -> DataFrame:
+    if not props:
+        return df
+    body = props.strip()[1:-1].strip()
+    if not body:
+        return df
+    for part in body.split(","):
+        if ":" not in part:
+            raise InvalidArgument(f"bad inline property map {props!r}")
+        k, v = part.split(":", 1)
+        df = df.where(F.col(f"{var}_{k.strip()}") == F.expr(v.strip()))
+    return df
+
+
+def _translate_expr(expr: str, known_vars: set[str]) -> str:
+    """``var.prop`` -> ``var_prop``; bare node var -> its id column.
+    String literals are shielded so a quoted value that happens to spell
+    a variable name is never rewritten."""
+    literals: list[str] = []
+
+    def _shield(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _shield, expr)
+    # identifier.identifier only — a decimal literal like 0.4 is NOT a
+    # property access
+    out = re.sub(
+        r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b",
+        lambda m: f"{m.group(1)}_{m.group(2)}",
+        out,
+    )
+
+    def _bare(m: re.Match) -> str:
+        w = m.group(1)
+        return f"{w}_id" if w in known_vars else w
+
+    out = re.sub(r"\b([A-Za-z_]\w*)\b(?!\s*\(|_)", _bare, out)
+    for i, lit in enumerate(literals):
+        out = out.replace(f"\x00{i}\x00", lit)
+    return out
+
+
+class _CypherQuery:
+    def __init__(self, q: str):
+        s = q.strip().rstrip(";")
+        m = re.match(
+            r"MATCH\s+(?P<pattern>.+?)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)"
+            r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+            r"(?:\s+SKIP\s+(?P<skip>\d+))?"
+            r"(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise InvalidArgument(
+                "unsupported openCypher query shape; expected "
+                "MATCH ... [WHERE ...] RETURN ... [ORDER BY ...] [SKIP n] [LIMIT n]"
+            )
+        self.pattern = m.group("pattern").strip()
+        self.where = (m.group("where") or "").strip() or None
+        self.distinct = bool(m.group("distinct"))
+        self.items = [i.strip() for i in m.group("items").split(",")]
+        self.order = (m.group("order") or "").strip() or None
+        self.skip = int(m.group("skip")) if m.group("skip") else None
+        self.limit = int(m.group("limit")) if m.group("limit") else None
+
+
+def _parse_pattern(pattern: str):
+    """One path chain -> [node, (edge, node), ...] descriptors."""
+    pos = 0
+    n0 = _NODE_RE.match(pattern, pos)
+    if not n0:
+        raise InvalidArgument(f"pattern must start with a node: {pattern!r}")
+    nodes = [n0.groups()]
+    edges = []
+    pos = n0.end()
+    anon = 0
+    while pos < len(pattern):
+        e = _EDGE_RE.match(pattern, pos)
+        if not e:
+            if pattern[pos:].strip():
+                raise InvalidArgument(f"cannot parse pattern at {pattern[pos:]!r}")
+            break
+        head, evar, elabel, tail = e.groups()
+        if head == "<-" and tail == "->":
+            raise InvalidArgument("edge cannot be both <- and ->")
+        direction = "in" if head == "<-" else ("out" if tail == "->" else "both")
+        if evar is None:
+            anon += 1
+            evar = f"__e{anon}"
+        pos = e.end()
+        n = _NODE_RE.match(pattern, pos)
+        if not n:
+            raise InvalidArgument(f"expected node after edge at {pattern[pos:]!r}")
+        nodes.append(n.groups())
+        edges.append((evar, elabel, direction))
+        pos = n.end()
+    named = []
+    for i, (var, label, props) in enumerate(nodes):
+        if var is None:
+            anon += 1
+            var = f"__n{anon}"
+        named.append((var, label, props))
+    return named, edges
+
+
+def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    q = _CypherQuery(query)
+    nodes, hops = _parse_pattern(q.pattern)
+
+    def node_frame(var: str, label: str | None, props: str | None) -> DataFrame:
+        df = _prefix_frame(vertices, var)
+        if label:
+            df = df.where(F.col(f"{var}_label") == label)
+        return _apply_inline_props(df, var, props)
+
+    seen_vars = [v for v, _l, _p in nodes]
+    if len(set(seen_vars)) != len(seen_vars):
+        raise InvalidArgument("repeated node variables in a pattern are not supported")
+
+    var0, label0, props0 = nodes[0]
+    cur = node_frame(var0, label0, props0)
+    known = {var0}
+    prev = var0
+    for (evar, elabel, direction), (nvar, nlabel, nprops) in zip(hops, nodes[1:]):
+        e = _prefix_frame(edges, evar)
+        if elabel:
+            e = e.where(F.col(f"{evar}_label") == elabel)
+        nxt = node_frame(nvar, nlabel, nprops)
+        if direction == "out":
+            cur = cur.join(e, F.col(f"{prev}_id") == F.col(f"{evar}_from")).join(
+                nxt, F.col(f"{evar}_to") == F.col(f"{nvar}_id")
+            )
+        elif direction == "in":
+            cur = cur.join(e, F.col(f"{prev}_id") == F.col(f"{evar}_to")).join(
+                nxt, F.col(f"{evar}_from") == F.col(f"{nvar}_id")
+            )
+        else:  # undirected: either orientation binds
+            out_o = cur.join(e, F.col(f"{prev}_id") == F.col(f"{evar}_from")).join(
+                nxt, F.col(f"{evar}_to") == F.col(f"{nvar}_id")
+            )
+            in_o = cur.join(e, F.col(f"{prev}_id") == F.col(f"{evar}_to")).join(
+                nxt, F.col(f"{evar}_from") == F.col(f"{nvar}_id")
+            )
+            cur = out_o.unionByName(in_o)
+        known.add(nvar)
+        known.add(evar)
+        prev = nvar
+
+    if q.where:
+        cur = cur.where(F.expr(_translate_expr(q.where, known)))
+
+    # RETURN: aggregates trigger Cypher's implicit grouping
+    parsed = []
+    has_agg = False
+    for item in q.items:
+        mm = re.match(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
+        expr, alias = mm.group("expr").strip(), mm.group("alias")
+        agg = _AGG_RE.match(expr)
+        if agg:
+            has_agg = True
+        parsed.append((expr, alias, agg))
+
+    def default_alias(expr: str) -> str:
+        return re.sub(r"\W+", "_", expr).strip("_")
+
+    def to_col(expr: str, alias: str | None):
+        agg = _AGG_RE.match(expr)
+        name = alias or default_alias(expr)
+        if agg:
+            fn, distinct, inner = agg.group(1).lower(), agg.group(2), agg.group(3).strip()
+            if fn == "count" and inner == "*":
+                return F.count(F.lit(1)).alias(name)
+            col = F.expr(_translate_expr(inner, known))
+            if fn == "count" and distinct:
+                return F.count_distinct(col).alias(name)
+            return getattr(F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max", "count": "count"}[fn])(
+                col
+            ).alias(name)
+        return F.expr(_translate_expr(expr, known)).alias(name)
+
+    if has_agg:
+        keys = [to_col(e, a) for e, a, g in parsed if g is None]
+        aggs = [to_col(e, a) for e, a, g in parsed if g is not None]
+        cur = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+        # restore the RETURN item order
+        order_names = [a or default_alias(e) for e, a, _ in parsed]
+        cur = cur.select(*order_names)
+    else:
+        cur = cur.select(*[to_col(e, a) for e, a, _ in parsed])
+
+    if q.distinct:
+        cur = cur.distinct()
+    if q.order:
+        sorts = []
+        for part in q.order.split(","):
+            part = part.strip()
+            desc = bool(re.search(r"\s+DESC$", part, re.I))
+            part = re.sub(r"\s+(DESC|ASC)$", "", part, flags=re.I)
+            name = part if part in cur.columns else _translate_expr(part, known)
+            col = F.col(name) if name in cur.columns else F.expr(name)
+            sorts.append(col.desc() if desc else col.asc())
+        cur = cur.orderBy(*sorts)
+    if q.skip:
+        cur = cur.offset(q.skip)
+    if q.limit is not None:
+        cur = cur.limit(q.limit)
+    return cur

@@ -294,3 +294,88 @@ def test_gremlin_roundtrip_through_graph_root(spark, modern, tmp_path):
         client, "g.V().hasLabel('person').out('created').groupCount().by('~id')", spark=spark
     )
     assert {(r[0], r["count"]) for r in got.collect()} == {("lop", 3), ("ripple", 1)}
+
+
+# ---------------------------------------------------------------------------
+# openCypher-subset compiler (connectors/opencypher.py +
+# neptune.execute_opencypher) over the same modern graph.
+# ---------------------------------------------------------------------------
+
+
+def _cy(modern, q):
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    v, e = modern
+    return execute_opencypher({"root": ""}, q, vertices=v, edges=e)
+
+
+def test_cypher_single_node_match(modern):
+    got = _cy(modern, "MATCH (p:person) WHERE p.age > 30 RETURN p.name AS name ORDER BY name")
+    assert [r.name for r in got.collect()] == ["josh", "peter"]
+    # bare variable projects the vertex id
+    got2 = _cy(modern, "MATCH (s:software) RETURN s ORDER BY s")
+    assert [r[0] for r in got2.collect()] == ["lop", "ripple"]
+
+
+def test_cypher_directed_hop(modern):
+    q = "MATCH (a:person)-[:knows]->(b) RETURN a.name AS src, b.name AS dst ORDER BY dst"
+    assert [(r.src, r.dst) for r in _cy(modern, q).collect()] == [
+        ("marko", "josh"), ("marko", "vadas"),
+    ]
+    # reversed arrow binds the other way
+    q2 = "MATCH (a)<-[:created]-(b:person) WHERE a.name = 'ripple' RETURN b.name AS who"
+    assert [r.who for r in _cy(modern, q2).collect()] == ["josh"]
+
+
+def test_cypher_inline_props_and_multi_hop(modern):
+    q = ("MATCH (a:person {name: 'marko'})-[:knows]->(b)-[:created]->(c) "
+         "RETURN b.name AS who, c.name AS what ORDER BY what")
+    assert [(r.who, r.what) for r in _cy(modern, q).collect()] == [
+        ("josh", "lop"), ("josh", "ripple"),
+    ]
+
+
+def test_cypher_undirected(modern):
+    q = "MATCH (a:person {name: 'marko'})-[:knows]-(b) RETURN b.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q).collect()] == ["josh", "vadas"]
+    # vadas only RECEIVES a knows edge; undirected still finds marko
+    q2 = "MATCH (a:person {name: 'vadas'})-[:knows]-(b) RETURN b.name AS n"
+    assert [r.n for r in _cy(modern, q2).collect()] == ["marko"]
+
+
+def test_cypher_implicit_aggregation(modern):
+    q = ("MATCH (p:person)-[:created]->(s) "
+         "RETURN s.name AS software, count(*) AS n, min(p.age) AS youngest "
+         "ORDER BY software")
+    rows = [(r.software, r.n, r.youngest) for r in _cy(modern, q).collect()]
+    assert rows == [("lop", 3, 29), ("ripple", 1, 32)]
+    q2 = "MATCH (p:person) RETURN count(*) AS n, avg(p.age) AS mean_age"
+    r = _cy(modern, q2).first()
+    assert r.n == 4 and r.mean_age == pytest.approx((29 + 27 + 32 + 35) / 4)
+
+
+def test_cypher_edge_property_and_distinct(modern):
+    q = ("MATCH (a:person)-[r:created]->(s) WHERE r.weight >= 0.4 "
+         "RETURN DISTINCT s.name AS n ORDER BY n")
+    assert [r.n for r in _cy(modern, q).collect()] == ["lop", "ripple"]
+    q2 = "MATCH (a:person)-[r:created]->(s) RETURN count(DISTINCT s) AS n"
+    assert _cy(modern, q2).first().n == 2
+
+
+def test_cypher_skip_limit_and_string_shield(modern):
+    q = "MATCH (p:person) RETURN p.name AS name ORDER BY p.age DESC SKIP 1 LIMIT 2"
+    assert [r.name for r in _cy(modern, q).collect()] == ["josh", "marko"]
+    # quoted literal spelling a variable name must not be rewritten
+    q2 = "MATCH (p:person)-[:knows]->(b) WHERE b.name = 'vadas' RETURN p.name AS n"
+    assert [r.n for r in _cy(modern, q2).collect()] == ["marko"]
+
+
+def test_cypher_errors(modern):
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    with pytest.raises(InvalidArgument, match="unsupported openCypher"):
+        _cy(modern, "CREATE (n:thing) RETURN n")
+    with pytest.raises(InvalidArgument, match="both <- and ->"):
+        _cy(modern, "MATCH (a)<-[:x]->(b) RETURN a")
+    with pytest.raises(InvalidArgument, match="repeated node variables"):
+        _cy(modern, "MATCH (a)-[:x]->(a) RETURN a")
