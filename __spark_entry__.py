@@ -4815,6 +4815,41 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quicksight_spice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuickSight dataset pipeline under the hash gate (quicksight.py,
+    reference: quicksight/_create.py:272,449): dataset defined over
+    customer with logical-table rename + decimal cast, imported into
+    SPICE (real parquet snapshot), read back from the snapshot and
+    aggregated; the oracle recomputes from the raw table, so a
+    transformation or materialization bug hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import quicksight as qs
+
+    _load(spark, sf_dir)
+    qs.SPICE_ROOT = tempfile.mkdtemp(prefix="asps-spice-")
+    name = "gate_customers"
+    for ds_id in qs.get_dataset_ids(name):
+        qs.delete_dataset(dataset_id=ds_id)
+    qs.create_athena_dataset(
+        name,
+        sql="SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
+        rename_columns={"c_mktsegment": "segment"},
+        cast_columns_types={"c_acctbal": "decimal(18,6)"},
+        import_mode="SPICE",
+    )
+    qs.create_ingestion(dataset_name=name, spark=spark)
+    df = qs.read_dataset(name, spark=spark)
+    return (
+        df.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
 def _q_cypher_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openCypher execution under the hash gate
     (connectors/opencypher.compile_opencypher via
@@ -4949,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
         "graph_cypher_agg": _q_cypher_agg,
+        "quicksight_spice_roundtrip": _q_quicksight_spice,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6419,6 +6455,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "quicksight_spice_roundtrip": """
+            SELECT c_mktsegment AS segment, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY segment
         """,
         "graph_cypher_agg": """
             SELECT event_type AS etype, COUNT(*) AS n,

@@ -60,6 +60,7 @@ from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     opensearch,
     oracle,
     postgresql,
+    quicksight,
     redshift,
     s3,
     sqlserver,
@@ -92,6 +93,7 @@ __all__ = [
     "catalog",
     "cleanrooms",
     "cloudwatch",
+    "quicksight",
     "dynamodb",
     "timestream",
     "opensearch",
