@@ -53,6 +53,7 @@ from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     athena,
     cleanrooms,
     cloudwatch,
+    data_api,
     data_quality,
     dynamodb,
     mysql,
@@ -93,6 +94,7 @@ __all__ = [
     "catalog",
     "cleanrooms",
     "cloudwatch",
+    "data_api",
     "quicksight",
     "dynamodb",
     "timestream",

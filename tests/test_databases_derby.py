@@ -179,3 +179,36 @@ def test_redshift_copy_stages_parquet(spark, con, tmp_path):
     # the staging prefix survives as an audit trail
     staged = spark.read.parquet(str(tmp_path / "stage"))
     assert staged.count() == 30
+
+
+def test_data_api_end_to_end(spark):
+    """data_api.rds/redshift over the embedded-Derby transport: connect by
+    ARN, to_sql, typed-parameter read_sql_query (reference:
+    data_api/rds.py:259 parameter dialect)."""
+    import uuid as _uuid
+
+    from aws_sdk_pandas_spark.data_api import rds, redshift as rs_api
+
+    con2 = rds.connect(f"arn:aws:rds:::cluster:{_uuid.uuid4().hex[:10]}", "db1")
+    rds.to_sql(_seed(spark, 20), con2, "t", mode="overwrite")
+    got = rds.read_sql_query(
+        'SELECT "k", CAST("g" AS VARCHAR(8)) AS "g" FROM t '
+        'WHERE "v" >= :minv AND CAST("g" AS VARCHAR(8)) = :seg',
+        con2,
+        parameters=[
+            {"name": "minv", "value": {"longValue": 100}},
+            {"name": "seg", "value": {"stringValue": "2"}},
+        ],
+        spark=spark,
+    )
+    # k in 10..19 have v>=100; of those, g='2' means k%4==2 -> {10, 14, 18}
+    assert sorted(r.k for r in got.collect()) == [10, 14, 18]
+
+    # NULL / boolean / double literal rendering
+    assert rds._render_typed_param({"isNull": True}) == "NULL"
+    assert rds._render_typed_param({"booleanValue": False}) == "FALSE"
+    assert rds._render_typed_param({"stringValue": "o'brien"}) == "'o''brien'"
+
+    con3 = rs_api.connect(f"rs-{_uuid.uuid4().hex[:10]}", "dev")
+    rds.to_sql(_seed(spark, 5), con3, "t", mode="overwrite")
+    assert rs_api.read_sql_query('SELECT COUNT(*) AS "n" FROM t', con3, spark=spark).first().n == 5

@@ -89,6 +89,10 @@ REFERENCE_EXPORTS: dict[str, list[str]] = {
     ],
     # /root/reference/awswrangler/cleanrooms/__init__.py
     "cleanrooms": ["read_sql_query", "wait_query"],
+    # /root/reference/awswrangler/data_api/__init__.py (+ rds.py, redshift.py)
+    "data_api": ["rds", "redshift"],
+    "data_api.rds": ["connect", "read_sql_query", "to_sql"],
+    "data_api.redshift": ["connect", "read_sql_query"],
     # /root/reference/awswrangler/quicksight/__init__.py
     "quicksight": [
         "get_dashboard_id", "get_dashboard_ids", "get_data_source_arn",
@@ -143,4 +147,4 @@ def test_namespaces_reachable_from_package_root() -> None:
     import aws_sdk_pandas_spark as asps
 
     for module in REFERENCE_EXPORTS:
-        assert hasattr(asps, module), module
+        assert hasattr(asps, module.split(".")[0]), module
