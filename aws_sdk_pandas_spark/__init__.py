@@ -51,6 +51,7 @@ from aws_sdk_pandas_spark import (
 # swapping the import; each is pure re-export wiring over the modules above
 from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     athena,
+    chime,
     cleanrooms,
     cloudwatch,
     data_api,
@@ -64,7 +65,9 @@ from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     quicksight,
     redshift,
     s3,
+    secretsmanager,
     sqlserver,
+    sts,
     timestream,
 )
 from aws_sdk_pandas_spark._config import config
@@ -96,6 +99,9 @@ __all__ = [
     "cloudwatch",
     "data_api",
     "quicksight",
+    "secretsmanager",
+    "sts",
+    "chime",
     "dynamodb",
     "timestream",
     "opensearch",

@@ -50,16 +50,57 @@ class ConnectionConfig:
         return props
 
 
+_SECRET_JDBC_SCHEME = {
+    "mysql": ("mysql", 3306),
+    "postgres": ("postgresql", 5432),
+    "postgresql": ("postgresql", 5432),
+    "redshift": ("redshift", 5439),
+    "oracle": ("oracle:thin", 1521),
+    "sqlserver": ("sqlserver", 1433),
+    "derby": ("derby", 0),
+}
+
+
 def connect(
-    url: str,
+    url: str | None = None,
     *,
+    secret_id: str | None = None,
     driver: str | None = None,
     user: str | None = None,
     password: str | None = None,
     **properties: str,
 ) -> ConnectionConfig:
     """(reference: each engine's ``connect()`` returning a DB-API
-    connection; here a declarative descriptor Spark executors use.)"""
+    connection; here a declarative descriptor Spark executors use.)
+
+    ``secret_id`` resolves the standard RDS/Redshift secret shape
+    (``{engine, host, port, dbname, username, password}``) via
+    ``secretsmanager.get_secret_json`` and builds the JDBC URL from it —
+    the reference's connect-from-secret flow (redshift/_connect.py:32).
+    An explicit ``url`` wins; a ``jdbcUrl`` key in the secret is used
+    verbatim."""
+    if secret_id is not None:
+        from aws_sdk_pandas_spark import secretsmanager
+
+        sec = secretsmanager.get_secret_json(secret_id)
+        user = user or sec.get("username")
+        password = password or sec.get("password")
+        if url is None:
+            if "jdbcUrl" in sec:
+                url = sec["jdbcUrl"]
+            else:
+                engine = str(sec.get("engine", "")).lower()
+                if engine not in _SECRET_JDBC_SCHEME:
+                    raise InvalidArgument(
+                        f"secret {secret_id!r} has unsupported engine {engine!r}"
+                    )
+                scheme, default_port = _SECRET_JDBC_SCHEME[engine]
+                host = sec["host"]
+                port = int(sec.get("port", default_port))
+                dbname = sec.get("dbname", "")
+                url = f"jdbc:{scheme}://{host}:{port}/{dbname}"
+    if url is None:
+        raise InvalidArgument("connect requires a url or a secret_id")
     return ConnectionConfig(url=url, driver=driver, user=user, password=password, properties=properties)
 
 

@@ -109,3 +109,75 @@ def test_contract_edges(spark, people):
     )
     assert [len(c) for c in chunks] == [4, 2]
     assert cleanrooms.wait_query("m1", "q1")["status"] == "SUCCESS"
+
+
+# ---------------------------------------------------------------------------
+# secretsmanager / sts / chime local-account helpers (+ connect-from-secret)
+# ---------------------------------------------------------------------------
+
+
+def test_secretsmanager_resolution_chain(monkeypatch, tmp_path):
+    from aws_sdk_pandas_spark import secretsmanager as sm
+
+    sm.put_secret("db/creds", {"username": "u", "password": "p"})
+    assert sm.get_secret_json("db/creds") == {"username": "u", "password": "p"}
+    sm.delete_secret("db/creds")
+
+    monkeypatch.setenv("ASPS_SECRET_DB_CREDS", '{"username": "env"}')
+    assert sm.get_secret_json("db/creds")["username"] == "env"
+    monkeypatch.delenv("ASPS_SECRET_DB_CREDS")
+
+    f = tmp_path / "secrets.json"
+    f.write_text('{"db/creds": {"username": "file"}}')
+    monkeypatch.setenv("ASPS_SECRETS_FILE", str(f))
+    assert sm.get_secret_json("db/creds")["username"] == "file"
+    monkeypatch.delenv("ASPS_SECRETS_FILE")
+
+    with pytest.raises(InvalidArgument, match="not found"):
+        sm.get_secret("db/creds")
+
+
+def test_connect_from_secret(spark):
+    from aws_sdk_pandas_spark import secretsmanager as sm
+    from aws_sdk_pandas_spark.databases import core
+
+    sm.put_secret(
+        "rds/main",
+        {"engine": "postgres", "host": "h1", "port": 5433,
+         "dbname": "app", "username": "u1", "password": "p1"},
+    )
+    try:
+        con = core.connect(secret_id="rds/main")
+        assert con.url == "jdbc:postgresql://h1:5433/app"
+        assert con.user == "u1" and con.password == "p1"
+        # explicit url wins; creds still from the secret
+        con2 = core.connect("jdbc:postgresql://h2:5432/x", secret_id="rds/main")
+        assert con2.url.startswith("jdbc:postgresql://h2")
+        assert con2.user == "u1"
+    finally:
+        sm.delete_secret("rds/main")
+    sm.put_secret("bad", {"engine": "mongodb", "host": "h"})
+    try:
+        with pytest.raises(InvalidArgument, match="unsupported engine"):
+            core.connect(secret_id="bad")
+    finally:
+        sm.delete_secret("bad")
+    with pytest.raises(InvalidArgument, match="url or a secret_id"):
+        core.connect()
+
+
+def test_sts_and_chime(monkeypatch):
+    from aws_sdk_pandas_spark import chime, sts
+
+    monkeypatch.setenv("ASPS_ACCOUNT_ID", "123456789012")
+    monkeypatch.setenv("ASPS_IDENTITY_ARN", "arn:aws:iam::123456789012:user/eng")
+    assert sts.get_account_id() == "123456789012"
+    assert sts.get_current_identity_arn().endswith(":user/eng")
+    assert sts.get_current_identity_name() == "eng"
+    monkeypatch.delenv("ASPS_IDENTITY_ARN")
+    assert sts.get_current_identity_name()  # falls back to the OS user
+
+    before = len(chime.outbox())
+    out = chime.post_message("https://hooks.example/x", "job done")
+    assert out["Content"] == "Message: job done"
+    assert len(chime.outbox()) == before + 1

@@ -4,8 +4,8 @@ its in-scope namespaces resolves at the same path in this package.
 The export lists below are transcribed from the reference's per-module
 ``__all__`` (e.g. /root/reference/awswrangler/s3/__init__.py) so a
 reference user can port any call-site by swapping the import.  Out of
-scope (per README): quicksight, emr, emr_serverless, secretsmanager,
-sts, chime, data_api (covered by the `databases` JDBC family).
+scope (per README): emr, emr_serverless (cluster lifecycle = deployment
+environment). Everything else is implemented and checked below.
 """
 
 from __future__ import annotations
@@ -93,6 +93,10 @@ REFERENCE_EXPORTS: dict[str, list[str]] = {
     "data_api": ["rds", "redshift"],
     "data_api.rds": ["connect", "read_sql_query", "to_sql"],
     "data_api.redshift": ["connect", "read_sql_query"],
+    # /root/reference/awswrangler/secretsmanager.py / sts.py / chime.py
+    "secretsmanager": ["get_secret", "get_secret_json"],
+    "sts": ["get_account_id", "get_current_identity_arn", "get_current_identity_name"],
+    "chime": ["post_message"],
     # /root/reference/awswrangler/quicksight/__init__.py
     "quicksight": [
         "get_dashboard_id", "get_dashboard_ids", "get_data_source_arn",
