@@ -4815,6 +4815,42 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-bucketed co-located join under the hash gate
+    (sources.to_parquet_table bucketBy): orders and customer land as
+    catalog tables bucketed on custkey with the same bucket count, then
+    join WITHOUT any Exchange (Catalyst proves the bucket partitioning —
+    the plan property is pinned in test_plan_quality.py; this gate pins
+    the VALUES surviving the bucketed write+read+join round-trip)."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet, to_parquet_table
+
+    root = tempfile.mkdtemp(prefix="asps-bucketed-")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    to_parquet_table(orders, "gate_bq_orders", bucketing_info=(["o_custkey"], 8),
+                     path=f"{root}/o")
+    to_parquet_table(customer.withColumnRenamed("c_custkey", "o_custkey"),
+                     "gate_bq_customer", bucketing_info=(["o_custkey"], 8),
+                     path=f"{root}/c")
+    joined = spark.table("gate_bq_orders").join(spark.table("gate_bq_customer"), "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_quicksight_spice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QuickSight dataset pipeline under the hash gate (quicksight.py,
     reference: quicksight/_create.py:272,449): dataset defined over
@@ -4985,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
         "graph_cypher_agg": _q_cypher_agg,
         "quicksight_spice_roundtrip": _q_quicksight_spice,
+        "bucketed_join_colocated": _q_bucketed_join,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6455,6 +6492,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "bucketed_join_colocated": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "quicksight_spice_roundtrip": """
             SELECT c_mktsegment AS segment, COUNT(*) AS n,

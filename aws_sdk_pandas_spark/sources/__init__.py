@@ -36,6 +36,7 @@ from aws_sdk_pandas_spark.sources.parquet import (
     read_parquet_metadata,
     read_parquet_table,
     to_parquet,
+    to_parquet_table,
 )
 from aws_sdk_pandas_spark.sources.stats import (
     collect_file_stats,
@@ -86,6 +87,7 @@ __all__ = [
     "to_json",
     "to_orc",
     "to_parquet",
+    "to_parquet_table",
 ]
 
 from aws_sdk_pandas_spark.catalog import store_parquet_metadata  # noqa: E402  (reference: wr.s3.store_parquet_metadata)

@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_sdk_pandas_spark import _types
-from aws_sdk_pandas_spark.exceptions import NoFilesFound
+from aws_sdk_pandas_spark.exceptions import InvalidArgument, NoFilesFound
 from aws_sdk_pandas_spark.sources._write import write_dataset
 from aws_sdk_pandas_spark.sources.layout import PartitionFilter, apply_partition_filter
 
@@ -201,6 +201,51 @@ def read_parquet_table(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def to_parquet_table(
+    df: DataFrame,
+    table: str,
+    database: str | None = None,
+    *,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    bucketing_info: tuple[list[str], int] | None = None,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Catalog-table writer with SPARK-NATIVE bucketing (reference:
+    s3/_write_parquet.py ``to_parquet(table=..., bucketing_info=...)``
+    + catalog registration).
+
+    The dataset writer reproduces the reference's Hive-hash FILE layout
+    (sources/_write.py:97); this writer instead registers bucket
+    metadata in the session catalog via ``bucketBy``, which is the
+    100 TB co-location path: joining two tables bucketed on the join key
+    with the same bucket count needs NO Exchange at all — Catalyst
+    proves the partitioning and skips the shuffle (pinned in
+    tests/test_plan_quality.py).  Data is pre-repartitioned onto the
+    bucket columns so each bucket lands as one file per partition
+    rather than n_buckets files per task."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    out = df
+    writer_df = out
+    if bucketing_info:
+        bucket_cols, n_buckets = bucketing_info
+        if not bucket_cols or n_buckets < 1:
+            raise InvalidArgument("bucketing_info must be (non-empty cols, n>=1)")
+        writer_df = out.repartition(n_buckets, *bucket_cols)
+    writer = writer_df.write.format("parquet").mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if bucketing_info:
+        bucket_cols, n_buckets = bucketing_info
+        writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(
+            *(sort_cols or bucket_cols)
+        )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(qualified)
 
 
 def read_parquet_metadata(

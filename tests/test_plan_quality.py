@@ -501,3 +501,43 @@ def test_plan_lint_findings(spark):
     # one-row summary agg is NOT flagged as a funnel
     summary = a.agg(F.sum("x"))
     assert not any(f["code"] == "single_partition_exchange" for f in lint(summary))
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """sources.to_parquet_table native bucketing: two tables co-bucketed
+    on the join key join with ZERO Exchange — Catalyst proves the
+    bucket partitioning satisfies the join distribution, the property
+    that deletes the dominant shuffle of a repeated 100 TB fact-fact
+    join.  A plain (unbucketed) rewrite of the same join must show the
+    Exchanges, proving the elimination comes from the bucketing."""
+    from aws_sdk_pandas_spark.sources import to_parquet_table
+
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    to_parquet_table(
+        left, "bq_left", bucketing_info=(["k"], 8), path=str(tmp_path / "l")
+    )
+    to_parquet_table(
+        right, "bq_right", bucketing_info=(["k"], 8), path=str(tmp_path / "r")
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bq_left").join(spark.table("bq_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10_000
+
+            flat = (
+                spark.read.parquet(str(tmp_path / "l"))
+                .join(spark.read.parquet(str(tmp_path / "r")), "k")
+            )
+            flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in flat_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_left")
+        spark.sql("DROP TABLE IF EXISTS bq_right")
