@@ -163,6 +163,18 @@ def _write_commit(
     return commit_rel, entries
 
 
+def txn_version(path: str, app_id: str) -> int:
+    """Highest transaction/batch id committed for ``app_id`` (-1 when
+    none) — the Delta ``txn`` action's idempotent-sink protocol: a
+    streaming writer stamps each commit and skips replays."""
+    best = -1
+    for v in _versions(path):
+        txn = _read_manifest(path, v).get("txn")
+        if txn and txn[0] == app_id:
+            best = max(best, int(txn[1]))
+    return best
+
+
 def write(
     df: DataFrame,
     path: str,
@@ -170,18 +182,27 @@ def write(
     mode: str = "append",
     partition_cols: list[str] | None = None,
     schema_mode: str | None = None,
-) -> None:
+    txn: tuple[str, int] | None = None,
+) -> bool:
     """Versioned write.  Modes mirror the reference's ``to_deltalake``
     (s3/_write_deltalake.py:51): append / overwrite / error|errorifexists
     / ignore, plus ``overwrite_partitions`` (dynamic partition overwrite,
     the Iceberg ``overwritePartitions`` analog).  ``schema_mode`` in
     (None, 'merge', 'overwrite') applies Delta's schema-enforcement
-    contract: a column-set change is rejected unless merge/overwrite."""
+    contract: a column-set change is rejected unless merge/overwrite.
+
+    ``txn=(app_id, batch_id)`` makes the write IDEMPOTENT (Delta's txn
+    action): if a commit with the same app and an equal-or-higher batch
+    id already exists, the write is skipped and False is returned — the
+    contract that makes a replayed foreachBatch micro-batch safe.
+    Returns True when a commit happened."""
     exists = table_exists(path)
+    if txn is not None and exists and txn_version(path, txn[0]) >= int(txn[1]):
+        return False
     if mode in ("error", "errorifexists") and exists:
         raise InvalidArgument(f"lakelite table already exists at {path!r}")
     if mode == "ignore" and exists:
-        return
+        return False
     if mode in ("error", "errorifexists", "ignore"):
         mode = "append" if not exists else mode
 
@@ -223,16 +244,17 @@ def write(
     else:
         raise InvalidArgument(f"unsupported lakelite mode {mode!r}")
 
-    _commit_manifest(
-        path,
-        {
-            "version": (prev["version"] + 1) if prev is not None else 0,
-            "mode": mode,
-            "schema": schema,
-            "partition_cols": partition_cols or [],
-            "files": files,
-        },
-    )
+    manifest = {
+        "version": (prev["version"] + 1) if prev is not None else 0,
+        "mode": mode,
+        "schema": schema,
+        "partition_cols": partition_cols or [],
+        "files": files,
+    }
+    if txn is not None:
+        manifest["txn"] = [str(txn[0]), int(txn[1])]
+    _commit_manifest(path, manifest)
+    return True
 
 
 def _merged_schema(prev_schema_json: str, df: DataFrame) -> str:

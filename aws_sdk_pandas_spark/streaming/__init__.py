@@ -129,6 +129,48 @@ def write_stream_dataset(
     return writer.start()
 
 
+def write_stream_lakelite(
+    df: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    trigger_once: bool = True,
+    app_id: str | None = None,
+):
+    """EXACTLY-ONCE streaming sink into a versioned lakelite table
+    (reference behavior: s3/_write_deltalake.py:182
+    ``to_deltalake_streaming`` with Delta's idempotent txn protocol).
+
+    ``foreachBatch`` gives at-least-once by itself: a crash after the
+    sink writes but before the checkpoint commits REPLAYS the batch.
+    Here every commit is stamped ``txn=(app_id, batch_id)`` in the
+    lakelite manifest and ``lakehouse_shim.write`` skips any batch id
+    already committed for this app — so replays are no-ops and each
+    micro-batch lands exactly once.  ``app_id`` defaults to a stable id
+    derived from the checkpoint location (restarts of the same query
+    keep the same identity)."""
+    import hashlib
+
+    from aws_sdk_pandas_spark import lakehouse_shim
+
+    stable_app = app_id or ("stream-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        lakehouse_shim.write(
+            batch_df,
+            path,
+            mode="append",
+            partition_cols=partition_cols,
+            txn=(stable_app, int(batch_id)),
+        )
+
+    writer = df.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(
     df: DataFrame,
     *,

@@ -218,3 +218,52 @@ def test_crash_safety_orphan_not_corruption(spark, tmp_path):
     removed = shim.vacuum(p, keep_versions=1)
     assert len(removed) == 1
     assert lakehouse.read_deltalake(spark, p).count() == 1
+
+
+def test_txn_idempotent_writes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1)])
+    assert shim.write(df, p, mode="append", txn=("app", 0)) is True
+    # replay of the same batch: skipped, no duplicate rows
+    assert shim.write(df, p, mode="append", txn=("app", 0)) is False
+    assert lakehouse.read_deltalake(spark, p).count() == 1
+    # next batch commits; txn_version tracks the high-water mark per app
+    assert shim.write(_df(spark, [(2, "b", 1)]), p, mode="append", txn=("app", 1)) is True
+    assert shim.txn_version(p, "app") == 1
+    assert shim.txn_version(p, "other") == -1
+    # a different app's batch 0 is independent
+    assert shim.write(_df(spark, [(3, "c", 1)]), p, mode="append", txn=("other", 0)) is True
+    assert lakehouse.read_deltalake(spark, p).count() == 3
+
+
+def test_write_stream_lakelite_exactly_once(spark, tmp_path):
+    from aws_sdk_pandas_spark.streaming import write_stream_lakelite
+
+    src = str(tmp_path / "src")
+    _df(spark, [(1, "a", 1), (2, "b", 1)]).write.parquet(src)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema("k int, name string, ver int").parquet(src)
+    q = write_stream_lakelite(stream, table, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert lakehouse.read_deltalake(spark, table).count() == 2
+
+    # restart with the same checkpoint: no new data, no duplicates
+    q2 = write_stream_lakelite(
+        spark.readStream.schema("k int, name string, ver int").parquet(src),
+        table, checkpoint=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert lakehouse.read_deltalake(spark, table).count() == 2
+
+    # simulate the crash-replay window (sink wrote, checkpoint didn't):
+    # re-delivering batch 0 under the same derived app id is a no-op
+    import hashlib
+    app = "stream-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    assert shim.txn_version(table, app) == 0
+    assert (
+        shim.write(_df(spark, [(1, "a", 1), (2, "b", 1)]), table, mode="append", txn=(app, 0))
+        is False
+    )
+    assert lakehouse.read_deltalake(spark, table).count() == 2
