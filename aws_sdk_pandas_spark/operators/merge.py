@@ -110,6 +110,14 @@ def merge_upsert(
 
     ``merge_condition='update'`` -> WHEN MATCHED THEN UPDATE, 'ignore' ->
     matched rows left untouched; unmatched rows are always inserted.
+
+    When the catalog table's format has no row-level-op support (plain
+    parquet ``saveAsTable`` in OSS Spark without the Delta/Iceberg jars)
+    the same semantics run as a DataFrame merge + full table rewrite:
+    semantically identical, but a whole-table write instead of the
+    native format's file-level commit — fine for dimension-sized
+    tables, a reason to use Delta/Iceberg (or the lakelite path-based
+    tables, which keep file-level CoW) for big facts.
     """
     if merge_condition not in ("update", "ignore"):
         raise InvalidArgument("merge_condition must be 'update' or 'ignore'")
@@ -123,16 +131,59 @@ def merge_upsert(
     else:
         source_name = source
 
-    spark.sql(
-        build_merge_sql(
-            target_table,
-            source_name,
-            merge_cols,
-            merge_condition=merge_condition,
-            merge_match_nulls=merge_match_nulls,
-            precombine_key=precombine_key,
+    try:
+        spark.sql(
+            build_merge_sql(
+                target_table,
+                source_name,
+                merge_cols,
+                merge_condition=merge_condition,
+                merge_match_nulls=merge_match_nulls,
+                precombine_key=precombine_key,
+            )
         )
-    )
+        return
+    except Exception as exc:
+        msg = str(exc)
+        if not ("MERGE" in msg and ("not support" in msg or "NOT_SUPPORTED" in msg)):
+            raise
+
+    # DataFrame-level fallback with the same matched/unmatched contract
+    target = spark.table(target_table)
+    src = spark.table(source_name).select(*target.columns)
+
+    if merge_condition == "ignore":
+        cond = None
+        for k in merge_cols:
+            c = (
+                target[k].eqNullSafe(src[k])
+                if merge_match_nulls
+                else target[k] == src[k]
+            )
+            cond = c if cond is None else (cond & c)
+        merged = target.unionByName(src.join(target, cond, "left_anti"))
+    elif precombine_key is not None:
+        # WHEN MATCHED AND s.pk > t.pk semantics: greatest version wins,
+        # source breaks ties (it already precombined to one row per key)
+        tagged = target.withColumn("__src", F.lit(0)).unionByName(
+            src.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*merge_cols).orderBy(
+            F.col(precombine_key).desc_nulls_last(), F.col("__src").desc()
+        )
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    else:
+        merged = upsert_dataframe(
+            target, src, merge_cols, match_nulls=merge_match_nulls
+        )
+
+    # cut lineage before overwriting the table being read
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").saveAsTable(target_table)
 
 
 def build_merge_sql(

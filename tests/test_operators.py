@@ -153,15 +153,22 @@ def test_merge_upsert_into_table(spark, tmp_path):
     from aws_sdk_pandas_spark.operators.merge import merge_upsert
 
     src = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
-    try:
-        merge_upsert(spark, src, "asps_merge_t", ["k"])
-    except Exception as exc:
-        # plain parquet saveAsTable doesn't support MERGE in OSS Spark
-        # without Delta/Iceberg; accept the documented failure mode
-        assert "MERGE" in str(exc) or "does not support" in str(exc).lower()
-        pytest.skip("catalog format does not support MERGE (no Delta/Iceberg jar)")
+    # plain parquet saveAsTable has no MERGE in OSS Spark without the
+    # Delta/Iceberg jars: merge_upsert must run its semantics-equivalent
+    # DataFrame fallback (merge + rewrite) instead of failing
+    merge_upsert(spark, src, "asps_merge_t", ["k"])
     got = {r.k: r.v for r in spark.table("asps_merge_t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+    # merge_condition='ignore': matched rows keep target values
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "X"), (4, "d")], "k bigint, v string"),
+        "asps_merge_t", ["k"], merge_condition="ignore",
+    )
+    got = {r.k: r.v for r in spark.table("asps_merge_t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    spark.sql("DROP TABLE IF EXISTS asps_merge_t")
 
 
 def test_simhash_radius_banding(spark):
