@@ -80,17 +80,7 @@ def upsert_dataframe(
     if precombine_key is not None:
         source = _precombine_latest(source, keys, precombine_key)
 
-    if match_nulls:
-        cond = None
-        for k in keys:
-            c = target[k].eqNullSafe(source[k])
-            cond = c if cond is None else (cond & c)
-    else:
-        cond = None
-        for k in keys:
-            c = target[k] == source[k]
-            cond = c if cond is None else (cond & c)
-
+    cond = _key_cond(target, source, keys, match_nulls)
     surviving = target.join(source, cond, "left_anti")
     return surviving.unionByName(source.select(*target.columns))
 
@@ -144,46 +134,143 @@ def merge_upsert(
         )
         return
     except Exception as exc:
-        msg = str(exc)
-        if not ("MERGE" in msg and ("not support" in msg or "NOT_SUPPORTED" in msg)):
+        # ONLY the precise does-not-support-row-level-ops error routes to
+        # the fallback; any real MERGE failure on a capable table raises
+        cond_name = getattr(exc, "getCondition", lambda: None)() or getattr(
+            exc, "getErrorClass", lambda: None
+        )()
+        if not (
+            cond_name == "UNSUPPORTED_FEATURE.TABLE_OPERATION"
+            and "MERGE" in str(exc)
+        ):
             raise
 
-    # DataFrame-level fallback with the same matched/unmatched contract
+    _merge_fallback_rewrite(
+        spark,
+        target_table,
+        source_name,
+        merge_cols,
+        merge_condition=merge_condition,
+        merge_match_nulls=merge_match_nulls,
+        precombine_key=precombine_key,
+    )
+
+
+def _key_cond(left: DataFrame, right: DataFrame, keys: list[str], match_nulls: bool):
+    """AND-folded key equality, optionally null-safe — the one builder
+    used by upsert_dataframe and the merge fallback."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k]) if match_nulls else (left[k] == right[k])
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _table_layout(spark: SparkSession, table: str) -> dict:
+    """Catalog layout of a table (provider, partition cols, bucket spec)
+    so a rewrite can preserve it."""
+    import re as _re
+
+    part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    provider = None
+    n_buckets = 0
+    bucket_cols: list[str] = []
+    sort_cols: list[str] = []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        key = (r.col_name or "").strip()
+        val = (r.data_type or "").strip()
+        if key == "Provider":
+            provider = val
+        elif key == "Num Buckets":
+            n_buckets = int(val or 0)
+        elif key == "Bucket Columns":
+            bucket_cols = _re.findall(r"`([^`]+)`", val)
+        elif key == "Sort Columns":
+            sort_cols = _re.findall(r"`([^`]+)`", val)
+    return {
+        "provider": provider or "parquet",
+        "partition_cols": part_cols,
+        "n_buckets": n_buckets,
+        "bucket_cols": bucket_cols,
+        "sort_cols": sort_cols,
+    }
+
+
+def _merge_fallback_rewrite(
+    spark: SparkSession,
+    target_table: str,
+    source_name: str,
+    merge_cols: list[str],
+    *,
+    merge_condition: str,
+    merge_match_nulls: bool,
+    precombine_key: str | None,
+) -> None:
+    """Semantics-preserving MERGE for formats without row-level ops:
+    build the merged frame with EXACTLY the native matched/unmatched
+    contract, write it to a staging table carrying the target's catalog
+    layout (provider/partitioning/bucketing — a rewrite must not
+    silently flatten a bucketed table), then swap via rename.
+
+    Native-contract details deliberately preserved:
+    - only MATCHED target rows change; unmatched target rows (including
+      duplicate-key rows the source never references, and NULL-key rows
+      under non-null-safe matching) pass through untouched;
+    - duplicate-key matched target rows each update (cardinality kept);
+    - the precombine guard is strictly ``s.pk > t.pk``: ties and NULL
+      comparisons keep the TARGET row, exactly like the SQL guard;
+    - the staging write completes BEFORE the target is dropped, so a
+      crash never loses committed data — worst case the staging table
+      survives for manual recovery (its name says what it is).
+    """
     target = spark.table(target_table)
     src = spark.table(source_name).select(*target.columns)
+    cols = target.columns
+
+    t = target.alias("__t")
+    s = src.alias("__s")
+    on = _key_cond(t, s, merge_cols, merge_match_nulls)
+
+    untouched = t.join(s, on, "left_anti").select(*cols)
+    inserts = s.join(t, on, "left_anti").select(*cols)
 
     if merge_condition == "ignore":
-        cond = None
-        for k in merge_cols:
-            c = (
-                target[k].eqNullSafe(src[k])
-                if merge_match_nulls
-                else target[k] == src[k]
-            )
-            cond = c if cond is None else (cond & c)
-        merged = target.unionByName(src.join(target, cond, "left_anti"))
-    elif precombine_key is not None:
-        # WHEN MATCHED AND s.pk > t.pk semantics: greatest version wins,
-        # source breaks ties (it already precombined to one row per key)
-        tagged = target.withColumn("__src", F.lit(0)).unionByName(
-            src.withColumn("__src", F.lit(1))
-        )
-        w = Window.partitionBy(*merge_cols).orderBy(
-            F.col(precombine_key).desc_nulls_last(), F.col("__src").desc()
-        )
-        merged = (
-            tagged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-        )
+        matched_keep = t.join(s, on, "left_semi").select(*cols)
+        merged = untouched.unionByName(matched_keep).unionByName(inserts)
     else:
-        merged = upsert_dataframe(
-            target, src, merge_cols, match_nulls=merge_match_nulls
+        joined = t.join(s, on, "inner")
+        if precombine_key is not None:
+            guard = F.col(f"__s.`{precombine_key}`") > F.col(f"__t.`{precombine_key}`")
+        else:
+            guard = F.lit(True)
+        updated = joined.select(
+            *[
+                F.when(guard, F.col(f"__s.`{c}`"))
+                .otherwise(F.col(f"__t.`{c}`"))
+                .alias(c)
+                for c in cols
+            ]
         )
+        merged = untouched.unionByName(updated).unionByName(inserts)
 
-    # cut lineage before overwriting the table being read
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").saveAsTable(target_table)
+    layout = _table_layout(spark, target_table)
+    staging = f"{target_table}__asps_merge_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    writer = merged.write.format(layout["provider"]).mode("overwrite")
+    if layout["partition_cols"]:
+        writer = writer.partitionBy(*layout["partition_cols"])
+    if layout["n_buckets"] and layout["bucket_cols"]:
+        writer = writer.bucketBy(layout["n_buckets"], *layout["bucket_cols"]).sortBy(
+            *(layout["sort_cols"] or layout["bucket_cols"])
+        )
+    writer.saveAsTable(staging)
+
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {target_table}")
+    if layout["partition_cols"]:
+        # table rename moves the directory but the catalog's per-partition
+        # locations still point at the old path — re-discover them
+        spark.sql(f"MSCK REPAIR TABLE {target_table}")
 
 
 def build_merge_sql(

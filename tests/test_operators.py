@@ -349,3 +349,90 @@ def test_strip_html(spark):
     got2 = {r.id: r.text for r in extra.select("id", strip_html("html").alias("text")).collect()}
     assert got2[6] == "&lt;b&gt; literal"  # double-encoded stays single-decoded
     assert "&#x27;" not in got2[7]  # hex refs cleaned like decimal ones
+
+
+def test_merge_fallback_precombine_native_contract(spark):
+    """The MERGE-less fallback must reproduce the native WHEN MATCHED AND
+    s.pk > t.pk contract exactly: strict-greater updates, TIES KEEP THE
+    TARGET row, NULL precombine comparisons keep the target, unmatched
+    target rows (incl. duplicate keys the source never touches) pass
+    through, new keys insert."""
+    from aws_sdk_pandas_spark.operators.merge import merge_upsert
+
+    spark.sql("DROP TABLE IF EXISTS asps_merge_pc")
+    spark.createDataFrame(
+        [(1, "upd_me", 5), (2, "tie_keep", 7), (3, "null_t", None),
+         (9, "dupA", 1), (9, "dupB", 2)],
+        "k bigint, v string, ver bigint",
+    ).write.mode("overwrite").saveAsTable("asps_merge_pc")
+    src = spark.createDataFrame(
+        [(1, "UPDATED", 9), (2, "tie_clobber", 7), (3, "null_s", 4), (4, "new", 1)],
+        "k bigint, v string, ver bigint",
+    )
+    try:
+        merge_upsert(spark, src, "asps_merge_pc", ["k"], precombine_key="ver")
+        got = {(r.k, r.v) for r in spark.table("asps_merge_pc").collect()}
+        assert got == {
+            (1, "UPDATED"),      # 9 > 5: source wins
+            (2, "tie_keep"),     # 7 > 7 false: target kept (native tie rule)
+            (3, "null_s"),       # 4 > NULL is NULL -> guard false? NO: see below
+            (9, "dupA"), (9, "dupB"),  # untouched duplicate-key rows preserved
+            (4, "new"),          # unmatched source inserted
+        } or got == {
+            (1, "UPDATED"), (2, "tie_keep"), (3, "null_t"),
+            (9, "dupA"), (9, "dupB"), (4, "new"),
+        }
+        # pin the NULL rule exactly: s.ver > NULL is NULL -> matched guard
+        # false -> target row survives
+        assert (3, "null_t") in got and (3, "null_s") not in got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS asps_merge_pc")
+
+
+def test_merge_fallback_null_keys_not_matched(spark):
+    """Non-null-safe matching: a NULL-key row in target and in source are
+    NOT a match — target row kept, source row inserted (two rows), the
+    native `t.k = s.k` behavior the first fallback draft collapsed."""
+    from aws_sdk_pandas_spark.operators.merge import merge_upsert
+
+    spark.sql("DROP TABLE IF EXISTS asps_merge_nk")
+    spark.createDataFrame(
+        [(None, "t_null", 1), (1, "a", 1)], "k bigint, v string, ver bigint"
+    ).write.mode("overwrite").saveAsTable("asps_merge_nk")
+    src = spark.createDataFrame(
+        [(None, "s_null", 2)], "k bigint, v string, ver bigint"
+    )
+    try:
+        merge_upsert(spark, src, "asps_merge_nk", ["k"], precombine_key="ver")
+        got = sorted((r.v for r in spark.table("asps_merge_nk").collect()))
+        assert got == ["a", "s_null", "t_null"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS asps_merge_nk")
+
+
+def test_merge_fallback_preserves_layout(spark):
+    """The rewrite must carry the target's partitioning AND bucketing
+    into the new table — a merge must not silently flatten the layout a
+    co-located join depends on."""
+    from aws_sdk_pandas_spark.operators.merge import _table_layout, merge_upsert
+
+    spark.sql("DROP TABLE IF EXISTS asps_merge_layout")
+    spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)], "k bigint, p int, v string"
+    ).write.mode("overwrite").format("parquet").partitionBy("p").bucketBy(
+        4, "k"
+    ).sortBy("k").saveAsTable("asps_merge_layout")
+    try:
+        merge_upsert(
+            spark,
+            spark.createDataFrame([(1, 1, "NEW"), (100, 0, "ins")], "k bigint, p int, v string"),
+            "asps_merge_layout",
+            ["k"],
+        )
+        got = {r.k: r.v for r in spark.table("asps_merge_layout").collect()}
+        assert got[1] == "NEW" and got[100] == "ins" and len(got) == 21
+        layout = _table_layout(spark, "asps_merge_layout")
+        assert layout["partition_cols"] == ["p"]
+        assert layout["n_buckets"] == 4 and layout["bucket_cols"] == ["k"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS asps_merge_layout")
