@@ -64,11 +64,42 @@ def _substitute_named(sql: str, params: dict[str, Any] | None) -> str:
     return out
 
 
-def _is_aggregated(df: DataFrame) -> bool:
-    """True when the analyzed logical plan contains an Aggregate node —
-    i.e. the query cannot emit raw rows."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate " in plan or plan.startswith("Aggregate")
+_PASSTHROUGH_NODES = {
+    "Project", "Sort", "GlobalLimit", "LocalLimit", "Filter", "Distinct",
+    "WithCTE", "SubqueryAlias", "Offset",
+}
+
+
+def _root_aggregate(df: DataFrame):
+    """The Aggregate node at the ROOT of the analyzed plan (unwrapping
+    only order/limit/projection shells), or None.  A match anywhere in
+    the plan is NOT enough — a subquery's Aggregate must not launder a
+    row-level outer query past the rule."""
+    plan = df._jdf.queryExecution().analyzed()
+    for _ in range(32):
+        name = plan.getClass().getSimpleName()
+        if name == "Aggregate":
+            return plan
+        if name in _PASSTHROUGH_NODES and plan.children().size() == 1:
+            plan = plan.children().apply(0)
+            continue
+        return None
+    return None
+
+
+def _is_real_count_column(agg_plan, count_col: str) -> bool:
+    """True when ``count_col`` is produced by an actual COUNT aggregate
+    in the root Aggregate — a constant aliased 'n' must not satisfy the
+    k-threshold."""
+    try:
+        exprs = agg_plan.aggregateExpressions()
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if e.name() == count_col:
+                return "count(" in e.toString().lower()
+    except Exception:
+        return False
+    return False
 
 
 def _enforce(df: DataFrame, rule: dict[str, Any] | None, sql: str) -> DataFrame:
@@ -85,16 +116,25 @@ def _enforce(df: DataFrame, rule: dict[str, Any] | None, sql: str) -> DataFrame:
             )
         return df
     if rtype == "AGGREGATION":
-        if not _is_aggregated(df):
+        agg_plan = _root_aggregate(df)
+        if agg_plan is None:
             raise InvalidArgument(
-                "AGGREGATION analysis rule violation: query must aggregate "
-                "(no row-level output permitted)"
+                "AGGREGATION analysis rule violation: the query itself must "
+                "aggregate (no row-level output permitted; an Aggregate inside "
+                "a subquery does not qualify)"
             )
         count_col = rule.get("count_column", "n")
         if count_col not in df.columns:
             raise InvalidArgument(
                 f"AGGREGATION analysis rule requires the output to carry the "
                 f"{count_col!r} count column so the k-threshold can be enforced"
+            )
+        if not _is_real_count_column(agg_plan, count_col):
+            raise InvalidArgument(
+                f"AGGREGATION analysis rule: column {count_col!r} must be a "
+                "genuine COUNT aggregate of the query's own grouping — a "
+                "constant or non-count expression cannot satisfy the "
+                "k-threshold"
             )
         allowed = rule.get("allowed_columns")
         if allowed is not None:

@@ -171,15 +171,14 @@ def to_iceberg(
 
         path = _iceberg_table_path(spark, table)
         if merge_cols:
-            if not lakehouse_shim.table_exists(path):
-                lakehouse_shim.write(df, path, mode="overwrite")
-            else:
-                lakehouse_shim.merge(
-                    spark, df, path, merge_cols,
-                    merge_condition=merge_condition,
-                    match_nulls=merge_match_nulls,
-                    precombine_key=precombine_key,
-                )
+            # shim.merge handles the not-yet-existing table itself (and
+            # still applies the precombine dedup on first write)
+            lakehouse_shim.merge(
+                spark, df, path, merge_cols,
+                merge_condition=merge_condition,
+                match_nulls=merge_match_nulls,
+                precombine_key=precombine_key,
+            )
         else:
             lakehouse_shim.write(df, path, mode=mode)
         return
@@ -189,6 +188,7 @@ def to_iceberg(
         merge_upsert(
             df.sparkSession, df, table, merge_cols,
             merge_condition=merge_condition, merge_match_nulls=merge_match_nulls,
+            precombine_key=precombine_key,
         )
         return
     if mode == "append":

@@ -64,8 +64,14 @@ def _local(path: str) -> str:
     """Strip a file: scheme so os-level manifest IO and Spark's
     ``_metadata.file_path`` URIs compare equal."""
     if path.startswith("file:"):
-        return urllib.parse.urlparse(path).path
+        return urllib.parse.unquote(urllib.parse.urlparse(path).path)
     return path
+
+
+def _normalize_uri(uri: str) -> str:
+    """Spark file URI -> absolute local path (scheme stripped, percent
+    escapes decoded, relative paths anchored) for manifest matching."""
+    return os.path.abspath(_local(uri))
 
 
 def _log_dir(path: str) -> str:
@@ -163,12 +169,39 @@ def _write_commit(
     return commit_rel, entries
 
 
+def _carry_txns(prev: dict[str, Any] | None, txn: tuple[str, int] | None) -> dict[str, int]:
+    """Cumulative per-app transaction high-water marks, carried forward
+    into EVERY commit (merge/delete/compact included) so the documented
+    maintenance ops — compact + vacuum of old manifests — can never
+    erase the idempotence state a replayed streaming batch depends on."""
+    txns: dict[str, int] = dict((prev or {}).get("txns", {}))
+    if prev is not None and prev.get("txn"):
+        legacy_app, legacy_batch = prev["txn"][0], int(prev["txn"][1])
+        txns[legacy_app] = max(txns.get(legacy_app, -1), legacy_batch)
+    if txn is not None:
+        app, batch = str(txn[0]), int(txn[1])
+        txns[app] = max(txns.get(app, -1), batch)
+    return txns
+
+
 def txn_version(path: str, app_id: str) -> int:
     """Highest transaction/batch id committed for ``app_id`` (-1 when
     none) — the Delta ``txn`` action's idempotent-sink protocol: a
-    streaming writer stamps each commit and skips replays."""
+    streaming writer stamps each commit and skips replays.  Reads the
+    latest manifest's cumulative map; legacy per-commit stamps are
+    folded in by scanning only when the map is absent."""
+    vs = _versions(path)
+    if not vs:
+        return -1
+    latest = _read_manifest(path, vs[-1])
+    if "txns" in latest:
+        best = int(latest["txns"].get(app_id, -1))
+        txn = latest.get("txn")
+        if txn and txn[0] == app_id:
+            best = max(best, int(txn[1]))
+        return best
     best = -1
-    for v in _versions(path):
+    for v in vs:
         txn = _read_manifest(path, v).get("txn")
         if txn and txn[0] == app_id:
             best = max(best, int(txn[1]))
@@ -250,6 +283,7 @@ def write(
         "schema": schema,
         "partition_cols": partition_cols or [],
         "files": files,
+        "txns": _carry_txns(prev, txn),
     }
     if txn is not None:
         manifest["txn"] = [str(txn[0]), int(txn[1])]
@@ -315,11 +349,11 @@ def read(
             spark.read.option("basePath", os.path.join(root, commit_rel)).parquet(*files)
         )
         if with_file_path:
-            # scheme-normalized so it compares equal to os.path manifest joins
-            part = part.withColumn(
-                "__lakelite_file",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
-            )
+            # RAW URI as Spark reports it — matching against manifest
+            # paths happens driver-side with real URI decoding, never by
+            # string surgery on the column (percent-encoded or relative
+            # paths silently failed to match otherwise)
+            part = part.withColumn("__lakelite_file", F.col("_metadata.file_path"))
         parts.append(part)
     df = parts[0]
     for p in parts[1:]:
@@ -367,12 +401,28 @@ def _touched_files(
         .distinct()
         .collect()
     )
-    hit_paths = {r[0] for r in hit}
-    touched = [e for e in man["files"] if os.path.join(root, e["path"]) in hit_paths]
-    untouched = [e for e in man["files"] if os.path.join(root, e["path"]) not in hit_paths]
-    touched_abs = sorted(os.path.join(root, e["path"]) for e in touched)
+    raw_hits = sorted(r[0] for r in hit)
+    hit_paths = {_normalize_uri(u) for u in raw_hits}
+    by_norm = {
+        os.path.abspath(os.path.join(root, e["path"])): e for e in man["files"]
+    }
+    unmatched = hit_paths - set(by_norm)
+    if unmatched:
+        # a hit that maps to no manifest entry means the path matching is
+        # broken — treating it as untouched would silently corrupt the
+        # merge (duplicate matched keys) or no-op the delete
+        raise InvalidArgument(
+            f"lakelite internal error: scanned files {sorted(unmatched)[:3]} "
+            f"not found in manifest at {path!r}"
+        )
+    touched = [by_norm[p] for p in sorted(hit_paths)]
+    untouched = [
+        e
+        for e in man["files"]
+        if os.path.abspath(os.path.join(root, e["path"])) not in hit_paths
+    ]
     rewrite_input = snap.where(
-        F.col("__lakelite_file").isin(touched_abs) if touched_abs else F.lit(False)
+        F.col("__lakelite_file").isin(raw_hits) if raw_hits else F.lit(False)
     ).drop("__lakelite_file")
     return touched, untouched, rewrite_input
 
@@ -397,16 +447,20 @@ def merge(
     rewritten.  Returns {'files_rewritten': n, 'files_kept': m}."""
     if merge_condition not in ("update", "ignore"):
         raise InvalidArgument("merge_condition must be 'update' or 'ignore'")
+
+    from aws_sdk_pandas_spark.operators.merge import _precombine_latest
+
+    if precombine_key is not None:
+        # applied BEFORE any write path — a first merge into a fresh
+        # table must not be born with duplicate keys the same call would
+        # have collapsed against an existing table
+        source = _precombine_latest(source, keys, precombine_key)
     if not table_exists(path):
         write(source, path, mode="overwrite")
         return {"files_rewritten": 0, "files_kept": 0}
 
-    from aws_sdk_pandas_spark.operators.merge import _precombine_latest
-
     man = _read_manifest(path, latest_version(path))
     pcols = man["partition_cols"]
-    if precombine_key is not None:
-        source = _precombine_latest(source, keys, precombine_key)
 
     if merge_condition == "ignore":
         # insert-only fast path: no existing file read or rewritten
@@ -424,6 +478,7 @@ def merge(
                 "schema": man["schema"],
                 "partition_cols": pcols,
                 "files": man["files"] + entries,
+                "txns": _carry_txns(man, None),
             },
         )
         return {"files_rewritten": 0, "files_kept": len(man["files"])}
@@ -461,6 +516,7 @@ def merge(
             "schema": man["schema"],
             "partition_cols": pcols,
             "files": untouched + entries,
+            "txns": _carry_txns(man, None),
         },
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
@@ -494,6 +550,7 @@ def delete(
             "schema": man["schema"],
             "partition_cols": man["partition_cols"],
             "files": untouched + entries,
+            "txns": _carry_txns(man, None),
         },
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
@@ -517,6 +574,7 @@ def compact(spark: SparkSession, path: str, *, target_partitions: int | None = N
             "schema": man["schema"],
             "partition_cols": man["partition_cols"],
             "files": entries,
+            "txns": _carry_txns(man, None),
         },
     )
 

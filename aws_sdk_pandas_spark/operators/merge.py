@@ -173,13 +173,16 @@ def _table_layout(spark: SparkSession, table: str) -> dict:
 
     part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
     provider = None
+    table_type = None
     n_buckets = 0
     bucket_cols: list[str] = []
     sort_cols: list[str] = []
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
         key = (r.col_name or "").strip()
         val = (r.data_type or "").strip()
-        if key == "Provider":
+        if key == "Type":
+            table_type = val
+        elif key == "Provider":
             provider = val
         elif key == "Num Buckets":
             n_buckets = int(val or 0)
@@ -189,6 +192,7 @@ def _table_layout(spark: SparkSession, table: str) -> dict:
             sort_cols = _re.findall(r"`([^`]+)`", val)
     return {
         "provider": provider or "parquet",
+        "type": table_type or "MANAGED",
         "partition_cols": part_cols,
         "n_buckets": n_buckets,
         "bucket_cols": bucket_cols,
@@ -227,6 +231,27 @@ def _merge_fallback_rewrite(
     src = spark.table(source_name).select(*target.columns)
     cols = target.columns
 
+    if precombine_key is not None:
+        # idempotent for DataFrame sources (already precombined by the
+        # caller), REQUIRED for table-name sources
+        src = _precombine_latest(src, merge_cols, precombine_key)
+    else:
+        # native MERGE raises when multiple source rows match one target
+        # row; silently multiplying matched rows is worse — mirror it
+        dup = (
+            src.groupBy(*merge_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise InvalidArgument(
+                "merge source has duplicate key rows; native MERGE INTO "
+                "rejects this (multiple source rows match one target row) — "
+                "deduplicate the source or pass precombine_key"
+            )
+
     t = target.alias("__t")
     s = src.alias("__s")
     on = _key_cond(t, s, merge_cols, merge_match_nulls)
@@ -254,6 +279,16 @@ def _merge_fallback_rewrite(
         merged = untouched.unionByName(updated).unionByName(inserts)
 
     layout = _table_layout(spark, target_table)
+    if layout["type"] != "MANAGED":
+        # a drop+rename swap would re-home an EXTERNAL table into the
+        # warehouse and leave the original path holding stale pre-merge
+        # files forever — refuse rather than silently diverge
+        raise InvalidArgument(
+            f"merge fallback cannot rewrite {layout['type']} table "
+            f"{target_table!r}: the swap would move it into the warehouse and "
+            "orphan its external location. Use Delta/Iceberg for row-level "
+            "ops on external tables, or lakelite path-based tables."
+        )
     staging = f"{target_table}__asps_merge_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     writer = merged.write.format(layout["provider"]).mode("overwrite")

@@ -104,7 +104,7 @@ def extract_features(
                         "feature": [
                             _fake_feature(bytes(p) if p is not None else b"", dim)
                             if fake
-                            else _real_feature(bytes(p) if p is not None else b"")
+                            else (None if p is None else _real_feature(bytes(p)))
                             for p in chunk[payload_col]
                         ],
                         "n_bytes": [len(p) if p is not None else 0 for p in chunk[payload_col]],
@@ -276,10 +276,12 @@ def decode_images(
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads yield NULL decode columns (id preserved) —
+            # a missing payload is data, not a reason to fail the job
             decoded = [
-                _fake_decode(bytes(p) if p is not None else b"")
-                if fake
-                else decode_image(bytes(p) if p is not None else b"")
+                (None, None, None)
+                if p is None
+                else (_fake_decode(bytes(p)) if fake else decode_image(bytes(p)))
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
@@ -355,7 +357,10 @@ def image_pixel_stats(
         for pdf in batches:
             out = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                w, h, rgb = decode_image(bytes(p) if p is not None else b"")
+                if p is None:
+                    out.append((str(mid),) + (None,) * 7)
+                    continue
+                w, h, rgb = decode_image(bytes(p))
                 arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
                 out.append(
                     (
@@ -403,7 +408,10 @@ def audio_pcm_stats(
         for pdf in batches:
             out = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                ch, sr, samples = decode_wav(bytes(p) if p is not None else b"")
+                if p is None:
+                    out.append((str(mid),) + (None,) * 6)
+                    continue
+                ch, sr, samples = decode_wav(bytes(p))
                 # float64 reductions: keeps the stats bit-comparable to a
                 # double-precision recomputation (the oracle gate)
                 mono = samples.astype(np.float64).mean(axis=1)

@@ -54,15 +54,19 @@ def _atomic_swap_state(spark: SparkSession, staged: DataFrame, state_path: str) 
     COMPLETE copy on disk):
 
     1. write merged state to ``<state>.staging`` (live state untouched)
-    2. delete any stale ``<state>.old``
-    3. rename ``<state>`` → ``<state>.old``
-    4. rename ``<state>.staging`` → ``<state>``
-    5. delete ``<state>.old``
+    2. ONLY IF the live path exists: delete any stale ``<state>.old``
+       (safe — live is complete and newer) and rename ``<state>`` →
+       ``<state>.old``
+    3. rename ``<state>.staging`` → ``<state>``
+    4. delete ``<state>.old``
 
-    A crash during (1) leaves the live state intact; between (3) and
-    (4) the live path is briefly absent but ``.old`` is complete and
-    `_read_rollup_state` falls back to it; after (4) the swap is done
-    and ``.old`` is just garbage collected next batch."""
+    The live-exists guard in (2) is load-bearing for crash RECOVERY:
+    when a prior crash left live absent and ``.old`` holding the only
+    complete copy, deleting ``.old`` before (3) would open a window
+    where a second crash leaves nothing but ``.staging`` — which
+    readers never consult — silently resetting all accumulated state.
+    With the guard, every instant of every path keeps at least one
+    complete copy at ``<state>`` or ``<state>.old``."""
     from aws_sdk_pandas_spark.sources._write import write_dataset
     from aws_sdk_pandas_spark.sources.fs import _jvm_fs
 
@@ -72,9 +76,9 @@ def _atomic_swap_state(spark: SparkSession, staged: DataFrame, state_path: str) 
     fs, jpath, jvm = _jvm_fs(spark, base)
     jstaging = jvm.org.apache.hadoop.fs.Path(staging)
     jold = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(jold):
-        fs.delete(jold, True)
     if fs.exists(jpath):
+        if fs.exists(jold):
+            fs.delete(jold, True)
         if not fs.rename(jpath, jold):
             raise IOError(f"state swap: rename {base} -> {old} failed")
     if not fs.rename(jstaging, jpath):

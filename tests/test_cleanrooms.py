@@ -181,3 +181,31 @@ def test_sts_and_chime(monkeypatch):
     out = chime.post_message("https://hooks.example/x", "job done")
     assert out["Content"] == "Message: job done"
     assert len(chime.outbox()) == before + 1
+
+
+def test_aggregation_rule_not_bypassable(spark, people):
+    """Review findings: a subquery's Aggregate must not launder row-level
+    output past the rule, and a constant aliased as the count column
+    must not satisfy the k-threshold."""
+    rule = {"type": "AGGREGATION", "k_threshold": 2, "count_column": "n"}
+    with pytest.raises(InvalidArgument, match="subquery does not qualify"):
+        cleanrooms.read_sql_query(
+            spark,
+            "SELECT name, 5 AS n FROM cr_people "
+            "WHERE 3 IN (SELECT COUNT(*) FROM cr_people)",
+            analysis_rule=rule,
+        )
+    with pytest.raises(InvalidArgument, match="genuine COUNT aggregate"):
+        cleanrooms.read_sql_query(
+            spark,
+            "SELECT country, 999 AS n, SUM(spend) AS total FROM cr_people GROUP BY country",
+            analysis_rule=rule,
+        )
+    # ORDER BY / LIMIT shells above the aggregate still qualify
+    got = cleanrooms.read_sql_query(
+        spark,
+        "SELECT country, COUNT(*) AS n FROM cr_people GROUP BY country "
+        "ORDER BY country LIMIT 10",
+        analysis_rule=rule,
+    )
+    assert {r.country for r in got.collect()} == {"US", "DE"}

@@ -267,3 +267,52 @@ def test_write_stream_lakelite_exactly_once(spark, tmp_path):
         is False
     )
     assert lakehouse.read_deltalake(spark, table).count() == 2
+
+
+def test_txn_survives_compact_and_vacuum(spark, tmp_path):
+    """Review finding: the exactly-once high-water mark must survive the
+    documented maintenance ops — compact rewrites the snapshot and vacuum
+    deletes the old manifests that held the per-commit txn stamps."""
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", 1)]), p, mode="append", txn=("app", 0))
+    shim.write(_df(spark, [(2, "b", 1)]), p, mode="append", txn=("app", 1))
+    shim.compact(spark, p)
+    shim.vacuum(p, keep_versions=1)
+    assert shim.txn_version(p, "app") == 1
+    # a crash-replay of batch 1 after maintenance is still a no-op
+    assert shim.write(_df(spark, [(2, "b", 1)]), p, mode="append", txn=("app", 1)) is False
+    assert lakehouse.read_deltalake(spark, p).count() == 2
+    # merge/delete commits also carry the marks forward
+    shim.merge(spark, _df(spark, [(1, "A2", 2)]), p, ["k"])
+    assert shim.txn_version(p, "app") == 1
+
+
+def test_merge_on_path_with_space_and_relative(spark, tmp_path):
+    """Review finding: _metadata.file_path percent-encodes special chars;
+    manifest matching must decode, or merges silently duplicate matched
+    keys (the hit set never matches and nothing is 'touched')."""
+    p = str(tmp_path / "ta ble")  # space -> %20 in the scan URI
+    lakehouse.to_deltalake(_df(spark, [(1, "a", 1), (2, "b", 1)]), p, mode="overwrite")
+    stats = shim.merge(spark, _df(spark, [(1, "A", 2)]), p, ["k"])
+    assert stats["files_rewritten"] >= 1  # the match actually happened
+    got = {r.k: r.name for r in lakehouse.read_deltalake(spark, p).collect()}
+    assert got == {1: "A", 2: "b"}  # no duplicate k=1
+
+    stats = shim.delete(spark, spark.createDataFrame([(2,)], "k int"), p, ["k"])
+    assert stats["files_rewritten"] >= 1
+    assert {r.k for r in lakehouse.read_deltalake(spark, p).collect()} == {1}
+
+
+def test_merge_fresh_table_applies_precombine(spark, tmp_path):
+    """Review finding: the first merge into a not-yet-existing table must
+    not be born with duplicate keys the same call would collapse."""
+    p = str(tmp_path / "t")
+    src = _df(spark, [(1, "old", 1), (1, "new", 9), (2, "b", 1)])
+    shim.merge(spark, src, p, ["k"], precombine_key="ver")
+    got = {r.k: r.name for r in lakehouse.read_deltalake(spark, p).collect()}
+    assert got == {1: "new", 2: "b"}
+    # and via the to_iceberg entry point
+    table = "lakelite_test.fresh_pc"
+    lakehouse.to_iceberg(src, table, merge_cols=["k"], precombine_key="ver")
+    got2 = {r.k: r.name for r in lakehouse.read_iceberg(spark, table).collect()}
+    assert got2 == {1: "new", 2: "b"}

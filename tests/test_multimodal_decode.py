@@ -195,3 +195,30 @@ def test_extract_features_real_histograms(spark):
     with pytest.raises(Exception) as ei:
         extract_features(png).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_null_payloads_yield_null_rows(spark):
+    """Review finding: a NULL payload is data, not a job failure — the
+    real-mode kernels emit NULL stats/features with the id preserved."""
+    df = spark.createDataFrame(
+        [("ok", bytearray(make_test_media("bmp", 1, 1, pixels=bytes([1, 2, 3])))),
+         ("missing", None)],
+        "media_id string, payload binary",
+    )
+    dec = {r.media_id: r for r in decode_images(df).collect()}
+    assert dec["missing"].width is None and dec["missing"].pixels is None
+    assert dec["ok"].width == 1
+
+    stats = {r.media_id: r for r in image_pixel_stats(df).collect()}
+    assert stats["missing"].mean_pixel is None
+    feats = {r.media_id: r for r in extract_features(df).collect()}
+    assert feats["missing"].feature is None and feats["missing"].n_bytes == 0
+    assert feats["ok"].feature is not None
+
+    wav = spark.createDataFrame(
+        [("w", bytearray(make_test_media("wav", sample_rate=8000, n_frames=4))),
+         ("nope", None)],
+        "media_id string, payload binary",
+    )
+    astats = {r.media_id: r for r in audio_pcm_stats(wav).collect()}
+    assert astats["nope"].rms is None and astats["w"].n_frames == 4
