@@ -4815,6 +4815,41 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lakehouse_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping under the hash gate (lakehouse_shim stats_cols +
+    predicates — the Delta min/max skipping analog): orders lands
+    range-clustered with per-file o_orderkey stats, a quarter-range
+    predicate read must PRUNE most files (asserted in-row as a boolean
+    the oracle expects TRUE) and still aggregate exactly."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse_shim
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-skip-") + "/orders_tbl"
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lakehouse_shim.write(
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        mode="overwrite",
+        stats_cols=["o_orderkey"],
+    )
+    cutoff = orders.agg(F.max("o_orderkey")).first()[0] // 4
+    kept, total = lakehouse_shim.files_scanned(path, [("o_orderkey", "<", cutoff)])
+    pruned = lakehouse_shim.read(
+        spark, path, predicates=[("o_orderkey", "<", cutoff)]
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    ).select(F.lit(bool(kept < total)).alias("files_pruned_ok"), "n", "total_price")
+
+
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-bucketed co-located join under the hash gate
     (sources.to_parquet_table bucketBy): orders and customer land as
@@ -5022,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cypher_agg": _q_cypher_agg,
         "quicksight_spice_roundtrip": _q_quicksight_spice,
         "bucketed_join_colocated": _q_bucketed_join,
+        "lakehouse_skipping_pruned_agg": _q_lakehouse_skipping,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6492,6 +6528,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "lakehouse_skipping_pruned_agg": """
+            SELECT TRUE AS files_pruned_ok, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_orderkey < (SELECT MAX(o_orderkey) // 4 FROM orders)
         """,
         "bucketed_join_colocated": """
             SELECT c_mktsegment, COUNT(*) AS n,

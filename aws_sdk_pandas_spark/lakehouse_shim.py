@@ -36,8 +36,9 @@ Design (the same shape as the real formats, scaled down to a shim):
 Honest limits vs the real formats (documented, deliberate): single
 writer (no optimistic-concurrency conflict check on the log), the read
 plan unions one parquet scan per surviving commit dir (bounded by commit
-count — run ``compact`` on long-lived tables), and statistics-based file
-skipping is partition-values-only.  Production deployments should put
+count — run ``compact`` on long-lived tables); file skipping uses
+partition values plus opt-in per-file min/max stats (``stats_cols`` /
+``predicates`` / ``compact(zorder_by=...)``).  Production deployments should put
 the real jars on the classpath; every entry point in ``lakehouse``
 prefers the native path when the probe finds one.
 """
@@ -169,6 +170,100 @@ def _write_commit(
     return commit_rel, entries
 
 
+def _collect_stats(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict[str, Any]],
+    stats_cols: list[str],
+) -> None:
+    """Attach per-file min/max for ``stats_cols`` to the manifest entries
+    (Delta-style data skipping stats) — one scan of ONLY the new commit's
+    files, numeric and string columns only (JSON-representable and
+    order-comparable)."""
+    if not entries or not stats_cols:
+        return
+    files = [os.path.join(root, e["path"]) for e in entries]
+    df = spark.read.parquet(*files)
+    usable = [
+        f.name
+        for f in df.schema.fields
+        if f.name in stats_cols
+        and (
+            isinstance(f.dataType, T.StringType)
+            or isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType),
+            )
+        )
+    ]
+    if not usable:
+        return
+    aggs = []
+    for c in usable:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs).collect()
+    )
+    def _plain(v):
+        if v is None or isinstance(v, (int, float, str)):
+            return v
+        return float(v)  # Decimal
+
+    by_norm = {_normalize_uri(r["__f"]): r for r in rows}
+    for e in entries:
+        r = by_norm.get(os.path.abspath(os.path.join(root, e["path"])))
+        if r is None:
+            # scanned but produced no group row -> the file holds 0 rows
+            # (Spark writes schema-only part files for empty partitions);
+            # provably prunable under any predicate
+            e["empty"] = True
+            continue
+        e["stats"] = {
+            c: [_plain(r[f"__mn_{c}"]), _plain(r[f"__mx_{c}"])] for c in usable
+        }
+
+
+_SKIP_OPS = {"<", "<=", ">", ">=", "="}
+
+
+def _entry_may_match(entry: dict[str, Any], predicates) -> bool:
+    """Conservative file skipping: False ONLY when the per-file min/max
+    stats PROVE no row can satisfy every predicate; missing stats keep
+    the file.  NULL bounds keep the file (min/max ignore NULLs, but a
+    file of all NULLs has None bounds and unknown content)."""
+    if entry.get("empty"):
+        return False
+    stats = entry.get("stats") or {}
+    for col, op, value in predicates:
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if mn is None or mx is None:
+            continue
+        if op == "<" and not (mn < value):
+            return False
+        if op == "<=" and not (mn <= value):
+            return False
+        if op == ">" and not (mx > value):
+            return False
+        if op == ">=" and not (mx >= value):
+            return False
+        if op == "=" and not (mn <= value <= mx):
+            return False
+    return True
+
+
+def files_scanned(path: str, predicates, *, version: int | None = None) -> tuple[int, int]:
+    """(files kept after stat pruning, total files) for a predicate list
+    — the data-skipping effectiveness probe tests assert on."""
+    v = latest_version(path) if version is None else version
+    man = _read_manifest(path, v)
+    kept = sum(1 for e in man["files"] if _entry_may_match(e, predicates))
+    return kept, len(man["files"])
+
+
 def _carry_txns(prev: dict[str, Any] | None, txn: tuple[str, int] | None) -> dict[str, int]:
     """Cumulative per-app transaction high-water marks, carried forward
     into EVERY commit (merge/delete/compact included) so the documented
@@ -216,6 +311,7 @@ def write(
     partition_cols: list[str] | None = None,
     schema_mode: str | None = None,
     txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> bool:
     """Versioned write.  Modes mirror the reference's ``to_deltalake``
     (s3/_write_deltalake.py:51): append / overwrite / error|errorifexists
@@ -223,6 +319,11 @@ def write(
     the Iceberg ``overwritePartitions`` analog).  ``schema_mode`` in
     (None, 'merge', 'overwrite') applies Delta's schema-enforcement
     contract: a column-set change is rejected unless merge/overwrite.
+
+    ``stats_cols`` records per-file min/max in the manifest (Delta-style
+    data skipping); once set it is REMEMBERED in the manifest and every
+    later commit (append/merge/delete/compact) keeps collecting stats
+    for those columns automatically.
 
     ``txn=(app_id, batch_id)`` makes the write IDEMPOTENT (Delta's txn
     action): if a commit with the same app and an equal-or-higher batch
@@ -254,6 +355,9 @@ def write(
             )
 
     _, entries = _write_commit(df, path, partition_cols)
+    effective_stats = stats_cols or ((prev or {}).get("stats_cols") or [])
+    if effective_stats:
+        _collect_stats(df.sparkSession, _local(path), entries, effective_stats)
 
     if mode == "overwrite" or prev is None:
         files = entries
@@ -283,6 +387,7 @@ def write(
         "schema": schema,
         "partition_cols": partition_cols or [],
         "files": files,
+        "stats_cols": effective_stats,
         "txns": _carry_txns(prev, txn),
     }
     if txn is not None:
@@ -308,6 +413,7 @@ def read(
     version: int | None = None,
     columns: list[str] | None = None,
     partition_filter: Callable[[dict[str, str | None]], bool] | None = None,
+    predicates: list[tuple[str, str, Any]] | None = None,
     with_file_path: bool = False,
 ) -> DataFrame:
     """Snapshot (or time-travel) read.  ``partition_filter`` prunes
@@ -315,7 +421,13 @@ def read(
     replaces a storage LIST + footer reads, exactly the benefit the real
     formats buy.  One parquet scan per surviving commit dir (partition
     columns recovered via basePath discovery), unioned by name so schema
-    evolution reads old files with nulls in new columns."""
+    evolution reads old files with nulls in new columns.
+
+    ``predicates`` is a list of ``(col, op, value)`` with op in
+    ``< <= > >= =``: files whose manifest min/max stats PROVE no match
+    are dropped from the plan (Delta data skipping), and the predicates
+    are also applied as a residual row filter, so results are exact even
+    for files without stats."""
     v = latest_version(path) if version is None else version
     if version is not None and version not in _versions(path):
         raise InvalidArgument(
@@ -326,6 +438,11 @@ def read(
     entries = man["files"]
     if partition_filter is not None:
         entries = [e for e in entries if partition_filter(e["partition_values"])]
+    if predicates:
+        for _c, op, _v2 in predicates:
+            if op not in _SKIP_OPS:
+                raise InvalidArgument(f"unsupported predicate op {op!r}")
+        entries = [e for e in entries if _entry_may_match(e, predicates)]
 
     schema = T.StructType.fromJson(json.loads(man["schema"]))
     full_schema = schema
@@ -358,6 +475,13 @@ def read(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
+    if predicates:
+        for c, op, val in predicates:
+            col = F.col(c)
+            df = df.where(
+                {"<": col < val, "<=": col <= val, ">": col > val,
+                 ">=": col >= val, "=": col == val}[op]
+            )
     return df.select(*columns) if columns else df
 
 
@@ -470,6 +594,8 @@ def merge(
         )
         target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
         _, entries = _write_commit(inserts.select(*target_cols), path, pcols)
+        if man.get("stats_cols"):
+            _collect_stats(spark, _local(path), entries, man["stats_cols"])
         _commit_manifest(
             path,
             {
@@ -478,6 +604,7 @@ def merge(
                 "schema": man["schema"],
                 "partition_cols": pcols,
                 "files": man["files"] + entries,
+                "stats_cols": man.get("stats_cols") or [],
                 "txns": _carry_txns(man, None),
             },
         )
@@ -508,6 +635,8 @@ def merge(
             .drop("__rn", "__src")
         )
     _, entries = _write_commit(merged, path, pcols)
+    if man.get("stats_cols"):
+        _collect_stats(spark, _local(path), entries, man["stats_cols"])
     _commit_manifest(
         path,
         {
@@ -516,6 +645,7 @@ def merge(
             "schema": man["schema"],
             "partition_cols": pcols,
             "files": untouched + entries,
+            "stats_cols": man.get("stats_cols") or [],
             "txns": _carry_txns(man, None),
         },
     )
@@ -542,6 +672,8 @@ def delete(
     entries: list[dict[str, Any]] = []
     if touched:
         _, entries = _write_commit(survivors, path, man["partition_cols"])
+        if man.get("stats_cols"):
+            _collect_stats(spark, _local(path), entries, man["stats_cols"])
     _commit_manifest(
         path,
         {
@@ -550,22 +682,68 @@ def delete(
             "schema": man["schema"],
             "partition_cols": man["partition_cols"],
             "files": untouched + entries,
+            "stats_cols": man.get("stats_cols") or [],
             "txns": _carry_txns(man, None),
         },
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
 
 
-def compact(spark: SparkSession, path: str, *, target_partitions: int | None = None) -> None:
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 10,
+) -> None:
     """OPTIMIZE analog: rewrite the current snapshot as one commit so the
     read plan collapses back to a single parquet scan.  Run periodically
     on long-lived tables — the shim's per-commit union is the one read
-    cost the real formats don't pay."""
+    cost the real formats don't pay.
+
+    ``zorder_by`` is the OPTIMIZE ZORDER BY analog: rows are clustered on
+    the interleaved-bit Morton key of the named (numeric) columns
+    (functions.zorder.zorder_key — min/max scaled to ``zorder_bits``
+    bits per dimension), so the per-file min/max stats become tight on
+    EVERY listed dimension at once and ``predicates`` skipping prunes on
+    any of them — a linear sort only ever skips on its leading column.
+    Z-ordered compaction automatically records stats for those columns."""
     man = _read_manifest(path, latest_version(path))
     df = read(spark, path)
-    if target_partitions:
+    stats_cols = list(man.get("stats_cols") or [])
+    if zorder_by:
+        from aws_sdk_pandas_spark.functions.zorder import zorder_key
+
+        bounds = df.agg(
+            *[F.min(c).alias(f"__mn_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"__mx_{c}") for c in zorder_by],
+        ).first()
+        scaled = []
+        top = (1 << zorder_bits) - 1
+        for c in zorder_by:
+            mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+            span = float(mx - mn) if mx is not None and mn is not None and mx > mn else 1.0
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    ((F.coalesce(F.col(c), F.lit(mn)) - F.lit(mn)) / F.lit(span) * top)
+                    .cast("long"),
+                )
+            )
+        n = target_partitions or max(2, df.rdd.getNumPartitions())
+        df = (
+            df.withColumn("__zkey", zorder_key(scaled, bits=zorder_bits))
+            .repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        stats_cols = sorted(set(stats_cols) | set(zorder_by))
+    elif target_partitions:
         df = df.repartition(target_partitions)
     _, entries = _write_commit(df, path, man["partition_cols"])
+    if stats_cols:
+        _collect_stats(spark, _local(path), entries, stats_cols)
     _commit_manifest(
         path,
         {
@@ -574,6 +752,7 @@ def compact(spark: SparkSession, path: str, *, target_partitions: int | None = N
             "schema": man["schema"],
             "partition_cols": man["partition_cols"],
             "files": entries,
+            "stats_cols": stats_cols,
             "txns": _carry_txns(man, None),
         },
     )

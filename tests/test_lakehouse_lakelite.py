@@ -316,3 +316,60 @@ def test_merge_fresh_table_applies_precombine(spark, tmp_path):
     lakehouse.to_iceberg(src, table, merge_cols=["k"], precombine_key="ver")
     got2 = {r.k: r.name for r in lakehouse.read_iceberg(spark, table).collect()}
     assert got2 == {1: "new", 2: "b"}
+
+
+def test_stats_and_data_skipping(spark, tmp_path):
+    """Per-file min/max stats (Delta data-skipping analog): recorded at
+    write, inherited by later commits, used to PRUNE files under
+    predicates, with an exact residual filter."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 800).selectExpr("id AS k", "CAST(id AS STRING) AS name", "1 AS ver")
+    shim.write(df.repartitionByRange(8, "k"), p, mode="overwrite", stats_cols=["k"])
+    man = shim._read_manifest(p, 0)
+    assert man["stats_cols"] == ["k"]
+    assert all("stats" in e and "k" in e["stats"] for e in man["files"])
+
+    kept, total = shim.files_scanned(p, [("k", "<", 100)])
+    assert total == 8 and kept <= 2  # range clustering -> ~1 file holds k<100
+    got = shim.read(spark, p, predicates=[("k", "<", 100)])
+    assert got.count() == 100 and got.agg({"k": "max"}).first()[0] == 99
+
+    # append WITHOUT passing stats_cols: remembered from the manifest
+    shim.write(_df(spark, [(900, "x", 1)]), p, mode="append")
+    man1 = shim._read_manifest(p, 1)
+    new_entries = [e for e in man1["files"] if e not in man["files"]]
+    # every new file carries stats, or is a provably-empty part file
+    assert all("stats" in e or e.get("empty") for e in new_entries)
+    assert any("stats" in e for e in new_entries)
+    assert shim.read(spark, p, predicates=[("k", ">=", 900)]).count() == 1
+    # equality predicate
+    kept_eq, _ = shim.files_scanned(p, [("k", "=", 450)])
+    assert kept_eq <= 2
+
+
+def test_zorder_compact_prunes_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY analog: after a linear (x-clustered) layout a
+    y-only predicate prunes nothing; after z-order compaction on (x, y)
+    the same predicate skips most files — the multi-dimension clustering
+    property that motivates z-ordering at 100 TB."""
+    p = str(tmp_path / "t")
+    grid = spark.range(0, 64 * 64).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y", "id AS v"
+    )
+    shim.write(
+        grid.repartitionByRange(16, "x"), p, mode="overwrite", stats_cols=["x", "y"]
+    )
+    kept_linear, total_linear = shim.files_scanned(p, [("y", "<", 8)])
+    assert total_linear == 16 and kept_linear == 16  # x-clustered: y spans every file
+
+    shim.compact(spark, p, target_partitions=16, zorder_by=["x", "y"])
+    kept_z, total_z = shim.files_scanned(p, [("y", "<", 8)])
+    assert total_z >= 8
+    assert kept_z <= total_z // 2  # most files provably excluded
+    # and the x dimension still prunes too
+    kept_zx, _ = shim.files_scanned(p, [("x", "<", 8)])
+    assert kept_zx <= total_z // 2
+    # values exact through the pruned read
+    got = shim.read(spark, p, predicates=[("y", "<", 8)])
+    assert got.count() == 64 * 8
+    assert got.agg({"y": "max"}).first()[0] == 7
