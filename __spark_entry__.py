@@ -4815,6 +4815,51 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed under the hash gate (lakehouse_shim.table_changes,
+    the Delta CDF analog): orders v0 -> MERGE of derived updates+inserts,
+    then the keyed snapshot diff grouped by change type — the oracle
+    recomputes each class (insert / update pre/post image) from the same
+    derivation, so a missed update, phantom insert, or wrong image
+    hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse, lakehouse_shim
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-cdf-") + "/orders_tbl"
+    base = spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    lakehouse.to_deltalake(base.repartition(8, "o_orderkey"), path, mode="overwrite")
+    updates = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+        """
+    )
+    inserts = spark.sql(
+        """
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 1000 = 0
+        """
+    )
+    lakehouse_shim.merge(spark, updates.unionByName(inserts), path, ["o_orderkey"])
+    changes = lakehouse_shim.table_changes(spark, path, ["o_orderkey"], from_version=0)
+    return (
+        changes.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
 def _q_lakehouse_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data skipping under the hash gate (lakehouse_shim stats_cols +
     predicates — the Delta min/max skipping analog): orders lands
@@ -5058,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quicksight_spice_roundtrip": _q_quicksight_spice,
         "bucketed_join_colocated": _q_bucketed_join,
         "lakehouse_skipping_pruned_agg": _q_lakehouse_skipping,
+        "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -6528,6 +6574,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "lakehouse_cdf_changes": """
+            SELECT 'insert' AS _change_type, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders WHERE o_orderkey % 1000 = 0
+            UNION ALL
+            SELECT 'update_postimage', COUNT(*),
+                   CAST(ROUND(SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,6))), 2) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'update_preimage', COUNT(*),
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 10 = 0
+            ORDER BY _change_type
         """,
         "lakehouse_skipping_pruned_agg": """
             SELECT TRUE AS files_pruned_ok, COUNT(*) AS n,

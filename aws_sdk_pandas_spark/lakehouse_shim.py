@@ -783,3 +783,69 @@ def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
         if v not in kept:
             os.remove(os.path.join(_log_dir(path), f"v{v:08d}.json"))
     return removed
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (the Delta
+    ``table_changes`` / CDF analog, keyed because lakelite files carry no
+    row ids): full-outer join of the two versions on ``keys`` emitting
+    ``_change_type`` in Delta's vocabulary — ``insert``, ``delete``,
+    and update PAIRS (``update_preimage`` + ``update_postimage``) when
+    any non-key column differs.  Unchanged rows are dropped.
+
+    Scale shape: ONE full-outer join keyed on ``keys`` between the two
+    snapshot scans; the change volume, not the table volume, is the
+    output.  Deletes carry the pre-image values; inserts and postimages
+    carry the new values.  NULL-safe key matching throughout (a NULL key
+    is one identity, as in MERGE with ``<=>``)."""
+    v_to = latest_version(path) if to_version is None else to_version
+    old = read(spark, path, version=from_version)
+    new = read(spark, path, version=v_to)
+    cols = new.columns
+    non_keys = [c for c in cols if c not in keys]
+
+    # presence markers rather than guessing from key-column nullness —
+    # a row with NULL keys is still a present row
+    o_mark = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(1).alias("__in_old")
+    )
+    n_mark = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(1).alias("__in_new")
+    )
+    cond2 = None
+    for k in keys:
+        c = o_mark[f"__o_{k}"].eqNullSafe(n_mark[f"__n_{k}"])
+        cond2 = c if cond2 is None else (cond2 & c)
+    j = o_mark.join(n_mark, cond2, "full_outer")
+
+    changed = F.lit(False)
+    for c in non_keys:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+
+    inserts = j.where(F.col("__in_old").isNull()).select(
+        *[F.col(f"__n_{c}").alias(c) for c in cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    deletes = j.where(F.col("__in_new").isNull()).select(
+        *[F.col(f"__o_{c}").alias(c) for c in cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    upd = j.where(
+        F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull() & changed
+    )
+    pre = upd.select(
+        *[F.col(f"__o_{c}").alias(c) for c in cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = upd.select(
+        *[F.col(f"__n_{c}").alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)

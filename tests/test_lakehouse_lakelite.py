@@ -373,3 +373,35 @@ def test_zorder_compact_prunes_every_dimension(spark, tmp_path):
     got = shim.read(spark, p, predicates=[("y", "<", 8)])
     assert got.count() == 64 * 8
     assert got.agg({"y": "max"}).first()[0] == 7
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """Change data feed between snapshots (Delta table_changes analog):
+    inserts, deletes, and update pre/post image pairs; unchanged rows
+    absent; NULL keys are one identity."""
+    p = str(tmp_path / "t")
+    lakehouse.to_deltalake(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1), (None, "nk", 1)],
+            "k int, name string, ver int",
+        ),
+        p, mode="overwrite",
+    )
+    shim.merge(spark, _df(spark, [(2, "B2", 2), (4, "d", 1)]), p, ["k"])
+    shim.delete(spark, spark.createDataFrame([(3,)], "k int"), p, ["k"])
+
+    ch = shim.table_changes(spark, p, ["k"], from_version=0)
+    got = {(r.k, r.name, r._change_type) for r in ch.collect()}
+    assert got == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "B2", "update_postimage"),
+    }
+    # unchanged rows (1 and the NULL-key row) emit nothing
+    assert all(t[0] not in (1, None) for t in got)
+    # version-bounded diff: only the delete between v1 and v2
+    ch2 = shim.table_changes(spark, p, ["k"], from_version=1, to_version=2)
+    assert {(r.k, r._change_type) for r in ch2.collect()} == {(3, "delete")}
+    # identity diff is empty
+    assert shim.table_changes(spark, p, ["k"], from_version=2, to_version=2).count() == 0
