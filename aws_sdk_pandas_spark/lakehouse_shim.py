@@ -33,8 +33,11 @@ Design (the same shape as the real formats, scaled down to a shim):
   one commit (the OPTIMIZE analog) and ``vacuum`` deletes data dirs no
   kept manifest references.
 
-Honest limits vs the real formats (documented, deliberate): single
-writer (no optimistic-concurrency conflict check on the log), the read
+Honest limits vs the real formats (documented, deliberate): APPENDS get
+optimistic-concurrency retry (version collision -> rebase on the new
+snapshot, Delta-style; exactly-once txn stamps re-checked after a lost
+race), but overwrite/merge/delete conflicts raise rather than rebase;
+the read
 plan unions one parquet scan per surviving commit dir (bounded by commit
 count — run ``compact`` on long-lived tables); file skipping uses
 partition values plus opt-in per-file min/max stats (``stats_cols`` /
@@ -359,41 +362,66 @@ def write(
     if effective_stats:
         _collect_stats(df.sparkSession, _local(path), entries, effective_stats)
 
-    if mode == "overwrite" or prev is None:
-        files = entries
-        schema = df.schema.json()
-    elif mode == "append":
-        files = prev["files"] + entries
-        schema = _merged_schema(prev["schema"], df) if schema_mode == "merge" else prev["schema"]
-    elif mode == "overwrite_partitions":
-        if not partition_cols:
-            raise InvalidArgument("overwrite_partitions requires a partitioned table")
-        incoming = {
-            tuple(e["partition_values"].get(c) for c in partition_cols) for e in entries
-        }
-        kept = [
-            e
-            for e in prev["files"]
-            if tuple(e["partition_values"].get(c) for c in partition_cols) not in incoming
-        ]
-        files = kept + entries
-        schema = prev["schema"]
-    else:
-        raise InvalidArgument(f"unsupported lakelite mode {mode!r}")
+    # commit with optimistic-concurrency retry: the data files above are
+    # immutable and already durable, so a manifest-version collision just
+    # means another writer landed first — an APPEND commutes with any
+    # winner (its files union in on top of the NEW snapshot, exactly
+    # Delta's append rebase), so re-read the log and retry; every other
+    # mode is a genuine conflict and raises
+    for _attempt in range(6):
+        if mode == "overwrite" or prev is None:
+            files = entries
+            schema = df.schema.json()
+        elif mode == "append":
+            files = prev["files"] + entries
+            schema = (
+                _merged_schema(prev["schema"], df)
+                if schema_mode == "merge"
+                else prev["schema"]
+            )
+        elif mode == "overwrite_partitions":
+            if not partition_cols:
+                raise InvalidArgument("overwrite_partitions requires a partitioned table")
+            incoming = {
+                tuple(e["partition_values"].get(c) for c in partition_cols)
+                for e in entries
+            }
+            kept = [
+                e
+                for e in prev["files"]
+                if tuple(e["partition_values"].get(c) for c in partition_cols)
+                not in incoming
+            ]
+            files = kept + entries
+            schema = prev["schema"]
+        else:
+            raise InvalidArgument(f"unsupported lakelite mode {mode!r}")
 
-    manifest = {
-        "version": (prev["version"] + 1) if prev is not None else 0,
-        "mode": mode,
-        "schema": schema,
-        "partition_cols": partition_cols or [],
-        "files": files,
-        "stats_cols": effective_stats,
-        "txns": _carry_txns(prev, txn),
-    }
-    if txn is not None:
-        manifest["txn"] = [str(txn[0]), int(txn[1])]
-    _commit_manifest(path, manifest)
-    return True
+        manifest = {
+            "version": (prev["version"] + 1) if prev is not None else 0,
+            "mode": mode,
+            "schema": schema,
+            "partition_cols": partition_cols or [],
+            "files": files,
+            "stats_cols": effective_stats,
+            "txns": _carry_txns(prev, txn),
+        }
+        if txn is not None:
+            manifest["txn"] = [str(txn[0]), int(txn[1])]
+        try:
+            _commit_manifest(path, manifest)
+            return True
+        except InvalidArgument as exc:
+            if "concurrent write detected" not in str(exc) or mode != "append":
+                raise
+            prev = _read_manifest(path, latest_version(path))
+            if txn is not None and int(
+                _carry_txns(prev, None).get(str(txn[0]), -1)
+            ) >= int(txn[1]):
+                return False  # the winner already committed this batch
+    raise InvalidArgument(
+        f"append to {path!r} lost {6} consecutive commit races; giving up"
+    )
 
 
 def _merged_schema(prev_schema_json: str, df: DataFrame) -> str:

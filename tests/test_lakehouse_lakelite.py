@@ -405,3 +405,44 @@ def test_table_changes_cdf(spark, tmp_path):
     assert {(r.k, r._change_type) for r in ch2.collect()} == {(3, "delete")}
     # identity diff is empty
     assert shim.table_changes(spark, p, ["k"], from_version=2, to_version=2).count() == 0
+
+
+def test_concurrent_append_retry_rebase(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency for appends: a manifest-version collision
+    (another writer landed first) rebases the append onto the NEW
+    snapshot and retries — both writers' rows survive.  Simulated
+    deterministically: the first commit attempt is preempted by an
+    interloper manifest landing at the same version."""
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", 1)]), p, mode="overwrite")
+
+    real_commit = shim._commit_manifest
+    fired = {"done": False}
+
+    def preempting_commit(path, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # the interloper wins version 1 first
+            interloper = _df(spark, [(50, "interloper", 1)])
+            _, entries = shim._write_commit(interloper, path, None)
+            base = shim._read_manifest(path, 0)
+            real_commit(path, {
+                "version": 1, "mode": "append", "schema": base["schema"],
+                "partition_cols": [], "files": base["files"] + entries,
+                "stats_cols": [], "txns": {},
+            })
+        real_commit(path, manifest)
+
+    monkeypatch.setattr(shim, "_commit_manifest", preempting_commit)
+    assert shim.write(_df(spark, [(2, "b", 1)]), p, mode="append") is True
+    monkeypatch.setattr(shim, "_commit_manifest", real_commit)
+
+    got = {r.k for r in lakehouse.read_deltalake(spark, p).collect()}
+    assert got == {1, 2, 50}  # nobody's rows lost
+    assert shim.latest_version(p) == 2
+
+    # non-append modes surface the conflict instead of rebasing
+    fired["done"] = False
+    monkeypatch.setattr(shim, "_commit_manifest", preempting_commit)
+    with pytest.raises(InvalidArgument, match="concurrent write detected"):
+        shim.write(_df(spark, [(9, "z", 1)]), p, mode="overwrite")
