@@ -66,7 +66,7 @@ def _substitute_named(sql: str, params: dict[str, Any] | None) -> str:
 
 _PASSTHROUGH_NODES = {
     "Project", "Sort", "GlobalLimit", "LocalLimit", "Filter", "Distinct",
-    "WithCTE", "SubqueryAlias", "Offset",
+    "SubqueryAlias", "Offset",
 }
 
 
@@ -80,6 +80,11 @@ def _root_aggregate(df: DataFrame):
         name = plan.getClass().getSimpleName()
         if name == "Aggregate":
             return plan
+        if name == "WithCTE":
+            # WithCTE children = cteDefs :+ mainPlan — descend into the
+            # MAIN plan (last child), not a CTE definition
+            plan = plan.children().apply(plan.children().size() - 1)
+            continue
         if name in _PASSTHROUGH_NODES and plan.children().size() == 1:
             plan = plan.children().apply(0)
             continue
@@ -88,15 +93,23 @@ def _root_aggregate(df: DataFrame):
 
 
 def _is_real_count_column(agg_plan, count_col: str) -> bool:
-    """True when ``count_col`` is produced by an actual COUNT aggregate
-    in the root Aggregate — a constant aliased 'n' must not satisfy the
-    k-threshold."""
+    """True only when ``count_col`` is EXACTLY a COUNT aggregate (the
+    expression tree is Alias(AggregateExpression(Count)) / a bare Count)
+    in the root Aggregate.  A class-name check, not a substring match —
+    ``999 + 0*COUNT(*)`` contains a count but is NOT a count, and must
+    not satisfy the k-threshold."""
     try:
         exprs = agg_plan.aggregateExpressions()
         for i in range(exprs.size()):
             e = exprs.apply(i)
-            if e.name() == count_col:
-                return "count(" in e.toString().lower()
+            if e.name() != count_col:
+                continue
+            node = e
+            if node.getClass().getSimpleName() == "Alias":
+                node = node.child()
+            if node.getClass().getSimpleName() != "AggregateExpression":
+                return False
+            return node.aggregateFunction().getClass().getSimpleName() == "Count"
     except Exception:
         return False
     return False

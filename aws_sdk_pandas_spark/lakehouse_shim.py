@@ -120,13 +120,19 @@ def _commit_manifest(path: str, manifest: dict[str, Any]) -> None:
     version = manifest["version"]
     tmp = os.path.join(d, f".v{version:08d}.{uuid.uuid4().hex[:8]}.tmp")
     final = os.path.join(d, f"v{version:08d}.json")
-    if os.path.exists(final):
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        # hardlink is atomic create-exclusive: two racing writers cannot
+        # both win the version — os.rename would silently clobber the
+        # first winner's manifest (exists() + rename is a TOCTOU hole)
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
         raise InvalidArgument(
             f"concurrent write detected: version {version} already committed at {path!r}"
         )
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, final)
+    os.unlink(tmp)
 
 
 def _parse_partition_values(rel_file: str, commit_rel: str) -> dict[str, str | None]:
@@ -209,10 +215,22 @@ def _collect_stats(
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs).collect()
     )
-    def _plain(v):
-        if v is None or isinstance(v, (int, float, str)):
+    import math as _math
+
+    def _plain(v, widen: int = 0):
+        """JSON-safe bound.  NaN -> None (every NaN comparison is False,
+        so a NaN bound would 'prove' non-match and wrongly prune real
+        rows — None means unknown and keeps the file).  Decimals widen
+        one relative ulp outward: float64 is lossy for them and an
+        inward rounding could prune a file holding matching rows."""
+        if v is None or isinstance(v, (int, str)):
             return v
-        return float(v)  # Decimal
+        if isinstance(v, float):
+            return None if _math.isnan(v) else v
+        f = float(v)  # Decimal
+        if widen:
+            f = f + widen * (abs(f) * 1e-12 + 1e-300)
+        return f
 
     by_norm = {_normalize_uri(r["__f"]): r for r in rows}
     for e in entries:
@@ -224,7 +242,8 @@ def _collect_stats(
             e["empty"] = True
             continue
         e["stats"] = {
-            c: [_plain(r[f"__mn_{c}"]), _plain(r[f"__mx_{c}"])] for c in usable
+            c: [_plain(r[f"__mn_{c}"], widen=-1), _plain(r[f"__mx_{c}"], widen=1)]
+            for c in usable
         }
 
 
@@ -267,15 +286,38 @@ def files_scanned(path: str, predicates, *, version: int | None = None) -> tuple
     return kept, len(man["files"])
 
 
-def _carry_txns(prev: dict[str, Any] | None, txn: tuple[str, int] | None) -> dict[str, int]:
+def _carry_txns(
+    prev: dict[str, Any] | None,
+    txn: tuple[str, int] | None,
+    *,
+    path: str | None = None,
+) -> dict[str, int]:
     """Cumulative per-app transaction high-water marks, carried forward
     into EVERY commit (merge/delete/compact included) so the documented
     maintenance ops — compact + vacuum of old manifests — can never
-    erase the idempotence state a replayed streaming batch depends on."""
-    txns: dict[str, int] = dict((prev or {}).get("txns", {}))
-    if prev is not None and prev.get("txn"):
-        legacy_app, legacy_batch = prev["txn"][0], int(prev["txn"][1])
-        txns[legacy_app] = max(txns.get(legacy_app, -1), legacy_batch)
+    erase the idempotence state a replayed streaming batch depends on.
+
+    Migration: a pre-cumulative-map table stored one ``txn`` stamp PER
+    MANIFEST; the first commit that builds the map must fold in the
+    stamps of EVERY older manifest (pass ``path``), not just the
+    previous one, or older apps' high-water marks silently reset."""
+    if prev is not None and "txns" in prev:
+        txns: dict[str, int] = dict(prev["txns"])
+        if prev.get("txn"):
+            app0, b0 = str(prev["txn"][0]), int(prev["txn"][1])
+            txns[app0] = max(txns.get(app0, -1), b0)
+    elif prev is not None and path is not None:
+        txns = {}
+        for v in _versions(path):
+            legacy = _read_manifest(path, v).get("txn")
+            if legacy:
+                app0, b0 = str(legacy[0]), int(legacy[1])
+                txns[app0] = max(txns.get(app0, -1), b0)
+    elif prev is not None and prev.get("txn"):
+        app0, b0 = str(prev["txn"][0]), int(prev["txn"][1])
+        txns = {app0: b0}
+    else:
+        txns = {}
     if txn is not None:
         app, batch = str(txn[0]), int(txn[1])
         txns[app] = max(txns.get(app, -1), batch)
@@ -404,7 +446,7 @@ def write(
             "partition_cols": partition_cols or [],
             "files": files,
             "stats_cols": effective_stats,
-            "txns": _carry_txns(prev, txn),
+            "txns": _carry_txns(prev, txn, path=path),
         }
         if txn is not None:
             manifest["txn"] = [str(txn[0]), int(txn[1])]
@@ -416,9 +458,25 @@ def write(
                 raise
             prev = _read_manifest(path, latest_version(path))
             if txn is not None and int(
-                _carry_txns(prev, None).get(str(txn[0]), -1)
+                _carry_txns(prev, None, path=path).get(str(txn[0]), -1)
             ) >= int(txn[1]):
                 return False  # the winner already committed this batch
+            # re-validate against the WINNER's snapshot before rebasing:
+            # schema compatibility and remembered stats_cols may both
+            # have changed under us
+            if schema_mode != "overwrite":
+                old_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+                if old_cols != set(df.columns) and schema_mode != "merge":
+                    raise InvalidArgument(
+                        "append lost a commit race and the winner changed the "
+                        f"schema (now {sorted(old_cols)} vs incoming "
+                        f"{sorted(df.columns)}); pass schema_mode='merge'"
+                    )
+            rebased_stats = stats_cols or (prev.get("stats_cols") or [])
+            missing = [c for c in rebased_stats if c not in effective_stats]
+            if missing:
+                _collect_stats(df.sparkSession, _local(path), entries, rebased_stats)
+            effective_stats = rebased_stats
     raise InvalidArgument(
         f"append to {path!r} lost {6} consecutive commit races; giving up"
     )
@@ -633,7 +691,7 @@ def merge(
                 "partition_cols": pcols,
                 "files": man["files"] + entries,
                 "stats_cols": man.get("stats_cols") or [],
-                "txns": _carry_txns(man, None),
+                "txns": _carry_txns(man, None, path=path),
             },
         )
         return {"files_rewritten": 0, "files_kept": len(man["files"])}
@@ -674,7 +732,7 @@ def merge(
             "partition_cols": pcols,
             "files": untouched + entries,
             "stats_cols": man.get("stats_cols") or [],
-            "txns": _carry_txns(man, None),
+            "txns": _carry_txns(man, None, path=path),
         },
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
@@ -711,7 +769,7 @@ def delete(
             "partition_cols": man["partition_cols"],
             "files": untouched + entries,
             "stats_cols": man.get("stats_cols") or [],
-            "txns": _carry_txns(man, None),
+            "txns": _carry_txns(man, None, path=path),
         },
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
@@ -781,7 +839,7 @@ def compact(
             "partition_cols": man["partition_cols"],
             "files": entries,
             "stats_cols": stats_cols,
-            "txns": _carry_txns(man, None),
+            "txns": _carry_txns(man, None, path=path),
         },
     )
 
@@ -836,17 +894,33 @@ def table_changes(
     v_to = latest_version(path) if to_version is None else to_version
     old = read(spark, path, version=from_version)
     new = read(spark, path, version=v_to)
-    cols = new.columns
+    # schema evolution: a column present in only one snapshot reads as a
+    # typed NULL on the other side (its addition/removal then surfaces
+    # as update pairs, which is the honest CDF of an evolved column)
+    types = dict(new.dtypes)
+    types.update({c: t for c, t in old.dtypes if c not in types})
+    cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+    for k in keys:
+        if k not in old.columns or k not in new.columns:
+            raise InvalidArgument(f"key column {k!r} must exist in both snapshots")
     non_keys = [c for c in cols if c not in keys]
+
+    def _side(df: DataFrame, prefix: str, marker: str) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(
+                    f"{prefix}{c}"
+                )
+                for c in cols
+            ],
+            F.lit(1).alias(marker),
+        )
 
     # presence markers rather than guessing from key-column nullness —
     # a row with NULL keys is still a present row
-    o_mark = old.select(
-        *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(1).alias("__in_old")
-    )
-    n_mark = new.select(
-        *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(1).alias("__in_new")
-    )
+    o_mark = _side(old, "__o_", "__in_old")
+    n_mark = _side(new, "__n_", "__in_new")
     cond2 = None
     for k in keys:
         c = o_mark[f"__o_{k}"].eqNullSafe(n_mark[f"__n_{k}"])

@@ -227,6 +227,19 @@ def _merge_fallback_rewrite(
       crash never loses committed data — worst case the staging table
       survives for manual recovery (its name says what it is).
     """
+    # cheap driver-side refusals FIRST (catalog metadata, no data pass)
+    layout = _table_layout(spark, target_table)
+    if layout["type"] != "MANAGED":
+        # a drop+rename swap would re-home an EXTERNAL table into the
+        # warehouse and leave the original path holding stale pre-merge
+        # files forever — refuse rather than silently diverge
+        raise InvalidArgument(
+            f"merge fallback cannot rewrite {layout['type']} table "
+            f"{target_table!r}: the swap would move it into the warehouse and "
+            "orphan its external location. Use Delta/Iceberg for row-level "
+            "ops on external tables, or lakelite path-based tables."
+        )
+
     target = spark.table(target_table)
     src = spark.table(source_name).select(*target.columns)
     cols = target.columns
@@ -236,20 +249,26 @@ def _merge_fallback_rewrite(
         # caller), REQUIRED for table-name sources
         src = _precombine_latest(src, merge_cols, precombine_key)
     else:
-        # native MERGE raises when multiple source rows match one target
-        # row; silently multiplying matched rows is worse — mirror it
-        dup = (
-            src.groupBy(*merge_cols)
-            .count()
-            .where(F.col("count") > 1)
+        # native MERGE raises only when multiple source rows match the
+        # same TARGET row — insert-only duplicate keys (and NULL-key
+        # duplicates under non-null-safe matching) are legal and must
+        # stay legal here
+        dup_keys = (
+            src.groupBy(*merge_cols).count().where(F.col("count") > 1).drop("count")
+        )
+        dup_matching = (
+            dup_keys.join(
+                target, _key_cond(dup_keys, target, merge_cols, merge_match_nulls),
+                "leftsemi",
+            )
             .limit(1)
             .count()
         )
-        if dup:
+        if dup_matching:
             raise InvalidArgument(
-                "merge source has duplicate key rows; native MERGE INTO "
-                "rejects this (multiple source rows match one target row) — "
-                "deduplicate the source or pass precombine_key"
+                "multiple merge source rows match the same target row; native "
+                "MERGE INTO rejects this — deduplicate the source or pass "
+                "precombine_key"
             )
 
     t = target.alias("__t")
@@ -278,17 +297,6 @@ def _merge_fallback_rewrite(
         )
         merged = untouched.unionByName(updated).unionByName(inserts)
 
-    layout = _table_layout(spark, target_table)
-    if layout["type"] != "MANAGED":
-        # a drop+rename swap would re-home an EXTERNAL table into the
-        # warehouse and leave the original path holding stale pre-merge
-        # files forever — refuse rather than silently diverge
-        raise InvalidArgument(
-            f"merge fallback cannot rewrite {layout['type']} table "
-            f"{target_table!r}: the swap would move it into the warehouse and "
-            "orphan its external location. Use Delta/Iceberg for row-level "
-            "ops on external tables, or lakelite path-based tables."
-        )
     staging = f"{target_table}__asps_merge_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     writer = merged.write.format(layout["provider"]).mode("overwrite")

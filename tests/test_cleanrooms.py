@@ -209,3 +209,24 @@ def test_aggregation_rule_not_bypassable(spark, people):
         analysis_rule=rule,
     )
     assert {r.country for r in got.collect()} == {"US", "DE"}
+
+
+def test_count_column_class_check_and_cte(spark, people):
+    """Round-2 review: '999 + 0*COUNT(*)' contains a count but is not a
+    count — class-name check, not substring; and a CTE query whose root
+    genuinely aggregates must be ACCEPTED (WithCTE descends into the
+    main plan, not a CTE definition)."""
+    rule = {"type": "AGGREGATION", "k_threshold": 2, "count_column": "n"}
+    with pytest.raises(InvalidArgument, match="genuine COUNT aggregate"):
+        cleanrooms.read_sql_query(
+            spark,
+            "SELECT name, 999 + 0*COUNT(*) AS n FROM cr_people GROUP BY name",
+            analysis_rule=rule,
+        )
+    got = cleanrooms.read_sql_query(
+        spark,
+        "WITH x AS (SELECT country FROM cr_people) "
+        "SELECT country, COUNT(*) AS n FROM x GROUP BY country",
+        analysis_rule=rule,
+    )
+    assert {r.country for r in got.collect()} == {"US", "DE"}

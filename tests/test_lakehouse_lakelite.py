@@ -446,3 +446,90 @@ def test_concurrent_append_retry_rebase(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(shim, "_commit_manifest", preempting_commit)
     with pytest.raises(InvalidArgument, match="concurrent write detected"):
         shim.write(_df(spark, [(9, "z", 1)]), p, mode="overwrite")
+
+
+def test_legacy_txn_stamps_survive_migration(spark, tmp_path):
+    """Round-2 review: a pre-cumulative-map table stored one txn stamp
+    per manifest; the first new commit must fold in stamps from ALL
+    older manifests, not just the previous one."""
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", 1)]), p, mode="append", txn=("app", 5))
+    shim.write(_df(spark, [(2, "b", 1)]), p, mode="append")  # no txn
+    # simulate the legacy on-disk format: strip the cumulative maps
+    for v in shim._versions(p):
+        m = shim._read_manifest(p, v)
+        m.pop("txns", None)
+        with open(os.path.join(shim._log_dir(p), f"v{v:08d}.json"), "w") as fh:
+            json.dump(m, fh)
+    assert shim.txn_version(p, "app") == 5  # legacy scan path
+    shim.write(_df(spark, [(3, "c", 1)]), p, mode="append")  # first new commit
+    assert shim.txn_version(p, "app") == 5  # migrated, not reset to -1
+    assert shim.write(_df(spark, [(9, "z", 1)]), p, mode="append", txn=("app", 4)) is False
+
+
+def test_nan_stats_never_prune_real_rows(spark, tmp_path):
+    """Round-2 review: max() over a column containing NaN returns NaN and
+    every NaN comparison is False — a NaN bound must read as UNKNOWN
+    (file kept), not as proof of non-match."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan"))], "k int, x double"
+    )
+    shim.write(df, p, mode="overwrite", stats_cols=["x"])
+    kept, _total = shim.files_scanned(p, [("x", ">", 3.0)])
+    n_data_files = sum(
+        1 for e in shim._read_manifest(p, 0)["files"] if not e.get("empty")
+    )
+    assert kept == n_data_files  # only empty part files pruned, never NaN files
+    got = shim.read(spark, p, predicates=[("x", ">", 3.0)])
+    # Spark orders NaN greater than every value, so BOTH rows pass the
+    # residual filter — the point pinned here is that the 5.0 row was
+    # not lost to a NaN-poisoned bound
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """Round-2 review: CDF between snapshots with different column sets
+    must read the missing column as typed NULL, not crash."""
+    p = str(tmp_path / "t")
+    lakehouse.to_deltalake(
+        spark.createDataFrame([(1, "a")], "k int, name string"), p, mode="overwrite"
+    )
+    lakehouse.to_deltalake(
+        spark.createDataFrame([(2, "b", 7)], "k int, name string, ver int"),
+        p, mode="append", schema_mode="merge",
+    )
+    ch = shim.table_changes(spark, p, ["k"], from_version=0)
+    got = {(r.k, r.name, r.ver, r._change_type) for r in ch.collect()}
+    # row 1 unchanged (ver NULL both sides); row 2 inserted with ver=7
+    assert got == {(2, "b", 7, "insert")}
+
+
+def test_merge_fallback_insert_only_duplicates_allowed(spark):
+    """Round-2 review: native MERGE only rejects duplicates that match
+    the same TARGET row; insert-only duplicate keys are legal."""
+    from aws_sdk_pandas_spark.operators.merge import merge_upsert
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument as IA
+
+    spark.sql("DROP TABLE IF EXISTS asps_merge_dup")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("asps_merge_dup")
+    try:
+        # k=7 absent from target: both duplicate rows insert, as natively
+        merge_upsert(
+            spark,
+            spark.createDataFrame([(7, "x"), (7, "y")], "k int, v string"),
+            "asps_merge_dup", ["k"],
+        )
+        rows = sorted((r.k, r.v) for r in spark.table("asps_merge_dup").collect())
+        assert rows == [(1, "a"), (7, "x"), (7, "y")]
+        # duplicates that DO match a target row still raise
+        with pytest.raises(IA, match="multiple merge source rows"):
+            merge_upsert(
+                spark,
+                spark.createDataFrame([(1, "p"), (1, "q")], "k int, v string"),
+                "asps_merge_dup", ["k"],
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS asps_merge_dup")
