@@ -3066,6 +3066,42 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_holt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt smoothing under a REAL hash oracle: the first 90 days of
+    each series keep the full recursion inside holt_smoothing's
+    lookback window (512), so the DuckDB RECURSIVE CTE replays the
+    exact level/trend recursion (same seed level_1=x_1, trend_1=0,
+    same double arithmetic) — the companion to the rows-only
+    events_holt_forecast entry, which exercises the truncated-lookback
+    path no finite SQL recursion can express."""
+    from aws_sdk_pandas_spark.operators.timeseries import holt_smoothing
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w0 = Window.partitionBy("event_type")
+    bounded = (
+        daily.withColumn("__d0", F.min("day").over(w0))
+        .where(F.col("day") < F.date_add(F.col("__d0"), 90))
+        .drop("__d0")
+    )
+    return (
+        holt_smoothing(
+            bounded, ts_col="day", value_col="n", by=["event_type"],
+            alpha=0.4, beta=0.2, horizon=7,
+        )
+        .select(
+            "event_type", "day",
+            F.round("holt_level", 6).alias("level"),
+            F.round("holt_trend", 6).alias("trend"),
+            F.round("holt_forecast", 6).alias("forecast_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (connectors/neptune.label_propagation):
     synchronous LPA with deterministic min-label tie-breaks over the
@@ -4725,6 +4761,85 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMR step execution under the hash gate (emr.py submit_spark_step,
+    reference: emr.py:1093): a spark-submit step script — built by
+    build_spark_step with the reference's exact HadoopJarStep argv — runs
+    on the local cluster, aggregates orders by priority, and lands
+    parquet the gate reads back; the oracle recomputes the aggregation.
+    An argv-parsing, step-state, or in-process-runner bug breaks the
+    round trip."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import emr
+
+    workdir = tempfile.mkdtemp(prefix="emr_gate_")
+    script = f"{workdir}/job.py"
+    out = f"{workdir}/out.parquet"
+    with open(script, "w") as fh:
+        fh.write(
+            "import sys\n"
+            "from pyspark.sql import SparkSession, functions as F\n"
+            "spark = SparkSession.builder.getOrCreate()\n"
+            "src, out = sys.argv[1], sys.argv[2]\n"
+            "(spark.read.parquet(src)\n"
+            " .groupBy('o_orderpriority')\n"
+            " .agg(F.count(F.lit(1)).alias('n_orders'),\n"
+            "      F.round(F.sum(F.col('o_totalprice').cast('decimal(18,6)')), 2)\n"
+            "        .cast('double').alias('total_price'))\n"
+            " .write.mode('overwrite').parquet(out))\n"
+        )
+    cluster_id = emr.create_cluster(cluster_name="gate-cluster")
+    step_id = emr.submit_spark_step(
+        cluster_id, script, args=[f"{sf_dir}/orders.parquet", out]
+    )
+    if emr.get_step_state(cluster_id, step_id) != "COMPLETED":
+        raise RuntimeError(emr.describe_step(cluster_id, step_id)["stderr"])
+    return spark.read.parquet(out).orderBy("o_orderpriority")
+
+
+def _q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL execution under the hash gate (connectors/sparql.py via
+    neptune.execute_sparql, reference: neptune/_neptune.py:84): the
+    customer->nation->region hierarchy rendered as RDF triples, queried
+    with a 4-pattern basic graph pattern + GROUP BY aggregation; the
+    oracle is the equivalent relational join.  A join-ordering, shared-
+    variable, or constant-pushdown bug in the compiler changes the
+    binding multiplicities and hash-mismatches."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    n_id = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    r_id = F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+    triples = (
+        cust.select(c_id.alias("s"), F.lit("in_nation").alias("p"),
+                    F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"))
+        .unionByName(cust.select(c_id.alias("s"), F.lit("segment").alias("p"),
+                                 F.col("c_mktsegment").alias("o")))
+        .unionByName(nat.select(n_id.alias("s"), F.lit("partof").alias("p"),
+                                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("o")))
+        .unionByName(nat.select(n_id.alias("s"), F.lit("name").alias("p"),
+                                F.col("n_name").alias("o")))
+        .unionByName(reg.select(r_id.alias("s"), F.lit("name").alias("p"),
+                                F.col("r_name").alias("o")))
+    )
+    q = """
+        SELECT ?seg ?rname (COUNT(?c) AS ?n_customers)
+        WHERE {
+            ?c <in_nation> ?n ; <segment> ?seg .
+            ?n <partof> ?r .
+            ?r <name> ?rname .
+        }
+        GROUP BY ?seg ?rname
+        ORDER BY ?seg ?rname
+    """
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
 def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the hash gate (verdict item 8,
     operators/multimodal.decode_bmp): a deterministic 4x4 24-bit BMP is
@@ -5106,6 +5221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
+        "graph_sparql_bgp": _q_sparql_bgp,
+        "emr_spark_step_agg": _q_emr_spark_step,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
         "lakehouse_delete_cow": _q_lakehouse_delete,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
@@ -6654,6 +6771,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS count
             FROM events
             WHERE value > 50
+        """,
+        # The windowFunnel greedy DP is existence-exact: level >= L iff an
+        # in-sort-order chain step1..stepL exists with t_L - t_1 <= W (proof
+        # sketch: acc[0] keeps the LATEST step-1 start, which only widens
+        # later steps' room; acc[i] is monotone non-decreasing, and any
+        # valid chain forces each slot to fill).  Ties chain in step order
+        # because the engine sorts (t, step), hence >= not > below.
+        "events_window_funnel": """
+            WITH se AS (
+                SELECT user_id, epoch(ts) AS t, event_type
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            v AS (SELECT user_id, t FROM se WHERE event_type = 'view'),
+            c AS (SELECT user_id, t FROM se WHERE event_type = 'click'),
+            p AS (SELECT user_id, t FROM se WHERE event_type = 'purchase'),
+            l2 AS (
+                SELECT DISTINCT v.user_id FROM v
+                JOIN c ON c.user_id = v.user_id
+                      AND c.t >= v.t AND c.t - v.t <= 86400
+            ),
+            l3 AS (
+                SELECT DISTINCT v.user_id FROM v
+                JOIN c ON c.user_id = v.user_id
+                      AND c.t >= v.t AND c.t - v.t <= 86400
+                JOIN p ON p.user_id = v.user_id
+                      AND p.t >= c.t AND p.t - v.t <= 86400
+            )
+            SELECT u.user_id,
+                   CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                        WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                        WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+                        ELSE 0 END AS level
+            FROM (SELECT DISTINCT user_id FROM se) u
+            ORDER BY u.user_id
+        """,
+        "emr_spark_step_agg": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "graph_sparql_bgp": """
+            SELECT c.c_mktsegment AS seg, r.r_name AS rname,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY c.c_mktsegment, r.r_name
+            ORDER BY seg, rname
         """,
         "lakehouse_merge_roundtrip": """
             WITH src AS (

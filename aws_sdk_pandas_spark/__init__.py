@@ -57,6 +57,8 @@ from aws_sdk_pandas_spark import (  # noqa: E402  (grouped for readability)
     data_api,
     data_quality,
     dynamodb,
+    emr,
+    emr_serverless,
     mysql,
     neptune,
     opensearch,
@@ -102,6 +104,8 @@ __all__ = [
     "secretsmanager",
     "sts",
     "chime",
+    "emr",
+    "emr_serverless",
     "dynamodb",
     "timestream",
     "opensearch",

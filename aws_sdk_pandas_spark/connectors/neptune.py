@@ -258,13 +258,36 @@ def execute_opencypher(
     return compile_opencypher(query, vertices, edges)
 
 
-def execute_sparql(*_a, **_k):
-    """reference: neptune/_neptune.py ``execute_sparql`` — see
-    to_rdf_graph/read_rdf_graph for the triples dataset path."""
-    raise NotImplementedError(
-        "SPARQL is not executed locally; scan the triples dataset "
-        "(read_rdf_graph) and express the pattern as DataFrame joins"
-    )
+def execute_sparql(
+    client: dict,
+    query: str,
+    *,
+    spark=None,
+    triples: DataFrame | None = None,
+) -> DataFrame:
+    """reference: neptune/_neptune.py:84 ``execute_sparql``.  The
+    reference ships the query to a Neptune SPARQL endpoint via
+    SPARQLWrapper; here the supported subset (see ``connectors/sparql.py``
+    — PREFIX, SELECT with aggregates, basic graph patterns with
+    predicate-object lists, FILTER with xsd casts / REGEX / BOUND,
+    OPTIONAL, GROUP BY / ORDER BY / LIMIT / OFFSET) is COMPILED to
+    DataFrame joins over the triples frame.  The frame comes from
+    ``triples`` or is read from the ``connect`` handle's graph root
+    (the ``to_rdf_graph`` dataset)."""
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    if triples is None:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise InvalidArgument(
+                "execute_sparql needs a triples frame or a SparkSession "
+                "to read it from the connect handle root"
+            )
+        triples = read_rdf_graph(spark, client["root"])
+    return compile_sparql(query, triples)
 
 
 class BulkLoadParserConfiguration(dict):

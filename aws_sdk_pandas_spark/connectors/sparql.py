@@ -1,0 +1,400 @@
+"""SPARQL-subset compiler (reference: awswrangler/neptune/_neptune.py:84
+``execute_sparql`` — there, the query string is shipped to Neptune's
+SPARQL endpoint via SPARQLWrapper; here the supported subset is COMPILED
+to DataFrame joins over the triples frame written by ``to_rdf_graph``,
+completing the query-language family next to ``connectors/gremlin.py``
+and ``connectors/opencypher.py``).
+
+Supported grammar::
+
+    PREFIX name: <iri>                       (any number)
+    SELECT [DISTINCT] ?a ?b | * | (AGG(?x) AS ?alias) ...
+    WHERE {
+        term term term .                     (basic graph patterns)
+        subject p1 o1 ; p2 o2 .              (predicate-object lists)
+        FILTER( <expr over ?vars> )
+        OPTIONAL { triple patterns }         (left join on shared vars)
+    }
+    [GROUP BY ?a ?b] [ORDER BY [ASC|DESC](?x) ...] [LIMIT n] [OFFSET m]
+
+- terms: ``?var`` / ``<iri>`` / ``prefix:local`` (expanded) / ``"lit"``
+  (optionally ``@lang`` / ``^^type``, both stripped) / numbers / the
+  ``a`` keyword (rdf:type)
+- aggregates: COUNT(*) / COUNT([DISTINCT] ?x) / SUM/AVG/MIN/MAX(?x);
+  aggregates with no GROUP BY and no plain vars collapse to one row,
+  SPARQL-style; plain SELECT vars alongside aggregates become implicit
+  group keys (a deliberate Cypher-style leniency — strict SPARQL would
+  demand the explicit GROUP BY, which is still honored when present)
+- FILTER operators: comparisons, ``&&`` ``||`` ``!``, ``REGEX(?x,'p')``
+  (-> RLIKE), ``BOUND(?x)`` (-> IS NOT NULL, the OPTIONAL-miss test),
+  ``STR(?x)``, and ``xsd:integer/long/double/decimal/boolean(?x)``
+  casts for typed comparisons over the uniformly-typed object column
+
+Semantics note: a SPARQL endpoint matches a *set* of triples; this
+compiler matches the triples DATASET, so duplicate triple rows produce
+duplicate bindings — multiplicities equal what the same SQL joins give,
+which is exactly what makes results DuckDB-oracle-checkable.  Each
+shared variable between patterns is one equi-join; constants become
+pushed filters on the triple scan; patterns sharing no variable take
+SPARQL's product semantics (kept rare by construction in any sane BGP).
+Nothing runs driver-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PREFIX_RE = re.compile(r"^\s*PREFIX\s+(\w*):\s*<([^>]*)>\s*", re.I)
+_AGG_ITEM_RE = re.compile(
+    r"^\(\s*(count|sum|avg|min|max)\s*\(\s*(distinct\s+)?(\*|\?\w+)\s*\)"
+    r"\s+AS\s+\?(\w+)\s*\)$",
+    re.I,
+)
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        (?P<var>\?\w+)
+      | (?P<iri><[^>]*>)
+      | (?P<lit>"(?:[^"\\]|\\.)*"(?:@\w+|\^\^\S+)?)
+      | (?P<a>\ba\b)
+      | (?P<pname>\w*:\w+)
+      | (?P<num>[+-]?\d+(?:\.\d+)?)
+    )""",
+    re.X,
+)
+
+
+def _balanced(s: str, pos: int, open_ch: str, close_ch: str) -> int:
+    """Index just past the matching close for the open bracket at pos."""
+    depth = 0
+    i = pos
+    in_str: str | None = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise InvalidArgument(f"unbalanced {open_ch}{close_ch} in SPARQL query")
+
+
+class _Term:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value):
+        self.kind = kind  # "var" | "const"
+        self.value = value
+
+
+def _parse_term(s: str, pos: int, prefixes: dict[str, str]) -> tuple[_Term, int]:
+    m = _TERM_RE.match(s, pos)
+    if not m:
+        raise InvalidArgument(f"cannot parse SPARQL term at {s[pos:pos + 40]!r}")
+    if m.group("var"):
+        return _Term("var", m.group("var")[1:]), m.end()
+    if m.group("iri"):
+        return _Term("const", m.group("iri")[1:-1]), m.end()
+    if m.group("lit"):
+        lit = m.group("lit")
+        body = lit[1 : lit.rindex('"')]
+        return _Term("const", body.replace('\\"', '"').replace("\\\\", "\\")), m.end()
+    if m.group("a"):
+        return _Term("const", _RDF_TYPE), m.end()
+    if m.group("pname"):
+        pfx, local = m.group("pname").split(":", 1)
+        if pfx not in prefixes:
+            raise InvalidArgument(f"undeclared PREFIX {pfx!r}")
+        return _Term("const", prefixes[pfx] + local), m.end()
+    num = m.group("num")
+    return _Term("const", float(num) if "." in num else int(num)), m.end()
+
+
+def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True):
+    """WHERE-group body -> (triple patterns, filters, optional groups)."""
+    triples: list[tuple[_Term, _Term, _Term]] = []
+    filters: list[str] = []
+    optionals: list[list[tuple[_Term, _Term, _Term]]] = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        while pos < n and body[pos] in " \t\r\n.":
+            pos += 1
+        if pos >= n:
+            break
+        rest = body[pos:]
+        if re.match(r"FILTER\b", rest, re.I):
+            p0 = body.index("(", pos)
+            end = _balanced(body, p0, "(", ")")
+            filters.append(body[p0 + 1 : end - 1])
+            pos = end
+            continue
+        if re.match(r"OPTIONAL\b", rest, re.I):
+            if not allow_blocks:
+                raise InvalidArgument("nested OPTIONAL is not supported")
+            p0 = body.index("{", pos)
+            end = _balanced(body, p0, "{", "}")
+            t, f, o = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o:
+                raise InvalidArgument("OPTIONAL groups support triple patterns only")
+            optionals.append(t)
+            pos = end
+            continue
+        s_term, pos = _parse_term(body, pos, prefixes)
+        while True:
+            p_term, pos = _parse_term(body, pos, prefixes)
+            o_term, pos = _parse_term(body, pos, prefixes)
+            triples.append((s_term, p_term, o_term))
+            while pos < n and body[pos] in " \t\r\n":
+                pos += 1
+            if pos < n and body[pos] == ";":
+                pos += 1
+                continue
+            break
+    return triples, filters, optionals
+
+
+def _pattern_frame(
+    triples_df: DataFrame, pat: tuple[_Term, _Term, _Term]
+) -> tuple[DataFrame, list[str]]:
+    """One triple pattern -> filtered scan projecting its variables."""
+    s, p, o = pat
+    df = triples_df
+    cols: dict[str, str] = {}
+    for term, col in ((s, "s"), (p, "p"), (o, "o")):
+        if term.kind == "const":
+            df = df.where(F.col(col) == F.lit(term.value))
+        elif term.value in cols:
+            # repeated var inside one pattern (?x p ?x): equality filter
+            df = df.where(F.col(col) == F.col(cols[term.value]))
+        else:
+            cols[term.value] = col
+    out = df.select(*[F.col(src).alias(var) for var, src in cols.items()])
+    return out, list(cols)
+
+
+def _join_patterns(frames: list[tuple[DataFrame, list[str]]]) -> tuple[DataFrame, list[str]]:
+    cur, bound = frames[0]
+    bound = list(bound)
+    pending = list(frames[1:])
+    while pending:
+        # pick the next pattern sharing a variable first (keeps joins
+        # equi-joins; a product only happens when the BGP truly is one)
+        idx = next(
+            (i for i, (_df, vs) in enumerate(pending) if set(vs) & set(bound)),
+            0,
+        )
+        df, vs = pending.pop(idx)
+        shared = [v for v in vs if v in bound]
+        if shared:
+            cur = cur.join(df, on=shared)
+        else:
+            cur = cur.crossJoin(df)
+        bound += [v for v in vs if v not in bound]
+    return cur, bound
+
+
+def _translate_filter(expr: str) -> str:
+    literals: list[str] = []
+
+    def _shield(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _shield, expr)
+    out = out.replace("&&", " AND ").replace("||", " OR ")
+    out = re.sub(r"!(?!=)", " NOT ", out)
+    out = re.sub(
+        r"\bxsd:(integer|long|int)\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"CAST({m.group(2)} AS BIGINT)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(
+        r"\bxsd:(double|decimal|float)\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"CAST({m.group(2)} AS DOUBLE)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(
+        r"\bxsd:boolean\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"CAST({m.group(1)} AS BOOLEAN)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(
+        r"\bBOUND\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"({m.group(1)} IS NOT NULL)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(
+        r"\bSTR\s*\(\s*\?(\w+)\s*\)",
+        lambda m: f"CAST({m.group(1)} AS STRING)",
+        out,
+        flags=re.I,
+    )
+
+    def _regex(m: re.Match) -> str:
+        return f"({m.group(1)} RLIKE {m.group(2)})"
+
+    out = re.sub(r"\bREGEX\s*\(\s*\?(\w+)\s*,\s*(\x00\d+\x00)\s*\)", _regex, out, flags=re.I)
+    out = re.sub(r"\?(\w+)", lambda m: m.group(1), out)
+    for i, lit in enumerate(literals):
+        # SQL strings are single-quoted; double-quoted SPARQL literals
+        # would read as identifiers in Spark SQL
+        if lit.startswith('"'):
+            lit = "'" + lit[1:-1].replace("\\", "\\\\").replace("'", "\\'") + "'"
+        out = out.replace(f"\x00{i}\x00", lit)
+    return out
+
+
+def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
+    """Compile the SPARQL-subset ``query`` against the ``triples`` frame —
+    ``s`` / ``p`` / ``o`` columns (the ``to_rdf_graph`` layout, reference:
+    neptune/_neptune.py:225); the long-form ``subject`` / ``predicate`` /
+    ``object`` naming is accepted and normalized."""
+    if {"subject", "predicate", "object"} <= set(triples.columns):
+        triples = triples.select(
+            F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            F.col("object").alias("o"),
+        )
+    q = query.strip()
+    prefixes: dict[str, str] = {}
+    while True:
+        m = _PREFIX_RE.match(q)
+        if not m:
+            break
+        prefixes[m.group(1)] = m.group(2)
+        q = q[m.end() :]
+
+    head = re.match(r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{", q, re.I | re.S)
+    if not head:
+        raise InvalidArgument(
+            "unsupported SPARQL shape; expected SELECT ... WHERE { ... } "
+            "[GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m]"
+        )
+    distinct = bool(head.group(1))
+    select_items = head.group(2).strip()
+    brace0 = q.index("{", head.end() - 1)
+    brace_end = _balanced(q, brace0, "{", "}")
+    where_body = q[brace0 + 1 : brace_end - 1]
+    tail = q[brace_end:].strip().rstrip(";")
+
+    tail_m = re.match(
+        r"^(?:GROUP\s+BY\s+(?P<group>.+?))?"
+        r"(?:\s*ORDER\s+BY\s+(?P<order>.+?))?"
+        r"(?:\s*LIMIT\s+(?P<limit>\d+))?"
+        r"(?:\s*OFFSET\s+(?P<offset>\d+))?\s*$",
+        tail,
+        re.I | re.S,
+    )
+    if not tail_m:
+        raise InvalidArgument(f"cannot parse SPARQL solution modifiers: {tail!r}")
+
+    pats, filters, optionals = _parse_group(where_body, prefixes)
+    if not pats:
+        raise InvalidArgument("WHERE must contain at least one triple pattern")
+    cur, bound = _join_patterns([_pattern_frame(triples, p) for p in pats])
+    for opt in optionals:
+        odf, ovars = _join_patterns([_pattern_frame(triples, p) for p in opt])
+        shared = [v for v in ovars if v in bound]
+        if not shared:
+            raise InvalidArgument("OPTIONAL group shares no variable with the BGP")
+        cur = cur.join(odf, on=shared, how="left")
+        bound += [v for v in ovars if v not in bound]
+    for f_expr in filters:
+        cur = cur.where(F.expr(_translate_filter(f_expr)))
+
+    # --- projection ---------------------------------------------------
+    items: list[tuple[str, str | None, re.Match | None]] = []
+    if select_items == "*":
+        items = [(v, None, None) for v in bound]
+    else:
+        pos = 0
+        s = select_items
+        while pos < len(s):
+            while pos < len(s) and s[pos].isspace():
+                pos += 1
+            if pos >= len(s):
+                break
+            if s[pos] == "(":
+                end = _balanced(s, pos, "(", ")")
+                chunk = s[pos:end]
+                agg = _AGG_ITEM_RE.match(chunk)
+                if not agg:
+                    raise InvalidArgument(f"unsupported SELECT expression {chunk!r}")
+                items.append((chunk, agg.group(4), agg))
+                pos = end
+            else:
+                m2 = re.match(r"\?(\w+)", s[pos:])
+                if not m2:
+                    raise InvalidArgument(f"unsupported SELECT item at {s[pos:]!r}")
+                items.append((m2.group(1), None, None))
+                pos += m2.end()
+
+    def _agg_col(agg: re.Match, alias: str):
+        fn = agg.group(1).lower()
+        is_distinct = bool(agg.group(2))
+        operand = agg.group(3)
+        if operand == "*":
+            if fn != "count":
+                raise InvalidArgument(f"{fn}(*) is not valid SPARQL")
+            return F.count(F.lit(1)).alias(alias)
+        col = F.col(operand[1:])
+        if fn == "count" and is_distinct:
+            return F.count_distinct(col).alias(alias)
+        return getattr(F, fn)(col).alias(alias)
+
+    has_agg = any(g is not None for _e, _a, g in items)
+    group_vars = []
+    if tail_m.group("group"):
+        group_vars = [v[1:] for v in re.findall(r"\?\w+", tail_m.group("group"))]
+    if has_agg or group_vars:
+        aggs = [_agg_col(g, a) for _e, a, g in items if g is not None]
+        plain = [e for e, _a, g in items if g is None]
+        keys = group_vars or plain
+        missing = [p for p in plain if p not in keys]
+        if missing:
+            raise InvalidArgument(
+                f"non-aggregated SELECT vars {missing} must appear in GROUP BY"
+            )
+        cur = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+        order_names = [a if g is not None else e for e, a, g in items]
+        cur = cur.select(*order_names)
+    else:
+        cur = cur.select(*[e for e, _a, _g in items])
+
+    if distinct:
+        cur = cur.distinct()
+    if tail_m.group("order"):
+        sorts = []
+        for dirn, var, bare in re.findall(
+            r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", tail_m.group("order"), re.I
+        ):
+            name = var or bare
+            col = F.col(name)
+            sorts.append(col.desc() if dirn.upper() == "DESC" else col.asc())
+        cur = cur.orderBy(*sorts)
+    if tail_m.group("offset"):
+        cur = cur.offset(int(tail_m.group("offset")))
+    if tail_m.group("limit"):
+        cur = cur.limit(int(tail_m.group("limit")))
+    return cur

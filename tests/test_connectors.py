@@ -413,8 +413,13 @@ def test_neptune_rdf_roundtrip(spark, tmp_path):
     N.to_rdf_graph(triples, path, mode="overwrite")
     back = N.read_rdf_graph(spark, path)
     assert back.count() == 2
-    with pytest.raises(NotImplementedError):
-        N.execute_sparql("SELECT * WHERE { ?s ?p ?o }")
+    got = N.execute_sparql(
+        {"root": path}, "SELECT * WHERE { ?s ?p ?o } ORDER BY ?s", spark=spark
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("<a>", "<knows>", "<b>"),
+        ("<b>", "<knows>", "<c>"),
+    ]
 
 
 # ------------------------------------------------------------- parity fills

@@ -379,3 +379,137 @@ def test_cypher_errors(modern):
         _cy(modern, "MATCH (a)<-[:x]->(b) RETURN a")
     with pytest.raises(InvalidArgument, match="repeated node variables"):
         _cy(modern, "MATCH (a)-[:x]->(a) RETURN a")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL-subset compiler (connectors/sparql.py + neptune.execute_sparql)
+# over a FOAF-ish triple rendering of the "modern" graph.
+# ---------------------------------------------------------------------------
+
+_FOAF = "http://xmlns.com/foaf/0.1/"
+_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@pytest.fixture()
+def foaf(spark):
+    rows = []
+    people = {"marko": 29, "vadas": 27, "josh": 32, "peter": 35}
+    for name, age in people.items():
+        rows += [
+            (name, _TYPE, f"{_FOAF}Person"),
+            (name, f"{_FOAF}name", name),
+            (name, f"{_FOAF}age", str(age)),
+        ]
+    for sw in ("lop", "ripple"):
+        rows += [(sw, _TYPE, f"{_FOAF}Software"), (sw, f"{_FOAF}lang", "java")]
+    rows += [
+        ("marko", f"{_FOAF}knows", "vadas"),
+        ("marko", f"{_FOAF}knows", "josh"),
+        ("marko", f"{_FOAF}created", "lop"),
+        ("josh", f"{_FOAF}created", "ripple"),
+        ("josh", f"{_FOAF}created", "lop"),
+        ("peter", f"{_FOAF}created", "lop"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def _sp(foaf, q):
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+
+    return execute_sparql({"root": ""}, q, triples=foaf)
+
+
+_P = f"PREFIX foaf: <{_FOAF}>\n"
+
+
+def test_sparql_single_pattern_and_a_keyword(foaf):
+    got = _sp(foaf, _P + "SELECT ?s WHERE { ?s a foaf:Person } ORDER BY ?s")
+    assert [r.s for r in got.collect()] == ["josh", "marko", "peter", "vadas"]
+
+
+def test_sparql_bgp_join_and_po_list(foaf):
+    q = _P + (
+        "SELECT ?who ?friend_name WHERE { "
+        '  ?m foaf:name "marko" ; foaf:knows ?f . '
+        "  ?f foaf:name ?friend_name . ?m foaf:name ?who . "
+        "} ORDER BY ?friend_name"
+    )
+    rows = [(r.who, r.friend_name) for r in _sp(foaf, q).collect()]
+    assert rows == [("marko", "josh"), ("marko", "vadas")]
+
+
+def test_sparql_filter_xsd_cast_and_regex(foaf):
+    q = _P + (
+        "SELECT ?n WHERE { ?p a foaf:Person . ?p foaf:age ?a . ?p foaf:name ?n . "
+        "FILTER(xsd:integer(?a) > 28 && !(?n = 'peter')) } ORDER BY ?n"
+    )
+    assert [r.n for r in _sp(foaf, q).collect()] == ["josh", "marko"]
+    q2 = _P + (
+        "SELECT ?n WHERE { ?p foaf:name ?n . FILTER(REGEX(?n, '^m|^v')) } ORDER BY ?n"
+    )
+    assert [r.n for r in _sp(foaf, q2).collect()] == ["marko", "vadas"]
+
+
+def test_sparql_optional_and_bound(foaf):
+    q = _P + (
+        "SELECT ?n ?sw WHERE { ?p a foaf:Person . ?p foaf:name ?n . "
+        "OPTIONAL { ?p foaf:created ?sw } } ORDER BY ?n ?sw"
+    )
+    rows = [(r.n, r.sw) for r in _sp(foaf, q).collect()]
+    assert ("vadas", None) in rows and ("josh", "lop") in rows and ("josh", "ripple") in rows
+    q2 = q.replace("} ORDER", "FILTER(!BOUND(?sw)) } ORDER")
+    assert [r.n for r in _sp(foaf, q2).collect()] == ["vadas"]
+
+
+def test_sparql_aggregates_group_order(foaf):
+    q = _P + (
+        "SELECT ?sw (COUNT(?p) AS ?n_devs) (MIN(?a) AS ?youngest) WHERE { "
+        "  ?p foaf:created ?sw . ?p foaf:age ?a . "
+        "} GROUP BY ?sw ORDER BY DESC(?n_devs)"
+    )
+    rows = [(r.sw, r.n_devs, r.youngest) for r in _sp(foaf, q).collect()]
+    assert rows == [("lop", 3, "29"), ("ripple", 1, "32")]
+    q2 = _P + "SELECT (COUNT(DISTINCT ?sw) AS ?n) WHERE { ?p foaf:created ?sw }"
+    assert _sp(foaf, q2).first().n == 2
+
+
+def test_sparql_distinct_limit_offset(foaf):
+    q = _P + (
+        "SELECT DISTINCT ?sw WHERE { ?p foaf:created ?sw } ORDER BY ?sw LIMIT 1 OFFSET 1"
+    )
+    assert [r.sw for r in _sp(foaf, q).collect()] == ["ripple"]
+
+
+def test_sparql_star_and_iri_terms(foaf):
+    q = f'SELECT * WHERE {{ ?s <{_FOAF}knows> ?o }} ORDER BY ?o'
+    rows = [(r.s, r.o) for r in _sp(foaf, q).collect()]
+    assert rows == [("marko", "josh"), ("marko", "vadas")]
+
+
+def test_sparql_errors(foaf):
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    with pytest.raises(InvalidArgument, match="undeclared PREFIX"):
+        _sp(foaf, "SELECT ?s WHERE { ?s nope:thing ?o }")
+    with pytest.raises(InvalidArgument, match="unsupported SPARQL shape"):
+        _sp(foaf, "ASK { ?s ?p ?o }")
+    # aggregate without GROUP BY: plain vars become implicit group keys
+    r = _sp(foaf, _P + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s foaf:knows ?o }").first()
+    assert (r.s, r.n) == ("marko", 2)
+    with pytest.raises(InvalidArgument, match="GROUP BY"):
+        _sp(
+            foaf,
+            _P + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s foaf:knows ?o } GROUP BY ?o",
+        )
+    with pytest.raises(InvalidArgument, match="at least one triple"):
+        _sp(foaf, "SELECT ?s WHERE { }")
+
+
+def test_sparql_roundtrip_through_graph_root(spark, foaf, tmp_path):
+    from aws_sdk_pandas_spark.connectors import neptune
+
+    root = str(tmp_path / "rdf")
+    neptune.to_rdf_graph(foaf, root)
+    client = neptune.connect(root)
+    q = _P + "SELECT (COUNT(*) AS ?n) WHERE { ?s foaf:created ?o }"
+    assert neptune.execute_sparql(client, q, spark=spark).first().n == 4

@@ -3,9 +3,10 @@ its in-scope namespaces resolves at the same path in this package.
 
 The export lists below are transcribed from the reference's per-module
 ``__all__`` (e.g. /root/reference/awswrangler/s3/__init__.py) so a
-reference user can port any call-site by swapping the import.  Out of
-scope (per README): emr, emr_serverless (cluster lifecycle = deployment
-environment). Everything else is implemented and checked below.
+reference user can port any call-site by swapping the import.  Every
+reference namespace is implemented and checked below — emr /
+emr_serverless run their steps and job drivers against the local Spark
+session (see emr.py / emr_serverless.py docstrings).
 """
 
 from __future__ import annotations
@@ -97,6 +98,14 @@ REFERENCE_EXPORTS: dict[str, list[str]] = {
     "secretsmanager": ["get_secret", "get_secret_json"],
     "sts": ["get_account_id", "get_current_identity_arn", "get_current_identity_name"],
     "chime": ["post_message"],
+    # /root/reference/awswrangler/emr.py / emr_serverless.py
+    "emr": [
+        "create_cluster", "get_cluster_state", "terminate_cluster",
+        "submit_steps", "submit_step", "build_step", "get_step_state",
+        "submit_ecr_credentials_refresh", "build_spark_step",
+        "submit_spark_step",
+    ],
+    "emr_serverless": ["create_application", "run_job", "wait_job"],
     # /root/reference/awswrangler/quicksight/__init__.py
     "quicksight": [
         "get_dashboard_id", "get_dashboard_ids", "get_data_source_arn",
