@@ -2504,6 +2504,45 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank under a REAL hash oracle: the symmetrized customer <->
+    nation <-> region graph has no dangling nodes (every vertex gets a
+    reverse edge), so the power iteration is the pure recursion
+    r' = (1-d)/n + d * sum(r_in/deg_in) with zero dangling mass, and a
+    DuckDB RECURSIVE CTE replays exactly 4 rounds (tol=0.0 disables the
+    engine's early stop).  Companion to the rows-only graph_pagerank
+    entry, which keeps exercising dangling-mass redistribution."""
+    from aws_sdk_pandas_spark.connectors.neptune import pagerank
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    cn = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("b"),
+    )
+    nr = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("a"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("b"),
+    )
+    und = cn.unionByName(nr)
+    edges = (
+        und.select(F.col("a").alias("~from"), F.col("b").alias("~to"))
+        .unionByName(und.select(F.col("b").alias("~from"), F.col("a").alias("~to")))
+        .select(
+            F.concat_ws("-", "~from", "~to").alias("~id"),
+            F.lit("adj").alias("~label"),
+            "~from",
+            "~to",
+        )
+    )
+    return (
+        pagerank(edges, damping=0.85, max_iter=4, tol=0.0)
+        .select(F.col("~id").alias("vertex"), F.round("rank", 6).alias("rank"))
+        .orderBy("vertex")
+    )
+
+
 def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance self-join on part names (operators/fuzzy.
     fuzzy_match_join): SymSpell deletion-neighborhood equi-join + real
@@ -2712,6 +2751,45 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA under a (partially) REAL hash oracle: fitting the FULL
+    spectrum (k = d = 64) makes trace(cov) = sum of eigenvalues = sum of
+    per-coordinate sample variances — which DuckDB recomputes directly
+    from the embeddings table, cross-checking the mean pass, centered
+    Gram, and eigendecomposition end to end.  The spectral properties no
+    SQL can state (orthonormality of the component rows, descending
+    eigenvalues, projected-coordinate variance == eigenvalue) ride along
+    as engine-verified booleans the oracle expects TRUE."""
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.features import apply_pca, fit_pca
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(emb, k=64)
+    comps = np.array(model["components"])
+    ev = np.array(model["explained_variance"])
+    orthonormal_ok = bool(
+        np.max(np.abs(comps @ comps.T - np.eye(comps.shape[0]))) < 1e-8
+    )
+    desc_ok = bool(np.all(np.diff(ev) <= 1e-12))
+    proj_stats = (
+        apply_pca(emb, model)
+        .select(F.posexplode("pca").alias("j", "val"))
+        .groupBy("j")
+        .agg(F.var_samp("val").alias("v"))
+        .collect()
+    )
+    proj_var_ok = all(
+        abs(r.v - ev[r.j]) <= 1e-3 * max(abs(ev[r.j]), 1e-9) for r in proj_stats
+    )
+    return spark.createDataFrame(
+        [(64, 64, float(round(ev.sum(), 6)), orthonormal_ok, desc_ok, bool(proj_var_ok))],
+        "d int, k int, total_var double, orthonormal_ok boolean, "
+        "variance_desc_ok boolean, proj_var_ok boolean",
+    )
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer trained on the corpus's own word-frequency table
     (operators/bpe.train_bpe, Sennrich 2016) then applied in one
@@ -2905,6 +2983,128 @@ def _q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_distinct_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ under a (partially) REAL hash oracle — companion to the
+    rows-only sketch_distinct_stats: the EXACT distinct-user count per
+    event type is recomputed by DuckDB, and the sketch estimate rides
+    along as an engine-verified error-bound boolean (|approx - exact| <=
+    5 * rsd * exact; Spark's HLL++ guarantees rsd as the expected
+    relative standard deviation, so 5 sigma is a deterministic-in-
+    practice bound the suite also pins in test_sketches.py)."""
+    from aws_sdk_pandas_spark.functions.sketches import approx_distinct
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            approx_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("rel_err_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring dedup (operators/dedup.
+    remove_repeated_spans, the Lee et al. 2022 suffix-array dedup
+    restated Spark-shaped) under a FULL hash oracle: DuckDB replays
+    normalize -> 8-token sliding windows (string keys where the engine
+    uses xxhash64 — identical modulo 2^-64 collisions) -> count>=2 with
+    the min-(doc_id,start) canonical exemption -> per-doc island merge
+    -> token-level reconstruction, and the cleaned text is compared by
+    md5.  Every stage of the operator is pinned, including interval
+    merging and keep-first semantics."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (
+        remove_repeated_spans(docs, min_tokens=8, keep="first")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_removed",
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH under a (partially) REAL hash oracle — companion to
+    the rows-only dedup_minhash_lsh: on a bounded sample (doc_id < 400)
+    the BRUTE-FORCE duplicate-pair count at Jaccard >= 0.6 over raw
+    5-char shingle sets is computed with plain JVM string/array ops that
+    DuckDB replays exactly (same [ \\t\\n\\r]+ whitespace class on both
+    sides — Java's \\s and RE2's \\s disagree on \\x0B), and the LSH
+    path's recall/precision against that truth ride along as
+    engine-verified booleans (recall >= 0.7 is conservative: 16 bands x
+    4 rows catches a 0.6-Jaccard pair w.p. ~0.89 and the planted
+    near-dups are far above the threshold; precision uses hashed-shingle
+    Jaccard, so it is checked with a 0.55 margin against the char-based
+    truth).  The bounded all-pairs join is the POINT here — brute force
+    is the oracle, LSH is the scale path."""
+    from aws_sdk_pandas_spark.operators.dedup import minhash_duplicates
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 400")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", " ")))
+    sh = (
+        docs.select("doc_id", norm.alias("t"))
+        .where(F.length("t") > 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.length("t") >= 5,
+                F.expr("array_distinct(transform(sequence(1, length(t) - 4), i -> substring(t, i, 5)))"),
+            )
+            .otherwise(F.array(F.col("t")))
+            .alias("s"),
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("j"))
+        .where(F.col("j") >= 0.6)
+        .persist()
+    )
+    n_brute = brute.count()
+    lsh = minhash_duplicates(docs, threshold=0.6).persist()
+    n_common = lsh.join(brute, ["id_a", "id_b"]).count()
+    # precision with margin: LSH verifies on hashed byte-shingles, the
+    # truth is char-shingles — identical on this ASCII sample except at
+    # the threshold boundary
+    n_imprecise = (
+        lsh.join(
+            a.crossJoin(b).select("id_a", "id_b", jac.alias("jc")),
+            ["id_a", "id_b"],
+        )
+        .where(F.col("jc") < 0.55)
+        .count()
+    )
+    recall_ok = (n_brute == 0) or (n_common / n_brute >= 0.7)
+    brute.unpersist()
+    lsh.unpersist()
+    return spark.createDataFrame(
+        [(int(n_brute), bool(recall_ok), bool(n_imprecise == 0))],
+        "n_brute_pairs bigint, recall_ok boolean, precision_ok boolean",
+    )
+
+
 def _q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k sketch set operations (functions/sketches): distinct
     user-day audience of 'click' vs 'view' — counts, union, intersection
@@ -3074,6 +3274,8 @@ def _q_holt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     same double arithmetic) — the companion to the rows-only
     events_holt_forecast entry, which exercises the truncated-lookback
     path no finite SQL recursion can express."""
+    from pyspark.sql import Window
+
     from aws_sdk_pandas_spark.operators.timeseries import holt_smoothing
     from aws_sdk_pandas_spark.sources import read_parquet
 
@@ -5377,19 +5579,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_stats": _q_vocab_stats,
         "events_window_funnel": _q_window_funnel,
         "events_holt_winters": _q_holt_winters,
+        "events_holt_bounded": _q_holt_bounded,
         "eval_isotonic_calibrated": _q_eval_isotonic,
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
         "emb_knn_ivf_pq": _q_knn_ivf_pq,
         "sketch_distinct_stats": _q_sketch_stats,
+        "sketch_distinct_selfcheck": _q_sketch_distinct_selfcheck,
+        "dedup_minhash_selfcheck": _q_minhash_selfcheck,
+        "dedup_repeated_spans": _q_repeated_spans,
         "dedup_minhash_lsh": _q_minhash_dups,
         "dedup_minhash_incremental": _q_minhash_incremental,
         "simhash_signatures": _q_simhash,
         "emb_knn_lsh_ann": _q_knn_lsh,
         "multimodal_features": _q_multimodal_features,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_pagerank_oracle": _q_pagerank_oracle,
         "docs_bpe_tokens": _q_bpe_tokens,
         "emb_pca_project": _q_pca_project,
+        "emb_pca_invariants": _q_pca_invariants,
     }
     return out
 
@@ -6771,6 +6979,207 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS count
             FROM events
             WHERE value > 50
+        """,
+        "dedup_repeated_spans": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) > 0
+                            THEN string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                            ELSE [] END AS toks
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id,
+                       unnest(range(0, greatest(len(toks) - 7, 0))) AS s,
+                       unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+                                             i -> array_to_string(toks[i + 1 : i + 8], ' '))) AS w
+                FROM base
+            ),
+            dup AS (
+                SELECT w,
+                       (MIN(struct_pack(d := doc_id, s := s))).d AS kd,
+                       (MIN(struct_pack(d := doc_id, s := s))).s AS ks
+                FROM wins GROUP BY w HAVING COUNT(*) >= 2
+            ),
+            occ AS (
+                SELECT wi.doc_id, wi.s, wi.s + 8 AS e
+                FROM wins wi JOIN dup d USING (w)
+                WHERE NOT (wi.doc_id = d.kd AND wi.s = d.ks)
+            ),
+            marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN MAX(e) OVER pw IS NULL OR s > MAX(e) OVER pw
+                            THEN 1 ELSE 0 END AS newisl
+                FROM occ
+                WINDOW pw AS (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            isl AS (
+                SELECT *, SUM(newisl) OVER (PARTITION BY doc_id ORDER BY s, e
+                                            ROWS UNBOUNDED PRECEDING) AS g
+                FROM marked
+            ),
+            mspan AS (
+                SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+                FROM isl GROUP BY doc_id, g
+            ),
+            spl AS (
+                SELECT doc_id,
+                       list(struct_pack(s := s, e := e) ORDER BY s) AS spans
+                FROM mspan GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   len(b.toks) AS n_tokens,
+                   len(COALESCE(spl.spans, [])) AS n_spans,
+                   COALESCE(list_sum(list_transform(spl.spans, sp -> sp.e - sp.s)), 0)
+                       AS n_removed,
+                   -- array_to_string([]) is NULL in DuckDB but '' in
+                   -- Spark's array_join: coalesce for fully-removed docs
+                   md5(COALESCE(array_to_string(
+                       list_transform(
+                           list_filter(range(0, len(b.toks)),
+                               i -> len(list_filter(COALESCE(spl.spans, []),
+                                        sp -> i >= sp.s AND i < sp.e)) = 0),
+                           i -> b.toks[i + 1]),
+                       ' '), '')) AS text_md5
+            FROM base b LEFT JOIN spl ON spl.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
+        # DuckDB replays the brute-force truth: same normalization (the
+        # explicit [ \t\n\r]+ class), same 5-char shingling with the
+        # whole-string fallback under length 5, same exact-Jaccard
+        # threshold; the LSH booleans are engine-verified.
+        "dedup_minhash_selfcheck": """
+            WITH s AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS t
+                FROM documents WHERE doc_id < 400
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 5
+                            THEN list_distinct(list_transform(
+                                range(1, len(t) - 3), i -> substr(t, i, 5)))
+                            ELSE [t] END AS st
+                FROM s WHERE len(t) > 0
+            )
+            SELECT COUNT(*) AS n_brute_pairs,
+                   TRUE AS recall_ok, TRUE AS precision_ok
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.st, b.st))) >= 0.6
+        """,
+        "sketch_distinct_selfcheck": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS rel_err_ok
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # trace(cov) == sum(all eigenvalues) == sum of per-coordinate
+        # sample variances: DuckDB recomputes the right-hand side from
+        # the raw embeddings (lockstep unnest), pinning the PCA mean
+        # pass + centered Gram + eigendecomposition; the pure-spectral
+        # booleans are engine-verified and expected TRUE.
+        "emb_pca_invariants": """
+            WITH coords AS (
+                SELECT unnest(embedding) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+            )
+            SELECT 64 AS d, 64 AS k,
+                   CAST(ROUND(SUM(v), 6) AS DOUBLE) AS total_var,
+                   TRUE AS orthonormal_ok,
+                   TRUE AS variance_desc_ok,
+                   TRUE AS proj_var_ok
+            FROM (SELECT i, VAR_SAMP(CAST(x AS DOUBLE)) AS v
+                  FROM coords GROUP BY i)
+        """,
+        # DuckDB replays 4 exact power-iteration rounds: the graph is
+        # symmetric (no dangling nodes -> zero redistributed mass), the
+        # zero-weight self-loop rows keep every vertex present in each
+        # round so the iteration counter never goes NULL under the GROUP
+        # BY, and contributions divide by degree (r/deg, matching the
+        # engine's expression, not r * (1/deg)).
+        "graph_pagerank_oracle": """
+            WITH RECURSIVE und AS (
+                SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+                       'n' || CAST(c_nationkey AS VARCHAR) AS b
+                FROM customer
+                UNION ALL
+                SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                       'r' || CAST(n_regionkey AS VARCHAR)
+                FROM nation
+            ),
+            base_edges AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL
+                SELECT b AS u, a AS v FROM und
+            ),
+            nodes AS (SELECT DISTINCT u AS id FROM base_edges),
+            od AS (SELECT u, COUNT(*) AS deg FROM base_edges GROUP BY u),
+            wedges AS (
+                SELECT b.u, b.v, od.deg
+                FROM base_edges b JOIN od ON od.u = b.u
+                UNION ALL
+                SELECT id, id, NULL FROM nodes
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            it AS (
+                SELECT 0 AS k, id AS v, 1.0 / (SELECT n FROM nn) AS r
+                FROM nodes
+                UNION ALL
+                SELECT i.k + 1, e.v,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * SUM(CASE WHEN e.deg IS NULL THEN 0.0
+                                         ELSE i.r / e.deg END)
+                FROM it i JOIN wedges e ON e.u = i.v
+                WHERE i.k < 4
+                GROUP BY i.k, e.v
+            )
+            SELECT v AS vertex, ROUND(r, 6) AS rank
+            FROM it WHERE k = 4
+            ORDER BY vertex
+        """,
+        # DuckDB replays the exact Holt recursion: series bounded to 90
+        # points keeps the engine inside its lookback window, the CTE
+        # recurses on row_number with the same seed (level_1=x_1,
+        # trend_1=0) and the same double expressions, so values match
+        # bit-for-bit before the shared round(6).
+        "events_holt_bounded": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            bounded AS (
+                SELECT event_type, day, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY day) AS rn
+                FROM (SELECT *, MIN(day) OVER (PARTITION BY event_type) AS d0
+                      FROM daily)
+                WHERE day < d0 + 90
+            ),
+            rec AS (
+                SELECT event_type, day, rn,
+                       CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+                FROM bounded WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.day, d.rn,
+                       0.4 * d.n + 0.6 * (r.level + r.trend),
+                       0.2 * ((0.4 * d.n + 0.6 * (r.level + r.trend)) - r.level)
+                           + 0.8 * r.trend
+                FROM rec r
+                JOIN bounded d ON d.event_type = r.event_type AND d.rn = r.rn + 1
+            )
+            SELECT event_type, day,
+                   ROUND(level, 6) AS level,
+                   ROUND(trend, 6) AS trend,
+                   ROUND(level + 7 * trend, 6) AS forecast_7d
+            FROM rec
+            ORDER BY event_type, day
         """,
         # The windowFunnel greedy DP is existence-exact: level >= L iff an
         # in-sort-order chain step1..stepL exists with t_L - t_1 <= W (proof

@@ -788,6 +788,142 @@ def remove_repeated_passages(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 50,
+    keep: str | None = "first",
+) -> DataFrame:
+    """Exact repeated-SUBSTRING removal with SLIDING windows (the
+    suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", restated Spark-shaped): any run of
+    ``min_tokens``+ whitespace tokens that occurs 2+ times in the corpus
+    is cut out of every occurrence except (with ``keep='first'``) the
+    one with the globally smallest ``(doc_id, start)``.
+
+    Why this exists next to ``remove_repeated_passages``: fixed
+    non-overlapping chunks miss every duplicate that straddles a chunk
+    boundary and under-match shifted copies; overlapping L-token windows
+    catch ANY >=L-token repeat regardless of alignment — exactly the
+    boilerplate/license-header/mirror-page mass the Lee et al. pipeline
+    removes.  The price is L rows of window fan-out per token, which is
+    why passages stay the cheap first pass and spans are the thorough
+    one.
+
+    Algorithm (each step one shuffle or pure codegen):
+      1. normalize whitespace, split to tokens, fan out L-token windows
+         with their start index (higher-order functions + posexplode —
+         no Python);
+      2. ONE xxhash64-keyed aggregate finds windows with count >= 2 and,
+         for keep='first', the min (doc_id, start) occurrence (a single
+         ``min(struct(...))`` in the same aggregation);
+      3. dup keys join back (AQE broadcasts when the dup set is small);
+         the exempt occurrence is filtered out by position equality;
+      4. spans [start, start+L) merge per document with the classic
+         island scan (running max(end) over a doc-keyed window — state
+         O(1), ordering local to each document);
+      5. reconstruction is one groupBy(id): tokens re-indexed through
+         the merged-span list with array HOFs — a kept-first occurrence
+         swallowed by a LARGER removed span still dies, which is the
+         range-removal semantics of the original.
+
+    Returns ``id_col, text (cleaned), n_tokens, n_spans, n_removed``.
+    Documents with no duplicated span come back verbatim (modulo the
+    whitespace normalization).  Deterministic given the corpus.
+
+    Reference parity: nothing in awswrangler — training-pipeline
+    extension family (SURVEY.md §2.10).
+    """
+    if keep not in (None, "first"):
+        raise ValueError("keep must be 'first' or None")
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \\t\\n\\r]+", " "))
+    toks = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    )
+    n_tok = F.size("__toks")
+
+    # 1. sliding windows with start positions (0-based)
+    # sequence(0, -1) would read as a DESCENDING [0, -1] in Spark, so
+    # short documents must short-circuit to an empty window list
+    win_keys = F.when(
+        n_tok >= L,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - L),
+            lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, L), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = base.select("__id", F.posexplode(win_keys).alias("__start", "__wkey"))
+
+    # 2. duplicated windows (+ the exempt canonical occurrence)
+    dup = (
+        wins.groupBy("__wkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__id", "__start")).alias("__keep"),
+        )
+        .where(F.col("__n") >= 2)
+        .select("__wkey", "__keep")
+    )
+
+    # 3. removable occurrences -> raw spans
+    occ = wins.join(dup, "__wkey")
+    if keep == "first":
+        occ = occ.where(
+            ~(
+                (F.col("__id") == F.col("__keep.__id"))
+                & (F.col("__start") == F.col("__keep.__start"))
+            )
+        )
+    spans = occ.select(
+        "__id", F.col("__start").alias("__s"), (F.col("__start") + L).alias("__e")
+    )
+
+    # 4. island merge per document
+    w_doc = Window.partitionBy("__id").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        spans.withColumn(
+            "__new", F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__s", "__e"))).alias("__spans"))
+    )
+
+    # 5. reconstruction (docs without spans pass through the left join)
+    out = base.join(merged, "__id", "left")
+    spans_col = F.coalesce("__spans", F.array().cast("array<struct<__s:int,__e:int>>"))
+    kept = F.filter(
+        F.transform("__toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            spans_col, lambda sp: (x["i"] >= sp["__s"]) & (x["i"] < sp["__e"])
+        ),
+    )
+    removed = F.aggregate(
+        spans_col,
+        F.lit(0),
+        lambda acc, sp: acc + F.least(sp["__e"], F.size("__toks")) - sp["__s"],
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias(text_col),
+        F.size("__toks").alias("n_tokens"),
+        F.size(spans_col).alias("n_spans"),
+        removed.alias("n_removed"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "id",

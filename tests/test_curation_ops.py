@@ -570,3 +570,89 @@ def test_token_jaccard(spark):
     assert got[2] == 0.0
     assert got[3] is None                    # both empty: no evidence
     assert got[4] == 0.0
+
+
+# --------------------------------------------- repeated-SPAN removal (sliding)
+def test_remove_repeated_spans_boundary_straddling(spark):
+    """The case fixed chunking misses: a shared 4-token run placed at
+    DIFFERENT offsets in each doc; keep='first' leaves the canonical
+    (smallest doc_id, start) copy intact."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    shared = "lorem ipsum dolor sit"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b {shared} c d"),          # offset 2
+            (2, f"x {shared} y z w"),          # offset 1
+            (3, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(docs, min_tokens=4, keep="first").collect()
+    }
+    assert out[1].text == f"a b {shared} c d"      # canonical copy kept
+    assert out[1].n_spans == 0 and out[1].n_removed == 0
+    assert out[2].text == "x y z w"                # duplicate span cut
+    assert out[2].n_spans == 1 and out[2].n_removed == 4
+    assert out[3].text == "totally different words here entirely"
+
+
+def test_remove_repeated_spans_merges_overlaps(spark):
+    """Two docs sharing a 6-token run scanned with min_tokens=4: the
+    three overlapping windows on the dup side merge to ONE span covering
+    all 6 tokens (n_removed counts tokens, not windows)."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    run = "t1 t2 t3 t4 t5 t6"
+    docs = spark.createDataFrame(
+        [(1, f"p q {run}"), (2, f"{run} r s")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(docs, min_tokens=4, keep="first").collect()
+    }
+    kept_doc = 1 if out[1].n_removed == 0 else 2
+    cut_doc = 3 - kept_doc
+    assert out[cut_doc].n_spans == 1
+    assert out[cut_doc].n_removed == 6
+    assert run not in out[cut_doc].text
+
+
+def test_remove_repeated_spans_remove_all_and_short_docs(spark):
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup a dup b"),     # shorter than min_tokens -> untouched
+            (2, "same four token run"),
+            (3, "same four token run"),
+            (4, "  odd   spacing\tkept "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(docs, min_tokens=4, keep=None).collect()
+    }
+    # keep=None removes EVERY occurrence
+    assert out[2].text == "" and out[3].text == ""
+    assert out[2].n_removed == 4 and out[3].n_removed == 4
+    assert out[1].text == "dup a dup b" and out[1].n_spans == 0
+    assert out[4].text == "odd spacing kept"  # normalization only
+
+
+def test_remove_repeated_spans_within_one_doc(spark):
+    """A run repeated INSIDE one document: the first occurrence is the
+    canonical one, the second is cut."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    run = "w1 w2 w3 w4"
+    docs = spark.createDataFrame(
+        [(1, f"{run} mid {run}")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(docs, min_tokens=4).first()
+    assert r.text == f"{run} mid"
+    assert r.n_spans == 1 and r.n_removed == 4
