@@ -301,13 +301,17 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     tail_m = re.match(
         r"^(?:GROUP\s+BY\s+(?P<group>.+?))?"
         r"(?:\s*ORDER\s+BY\s+(?P<order>.+?))?"
+        # LIMIT and OFFSET are legal in either order in SPARQL
         r"(?:\s*LIMIT\s+(?P<limit>\d+))?"
-        r"(?:\s*OFFSET\s+(?P<offset>\d+))?\s*$",
+        r"(?:\s*OFFSET\s+(?P<offset>\d+))?"
+        r"(?:\s*LIMIT\s+(?P<limit2>\d+))?\s*$",
         tail,
         re.I | re.S,
     )
     if not tail_m:
         raise InvalidArgument(f"cannot parse SPARQL solution modifiers: {tail!r}")
+    if tail_m.group("limit") and tail_m.group("limit2"):
+        raise InvalidArgument("LIMIT given twice")
 
     pats, filters, optionals = _parse_group(where_body, prefixes)
     if not pats:
@@ -395,6 +399,7 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         cur = cur.orderBy(*sorts)
     if tail_m.group("offset"):
         cur = cur.offset(int(tail_m.group("offset")))
-    if tail_m.group("limit"):
-        cur = cur.limit(int(tail_m.group("limit")))
+    limit = tail_m.group("limit") or tail_m.group("limit2")
+    if limit:
+        cur = cur.limit(int(limit))
     return cur

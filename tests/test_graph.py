@@ -478,6 +478,11 @@ def test_sparql_distinct_limit_offset(foaf):
         "SELECT DISTINCT ?sw WHERE { ?p foaf:created ?sw } ORDER BY ?sw LIMIT 1 OFFSET 1"
     )
     assert [r.sw for r in _sp(foaf, q).collect()] == ["ripple"]
+    # SPARQL allows either modifier order
+    q2 = _P + (
+        "SELECT DISTINCT ?sw WHERE { ?p foaf:created ?sw } ORDER BY ?sw OFFSET 1 LIMIT 1"
+    )
+    assert [r.sw for r in _sp(foaf, q2).collect()] == ["ripple"]
 
 
 def test_sparql_star_and_iri_terms(foaf):

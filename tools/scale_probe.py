@@ -141,6 +141,17 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     chunk_documents(docs, chunk_words=16, overlap_words=4).count()
     timings["chunk_documents"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    # sliding-window span dedup: window fan-out is linear in token
+    # volume, the dup-set aggregate combines map-side, reconstruction
+    # broadcasts the (duplicate-bearing) span lists — the rotation keeps
+    # per-copy duplicate density constant, so removed volume grows
+    # linearly with the corpus
+    t0 = time.time()
+    remove_repeated_spans(docs, min_tokens=8).select(F.sum("n_removed")).collect()
+    timings["remove_repeated_spans"] = round(time.time() - t0, 2)
+
     from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
     from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
 
