@@ -4963,6 +4963,34 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino/Athena dialect translation under the hash gate
+    (sql_dialect.trino_to_spark_sql via read_sql_query(dialect='trino'),
+    reference: athena/_read.py — Athena's engine IS Trino, so this is
+    the SQL a reference user actually has): double-quoted identifiers,
+    date_diff('day', ...), TRY(CAST(..)), and strpos all rewritten and
+    executed; the oracle recomputes complete-day spans from epoch
+    arithmetic (DuckDB's own date_diff counts boundary crossings, not
+    complete periods — deliberately NOT used)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "trino_gate_events"
+    )
+    q = """
+        SELECT "event_type",
+               date_diff('day', MIN(ts), MAX(ts)) AS span_days,
+               TRY(CAST("event_type" AS BIGINT)) AS not_a_number,
+               SUM(strpos("event_type", 'i')) AS i_positions,
+               COUNT(*) AS n
+        FROM trino_gate_events
+        GROUP BY "event_type"
+        ORDER BY "event_type"
+    """
+    return read_sql_query(spark, q, dialect="trino")
+
+
 def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMR step execution under the hash gate (emr.py submit_spark_step,
     reference: emr.py:1093): a spark-submit step script — built by
@@ -5425,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_sparql_bgp": _q_sparql_bgp,
         "emr_spark_step_agg": _q_emr_spark_step,
+        "athena_trino_dialect": _q_trino_dialect,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
         "lakehouse_delete_cow": _q_lakehouse_delete,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
@@ -7216,6 +7245,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS level
             FROM (SELECT DISTINCT user_id FROM se) u
             ORDER BY u.user_id
+        """,
+        "athena_trino_dialect": """
+            SELECT event_type,
+                   CAST(floor((epoch(MAX(ts)) - epoch(MIN(ts))) / 86400) AS BIGINT)
+                       AS span_days,
+                   CAST(NULL AS BIGINT) AS not_a_number,
+                   SUM(strpos(event_type, 'i')) AS i_positions,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "emr_spark_step_agg": """
             SELECT o_orderpriority,

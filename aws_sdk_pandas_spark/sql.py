@@ -129,13 +129,28 @@ def read_sql_query(
     paramstyle: str = "named",
     max_cache_seconds: int = 0,
     chunksize: int = 0,
+    dialect: str = "spark",
 ) -> DataFrame | Any:
     """Run SQL on the engine (reference: athena/_read.py:951 — the whole
     CTAS/UNLOAD/CSV strategy dispatch is ``spark.sql``).
 
     ``chunksize`` returns an iterator of pandas DataFrames (the
     reference's ``chunksize`` contract) via ``toPandas`` batching.
+
+    ``dialect="trino"`` (alias ``"athena"``) translates the Trino-only
+    constructs the reference's Athena engine accepts — double-quoted
+    identifiers, ``date_diff('unit', ..)``, ``approx_distinct``,
+    ``TRY(CAST(..))``, ``CROSS JOIN UNNEST`` and friends — to Spark SQL
+    before execution (see ``sql_dialect.trino_to_spark_sql``).  Opt-in
+    per call because Trino's double-quoted *identifiers* are valid
+    Spark *string literals*: sniffing would silently change meaning.
     """
+    if dialect in ("trino", "athena", "presto"):
+        from aws_sdk_pandas_spark.sql_dialect import trino_to_spark_sql
+
+        sql = trino_to_spark_sql(sql)
+    elif dialect != "spark":
+        raise InvalidArgument("dialect must be 'spark', 'trino', 'athena', or 'presto'")
     cached = _cache.get(sql, max_cache_seconds)
     if cached is not None:
         df = cached

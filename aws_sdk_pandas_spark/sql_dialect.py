@@ -1,0 +1,254 @@
+"""Athena (Trino/Presto) SQL -> Spark SQL translation (reference:
+awswrangler/athena/_read.py ``read_sql_query`` — the reference ships the
+string to Athena, whose engine IS Trino; a reference user's query
+library is therefore written in the Trino dialect, and several of its
+everyday constructs do not parse or mean something else on Spark).
+
+``trino_to_spark_sql`` rewrites exactly the constructs that differ,
+leaving everything else byte-for-byte intact:
+
+==========================================  ================================
+Trino / Athena                              Spark SQL
+==========================================  ================================
+``"quoted"`` identifiers                    `` `quoted` `` (Trino double
+                                            quotes are ALWAYS identifiers;
+                                            Spark parses them as strings)
+``date_diff('unit', t1, t2)``               ``timestampdiff(UNIT, t1, t2)``
+``date_add('unit', n, t)``                  ``timestampadd(UNIT, n, t)``
+``approx_distinct(x[, e])``                 ``approx_count_distinct(x[, e])``
+``approx_percentile(x, p)``                 ``percentile_approx(x, p)``
+``arbitrary(x)``                            ``any_value(x)``
+``strpos(s, sub)``                          ``instr(s, sub)``
+``json_extract_scalar(j, p)``               ``get_json_object(j, p)``
+``json_extract(j, p)``                      ``get_json_object(j, p)``
+``from_iso8601_timestamp(s)``               ``to_timestamp(s)``
+``to_unixtime(t)``                          ``cast(t AS DOUBLE)``
+``day_of_week/day_of_year/week_of_year``    ``dayofweek/dayofyear/weekofyear``
+``TRY(CAST(x AS T))``                       ``TRY_CAST(x AS T)``
+``CROSS JOIN UNNEST(e) AS t (c)``           ``LATERAL VIEW explode(e) t AS c``
+``map_agg(k, v)``                           ``map_from_entries(collect_list(
+                                            struct(k, v)))``
+``zip(a, b)``                               ``arrays_zip(a, b)``
+==========================================  ================================
+
+Unsupported Trino constructs that have no mechanical Spark equivalent
+(``UNNEST ... WITH ORDINALITY``, multi-column ``UNNEST``, bare ``TRY``
+around a non-CAST expression) raise ``InvalidArgument`` with the manual
+rewrite to use — a loud error beats a silently different answer.
+
+Everything SHARED by the two dialects (lambdas ``x -> x + 1``,
+``transform/filter/reduce`` HOFs, ``element_at``, ``cardinality``,
+``split_part``, ``array_agg``, ``regexp_like``, ``||`` concat, interval
+literals) passes through untouched — the translator only ever fires on
+tokens that are not valid Spark to begin with, so applying it to a
+query that is already Spark SQL is a no-op by construction, with the
+single deliberate exception of double-quoted tokens (Trino: identifier,
+Spark: string) — which is why the dialect is OPT-IN per call
+(``read_sql_query(..., dialect="trino")``) rather than sniffed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_FN_RENAMES = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "strpos": "instr",
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "from_iso8601_timestamp": "to_timestamp",
+    "day_of_week": "dayofweek",
+    "day_of_year": "dayofyear",
+    "week_of_year": "weekofyear",
+}
+
+_UNITS = "millisecond|second|minute|hour|day|week|month|quarter|year"
+
+
+def _shield_strings(sql: str) -> tuple[str, list[str]]:
+    """Single-quoted literals -> placeholders ('' escape handled)."""
+    out: list[str] = []
+    lits: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            if j >= n:
+                raise InvalidArgument("unterminated string literal in SQL")
+            lits.append(sql[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), lits
+
+
+def _unshield(sql: str, lits: list[str]) -> str:
+    for i, lit in enumerate(lits):
+        sql = sql.replace(f"\x00{i}\x00", lit)
+    return sql
+
+
+def _find_close(s: str, open_pos: int) -> int:
+    """Position of the ')' matching the '(' at open_pos (strings already
+    shielded, so parens inside literals cannot mislead the scan)."""
+    depth = 0
+    for i in range(open_pos, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise InvalidArgument("unbalanced parentheses in SQL")
+
+
+def _rewrite_try_cast(s: str) -> str:
+    """TRY(CAST(x AS T)) -> TRY_CAST(x AS T); bare TRY(...) is refused
+    (Spark has no generic TRY)."""
+    while True:
+        m = re.search(r"\bTRY\s*\(", s, re.I)
+        if not m:
+            return s
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos].strip()
+        im = re.match(r"^CAST\s*\(", inner, re.I)
+        if not im:
+            raise InvalidArgument(
+                "TRY(expr) has no generic Spark equivalent; rewrite with "
+                "try_cast/try_divide/try_add or a CASE guard "
+                f"(saw: TRY({inner[:60]}...))"
+            )
+        cast_open = inner.index("(", im.start())
+        cast_close = _find_close(inner, cast_open)
+        if inner[cast_close + 1 :].strip():
+            raise InvalidArgument(
+                "TRY(CAST(..) <more>) is not a plain TRY(CAST(..)); "
+                "rewrite manually"
+            )
+        s = s[: m.start()] + "TRY_CAST" + inner[cast_open:] + s[close_pos + 1 :]
+
+
+def _rewrite_unnest(s: str) -> str:
+    """CROSS JOIN UNNEST(expr) AS t (c) -> LATERAL VIEW explode(expr) t AS c."""
+    if re.search(r"\bUNNEST\s*\([^)]*\)\s*WITH\s+ORDINALITY", s, re.I):
+        raise InvalidArgument(
+            "UNNEST ... WITH ORDINALITY is 1-based-trailing in Trino and has "
+            "no mechanical Spark rewrite; use posexplode(...) manually"
+        )
+    while True:
+        m = re.search(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", s, re.I)
+        if not m:
+            return s
+        open_pos = s.index("(", m.end() - 1)
+        close_pos = _find_close(s, open_pos)
+        expr = s[open_pos + 1 : close_pos]
+        tail = s[close_pos + 1 :]
+        tm = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*(,[^)]*)?\)", tail, re.I)
+        if not tm:
+            raise InvalidArgument(
+                "CROSS JOIN UNNEST requires an alias: ... AS t (col)"
+            )
+        if tm.group(3):
+            raise InvalidArgument(
+                "multi-column UNNEST (zip semantics in Trino) has no single "
+                "Spark explode; use arrays_zip + explode manually"
+            )
+        alias, col = tm.group(1), tm.group(2)
+        s = (
+            s[: m.start()]
+            + f"LATERAL VIEW explode({expr}) {alias} AS {col}"
+            + tail[tm.end() :]
+        )
+
+
+def trino_to_spark_sql(sql: str) -> str:
+    """Translate the Trino-only constructs in ``sql`` to Spark SQL (see
+    module docstring for the exact table)."""
+    s, lits = _shield_strings(sql)
+
+    # double-quoted tokens are identifiers in Trino, strings in Spark
+    def _ident(m: re.Match) -> str:
+        return "`" + m.group(1).replace('""', '"') + "`"
+
+    s = re.sub(r'"((?:[^"]|"")*)"', _ident, s)
+
+    # date_diff('unit', a, b) / date_add('unit', n, t): the unit string
+    # is a shielded literal — resolve it back to decide the rewrite
+    def _unit_call(fn_out: str):
+        def _sub(m: re.Match) -> str:
+            lit = lits[int(m.group(1))]
+            unit = lit[1:-1].strip().lower()
+            if not re.fullmatch(_UNITS, unit):
+                raise InvalidArgument(f"unsupported {fn_out} unit {lit}")
+            return f"{fn_out}({unit.upper()},"
+
+        return _sub
+
+    s = re.sub(r"\bdate_diff\s*\(\s*\x00(\d+)\x00\s*,", _unit_call("timestampdiff"), s, flags=re.I)
+    s = re.sub(r"\bdate_add\s*\(\s*\x00(\d+)\x00\s*,", _unit_call("timestampadd"), s, flags=re.I)
+
+    for old, new in _FN_RENAMES.items():
+        s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.I)
+
+    # map_agg(k, v) -> map_from_entries(collect_list(struct(k, v)));
+    # the two arguments split at the top-level comma
+    while True:
+        m = re.search(r"\bmap_agg\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        depth = 0
+        split = -1
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                split = i
+                break
+        if split < 0:
+            raise InvalidArgument("map_agg needs two arguments")
+        k, v = inner[:split].strip(), inner[split + 1 :].strip()
+        s = (
+            s[: m.start()]
+            + f"map_from_entries(collect_list(struct({k}, {v})))"
+            + s[close_pos + 1 :]
+        )
+
+    # Trino zip(a, b, ...) -> arrays_zip (no Spark function named zip,
+    # so the rewrite cannot collide)
+    s = re.sub(r"\bzip\s*\(", "arrays_zip(", s, flags=re.I)
+
+    # to_unixtime(t) -> cast(t AS DOUBLE) (Trino keeps sub-second
+    # fraction; Spark's unix_timestamp() truncates, the cast does not)
+    while True:
+        m = re.search(r"\bto_unixtime\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        s = s[: m.start()] + f"CAST({inner} AS DOUBLE)" + s[close_pos + 1 :]
+
+    s = _rewrite_try_cast(s)
+    s = _rewrite_unnest(s)
+    return _unshield(s, lits)

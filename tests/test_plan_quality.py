@@ -541,3 +541,40 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_left")
         spark.sql("DROP TABLE IF EXISTS bq_right")
+
+
+def test_repeated_spans_jvm_only_and_broadcast_reconstruction(spark, sf_dir):
+    """Sliding-window span dedup stays entirely JVM-side (window fan-out,
+    dup aggregate, island merge, reconstruction are HOFs/windows/aggs —
+    no Python evaluators), and the merged-span side of the
+    reconstruction join broadcasts so the corpus never reshuffles."""
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = remove_repeated_spans(docs, min_tokens=8)
+    df.count()  # AQE finalizes join strategies at runtime
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # span lists broadcast back
+
+
+def test_sparql_bgp_constant_pushdown_no_cartesian(spark):
+    """Every constant in a triple pattern becomes a pushed filter on the
+    triples scan; shared-variable joins are hash joins, and a connected
+    BGP never degenerates to a product."""
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    triples = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"), ("a", "age", "29")],
+        "s string, p string, o string",
+    )
+    df = compile_sparql(
+        "SELECT ?x ?z WHERE { ?x <knows> ?y . ?y <knows> ?z . }", triples
+    )
+    plan = _plan(df)
+    opt = _optimized(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert opt.count("knows") >= 2  # both constants pushed into scans

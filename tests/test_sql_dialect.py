@@ -1,0 +1,98 @@
+"""Trino/Athena -> Spark SQL translation (sql_dialect.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+from aws_sdk_pandas_spark.sql_dialect import trino_to_spark_sql as tx
+
+
+def test_double_quoted_identifiers_and_string_shield():
+    assert tx('SELECT "order" FROM t WHERE x = \'a "quoted" str\'') == (
+        "SELECT `order` FROM t WHERE x = 'a \"quoted\" str'"
+    )
+    # doubled "" inside a Trino identifier is a literal quote char
+    assert tx('SELECT "we""ird" FROM t') == 'SELECT `we"ird` FROM t'
+
+
+def test_date_diff_and_date_add():
+    assert tx("SELECT date_diff('day', a, b) FROM t") == (
+        "SELECT timestampdiff(DAY, a, b) FROM t"
+    )
+    assert tx("SELECT DATE_ADD('hour', 3, ts) FROM t") == (
+        "SELECT timestampadd(HOUR, 3, ts) FROM t"
+    )
+    # Spark's own 2-arg date_add(date, n) must NOT be rewritten
+    assert tx("SELECT date_add(d, 7) FROM t") == "SELECT date_add(d, 7) FROM t"
+    with pytest.raises(InvalidArgument, match="unit"):
+        tx("SELECT date_diff('fortnight', a, b) FROM t")
+
+
+def test_function_renames():
+    assert tx("SELECT approx_distinct(x), approx_percentile(v, 0.5) FROM t") == (
+        "SELECT approx_count_distinct(x), percentile_approx(v, 0.5) FROM t"
+    )
+    assert tx("SELECT arbitrary(x), strpos(s, 'q') FROM t") == (
+        "SELECT any_value(x), instr(s, 'q') FROM t"
+    )
+    assert tx("SELECT json_extract_scalar(j, '$.k') FROM t") == (
+        "SELECT get_json_object(j, '$.k') FROM t"
+    )
+    assert tx("SELECT to_unixtime(ts) + 1 FROM t") == (
+        "SELECT CAST(ts AS DOUBLE) + 1 FROM t"
+    )
+
+
+def test_try_cast_and_bare_try():
+    assert tx("SELECT TRY(CAST(x AS BIGINT)) FROM t") == (
+        "SELECT TRY_CAST(x AS BIGINT) FROM t"
+    )
+    with pytest.raises(InvalidArgument, match="no generic Spark"):
+        tx("SELECT TRY(1 / x) FROM t")
+
+
+def test_unnest_rewrites_and_refusals():
+    got = tx("SELECT c FROM t CROSS JOIN UNNEST(arr) AS u (c)")
+    assert got == "SELECT c FROM t LATERAL VIEW explode(arr) u AS c"
+    with pytest.raises(InvalidArgument, match="ORDINALITY"):
+        tx("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
+    with pytest.raises(InvalidArgument, match="multi-column"):
+        tx("SELECT * FROM t CROSS JOIN UNNEST(a) AS u(x, y)")
+
+
+def test_map_agg_and_zip():
+    assert tx("SELECT map_agg(k, v + 1) FROM t GROUP BY g") == (
+        "SELECT map_from_entries(collect_list(struct(k, v + 1))) FROM t GROUP BY g"
+    )
+    assert tx("SELECT zip(a, b) FROM t") == "SELECT arrays_zip(a, b) FROM t"
+
+
+def test_spark_sql_is_untouched():
+    q = ("SELECT transform(a, x -> x + 1), element_at(m, 'k'), split_part(s, ',', 2), "
+         "cardinality(a), regexp_like(s, 'p'), date_diff(b, a) FROM t WHERE s = 'it''s'")
+    assert tx(q) == q
+
+
+def test_executes_on_spark(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-03 12:00:00", 10.0),
+         (2, "2024-01-01 00:00:00", "2024-01-08 00:00:00", 30.0)],
+        "id int, t1 string, t2 string, v double",
+    ).selectExpr("id", "cast(t1 as timestamp) t1", "cast(t2 as timestamp) t2", "v") \
+     .createOrReplaceTempView("trino_tv")
+    q = """
+        SELECT "id",
+               date_diff('day', t1, t2) AS days,
+               TRY(CAST('x' AS BIGINT)) AS bad,
+               approx_distinct(v) AS nv
+        FROM trino_tv
+        GROUP BY "id", t1, t2
+        ORDER BY "id"
+    """
+    rows = read_sql_query(spark, q, dialect="trino").collect()
+    assert [(r.id, r.days, r.bad) for r in rows] == [(1, 2, None), (2, 7, None)]
+    with pytest.raises(InvalidArgument, match="dialect"):
+        read_sql_query(spark, "SELECT 1", dialect="duckdb")
