@@ -3964,6 +3964,42 @@ def _q_eval_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_eval_isotonic_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration under a REAL hash oracle — companion to the
+    rows-only eval_isotonic_calibrated: scores round to 4 decimals so
+    the tie-block structure is bit-robust across engines, and DuckDB
+    computes the UNIQUE isotonic L2 solution from the minimax
+    characterization fitted[i] = max_{j<=i} min_{k>=i} wmean(y[j..k])
+    (prefix sums + one suffix-min + one group-max over the O(n^2) pair
+    grid — n is DISTINCT rounded scores, bounded by 10^4+1 regardless
+    of corpus size).  MLlib's distributed PAVA must land on the same
+    block values; prediction at a training score is the block value
+    exactly (interpolating between equal boundary predictions)."""
+    from aws_sdk_pandas_spark.operators.evaluation import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    # BINARY quantization floor(x*4096+0.5)/4096 instead of decimal
+    # round(): the corpus scores are decimal-ish rationals that land
+    # EXACTLY on .00005 decimal midpoints, where Spark's HALF_UP,
+    # DuckDB's ROUND, and 1-ulp raw-bit differences all disagree
+    # (observed, 3 docs at sf0.01); power-of-two scaling is exact in
+    # floating point and its midpoints (odd multiples of 2^-13) never
+    # coincide with decimal-valued data
+    scored = _eval_scored(spark, sf_dir).select(
+        "doc_id",
+        (F.floor(F.col("score") * 4096 + F.lit(0.5)) / 4096.0).alias("score"),
+        "label",
+    )
+    model = fit_isotonic(scored, score_col="score", label_col="label")
+    return (
+        apply_isotonic(scored, model, score_col="score")
+        .select("doc_id", "score", F.round("calibrated", 6).alias("calibrated"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-identification risk gate (dq.k_anonymity): equivalence
     classes over (nation, segment) quasi-identifiers in one map-side
@@ -5610,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": _q_holt_winters,
         "events_holt_bounded": _q_holt_bounded,
         "eval_isotonic_calibrated": _q_eval_isotonic,
+        "eval_isotonic_oracle": _q_eval_isotonic_oracle,
         "dedup_semantic": _q_semantic_dedup,
         "emb_knn_pq": _q_knn_pq,
         "emb_knn_ivf_pq": _q_knn_ivf_pq,
@@ -6006,6 +6043,66 @@ def oracle_sql() -> dict[str, str]:
                          (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
             FROM feat
             ORDER BY doc_id
+        """,
+        # the unique isotonic L2 solution from the minimax formula
+        # fitted[i] = max_{{j<=i}} min_{{k>=i}} wmean(y[j..k]) over the
+        # distinct-rounded-score blocks — prefix sums make each pair
+        # mean one exact ratio, a suffix-min and a group-max finish it;
+        # MLlib's distributed PAVA must land on the same block values
+        "eval_isotonic_oracle": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       length(text) AS n,
+                       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+                       {toks} AS toks
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, lang,
+                       LEAST(n / 500.0, 1.0) AS length_score,
+                       1.0 - LEAST((CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+                       LEAST((CASE WHEN len(toks) > 0
+                              THEN len(list_filter(toks, t -> list_contains({stop_en}, t))) / CAST(len(toks) AS DOUBLE)
+                              ELSE 0.0 END) * 5.0, 1.0) AS stop_score,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mwl
+                FROM base
+            ), scored AS (
+                SELECT doc_id,
+                       -- quality_score itself rounds to 6 decimals in the
+                       -- engine; mirror before the binary quantization
+                       FLOOR(ROUND(length_score * 0.3 + punct_score * 0.2 + stop_score * 0.3 +
+                              (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6)
+                             * 4096 + 0.5) / 4096.0 AS score,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+                FROM feat
+            ), blocks AS (
+                SELECT score, CAST(SUM(label) AS DOUBLE) AS sy,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM scored GROUP BY score
+            ), pre AS (
+                SELECT score, sy, w,
+                       ROW_NUMBER() OVER (ORDER BY score) AS rn,
+                       SUM(sy) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cs,
+                       SUM(w) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cw
+                FROM blocks
+            ), pairs AS (
+                SELECT j.rn AS jr, k.rn AS kr,
+                       (k.cs - j.cs + j.sy) / (k.cw - j.cw + j.w) AS a
+                FROM pre j JOIN pre k ON k.rn >= j.rn
+            ), sufmin AS (
+                SELECT jr, kr,
+                       MIN(a) OVER (PARTITION BY jr ORDER BY kr DESC
+                                    ROWS UNBOUNDED PRECEDING) AS b
+                FROM pairs
+            ), fitted AS (
+                SELECT kr AS rn, MAX(b) AS f FROM sufmin GROUP BY kr
+            )
+            SELECT s.doc_id, s.score, ROUND(f.f, 6) AS calibrated
+            FROM scored s
+            JOIN pre p ON p.score = s.score
+            JOIN fitted f ON f.rn = p.rn
+            ORDER BY s.doc_id
         """,
         "doc_language_id": f"""
             WITH tok AS (

@@ -372,7 +372,11 @@ def _run_spark_submit(argv: list[str], step: dict[str, Any]) -> None:
     sys.argv = [script] + list(script_args)
     SparkSession.stop = lambda self: None  # a step must not kill the cluster
     try:
-        runpy.run_path(script, run_name="__main__")
+        try:
+            runpy.run_path(script, run_name="__main__")
+        except SystemExit as exc:  # sys.exit(0) is a normal script ending
+            if exc.code not in (None, 0):
+                raise RuntimeError(f"script exited with code {exc.code}") from exc
         step["state"] = "COMPLETED"
     finally:
         sys.argv = old_argv

@@ -203,6 +203,23 @@ def trino_to_spark_sql(sql: str) -> str:
     s = re.sub(r"\bdate_diff\s*\(\s*\x00(\d+)\x00\s*,", _unit_call("timestampdiff"), s, flags=re.I)
     s = re.sub(r"\bdate_add\s*\(\s*\x00(\d+)\x00\s*,", _unit_call("timestampadd"), s, flags=re.I)
 
+    # Trino's 3-arg approx_percentile(x, WEIGHT, p) must not silently
+    # become Spark's (col, percentage, ACCURACY) — different semantics
+    for m in re.finditer(r"\bapprox_percentile\s*\(", s, flags=re.I):
+        open_pos = s.index("(", m.start())
+        inner = s[open_pos + 1 : _find_close(s, open_pos)]
+        depth = 0
+        commas = 0
+        for c in inner:
+            depth += c == "("
+            depth -= c == ")"
+            commas += c == "," and depth == 0
+        if commas >= 2:
+            raise InvalidArgument(
+                "3-arg approx_percentile(x, weight, p) is weighted in Trino "
+                "but (col, p, accuracy) in Spark; rewrite manually"
+            )
+
     for old, new in _FN_RENAMES.items():
         s = re.sub(rf"\b{old}\s*\(", f"{new}(", s, flags=re.I)
 

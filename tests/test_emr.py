@@ -110,6 +110,21 @@ def test_spark_step_executes_on_live_session(spark, tmp_path):
     assert (row.s, row.n) == (45, 10)
 
 
+def test_spark_step_sys_exit_semantics(spark, tmp_path):
+    """sys.exit(0) is a normal script ending; a nonzero exit fails the
+    step without killing the submitter."""
+    ok = tmp_path / "ok.py"
+    ok.write_text("import sys\nsys.exit(0)\n")
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys\nsys.exit(3)\n")
+    cid = emr.create_cluster(cluster_name="exits")
+    s1 = emr.submit_spark_step(cid, str(ok))
+    assert emr.get_step_state(cid, s1) == "COMPLETED"
+    s2 = emr.submit_spark_step(cid, str(bad))
+    assert emr.get_step_state(cid, s2) == "FAILED"
+    assert "code 3" in emr.describe_step(cid, s2)["stderr"]
+
+
 def test_emr_serverless_application_and_spark_job(spark, tmp_path):
     app_id = emr_serverless.create_application(
         "my-app", "emr-6.10.0", initial_capacity={"DRIVER": {"workerCount": 1}},

@@ -61,6 +61,14 @@ def test_unnest_rewrites_and_refusals():
         tx("SELECT * FROM t CROSS JOIN UNNEST(a) AS u(x, y)")
 
 
+def test_weighted_approx_percentile_refused():
+    assert tx("SELECT approx_percentile(v, 0.5) FROM t") == (
+        "SELECT percentile_approx(v, 0.5) FROM t"
+    )
+    with pytest.raises(InvalidArgument, match="weighted"):
+        tx("SELECT approx_percentile(v, w, 0.5) FROM t")
+
+
 def test_map_agg_and_zip():
     assert tx("SELECT map_agg(k, v + 1) FROM t GROUP BY g") == (
         "SELECT map_from_entries(collect_list(struct(k, v + 1))) FROM t GROUP BY g"
