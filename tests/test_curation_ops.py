@@ -656,3 +656,70 @@ def test_remove_repeated_spans_within_one_doc(spark):
     r = remove_repeated_spans(docs, min_tokens=4).first()
     assert r.text == f"{run} mid"
     assert r.n_spans == 1 and r.n_removed == 4
+
+
+def test_remove_repeated_spans_matches_serial_replication(spark):
+    """Randomized corpora over a tiny alphabet (duplicate-dense by
+    construction): the distributed pipeline must equal a serial Python
+    replication of the whole algorithm — windows, keep-first exemption,
+    island merge, reconstruction — doc for doc."""
+    import random
+
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    def serial(docs, L, keep):
+        toks = {}
+        for i, t in docs:
+            t2 = " ".join(t.split())
+            toks[i] = t2.split(" ") if t2 else []
+        groups = {}
+        for i in sorted(toks):
+            tk = toks[i]
+            for s0 in range(0, len(tk) - L + 1):
+                groups.setdefault(" ".join(tk[s0 : s0 + L]), []).append((i, s0))
+        spans = {i: [] for i in toks}
+        for occ in groups.values():
+            if len(occ) >= 2:
+                exempt = min(occ) if keep == "first" else None
+                for o in occ:
+                    if o != exempt:
+                        spans[o[0]].append((o[1], o[1] + L))
+        out = {}
+        for i, tk in toks.items():
+            merged = []
+            for s0, e0 in sorted(spans[i]):
+                if merged and s0 <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e0))
+                else:
+                    merged.append((s0, e0))
+            kept = [
+                t
+                for j, t in enumerate(tk)
+                if not any(s0 <= j < e0 for s0, e0 in merged)
+            ]
+            out[i] = (
+                " ".join(kept),
+                len(tk),
+                len(merged),
+                sum(e0 - s0 for s0, e0 in merged),
+            )
+        return out
+
+    rng = random.Random(7)
+    words = list("abcde")
+    for trial in range(8):
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+            for i in range(rng.randint(2, 8))
+        ]
+        keep = "first" if trial % 2 == 0 else None
+        L = rng.choice([2, 3])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_spans, r.n_removed)
+            for r in remove_repeated_spans(
+                df, min_tokens=L, keep=keep
+            ).collect()
+        }
+        want = serial(docs, L, keep)
+        assert got == want, f"trial {trial} L={L} keep={keep}\ndocs={docs}"

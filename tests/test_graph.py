@@ -518,3 +518,81 @@ def test_sparql_roundtrip_through_graph_root(spark, foaf, tmp_path):
     client = neptune.connect(root)
     q = _P + "SELECT (COUNT(*) AS ?n) WHERE { ?s foaf:created ?o }"
     assert neptune.execute_sparql(client, q, spark=spark).first().n == 4
+
+
+# ---------------------------------------------------------------------------
+# SPARQL property test: the compiler's BGP semantics equal a naive
+# backtracking evaluator (bag semantics) on random triple sets.
+# ---------------------------------------------------------------------------
+
+
+def _naive_bgp(triples, patterns, var_order):
+    sols = [dict()]
+    for s, p, o in patterns:
+        nxt = []
+        for binding in sols:
+            for ts, tp, to in triples:
+                b2 = dict(binding)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in b2 and b2[v] != val:
+                            ok = False
+                            break
+                        b2[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b2)
+        sols = nxt
+    return sorted(tuple(b[v] for v in var_order) for b in sols)
+
+
+def test_sparql_bgp_matches_naive_evaluator(spark):
+    """Randomized BGPs over randomized triple bags: the compiled joins
+    must reproduce the naive evaluator's solution MULTISET exactly —
+    multiplicities included (duplicate triples bind twice)."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    rng = random.Random(20260815)
+    nodes = ["x", "y", "z", "w"]
+    preds = ["p", "q"]
+    for trial in range(12):
+        triples = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(1, 14))
+        ]
+        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        n_pat = rng.randint(1, 3)
+        vars_pool = ["?a", "?b", "?c"]
+        patterns = []
+        for _ in range(n_pat):
+            terms = []
+            for pos in range(3):
+                if rng.random() < 0.55:
+                    terms.append(rng.choice(vars_pool))
+                else:
+                    terms.append(rng.choice(preds if pos == 1 else nodes))
+            patterns.append(tuple(terms))
+        var_order = sorted(
+            {t[1:] for pat in patterns for t in pat if t.startswith("?")}
+        )
+        if not var_order:
+            continue
+        q = (
+            "SELECT "
+            + " ".join(f"?{v}" for v in var_order)
+            + " WHERE { "
+            + " . ".join(
+                " ".join(t if t.startswith("?") else f"<{t}>" for t in pat)
+                for pat in patterns
+            )
+            + " }"
+        )
+        got = sorted(tuple(r) for r in compile_sparql(q, tdf).collect())
+        want = _naive_bgp(triples, patterns, var_order)
+        assert got == want, f"trial {trial}: {q!r}\n triples={triples}"
