@@ -5027,6 +5027,35 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION under the hash gate: two segment branches fused by
+    unionByName then joined to the nation hop — the oracle is the
+    relational IN-filter join, so branch duplication/NULL-fill bugs in
+    the union path hash-mismatch."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    triples = cust.select(
+        c_id.alias("s"), F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"),
+    ).unionByName(
+        cust.select(c_id.alias("s"), F.lit("segment").alias("p"),
+                    F.col("c_mktsegment").alias("o"))
+    )
+    q = """
+        SELECT ?n (COUNT(?c) AS ?n_customers)
+        WHERE {
+            { ?c <segment> "BUILDING" } UNION { ?c <segment> "MACHINERY" }
+            . ?c <in_nation> ?n .
+        }
+        GROUP BY ?n
+        ORDER BY ?n
+    """
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
 def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMR step execution under the hash gate (emr.py submit_spark_step,
     reference: emr.py:1093): a spark-submit step script — built by
@@ -5488,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_sparql_bgp": _q_sparql_bgp,
+        "graph_sparql_union": _q_sparql_union,
         "emr_spark_step_agg": _q_emr_spark_step,
         "athena_trino_dialect": _q_trino_dialect,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -7362,6 +7392,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "graph_sparql_union": """
+            SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS n,
+                   COUNT(*) AS n_customers
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_nationkey
+            ORDER BY n
         """,
         "graph_sparql_bgp": """
             SELECT c.c_mktsegment AS seg, r.r_name AS rname,

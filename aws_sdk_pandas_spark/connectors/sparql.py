@@ -14,6 +14,10 @@ Supported grammar::
         subject p1 o1 ; p2 o2 .              (predicate-object lists)
         FILTER( <expr over ?vars> )
         OPTIONAL { triple patterns }         (left join on shared vars)
+        { patterns [FILTER] } UNION { ... }  (branches must bind the
+                                             same variables; compiled to
+                                             unionByName, then joined to
+                                             the rest on shared vars)
     }
     [GROUP BY ?a ?b] [ORDER BY [ASC|DESC](?x) ...] [LIMIT n] [OFFSET m]
 
@@ -127,10 +131,12 @@ def _parse_term(s: str, pos: int, prefixes: dict[str, str]) -> tuple[_Term, int]
 
 
 def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True):
-    """WHERE-group body -> (triple patterns, filters, optional groups)."""
+    """WHERE-group body -> (triple patterns, filters, optional groups,
+    union blocks — each a list of branch (triples, filters) pairs)."""
     triples: list[tuple[_Term, _Term, _Term]] = []
     filters: list[str] = []
     optionals: list[list[tuple[_Term, _Term, _Term]]] = []
+    unions: list[list[tuple[list, list]]] = []
     pos = 0
     n = len(body)
     while pos < n:
@@ -150,11 +156,43 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 raise InvalidArgument("nested OPTIONAL is not supported")
             p0 = body.index("{", pos)
             end = _balanced(body, p0, "{", "}")
-            t, f, o = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
-            if f or o:
+            t, f, o, u = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o or u:
                 raise InvalidArgument("OPTIONAL groups support triple patterns only")
             optionals.append(t)
             pos = end
+            continue
+        if body[pos] == "{":
+            # { branch } UNION { branch } [UNION { branch } ...]
+            if not allow_blocks:
+                raise InvalidArgument("nested group blocks are not supported")
+            branches: list[tuple[list, list]] = []
+            while True:
+                end = _balanced(body, pos, "{", "}")
+                t, f, o, u = _parse_group(
+                    body[pos + 1 : end - 1], prefixes, allow_blocks=False
+                )
+                if o or u:
+                    raise InvalidArgument(
+                        "UNION branches support triple patterns and FILTER only"
+                    )
+                branches.append((t, f))
+                pos = end
+                while pos < n and body[pos] in " \t\r\n":
+                    pos += 1
+                um = re.match(r"UNION\b", body[pos:], re.I)
+                if not um:
+                    break
+                pos += um.end()
+                while pos < n and body[pos] in " \t\r\n":
+                    pos += 1
+                if pos >= n or body[pos] != "{":
+                    raise InvalidArgument("UNION must be followed by a { group }")
+            if len(branches) < 2:
+                raise InvalidArgument(
+                    "a bare { group } needs a UNION continuation"
+                )
+            unions.append(branches)
             continue
         s_term, pos = _parse_term(body, pos, prefixes)
         while True:
@@ -167,7 +205,7 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 pos += 1
                 continue
             break
-    return triples, filters, optionals
+    return triples, filters, optionals, unions
 
 
 def _pattern_frame(
@@ -313,10 +351,57 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     if tail_m.group("limit") and tail_m.group("limit2"):
         raise InvalidArgument("LIMIT given twice")
 
-    pats, filters, optionals = _parse_group(where_body, prefixes)
-    if not pats:
+    pats, filters, optionals, unions = _parse_group(where_body, prefixes)
+    if not pats and not unions:
         raise InvalidArgument("WHERE must contain at least one triple pattern")
-    cur, bound = _join_patterns([_pattern_frame(triples, p) for p in pats])
+
+    def _branch_frame(branch) -> tuple[DataFrame, list[str]]:
+        b_pats, b_filters = branch
+        if not b_pats:
+            raise InvalidArgument("a UNION branch needs a triple pattern")
+        bdf, bvars = _join_patterns([_pattern_frame(triples, p) for p in b_pats])
+        for f_expr in b_filters:
+            bdf = bdf.where(F.expr(_translate_filter(f_expr)))
+        return bdf, bvars
+
+    frames = [_pattern_frame(triples, p) for p in pats]
+    union_frames = []
+    for branches in unions:
+        compiled = [_branch_frame(b) for b in branches]
+        all_vars = sorted({v for _df, vs in compiled for v in vs})
+        common = set(all_vars)
+        for _df, vs in compiled:
+            common &= set(vs)
+        udf = compiled[0][0]
+        for bdf, _v in compiled[1:]:
+            udf = udf.unionByName(bdf, allowMissingColumns=True)
+        udf = udf.select(*all_vars)
+        union_frames.append((udf, all_vars, common))
+
+    # a var bound in only SOME branches is NULL (SPARQL's unbound) in the
+    # others; joining such a var to other patterns would need SPARQL's
+    # unbound-compatible join, which a plain equi-join is not — refuse
+    # loudly instead of answering differently
+    for i, (_udf, all_vars, common) in enumerate(union_frames):
+        partial = set(all_vars) - common
+        if not partial:
+            continue
+        elsewhere = {v for _df, vs in frames for v in vs}
+        for j, (_u2, vs2, _c2) in enumerate(union_frames):
+            if j != i:
+                elsewhere |= set(vs2)
+        for opt in optionals:
+            for pat in opt:
+                elsewhere |= {t.value for t in pat if t.kind == "var"}
+        clash = partial & elsewhere
+        if clash:
+            raise InvalidArgument(
+                f"variables {sorted(clash)} are bound in only some UNION "
+                "branches but joined elsewhere; SPARQL's unbound-compatible "
+                "join is not supported — bind them in every branch"
+            )
+    frames += [(udf, all_vars) for udf, all_vars, _c in union_frames]
+    cur, bound = _join_patterns(frames)
     for opt in optionals:
         odf, ovars = _join_patterns([_pattern_frame(triples, p) for p in opt])
         shared = [v for v in ovars if v in bound]

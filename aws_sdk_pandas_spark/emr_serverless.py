@@ -103,6 +103,19 @@ def describe_application(application_id: str) -> dict[str, Any]:
     return _app(application_id)["request"]
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a HiveQL script on ``;`` with string literals shielded — a
+    semicolon inside ``'a;b'`` is data, not a statement boundary."""
+    from aws_sdk_pandas_spark.sql_dialect import _shield_strings, _unshield
+
+    shielded, lits = _shield_strings(text)
+    return [
+        _unshield(part, lits)
+        for part in shielded.split(";")
+        if _unshield(part, lits).strip()
+    ]
+
+
 def _run_hive(job: dict[str, Any], driver: dict[str, Any]) -> None:
     from pyspark.sql import SparkSession
 
@@ -112,9 +125,8 @@ def _run_hive(job: dict[str, Any], driver: dict[str, Any]) -> None:
     path = driver["query"]
     with open(path.removeprefix("file://")) as fh:
         text = fh.read()
-    for stmt in text.split(";"):
-        if stmt.strip():
-            spark.sql(stmt)
+    for stmt in _split_statements(text):
+        spark.sql(stmt)
     job["state"] = "SUCCESS"
 
 

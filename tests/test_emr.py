@@ -166,3 +166,11 @@ def test_emr_serverless_hive_job(spark, tmp_path):
     resp = emr_serverless.run_job(app_id, "role", {"query": str(sql)}, job_type="Hive")
     assert resp["jobRun"]["state"] == "SUCCESS"
     assert spark.table("emrless_tv2").first().y == 43
+    # a semicolon inside a string literal is data, not a boundary
+    sql2 = tmp_path / "q2.sql"
+    sql2.write_text(
+        "CREATE OR REPLACE TEMPORARY VIEW emrless_tv3 AS SELECT 'a;b' AS s;\n"
+    )
+    resp = emr_serverless.run_job(app_id, "role", {"query": str(sql2)}, job_type="Hive")
+    assert resp["jobRun"]["state"] == "SUCCESS"
+    assert spark.table("emrless_tv3").first().s == "a;b"

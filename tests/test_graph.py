@@ -491,6 +491,45 @@ def test_sparql_star_and_iri_terms(foaf):
     assert rows == [("marko", "josh"), ("marko", "vadas")]
 
 
+def test_sparql_union(foaf):
+    q = _P + (
+        "SELECT ?n WHERE { "
+        '  { ?m foaf:name "marko" . ?m foaf:knows ?p . ?p foaf:name ?n } '
+        "  UNION "
+        '  { ?p foaf:created "lop" . ?p foaf:name ?n . FILTER(?n != \'marko\') } '
+        "} ORDER BY ?n"
+    )
+    assert [r.n for r in _sp(foaf, q).collect()] == ["josh", "josh", "peter", "vadas"]
+    # a union block joins back to outer patterns on shared vars
+    q2 = _P + (
+        "SELECT ?n ?a WHERE { "
+        "  { ?p foaf:knows ?q } UNION { ?q foaf:knows ?p } "
+        "  . ?p foaf:name ?n . ?p foaf:age ?a "
+        "} ORDER BY ?n ?a"
+    )
+    rows = [(r.n, r.a) for r in _sp(foaf, q2).collect()]
+    assert rows == [("josh", "32"), ("marko", "29"), ("marko", "29"), ("vadas", "27")]
+
+
+def test_sparql_union_errors(foaf):
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    # a var bound in only some branches is fine while unused (NULL rows)…
+    got = _sp(foaf, _P + (
+        "SELECT ?x ?z WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
+        '  FILTER(?x = "marko") } ORDER BY ?z'
+    )).collect()
+    assert [(r.x, r.z) for r in got] == [("marko", None), ("marko", None), ("marko", "29")]
+    # …but joining it elsewhere would need SPARQL's unbound-compatible join
+    with pytest.raises(InvalidArgument, match="only some UNION"):
+        _sp(foaf, _P + (
+            "SELECT ?n WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
+            ". ?y foaf:name ?n }"
+        ))
+    with pytest.raises(InvalidArgument, match="UNION continuation"):
+        _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
+
+
 def test_sparql_errors(foaf):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
