@@ -14,10 +14,12 @@ Supported grammar::
         subject p1 o1 ; p2 o2 .              (predicate-object lists)
         FILTER( <expr over ?vars> )
         OPTIONAL { triple patterns }         (left join on shared vars)
-        { patterns [FILTER] } UNION { ... }  (branches must bind the
-                                             same variables; compiled to
-                                             unionByName, then joined to
-                                             the rest on shared vars)
+        { patterns [FILTER] } UNION { ... }  (unionByName; vars bound in
+                                             only some branches NULL-fill,
+                                             and joining such a var
+                                             elsewhere raises)
+        FILTER [NOT] EXISTS { patterns }     (left-semi / left-anti join
+        MINUS { patterns }                    on the shared variables)
     }
     [GROUP BY ?a ?b] [ORDER BY [ASC|DESC](?x) ...] [LIMIT n] [OFFSET m]
 
@@ -132,11 +134,13 @@ def _parse_term(s: str, pos: int, prefixes: dict[str, str]) -> tuple[_Term, int]
 
 def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True):
     """WHERE-group body -> (triple patterns, filters, optional groups,
-    union blocks — each a list of branch (triples, filters) pairs)."""
+    union blocks — each a list of branch (triples, filters) pairs —
+    and EXISTS/MINUS semijoin blocks as (patterns, negated) pairs)."""
     triples: list[tuple[_Term, _Term, _Term]] = []
     filters: list[str] = []
     optionals: list[list[tuple[_Term, _Term, _Term]]] = []
     unions: list[list[tuple[list, list]]] = []
+    semijoins: list[tuple[list, bool]] = []
     pos = 0
     n = len(body)
     while pos < n:
@@ -145,6 +149,25 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
         if pos >= n:
             break
         rest = body[pos:]
+        fe = re.match(r"FILTER\s+(NOT\s+)?EXISTS\s*\{", rest, re.I)
+        mi = re.match(r"MINUS\s*\{", rest, re.I)
+        if fe or mi:
+            if not allow_blocks:
+                raise InvalidArgument("nested EXISTS/MINUS blocks are not supported")
+            p0 = body.index("{", pos)
+            end = _balanced(body, p0, "{", "}")
+            t, f, o, u, x = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o or u or x:
+                raise InvalidArgument(
+                    "EXISTS/NOT EXISTS/MINUS groups support triple patterns only"
+                )
+            # MINUS and FILTER NOT EXISTS coincide for the shared-var
+            # patterns supported here (they differ only on disjoint
+            # domains, which the compiler rejects below)
+            negated = bool(mi) or bool(fe.group(1))
+            semijoins.append((t, negated))
+            pos = end
+            continue
         if re.match(r"FILTER\b", rest, re.I):
             p0 = body.index("(", pos)
             end = _balanced(body, p0, "(", ")")
@@ -156,8 +179,8 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 raise InvalidArgument("nested OPTIONAL is not supported")
             p0 = body.index("{", pos)
             end = _balanced(body, p0, "{", "}")
-            t, f, o, u = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
-            if f or o or u:
+            t, f, o, u, x = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o or u or x:
                 raise InvalidArgument("OPTIONAL groups support triple patterns only")
             optionals.append(t)
             pos = end
@@ -169,10 +192,10 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             branches: list[tuple[list, list]] = []
             while True:
                 end = _balanced(body, pos, "{", "}")
-                t, f, o, u = _parse_group(
+                t, f, o, u, x = _parse_group(
                     body[pos + 1 : end - 1], prefixes, allow_blocks=False
                 )
-                if o or u:
+                if o or u or x:
                     raise InvalidArgument(
                         "UNION branches support triple patterns and FILTER only"
                     )
@@ -205,7 +228,7 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 pos += 1
                 continue
             break
-    return triples, filters, optionals, unions
+    return triples, filters, optionals, unions, semijoins
 
 
 def _pattern_frame(
@@ -351,7 +374,7 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     if tail_m.group("limit") and tail_m.group("limit2"):
         raise InvalidArgument("LIMIT given twice")
 
-    pats, filters, optionals, unions = _parse_group(where_body, prefixes)
+    pats, filters, optionals, unions, semijoins = _parse_group(where_body, prefixes)
     if not pats and not unions:
         raise InvalidArgument("WHERE must contain at least one triple pattern")
 
@@ -409,6 +432,16 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
             raise InvalidArgument("OPTIONAL group shares no variable with the BGP")
         cur = cur.join(odf, on=shared, how="left")
         bound += [v for v in ovars if v not in bound]
+    for sj_pats, negated in semijoins:
+        sdf, svars = _join_patterns([_pattern_frame(triples, p) for p in sj_pats])
+        shared = [v for v in svars if v in bound]
+        if not shared:
+            raise InvalidArgument(
+                "EXISTS/NOT EXISTS/MINUS group shares no variable with the BGP"
+            )
+        cur = cur.join(
+            sdf.select(*shared), on=shared, how="left_anti" if negated else "left_semi"
+        )
     for f_expr in filters:
         cur = cur.where(F.expr(_translate_filter(f_expr)))
 

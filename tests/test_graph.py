@@ -511,6 +511,33 @@ def test_sparql_union(foaf):
     assert rows == [("josh", "32"), ("marko", "29"), ("marko", "29"), ("vadas", "27")]
 
 
+def test_sparql_exists_minus(foaf):
+    # people who created something
+    q = _P + (
+        "SELECT ?n WHERE { ?p a foaf:Person . ?p foaf:name ?n . "
+        "FILTER EXISTS { ?p foaf:created ?s } } ORDER BY ?n"
+    )
+    assert [r.n for r in _sp(foaf, q).collect()] == ["josh", "marko", "peter"]
+    # people who created nothing (NOT EXISTS == MINUS here)
+    q2 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert [r.n for r in _sp(foaf, q2).collect()] == ["vadas"]
+    q3 = _P + (
+        "SELECT ?n WHERE { ?p a foaf:Person . ?p foaf:name ?n . "
+        "MINUS { ?p foaf:created ?s } } ORDER BY ?n"
+    )
+    assert [r.n for r in _sp(foaf, q3).collect()] == ["vadas"]
+    # semi-join keeps multiplicities of the OUTER side only
+    q4 = _P + (
+        "SELECT ?n WHERE { ?m foaf:knows ?p . ?p foaf:name ?n . "
+        "FILTER EXISTS { ?p foaf:created ?s } } ORDER BY ?n"
+    )
+    # marko knows josh (2 creations, but ONE outer row survives)
+    assert [r.n for r in _sp(foaf, q4).collect()] == ["josh"]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="shares no variable"):
+        _sp(foaf, _P + "SELECT ?n WHERE { ?p foaf:name ?n . MINUS { ?x foaf:created ?s } }")
+
+
 def test_sparql_union_errors(foaf):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
