@@ -20,6 +20,11 @@ Supported grammar::
                                              elsewhere raises)
         FILTER [NOT] EXISTS { patterns }     (left-semi / left-anti join
         MINUS { patterns }                    on the shared variables)
+        BIND(expr AS ?v)                     (computed column; expr uses
+                                             the FILTER expression grammar)
+        VALUES ?x { const const ... }        (inline binding table, one
+                                             equi-join — the small side
+                                             broadcasts)
     }
     [GROUP BY ?a ?b] [ORDER BY [ASC|DESC](?x) ...] [LIMIT n] [OFFSET m]
 
@@ -141,6 +146,8 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
     optionals: list[list[tuple[_Term, _Term, _Term]]] = []
     unions: list[list[tuple[list, list]]] = []
     semijoins: list[tuple[list, bool]] = []
+    binds: list[tuple[str, str]] = []
+    values: list[tuple[str, list]] = []
     pos = 0
     n = len(body)
     while pos < n:
@@ -149,6 +156,38 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
         if pos >= n:
             break
         rest = body[pos:]
+        bm = re.match(r"BIND\s*\(", rest, re.I)
+        if bm:
+            p0 = body.index("(", pos)
+            end = _balanced(body, p0, "(", ")")
+            inner = body[p0 + 1 : end - 1]
+            am = re.search(r"\s+AS\s+\?(\w+)\s*$", inner, re.I)
+            if not am:
+                raise InvalidArgument("BIND needs the form BIND(expr AS ?var)")
+            binds.append((inner[: am.start()].strip(), am.group(1)))
+            pos = end
+            continue
+        vm = re.match(r"VALUES\s+\?(\w+)\s*\{", rest, re.I)
+        if vm:
+            p0 = body.index("{", pos)
+            end = _balanced(body, p0, "{", "}")
+            vals_body = body[p0 + 1 : end - 1]
+            vals = []
+            vpos = 0
+            while True:
+                while vpos < len(vals_body) and vals_body[vpos] in " \t\r\n":
+                    vpos += 1
+                if vpos >= len(vals_body):
+                    break
+                term, vpos = _parse_term(vals_body, vpos, prefixes)
+                if term.kind != "const":
+                    raise InvalidArgument("VALUES entries must be constants")
+                vals.append(term.value)
+            if not vals:
+                raise InvalidArgument("VALUES needs at least one value")
+            values.append((vm.group(1), vals))
+            pos = end
+            continue
         fe = re.match(r"FILTER\s+(NOT\s+)?EXISTS\s*\{", rest, re.I)
         mi = re.match(r"MINUS\s*\{", rest, re.I)
         if fe or mi:
@@ -156,8 +195,8 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 raise InvalidArgument("nested EXISTS/MINUS blocks are not supported")
             p0 = body.index("{", pos)
             end = _balanced(body, p0, "{", "}")
-            t, f, o, u, x = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
-            if f or o or u or x:
+            t, f, o, u, x, bb, vv = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o or u or x or bb or vv:
                 raise InvalidArgument(
                     "EXISTS/NOT EXISTS/MINUS groups support triple patterns only"
                 )
@@ -179,8 +218,8 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 raise InvalidArgument("nested OPTIONAL is not supported")
             p0 = body.index("{", pos)
             end = _balanced(body, p0, "{", "}")
-            t, f, o, u, x = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
-            if f or o or u or x:
+            t, f, o, u, x, bb, vv = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
+            if f or o or u or x or bb or vv:
                 raise InvalidArgument("OPTIONAL groups support triple patterns only")
             optionals.append(t)
             pos = end
@@ -192,10 +231,10 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             branches: list[tuple[list, list]] = []
             while True:
                 end = _balanced(body, pos, "{", "}")
-                t, f, o, u, x = _parse_group(
+                t, f, o, u, x, bb, vv = _parse_group(
                     body[pos + 1 : end - 1], prefixes, allow_blocks=False
                 )
-                if o or u or x:
+                if o or u or x or bb or vv:
                     raise InvalidArgument(
                         "UNION branches support triple patterns and FILTER only"
                     )
@@ -228,7 +267,7 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                 pos += 1
                 continue
             break
-    return triples, filters, optionals, unions, semijoins
+    return triples, filters, optionals, unions, semijoins, binds, values
 
 
 def _pattern_frame(
@@ -374,7 +413,7 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     if tail_m.group("limit") and tail_m.group("limit2"):
         raise InvalidArgument("LIMIT given twice")
 
-    pats, filters, optionals, unions, semijoins = _parse_group(where_body, prefixes)
+    pats, filters, optionals, unions, semijoins, binds, values = _parse_group(where_body, prefixes)
     if not pats and not unions:
         raise InvalidArgument("WHERE must contain at least one triple pattern")
 
@@ -388,6 +427,10 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         return bdf, bvars
 
     frames = [_pattern_frame(triples, p) for p in pats]
+    spark = triples.sparkSession
+    for var, vals in values:
+        vdf = spark.createDataFrame([(v,) for v in vals], f"`{var}` string")
+        frames.append((vdf, [var]))
     union_frames = []
     for branches in unions:
         compiled = [_branch_frame(b) for b in branches]
@@ -442,6 +485,11 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         cur = cur.join(
             sdf.select(*shared), on=shared, how="left_anti" if negated else "left_semi"
         )
+    for b_expr, b_var in binds:
+        if b_var in bound:
+            raise InvalidArgument(f"BIND target ?{b_var} is already bound")
+        cur = cur.withColumn(b_var, F.expr(_translate_filter(b_expr)))
+        bound.append(b_var)
     for f_expr in filters:
         cur = cur.where(F.expr(_translate_filter(f_expr)))
 

@@ -538,6 +538,23 @@ def test_sparql_exists_minus(foaf):
         _sp(foaf, _P + "SELECT ?n WHERE { ?p foaf:name ?n . MINUS { ?x foaf:created ?s } }")
 
 
+def test_sparql_bind_and_values(foaf):
+    q = _P + (
+        "SELECT ?n ?isold WHERE { ?p foaf:age ?a . ?p foaf:name ?n . "
+        "BIND(xsd:integer(?a) >= 30 AS ?isold) "
+        "VALUES ?n { \"marko\" \"josh\" \"nobody\" } } ORDER BY ?n"
+    )
+    rows = [(r.n, r.isold) for r in _sp(foaf, q).collect()]
+    assert rows == [("josh", True), ("marko", False)]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="already bound"):
+        _sp(foaf, _P + "SELECT ?n WHERE { ?p foaf:name ?n . BIND(1 AS ?n) }")
+    with pytest.raises(InvalidArgument, match="BIND needs"):
+        _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . BIND(1 + 1) }")
+    with pytest.raises(InvalidArgument, match="at least one value"):
+        _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . VALUES ?x { } }")
+
+
 def test_sparql_union_errors(foaf):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
