@@ -5056,6 +5056,41 @@ def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sparql({"root": ""}, q, triples=triples)
 
 
+def _q_sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negation under the hash gate: customers who never placed
+    a 1-URGENT order (a real split in this testdata: ~200 such
+    customers at sf0.01, so the gate is never vacuous), counted per
+    nation — FILTER NOT EXISTS compiles to a left-anti join; the oracle
+    is the relational NOT EXISTS.  An anti-join that leaks matches or
+    drops multiplicities hash-mismatches."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    triples = cust.select(
+        c_id.alias("s"), F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"),
+    ).unionByName(
+        orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.lit("ordered_urgent").alias("p"),
+            F.col("o_orderkey").cast("string").alias("o"),
+        )
+    )
+    q = """
+        SELECT ?n (COUNT(?c) AS ?n_customers)
+        WHERE {
+            ?c <in_nation> ?n .
+            FILTER NOT EXISTS { ?c <ordered_urgent> ?o }
+        }
+        GROUP BY ?n
+        ORDER BY ?n
+    """
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
 def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMR step execution under the hash gate (emr.py submit_spark_step,
     reference: emr.py:1093): a spark-submit step script — built by
@@ -5518,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_sparql_bgp": _q_sparql_bgp,
         "graph_sparql_union": _q_sparql_union,
+        "graph_sparql_not_exists": _q_sparql_not_exists,
         "emr_spark_step_agg": _q_emr_spark_step,
         "athena_trino_dialect": _q_trino_dialect,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -7392,6 +7428,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "graph_sparql_not_exists": """
+            SELECT 'n' || CAST(c.c_nationkey AS VARCHAR) AS n,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c.c_nationkey
+            ORDER BY n
         """,
         "graph_sparql_union": """
             SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS n,
