@@ -193,12 +193,14 @@ def unload(
     partitioned_by: list[str] | None = None,
     params: dict[str, Any] | list[Any] | None = None,
     paramstyle: str = "named",
+    dialect: str = "spark",
 ) -> dict[str, Any]:
     """Run a query and write the result as a dataset
-    (reference: athena/_read.py:1556 ``UNLOAD (sql) TO path WITH (...)``)."""
+    (reference: athena/_read.py:1556 ``UNLOAD (sql) TO path WITH (...)``);
+    ``dialect="trino"`` accepts the Athena dialect like read_sql_query."""
     from aws_sdk_pandas_spark.sources._write import write_dataset
 
-    df = read_sql_query(spark, sql, params=params, paramstyle=paramstyle)
+    df = read_sql_query(spark, sql, params=params, paramstyle=paramstyle, dialect=dialect)
     return write_dataset(
         df,
         path,
