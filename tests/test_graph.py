@@ -679,3 +679,46 @@ def test_sparql_bgp_matches_naive_evaluator(spark):
         got = sorted(tuple(r) for r in compile_sparql(q, tdf).collect())
         want = _naive_bgp(triples, patterns, var_order)
         assert got == want, f"trial {trial}: {q!r}\n triples={triples}"
+
+
+def test_sparql_exists_matches_naive_evaluator(spark):
+    """Randomized FILTER [NOT] EXISTS blocks: the left-semi/anti
+    compilation equals the naive semantics (keep a binding iff some /
+    no block solution agrees on every shared variable), multiplicities
+    of the outer side preserved."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    rng = random.Random(99)
+    nodes = ["x", "y", "z"]
+    preds = ["p", "q"]
+    for trial in range(8):
+        triples = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(2, 12))
+        ]
+        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        outer = [("?a", rng.choice(preds), "?b")]
+        # block shares ?b; its second position varies, third is existential
+        block = [("?b", rng.choice(preds), "?c")]
+        negated = trial % 2 == 1
+        kw = "FILTER NOT EXISTS" if negated else "FILTER EXISTS"
+        q = (
+            "SELECT ?a ?b WHERE { ?a <"
+            + outer[0][1]
+            + "> ?b . "
+            + kw
+            + " { ?b <"
+            + block[0][1]
+            + "> ?c } } "
+        )
+        got = sorted(tuple(r) for r in compile_sparql(q, tdf).collect())
+        outer_sols = _naive_bgp(triples, outer, ["a", "b"])
+        block_b = {b for (b, _c) in _naive_bgp(triples, block, ["b", "c"])}
+        want = sorted(
+            (a, b)
+            for a, b in outer_sols
+            if (b in block_b) != negated
+        )
+        assert got == want, f"trial {trial} {q!r} triples={triples}"
