@@ -167,6 +167,11 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             binds.append((inner[: am.start()].strip(), am.group(1)))
             pos = end
             continue
+        if re.match(r"VALUES\s*\(", rest, re.I):
+            raise InvalidArgument(
+                "multi-variable VALUES (?x ?y) { (..) } is not supported; "
+                "use one VALUES block per variable"
+            )
         vm = re.match(r"VALUES\s+\?(\w+)\s*\{", rest, re.I)
         if vm:
             p0 = body.index("{", pos)

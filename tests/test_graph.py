@@ -553,6 +553,8 @@ def test_sparql_bind_and_values(foaf):
         _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . BIND(1 + 1) }")
     with pytest.raises(InvalidArgument, match="at least one value"):
         _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . VALUES ?x { } }")
+    with pytest.raises(InvalidArgument, match="multi-variable VALUES"):
+        _sp(foaf, _P + 'SELECT ?x WHERE { ?p foaf:name ?x . VALUES (?x ?y) { ("a" "b") } }')
 
 
 def test_sparql_union_errors(foaf):
