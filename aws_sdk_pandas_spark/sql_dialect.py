@@ -29,6 +29,11 @@ Trino / Athena                              Spark SQL
 ``map_agg(k, v)``                           ``map_from_entries(collect_list(
                                             struct(k, v)))``
 ``zip(a, b)``                               ``arrays_zip(a, b)``
+``any_match/all_match/none_match(a, f)``    ``exists/forall/NOT exists``
+``format('%s', x)``                         ``format_string('%s', x)``
+``codepoint(c)`` / ``is_nan(x)``            ``ascii(c)`` / ``isnan(x)``
+``to_utf8(s)`` / ``from_utf8(b)``           ``encode/decode(x, 'UTF-8')``
+``nan()`` / ``infinity()``                  ``CAST('NaN'/'Infinity' AS DOUBLE)``
 ==========================================  ================================
 
 Unsupported Trino constructs that have no mechanical Spark equivalent
@@ -64,6 +69,13 @@ _FN_RENAMES = {
     "day_of_week": "dayofweek",
     "day_of_year": "dayofyear",
     "week_of_year": "weekofyear",
+    # lambda-predicate family (Spark names differ, arity identical)
+    "any_match": "exists",
+    "all_match": "forall",
+    # misc scalar functions with no Spark name collision
+    "format": "format_string",
+    "codepoint": "ascii",
+    "is_nan": "isnan",
 }
 
 _UNITS = "millisecond|second|minute|hour|day|week|month|quarter|year"
@@ -254,6 +266,38 @@ def trino_to_spark_sql(sql: str) -> str:
     # Trino zip(a, b, ...) -> arrays_zip (no Spark function named zip,
     # so the rewrite cannot collide)
     s = re.sub(r"\bzip\s*\(", "arrays_zip(", s, flags=re.I)
+
+    # none_match(a, f) == NOT exists(a, f); balanced scan keeps the
+    # whole argument list intact
+    while True:
+        m = re.search(r"\bnone_match\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        s = s[: m.start()] + f"(NOT exists({inner}))" + s[close_pos + 1 :]
+
+    # to_utf8/from_utf8 -> encode/decode WITH the charset argument
+    for trino_fn, spark_fn in (("to_utf8", "encode"), ("from_utf8", "decode")):
+        while True:
+            m = re.search(rf"\b{trino_fn}\s*\(", s, re.I)
+            if not m:
+                break
+            open_pos = s.index("(", m.start())
+            close_pos = _find_close(s, open_pos)
+            inner = s[open_pos + 1 : close_pos]
+            lit = f"\x00{len(lits)}\x00"
+            lits.append("'UTF-8'")
+            s = s[: m.start()] + f"{spark_fn}({inner}, {lit})" + s[close_pos + 1 :]
+
+    # IEEE literals Spark spells as casts
+    nan_lit = f"\x00{len(lits)}\x00"
+    lits.append("'NaN'")
+    s = re.sub(r"\bnan\s*\(\s*\)", f"CAST({nan_lit} AS DOUBLE)", s, flags=re.I)
+    inf_lit = f"\x00{len(lits)}\x00"
+    lits.append("'Infinity'")
+    s = re.sub(r"\binfinity\s*\(\s*\)", f"CAST({inf_lit} AS DOUBLE)", s, flags=re.I)
 
     # to_unixtime(t) -> cast(t AS DOUBLE) (Trino keeps sub-second
     # fraction; Spark's unix_timestamp() truncates, the cast does not)

@@ -76,6 +76,24 @@ def test_map_agg_and_zip():
     assert tx("SELECT zip(a, b) FROM t") == "SELECT arrays_zip(a, b) FROM t"
 
 
+def test_lambda_predicates_and_scalar_renames():
+    assert tx("SELECT any_match(a, x -> x > 1), all_match(a, x -> x > 1) FROM t") == (
+        "SELECT exists(a, x -> x > 1), forall(a, x -> x > 1) FROM t"
+    )
+    assert tx("SELECT none_match(a, x -> x > 1) FROM t") == (
+        "SELECT (NOT exists(a, x -> x > 1)) FROM t"
+    )
+    assert tx("SELECT format('%s-%d', s, i) FROM t") == (
+        "SELECT format_string('%s-%d', s, i) FROM t"
+    )
+    assert tx("SELECT to_utf8(s), from_utf8(b) FROM t") == (
+        "SELECT encode(s, 'UTF-8'), decode(b, 'UTF-8') FROM t"
+    )
+    assert tx("SELECT is_nan(nan()), infinity() FROM t") == (
+        "SELECT isnan(CAST('NaN' AS DOUBLE)), CAST('Infinity' AS DOUBLE) FROM t"
+    )
+
+
 def test_spark_sql_is_untouched():
     q = ("SELECT transform(a, x -> x + 1), element_at(m, 'k'), split_part(s, ',', 2), "
          "cardinality(a), regexp_like(s, 'p'), date_diff(b, a) FROM t WHERE s = 'it''s'")
