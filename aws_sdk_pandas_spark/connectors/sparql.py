@@ -434,7 +434,10 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     frames = [_pattern_frame(triples, p) for p in pats]
     spark = triples.sparkSession
     for var, vals in values:
-        vdf = spark.createDataFrame([(v,) for v in vals], f"`{var}` string")
+        # the triples model is string-typed (s/p/o); numeric VALUES
+        # entries bind as their canonical string form so the equi-join
+        # against a string column can never hit an ANSI cast error
+        vdf = spark.createDataFrame([(str(v),) for v in vals], f"`{var}` string")
         frames.append((vdf, [var]))
     union_frames = []
     for branches in unions:
