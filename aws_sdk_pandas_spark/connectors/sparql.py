@@ -467,6 +467,9 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         for opt in optionals:
             for pat in opt:
                 elsewhere |= {t.value for t in pat if t.kind == "var"}
+        for sj_pats, _neg in semijoins:
+            for pat in sj_pats:
+                elsewhere |= {t.value for t in pat if t.kind == "var"}
         clash = partial & elsewhere
         if clash:
             raise InvalidArgument(
