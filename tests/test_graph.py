@@ -724,3 +724,45 @@ def test_sparql_exists_matches_naive_evaluator(spark):
             if (b in block_b) != negated
         )
         assert got == want, f"trial {trial} {q!r} triples={triples}"
+
+
+def test_sparql_union_matches_naive_evaluator(spark):
+    """Randomized two-branch UNIONs binding the same variables: the
+    compiled unionByName equals bag concatenation of the branch
+    solutions (SPARQL UNION never deduplicates)."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    rng = random.Random(4242)
+    nodes = ["x", "y", "z"]
+    preds = ["p", "q", "r"]
+    for trial in range(8):
+        triples = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(2, 12))
+        ]
+        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        def rand_branch():
+            # both branches bind exactly ?a and ?b
+            mid = rng.choice(preds)
+            third = rng.choice(["?b", rng.choice(nodes)])
+            if third == "?b":
+                return [("?a", mid, "?b")]
+            return [("?a", mid, third), ("?a", rng.choice(preds), "?b")]
+        b1, b2 = rand_branch(), rand_branch()
+        def render(b):
+            return " . ".join(
+                " ".join(t if t.startswith("?") else f"<{t}>" for t in pat)
+                for pat in b
+            )
+        q = (
+            "SELECT ?a ?b WHERE { { " + render(b1) + " } UNION { "
+            + render(b2) + " } }"
+        )
+        got = sorted(tuple(r) for r in compile_sparql(q, tdf).collect())
+        want = sorted(
+            _naive_bgp(triples, b1, ["a", "b"])
+            + _naive_bgp(triples, b2, ["a", "b"])
+        )
+        assert got == want, f"trial {trial}: {q!r} triples={triples}"
