@@ -8,6 +8,9 @@ and ``connectors/opencypher.py``).
 Supported grammar::
 
     PREFIX name: <iri>                       (any number)
+    ASK [WHERE] { group }                    (1-row ``ask boolean``)
+    CONSTRUCT { template } WHERE { group }   (returns an s/p/o triples
+                                             frame, SET semantics)
     SELECT [DISTINCT] ?a ?b | * | (AGG(?x) AS ?alias) ...
     WHERE {
         term term term .                     (basic graph patterns)
@@ -390,11 +393,62 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         prefixes[m.group(1)] = m.group(2)
         q = q[m.end() :]
 
+    # inner SELECTs re-enter compile_sparql, which re-parses PREFIX
+    # declarations — so they must be re-emitted on the inner query
+    pfx_hdr = "".join(f"PREFIX {k}: <{v}>\n" for k, v in prefixes.items())
+
+    ask = re.match(r"ASK\s*(?:WHERE\s*)?\{", q, re.I)
+    if ask:
+        brace0 = q.index("{", ask.end() - 1)
+        brace_end = _balanced(q, brace0, "{", "}")
+        inner = compile_sparql(
+            f"{pfx_hdr}SELECT * WHERE {{ {q[brace0 + 1:brace_end - 1]} }} LIMIT 1",
+            triples,
+        )
+        exists = inner.count() > 0  # bounded: LIMIT 1 solution
+        return triples.sparkSession.createDataFrame([(exists,)], "ask boolean")
+
+    cons = re.match(r"CONSTRUCT\s*\{", q, re.I)
+    if cons:
+        t0 = q.index("{", cons.end() - 1)
+        t_end = _balanced(q, t0, "{", "}")
+        template, _f, _o, _u, _x, _b, _v = _parse_group(
+            q[t0 + 1 : t_end - 1], prefixes, allow_blocks=False
+        )
+        if not template:
+            raise InvalidArgument("CONSTRUCT template needs at least one triple")
+        rest = q[t_end:].strip()
+        wm = re.match(r"WHERE\s*\{", rest, re.I)
+        if not wm:
+            raise InvalidArgument("CONSTRUCT needs WHERE { ... }")
+        w0 = rest.index("{", wm.end() - 1)
+        w_end = _balanced(rest, w0, "{", "}")
+        tail_mods = rest[w_end:].strip().rstrip(";")
+        sols = compile_sparql(
+            f"{pfx_hdr}SELECT * WHERE {{ {rest[w0 + 1:w_end - 1]} }} {tail_mods}",
+            triples,
+        )
+        out = None
+        for s_t, p_t, o_t in template:
+            def _c(term):
+                if term.kind == "var":
+                    if term.value not in sols.columns:
+                        raise InvalidArgument(
+                            f"CONSTRUCT template var ?{term.value} is not bound"
+                        )
+                    return F.col(term.value).cast("string")
+                return F.lit(str(term.value))
+
+            row = sols.select(_c(s_t).alias("s"), _c(p_t).alias("p"), _c(o_t).alias("o"))
+            out = row if out is None else out.unionByName(row)
+        # a SPARQL graph is a SET of triples
+        return out.distinct()
+
     head = re.match(r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{", q, re.I | re.S)
     if not head:
         raise InvalidArgument(
-            "unsupported SPARQL shape; expected SELECT ... WHERE { ... } "
-            "[GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m]"
+            "unsupported SPARQL shape; expected SELECT/ASK/CONSTRUCT ... "
+            "WHERE { ... } [GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m]"
         )
     distinct = bool(head.group(1))
     select_items = head.group(2).strip()

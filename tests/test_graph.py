@@ -576,13 +576,32 @@ def test_sparql_union_errors(foaf):
         _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
 
 
+def test_sparql_ask_and_construct(foaf):
+    assert _sp(foaf, _P + 'ASK { ?p foaf:knows "vadas" }').first().ask is True
+    assert _sp(foaf, _P + 'ASK WHERE { ?p foaf:knows "nobody" }').first().ask is False
+    # all-constant pattern (the classic ASK shape)
+    assert _sp(foaf, _P + 'ASK { "marko" foaf:knows "josh" }').first().ask is True
+    got = _sp(foaf, _P + (
+        'CONSTRUCT { ?p <collaborated> ?s . ?s a <Artifact> } '
+        "WHERE { ?p foaf:created ?s }"
+    ))
+    rows = sorted(tuple(r) for r in got.collect())
+    assert ("josh", "collaborated", "ripple") in rows
+    assert ("lop", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "Artifact") in rows
+    # SET semantics: lop created by 3 people -> ONE type triple for lop
+    assert sum(1 for r in rows if r == ("lop", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "Artifact")) == 1
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="not bound"):
+        _sp(foaf, "CONSTRUCT { ?q <x> ?s } WHERE { ?p <y> ?s }")
+
+
 def test_sparql_errors(foaf):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
     with pytest.raises(InvalidArgument, match="undeclared PREFIX"):
         _sp(foaf, "SELECT ?s WHERE { ?s nope:thing ?o }")
     with pytest.raises(InvalidArgument, match="unsupported SPARQL shape"):
-        _sp(foaf, "ASK { ?s ?p ?o }")
+        _sp(foaf, "DESCRIBE <marko>")
     # aggregate without GROUP BY: plain vars become implicit group keys
     r = _sp(foaf, _P + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s foaf:knows ?o }").first()
     assert (r.s, r.n) == ("marko", 2)
