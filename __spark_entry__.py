@@ -5091,6 +5091,27 @@ def _q_sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sparql({"root": ""}, q, triples=triples)
 
 
+def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT under the hash gate: a two-triple template over
+    the segment BGP materializes a new graph with SET semantics — the
+    oracle rebuilds the same triple set relationally (UNION of two
+    projections, DISTINCT), so template projection, constant literals,
+    and the dedup all pin."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    triples = cust.select(
+        c_id.alias("s"), F.lit("segment").alias("p"), F.col("c_mktsegment").alias("o")
+    )
+    q = """
+        CONSTRUCT { ?c <tagged> ?seg . ?seg a <Segment> }
+        WHERE { ?c <segment> ?seg }
+    """
+    return execute_sparql({"root": ""}, q, triples=triples).orderBy("s", "p", "o")
+
+
 def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMR step execution under the hash gate (emr.py submit_spark_step,
     reference: emr.py:1093): a spark-submit step script — built by
@@ -5554,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sparql_bgp": _q_sparql_bgp,
         "graph_sparql_union": _q_sparql_union,
         "graph_sparql_not_exists": _q_sparql_not_exists,
+        "graph_sparql_construct": _q_sparql_construct,
         "emr_spark_step_agg": _q_emr_spark_step,
         "athena_trino_dialect": _q_trino_dialect,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
@@ -7428,6 +7450,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "graph_sparql_construct": """
+            WITH t AS (
+                SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+                       'tagged' AS p, c_mktsegment AS o
+                FROM customer
+                UNION ALL
+                SELECT DISTINCT c_mktsegment AS s,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                       'Segment' AS o
+                FROM customer
+            )
+            SELECT DISTINCT s, p, o FROM t ORDER BY s, p, o
         """,
         "graph_sparql_not_exists": """
             SELECT 'n' || CAST(c.c_nationkey AS VARCHAR) AS n,
