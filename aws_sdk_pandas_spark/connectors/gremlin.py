@@ -93,8 +93,33 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
         name = s[i:j]
         if not name or j >= n or s[j] != "(":
             raise InvalidArgument(f"expected step call at position {i} in {query!r}")
-        args, j = _parse_args(s, j + 1, query)
-        steps.append((name, args))
+        if name == "repeat":
+            # capture the inner traversal fragment verbatim (it is a
+            # step chain, not a value): balanced-paren scan, quote-aware
+            depth = 0
+            k = j
+            in_q: str | None = None
+            while k < n:
+                c = s[k]
+                if in_q:
+                    if c == in_q:
+                        in_q = None
+                elif c in "'\"":
+                    in_q = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                raise InvalidArgument(f"unbalanced parens in repeat() in {query!r}")
+            steps.append(("repeat", [s[j + 1 : k]]))
+            j = k + 1
+        else:
+            args, j = _parse_args(s, j + 1, query)
+            steps.append((name, args))
         i = j
         if i < n:
             if s[i] != ".":
@@ -307,6 +332,31 @@ def compile_gremlin(
     steps = _parse(query)
     if not steps or steps[0][0] not in ("V", "E"):
         raise InvalidArgument("traversal must start with g.V(...) or g.E(...)")
+
+    # expand repeat(<fragment>).times(n) into n inline copies of the
+    # fragment's steps — bounded unrolling, each hop stays one equi-join
+    expanded: list[tuple[str, list[Any]]] = []
+    i = 0
+    while i < len(steps):
+        name, args = steps[i]
+        if name == "repeat":
+            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
+                raise InvalidArgument("repeat(...) must be followed by .times(n)")
+            times_args = steps[i + 1][1]
+            if len(times_args) != 1 or not isinstance(times_args[0], int):
+                raise InvalidArgument("times() needs one integer argument")
+            n_times = times_args[0]
+            if not (1 <= n_times <= 32):
+                raise InvalidArgument("times(n) supports 1 <= n <= 32")
+            inner = _parse("g." + args[0])
+            if any(nm in ("repeat", "times") for nm, _a in inner):
+                raise InvalidArgument("nested repeat() is not supported")
+            expanded.extend(inner * n_times)
+            i += 2
+        else:
+            expanded.append((name, args))
+            i += 1
+    steps = expanded
 
     # fold .by(...) modulators onto their predecessor
     folded: list[tuple[str, list[Any], list[Any] | None]] = []

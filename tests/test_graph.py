@@ -271,7 +271,7 @@ def test_gremlin_errors(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
     with pytest.raises(InvalidArgument, match="unsupported gremlin step"):
-        _g(modern, "g.V().repeat()")
+        _g(modern, "g.V().shuffle()")
     with pytest.raises(InvalidArgument, match="must start with"):
         _g(modern, "V().count()")
     with pytest.raises(InvalidArgument, match="unterminated string"):
@@ -785,3 +785,22 @@ def test_sparql_union_matches_naive_evaluator(spark):
             + _naive_bgp(triples, b2, ["a", "b"])
         )
         assert got == want, f"trial {trial}: {q!r} triples={triples}"
+
+
+def test_gremlin_repeat_times(modern):
+    # 2 hops: marko -> (vadas|josh) -> josh's creations via knows/created
+    q = "g.V('marko').repeat(out()).times(2).values('name')"
+    got = sorted(r[0] for r in _g(modern, q).collect())
+    # marko--knows-->vadas (no out), marko--knows-->josh --created--> lop, ripple
+    # marko--created-->lop (no out)
+    assert got == ["lop", "ripple"]
+    # single-hop repeat equals plain out
+    q1 = "g.V('marko').repeat(out('knows')).times(1).values('name')"
+    assert sorted(r[0] for r in _g(modern, q1).collect()) == ["josh", "vadas"]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="followed by .times"):
+        _g(modern, "g.V().repeat(out()).count()")
+    with _pytest.raises(InvalidArgument, match="nested repeat"):
+        _g(modern, "g.V().repeat(repeat(out()).times(2)).times(2).count()")
