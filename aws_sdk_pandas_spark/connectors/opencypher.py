@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
 _NODE_RE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
-_EDGE_RE = re.compile(r"(<-|-)\s*(?:\[\s*(\w+)?\s*(?::\s*(\w+))?\s*\])?\s*(->|-)")
+_EDGE_RE = re.compile(
+    r"(<-|-)\s*(?:\[\s*(\w+)?\s*(?::\s*(\w+))?\s*"
+    r"(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\])?\s*(->|-)"
+)
 _AGG_RE = re.compile(r"^(count|sum|avg|min|max)\s*\(\s*(distinct\s+)?(.+?)\s*\)$", re.I)
 
 
@@ -138,10 +141,20 @@ def _parse_pattern(pattern: str):
             if pattern[pos:].strip():
                 raise InvalidArgument(f"cannot parse pattern at {pattern[pos:]!r}")
             break
-        head, evar, elabel, tail = e.groups()
+        head, evar, elabel, lo, hi, tail = e.groups()
         if head == "<-" and tail == "->":
             raise InvalidArgument("edge cannot be both <- and ->")
         direction = "in" if head == "<-" else ("out" if tail == "->" else "both")
+        rng = None
+        if lo is not None:
+            if evar is not None:
+                raise InvalidArgument(
+                    "a variable-length edge cannot bind an edge variable "
+                    "(Cypher would bind a LIST of relationships)"
+                )
+            rng = (int(lo), int(hi))
+            if not (1 <= rng[0] <= rng[1] <= 8):
+                raise InvalidArgument("variable-length range must satisfy 1 <= a <= b <= 8")
         if evar is None:
             anon += 1
             evar = f"__e{anon}"
@@ -150,7 +163,7 @@ def _parse_pattern(pattern: str):
         if not n:
             raise InvalidArgument(f"expected node after edge at {pattern[pos:]!r}")
         nodes.append(n.groups())
-        edges.append((evar, elabel, direction))
+        edges.append((evar, elabel, direction, rng))
         pos = n.end()
     named = []
     for i, (var, label, props) in enumerate(nodes):
@@ -179,11 +192,52 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
     cur = node_frame(var0, label0, props0)
     known = {var0}
     prev = var0
-    for (evar, elabel, direction), (nvar, nlabel, nprops) in zip(hops, nodes[1:]):
+    for (evar, elabel, direction, rng), (nvar, nlabel, nprops) in zip(hops, nodes[1:]):
+        nxt = node_frame(nvar, nlabel, nprops)
+        if rng is not None:
+            # -[:T*a..b]- : bag union over k in a..b of k chained hops —
+            # multiplicity = number of PATHS, Cypher's semantics; plans
+            # stay k bounded equi-joins per branch
+            seg = edges.select(
+                F.col("`~from`").alias("__f"),
+                F.col("`~to`").alias("__t"),
+                F.col("`~label`").alias("__l"),
+            )
+            if elabel:
+                seg = seg.where(F.col("__l") == elabel)
+            if direction == "in":
+                seg = seg.select(F.col("__t").alias("__f"), F.col("__f").alias("__t"))
+            elif direction == "both":
+                seg = seg.select("__f", "__t").unionByName(
+                    seg.select(F.col("__t").alias("__f"), F.col("__f").alias("__t"))
+                )
+            else:
+                seg = seg.select("__f", "__t")
+            lo_k, hi_k = rng
+            paths = None
+            walk = seg.select(F.col("__f").alias("__s"), F.col("__t").alias("__e"))
+            k = 1
+            while k <= hi_k:
+                if k >= lo_k:
+                    p_k = walk.select("__s", "__e")
+                    paths = p_k if paths is None else paths.unionByName(p_k)
+                k += 1
+                if k <= hi_k:
+                    step = seg.select(
+                        F.col("__f").alias("__sf"), F.col("__t").alias("__st")
+                    )
+                    walk = walk.join(step, F.col("__e") == F.col("__sf")).select(
+                        "__s", F.col("__st").alias("__e")
+                    )
+            cur = cur.join(paths, F.col(f"{prev}_id") == F.col("__s")).join(
+                nxt, F.col("__e") == F.col(f"{nvar}_id")
+            ).drop("__s", "__e")
+            known.add(nvar)
+            prev = nvar
+            continue
         e = _prefix_frame(edges, evar)
         if elabel:
             e = e.where(F.col(f"{evar}_label") == elabel)
-        nxt = node_frame(nvar, nlabel, nprops)
         if direction == "out":
             cur = cur.join(e, F.col(f"{prev}_id") == F.col(f"{evar}_from")).join(
                 nxt, F.col(f"{evar}_to") == F.col(f"{nvar}_id")

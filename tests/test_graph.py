@@ -804,3 +804,25 @@ def test_gremlin_repeat_times(modern):
         _g(modern, "g.V().repeat(out()).count()")
     with _pytest.raises(InvalidArgument, match="nested repeat"):
         _g(modern, "g.V().repeat(repeat(out()).times(2)).times(2).count()")
+
+
+def test_cypher_variable_length_paths(modern):
+    # *1..2 with no label: bag of PATHS — lop reachable directly and via josh
+    q = "MATCH (a:person {name: 'marko'})-[*1..2]->(b) RETURN b.name AS n ORDER BY n"
+    got = [r.n for r in _cy(modern, q).collect()]
+    assert got == ["josh", "lop", "lop", "ripple", "vadas"]
+    # labeled var-length: knows-chains only
+    q2 = "MATCH (a:person {name: 'marko'})-[:knows*1..2]->(b) RETURN b.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q2).collect()] == ["josh", "vadas"]
+    # exact length 2
+    q3 = "MATCH (a:person {name: 'marko'})-[*2..2]->(b) RETURN b.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q3).collect()] == ["lop", "ripple"]
+    # undirected var-length from a leaf reaches its creator chain
+    q4 = "MATCH (s {name: 'ripple'})-[*1..2]-(b) RETURN b.name AS n ORDER BY n"
+    got4 = [r.n for r in _cy(modern, q4).collect()]
+    assert "josh" in got4 and "lop" in got4  # josh 1 hop, lop via josh
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="variable-length range"):
+        _cy(modern, "MATCH (a)-[*0..2]->(b) RETURN b")
+    with pytest.raises(InvalidArgument, match="cannot bind an edge variable"):
+        _cy(modern, "MATCH (a)-[r*1..2]->(b) RETURN b")
