@@ -25,6 +25,15 @@ BINDING of the pattern (path), so multiplicities match what the
 equivalent SQL joins produce — DuckDB-oracle-checkable.  Each hop is one
 equi-join on the edge endpoint; filters compile to Column predicates
 pushed into the scans; nothing runs driver-side.
+
+Relationship uniqueness (Cypher trail semantics) IS enforced: within a
+single MATCH pattern no relationship may be traversed twice — variable-
+length segments carry the bounded (b <= 8) list of traversed ``~id``s
+and refuse to re-use an edge at each extension step, fixed-length edges
+get pairwise ``~id`` inequality filters, and segments are checked
+disjoint against fixed edges and each other.  Without this, an
+undirected ``*2..2`` from a leaf would return the leaf itself by
+walking its one edge out and back — a walk, which Cypher excludes.
 """
 
 from __future__ import annotations
@@ -192,13 +201,20 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
     cur = node_frame(var0, label0, props0)
     known = {var0}
     prev = var0
+    fixed_eids: list[str] = []  # <evar>_id columns of fixed-length edges
+    seg_arrays: list[str] = []  # array<~id> columns of var-length segments
     for (evar, elabel, direction, rng), (nvar, nlabel, nprops) in zip(hops, nodes[1:]):
         nxt = node_frame(nvar, nlabel, nprops)
         if rng is not None:
-            # -[:T*a..b]- : bag union over k in a..b of k chained hops —
-            # multiplicity = number of PATHS, Cypher's semantics; plans
-            # stay k bounded equi-joins per branch
+            # -[:T*a..b]- : bag union over k in a..b of k chained hops.
+            # Each hop carries the list of traversed edge ~ids so a step
+            # never re-uses an edge (Cypher's relationship-uniqueness):
+            # multiplicity = number of TRAILS, which is what openCypher/
+            # Neptune return.  Plans stay k bounded equi-joins per branch
+            # and the id list is bounded by b <= 8.
+            arr = f"__eids{len(seg_arrays)}"
             seg = edges.select(
+                F.col("`~id`").alias("__eid"),
                 F.col("`~from`").alias("__f"),
                 F.col("`~to`").alias("__t"),
                 F.col("`~label`").alias("__l"),
@@ -206,32 +222,49 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
             if elabel:
                 seg = seg.where(F.col("__l") == elabel)
             if direction == "in":
-                seg = seg.select(F.col("__t").alias("__f"), F.col("__f").alias("__t"))
+                seg = seg.select(
+                    "__eid", F.col("__t").alias("__f"), F.col("__f").alias("__t")
+                )
             elif direction == "both":
-                seg = seg.select("__f", "__t").unionByName(
-                    seg.select(F.col("__t").alias("__f"), F.col("__f").alias("__t"))
+                seg = seg.select("__eid", "__f", "__t").unionByName(
+                    seg.select(
+                        "__eid", F.col("__t").alias("__f"), F.col("__f").alias("__t")
+                    )
                 )
             else:
-                seg = seg.select("__f", "__t")
+                seg = seg.select("__eid", "__f", "__t")
             lo_k, hi_k = rng
             paths = None
-            walk = seg.select(F.col("__f").alias("__s"), F.col("__t").alias("__e"))
+            walk = seg.select(
+                F.col("__f").alias("__s"),
+                F.col("__t").alias("__e"),
+                F.array(F.col("__eid")).alias(arr),
+            )
             k = 1
             while k <= hi_k:
                 if k >= lo_k:
-                    p_k = walk.select("__s", "__e")
+                    p_k = walk.select("__s", "__e", arr)
                     paths = p_k if paths is None else paths.unionByName(p_k)
                 k += 1
                 if k <= hi_k:
                     step = seg.select(
-                        F.col("__f").alias("__sf"), F.col("__t").alias("__st")
+                        F.col("__eid").alias("__sid"),
+                        F.col("__f").alias("__sf"),
+                        F.col("__t").alias("__st"),
                     )
-                    walk = walk.join(step, F.col("__e") == F.col("__sf")).select(
-                        "__s", F.col("__st").alias("__e")
+                    walk = walk.join(
+                        step,
+                        (F.col("__e") == F.col("__sf"))
+                        & ~F.array_contains(F.col(arr), F.col("__sid")),
+                    ).select(
+                        "__s",
+                        F.col("__st").alias("__e"),
+                        F.concat(F.col(arr), F.array(F.col("__sid"))).alias(arr),
                     )
             cur = cur.join(paths, F.col(f"{prev}_id") == F.col("__s")).join(
                 nxt, F.col("__e") == F.col(f"{nvar}_id")
             ).drop("__s", "__e")
+            seg_arrays.append(arr)
             known.add(nvar)
             prev = nvar
             continue
@@ -254,9 +287,26 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                 nxt, F.col(f"{evar}_from") == F.col(f"{nvar}_id")
             )
             cur = out_o.unionByName(in_o)
+        fixed_eids.append(f"{evar}_id")
         known.add(nvar)
         known.add(evar)
         prev = nvar
+
+    # Cypher relationship-uniqueness across the whole pattern: every pair
+    # of relationship bindings must differ (bounded: patterns are short)
+    for i in range(len(fixed_eids)):
+        for j in range(i + 1, len(fixed_eids)):
+            cur = cur.where(F.col(fixed_eids[i]) != F.col(fixed_eids[j]))
+    for arr in seg_arrays:
+        for eid in fixed_eids:
+            cur = cur.where(~F.array_contains(F.col(arr), F.col(eid)))
+    for i in range(len(seg_arrays)):
+        for j in range(i + 1, len(seg_arrays)):
+            cur = cur.where(
+                ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
+            )
+    if seg_arrays:
+        cur = cur.drop(*seg_arrays)
 
     if q.where:
         cur = cur.where(F.expr(_translate_expr(q.where, known)))

@@ -76,7 +76,8 @@ _TERM_RE = re.compile(
         (?P<var>\?\w+)
       | (?P<iri><[^>]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*"(?:@\w+|\^\^\S+)?)
-      | (?P<a>\ba\b)
+      | (?P<a>\ba\b(?!:))  # 'a:local' is a pname, not the type keyword;
+                           # 'a :local' keeps keyword + empty-prefix pname
       | (?P<pname>\w*:\w+)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
     )""",

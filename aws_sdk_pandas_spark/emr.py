@@ -347,6 +347,20 @@ def build_spark_step(
     )
 
 
+# spark-submit's real flag inventory (SparkSubmitArguments.scala): flags
+# that take no value vs flags that consume the next token.  Guessing
+# "every flag takes a value" made --verbose swallow the script path.
+_SPARK_SUBMIT_BOOLEAN_FLAGS = {"--verbose", "-v", "--supervise", "--version", "--help", "-h"}
+_SPARK_SUBMIT_VALUE_FLAGS = {
+    "--master", "--deploy-mode", "--class", "--name", "--jars", "--packages",
+    "--exclude-packages", "--repositories", "--py-files", "--files", "--archives",
+    "--conf", "-c", "--properties-file", "--driver-memory", "--driver-java-options",
+    "--driver-library-path", "--driver-class-path", "--executor-memory",
+    "--proxy-user", "--driver-cores", "--total-executor-cores", "--executor-cores",
+    "--num-executors", "--queue", "--principal", "--keytab",
+}
+
+
 def _run_spark_submit(argv: list[str], step: dict[str, Any]) -> None:
     """Execute a spark-submit step in-process on the live session."""
     import runpy
@@ -358,9 +372,20 @@ def _run_spark_submit(argv: list[str], step: dict[str, Any]) -> None:
     script_args: list[str] = []
     while i < len(argv):
         tok = argv[i]
-        if tok.startswith("--"):
-            # every spark-submit flag the builder emits takes a value
-            i += 2
+        if tok.startswith("-"):
+            if tok in _SPARK_SUBMIT_BOOLEAN_FLAGS:
+                i += 1
+            elif tok in _SPARK_SUBMIT_VALUE_FLAGS:
+                if i + 1 >= len(argv):
+                    raise InvalidArgument(
+                        f"spark-submit flag {tok} is missing its value: {argv}"
+                    )
+                i += 2
+            else:
+                raise InvalidArgument(
+                    f"unrecognized spark-submit flag {tok!r} in {argv}; "
+                    "known value flags: " + ", ".join(sorted(_SPARK_SUBMIT_VALUE_FLAGS))
+                )
             continue
         script = tok
         script_args = argv[i + 1 :]

@@ -105,15 +105,43 @@ def describe_application(application_id: str) -> dict[str, Any]:
 
 def _split_statements(text: str) -> list[str]:
     """Split a HiveQL script on ``;`` with string literals shielded — a
-    semicolon inside ``'a;b'`` is data, not a statement boundary."""
-    from aws_sdk_pandas_spark.sql_dialect import _shield_strings, _unshield
-
-    shielded, lits = _shield_strings(text)
-    return [
-        _unshield(part, lits)
-        for part in shielded.split(";")
-        if _unshield(part, lits).strip()
-    ]
+    semicolon inside ``'a;b'`` OR ``"a;b"`` is data (Hive/Spark accept
+    both quote styles for strings), and a ``;`` inside a ``--`` line
+    comment is not a boundary either.  Handles backslash and doubled-
+    quote escapes inside literals."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if text[j] == c and j + 1 < n and text[j + 1] == c:
+                    j += 2
+                    continue
+                if text[j] == c:
+                    break
+                j += 1
+            if j >= n:
+                raise InvalidArgument("unterminated string literal in SQL script")
+            buf.append(text[i : j + 1])
+            i = j + 1
+        elif c == "-" and i + 1 < n and text[i + 1] == "-":
+            nl = text.find("\n", i)
+            i = n if nl == -1 else nl  # keep the newline as whitespace
+        elif c == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    stmts.append("".join(buf))
+    return [s for s in (st.strip() for st in stmts) if s]
 
 
 def _run_hive(job: dict[str, Any], driver: dict[str, Any]) -> None:

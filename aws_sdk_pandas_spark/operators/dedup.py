@@ -816,9 +816,16 @@ def remove_repeated_spans(
       1. normalize whitespace, split to tokens, fan out L-token windows
          with their start index (higher-order functions + posexplode —
          no Python);
-      2. ONE xxhash64-keyed aggregate finds windows with count >= 2 and,
-         for keep='first', the min (doc_id, start) occurrence (a single
-         ``min(struct(...))`` in the same aggregation);
+      2. ONE aggregate keyed on a 128-bit composite (two INDEPENDENT
+         xxhash64s of the window — the second over a domain-separated
+         copy) finds windows with count >= 2 and, for keep='first', the
+         min (doc_id, start) occurrence (a single ``min(struct(...))``
+         in the same aggregation).  A single 64-bit key would suffer
+         birthday collisions at the multi-billion-window scale this
+         targets (~50M windows already in the scale probe) and silently
+         delete non-duplicate text; requiring both hashes to agree
+         pushes the collision odds below 2^-90 at 10^12 windows while
+         adding only 8 bytes per shuffled row;
       3. dup keys join back (AQE broadcasts when the dup set is small);
          the exempt occurrence is filtered out by position equality;
       4. spans [start, start+L) merge per document with the classic
@@ -854,28 +861,37 @@ def remove_repeated_spans(
     # 1. sliding windows with start positions (0-based)
     # sequence(0, -1) would read as a DESCENDING [0, -1] in Spark, so
     # short documents must short-circuit to an empty window list
-    win_keys = F.when(
+    win_strs = F.when(
         n_tok >= L,
         F.transform(
             F.sequence(F.lit(0), n_tok - L),
-            lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, L), " ")),
+            lambda i: F.array_join(F.slice("__toks", i + 1, L), " "),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    wins = base.select("__id", F.posexplode(win_keys).alias("__start", "__wkey"))
+    ).otherwise(F.array().cast("array<string>"))
+    # both hashes are computed in the same project stage, so the window
+    # STRING never crosses an exchange — only 16 bytes of key do
+    wins = base.select(
+        "__id", F.posexplode(win_strs).alias("__start", "__w")
+    ).select(
+        "__id",
+        "__start",
+        F.xxhash64("__w").alias("__k1"),
+        F.xxhash64(F.concat(F.lit("\x01"), F.col("__w"))).alias("__k2"),
+    )
 
     # 2. duplicated windows (+ the exempt canonical occurrence)
     dup = (
-        wins.groupBy("__wkey")
+        wins.groupBy("__k1", "__k2")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.min(F.struct("__id", "__start")).alias("__keep"),
         )
         .where(F.col("__n") >= 2)
-        .select("__wkey", "__keep")
+        .select("__k1", "__k2", "__keep")
     )
 
     # 3. removable occurrences -> raw spans
-    occ = wins.join(dup, "__wkey")
+    occ = wins.join(dup, ["__k1", "__k2"])
     if keep == "first":
         occ = occ.where(
             ~(

@@ -174,3 +174,44 @@ def test_emr_serverless_hive_job(spark, tmp_path):
     resp = emr_serverless.run_job(app_id, "role", {"query": str(sql2)}, job_type="Hive")
     assert resp["jobRun"]["state"] == "SUCCESS"
     assert spark.table("emrless_tv3").first().s == "a;b"
+
+
+def test_spark_submit_boolean_and_unknown_flags(spark, tmp_path):
+    """round-2 advice: --verbose takes no value and must not swallow the
+    script path; unknown flag shapes fail loudly instead of guessing."""
+    import pytest
+
+    from aws_sdk_pandas_spark.emr import _run_spark_submit
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    script = tmp_path / "job.py"
+    out = tmp_path / "flag_probe.txt"
+    script.write_text(
+        "import sys\n"
+        f"open({str(out)!r}, 'w').write(','.join(sys.argv))\n"
+    )
+    step = {}
+    argv = ["spark-submit", "--verbose", "--deploy-mode", "cluster", str(script), "arg1"]
+    _run_spark_submit(argv, step)
+    assert step["state"] == "COMPLETED"
+    assert out.read_text() == f"{script},arg1"
+    with pytest.raises(InvalidArgument, match="unrecognized spark-submit flag"):
+        _run_spark_submit(["spark-submit", "--frobnicate", str(script)], {})
+    with pytest.raises(InvalidArgument, match="missing its value"):
+        _run_spark_submit(["spark-submit", "--deploy-mode"], {})
+
+
+def test_split_statements_double_quotes_and_comments():
+    """round-2 advice: double-quoted literals and -- comments also shield
+    ';' from the statement splitter."""
+    from aws_sdk_pandas_spark.emr_serverless import _split_statements
+
+    got = _split_statements(
+        'SELECT "a;b" AS s;\n'
+        "-- a comment; with a semicolon\n"
+        "SELECT 'c;d' AS t -- trailing; comment\n;\n"
+        "SELECT 1"
+    )
+    assert got == ['SELECT "a;b" AS s', "SELECT 'c;d' AS t", "SELECT 1"]
+    # doubled-quote escape inside a double-quoted literal
+    assert _split_statements('SELECT "x"";y" AS s') == ['SELECT "x"";y" AS s']

@@ -427,6 +427,17 @@ def test_sparql_single_pattern_and_a_keyword(foaf):
     assert [r.s for r in got.collect()] == ["josh", "marko", "peter", "vadas"]
 
 
+def test_sparql_a_prefix_is_a_pname_not_the_type_keyword(foaf):
+    # round-2 advice: with PREFIX a: declared, 'a:Person' must parse as ONE
+    # prefixed name, not rdf:type + stray ':Person'
+    q = (
+        f"PREFIX a: <{_FOAF}>\n"
+        "SELECT ?s WHERE { ?s a a:Person } ORDER BY ?s"
+    )
+    got = _sp(foaf, q)
+    assert [r.s for r in got.collect()] == ["josh", "marko", "peter", "vadas"]
+
+
 def test_sparql_bgp_join_and_po_list(foaf):
     q = _P + (
         "SELECT ?who ?friend_name WHERE { "
@@ -817,10 +828,20 @@ def test_cypher_variable_length_paths(modern):
     # exact length 2
     q3 = "MATCH (a:person {name: 'marko'})-[*2..2]->(b) RETURN b.name AS n ORDER BY n"
     assert [r.n for r in _cy(modern, q3).collect()] == ["lop", "ripple"]
-    # undirected var-length from a leaf reaches its creator chain
+    # undirected var-length from a leaf reaches its creator chain;
+    # relationship-uniqueness (trail semantics) forbids walking ripple's
+    # single edge out-and-back, so ripple itself must NOT appear
     q4 = "MATCH (s {name: 'ripple'})-[*1..2]-(b) RETURN b.name AS n ORDER BY n"
     got4 = [r.n for r in _cy(modern, q4).collect()]
-    assert "josh" in got4 and "lop" in got4  # josh 1 hop, lop via josh
+    assert got4 == ["josh", "lop", "marko"]
+    # the exact counterexample from the round-2 advice: *2..2 undirected
+    # from ripple is lop+marko on Neptune/openCypher, never ripple
+    q5 = "MATCH (s {name: 'ripple'})-[*2..2]-(b) RETURN b.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q5).collect()] == ["lop", "marko"]
+    # fixed-length edges are pairwise distinct too: vadas has ONE edge, so
+    # a 2-hop undirected chain cannot bounce back through it
+    q6 = "MATCH (a {name: 'vadas'})--(b)--(c) RETURN c.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q6).collect()] == ["josh", "lop"]
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with pytest.raises(InvalidArgument, match="variable-length range"):
         _cy(modern, "MATCH (a)-[*0..2]->(b) RETURN b")
