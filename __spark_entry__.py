@@ -4999,6 +4999,107 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path SEQUENCE under the hash gate
+    (connectors/sparql.py — ``p1/p2/p3`` compiles to chained equi-joins
+    on anonymous midpoints, bag semantics): customers to their region
+    name through in_nation/partof/name in ONE pattern; the oracle is the
+    3-way relational join."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    n_id = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    r_id = F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+    triples = (
+        cust.select(c_id.alias("s"), F.lit("in_nation").alias("p"),
+                    F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"))
+        .unionByName(nat.select(n_id.alias("s"), F.lit("partof").alias("p"),
+                                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("o")))
+        .unionByName(nat.select(n_id.alias("s"), F.lit("name").alias("p"),
+                                F.col("n_name").alias("o")))
+        .unionByName(reg.select(r_id.alias("s"), F.lit("name").alias("p"),
+                                F.col("r_name").alias("o")))
+    )
+    q = """
+        SELECT ?rname (COUNT(?c) AS ?n_customers)
+        WHERE { ?c <in_nation>/<partof>/<name> ?rname . }
+        GROUP BY ?rname
+        ORDER BY ?rname
+    """
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
+def _q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``+`` closure under the hash gate (connectors/sparql.py —
+    var-to-var one-or-more compiles to iterative-doubling transitive
+    closure, log2(chain) rounds, SET semantics per the spec): each
+    customer's orders chained chronologically with <next> triples, so
+    the distinct (earlier, later) pairs number exactly sum-over-
+    customers C(k, 2) — which the oracle recomputes arithmetically."""
+    from pyspark.sql.window import Window
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("oid"),
+        F.lead(F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    triples = seq.select(
+        F.col("oid").alias("s"), F.lit("next").alias("p"), F.col("nxt").alias("o")
+    )
+    q = "SELECT (COUNT(*) AS ?n_pairs) WHERE { ?a <next>+ ?b }"
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
+def _q_cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher OPTIONAL MATCH under the hash gate
+    (connectors/opencypher.py — the optional clause left-joins on the
+    shared variable, and its WHERE participates in the MATCHING, so
+    users with no qualifying purchase keep a null row and count 0; a
+    post-filter WHERE would drop them, which is exactly the semantic
+    difference this gate pins): per-user count of big purchases over
+    the events property graph."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user) "
+        "OPTIONAL MATCH (u)-[r:did]->(t:etype {id: 'purchase'}) WHERE r.value > 250 "
+        "RETURN u AS uid, count(r.value) AS n_big ORDER BY uid",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
+def _q_gremlin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin as()/select() pattern projection under the hash gate
+    (connectors/gremlin.py — step labels survive hops as carried ~id
+    columns, select joins each labeled element back to its frame for the
+    by() property, TinkerPop's round-robin by rule): user --did--> etype
+    with an edge predicate, projecting (user id, edge value, etype); the
+    oracle is the flat filtered projection of the events table."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('user').as('u').outE('did').has('value', gt(80))"
+        ".as('e').inV().as('t').select('u', 'e', 't')"
+        ".by('~id').by('value').by('~id').order()",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trino/Athena dialect translation under the hash gate
     (sql_dialect.trino_to_spark_sql via read_sql_query(dialect='trino'),
@@ -5572,6 +5673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
+        "graph_gremlin_select": _q_gremlin_select,
+        "graph_cypher_optional_match": _q_cypher_optional_match,
+        "graph_sparql_path_seq": _q_sparql_path_seq,
+        "graph_sparql_path_closure": _q_sparql_path_closure,
         "graph_sparql_bgp": _q_sparql_bgp,
         "graph_sparql_union": _q_sparql_union,
         "graph_sparql_not_exists": _q_sparql_not_exists,
@@ -7193,6 +7298,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS count
             FROM events
             WHERE value > 50
+        """,
+        "graph_gremlin_select": """
+            SELECT concat('u', CAST(user_id AS VARCHAR)) AS u,
+                   value AS e, event_type AS t
+            FROM events
+            WHERE value > 80
+            ORDER BY u, e, t
+        """,
+        "graph_sparql_path_seq": """
+            SELECT r_name AS rname, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY rname
+        """,
+        "graph_sparql_path_closure": """
+            SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
+            FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_cypher_optional_match": """
+            WITH u AS (
+                SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS uid
+                FROM events
+            ),
+            e AS (
+                SELECT concat('u', CAST(user_id AS VARCHAR)) AS uid, value
+                FROM events
+                WHERE event_type = 'purchase' AND value > 250
+            )
+            SELECT u.uid, COUNT(e.value) AS n_big
+            FROM u LEFT JOIN e USING (uid)
+            GROUP BY u.uid
+            ORDER BY u.uid
         """,
         "dedup_repeated_spans": """
             WITH base AS (

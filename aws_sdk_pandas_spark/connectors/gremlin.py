@@ -15,11 +15,14 @@ exercise):
     .out('el', ...) / .in('el', ...) / .both('el', ...)      vertex -> vertex
     .outE('el', ...) / .inE('el', ...)                        vertex -> edge
     .inV() / .outV()                                          edge -> vertex
-    .values('prop')           .id()          .label()
+    .values('prop', ...)      .id()          .label()
     .valueMap()
-    .dedup()   .limit(n)   .count()
+    .dedup()   .limit(n)   .range(lo, hi)   .count()
+    .sum() / .mean() / .min() / .max()        on a single-value stream
     .order().by('prop'[, 'desc'])  /  .order() on a value stream
     .groupCount().by('prop')
+    .group().by('key')[.by('prop')]           -> (key, values array)
+    .as('a') ... .select('a', 'b')[.by('p1').by('p2')]
 
 Semantics are Gremlin's BAG semantics: a traverser per path, so
 ``.out('x').groupCount().by('~id')`` counts one per edge, duplicates
@@ -223,30 +226,44 @@ class _Traversal:
         self.df = df
         self.vertices = vertices
         self.edges = edges
+        self.tags: dict[str, str] = {}  # as('x') -> stream kind at snapshot
+
+    def _tag_cols(self) -> list[str]:
+        return [c for c in self.df.columns if c.startswith("__tag_")]
 
     # -- movement ----------------------------------------------------------
     def _hop(self, elabels: list[Any], direction: str) -> None:
         if self.kind != "V":
             raise InvalidArgument(f"{direction} step requires a vertex stream")
+        tags = self._tag_cols()
         e = _labels_filter(self.edges, elabels).select(
             F.col("~from").alias("__src"), F.col("~to").alias("__dst")
         )
-        cur = self.df.select(F.col("~id").alias("__cur"))
+        cur = self.df.select(F.col("~id").alias("__cur"), *tags)
         if direction == "out":
-            nxt = cur.join(e, cur["__cur"] == e["__src"]).select(F.col("__dst").alias("__nid"))
+            nxt = cur.join(e, cur["__cur"] == e["__src"]).select(
+                F.col("__dst").alias("__nid"), *tags
+            )
         elif direction == "in":
-            nxt = cur.join(e, cur["__cur"] == e["__dst"]).select(F.col("__src").alias("__nid"))
+            nxt = cur.join(e, cur["__cur"] == e["__dst"]).select(
+                F.col("__src").alias("__nid"), *tags
+            )
         else:  # both
-            o = cur.join(e, cur["__cur"] == e["__src"]).select(F.col("__dst").alias("__nid"))
-            i = cur.join(e, cur["__cur"] == e["__dst"]).select(F.col("__src").alias("__nid"))
+            o = cur.join(e, cur["__cur"] == e["__src"]).select(
+                F.col("__dst").alias("__nid"), *tags
+            )
+            i = cur.join(e, cur["__cur"] == e["__dst"]).select(
+                F.col("__src").alias("__nid"), *tags
+            )
             nxt = o.unionAll(i)
         self.df = nxt.join(self.vertices, nxt["__nid"] == self.vertices["~id"]).drop("__nid")
 
     def _hop_e(self, elabels: list[Any], direction: str) -> None:
         if self.kind != "V":
             raise InvalidArgument(f"{direction}E step requires a vertex stream")
+        tags = self._tag_cols()
         e = _labels_filter(self.edges, elabels)
-        cur = self.df.select(F.col("~id").alias("__cur"))
+        cur = self.df.select(F.col("~id").alias("__cur"), *tags)
         key = "~from" if direction == "out" else "~to"
         self.df = cur.join(e, cur["__cur"] == e[key]).drop("__cur")
         self.kind = "E"
@@ -254,13 +271,15 @@ class _Traversal:
     def _edge_vertex(self, end: str) -> None:
         if self.kind != "E":
             raise InvalidArgument(f"{end}V step requires an edge stream")
+        tags = self._tag_cols()
         key = "~to" if end == "in" else "~from"
-        cur = self.df.select(F.col(key).alias("__nid"))
+        cur = self.df.select(F.col(key).alias("__nid"), *tags)
         self.df = cur.join(self.vertices, cur["__nid"] == self.vertices["~id"]).drop("__nid")
         self.kind = "V"
 
     # -- terminals / modulated steps ----------------------------------------
-    def apply(self, name: str, args: list[Any], by: list[Any] | None) -> None:
+    def apply(self, name: str, args: list[Any], bys: list[list[Any]] | None) -> None:
+        by = bys[0] if bys else None
         if name == "hasLabel":
             self.df = _labels_filter(self.df, args)
         elif name == "has":
@@ -282,10 +301,20 @@ class _Traversal:
         elif name == "outV":
             self._edge_vertex("out")
         elif name == "values":
-            if len(args) != 1:
-                raise InvalidArgument("values() supports exactly one property here; use valueMap()")
-            prop = str(args[0])
-            self.df = self.df.where(F.col(prop).isNotNull()).select(prop)
+            if not args:
+                raise InvalidArgument("values() needs at least one property; use valueMap()")
+            if len(args) == 1:
+                prop = str(args[0])
+                self.df = self.df.where(F.col(prop).isNotNull()).select(prop)
+            else:
+                # TinkerPop emits one traverser per value: flatten the
+                # properties into a single 'value' stream (types must be
+                # array-compatible), nulls dropped like absent properties
+                self.df = (
+                    self.df.select(
+                        F.explode(F.array(*[F.col(str(p)) for p in args])).alias("value")
+                    ).where(F.col("value").isNotNull())
+                )
             self.kind = "value"
         elif name == "id":
             self.df = self.df.select(F.col("~id").alias("id"))
@@ -299,9 +328,34 @@ class _Traversal:
             self.df = self.df.distinct()
         elif name == "limit":
             self.df = self.df.limit(int(args[0]))
+        elif name == "range":
+            if len(args) != 2:
+                raise InvalidArgument("range(low, high) needs two integers")
+            lo, hi = int(args[0]), int(args[1])
+            if not (0 <= lo < hi):
+                raise InvalidArgument("range(low, high) needs 0 <= low < high")
+            self.df = self.df.offset(lo).limit(hi - lo)
         elif name == "count":
             self.df = self.df.agg(F.count(F.lit(1)).alias("count"))
             self.kind = "value"
+        elif name in ("sum", "mean", "min", "max"):
+            if self.kind != "value" or len(self.df.columns) != 1:
+                raise InvalidArgument(
+                    f"{name}() requires a single-value stream (e.g. after values('p'))"
+                )
+            col = self.df.columns[0]
+            fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[name]
+            self.df = self.df.agg(fn(F.col(f"`{col}`")).alias(name))
+        elif name == "as":
+            if len(args) != 1:
+                raise InvalidArgument("as() needs exactly one step label")
+            tag = str(args[0])
+            if self.kind == "value":
+                raise InvalidArgument("as() requires a vertex or edge stream")
+            self.df = self.df.withColumn(f"__tag_{tag}", F.col("`~id`"))
+            self.tags[tag] = self.kind
+        elif name == "select":
+            self._select(args, bys)
         elif name == "order":
             if by:
                 prop = str(by[0])
@@ -315,13 +369,55 @@ class _Traversal:
         elif name == "groupCount":
             key = str(by[0]) if by else "~label"
             self.df = (
-                self.df.groupBy(F.col(key))
+                self.df.groupBy(F.col(f"`{key}`"))
                 .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy(F.col(key).asc())
+                .orderBy(F.col(f"`{key}`").asc())
+            )
+            self.kind = "value"
+        elif name == "group":
+            # group().by(key)[.by(valueProp)] -> one row per key with the
+            # values as a sorted array (TinkerPop's map rendered relational;
+            # sort makes the result deterministic and oracle-checkable)
+            if not bys:
+                raise InvalidArgument("group() requires .by(key)")
+            key = str(bys[0][0])
+            val = str(bys[1][0]) if len(bys) > 1 else "~id"
+            self.df = (
+                self.df.groupBy(F.col(f"`{key}`"))
+                .agg(F.array_sort(F.collect_list(F.col(f"`{val}`"))).alias("values"))
+                .orderBy(F.col(f"`{key}`").asc())
             )
             self.kind = "value"
         else:
             raise InvalidArgument(f"unsupported gremlin step {name!r}")
+
+    def _select(self, args: list[Any], bys: list[list[Any]] | None) -> None:
+        """select('a','b')[.by(p1).by(p2)] — project step labels; with by
+        modulators applied round-robin (TinkerPop's rule), each selected
+        element resolves its property via one equi-join back to its
+        vertex/edge frame (broadcast by AQE — the frames are dims here)."""
+        if not args:
+            raise InvalidArgument("select() needs at least one step label")
+        out_cols: list[Any] = []
+        df = self.df
+        for i, a in enumerate(args):
+            tag = str(a)
+            if tag not in self.tags:
+                raise InvalidArgument(f"select of unknown step label {tag!r}")
+            prop = str(bys[i % len(bys)][0]) if bys else None
+            if prop is None:
+                out_cols.append(F.col(f"__tag_{tag}").alias(tag))
+                continue
+            src = self.vertices if self.tags[tag] == "V" else self.edges
+            side = src.select(
+                F.col("`~id`").alias(f"__sid_{tag}"), F.col(f"`{prop}`").alias(tag)
+            )
+            df = df.join(side, F.col(f"__tag_{tag}") == F.col(f"__sid_{tag}")).drop(
+                f"__sid_{tag}"
+            )
+            out_cols.append(F.col(f"`{tag}`"))
+        self.df = df.select(*out_cols)
+        self.kind = "value"
 
 
 def compile_gremlin(
@@ -358,14 +454,15 @@ def compile_gremlin(
             i += 1
     steps = expanded
 
-    # fold .by(...) modulators onto their predecessor
-    folded: list[tuple[str, list[Any], list[Any] | None]] = []
+    # fold .by(...) modulators onto their predecessor (a step may take
+    # several — group().by(k).by(v), select('a','b').by(p1).by(p2))
+    folded: list[tuple[str, list[Any], list[list[Any]] | None]] = []
     for name, args in steps:
         if name == "by":
             if not folded:
                 raise InvalidArgument("by() without a preceding step")
-            pname, pargs, _ = folded[-1]
-            folded[-1] = (pname, pargs, args)
+            pname, pargs, pbys = folded[-1]
+            folded[-1] = (pname, pargs, (pbys or []) + [args])
         else:
             folded.append((name, args, None))
 
@@ -381,6 +478,6 @@ def compile_gremlin(
             df = df.where(F.col("~id").isin([str(a) for a in sargs]))
         t = _Traversal("E", df, vertices, edges)
 
-    for name, args, by in folded[1:]:
-        t.apply(name, args, by)
+    for name, args, bys in folded[1:]:
+        t.apply(name, args, bys)
     return t.df

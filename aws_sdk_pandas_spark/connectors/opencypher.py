@@ -6,10 +6,20 @@ family next to ``connectors/gremlin.py``).
 
 Supported grammar::
 
-    MATCH (a:Label {prop: val})-[r:REL]->(b)-[:REL2]-(c) ...
+    MATCH (a:Label {prop: val})-[r:REL]->(b)-[:REL2]-(c), (a)-[...]-(d)
     [WHERE <boolean expr over var.prop, literals, AND/OR/NOT, comparisons>]
+    [MATCH ... [WHERE ...]] ...
+    [OPTIONAL MATCH ... [WHERE ...]] ...
     RETURN [DISTINCT] item [AS alias], ...
     [ORDER BY item [DESC], ...] [SKIP n] [LIMIT n]
+
+- multiple patterns (comma) and multiple MATCH clauses join on their
+  SHARED node variables (natural equi-join on the shared columns);
+  disconnected patterns produce Cypher's cartesian product
+- ``OPTIONAL MATCH`` compiles to a LEFT join on the shared variables;
+  its WHERE participates in the matching (Cypher semantics), so it is
+  applied before the left join and may only reference the optional
+  pattern's own variables
 
 - edges: ``-[r:T]->`` (out), ``<-[r:T]-`` (in), ``-[r:T]-`` (undirected =
   union of both orientations); label and variable both optional
@@ -107,12 +117,42 @@ def _translate_expr(expr: str, known_vars: set[str]) -> str:
     return out
 
 
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on separators outside (), [], {} and quotes — a comma inside
+    an inline property map is data, not a pattern boundary."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q: str | None = None
+    for c in s:
+        if in_q:
+            buf.append(c)
+            if c == in_q:
+                in_q = None
+            continue
+        if c in "'\"":
+            in_q = c
+            buf.append(c)
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 class _CypherQuery:
     def __init__(self, q: str):
         s = q.strip().rstrip(";")
         m = re.match(
-            r"MATCH\s+(?P<pattern>.+?)"
-            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?P<body>(?:OPTIONAL\s+)?MATCH\s+.+?)"
             r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)"
             r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
             r"(?:\s+SKIP\s+(?P<skip>\d+))?"
@@ -123,10 +163,25 @@ class _CypherQuery:
         if not m:
             raise InvalidArgument(
                 "unsupported openCypher query shape; expected "
-                "MATCH ... [WHERE ...] RETURN ... [ORDER BY ...] [SKIP n] [LIMIT n]"
+                "MATCH ... [WHERE ...] [[OPTIONAL] MATCH ... [WHERE ...]]* "
+                "RETURN ... [ORDER BY ...] [SKIP n] [LIMIT n]"
             )
-        self.pattern = m.group("pattern").strip()
-        self.where = (m.group("where") or "").strip() or None
+        # clauses: [(optional, [chain, ...], where|None), ...]
+        self.clauses: list[tuple[bool, list[str], str | None]] = []
+        body = m.group("body")
+        pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH)\b", body, flags=re.I)
+        # pieces = ['', KW, seg, KW, seg, ...]
+        if pieces[0].strip():
+            raise InvalidArgument(f"query must start with MATCH: {q!r}")
+        for kw, seg in zip(pieces[1::2], pieces[2::2]):
+            optional = kw.upper().startswith("OPTIONAL")
+            wm = re.search(r"\bWHERE\b", seg, flags=re.I)
+            where = seg[wm.end() :].strip() if wm else None
+            pat = seg[: wm.start()] if wm else seg
+            chains = _split_top_level(pat)
+            if not chains:
+                raise InvalidArgument(f"empty MATCH pattern in {q!r}")
+            self.clauses.append((optional, chains, where or None))
         self.distinct = bool(m.group("distinct"))
         self.items = [i.strip() for i in m.group("items").split(",")]
         self.order = (m.group("order") or "").strip() or None
@@ -134,8 +189,10 @@ class _CypherQuery:
         self.limit = int(m.group("limit")) if m.group("limit") else None
 
 
-def _parse_pattern(pattern: str):
-    """One path chain -> [node, (edge, node), ...] descriptors."""
+def _parse_pattern(pattern: str, tag: str = ""):
+    """One path chain -> [node, (edge, node), ...] descriptors.  ``tag``
+    keeps anonymous variable names unique across chains/clauses so two
+    chains' anonymous nodes are never mistaken for a shared variable."""
     pos = 0
     n0 = _NODE_RE.match(pattern, pos)
     if not n0:
@@ -166,7 +223,7 @@ def _parse_pattern(pattern: str):
                 raise InvalidArgument("variable-length range must satisfy 1 <= a <= b <= 8")
         if evar is None:
             anon += 1
-            evar = f"__e{anon}"
+            evar = f"__e{tag}{anon}"
         pos = e.end()
         n = _NODE_RE.match(pattern, pos)
         if not n:
@@ -178,14 +235,23 @@ def _parse_pattern(pattern: str):
     for i, (var, label, props) in enumerate(nodes):
         if var is None:
             anon += 1
-            var = f"__n{anon}"
+            var = f"__n{tag}{anon}"
         named.append((var, label, props))
     return named, edges
 
 
-def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
-    q = _CypherQuery(query)
-    nodes, hops = _parse_pattern(q.pattern)
+def _compile_chain(
+    chain: str,
+    vertices: DataFrame,
+    edges: DataFrame,
+    seg_offset: int,
+    tag: str = "",
+) -> tuple[DataFrame, set[str], list[str], list[str]]:
+    """One path chain -> (frame, bound vars, fixed-edge id cols,
+    var-length segment id-array cols).  ``seg_offset`` keeps segment
+    array column names unique across chains of one clause; ``tag`` does
+    the same for anonymous variables."""
+    nodes, hops = _parse_pattern(chain, tag)
 
     def node_frame(var: str, label: str | None, props: str | None) -> DataFrame:
         df = _prefix_frame(vertices, var)
@@ -195,7 +261,10 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
 
     seen_vars = [v for v, _l, _p in nodes]
     if len(set(seen_vars)) != len(seen_vars):
-        raise InvalidArgument("repeated node variables in a pattern are not supported")
+        raise InvalidArgument(
+            "repeated node variables within one path chain are not supported; "
+            "split the pattern at the repeated variable into comma patterns"
+        )
 
     var0, label0, props0 = nodes[0]
     cur = node_frame(var0, label0, props0)
@@ -212,7 +281,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
             # multiplicity = number of TRAILS, which is what openCypher/
             # Neptune return.  Plans stay k bounded equi-joins per branch
             # and the id list is bounded by b <= 8.
-            arr = f"__eids{len(seg_arrays)}"
+            arr = f"__eids{seg_offset + len(seg_arrays)}"
             seg = edges.select(
                 F.col("`~id`").alias("__eid"),
                 F.col("`~from`").alias("__f"),
@@ -291,25 +360,107 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
         known.add(nvar)
         known.add(evar)
         prev = nvar
+    return cur, known, fixed_eids, seg_arrays
 
-    # Cypher relationship-uniqueness across the whole pattern: every pair
-    # of relationship bindings must differ (bounded: patterns are short)
-    for i in range(len(fixed_eids)):
-        for j in range(i + 1, len(fixed_eids)):
-            cur = cur.where(F.col(fixed_eids[i]) != F.col(fixed_eids[j]))
-    for arr in seg_arrays:
-        for eid in fixed_eids:
-            cur = cur.where(~F.array_contains(F.col(arr), F.col(eid)))
-    for i in range(len(seg_arrays)):
-        for j in range(i + 1, len(seg_arrays)):
-            cur = cur.where(
-                ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
+
+def _join_shared(
+    left: DataFrame, right: DataFrame, shared_vars: set[str], how: str = "inner"
+) -> DataFrame:
+    """Join two pattern frames on their shared variables' ``<var>_id``
+    columns ONLY — joining on property columns would drop matches where a
+    shared vertex has a NULL property (null never equals null in a join
+    key).  The right frame's other columns for the shared vars are
+    duplicates of the left's (same vertex/edge row) and are dropped."""
+    keys = sorted(f"{v}_id" for v in shared_vars)
+    dup = [
+        c
+        for c in right.columns
+        if c not in keys and any(c.startswith(f"{v}_") for v in shared_vars)
+    ]
+    return left.join(right.drop(*dup), keys, how)
+
+
+def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    q = _CypherQuery(query)
+    cur: DataFrame | None = None
+    known: set[str] = set()
+    seg_counter = 0
+    chain_counter = 0
+    for optional, chains, where in q.clauses:
+        cdf: DataFrame | None = None
+        cknown: set[str] = set()
+        fixed_eids: list[str] = []
+        seg_arrays: list[str] = []
+        for chain in chains:
+            chain_counter += 1
+            df2, k2, e2, a2 = _compile_chain(
+                chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
             )
-    if seg_arrays:
-        cur = cur.drop(*seg_arrays)
+            seg_counter += len(a2)
+            dup_vars = cknown & k2
+            if cdf is None:
+                cdf = df2
+            else:
+                # shared node variables: equi-join on their ids;
+                # disconnected patterns: Cypher's cartesian product (the
+                # user wrote one)
+                cdf = (
+                    _join_shared(cdf, df2, dup_vars)
+                    if dup_vars
+                    else cdf.crossJoin(df2)
+                )
+            cknown |= k2
+            fixed_eids += e2
+            seg_arrays += a2
+        assert cdf is not None
+        # Cypher relationship-uniqueness, scoped to this MATCH clause:
+        # every pair of relationship bindings must differ (bounded:
+        # patterns are short)
+        for i in range(len(fixed_eids)):
+            for j in range(i + 1, len(fixed_eids)):
+                cdf = cdf.where(F.col(fixed_eids[i]) != F.col(fixed_eids[j]))
+        for arr in seg_arrays:
+            for eid in fixed_eids:
+                cdf = cdf.where(~F.array_contains(F.col(arr), F.col(eid)))
+        for i in range(len(seg_arrays)):
+            for j in range(i + 1, len(seg_arrays)):
+                cdf = cdf.where(
+                    ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
+                )
+        if seg_arrays:
+            cdf = cdf.drop(*seg_arrays)
+        if where is not None and optional:
+            # an OPTIONAL MATCH's WHERE is part of the matching, so it
+            # runs BEFORE the left join and sees only the clause's vars
+            try:
+                cdf = cdf.where(F.expr(_translate_expr(where, cknown)))
+                cdf.schema  # force analysis so bad references fail here
+            except Exception as exc:
+                raise InvalidArgument(
+                    "OPTIONAL MATCH WHERE may only reference the optional "
+                    f"pattern's own variables: {where!r}"
+                ) from exc
+        if cur is None:
+            if optional:
+                raise InvalidArgument("query cannot start with OPTIONAL MATCH")
+            cur = cdf
+        else:
+            shared = known & cknown
+            if optional:
+                if not shared:
+                    raise InvalidArgument(
+                        "OPTIONAL MATCH must share at least one variable "
+                        "with the preceding pattern"
+                    )
+                cur = _join_shared(cur, cdf, shared, "left")
+            else:
+                cur = _join_shared(cur, cdf, shared) if shared else cur.crossJoin(cdf)
+        known |= cknown
+        if where is not None and not optional:
+            # a plain MATCH's WHERE may reference any variable bound so far
+            cur = cur.where(F.expr(_translate_expr(where, known)))
 
-    if q.where:
-        cur = cur.where(F.expr(_translate_expr(q.where, known)))
+    assert cur is not None
 
     # RETURN: aggregates trigger Cypher's implicit grouping
     parsed = []

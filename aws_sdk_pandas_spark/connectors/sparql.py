@@ -34,6 +34,15 @@ Supported grammar::
 - terms: ``?var`` / ``<iri>`` / ``prefix:local`` (expanded) / ``"lit"``
   (optionally ``@lang`` / ``^^type``, both stripped) / numbers / the
   ``a`` keyword (rdf:type)
+- property paths in the predicate position: ``p1/p2`` (sequence),
+  ``p1|p2`` (alternative), ``^p`` (inverse), ``p+`` / ``p*`` / ``p?``
+  (closures, SET semantics per the SPARQL spec), ``(...)`` grouping.
+  ``+``/``*`` with a constant endpoint compile to a frontier BFS from
+  that node (the k-hop pattern — each round one equi-join, lineage
+  truncated per round); var-to-var closures use iterative doubling
+  (log2(diameter) rounds).  Both are fixpoint loops with a bounded
+  round cap that raises on non-convergence rather than answering
+  incompletely.
 - aggregates: COUNT(*) / COUNT([DISTINCT] ?x) / SUM/AVG/MIN/MAX(?x);
   aggregates with no GROUP BY and no plain vars collapse to one row,
   SPARQL-style; plain SELECT vars alongside aggregates become implicit
@@ -139,6 +148,92 @@ def _parse_term(s: str, pos: int, prefixes: dict[str, str]) -> tuple[_Term, int]
         return _Term("const", prefixes[pfx] + local), m.end()
     num = m.group("num")
     return _Term("const", float(num) if "." in num else int(num)), m.end()
+
+
+class _PathExpr:
+    """A non-trivial property path in the predicate position; ``node`` is
+    a nested tuple tree: ('atom', iri) / ('inv', n) / ('seq', [n...]) /
+    ('alt', [n...]) / ('plus'|'star'|'opt', n)."""
+
+    def __init__(self, node):
+        self.node = node
+
+
+def _skip_ws(s: str, pos: int) -> int:
+    while pos < len(s) and s[pos] in " \t\r\n":
+        pos += 1
+    return pos
+
+
+def _parse_path_unary(s: str, pos: int, prefixes: dict[str, str]):
+    pos = _skip_ws(s, pos)
+    if pos < len(s) and s[pos] == "^":
+        node, pos = _parse_path_unary(s, pos + 1, prefixes)
+        node = ("inv", node)
+    elif pos < len(s) and s[pos] == "(":
+        node, pos = _parse_path_alt(s, pos + 1, prefixes)
+        pos = _skip_ws(s, pos)
+        if pos >= len(s) or s[pos] != ")":
+            raise InvalidArgument(f"unbalanced '(' in property path at {s[pos:pos+30]!r}")
+        pos += 1
+    else:
+        term, pos = _parse_term(s, pos, prefixes)
+        if term.kind == "var":
+            raise InvalidArgument("a variable cannot appear inside a property path")
+        node = ("atom", term.value)
+    # postfix modifiers attach directly to the element (no whitespace —
+    # '?' must not swallow a following ?var term)
+    if pos < len(s) and s[pos] in "+*":
+        node = ("plus" if s[pos] == "+" else "star", node)
+        pos += 1
+    elif pos < len(s) and s[pos] == "?" and (pos + 1 >= len(s) or not (s[pos + 1].isalnum() or s[pos + 1] == "_")):
+        node = ("opt", node)
+        pos += 1
+    return node, pos
+
+
+def _parse_path_seq(s: str, pos: int, prefixes: dict[str, str]):
+    parts = []
+    node, pos = _parse_path_unary(s, pos, prefixes)
+    parts.append(node)
+    while True:
+        p2 = _skip_ws(s, pos)
+        if p2 < len(s) and s[p2] == "/":
+            node, pos = _parse_path_unary(s, p2 + 1, prefixes)
+            parts.append(node)
+        else:
+            break
+    return (parts[0] if len(parts) == 1 else ("seq", parts)), pos
+
+
+def _parse_path_alt(s: str, pos: int, prefixes: dict[str, str]):
+    parts = []
+    node, pos = _parse_path_seq(s, pos, prefixes)
+    parts.append(node)
+    while True:
+        p2 = _skip_ws(s, pos)
+        if p2 < len(s) and s[p2] == "|":
+            node, pos = _parse_path_seq(s, p2 + 1, prefixes)
+            parts.append(node)
+        else:
+            break
+    return (parts[0] if len(parts) == 1 else ("alt", parts)), pos
+
+
+def _parse_predicate(s: str, pos: int, prefixes: dict[str, str]):
+    """Predicate position: a plain ?var / constant term (the common case,
+    unchanged), or a property-path expression -> _PathExpr."""
+    p2 = _skip_ws(s, pos)
+    if p2 < len(s) and s[p2] == "?" and p2 + 1 < len(s) and (s[p2 + 1].isalnum() or s[p2 + 1] == "_"):
+        term, pos = _parse_term(s, pos, prefixes)  # ?var predicate, no paths
+        nxt = _skip_ws(s, pos)
+        if (nxt < len(s) and s[nxt] in "/|") or (pos < len(s) and s[pos] in "+*"):
+            raise InvalidArgument("a variable cannot appear inside a property path")
+        return term, pos
+    node, pos = _parse_path_alt(s, pos, prefixes)
+    if node[0] == "atom":
+        return _Term("const", node[1]), pos
+    return _PathExpr(node), pos
 
 
 def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True):
@@ -267,7 +362,7 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             continue
         s_term, pos = _parse_term(body, pos, prefixes)
         while True:
-            p_term, pos = _parse_term(body, pos, prefixes)
+            p_term, pos = _parse_predicate(body, pos, prefixes)
             o_term, pos = _parse_term(body, pos, prefixes)
             triples.append((s_term, p_term, o_term))
             while pos < n and body[pos] in " \t\r\n":
@@ -279,13 +374,150 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
     return triples, filters, optionals, unions, semijoins, binds, values
 
 
+_CLOSURE_MAX_ROUNDS = 24
+
+
+def _path_identity(triples_df: DataFrame) -> DataFrame:
+    """Zero-length-path pairs: every node (subject or object) to itself."""
+    nodes = (
+        triples_df.select("s")
+        .unionByName(triples_df.select(F.col("o").alias("s")))
+        .distinct()
+    )
+    return nodes.select("s", F.col("s").alias("o"))
+
+
+def _path_closure(base: DataFrame) -> DataFrame:
+    """Transitive closure of the distinct pair set by iterative doubling
+    (T <- T ∪ T∘T): log2(diameter) rounds, each one equi-join + distinct;
+    lineage truncated per round so the plan stays flat."""
+    t = base.distinct().localCheckpoint(eager=True)
+    n = t.count()
+    for _ in range(_CLOSURE_MAX_ROUNDS):
+        comp = (
+            t.alias("a")
+            .join(t.alias("b"), F.col("a.o") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+        )
+        t2 = t.unionByName(comp).distinct().localCheckpoint(eager=True)
+        n2 = t2.count()
+        if n2 == n:
+            return t2
+        t, n = t2, n2
+    raise InvalidArgument(
+        f"property-path closure did not converge in {_CLOSURE_MAX_ROUNDS} doubling rounds"
+    )
+
+
+def _path_reach(base: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Closure restricted to the given start nodes: frontier BFS — the
+    k-hop pattern, one equi-join per round over the (shrinking) frontier."""
+    base = base.distinct()
+    frontier = (
+        seeds.join(base, "s").select("s", "o").distinct().localCheckpoint(eager=True)
+    )
+    reached = frontier
+    for _ in range(_CLOSURE_MAX_ROUNDS * 8):
+        step = (
+            frontier.select("s", F.col("o").alias("__m"))
+            .join(base.select(F.col("s").alias("__m"), "o"), "__m")
+            .select("s", "o")
+            .distinct()
+        )
+        new = step.subtract(reached).localCheckpoint(eager=True)
+        if new.count() == 0:
+            return reached
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    raise InvalidArgument(
+        f"property-path closure did not converge in {_CLOSURE_MAX_ROUNDS * 8} BFS rounds"
+    )
+
+
+def _compile_path_pairs(
+    triples_df: DataFrame, node, seeds: DataFrame | None = None
+) -> DataFrame:
+    """A path tree -> DataFrame(s, o) of connected pairs.  ``seeds``
+    (a 1-column ``s`` frame) restricts closure evaluation to paths
+    starting at those nodes — the constant-subject optimization."""
+    kind = node[0]
+    if kind == "atom":
+        return triples_df.where(F.col("p") == F.lit(node[1])).select("s", "o")
+    if kind == "inv":
+        inner = _compile_path_pairs(triples_df, node[1])
+        return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if kind == "seq":
+        cur = _compile_path_pairs(triples_df, node[1][0], seeds=seeds)
+        for part in node[1][1:]:
+            nxt = _compile_path_pairs(triples_df, part).select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2")
+            )
+            cur = (
+                cur.join(nxt, cur["o"] == nxt["__m"])
+                .select("s", F.col("__o2").alias("o"))
+            )
+        return cur
+    if kind == "alt":
+        out = None
+        for part in node[1]:
+            branch = _compile_path_pairs(triples_df, part, seeds=seeds)
+            out = branch if out is None else out.unionByName(branch)
+        return out
+    if kind in ("plus", "star", "opt"):
+        base = _compile_path_pairs(triples_df, node[1])
+        if kind == "opt":
+            pairs = base.unionByName(_path_identity(triples_df)).distinct()
+            return pairs
+        if seeds is not None:
+            reach = _path_reach(base, seeds)
+            if kind == "star":
+                # zero-length: each seed reaches itself, even degree-0 ones
+                reach = reach.unionByName(
+                    seeds.select("s", F.col("s").alias("o"))
+                ).distinct()
+            return reach
+        closure = _path_closure(base)
+        if kind == "star":
+            closure = closure.unionByName(_path_identity(triples_df)).distinct()
+        return closure
+    raise InvalidArgument(f"unsupported property-path node {kind!r}")
+
+
 def _pattern_frame(
-    triples_df: DataFrame, pat: tuple[_Term, _Term, _Term]
+    triples_df: DataFrame, pat: tuple[_Term, Any, _Term]
 ) -> tuple[DataFrame, list[str]]:
     """One triple pattern -> filtered scan projecting its variables."""
     s, p, o = pat
+    if isinstance(p, _PathExpr):
+        node = p.node
+        spark = triples_df.sparkSession
+        # constant-endpoint closures become seeded BFS instead of a full
+        # closure: invert the path when only the OBJECT is constant
+        inverted = False
+        if node[0] in ("plus", "star") and s.kind != "const" and o.kind == "const":
+            # closure of the inverse == inverse of the closure
+            node = (node[0], ("inv", node[1]))
+            s, o = o, s
+            inverted = True
+        seeds = None
+        if node[0] in ("plus", "star") and s.kind == "const":
+            seeds = spark.createDataFrame([(str(s.value),)], "s string")
+        df = _compile_path_pairs(triples_df, node, seeds=seeds)
+        if inverted:
+            df = df.select(F.col("o").alias("s"), F.col("s").alias("o"))
+            s, o = o, s
+        cols: dict[str, str] = {}
+        for term, col in ((s, "s"), (o, "o")):
+            if term.kind == "const":
+                df = df.where(F.col(col) == F.lit(term.value))
+            elif term.value in cols:
+                df = df.where(F.col(col) == F.col(cols[term.value]))
+            else:
+                cols[term.value] = col
+        out = df.select(*[F.col(src).alias(var) for var, src in cols.items()])
+        return out, list(cols)
     df = triples_df
-    cols: dict[str, str] = {}
+    cols = {}
     for term, col in ((s, "s"), (p, "p"), (o, "o")):
         if term.kind == "const":
             df = df.where(F.col(col) == F.lit(term.value))
@@ -418,6 +650,8 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         )
         if not template:
             raise InvalidArgument("CONSTRUCT template needs at least one triple")
+        if any(isinstance(p_t, _PathExpr) for _s, p_t, _o in template):
+            raise InvalidArgument("property paths are not allowed in CONSTRUCT templates")
         rest = q[t_end:].strip()
         wm = re.match(r"WHERE\s*\{", rest, re.I)
         if not wm:

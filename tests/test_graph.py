@@ -847,3 +847,207 @@ def test_cypher_variable_length_paths(modern):
         _cy(modern, "MATCH (a)-[*0..2]->(b) RETURN b")
     with pytest.raises(InvalidArgument, match="cannot bind an edge variable"):
         _cy(modern, "MATCH (a)-[r*1..2]->(b) RETURN b")
+
+
+def test_gremlin_as_select(modern):
+    # the classic pattern projection: who created what, by name
+    q = (
+        "g.V().hasLabel('person').as('p')"
+        ".out('created').as('s')"
+        ".select('p', 's').by('name').by('name')"
+    )
+    got = sorted((r.p, r.s) for r in _g(modern, q).collect())
+    assert got == [
+        ("josh", "lop"), ("josh", "ripple"), ("marko", "lop"), ("peter", "lop"),
+    ]
+    # without by: step labels project the ~ids
+    q2 = "g.V('marko').as('a').out('knows').as('b').select('a', 'b')"
+    got2 = sorted((r.a, r.b) for r in _g(modern, q2).collect())
+    assert got2 == [("marko", "josh"), ("marko", "vadas")]
+    # a single by applies round-robin to every selected label
+    q3 = "g.V('marko').as('a').out('knows').as('b').select('a', 'b').by('name')"
+    got3 = sorted((r.a, r.b) for r in _g(modern, q3).collect())
+    assert got3 == [("marko", "josh"), ("marko", "vadas")]
+    # tags survive multi-hop movement and edge steps
+    q4 = (
+        "g.V().hasLabel('person').as('p').outE('created').as('e')"
+        ".inV().has('name', 'lop').select('p', 'e').by('name').by('weight')"
+    )
+    got4 = sorted((r.p, r.e) for r in _g(modern, q4).collect())
+    assert got4 == [("josh", 0.4), ("marko", 0.4), ("peter", 0.2)]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="unknown step label"):
+        _g(modern, "g.V().as('a').select('zzz')")
+
+
+def test_gremlin_value_aggregates_and_range(modern):
+    assert _g(modern, "g.V().hasLabel('person').values('age').sum()").first()[0] == 123
+    assert _g(modern, "g.V().hasLabel('person').values('age').mean()").first()[0] == 123 / 4
+    assert _g(modern, "g.V().values('age').min()").first()[0] == 27
+    assert _g(modern, "g.V().values('age').max()").first()[0] == 35
+    # range after order: deterministic slice
+    q = "g.V().hasLabel('person').order().by('age').values('name').range(1, 3)"
+    assert [r[0] for r in _g(modern, q).collect()] == ["marko", "josh"]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="single-value stream"):
+        _g(modern, "g.V().sum()")
+
+
+def test_gremlin_values_multi_and_group(modern):
+    # multi-prop values(): one traverser per value, nulls dropped
+    got = sorted(r[0] for r in _g(modern, "g.V().values('name', 'lang')").collect())
+    assert got == sorted(
+        ["marko", "vadas", "josh", "peter", "lop", "ripple", "java", "java"]
+    )
+    # group().by(key).by(valueProp) -> (key, sorted values array)
+    q = "g.V().hasLabel('person').group().by('~label').by('name')"
+    rows = _g(modern, q).collect()
+    assert len(rows) == 1 and rows[0][1] == ["josh", "marko", "peter", "vadas"]
+    q2 = "g.V().out('created').group().by('name')"
+    rows2 = {r[0]: r[1] for r in _g(modern, q2).collect()}
+    assert rows2 == {"lop": ["lop", "lop", "lop"], "ripple": ["ripple"]}
+
+
+def test_cypher_comma_patterns_and_multi_match(modern):
+    # comma patterns join on the shared variable b
+    q = (
+        "MATCH (a:person {name: 'marko'})-[:knows]->(b), (b)-[:created]->(c) "
+        "RETURN b.name AS b, c.name AS c ORDER BY b, c"
+    )
+    got = [(r.b, r.c) for r in _cy(modern, q).collect()]
+    assert got == [("josh", "lop"), ("josh", "ripple")]
+    # a second MATCH clause joins on a; its WHERE sees earlier variables
+    q2 = (
+        "MATCH (a:person)-[:created]->(s) WHERE s.name = 'lop' "
+        "MATCH (a)-[:knows]->(b) "
+        "RETURN a.name AS a, b.name AS b ORDER BY a, b"
+    )
+    got2 = [(r.a, r.b) for r in _cy(modern, q2).collect()]
+    assert got2 == [("marko", "josh"), ("marko", "vadas")]
+    # disconnected patterns: Cypher's cartesian product
+    q3 = "MATCH (a:software), (b:software) RETURN count(*) AS n"
+    assert _cy(modern, q3).first().n == 4
+    # relationship uniqueness is scoped per MATCH clause: re-traversing
+    # vadas's single edge in a SEPARATE clause is legal Cypher
+    q4 = (
+        "MATCH (a {name: 'vadas'})--(b) MATCH (b)--(c) "
+        "RETURN c.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q4).collect()] == ["josh", "lop", "vadas"]
+
+
+def test_cypher_optional_match(modern):
+    # vadas created nothing -> null row survives the left join
+    q = (
+        "MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s) "
+        "RETURN p.name AS p, s.name AS s ORDER BY p, s"
+    )
+    got = [(r.p, r.s) for r in _cy(modern, q).collect()]
+    assert got == [
+        ("josh", "lop"), ("josh", "ripple"), ("marko", "lop"),
+        ("peter", "lop"), ("vadas", None),
+    ]
+    # WHERE inside OPTIONAL MATCH is part of the MATCHING (not a
+    # post-filter): non-matching people keep their null row
+    q2 = (
+        "MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s) "
+        "WHERE s.name = 'ripple' "
+        "RETURN p.name AS p, s.name AS s ORDER BY p"
+    )
+    got2 = [(r.p, r.s) for r in _cy(modern, q2).collect()]
+    assert got2 == [
+        ("josh", "ripple"), ("marko", None), ("peter", None), ("vadas", None),
+    ]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="own variables"):
+        _cy(
+            modern,
+            "MATCH (p:person) OPTIONAL MATCH (s:software) WHERE s.name = p.name "
+            "RETURN p.name AS p",
+        )
+    with pytest.raises(InvalidArgument, match="share at least one variable"):
+        _cy(
+            modern,
+            "MATCH (p:person) OPTIONAL MATCH (s:software) RETURN p.name AS p",
+        )
+    with pytest.raises(InvalidArgument, match="cannot start with OPTIONAL"):
+        _cy(modern, "OPTIONAL MATCH (p:person) RETURN p.name AS p")
+
+
+def test_sparql_property_paths_seq_alt_inv(foaf):
+    # sequence: who knows someone who created something
+    q = _P + (
+        "SELECT ?who ?sw WHERE { ?who foaf:knows/foaf:created ?sw } "
+        "ORDER BY ?who ?sw"
+    )
+    got = [(r.who, r.sw) for r in _sp(foaf, q).collect()]
+    assert got == [("marko", "lop"), ("marko", "ripple")]
+    # alternative: knows or created, bag semantics
+    q2 = _P + "SELECT ?s ?o WHERE { ?s foaf:knows|foaf:created ?o } ORDER BY ?s ?o"
+    assert len(_sp(foaf, q2).collect()) == 6
+    # inverse: ^created flips the direction
+    q3 = _P + "SELECT ?sw ?who WHERE { ?sw ^foaf:created ?who } ORDER BY ?sw ?who"
+    got3 = [(r.sw, r.who) for r in _sp(foaf, q3).collect()]
+    assert got3 == [
+        ("lop", "josh"), ("lop", "marko"), ("lop", "peter"), ("ripple", "josh"),
+    ]
+    # grouped sequence with an alternative inside
+    q4 = _P + (
+        "SELECT ?x WHERE { \"marko\" (foaf:knows|foaf:created)/foaf:created ?x } "
+        "ORDER BY ?x"
+    )
+    assert [r.x for r in _sp(foaf, q4).collect()] == ["lop", "ripple"]
+
+
+def test_sparql_property_path_closures(spark):
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+
+    chain = spark.createDataFrame(
+        [("a", "n", "b"), ("b", "n", "c"), ("c", "n", "d"), ("x", "m", "y")],
+        "s string, p string, o string",
+    )
+
+    def sp(q):
+        return execute_sparql({"root": ""}, "PREFIX : <>\n" + q, triples=chain)
+
+    # + from a constant subject: seeded BFS
+    got = [r.x for r in sp("SELECT ?x WHERE { \"a\" :n+ ?x } ORDER BY ?x").collect()]
+    assert got == ["b", "c", "d"]
+    # * includes the zero-length self pair
+    got2 = [r.x for r in sp("SELECT ?x WHERE { \"a\" :n* ?x } ORDER BY ?x").collect()]
+    assert got2 == ["a", "b", "c", "d"]
+    # constant OBJECT: the path is inverted and seeded from the object
+    got3 = [r.x for r in sp("SELECT ?x WHERE { ?x :n+ \"d\" } ORDER BY ?x").collect()]
+    assert got3 == ["a", "b", "c"]
+    # var-to-var closure: iterative doubling, distinct pairs
+    got4 = sp("SELECT ?s ?o WHERE { ?s :n+ ?o } ORDER BY ?s ?o").collect()
+    assert [(r.s, r.o) for r in got4] == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    # p? : zero-or-one
+    got5 = [r.x for r in sp("SELECT ?x WHERE { \"a\" :n? ?x } ORDER BY ?x").collect()]
+    assert got5 == ["a", "b"]
+    # a closure joined with a plain pattern
+    got6 = sp(
+        "SELECT ?x ?y WHERE { \"a\" :n+ ?x . ?x :n ?y } ORDER BY ?x ?y"
+    ).collect()
+    assert [(r.x, r.y) for r in got6] == [("b", "c"), ("c", "d")]
+
+
+def test_sparql_property_path_errors(foaf):
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="variable cannot appear"):
+        _sp(foaf, _P + "SELECT ?x WHERE { ?x ?p/foaf:created ?y }")
+    with _pytest.raises(InvalidArgument, match="not allowed in CONSTRUCT"):
+        _sp(
+            foaf,
+            _P + "CONSTRUCT { ?a foaf:knows/foaf:created ?b } "
+            "WHERE { ?a foaf:knows ?b }",
+        )
