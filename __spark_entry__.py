@@ -4999,6 +4999,50 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup under the hash gate (operators/dedup.py
+    dedup_lines — the CCNet/RefinedWeb boilerplate pass: a line occurring
+    2+ times across the corpus is cut everywhere but its globally-first
+    position).  The documents table is single-line, so the gate first
+    renders each doc as deterministic 8-token lines (same chunking
+    replayed in the oracle); the planted full-duplicate docs then
+    guarantee cross-document duplicate lines.  The oracle replays
+    chunking, corpus-wide counting, keep-first exemption, and the
+    rebuild, down to md5 of the cleaned text."""
+    from aws_sdk_pandas_spark.operators.dedup import dedup_lines
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", " "))
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_lines(lined, min_count=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines", "n_removed"
+    ).orderBy("doc_id")
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG token-window chunking under the hash gate
+    (operators/packing.chunk_documents — sliding windows of 32 tokens
+    advancing by 24, trailing fully-covered windows suppressed, map-only
+    codegen): the oracle replays the window arithmetic and the joined
+    chunk text verbatim, so an off-by-one in start/stride/slice or a
+    dropped final chunk hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.packing import chunk_documents
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def _q_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property-path SEQUENCE under the hash gate
     (connectors/sparql.py — ``p1/p2/p3`` compiles to chained equi-joins
@@ -5676,6 +5720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_sparql_path_seq": _q_sparql_path_seq,
+        "dedup_lines_corpus": _q_dedup_lines,
+        "docs_chunk_windows": _q_chunk_documents,
         "graph_sparql_path_closure": _q_sparql_path_closure,
         "graph_sparql_bgp": _q_sparql_bgp,
         "graph_sparql_union": _q_sparql_union,
@@ -7305,6 +7351,64 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE value > 80
             ORDER BY u, e, t
+        """,
+        "docs_chunk_windows": """
+            WITH norm AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) > 0
+                            THEN string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                            ELSE [] END AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, GREATEST(0, CAST(ceil((len(toks) - 32) / 24.0) AS INT)))) AS chunk_id,
+                       toks
+                FROM norm
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(chunk_id * 24 AS INT) AS start_token,
+                   CAST(LEAST(32, len(toks) - chunk_id * 24) AS INT) AS n_tokens,
+                   array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS text
+            FROM c
+            ORDER BY doc_id, chunk_id
+        """,
+        "dedup_lines_corpus": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ),
+            chunked AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS i,
+                       toks
+                FROM norm
+            ),
+            lines AS (
+                SELECT doc_id, i AS ln,
+                       array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+                FROM chunked
+            ),
+            marked AS (
+                SELECT doc_id, ln, line,
+                       COUNT(*) OVER (PARTITION BY line) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rk
+                FROM lines
+            ),
+            flagged AS (
+                SELECT doc_id, ln, line,
+                       (len(trim(line)) >= 1 AND cnt >= 2 AND rk > 1) AS rm
+                FROM marked
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY ln), '')) AS text_md5,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM flagged
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "graph_sparql_path_seq": """
             SELECT r_name AS rname, COUNT(*) AS n_customers

@@ -940,6 +940,119 @@ def remove_repeated_spans(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    min_line_chars: int = 1,
+    lowercase: bool = False,
+    keep: str | None = "first",
+) -> DataFrame:
+    """CORPUS-level line deduplication — the CCNet / RefinedWeb
+    boilerplate pass: a line (trimmed; optionally lowercased for
+    matching) that occurs ``min_count``+ times ACROSS THE CORPUS is cut
+    from every document — navigation bars, cookie banners, license
+    footers, and mirror-page chrome all die here.  ``keep='first'``
+    exempts the occurrence with the globally smallest ``(doc_id,
+    line_no)``; ``keep=None`` removes every occurrence.  Lines shorter
+    than ``min_line_chars`` after trimming are never candidates (one-
+    character bullets would cross-link the whole corpus).
+
+    This is the third member of the family and deliberately between the
+    other two: ``functions.collapse_repeated_lines`` is within-doc and
+    consecutive-only; ``remove_repeated_passages``/``remove_repeated_
+    spans`` are word-window based and miss line-structure boilerplate
+    that is shorter than their window.
+
+    Scale shape (the CCNet step runs on Common-Crawl-sized corpora):
+    one posexplode fan-out, ONE aggregate keyed on a 128-bit composite
+    (two independent xxhash64s — same birthday-collision argument as
+    ``remove_repeated_spans``; the line string itself never crosses the
+    exchange), one join back (AQE broadcasts when the dup set is small),
+    one per-doc rebuild groupBy.  No Python anywhere.
+
+    Returns ``id_col, text (cleaned), n_lines, n_removed``.  Documents
+    whose every line was removed come back with empty text.  Line
+    ORDER is preserved via the carried line number.
+
+    Reference parity: nothing in awswrangler — training-pipeline
+    extension family (SURVEY.md §2.10).
+    """
+    if keep not in (None, "first"):
+        raise ValueError("keep must be 'first' or None")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), "\n").alias("__lines")
+    )
+    lines = base.select(
+        "__id", F.posexplode("__lines").alias("__ln", "__line")
+    )
+    norm = F.trim(F.col("__line"))
+    if lowercase:
+        norm = F.lower(norm)
+    lines = lines.select(
+        "__id",
+        "__ln",
+        "__line",
+        F.when(F.length(norm) >= min_line_chars, norm).alias("__norm"),
+    )
+    keyed = lines.select(
+        "__id",
+        "__ln",
+        "__line",
+        F.xxhash64("__norm").alias("__k1"),
+        F.xxhash64(F.concat(F.lit("\x01"), F.col("__norm"))).alias("__k2"),
+        F.col("__norm").isNotNull().alias("__cand"),
+    )
+    dup = (
+        keyed.where("__cand")
+        .groupBy("__k1", "__k2")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__id", "__ln")).alias("__keep"),
+        )
+        .where(F.col("__n") >= min_count)
+        .select("__k1", "__k2", "__keep")
+    )
+    marked = keyed.join(dup, ["__k1", "__k2"], "left").withColumn(
+        "__rm",
+        F.col("__cand")
+        & F.col("__keep").isNotNull()
+        & (
+            F.lit(True)
+            if keep is None
+            else ~(
+                (F.col("__id") == F.col("__keep.__id"))
+                & (F.col("__ln") == F.col("__keep.__ln"))
+            )
+        ),
+    )
+    rebuilt = marked.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__rm"), F.struct("__ln", "__line")).otherwise(
+                            F.lit(None)
+                        )
+                    )
+                ),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__rm").cast("int")).alias("n_removed"),
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col), text_col, "n_lines", "n_removed"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "id",

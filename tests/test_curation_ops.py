@@ -723,3 +723,54 @@ def test_remove_repeated_spans_matches_serial_replication(spark):
         }
         want = serial(docs, L, keep)
         assert got == want, f"trial {trial} L={L} keep={keep}\ndocs={docs}"
+
+
+def test_dedup_lines_corpus_boilerplate(spark):
+    """Corpus-level line dedup: a footer shared by 3 docs survives only
+    in its globally-first position; unique lines untouched; short lines
+    never candidates."""
+    from aws_sdk_pandas_spark.operators.dedup import dedup_lines
+
+    footer = "(c) example corp - all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{footer}\nbeta"),
+            (2, f"gamma\n{footer}"),
+            (3, f"{footer}\ndelta\n-\nx"),
+            (4, "unique only\n-\nx"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup_lines(docs, min_count=2, min_line_chars=2).collect()
+    }
+    # doc 1 holds the globally-first occurrence (doc_id, line) = (1, 1)
+    assert got[1].text == f"alpha one\n{footer}\nbeta"
+    assert got[2].text == "gamma"
+    assert got[3].text == "delta\n-\nx"
+    assert (got[1].n_removed, got[2].n_removed, got[3].n_removed) == (0, 1, 1)
+    # "-" and "x" occur twice but are under min_line_chars=2 / are 1 char
+    assert got[4].text == "unique only\n-\nx"
+    assert got[4].n_lines == 3 and got[4].n_removed == 0
+    # keep=None removes every occurrence
+    got_all = {
+        r.doc_id: r.text
+        for r in dedup_lines(docs, min_count=2, min_line_chars=2, keep=None).collect()
+    }
+    assert got_all[1] == "alpha one\nbeta"
+    assert got_all[2] == "gamma"
+    # trimming: matching ignores surrounding whitespace but output keeps
+    # the ORIGINAL line text
+    docs2 = spark.createDataFrame(
+        [(1, "  same  \nkeep1"), (2, "same\nkeep2")], "doc_id bigint, text string"
+    )
+    got2 = {r.doc_id: r.text for r in dedup_lines(docs2, min_count=2).collect()}
+    assert got2[1] == "  same  \nkeep1"  # first occurrence, original text
+    assert got2[2] == "keep2"
+    # lowercase=True folds case for matching
+    docs3 = spark.createDataFrame(
+        [(1, "Same\nk1"), (2, "sAme\nk2")], "doc_id bigint, text string"
+    )
+    got3 = {r.doc_id: r.text for r in dedup_lines(docs3, min_count=2, lowercase=True).collect()}
+    assert got3[1] == "Same\nk1" and got3[2] == "k2"
