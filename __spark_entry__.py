@@ -5027,22 +5027,6 @@ def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG token-window chunking under the hash gate
-    (operators/packing.chunk_documents — sliding windows of 32 tokens
-    advancing by 24, trailing fully-covered windows suppressed, map-only
-    codegen): the oracle replays the window arithmetic and the joined
-    chunk text verbatim, so an off-by-one in start/stride/slice or a
-    dropped final chunk hash-mismatches."""
-    from aws_sdk_pandas_spark.operators.packing import chunk_documents
-    from aws_sdk_pandas_spark.sources import read_parquet
-
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).orderBy(
-        "doc_id", "chunk_id"
-    )
-
-
 def _q_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property-path SEQUENCE under the hash gate
     (connectors/sparql.py — ``p1/p2/p3`` compiles to chained equi-joins
@@ -5101,6 +5085,27 @@ def _q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = "SELECT (COUNT(*) AS ?n_pairs) WHERE { ?a <next>+ ?b }"
     return execute_sparql({"root": ""}, q, triples=triples)
+
+
+def _q_cypher_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher WITH pipeline under the hash gate
+    (connectors/opencypher.py — WITH aggregates per user, its WHERE is
+    the HAVING over the aggregate, and the carried node variable joins
+    the follow-up MATCH): active users (66+ events) and their purchase
+    counts; the oracle is the HAVING subquery joined to the per-user
+    purchase aggregate."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user)-[r:did]->(t:etype) "
+        "WITH u, count(r) AS n_events WHERE n_events >= 66 "
+        "MATCH (u)-[r2:did]->(p:etype {id: 'purchase'}) "
+        "RETURN u AS uid, n_events, count(r2) AS n_purchases ORDER BY uid",
+        vertices=vertices,
+        edges=edges,
+    )
 
 
 def _q_cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5168,6 +5173,33 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trino_gate_events
         GROUP BY "event_type"
         ORDER BY "event_type"
+    """
+    return read_sql_query(spark, q, dialect="trino")
+
+
+def _q_trino_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino scalar-semantics rewrites under the hash gate
+    (sql_dialect.trino_to_spark_sql): the constructs whose Spark
+    same-names MEAN something different — literal-delimiter split (regex
+    in Spark), date_parse MySQL tokens, ARRAY[..] literals, bare VARCHAR
+    casts, starts_with, FETCH FIRST — all executed; the oracle is
+    DuckDB's native spelling of each (string_split is literal, strptime
+    shares the %-tokens)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    read_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "trino_gate_orders"
+    )
+    q = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+               element_at(split(o_orderpriority, '-'), 1) AS prio_num,
+               array_join(ARRAY[o_orderpriority, o_orderstatus], ',') AS tags,
+               date_parse(CAST(o_orderdate AS VARCHAR), '%Y-%m-%d %H:%i:%s') AS od
+        FROM trino_gate_orders
+        WHERE starts_with(o_orderpriority, '1') OR starts_with(o_orderpriority, '3')
+        ORDER BY okey
+        FETCH FIRST 500 ROWS ONLY
     """
     return read_sql_query(spark, q, dialect="trino")
 
@@ -5719,9 +5751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
+        "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
+        "trino_dialect_scalars": _q_trino_dialect_scalars,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
-        "docs_chunk_windows": _q_chunk_documents,
         "graph_sparql_path_closure": _q_sparql_path_closure,
         "graph_sparql_bgp": _q_sparql_bgp,
         "graph_sparql_union": _q_sparql_union,
@@ -7352,28 +7385,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE value > 80
             ORDER BY u, e, t
         """,
-        "docs_chunk_windows": """
-            WITH norm AS (
-                SELECT doc_id,
-                       CASE WHEN len(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) > 0
-                            THEN string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
-                            ELSE [] END AS toks
-                FROM documents
-            ),
-            c AS (
-                SELECT doc_id,
-                       unnest(generate_series(0, GREATEST(0, CAST(ceil((len(toks) - 32) / 24.0) AS INT)))) AS chunk_id,
-                       toks
-                FROM norm
-            )
-            SELECT doc_id,
-                   CAST(chunk_id AS INT) AS chunk_id,
-                   CAST(chunk_id * 24 AS INT) AS start_token,
-                   CAST(LEAST(32, len(toks) - chunk_id * 24) AS INT) AS n_tokens,
-                   array_to_string(toks[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS text
-            FROM c
-            ORDER BY doc_id, chunk_id
-        """,
         "dedup_lines_corpus": """
             WITH norm AS (
                 SELECT doc_id,
@@ -7421,6 +7432,30 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "trino_dialect_scalars": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                   string_split(o_orderpriority, '-')[1] AS prio_num,
+                   array_to_string([o_orderpriority, o_orderstatus], ',') AS tags,
+                   strptime(CAST(o_orderdate AS VARCHAR), '%Y-%m-%d %H:%M:%S') AS od
+            FROM orders
+            WHERE starts_with(o_orderpriority, '1') OR starts_with(o_orderpriority, '3')
+            ORDER BY okey
+            LIMIT 500
+        """,
+        "graph_cypher_with_pipeline": """
+            WITH agg AS (
+                SELECT user_id, COUNT(*) AS n_events
+                FROM events GROUP BY user_id HAVING COUNT(*) >= 66
+            ),
+            p AS (
+                SELECT user_id, COUNT(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT concat('u', CAST(a.user_id AS VARCHAR)) AS uid,
+                   a.n_events, p.n_purchases
+            FROM agg a JOIN p ON a.user_id = p.user_id
+            ORDER BY uid
         """,
         "graph_cypher_optional_match": """
             WITH u AS (

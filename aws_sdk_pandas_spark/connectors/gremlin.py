@@ -23,6 +23,8 @@ exercise):
     .groupCount().by('prop')
     .group().by('key')[.by('prop')]           -> (key, values array)
     .as('a') ... .select('a', 'b')[.by('p1').by('p2')]
+    .where(<traversal>) / .not(<traversal>)   filter by sub-traversal
+                                              existence (semi/anti join)
 
 Semantics are Gremlin's BAG semantics: a traverser per path, so
 ``.out('x').groupCount().by('~id')`` counts one per edge, duplicates
@@ -96,7 +98,7 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
         name = s[i:j]
         if not name or j >= n or s[j] != "(":
             raise InvalidArgument(f"expected step call at position {i} in {query!r}")
-        if name == "repeat":
+        if name in ("repeat", "where", "not"):
             # capture the inner traversal fragment verbatim (it is a
             # step chain, not a value): balanced-paren scan, quote-aware
             depth = 0
@@ -117,8 +119,8 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
                         break
                 k += 1
             if depth != 0:
-                raise InvalidArgument(f"unbalanced parens in repeat() in {query!r}")
-            steps.append(("repeat", [s[j + 1 : k]]))
+                raise InvalidArgument(f"unbalanced parens in {name}() in {query!r}")
+            steps.append((name, [s[j + 1 : k]]))
             j = k + 1
         else:
             args, j = _parse_args(s, j + 1, query)
@@ -346,6 +348,36 @@ class _Traversal:
             col = self.df.columns[0]
             fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[name]
             self.df = self.df.agg(fn(F.col(f"`{col}`")).alias(name))
+        elif name in ("where", "not"):
+            # where(<traversal>) keeps elements for which the fragment
+            # yields at least one traverser; not(<traversal>) the
+            # complement.  The source ~id rides the fragment as a step
+            # label, so the test compiles to ONE left-semi / left-anti
+            # join on the surviving source ids — no per-element
+            # execution, no Python.
+            if self.kind == "value":
+                raise InvalidArgument(f"{name}() requires a vertex or edge stream")
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise InvalidArgument(
+                    f"{name}() supports a traversal fragment, e.g. {name}(out('knows'))"
+                )
+            inner = _expand_and_fold(_parse("g." + args[0]))
+            t2 = _Traversal(
+                self.kind,
+                self.df.withColumn("__tag___wsrc", F.col("`~id`")),
+                self.vertices,
+                self.edges,
+            )
+            t2.tags["__wsrc"] = self.kind
+            for iname, iargs, ibys in inner:
+                t2.apply(iname, iargs, ibys)
+            if "__tag___wsrc" not in t2.df.columns:
+                raise InvalidArgument(
+                    f"{name}() fragment must stay a traversal (no aggregates/select)"
+                )
+            keep = t2.df.select(F.col("__tag___wsrc").alias("__keep_id")).distinct()
+            how = "left_semi" if name == "where" else "left_anti"
+            self.df = self.df.join(keep, self.df["~id"] == keep["__keep_id"], how)
         elif name == "as":
             if len(args) != 1:
                 raise InvalidArgument("as() needs exactly one step label")
@@ -420,17 +452,9 @@ class _Traversal:
         self.kind = "value"
 
 
-def compile_gremlin(
-    query: str, vertices: DataFrame, edges: DataFrame
-) -> DataFrame:
-    """Compile a traversal string to a DataFrame plan (see module doc for
-    the supported grammar)."""
-    steps = _parse(query)
-    if not steps or steps[0][0] not in ("V", "E"):
-        raise InvalidArgument("traversal must start with g.V(...) or g.E(...)")
-
-    # expand repeat(<fragment>).times(n) into n inline copies of the
-    # fragment's steps — bounded unrolling, each hop stays one equi-join
+def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
+    """repeat(...).times(n) unrolling + .by(...) modulator folding —
+    shared by the top-level compiler and where()/not() sub-traversals."""
     expanded: list[tuple[str, list[Any]]] = []
     i = 0
     while i < len(steps):
@@ -452,12 +476,11 @@ def compile_gremlin(
         else:
             expanded.append((name, args))
             i += 1
-    steps = expanded
 
     # fold .by(...) modulators onto their predecessor (a step may take
     # several — group().by(k).by(v), select('a','b').by(p1).by(p2))
     folded: list[tuple[str, list[Any], list[list[Any]] | None]] = []
-    for name, args in steps:
+    for name, args in expanded:
         if name == "by":
             if not folded:
                 raise InvalidArgument("by() without a preceding step")
@@ -465,6 +488,18 @@ def compile_gremlin(
             folded[-1] = (pname, pargs, (pbys or []) + [args])
         else:
             folded.append((name, args, None))
+    return folded
+
+
+def compile_gremlin(
+    query: str, vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Compile a traversal string to a DataFrame plan (see module doc for
+    the supported grammar)."""
+    steps = _parse(query)
+    if not steps or steps[0][0] not in ("V", "E"):
+        raise InvalidArgument("traversal must start with g.V(...) or g.E(...)")
+    folded = _expand_and_fold(steps)
 
     start, sargs, _ = folded[0]
     if start == "V":

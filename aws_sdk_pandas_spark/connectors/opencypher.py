@@ -10,6 +10,7 @@ Supported grammar::
     [WHERE <boolean expr over var.prop, literals, AND/OR/NOT, comparisons>]
     [MATCH ... [WHERE ...]] ...
     [OPTIONAL MATCH ... [WHERE ...]] ...
+    [WITH item [AS alias], ... [WHERE ...] [MATCH ...]] ...
     RETURN [DISTINCT] item [AS alias], ...
     [ORDER BY item [DESC], ...] [SKIP n] [LIMIT n]
 
@@ -20,6 +21,12 @@ Supported grammar::
   its WHERE participates in the matching (Cypher semantics), so it is
   applied before the left join and may only reference the optional
   pattern's own variables
+- ``WITH`` is Cypher's pipeline checkpoint: project to the listed items
+  (node/edge variables keep their full column set and stay joinable by
+  later MATCH clauses, ``AS`` renames them; expressions need an alias
+  and become plain value columns), aggregate when any item aggregates
+  (grouping by the rest, as in RETURN), then apply its WHERE — the
+  HAVING-over-aggregates shape
 
 - edges: ``-[r:T]->`` (out), ``<-[r:T]-`` (in), ``-[r:T]-`` (undirected =
   union of both orientations); label and variable both optional
@@ -148,6 +155,41 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_on_keyword(s: str, kw: str) -> list[str]:
+    """Split on a top-level keyword, with string literals shielded."""
+    shield = re.sub(
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+        lambda m: " " * len(m.group(0)),
+        s,
+    )
+    parts = []
+    last = 0
+    for m in re.finditer(rf"\b{kw}\b", shield, re.I):
+        parts.append(s[last : m.start()])
+        last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+def _parse_clauses(body: str, q: str) -> list[tuple[bool, list[str], str | None]]:
+    """MATCH-clause text -> [(optional, [chain, ...], where|None), ...]."""
+    clauses: list[tuple[bool, list[str], str | None]] = []
+    pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH)\b", body, flags=re.I)
+    # pieces = ['', KW, seg, KW, seg, ...]
+    if pieces[0].strip():
+        raise InvalidArgument(f"expected MATCH at {pieces[0].strip()[:40]!r} in {q!r}")
+    for kw, seg in zip(pieces[1::2], pieces[2::2]):
+        optional = kw.upper().startswith("OPTIONAL")
+        wm = re.search(r"\bWHERE\b", seg, flags=re.I)
+        where = seg[wm.end() :].strip() if wm else None
+        pat = seg[: wm.start()] if wm else seg
+        chains = _split_top_level(pat)
+        if not chains:
+            raise InvalidArgument(f"empty MATCH pattern in {q!r}")
+        clauses.append((optional, chains, where or None))
+    return clauses
+
+
 class _CypherQuery:
     def __init__(self, q: str):
         s = q.strip().rstrip(";")
@@ -164,24 +206,33 @@ class _CypherQuery:
             raise InvalidArgument(
                 "unsupported openCypher query shape; expected "
                 "MATCH ... [WHERE ...] [[OPTIONAL] MATCH ... [WHERE ...]]* "
+                "[WITH items [WHERE ...] [MATCH ...]]* "
                 "RETURN ... [ORDER BY ...] [SKIP n] [LIMIT n]"
             )
-        # clauses: [(optional, [chain, ...], where|None), ...]
-        self.clauses: list[tuple[bool, list[str], str | None]] = []
-        body = m.group("body")
-        pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH)\b", body, flags=re.I)
-        # pieces = ['', KW, seg, KW, seg, ...]
-        if pieces[0].strip():
-            raise InvalidArgument(f"query must start with MATCH: {q!r}")
-        for kw, seg in zip(pieces[1::2], pieces[2::2]):
-            optional = kw.upper().startswith("OPTIONAL")
-            wm = re.search(r"\bWHERE\b", seg, flags=re.I)
-            where = seg[wm.end() :].strip() if wm else None
-            pat = seg[: wm.start()] if wm else seg
-            chains = _split_top_level(pat)
-            if not chains:
-                raise InvalidArgument(f"empty MATCH pattern in {q!r}")
-            self.clauses.append((optional, chains, where or None))
+        # stages: [(clauses, with_items|None, with_where|None), ...] —
+        # each WITH ends a stage; the last stage is ended by RETURN
+        self.stages: list[
+            tuple[list[tuple[bool, list[str], str | None]], str | None, str | None]
+        ] = []
+        segments = _split_on_keyword(m.group("body"), "WITH")
+        self.stages.append((_parse_clauses(segments[0], q), None, None))
+        for seg in segments[1:]:
+            # "items [WHERE cond] [MATCH-clauses...]"
+            cm = re.search(r"\b(OPTIONAL\s+MATCH|MATCH)\b", seg, flags=re.I)
+            withspec = seg[: cm.start()] if cm else seg
+            clause_text = seg[cm.start() :] if cm else ""
+            wm = re.search(r"\bWHERE\b", withspec, flags=re.I)
+            items = withspec[: wm.start()] if wm else withspec
+            where = withspec[wm.end() :].strip() if wm else None
+            if re.search(r"\b(ORDER|SKIP|LIMIT|DISTINCT)\b", items, re.I):
+                raise InvalidArgument(
+                    "ORDER BY/SKIP/LIMIT/DISTINCT inside WITH are not supported"
+                )
+            prev_clauses, _pi, _pw = self.stages[-1]
+            self.stages[-1] = (prev_clauses, items.strip(), where or None)
+            self.stages.append(
+                (_parse_clauses(clause_text, q) if clause_text.strip() else [], None, None)
+            )
         self.distinct = bool(m.group("distinct"))
         self.items = [i.strip() for i in m.group("items").split(",")]
         self.order = (m.group("order") or "").strip() or None
@@ -380,85 +431,169 @@ def _join_shared(
     return left.join(right.drop(*dup), keys, how)
 
 
+def _default_alias(expr: str) -> str:
+    return re.sub(r"\W+", "_", expr).strip("_")
+
+
+def _item_col(expr: str, alias: str | None, known: set[str]):
+    """A RETURN/WITH item -> Column (aggregate-aware)."""
+    agg = _AGG_RE.match(expr)
+    name = alias or _default_alias(expr)
+    if agg:
+        fn, distinct, inner = agg.group(1).lower(), agg.group(2), agg.group(3).strip()
+        if fn == "count" and inner == "*":
+            return F.count(F.lit(1)).alias(name)
+        col = F.expr(_translate_expr(inner, known))
+        if fn == "count" and distinct:
+            return F.count_distinct(col).alias(name)
+        return getattr(
+            F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max", "count": "count"}[fn]
+        )(col).alias(name)
+    return F.expr(_translate_expr(expr, known)).alias(name)
+
+
+def _apply_with(
+    cur: DataFrame, items_text: str, where_text: str | None, known: set[str]
+) -> tuple[DataFrame, set[str]]:
+    """WITH items [WHERE ...]: Cypher's pipeline checkpoint — project to
+    the listed items (node/edge variables keep their full column set so
+    later clauses can join on them; expressions need an alias and become
+    plain value columns), aggregate when any item is an aggregate
+    (grouping by the non-aggregated items, as in RETURN), then filter."""
+    items = _split_top_level(items_text)
+    if not items:
+        raise InvalidArgument("WITH needs at least one item")
+    node_keeps: list[tuple[str, str]] = []  # (var, out_name)
+    scalar_cols: list = []
+    agg_cols: list = []
+    scalar_names: list[str] = []
+    for item in items:
+        mm = re.match(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
+        expr, alias = mm.group("expr").strip(), mm.group("alias")
+        agg = _AGG_RE.match(expr)
+        if agg:
+            agg_cols.append(_item_col(expr, alias, known))
+        elif re.fullmatch(r"[A-Za-z_]\w*", expr) and expr in known:
+            node_keeps.append((expr, alias or expr))
+        else:
+            if not alias:
+                raise InvalidArgument(
+                    f"a WITH expression needs an alias: {item!r}"
+                )
+            scalar_cols.append(F.expr(_translate_expr(expr, known)).alias(alias))
+            scalar_names.append(alias)
+
+    def var_cols(var: str) -> list[str]:
+        return [c for c in cur.columns if c.startswith(f"{var}_")]
+
+    key_cols = [F.col(f"`{c}`") for var, _o in node_keeps for c in var_cols(var)]
+    if agg_cols:
+        out = cur.groupBy(*key_cols, *scalar_cols).agg(*agg_cols)
+    else:
+        out = cur.select(*key_cols, *scalar_cols)
+    # apply AS-renames of node/edge variables (rename every carried column)
+    renames = {var: out_name for var, out_name in node_keeps if out_name != var}
+    if renames:
+        sel = []
+        for c in out.columns:
+            new = c
+            for var, out_name in renames.items():
+                if c.startswith(f"{var}_"):
+                    new = out_name + c[len(var) :]
+                    break
+            sel.append(F.col(f"`{c}`").alias(new))
+        out = out.select(*sel)
+    new_known = {out_name for _v, out_name in node_keeps}
+    if where_text:
+        out = out.where(F.expr(_translate_expr(where_text, new_known)))
+    return out, new_known
+
+
 def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     q = _CypherQuery(query)
     cur: DataFrame | None = None
     known: set[str] = set()
     seg_counter = 0
     chain_counter = 0
-    for optional, chains, where in q.clauses:
-        cdf: DataFrame | None = None
-        cknown: set[str] = set()
-        fixed_eids: list[str] = []
-        seg_arrays: list[str] = []
-        for chain in chains:
-            chain_counter += 1
-            df2, k2, e2, a2 = _compile_chain(
-                chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
-            )
-            seg_counter += len(a2)
-            dup_vars = cknown & k2
-            if cdf is None:
-                cdf = df2
-            else:
-                # shared node variables: equi-join on their ids;
-                # disconnected patterns: Cypher's cartesian product (the
-                # user wrote one)
-                cdf = (
-                    _join_shared(cdf, df2, dup_vars)
-                    if dup_vars
-                    else cdf.crossJoin(df2)
+    for stage_clauses, with_items, with_where in q.stages:
+        for optional, chains, where in stage_clauses:
+            cdf: DataFrame | None = None
+            cknown: set[str] = set()
+            fixed_eids: list[str] = []
+            seg_arrays: list[str] = []
+            for chain in chains:
+                chain_counter += 1
+                df2, k2, e2, a2 = _compile_chain(
+                    chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
                 )
-            cknown |= k2
-            fixed_eids += e2
-            seg_arrays += a2
-        assert cdf is not None
-        # Cypher relationship-uniqueness, scoped to this MATCH clause:
-        # every pair of relationship bindings must differ (bounded:
-        # patterns are short)
-        for i in range(len(fixed_eids)):
-            for j in range(i + 1, len(fixed_eids)):
-                cdf = cdf.where(F.col(fixed_eids[i]) != F.col(fixed_eids[j]))
-        for arr in seg_arrays:
-            for eid in fixed_eids:
-                cdf = cdf.where(~F.array_contains(F.col(arr), F.col(eid)))
-        for i in range(len(seg_arrays)):
-            for j in range(i + 1, len(seg_arrays)):
-                cdf = cdf.where(
-                    ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
-                )
-        if seg_arrays:
-            cdf = cdf.drop(*seg_arrays)
-        if where is not None and optional:
-            # an OPTIONAL MATCH's WHERE is part of the matching, so it
-            # runs BEFORE the left join and sees only the clause's vars
-            try:
-                cdf = cdf.where(F.expr(_translate_expr(where, cknown)))
-                cdf.schema  # force analysis so bad references fail here
-            except Exception as exc:
-                raise InvalidArgument(
-                    "OPTIONAL MATCH WHERE may only reference the optional "
-                    f"pattern's own variables: {where!r}"
-                ) from exc
-        if cur is None:
-            if optional:
-                raise InvalidArgument("query cannot start with OPTIONAL MATCH")
-            cur = cdf
-        else:
-            shared = known & cknown
-            if optional:
-                if not shared:
-                    raise InvalidArgument(
-                        "OPTIONAL MATCH must share at least one variable "
-                        "with the preceding pattern"
+                seg_counter += len(a2)
+                dup_vars = cknown & k2
+                if cdf is None:
+                    cdf = df2
+                else:
+                    # shared node variables: equi-join on their ids;
+                    # disconnected patterns: Cypher's cartesian product (the
+                    # user wrote one)
+                    cdf = (
+                        _join_shared(cdf, df2, dup_vars)
+                        if dup_vars
+                        else cdf.crossJoin(df2)
                     )
-                cur = _join_shared(cur, cdf, shared, "left")
+                cknown |= k2
+                fixed_eids += e2
+                seg_arrays += a2
+            assert cdf is not None
+            # Cypher relationship-uniqueness, scoped to this MATCH clause:
+            # every pair of relationship bindings must differ (bounded:
+            # patterns are short)
+            for i in range(len(fixed_eids)):
+                for j in range(i + 1, len(fixed_eids)):
+                    cdf = cdf.where(F.col(fixed_eids[i]) != F.col(fixed_eids[j]))
+            for arr in seg_arrays:
+                for eid in fixed_eids:
+                    cdf = cdf.where(~F.array_contains(F.col(arr), F.col(eid)))
+            for i in range(len(seg_arrays)):
+                for j in range(i + 1, len(seg_arrays)):
+                    cdf = cdf.where(
+                        ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
+                    )
+            if seg_arrays:
+                cdf = cdf.drop(*seg_arrays)
+            if where is not None and optional:
+                # an OPTIONAL MATCH's WHERE is part of the matching, so it
+                # runs BEFORE the left join and sees only the clause's vars
+                try:
+                    cdf = cdf.where(F.expr(_translate_expr(where, cknown)))
+                    cdf.schema  # force analysis so bad references fail here
+                except Exception as exc:
+                    raise InvalidArgument(
+                        "OPTIONAL MATCH WHERE may only reference the optional "
+                        f"pattern's own variables: {where!r}"
+                    ) from exc
+            if cur is None:
+                if optional:
+                    raise InvalidArgument("query cannot start with OPTIONAL MATCH")
+                cur = cdf
             else:
-                cur = _join_shared(cur, cdf, shared) if shared else cur.crossJoin(cdf)
-        known |= cknown
-        if where is not None and not optional:
-            # a plain MATCH's WHERE may reference any variable bound so far
-            cur = cur.where(F.expr(_translate_expr(where, known)))
+                shared = known & cknown
+                if optional:
+                    if not shared:
+                        raise InvalidArgument(
+                            "OPTIONAL MATCH must share at least one variable "
+                            "with the preceding pattern"
+                        )
+                    cur = _join_shared(cur, cdf, shared, "left")
+                else:
+                    cur = _join_shared(cur, cdf, shared) if shared else cur.crossJoin(cdf)
+            known |= cknown
+            if where is not None and not optional:
+                # a plain MATCH's WHERE may reference any variable bound so far
+                cur = cur.where(F.expr(_translate_expr(where, known)))
+
+        if with_items is not None:
+            if cur is None:
+                raise InvalidArgument("WITH before any MATCH is not supported")
+            cur, known = _apply_with(cur, with_items, with_where, known)
 
     assert cur is not None
 

@@ -861,22 +861,27 @@ def remove_repeated_spans(
     # 1. sliding windows with start positions (0-based)
     # sequence(0, -1) would read as a DESCENDING [0, -1] in Spark, so
     # short documents must short-circuit to an empty window list
-    win_strs = F.when(
+    # both hashes are computed INSIDE the transform, so the window string
+    # exists only transiently inside the lambda — what fans out per row
+    # (and crosses the exchange) is 16 bytes of key, never the string
+    def _win_keys(i):
+        w = F.array_join(F.slice("__toks", i + 1, L), " ")
+        return F.struct(
+            F.xxhash64(w).alias("__k1"),
+            F.xxhash64(F.concat(F.lit("\x01"), w)).alias("__k2"),
+        )
+
+    win_keys = F.when(
         n_tok >= L,
-        F.transform(
-            F.sequence(F.lit(0), n_tok - L),
-            lambda i: F.array_join(F.slice("__toks", i + 1, L), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # both hashes are computed in the same project stage, so the window
-    # STRING never crosses an exchange — only 16 bytes of key do
+        F.transform(F.sequence(F.lit(0), n_tok - L), _win_keys),
+    ).otherwise(F.array().cast("array<struct<__k1:bigint,__k2:bigint>>"))
     wins = base.select(
-        "__id", F.posexplode(win_strs).alias("__start", "__w")
+        "__id", F.posexplode(win_keys).alias("__start", "__wk")
     ).select(
         "__id",
         "__start",
-        F.xxhash64("__w").alias("__k1"),
-        F.xxhash64(F.concat(F.lit("\x01"), F.col("__w"))).alias("__k2"),
+        F.col("__wk.__k1").alias("__k1"),
+        F.col("__wk.__k2").alias("__k2"),
     )
 
     # 2. duplicated windows (+ the exempt canonical occurrence)

@@ -34,12 +34,32 @@ Trino / Athena                              Spark SQL
 ``codepoint(c)`` / ``is_nan(x)``            ``ascii(c)`` / ``isnan(x)``
 ``to_utf8(s)`` / ``from_utf8(b)``           ``encode/decode(x, 'UTF-8')``
 ``nan()`` / ``infinity()``                  ``CAST('NaN'/'Infinity' AS DOUBLE)``
+``split(s, d[, n])``                        ``split(s, '\\Q'||d||'\\E'[, n])``
+                                            (Trino delimiters are LITERAL,
+                                            Spark's are regex — \\Q quoting
+                                            preserves literal semantics for
+                                            constant AND dynamic delimiters)
+``from_unixtime(x)``                        ``timestamp_seconds(x)`` (Spark's
+                                            same-named fn returns a STRING)
+``date_parse(s, '%Y-%m-%d')``               ``to_timestamp(s, 'yyyy-MM-dd')``
+                                            (MySQL %-tokens mapped; unknown
+                                            tokens raise)
+``format_datetime`` / ``parse_datetime``    ``date_format`` / ``to_timestamp``
+``ARRAY[1, 2]``                             ``array(1, 2)``
+``ROW(a, b)``                               ``struct(a, b)``
+``CAST(x AS VARCHAR/VARBINARY/REAL)``       ``AS STRING/BINARY/FLOAT`` (bare)
+``TABLESAMPLE BERNOULLI(p)``                ``TABLESAMPLE (p PERCENT)``
+``FETCH FIRST n ROWS ONLY``                 ``LIMIT n``
+``levenshtein_distance/starts_with``        ``levenshtein/startswith``
+``to_hex/from_hex`` / ``random()``          ``hex/unhex`` / ``rand()``
 ==========================================  ================================
 
 Unsupported Trino constructs that have no mechanical Spark equivalent
 (``UNNEST ... WITH ORDINALITY``, multi-column ``UNNEST``, bare ``TRY``
-around a non-CAST expression) raise ``InvalidArgument`` with the manual
-rewrite to use — a loud error beats a silently different answer.
+around a non-CAST expression, ``from_unixtime(x, zone)``, subscript
+``a[i]`` — 1-based in Trino, 0-based in Spark, so use ``element_at``)
+raise ``InvalidArgument`` with the manual rewrite to use — a loud error
+beats a silently different answer.
 
 Everything SHARED by the two dialects (lambdas ``x -> x + 1``,
 ``transform/filter/reduce`` HOFs, ``element_at``, ``cardinality``,
@@ -76,7 +96,46 @@ _FN_RENAMES = {
     "format": "format_string",
     "codepoint": "ascii",
     "is_nan": "isnan",
+    "levenshtein_distance": "levenshtein",
+    "starts_with": "startswith",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "random": "rand",
+    # Joda patterns and Spark's are compatible for the everyday
+    # y/M/d/H/m/s/S/E tokens; exotic Joda tokens are the user's lookout
+    "format_datetime": "date_format",
+    "parse_datetime": "to_timestamp",
 }
+
+# MySQL date_parse tokens -> Spark (Java) datetime pattern letters
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "W": "EEEE", "a": "EEE",
+    "b": "MMM", "M": "MMMM", "j": "DDD", "T": "HH:mm:ss", "%": "%",
+}
+
+
+def _mysql_to_java_format(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            tok = fmt[i + 1] if i + 1 < len(fmt) else ""
+            if tok not in _MYSQL_FMT:
+                raise InvalidArgument(
+                    f"date_parse format token %{tok!r} has no Spark mapping"
+                )
+            out.append(_MYSQL_FMT[tok])
+            i += 2
+        elif c.isalpha():
+            out.append(f"'{c}'")  # literal letters must be quoted in Java patterns
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 _UNITS = "millisecond|second|minute|hour|day|week|month|quarter|year"
 
@@ -310,6 +369,150 @@ def trino_to_spark_sql(sql: str) -> str:
         inner = s[open_pos + 1 : close_pos]
         s = s[: m.start()] + f"CAST({inner} AS DOUBLE)" + s[close_pos + 1 :]
 
+    # ROW(a, b) constructor -> struct(a, b)  (\brow\( cannot collide with
+    # ROWS BETWEEN — the paren is required)
+    s = re.sub(r"\brow\s*\(", "struct(", s, flags=re.I)
+
+    # ARRAY[...] literal -> array(...) — FIRST among the structural
+    # rules, so later top-level-comma scans see only parentheses
+    while True:
+        m = re.search(r"\bARRAY\s*\[", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("[", m.start())
+        depth = 0
+        close_pos = -1
+        for i in range(open_pos, len(s)):
+            depth += s[i] == "["
+            depth -= s[i] == "]"
+            if depth == 0:
+                close_pos = i
+                break
+        if close_pos < 0:
+            raise InvalidArgument("unbalanced ARRAY[ literal")
+        s = s[: m.start()] + "array(" + s[open_pos + 1 : close_pos] + ")" + s[close_pos + 1 :]
+
+    # from_unixtime(x) -> timestamp_seconds(x): Spark's same-named
+    # function returns a formatted STRING, Trino's a timestamp — a
+    # silent type change downstream.  The (unixtime, zone) variant has
+    # no mechanical equivalent.
+    while True:
+        m = re.search(r"\bfrom_unixtime\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        depth = 0
+        if any(
+            (depth := depth + (c == "(") - (c == ")")) == 0 and c == ","
+            for c in inner
+        ):
+            raise InvalidArgument(
+                "from_unixtime(unixtime, zone) has no mechanical Spark "
+                "equivalent; rewrite with timestamp_seconds + from_utc_timestamp"
+            )
+        s = s[: m.start()] + f"timestamp_seconds({inner})" + s[close_pos + 1 :]
+
+    # split(s, d[, n]): Trino delimiters are LITERAL, Spark's are Java
+    # regex — split(s, '.') silently explodes per character.  \Q...\E
+    # quoting preserves literal semantics for constant AND dynamic
+    # delimiters.  (split_part already matches: literal in both.)
+    while True:
+        m = re.search(r"\bsplit\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        depth = 0
+        splits = []
+        for i, c in enumerate(inner):
+            depth += c == "("
+            depth -= c == ")"
+            if c == "," and depth == 0:
+                splits.append(i)
+        if not splits:
+            raise InvalidArgument("split() needs (string, delimiter[, limit])")
+        a = inner[: splits[0]].strip()
+        if len(splits) > 1:
+            d = inner[splits[0] + 1 : splits[1]].strip()
+            tail = ", " + inner[splits[1] + 1 :].strip()
+        else:
+            d, tail = inner[splits[0] + 1 :].strip(), ""
+        q_open = f"\x00{len(lits)}\x00"
+        lits.append("'\\\\Q'")
+        q_close = f"\x00{len(lits)}\x00"
+        lits.append("'\\\\E'")
+        s = (
+            s[: m.start()]
+            + f"__splitq__({a}, concat({q_open}, {d}, {q_close}){tail})"
+            + s[close_pos + 1 :]
+        )
+    s = s.replace("__splitq__(", "split(")
+
+    # date_parse(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd')
+    while True:
+        m = re.search(r"\bdate_parse\s*\(", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("(", m.start())
+        close_pos = _find_close(s, open_pos)
+        inner = s[open_pos + 1 : close_pos]
+        fm = re.search(r",\s*\x00(\d+)\x00\s*$", inner)
+        if not fm:
+            raise InvalidArgument(
+                "date_parse needs a string-literal format as its 2nd argument"
+            )
+        fmt = lits[int(fm.group(1))][1:-1]
+        lit = f"\x00{len(lits)}\x00"
+        lits.append("'" + _mysql_to_java_format(fmt) + "'")
+        s = (
+            s[: m.start()]
+            + f"to_timestamp({inner[: fm.start()]}, {lit})"
+            + s[close_pos + 1 :]
+        )
+
+    # ARRAY[...] literal -> array(...)
+    while True:
+        m = re.search(r"\bARRAY\s*\[", s, re.I)
+        if not m:
+            break
+        open_pos = s.index("[", m.start())
+        depth = 0
+        close_pos = -1
+        for i in range(open_pos, len(s)):
+            depth += s[i] == "["
+            depth -= s[i] == "]"
+            if depth == 0:
+                close_pos = i
+                break
+        if close_pos < 0:
+            raise InvalidArgument("unbalanced ARRAY[ literal")
+        s = s[: m.start()] + "array(" + s[open_pos + 1 : close_pos] + ")" + s[close_pos + 1 :]
+
+    # bare cast types Spark spells differently
+    s = re.sub(r"\bAS\s+VARCHAR\s*([,)])", r"AS STRING\1", s, flags=re.I)
+    s = re.sub(r"\bAS\s+VARBINARY\s*([,)])", r"AS BINARY\1", s, flags=re.I)
+    s = re.sub(r"\bAS\s+REAL\s*([,)])", r"AS FLOAT\1", s, flags=re.I)
+
+    # sampling / fetch clauses
+    s = re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+ONLY\b", r"LIMIT \1", s, flags=re.I)
+
     s = _rewrite_try_cast(s)
     s = _rewrite_unnest(s)
+
+    # anything still subscripting is Trino's 1-BASED a[i] — Spark's [] is
+    # 0-based, so a mechanical pass-through answers off by one
+    if "[" in s:
+        raise InvalidArgument(
+            "subscript a[i] is 1-based in Trino but 0-based in Spark; "
+            "use element_at(a, i) (1-based in both)"
+        )
     return _unshield(s, lits)

@@ -1051,3 +1051,58 @@ def test_sparql_property_path_errors(foaf):
             _P + "CONSTRUCT { ?a foaf:knows/foaf:created ?b } "
             "WHERE { ?a foaf:knows ?b }",
         )
+
+
+def test_cypher_with_clause(modern):
+    # WITH aggregation + WHERE on the aggregate (the HAVING shape)
+    q = (
+        "MATCH (a:person)-[:created]->(s) "
+        "WITH a, count(s) AS n WHERE n >= 2 "
+        "RETURN a.name AS name, n"
+    )
+    assert [(r.name, r.n) for r in _cy(modern, q).collect()] == [("josh", 2)]
+    # WITH followed by another MATCH joining on the carried variable
+    q2 = (
+        "MATCH (a:person)-[:created]->(s) "
+        "WITH a, count(s) AS n "
+        "MATCH (a)-[:knows]->(b) "
+        "RETURN a.name AS a, b.name AS b, n ORDER BY b"
+    )
+    assert [(r.a, r.b, r.n) for r in _cy(modern, q2).collect()] == [
+        ("marko", "josh", 1), ("marko", "vadas", 1),
+    ]
+    # pure projection narrows the variable set
+    q3 = "MATCH (a:person)-[:knows]->(b) WITH b RETURN b.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q3).collect()] == ["josh", "vadas"]
+    # AS-rename of a node variable
+    q4 = "MATCH (a:person) WITH a AS p RETURN p.name AS n ORDER BY n"
+    assert [r.n for r in _cy(modern, q4).collect()] == ["josh", "marko", "peter", "vadas"]
+    # scalar expression item + WHERE over it
+    q5 = "MATCH (a:person) WITH a.age AS age WHERE age > 30 RETURN age ORDER BY age"
+    assert [r.age for r in _cy(modern, q5).collect()] == [32, 35]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="needs an alias"):
+        _cy(modern, "MATCH (a:person) WITH a.age RETURN a")
+    with pytest.raises(InvalidArgument, match="not supported"):
+        _cy(modern, "MATCH (a:person) WITH DISTINCT a RETURN a")
+
+
+def test_gremlin_where_not_subtraversals(modern):
+    # where: keep elements whose fragment yields >= 1 traverser
+    q = "g.V().hasLabel('person').where(out('created')).values('name')"
+    assert sorted(r[0] for r in _g(modern, q).collect()) == ["josh", "marko", "peter"]
+    q2 = "g.V().hasLabel('person').not(out('created')).values('name')"
+    assert [r[0] for r in _g(modern, q2).collect()] == ["vadas"]
+    q3 = "g.V().where(out('knows')).values('name')"
+    assert [r[0] for r in _g(modern, q3).collect()] == ["marko"]
+    # the fragment is a full chain (hop + filter)
+    q4 = "g.V().where(out('created').has('name', 'ripple')).values('name')"
+    assert [r[0] for r in _g(modern, q4).collect()] == ["josh"]
+    # not(out()) == sinks; software vertices have no out-edges
+    q5 = "g.V().not(out()).hasLabel('software').values('name')"
+    assert sorted(r[0] for r in _g(modern, q5).collect()) == ["lop", "ripple"]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="stay a traversal"):
+        _g(modern, "g.V().where(out().count()).values('name')")

@@ -122,3 +122,85 @@ def test_executes_on_spark(spark):
     assert [(r.id, r.days, r.bad) for r in rows] == [(1, 2, None), (2, 7, None)]
     with pytest.raises(InvalidArgument, match="dialect"):
         read_sql_query(spark, "SELECT 1", dialect="duckdb")
+
+
+def test_split_literal_delimiter():
+    # Trino delimiters are literal; Spark's are regex — '.' must not
+    # explode per character
+    assert tx("SELECT split(s, '.') FROM t") == (
+        "SELECT split(s, concat('\\\\Q', '.', '\\\\E')) FROM t"
+    )
+    # dynamic delimiter and the 3-arg limit form keep literal semantics
+    assert tx("SELECT split(s, d, 2) FROM t") == (
+        "SELECT split(s, concat('\\\\Q', d, '\\\\E'), 2) FROM t"
+    )
+    with pytest.raises(InvalidArgument, match="delimiter"):
+        tx("SELECT split(s) FROM t")
+
+
+def test_split_executes_literal(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    df.createOrReplaceTempView("split_probe")
+    out = read_sql_query(
+        spark, "SELECT split(s, '.') AS parts FROM split_probe", dialect="trino"
+    ).first()
+    assert out.parts == ["a", "b", "c"]
+
+
+def test_from_unixtime_and_date_parse(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    row = read_sql_query(
+        spark,
+        "SELECT from_unixtime(86400) AS t, "
+        "date_parse('2021-07-04 12:30:05', '%Y-%m-%d %H:%i:%s') AS p",
+        dialect="trino",
+    ).first()
+    import datetime
+
+    assert row.t == datetime.datetime(1970, 1, 2, 0, 0)  # a TIMESTAMP, not a string
+    assert row.p == datetime.datetime(2021, 7, 4, 12, 30, 5)
+    with pytest.raises(InvalidArgument, match="zone"):
+        tx("SELECT from_unixtime(0, 'UTC') FROM t")
+    with pytest.raises(InvalidArgument, match="no Spark mapping"):
+        tx("SELECT date_parse(s, '%Q') FROM t")
+    with pytest.raises(InvalidArgument, match="string-literal format"):
+        tx("SELECT date_parse(s, f) FROM t")
+
+
+def test_array_row_cast_and_misc_renames(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    assert tx("SELECT ARRAY[1, 2, 3] FROM t") == "SELECT array(1, 2, 3) FROM t"
+    assert tx("SELECT ARRAY[ARRAY[1], ARRAY[2]] FROM t") == (
+        "SELECT array(array(1), array(2)) FROM t"
+    )
+    assert tx("SELECT ROW(1, 'a') FROM t") == "SELECT struct(1, 'a') FROM t"
+    assert tx("SELECT CAST(x AS VARCHAR) FROM t") == "SELECT CAST(x AS STRING) FROM t"
+    assert tx("SELECT CAST(x AS REAL), CAST(y AS VARBINARY) FROM t") == (
+        "SELECT CAST(x AS FLOAT), CAST(y AS BINARY) FROM t"
+    )
+    assert tx("SELECT starts_with(s, 'a'), to_hex(b), levenshtein_distance(x, y) FROM t") == (
+        "SELECT startswith(s, 'a'), hex(b), levenshtein(x, y) FROM t"
+    )
+    assert tx("SELECT format_datetime(ts, 'yyyy-MM-dd') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    row = read_sql_query(
+        spark,
+        "SELECT element_at(ARRAY['x', 'y'], 1) AS first, "
+        "CAST(7 AS VARCHAR) AS s, ROW(1, 2) AS r",
+        dialect="trino",
+    ).first()
+    assert (row.first, row.s, row.r[0]) == ("x", "7", 1)
+
+
+def test_sampling_fetch_and_subscript_refusal():
+    assert tx("SELECT * FROM t TABLESAMPLE BERNOULLI(10)") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert tx("SELECT * FROM t FETCH FIRST 5 ROWS ONLY") == "SELECT * FROM t LIMIT 5"
+    with pytest.raises(InvalidArgument, match="element_at"):
+        tx("SELECT a[1] FROM t")

@@ -152,6 +152,54 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     remove_repeated_spans(docs, min_tokens=8).select(F.sum("n_removed")).collect()
     timings["remove_repeated_spans"] = round(time.time() - t0, 2)
 
+    from aws_sdk_pandas_spark.operators.dedup import dedup_lines
+
+    # corpus-level line dedup: line fan-out linear in corpus, one
+    # 128-bit-keyed aggregate, join-back proportional to the dup set
+    # (constant density under the rotation) — time should track volume
+    _norm = F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\r]+", " "))
+    _toks = F.split(_norm, " ")
+    _nc = F.ceil(F.size(_toks) / F.lit(8.0)).cast("int")
+    docs_lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), _nc - 1),
+                lambda i: F.array_join(F.slice(_toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    dedup_lines(docs_lined, min_count=2).select(F.sum("n_removed")).collect()
+    timings["dedup_lines"] = round(time.time() - t0, 2)
+
+    # SPARQL + closure over per-customer order chains: chain LENGTH is
+    # constant (orders per customer), chain COUNT grows with the corpus,
+    # so BFS/doubling round count stays flat and per-round work grows
+    # linearly — the weak-scaling shape a transitive closure must have
+    from pyspark.sql.window import Window as _W
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+
+    orders = _multiply(
+        read_parquet(spark, f"{sf_dir}/orders.parquet"),
+        mult,
+        lambda d, i: d.withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)),
+    )
+    w = _W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("s"),
+        F.lit("next").alias("p"),
+        F.lead(F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))).over(w).alias("o"),
+    ).where(F.col("o").isNotNull())
+    t0 = time.time()
+    execute_sparql(
+        {"root": ""}, "SELECT (COUNT(*) AS ?n) WHERE { ?a <next>+ ?b }", triples=seq
+    ).collect()
+    timings["sparql_path_closure"] = round(time.time() - t0, 2)
+
     from aws_sdk_pandas_spark.operators.dedup import semantic_dedup
     from aws_sdk_pandas_spark.operators.sampling import dsir_importance_weights
 
