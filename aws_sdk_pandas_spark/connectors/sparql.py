@@ -16,7 +16,9 @@ Supported grammar::
         term term term .                     (basic graph patterns)
         subject p1 o1 ; p2 o2 .              (predicate-object lists)
         FILTER( <expr over ?vars> )
-        OPTIONAL { triple patterns }         (left join on shared vars)
+        OPTIONAL { patterns [FILTER] }       (left join on shared vars;
+                                             the FILTER is part of the
+                                             matching — pre-join)
         { patterns [FILTER] } UNION { ... }  (unionByName; vars bound in
                                              only some branches NULL-fill,
                                              and joining such a var
@@ -242,7 +244,7 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
     and EXISTS/MINUS semijoin blocks as (patterns, negated) pairs)."""
     triples: list[tuple[_Term, _Term, _Term]] = []
     filters: list[str] = []
-    optionals: list[list[tuple[_Term, _Term, _Term]]] = []
+    optionals: list[tuple[list[tuple[_Term, Any, _Term]], list[str]]] = []
     unions: list[list[tuple[list, list]]] = []
     semijoins: list[tuple[list, bool]] = []
     binds: list[tuple[str, str]] = []
@@ -323,9 +325,11 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             p0 = body.index("{", pos)
             end = _balanced(body, p0, "{", "}")
             t, f, o, u, x, bb, vv = _parse_group(body[p0 + 1 : end - 1], prefixes, allow_blocks=False)
-            if f or o or u or x or bb or vv:
-                raise InvalidArgument("OPTIONAL groups support triple patterns only")
-            optionals.append(t)
+            if o or u or x or bb or vv:
+                raise InvalidArgument(
+                    "OPTIONAL groups support triple patterns and FILTER only"
+                )
+            optionals.append((t, f))
             pos = end
             continue
         if body[pos] == "{":
@@ -753,12 +757,16 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         for j, (_u2, vs2, _c2) in enumerate(union_frames):
             if j != i:
                 elsewhere |= set(vs2)
-        for opt in optionals:
-            for pat in opt:
-                elsewhere |= {t.value for t in pat if t.kind == "var"}
+        for opt_pats, _of in optionals:
+            for pat in opt_pats:
+                elsewhere |= {
+                    t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
+                }
         for sj_pats, _neg in semijoins:
             for pat in sj_pats:
-                elsewhere |= {t.value for t in pat if t.kind == "var"}
+                elsewhere |= {
+                    t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
+                }
         clash = partial & elsewhere
         if clash:
             raise InvalidArgument(
@@ -768,8 +776,14 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
             )
     frames += [(udf, all_vars) for udf, all_vars, _c in union_frames]
     cur, bound = _join_patterns(frames)
-    for opt in optionals:
-        odf, ovars = _join_patterns([_pattern_frame(triples, p) for p in opt])
+    for opt_pats, opt_filters in optionals:
+        odf, ovars = _join_patterns([_pattern_frame(triples, p) for p in opt_pats])
+        # a FILTER inside OPTIONAL is part of the MATCHING (SPARQL's
+        # left-join condition): it runs BEFORE the left join, so rows
+        # that fail it fall back to the unbound (NULL) case instead of
+        # being dropped
+        for f_expr in opt_filters:
+            odf = odf.where(F.expr(_translate_filter(f_expr)))
         shared = [v for v in ovars if v in bound]
         if not shared:
             raise InvalidArgument("OPTIONAL group shares no variable with the BGP")

@@ -1106,3 +1106,71 @@ def test_gremlin_where_not_subtraversals(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with _pytest.raises(InvalidArgument, match="stay a traversal"):
         _g(modern, "g.V().where(out().count()).values('name')")
+
+
+def test_sparql_optional_with_filter(foaf):
+    # FILTER inside OPTIONAL is part of the MATCHING: people whose age
+    # fails the filter keep a NULL row, not get dropped
+    q = _P + (
+        "SELECT ?p ?age WHERE { "
+        "?p a foaf:Person . "
+        "OPTIONAL { ?p foaf:age ?age FILTER(xsd:integer(?age) > 30) } "
+        "} ORDER BY ?p"
+    )
+    q = q.replace("PREFIX foaf:", "PREFIX xsd: <x>\nPREFIX foaf:")
+    got = [(r.p, r.age) for r in _sp(foaf, q).collect()]
+    assert got == [
+        ("josh", "32"), ("marko", None), ("peter", "35"), ("vadas", None),
+    ]
+
+
+def test_cross_language_agreement(modern):
+    """The same logical question — software-creation counts per person —
+    answered by all three query-language compilers AND raw DataFrame ops
+    must coincide; any multiplicity/join bug in one compiler shows up as
+    a cross-language disagreement."""
+    from pyspark.sql import functions as F
+
+    v, e = modern
+    # ground truth: plain DataFrame join
+    truth = {
+        (r.p, r.n)
+        for r in e.where(F.col("`~label`") == "created")
+        .groupBy(F.col("`~from`").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert truth == {("marko", 1), ("josh", 2), ("peter", 1)}
+    # Gremlin: groupCount over out('created') traversers keyed by source
+    g = _g(
+        modern,
+        "g.V().hasLabel('person').as('p').out('created')"
+        ".select('p').by('name').groupCount().by('p')",
+    )
+    # groupCount after select: key column is 'p'
+    got_g = {(r[0], r[1]) for r in g.collect()}
+    # Cypher implicit aggregation
+    got_c = {
+        (r.p, r.n)
+        for r in _cy(
+            modern,
+            "MATCH (p:person)-[:created]->(s) RETURN p.name AS p, count(s) AS n",
+        ).collect()
+    }
+    # SPARQL over the triple rendering of the same edges
+    triples = e.where(F.col("`~label`") == "created").select(
+        F.col("`~from`").alias("s"), F.lit("created").alias("p"), F.col("`~to`").alias("o")
+    )
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+
+    got_s = {
+        (r.who, r.n)
+        for r in execute_sparql(
+            {"root": ""},
+            "SELECT ?who (COUNT(?sw) AS ?n) WHERE { ?who <created> ?sw } GROUP BY ?who",
+            triples=triples,
+        ).collect()
+    }
+    assert got_g == truth
+    assert got_c == truth
+    assert got_s == truth
