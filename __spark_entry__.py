@@ -5177,6 +5177,24 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_gremlin_not_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin not(<traversal>) under the hash gate
+    (connectors/gremlin.py — sub-traversal existence compiles to ONE
+    left-anti join on the surviving source ids): users with NO event
+    above 250, then their per-user event counts; the oracle is the
+    NOT-IN subquery aggregate."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('user').not(outE('did').has('value', gt(250)))"
+        ".outE('did').groupCount().by('~from')",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_trino_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trino scalar-semantics rewrites under the hash gate
     (sql_dialect.trino_to_spark_sql): the constructs whose Spark
@@ -5753,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
         "trino_dialect_scalars": _q_trino_dialect_scalars,
+        "graph_gremlin_not_filter": _q_gremlin_not_filter,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
@@ -7432,6 +7451,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_gremlin_not_filter": """
+            SELECT concat('u', CAST(user_id AS VARCHAR)) AS "~from",
+                   COUNT(*) AS count
+            FROM events
+            WHERE user_id NOT IN (
+                SELECT DISTINCT user_id FROM events WHERE value > 250
+            )
+            GROUP BY user_id
+            ORDER BY "~from"
         """,
         "trino_dialect_scalars": """
             SELECT CAST(o_orderkey AS VARCHAR) AS okey,

@@ -25,6 +25,13 @@ exercise):
     .as('a') ... .select('a', 'b')[.by('p1').by('p2')]
     .where(<traversal>) / .not(<traversal>)   filter by sub-traversal
                                               existence (semi/anti join)
+    .path()                                   -> array of traversed ~ids
+    .simplePath()                             drop traversers that revisit
+                                              an element (cycle filter)
+
+Path tracking is OPT-IN: the ~id history column is carried through hops
+only when the traversal actually contains path()/simplePath(), so every
+other traversal pays nothing for the feature.
 
 Semantics are Gremlin's BAG semantics: a traverser per path, so
 ``.out('x').groupCount().by('~id')`` counts one per edge, duplicates
@@ -223,15 +230,33 @@ def _has(df: DataFrame, args: list[Any]) -> DataFrame:
 
 
 class _Traversal:
-    def __init__(self, kind: str, df: DataFrame, vertices: DataFrame, edges: DataFrame):
+    def __init__(
+        self,
+        kind: str,
+        df: DataFrame,
+        vertices: DataFrame,
+        edges: DataFrame,
+        track_path: bool = False,
+    ):
         self.kind = kind  # 'V' | 'E' | 'value'
         self.df = df
         self.vertices = vertices
         self.edges = edges
         self.tags: dict[str, str] = {}  # as('x') -> stream kind at snapshot
+        if track_path and "__path" not in df.columns:
+            # opt-in (only when the traversal contains path()/simplePath())
+            # so traversals that never ask for history pay nothing
+            self.df = df.withColumn("__path", F.array(F.col("`~id`")))
 
     def _tag_cols(self) -> list[str]:
-        return [c for c in self.df.columns if c.startswith("__tag_")]
+        # carried across hops: step labels and (when tracked) the path
+        return [c for c in self.df.columns if c.startswith("__tag_") or c == "__path"]
+
+    def _append_path(self) -> None:
+        if "__path" in self.df.columns:
+            self.df = self.df.withColumn(
+                "__path", F.concat(F.col("__path"), F.array(F.col("`~id`")))
+            )
 
     # -- movement ----------------------------------------------------------
     def _hop(self, elabels: list[Any], direction: str) -> None:
@@ -259,6 +284,7 @@ class _Traversal:
             )
             nxt = o.unionAll(i)
         self.df = nxt.join(self.vertices, nxt["__nid"] == self.vertices["~id"]).drop("__nid")
+        self._append_path()
 
     def _hop_e(self, elabels: list[Any], direction: str) -> None:
         if self.kind != "V":
@@ -269,6 +295,7 @@ class _Traversal:
         key = "~from" if direction == "out" else "~to"
         self.df = cur.join(e, cur["__cur"] == e[key]).drop("__cur")
         self.kind = "E"
+        self._append_path()
 
     def _edge_vertex(self, end: str) -> None:
         if self.kind != "E":
@@ -278,6 +305,7 @@ class _Traversal:
         cur = self.df.select(F.col(key).alias("__nid"), *tags)
         self.df = cur.join(self.vertices, cur["__nid"] == self.vertices["~id"]).drop("__nid")
         self.kind = "V"
+        self._append_path()
 
     # -- terminals / modulated steps ----------------------------------------
     def apply(self, name: str, args: list[Any], bys: list[list[Any]] | None) -> None:
@@ -348,6 +376,17 @@ class _Traversal:
             col = self.df.columns[0]
             fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[name]
             self.df = self.df.agg(fn(F.col(f"`{col}`")).alias(name))
+        elif name == "path":
+            if "__path" not in self.df.columns:
+                raise InvalidArgument("internal: path() without tracking enabled")
+            self.df = self.df.select(F.col("__path").alias("path"))
+            self.kind = "value"
+        elif name == "simplePath":
+            if "__path" not in self.df.columns:
+                raise InvalidArgument("internal: simplePath() without tracking enabled")
+            self.df = self.df.where(
+                F.size(F.array_distinct("__path")) == F.size("__path")
+            )
         elif name in ("where", "not"):
             # where(<traversal>) keeps elements for which the fragment
             # yields at least one traverser; not(<traversal>) the
@@ -501,17 +540,19 @@ def compile_gremlin(
         raise InvalidArgument("traversal must start with g.V(...) or g.E(...)")
     folded = _expand_and_fold(steps)
 
+    track = any(nm in ("path", "simplePath") for nm, _a, _b in folded)
+
     start, sargs, _ = folded[0]
     if start == "V":
         df = vertices
         if sargs:
             df = df.where(F.col("~id").isin([str(a) for a in sargs]))
-        t = _Traversal("V", df, vertices, edges)
+        t = _Traversal("V", df, vertices, edges, track_path=track)
     else:
         df = edges
         if sargs:
             df = df.where(F.col("~id").isin([str(a) for a in sargs]))
-        t = _Traversal("E", df, vertices, edges)
+        t = _Traversal("E", df, vertices, edges, track_path=track)
 
     for name, args, bys in folded[1:]:
         t.apply(name, args, bys)

@@ -953,6 +953,7 @@ def dedup_lines(
     min_count: int = 2,
     min_line_chars: int = 1,
     lowercase: bool = False,
+    aggressive: bool = False,
     keep: str | None = "first",
 ) -> DataFrame:
     """CORPUS-level line deduplication — the CCNet / RefinedWeb
@@ -964,6 +965,13 @@ def dedup_lines(
     line_no)``; ``keep=None`` removes every occurrence.  Lines shorter
     than ``min_line_chars`` after trimming are never candidates (one-
     character bullets would cross-link the whole corpus).
+
+    ``aggressive=True`` applies CCNet's matching normalization (the
+    paragraph-hash recipe of Wenzek et al. 2020): lowercase, digits
+    dropped, punctuation dropped, whitespace squeezed — so "Page 3 of
+    10" and "page 4 of 12" match as the same boilerplate.  Output text
+    always keeps the ORIGINAL line; only the matching key normalizes.
+    Pure codegen (lower + two regexp_replace), still one aggregate.
 
     This is the third member of the family and deliberately between the
     other two: ``functions.collapse_repeated_lines`` is within-doc and
@@ -997,8 +1005,14 @@ def dedup_lines(
         "__id", F.posexplode("__lines").alias("__ln", "__line")
     )
     norm = F.trim(F.col("__line"))
-    if lowercase:
+    if lowercase or aggressive:
         norm = F.lower(norm)
+    if aggressive:
+        # CCNet matching key: numbers, punctuation, and symbols are noise
+        # between near-identical boilerplate lines; letters (any script)
+        # survive — Java regex Unicode classes, still pure codegen
+        norm = F.regexp_replace(norm, "[\\p{P}\\p{S}\\p{N}]", "")
+        norm = F.trim(F.regexp_replace(norm, "[ \\t]+", " "))
     lines = lines.select(
         "__id",
         "__ln",

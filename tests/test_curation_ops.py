@@ -774,3 +774,25 @@ def test_dedup_lines_corpus_boilerplate(spark):
     )
     got3 = {r.doc_id: r.text for r in dedup_lines(docs3, min_count=2, lowercase=True).collect()}
     assert got3[1] == "Same\nk1" and got3[2] == "k2"
+
+
+def test_dedup_lines_aggressive_normalization(spark):
+    """aggressive=True matches on the CCNet key (lowercase, digits/punct
+    dropped, whitespace squeezed): 'Page 3 of 10' == 'page 4 of 12'."""
+    from aws_sdk_pandas_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Page 3 of 10\nalpha body"),
+            (2, "page 4 of 12!\nbeta body"),
+            (3, "Page 5, of 99\ngamma body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup_lines(docs, min_count=2, aggressive=True).collect()}
+    assert got[1] == "Page 3 of 10\nalpha body"  # first occurrence kept verbatim
+    assert got[2] == "beta body"
+    assert got[3] == "gamma body"
+    # without aggressive the pages differ and nothing is removed
+    got2 = {r.doc_id: r.n_removed for r in dedup_lines(docs, min_count=2).collect()}
+    assert got2 == {1: 0, 2: 0, 3: 0}

@@ -1174,3 +1174,86 @@ def test_cross_language_agreement(modern):
     assert got_g == truth
     assert got_c == truth
     assert got_s == truth
+
+
+def test_gremlin_path_and_simple_path(modern):
+    q = "g.V('marko').out('knows').out('created').path()"
+    got = sorted(tuple(r.path) for r in _g(modern, q).collect())
+    assert got == [("marko", "josh", "lop"), ("marko", "josh", "ripple")]
+    # edge steps appear in the path between their vertices
+    q2 = "g.V('marko').outE('created').inV().path()"
+    assert [tuple(r.path) for r in _g(modern, q2).collect()] == [("marko", "e3", "lop")]
+    # simplePath drops back-tracking traversers
+    q3 = "g.V('marko').both().both().simplePath().values('name')"
+    assert sorted(r[0] for r in _g(modern, q3).collect()) == [
+        "josh", "lop", "peter", "ripple",
+    ]
+    # without simplePath the bounce-backs are present (bag semantics)
+    q4 = "g.V('marko').both().both().values('name')"
+    assert len(_g(modern, q4).collect()) == 7  # 4 simple + 3 bounce-backs to marko
+
+
+def test_compilers_agree_on_random_graphs(spark):
+    """Pseudo-random multigraphs (self-loops + parallel edges included):
+    2-hop counts from Gremlin and SPARQL must equal the plain DataFrame
+    double-join (bag-of-walks semantics), while openCypher must equal
+    the join MINUS same-edge reuse (trail semantics) — the exact
+    semantic split between the three languages, fuzzed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_sdk_pandas_spark.connectors.neptune import (
+        execute_gremlin,
+        execute_opencypher,
+        execute_sparql,
+    )
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        verts = [f"v{i}" for i in range(12)]
+        edge_rows = [
+            (f"e{k}", "t", rng.choice(verts), rng.choice(verts))
+            for k in range(40)
+        ]
+        # ensure at least one reusable edge exists (only a self-loop can
+        # be reused within a 2-walk), so the trail/walk split is exercised
+        loop_v = rng.choice(verts)
+        edge_rows.append(("e_loop", "t", loop_v, loop_v))
+        v = spark.createDataFrame(
+            [(x, "node") for x in verts], "`~id` string, `~label` string"
+        )
+        e = spark.createDataFrame(
+            edge_rows, "`~id` string, `~label` string, `~from` string, `~to` string"
+        )
+        a = e.select(
+            F.col("`~id`").alias("id1"), F.col("`~from`").alias("s"), F.col("`~to`").alias("m")
+        )
+        b = e.select(
+            F.col("`~id`").alias("id2"), F.col("`~from`").alias("m"), F.col("`~to`").alias("o")
+        )
+        walks = a.join(b, "m")
+        n_walks = walks.count()
+        n_trails = walks.where(F.col("id1") != F.col("id2")).count()
+
+        got_g = execute_gremlin(
+            {"root": ""}, "g.V().out('t').out('t').count()", vertices=v, edges=e
+        ).first()[0]
+        got_c = execute_opencypher(
+            {"root": ""},
+            "MATCH (a)-[:t]->(b)-[:t]->(c) RETURN count(*) AS n",
+            vertices=v,
+            edges=e,
+        ).first().n
+        triples = e.select(
+            F.col("`~from`").alias("s"), F.lit("t").alias("p"), F.col("`~to`").alias("o")
+        )
+        got_s = execute_sparql(
+            {"root": ""},
+            "SELECT (COUNT(*) AS ?n) WHERE { ?a <t> ?b . ?b <t> ?c }",
+            triples=triples,
+        ).first().n
+        assert got_g == n_walks, f"seed {seed}: gremlin {got_g} != walks {n_walks}"
+        assert got_s == n_walks, f"seed {seed}: sparql {got_s} != walks {n_walks}"
+        assert got_c == n_trails, f"seed {seed}: cypher {got_c} != trails {n_trails}"
+        assert n_walks != n_trails, f"seed {seed}: fuzz produced no edge-reuse walks"
