@@ -609,8 +609,10 @@ def _ngram_hash_kernel(n: int):
             hashed = pd.util.hash_array(np.array(all_grams, dtype=object)).astype(np.int64)
         else:
             hashed = np.array([], dtype=np.int64)
+        # numpy arrays pass straight through the Arrow conversion — no
+        # per-gram Python ints
         out = [
-            np.unique(hashed[offsets[i] : offsets[i + 1]]).tolist()
+            np.unique(hashed[offsets[i] : offsets[i + 1]])
             for i in range(len(offsets) - 1)
         ]
         return pd.Series(out)

@@ -578,3 +578,24 @@ def test_sparql_bgp_constant_pushdown_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert opt.count("knows") >= 2  # both constants pushed into scans
+
+
+def test_round3_query_language_gates_plan_smells(spark, sf_dir):
+    """The round-3 compiler gates must stay free of scale-killers: no
+    cartesian/nested-loop joins, no row-at-a-time Python, no Python at
+    all (these compilers are pure plan rewriters)."""
+    for name in (
+        "graph_gremlin_select",
+        "graph_gremlin_not_filter",
+        "graph_cypher_optional_match",
+        "graph_cypher_with_pipeline",
+        "graph_sparql_path_seq",
+        "dedup_lines_corpus",
+        "trino_dialect_scalars",
+    ):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
