@@ -50,6 +50,9 @@ Trino / Athena                              Spark SQL
 ``CAST(x AS VARCHAR/VARBINARY/REAL)``       ``AS STRING/BINARY/FLOAT`` (bare)
 ``TABLESAMPLE BERNOULLI(p)``                ``TABLESAMPLE (p PERCENT)``
 ``FETCH FIRST n ROWS ONLY``                 ``LIMIT n``
+``date_format(ts, '%Y...')``                MySQL tokens mapped (Trino's
+                                            date_format IS the MySQL one)
+``week`` / ``last_day_of_month``            ``weekofyear`` / ``last_day``
 ``levenshtein_distance/starts_with``        ``levenshtein/startswith``
 ``to_hex/from_hex`` / ``random()``          ``hex/unhex`` / ``rand()``
 ==========================================  ================================
@@ -101,6 +104,8 @@ _FN_RENAMES = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "random": "rand",
+    "week": "weekofyear",
+    "last_day_of_month": "last_day",
     # Joda patterns and Spark's are compatible for the everyday
     # y/M/d/H/m/s/S/E tokens; exotic Joda tokens are the user's lookout
     "format_datetime": "date_format",
@@ -451,27 +456,42 @@ def trino_to_spark_sql(sql: str) -> str:
         )
     s = s.replace("__splitq__(", "split(")
 
-    # date_parse(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd')
-    while True:
-        m = re.search(r"\bdate_parse\s*\(", s, re.I)
-        if not m:
-            break
-        open_pos = s.index("(", m.start())
-        close_pos = _find_close(s, open_pos)
-        inner = s[open_pos + 1 : close_pos]
-        fm = re.search(r",\s*\x00(\d+)\x00\s*$", inner)
-        if not fm:
-            raise InvalidArgument(
-                "date_parse needs a string-literal format as its 2nd argument"
+    # date_parse(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd'), and
+    # date_format(ts, '%Y...') -> date_format(ts, java pattern): Trino's
+    # date_format is the MySQL-token one — passing the format through
+    # unmapped would make Spark's date_format answer something different
+    for fn_in, fn_out in (("date_parse", "to_timestamp"), ("date_format", "date_format")):
+        pos = 0
+        while True:
+            m = re.compile(rf"\b{fn_in}\s*\(", re.I).search(s, pos)
+            if not m:
+                break
+            open_pos = s.index("(", m.start())
+            close_pos = _find_close(s, open_pos)
+            inner = s[open_pos + 1 : close_pos]
+            fm = re.search(r",\s*\x00(\d+)\x00\s*$", inner)
+            if not fm:
+                if fn_in == "date_format":
+                    pos = open_pos + 1  # non-literal format: leave untouched
+                    continue
+                raise InvalidArgument(
+                    "date_parse needs a string-literal format as its 2nd argument"
+                )
+            fmt = lits[int(fm.group(1))][1:-1]
+            if fn_in == "date_format" and "%" not in fmt:
+                pos = open_pos + 1  # already a Java/Spark pattern
+                continue
+            lit = f"\x00{len(lits)}\x00"
+            lits.append("'" + _mysql_to_java_format(fmt) + "'")
+            s = (
+                s[: m.start()]
+                + f"__fmtq_{fn_out}({inner[: fm.start()]}, {lit})"
+                + s[close_pos + 1 :]
             )
-        fmt = lits[int(fm.group(1))][1:-1]
-        lit = f"\x00{len(lits)}\x00"
-        lits.append("'" + _mysql_to_java_format(fmt) + "'")
-        s = (
-            s[: m.start()]
-            + f"to_timestamp({inner[: fm.start()]}, {lit})"
-            + s[close_pos + 1 :]
-        )
+            pos = m.start()
+    s = s.replace("__fmtq_to_timestamp(", "to_timestamp(").replace(
+        "__fmtq_date_format(", "date_format("
+    )
 
     # ARRAY[...] literal -> array(...)
     while True:

@@ -204,3 +204,29 @@ def test_sampling_fetch_and_subscript_refusal():
     assert tx("SELECT * FROM t FETCH FIRST 5 ROWS ONLY") == "SELECT * FROM t LIMIT 5"
     with pytest.raises(InvalidArgument, match="element_at"):
         tx("SELECT a[1] FROM t")
+
+
+def test_date_format_mysql_tokens_and_week(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    # Trino's date_format takes MySQL tokens; Spark's takes Java patterns
+    assert tx("SELECT date_format(ts, '%Y-%m') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+    # already-Java patterns (no %) pass through untouched
+    assert tx("SELECT date_format(ts, 'yyyy-MM') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+    # mixed: a skipped non-% call must not stop mapping a later % call
+    assert tx(
+        "SELECT date_format(a, 'yyyy'), date_format(b, '%d/%m/%Y') FROM t"
+    ) == "SELECT date_format(a, 'yyyy'), date_format(b, 'dd/MM/yyyy') FROM t"
+    assert tx("SELECT week(ts), last_day_of_month(d) FROM t") == (
+        "SELECT weekofyear(ts), last_day(d) FROM t"
+    )
+    row = read_sql_query(
+        spark,
+        "SELECT date_format(date_parse('2021-07-04', '%Y-%m-%d'), '%d/%m/%Y') AS s",
+        dialect="trino",
+    ).first()
+    assert row.s == "04/07/2021"
