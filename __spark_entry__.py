@@ -5177,6 +5177,45 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_cypher_pattern_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher pattern predicate under the hash gate
+    (connectors/opencypher.py — WHERE NOT (c)-[:placed]->(:ord {pri:..})
+    compiles to ONE left-anti join on the shared variable; semi-join
+    semantics mean no row multiplication for multi-match customers):
+    per-segment counts of customers who never placed a 1-URGENT order
+    (~200 such customers at sf0.01 — a real split, never vacuous)."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    o_id = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    vertices = cust.select(
+        c_id.alias("~id"), F.lit("cust").alias("~label"),
+        F.col("c_mktsegment").alias("segment"), F.lit(None).cast("string").alias("pri"),
+    ).unionByName(
+        orders.select(
+            o_id.alias("~id"), F.lit("ord").alias("~label"),
+            F.lit(None).cast("string").alias("segment"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    edges = orders.select(
+        F.concat(F.lit("e"), F.col("o_orderkey").cast("string")).alias("~id"),
+        F.lit("placed").alias("~label"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("~from"),
+        o_id.alias("~to"),
+    )
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (c:cust) WHERE NOT (c)-[:placed]->(:ord {pri: '1-URGENT'}) "
+        "RETURN c.segment AS segment, count(*) AS n ORDER BY segment",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_gremlin_not_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gremlin not(<traversal>) under the hash gate
     (connectors/gremlin.py — sub-traversal existence compiles to ONE
@@ -5772,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
         "trino_dialect_scalars": _q_trino_dialect_scalars,
         "graph_gremlin_not_filter": _q_gremlin_not_filter,
+        "graph_cypher_pattern_predicate": _q_cypher_pattern_predicate,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
@@ -7451,6 +7491,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_cypher_pattern_predicate": """
+            SELECT c_mktsegment AS segment, COUNT(*) AS n
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+            ORDER BY segment
         """,
         "graph_gremlin_not_filter": """
             SELECT concat('u', CAST(user_id AS VARCHAR)) AS "~from",

@@ -21,6 +21,11 @@ Supported grammar::
   its WHERE participates in the matching (Cypher semantics), so it is
   applied before the left join and may only reference the optional
   pattern's own variables
+- pattern predicates in a MATCH's WHERE — ``WHERE [NOT] (a)-[:T]->(x)``
+  as a top-level conjunct — compile to a left-semi / left-anti join on
+  the variables the predicate pattern shares with the bound rows (the
+  Cypher idiom for EXISTS / NOT EXISTS subqueries); scalar conjuncts in
+  the same AND chain keep working
 - ``WITH`` is Cypher's pipeline checkpoint: project to the listed items
   (node/edge variables keep their full column set and stay joinable by
   later MATCH clauses, ``AS`` renames them; expressions need an alias
@@ -169,6 +174,47 @@ def _split_on_keyword(s: str, kw: str) -> list[str]:
         last = m.end()
     parts.append(s[last:])
     return parts
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a boolean expression on top-level AND (outside parens,
+    brackets, and quotes)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q: str | None = None
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if in_q:
+            buf.append(c)
+            if c == in_q:
+                in_q = None
+            i += 1
+            continue
+        if c in "'\"":
+            in_q = c
+            buf.append(c)
+            i += 1
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        if (
+            depth == 0
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and re.match(r"AND\b", s[i:], re.I)
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 def _parse_clauses(body: str, q: str) -> list[tuple[bool, list[str], str | None]]:
@@ -587,8 +633,56 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                     cur = _join_shared(cur, cdf, shared) if shared else cur.crossJoin(cdf)
             known |= cknown
             if where is not None and not optional:
-                # a plain MATCH's WHERE may reference any variable bound so far
-                cur = cur.where(F.expr(_translate_expr(where, known)))
+                # a plain MATCH's WHERE may reference any variable bound
+                # so far; top-level [NOT] (..)-[..]-(..) conjuncts are
+                # PATTERN PREDICATES (Cypher's EXISTS idiom) compiling to
+                # semi/anti joins, everything else stays a Column predicate
+                scalars: list[str] = []
+                for part in _split_conjuncts(where):
+                    part = part.strip()
+                    nm = re.match(r"(?:(NOT)\s+)?(\(.*)$", part, re.I | re.S)
+                    pred_df = None
+                    if nm and re.search(r"\)\s*(<-|-)", nm.group(2)):
+                        try:
+                            chain_counter += 1
+                            pred_df, pk, pe, pa = _compile_chain(
+                                nm.group(2).strip(),
+                                vertices,
+                                edges,
+                                seg_counter,
+                                tag=f"c{chain_counter}_",
+                            )
+                            seg_counter += len(pa)
+                        except InvalidArgument:
+                            pred_df = None
+                    if pred_df is not None:
+                        # relationship uniqueness within the predicate
+                        for i in range(len(pe)):
+                            for j in range(i + 1, len(pe)):
+                                pred_df = pred_df.where(
+                                    F.col(pe[i]) != F.col(pe[j])
+                                )
+                        for arr in pa:
+                            for eid in pe:
+                                pred_df = pred_df.where(
+                                    ~F.array_contains(F.col(arr), F.col(eid))
+                                )
+                        if pa:
+                            pred_df = pred_df.drop(*pa)
+                        shared = known & pk
+                        if not shared:
+                            raise InvalidArgument(
+                                "a pattern predicate must share at least one "
+                                f"variable with the bound pattern: {part!r}"
+                            )
+                        how = "left_anti" if nm.group(1) else "left_semi"
+                        cur = _join_shared(cur, pred_df, shared, how)
+                    else:
+                        scalars.append(part)
+                if scalars:
+                    cur = cur.where(
+                        F.expr(_translate_expr(" AND ".join(scalars), known))
+                    )
 
         if with_items is not None:
             if cur is None:

@@ -1257,3 +1257,40 @@ def test_compilers_agree_on_random_graphs(spark):
         assert got_s == n_walks, f"seed {seed}: sparql {got_s} != walks {n_walks}"
         assert got_c == n_trails, f"seed {seed}: cypher {got_c} != trails {n_trails}"
         assert n_walks != n_trails, f"seed {seed}: fuzz produced no edge-reuse walks"
+
+
+def test_cypher_pattern_predicates(modern):
+    # NOT (p)-[:created]->() : people who created nothing
+    q = (
+        "MATCH (p:person) WHERE NOT (p)-[:created]->(s) "
+        "RETURN p.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q).collect()] == ["vadas"]
+    # positive pattern predicate: people who know someone
+    q2 = (
+        "MATCH (p:person) WHERE (p)-[:knows]->(q) "
+        "RETURN p.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q2).collect()] == ["marko"]
+    # semi-join semantics: NO row multiplication even with 2 matches
+    q3 = (
+        "MATCH (p:person) WHERE (p)-[:created]->(s) "
+        "RETURN count(*) AS n"
+    )
+    assert _cy(modern, q3).first().n == 3  # marko, josh, peter — josh once
+    # mixed with scalar conjuncts (parenthesized AND stays one predicate)
+    q4 = (
+        "MATCH (p:person) "
+        "WHERE (p.age > 28 AND p.age < 36) AND NOT (p)-[:knows]->(x) "
+        "RETURN p.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q4).collect()] == ["josh", "peter"]
+    # labeled anonymous endpoint
+    q5 = (
+        "MATCH (p:person) WHERE (p)-[:created]->(:software {name: 'ripple'}) "
+        "RETURN p.name AS n"
+    )
+    assert [r.n for r in _cy(modern, q5).collect()] == ["josh"]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="share at least one"):
+        _cy(modern, "MATCH (p:person) WHERE (a)-[:knows]->(b) RETURN p")
