@@ -5177,6 +5177,31 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT/SAMPLE under the hash gate
+    (connectors/sparql.py — concatenation order is unspecified in the
+    spec, so the compiler sorts for determinism, which is exactly what
+    makes this oracle-able): per-user sorted distinct event types among
+    high-value events, plus the traverser count."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    triples = ev.where(F.col("value") > 280).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.lit("did_high").alias("p"),
+        F.col("event_type").alias("o"),
+    )
+    q = """
+        SELECT ?u (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=',') AS ?types)
+               (COUNT(?t) AS ?n)
+        WHERE { ?u <did_high> ?t }
+        GROUP BY ?u
+        ORDER BY ?u
+    """
+    return execute_sparql({"root": ""}, q, triples=triples)
+
+
 def _q_cypher_pattern_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openCypher pattern predicate under the hash gate
     (connectors/opencypher.py — WHERE NOT (c)-[:placed]->(:ord {pri:..})
@@ -5812,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trino_dialect_scalars": _q_trino_dialect_scalars,
         "graph_gremlin_not_filter": _q_gremlin_not_filter,
         "graph_cypher_pattern_predicate": _q_cypher_pattern_predicate,
+        "graph_sparql_group_concat": _q_sparql_group_concat,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
@@ -7491,6 +7517,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_sparql_group_concat": """
+            SELECT concat('u', CAST(user_id AS VARCHAR)) AS u,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+                   COUNT(event_type) AS n
+            FROM events
+            WHERE value > 280
+            GROUP BY user_id
+            ORDER BY u
         """,
         "graph_cypher_pattern_predicate": """
             SELECT c_mktsegment AS segment, COUNT(*) AS n

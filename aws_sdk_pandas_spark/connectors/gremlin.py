@@ -11,7 +11,7 @@ exercise):
     g.V(ids...) / g.E(ids...)
     .hasLabel('a', 'b', ...)
     .has('prop', value) / .has('prop', gt(v)|gte|lt|lte|eq|neq|within(...))
-    .has('label', 'prop', value)
+    .has('label', 'prop', value)   .hasNot('prop')
     .out('el', ...) / .in('el', ...) / .both('el', ...)      vertex -> vertex
     .outE('el', ...) / .inE('el', ...)                        vertex -> edge
     .inV() / .outV()                                          edge -> vertex
@@ -314,6 +314,10 @@ class _Traversal:
             self.df = _labels_filter(self.df, args)
         elif name == "has":
             self.df = _has(self.df, args)
+        elif name == "hasNot":
+            if len(args) != 1:
+                raise InvalidArgument("hasNot() needs exactly one property name")
+            self.df = self.df.where(F.col(str(args[0])).isNull())
         elif name == "hasId":
             self.df = self.df.where(F.col("~id").isin([str(a) for a in args]))
         elif name == "out":

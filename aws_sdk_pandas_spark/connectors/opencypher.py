@@ -73,7 +73,7 @@ _EDGE_RE = re.compile(
     r"(<-|-)\s*(?:\[\s*(\w+)?\s*(?::\s*(\w+))?\s*"
     r"(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\])?\s*(->|-)"
 )
-_AGG_RE = re.compile(r"^(count|sum|avg|min|max)\s*\(\s*(distinct\s+)?(.+?)\s*\)$", re.I)
+_AGG_RE = re.compile(r"^(count|sum|avg|min|max|collect)\s*\(\s*(distinct\s+)?(.+?)\s*\)$", re.I)
 
 
 def _prefix_frame(df: DataFrame, var: str) -> DataFrame:
@@ -270,7 +270,11 @@ class _CypherQuery:
             wm = re.search(r"\bWHERE\b", withspec, flags=re.I)
             items = withspec[: wm.start()] if wm else withspec
             where = withspec[wm.end() :].strip() if wm else None
-            if re.search(r"\b(ORDER|SKIP|LIMIT|DISTINCT)\b", items, re.I):
+            if re.search(r"\b(ORDER|SKIP|LIMIT)\b", items, re.I) or re.match(
+                r"\s*DISTINCT\b", items, re.I
+            ):
+                # DISTINCT inside an aggregate (collect(DISTINCT x)) is
+                # fine — only the WITH-modifier forms are unsupported
                 raise InvalidArgument(
                     "ORDER BY/SKIP/LIMIT/DISTINCT inside WITH are not supported"
                 )
@@ -492,6 +496,14 @@ def _item_col(expr: str, alias: str | None, known: set[str]):
         col = F.expr(_translate_expr(inner, known))
         if fn == "count" and distinct:
             return F.count_distinct(col).alias(name)
+        if fn == "collect":
+            # Cypher's collect() order is unspecified — sorting makes the
+            # result deterministic (and so oracle-checkable); DISTINCT
+            # composes; nulls are skipped like Cypher skips them
+            out = F.collect_list(col)
+            if distinct:
+                out = F.array_distinct(out)
+            return F.array_sort(out).alias(name)
         return getattr(
             F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max", "count": "count"}[fn]
         )(col).alias(name)
@@ -703,22 +715,10 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
         parsed.append((expr, alias, agg))
 
     def default_alias(expr: str) -> str:
-        return re.sub(r"\W+", "_", expr).strip("_")
+        return _default_alias(expr)
 
     def to_col(expr: str, alias: str | None):
-        agg = _AGG_RE.match(expr)
-        name = alias or default_alias(expr)
-        if agg:
-            fn, distinct, inner = agg.group(1).lower(), agg.group(2), agg.group(3).strip()
-            if fn == "count" and inner == "*":
-                return F.count(F.lit(1)).alias(name)
-            col = F.expr(_translate_expr(inner, known))
-            if fn == "count" and distinct:
-                return F.count_distinct(col).alias(name)
-            return getattr(F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max", "count": "count"}[fn])(
-                col
-            ).alias(name)
-        return F.expr(_translate_expr(expr, known)).alias(name)
+        return _item_col(expr, alias, known)
 
     if has_agg:
         keys = [to_col(e, a) for e, a, g in parsed if g is None]

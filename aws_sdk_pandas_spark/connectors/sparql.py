@@ -78,7 +78,8 @@ _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"^\s*PREFIX\s+(\w*):\s*<([^>]*)>\s*", re.I)
 _AGG_ITEM_RE = re.compile(
-    r"^\(\s*(count|sum|avg|min|max)\s*\(\s*(distinct\s+)?(\*|\?\w+)\s*\)"
+    r"^\(\s*(count|sum|avg|min|max|sample|group_concat)\s*\(\s*(distinct\s+)?(\*|\?\w+)\s*"
+    r"(?:;\s*separator\s*=\s*(?P<sep>'[^']*'|\"[^\"]*\")\s*)?\)"
     r"\s+AS\s+\?(\w+)\s*\)$",
     re.I,
 )
@@ -825,7 +826,7 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
                 agg = _AGG_ITEM_RE.match(chunk)
                 if not agg:
                     raise InvalidArgument(f"unsupported SELECT expression {chunk!r}")
-                items.append((chunk, agg.group(4), agg))
+                items.append((chunk, agg.group(5), agg))
                 pos = end
             else:
                 m2 = re.match(r"\?(\w+)", s[pos:])
@@ -845,6 +846,19 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         col = F.col(operand[1:])
         if fn == "count" and is_distinct:
             return F.count_distinct(col).alias(alias)
+        if fn == "sample":
+            # SAMPLE may return any value of the group; min is a valid
+            # sample and deterministic (so oracle-checkable)
+            return F.min(col).alias(alias)
+        if fn == "group_concat":
+            # concatenation order is unspecified in SPARQL — sort for
+            # determinism; SEPARATOR defaults to a single space per spec
+            sep_lit = agg.group("sep")
+            sep = sep_lit[1:-1] if sep_lit else " "
+            vals = F.collect_list(col)
+            if is_distinct:
+                vals = F.array_distinct(vals)
+            return F.array_join(F.array_sort(vals), sep).alias(alias)
         return getattr(F, fn)(col).alias(alias)
 
     has_agg = any(g is not None for _e, _a, g in items)

@@ -1294,3 +1294,51 @@ def test_cypher_pattern_predicates(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with pytest.raises(InvalidArgument, match="share at least one"):
         _cy(modern, "MATCH (p:person) WHERE (a)-[:knows]->(b) RETURN p")
+
+
+def test_gremlin_has_not(modern):
+    # software has no age; people have no lang
+    got = sorted(r[0] for r in _g(modern, "g.V().hasNot('age').values('name')").collect())
+    assert got == ["lop", "ripple"]
+    got2 = sorted(r[0] for r in _g(modern, "g.V().hasNot('lang').values('name')").collect())
+    assert got2 == ["josh", "marko", "peter", "vadas"]
+
+
+def test_cypher_collect(modern):
+    q = (
+        "MATCH (p:person)-[:created]->(s) "
+        "RETURN p.name AS p, collect(s.name) AS sw ORDER BY p"
+    )
+    got = [(r.p, r.sw) for r in _cy(modern, q).collect()]
+    assert got == [("josh", ["lop", "ripple"]), ("marko", ["lop"]), ("peter", ["lop"])]
+    # DISTINCT composes; collect works in WITH too
+    q2 = (
+        "MATCH (p:person)-[:created]->(s) "
+        "WITH s, collect(DISTINCT p.name) AS creators "
+        "RETURN s.name AS sw, creators ORDER BY sw"
+    )
+    got2 = [(r.sw, r.creators) for r in _cy(modern, q2).collect()]
+    assert got2 == [("lop", ["josh", "marko", "peter"]), ("ripple", ["josh"])]
+
+
+def test_sparql_group_concat_and_sample(foaf):
+    q = _P + (
+        "SELECT ?who (GROUP_CONCAT(?sw; SEPARATOR=', ') AS ?made) "
+        "WHERE { ?who foaf:created ?sw } GROUP BY ?who ORDER BY ?who"
+    )
+    got = [(r.who, r.made) for r in _sp(foaf, q).collect()]
+    assert got == [("josh", "lop, ripple"), ("marko", "lop"), ("peter", "lop")]
+    # default separator is a single space; DISTINCT composes
+    q2 = _P + (
+        "SELECT ?sw (GROUP_CONCAT(DISTINCT ?who) AS ?by) "
+        "WHERE { ?who foaf:created ?sw } GROUP BY ?sw ORDER BY ?sw"
+    )
+    got2 = [(r.sw, r.by) for r in _sp(foaf, q2).collect()]
+    assert got2 == [("lop", "josh marko peter"), ("ripple", "josh")]
+    # SAMPLE returns a deterministic member of the group
+    q3 = _P + (
+        "SELECT ?sw (SAMPLE(?who) AS ?one) "
+        "WHERE { ?who foaf:created ?sw } GROUP BY ?sw ORDER BY ?sw"
+    )
+    got3 = [(r.sw, r.one) for r in _sp(foaf, q3).collect()]
+    assert got3 == [("lop", "josh"), ("ripple", "josh")]
