@@ -28,8 +28,8 @@ Supported grammar::
         BIND(expr AS ?v)                     (computed column; expr uses
                                              the FILTER expression grammar)
         VALUES ?x { const const ... }        (inline binding table, one
-                                             equi-join — the small side
-                                             broadcasts)
+        VALUES (?x ?y) { (c1 c2) ... }       equi-join — the small side
+                                             broadcasts; UNDEF refused)
     }
     [GROUP BY ?a ?b] [ORDER BY [ASC|DESC](?x) ...] [LIMIT n] [OFFSET m]
 
@@ -269,11 +269,59 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             binds.append((inner[: am.start()].strip(), am.group(1)))
             pos = end
             continue
-        if re.match(r"VALUES\s*\(", rest, re.I):
-            raise InvalidArgument(
-                "multi-variable VALUES (?x ?y) { (..) } is not supported; "
-                "use one VALUES block per variable"
-            )
+        vm_multi = re.match(r"VALUES\s*\(", rest, re.I)
+        if vm_multi:
+            # VALUES (?x ?y) { (a b) (c d) ... } — an inline binding
+            # TABLE; compiles to one equi-join on all listed vars (the
+            # small side broadcasts).  UNDEF would need SPARQL's
+            # unbound-compatible join — refused loudly.
+            p0 = body.index("(", pos)
+            p_end = _balanced(body, p0, "(", ")")
+            var_list = re.findall(r"\?(\w+)", body[p0 + 1 : p_end - 1])
+            if not var_list:
+                raise InvalidArgument("VALUES (..) needs at least one ?var")
+            b0 = body.index("{", p_end)
+            b_end = _balanced(body, b0, "{", "}")
+            rows_body = body[b0 + 1 : b_end - 1]
+            if re.search(r"\bUNDEF\b", rows_body, re.I):
+                raise InvalidArgument(
+                    "UNDEF in VALUES needs SPARQL's unbound-compatible "
+                    "join, which is not supported — bind every variable"
+                )
+            rows = []
+            rpos = 0
+            while True:
+                while rpos < len(rows_body) and rows_body[rpos] in " \t\r\n":
+                    rpos += 1
+                if rpos >= len(rows_body):
+                    break
+                if rows_body[rpos] != "(":
+                    raise InvalidArgument(
+                        "multi-variable VALUES rows must be parenthesized tuples"
+                    )
+                r_end = _balanced(rows_body, rpos, "(", ")")
+                tpos = rpos + 1
+                row = []
+                while True:
+                    while tpos < r_end - 1 and rows_body[tpos] in " \t\r\n":
+                        tpos += 1
+                    if tpos >= r_end - 1:
+                        break
+                    term, tpos = _parse_term(rows_body, tpos, prefixes)
+                    if term.kind != "const":
+                        raise InvalidArgument("VALUES entries must be constants")
+                    row.append(str(term.value))
+                if len(row) != len(var_list):
+                    raise InvalidArgument(
+                        f"VALUES row has {len(row)} terms for {len(var_list)} vars"
+                    )
+                rows.append(tuple(row))
+                rpos = r_end
+            if not rows:
+                raise InvalidArgument("VALUES needs at least one row")
+            values.append((tuple(var_list), rows))
+            pos = b_end
+            continue
         vm = re.match(r"VALUES\s+\?(\w+)\s*\{", rest, re.I)
         if vm:
             p0 = body.index("{", pos)
@@ -731,8 +779,13 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         # the triples model is string-typed (s/p/o); numeric VALUES
         # entries bind as their canonical string form so the equi-join
         # against a string column can never hit an ANSI cast error
-        vdf = spark.createDataFrame([(str(v),) for v in vals], f"`{var}` string")
-        frames.append((vdf, [var]))
+        if isinstance(var, tuple):  # multi-variable binding TABLE
+            schema = ", ".join(f"`{v}` string" for v in var)
+            vdf = spark.createDataFrame(list(vals), schema)
+            frames.append((vdf, list(var)))
+        else:
+            vdf = spark.createDataFrame([(str(v),) for v in vals], f"`{var}` string")
+            frames.append((vdf, [var]))
     union_frames = []
     for branches in unions:
         compiled = [_branch_frame(b) for b in branches]

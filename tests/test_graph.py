@@ -564,8 +564,10 @@ def test_sparql_bind_and_values(foaf):
         _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . BIND(1 + 1) }")
     with pytest.raises(InvalidArgument, match="at least one value"):
         _sp(foaf, _P + "SELECT ?x WHERE { ?p foaf:name ?x . VALUES ?x { } }")
-    with pytest.raises(InvalidArgument, match="multi-variable VALUES"):
-        _sp(foaf, _P + 'SELECT ?x WHERE { ?p foaf:name ?x . VALUES (?x ?y) { ("a" "b") } }')
+    # multi-variable VALUES is now a supported binding table (see
+    # test_sparql_multi_var_values); a malformed tuple still raises
+    with pytest.raises(InvalidArgument, match="parenthesized tuples"):
+        _sp(foaf, _P + 'SELECT ?x WHERE { ?p foaf:name ?x . VALUES (?x ?y) { "a" "b" } }')
 
 
 def test_sparql_union_errors(foaf):
@@ -1342,3 +1344,30 @@ def test_sparql_group_concat_and_sample(foaf):
     )
     got3 = [(r.sw, r.one) for r in _sp(foaf, q3).collect()]
     assert got3 == [("lop", "josh"), ("ripple", "josh")]
+
+
+def test_sparql_multi_var_values(foaf):
+    # (person, software) binding table joined against the created BGP:
+    # only listed pairs that actually exist survive
+    q = _P + (
+        "SELECT ?who ?sw WHERE { "
+        "?who foaf:created ?sw . "
+        "VALUES (?who ?sw) { (\"marko\" \"lop\") (\"josh\" \"ripple\") "
+        "(\"peter\" \"ripple\") } "
+        "} ORDER BY ?who"
+    )
+    got = [(r.who, r.sw) for r in _sp(foaf, q).collect()]
+    assert got == [("josh", "ripple"), ("marko", "lop")]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="UNDEF"):
+        _sp(foaf, _P + (
+            "SELECT ?a WHERE { ?a foaf:created ?b . "
+            "VALUES (?a ?b) { (\"marko\" UNDEF) } }"
+        ))
+    with _pytest.raises(InvalidArgument, match="VALUES row has"):
+        _sp(foaf, _P + (
+            "SELECT ?a WHERE { ?a foaf:created ?b . "
+            "VALUES (?a ?b) { (\"marko\") } }"
+        ))
