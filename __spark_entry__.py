@@ -5177,6 +5177,25 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_gremlin_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin simplePath under the hash gate (connectors/gremlin.py —
+    path tracking carries the ~id history, simplePath drops traversers
+    that revisit an element): 2-hop both() walks over the high-value
+    event subgraph return to a DIFFERENT user, so the count is exactly
+    sum-per-etype n^2 minus sum-per-(etype,user) m^2, which the oracle
+    computes from grouped counts."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    high = edges.where(F.col("value") > 300)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('user').both('did').both('did').simplePath().count()",
+        vertices=vertices,
+        edges=high,
+    )
+
+
 def _q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GROUP_CONCAT/SAMPLE under the hash gate
     (connectors/sparql.py — concatenation order is unspecified in the
@@ -5838,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_not_filter": _q_gremlin_not_filter,
         "graph_cypher_pattern_predicate": _q_cypher_pattern_predicate,
         "graph_sparql_group_concat": _q_sparql_group_concat,
+        "graph_gremlin_simple_path": _q_gremlin_simple_path,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
@@ -7517,6 +7537,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_gremlin_simple_path": """
+            WITH t AS (
+                SELECT event_type, COUNT(*) AS n
+                FROM events WHERE value > 300 GROUP BY event_type
+            ),
+            ut AS (
+                SELECT event_type, user_id, COUNT(*) AS m
+                FROM events WHERE value > 300 GROUP BY event_type, user_id
+            )
+            SELECT CAST(COALESCE((SELECT SUM(n * n) FROM t), 0)
+                        - COALESCE((SELECT SUM(m * m) FROM ut), 0) AS BIGINT) AS count
         """,
         "graph_sparql_group_concat": """
             SELECT concat('u', CAST(user_id AS VARCHAR)) AS u,
