@@ -96,6 +96,41 @@ def main() -> int:
         k: after[k] - before[k] for k in after
     } | {"completed": agg_cnt == min(n, 5_000_000)}
 
+    # 3) the corpus-dedup shape (dedup_lines/remove_repeated_spans family):
+    #    posexplode fan-out -> wide hash aggregate on a 2-key composite ->
+    #    join back — the fan-out multiplies the shuffle past the heap, the
+    #    aggregate carries min-struct state per key
+    before = _spill_metrics(ui)
+    lines = (
+        spark.range(0, max(n // 8, 1), 1, 32)
+        .select(
+            F.col("id").alias("doc"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.md5((F.col("id") * 8 + i).cast("string")),
+                )
+            ).alias("ln", "line"),
+        )
+        .select(
+            "doc",
+            "ln",
+            F.xxhash64("line").alias("k1"),
+            F.xxhash64(F.concat(F.lit("\x01"), F.col("line"))).alias("k2"),
+        )
+    )
+    dup = (
+        lines.groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(F.struct("doc", "ln")).alias("keep"))
+    )
+    dedup_cnt = (
+        lines.join(dup, ["k1", "k2"]).select(F.count(F.lit(1))).collect()[0][0]
+    )
+    after = _spill_metrics(ui)
+    results["explode_agg_join"] = {
+        k: after[k] - before[k] for k in after
+    } | {"completed": dedup_cnt == (n // 8) * 8}
+
     ok = all(
         r["completed"] and (r["memoryBytesSpilled"] > 0 or r["diskBytesSpilled"] > 0)
         for r in results.values()
