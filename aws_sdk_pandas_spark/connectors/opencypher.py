@@ -11,6 +11,8 @@ Supported grammar::
     [MATCH ... [WHERE ...]] ...
     [OPTIONAL MATCH ... [WHERE ...]] ...
     [WITH item [AS alias], ... [WHERE ...] [MATCH ...]] ...
+    [UNWIND <list-expr> AS var] ...       (explode; list literals
+                                          [a, b] and collected lists)
     RETURN [DISTINCT] item [AS alias], ...
     [ORDER BY item [DESC], ...] [SKIP n] [LIMIT n]
 
@@ -217,14 +219,23 @@ def _split_conjuncts(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
-def _parse_clauses(body: str, q: str) -> list[tuple[bool, list[str], str | None]]:
-    """MATCH-clause text -> [(optional, [chain, ...], where|None), ...]."""
-    clauses: list[tuple[bool, list[str], str | None]] = []
-    pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH)\b", body, flags=re.I)
+def _parse_clauses(body: str, q: str) -> list[tuple]:
+    """Clause text -> a list of ``("match", optional, [chain, ...],
+    where|None)`` and ``("unwind", expr, alias)`` items."""
+    clauses: list[tuple] = []
+    pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", body, flags=re.I)
     # pieces = ['', KW, seg, KW, seg, ...]
     if pieces[0].strip():
-        raise InvalidArgument(f"expected MATCH at {pieces[0].strip()[:40]!r} in {q!r}")
+        raise InvalidArgument(
+            f"expected MATCH/UNWIND at {pieces[0].strip()[:40]!r} in {q!r}"
+        )
     for kw, seg in zip(pieces[1::2], pieces[2::2]):
+        if kw.upper() == "UNWIND":
+            um = re.match(r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$", seg, re.I | re.S)
+            if not um:
+                raise InvalidArgument(f"UNWIND needs the form UNWIND <expr> AS <var>: {seg!r}")
+            clauses.append(("unwind", um.group("expr").strip(), um.group("alias")))
+            continue
         optional = kw.upper().startswith("OPTIONAL")
         wm = re.search(r"\bWHERE\b", seg, flags=re.I)
         where = seg[wm.end() :].strip() if wm else None
@@ -232,7 +243,7 @@ def _parse_clauses(body: str, q: str) -> list[tuple[bool, list[str], str | None]
         chains = _split_top_level(pat)
         if not chains:
             raise InvalidArgument(f"empty MATCH pattern in {q!r}")
-        clauses.append((optional, chains, where or None))
+        clauses.append(("match", optional, chains, where or None))
     return clauses
 
 
@@ -240,7 +251,7 @@ class _CypherQuery:
     def __init__(self, q: str):
         s = q.strip().rstrip(";")
         m = re.match(
-            r"(?P<body>(?:OPTIONAL\s+)?MATCH\s+.+?)"
+            r"(?P<body>(?:(?:OPTIONAL\s+)?MATCH|UNWIND)\s+.+?)"
             r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)"
             r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
             r"(?:\s+SKIP\s+(?P<skip>\d+))?"
@@ -264,7 +275,7 @@ class _CypherQuery:
         self.stages.append((_parse_clauses(segments[0], q), None, None))
         for seg in segments[1:]:
             # "items [WHERE cond] [MATCH-clauses...]"
-            cm = re.search(r"\b(OPTIONAL\s+MATCH|MATCH)\b", seg, flags=re.I)
+            cm = re.search(r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", seg, flags=re.I)
             withspec = seg[: cm.start()] if cm else seg
             clause_text = seg[cm.start() :] if cm else ""
             wm = re.search(r"\bWHERE\b", withspec, flags=re.I)
@@ -574,7 +585,25 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
     seg_counter = 0
     chain_counter = 0
     for stage_clauses, with_items, with_where in q.stages:
-        for optional, chains, where in stage_clauses:
+        for clause in stage_clauses:
+            if clause[0] == "unwind":
+                _kind, u_expr, u_alias = clause
+                if cur is None:
+                    # UNWIND-first: a one-row seed so the literal expands
+                    cur = vertices.sparkSession.range(1).select(
+                        F.lit(1).alias("__seed")
+                    )
+                # Cypher list literals [a, b] -> Spark array(a, b)
+                u_sql = _translate_expr(u_expr, known)
+                um2 = re.fullmatch(r"\s*\[(.*)\]\s*", u_sql, re.S)
+                if um2:
+                    u_sql = f"array({um2.group(1)})"
+                # explode drops null/empty lists — exactly UNWIND's rule
+                cur = cur.withColumn(u_alias, F.explode(F.expr(u_sql)))
+                if "__seed" in cur.columns:
+                    cur = cur.drop("__seed")
+                continue
+            _kind, optional, chains, where = clause
             cdf: DataFrame | None = None
             cknown: set[str] = set()
             fixed_eids: list[str] = []

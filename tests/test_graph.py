@@ -1371,3 +1371,29 @@ def test_sparql_multi_var_values(foaf):
             "SELECT ?a WHERE { ?a foaf:created ?b . "
             "VALUES (?a ?b) { (\"marko\") } }"
         ))
+
+
+def test_cypher_unwind(modern):
+    # UNWIND-first over a list literal
+    q = "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x"
+    assert [r.x for r in _cy(modern, q).collect()] == [1, 2, 3]
+    # the collect -> UNWIND round trip (Cypher's list idiom)
+    q2 = (
+        "MATCH (p:person)-[:created]->(s) "
+        "WITH p, collect(s.name) AS sw "
+        "UNWIND sw AS one "
+        "RETURN p.name AS p, one ORDER BY p, one"
+    )
+    got = [(r.p, r.one) for r in _cy(modern, q2).collect()]
+    assert got == [("josh", "lop"), ("josh", "ripple"), ("marko", "lop"), ("peter", "lop")]
+    # UNWIND after MATCH multiplies rows per element
+    q3 = (
+        "MATCH (p:person {name: 'marko'}) "
+        "UNWIND ['a', 'b'] AS tag RETURN p.name AS p, tag ORDER BY tag"
+    )
+    assert [(r.p, r.tag) for r in _cy(modern, q3).collect()] == [
+        ("marko", "a"), ("marko", "b"),
+    ]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="UNWIND needs"):
+        _cy(modern, "UNWIND [1, 2] RETURN x")
