@@ -25,6 +25,8 @@ exercise):
     .as('a') ... .select('a', 'b')[.by('p1').by('p2')]
     .where(<traversal>) / .not(<traversal>)   filter by sub-traversal
                                               existence (semi/anti join)
+    .coalesce(t1, t2, ...)                    first branch with results,
+    .optional(t)                              per source element
     .path()                                   -> array of traversed ~ids
     .simplePath()                             drop traversers that revisit
                                               an element (cycle filter)
@@ -91,6 +93,37 @@ class _Pred:
 _PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within", "without"}
 
 
+def _split_fragments(s: str) -> list[str]:
+    """Split a captured multi-traversal argument on top-level commas
+    (quote- and paren-aware) — coalesce(out('a'), out('b'))."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q: str | None = None
+    for c in s:
+        if in_q:
+            buf.append(c)
+            if c == in_q:
+                in_q = None
+            continue
+        if c in "'\"":
+            in_q = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _parse(query: str) -> list[tuple[str, list[Any]]]:
     s = query.strip()
     if not s.startswith("g."):
@@ -105,7 +138,7 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
         name = s[i:j]
         if not name or j >= n or s[j] != "(":
             raise InvalidArgument(f"expected step call at position {i} in {query!r}")
-        if name in ("repeat", "where", "not"):
+        if name in ("repeat", "where", "not", "coalesce", "optional"):
             # capture the inner traversal fragment verbatim (it is a
             # step chain, not a value): balanced-paren scan, quote-aware
             depth = 0
@@ -391,6 +424,75 @@ class _Traversal:
             self.df = self.df.where(
                 F.size(F.array_distinct("__path")) == F.size("__path")
             )
+        elif name in ("coalesce", "optional"):
+            # coalesce(t1, t2, ...): per source element, the results of
+            # the FIRST sub-traversal yielding anything; optional(t) ==
+            # coalesce(t, identity).  Each branch runs once over the
+            # whole stream with the source ~id carried as a tag; branch
+            # k's rows survive only for sources unmatched by branches
+            # < k (one anti-join per later branch) — per-element
+            # semantics without per-element execution.
+            if self.kind == "value":
+                raise InvalidArgument(f"{name}() requires a vertex or edge stream")
+            frags = _split_fragments(args[0])
+            if name == "optional" and len(frags) != 1:
+                raise InvalidArgument("optional() takes exactly one traversal")
+            if name == "coalesce" and len(frags) < 2:
+                raise InvalidArgument("coalesce() needs at least two traversals")
+            branches = []
+            for fr in frags:
+                t2 = _Traversal(
+                    self.kind,
+                    self.df.withColumn("__tag___wsrc", F.col("`~id`")),
+                    self.vertices,
+                    self.edges,
+                )
+                t2.tags["__wsrc"] = self.kind
+                for n2, a2, b2 in _expand_and_fold(_parse("g." + fr)):
+                    t2.apply(n2, a2, b2)
+                if "__tag___wsrc" not in t2.df.columns:
+                    raise InvalidArgument(
+                        f"{name}() branches must stay traversals (no aggregates/select)"
+                    )
+                branches.append(t2)
+            kinds = {t2.kind for t2 in branches}
+            if len(kinds) != 1:
+                raise InvalidArgument(
+                    f"{name}() branches must end with the same element kind"
+                )
+            out = None
+            matched = None
+            try:
+                for t2 in branches:
+                    df2 = t2.df
+                    if matched is not None:
+                        df2 = df2.join(
+                            matched, df2["__tag___wsrc"] == matched["__m"], "left_anti"
+                        )
+                    m_k = t2.df.select(F.col("__tag___wsrc").alias("__m")).distinct()
+                    matched = (
+                        m_k if matched is None
+                        else matched.unionByName(m_k).distinct()
+                    )
+                    out = df2 if out is None else out.unionByName(df2)
+                if name == "optional":
+                    if kinds != {self.kind}:
+                        raise InvalidArgument(
+                            "optional()'s traversal must end with the same "
+                            "element kind as its input"
+                        )
+                    leftover = self.df.withColumn(
+                        "__tag___wsrc", F.col("`~id`")
+                    ).join(matched, F.col("__tag___wsrc") == matched["__m"], "left_anti")
+                    out = out.unionByName(leftover)
+            except InvalidArgument:
+                raise
+            except Exception as exc:
+                raise InvalidArgument(
+                    f"{name}() branches produce incompatible columns: {exc}"
+                ) from exc
+            self.df = out.drop("__tag___wsrc")
+            self.kind = kinds.pop()
         elif name in ("where", "not"):
             # where(<traversal>) keeps elements for which the fragment
             # yields at least one traverser; not(<traversal>) the

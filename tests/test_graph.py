@@ -1397,3 +1397,27 @@ def test_cypher_unwind(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with pytest.raises(InvalidArgument, match="UNWIND needs"):
         _cy(modern, "UNWIND [1, 2] RETURN x")
+
+
+def test_gremlin_coalesce_and_optional(modern):
+    # per person: created software if any, else known people
+    q = (
+        "g.V().hasLabel('person')"
+        ".coalesce(out('created'), out('knows')).values('name')"
+    )
+    got = sorted(r[0] for r in _g(modern, q).collect())
+    # marko created lop (created wins over knows); josh created lop+ripple;
+    # peter created lop; vadas created nothing and knows nothing -> dropped
+    assert got == ["lop", "lop", "lop", "ripple"]
+    # optional(): unmatched elements pass through unchanged
+    q2 = "g.V().hasLabel('person').optional(out('knows')).values('name')"
+    got2 = sorted(r[0] for r in _g(modern, q2).collect())
+    # marko -> vadas+josh (matched); josh/peter/vadas pass through
+    assert got2 == ["josh", "josh", "peter", "vadas", "vadas"]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="at least two"):
+        _g(modern, "g.V().coalesce(out()).count()")
+    with _pytest.raises(InvalidArgument, match="same element kind"):
+        _g(modern, "g.V().coalesce(outE('knows'), out('created')).count()")
