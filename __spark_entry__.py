@@ -5177,6 +5177,26 @@ def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_cypher_unwind_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher collect -> UNWIND round trip under the hash gate
+    (connectors/opencypher.py — collect(DISTINCT ..) builds the sorted
+    list per user, UNWIND explodes it back): semantically SELECT
+    DISTINCT (user, event_type), which is exactly the oracle; a
+    multiplicity bug in either half breaks the hash."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user)-[r:did]->(t:etype) "
+        "WITH u, collect(DISTINCT t) AS ts "
+        "UNWIND ts AS one "
+        "RETURN u AS uid, one ORDER BY uid, one",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_gremlin_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gremlin simplePath under the hash gate (connectors/gremlin.py —
     path tracking carries the ~id history, simplePath drops traversers
@@ -5858,6 +5878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cypher_pattern_predicate": _q_cypher_pattern_predicate,
         "graph_sparql_group_concat": _q_sparql_group_concat,
         "graph_gremlin_simple_path": _q_gremlin_simple_path,
+        "graph_cypher_unwind_roundtrip": _q_cypher_unwind_roundtrip,
         "graph_sparql_path_seq": _q_sparql_path_seq,
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
@@ -7537,6 +7558,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_cypher_unwind_roundtrip": """
+            SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS uid,
+                   event_type AS one
+            FROM events
+            ORDER BY uid, one
         """,
         "graph_gremlin_simple_path": """
             WITH t AS (

@@ -27,6 +27,7 @@ exercise):
                                               existence (semi/anti join)
     .coalesce(t1, t2, ...)                    first branch with results,
     .optional(t)                              per source element
+    .union(t1, t2, ...)                       all branches, bag semantics
     .path()                                   -> array of traversed ~ids
     .simplePath()                             drop traversers that revisit
                                               an element (cycle filter)
@@ -138,7 +139,7 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
         name = s[i:j]
         if not name or j >= n or s[j] != "(":
             raise InvalidArgument(f"expected step call at position {i} in {query!r}")
-        if name in ("repeat", "where", "not", "coalesce", "optional"):
+        if name in ("repeat", "where", "not", "coalesce", "optional", "union"):
             # capture the inner traversal fragment verbatim (it is a
             # step chain, not a value): balanced-paren scan, quote-aware
             depth = 0
@@ -424,6 +425,35 @@ class _Traversal:
             self.df = self.df.where(
                 F.size(F.array_distinct("__path")) == F.size("__path")
             )
+        elif name == "union":
+            # union(t1, t2, ...): every branch's results, bag semantics
+            if self.kind == "value":
+                raise InvalidArgument("union() requires a vertex or edge stream")
+            frags = _split_fragments(args[0])
+            if len(frags) < 2:
+                raise InvalidArgument("union() needs at least two traversals")
+            out = None
+            kinds = set()
+            try:
+                for fr in frags:
+                    t2 = _Traversal(self.kind, self.df, self.vertices, self.edges)
+                    t2.tags = dict(self.tags)
+                    for n2, a2, b2 in _expand_and_fold(_parse("g." + fr)):
+                        t2.apply(n2, a2, b2)
+                    kinds.add(t2.kind)
+                    out = t2.df if out is None else out.unionByName(t2.df)
+            except InvalidArgument:
+                raise
+            except Exception as exc:
+                raise InvalidArgument(
+                    f"union() branches produce incompatible columns: {exc}"
+                ) from exc
+            if len(kinds) != 1:
+                raise InvalidArgument(
+                    "union() branches must end with the same element kind"
+                )
+            self.df = out
+            self.kind = kinds.pop()
         elif name in ("coalesce", "optional"):
             # coalesce(t1, t2, ...): per source element, the results of
             # the FIRST sub-traversal yielding anything; optional(t) ==

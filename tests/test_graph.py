@@ -1421,3 +1421,16 @@ def test_gremlin_coalesce_and_optional(modern):
         _g(modern, "g.V().coalesce(out()).count()")
     with _pytest.raises(InvalidArgument, match="same element kind"):
         _g(modern, "g.V().coalesce(outE('knows'), out('created')).count()")
+
+
+def test_gremlin_union_step(modern):
+    q = "g.V('marko').union(out('knows'), out('created')).values('name')"
+    assert sorted(r[0] for r in _g(modern, q).collect()) == ["josh", "lop", "vadas"]
+    # bag semantics: overlapping branches keep duplicates
+    q2 = "g.V('marko').union(out('created'), out('created')).values('name')"
+    assert sorted(r[0] for r in _g(modern, q2).collect()) == ["lop", "lop"]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="at least two"):
+        _g(modern, "g.V().union(out()).count()")
