@@ -277,6 +277,10 @@ class _Traversal:
         self.vertices = vertices
         self.edges = edges
         self.tags: dict[str, str] = {}  # as('x') -> stream kind at snapshot
+        # branch fragments (where/not/coalesce/optional/union) run once
+        # over the WHOLE stream, so globally-scoped steps inside them
+        # would cut/order corpus-wide instead of per source traverser
+        self.in_branch = False
         if track_path and "__path" not in df.columns:
             # opt-in (only when the traversal contains path()/simplePath())
             # so traversals that never ask for history pay nothing
@@ -344,6 +348,16 @@ class _Traversal:
     # -- terminals / modulated steps ----------------------------------------
     def apply(self, name: str, args: list[Any], bys: list[list[Any]] | None) -> None:
         by = bys[0] if bys else None
+        if self.in_branch and name in ("limit", "range", "order"):
+            # TinkerPop branch semantics are per source traverser; this
+            # compiler runs each branch once over the whole stream, so a
+            # global-scope step inside one would silently apply corpus-wide
+            raise InvalidArgument(
+                f"{name}() inside where/not/coalesce/optional/union is not "
+                "supported: it is a global-scope step and would apply to the "
+                "whole stream, not per source traverser; apply it outside "
+                "the branch"
+            )
         if name == "hasLabel":
             self.df = _labels_filter(self.df, args)
         elif name == "has":
@@ -351,7 +365,11 @@ class _Traversal:
         elif name == "hasNot":
             if len(args) != 1:
                 raise InvalidArgument("hasNot() needs exactly one property name")
-            self.df = self.df.where(F.col(str(args[0])).isNull())
+            prop = str(args[0])
+            # a key absent from the frame's schema entirely: no element
+            # has it, so TinkerPop keeps the whole stream
+            if prop in self.df.columns:
+                self.df = self.df.where(F.col(f"`{prop}`").isNull())
         elif name == "hasId":
             self.df = self.df.where(F.col("~id").isin([str(a) for a in args]))
         elif name == "out":
@@ -438,6 +456,7 @@ class _Traversal:
                 for fr in frags:
                     t2 = _Traversal(self.kind, self.df, self.vertices, self.edges)
                     t2.tags = dict(self.tags)
+                    t2.in_branch = True
                     for n2, a2, b2 in _expand_and_fold(_parse("g." + fr)):
                         t2.apply(n2, a2, b2)
                     kinds.add(t2.kind)
@@ -478,6 +497,7 @@ class _Traversal:
                     self.edges,
                 )
                 t2.tags["__wsrc"] = self.kind
+                t2.in_branch = True
                 for n2, a2, b2 in _expand_and_fold(_parse("g." + fr)):
                     t2.apply(n2, a2, b2)
                 if "__tag___wsrc" not in t2.df.columns:
@@ -544,6 +564,7 @@ class _Traversal:
                 self.edges,
             )
             t2.tags["__wsrc"] = self.kind
+            t2.in_branch = True
             for iname, iargs, ibys in inner:
                 t2.apply(iname, iargs, ibys)
             if "__tag___wsrc" not in t2.df.columns:

@@ -162,13 +162,21 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _split_on_keyword(s: str, kw: str) -> list[str]:
-    """Split on a top-level keyword, with string literals shielded."""
-    shield = re.sub(
+def _shield_literals(s: str) -> str:
+    """The string with quoted literals blanked (length-preserving) so a
+    keyword regex never matches inside a quoted value like
+    ``{name: 'no match here'}`` — match positions on the shielded string
+    are valid slice positions on the original."""
+    return re.sub(
         r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
         lambda m: " " * len(m.group(0)),
         s,
     )
+
+
+def _split_on_keyword(s: str, kw: str) -> list[str]:
+    """Split on a top-level keyword, with string literals shielded."""
+    shield = _shield_literals(s)
     parts = []
     last = 0
     for m in re.finditer(rf"\b{kw}\b", shield, re.I):
@@ -223,13 +231,19 @@ def _parse_clauses(body: str, q: str) -> list[tuple]:
     """Clause text -> a list of ``("match", optional, [chain, ...],
     where|None)`` and ``("unwind", expr, alias)`` items."""
     clauses: list[tuple] = []
-    pieces = re.split(r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", body, flags=re.I)
-    # pieces = ['', KW, seg, KW, seg, ...]
-    if pieces[0].strip():
+    # match keywords on the literal-shielded text (a quoted ' MATCH '
+    # must not split a clause) and slice the original by position
+    shield = _shield_literals(body)
+    kw_spans = list(re.finditer(r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", shield, re.I))
+    head = body[: kw_spans[0].start()] if kw_spans else body
+    if head.strip():
         raise InvalidArgument(
-            f"expected MATCH/UNWIND at {pieces[0].strip()[:40]!r} in {q!r}"
+            f"expected MATCH/UNWIND at {head.strip()[:40]!r} in {q!r}"
         )
-    for kw, seg in zip(pieces[1::2], pieces[2::2]):
+    for idx, km in enumerate(kw_spans):
+        kw = km.group(0)
+        seg_end = kw_spans[idx + 1].start() if idx + 1 < len(kw_spans) else len(body)
+        seg = body[km.end() : seg_end]
         if kw.upper() == "UNWIND":
             um = re.match(r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$", seg, re.I | re.S)
             if not um:
@@ -237,7 +251,7 @@ def _parse_clauses(body: str, q: str) -> list[tuple]:
             clauses.append(("unwind", um.group("expr").strip(), um.group("alias")))
             continue
         optional = kw.upper().startswith("OPTIONAL")
-        wm = re.search(r"\bWHERE\b", seg, flags=re.I)
+        wm = re.search(r"\bWHERE\b", _shield_literals(seg), flags=re.I)
         where = seg[wm.end() :].strip() if wm else None
         pat = seg[: wm.start()] if wm else seg
         chains = _split_top_level(pat)
@@ -275,10 +289,12 @@ class _CypherQuery:
         self.stages.append((_parse_clauses(segments[0], q), None, None))
         for seg in segments[1:]:
             # "items [WHERE cond] [MATCH-clauses...]"
-            cm = re.search(r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", seg, flags=re.I)
+            cm = re.search(
+                r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", _shield_literals(seg), flags=re.I
+            )
             withspec = seg[: cm.start()] if cm else seg
             clause_text = seg[cm.start() :] if cm else ""
-            wm = re.search(r"\bWHERE\b", withspec, flags=re.I)
+            wm = re.search(r"\bWHERE\b", _shield_literals(withspec), flags=re.I)
             items = withspec[: wm.start()] if wm else withspec
             where = withspec[wm.end() :].strip() if wm else None
             if re.search(r"\b(ORDER|SKIP|LIMIT)\b", items, re.I) or re.match(
@@ -475,19 +491,37 @@ def _compile_chain(
     return cur, known, fixed_eids, seg_arrays
 
 
+def _col_owner(col: str, all_vars: set[str]) -> str | None:
+    """Which variable owns a ``<var>_<prop>`` column, resolving prefix
+    ambiguity by LONGEST variable-name match: with vars {a, a_b}, column
+    ``a_b_name`` belongs to ``a_b``, not ``a`` (a bare startswith test
+    would swallow every ``a_b_*`` column into ``a``)."""
+    owners = [v for v in all_vars if col.startswith(f"{v}_")]
+    return max(owners, key=len) if owners else None
+
+
 def _join_shared(
-    left: DataFrame, right: DataFrame, shared_vars: set[str], how: str = "inner"
+    left: DataFrame,
+    right: DataFrame,
+    shared_vars: set[str],
+    how: str = "inner",
+    right_vars: set[str] | None = None,
 ) -> DataFrame:
     """Join two pattern frames on their shared variables' ``<var>_id``
     columns ONLY — joining on property columns would drop matches where a
     shared vertex has a NULL property (null never equals null in a join
     key).  The right frame's other columns for the shared vars are
-    duplicates of the left's (same vertex/edge row) and are dropped."""
+    duplicates of the left's (same vertex/edge row) and are dropped.
+    ``right_vars`` is the full variable set bound in ``right`` so column
+    ownership resolves by longest var-name match (see :func:`_col_owner`);
+    without it a variable named ``a_b`` would lose its columns to a
+    shared variable ``a``."""
     keys = sorted(f"{v}_id" for v in shared_vars)
+    all_vars = (right_vars or set()) | set(shared_vars)
     dup = [
         c
         for c in right.columns
-        if c not in keys and any(c.startswith(f"{v}_") for v in shared_vars)
+        if c not in keys and _col_owner(c, all_vars) in shared_vars
     ]
     return left.join(right.drop(*dup), keys, how)
 
@@ -553,7 +587,9 @@ def _apply_with(
             scalar_names.append(alias)
 
     def var_cols(var: str) -> list[str]:
-        return [c for c in cur.columns if c.startswith(f"{var}_")]
+        # ownership by longest var-name match so a kept variable `a` never
+        # swallows the columns of a sibling variable `a_b`
+        return [c for c in cur.columns if _col_owner(c, known) == var]
 
     key_cols = [F.col(f"`{c}`") for var, _o in node_keeps for c in var_cols(var)]
     if agg_cols:
@@ -563,13 +599,14 @@ def _apply_with(
     # apply AS-renames of node/edge variables (rename every carried column)
     renames = {var: out_name for var, out_name in node_keeps if out_name != var}
     if renames:
+        kept_vars = {var for var, _o in node_keeps}
         sel = []
         for c in out.columns:
             new = c
-            for var, out_name in renames.items():
-                if c.startswith(f"{var}_"):
-                    new = out_name + c[len(var) :]
-                    break
+            if c not in scalar_names:
+                owner = _col_owner(c, kept_vars)
+                if owner in renames:
+                    new = renames[owner] + c[len(owner) :]
             sel.append(F.col(f"`{c}`").alias(new))
         out = out.select(*sel)
     new_known = {out_name for _v, out_name in node_keeps}
@@ -622,7 +659,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                     # disconnected patterns: Cypher's cartesian product (the
                     # user wrote one)
                     cdf = (
-                        _join_shared(cdf, df2, dup_vars)
+                        _join_shared(cdf, df2, dup_vars, right_vars=k2)
                         if dup_vars
                         else cdf.crossJoin(df2)
                     )
@@ -669,9 +706,13 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                             "OPTIONAL MATCH must share at least one variable "
                             "with the preceding pattern"
                         )
-                    cur = _join_shared(cur, cdf, shared, "left")
+                    cur = _join_shared(cur, cdf, shared, "left", right_vars=cknown)
                 else:
-                    cur = _join_shared(cur, cdf, shared) if shared else cur.crossJoin(cdf)
+                    cur = (
+                        _join_shared(cur, cdf, shared, right_vars=cknown)
+                        if shared
+                        else cur.crossJoin(cdf)
+                    )
             known |= cknown
             if where is not None and not optional:
                 # a plain MATCH's WHERE may reference any variable bound
@@ -717,7 +758,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                                 f"variable with the bound pattern: {part!r}"
                             )
                         how = "left_anti" if nm.group(1) else "left_semi"
-                        cur = _join_shared(cur, pred_df, shared, how)
+                        cur = _join_shared(cur, pred_df, shared, how, right_vars=pk)
                     else:
                         scalars.append(part)
                 if scalars:

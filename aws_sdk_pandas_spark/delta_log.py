@@ -1,0 +1,345 @@
+"""Jar-free Delta Lake transaction-log interop for lakelite tables.
+
+The Delta log protocol (https://github.com/delta-io/delta/blob/master/
+PROTOCOL.md) is newline-delimited JSON actions under ``_delta_log/`` —
+no jar is needed to READ or WRITE it.  This module gives lakelite
+(``lakehouse_shim``) real on-disk format interop in a container that
+ships neither delta-spark nor delta-rs:
+
+- **Exporter** (:func:`export_commit` / :func:`export_table`): every
+  lakelite commit also lands a protocol-valid Delta commit file
+  ``_delta_log/{version:020d}.json`` with ``commitInfo`` / ``protocol``
+  / ``metaData`` / ``txn`` / ``add`` / ``remove`` actions, so a table
+  written here is readable by delta-rs / PyIceberg-era tooling / Spark
+  with the real jar.  Lakelite manifests are full snapshots; the Delta
+  actions are the DIFF of consecutive manifests.  Version numbers match
+  1:1 (reference behavior: awswrangler ``s3/_write_deltalake.py:129-133``
+  writes the same log through delta-rs).
+- **Reader** (:func:`read_delta_log`): replays a checkpoint-less Delta
+  log — including one written by delta-rs or Delta Spark elsewhere —
+  into the same union-of-parquet-scans plan lakelite reads use.
+  Partition values come from the log's ``partitionValues`` (the
+  protocol's rule: partition columns are NOT stored in data files),
+  cast to the ``metaData`` schema types.  Protocol features beyond
+  ``minReaderVersion=1`` (deletion vectors, column mapping, ...) are
+  refused loudly rather than mis-read.
+
+Scale notes: the exporter is driver-side metadata work proportional to
+the files TOUCHED by a commit (one ``os.stat`` + parquet-footer
+``num_rows`` per added file), never to table size; the reader's plan is
+one parquet scan per distinct partition tuple, with column pruning and
+row-group pushdown intact because the files are plain parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_DELTA_DIR = "_delta_log"
+
+# lakelite commit modes -> Delta commitInfo operation names
+_OPS = {
+    "append": "WRITE",
+    "overwrite": "WRITE",
+    "overwrite_partitions": "WRITE",
+    "merge": "MERGE",
+    "merge_ignore": "MERGE",
+    "delete": "DELETE",
+    "compact": "OPTIMIZE",
+}
+
+
+def _local(path: str) -> str:
+    if path.startswith("file:"):
+        return urllib.parse.unquote(urllib.parse.urlparse(path).path)
+    return path
+
+
+def _delta_dir(path: str) -> str:
+    return os.path.join(_local(path), _DELTA_DIR)
+
+
+def _commit_file(path: str, version: int) -> str:
+    return os.path.join(_delta_dir(path), f"{version:020d}.json")
+
+
+def has_delta_log(path: str) -> bool:
+    d = _delta_dir(path)
+    return os.path.isdir(d) and any(
+        f.endswith(".json") and f[:-5].isdigit() for f in os.listdir(d)
+    )
+
+
+def delta_versions(path: str) -> list[int]:
+    d = _delta_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
+    out = []
+    with open(_commit_file(path, version)) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _current_table_id(path: str) -> str | None:
+    """The stable table id from the newest metaData action already in
+    the log (Delta requires the id to survive schema changes)."""
+    for v in reversed(delta_versions(path)):
+        for a in _read_actions(path, v):
+            if "metaData" in a:
+                return a["metaData"]["id"]
+    return None
+
+
+def _num_records(abs_file: str) -> int | None:
+    """Row count from the parquet footer only (no data pages read)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(abs_file).metadata.num_rows)
+    except Exception:
+        return None
+
+
+def _add_action(root: str, entry: dict[str, Any]) -> dict[str, Any]:
+    abs_file = os.path.join(root, entry["path"])
+    st = os.stat(abs_file)
+    stats: dict[str, Any] = {}
+    n = 0 if entry.get("empty") else _num_records(abs_file)
+    if n is not None:
+        stats["numRecords"] = n
+    if entry.get("stats"):
+        stats["minValues"] = {c: b[0] for c, b in entry["stats"].items() if b[0] is not None}
+        stats["maxValues"] = {c: b[1] for c, b in entry["stats"].items() if b[1] is not None}
+    add = {
+        # the protocol wants an RFC 2396 relative URI
+        "path": urllib.parse.quote(entry["path"].replace(os.sep, "/"), safe="/=%"),
+        "partitionValues": dict(entry.get("partition_values") or {}),
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "dataChange": True,
+    }
+    if stats:
+        add["stats"] = json.dumps(stats)
+    return {"add": add}
+
+
+def _remove_action(entry: dict[str, Any], ts_ms: int) -> dict[str, Any]:
+    return {
+        "remove": {
+            "path": urllib.parse.quote(entry["path"].replace(os.sep, "/"), safe="/=%"),
+            "deletionTimestamp": ts_ms,
+            "dataChange": True,
+        }
+    }
+
+
+def export_commit(path: str, manifest: dict[str, Any]) -> bool:
+    """Write the Delta commit file for one lakelite manifest (idempotent;
+    returns True when a file was written).  A valid Delta log must be
+    contiguous from version 0, so a gap is backfilled from the lakelite
+    manifests when they still exist; if older manifests were vacuumed
+    away before the first export, the export is skipped (a truncated log
+    would be worse than none — delta readers would refuse or misread)."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    v = int(manifest["version"])
+    final = _commit_file(path, v)
+    if os.path.exists(final):
+        return False
+    if v > 0 and not os.path.exists(_commit_file(path, v - 1)):
+        have = set(ls._versions(path))
+        if not all(i in have for i in range(v)):
+            return False  # history vacuumed before first export
+        for i in range(v):
+            export_commit(path, ls._read_manifest(path, i))
+
+    root = ls._local(path)
+    ts = int(time.time() * 1000)
+    prev = ls._read_manifest(path, v - 1) if v > 0 else None
+    prev_files = {e["path"]: e for e in (prev["files"] if prev else [])}
+    cur_files = {e["path"]: e for e in manifest["files"]}
+
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": _OPS.get(manifest.get("mode", ""), "WRITE"),
+                "operationParameters": {"mode": manifest.get("mode", "")},
+                "engineInfo": "aws_sdk_pandas_spark-lakelite",
+            }
+        }
+    ]
+    if v == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    schema_changed = prev is not None and (
+        prev["schema"] != manifest["schema"]
+        or prev["partition_cols"] != manifest["partition_cols"]
+    )
+    if v == 0 or schema_changed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": _current_table_id(path) or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": manifest["schema"],
+                    "partitionColumns": list(manifest["partition_cols"]),
+                    "configuration": {},
+                    "createdTime": ts,
+                }
+            }
+        )
+    if manifest.get("txn"):
+        actions.append(
+            {"txn": {"appId": str(manifest["txn"][0]), "version": int(manifest["txn"][1])}}
+        )
+    for p in sorted(set(prev_files) - set(cur_files)):
+        actions.append(_remove_action(prev_files[p], ts))
+    for p in sorted(set(cur_files) - set(prev_files)):
+        actions.append(_add_action(root, cur_files[p]))
+
+    d = _delta_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{v:020d}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, final)  # same atomic create-exclusive as the manifest
+    except FileExistsError:
+        pass  # a racing exporter of the same version wrote the same diff
+    os.unlink(tmp)
+    return True
+
+
+def export_table(path: str) -> int:
+    """Backfill the whole Delta log for an existing lakelite table;
+    returns the number of commit files written."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    n = 0
+    for v in ls._versions(path):
+        if export_commit(path, ls._read_manifest(path, v)):
+            n += 1
+    return n
+
+
+def _replay(path: str, version: int) -> tuple[dict[str, dict], dict, dict]:
+    """Replay actions 0..version -> (live add actions by path, metaData,
+    protocol)."""
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    for v in range(version + 1):
+        for a in _read_actions(path, v):
+            if "protocol" in a:
+                protocol = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+    if meta is None:
+        raise InvalidArgument(f"Delta log at {path!r} has no metaData action")
+    return adds, meta, protocol or {"minReaderVersion": 1}
+
+
+def read_delta_log(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a Delta table by replaying its JSON transaction log — works
+    on tables written by this exporter AND on tables written elsewhere
+    by delta-rs / Delta Spark, as long as the log is checkpoint-less
+    (contiguous from version 0) and uses reader protocol 1."""
+    vs = delta_versions(path)
+    if not vs:
+        raise InvalidArgument(f"no Delta log under {path!r}")
+    if vs[0] != 0 or vs != list(range(vs[0], vs[-1] + 1)):
+        raise InvalidArgument(
+            f"Delta log at {path!r} is not contiguous from version 0 "
+            f"(have {vs[:3]}..{vs[-3:]}); checkpoint parquet replay is not "
+            "supported by this jar-free reader"
+        )
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise InvalidArgument(f"Delta version {v} not found at {path!r} (have 0..{vs[-1]})")
+    adds, meta, protocol = _replay(path, v)
+    if int(protocol.get("minReaderVersion", 1)) > 1:
+        raise InvalidArgument(
+            f"unsupported Delta reader protocol {protocol}: this jar-free "
+            "reader supports minReaderVersion 1 only (no deletion vectors / "
+            "column mapping / readerFeatures)"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    root = _local(path)
+
+    if not adds:
+        df = spark.createDataFrame([], schema)
+        return df.select(*columns) if columns else df
+
+    # group files by partition tuple: partition values live ONLY in the
+    # log (protocol rule), so they are injected as typed literals per
+    # group — one scan per distinct partition tuple
+    groups: dict[tuple, list[str]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pcols)
+        rel = urllib.parse.unquote(a["path"])
+        groups.setdefault(key, []).append(
+            rel if os.path.isabs(rel) else os.path.join(root, rel)
+        )
+
+    missing = [f for files in groups.values() for f in files if not os.path.exists(f)]
+    if missing:
+        raise InvalidArgument(
+            f"Delta version {v} at {path!r} references {len(missing)} missing "
+            f"data file(s) (vacuumed away or external), e.g. {sorted(missing)[:2]}"
+        )
+
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    parts = []
+    for key, files in sorted(
+        groups.items(), key=lambda kv: tuple("" if x is None else str(x) for x in kv[0])
+    ):
+        # mergeSchema: schema evolution leaves older files without the
+        # newer columns; the metaData schema is authoritative and the
+        # per-file gaps read as nulls
+        part = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+        for f in data_fields:
+            if f.name not in part.columns:
+                part = part.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for c, val in zip(pcols, key):
+            dt = schema[c].dataType
+            part = part.withColumn(
+                c, F.lit(val).cast(dt) if val is not None else F.lit(None).cast(dt)
+            )
+        parts.append(part.select(*[f.name for f in schema.fields]))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.select(*columns) if columns else df

@@ -107,8 +107,8 @@ def _split_statements(text: str) -> list[str]:
     """Split a HiveQL script on ``;`` with string literals shielded — a
     semicolon inside ``'a;b'`` OR ``"a;b"`` is data (Hive/Spark accept
     both quote styles for strings), and a ``;`` inside a ``--`` line
-    comment is not a boundary either.  Handles backslash and doubled-
-    quote escapes inside literals."""
+    comment or a ``/* */`` block comment is not a boundary either.
+    Handles backslash and doubled-quote escapes inside literals."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(text)
@@ -133,6 +133,12 @@ def _split_statements(text: str) -> list[str]:
         elif c == "-" and i + 1 < n and text[i + 1] == "-":
             nl = text.find("\n", i)
             i = n if nl == -1 else nl  # keep the newline as whitespace
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            end = text.find("*/", i + 2)
+            if end == -1:
+                raise InvalidArgument("unterminated /* */ comment in SQL script")
+            buf.append(" ")  # preserve a separator where the comment was
+            i = end + 2
         elif c == ";":
             stmts.append("".join(buf))
             buf = []

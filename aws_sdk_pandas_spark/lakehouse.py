@@ -119,10 +119,19 @@ def read_deltalake(
     columns: list[str] | None = None,
     require_native: bool = False,
 ) -> DataFrame:
-    """reference: s3/_read_deltalake.py:38 — ``version`` = time travel."""
-    if not _use_native(spark, "delta", require_native):
-        from aws_sdk_pandas_spark import lakehouse_shim
+    """reference: s3/_read_deltalake.py:38 — ``version`` = time travel.
 
+    Without the delta jar, a ``_delta_log/`` on disk is preferred (the
+    jar-free replay reader handles tables written HERE by the lakelite
+    exporter AND tables written elsewhere by delta-rs / Delta Spark);
+    lakelite manifests are the fallback for pre-export tables."""
+    if not _use_native(spark, "delta", require_native):
+        from aws_sdk_pandas_spark import delta_log, lakehouse_shim
+
+        if delta_log.has_delta_log(path):
+            return delta_log.read_delta_log(
+                spark, path, version=version, columns=columns
+            )
         return lakehouse_shim.read(spark, path, version=version, columns=columns)
     reader = spark.read.format("delta")
     if version is not None:

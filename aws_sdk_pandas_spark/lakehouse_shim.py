@@ -133,6 +133,18 @@ def _commit_manifest(path: str, manifest: dict[str, Any]) -> None:
             f"concurrent write detected: version {version} already committed at {path!r}"
         )
     os.unlink(tmp)
+    # sidecar Delta-protocol log (plain JSON — no jar needed), so the
+    # table is readable by delta-rs / Delta Spark; best-effort because
+    # the lakelite commit above is already durable and a sidecar failure
+    # must not make the caller believe the commit itself failed
+    try:
+        from aws_sdk_pandas_spark import delta_log
+
+        delta_log.export_commit(path, manifest)
+    except Exception as exc:  # pragma: no cover - defensive
+        import warnings
+
+        warnings.warn(f"lakelite Delta-log export skipped: {exc}", stacklevel=2)
 
 
 def _parse_partition_values(rel_file: str, commit_rel: str) -> dict[str, str | None]:

@@ -745,23 +745,34 @@ def remove_repeated_passages(
 
     Returns ``id_col, text (cleaned), n_passages, n_removed``; documents
     whose every passage was duplicated come back with ``text = ''``.
+    A document with NULL or empty/whitespace-only text has no passages
+    and passes through unchanged (text NULL or verbatim, n_passages 0,
+    n_removed 0) — it is never silently dropped.
 
     Reference parity: nothing in awswrangler — this is the
     training-pipeline extension family (SURVEY.md §2.10).
     """
     W = int(passage_words)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__orig")
+    )
+    # NULL/empty text short-circuits to zero passages — split(NULL) would
+    # otherwise turn into a NULL array whose posexplode silently drops
+    # the document from the output
+    norm = F.trim(F.coalesce(F.col("__orig"), F.lit("")))
+    words = F.split(norm, r"\s+")
     n_pass = F.ceil(F.size(words) / F.lit(float(W)))
-    passages = F.transform(
-        F.sequence(F.lit(0), (n_pass - 1).cast("int")),
-        lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
-    )
+    passages = F.when(
+        F.length(norm) > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_pass - 1).cast("int")),
+            lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-    ex = (
-        _ensure_parallelism(df)
-        .select(F.col(id_col), F.posexplode(passages).alias("pidx", "passage"))
-        .withColumn("phash", F.xxhash64("passage"))
-    )
+    ex = base.select(
+        "__id", F.posexplode(passages).alias("pidx", "passage")
+    ).withColumn("phash", F.xxhash64("passage"))
 
     dup_hashes = (
         ex.groupBy("phash")
@@ -773,7 +784,7 @@ def remove_repeated_passages(
     # no forced broadcast: at web scale the min_count=2 dup set can be
     # billions of rows — AQE broadcasts it at runtime when it IS small
     flagged = ex.join(dup_hashes, "phash", "left").select(
-        id_col,
+        "__id",
         "pidx",
         "passage",
         F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
@@ -782,16 +793,25 @@ def remove_repeated_passages(
     sorted_structs = F.array_sort(
         F.collect_list(F.struct("pidx", "passage", "is_dup"))
     )
-    return flagged.groupBy(id_col).agg(
+    rebuilt = flagged.groupBy("__id").agg(
         F.array_join(
             F.transform(
                 F.filter(sorted_structs, lambda s: s["is_dup"] == 0),
                 lambda s: s["passage"],
             ),
             " ",
-        ).alias(text_col),
+        ).alias("__clean"),
         F.count(F.lit(1)).alias("n_passages"),
         F.sum("is_dup").alias("n_removed"),
+    )
+    # left join back to base: zero-passage documents (NULL/empty text)
+    # pass through instead of vanishing in the groupBy
+    out = base.join(rebuilt, "__id", "left")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce("__clean", "__orig").alias(text_col),
+        F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
     )
 
 
@@ -845,7 +865,9 @@ def remove_repeated_spans(
 
     Returns ``id_col, text (cleaned), n_tokens, n_spans, n_removed``.
     Documents with no duplicated span come back verbatim (modulo the
-    whitespace normalization).  Deterministic given the corpus.
+    whitespace normalization); NULL text passes through as NULL
+    (n_tokens 0) rather than being dropped.  Deterministic given the
+    corpus.
 
     Reference parity: nothing in awswrangler — training-pipeline
     extension family (SURVEY.md §2.10).
@@ -861,7 +883,11 @@ def remove_repeated_spans(
         F.array().cast("array<string>")
     )
     base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), toks.alias("__toks")
+        F.col(id_col).alias("__id"),
+        # NULL text tokenizes to [] (so the doc passes through the
+        # left-join reconstruction); the flag restores NULL on output
+        F.col(text_col).isNull().alias("__tnull"),
+        toks.alias("__toks"),
     )
     n_tok = F.size("__toks")
 
@@ -945,7 +971,9 @@ def remove_repeated_spans(
     )
     return out.select(
         F.col("__id").alias(id_col),
-        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias(text_col),
+        F.when(F.col("__tnull"), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.transform(kept, lambda x: x["t"]), " "))
+        .alias(text_col),
         F.size("__toks").alias("n_tokens"),
         F.size(spans_col).alias("n_spans"),
         removed.alias("n_removed"),
@@ -995,7 +1023,9 @@ def dedup_lines(
 
     Returns ``id_col, text (cleaned), n_lines, n_removed``.  Documents
     whose every line was removed come back with empty text.  Line
-    ORDER is preserved via the carried line number.
+    ORDER is preserved via the carried line number.  A document with
+    NULL text passes through (text NULL, n_lines 0, n_removed 0) — it
+    is never silently dropped.
 
     Reference parity: nothing in awswrangler — training-pipeline
     extension family (SURVEY.md §2.10).
@@ -1006,10 +1036,15 @@ def dedup_lines(
         raise ValueError("min_count must be >= 2")
 
     base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), F.split(F.col(text_col), "\n").alias("__lines")
+        F.col(id_col).alias("__id"),
+        # NULL text must pass through (split(NULL) -> NULL array ->
+        # posexplode silently drops the document — at web scale that is
+        # silent row loss on dirty data); the flag restores NULL on output
+        F.col(text_col).isNull().alias("__tnull"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__lines"),
     )
     lines = base.select(
-        "__id", F.posexplode("__lines").alias("__ln", "__line")
+        "__id", "__tnull", F.posexplode("__lines").alias("__ln", "__line")
     )
     norm = F.trim(F.col("__line"))
     if lowercase or aggressive:
@@ -1022,12 +1057,14 @@ def dedup_lines(
         norm = F.trim(F.regexp_replace(norm, "[ \\t]+", " "))
     lines = lines.select(
         "__id",
+        "__tnull",
         "__ln",
         "__line",
         F.when(F.length(norm) >= min_line_chars, norm).alias("__norm"),
     )
     keyed = lines.select(
         "__id",
+        "__tnull",
         "__ln",
         "__line",
         F.xxhash64("__norm").alias("__k1"),
@@ -1070,12 +1107,18 @@ def dedup_lines(
                 lambda x: x["__line"],
             ),
             "\n",
-        ).alias(text_col),
+        ).alias("__clean"),
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("__rm").cast("int")).alias("n_removed"),
+        F.first("__tnull").alias("__tnull"),
     )
     return rebuilt.select(
-        F.col("__id").alias(id_col), text_col, "n_lines", "n_removed"
+        F.col("__id").alias(id_col),
+        F.when(F.col("__tnull"), F.lit(None).cast("string"))
+        .otherwise(F.col("__clean"))
+        .alias(text_col),
+        F.when(F.col("__tnull"), F.lit(0)).otherwise(F.col("n_lines")).alias("n_lines"),
+        "n_removed",
     )
 
 

@@ -668,6 +668,7 @@ def diverse_subset(
     id_col: str,
     vector_col: str = "embedding",
     metric: str = "euclidean",
+    max_k: int = 256,
 ) -> DataFrame:
     """Greedy k-center diverse subset: ``k`` rows that maximally spread
     over the embedding space (2-approximation of the optimal max-min
@@ -684,6 +685,15 @@ def diverse_subset(
     the selected rows with ``sel_order`` (0-based pick order) and
     ``sel_distance`` (distance to the nearest earlier center — the
     cover radius as k grows).
+
+    COST BOUND: the algorithm is O(k) full corpus scans each ending in
+    a driver ``limit(1).collect()`` — that is the right trade for its
+    eval-set-selector role (k is tens, the corpus scan is the cheap
+    part), but it is NOT a bulk sampler.  ``max_k`` (default 256)
+    refuses a k that would turn it into thousands of sequential scans;
+    for large diverse samples use ``operators.sampling`` (stratified /
+    temperature) or KMeans cluster sampling instead.  Mirrors
+    ``pareto_front.max_candidates``.
     """
     from aws_sdk_pandas_spark.functions.vectors import (
         cosine_distance,
@@ -693,6 +703,13 @@ def diverse_subset(
 
     if metric not in ("euclidean", "cosine"):
         raise ValueError("metric must be 'euclidean' or 'cosine'")
+    if k > max_k:
+        raise ValueError(
+            f"diverse_subset is k sequential corpus scans and k={k} exceeds "
+            f"max_k={max_k}; for large diverse samples use operators.sampling "
+            "(stratified/temperature) or KMeans cluster sampling, or raise "
+            "max_k explicitly if you accept the scan cost"
+        )
     dist_fn = euclidean_distance if metric == "euclidean" else cosine_distance
     base = df.where(
         F.col(id_col).isNotNull() & F.col(vector_col).isNotNull()

@@ -322,14 +322,20 @@ def fit_hashed_ngram_classifier(
     :func:`hashed_ngram_score`.
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.ml.functions import array_to_vector
 
     from aws_sdk_pandas_spark.operators.sampling import _hashed_grams
 
     spark = positive.sparkSession
 
     def _featurize(df: DataFrame, label: float) -> DataFrame:
+        # fully JVM featurization: bucket-count map -> dense normalized
+        # array (transform over sequence, one element_at per slot) ->
+        # array_to_vector.  Arrow cannot move VectorUDT through a pandas
+        # UDF, and a row-wise Python UDF was the last BatchEvalPython in
+        # the package; dense is fine here because training runs on
+        # bounded SAMPLES (the corpus-scale apply path is
+        # hashed_ngram_score, which never builds vectors at all).
         with_id = df.select(
             F.monotonically_increasing_id().alias("__mid"), F.col(text_col)
         )
@@ -341,20 +347,19 @@ def fit_hashed_ngram_classifier(
             .agg(
                 F.map_from_arrays(
                     F.collect_list("__bucket"), F.collect_list("__c")
-                ).alias("__m")
+                ).alias("__m"),
+                F.sum("__c").alias("__tot"),
             )
         )
-
-        schema = StructType([StructField("features", VectorUDT())])
-
-        @F.udf(schema)
-        def to_vec(m):
-            items = sorted((int(k), float(v)) for k, v in m.items())
-            tot = sum(v for _, v in items) or 1.0
-            return (SparseVector(buckets, [k for k, _ in items], [v / tot for _, v in items]),)
-
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(buckets - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__m", i.cast("long")).cast("double"), F.lit(0.0)
+            )
+            / F.col("__tot").cast("double"),
+        )
         return counts.select(
-            to_vec("__m")["features"].alias("features"), F.lit(label).alias("label")
+            array_to_vector(arr).alias("features"), F.lit(label).alias("label")
         )
 
     train = _featurize(positive, 1.0).unionByName(_featurize(negative, 0.0))

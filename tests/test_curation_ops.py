@@ -796,3 +796,57 @@ def test_dedup_lines_aggressive_normalization(spark):
     # without aggressive the pages differ and nothing is removed
     got2 = {r.doc_id: r.n_removed for r in dedup_lines(docs, min_count=2).collect()}
     assert got2 == {1: 0, 2: 0, 3: 0}
+
+
+def test_corpus_dedup_null_and_empty_text_pass_through(spark):
+    """round-3 verdict: NULL-text documents must never silently vanish
+    from the corpus-dedup family's output (split(NULL) -> NULL array ->
+    posexplode row loss)."""
+    from aws_sdk_pandas_spark.operators.dedup import (
+        dedup_lines,
+        remove_repeated_passages,
+        remove_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate line\nunique one"),
+            (2, "the same boilerplate line\nunique two"),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    got = {r.doc_id: r for r in dedup_lines(docs, min_count=2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[3].text is None and got[3].n_removed == 0 and got[3].n_lines == 0
+    assert got[4].text == "" and got[4].n_removed == 0
+    assert got[2].n_removed == 1  # the boilerplate still dies where real
+
+    words = " ".join(f"w{i}" for i in range(6))
+    pdocs = spark.createDataFrame(
+        [(1, words), (2, words), (3, None), (4, ""), (5, "   ")],
+        "doc_id bigint, text string",
+    )
+    gp = {r.doc_id: r for r in remove_repeated_passages(
+        pdocs, passage_words=3, min_count=2
+    ).collect()}
+    assert set(gp) == {1, 2, 3, 4, 5}
+    assert gp[3].text is None and gp[3].n_passages == 0 and gp[3].n_removed == 0
+    assert gp[4].text == "" and gp[4].n_passages == 0
+    assert gp[5].text == "   " and gp[5].n_passages == 0  # verbatim pass-through
+    assert gp[2].n_removed == 2  # real dups still removed
+
+    sdocs = spark.createDataFrame(
+        [(1, words), (2, words), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    gs = {r.doc_id: r for r in remove_repeated_spans(
+        sdocs, min_tokens=4, keep="first"
+    ).collect()}
+    assert set(gs) == {1, 2, 3, 4}
+    assert gs[3].text is None and gs[3].n_tokens == 0 and gs[3].n_removed == 0
+    assert gs[4].text == "" and gs[4].n_tokens == 0
+    assert gs[1].n_removed == 0 and gs[2].n_removed == 6  # keep='first'

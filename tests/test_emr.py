@@ -215,3 +215,20 @@ def test_split_statements_double_quotes_and_comments():
     assert got == ['SELECT "a;b" AS s', "SELECT 'c;d' AS t", "SELECT 1"]
     # doubled-quote escape inside a double-quoted literal
     assert _split_statements('SELECT "x"";y" AS s') == ['SELECT "x"";y" AS s']
+
+
+def test_split_statements_block_comments():
+    """round-3 advice: a ';' inside a /* */ block comment is not a
+    statement boundary; unterminated block comments fail loudly."""
+    from aws_sdk_pandas_spark.emr_serverless import _split_statements
+
+    got = _split_statements(
+        "SELECT 1 /* a block; comment */ AS x;\n"
+        "/* leading; comment\nspanning lines; */ SELECT 2"
+    )
+    # the comment collapses to a separator space
+    assert [s.split() for s in got] == [["SELECT", "1", "AS", "x"], ["SELECT", "2"]]
+    # a /* inside a string literal is data, not a comment opener
+    assert _split_statements("SELECT '/*;*/' AS s") == ["SELECT '/*;*/' AS s"]
+    with pytest.raises(InvalidArgument, match="unterminated"):
+        _split_statements("SELECT 1 /* never closed")

@@ -1434,3 +1434,75 @@ def test_gremlin_union_step(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with _pytest.raises(InvalidArgument, match="at least two"):
         _g(modern, "g.V().union(out()).count()")
+
+
+def test_cypher_prefix_ambiguous_variables(modern):
+    """round-3 advice (medium): a variable whose name extends another
+    variable's name (a vs a_b) must keep its own columns through shared-
+    variable joins, WITH projections, and WITH renames."""
+    q = (
+        "MATCH (a:person)-[:created]->(s) "
+        "MATCH (a)-[:knows]->(a_b:person) "
+        "RETURN a.name AS an, a_b.name AS bn ORDER BY an, bn"
+    )
+    got = [(r.an, r.bn) for r in _cy(modern, q).collect()]
+    assert got == [("marko", "josh"), ("marko", "vadas")]
+    # through a WITH projection keeping both variables
+    q2 = (
+        "MATCH (a:person)-[:knows]->(a_b:person) "
+        "WITH a, a_b "
+        "RETURN a.name AS an, a_b.name AS bn ORDER BY bn"
+    )
+    got2 = [(r.an, r.bn) for r in _cy(modern, q2).collect()]
+    assert got2 == [("marko", "josh"), ("marko", "vadas")]
+    # a WITH rename of the short variable must not rewrite the long one's
+    # columns
+    q3 = (
+        "MATCH (a:person)-[:knows]->(a_b:person) "
+        "WITH a AS x, a_b "
+        "RETURN x.name AS xn, a_b.name AS bn ORDER BY bn"
+    )
+    got3 = [(r.xn, r.bn) for r in _cy(modern, q3).collect()]
+    assert got3 == [("marko", "josh"), ("marko", "vadas")]
+
+
+def test_cypher_keywords_inside_string_literals(modern):
+    """round-3 advice: quoted values containing MATCH/WHERE/UNWIND must
+    not split clauses."""
+    q = "MATCH (p:person {name: 'no MATCH here'}) RETURN p.name AS n"
+    assert _cy(modern, q).count() == 0
+    q2 = "MATCH (p:person) WHERE p.name = ' MATCH ' RETURN p.name AS n"
+    assert _cy(modern, q2).count() == 0
+    q3 = "MATCH (p:person) WHERE p.name = 'a WHERE b' RETURN p.name AS n"
+    assert _cy(modern, q3).count() == 0
+    # and one that DOES match, with a keyword-bearing filter value present
+    q4 = (
+        "MATCH (p:person) WHERE p.name = 'marko' OR p.name = 'x UNWIND y' "
+        "RETURN p.name AS n"
+    )
+    assert [r.n for r in _cy(modern, q4).collect()] == ["marko"]
+
+
+def test_gremlin_has_not_missing_property(modern):
+    """round-3 advice: hasNot on a key absent from the schema keeps every
+    element (TinkerPop semantics) instead of raising."""
+    assert _g(modern, "g.V().hasNot('no_such_prop').count()").first()[0] == 6
+    assert _g(modern, "g.E().hasNot('no_such_prop').count()").first()[0] == 6
+
+
+def test_gremlin_global_steps_rejected_inside_branches(modern):
+    """round-3 advice: limit/range/order are global-scope steps — inside
+    a branch they would cut the whole stream, so they are refused."""
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    for q in (
+        "g.V().coalesce(out('created').limit(1), out('knows')).count()",
+        "g.V().optional(out('knows').range(0, 1)).count()",
+        "g.V().union(out('created'), out('knows').order().by('name')).count()",
+        "g.V().where(out('knows').limit(1)).count()",
+        "g.V().not(out('created').limit(2)).count()",
+    ):
+        with _pytest.raises(InvalidArgument, match="global-scope"):
+            _g(modern, q)

@@ -384,3 +384,18 @@ def test_embedding_health(spark):
     # p50 interpolates 1..5 -> 3
     assert abs(r.norm_p50 - 3.0) < 1e-9
     assert r.norm_p99 > 9.0 and r.norm_p01 < 1.0
+
+
+def test_diverse_subset_max_k_guard(spark):
+    """round-3 verdict: diverse_subset is O(k) sequential corpus scans —
+    a k beyond max_k must be refused with an actionable error."""
+    from aws_sdk_pandas_spark.operators.similarity import diverse_subset
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)], "vid long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_k"):
+        diverse_subset(df, 500, id_col="vid", vector_col="embedding")
+    # raising max_k explicitly opts into the cost (k capped by corpus size)
+    got = diverse_subset(df, 10, id_col="vid", vector_col="embedding", max_k=1000)
+    assert got.count() == 10
