@@ -33,11 +33,16 @@ Design (the same shape as the real formats, scaled down to a shim):
   one commit (the OPTIMIZE analog) and ``vacuum`` deletes data dirs no
   kept manifest references.
 
-Honest limits vs the real formats (documented, deliberate): APPENDS get
-optimistic-concurrency retry (version collision -> rebase on the new
-snapshot, Delta-style; exactly-once txn stamps re-checked after a lost
-race), but overwrite/merge/delete conflicts raise rather than rebase;
-the read
+Honest limits vs the real formats (documented, deliberate): APPENDS,
+MERGEs, and DELETEs all get optimistic-concurrency retry (version
+collision -> Delta-style rebase; exactly-once txn stamps re-checked
+after a lost race).  Merge/delete rebase ONLY when the racing commits
+touched disjoint file sets AND the winner added no rows matching the
+source keys — both-rewrote-a-file, schema changes, and key-overlapping
+concurrent adds raise (Delta's ConcurrentAppend/ConcurrentDeleteRead
+contract).  Plain ``overwrite`` conflicts still raise rather than
+rebase (a blind overwrite racing anything is a user-intent question,
+not a mechanical one); the read
 plan unions one parquet scan per surviving commit dir (bounded by commit
 count — run ``compact`` on long-lived tables); file skipping uses
 partition values plus opt-in per-file min/max stats (``stats_cols`` /
@@ -649,6 +654,112 @@ def _touched_files(
     return touched, untouched, rewrite_input
 
 
+def _commit_or_rebase(
+    spark: SparkSession,
+    path: str,
+    manifest: dict[str, Any],
+    base_man: dict[str, Any],
+    new_entries: list[dict[str, Any]],
+    *,
+    touched_paths: set[str],
+    source_keys: DataFrame | None = None,
+    keys: list[str] | None = None,
+    match_nulls: bool = False,
+    mode_desc: str,
+) -> None:
+    """Commit a merge/delete manifest with Delta-style optimistic
+    concurrency: on a version collision, diff the WINNER's commit
+    against our base snapshot and
+
+    - RAISE on true overlap: the winner rewrote/removed a file this
+      commit also rewrote (both touched the same rows), the winner
+      changed the schema, or the winner ADDED rows matching this
+      commit's source keys (rebasing would silently duplicate or miss
+      them — Delta's ConcurrentAppendException);
+    - REBASE otherwise: the rebased snapshot is the winner's file list
+      minus our touched files plus our new entries — two commits that
+      touched disjoint file sets commute, exactly Delta's conflict rule.
+
+    The winner's added-file key probe is bounded by the files the
+    winner ADDED (not table size), read once and semi-joined against
+    the source keys."""
+    man = manifest
+    base = base_man
+    for _attempt in range(6):
+        try:
+            _commit_manifest(path, man)
+            return
+        except InvalidArgument as exc:
+            if "concurrent write detected" not in str(exc):
+                raise
+            winner = _read_manifest(path, latest_version(path))
+            if (
+                winner["schema"] != base["schema"]
+                or winner["partition_cols"] != base["partition_cols"]
+            ):
+                raise InvalidArgument(
+                    f"concurrent {mode_desc} conflict at {path!r}: the winning "
+                    "commit changed the table schema/partitioning"
+                )
+            base_paths = {e["path"] for e in base["files"]}
+            win_paths = {e["path"] for e in winner["files"]}
+            overlap = (base_paths - win_paths) & touched_paths
+            if overlap:
+                raise InvalidArgument(
+                    f"concurrent {mode_desc} conflict at {path!r}: "
+                    f"{len(overlap)} file(s) rewritten by both commits, "
+                    f"e.g. {sorted(overlap)[:2]}"
+                )
+            added = [e for e in winner["files"] if e["path"] not in base_paths]
+            if added and source_keys is not None and keys:
+                root = _local(path)
+                by_commit: dict[str, list[str]] = {}
+                for e in added:
+                    by_commit.setdefault(e["commit"], []).append(
+                        os.path.join(root, e["path"])
+                    )
+                parts = [
+                    spark.read.option("basePath", os.path.join(root, c)).parquet(*fs)
+                    for c, fs in sorted(by_commit.items())
+                ]
+                adf = parts[0]
+                for p2 in parts[1:]:
+                    adf = adf.unionByName(p2, allowMissingColumns=True)
+                hit = (
+                    adf.join(
+                        F.broadcast(source_keys),
+                        _key_cond(adf, source_keys, keys, match_nulls),
+                        "leftsemi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if hit:
+                    raise InvalidArgument(
+                        f"concurrent {mode_desc} conflict at {path!r}: the "
+                        "winning commit added rows matching this "
+                        f"{mode_desc}'s source keys; rebasing would duplicate "
+                        "or miss them — re-run against the new snapshot"
+                    )
+            # stats_cols may have been extended by the winner: collect the
+            # missing stats for OUR new files before carrying them forward
+            win_stats = winner.get("stats_cols") or []
+            missing_stats = [c for c in win_stats if c not in (man.get("stats_cols") or [])]
+            if missing_stats and new_entries:
+                _collect_stats(spark, _local(path), new_entries, win_stats)
+            man = dict(man)
+            man["version"] = winner["version"] + 1
+            man["files"] = [
+                e for e in winner["files"] if e["path"] not in touched_paths
+            ] + new_entries
+            man["stats_cols"] = sorted(set(man.get("stats_cols") or []) | set(win_stats))
+            man["txns"] = _carry_txns(winner, None, path=path)
+            base = winner
+    raise InvalidArgument(
+        f"{mode_desc} at {path!r} lost 6 consecutive commit races; giving up"
+    )
+
+
 def merge(
     spark: SparkSession,
     source: DataFrame,
@@ -694,7 +805,8 @@ def merge(
         _, entries = _write_commit(inserts.select(*target_cols), path, pcols)
         if man.get("stats_cols"):
             _collect_stats(spark, _local(path), entries, man["stats_cols"])
-        _commit_manifest(
+        _commit_or_rebase(
+            spark,
             path,
             {
                 "version": man["version"] + 1,
@@ -705,6 +817,13 @@ def merge(
                 "stats_cols": man.get("stats_cols") or [],
                 "txns": _carry_txns(man, None, path=path),
             },
+            man,
+            entries,
+            touched_paths=set(),
+            source_keys=source.select(*keys).distinct(),
+            keys=keys,
+            match_nulls=match_nulls,
+            mode_desc="merge",
         )
         return {"files_rewritten": 0, "files_kept": len(man["files"])}
 
@@ -735,7 +854,8 @@ def merge(
     _, entries = _write_commit(merged, path, pcols)
     if man.get("stats_cols"):
         _collect_stats(spark, _local(path), entries, man["stats_cols"])
-    _commit_manifest(
+    _commit_or_rebase(
+        spark,
         path,
         {
             "version": man["version"] + 1,
@@ -746,6 +866,13 @@ def merge(
             "stats_cols": man.get("stats_cols") or [],
             "txns": _carry_txns(man, None, path=path),
         },
+        man,
+        entries,
+        touched_paths={e["path"] for e in touched},
+        source_keys=source.select(*keys).distinct(),
+        keys=keys,
+        match_nulls=match_nulls,
+        mode_desc="merge",
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
 
@@ -772,7 +899,8 @@ def delete(
         _, entries = _write_commit(survivors, path, man["partition_cols"])
         if man.get("stats_cols"):
             _collect_stats(spark, _local(path), entries, man["stats_cols"])
-    _commit_manifest(
+    _commit_or_rebase(
+        spark,
         path,
         {
             "version": man["version"] + 1,
@@ -783,6 +911,13 @@ def delete(
             "stats_cols": man.get("stats_cols") or [],
             "txns": _carry_txns(man, None, path=path),
         },
+        man,
+        entries,
+        touched_paths={e["path"] for e in touched},
+        source_keys=src_keys,
+        keys=keys,
+        match_nulls=match_nulls,
+        mode_desc="delete",
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
 

@@ -533,3 +533,84 @@ def test_merge_fallback_insert_only_duplicates_allowed(spark):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS asps_merge_dup")
+
+
+def _interleave(monkeypatch, winner_fn):
+    """Make the NEXT _commit_manifest call race: the winner commits
+    first, then the patched call proceeds (and collides)."""
+    orig = shim._commit_manifest
+    state = {"fired": False}
+
+    def racy(path, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return orig(path, manifest)
+
+    monkeypatch.setattr(shim, "_commit_manifest", racy)
+
+
+def test_concurrent_disjoint_merges_both_land(spark, tmp_path, monkeypatch):
+    """round-3 verdict: two interleaved MERGEs touching disjoint files
+    must BOTH commit (loser rebases on the winner, Delta-style)."""
+    p = str(tmp_path / "t")
+    base = spark.range(0, 800).selectExpr("id AS k", "CAST(id AS STRING) AS name", "1 AS ver")
+    lakehouse.to_deltalake(base.repartitionByRange(8, "k"), p, mode="overwrite")
+
+    src_a = _df(spark, [(5, "A-WIN", 2)])      # lives in the low-key file
+    src_b = _df(spark, [(700, "B-REBASED", 2)])  # lives in the high-key file
+    _interleave(monkeypatch, lambda: shim.merge(spark, src_a, p, keys=["k"]))
+    stats = shim.merge(spark, src_b, p, keys=["k"])
+    assert stats["files_rewritten"] == 1
+
+    got = lakehouse.read_deltalake(spark, p)
+    assert got.where("k = 5").first().name == "A-WIN"      # winner's update kept
+    assert got.where("k = 700").first().name == "B-REBASED"
+    assert got.count() == 800
+    assert shim.latest_version(p) == 2  # v1 = winner, v2 = rebased loser
+
+
+def test_concurrent_merges_same_file_conflict(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "t")
+    base = spark.range(0, 800).selectExpr("id AS k", "CAST(id AS STRING) AS name", "1 AS ver")
+    lakehouse.to_deltalake(base.repartitionByRange(8, "k"), p, mode="overwrite")
+
+    # both sources hit the same low-key file -> true overlap, must raise
+    _interleave(monkeypatch, lambda: shim.merge(spark, _df(spark, [(5, "A", 2)]), p, keys=["k"]))
+    with pytest.raises(InvalidArgument, match="rewritten by both"):
+        shim.merge(spark, _df(spark, [(6, "B", 2)]), p, keys=["k"])
+    # the winner's commit is intact
+    assert lakehouse.read_deltalake(spark, p).where("k = 5").first().name == "A"
+
+
+def test_concurrent_append_matching_source_keys_conflicts(spark, tmp_path, monkeypatch):
+    """A winner that ADDED rows with this merge's source keys cannot be
+    rebased over (the merge would duplicate the key) — Delta's
+    ConcurrentAppendException analog."""
+    p = str(tmp_path / "t")
+    lakehouse.to_deltalake(_df(spark, [(1, "a", 1)]), p, mode="overwrite")
+    _interleave(
+        monkeypatch,
+        lambda: shim.write(_df(spark, [(900, "appended", 1)]), p, mode="append"),
+    )
+    with pytest.raises(InvalidArgument, match="matching this merge's source keys"):
+        shim.merge(spark, _df(spark, [(900, "merged", 2)]), p, keys=["k"])
+    # an unrelated append + merge with NON-overlapping keys rebases fine
+    _interleave(
+        monkeypatch,
+        lambda: shim.write(_df(spark, [(901, "appended2", 1)]), p, mode="append"),
+    )
+    shim.merge(spark, _df(spark, [(2, "new", 1)]), p, keys=["k"])
+    got = {r.k for r in lakehouse.read_deltalake(spark, p).collect()}
+    assert {1, 2, 900, 901} <= got
+
+
+def test_concurrent_disjoint_deletes_both_land(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "t")
+    base = spark.range(0, 800).selectExpr("id AS k", "CAST(id AS STRING) AS name", "1 AS ver")
+    lakehouse.to_deltalake(base.repartitionByRange(8, "k"), p, mode="overwrite")
+    _interleave(monkeypatch, lambda: shim.delete(spark, _df(spark, [(5, "x", 0)]), p, keys=["k"]))
+    shim.delete(spark, _df(spark, [(700, "x", 0)]), p, keys=["k"])
+    got = lakehouse.read_deltalake(spark, p)
+    assert got.count() == 798
+    assert got.where("k in (5, 700)").count() == 0
