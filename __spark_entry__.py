@@ -5325,6 +5325,34 @@ def _q_trino_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_query(spark, q, dialect="trino")
 
 
+def _q_trino_dialect_tier3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino tier-3 rewrites under the hash gate
+    (sql_dialect.trino_to_spark_sql): 1-based subscript a[i] ->
+    element_at, TRY(a / b) -> try_divide (NULL on the zero-divisor rows,
+    never an error), and multi-array CROSS JOIN UNNEST -> inline(
+    arrays_zip(..)) with Trino's NULL-padded positional zip.  The oracle
+    spells each natively in DuckDB (1-based list subscript, nullif
+    divisor, UNION ALL expansion of the zip)."""
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    read_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "trino3_gate_orders"
+    )
+    q = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+               split(o_orderpriority, '-')[2] AS prio_word,
+               TRY(o_totalprice / (o_orderkey % 3)) AS safe_ratio,
+               x, y
+        FROM trino3_gate_orders
+        CROSS JOIN UNNEST(ARRAY[o_orderstatus, o_orderpriority],
+                          ARRAY['s', 'p', 'z']) AS u (x, y)
+        WHERE o_orderkey <= 1000
+        ORDER BY okey, y
+    """
+    return read_sql_query(spark, q, dialect="trino")
+
+
 def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION under the hash gate: two segment branches fused by
     unionByName then joined to the nation hop — the oracle is the
@@ -5874,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
         "trino_dialect_scalars": _q_trino_dialect_scalars,
+        "trino_dialect_tier3": _q_trino_dialect_tier3,
         "graph_gremlin_not_filter": _q_gremlin_not_filter,
         "graph_cypher_pattern_predicate": _q_cypher_pattern_predicate,
         "graph_sparql_group_concat": _q_sparql_group_concat,
@@ -7604,6 +7633,23 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY user_id
             ORDER BY "~from"
+        """,
+        "trino_dialect_tier3": """
+            WITH base AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+                       string_split(o_orderpriority, '-')[2] AS prio_word,
+                       o_totalprice / nullif(o_orderkey % 3, 0) AS safe_ratio,
+                       o_orderstatus, o_orderpriority
+                FROM orders WHERE o_orderkey <= 1000
+            )
+            SELECT okey, prio_word, safe_ratio, x, y FROM (
+                SELECT okey, prio_word, safe_ratio, o_orderstatus AS x, 's' AS y FROM base
+                UNION ALL
+                SELECT okey, prio_word, safe_ratio, o_orderpriority AS x, 'p' AS y FROM base
+                UNION ALL
+                SELECT okey, prio_word, safe_ratio, NULL AS x, 'z' AS y FROM base
+            )
+            ORDER BY okey, y
         """,
         "trino_dialect_scalars": """
             SELECT CAST(o_orderkey AS VARCHAR) AS okey,

@@ -25,7 +25,18 @@ Trino / Athena                              Spark SQL
 ``to_unixtime(t)``                          ``cast(t AS DOUBLE)``
 ``day_of_week/day_of_year/week_of_year``    ``dayofweek/dayofyear/weekofyear``
 ``TRY(CAST(x AS T))``                       ``TRY_CAST(x AS T)``
+``TRY(a + b)`` / ``-`` / ``*`` / ``/``      ``try_add/try_subtract/
+                                            try_multiply/try_divide(a, b)``
+``TRY(element_at(a, i))``                   ``try_element_at(a, i)``
+``a[i]`` (1-based subscript)                ``element_at(a, i)`` (1-based in
+                                            both; Spark's ``[]`` is 0-based)
 ``CROSS JOIN UNNEST(e) AS t (c)``           ``LATERAL VIEW explode(e) t AS c``
+``CROSS JOIN UNNEST(m) AS t (k, v)``        ``LATERAL VIEW explode(m) t AS
+                                            k, v`` (map unnest)
+``CROSS JOIN UNNEST(a, b) AS t (x, y)``     ``LATERAL VIEW inline(
+                                            arrays_zip(a, b)) t AS x, y``
+                                            (positional zip, NULL-padded —
+                                            arrays_zip matches Trino's rule)
 ``map_agg(k, v)``                           ``map_from_entries(collect_list(
                                             struct(k, v)))``
 ``zip(a, b)``                               ``arrays_zip(a, b)``
@@ -58,11 +69,10 @@ Trino / Athena                              Spark SQL
 ==========================================  ================================
 
 Unsupported Trino constructs that have no mechanical Spark equivalent
-(``UNNEST ... WITH ORDINALITY``, multi-column ``UNNEST``, bare ``TRY``
-around a non-CAST expression, ``from_unixtime(x, zone)``, subscript
-``a[i]`` — 1-based in Trino, 0-based in Spark, so use ``element_at``)
-raise ``InvalidArgument`` with the manual rewrite to use — a loud error
-beats a silently different answer.
+(``UNNEST ... WITH ORDINALITY``, ``TRY`` around anything beyond
+CAST/arithmetic/element_at, ``from_unixtime(x, zone)``, 3-arg weighted
+``approx_percentile``) raise ``InvalidArgument`` with the manual
+rewrite to use — a loud error beats a silently different answer.
 
 Everything SHARED by the two dialects (lambdas ``x -> x + 1``,
 ``transform/filter/reduce`` HOFs, ``element_at``, ``cardinality``,
@@ -193,9 +203,36 @@ def _find_close(s: str, open_pos: int) -> int:
     raise InvalidArgument("unbalanced parentheses in SQL")
 
 
+def _top_level_op_split(inner: str, ops: str) -> tuple[str, str, str] | None:
+    """Split ``inner`` at its RIGHTMOST top-level (depth-0) occurrence of
+    one of the single-char operators in ``ops`` (left-associative SQL:
+    the rightmost lowest-precedence operator is the expression root).
+    Unary +/- (operator preceded by nothing, '(' or another operator)
+    are skipped.  Returns (lhs, op, rhs) or None."""
+    depth = 0
+    best = -1
+    for i, c in enumerate(inner):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in ops:
+            prev = inner[:i].rstrip()
+            if c in "+-" and (not prev or prev[-1] in "(,+-*/%<>=|"):
+                continue  # unary sign, not a binary operator
+            best = i
+    if best < 0:
+        return None
+    return inner[:best].strip(), inner[best], inner[best + 1 :].strip()
+
+
 def _rewrite_try_cast(s: str) -> str:
-    """TRY(CAST(x AS T)) -> TRY_CAST(x AS T); bare TRY(...) is refused
-    (Spark has no generic TRY)."""
+    """TRY(CAST(x AS T)) -> TRY_CAST(x AS T); TRY(a op b) for top-level
+    + - * / -> try_add/try_subtract/try_multiply/try_divide;
+    TRY(element_at(..)) -> try_element_at(..).  Anything else is refused
+    (Spark has no generic TRY and a silent pass-through would change
+    error semantics)."""
+    _TRY_OPS = {"+": "try_add", "-": "try_subtract", "*": "try_multiply", "/": "try_divide"}
     while True:
         m = re.search(r"\bTRY\s*\(", s, re.I)
         if not m:
@@ -204,24 +241,74 @@ def _rewrite_try_cast(s: str) -> str:
         close_pos = _find_close(s, open_pos)
         inner = s[open_pos + 1 : close_pos].strip()
         im = re.match(r"^CAST\s*\(", inner, re.I)
-        if not im:
-            raise InvalidArgument(
-                "TRY(expr) has no generic Spark equivalent; rewrite with "
-                "try_cast/try_divide/try_add or a CASE guard "
-                f"(saw: TRY({inner[:60]}...))"
-            )
-        cast_open = inner.index("(", im.start())
-        cast_close = _find_close(inner, cast_open)
-        if inner[cast_close + 1 :].strip():
-            raise InvalidArgument(
-                "TRY(CAST(..) <more>) is not a plain TRY(CAST(..)); "
-                "rewrite manually"
-            )
-        s = s[: m.start()] + "TRY_CAST" + inner[cast_open:] + s[close_pos + 1 :]
+        if im:
+            cast_open = inner.index("(", im.start())
+            cast_close = _find_close(inner, cast_open)
+            if inner[cast_close + 1 :].strip():
+                raise InvalidArgument(
+                    "TRY(CAST(..) <more>) is not a plain TRY(CAST(..)); "
+                    "rewrite manually"
+                )
+            s = s[: m.start()] + "TRY_CAST" + inner[cast_open:] + s[close_pos + 1 :]
+            continue
+        if "||" not in inner:
+            # try the arithmetic root: +/- bind loosest, then * /
+            split = _top_level_op_split(inner, "+-") or _top_level_op_split(inner, "*/")
+            if split:
+                lhs, op, rhs = split
+                s = (
+                    s[: m.start()]
+                    + f"{_TRY_OPS[op]}({lhs}, {rhs})"
+                    + s[close_pos + 1 :]
+                )
+                continue
+        em = re.match(r"^element_at\s*\(", inner, re.I)
+        if em:
+            ea_open = inner.index("(", em.start())
+            ea_close = _find_close(inner, ea_open)
+            if not inner[ea_close + 1 :].strip():
+                s = (
+                    s[: m.start()]
+                    + "try_element_at" + inner[ea_open:]
+                    + s[close_pos + 1 :]
+                )
+                continue
+        raise InvalidArgument(
+            "TRY(expr) has no generic Spark equivalent beyond CAST, "
+            "top-level + - * /, and element_at; rewrite with try_* "
+            f"functions or a CASE guard (saw: TRY({inner[:60]}...))"
+        )
+
+
+def _split_top_commas(expr: str) -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for c in expr:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
 
 
 def _rewrite_unnest(s: str) -> str:
-    """CROSS JOIN UNNEST(expr) AS t (c) -> LATERAL VIEW explode(expr) t AS c."""
+    """CROSS JOIN UNNEST -> LATERAL VIEW:
+
+    - ``UNNEST(a) AS t (c)``            -> ``explode(a) t AS c``
+    - ``UNNEST(m) AS t (k, v)``         -> ``explode(m) t AS k, v``
+      (one MAP argument, two output columns — Trino's map unnest)
+    - ``UNNEST(a, b, ...) AS t (x, y)`` -> ``inline(arrays_zip(a, b)) t
+      AS x, y`` — Trino zips positionally padding the shorter arrays
+      with NULL, which is exactly ``arrays_zip``'s rule, and ``inline``
+      flattens the struct array to columns.
+    """
     if re.search(r"\bUNNEST\s*\([^)]*\)\s*WITH\s+ORDINALITY", s, re.I):
         raise InvalidArgument(
             "UNNEST ... WITH ORDINALITY is 1-based-trailing in Trino and has "
@@ -233,22 +320,32 @@ def _rewrite_unnest(s: str) -> str:
             return s
         open_pos = s.index("(", m.end() - 1)
         close_pos = _find_close(s, open_pos)
-        expr = s[open_pos + 1 : close_pos]
+        exprs = _split_top_commas(s[open_pos + 1 : close_pos])
         tail = s[close_pos + 1 :]
-        tm = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*(,[^)]*)?\)", tail, re.I)
+        tm = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)", tail, re.I)
         if not tm:
             raise InvalidArgument(
-                "CROSS JOIN UNNEST requires an alias: ... AS t (col)"
+                "CROSS JOIN UNNEST requires an alias: ... AS t (col, ...)"
             )
-        if tm.group(3):
+        alias = tm.group(1)
+        cols = [c.strip() for c in tm.group(2).split(",") if c.strip()]
+        if len(exprs) == 1 and len(cols) == 1:
+            gen = f"explode({exprs[0]})"
+        elif len(exprs) == 1 and len(cols) == 2:
+            # a single MAP argument unnests to (key, value) in Trino;
+            # Spark's explode on a map yields the same two columns
+            gen = f"explode({exprs[0]})"
+        elif len(exprs) >= 2 and len(cols) == len(exprs):
+            gen = f"inline(arrays_zip({', '.join(exprs)}))"
+        else:
             raise InvalidArgument(
-                "multi-column UNNEST (zip semantics in Trino) has no single "
-                "Spark explode; use arrays_zip + explode manually"
+                f"UNNEST with {len(exprs)} argument(s) and {len(cols)} output "
+                "column(s) has no mechanical Spark rewrite (expected 1->1 "
+                "array, 1->2 map, or n->n arrays)"
             )
-        alias, col = tm.group(1), tm.group(2)
         s = (
             s[: m.start()]
-            + f"LATERAL VIEW explode({expr}) {alias} AS {col}"
+            + f"LATERAL VIEW {gen} {alias} AS {', '.join(cols)}"
             + tail[tm.end() :]
         )
 
@@ -527,12 +624,67 @@ def trino_to_spark_sql(sql: str) -> str:
 
     s = _rewrite_try_cast(s)
     s = _rewrite_unnest(s)
-
-    # anything still subscripting is Trino's 1-BASED a[i] — Spark's [] is
-    # 0-based, so a mechanical pass-through answers off by one
-    if "[" in s:
-        raise InvalidArgument(
-            "subscript a[i] is 1-based in Trino but 0-based in Spark; "
-            "use element_at(a, i) (1-based in both)"
-        )
+    s = _rewrite_subscripts(s)
     return _unshield(s, lits)
+
+
+_BASE_CHARS = "_.$`\x00"
+
+
+def _rewrite_subscripts(s: str) -> str:
+    """Trino subscript ``a[i]`` is 1-BASED; Spark's ``[]`` is 0-based,
+    so a pass-through answers off by one.  ``element_at(a, i)`` is
+    1-based in BOTH dialects (and has matching map semantics), so every
+    remaining subscript — ARRAY[...] literals were rewritten earlier —
+    becomes ``element_at(base, idx)``.  Chained ``a[1][2]`` and
+    call-result bases ``split(x, ',')[1]`` resolve by scanning back over
+    the base expression."""
+    while True:
+        b = s.find("[")
+        if b < 0:
+            return s
+        depth = 0
+        close = -1
+        for i in range(b, len(s)):
+            if s[i] == "[":
+                depth += 1
+            elif s[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close < 0:
+            raise InvalidArgument("unbalanced subscript '[' in SQL")
+        idx = s[b + 1 : close].strip()
+        p = b - 1
+        while p >= 0 and s[p].isspace():
+            p -= 1
+        if p >= 0 and s[p] == ")":
+            depth2 = 0
+            q = p
+            while q >= 0:
+                if s[q] == ")":
+                    depth2 += 1
+                elif s[q] == "(":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                q -= 1
+            if q < 0:
+                raise InvalidArgument("unbalanced parentheses before subscript")
+            r = q - 1
+            while r >= 0 and (s[r].isalnum() or s[r] in _BASE_CHARS):
+                r -= 1
+            start = r + 1
+        elif p >= 0 and (s[p].isalnum() or s[p] in _BASE_CHARS):
+            r = p
+            while r >= 0 and (s[r].isalnum() or s[r] in _BASE_CHARS):
+                r -= 1
+            start = r + 1
+        else:
+            raise InvalidArgument(
+                "cannot determine the base expression of subscript "
+                f"...{s[max(0, b - 20) : b + 1]!r}; use element_at(a, i)"
+            )
+        base = s[start:b].strip()
+        s = s[:start] + f"element_at({base}, {idx})" + s[close + 1 :]

@@ -1506,3 +1506,185 @@ def test_gremlin_global_steps_rejected_inside_branches(modern):
     ):
         with _pytest.raises(InvalidArgument, match="global-scope"):
             _g(modern, q)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzzing: random small graphs x random programs, compiled
+# plans vs a naive pure-Python traversal evaluator (bag semantics for
+# Gremlin, per-clause trail uniqueness for Cypher).  round-3 verdict #4.
+# ---------------------------------------------------------------------------
+
+
+def _rand_graph(rng, nv=10, ne=26):
+    vlabels = ["person", "robot"]
+    elabels = ["t1", "t2"]
+    verts = [
+        (
+            f"v{i}",
+            rng.choice(vlabels),
+            f"n{i:02d}",
+            rng.choice([None, rng.randint(18, 60)]),
+        )
+        for i in range(nv)
+    ]
+    edges = [
+        (f"e{k}", rng.choice(elabels), f"v{rng.randrange(nv)}", f"v{rng.randrange(nv)}")
+        for k in range(ne)
+    ]
+    return verts, edges
+
+
+def _frames(spark, verts, edges):
+    v = spark.createDataFrame(
+        verts, "`~id` string, `~label` string, name string, age int"
+    )
+    e = spark.createDataFrame(
+        edges, "`~id` string, `~label` string, `~from` string, `~to` string"
+    )
+    return v, e
+
+
+def test_gremlin_random_programs_match_naive_evaluator(spark):
+    """8+ random (graph, program) trials: the compiled plan's traverser
+    bag must equal a step-by-step naive Python evaluation."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        verts, edges = _rand_graph(rng)
+        v, e = _frames(spark, verts, edges)
+        vmap = {x[0]: x for x in verts}
+        out_adj: dict[str, list[tuple[str, str]]] = {}
+        in_adj: dict[str, list[tuple[str, str]]] = {}
+        for _eid, el, f, t in edges:
+            out_adj.setdefault(f, []).append((el, t))
+            in_adj.setdefault(t, []).append((el, f))
+
+        def hop(cur, kind, lbl):
+            nxt = []
+            for x in cur:
+                if kind in ("out", "both"):
+                    nxt += [t for el, t in out_adj.get(x, []) if el == lbl]
+                if kind in ("in", "both"):
+                    nxt += [s for el, s in in_adj.get(x, []) if el == lbl]
+            return nxt
+
+        # random program: start filter + 2-3 steps + terminal
+        steps = []
+        cur = [x[0] for x in verts]
+        q = "g.V()"
+        if rng.random() < 0.5:
+            lab = rng.choice(["person", "robot"])
+            q += f".hasLabel('{lab}')"
+            cur = [x for x in cur if vmap[x][1] == lab]
+        for _ in range(rng.randint(2, 3)):
+            step = rng.choice(
+                ["out", "in", "both", "has_gt", "has_not", "where_out", "not_out", "dedup"]
+            )
+            if step in ("out", "in", "both"):
+                lbl = rng.choice(["t1", "t2"])
+                q += f".{step}('{lbl}')"
+                cur = hop(cur, step, lbl)
+            elif step == "has_gt":
+                n = rng.randint(20, 55)
+                q += f".has('age', gt({n}))"
+                cur = [x for x in cur if vmap[x][3] is not None and vmap[x][3] > n]
+            elif step == "has_not":
+                q += ".hasNot('age')"
+                cur = [x for x in cur if vmap[x][3] is None]
+            elif step in ("where_out", "not_out"):
+                lbl = rng.choice(["t1", "t2"])
+                name = "where" if step == "where_out" else "not"
+                q += f".{name}(out('{lbl}'))"
+                keep = {
+                    x
+                    for x in set(cur)
+                    if any(el == lbl for el, _t in out_adj.get(x, []))
+                }
+                cur = [x for x in cur if (x in keep) == (name == "where")]
+            else:
+                q += ".dedup()"
+                cur = sorted(set(cur))
+        if rng.random() < 0.5:
+            got = execute_gremlin({"root": ""}, q + ".count()", vertices=v, edges=e)
+            assert got.first()[0] == len(cur), f"seed {seed}: {q}.count()"
+        else:
+            rows = execute_gremlin(
+                {"root": ""}, q + ".values('name')", vertices=v, edges=e
+            ).collect()
+            want = sorted(vmap[x][2] for x in cur)
+            assert sorted(r[0] for r in rows) == want, f"seed {seed}: {q}.values"
+
+
+def test_cypher_random_patterns_match_naive_evaluator(spark):
+    """8+ random trials: MATCH chain bindings (per-clause relationship
+    uniqueness = trail semantics) vs naive enumeration."""
+    import itertools
+    import random
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    for seed in range(8):
+        rng = random.Random(2000 + seed)
+        verts, edges = _rand_graph(rng)
+        v, e = _frames(spark, verts, edges)
+        vmap = {x[0]: x for x in verts}
+
+        nhops = rng.randint(1, 2)
+        hops = []
+        pat = "(a0"
+        vlab0 = rng.choice([None, "person", "robot"])
+        if vlab0:
+            pat += f":{vlab0}"
+        pat += ")"
+        for h in range(nhops):
+            elab = rng.choice([None, "t1", "t2"])
+            direction = rng.choice(["out", "in", "any"])
+            etxt = f"[:{elab}]" if elab else "[]"
+            arrow = {"out": f"-{etxt}->", "in": f"<-{etxt}-", "any": f"-{etxt}-"}[direction]
+            vlab = rng.choice([None, "person", "robot"])
+            pat += f"{arrow}(a{h + 1}" + (f":{vlab}" if vlab else "") + ")"
+            hops.append((elab, direction, vlab))
+        age_min = rng.randint(20, 55) if rng.random() < 0.5 else None
+        where = f" WHERE a0.age > {age_min}" if age_min is not None else ""
+        q = f"MATCH {pat}{where} RETURN count(*) AS n"
+
+        # naive enumeration with pairwise-distinct edges (trail rule)
+        def node_ok(vid, lab):
+            return lab is None or vmap[vid][1] == lab
+
+        def orientations(eid, el, f, t, elab, direction):
+            if elab is not None and el != elab:
+                return []
+            outs = []
+            if direction in ("out", "any"):
+                outs.append((eid, f, t))
+            if direction in ("in", "any"):
+                outs.append((eid, t, f))
+            return outs
+
+        count = 0
+        starts = [
+            x[0]
+            for x in verts
+            if node_ok(x[0], vlab0)
+            and (age_min is None or (x[3] is not None and x[3] > age_min))
+        ]
+        for s in starts:
+            frontier = [(s, [])]
+            for elab, direction, vlab in hops:
+                nxt = []
+                for cur, used in frontier:
+                    for eid, el, f, t in edges:
+                        if eid in used:
+                            continue
+                        for _eid, src, dst in orientations(eid, el, f, t, elab, direction):
+                            if src == cur and node_ok(dst, vlab):
+                                nxt.append((dst, used + [eid]))
+                frontier = nxt
+            count += len(frontier)
+
+        got = execute_opencypher({"root": ""}, q, vertices=v, edges=e).first().n
+        assert got == count, f"seed {seed}: {q} -> {got} != naive {count}"

@@ -48,8 +48,24 @@ def test_try_cast_and_bare_try():
     assert tx("SELECT TRY(CAST(x AS BIGINT)) FROM t") == (
         "SELECT TRY_CAST(x AS BIGINT) FROM t"
     )
+    # tier 3: top-level arithmetic maps to the try_* family
+    assert tx("SELECT TRY(1 / x) FROM t") == "SELECT try_divide(1, x) FROM t"
+    assert tx("SELECT TRY(a + b * c) FROM t") == "SELECT try_add(a, b * c) FROM t"
+    assert tx("SELECT TRY(a - b + c) FROM t") == "SELECT try_add(a - b, c) FROM t"
+    assert tx("SELECT TRY(a * b) FROM t") == "SELECT try_multiply(a, b) FROM t"
+    assert tx("SELECT TRY((a + b) / nullif(c, 0)) FROM t") == (
+        "SELECT try_divide((a + b), nullif(c, 0)) FROM t"
+    )
+    # unary minus is not a binary root
+    assert tx("SELECT TRY(-a / b) FROM t") == "SELECT try_divide(-a, b) FROM t"
+    assert tx("SELECT TRY(element_at(m, k)) FROM t") == (
+        "SELECT try_element_at(m, k) FROM t"
+    )
+    # still refused: no mechanical equivalent
     with pytest.raises(InvalidArgument, match="no generic Spark"):
-        tx("SELECT TRY(1 / x) FROM t")
+        tx("SELECT TRY(json_parse(x)) FROM t")
+    with pytest.raises(InvalidArgument, match="no generic Spark"):
+        tx("SELECT TRY(a || b) FROM t")
 
 
 def test_unnest_rewrites_and_refusals():
@@ -57,8 +73,16 @@ def test_unnest_rewrites_and_refusals():
     assert got == "SELECT c FROM t LATERAL VIEW explode(arr) u AS c"
     with pytest.raises(InvalidArgument, match="ORDINALITY"):
         tx("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
-    with pytest.raises(InvalidArgument, match="multi-column"):
-        tx("SELECT * FROM t CROSS JOIN UNNEST(a) AS u(x, y)")
+    # tier 3: map unnest (1 expr -> 2 cols)
+    assert tx("SELECT * FROM t CROSS JOIN UNNEST(m) AS u(k, v)") == (
+        "SELECT * FROM t LATERAL VIEW explode(m) u AS k, v"
+    )
+    # tier 3: multi-array zip unnest (n exprs -> n cols)
+    assert tx("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)") == (
+        "SELECT * FROM t LATERAL VIEW inline(arrays_zip(a, b)) u AS x, y"
+    )
+    with pytest.raises(InvalidArgument, match="no mechanical Spark rewrite"):
+        tx("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y, z)")
 
 
 def test_weighted_approx_percentile_refused():
@@ -202,8 +226,45 @@ def test_sampling_fetch_and_subscript_refusal():
         "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
     )
     assert tx("SELECT * FROM t FETCH FIRST 5 ROWS ONLY") == "SELECT * FROM t LIMIT 5"
-    with pytest.raises(InvalidArgument, match="element_at"):
-        tx("SELECT a[1] FROM t")
+    # tier 3: 1-based Trino subscripts become element_at (1-based in both)
+    assert tx("SELECT a[1] FROM t") == "SELECT element_at(a, 1) FROM t"
+    assert tx("SELECT t.a[i + 1] FROM t") == "SELECT element_at(t.a, i + 1) FROM t"
+    assert tx("SELECT split(x, ',')[2] FROM t") == (
+        "SELECT element_at(split(x, concat('\\\\Q', ',', '\\\\E')), 2) FROM t"
+    )
+    assert tx("SELECT a[1][2] FROM t") == (
+        "SELECT element_at(element_at(a, 1), 2) FROM t"
+    )
+    # ARRAY literal + subscript composes
+    assert tx("SELECT ARRAY[10, 20][2]") == "SELECT element_at(array(10, 20), 2)"
+
+
+def test_tier3_executes_on_spark(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    row = read_sql_query(
+        spark,
+        "SELECT ARRAY[10, 20, 30][2] AS sub, TRY(1 / 0) AS div0, "
+        "TRY(CAST('x' AS BIGINT)) AS badcast",
+        dialect="trino",
+    ).first()
+    assert row.sub == 20 and row.div0 is None and row.badcast is None
+    # multi-array UNNEST zips positionally, NULL-padding the shorter
+    rows = read_sql_query(
+        spark,
+        "SELECT x, y FROM (SELECT ARRAY[1, 2, 3] AS a, ARRAY['p', 'q'] AS b) "
+        "CROSS JOIN UNNEST(a, b) AS u(x, y)",
+        dialect="trino",
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "p"), (2, "q"), (3, None)]
+    # map unnest
+    rows2 = read_sql_query(
+        spark,
+        "SELECT k, v FROM (SELECT map(1, 'a', 2, 'b') AS m) "
+        "CROSS JOIN UNNEST(m) AS u(k, v) ORDER BY k",
+        dialect="trino",
+    ).collect()
+    assert [(r.k, r.v) for r in rows2] == [(1, "a"), (2, "b")]
 
 
 def test_date_format_mysql_tokens_and_week(spark):
