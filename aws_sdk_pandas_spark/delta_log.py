@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -77,7 +78,8 @@ def _commit_file(path: str, version: int) -> str:
 def has_delta_log(path: str) -> bool:
     d = _delta_dir(path)
     return os.path.isdir(d) and any(
-        f.endswith(".json") and f[:-5].isdigit() for f in os.listdir(d)
+        (f.endswith(".json") and f[:-5].isdigit()) or ".checkpoint" in f
+        for f in os.listdir(d)
     )
 
 
@@ -243,13 +245,102 @@ def export_table(path: str) -> int:
     return n
 
 
-def _replay(path: str, version: int) -> tuple[dict[str, dict], dict, dict]:
-    """Replay actions 0..version -> (live add actions by path, metaData,
-    protocol)."""
+def checkpoint_versions(path: str) -> list[int]:
+    """Versions that have a parquet checkpoint (single-part or
+    multi-part per the protocol's file-name patterns)."""
+    d = _delta_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = set()
+    for f in os.listdir(d):
+        m = re.match(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$", f)
+        if m:
+            out.add(int(m.group(1)))
+    return sorted(out)
+
+
+def _checkpoint_files(path: str, version: int) -> list[str]:
+    d = _delta_dir(path)
+    single = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if re.match(rf"^{version:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet$", f)
+    )
+    if not parts:
+        raise InvalidArgument(f"no checkpoint parquet for version {version} at {path!r}")
+    return parts
+
+
+def _mapish(v) -> dict:
+    """pyarrow renders a parquet map column as a list of (k, v) tuples /
+    {'key':..,'value':..} dicts depending on layout — normalize."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    out = {}
+    for item in v:
+        if isinstance(item, dict):
+            out[item.get("key")] = item.get("value")
+        else:
+            k, val = item
+            out[k] = val
+    return out
+
+
+def _load_checkpoint(path: str, version: int) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """Seed (adds, metaData, protocol) from a parquet checkpoint — the
+    checkpoint IS the full table state at its version, one action per
+    row with exactly one non-null action column.  Driver-side via
+    pyarrow: checkpoint row count == file count, the same bounded set
+    every Delta client materializes to plan a scan."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in
+        raise InvalidArgument(f"checkpoint replay needs pyarrow: {exc}")
     adds: dict[str, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
-    for v in range(version + 1):
+    for f in _checkpoint_files(path, version):
+        tbl = pq.read_table(f)
+        cols = set(tbl.column_names)
+        rows = tbl.to_pylist()
+        for r in rows:
+            a = r.get("add") if "add" in cols else None
+            if a and a.get("path"):
+                adds[a["path"]] = {
+                    "path": a["path"],
+                    "partitionValues": _mapish(a.get("partitionValues")),
+                    "size": a.get("size"),
+                    "dataChange": False,
+                }
+                continue
+            m = r.get("metaData") if "metaData" in cols else None
+            if m and m.get("id"):
+                meta = {
+                    "id": m["id"],
+                    "format": m.get("format") or {"provider": "parquet", "options": {}},
+                    "schemaString": m["schemaString"],
+                    "partitionColumns": list(m.get("partitionColumns") or []),
+                    "configuration": _mapish(m.get("configuration")),
+                }
+                continue
+            p = r.get("protocol") if "protocol" in cols else None
+            if p and p.get("minReaderVersion") is not None:
+                protocol = {k: v for k, v in p.items() if v is not None}
+    return adds, meta, protocol
+
+
+def _replay(path: str, version: int, *, start: int = 0, seed=None) -> tuple[dict[str, dict], dict, dict]:
+    """Replay JSON actions start..version (optionally seeded from a
+    checkpoint) -> (live add actions by path, metaData, protocol)."""
+    adds: dict[str, dict] = dict(seed[0]) if seed else {}
+    meta: dict | None = seed[1] if seed else None
+    protocol: dict | None = seed[2] if seed else None
+    for v in range(start, version + 1):
         for a in _read_actions(path, v):
             if "protocol" in a:
                 protocol = a["protocol"]
@@ -271,23 +362,41 @@ def read_delta_log(
     version: int | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Read a Delta table by replaying its JSON transaction log — works
-    on tables written by this exporter AND on tables written elsewhere
-    by delta-rs / Delta Spark, as long as the log is checkpoint-less
-    (contiguous from version 0) and uses reader protocol 1."""
+    """Read a Delta table by replaying its transaction log — works on
+    tables written by this exporter AND on tables written elsewhere by
+    delta-rs / Delta Spark, with reader protocol 1.  When older JSON
+    commits have been cleaned up, the newest parquet CHECKPOINT at or
+    below the requested version seeds the replay (the protocol's
+    recovery path), and only the JSON commits after it are applied."""
     vs = delta_versions(path)
-    if not vs:
+    ckpts = checkpoint_versions(path)
+    if not vs and not ckpts:
         raise InvalidArgument(f"no Delta log under {path!r}")
-    if vs[0] != 0 or vs != list(range(vs[0], vs[-1] + 1)):
+    latest = max(vs[-1] if vs else -1, ckpts[-1] if ckpts else -1)
+    v = latest if version is None else int(version)
+    if v < 0 or v > latest:
         raise InvalidArgument(
-            f"Delta log at {path!r} is not contiguous from version 0 "
-            f"(have {vs[:3]}..{vs[-3:]}); checkpoint parquet replay is not "
-            "supported by this jar-free reader"
+            f"Delta version {v} not found at {path!r} (have up to {latest})"
         )
-    v = vs[-1] if version is None else int(version)
-    if v not in vs:
-        raise InvalidArgument(f"Delta version {v} not found at {path!r} (have 0..{vs[-1]})")
-    adds, meta, protocol = _replay(path, v)
+    json_set = set(vs)
+    if all(i in json_set for i in range(v + 1)):
+        adds, meta, protocol = _replay(path, v)
+    else:
+        usable = [
+            c
+            for c in ckpts
+            if c <= v and all(i in json_set for i in range(c + 1, v + 1))
+        ]
+        if not usable:
+            raise InvalidArgument(
+                f"Delta version {v} at {path!r} is not reachable: the log is "
+                "not contiguous from version 0 and no parquet checkpoint "
+                "covers the gap (history cleaned up past this version)"
+            )
+        c = max(usable)
+        adds, meta, protocol = _replay(
+            path, v, start=c + 1, seed=_load_checkpoint(path, c)
+        )
     if int(protocol.get("minReaderVersion", 1)) > 1:
         raise InvalidArgument(
             f"unsupported Delta reader protocol {protocol}: this jar-free "

@@ -109,14 +109,18 @@ def main() -> None:
     # spreading a query's repetitions across the full sweep gives each
     # one an independent shot at an unthrottled window
     best: dict[str, float] = {name: float("inf") for name in _BENCH_QUERIES}
+    first: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _round in range(3):
+    for round_i in range(3):
         for name in _BENCH_QUERIES:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows[name] = df.count()  # force full execution
-            best[name] = min(best[name], time.time() - t0)
+            elapsed = time.time() - t0
+            if round_i == 0:
+                first[name] = elapsed
+            best[name] = min(best[name], elapsed)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -126,6 +130,9 @@ def main() -> None:
         total += elapsed
         print(f"# {name}: {elapsed:.2f}s ({rows[name]} rows)", file=sys.stderr)
 
+    # min-of-3 is the headline (steady-state estimator on a shared host);
+    # the raw first-sweep times ride along so cross-round comparisons can
+    # separate engine changes from host drift
     print(
         json.dumps(
             {
@@ -133,6 +140,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_single_pass": {
+                    n: round(first[n], 3) for n in _BENCH_QUERIES
+                },
+                "single_pass_total": round(sum(first.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

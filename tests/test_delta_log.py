@@ -238,3 +238,86 @@ def test_unsupported_reader_protocol_refused(spark, tmp_path):
                                           "partitionColumns": [], "configuration": {}}}) + "\n")
     with pytest.raises(InvalidArgument, match="contiguous"):
         lakehouse.read_deltalake(spark, p2)
+
+
+def test_foreign_checkpoint_seeds_replay(spark, tmp_path):
+    """A delta-rs-style table whose old JSON commits were cleaned up:
+    the parquet checkpoint seeds the state and only the later JSON
+    commits replay on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "ckpt_table")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    df_a = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    df_b = spark.createDataFrame([(3, 30)], "k int, v int")
+    df_a.coalesce(1).write.parquet(os.path.join(p, "fa"))
+    df_b.coalesce(1).write.parquet(os.path.join(p, "fb"))
+    fa = "fa/" + next(f for f in os.listdir(os.path.join(p, "fa")) if f.endswith(".parquet"))
+    fb = "fb/" + next(f for f in os.listdir(os.path.join(p, "fb")) if f.endswith(".parquet"))
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    # checkpoint at version 1: protocol + metaData + the single live add,
+    # with the protocol's map<string,string> partitionValues layout
+    ck_schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"id": "ck", "schemaString": schema_str, "partitionColumns": []},
+         "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": fa, "partitionValues": {}, "size": 1, "dataChange": False}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=ck_schema),
+        os.path.join(p, "_delta_log", f"{1:020d}.checkpoint.parquet"),
+    )
+    # JSON commit 2 on top of the checkpoint; commits 0-1 were cleaned up
+    with open(os.path.join(p, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": {"path": fb, "partitionValues": {}, "size": 1,
+                                     "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = sorted(tuple(r) for r in lakehouse.read_deltalake(spark, p).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # time travel to the checkpoint version itself
+    assert lakehouse.read_deltalake(spark, p, version=1).count() == 2
+    # version 0 predates the checkpoint and its JSON is gone -> honest error
+    with pytest.raises(InvalidArgument, match="not reachable|not found"):
+        lakehouse.read_deltalake(spark, p, version=0)
