@@ -5108,6 +5108,28 @@ def _q_cypher_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cypher_with_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher WITH ... ORDER BY ... LIMIT under the hash gate
+    (connectors/opencypher.py — the WITH modifiers run in Cypher's
+    order DISTINCT/ORDER BY/SKIP/LIMIT before the trailing WHERE, and
+    the ORDER+LIMIT pipeline stage compiles to Spark's
+    TakeOrderedAndProject): top-5 users by event volume, expanded back
+    to their purchase counts; the oracle is the ORDER/LIMIT subquery
+    joined to the per-user purchase aggregate."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user)-[r:did]->(t:etype) "
+        "WITH u, count(r) AS n_events ORDER BY n_events DESC, u ASC LIMIT 5 "
+        "MATCH (u)-[r2:did]->(p:etype {id: 'purchase'}) "
+        "RETURN u AS uid, n_events, count(r2) AS n_purchases ORDER BY uid",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openCypher OPTIONAL MATCH under the hash gate
     (connectors/opencypher.py — the optional clause left-joins on the
@@ -5517,6 +5539,51 @@ def _q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sparql({"root": ""}, q, triples=triples)
 
 
+def _q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup under the hash gate
+    (operators/multimodal.dedup_images_dhash): a deterministic 9x8
+    grayscale BMP is synthesized per document — pixel p of doc d has
+    value ((d%25)*11 + p*5 + 16*[d even and p%9==0]) % 256 on all three
+    channels — run through the REAL BMP decoder, dHash (horizontal
+    gradient bits), and the pigeonhole-banded Hamming join; the oracle
+    recomputes the same gradient bits arithmetically in DuckDB and
+    brute-forces all pairs, so the gate pins decoder pixel ORDER,
+    grayscale, bit packing, AND banding == brute force at once."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        dedup_images_dhash,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes(
+                    v
+                    for p in range(72)
+                    for v in [
+                        ((d % 25) * 11 + p * 5 + (16 if d % 2 == 0 and p % 9 == 0 else 0)) % 256
+                    ] * 3
+                )
+                payloads.append(make_test_media("bmp", 9, 8, pixels=px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = ids.mapInPandas(_mk, schema="doc_id long, payload binary")
+    return (
+        dedup_images_dhash(media, id_col="doc_id", max_distance=8)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the hash gate (verdict item 8,
     operators/multimodal.decode_bmp): a deterministic 4x4 24-bit BMP is
@@ -5890,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "multimodal_image_dhash_dups": _q_image_dhash_dups,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
         "graph_cypher_agg": _q_cypher_agg,
         "quicksight_spice_roundtrip": _q_quicksight_spice,
@@ -5901,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
+        "graph_cypher_with_topk": _q_cypher_with_topk,
         "trino_dialect_scalars": _q_trino_dialect_scalars,
         "trino_dialect_tier3": _q_trino_dialect_tier3,
         "graph_gremlin_not_filter": _q_gremlin_not_filter,
@@ -7503,6 +7572,28 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 8
             ORDER BY c_mktsegment, c_nationkey
         """,
+        "multimodal_image_dhash_dups": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            px AS (
+                SELECT doc_id, r.p,
+                       ((doc_id % 25) * 11 + r.p * 5 +
+                        CASE WHEN doc_id % 2 = 0 AND r.p % 9 = 0 THEN 16 ELSE 0 END
+                       ) % 256 AS v
+                FROM d, (SELECT unnest(range(72)) AS p) r
+            ),
+            bits AS (
+                SELECT l.doc_id, l.p - (l.p // 9) AS pos,
+                       CASE WHEN rr.v > l.v THEN 1 ELSE 0 END AS bit
+                FROM px l JOIN px rr ON rr.doc_id = l.doc_id AND rr.p = l.p + 1
+                WHERE l.p % 9 < 8
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+            FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 8
+            ORDER BY id_a, id_b
+        """,
         "multimodal_bmp_pixel_stats": """
             SELECT d.doc_id, 4 AS width, 4 AS height,
                    CAST(ROUND(AVG((d.doc_id * 7 + r.i * 13) % 256), 6) AS DOUBLE) AS mean_pixel
@@ -7660,6 +7751,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE starts_with(o_orderpriority, '1') OR starts_with(o_orderpriority, '3')
             ORDER BY okey
             LIMIT 500
+        """,
+        "graph_cypher_with_topk": """
+            WITH agg AS (
+                SELECT concat('u', CAST(user_id AS VARCHAR)) AS uid,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY user_id
+                ORDER BY n_events DESC, uid ASC LIMIT 5
+            ),
+            p AS (
+                SELECT concat('u', CAST(user_id AS VARCHAR)) AS uid,
+                       COUNT(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT agg.uid, agg.n_events, p.n_purchases
+            FROM agg JOIN p ON agg.uid = p.uid
+            ORDER BY agg.uid
         """,
         "graph_cypher_with_pipeline": """
             WITH agg AS (

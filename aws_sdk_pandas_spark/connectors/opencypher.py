@@ -280,15 +280,23 @@ class _CypherQuery:
                 "[WITH items [WHERE ...] [MATCH ...]]* "
                 "RETURN ... [ORDER BY ...] [SKIP n] [LIMIT n]"
             )
-        # stages: [(clauses, with_items|None, with_where|None), ...] —
-        # each WITH ends a stage; the last stage is ended by RETURN
+        # stages: [(clauses, with_items|None, with_where|None, mods), ...]
+        # — each WITH ends a stage; the last stage is ended by RETURN.
+        # mods carries the WITH-clause modifiers in Cypher's evaluation
+        # order: DISTINCT -> ORDER BY -> SKIP -> LIMIT (WHERE runs last)
         self.stages: list[
-            tuple[list[tuple[bool, list[str], str | None]], str | None, str | None]
+            tuple[
+                list[tuple[bool, list[str], str | None]],
+                str | None,
+                str | None,
+                dict | None,
+            ]
         ] = []
         segments = _split_on_keyword(m.group("body"), "WITH")
-        self.stages.append((_parse_clauses(segments[0], q), None, None))
+        self.stages.append((_parse_clauses(segments[0], q), None, None, None))
         for seg in segments[1:]:
-            # "items [WHERE cond] [MATCH-clauses...]"
+            # "[DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n]
+            #  [WHERE cond] [MATCH-clauses...]"
             cm = re.search(
                 r"\b(OPTIONAL\s+MATCH|MATCH|UNWIND)\b", _shield_literals(seg), flags=re.I
             )
@@ -297,18 +305,32 @@ class _CypherQuery:
             wm = re.search(r"\bWHERE\b", _shield_literals(withspec), flags=re.I)
             items = withspec[: wm.start()] if wm else withspec
             where = withspec[wm.end() :].strip() if wm else None
-            if re.search(r"\b(ORDER|SKIP|LIMIT)\b", items, re.I) or re.match(
-                r"\s*DISTINCT\b", items, re.I
-            ):
-                # DISTINCT inside an aggregate (collect(DISTINCT x)) is
-                # fine — only the WITH-modifier forms are unsupported
-                raise InvalidArgument(
-                    "ORDER BY/SKIP/LIMIT/DISTINCT inside WITH are not supported"
-                )
-            prev_clauses, _pi, _pw = self.stages[-1]
-            self.stages[-1] = (prev_clauses, items.strip(), where or None)
+            mods: dict = {"distinct": False, "order": None, "skip": None, "limit": None}
+            lm = re.search(r"\bLIMIT\s+(\d+)\s*$", _shield_literals(items), re.I)
+            if lm:
+                mods["limit"] = int(lm.group(1))
+                items = items[: lm.start()]
+            sm = re.search(r"\bSKIP\s+(\d+)\s*$", _shield_literals(items), re.I)
+            if sm:
+                mods["skip"] = int(sm.group(1))
+                items = items[: sm.start()]
+            om = re.search(r"\bORDER\s+BY\b", _shield_literals(items), re.I)
+            if om:
+                mods["order"] = items[om.end() :].strip() or None
+                items = items[: om.start()]
+            dm = re.match(r"\s*DISTINCT\b", items, re.I)
+            if dm:
+                mods["distinct"] = True
+                items = items[dm.end() :]
+            prev_clauses, _pi, _pw, _pm = self.stages[-1]
+            self.stages[-1] = (prev_clauses, items.strip(), where or None, mods)
             self.stages.append(
-                (_parse_clauses(clause_text, q) if clause_text.strip() else [], None, None)
+                (
+                    _parse_clauses(clause_text, q) if clause_text.strip() else [],
+                    None,
+                    None,
+                    None,
+                )
             )
         self.distinct = bool(m.group("distinct"))
         self.items = [i.strip() for i in m.group("items").split(",")]
@@ -556,13 +578,21 @@ def _item_col(expr: str, alias: str | None, known: set[str]):
 
 
 def _apply_with(
-    cur: DataFrame, items_text: str, where_text: str | None, known: set[str]
+    cur: DataFrame,
+    items_text: str,
+    where_text: str | None,
+    known: set[str],
+    mods: dict | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    """WITH items [WHERE ...]: Cypher's pipeline checkpoint — project to
-    the listed items (node/edge variables keep their full column set so
-    later clauses can join on them; expressions need an alias and become
-    plain value columns), aggregate when any item is an aggregate
-    (grouping by the non-aggregated items, as in RETURN), then filter."""
+    """WITH [DISTINCT] items [ORDER BY][SKIP][LIMIT] [WHERE ...]:
+    Cypher's pipeline checkpoint — project to the listed items
+    (node/edge variables keep their full column set so later clauses
+    can join on them; expressions need an alias and become plain value
+    columns), aggregate when any item is an aggregate (grouping by the
+    non-aggregated items, as in RETURN), then apply the modifiers in
+    Cypher's order (DISTINCT, ORDER BY, SKIP, LIMIT) and filter last.
+    ORDER BY + LIMIT compiles to Spark's TakeOrderedAndProject — the
+    top-k stays distributed."""
     items = _split_top_level(items_text)
     if not items:
         raise InvalidArgument("WITH needs at least one item")
@@ -610,6 +640,22 @@ def _apply_with(
             sel.append(F.col(f"`{c}`").alias(new))
         out = out.select(*sel)
     new_known = {out_name for _v, out_name in node_keeps}
+    mods = mods or {}
+    if mods.get("distinct"):
+        out = out.distinct()
+    if mods.get("order"):
+        sorts = []
+        for part in _split_top_level(mods["order"]):
+            desc = bool(re.search(r"\s+DESC$", part, re.I))
+            part = re.sub(r"\s+(DESC|ASC)$", "", part, flags=re.I).strip()
+            name = part if part in out.columns else _translate_expr(part, new_known)
+            col = F.col(f"`{name}`") if name in out.columns else F.expr(name)
+            sorts.append(col.desc() if desc else col.asc())
+        out = out.orderBy(*sorts)
+    if mods.get("skip"):
+        out = out.offset(int(mods["skip"]))
+    if mods.get("limit") is not None:
+        out = out.limit(int(mods["limit"]))
     if where_text:
         out = out.where(F.expr(_translate_expr(where_text, new_known)))
     return out, new_known
@@ -621,7 +667,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
     known: set[str] = set()
     seg_counter = 0
     chain_counter = 0
-    for stage_clauses, with_items, with_where in q.stages:
+    for stage_clauses, with_items, with_where, with_mods in q.stages:
         for clause in stage_clauses:
             if clause[0] == "unwind":
                 _kind, u_expr, u_alias = clause
@@ -769,7 +815,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
         if with_items is not None:
             if cur is None:
                 raise InvalidArgument("WITH before any MATCH is not supported")
-            cur, known = _apply_with(cur, with_items, with_where, known)
+            cur, known = _apply_with(cur, with_items, with_where, known, with_mods)
 
     assert cur is not None
 

@@ -528,27 +528,51 @@ def simhash_duplicates(
     Returns ``id_a, id_b, hamming``.
     """
     sigs = simhash_signatures(df.select(id_col, text_col), text_col, bits=bits)
+    return hamming_band_pairs(sigs, id_col, "simhash", radius=radius, bits=bits)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    radius: int,
+    bits: int = 63,
+) -> DataFrame:
+    """All id pairs whose ``hash_col`` signatures are within Hamming
+    distance ``radius`` — the pigeonhole-banding candidate generator
+    shared by SimHash text dedup and dHash image dedup.
+
+    radius=0: identical signatures — a single equi-self-join.
+    radius>0: the ``bits`` bits split into ``radius+1`` bands; two
+    signatures within distance r agree exactly on at least one band, so
+    candidates come from ``radius+1`` equi-joins on (band id, band
+    bits) — never an O(n^2) comparison — then exact verification via
+    ``bit_count(a XOR b) <= radius`` (JVM-side POPCNT).
+    Returns ``id_a, id_b, hamming``."""
     if radius == 0:
-        l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash"))
-        r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+        l = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col))
+        r = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col))
         return (
-            l.join(r, "simhash")
+            l.join(r, hash_col)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.lit(0).alias("hamming"))
         )
 
     n_bands = radius + 1
     width = bits // n_bands
+    if width < 1:
+        raise ValueError(f"radius {radius} too large for {bits}-bit signatures")
     banded = sigs.select(
         F.col(id_col).alias("__id"),
-        F.col("simhash"),
+        F.col(hash_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         # band b = bits [b*width, ...) (last band takes the rest)
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
                         .bitwiseAND(
                             F.lit(
                                 (1 << (bits - b * width)) - 1
@@ -562,13 +586,13 @@ def simhash_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select("__id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
 
     l = banded.select(
-        F.col("band"), F.col("key"), F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a")
+        F.col("band"), F.col("key"), F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")
     )
     r = banded.select(
-        F.col("band"), F.col("key"), F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b")
+        F.col("band"), F.col("key"), F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b")
     )
     return (
         l.join(r, ["band", "key"])

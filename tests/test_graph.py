@@ -1085,8 +1085,9 @@ def test_cypher_with_clause(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with pytest.raises(InvalidArgument, match="needs an alias"):
         _cy(modern, "MATCH (a:person) WITH a.age RETURN a")
-    with pytest.raises(InvalidArgument, match="not supported"):
-        _cy(modern, "MATCH (a:person) WITH DISTINCT a RETURN a")
+    # WITH DISTINCT is supported since round 4 (see test_cypher_with_modifiers)
+    q6 = "MATCH (a:person)-[:knows]->(b) WITH DISTINCT a RETURN count(*) AS n"
+    assert _cy(modern, q6).first().n == 1  # only marko knows anyone
 
 
 def test_gremlin_where_not_subtraversals(modern):
@@ -1688,3 +1689,45 @@ def test_cypher_random_patterns_match_naive_evaluator(spark):
 
         got = execute_opencypher({"root": ""}, q, vertices=v, edges=e).first().n
         assert got == count, f"seed {seed}: {q} -> {got} != naive {count}"
+
+
+def test_cypher_with_modifiers(modern):
+    """WITH [DISTINCT] items [ORDER BY] [SKIP] [LIMIT] [WHERE] — the
+    pipeline modifiers in Cypher's evaluation order."""
+    # top-2 creators by software count, then expand back to their works
+    q = (
+        "MATCH (p:person)-[:created]->(s) "
+        "WITH p, count(s) AS n ORDER BY n DESC, p.name ASC LIMIT 1 "
+        "MATCH (p)-[:created]->(s2) "
+        "RETURN p.name AS who, s2.name AS sw ORDER BY sw"
+    )
+    got = [(r.who, r.sw) for r in _cy(modern, q).collect()]
+    assert got == [("josh", "lop"), ("josh", "ripple")]
+    # SKIP past the top row
+    q2 = (
+        "MATCH (p:person)-[:created]->(s) "
+        "WITH p, count(s) AS n ORDER BY n DESC, p.name ASC SKIP 1 LIMIT 2 "
+        "RETURN p.name AS who ORDER BY who"
+    )
+    assert [r.who for r in _cy(modern, q2).collect()] == ["marko", "peter"]
+    # DISTINCT collapses the duplicated software rows
+    q3 = (
+        "MATCH (p:person)-[:created]->(s) "
+        "WITH DISTINCT s "
+        "RETURN count(*) AS n"
+    )
+    assert _cy(modern, q3).first().n == 2  # lop, ripple
+    # ORDER BY on a property of a carried variable + WHERE after LIMIT
+    q4 = (
+        "MATCH (p:person) "
+        "WITH p ORDER BY p.age DESC LIMIT 3 WHERE p.age < 35 "
+        "RETURN p.name AS who ORDER BY who"
+    )
+    # top-3 by age = peter(35), josh(32), marko(29); WHERE drops peter
+    assert [r.who for r in _cy(modern, q4).collect()] == ["josh", "marko"]
+    # a literal containing ' LIMIT ' must not trip the modifier parser
+    q5 = (
+        "MATCH (p:person) WITH p WHERE p.name = ' LIMIT 5' "
+        "RETURN count(*) AS n"
+    )
+    assert _cy(modern, q5).first().n == 0

@@ -222,3 +222,63 @@ def test_null_payloads_yield_null_rows(spark):
     )
     astats = {r.media_id: r for r in audio_pcm_stats(wav).collect()}
     assert astats["nope"].rms is None and astats["w"].n_frames == 4
+
+
+def test_image_dhash_properties(spark):
+    """dHash over REAL BMP decode: identical images collide, a uniform
+    brightness shift is invariant, box-downsampled copies match, and the
+    banded pair join equals brute force."""
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        dedup_images_dhash,
+        image_dhash,
+        make_test_media,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def bmp(arr):  # arr: (h, w) grayscale 0..255 -> 24-bit BMP bytes
+        h, w = arr.shape
+        rgb = np.repeat(arr.astype(np.uint8)[:, :, None], 3, axis=2)
+        return make_test_media("bmp", w, h, pixels=rgb.tobytes())
+
+    base = rng.integers(0, 200, size=(8, 9)).astype(np.int64)  # 8 rows, 9 cols
+    shifted = np.clip(base + 30, 0, 255)          # uniform brightness shift
+    big = np.kron(base, np.ones((4, 4), dtype=np.int64))  # 32x36 upscale
+    noisy = base.copy()
+    noisy[0, 0] = 255 - noisy[0, 0]               # flips at most a few bits
+    other = rng.integers(0, 255, size=(8, 9)).astype(np.int64)
+
+    rows = [
+        (1, bmp(base)), (2, bmp(base)), (3, bmp(shifted)),
+        (4, bmp(big)), (5, bmp(noisy)), (6, bmp(other)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    hashes = {
+        r.media_id: r.dhash
+        for r in image_dhash(df, id_col="media_id").collect()
+    }
+    assert hashes[1] == hashes[2] == hashes[3] == hashes[4]
+    pairs = dedup_images_dhash(df, id_col="media_id", max_distance=4).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+        assert got[(a, b)] == 0
+
+    # banding == brute force over all 6 images
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a in hashes
+        for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= 4
+    }
+    assert got == brute
+
+    # NULL payloads never pair, never crash
+    df2 = spark.createDataFrame(
+        [(1, bmp(base)), (2, None)], "media_id bigint, payload binary"
+    )
+    assert dedup_images_dhash(df2, id_col="media_id").count() == 0
