@@ -5584,6 +5584,98 @@ def _q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lakelite_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-DataSource streaming SOURCE over a lakelite table under the
+    hash gate (streaming/lakelite_source.py — manifest versions are the
+    stream offsets, one input partition per added file, hive partition
+    values injected as typed Arrow constants): three commits of the
+    events slice stream through availableNow into a memory sink; the
+    oracle is the same slice as plain SQL, so a lost commit, duplicated
+    batch, or mis-injected partition value hash-mismatches."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse_shim as shim
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.streaming.lakelite_source import (
+        LakeliteStreamDataSource,
+    )
+
+    ev = (
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+        .where("event_id < 2000")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = tempfile.mkdtemp(prefix="lakelite_stream_gate_")
+    # three commits, partitioned by event_type (exercises value injection)
+    shim.write(ev.where("event_id < 700"), path, mode="overwrite",
+               partition_cols=["event_type"])
+    shim.write(ev.where("event_id >= 700 AND event_id < 1400"), path)
+    shim.write(ev.where("event_id >= 1400"), path)
+
+    spark.dataSource.register(LakeliteStreamDataSource)
+    q = (
+        spark.readStream.format("lakelite_stream").option("path", path).load()
+        .writeStream.format("memory").queryName("lakelite_stream_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, value "
+        "FROM lakelite_stream_gate ORDER BY event_id"
+    )
+
+
+def _q_audio_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup under the hash gate
+    (operators/multimodal.dedup_audio_dhash): a deterministic 130-frame
+    16-bit PCM WAV is synthesized per document — sample j of doc d is
+    ((d%25)*31 + j*17 + 7*[d even and j%13==0]) % 65536 - 32768 — run
+    through the REAL WAV decoder, the 65-window energy-envelope hash,
+    and the banded Hamming join; the oracle recomputes the window
+    energies arithmetically in DuckDB (int16/32768 and its square are
+    exact in float64, so the comparison is bit-for-bit) and brute-forces
+    all pairs."""
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        dedup_audio_dhash,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vals = [
+                    ((d % 25) * 31 + j * 17 + (7 if d % 2 == 0 and j % 13 == 0 else 0))
+                    % 65536
+                    - 32768
+                    for j in range(130)
+                ]
+                payloads.append(
+                    make_test_media(
+                        "wav", sample_rate=16000, channels=1, bits=16,
+                        data=struct.pack(f"<{len(vals)}h", *vals),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = ids.mapInPandas(_mk, schema="doc_id long, payload binary")
+    return (
+        dedup_audio_dhash(media, id_col="doc_id", max_distance=8)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the hash gate (verdict item 8,
     operators/multimodal.decode_bmp): a deterministic 4x4 24-bit BMP is
@@ -5958,6 +6050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
+        "lakelite_stream_source": _q_lakelite_stream_source,
+        "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
         "graph_cypher_agg": _q_cypher_agg,
         "quicksight_spice_roundtrip": _q_quicksight_spice,
@@ -7571,6 +7665,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment, c_nationkey
             HAVING COUNT(*) >= 8
             ORDER BY c_mktsegment, c_nationkey
+        """,
+        "lakelite_stream_source": """
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_id < 2000
+            ORDER BY event_id
+        """,
+        "multimodal_audio_dhash_dups": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            s AS (
+                SELECT doc_id, r.j, (r.j * 65) // 130 AS w,
+                       ((((doc_id % 25) * 31 + r.j * 17 +
+                          CASE WHEN doc_id % 2 = 0 AND r.j % 13 = 0 THEN 7 ELSE 0 END
+                         ) % 65536) - 32768) / 32768.0 AS v
+                FROM d, (SELECT unnest(range(130)) AS j) r
+            ),
+            e AS (
+                SELECT doc_id, w, AVG(v * v) AS energy
+                FROM s GROUP BY doc_id, w
+            ),
+            bits AS (
+                SELECT a.doc_id, a.w AS pos,
+                       CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+                FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+                WHERE a.w < 64
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+            FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 8
+            ORDER BY id_a, id_b
         """,
         "multimodal_image_dhash_dups": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),

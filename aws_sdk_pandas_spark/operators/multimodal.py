@@ -466,6 +466,75 @@ def dedup_images_dhash(
     )
 
 
+def audio_dhash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "adhash",
+) -> DataFrame:
+    """Perceptual audio fingerprint: REAL WAV decode -> mono -> the PCM
+    split into 65 equal time windows -> mean-square ENERGY per window ->
+    one bit per energy gradient (window k+1 louder than window k),
+    packed into a 64-bit signed long — the energy-envelope analog of
+    image dHash (comparing mean-square instead of RMS is the same
+    ordering, sqrt-free and exact in float64 for integer PCM).  Robust
+    to uniform gain changes that preserve the loudness CONTOUR and to
+    resampling; the standard cheap near-duplicate-audio key before an
+    expensive spectral model.  Arrow-batched pandas UDF, map-only.
+    NULL payloads hash to NULL."""
+    import numpy as np
+
+    N = 65
+
+    @F.pandas_udf("long")
+    def _ahash(payloads: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None:
+                return None
+            _ch, _sr, samples = decode_wav(bytes(p))
+            mono = samples.astype(np.float64).mean(axis=1)
+            n = mono.shape[0]
+            if n == 0:
+                return 0
+            wi = (np.arange(n) * N) // n
+            acc = np.zeros(N)
+            cnt = np.zeros(N)
+            np.add.at(acc, wi, mono * mono)
+            np.add.at(cnt, wi, 1.0)
+            e = acc / np.maximum(cnt, 1.0)
+            bits = e[1:] > e[:-1]
+            v = 0
+            for k in np.nonzero(bits)[0]:
+                v |= 1 << int(k)
+            return int(np.uint64(v).astype(np.int64))
+
+        return payloads.apply(one)
+
+    return df.withColumn(out_col, _ahash(F.col(payload_col)))
+
+
+def dedup_audio_dhash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_distance: int = 4,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by energy-envelope hash Hamming
+    distance <= ``max_distance`` — same scale shape as
+    :func:`dedup_images_dhash`: one map-only decode+hash pass, then the
+    shared pigeonhole banding (``dedup.hamming_band_pairs``) — never
+    all-pairs; only (id, 8-byte hash) rows shuffle.  Returns ``id_a,
+    id_b, hamming``."""
+    from aws_sdk_pandas_spark.operators.dedup import hamming_band_pairs
+
+    sigs = audio_dhash(df, payload_col=payload_col, id_col=id_col).select(
+        id_col, "adhash"
+    )
+    return hamming_band_pairs(sigs, id_col, "adhash", radius=max_distance, bits=64)
+
+
 _PCM_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),

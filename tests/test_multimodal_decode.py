@@ -282,3 +282,43 @@ def test_image_dhash_properties(spark):
         [(1, bmp(base)), (2, None)], "media_id bigint, payload binary"
     )
     assert dedup_images_dhash(df2, id_col="media_id").count() == 0
+
+
+def test_audio_dhash_properties(spark):
+    """Energy-envelope audio hash: identical clips collide, a uniform
+    gain change preserves the loudness contour (same hash), resampled
+    copies match, different content does not."""
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_dhash,
+        dedup_audio_dhash,
+        make_test_media,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def wav(samples_i16, sr=16000):
+        return make_test_media(
+            "wav", sample_rate=sr, channels=1, bits=16,
+            data=struct.pack(f"<{len(samples_i16)}h", *[int(x) for x in samples_i16]),
+        )
+
+    base = rng.integers(-20000, 20000, size=260)
+    half_gain = base // 2                       # uniform gain: contour kept
+    upsampled = np.repeat(base, 2)              # same contour, 2x frames
+    other = rng.integers(-20000, 20000, size=260)
+
+    df = spark.createDataFrame(
+        [(1, wav(base)), (2, wav(base)), (3, wav(half_gain)),
+         (4, wav(upsampled)), (5, wav(other)), (6, None)],
+        "media_id bigint, payload binary",
+    )
+    h = {r.media_id: r.adhash for r in audio_dhash(df, id_col="media_id").collect()}
+    assert h[1] == h[2] == h[3] == h[4]
+    assert h[5] != h[1]
+    assert h[6] is None
+    pairs = {(r.id_a, r.id_b) for r in dedup_audio_dhash(df, id_col="media_id", max_distance=0).collect()}
+    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= pairs

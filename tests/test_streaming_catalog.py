@@ -695,3 +695,90 @@ def test_incremental_rollup_stream_equals_direct(spark, tmp_path):
         assert got[g].v_max == direct[g].v_max
         # HLL merged across batches == direct sketch of all history
         assert got[g].u_approx_distinct == direct[g].u_approx_distinct
+
+
+def test_lakelite_stream_source_microbatches(spark, tmp_path):
+    """Python-DataSource streaming source over a lakelite table: commits
+    become micro-batches by version offset, restarts resume from the
+    checkpoint, rewrites fail without ignoreChanges (Delta's contract)."""
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark import lakehouse_shim as shim
+    from aws_sdk_pandas_spark.streaming.lakelite_source import (
+        LakeliteStreamDataSource,
+    )
+
+    p = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    shim.write(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, g string, v int"),
+        p, mode="overwrite", partition_cols=["g"],
+    )
+    shim.write(spark.createDataFrame([(3, "a", 2)], "k int, g string, v int"), p)
+
+    spark.dataSource.register(LakeliteStreamDataSource)
+
+    def drain(opts=None):
+        reader = spark.readStream.format("lakelite_stream").option("path", p)
+        for k_, v_ in (opts or {}).items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {tuple(r) for r in spark.read.parquet(out).select("k", "g", "v").collect()}
+
+    got = drain()
+    assert got == {(1, "a", 1), (2, "b", 1), (3, "a", 2)}
+    # partition column typed from the manifest schema, injected from dirs
+    assert dict(
+        spark.readStream.format("lakelite_stream").option("path", p).load().dtypes
+    )["g"] == "string"
+
+    # new commit -> restart from the checkpoint appends ONLY the delta
+    shim.write(spark.createDataFrame([(4, "c", 3)], "k int, g string, v int"), p)
+    got2 = drain()
+    assert got2 == {(1, "a", 1), (2, "b", 1), (3, "a", 2), (4, "c", 3)}
+    # exactly-once across the restart: no row duplicated
+    assert spark.read.parquet(out).count() == 4
+
+    # a rewriting commit (merge) fails the stream without ignoreChanges
+    shim.merge(
+        spark, spark.createDataFrame([(1, "a", 99)], "k int, g string, v int"),
+        p, keys=["k"],
+    )
+    with _pytest.raises(Exception, match="ignoreChanges"):
+        q = (
+            spark.readStream.format("lakelite_stream").option("path", p).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+
+    # with ignoreChanges the rewritten file re-emits (duplicates allowed)
+    out2 = str(tmp_path / "out2")
+    q2 = (
+        spark.readStream.format("lakelite_stream").option("path", p)
+        .option("ignoreChanges", "true")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    rows = {tuple(r) for r in spark.read.parquet(out2).select("k", "g", "v").collect()}
+    assert (1, "a", 99) in rows  # the post-merge value streamed through
