@@ -113,6 +113,31 @@ def _translate_expr(expr: str, known_vars: set[str]) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _shield, expr)
+
+    # Cypher graph functions over bound variables (before the property
+    # rewrite so exists() still sees the dot form):
+    #   exists(n.prop) -> (n_prop IS NOT NULL)   id(n)   -> n_id
+    #   type(r)        -> r_label                labels(n) -> array(n_label)
+    out = re.sub(
+        r"\bexists\s*\(\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)",
+        r"(\1_\2 IS NOT NULL)",
+        out,
+        flags=re.I,
+    )
+
+    def _graph_fn(fn: str, template) -> None:
+        nonlocal out
+        out = re.sub(
+            rf"\b{fn}\s*\(\s*([A-Za-z_]\w*)\s*\)",
+            lambda m: template(m.group(1)) if m.group(1) in known_vars else m.group(0),
+            out,
+            flags=re.I,
+        )
+
+    _graph_fn("id", lambda v: f"{v}_id")
+    _graph_fn("type", lambda v: f"{v}_label")
+    _graph_fn("labels", lambda v: f"array({v}_label)")
+
     # identifier.identifier only — a decimal literal like 0.4 is NOT a
     # property access
     out = re.sub(

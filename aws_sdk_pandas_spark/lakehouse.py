@@ -140,6 +140,18 @@ def read_deltalake(
     return df.select(*columns) if columns else df
 
 
+def convert_to_delta(path: str) -> int:
+    """Backfill a protocol-valid Delta transaction log for an existing
+    lakelite table (tables written from this round on carry one
+    automatically) — the ``deltalake.convert_to_deltalake`` analog,
+    jar-free.  Returns the number of commit files written.  After this,
+    the table is readable by delta-rs / Delta Spark AND by
+    :func:`read_deltalake`'s log-replay path."""
+    from aws_sdk_pandas_spark import delta_log
+
+    return delta_log.export_table(path)
+
+
 def to_deltalake_streaming(
     batches: Iterator[DataFrame],
     path: str,

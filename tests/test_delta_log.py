@@ -321,3 +321,15 @@ def test_foreign_checkpoint_seeds_replay(spark, tmp_path):
     # version 0 predates the checkpoint and its JSON is gone -> honest error
     with pytest.raises(InvalidArgument, match="not reachable|not found"):
         lakehouse.read_deltalake(spark, p, version=0)
+
+
+def test_convert_to_delta_api(spark, tmp_path):
+    import shutil
+
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", 1)]), p, mode="overwrite")
+    shim.write(_df(spark, [(2, "b", 1)]), p)
+    shutil.rmtree(os.path.join(p, "_delta_log"))
+    assert lakehouse.convert_to_delta(p) == 2
+    assert delta_log.read_delta_log(spark, p).count() == 2
+    assert lakehouse.convert_to_delta(p) == 0  # idempotent

@@ -1731,3 +1731,22 @@ def test_cypher_with_modifiers(modern):
         "RETURN count(*) AS n"
     )
     assert _cy(modern, q5).first().n == 0
+
+
+def test_cypher_graph_functions(modern):
+    """id()/type()/labels()/exists() over bound variables."""
+    q = "MATCH (p:person) WHERE exists(p.age) RETURN count(*) AS n"
+    assert _cy(modern, q).first().n == 4
+    q2 = "MATCH (s:software) WHERE NOT exists(s.age) RETURN count(*) AS n"
+    assert _cy(modern, q2).first().n == 2
+    q3 = "MATCH (p:person) RETURN id(p) AS i ORDER BY i LIMIT 2"
+    assert [r.i for r in _cy(modern, q3).collect()] == ["josh", "marko"]
+    q4 = (
+        "MATCH (a)-[r]->(b:software) "
+        "RETURN DISTINCT type(r) AS t, labels(b) AS lb ORDER BY t"
+    )
+    got = [(r.t, list(r.lb)) for r in _cy(modern, q4).collect()]
+    assert got == [("created", ["software"])]
+    # a property named like a function is untouched (id_x etc. unaffected)
+    q5 = "MATCH (p:person) RETURN p.name AS id ORDER BY id LIMIT 1"
+    assert _cy(modern, q5).first().id == "josh"

@@ -599,3 +599,31 @@ def test_round3_query_language_gates_plan_smells(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round4_gates_plan_quality(spark, sf_dir):
+    """Round-4 additions: the tier-3 Trino rewrites and the Cypher WITH
+    ORDER+LIMIT stage stay JVM-only (plan rewriters add no Python), the
+    dHash dedups keep Python confined to the one Arrow-batched decode
+    kernel, and the banded join never degenerates to a cartesian."""
+    for name in ("trino_dialect_tier3", "graph_cypher_with_topk"):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # the WITH ... ORDER BY ... LIMIT pipeline stage is a distributed
+    # top-k, not a global sort exchange
+    topk = entry.queries()["graph_cypher_with_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(topk)
+
+    for name in ("multimodal_image_dhash_dups", "multimodal_audio_dhash_dups"):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # exactly the decode+hash kernels are Python (Arrow-batched);
+        # nothing row-at-a-time
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" in plan, name
