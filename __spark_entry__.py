@@ -4894,6 +4894,33 @@ def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (operators/similarity.
+    decontaminate_by_embedding — the semantic complement of the exact
+    n-gram pass `docs_decontaminate_bloom`, catching rephrased eval
+    samples that share no gram): eval set = the vec_id % 97 == 0 slice,
+    so every eval member sits in the corpus at sim 1.0 and must be
+    removed.  The gate returns the REMOVED ids (corpus anti-join the
+    cleaned output) so a recall loss in the broadcast anti-join
+    hash-mismatches against DuckDB's exact EXISTS oracle.  Boundary
+    safety: at every SF the nearest non-removed row sits below 0.51
+    similarity vs the 0.95 threshold — cross-engine float drift
+    (~1e-15 in double) cannot flip membership."""
+    from aws_sdk_pandas_spark.operators.similarity import decontaminate_by_embedding
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    eval_df = emb.where(F.col("vec_id") % 97 == 0).select("embedding")
+    cleaned = decontaminate_by_embedding(
+        emb, eval_df, id_col="vec_id", vector_col="embedding", threshold=0.95
+    )
+    return (
+        emb.select("vec_id")
+        .join(cleaned.select("vec_id"), "vec_id", "left_anti")
+        .orderBy("vec_id")
+    )
+
+
 def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-checking semantic-retrieval pipeline (verdict item 5):
     embed_texts must be DETERMINISTIC (two independent plans over the
@@ -5997,6 +6024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "emb_knn_ivf_invariants": _q_knn_ivf_invariants,
         "dedup_embedding_pairs_exact": _q_dedup_embedding_pairs,
+        "docs_decontaminate_embedding": _q_decontaminate_embedding,
         "doc_semantic_knn_selfcheck": _q_semantic_knn_selfcheck,
         "hopping_window_stats": _q_hopping_window,
         "dq_outliers_zscore": _q_outliers,
@@ -6810,6 +6838,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_semantic_knn_selfcheck": """
             SELECT 10 AS k, TRUE AS embed_deterministic_ok, TRUE AS batch_equals_brute_ok
+        """,
+        "docs_decontaminate_embedding": """
+            WITH ev AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE vec_id % 97 = 0 AND embedding IS NOT NULL
+            )
+            SELECT c.vec_id
+            FROM embeddings c
+            WHERE c.embedding IS NOT NULL AND EXISTS (
+                SELECT 1 FROM ev
+                WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ev.v) >= 0.95
+            )
+            ORDER BY c.vec_id
         """,
         "emb_knn_euclidean": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

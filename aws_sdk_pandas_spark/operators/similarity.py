@@ -596,6 +596,61 @@ def knn_ivf_pq(
     )
 
 
+def decontaminate_by_embedding(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vector_col: str = "embedding",
+    eval_vector_col: str | None = None,
+    threshold: float = 0.95,
+    max_eval: int = 200_000,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: drop every corpus row
+    whose cosine SIMILARITY to ANY eval-set row is ``>= threshold`` —
+    the semantic complement of the exact n-gram pass
+    (``operators.bloom.decontaminate``): paraphrased or lightly-edited
+    test questions that share no 13-gram still sit next to their source
+    in embedding space (the contamination family of Yang et al. 2023,
+    "rephrased samples" evasion).
+
+    Plan shape (100 TB corpus): the EVAL side is the small one by
+    definition (an eval set is thousands of rows — ``max_eval`` guards
+    the contract), so it broadcasts once and the corpus is scanned ONCE
+    with a left-anti join on the similarity predicate; the distance is
+    the JVM higher-order-function kernel (no Python).  Work is
+    |corpus| x |eval| vectorized comparisons distributed over corpus
+    partitions — the same shape as ``knn_batch``, with no shuffle of
+    the corpus at all.  For eval sets beyond ``max_eval``, cluster the
+    eval set first (``semantic_dedup`` / IVF) rather than raising the
+    cap.
+
+    Returns the CLEANED corpus (same schema).  Corpus rows with NULL
+    vectors are kept (nothing to compare — the n-gram pass is the
+    text-side guard).
+    """
+    from aws_sdk_pandas_spark.functions.vectors import cosine_distance
+
+    ev_col = eval_vector_col or vector_col
+    n_eval = eval_df.count()
+    if n_eval > max_eval:
+        raise ValueError(
+            f"eval set has {n_eval} rows > max_eval={max_eval}; an eval set "
+            "should be small — dedup/cluster it first (semantic_dedup) or "
+            "raise max_eval explicitly if you accept |corpus| x |eval| work"
+        )
+    ev = (
+        eval_df.where(F.col(ev_col).isNotNull())
+        .select(F.col(ev_col).alias("__eval_vec"))
+    )
+    sim = F.lit(1.0) - cosine_distance(F.col(vector_col), F.col("__eval_vec"))
+    return corpus.join(
+        F.broadcast(ev),
+        F.col(vector_col).isNotNull() & (sim >= F.lit(float(threshold))),
+        "left_anti",
+    )
+
+
 def mine_hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

@@ -156,6 +156,22 @@ def test_bloom_decontaminate_prefilters_before_join(spark, sf_dir):
     )
 
 
+def test_embedding_decontaminate_broadcasts_eval(spark, sf_dir):
+    """The eval set must broadcast (BNLJ build-right anti is the
+    intended plan — |corpus| x |eval| JVM comparisons distributed over
+    corpus partitions); the corpus itself must not shuffle and the
+    distance must stay out of Python."""
+    from aws_sdk_pandas_spark.operators.similarity import decontaminate_by_embedding
+
+    emb = sources.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    eval_df = emb.where("vec_id % 97 = 0").select("embedding")
+    plan = _plan(decontaminate_by_embedding(emb, eval_df, id_col="vec_id"))
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
     """Change detection (lag) and interval close (lead) share the same
     partitioning+ordering: Catalyst must plan ONE shuffle, one sort."""

@@ -305,6 +305,36 @@ def test_mine_hard_negatives_excludes_self_and_label(spark):
     assert [(r.neg_id, r.rank) for r in floored] == [(3, 1), (4, 2)]
 
 
+def test_decontaminate_by_embedding(spark):
+    """Corpus rows at cosine similarity >= threshold to ANY eval row are
+    dropped; NULL-vector corpus rows pass through; max_eval guards the
+    broadcast contract."""
+    from aws_sdk_pandas_spark.operators.similarity import decontaminate_by_embedding
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # exact eval member -> removed
+            (2, [0.999, 0.04]),       # near-paraphrase of eval -> removed
+            (3, [0.0, 1.0]),          # orthogonal -> kept
+            (4, [0.7, 0.72]),         # ~45 degrees -> kept at 0.95
+            (5, None),                # NULL vector -> kept (text-side guard)
+        ],
+        "doc_id int, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [([1.0, 0.0],), (None,)], "embedding array<double>"
+    )
+    got = decontaminate_by_embedding(corpus, eval_df, threshold=0.95)
+    assert sorted(r.doc_id for r in got.collect()) == [3, 4, 5]
+    # schema passes through untouched
+    assert got.columns == corpus.columns
+    # tightening the threshold to 1.0-epsilon keeps the paraphrase
+    loose = decontaminate_by_embedding(corpus, eval_df, threshold=0.9999)
+    assert sorted(r.doc_id for r in loose.collect()) == [2, 3, 4, 5]
+    with pytest.raises(ValueError, match="max_eval"):
+        decontaminate_by_embedding(corpus, eval_df, threshold=0.9, max_eval=1)
+
+
 def test_diverse_subset_matches_serial_greedy(spark):
     import numpy as np
 
