@@ -1,0 +1,929 @@
+"""Jar-free Apache Iceberg (table format v2) metadata interop for
+lakelite tables.
+
+The Iceberg table format (https://iceberg.apache.org/spec/) is a JSON
+table-metadata file plus Avro manifest lists and manifests — like the
+Delta log (``delta_log.py``), it needs no engine jar to read or write,
+only an Avro codec (``avro_ocf.py``, pure stdlib).  This module closes
+the remaining real-format interop gap in a container that ships neither
+``iceberg-spark-runtime`` nor PyIceberg (reference behavior:
+``athena/_write_iceberg.py:411`` writes real Iceberg tables through
+Athena; ``s3/_s3_tables_iceberg.py:160`` through S3 Tables):
+
+- **Exporter** (:func:`export_snapshot` / :func:`export_table`): every
+  lakelite commit can also land a spec-valid Iceberg snapshot —
+  ``metadata/v{N}.metadata.json`` (+ ``version-hint.text``, the
+  HadoopTables convention), one data manifest with ADDED entries for
+  new files and EXISTING entries carrying their original snapshot-id /
+  data-sequence-number for files inherited from the parent snapshot, a
+  DELETED-entries manifest when a commit removed files (so changelog
+  consumers see removals), and a manifest list per snapshot.  Snapshot
+  ids are md5-derived from (table-uuid, version) so re-export is
+  idempotent and byte-deterministic.
+- **Reader** (:func:`read_iceberg_meta`): loads the current (or pinned)
+  snapshot through version-hint -> metadata.json -> manifest list ->
+  manifests and builds the same union-of-parquet-scans plan the lakelite
+  and Delta readers use, injecting identity-partition values from the
+  manifest partition structs as typed constants (Iceberg's
+  ``constantsMap`` rule: identity-partitioned data files need not store
+  the partition column).  Deletion manifests (``content != data``),
+  non-identity transforms, and format features beyond v1/v2 data scans
+  are refused loudly rather than mis-read.
+
+Schema evolution preserves Iceberg column ids by (nested) field name
+against the previous table metadata — the spec's invariant that an id
+never changes meaning — and new columns get fresh ids past
+``last-column-id``.
+
+Validation is cross-implementation where the container allows: the Avro
+layer round-trips against the Apache Avro *Java* library on the Spark
+JVM classpath (``tests/test_iceberg_meta.py``), metadata JSON shapes are
+pinned against the spec's required-field tables, and the reader is
+hash-compared against direct lakelite reads at every snapshot.
+
+Scale notes: export cost is driver-side and proportional to the files
+TOUCHED by a commit (one parquet-footer read per added file — removed
+and carried files reuse the parent manifest's counts); the manifest for
+a snapshot lists all live files, so export_snapshot is O(live files)
+metadata encode, never O(rows).  The read plan is one parquet scan per
+distinct partition tuple with pushdown intact (plain parquet files).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from datetime import date
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_sdk_pandas_spark import avro_ocf
+from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+_META_DIR = "metadata"
+
+# lakelite commit modes -> Iceberg snapshot summary operations
+_OPS = {
+    "append": "append",
+    "overwrite": "overwrite",
+    "overwrite_partitions": "overwrite",
+    "merge": "overwrite",
+    "merge_ignore": "append",
+    "delete": "delete",
+    "compact": "replace",
+}
+
+_EPOCH = date(1970, 1, 1)
+
+
+def _local(path: str) -> str:
+    if path.startswith("file:"):
+        return urllib.parse.unquote(urllib.parse.urlparse(path).path)
+    return path
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(_local(path), _META_DIR)
+
+
+def _metadata_file(path: str, lakelite_version: int) -> str:
+    # HadoopTables convention: v1.metadata.json is the FIRST metadata,
+    # so lakelite version v maps to metadata version v + 1
+    return os.path.join(_meta_dir(path), f"v{lakelite_version + 1}.metadata.json")
+
+
+def has_iceberg_meta(path: str) -> bool:
+    d = _meta_dir(path)
+    return os.path.isdir(d) and any(
+        f.endswith(".metadata.json") for f in os.listdir(d)
+    )
+
+
+def iceberg_versions(path: str) -> list[int]:
+    """Lakelite versions that have an exported Iceberg snapshot."""
+    d = _meta_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".metadata.json"):
+            stem = f[1 : -len(".metadata.json")]
+            if stem.isdigit():
+                out.append(int(stem) - 1)
+    return sorted(out)
+
+
+def _snapshot_id(table_uuid: str, version: int) -> int:
+    h = hashlib.md5(f"{table_uuid}:{version}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+# ------------------------------------------------------------- schema layer
+
+
+def _iceberg_type(dt: T.DataType, next_id: list[int], prev: Any = None) -> Any:
+    """Spark type -> Iceberg JSON type, assigning nested ids from the
+    ``next_id`` counter (preserving ids from ``prev`` — the same
+    position in the previous schema — where names still match)."""
+    if isinstance(dt, T.StructType):
+        prev_fields = {
+            f["name"]: f for f in (prev or {}).get("fields", [])
+        } if isinstance(prev, dict) and prev.get("type") == "struct" else {}
+        fields = []
+        for f in dt.fields:
+            pf = prev_fields.get(f.name)
+            if pf is not None:
+                fid = pf["id"]
+            else:
+                fid = next_id[0]
+                next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(
+                        f.dataType, next_id, pf.get("type") if pf else None
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        if isinstance(prev, dict) and prev.get("type") == "list":
+            eid = prev["element-id"]
+            pel = prev.get("element")
+        else:
+            eid = next_id[0]
+            next_id[0] += 1
+            pel = None
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id, pel),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        if isinstance(prev, dict) and prev.get("type") == "map":
+            kid, vid = prev["key-id"], prev["value-id"]
+            pk, pv = prev.get("key"), prev.get("value")
+        else:
+            kid = next_id[0]
+            vid = next_id[0] + 1
+            next_id[0] += 2
+            pk = pv = None
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, next_id, pk),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, next_id, pv),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {
+        T.BooleanType: "boolean",
+        T.ByteType: "int",
+        T.ShortType: "int",
+        T.IntegerType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+        T.DateType: "date",
+        T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp",
+    }
+    for k, v in simple.items():
+        if isinstance(dt, k):
+            return v
+    raise InvalidArgument(f"no Iceberg type mapping for Spark type {dt!r}")
+
+
+def _build_schema(
+    spark_schema_json: str, prev_schema: dict | None, last_column_id: int = 0
+) -> tuple[dict, int]:
+    """Iceberg schema JSON from a Spark schema JSON string, preserving
+    column ids by name against the previous Iceberg schema.  Returns
+    (schema dict without schema-id, last_column_id).  ``last_column_id``
+    from the previous metadata keeps ids of DROPPED columns retired
+    forever (the spec's id-never-reused invariant)."""
+    st = T.StructType.fromJson(json.loads(spark_schema_json))
+    # fresh counter starts past every id the table has ever used
+    start = max((_max_id(prev_schema) + 1) if prev_schema else 1, last_column_id + 1)
+    next_id = [start]
+    body = _iceberg_type(st, next_id, prev_schema)
+    return body, max(_max_id(body), start - 1)
+
+
+def _max_id(node: Any) -> int:
+    if not isinstance(node, dict):
+        return 0
+    m = 0
+    if node.get("type") == "struct":
+        for f in node["fields"]:
+            m = max(m, f["id"], _max_id(f["type"]))
+    elif node.get("type") == "list":
+        m = max(m, node["element-id"], _max_id(node["element"]))
+    elif node.get("type") == "map":
+        m = max(m, node["key-id"], node["value-id"], _max_id(node["key"]),
+                _max_id(node["value"]))
+    return m
+
+
+def _spark_type_of(iceberg_type: Any) -> T.DataType:
+    """Iceberg JSON type -> Spark type (reader side)."""
+    if isinstance(iceberg_type, dict):
+        t = iceberg_type["type"]
+        if t == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], _spark_type_of(f["type"]), not f["required"]
+                    )
+                    for f in iceberg_type["fields"]
+                ]
+            )
+        if t == "list":
+            return T.ArrayType(
+                _spark_type_of(iceberg_type["element"]),
+                not iceberg_type.get("element-required", False),
+            )
+        if t == "map":
+            return T.MapType(
+                _spark_type_of(iceberg_type["key"]),
+                _spark_type_of(iceberg_type["value"]),
+                not iceberg_type.get("value-required", False),
+            )
+        raise InvalidArgument(f"unsupported Iceberg type {t!r}")
+    if iceberg_type.startswith("decimal"):
+        p, s = iceberg_type[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    if iceberg_type.startswith("fixed"):
+        return T.BinaryType()
+    simple = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "uuid": T.StringType(),
+    }
+    if iceberg_type in simple:
+        return simple[iceberg_type]
+    raise InvalidArgument(f"unsupported Iceberg type {iceberg_type!r}")
+
+
+# -------------------------------------------------------- partition values
+
+_PARTITIONABLE = {"boolean", "int", "long", "float", "double", "string", "date"}
+
+
+def _partition_avro_type(iceberg_type: str) -> Any:
+    if iceberg_type == "date":
+        return {"type": "int", "logicalType": "date"}
+    if iceberg_type in ("boolean", "int", "long", "float", "double", "string"):
+        return iceberg_type
+    raise InvalidArgument(
+        f"iceberg export supports identity partitions on {sorted(_PARTITIONABLE)} "
+        f"columns only, got {iceberg_type!r}"
+    )
+
+
+def _partition_value(iceberg_type: str, hive_value: str | None) -> Any:
+    """Hive path-segment string -> typed Iceberg partition value."""
+    if hive_value is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        return int(hive_value)
+    if iceberg_type in ("float", "double"):
+        return float(hive_value)
+    if iceberg_type == "boolean":
+        return hive_value.lower() == "true"
+    if iceberg_type == "date":
+        return (date.fromisoformat(hive_value) - _EPOCH).days
+    return hive_value
+
+
+def _partition_literal(iceberg_type: str, value: Any) -> Any:
+    """Typed manifest partition value -> python literal for F.lit."""
+    if value is None:
+        return None
+    if iceberg_type == "date":
+        from datetime import timedelta
+
+        return _EPOCH + timedelta(days=int(value))
+    return value
+
+
+# ------------------------------------------------------------ avro schemas
+
+
+def _manifest_entry_schema(partition_fields: list[dict], table_schema: dict) -> dict:
+    """The v2 ``manifest_entry`` Avro schema (spec 'Manifests' table),
+    with the per-spec partition record r102 built from identity fields."""
+    by_id = {f["id"]: f for f in table_schema["fields"]}
+    part_fields = []
+    for pf in partition_fields:
+        src = by_id.get(pf["source-id"])
+        if src is None:
+            raise InvalidArgument(
+                f"partition source-id {pf['source-id']} not in schema"
+            )
+        part_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _partition_avro_type(src["type"])],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None,
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": part_fields,
+                            },
+                            "field-id": 102,
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                    ],
+                },
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean",
+                             "field-id": 509},
+                            {"name": "contains_nan", "type": ["null", "boolean"],
+                             "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": ["null", "bytes"],
+                             "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"],
+                             "default": None, "field-id": 511},
+                        ],
+                    },
+                    "element-id": 508,
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+def _num_records(abs_file: str) -> int:
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(abs_file).metadata.num_rows
+    except Exception:
+        return 0
+
+
+# ------------------------------------------------------------------ export
+
+
+def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
+    """Write the Iceberg snapshot for one lakelite manifest (idempotent;
+    returns True when metadata was written).  Gaps are backfilled from
+    the lakelite manifests so the snapshot chain stays contiguous; if
+    history was vacuumed before the first export, the export is skipped
+    (a snapshot log with holes would misrepresent parentage)."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    v = int(manifest["version"])
+    meta_file = _metadata_file(path, v)
+    if os.path.exists(meta_file):
+        return False
+    if v > 0 and not os.path.exists(_metadata_file(path, v - 1)):
+        have = set(ls._versions(path))
+        if not all(i in have for i in range(v)):
+            return False
+        for i in range(v):
+            export_snapshot(path, ls._read_manifest(path, i))
+
+    root = _local(path)
+    d = _meta_dir(path)
+    os.makedirs(d, exist_ok=True)
+    ts = int(time.time() * 1000)
+    prev_meta = None
+    if v > 0:
+        with open(_metadata_file(path, v - 1)) as fh:
+            prev_meta = json.load(fh)
+
+    table_uuid = prev_meta["table-uuid"] if prev_meta else str(uuid.uuid4())
+    snap_id = _snapshot_id(table_uuid, v)
+    seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
+
+    # ---- schema (preserve ids by name against the previous metadata)
+    prev_schema = None
+    if prev_meta:
+        cur = prev_meta["current-schema-id"]
+        prev_schema = next(
+            s for s in prev_meta["schemas"] if s["schema-id"] == cur
+        )
+    body, last_col_id = _build_schema(
+        manifest["schema"], prev_schema,
+        prev_meta["last-column-id"] if prev_meta else 0,
+    )
+    if prev_schema and {k: prev_schema[k] for k in ("type", "fields")} == body:
+        schema_id = prev_schema["schema-id"]
+        schemas = prev_meta["schemas"]
+        last_col_id = prev_meta["last-column-id"]
+    else:
+        schema_id = (prev_meta["current-schema-id"] + 1) if prev_meta else 0
+        schemas = (prev_meta["schemas"] if prev_meta else []) + [
+            {"schema-id": schema_id, **body}
+        ]
+        if prev_meta:
+            last_col_id = max(last_col_id, prev_meta["last-column-id"])
+
+    # ---- partition spec (identity transforms over the hive dirs)
+    pcols = list(manifest["partition_cols"])
+    by_name = {f["name"]: f for f in body["fields"]}
+    missing = [c for c in pcols if c not in by_name]
+    if missing:
+        raise InvalidArgument(f"partition columns {missing} not in schema")
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
+    prev_specs = prev_meta["partition-specs"] if prev_meta else []
+    spec_id = None
+    for s in prev_specs:
+        if s["fields"] == spec_fields:
+            spec_id = s["spec-id"]
+            break
+    if spec_id is None:
+        spec_id = max((s["spec-id"] for s in prev_specs), default=-1) + 1
+        specs = prev_specs + [{"spec-id": spec_id, "fields": spec_fields}]
+    else:
+        specs = prev_specs
+    last_partition_id = max(
+        [f["field-id"] for s in specs for f in s["fields"]], default=999
+    )
+
+    # ---- per-file provenance from the parent snapshot's manifests
+    prev_files: dict[str, dict] = {}
+    if prev_meta and prev_meta.get("current-snapshot-id") is not None:
+        for entry in _live_entries(path, prev_meta, prev_meta["current-snapshot-id"]):
+            df_rec = entry["data_file"]
+            prev_files[df_rec["file_path"]] = entry
+    cur_entries = {e["path"]: e for e in manifest["files"]}
+
+    part_types = {
+        f["name"]: by_name[f["name"]]["type"] for f in spec_fields
+    }
+
+    def _part_record(pv: dict) -> dict:
+        return {
+            f["name"]: _partition_value(part_types[f["name"]], pv.get(f["name"]))
+            for f in spec_fields
+        }
+
+    entry_schema = _manifest_entry_schema(spec_fields, body)
+    added, existing, deleted = [], [], []
+    for rel, e in sorted(cur_entries.items()):
+        fp = "file://" + os.path.join(root, rel)
+        prev_entry = prev_files.get(fp)
+        part = _part_record(e.get("partition_values") or {})
+        if prev_entry is None:
+            nrec = _num_records(os.path.join(root, rel))
+            added.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": nrec,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(root, rel)
+                        ),
+                    },
+                }
+            )
+        else:
+            existing.append(
+                {
+                    "status": 0,
+                    "snapshot_id": prev_entry["snapshot_id"],
+                    "sequence_number": prev_entry["sequence_number"],
+                    "file_sequence_number": prev_entry.get("file_sequence_number"),
+                    "data_file": {**prev_entry["data_file"], "partition": part},
+                }
+            )
+    removed_paths = sorted(set(prev_files) - {
+        "file://" + os.path.join(root, r) for r in cur_entries
+    })
+    for fp in removed_paths:
+        prev_entry = prev_files[fp]
+        deleted.append(
+            {
+                "status": 2,
+                "snapshot_id": snap_id,
+                "sequence_number": prev_entry["sequence_number"],
+                "file_sequence_number": prev_entry.get("file_sequence_number"),
+                "data_file": prev_entry["data_file"],
+            }
+        )
+
+    meta_common = {
+        "schema": json.dumps({"schema-id": schema_id, **body}),
+        "schema-id": str(schema_id),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": str(spec_id),
+        "format-version": "2",
+        "content": "data",
+    }
+    sync = hashlib.md5(f"{table_uuid}:{v}:sync".encode()).digest()
+
+    manifests: list[dict] = []
+    data_manifest = os.path.join(d, f"icm-{v:08d}-data.avro")
+    n = avro_ocf.write_container(
+        data_manifest, entry_schema, added + existing,
+        metadata=meta_common, sync=sync,
+    )
+    min_seq = min((e["sequence_number"] for e in (added + existing)), default=seq)
+    manifests.append(
+        {
+            "manifest_path": "file://" + data_manifest,
+            "manifest_length": n,
+            "partition_spec_id": spec_id,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in existing
+            ),
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+    )
+    if deleted:
+        del_manifest = os.path.join(d, f"icm-{v:08d}-del.avro")
+        n = avro_ocf.write_container(
+            del_manifest, entry_schema, deleted, metadata=meta_common, sync=sync
+        )
+        manifests.append(
+            {
+                "manifest_path": "file://" + del_manifest,
+                "manifest_length": n,
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in deleted
+                ),
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": 0,
+                "deleted_files_count": len(deleted),
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in deleted
+                ),
+                "partitions": None,
+            }
+        )
+
+    list_path = os.path.join(
+        d, f"snap-{snap_id}-1-{hashlib.md5(table_uuid.encode()).hexdigest()[:8]}.avro"
+    )
+    avro_ocf.write_container(
+        list_path, _MANIFEST_FILE_SCHEMA, manifests,
+        metadata={
+            "snapshot-id": str(snap_id),
+            "sequence-number": str(seq),
+            "parent-snapshot-id": str(
+                prev_meta["current-snapshot-id"] if prev_meta else "null"
+            ),
+            "format-version": "2",
+        },
+        sync=sync,
+    )
+
+    total_rows = sum(e["data_file"]["record_count"] for e in added + existing)
+    summary = {
+        "operation": _OPS.get(manifest.get("mode", ""), "overwrite"),
+        "added-data-files": str(len(added)),
+        "deleted-data-files": str(len(deleted)),
+        "added-records": str(
+            sum(e["data_file"]["record_count"] for e in added)
+        ),
+        "deleted-records": str(
+            sum(e["data_file"]["record_count"] for e in deleted)
+        ),
+        "total-records": str(total_rows),
+        "total-data-files": str(len(added) + len(existing)),
+    }
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": "file://" + list_path,
+        "summary": summary,
+        "schema-id": schema_id,
+    }
+    if prev_meta and prev_meta.get("current-snapshot-id") is not None:
+        snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": "file://" + root,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "last-column-id": last_col_id,
+        "current-schema-id": schema_id,
+        "schemas": schemas,
+        "default-spec-id": spec_id,
+        "partition-specs": specs,
+        "last-partition-id": last_partition_id,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snap_id,
+        "snapshots": (prev_meta["snapshots"] if prev_meta else []) + [snapshot],
+        "snapshot-log": (prev_meta["snapshot-log"] if prev_meta else [])
+        + [{"timestamp-ms": ts, "snapshot-id": snap_id}],
+        "metadata-log": (
+            (prev_meta["metadata-log"] if prev_meta else [])
+            + (
+                [
+                    {
+                        "timestamp-ms": prev_meta["last-updated-ms"],
+                        "metadata-file": "file://" + _metadata_file(path, v - 1),
+                    }
+                ]
+                if prev_meta
+                else []
+            )
+        ),
+    }
+    tmp = meta_file + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    try:
+        os.link(tmp, meta_file)  # atomic create-exclusive (racing exporters)
+    except FileExistsError:
+        pass
+    os.unlink(tmp)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write(str(v + 1))
+    return True
+
+
+def export_table(path: str) -> int:
+    """Backfill Iceberg metadata for every lakelite version; returns the
+    number of snapshots written.  The ``convert_to_iceberg`` analog of
+    delta_log.export_table."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    n = 0
+    for v in ls._versions(path):
+        if export_snapshot(path, ls._read_manifest(path, v)):
+            n += 1
+    return n
+
+
+# -------------------------------------------------------------------- read
+
+
+def _load_metadata(path: str) -> dict:
+    d = _meta_dir(path)
+    hint = os.path.join(d, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            mv = int(fh.read().strip())
+        f = os.path.join(d, f"v{mv}.metadata.json")
+    else:
+        cands = sorted(
+            (f for f in os.listdir(d) if f.endswith(".metadata.json")),
+            key=lambda s: os.path.getmtime(os.path.join(d, s)),
+        )
+        if not cands:
+            raise InvalidArgument(f"no Iceberg metadata under {path!r}")
+        f = os.path.join(d, cands[-1])
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _live_entries(path: str, meta: dict, snapshot_id: int) -> list[dict]:
+    """All ADDED/EXISTING manifest entries of one snapshot (DELETED
+    tombstones excluded) — the snapshot's live data files."""
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise InvalidArgument(
+            f"snapshot {snapshot_id} not in table metadata at {path!r}"
+        )
+    _, _, manifests = avro_ocf.read_container(_local(snap["manifest-list"]))
+    out = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise InvalidArgument(
+                "delete manifests (format v2 row-level deletes) are not "
+                "supported by this jar-free reader"
+            )
+        _, fmeta, entries = avro_ocf.read_container(_local(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            # spec inheritance: null ids/seqs inherit from the manifest
+            if e.get("snapshot_id") is None:
+                e["snapshot_id"] = m.get("added_snapshot_id")
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = m.get("sequence_number", 0)
+            e["_spec_fields"] = json.loads(
+                fmeta.get("partition-spec", b"[]").decode()
+            )
+            out.append(e)
+    return out
+
+
+def read_iceberg_meta(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read an Iceberg v1/v2 table through its own metadata (works on
+    tables exported here AND on data-only tables written elsewhere):
+    version-hint -> metadata.json -> manifest list -> manifests ->
+    grouped parquet scans with identity-partition values injected as
+    typed constants per Iceberg's constants rule."""
+    meta = _load_metadata(path)
+    if int(meta.get("format-version", 1)) > 2:
+        raise InvalidArgument(
+            f"unsupported Iceberg format-version {meta['format-version']}"
+        )
+    snap_id = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if snap_id == -1:  # Java writes -1 for "no current snapshot"
+        snap_id = None
+    schema_id = meta.get("current-schema-id", 0)
+    if snapshot_id is not None:
+        snap = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
+        )
+        if snap is None:
+            raise InvalidArgument(f"snapshot {snapshot_id} not found at {path!r}")
+        schema_id = snap.get("schema-id", schema_id)
+    ice_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == schema_id
+    )
+    st = T.StructType(
+        [
+            T.StructField(f["name"], _spark_type_of(f["type"]), not f["required"])
+            for f in ice_schema["fields"]
+        ]
+    )
+    if snap_id is None:
+        df = spark.createDataFrame([], st)
+        return df.select(*columns) if columns else df
+
+    entries = _live_entries(path, meta, snap_id)
+    if not entries:
+        df = spark.createDataFrame([], st)
+        return df.select(*columns) if columns else df
+
+    fields_by_id = {f["id"]: f for f in ice_schema["fields"]}
+    groups: dict[tuple, list[str]] = {}
+    group_parts: dict[tuple, list[tuple[str, str, Any]]] = {}
+    for e in entries:
+        dfile = e["data_file"]
+        if dfile.get("content", 0) != 0:
+            raise InvalidArgument("delete files are not supported (v2 MoR)")
+        spec_fields = e["_spec_fields"]
+        parts = []
+        for pf in spec_fields:
+            if pf.get("transform", "identity") != "identity":
+                raise InvalidArgument(
+                    f"non-identity partition transform {pf['transform']!r} "
+                    "is not supported by this jar-free reader"
+                )
+            src = fields_by_id.get(pf["source-id"])
+            col = src["name"] if src else pf["name"]
+            ice_t = src["type"] if src else "string"
+            parts.append((col, ice_t, dfile["partition"].get(pf["name"])))
+        key = tuple((c, v) for c, _t, v in parts)
+        groups.setdefault(key, []).append(_local(dfile["file_path"]))
+        group_parts[key] = parts
+
+    missing = [f for fs in groups.values() for f in fs if not os.path.exists(f)]
+    if missing:
+        raise InvalidArgument(
+            f"Iceberg snapshot {snap_id} references {len(missing)} missing "
+            f"data file(s), e.g. {sorted(missing)[:2]}"
+        )
+
+    pcol_names = {c for parts in group_parts.values() for c, _t, _v in parts}
+    data_fields = [f for f in st.fields if f.name not in pcol_names]
+    scans = []
+    for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+        part = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(groups[key])
+        )
+        for f in data_fields:
+            if f.name not in part.columns:
+                part = part.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for col, ice_t, val in group_parts[key]:
+            dt = st[col].dataType if col in st.fieldNames() else T.StringType()
+            lit = _partition_literal(ice_t, val)
+            part = part.withColumn(
+                col,
+                F.lit(lit).cast(dt) if lit is not None else F.lit(None).cast(dt),
+            )
+        scans.append(part.select(*[f.name for f in st.fields]))
+    df = scans[0]
+    for p in scans[1:]:
+        df = df.unionByName(p)
+    return df.select(*columns) if columns else df

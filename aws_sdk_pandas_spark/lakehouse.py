@@ -152,6 +152,18 @@ def convert_to_delta(path: str) -> int:
     return delta_log.export_table(path)
 
 
+def convert_to_iceberg(path: str) -> int:
+    """Backfill spec-valid Iceberg v2 metadata (metadata.json + Avro
+    manifests, jar-free) for an existing lakelite table — the
+    ``add_files``/migrate analog of :func:`convert_to_delta`.  Returns
+    the number of snapshots written.  After this, every subsequent
+    lakelite commit keeps the Iceberg metadata current (sticky sidecar)
+    and :func:`read_iceberg` reads through it."""
+    from aws_sdk_pandas_spark import iceberg_meta
+
+    return iceberg_meta.export_table(path)
+
+
 def to_deltalake_streaming(
     batches: Iterator[DataFrame],
     path: str,
@@ -188,7 +200,7 @@ def to_iceberg(
     contract with file-level copy-on-write."""
     spark = df.sparkSession
     if not _use_native(spark, "iceberg", require_native):
-        from aws_sdk_pandas_spark import lakehouse_shim
+        from aws_sdk_pandas_spark import iceberg_meta, lakehouse_shim
 
         path = _iceberg_table_path(spark, table)
         if merge_cols:
@@ -202,6 +214,10 @@ def to_iceberg(
             )
         else:
             lakehouse_shim.write(df, path, mode=mode)
+        # an "Iceberg" table should carry real Iceberg metadata: backfill
+        # any unexported snapshots (idempotent; later commits stay
+        # exported via the shim's sticky sidecar)
+        iceberg_meta.export_table(path)
         return
     if merge_cols:
         from aws_sdk_pandas_spark.operators.merge import merge_upsert
@@ -234,14 +250,29 @@ def read_iceberg(
 ) -> DataFrame:
     """reference: s3/_s3_tables_iceberg.py:29 ``from_iceberg`` — catalog
     scan with column pruning, row filter, snapshot pin and limit (all
-    pushed into the Iceberg scan by Catalyst).  Shim fallback:
-    ``snapshot_id`` is the lakelite version number."""
+    pushed into the Iceberg scan by Catalyst).  Shim fallback: reads
+    through the table's REAL Iceberg metadata when present (jar-free
+    manifest reader — tables written here carry it, and tables written
+    elsewhere with v1/v2 data scans work too); ``snapshot_id`` accepts a
+    real Iceberg snapshot-id or, back-compat, a small lakelite version
+    index.  Lakelite manifests are the fallback for pre-export tables."""
     if not _use_native(spark, "iceberg", require_native):
-        from aws_sdk_pandas_spark import lakehouse_shim
+        from aws_sdk_pandas_spark import iceberg_meta, lakehouse_shim
 
-        df = lakehouse_shim.read(
-            spark, _iceberg_table_path(spark, table), version=snapshot_id
-        )
+        path = _iceberg_table_path(spark, table)
+        if iceberg_meta.has_iceberg_meta(path):
+            snap = snapshot_id
+            if snap is not None and 0 <= snap < 1_000_000:
+                snaps = iceberg_meta._load_metadata(path)["snapshots"]
+                if snap >= len(snaps):
+                    raise InvalidArgument(
+                        f"lakelite version {snap} has no Iceberg snapshot "
+                        f"(table has {len(snaps)})"
+                    )
+                snap = snaps[snap]["snapshot-id"]
+            df = iceberg_meta.read_iceberg_meta(spark, path, snapshot_id=snap)
+        else:
+            df = lakehouse_shim.read(spark, path, version=snapshot_id)
         if row_filter:
             df = df.where(row_filter)
         if columns:

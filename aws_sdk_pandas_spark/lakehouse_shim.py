@@ -150,6 +150,19 @@ def _commit_manifest(path: str, manifest: dict[str, Any]) -> None:
         import warnings
 
         warnings.warn(f"lakelite Delta-log export skipped: {exc}", stacklevel=2)
+    # sidecar Iceberg metadata is STICKY rather than default: tables
+    # created via to_iceberg / convert_to_iceberg carry it, and every
+    # later commit keeps it current; plain lakelite/Delta tables don't
+    # pay the extra metadata writes
+    try:
+        from aws_sdk_pandas_spark import iceberg_meta
+
+        if iceberg_meta.has_iceberg_meta(path):
+            iceberg_meta.export_snapshot(path, manifest)
+    except Exception as exc:  # pragma: no cover - defensive
+        import warnings
+
+        warnings.warn(f"lakelite Iceberg export skipped: {exc}", stacklevel=2)
 
 
 def _parse_partition_values(rel_file: str, commit_rel: str) -> dict[str, str | None]:
