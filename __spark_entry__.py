@@ -4741,6 +4741,57 @@ def _q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lakehouse_iceberg_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jar-free Iceberg metadata chain under the hash gate
+    (iceberg_meta.export_snapshot/read_iceberg_meta, reference:
+    athena/_write_iceberg.py:411 writes real Iceberg): orders written as
+    a lakelite table PARTITIONED BY o_orderstatus (so the partition
+    column is NOT in the data files), converted to Iceberg v2 metadata
+    (pure-Python Avro manifests + metadata.json), then every snapshot is
+    read back through version-hint -> metadata.json -> manifest list ->
+    manifests with partition values reconstructed from the manifest
+    partition structs.  A wrong Avro encode/decode, a mis-built
+    manifest diff (ADDED vs EXISTING), or a lost partition constant
+    hash-mismatches against the relational oracle."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import iceberg_meta, lakehouse, lakehouse_shim
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-iceberg-") + "/orders_ice"
+    o = spark.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")
+    lakehouse_shim.write(
+        o.where("o_orderstatus = 'F'").repartition(4), path,
+        mode="overwrite", partition_cols=["o_orderstatus"],
+    )
+    lakehouse_shim.write(
+        o.where("o_orderstatus = 'O'").repartition(4), path,
+        mode="append", partition_cols=["o_orderstatus"],
+    )
+    lakehouse.convert_to_iceberg(path)
+    snaps = iceberg_meta._load_metadata(path)["snapshots"]
+    parts = []
+    for v, snap in enumerate(snaps):
+        back = iceberg_meta.read_iceberg_meta(
+            spark, path, snapshot_id=snap["snapshot-id"]
+        )
+        parts.append(
+            back.groupBy("o_orderstatus").agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.select("version", "o_orderstatus", "n", "total_price").orderBy(
+        "version", "o_orderstatus"
+    )
+
+
 def _q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned reads under the hash gate (lakehouse.read_deltalake
     version=, reference: s3/_read_deltalake.py:38): three commits by
@@ -6075,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": _q_tfidf_top_terms,
         "unload_partitioned_roundtrip": _q_unload_roundtrip,
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
+        "lakehouse_iceberg_snapshots": _q_lakehouse_iceberg_snapshots,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
@@ -8283,6 +8335,18 @@ def oracle_sql() -> dict[str, str]:
             FROM merged
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "lakehouse_iceberg_snapshots": """
+            SELECT 0 AS version, o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 1, o_orderstatus, COUNT(*),
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+            GROUP BY o_orderstatus
+            ORDER BY version, o_orderstatus
         """,
         "lakehouse_time_travel": """
             SELECT 0 AS version, COUNT(*) AS n,
