@@ -68,11 +68,14 @@ Trino / Athena                              Spark SQL
 ``to_hex/from_hex`` / ``random()``          ``hex/unhex`` / ``rand()``
 ==========================================  ================================
 
+``UNNEST ... WITH ORDINALITY`` zips a trailing ``sequence(1, size)``
+array so the last output column is Trino's 1-based position (arrays,
+multi-arrays over the max length, and maps via map_keys/map_values).
 Unsupported Trino constructs that have no mechanical Spark equivalent
-(``UNNEST ... WITH ORDINALITY``, ``TRY`` around anything beyond
-CAST/arithmetic/element_at, ``from_unixtime(x, zone)``, 3-arg weighted
-``approx_percentile``) raise ``InvalidArgument`` with the manual
-rewrite to use — a loud error beats a silently different answer.
+(``TRY`` around anything beyond CAST/arithmetic/element_at,
+``from_unixtime(x, zone)``, 3-arg weighted ``approx_percentile``) raise
+``InvalidArgument`` with the manual rewrite to use — a loud error beats
+a silently different answer.
 
 Everything SHARED by the two dialects (lambdas ``x -> x + 1``,
 ``transform/filter/reduce`` HOFs, ``element_at``, ``cardinality``,
@@ -308,12 +311,13 @@ def _rewrite_unnest(s: str) -> str:
       AS x, y`` — Trino zips positionally padding the shorter arrays
       with NULL, which is exactly ``arrays_zip``'s rule, and ``inline``
       flattens the struct array to columns.
+    - ``... WITH ORDINALITY AS t (.., ord)`` -> the same zips with a
+      trailing ``sequence(1, size)`` array: Trino's ordinality is the
+      1-based position over the zip length (max array size), which is
+      exactly what zipping against ``sequence(1, greatest(size(..)))``
+      yields; an empty-size guard avoids ``sequence(1, 0)``'s
+      descending surprise, and a NULL input still unnests to 0 rows.
     """
-    if re.search(r"\bUNNEST\s*\([^)]*\)\s*WITH\s+ORDINALITY", s, re.I):
-        raise InvalidArgument(
-            "UNNEST ... WITH ORDINALITY is 1-based-trailing in Trino and has "
-            "no mechanical Spark rewrite; use posexplode(...) manually"
-        )
     while True:
         m = re.search(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", s, re.I)
         if not m:
@@ -322,6 +326,9 @@ def _rewrite_unnest(s: str) -> str:
         close_pos = _find_close(s, open_pos)
         exprs = _split_top_commas(s[open_pos + 1 : close_pos])
         tail = s[close_pos + 1 :]
+        om = re.match(r"\s*WITH\s+ORDINALITY\b", tail, re.I)
+        if om:
+            tail = tail[om.end() :]
         tm = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)", tail, re.I)
         if not tm:
             raise InvalidArgument(
@@ -329,7 +336,37 @@ def _rewrite_unnest(s: str) -> str:
             )
         alias = tm.group(1)
         cols = [c.strip() for c in tm.group(2).split(",") if c.strip()]
-        if len(exprs) == 1 and len(cols) == 1:
+
+        def _seq(size_expr: str) -> str:
+            return f"IF({size_expr} > 0, sequence(1, {size_expr}), array())"
+
+        if om:
+            # the LAST output column is the 1-based ordinality
+            if len(exprs) == 1 and len(cols) == 2:
+                gen = (
+                    f"inline(arrays_zip({exprs[0]}, "
+                    f"{_seq(f'size({exprs[0]})')}))"
+                )
+            elif len(exprs) == 1 and len(cols) == 3:
+                # single MAP argument: (key, value, ordinality)
+                e = exprs[0]
+                gen = (
+                    f"inline(arrays_zip(map_keys({e}), map_values({e}), "
+                    f"{_seq(f'size({e})')}))"
+                )
+            elif len(exprs) >= 2 and len(cols) == len(exprs) + 1:
+                mx = "greatest(" + ", ".join(f"size({e})" for e in exprs) + ")"
+                gen = (
+                    f"inline(arrays_zip({', '.join(exprs)}, {_seq(mx)}))"
+                )
+            else:
+                raise InvalidArgument(
+                    f"UNNEST WITH ORDINALITY with {len(exprs)} argument(s) "
+                    f"and {len(cols)} output column(s) has no mechanical "
+                    "Spark rewrite (expected n arrays -> n+1 columns or "
+                    "1 map -> 3 columns)"
+                )
+        elif len(exprs) == 1 and len(cols) == 1:
             gen = f"explode({exprs[0]})"
         elif len(exprs) == 1 and len(cols) == 2:
             # a single MAP argument unnests to (key, value) in Trino;

@@ -71,8 +71,15 @@ def test_try_cast_and_bare_try():
 def test_unnest_rewrites_and_refusals():
     got = tx("SELECT c FROM t CROSS JOIN UNNEST(arr) AS u (c)")
     assert got == "SELECT c FROM t LATERAL VIEW explode(arr) u AS c"
+    # WITH ORDINALITY: trailing 1-based position via sequence zip
+    got = tx("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
+    assert "arrays_zip(a, IF(size(a) > 0, sequence(1, size(a)), array()))" in got
+    got = tx("SELECT * FROM t CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS u(x, y, i)")
+    assert "greatest(size(a), size(b))" in got and "inline(arrays_zip(a, b, " in got
+    got = tx("SELECT * FROM t CROSS JOIN UNNEST(m) WITH ORDINALITY AS u(k, v, i)")
+    assert "map_keys(m), map_values(m)" in got
     with pytest.raises(InvalidArgument, match="ORDINALITY"):
-        tx("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)")
+        tx("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x)")
     # tier 3: map unnest (1 expr -> 2 cols)
     assert tx("SELECT * FROM t CROSS JOIN UNNEST(m) AS u(k, v)") == (
         "SELECT * FROM t LATERAL VIEW explode(m) u AS k, v"
@@ -265,6 +272,44 @@ def test_tier3_executes_on_spark(spark):
         dialect="trino",
     ).collect()
     assert [(r.k, r.v) for r in rows2] == [(1, "a"), (2, "b")]
+
+
+def test_unnest_with_ordinality_executes(spark):
+    from aws_sdk_pandas_spark.sql import read_sql_query
+
+    # single array: ordinality is the 1-based trailing column
+    rows = read_sql_query(
+        spark,
+        "SELECT x, i FROM (SELECT ARRAY['p', 'q', 'r'] AS a) "
+        "CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)",
+        dialect="trino",
+    ).collect()
+    assert [(r.x, r.i) for r in rows] == [("p", 1), ("q", 2), ("r", 3)]
+    # multi-array: ordinality runs over the MAX length, short side NULL-pads
+    rows = read_sql_query(
+        spark,
+        "SELECT x, y, i FROM (SELECT ARRAY[1, 2, 3] AS a, ARRAY['p'] AS b) "
+        "CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS u(x, y, i)",
+        dialect="trino",
+    ).collect()
+    assert [(r.x, r.y, r.i) for r in rows] == [(1, "p", 1), (2, None, 2), (3, None, 3)]
+    # map: (key, value, ordinality)
+    rows = read_sql_query(
+        spark,
+        "SELECT k, v, i FROM (SELECT map(1, 'a', 2, 'b') AS m) "
+        "CROSS JOIN UNNEST(m) WITH ORDINALITY AS u(k, v, i) ORDER BY k",
+        dialect="trino",
+    ).collect()
+    assert [(r.k, r.v, r.i) for r in rows] == [(1, "a", 1), (2, "b", 2)]
+    # empty and NULL arrays unnest to zero rows (no sequence(1, 0) surprise)
+    rows = read_sql_query(
+        spark,
+        "SELECT x, i FROM (SELECT CAST(ARRAY() AS ARRAY<INT>) AS a "
+        "UNION ALL SELECT CAST(NULL AS ARRAY<INT>)) "
+        "CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, i)",
+        dialect="trino",
+    ).collect()
+    assert rows == []
 
 
 def test_date_format_mysql_tokens_and_week(spark):
