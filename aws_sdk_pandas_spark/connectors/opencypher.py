@@ -388,11 +388,10 @@ def _parse_pattern(pattern: str, tag: str = ""):
         direction = "in" if head == "<-" else ("out" if tail == "->" else "both")
         rng = None
         if lo is not None:
-            if evar is not None:
-                raise InvalidArgument(
-                    "a variable-length edge cannot bind an edge variable "
-                    "(Cypher would bind a LIST of relationships)"
-                )
+            # an edge variable on a var-length edge binds Cypher's LIST of
+            # relationships; it compiles to the segment's edge-id array
+            # (column ``<var>_id``), so size(r) / UNWIND r / RETURN r work
+            # over the traversed ~ids in traversal order
             rng = (int(lo), int(hi))
             if not (1 <= rng[0] <= rng[1] <= 8):
                 raise InvalidArgument("variable-length range must satisfy 1 <= a <= b <= 8")
@@ -456,7 +455,14 @@ def _compile_chain(
             # multiplicity = number of TRAILS, which is what openCypher/
             # Neptune return.  Plans stay k bounded equi-joins per branch
             # and the id list is bounded by b <= 8.
-            arr = f"__eids{seg_offset + len(seg_arrays)}"
+            # a user-bound edge variable keeps its id-array column
+            # (named <var>_id) so RETURN/WHERE/UNWIND can use the list;
+            # anonymous segments get a private name and are dropped
+            user_named = not evar.startswith("__e")
+            arr = (
+                f"{evar}_id" if user_named
+                else f"__eids{seg_offset + len(seg_arrays)}"
+            )
             seg = edges.select(
                 F.col("`~id`").alias("__eid"),
                 F.col("`~from`").alias("__f"),
@@ -509,6 +515,8 @@ def _compile_chain(
                 nxt, F.col("__e") == F.col(f"{nvar}_id")
             ).drop("__s", "__e")
             seg_arrays.append(arr)
+            if user_named:
+                known.add(evar)
             known.add(nvar)
             prev = nvar
             continue
@@ -692,6 +700,7 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
     known: set[str] = set()
     seg_counter = 0
     chain_counter = 0
+    list_vars: set[str] = set()  # var-length edge vars (bound as id LISTS)
     for stage_clauses, with_items, with_where, with_mods in q.stages:
         for clause in stage_clauses:
             if clause[0] == "unwind":
@@ -722,7 +731,17 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                     chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
                 )
                 seg_counter += len(a2)
+                chain_lists = {a[:-3] for a in a2 if not a.startswith("__eids")}
                 dup_vars = cknown & k2
+                rebound = dup_vars & (list_vars | chain_lists)
+                if rebound:
+                    raise InvalidArgument(
+                        f"relationship-list variable(s) {sorted(rebound)} "
+                        "cannot be re-used in another pattern (a var-length "
+                        "edge binds a LIST of relationships, not a "
+                        "relationship)"
+                    )
+                list_vars |= chain_lists
                 if cdf is None:
                     cdf = df2
                 else:
@@ -752,8 +771,11 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                     cdf = cdf.where(
                         ~F.arrays_overlap(F.col(seg_arrays[i]), F.col(seg_arrays[j]))
                     )
-            if seg_arrays:
-                cdf = cdf.drop(*seg_arrays)
+            # user-bound list variables (<var>_id arrays) stay queryable;
+            # only the anonymous uniqueness-tracking arrays are dropped
+            anon_arrays = [a for a in seg_arrays if a.startswith("__eids")]
+            if anon_arrays:
+                cdf = cdf.drop(*anon_arrays)
             if where is not None and optional:
                 # an OPTIONAL MATCH's WHERE is part of the matching, so it
                 # runs BEFORE the left join and sees only the clause's vars
@@ -771,6 +793,13 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
                 cur = cdf
             else:
                 shared = known & cknown
+                shared_lists = shared & list_vars
+                if shared_lists:
+                    raise InvalidArgument(
+                        f"relationship-list variable(s) {sorted(shared_lists)} "
+                        "cannot be re-used in another MATCH (a var-length "
+                        "edge binds a LIST of relationships)"
+                    )
                 if optional:
                     if not shared:
                         raise InvalidArgument(

@@ -847,8 +847,44 @@ def test_cypher_variable_length_paths(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with pytest.raises(InvalidArgument, match="variable-length range"):
         _cy(modern, "MATCH (a)-[*0..2]->(b) RETURN b")
-    with pytest.raises(InvalidArgument, match="cannot bind an edge variable"):
-        _cy(modern, "MATCH (a)-[r*1..2]->(b) RETURN b")
+
+
+def test_cypher_var_length_edge_variable_binds_list(modern):
+    """An edge variable on a var-length edge binds the LIST of traversed
+    relationships: size(r) is the path length, RETURN r is the edge-id
+    list in traversal order, UNWIND r explodes it — and re-using the
+    list variable in another pattern is refused."""
+    q = (
+        "MATCH (a:person {name: 'marko'})-[r*1..2]->(b) "
+        "RETURN b.name AS n, size(r) AS hops ORDER BY n, hops"
+    )
+    got = [(r.n, r.hops) for r in _cy(modern, q).collect()]
+    assert got == [("josh", 1), ("lop", 1), ("lop", 2), ("ripple", 2), ("vadas", 1)]
+
+    # RETURN r: the traversed ~ids, in order (marko-knows->josh-created->ripple)
+    q2 = (
+        "MATCH (a {name: 'marko'})-[r*2..2]->(b {name: 'ripple'}) "
+        "RETURN r AS path_edges"
+    )
+    assert [list(r.path_edges) for r in _cy(modern, q2).collect()] == [["e2", "e4"]]
+
+    # UNWIND the bound list
+    q3 = (
+        "MATCH (a {name: 'marko'})-[r*2..2]->(b {name: 'ripple'}) "
+        "UNWIND r AS eid RETURN eid ORDER BY eid"
+    )
+    assert [r.eid for r in _cy(modern, q3).collect()] == ["e2", "e4"]
+
+    # WHERE can filter on the list length
+    q4 = (
+        "MATCH (a:person {name: 'marko'})-[r*1..2]->(b) "
+        "WHERE size(r) = 2 RETURN b.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q4).collect()] == ["lop", "ripple"]
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="LIST of relationships"):
+        _cy(modern, "MATCH (a)-[r*1..2]->(b) MATCH (c)-[r]->(d) RETURN c")
 
 
 def test_gremlin_as_select(modern):
