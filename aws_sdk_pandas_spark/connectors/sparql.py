@@ -272,9 +272,10 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
         vm_multi = re.match(r"VALUES\s*\(", rest, re.I)
         if vm_multi:
             # VALUES (?x ?y) { (a b) (c d) ... } — an inline binding
-            # TABLE; compiles to one equi-join on all listed vars (the
-            # small side broadcasts).  UNDEF would need SPARQL's
-            # unbound-compatible join — refused loudly.
+            # TABLE; fully-bound tables compile to one equi-join on all
+            # listed vars (the small side broadcasts).  UNDEF entries
+            # parse to None and compile through the unbound-compatible
+            # distribution path (rows grouped by their defined mask).
             p0 = body.index("(", pos)
             p_end = _balanced(body, p0, "(", ")")
             var_list = re.findall(r"\?(\w+)", body[p0 + 1 : p_end - 1])
@@ -283,11 +284,6 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
             b0 = body.index("{", p_end)
             b_end = _balanced(body, b0, "{", "}")
             rows_body = body[b0 + 1 : b_end - 1]
-            if re.search(r"\bUNDEF\b", rows_body, re.I):
-                raise InvalidArgument(
-                    "UNDEF in VALUES needs SPARQL's unbound-compatible "
-                    "join, which is not supported — bind every variable"
-                )
             rows = []
             rpos = 0
             while True:
@@ -307,6 +303,11 @@ def _parse_group(body: str, prefixes: dict[str, str], allow_blocks: bool = True)
                         tpos += 1
                     if tpos >= r_end - 1:
                         break
+                    um = re.match(r"UNDEF\b", rows_body[tpos:], re.I)
+                    if um:
+                        row.append(None)  # SPARQL's unbound marker
+                        tpos += um.end()
+                        continue
                     term, tpos = _parse_term(rows_body, tpos, prefixes)
                     if term.kind != "const":
                         raise InvalidArgument("VALUES entries must be constants")
@@ -775,11 +776,22 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
 
     frames = [_pattern_frame(triples, p) for p in pats]
     spark = triples.sparkSession
+    # frames that bind some vars only PARTIALLY (NULL = SPARQL's unbound):
+    # unions whose branches bind different var sets, and VALUES tables
+    # with UNDEF.  They compile through the unbound-compatible
+    # DISTRIBUTION below: Join(Union(B1,B2), R) = Union(Join(B1,R),
+    # Join(B2,R)) — every branch join stays a plain equi-join on the
+    # branch's OWN bound vars, so the plan is scalable (no NULL-tolerant
+    # theta join anywhere).
+    partial_frames: list[tuple[str, object]] = []
     for var, vals in values:
         # the triples model is string-typed (s/p/o); numeric VALUES
         # entries bind as their canonical string form so the equi-join
         # against a string column can never hit an ANSI cast error
         if isinstance(var, tuple):  # multi-variable binding TABLE
+            if any(x is None for row in vals for x in row):
+                partial_frames.append(("values", (list(var), list(vals))))
+                continue
             schema = ", ".join(f"`{v}` string" for v in var)
             vdf = spark.createDataFrame(list(vals), schema)
             frames.append((vdf, list(var)))
@@ -788,48 +800,119 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
             frames.append((vdf, [var]))
     union_frames = []
     for branches in unions:
-        compiled = [_branch_frame(b) for b in branches]
+        compiled = [
+            (bdf.select(*bvars), bvars) for bdf, bvars in map(_branch_frame, branches)
+        ]
         all_vars = sorted({v for _df, vs in compiled for v in vs})
         common = set(all_vars)
         for _df, vs in compiled:
             common &= set(vs)
+        if set(all_vars) - common:
+            partial_frames.append(("union", (compiled, all_vars)))
+            continue
         udf = compiled[0][0]
         for bdf, _v in compiled[1:]:
             udf = udf.unionByName(bdf, allowMissingColumns=True)
         udf = udf.select(*all_vars)
-        union_frames.append((udf, all_vars, common))
+        union_frames.append((udf, all_vars))
+    frames += union_frames
 
-    # a var bound in only SOME branches is NULL (SPARQL's unbound) in the
-    # others; joining such a var to other patterns would need SPARQL's
-    # unbound-compatible join, which a plain equi-join is not — refuse
-    # loudly instead of answering differently
-    for i, (_udf, all_vars, common) in enumerate(union_frames):
-        partial = set(all_vars) - common
-        if not partial:
-            continue
-        elsewhere = {v for _df, vs in frames for v in vs}
-        for j, (_u2, vs2, _c2) in enumerate(union_frames):
+    def _pframe_vars(kind: str, payload) -> tuple[set[str], set[str]]:
+        """(all vars, PARTIALLY-bound vars) of a partial frame."""
+        if kind == "union":
+            compiled, all_vars = payload
+            common = set(all_vars)
+            for _df, vs in compiled:
+                common &= set(vs)
+            return set(all_vars), set(all_vars) - common
+        var_list, rows = payload
+        partial = {
+            v for i, v in enumerate(var_list) if any(r[i] is None for r in rows)
+        }
+        return set(var_list), partial
+
+    # a partially-bound var holds NULLs after its frame joins in; any
+    # LATER join on that column (another partial frame, OPTIONAL,
+    # EXISTS/MINUS) would need NULL-tolerant compatibility a plain
+    # equi-join doesn't have — those combinations stay refused.  Joins
+    # against always-bound frames are safe: they land in ``cur`` FIRST,
+    # and the distribution below equi-joins each branch on the vars the
+    # branch actually binds.
+    opt_sj_vars: set[str] = set()
+    for opt_pats, _of in optionals:
+        for pat in opt_pats:
+            opt_sj_vars |= {
+                t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
+            }
+    for sj_pats, _neg in semijoins:
+        for pat in sj_pats:
+            opt_sj_vars |= {
+                t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
+            }
+    for i, (kind, payload) in enumerate(partial_frames):
+        _av, pvars = _pframe_vars(kind, payload)
+        elsewhere = set(opt_sj_vars)
+        for j, (k2, p2) in enumerate(partial_frames):
             if j != i:
-                elsewhere |= set(vs2)
-        for opt_pats, _of in optionals:
-            for pat in opt_pats:
-                elsewhere |= {
-                    t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
-                }
-        for sj_pats, _neg in semijoins:
-            for pat in sj_pats:
-                elsewhere |= {
-                    t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
-                }
-        clash = partial & elsewhere
+                elsewhere |= _pframe_vars(k2, p2)[0]
+        clash = pvars & elsewhere
         if clash:
             raise InvalidArgument(
-                f"variables {sorted(clash)} are bound in only some UNION "
-                "branches but joined elsewhere; SPARQL's unbound-compatible "
-                "join is not supported — bind them in every branch"
+                f"variables {sorted(clash)} are only partially bound "
+                "(UNION branch / VALUES UNDEF) but reused in OPTIONAL, "
+                "EXISTS/MINUS, or another partially-binding group; "
+                "unbound-compatible matching against a later NULL-holding "
+                "column is not supported — bind them everywhere"
             )
-    frames += [(udf, all_vars) for udf, all_vars, _c in union_frames]
+
+    if not frames and partial_frames:
+        # union-only query: the first partial frame IS the base (its
+        # NULLs are genuine unbounds; nothing joins before it)
+        kind, payload = partial_frames.pop(0)
+        compiled, all_vars = payload  # parser guarantees kind == "union"
+        base = compiled[0][0]
+        for bdf, _v in compiled[1:]:
+            base = base.unionByName(bdf, allowMissingColumns=True)
+        frames = [(base.select(*all_vars), all_vars)]
     cur, bound = _join_patterns(frames)
+
+    # unbound-compatible joins by branch distribution
+    from collections import defaultdict
+
+    for kind, payload in partial_frames:
+        parts: list[DataFrame] = []
+        if kind == "union":
+            compiled, all_vars = payload
+            for bdf, bvars in compiled:
+                shared = [v for v in bvars if v in bound]
+                parts.append(
+                    cur.join(bdf, on=shared) if shared else cur.crossJoin(bdf)
+                )
+        else:
+            var_list, rows = payload
+            all_vars = list(var_list)
+            groups: dict[tuple, list[tuple]] = defaultdict(list)
+            for row in rows:
+                mask = tuple(v for v, x in zip(var_list, row) if x is not None)
+                groups[mask].append(tuple(x for x in row if x is not None))
+            for mask, grows in sorted(groups.items()):
+                if not mask:  # an all-UNDEF row constrains nothing
+                    parts.extend([cur] * len(grows))
+                    continue
+                schema = ", ".join(f"`{v}` string" for v in mask)
+                gdf = F.broadcast(spark.createDataFrame(grows, schema))
+                shared = [v for v in mask if v in bound]
+                parts.append(
+                    cur.join(gdf, on=shared) if shared else cur.crossJoin(gdf)
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        for v in all_vars:  # a var UNDEF in every row never got a column
+            if v not in out.columns:
+                out = out.withColumn(v, F.lit(None).cast("string"))
+        cur = out
+        bound += [v for v in all_vars if v not in bound]
     for opt_pats, opt_filters in optionals:
         odf, ovars = _join_patterns([_pattern_frame(triples, p) for p in opt_pats])
         # a FILTER inside OPTIONAL is part of the MATCHING (SPARQL's

@@ -579,11 +579,25 @@ def test_sparql_union_errors(foaf):
         '  FILTER(?x = "marko") } ORDER BY ?z'
     )).collect()
     assert [(r.x, r.z) for r in got] == [("marko", None), ("marko", None), ("marko", "29")]
-    # …but joining it elsewhere would need SPARQL's unbound-compatible join
-    with pytest.raises(InvalidArgument, match="only some UNION"):
+    # …and joining it elsewhere is SPARQL's unbound-compatible join,
+    # compiled by branch distribution: the knows-branch equi-joins on ?y
+    # (vadas + josh), the age-branch leaves ?y unbound so its 4 solutions
+    # are compatible with ALL 4 name rows (spec: unbound matches anything)
+    from collections import Counter
+
+    got = _sp(foaf, _P + (
+        "SELECT ?n WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
+        ". ?y foaf:name ?n }"
+    )).collect()
+    assert Counter(r.n for r in got) == Counter(
+        {"josh": 5, "vadas": 5, "marko": 4, "peter": 4}
+    )
+    # a partially-bound var reused in OPTIONAL still needs NULL-tolerant
+    # matching on a NULL-holding column — refused
+    with pytest.raises(InvalidArgument, match="partially bound"):
         _sp(foaf, _P + (
             "SELECT ?n WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
-            ". ?y foaf:name ?n }"
+            ". ?x foaf:name ?m OPTIONAL { ?y foaf:name ?n } }"
         ))
     with pytest.raises(InvalidArgument, match="UNION continuation"):
         _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
@@ -1395,14 +1409,31 @@ def test_sparql_multi_var_values(foaf):
     )
     got = [(r.who, r.sw) for r in _sp(foaf, q).collect()]
     assert got == [("josh", "ripple"), ("marko", "lop")]
+    # UNDEF = unbound-compatible: rows group by their defined mask and
+    # each group equi-joins on only its OWN defined vars
+    q_undef = _P + (
+        "SELECT ?a ?b WHERE { ?a foaf:created ?b . "
+        "VALUES (?a ?b) { (\"marko\" UNDEF) (\"josh\" \"ripple\") "
+        "(UNDEF \"lop\") } } ORDER BY ?a ?b"
+    )
+    got_u = [(r.a, r.b) for r in _sp(foaf, q_undef).collect()]
+    assert got_u == [
+        ("josh", "lop"), ("josh", "ripple"), ("marko", "lop"),
+        ("marko", "lop"), ("peter", "lop"),
+    ]
+    # an all-UNDEF row constrains nothing: every solution passes once more
+    q_all = _P + (
+        "SELECT ?a WHERE { ?a foaf:created ?b . "
+        "VALUES (?a ?b) { (\"josh\" \"ripple\") (UNDEF UNDEF) } } ORDER BY ?a"
+    )
+    from collections import Counter
+
+    assert Counter(r.a for r in _sp(foaf, q_all).collect()) == Counter(
+        {"josh": 3, "marko": 1, "peter": 1}
+    )
     import pytest as _pytest
 
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
-    with _pytest.raises(InvalidArgument, match="UNDEF"):
-        _sp(foaf, _P + (
-            "SELECT ?a WHERE { ?a foaf:created ?b . "
-            "VALUES (?a ?b) { (\"marko\" UNDEF) } }"
-        ))
     with _pytest.raises(InvalidArgument, match="VALUES row has"):
         _sp(foaf, _P + (
             "SELECT ?a WHERE { ?a foaf:created ?b . "
