@@ -772,6 +772,119 @@ def test_sparql_exists_matches_naive_evaluator(spark):
         assert got == want, f"trial {trial} {q!r} triples={triples}"
 
 
+def _naive_sols(triples, patterns):
+    """Naive backtracking BGP evaluation -> list of binding dicts (bag)."""
+    sols = [dict()]
+    for s, p, o in patterns:
+        nxt = []
+        for binding in sols:
+            for ts, tp, to in triples:
+                b2 = dict(binding)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in b2 and b2[v] != val:
+                            ok = False
+                            break
+                        b2[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b2)
+        sols = nxt
+    return sols
+
+
+def _compat_join(left_sols, right_sols):
+    """SPARQL's unbound-compatible join: solutions merge iff every var
+    bound on BOTH sides agrees; unbound (missing) is compatible."""
+    out = []
+    for a in left_sols:
+        for b in right_sols:
+            if all(a[k] == b[k] for k in a.keys() & b.keys()):
+                out.append({**a, **b})
+    return out
+
+
+def test_sparql_unbound_compatible_join_matches_naive(spark):
+    """Randomized partial UNIONs joined against a BGP pattern, and
+    VALUES tables with random UNDEF holes: the branch/mask distribution
+    must reproduce the naive compatibility-join MULTISET exactly."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.sparql import compile_sparql
+
+    rng = random.Random(20260816)
+    nodes = ["x", "y", "z"]
+    preds = ["p", "q"]
+
+    def run(q, tdf, var_order, want_sols):
+        got = sorted(
+            tuple("∅" if v is None else v for v in r)
+            for r in compile_sparql(q, tdf).collect()
+        )
+        want = sorted(
+            tuple(b.get(v, "∅") for v in var_order) for b in want_sols
+        )
+        assert got == want, f"{q!r}"
+
+    for trial in range(8):
+        triples = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(2, 12))
+        ]
+        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+
+        # partial union joined to a BGP: branches bind different vars
+        b1 = [("?a", rng.choice(preds), "?b")]
+        b2 = [("?a", rng.choice(preds), "?c")]
+        base = [("?a", rng.choice(preds), "?d")]
+        q = (
+            "SELECT ?a ?b ?c ?d WHERE { "
+            "{ " + " ".join(t if t.startswith("?") else f"<{t}>" for t in b1[0])
+            + " } UNION { "
+            + " ".join(t if t.startswith("?") else f"<{t}>" for t in b2[0])
+            + " } . "
+            + " ".join(t if t.startswith("?") else f"<{t}>" for t in base[0])
+            + " }"
+        )
+        want = _compat_join(
+            _naive_sols(triples, base),
+            _naive_sols(triples, b1) + _naive_sols(triples, b2),
+        )
+        run(q, tdf, ["a", "b", "c", "d"], want)
+
+        # VALUES with UNDEF holes joined to a BGP
+        n_rows = rng.randint(1, 4)
+        vrows = []
+        for _ in range(n_rows):
+            vrows.append(
+                (
+                    rng.choice(nodes) if rng.random() < 0.7 else None,
+                    rng.choice(nodes) if rng.random() < 0.7 else None,
+                )
+            )
+        q2 = (
+            "SELECT ?a ?b WHERE { ?a <" + preds[0] + "> ?b . "
+            "VALUES (?a ?b) { "
+            + " ".join(
+                "(" + " ".join("UNDEF" if x is None else f'"{x}"' for x in row) + ")"
+                for row in vrows
+            )
+            + " } }"
+        )
+        val_sols = [
+            {k: v for k, v in zip(("a", "b"), row) if v is not None}
+            for row in vrows
+        ]
+        want2 = _compat_join(
+            _naive_sols(triples, [("?a", preds[0], "?b")]), val_sols
+        )
+        run(q2, tdf, ["a", "b"], want2)
+
+
 def test_sparql_union_matches_naive_evaluator(spark):
     """Randomized two-branch UNIONs binding the same variables: the
     compiled unionByName equals bag concatenation of the branch
