@@ -317,6 +317,25 @@ def test_to_iceberg_tables_carry_metadata_and_sticky_export(spark, tmp_path):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_reader_partition_pruning_via_constant_folding(spark, tmp_path):
+    """The reader injects identity-partition values as LITERALS, so a
+    filter on the partition column constant-folds to FALSE on
+    non-matching branches and Catalyst collapses the union — one
+    surviving relation out of three partitions, no data read from the
+    pruned ones."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr"), (3, "c", "de")],
+        "k int, name string, lang string",
+    )
+    shim.write(df, p, mode="overwrite", partition_cols=["lang"])
+    lakehouse.convert_to_iceberg(p)
+    out = iceberg_meta.read_iceberg_meta(spark, p).where("lang = 'en'")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") == 1, plan
+    assert [tuple(r) for r in out.collect()] == [(1, "a", "en")]
+
+
 def test_reader_refuses_unsupported_features(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
