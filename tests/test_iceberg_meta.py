@@ -146,6 +146,88 @@ def test_avro_cross_validation_with_java(spark, tmp_path):
     assert got == recs, "python misread java-written avro"
 
 
+def test_avro_random_roundtrip_property():
+    """Hypothesis: random record schemas (primitives, [null, X] unions,
+    arrays, maps, nested records) with random matching values round-trip
+    bit-exactly through the container codec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prim = st.sampled_from(["boolean", "int", "long", "string", "bytes", "double"])
+
+    def type_and_value(depth=0):
+        base = prim.flatmap(lambda t: st.tuples(st.just(t), _value_for(t)))
+        if depth >= 2:
+            return base
+        nested = st.deferred(
+            lambda: st.one_of(
+                base,
+                # optional union
+                prim.flatmap(
+                    lambda t: st.tuples(
+                        st.just(["null", t]),
+                        st.one_of(st.none(), _value_for(t)),
+                    )
+                ),
+                # array
+                type_and_value(depth + 1).flatmap(
+                    lambda tv: st.tuples(
+                        st.just({"type": "array", "items": tv[0]}),
+                        st.lists(st.just(tv[1]), max_size=3),
+                    )
+                ),
+                # map
+                type_and_value(depth + 1).flatmap(
+                    lambda tv: st.tuples(
+                        st.just({"type": "map", "values": tv[0]}),
+                        st.dictionaries(
+                            st.text(max_size=5), st.just(tv[1]), max_size=3
+                        ),
+                    )
+                ),
+            )
+        )
+        return nested
+
+    def _value_for(t):
+        return {
+            "boolean": st.booleans(),
+            "int": st.integers(-(2**31), 2**31 - 1),
+            "long": st.integers(-(2**63), 2**63 - 1),
+            "string": st.text(max_size=20),
+            "bytes": st.binary(max_size=20),
+            "double": st.floats(allow_nan=False),
+        }[t]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(type_and_value(), min_size=1, max_size=5),
+        st.integers(1, 3),
+        st.sampled_from(["null", "deflate"]),
+    )
+    def run(field_tvs, n_records, codec):
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": f"f{i}", "type": t} for i, (t, _v) in enumerate(field_tvs)
+            ],
+        }
+        recs = [
+            {f"f{i}": v for i, (_t, v) in enumerate(field_tvs)}
+            for _ in range(n_records)
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/t.avro"
+            avro_ocf.write_container(path, schema, recs, codec=codec)
+            _s, _m, got = avro_ocf.read_container(path)
+        assert got == recs
+
+    run()
+
+
 # ------------------------------------------------------------- table export
 
 
