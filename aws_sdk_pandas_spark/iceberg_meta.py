@@ -383,6 +383,53 @@ def _manifest_entry_schema(partition_fields: list[dict], table_schema: dict) -> 
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long",
                          "field-id": 104},
+                        # per-column bounds use the spec's array-of-record
+                        # representation (Avro maps need string keys;
+                        # Iceberg's are keyed by field-id)
+                        {
+                            "name": "lower_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {"name": "key", "type": "int",
+                                             "field-id": 126},
+                                            {"name": "value", "type": "bytes",
+                                             "field-id": 127},
+                                        ],
+                                    },
+                                    "logicalType": "map",
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {"name": "key", "type": "int",
+                                             "field-id": 129},
+                                            {"name": "value", "type": "bytes",
+                                             "field-id": 130},
+                                        ],
+                                    },
+                                    "logicalType": "map",
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 128,
+                        },
                     ],
                 },
                 "field-id": 2,
@@ -436,6 +483,34 @@ _MANIFEST_FILE_SCHEMA = {
         },
     ],
 }
+
+
+def _bound_bytes(iceberg_type: str, v: Any) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the bound-able subset lakelite stats carry; unsupported types return
+    None (bounds are optional per column)."""
+    import struct as _struct
+
+    if v is None or not isinstance(iceberg_type, str):
+        return None
+    try:
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(v))
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(v))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(v))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(v))
+        if iceberg_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if iceberg_type == "date":
+            return _struct.pack("<i", (date.fromisoformat(str(v)) - _EPOCH).days)
+        if iceberg_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None
 
 
 def _num_records(abs_file: str) -> int:
@@ -561,6 +636,18 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
         part = _part_record(e.get("partition_values") or {})
         if prev_entry is None:
             nrec = _num_records(os.path.join(root, rel))
+            # lakelite per-file min/max stats -> Iceberg bounds maps
+            # (field-id keyed, single-value binary serialization)
+            lower, upper = [], []
+            for col, (mn, mx) in sorted((e.get("stats") or {}).items()):
+                f = by_name.get(col)
+                if f is None:
+                    continue
+                lo = _bound_bytes(f["type"], mn)
+                hi = _bound_bytes(f["type"], mx)
+                if lo is not None and hi is not None:
+                    lower.append({"key": f["id"], "value": lo})
+                    upper.append({"key": f["id"], "value": hi})
             added.append(
                 {
                     "status": 1,
@@ -576,6 +663,8 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
                         "file_size_in_bytes": os.path.getsize(
                             os.path.join(root, rel)
                         ),
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
                     },
                 }
             )

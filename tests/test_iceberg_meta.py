@@ -352,6 +352,56 @@ def test_manifest_entries_added_vs_existing(spark, tmp_path):
     )
 
 
+def test_manifest_column_bounds_and_java_readability(spark, tmp_path):
+    """stats_cols min/max land as Iceberg lower/upper bounds (field-id
+    keyed, single-value binary serialization), and the REAL manifest
+    Avro file is readable by the Apache Avro Java library."""
+    import json as _json
+    import struct
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(5, "alpha", "en"), (42, "zulu", "en")], "k int, name string, lang string"
+    ).coalesce(1)
+    shim.write(df, p, mode="overwrite", stats_cols=["k", "name"])
+    lakehouse.convert_to_iceberg(p)
+
+    mpath = os.path.join(iceberg_meta._meta_dir(p), "icm-00000000-data.avro")
+    _s, fmeta, entries = avro_ocf.read_container(mpath)
+    [entry] = entries
+    schema = _json.loads(fmeta["schema"].decode())
+    fid = {f["name"]: f["id"] for f in schema["fields"]}
+    lower = {r["key"]: r["value"] for r in entry["data_file"]["lower_bounds"]}
+    upper = {r["key"]: r["value"] for r in entry["data_file"]["upper_bounds"]}
+    assert struct.unpack("<i", lower[fid["k"]])[0] == 5
+    assert struct.unpack("<i", upper[fid["k"]])[0] == 42
+    assert lower[fid["name"]] == b"alpha" and upper[fid["name"]] == b"zulu"
+    assert entry["data_file"]["record_count"] == 2
+
+    # the actual manifest (not a toy schema) parses in Java Avro
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mpath),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while dfr.hasNext():
+        rec = dfr.next()
+        assert rec.get("status") == 1
+        n += 1
+    dfr.close()
+    assert n == 1
+    # and so does the manifest list
+    meta = iceberg_meta._load_metadata(p)
+    lpath = iceberg_meta._local(meta["snapshots"][0]["manifest-list"])
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(lpath),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert dfr.hasNext() and dfr.next().get("added_files_count") == 1
+    dfr.close()
+
+
 def test_schema_evolution_preserves_field_ids(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
