@@ -892,7 +892,15 @@ def _live_entries(path: str, meta: dict, snapshot_id: int) -> list[dict]:
         raise InvalidArgument(
             f"snapshot {snapshot_id} not in table metadata at {path!r}"
         )
-    _, _, manifests = avro_ocf.read_container(_local(snap["manifest-list"]))
+    if "manifest-list" in snap:
+        _, _, manifests = avro_ocf.read_container(_local(snap["manifest-list"]))
+    elif "manifests" in snap:
+        # format v1 allowed inlining the manifest paths in the snapshot
+        manifests = [{"manifest_path": m, "content": 0} for m in snap["manifests"]]
+    else:
+        raise InvalidArgument(
+            f"snapshot {snapshot_id} has neither manifest-list nor manifests"
+        )
     out = []
     for m in manifests:
         if m.get("content", 0) != 0:
@@ -946,9 +954,13 @@ def read_iceberg_meta(
         if snap is None:
             raise InvalidArgument(f"snapshot {snapshot_id} not found at {path!r}")
         schema_id = snap.get("schema-id", schema_id)
-    ice_schema = next(
-        s for s in meta["schemas"] if s["schema-id"] == schema_id
-    )
+    schemas = meta.get("schemas")
+    if schemas:
+        ice_schema = next(
+            (s for s in schemas if s.get("schema-id", 0) == schema_id), schemas[0]
+        )
+    else:
+        ice_schema = meta["schema"]  # format v1's single-schema key
     st = T.StructType(
         [
             T.StructField(f["name"], _spark_type_of(f["type"]), not f["required"])

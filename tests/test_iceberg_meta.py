@@ -468,6 +468,75 @@ def test_reader_partition_pruning_via_constant_folding(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [(1, "a", "en")]
 
 
+def test_reader_handles_foreign_v1_table(spark, tmp_path):
+    """A format-v1 table laid out the way real engines wrote them —
+    single 'schema' key, snapshot-inlined 'manifests' list, manifest
+    entries without v2 sequence fields or data_file.content — reads
+    through the same chain."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    # one plain parquet data file
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string") \
+        .coalesce(1).write.parquet(os.path.join(root, "data"))
+    dfile = next(
+        os.path.join(root, "data", f)
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    )
+    v1_entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ]}, "field-id": 2},
+        ],
+    }
+    mpath = os.path.join(root, "metadata", "m0.avro")
+    avro_ocf.write_container(
+        mpath, v1_entry_schema,
+        [{"status": 1, "snapshot_id": 99, "data_file": {
+            "file_path": dfile, "file_format": "PARQUET", "partition": {},
+            "record_count": 2, "file_size_in_bytes": os.path.getsize(dfile)}}],
+        metadata={"partition-spec": "[]", "format-version": "1",
+                  "content": "data"},
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [{"snapshot-id": 99, "timestamp-ms": 1,
+                       "manifests": [mpath]}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = iceberg_meta.read_iceberg_meta(spark, root)
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+    assert [f.dataType.simpleString() for f in got.schema.fields] == ["int", "string"]
+
+
 def test_reader_refuses_unsupported_features(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
