@@ -5799,6 +5799,58 @@ def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parsing under the hash gate
+    (operators/multimodal.video_metadata): a deterministic MP4 is
+    SYNTHESIZED per document — duration d*40+400 units at timescale
+    d%3*400+600, video track of (320+(d%4)*160) x (180+(d%4)*90) — run
+    through the real ISO-BMFF box walker, and every parsed field is
+    recomputed by DuckDB from the same arithmetic.  A box-offset,
+    fixed-point, or version-handling bug in the parser shifts a value
+    and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import make_test_media, video_metadata
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "mp4",
+                            320 + (int(d) % 4) * 160,
+                            180 + (int(d) % 4) * 90,
+                            timescale=(int(d) % 3) * 400 + 600,
+                            duration=int(d) * 40 + 400,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        video_metadata(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            F.round("video_duration_seconds", 6).alias("duration_s"),
+            F.col("video_timescale").alias("timescale"),
+            F.col("video_n_tracks").alias("n_tracks"),
+            F.col("video_width").alias("width"),
+            F.col("video_height").alias("height"),
+            F.col("video_brand").alias("brand"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM decode under the hash gate (verdict item 8,
     operators/multimodal.decode_wav + audio_pcm_stats): a deterministic
@@ -6129,6 +6181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_iceberg_snapshots": _q_lakehouse_iceberg_snapshots,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
         "lakelite_stream_source": _q_lakelite_stream_source,
         "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
@@ -7820,6 +7873,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(range(48)) AS i) r
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "multimodal_mp4_metadata": """
+            SELECT doc_id,
+                   CAST(ROUND((doc_id * 40 + 400.0) / ((doc_id % 3) * 400 + 600), 6) AS DOUBLE) AS duration_s,
+                   CAST((doc_id % 3) * 400 + 600 AS BIGINT) AS timescale,
+                   1 AS n_tracks,
+                   CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+                   CAST(180 + (doc_id % 4) * 90 AS INT) AS height,
+                   'isom' AS brand
+            FROM documents WHERE doc_id < 200
+            ORDER BY doc_id
         """,
         "multimodal_wav_pcm_stats": """
             SELECT d.doc_id, 1 AS channels, 16000 AS sample_rate,

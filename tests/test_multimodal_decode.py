@@ -322,3 +322,45 @@ def test_audio_dhash_properties(spark):
     assert h[6] is None
     pairs = {(r.id_a, r.id_b) for r in dedup_audio_dhash(df, id_col="media_id", max_distance=0).collect()}
     assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= pairs
+
+
+def test_mp4_metadata_parse(spark):
+    """Real ISO-BMFF box-tree parsing: mvhd duration/timescale, per-track
+    hdlr types, tkhd presentation size — video and audio tracks, v0
+    boxes, non-BMFF rejection, corrupt-size safety."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        make_test_media,
+        parse_mp4_py,
+        video_metadata,
+    )
+
+    vid = make_test_media("mp4", 1920, 1080, timescale=600, duration=3000)
+    m = parse_mp4_py(vid)
+    assert m["duration_seconds"] == 5.0 and m["timescale"] == 600
+    assert m["track_types"] == ["vide"] and (m["width"], m["height"]) == (1920, 1080)
+    assert m["major_brand"] == "isom"
+
+    aud = make_test_media("mp4", 0, 0, handler=b"soun", duration=2500)
+    ma = parse_mp4_py(aud)
+    assert ma["track_types"] == ["soun"] and ma["duration_seconds"] == 2.5
+    assert ma["width"] is None
+
+    assert parse_mp4_py(b"notanmp4file....") is None
+    assert parse_mp4_py(None) is None
+    # corrupt inner size must stop the walk, not crash or mis-read
+    broken = bytearray(vid)
+    broken[0:4] = (2**31 - 1).to_bytes(4, "big")
+    assert parse_mp4_py(bytes(broken)) is not None  # walk stops cleanly
+
+    # the Arrow-batched kernel over a frame
+    df = spark.createDataFrame(
+        [(1, vid), (2, aud), (3, b"junkjunkjunkjunk"), (4, None)],
+        "media_id bigint, payload binary",
+    )
+    got = {r.media_id: r for r in video_metadata(df).collect()}
+    assert got[1].video_duration_seconds == 5.0
+    assert got[1].video_track_types == ["vide"]
+    assert got[1].video_width == 1920 and got[1].video_brand == "isom"
+    assert got[2].video_track_types == ["soun"]
+    assert got[3].video_duration_seconds is None
+    assert got[4].video_n_tracks is None
