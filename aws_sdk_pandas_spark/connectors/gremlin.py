@@ -410,6 +410,40 @@ class _Traversal:
             self.kind = "value"
         elif name == "valueMap":
             pass  # the frame already carries every property column
+        elif name == "elementMap":
+            # elementMap([p1, p2, ...]): id + label + the listed
+            # properties (all properties when none listed), relational
+            props = [str(a) for a in args] or [
+                c for c in self.df.columns if not c.startswith("~")
+            ]
+            missing = [p for p in props if p not in self.df.columns]
+            if missing:
+                raise InvalidArgument(f"elementMap of unknown properties {missing}")
+            self.df = self.df.select(
+                F.col("`~id`").alias("id"),
+                F.col("`~label`").alias("label"),
+                *[F.col(f"`{p}`") for p in props],
+            )
+        elif name == "project":
+            # project('k1','k2').by(p1).by(p2): one output column per
+            # key, by modulators cycled round-robin (TinkerPop's rule);
+            # a by() may name a property, 'id', or 'label'
+            if not args:
+                raise InvalidArgument("project() needs at least one key")
+            if not bys:
+                raise InvalidArgument(
+                    "project() requires .by(property) modulators (bare "
+                    "traversal by() forms are not supported)"
+                )
+            cols = []
+            for i, k in enumerate(args):
+                prop = str(bys[i % len(bys)][0])
+                src = {"id": "~id", "label": "~label"}.get(prop, prop)
+                if src not in self.df.columns:
+                    raise InvalidArgument(f"project by unknown property {prop!r}")
+                cols.append(F.col(f"`{src}`").alias(str(k)))
+            self.df = self.df.select(*cols)
+            self.kind = "value"
         elif name == "dedup":
             self.df = self.df.distinct()
         elif name == "limit":

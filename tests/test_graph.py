@@ -946,6 +946,30 @@ def test_gremlin_repeat_times(modern):
         _g(modern, "g.V().repeat(repeat(out()).times(2)).times(2).count()")
 
 
+def test_gremlin_project_and_element_map(modern):
+    # project with by-modulators cycled round-robin
+    q = "g.V().hasLabel('person').project('n', 'a').by('name').by('age')"
+    got = sorted((r.n, r.a) for r in _g(modern, q).collect())
+    assert got == [("josh", 32), ("marko", 29), ("peter", 35), ("vadas", 27)]
+    # by('id') / by('label') address the element itself
+    q2 = "g.V().has('name', 'lop').project('i', 'l').by('id').by('label')"
+    assert [(r.i, r.l) for r in _g(modern, q2).collect()] == [("lop", "software")]
+    # elementMap: id + label + listed properties
+    q3 = "g.V().hasLabel('software').elementMap('name', 'lang')"
+    got3 = sorted((r.id, r.label, r.name, r.lang) for r in _g(modern, q3).collect())
+    assert got3 == [
+        ("lop", "software", "lop", "java"),
+        ("ripple", "software", "ripple", "java"),
+    ]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="requires .by"):
+        _g(modern, "g.V().project('x')")
+    with pytest.raises(InvalidArgument, match="unknown propert"):
+        _g(modern, "g.V().project('x').by('nope')")
+    with pytest.raises(InvalidArgument, match="unknown propert"):
+        _g(modern, "g.V().elementMap('nope')")
+
+
 def test_cypher_variable_length_paths(modern):
     # *1..2 with no label: bag of PATHS — lop reachable directly and via josh
     q = "MATCH (a:person {name: 'marko'})-[*1..2]->(b) RETURN b.name AS n ORDER BY n"
