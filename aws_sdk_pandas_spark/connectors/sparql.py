@@ -831,27 +831,23 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         }
         return set(var_list), partial
 
-    # a partially-bound var holds NULLs after its frame joins in; any
-    # LATER join on that column (another partial frame, OPTIONAL,
-    # EXISTS/MINUS) would need NULL-tolerant compatibility a plain
-    # equi-join doesn't have — those combinations stay refused.  Joins
+    # a partially-bound var holds NULLs after its frame joins in; a
+    # LATER join on that column needs NULL-tolerant compatibility a
+    # plain equi-join doesn't have.  OPTIONAL handles it below by
+    # NULL-MASK distribution; EXISTS/MINUS blocks and a second
+    # partially-binding group on the same var stay refused.  Joins
     # against always-bound frames are safe: they land in ``cur`` FIRST,
     # and the distribution below equi-joins each branch on the vars the
     # branch actually binds.
-    opt_sj_vars: set[str] = set()
-    for opt_pats, _of in optionals:
-        for pat in opt_pats:
-            opt_sj_vars |= {
-                t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
-            }
+    sj_vars: set[str] = set()
     for sj_pats, _neg in semijoins:
         for pat in sj_pats:
-            opt_sj_vars |= {
+            sj_vars |= {
                 t.value for t in pat if isinstance(t, _Term) and t.kind == "var"
             }
     for i, (kind, payload) in enumerate(partial_frames):
         _av, pvars = _pframe_vars(kind, payload)
-        elsewhere = set(opt_sj_vars)
+        elsewhere = set(sj_vars)
         for j, (k2, p2) in enumerate(partial_frames):
             if j != i:
                 elsewhere |= _pframe_vars(k2, p2)[0]
@@ -859,10 +855,10 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         if clash:
             raise InvalidArgument(
                 f"variables {sorted(clash)} are only partially bound "
-                "(UNION branch / VALUES UNDEF) but reused in OPTIONAL, "
-                "EXISTS/MINUS, or another partially-binding group; "
-                "unbound-compatible matching against a later NULL-holding "
-                "column is not supported — bind them everywhere"
+                "(UNION branch / VALUES UNDEF) but reused in EXISTS/MINUS "
+                "or another partially-binding group; unbound-compatible "
+                "matching against a later NULL-holding column is not "
+                "supported there — bind them everywhere"
             )
 
     if not frames and partial_frames:
@@ -879,7 +875,9 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     # unbound-compatible joins by branch distribution
     from collections import defaultdict
 
+    maybe_null: set[str] = set()  # vars that may be SPARQL-unbound in cur
     for kind, payload in partial_frames:
+        maybe_null |= _pframe_vars(kind, payload)[1]
         parts: list[DataFrame] = []
         if kind == "union":
             compiled, all_vars = payload
@@ -924,8 +922,57 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
         shared = [v for v in ovars if v in bound]
         if not shared:
             raise InvalidArgument("OPTIONAL group shares no variable with the BGP")
-        cur = cur.join(odf, on=shared, how="left")
-        bound += [v for v in ovars if v not in bound]
+        nullable = [v for v in shared if v in maybe_null]
+        if not nullable:
+            cur = cur.join(odf, on=shared, how="left")
+        else:
+            # a shared var may be SPARQL-unbound (NULL) on the left —
+            # unbound is compatible with ANY binding and the merged
+            # solution takes the optional side's value.  Distribute by
+            # NULL-mask: cur partitions into 2^|nullable| disjoint
+            # groups; each group left-joins on only the vars it has
+            # BOUND, and the masked vars fill from the optional side
+            # (coalesce of a NULL column).  Every join stays an
+            # equi-join; plan size is bounded by the cap below.
+            if len(nullable) > 2:
+                raise InvalidArgument(
+                    f"OPTIONAL shares {len(nullable)} possibly-unbound "
+                    f"variables {sorted(nullable)} with the outer group; "
+                    "the NULL-mask distribution is capped at 2 — bind "
+                    "some of them in every branch"
+                )
+            always = [v for v in shared if v not in nullable]
+            parts: list[DataFrame] = []
+            for bits in range(1 << len(nullable)):
+                masked = [v for i, v in enumerate(nullable) if bits >> i & 1]
+                unmasked = [v for v in nullable if v not in masked]
+                grp = cur
+                for v in masked:
+                    grp = grp.where(F.col(v).isNull())
+                for v in unmasked:
+                    grp = grp.where(F.col(v).isNotNull())
+                o2 = odf
+                for v in masked:
+                    o2 = o2.withColumnRenamed(v, f"__opt_{v}")
+                keys = always + unmasked
+                if keys:
+                    j = grp.join(o2, on=keys, how="left")
+                else:
+                    # unbound on EVERY shared var: compatible with all
+                    # optional solutions (kept alone only if none exist)
+                    j = grp.join(o2, F.lit(True), "left")
+                for v in masked:
+                    j = j.withColumn(v, F.coalesce(F.col(v), F.col(f"__opt_{v}")))
+                    j = j.drop(f"__opt_{v}")
+                parts.append(j)
+            cur = parts[0]
+            for p in parts[1:]:
+                cur = cur.unionByName(p, allowMissingColumns=True)
+        new_vars = [v for v in ovars if v not in bound]
+        bound += new_vars
+        # optional-introduced vars are unbound on unmatched rows; masked
+        # shared vars may still be NULL when nothing matched
+        maybe_null |= set(new_vars)
     for sj_pats, negated in semijoins:
         sdf, svars = _join_patterns([_pattern_frame(triples, p) for p in sj_pats])
         shared = [v for v in svars if v in bound]

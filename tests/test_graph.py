@@ -592,15 +592,47 @@ def test_sparql_union_errors(foaf):
     assert Counter(r.n for r in got) == Counter(
         {"josh": 5, "vadas": 5, "marko": 4, "peter": 4}
     )
-    # a partially-bound var reused in OPTIONAL still needs NULL-tolerant
-    # matching on a NULL-holding column — refused
+    # a partially-bound var reused in OPTIONAL: NULL-mask distribution.
+    # Rows where ?y is bound equi-join; rows where ?y is unbound are
+    # compatible with EVERY optional solution and take ITS ?y/?n values.
+    got = _sp(foaf, _P + (
+        "SELECT ?y ?n WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
+        ". ?x foaf:name ?m OPTIONAL { ?y foaf:name ?n } }"
+    )).collect()
+    assert Counter(r.n for r in got) == Counter(
+        {"josh": 5, "vadas": 5, "marko": 4, "peter": 4}
+    )
+    # the masked var fills from the optional side (name solutions bind
+    # y == n), so no row may disagree
+    assert all(r.y == r.n for r in got)
+    # …but EXISTS/MINUS on a partially-bound var stays refused
     with pytest.raises(InvalidArgument, match="partially bound"):
         _sp(foaf, _P + (
-            "SELECT ?n WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
-            ". ?x foaf:name ?m OPTIONAL { ?y foaf:name ?n } }"
+            "SELECT ?m WHERE { { ?x foaf:knows ?y } UNION { ?x foaf:age ?z } "
+            ". ?x foaf:name ?m FILTER EXISTS { ?y foaf:name ?n } }"
         ))
     with pytest.raises(InvalidArgument, match="UNION continuation"):
         _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
+
+
+def test_sparql_optional_on_optional_var(foaf):
+    """A second OPTIONAL sharing a var the FIRST optional introduced
+    (unbound on unmatched rows) also distributes: bound rows equi-join,
+    unbound rows are compatible with every block solution."""
+    from collections import Counter
+
+    got = _sp(foaf, _P + (
+        "SELECT ?x ?y ?a WHERE { ?x foaf:name ?m "
+        "OPTIONAL { ?x foaf:knows ?y } OPTIONAL { ?y foaf:age ?a } }"
+    )).collect()
+    # marko's two knows-rows bind y -> exactly vadas(27)/josh(32);
+    # the other three x's have y unbound -> all four age solutions each
+    by_x = Counter(r.x for r in got)
+    assert by_x == Counter({"marko": 2, "vadas": 4, "josh": 4, "peter": 4})
+    marko = sorted((r.y, r.a) for r in got if r.x == "marko")
+    assert marko == [("josh", "32"), ("vadas", "27")]
+    vadas_ages = sorted(r.a for r in got if r.x == "vadas")
+    assert vadas_ages == ["27", "29", "32", "35"]
 
 
 def test_sparql_ask_and_construct(foaf):
