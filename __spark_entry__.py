@@ -5575,6 +5575,46 @@ def _q_emr_spark_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("o_orderpriority")
 
 
+def _q_sparql_undef_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL unbound-compatible VALUES join under the hash gate
+    (connectors/sparql.py round-4 distribution path): a 3-row binding
+    table with UNDEF holes — (GERMANY, UNDEF) matches every segment of
+    one nation, (UNDEF, BUILDING) every nation of one segment, and an
+    exact pair — against the customer->nation triples.  The oracle is
+    the UNION ALL of the three per-mask equi-joins, so a dropped mask
+    group, a mis-grouped row, or doubled multiplicities hash-mismatch."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    n_id = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    triples = (
+        cust.select(c_id.alias("s"), F.lit("in_nation").alias("p"),
+                    F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"))
+        .unionByName(cust.select(c_id.alias("s"), F.lit("segment").alias("p"),
+                                 F.col("c_mktsegment").alias("o")))
+        .unionByName(nat.select(n_id.alias("s"), F.lit("name").alias("p"),
+                                F.col("n_name").alias("o")))
+    )
+    q = """
+        SELECT ?nname ?seg (COUNT(?c) AS ?cnt)
+        WHERE {
+            ?c <in_nation> ?n ; <segment> ?seg .
+            ?n <name> ?nname .
+            VALUES (?nname ?seg) {
+                ("GERMANY" UNDEF) (UNDEF "BUILDING") ("FRANCE" "MACHINERY")
+            }
+        }
+        GROUP BY ?nname ?seg
+        ORDER BY ?nname ?seg
+    """
+    return execute_sparql({"root": ""}, q, triples=triples).select(
+        "nname", "seg", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def _q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL execution under the hash gate (connectors/sparql.py via
     neptune.execute_sparql, reference: neptune/_neptune.py:84): the
@@ -6208,6 +6248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_corpus": _q_dedup_lines,
         "graph_sparql_path_closure": _q_sparql_path_closure,
         "graph_sparql_bgp": _q_sparql_bgp,
+        "graph_sparql_undef_join": _q_sparql_undef_join,
         "graph_sparql_union": _q_sparql_union,
         "graph_sparql_not_exists": _q_sparql_not_exists,
         "graph_sparql_construct": _q_sparql_construct,
@@ -7961,6 +8002,20 @@ def oracle_sql() -> dict[str, str]:
         "graph_sparql_path_closure": """
             SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_pairs
             FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        """,
+        "graph_sparql_undef_join": """
+            WITH base AS (
+                SELECT n_name AS nname, c_mktsegment AS seg
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), matched AS (
+                SELECT * FROM base WHERE nname = 'GERMANY'
+                UNION ALL SELECT * FROM base WHERE seg = 'BUILDING'
+                UNION ALL SELECT * FROM base
+                    WHERE nname = 'FRANCE' AND seg = 'MACHINERY'
+            )
+            SELECT nname, seg, COUNT(*) AS cnt
+            FROM matched GROUP BY nname, seg
+            ORDER BY nname, seg
         """,
         "graph_cypher_unwind_roundtrip": """
             SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS uid,
