@@ -861,6 +861,13 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
                 "supported there — bind them everywhere"
             )
 
+    # vars that may be SPARQL-unbound in cur — computed BEFORE the
+    # union-only base is popped off, so the seeded base's partial vars
+    # stay tracked for the OPTIONAL NULL-mask distribution below
+    maybe_null: set[str] = set()
+    for kind, payload in partial_frames:
+        maybe_null |= _pframe_vars(kind, payload)[1]
+
     if not frames and partial_frames:
         # union-only query: the first partial frame IS the base (its
         # NULLs are genuine unbounds; nothing joins before it)
@@ -875,9 +882,7 @@ def compile_sparql(query: str, triples: DataFrame) -> DataFrame:
     # unbound-compatible joins by branch distribution
     from collections import defaultdict
 
-    maybe_null: set[str] = set()  # vars that may be SPARQL-unbound in cur
     for kind, payload in partial_frames:
-        maybe_null |= _pframe_vars(kind, payload)[1]
         parts: list[DataFrame] = []
         if kind == "union":
             compiled, all_vars = payload

@@ -615,6 +615,23 @@ def test_sparql_union_errors(foaf):
         _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
 
 
+def test_sparql_optional_on_union_only_base(foaf):
+    """A union-only query (no plain BGP) whose partial var feeds an
+    OPTIONAL: the seeded base's NULLs must be tracked as unbound, so
+    unbound rows extend by EVERY optional solution instead of being
+    kept alone by a NULL equi-join."""
+    from collections import Counter
+
+    got = _sp(foaf, _P + (
+        "SELECT ?x ?y ?n WHERE { { ?x foaf:knows ?y } UNION "
+        "{ ?x foaf:age ?z } OPTIONAL { ?y foaf:name ?n } }"
+    )).collect()
+    assert Counter(r.n for r in got) == Counter(
+        {"vadas": 5, "josh": 5, "marko": 4, "peter": 4}
+    )
+    assert all(r.y == r.n for r in got)
+
+
 def test_sparql_optional_on_optional_var(foaf):
     """A second OPTIONAL sharing a var the FIRST optional introduced
     (unbound on unmatched rows) also distributes: bound rows equi-join,
@@ -840,6 +857,20 @@ def _compat_join(left_sols, right_sols):
     return out
 
 
+def _compat_leftjoin(left_sols, right_sols):
+    """SPARQL LeftJoin: each left solution extends by every compatible
+    right solution, or survives alone when none is compatible."""
+    out = []
+    for a in left_sols:
+        ms = [
+            {**a, **b}
+            for b in right_sols
+            if all(a[k] == b[k] for k in a.keys() & b.keys())
+        ]
+        out.extend(ms if ms else [a])
+    return out
+
+
 def test_sparql_unbound_compatible_join_matches_naive(spark):
     """Randomized partial UNIONs joined against a BGP pattern, and
     VALUES tables with random UNDEF holes: the branch/mask distribution
@@ -915,6 +946,24 @@ def test_sparql_unbound_compatible_join_matches_naive(spark):
             _naive_sols(triples, [("?a", preds[0], "?b")]), val_sols
         )
         run(q2, tdf, ["a", "b"], want2)
+
+        # partial union base + OPTIONAL on the partial var: NULL-mask
+        # distribution equals the naive LeftJoin over compatibility
+        opt_pat = ("?b", rng.choice(preds), "?w")
+        q3 = (
+            "SELECT ?a ?b ?c ?w WHERE { "
+            "{ " + " ".join(t if t.startswith("?") else f"<{t}>" for t in b1[0])
+            + " } UNION { "
+            + " ".join(t if t.startswith("?") else f"<{t}>" for t in b2[0])
+            + " } OPTIONAL { "
+            + " ".join(t if t.startswith("?") else f"<{t}>" for t in opt_pat)
+            + " } }"
+        )
+        want3 = _compat_leftjoin(
+            _naive_sols(triples, b1) + _naive_sols(triples, b2),
+            _naive_sols(triples, [opt_pat]),
+        )
+        run(q3, tdf, ["a", "b", "c", "w"], want3)
 
 
 def test_sparql_union_matches_naive_evaluator(spark):
