@@ -613,7 +613,7 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
     # ---- per-file provenance from the parent snapshot's manifests
     prev_files: dict[str, dict] = {}
     if prev_meta and prev_meta.get("current-snapshot-id") is not None:
-        for entry in _live_entries(path, prev_meta, prev_meta["current-snapshot-id"]):
+        for entry in _live_entries(path, prev_meta, prev_meta["current-snapshot-id"])[0]:
             df_rec = entry["data_file"]
             prev_files[df_rec["file_path"]] = entry
     cur_entries = {e["path"]: e for e in manifest["files"]}
@@ -882,9 +882,13 @@ def _load_metadata(path: str) -> dict:
         return json.load(fh)
 
 
-def _live_entries(path: str, meta: dict, snapshot_id: int) -> list[dict]:
-    """All ADDED/EXISTING manifest entries of one snapshot (DELETED
-    tombstones excluded) — the snapshot's live data files."""
+def _live_entries(
+    path: str, meta: dict, snapshot_id: int
+) -> tuple[list[dict], list[dict]]:
+    """ADDED/EXISTING manifest entries of one snapshot (DELETED
+    tombstones excluded), split into (data entries, DELETE-FILE
+    entries) — the latter from content=1 delete manifests (v2
+    merge-on-read)."""
     snap = next(
         (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
     )
@@ -901,12 +905,12 @@ def _live_entries(path: str, meta: dict, snapshot_id: int) -> list[dict]:
         raise InvalidArgument(
             f"snapshot {snapshot_id} has neither manifest-list nor manifests"
         )
-    out = []
+    data_out: list[dict] = []
+    del_out: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
+        if m.get("content", 0) not in (0, 1):
             raise InvalidArgument(
-                "delete manifests (format v2 row-level deletes) are not "
-                "supported by this jar-free reader"
+                f"unknown manifest content {m['content']!r} in {path!r}"
             )
         _, fmeta, entries = avro_ocf.read_container(_local(m["manifest_path"]))
         for e in entries:
@@ -920,8 +924,8 @@ def _live_entries(path: str, meta: dict, snapshot_id: int) -> list[dict]:
             e["_spec_fields"] = json.loads(
                 fmeta.get("partition-spec", b"[]").decode()
             )
-            out.append(e)
-    return out
+            (del_out if m.get("content", 0) == 1 else data_out).append(e)
+    return data_out, del_out
 
 
 def read_iceberg_meta(
@@ -971,7 +975,7 @@ def read_iceberg_meta(
         df = spark.createDataFrame([], st)
         return df.select(*columns) if columns else df
 
-    entries = _live_entries(path, meta, snap_id)
+    entries, del_entries = _live_entries(path, meta, snap_id)
     if not entries:
         df = spark.createDataFrame([], st)
         return df.select(*columns) if columns else df
@@ -979,10 +983,14 @@ def read_iceberg_meta(
     fields_by_id = {f["id"]: f for f in ice_schema["fields"]}
     groups: dict[tuple, list[str]] = {}
     group_parts: dict[tuple, list[tuple[str, str, Any]]] = {}
+    file_seq: dict[str, int] = {}
     for e in entries:
         dfile = e["data_file"]
         if dfile.get("content", 0) != 0:
-            raise InvalidArgument("delete files are not supported (v2 MoR)")
+            raise InvalidArgument(
+                f"data manifest carries content={dfile['content']} file"
+            )
+        file_seq[_local(dfile["file_path"])] = int(e.get("sequence_number") or 0)
         spec_fields = e["_spec_fields"]
         parts = []
         for pf in spec_fields:
@@ -1006,6 +1014,44 @@ def read_iceberg_meta(
             f"data file(s), e.g. {sorted(missing)[:2]}"
         )
 
+    # v2 merge-on-read POSITIONAL deletes (content=1 delete files, the
+    # kind Athena/Flink row-level DELETE writes): each delete file is
+    # parquet of (file_path, pos) and applies to data files whose data
+    # sequence number is <= the delete file's.  Implemented as ONE
+    # broadcast anti-join on (normalized file path, _metadata.row_index)
+    # with the sequence rule as a residual condition — deletes are the
+    # small side by construction.  Equality deletes (content=2) have no
+    # mechanical rewrite without the equality field ids — refused.
+    norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+    deletes = None
+    if del_entries:
+        dparts = []
+        for de in del_entries:
+            dfile = de["data_file"]
+            if dfile.get("content", 0) == 2:
+                raise InvalidArgument(
+                    "equality delete files (v2 MoR content=2) are not "
+                    "supported by this jar-free reader"
+                )
+            dseq = int(de.get("sequence_number") or 0)
+            dpath = _local(dfile["file_path"])
+            if not os.path.exists(dpath):
+                raise InvalidArgument(f"missing delete file {dpath!r}")
+            dparts.append(
+                spark.read.parquet(dpath).select(
+                    norm(F.col("file_path")).alias("__dfp"),
+                    F.col("pos").cast("long").alias("__dpos"),
+                    F.lit(dseq).alias("__dseq"),
+                )
+            )
+        deletes = dparts[0]
+        for p in dparts[1:]:
+            deletes = deletes.unionByName(p)
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, s in sorted(file_seq.items())],
+            "__fp string, __fseq long",
+        )
+
     pcol_names = {c for parts in group_parts.values() for c, _t, _v in parts}
     data_fields = [f for f in st.fields if f.name not in pcol_names]
     scans = []
@@ -1013,6 +1059,19 @@ def read_iceberg_meta(
         part = spark.read.option("mergeSchema", "true").parquet(
             *sorted(groups[key])
         )
+        if deletes is not None:
+            part = (
+                part.withColumn("__fp", norm(F.col("_metadata.file_path")))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(seq_map), on="__fp", how="left")
+            )
+            part = part.join(
+                F.broadcast(deletes),
+                (F.col("__fp") == F.col("__dfp"))
+                & (F.col("__ri") == F.col("__dpos"))
+                & (F.col("__dseq") >= F.coalesce(F.col("__fseq"), F.lit(0))),
+                "left_anti",
+            ).drop("__fp", "__ri", "__fseq")
         for f in data_fields:
             if f.name not in part.columns:
                 part = part.withColumn(f.name, F.lit(None).cast(f.dataType))

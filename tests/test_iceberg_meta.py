@@ -537,6 +537,114 @@ def test_reader_handles_foreign_v1_table(spark, tmp_path):
     assert [f.dataType.simpleString() for f in got.schema.fields] == ["int", "string"]
 
 
+def test_reader_applies_positional_deletes(spark, tmp_path):
+    """v2 merge-on-read: a content=1 delete manifest whose delete file
+    lists (file_path, pos) rows removes exactly those positions from
+    data files with data sequence number <= the delete's — the shape
+    Athena/Flink row-level DELETE writes."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "en")],
+        "k int, name string, lang string",
+    ).coalesce(1)
+    shim.write(df.orderBy("k"), p, mode="overwrite")
+    lakehouse.convert_to_iceberg(p)
+    meta = iceberg_meta._load_metadata(p)
+    d = iceberg_meta._meta_dir(p)
+
+    # the single data file and its manifest-list record
+    _s, _m, [entry] = avro_ocf.read_container(
+        os.path.join(d, "icm-00000000-data.avro")
+    )
+    data_uri = entry["data_file"]["file_path"]
+    _s2, _m2, [data_mf] = avro_ocf.read_container(
+        iceberg_meta._local(meta["snapshots"][0]["manifest-list"])
+    )
+
+    # which k sits at row_index 1 inside the file (write order != insert
+    # order is possible) — compute the expectation from the file itself
+    rows = (
+        spark.read.parquet(iceberg_meta._local(data_uri))
+        .select("k", "_metadata.row_index")
+        .collect()
+    )
+    deleted_k = next(r.k for r in rows if r.row_index == 1)
+
+    # delete parquet (file_path, pos): remove row at position 1
+    del_parquet = os.path.join(d, "del-0.parquet")
+    spark.createDataFrame(
+        [(data_uri, 1)], "file_path string, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(del_parquet + ".dir")
+    inner = next(
+        f for f in os.listdir(del_parquet + ".dir") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(del_parquet + ".dir", inner), del_parquet)
+
+    # delete manifest (content=1 data_file) at sequence 2
+    schema_body = {"type": "struct", "fields": _json.loads(
+        avro_ocf.read_container(os.path.join(d, "icm-00000000-data.avro"))[1]["schema"]
+    )["fields"]}
+    entry_schema = iceberg_meta._manifest_entry_schema([], schema_body)
+    del_manifest = os.path.join(d, "icm-del.avro")
+    n = avro_ocf.write_container(
+        del_manifest, entry_schema,
+        [{
+            "status": 1, "snapshot_id": 777, "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 1, "file_path": "file://" + del_parquet,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(del_parquet),
+                "lower_bounds": None, "upper_bounds": None,
+            },
+        }],
+        metadata={"schema": _json.dumps(schema_body), "schema-id": "0",
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2", "content": "deletes"},
+    )
+    list_path = os.path.join(d, "snap-777-1-test.avro")
+    avro_ocf.write_container(
+        list_path, iceberg_meta._MANIFEST_FILE_SCHEMA,
+        [
+            data_mf,
+            {**data_mf, "manifest_path": "file://" + del_manifest,
+             "manifest_length": n, "content": 1, "sequence_number": 2,
+             "min_sequence_number": 2, "added_snapshot_id": 777,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 1,
+             "existing_rows_count": 0, "deleted_rows_count": 0,
+             "partitions": None},
+        ],
+        metadata={"snapshot-id": "777", "sequence-number": "2",
+                  "parent-snapshot-id": str(meta["current-snapshot-id"]),
+                  "format-version": "2"},
+    )
+    meta2 = dict(meta)
+    meta2["last-sequence-number"] = 2
+    meta2["current-snapshot-id"] = 777
+    meta2["snapshots"] = meta["snapshots"] + [{
+        "snapshot-id": 777, "sequence-number": 2, "timestamp-ms": 2,
+        "manifest-list": "file://" + list_path,
+        "summary": {"operation": "delete"}, "schema-id": 0,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+    }]
+    with open(os.path.join(d, "v3.metadata.json"), "w") as fh:
+        _json.dump(meta2, fh)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write("3")
+
+    got = sorted(r.k for r in iceberg_meta.read_iceberg_meta(spark, p).collect())
+    assert got == sorted({1, 2, 3} - {deleted_k})
+    # the pre-delete snapshot still reads all three rows
+    old = iceberg_meta.read_iceberg_meta(
+        spark, p, snapshot_id=meta["current-snapshot-id"]
+    )
+    assert old.count() == 3
+
+
 def test_reader_refuses_unsupported_features(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
