@@ -26,9 +26,14 @@ Athena; ``s3/_s3_tables_iceberg.py:160`` through S3 Tables):
   and Delta readers use, injecting identity-partition values from the
   manifest partition structs as typed constants (Iceberg's
   ``constantsMap`` rule: identity-partitioned data files need not store
-  the partition column).  Deletion manifests (``content != data``),
-  non-identity transforms, and format features beyond v1/v2 data scans
-  are refused loudly rather than mis-read.
+  the partition column).  v2 MERGE-ON-READ deletes are applied: each
+  positional delete file's (file_path, pos) rows drop via one broadcast
+  anti-join on (normalized path, ``_metadata.row_index``) with the
+  sequence rule ``delete_seq >= data_seq``, and each equality delete
+  file (the Flink-CDC shape) drops rows matching null-safely on its
+  ``equality_ids`` columns with the STRICT rule ``delete_seq >
+  data_seq``.  Non-identity transforms and format features beyond v1/v2
+  scans are refused loudly rather than mis-read.
 
 Schema evolution preserves Iceberg column ids by (nested) field name
 against the previous table metadata — the spec's invariant that an id
@@ -1024,19 +1029,30 @@ def read_iceberg_meta(
     # mechanical rewrite without the equality field ids — refused.
     norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
     deletes = None
+    eq_deletes: list[tuple[list[str], DataFrame, int]] = []
     if del_entries:
         dparts = []
         for de in del_entries:
             dfile = de["data_file"]
-            if dfile.get("content", 0) == 2:
-                raise InvalidArgument(
-                    "equality delete files (v2 MoR content=2) are not "
-                    "supported by this jar-free reader"
-                )
             dseq = int(de.get("sequence_number") or 0)
             dpath = _local(dfile["file_path"])
             if not os.path.exists(dpath):
                 raise InvalidArgument(f"missing delete file {dpath!r}")
+            if dfile.get("content", 0) == 2:
+                # equality delete (the Flink-CDC shape): rows match on
+                # the equality_ids columns, nulls compare EQUAL, and the
+                # delete applies to data files with seq STRICTLY below
+                ids = dfile.get("equality_ids") or []
+                cols = [fields_by_id[i]["name"] for i in ids if i in fields_by_id]
+                if not cols or len(cols) != len(ids):
+                    raise InvalidArgument(
+                        f"equality delete file {dpath!r} has unresolvable "
+                        f"equality_ids {ids!r}"
+                    )
+                eq_deletes.append(
+                    (cols, spark.read.parquet(dpath).select(*cols), dseq)
+                )
+                continue
             dparts.append(
                 spark.read.parquet(dpath).select(
                     norm(F.col("file_path")).alias("__dfp"),
@@ -1044,9 +1060,10 @@ def read_iceberg_meta(
                     F.lit(dseq).alias("__dseq"),
                 )
             )
-        deletes = dparts[0]
-        for p in dparts[1:]:
-            deletes = deletes.unionByName(p)
+        if dparts:
+            deletes = dparts[0]
+            for p in dparts[1:]:
+                deletes = deletes.unionByName(p)
         seq_map = spark.createDataFrame(
             [(p, s) for p, s in sorted(file_seq.items())],
             "__fp string, __fseq long",
@@ -1059,19 +1076,20 @@ def read_iceberg_meta(
         part = spark.read.option("mergeSchema", "true").parquet(
             *sorted(groups[key])
         )
-        if deletes is not None:
+        if deletes is not None or eq_deletes:
             part = (
                 part.withColumn("__fp", norm(F.col("_metadata.file_path")))
                 .withColumn("__ri", F.col("_metadata.row_index"))
                 .join(F.broadcast(seq_map), on="__fp", how="left")
             )
+        if deletes is not None:
             part = part.join(
                 F.broadcast(deletes),
                 (F.col("__fp") == F.col("__dfp"))
                 & (F.col("__ri") == F.col("__dpos"))
                 & (F.col("__dseq") >= F.coalesce(F.col("__fseq"), F.lit(0))),
                 "left_anti",
-            ).drop("__fp", "__ri", "__fseq")
+            )
         for f in data_fields:
             if f.name not in part.columns:
                 part = part.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -1082,6 +1100,19 @@ def read_iceberg_meta(
                 col,
                 F.lit(lit).cast(dt) if lit is not None else F.lit(None).cast(dt),
             )
+        # equality deletes run after partition injection (equality_ids
+        # may name identity partition columns); one broadcast null-safe
+        # anti-join per delete file, sequence rule strictly-less
+        for cols, ddf, dseq in eq_deletes:
+            d2 = ddf
+            for c in cols:
+                d2 = d2.withColumnRenamed(c, f"__eq_{c}")
+            cond = F.lit(dseq) > F.coalesce(F.col("__fseq"), F.lit(0))
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            part = part.join(F.broadcast(d2), cond, "left_anti")
+        if deletes is not None or eq_deletes:
+            part = part.drop("__fp", "__ri", "__fseq")
         scans.append(part.select(*[f.name for f in st.fields]))
     df = scans[0]
     for p in scans[1:]:

@@ -645,6 +645,111 @@ def test_reader_applies_positional_deletes(spark, tmp_path):
     assert old.count() == 3
 
 
+def test_reader_applies_equality_deletes(spark, tmp_path):
+    """v2 equality deletes (content=2, the Flink-CDC shape): rows
+    matching the delete file's equality_ids columns null-safely are
+    dropped from data files with sequence number STRICTLY below the
+    delete's."""
+    import copy
+    import json as _json
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, None, "en")],
+        "k int, name string, lang string",
+    ).coalesce(1)
+    shim.write(df.orderBy("k"), p, mode="overwrite")
+    lakehouse.convert_to_iceberg(p)
+    meta = iceberg_meta._load_metadata(p)
+    d = iceberg_meta._meta_dir(p)
+    _s, fmeta0, _e = avro_ocf.read_container(
+        os.path.join(d, "icm-00000000-data.avro")
+    )
+    schema_body = _json.loads(fmeta0["schema"].decode())
+    schema_body.pop("schema-id", None)
+    fid = {f["name"]: f["id"] for f in schema_body["fields"]}
+    _s2, _m2, [data_mf] = avro_ocf.read_container(
+        iceberg_meta._local(meta["snapshots"][0]["manifest-list"])
+    )
+
+    # delete by name = NULL (null-safe must match) and by k = 2
+    del_parquet = os.path.join(d, "eqdel-0.parquet")
+    spark.createDataFrame(
+        [(2, "b"), (3, None)], "k int, name string"
+    ).coalesce(1).write.mode("overwrite").parquet(del_parquet + ".dir")
+    inner = next(
+        f for f in os.listdir(del_parquet + ".dir") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(del_parquet + ".dir", inner), del_parquet)
+
+    entry_schema = copy.deepcopy(
+        iceberg_meta._manifest_entry_schema([], schema_body)
+    )
+    for f in entry_schema["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"].append(
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None, "field-id": 135}
+            )
+    del_manifest = os.path.join(d, "icm-eqdel.avro")
+    n = avro_ocf.write_container(
+        del_manifest, entry_schema,
+        [{
+            "status": 1, "snapshot_id": 888, "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 2, "file_path": "file://" + del_parquet,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(del_parquet),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": [fid["k"], fid["name"]],
+            },
+        }],
+        metadata={"schema": _json.dumps(schema_body), "schema-id": "0",
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2", "content": "deletes"},
+    )
+    list_path = os.path.join(d, "snap-888-1-test.avro")
+    avro_ocf.write_container(
+        list_path, iceberg_meta._MANIFEST_FILE_SCHEMA,
+        [
+            data_mf,
+            {**data_mf, "manifest_path": "file://" + del_manifest,
+             "manifest_length": n, "content": 1, "sequence_number": 2,
+             "min_sequence_number": 2, "added_snapshot_id": 888,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 2,
+             "existing_rows_count": 0, "deleted_rows_count": 0,
+             "partitions": None},
+        ],
+        metadata={"snapshot-id": "888", "sequence-number": "2",
+                  "parent-snapshot-id": str(meta["current-snapshot-id"]),
+                  "format-version": "2"},
+    )
+    meta2 = dict(meta)
+    meta2["last-sequence-number"] = 2
+    meta2["current-snapshot-id"] = 888
+    meta2["snapshots"] = meta["snapshots"] + [{
+        "snapshot-id": 888, "sequence-number": 2, "timestamp-ms": 2,
+        "manifest-list": "file://" + list_path,
+        "summary": {"operation": "delete"}, "schema-id": 0,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+    }]
+    with open(os.path.join(d, "v3.metadata.json"), "w") as fh:
+        _json.dump(meta2, fh)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write("3")
+
+    got = sorted(r.k for r in iceberg_meta.read_iceberg_meta(spark, p).collect())
+    assert got == [1]  # k=2 matched exactly; k=3 matched with NULL name
+    assert iceberg_meta.read_iceberg_meta(
+        spark, p, snapshot_id=meta["current-snapshot-id"]
+    ).count() == 3
+
+
 def test_reader_refuses_unsupported_features(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
