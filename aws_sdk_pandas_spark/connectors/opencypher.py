@@ -138,6 +138,48 @@ def _translate_expr(expr: str, known_vars: set[str]) -> str:
     _graph_fn("type", lambda v: f"{v}_label")
     _graph_fn("labels", lambda v: f"array({v}_label)")
 
+    # Cypher scalar functions -> Spark SQL equivalents (names only —
+    # arguments pass through; the list covers what openCypher users
+    # actually ship, each with IDENTICAL semantics in Spark)
+    for cy, sp in (
+        ("toUpper", "upper"), ("toLower", "lower"),
+        ("toString", "string"), ("toInteger", "bigint"),
+        ("toFloat", "double"), ("toBoolean", "boolean"),
+    ):
+        if sp in ("string", "bigint", "double", "boolean"):
+            out = re.sub(
+                rf"\b{cy}\s*\(", f"CAST__{sp}(", out
+            )
+        else:
+            out = re.sub(rf"\b{cy}\s*\(", f"{sp}(", out)
+    # CAST__type(expr) -> cast(expr AS type): rewrite after arguments
+    # are known to be balanced (regex can't nest, so do a simple scan)
+    while "CAST__" in out:
+        i = out.index("CAST__")
+        j = out.index("(", i)
+        ty = out[i + 6 : j]
+        depth, k = 1, j + 1
+        while k < len(out) and depth:
+            depth += out[k] == "("
+            depth -= out[k] == ")"
+            k += 1
+        inner = out[j + 1 : k - 1]
+        out = out[:i] + f"cast({inner} as {ty})" + out[k:]
+    # head/last on lists
+    out = re.sub(r"\bhead\s*\(", "__cy_head(", out, flags=re.I)
+    out = re.sub(r"\blast\s*\(", "__cy_last(", out, flags=re.I)
+    for marker, idx in (("__cy_head", "1"), ("__cy_last", "-1")):
+        while marker in out:
+            i = out.index(marker)
+            j = out.index("(", i)
+            depth, k = 1, j + 1
+            while k < len(out) and depth:
+                depth += out[k] == "("
+                depth -= out[k] == ")"
+                k += 1
+            inner = out[j + 1 : k - 1]
+            out = out[:i] + f"element_at({inner}, {idx})" + out[k:]
+
     # identifier.identifier only — a decimal literal like 0.4 is NOT a
     # property access
     out = re.sub(

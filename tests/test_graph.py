@@ -1659,6 +1659,29 @@ def test_sparql_multi_var_values(foaf):
         ))
 
 
+def test_cypher_scalar_functions(modern):
+    """toUpper/toLower/toString/toInteger/toFloat (Spark-cast
+    semantics), head/last on collected lists."""
+    q = (
+        "MATCH (p:person) RETURN toUpper(p.name) AS un, "
+        "toInteger(p.age) AS ia, toString(p.age) AS sa ORDER BY un"
+    )
+    got = [(r.un, r.ia, r.sa) for r in _cy(modern, q).collect()]
+    assert got == [
+        ("JOSH", 32, "32"), ("MARKO", 29, "29"),
+        ("PETER", 35, "35"), ("VADAS", 27, "27"),
+    ]
+    q2 = (
+        "MATCH (p:person) WITH collect(p.name) AS names "
+        "RETURN head(names) AS h, last(names) AS l, size(names) AS n"
+    )
+    [r] = _cy(modern, q2).collect()
+    # collect() is array_sort'ed for determinism
+    assert (r.h, r.l, r.n) == ("josh", "vadas", 4)
+    q3 = "MATCH (p:person) WHERE toLower(p.name) = 'marko' RETURN toFloat(p.age) AS f"
+    assert [r.f for r in _cy(modern, q3).collect()] == [29.0]
+
+
 def test_cypher_unwind(modern):
     # UNWIND-first over a list literal
     q = "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x"
