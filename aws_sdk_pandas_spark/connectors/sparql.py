@@ -650,6 +650,14 @@ def _translate_filter(expr: str) -> str:
         return f"({m.group(1)} RLIKE {m.group(2)})"
 
     out = re.sub(r"\bREGEX\s*\(\s*\?(\w+)\s*,\s*(\x00\d+\x00)\s*\)", _regex, out, flags=re.I)
+    # SPARQL string builtins with identical-semantics Spark functions
+    # (SUBSTR is 1-based in both; arguments pass through untouched)
+    for sp_fn, spark_fn in (
+        ("STRSTARTS", "startswith"), ("STRENDS", "endswith"),
+        ("CONTAINS", "contains"), ("STRLEN", "length"),
+        ("UCASE", "upper"), ("LCASE", "lower"), ("SUBSTR", "substring"),
+    ):
+        out = re.sub(rf"\b{sp_fn}\s*\(", f"{spark_fn}(", out, flags=re.I)
     out = re.sub(r"\?(\w+)", lambda m: m.group(1), out)
     for i, lit in enumerate(literals):
         # SQL strings are single-quoted; double-quoted SPARQL literals

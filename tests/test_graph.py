@@ -615,6 +615,26 @@ def test_sparql_union_errors(foaf):
         _sp(foaf, _P + "SELECT ?x WHERE { { ?x foaf:knows ?y } }")
 
 
+def test_sparql_string_builtins(foaf):
+    """STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE/SUBSTR map to the
+    identical-semantics Spark functions (SUBSTR 1-based in both)."""
+    q = _P + (
+        "SELECT ?n WHERE { ?p foaf:name ?n "
+        'FILTER(STRSTARTS(?n, "ma") || STRENDS(?n, "sh")) } ORDER BY ?n'
+    )
+    assert [r.n for r in _sp(foaf, q).collect()] == ["josh", "marko"]
+    q2 = _P + (
+        "SELECT ?n WHERE { ?p foaf:name ?n "
+        'FILTER(CONTAINS(UCASE(?n), "AD") && STRLEN(?n) = 5) }'
+    )
+    assert [r.n for r in _sp(foaf, q2).collect()] == ["vadas"]
+    q3 = _P + (
+        "SELECT ?n WHERE { ?p foaf:name ?n "
+        'FILTER(SUBSTR(?n, 1, 2) = LCASE("PE")) }'
+    )
+    assert [r.n for r in _sp(foaf, q3).collect()] == ["peter"]
+
+
 def test_sparql_optional_on_union_only_base(foaf):
     """A union-only query (no plain BGP) whose partial var feeds an
     OPTIONAL: the seeded base's NULLs must be tracked as unbound, so
