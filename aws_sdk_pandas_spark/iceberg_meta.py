@@ -32,8 +32,10 @@ Athena; ``s3/_s3_tables_iceberg.py:160`` through S3 Tables):
   sequence rule ``delete_seq >= data_seq``, and each equality delete
   file (the Flink-CDC shape) drops rows matching null-safely on its
   ``equality_ids`` columns with the STRICT rule ``delete_seq >
-  data_seq``.  Non-identity transforms and format features beyond v1/v2
-  scans are refused loudly rather than mis-read.
+  data_seq``.  Transformed partitions (bucket/truncate/year/month/day/
+  hour) read their source column from the data files (engine writers
+  always store it); format features beyond v1/v2 scans are refused
+  loudly rather than mis-read.
 
 Schema evolution preserves Iceberg column ids by (nested) field name
 against the previous table metadata — the spec's invariant that an id
@@ -999,11 +1001,13 @@ def read_iceberg_meta(
         spec_fields = e["_spec_fields"]
         parts = []
         for pf in spec_fields:
+            # only IDENTITY values inject as constants (Iceberg's
+            # constantsMap rule); transformed partitions (bucket[N],
+            # truncate[W], year/month/day/hour) read their SOURCE column
+            # from the data files, where engine writers always store it
+            # — the derived partition value never supersedes it
             if pf.get("transform", "identity") != "identity":
-                raise InvalidArgument(
-                    f"non-identity partition transform {pf['transform']!r} "
-                    "is not supported by this jar-free reader"
-                )
+                continue
             src = fields_by_id.get(pf["source-id"])
             col = src["name"] if src else pf["name"]
             ice_t = src["type"] if src else "string"

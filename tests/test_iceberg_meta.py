@@ -750,6 +750,74 @@ def test_reader_applies_equality_deletes(spark, tmp_path):
     ).count() == 3
 
 
+def test_reader_handles_transformed_partitions(spark, tmp_path):
+    """bucket[N]/day-style transformed partitions: the derived value in
+    the manifest partition struct is NOT injected — the source column
+    reads from the data files, where engine writers always store it."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string") \
+        .coalesce(1).write.parquet(os.path.join(root, "data"))
+    dfile = next(
+        os.path.join(root, "data", f)
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    )
+    spec = [{"name": "k_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000}]
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "k_bucket", "type": ["null", "int"],
+                             "default": None, "field-id": 1000}]},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ]}, "field-id": 2},
+        ],
+    }
+    mpath = os.path.join(root, "metadata", "m0.avro")
+    avro_ocf.write_container(
+        mpath, entry_schema,
+        [{"status": 1, "snapshot_id": 5, "data_file": {
+            "file_path": dfile, "file_format": "PARQUET",
+            "partition": {"k_bucket": 2}, "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dfile)}}],
+        metadata={"partition-spec": _json.dumps(spec), "format-version": "1",
+                  "content": "data"},
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": root, "last-updated-ms": 1, "last-column-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+        ]},
+        "partition-spec": spec, "properties": {},
+        "current-snapshot-id": 5,
+        "snapshots": [{"snapshot-id": 5, "timestamp-ms": 1,
+                       "manifests": [mpath]}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = sorted(tuple(r) for r in iceberg_meta.read_iceberg_meta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b")]  # k read from the FILE, not bucket 2
+
+
 def test_reader_refuses_unsupported_features(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
