@@ -334,6 +334,141 @@ def _load_checkpoint(path: str, version: int) -> tuple[dict[str, dict], dict | N
     return adds, meta, protocol
 
 
+# --------------------------------------------------- deletion vectors (v3)
+#
+# Reader protocol 3's only table feature this jar-free reader supports is
+# deletionVectors: add actions carry a descriptor {storageType, pathOrInlineDv,
+# offset, sizeInBytes, cardinality} pointing at a RoaringBitmapArray of
+# DELETED ROW INDEXES (Delta PROTOCOL.md "Deletion Vectors").  The bitmap
+# bytes are the "portable" serialization: uint32 LE magic 1681511377,
+# int64 LE bitmap count, then per high-32 index the STANDARD 32-bit
+# roaring serialization.  Storage: 'i' = Z85-inline, 'u' = Z85 uuid ->
+# <table>/<prefix>/deletion_vector_<uuid>.bin, 'p' = absolute path; file
+# layout is a format-version byte then per-DV [int32 BE size | data |
+# int32 BE CRC32].
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+_DV_MAGIC = 1681511377
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise InvalidArgument(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i : i + 5]:
+            if c not in _Z85_INV:
+                raise InvalidArgument(f"invalid Z85 character {c!r}")
+            acc = acc * 85 + _Z85_INV[c]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_decode(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Standard 32-bit roaring bitmap (RoaringFormatSpec): returns the
+    sorted values and the new position."""
+    import struct as _s
+
+    cookie = _s.unpack_from("<I", buf, pos)[0]
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (has run containers)
+        n = (cookie >> 16) + 1
+        pos += 4
+        flag_bytes = (n + 7) // 8
+        run_flags = buf[pos : pos + flag_bytes]
+        pos += flag_bytes
+        has_offsets = n >= 4
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n = _s.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise InvalidArgument(f"not a roaring bitmap (cookie {cookie})")
+    keys, cards = [], []
+    for _i in range(n):
+        k, c1 = _s.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c1 + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # sequential read — offsets are redundant
+    values: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        if run_flags[i // 8] >> (i % 8) & 1:
+            n_runs = _s.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _r in range(n_runs):
+                start, length = _s.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base | v for v in range(start, start + length + 1))
+        elif cards[i] <= 4096:  # array container
+            vals = _s.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            values.extend(base | v for v in vals)
+        else:  # bitmap container: 2^16 bits
+            words = _s.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+    return values, pos
+
+
+def _rbarray_decode(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray 'portable' form -> sorted row indexes."""
+    import struct as _s
+
+    if len(data) < 12 or _s.unpack_from("<I", data, 0)[0] != _DV_MAGIC:
+        raise InvalidArgument("deletion vector: bad RoaringBitmapArray magic")
+    n_maps = _s.unpack_from("<q", data, 4)[0]
+    pos = 12
+    out: list[int] = []
+    for high in range(n_maps):
+        vals, pos = _roaring32_decode(data, pos)
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def _dv_row_indexes(root: str, dv: dict) -> list[int]:
+    """Resolve one add.deletionVector descriptor to its row indexes."""
+    import struct as _s
+    import zlib as _z
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])
+        return _rbarray_decode(data)
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_z85 = enc[:-20], enc[-20:]
+        u = uuid.UUID(bytes=_z85_decode(uuid_z85))
+        fname = f"deletion_vector_{u}.bin"
+        fpath = os.path.join(root, prefix, fname) if prefix else os.path.join(root, fname)
+    elif st == "p":
+        fpath = _local(dv["pathOrInlineDv"])
+    else:
+        raise InvalidArgument(f"unknown deletion vector storageType {st!r}")
+    if not os.path.exists(fpath):
+        raise InvalidArgument(f"missing deletion vector file {fpath!r}")
+    with open(fpath, "rb") as fh:
+        blob = fh.read()
+    off = int(dv.get("offset") or 1)
+    size = _s.unpack_from(">i", blob, off)[0]
+    data = blob[off + 4 : off + 4 + size]
+    crc = _s.unpack_from(">I", blob, off + 4 + size)[0]
+    if _z.crc32(data) & 0xFFFFFFFF != crc:
+        raise InvalidArgument(f"deletion vector checksum mismatch in {fpath!r}")
+    return _rbarray_decode(data)
+
+
 def _replay(path: str, version: int, *, start: int = 0, seed=None) -> tuple[dict[str, dict], dict, dict]:
     """Replay JSON actions start..version (optionally seeded from a
     checkpoint) -> (live add actions by path, metaData, protocol)."""
@@ -397,11 +532,14 @@ def read_delta_log(
         adds, meta, protocol = _replay(
             path, v, start=c + 1, seed=_load_checkpoint(path, c)
         )
-    if int(protocol.get("minReaderVersion", 1)) > 1:
+    mrv = int(protocol.get("minReaderVersion", 1))
+    features = set(protocol.get("readerFeatures") or [])
+    if mrv > 1 and not (mrv == 3 and features <= {"deletionVectors"}):
         raise InvalidArgument(
             f"unsupported Delta reader protocol {protocol}: this jar-free "
-            "reader supports minReaderVersion 1 only (no deletion vectors / "
-            "column mapping / readerFeatures)"
+            "reader supports minReaderVersion 1, or 3 with the "
+            "deletionVectors feature only (no column mapping / v2 "
+            "checkpoints / timestampNtz)"
         )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -415,19 +553,31 @@ def read_delta_log(
     # log (protocol rule), so they are injected as typed literals per
     # group — one scan per distinct partition tuple
     groups: dict[tuple, list[str]] = {}
+    dv_rows: list[tuple[str, int]] = []
     for a in adds.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         rel = urllib.parse.unquote(a["path"])
-        groups.setdefault(key, []).append(
-            rel if os.path.isabs(rel) else os.path.join(root, rel)
-        )
+        abs_file = rel if os.path.isabs(rel) else os.path.join(root, rel)
+        groups.setdefault(key, []).append(abs_file)
+        if a.get("deletionVector"):
+            # decode the deleted ROW INDEXES (metadata-plane work: one
+            # roaring bitmap per touched file, cardinality-bounded)
+            for ri in _dv_row_indexes(root, a["deletionVector"]):
+                dv_rows.append((abs_file, ri))
 
     missing = [f for files in groups.values() for f in files if not os.path.exists(f)]
     if missing:
         raise InvalidArgument(
             f"Delta version {v} at {path!r} references {len(missing)} missing "
             f"data file(s) (vacuumed away or external), e.g. {sorted(missing)[:2]}"
+        )
+
+    deletes = None
+    if dv_rows:
+        norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+        deletes = F.broadcast(
+            spark.createDataFrame(dv_rows, "__dfp string, __dpos long")
         )
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
@@ -439,6 +589,18 @@ def read_delta_log(
         # newer columns; the metaData schema is authoritative and the
         # per-file gaps read as nulls
         part = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+        if deletes is not None:
+            part = (
+                part.withColumn("__fp", norm(F.col("_metadata.file_path")))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(
+                    deletes,
+                    (F.col("__fp") == norm(F.col("__dfp")))
+                    & (F.col("__ri") == F.col("__dpos")),
+                    "left_anti",
+                )
+                .drop("__fp", "__ri")
+            )
         for f in data_fields:
             if f.name not in part.columns:
                 part = part.withColumn(f.name, F.lit(None).cast(f.dataType))

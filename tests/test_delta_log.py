@@ -333,3 +333,160 @@ def test_convert_to_delta_api(spark, tmp_path):
     assert lakehouse.convert_to_delta(p) == 2
     assert delta_log.read_delta_log(spark, p).count() == 2
     assert lakehouse.convert_to_delta(p) == 0  # idempotent
+
+
+# ----------------------------------------------- deletion vectors (protocol 3)
+
+
+def _z85_encode(data: bytes) -> str:
+    """Test-side Z85 encoder (independent of the reader's decoder)."""
+    assert len(data) % 4 == 0
+    alpha = ("0123456789abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(alpha[acc % 85])
+            acc //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring_array_bytes(values):
+    """Test-side RoaringBitmapArray 'portable' encoder (array containers
+    only) built straight from the format spec — independent of the
+    reader's decoder."""
+    import struct
+
+    assert all(0 <= v < 2**32 for v in values)
+    by_key = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    n = len(by_key)
+    body = struct.pack("<I", 12346) + struct.pack("<I", n)
+    for k, vals in sorted(by_key.items()):
+        body += struct.pack("<HH", k, len(vals) - 1)
+    off = len(body) + 4 * n
+    offsets = b""
+    containers = b""
+    for _k, vals in sorted(by_key.items()):
+        offsets += struct.pack("<I", off + len(containers))
+        containers += struct.pack(f"<{len(vals)}H", *vals)
+    bitmap = body + offsets + containers
+    return struct.pack("<I", 1681511377) + struct.pack("<q", 1) + bitmap
+
+
+def test_roaring_decoder_golden_vector():
+    """Hand-derived bytes for bitmap {1, 3} straight from the
+    RoaringFormatSpec — pins the decoder against the SPEC, not against
+    the test encoder."""
+    golden = bytes([
+        0x3A, 0x30, 0x00, 0x00,  # cookie 12346 LE
+        0x01, 0x00, 0x00, 0x00,  # 1 container
+        0x00, 0x00, 0x01, 0x00,  # key 0, cardinality-1 = 1
+        0x10, 0x00, 0x00, 0x00,  # offset 16
+        0x01, 0x00, 0x03, 0x00,  # values 1, 3
+    ])
+    vals, pos = delta_log._roaring32_decode(golden, 0)
+    assert vals == [1, 3] and pos == len(golden)
+    # run-container form of {5..8}: cookie 12347, container-count-1 in
+    # the high 16 bits (n=1 -> 0), then the run-flag bitset
+    import struct
+    run = struct.pack("<I", 12347 | (0 << 16)) + b"\x01"  # run flag bit 0 set
+    run += struct.pack("<HH", 0, 3)   # key 0, card-1 = 3
+    run += struct.pack("<H", 1)       # 1 run
+    run += struct.pack("<HH", 5, 3)   # start 5, length-1 = 3 -> 5..8
+    vals, _ = delta_log._roaring32_decode(run, 0)
+    assert vals == [5, 6, 7, 8]
+
+
+def test_deletion_vectors_inline_and_file(spark, tmp_path):
+    """A protocol-3 deletionVectors table reads correctly: inline ('i')
+    and on-disk ('u') vectors drop exactly the marked row indexes."""
+    import json
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(6)], "k int, name string"
+    ).coalesce(1).write.parquet(os.path.join(root, "files"))
+    rel = "files/" + next(
+        f for f in os.listdir(os.path.join(root, "files"))
+        if f.endswith(".parquet")
+    )
+    # which k sits at each row index
+    pos_k = {
+        r.row_index: r.k
+        for r in spark.read.parquet(os.path.join(root, rel))
+        .select("k", "_metadata.row_index").collect()
+    }
+
+    schema_str = json.dumps({
+        "type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+    # inline DV deleting row indexes 1 and 3
+    dv_inline = _roaring_array_bytes([1, 3])
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "tbl-1", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1, "modificationTime": 0,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "i",
+                                    "pathOrInlineDv": _z85_encode(dv_inline),
+                                    "offset": None,
+                                    "sizeInBytes": len(dv_inline),
+                                    "cardinality": 2}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    got = sorted(r.k for r in delta_log.read_delta_log(spark, root).collect())
+    assert got == sorted(pos_k[i] for i in (0, 2, 4, 5))
+
+    # version 1: same file, DV moved to a 'u' storage file marking 0,1,2
+    dv2 = _roaring_array_bytes([0, 1, 2])
+    u = _uuid.uuid4()
+    blob = b"\x01" + struct.pack(">i", len(dv2)) + dv2 + struct.pack(
+        ">I", zlib.crc32(dv2) & 0xFFFFFFFF
+    )
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    actions2 = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1, "modificationTime": 1,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "u",
+                                    "pathOrInlineDv": _z85_encode(u.bytes),
+                                    "offset": 1,
+                                    "sizeInBytes": len(dv2),
+                                    "cardinality": 3}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for a in actions2:
+            fh.write(json.dumps(a) + "\n")
+    got2 = sorted(r.k for r in delta_log.read_delta_log(spark, root).collect())
+    assert got2 == sorted(pos_k[i] for i in (3, 4, 5))
+    # time travel to version 0 re-applies the OLD vector
+    got0 = sorted(r.k for r in delta_log.read_delta_log(spark, root, version=0).collect())
+    assert got0 == sorted(pos_k[i] for i in (0, 2, 4, 5))
+
+    # other reader features stay refused
+    with open(os.path.join(root, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
+    with pytest.raises(InvalidArgument, match="deletionVectors feature only"):
+        delta_log.read_delta_log(spark, root)
