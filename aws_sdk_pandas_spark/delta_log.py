@@ -230,6 +230,15 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
     except FileExistsError:
         pass  # a racing exporter of the same version wrote the same diff
     os.unlink(tmp)
+    # real Delta writers checkpoint every 10 commits so readers (and log
+    # cleanup) never need the full JSON chain; best-effort sidecar
+    if (v + 1) % _CHECKPOINT_INTERVAL == 0:
+        try:
+            write_checkpoint(path, v)
+        except Exception as exc:  # pragma: no cover - defensive
+            import warnings
+
+            warnings.warn(f"Delta checkpoint skipped: {exc}", stacklevel=2)
     return True
 
 
@@ -243,6 +252,115 @@ def export_table(path: str) -> int:
         if export_commit(path, ls._read_manifest(path, v)):
             n += 1
     return n
+
+
+_CHECKPOINT_INTERVAL = 10
+
+
+def write_checkpoint(path: str, version: int | None = None) -> str:
+    """Write a protocol-valid parquet CHECKPOINT of the table state at
+    ``version`` (default latest) plus the ``_last_checkpoint`` pointer —
+    the recovery file real Delta readers use to skip replaying old JSON
+    commits (and to keep reading after log cleanup).  One row per
+    action, exactly one non-null action column per row; row count is
+    bounded by the live FILE count, never rows.  ``txn`` app versions
+    are not checkpointed (lakelite keeps exactly-once stamps in its own
+    manifests)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vs = delta_versions(path)
+    if not vs:
+        raise InvalidArgument(f"no Delta log under {path!r}")
+    v = vs[-1] if version is None else int(version)
+    adds, meta, protocol = _replay(path, v)
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", pa.map_(pa.string(), pa.string())),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("deletionVector", dv_t),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [{"protocol": protocol, "metaData": None, "add": None}]
+    if meta:
+        m = dict(meta)
+        m["format"] = m.get("format") or {"provider": "parquet", "options": {}}
+        m["format"].setdefault("options", {})
+        m["configuration"] = m.get("configuration") or {}
+        m["partitionColumns"] = list(m.get("partitionColumns") or [])
+        rows.append({"protocol": None, "metaData": m, "add": None})
+    for a in adds.values():
+        add = {
+            "path": a["path"],
+            "partitionValues": dict(a.get("partitionValues") or {}),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": False,
+            "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
+        }
+        rows.append({"protocol": None, "metaData": None, "add": add})
+    table = pa.Table.from_pylist(rows, schema=schema)
+    d = _delta_dir(path)
+    os.makedirs(d, exist_ok=True)
+    out = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+    pq.write_table(table, out)
+    with open(os.path.join(d, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    return out
 
 
 def checkpoint_versions(path: str) -> list[int]:
@@ -311,12 +429,20 @@ def _load_checkpoint(path: str, version: int) -> tuple[dict[str, dict], dict | N
         for r in rows:
             a = r.get("add") if "add" in cols else None
             if a and a.get("path"):
-                adds[a["path"]] = {
+                entry = {
                     "path": a["path"],
                     "partitionValues": _mapish(a.get("partitionValues")),
                     "size": a.get("size"),
                     "dataChange": False,
                 }
+                # a checkpointed file may carry live deletion vectors —
+                # dropping them would silently RESURRECT deleted rows
+                dv = a.get("deletionVector")
+                if dv and dv.get("storageType"):
+                    entry["deletionVector"] = {
+                        k: v for k, v in dv.items() if v is not None
+                    }
+                adds[a["path"]] = entry
                 continue
             m = r.get("metaData") if "metaData" in cols else None
             if m and m.get("id"):

@@ -490,3 +490,71 @@ def test_deletion_vectors_inline_and_file(spark, tmp_path):
             "readerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
     with pytest.raises(InvalidArgument, match="deletionVectors feature only"):
         delta_log.read_delta_log(spark, root)
+
+
+def test_checkpoint_write_and_recovery(spark, tmp_path):
+    """11 commits auto-checkpoint at version 9 (every 10th, real Delta's
+    cadence) with a _last_checkpoint pointer; deleting the JSON commits
+    the checkpoint covers still reads every version >= 9."""
+    import json
+
+    p = str(tmp_path / "t")
+    for i in range(11):
+        shim.write(_df(spark, [(i, f"r{i}", 1)]).coalesce(1), p,
+                   mode="overwrite" if i == 0 else "append")
+    ck = os.path.join(p, "_delta_log", f"{9:020d}.checkpoint.parquet")
+    assert os.path.exists(ck)
+    with open(os.path.join(p, "_delta_log", "_last_checkpoint")) as fh:
+        lc = json.load(fh)
+    assert lc["version"] == 9
+    # cleanup: drop JSON commits 0..9 (the checkpoint subsumes them)
+    for i in range(10):
+        os.unlink(os.path.join(p, "_delta_log", f"{i:020d}.json"))
+    assert delta_log.read_delta_log(spark, p).count() == 11
+    assert delta_log.read_delta_log(spark, p, version=9).count() == 10
+    with pytest.raises(InvalidArgument, match="not reachable|not found"):
+        delta_log.read_delta_log(spark, p, version=5)
+
+
+def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A checkpoint of a DV table must keep the vectors: dropping them
+    would silently resurrect deleted rows after log cleanup."""
+    import json
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(4)], "k int, name string"
+    ).coalesce(1).write.parquet(os.path.join(root, "files"))
+    rel = "files/" + next(
+        f for f in os.listdir(os.path.join(root, "files"))
+        if f.endswith(".parquet")
+    )
+    dv = _roaring_array_bytes([0, 2])
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "t2", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_str, "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}},
+            {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": {"storageType": "i",
+                                        "pathOrInlineDv": _z85_encode(dv),
+                                        "sizeInBytes": len(dv),
+                                        "cardinality": 2}}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    before = sorted(r.k for r in delta_log.read_delta_log(spark, root).collect())
+    delta_log.write_checkpoint(root)
+    os.unlink(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    # force a trailing JSON so the version is still discoverable
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    after = sorted(r.k for r in delta_log.read_delta_log(spark, root).collect())
+    assert before == after and len(after) == 2

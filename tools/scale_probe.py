@@ -124,6 +124,22 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     ).collect()
     timings["knn_brute_force"] = round(time.time() - t0, 2)
 
+    # embedding decontamination: eval set FIXED (100 rows — an eval set
+    # does not grow with the corpus), corpus grows with mult -> time
+    # should scale ~linearly in corpus size (one broadcast anti-join)
+    from aws_sdk_pandas_spark.operators.similarity import decontaminate_by_embedding
+
+    eval_df = (
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        .where("vec_id % 20 = 0")
+        .select("embedding")
+    )
+    t0 = time.time()
+    decontaminate_by_embedding(
+        emb, eval_df, id_col="vec_id", vector_col="embedding", threshold=0.95
+    ).count()
+    timings["embedding_decontaminate"] = round(time.time() - t0, 2)
+
     ev = _multiply(
         read_parquet(spark, f"{sf_dir}/events.parquet"),
         mult,
