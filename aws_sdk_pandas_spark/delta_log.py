@@ -660,14 +660,33 @@ def read_delta_log(
         )
     mrv = int(protocol.get("minReaderVersion", 1))
     features = set(protocol.get("readerFeatures") or [])
-    if mrv > 1 and not (mrv == 3 and features <= {"deletionVectors"}):
+    cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    supported = mrv == 1 or mrv == 2 or (
+        mrv == 3 and features <= {"deletionVectors", "columnMapping"}
+    )
+    if not supported:
         raise InvalidArgument(
             f"unsupported Delta reader protocol {protocol}: this jar-free "
-            "reader supports minReaderVersion 1, or 3 with the "
-            "deletionVectors feature only (no column mapping / v2 "
-            "checkpoints / timestampNtz)"
+            "reader supports minReaderVersion 1, 2 (column mapping mode "
+            "'name'), or 3 with the deletionVectors/columnMapping features "
+            "only (no v2 checkpoints / timestampNtz)"
         )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if cm_mode not in (None, "none", "name"):
+        raise InvalidArgument(
+            f"delta.columnMapping.mode {cm_mode!r} is not supported — "
+            "'id' mode needs parquet field-id resolution; only 'name' "
+            "mode (physical-name files) reads here"
+        )
+    schema_json = json.loads(meta["schemaString"])
+    schema = T.StructType.fromJson(schema_json)
+    # column mapping 'name': files store PHYSICAL column names; the
+    # logical->physical map lives in the schema field metadata
+    phys: dict[str, str] = {}
+    if cm_mode == "name":
+        for f in schema_json.get("fields", []):
+            pn = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            if pn:
+                phys[f["name"]] = pn
     pcols = list(meta.get("partitionColumns") or [])
     root = _local(path)
 
@@ -682,7 +701,11 @@ def read_delta_log(
     dv_rows: list[tuple[str, int]] = []
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        # column mapping keys partitionValues by PHYSICAL name; accept
+        # either so plain tables keep working
+        key = tuple(
+            pv[c] if c in pv else pv.get(phys.get(c, c)) for c in pcols
+        )
         rel = urllib.parse.unquote(a["path"])
         abs_file = rel if os.path.isabs(rel) else os.path.join(root, rel)
         groups.setdefault(key, []).append(abs_file)
@@ -715,6 +738,10 @@ def read_delta_log(
         # newer columns; the metaData schema is authoritative and the
         # per-file gaps read as nulls
         part = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+        if phys:
+            for logical, physical in phys.items():
+                if physical in part.columns and logical not in part.columns:
+                    part = part.withColumnRenamed(physical, logical)
         if deletes is not None:
             part = (
                 part.withColumn("__fp", norm(F.col("_metadata.file_path")))

@@ -223,7 +223,7 @@ def test_unsupported_reader_protocol_refused(spark, tmp_path):
     os.makedirs(os.path.join(p, "_delta_log"))
     with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                          "readerFeatures": ["deletionVectors"]}}) + "\n")
+                                          "readerFeatures": ["v2Checkpoint"]}}) + "\n")
         fh.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                                           "schemaString": json.dumps({"type": "struct", "fields": []}),
                                           "partitionColumns": [], "configuration": {}}}) + "\n")
@@ -483,12 +483,12 @@ def test_deletion_vectors_inline_and_file(spark, tmp_path):
     got0 = sorted(r.k for r in delta_log.read_delta_log(spark, root, version=0).collect())
     assert got0 == sorted(pos_k[i] for i in (0, 2, 4, 5))
 
-    # other reader features stay refused
+    # reader features beyond deletionVectors/columnMapping stay refused
     with open(os.path.join(root, "_delta_log", f"{2:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
-    with pytest.raises(InvalidArgument, match="deletionVectors feature only"):
+            "readerFeatures": ["deletionVectors", "timestampNtz"]}}) + "\n")
+    with pytest.raises(InvalidArgument, match="unsupported Delta reader protocol"):
         delta_log.read_delta_log(spark, root)
 
 
@@ -558,3 +558,54 @@ def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
         fh.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
     after = sorted(r.k for r in delta_log.read_delta_log(spark, root).collect())
     assert before == after and len(after) == 2
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Reader protocol 2 / columnMapping mode 'name': data files store
+    PHYSICAL column names (col-<uuid>); the logical schema and the
+    logical->physical map come from schemaString field metadata, and
+    partitionValues are keyed by physical name."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    # physical-named files, flat layout, partition column NOT in files
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "`col-aaa` int, `col-bbb` string"
+    ).coalesce(1).write.parquet(os.path.join(root, "fa"))
+    fa = "fa/" + next(
+        f for f in os.listdir(os.path.join(root, "fa")) if f.endswith(".parquet")
+    )
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ]})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "cm-1", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_str, "partitionColumns": ["part"],
+                          "configuration": {"delta.columnMapping.mode": "name"},
+                          "createdTime": 0}},
+            {"add": {"path": fa, "partitionValues": {"col-ccc": "p1"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    got = sorted(tuple(r) for r in delta_log.read_delta_log(spark, root).collect())
+    assert got == [(1, "x", "p1"), (2, "y", "p1")]
+    assert delta_log.read_delta_log(spark, root).columns == ["k", "name", "part"]
+    # 'id' mode stays refused
+    import re as _re
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "cm-1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0}}) + "\n")
+    with pytest.raises(InvalidArgument, match="'id' mode"):
+        delta_log.read_delta_log(spark, root)
