@@ -2836,6 +2836,38 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline attrition report under the hash gate
+    (operators/pipeline.curation_funnel): three curation stages over the
+    documents table (language filter, length floor, text-prefix exact
+    dedup keeping the lowest doc_id) with per-stage surviving rows,
+    whitespace-token sums, and removal percentages.  The oracle rebuilds
+    every stage relationally and derives the attrition columns with a
+    LAG window — a stage that silently recomputes, drops, or
+    double-counts rows hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.dedup import dedup_exact
+    from aws_sdk_pandas_spark.operators.pipeline import curation_funnel
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    def _prefix_dedup(d: DataFrame) -> DataFrame:
+        return dedup_exact(
+            d.withColumn("__pfx", F.substring("text", 1, 100)),
+            ["__pfx"], keep="first", order_col="doc_id",
+        ).drop("__pfx")
+
+    _cleaned, report = curation_funnel(
+        docs,
+        [
+            ("lang_en", lambda d: d.where("lang = 'en'")),
+            ("min_chars", lambda d: d.where("n_chars >= 200")),
+            ("prefix_dedup", _prefix_dedup),
+        ],
+    )
+    return report.orderBy("stage_idx")
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered eval-set decontamination (operators/bloom.
     decontaminate): drop corpus docs sharing any exact word 4-gram with
@@ -6297,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_score": _q_classifier_score,
         "docs_materialize_mixture": _q_materialize_mixture,
         "docs_decontaminate_bloom": _q_decontaminate_bloom,
+        "docs_curation_funnel": _q_curation_funnel,
         "doc_novelty_scores": _q_novelty_scores,
         "docs_training_order": _q_training_order,
         "events_normalize_robust": _q_normalize_robust,
@@ -7735,6 +7768,44 @@ def oracle_sql() -> dict[str, str]:
                        AS value_robust
             FROM events
             ORDER BY event_id
+        """,
+        "docs_curation_funnel": """
+            WITH s0 AS (SELECT * FROM documents),
+            s1 AS (SELECT * FROM s0 WHERE lang = 'en'),
+            s2 AS (SELECT * FROM s1 WHERE n_chars >= 200),
+            s3 AS (SELECT * FROM s2
+                   QUALIFY ROW_NUMBER() OVER (
+                       PARTITION BY substr(text, 1, 100) ORDER BY doc_id) = 1),
+            m AS (
+                SELECT 'input' AS stage, 0 AS stage_idx,
+                       (SELECT COUNT(*) FROM s0) AS n,
+                       (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')) END)
+                        FROM s0) AS t
+                UNION ALL SELECT 'lang_en', 1,
+                       (SELECT COUNT(*) FROM s1),
+                       (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')) END)
+                        FROM s1)
+                UNION ALL SELECT 'min_chars', 2,
+                       (SELECT COUNT(*) FROM s2),
+                       (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')) END)
+                        FROM s2)
+                UNION ALL SELECT 'prefix_dedup', 3,
+                       (SELECT COUNT(*) FROM s3),
+                       (SELECT SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')) END)
+                        FROM s3)
+            )
+            SELECT stage, stage_idx, n AS rows, t AS tokens,
+                   COALESCE(LAG(n) OVER w - n, 0) AS rows_removed,
+                   CAST(ROUND(COALESCE(
+                       100.0 * (LAG(n) OVER w - n) / NULLIF(LAG(n) OVER w, 0),
+                       0), 4) AS DOUBLE) AS pct_removed
+            FROM m
+            WINDOW w AS (ORDER BY stage_idx)
+            ORDER BY stage_idx
         """,
         "docs_decontaminate_bloom": r"""
             WITH toks AS (

@@ -279,3 +279,63 @@ def rag_search(
         )
         .orderBy(F.col("rrf_score").desc(), F.col("chunk_id").asc())
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    stages: list[tuple[str, "callable"]],
+    *,
+    text_col: str = "text",
+    count_tokens: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Run a curation pipeline WITH an attrition report — the lineage a
+    100 TB training-data run needs to be auditable: after every stage,
+    how many documents (and whitespace tokens) survive, and what each
+    stage removed.  ``stages`` is ``[(name, df -> df), ...]``.
+
+    Returns ``(cleaned, report)`` where ``report`` has one row per stage
+    (plus the ``input`` row): ``stage, stage_idx, rows, tokens,
+    rows_removed, pct_removed``.
+
+    Cost model (explicit, because lineage is not free): each stage's
+    output is persisted and counted — ONE extra count+sum aggregate per
+    stage over the stage's output, with the cache guaranteeing every
+    stage's transformation runs ONCE regardless of the extra action.
+    The previous stage's cache is released as soon as the next stage
+    materializes, so peak storage is two adjacent stage outputs.  At
+    cluster scale the aggregates are map-side-combined counts — noise
+    next to the stages themselves.
+    """
+    spark = docs.sparkSession
+    tok = token_count(text_col) if count_tokens and text_col in docs.columns else F.lit(None)
+
+    def _measure(df: DataFrame) -> tuple[int, int | None]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(tok).alias("t"),
+        ).first()
+        return int(r["n"]), (int(r["t"]) if r["t"] is not None else None)
+
+    report_rows: list[tuple] = []
+    cur = docs.persist()
+    n_prev, t_prev = _measure(cur)
+    report_rows.append(("input", 0, n_prev, t_prev, 0, 0.0))
+    prev = cur
+    for i, (name, fn) in enumerate(stages, start=1):
+        cur = fn(cur)
+        if not isinstance(cur, DataFrame):
+            raise ValueError(f"stage {name!r} did not return a DataFrame")
+        cur = cur.persist()
+        n, t = _measure(cur)
+        prev.unpersist()
+        prev = cur
+        removed = n_prev - n
+        pct = round(100.0 * removed / n_prev, 4) if n_prev else 0.0
+        report_rows.append((name, i, n, t, removed, pct))
+        n_prev = n
+    report = spark.createDataFrame(
+        report_rows,
+        "stage string, stage_idx int, rows long, tokens long, "
+        "rows_removed long, pct_removed double",
+    )
+    return cur, report

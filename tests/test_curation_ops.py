@@ -850,3 +850,43 @@ def test_corpus_dedup_null_and_empty_text_pass_through(spark):
     assert gs[3].text is None and gs[3].n_tokens == 0 and gs[3].n_removed == 0
     assert gs[4].text == "" and gs[4].n_tokens == 0
     assert gs[1].n_removed == 0 and gs[2].n_removed == 6  # keep='first'
+
+
+def test_curation_funnel_report(spark):
+    from aws_sdk_pandas_spark.operators.pipeline import curation_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en"),
+            (2, "uno dos", "es"),
+            (3, "a b c d", "en"),
+            (4, "a b c d", "en"),   # exact dup of 3
+        ],
+        "doc_id int, text string, lang string",
+    )
+    cleaned, report = curation_funnel(
+        docs,
+        [
+            ("lang_en", lambda d: d.where("lang = 'en'")),
+            ("exact_dedup", lambda d: d.dropDuplicates(["text"])),
+        ],
+    )
+    rows = {r.stage: r for r in report.collect()}
+    assert (rows["input"].rows, rows["input"].tokens) == (4, 13)
+    assert (rows["lang_en"].rows, rows["lang_en"].rows_removed) == (3, 1)
+    assert rows["lang_en"].pct_removed == 25.0
+    assert (rows["exact_dedup"].rows, rows["exact_dedup"].rows_removed) == (2, 1)
+    assert round(rows["exact_dedup"].pct_removed, 4) == round(100.0 / 3, 4)
+    assert cleaned.count() == 2
+    # a stage that returns a non-DataFrame fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="did not return a DataFrame"):
+        curation_funnel(docs, [("bad", lambda d: 42)])
+    # no text column -> token column stays NULL, counts still exact
+    no_text = docs.select("doc_id", "lang")
+    _c, rep2 = curation_funnel(
+        no_text, [("en", lambda d: d.where("lang = 'en'"))]
+    )
+    got = {r.stage: r.tokens for r in rep2.collect()}
+    assert got == {"input": None, "en": None}
