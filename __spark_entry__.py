@@ -2836,6 +2836,38 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel I/O under the hash gate (sources/excel + the stdlib
+    SpreadsheetML codec xlsx_lite — no openpyxl in this container): the
+    first 200 orders write to a REAL .xlsx and read back, then aggregate
+    by status.  A cell-type, escaping, reference, or header bug in the
+    codec changes values and hash-mismatches against DuckDB running the
+    same aggregate on the parquet directly."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet, read_excel, to_excel
+
+    orders = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .where("o_orderkey <= 800")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+    path = tempfile.mkdtemp(prefix="asps-xlsx-") + "/orders.xlsx"
+    to_excel(orders.coalesce(1).orderBy("o_orderkey"), path, index=False)
+    back = read_excel(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline attrition report under the hash gate
     (operators/pipeline.curation_funnel): three curation stages over the
@@ -6330,6 +6362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_materialize_mixture": _q_materialize_mixture,
         "docs_decontaminate_bloom": _q_decontaminate_bloom,
         "docs_curation_funnel": _q_curation_funnel,
+        "excel_roundtrip": _q_excel_roundtrip,
         "doc_novelty_scores": _q_novelty_scores,
         "docs_training_order": _q_training_order,
         "events_normalize_robust": _q_normalize_robust,
@@ -7768,6 +7801,14 @@ def oracle_sql() -> dict[str, str]:
                        AS value_robust
             FROM events
             ORDER BY event_id
+        """,
+        "excel_roundtrip": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders WHERE o_orderkey <= 800
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "docs_curation_funnel": """
             WITH s0 AS (SELECT * FROM documents),

@@ -56,9 +56,97 @@ def test_excel_roundtrip_with_injected_engine(spark, people_df, tmp_path):
     assert got.count() == 5
 
 
-def test_excel_requires_engine(spark, people_df, tmp_path):
+def test_excel_real_roundtrip_stdlib_codec(spark, tmp_path):
+    """No engine in this container: the stdlib SpreadsheetML codec must
+    write and read a REAL .xlsx — types, unicode, XML specials, NULLs,
+    and bools survive the round trip."""
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "héllo <&> \"quoted\"", True),
+            (2, None, None, False),
+            (3, -0.125, "tab\tand\nnewline", None),
+        ],
+        "k int, x double, s string, b boolean",
+    )
+    p = str(tmp_path / "real.xlsx")
+    sources.to_excel(df, p, index=False)
+    import zipfile
+
+    with zipfile.ZipFile(p) as z:  # a genuine zip package with the parts
+        names = set(z.namelist())
+    assert {"[Content_Types].xml", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml"} <= names
+    got = sources.read_excel(spark, p)
+    assert [f for f in got.columns] == ["k", "x", "s", "b"]
+    rows = sorted(got.collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [1, 2, 3]
+    assert rows[0].x == 2.5 and rows[1].x is None
+    assert rows[0].s == 'héllo <&> "quoted"'
+    assert rows[2].s == "tab\tand\nnewline"
+    assert (rows[0].b, rows[1].b, rows[2].b) == (True, False, None)
+    # pandas' default index column appears when index=True
+    sources.to_excel(df, p, index=True)
+    got_ix = sources.read_excel(spark, p)
+    assert got_ix.columns[0] == "col0"  # unnamed index header
+    # engine-only kwargs refuse loudly instead of silently differing
     with pytest.raises(InvalidArgument, match="openpyxl"):
-        sources.to_excel(people_df, str(tmp_path / "x.xlsx"))
+        sources.to_excel(df, p, float_format="%.2f")
+    with pytest.raises(InvalidArgument, match="openpyxl"):
+        sources.read_excel(spark, p, dtype={"k": str})
+
+
+def test_excel_reader_parses_handwritten_spreadsheetml(spark, tmp_path):
+    """Reader vs the ECMA-376 spec, not vs our writer: a hand-written
+    package with a sharedStrings table, rich-text runs, shared/bool/
+    inline/str/numeric cell types, a gap cell, and two sheets."""
+    import zipfile
+
+    p = str(tmp_path / "hand.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>')
+        z.writestr("_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            '<sheet name="alpha" sheetId="1" r:id="rId1"/>'
+            '<sheet name="beta" sheetId="2" r:id="rId2"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/></Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst xmlns="{ns}" count="2" uniqueCount="2">'
+            '<si><t>name</t></si>'
+            '<si><r><t>rich</t></r><r><t xml:space="preserve"> text</t></r></si></sst>')
+        z.writestr("xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>flag</t></is></c><c r="C1" t="str"><v>num</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="b"><v>1</v></c><c r="C2"><v>2.5</v></c></row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><t>plain</t></is></c><c r="C3"><v>7</v></c></row>'
+            "</sheetData></worksheet>")
+        z.writestr("xl/worksheets/sheet2.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>42</v></c></row>'
+            "</sheetData></worksheet>")
+    got = sources.read_excel(spark, p).collect()
+    by_name = {r["name"]: r for r in got}
+    assert by_name["rich text"].flag is True          # rich-text runs concat
+    assert by_name["rich text"].num == 2.5            # numeric column typed
+    assert by_name["plain"].flag is None              # B3 gap -> NULL
+    assert by_name["plain"].num == 7.0
+    # second sheet by name and by index agree
+    s2a = sources.read_excel(spark, p, sheet_name="beta").collect()
+    s2b = sources.read_excel(spark, p, sheet_name=1).collect()
+    assert [r.only for r in s2a] == [r.only for r in s2b] == [42]
+    with pytest.raises(InvalidArgument, match="not found"):
+        sources.read_excel(spark, p, sheet_name="gamma")
 
 
 # ----------------------------------------------------------------- copy/merge
