@@ -234,23 +234,251 @@ def decode_wav(b: bytes):
     return ch, sr, samples[: frames * ch].reshape(frames, ch)
 
 
+def decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-python/numpy PNG decode — 8-bit depth, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  PNG is stdlib-decodable: chunks -> concatenated
+    IDAT -> ``zlib`` inflate -> per-scanline unfilter (the spec's five
+    filters; Sub is a modular cumsum over byte lanes, Up a vector add,
+    Average/Paeth a per-pixel walk with vectorized lanes).  Returns
+    ``(width, height, rgb_bytes)`` row-major top-down RGB (alpha
+    dropped), matching ``decode_bmp``'s convention.  16-bit depth and
+    Adam7 interlacing refuse loudly."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    if not b or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte: bytes | None = None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(b):
+        ln = _s.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = _s.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG is not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = _z.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    sl = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = sl[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = channels
+    for r in range(h):
+        cur = sl[r, 1:].copy()
+        ft = int(filters[r])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: x_i = raw_i + x_{i-bpp} -> lane-wise cumsum mod 256
+            lanes = cur.reshape(w, bpp).astype(np.uint64)
+            cur = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            cur = cur + prev  # uint8 wraps = mod 256, the spec rule
+        elif ft == 3:  # Average
+            cur = cur.copy()
+            a = np.zeros(bpp, np.uint16)
+            up = prev.astype(np.uint16)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                a = ((a + up[s]) >> 1).astype(np.uint16)
+                px = (cur[s].astype(np.uint16) + a) & 0xFF
+                cur[s] = px.astype(np.uint8)
+                a = px
+        elif ft == 4:  # Paeth
+            cur = cur.copy()
+            a = np.zeros(bpp, np.int32)
+            c = np.zeros(bpp, np.int32)
+            up = prev.astype(np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                bb = up[s]
+                p = a + bb - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c)
+                )
+                px = (cur[s].astype(np.int32) + pred) & 0xFF
+                cur[s] = px.astype(np.uint8)
+                a, c = px, bb
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+        prev = out[r]
+    if color == 2:
+        rgb = out.reshape(h, w, 3)
+    elif color == 6:
+        rgb = out.reshape(h, w, 4)[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(out.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+    else:  # palette
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        rgb = pal[out.reshape(h, w)]
+    return int(w), int(h), np.ascontiguousarray(rgb).tobytes()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting min+1, CLEAR
+    resets the table, EOI terminates; emitted codes index a growing
+    dictionary of index strings."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[list[int]]:
+        return [[i] for i in range(clear)] + [[], []]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif(b: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-python GIF decode (first frame): logical screen +
+    global/local color table, LZW-compressed index stream, Adam-style
+    4-pass interlacing.  Returns ``(width, height, rgb_bytes)`` row-major
+    top-down RGB, matching ``decode_bmp``/``decode_png``.  Animation
+    beyond the first frame is out of scope (the frame-sampling planner
+    handles multi-frame media)."""
+    import numpy as np
+
+    if not b or len(b) < 13 or b[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF LZW stream yields {len(idx)} pixels, need {w * h}"
+                )
+            arr = np.asarray(idx[: w * h], np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows in 4 passes (8/8, 8/8+4, 4, 2)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index exceeds color table")
+            return w, h, np.ascontiguousarray(pal[arr]).tobytes()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError(f"GIF has no image frame ({sw}x{sh} screen)")
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Image decode kernel: REAL for uncompressed BMP (``decode_bmp``);
-    compressed formats (PNG/GIF/JPEG) still need an image library not
-    present in this container and raise with the sniffed format name."""
+    """Image decode kernel: REAL for uncompressed BMP (``decode_bmp``),
+    PNG (``decode_png`` — stdlib zlib + numpy unfiltering) and GIF
+    (``decode_gif`` — pure-python LZW); JPEG still needs an image
+    library not present in this container and raises with the sniffed
+    format name."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
-    fmt = "unknown"
-    if payload:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            fmt = "png"
-        elif payload[:4] == b"GIF8":
-            fmt = "gif"
-        elif payload[:2] == b"\xff\xd8":
-            fmt = "jpeg"
+    if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload and payload[:4] == b"GIF8":
+        return decode_gif(payload)
+    fmt = "jpeg" if payload and payload[:2] == b"\xff\xd8" else "unknown"
     raise NotImplementedError(
         f"decoding {fmt} requires an image library (e.g. Pillow) not present "
-        "in this environment; uncompressed BMP decodes natively"
+        "in this environment; BMP, PNG and GIF decode natively"
     )
 
 

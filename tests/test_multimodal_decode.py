@@ -364,3 +364,238 @@ def test_mp4_metadata_parse(spark):
     assert got[2].video_track_types == ["soun"]
     assert got[3].video_duration_seconds is None
     assert got[4].video_n_tracks is None
+
+
+# ------------------------------------------------------------------- png
+
+
+def _png_encode(pixels, w, h, *, color=2, filters=None, palette=None):
+    """Test-side PNG encoder (pure ints, independent of the numpy
+    decoder): applies the spec's filter functions per row."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * ch
+    assert len(pixels) == h * stride
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = [0] * stride
+    for r in range(h):
+        row = list(pixels[r * stride:(r + 1) * stride])
+        ft = filters[r]
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                f = row[i]
+            elif ft == 1:
+                f = row[i] - a
+            elif ft == 2:
+                f = row[i] - b
+            elif ft == 3:
+                f = row[i] - (a + b) // 2
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f = row[i] - pred
+            raw.append(f & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_and_color_types():
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_png
+
+    rng = random.Random(7)
+    w, h = 9, 5
+    # RGB with every filter type exercised
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    b = _png_encode(px, w, h, color=2, filters=[0, 1, 2, 3, 4])
+    gw, gh, got = decode_png(b)
+    assert (gw, gh) == (w, h) and got == px
+
+    # RGBA: alpha dropped
+    px4 = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    _, _, got4 = decode_png(_png_encode(px4, w, h, color=6, filters=[4, 3, 2, 1, 0]))
+    want_rgb = bytes(
+        v for i, v in enumerate(px4) if i % 4 != 3
+    )
+    assert got4 == want_rgb
+
+    # grayscale replicated to RGB
+    g = bytes(rng.randrange(256) for _ in range(w * h))
+    _, _, gotg = decode_png(_png_encode(g, w, h, color=0, filters=[1] * h))
+    assert gotg == bytes(v for v in g for _ in range(3))
+
+    # palette lookup
+    pal = bytes(rng.randrange(256) for _ in range(9))  # 3 colors
+    idx = bytes(rng.randrange(3) for _ in range(w * h))
+    _, _, gotp = decode_png(
+        _png_encode(idx, w, h, color=3, filters=[2] * h, palette=pal)
+    )
+    assert gotp == bytes(pal[i * 3 + k] for i in idx for k in range(3))
+
+    # refusals
+    import struct as _s
+    import pytest as _pytest
+
+    bad = bytearray(_png_encode(px, w, h, color=2))
+    _s.pack_into(">B", bad, 8 + 8 + 8, 16)  # depth byte inside IHDR
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad))
+
+
+def test_png_through_decode_images_and_stats(spark):
+    """The Arrow decode kernel now handles REAL PNGs end-to-end:
+    pixel stats equal the hand-computed mean."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_images,
+        image_pixel_stats,
+    )
+
+    px = bytes(range(48))  # 4x4 RGB
+    b = _png_encode(px, 4, 4, color=2, filters=[0, 1, 2, 4])
+    df = spark.createDataFrame([(1, b), (2, None)], "media_id bigint, payload binary")
+    rows = {r.media_id: r for r in decode_images(df).collect()}
+    assert (rows["1"].width, rows["1"].height) == (4, 4)
+    assert bytes(rows["1"].pixels) == px
+    assert rows["2"].width is None
+    stats = {r.media_id: r for r in image_pixel_stats(df).collect()}
+    assert abs(stats["1"].mean_pixel - sum(px) / 48) < 1e-9
+
+
+# ------------------------------------------------------------------- gif
+
+
+def _gif_lzw_encode(indexes, min_code):
+    """Test-side GIF LZW encoder (real dictionary growth + width bumps),
+    independent of the decoder implementation."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes = []
+    width = min_code + 1
+    bits = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = ()
+    for k in indexes:
+        nxt = cur + (k,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        cur = (k,)
+    if cur:
+        emit(table[cur])
+        next_code += 1  # the decoder adds an entry for this code too
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+    emit(eoi)
+    # LSB-first bit packing
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data), out_codes
+
+
+def _gif_encode(indexes, w, h, palette, *, min_code=2, interlace=False):
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    n_colors = len(palette) // 3
+    size_bits = max(1, (n_colors - 1).bit_length()) - 1
+    out += bytes([0x80 | size_bits, 0, 0])
+    out += bytes(palette) + b"\x00" * (3 * ((2 << size_bits) - n_colors))
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        indexes = [indexes[r * w + c] for r in order for c in range(w)]
+    data, _ = _gif_lzw_encode(list(indexes), min_code)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_lzw_and_interlace():
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_gif
+
+    rng = random.Random(3)
+    pal = bytes(rng.randrange(256) for _ in range(12))  # 4 colors
+    w, h = 11, 9
+    # runs + noise force dictionary growth and the KwKwK case
+    idx = []
+    while len(idx) < w * h:
+        idx += [rng.randrange(4)] * rng.randrange(1, 6)
+    idx = idx[: w * h]
+    gw, gh, rgb = decode_gif(_gif_encode(idx, w, h, pal))
+    assert (gw, gh) == (w, h)
+    assert rgb == bytes(pal[i * 3 + k] for i in idx for k in range(3))
+    # interlaced frame decodes to the same top-down pixels
+    _, _, rgb_i = decode_gif(_gif_encode(idx, w, h, pal, interlace=True))
+    assert rgb_i == rgb
+    # a GIF with an extension block before the frame still decodes
+    b = bytearray(_gif_encode(idx, w, h, pal))
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    insert_at = 6 + 7 + 12  # after header+lsd+gct
+    b[insert_at:insert_at] = ext
+    _, _, rgb_e = decode_gif(bytes(b))
+    assert rgb_e == rgb
+
+
+def test_gif_and_png_feed_dhash_dedup(spark):
+    """Cross-format perceptual dedup: the SAME image saved as PNG and
+    GIF must collide under dHash (decode_image now handles both)."""
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_dhash
+
+    rng = random.Random(11)
+    w, h = 16, 12
+    pal = bytes(range(48))  # 16 colors
+    idx = [rng.randrange(16) for _ in range(w * h)]
+    rgb = bytes(pal[i * 3 + k] for i in idx for k in range(3))
+    png = _png_encode(rgb, w, h, color=2, filters=[1] * h)
+    gif = _gif_encode(idx, w, h, pal, min_code=4)
+    df = spark.createDataFrame(
+        [(1, png), (2, gif)], "media_id bigint, payload binary"
+    )
+    hashes = [r.dhash for r in image_dhash(df, id_col="media_id").collect()]
+    assert hashes[0] is not None and hashes[0] == hashes[1]
