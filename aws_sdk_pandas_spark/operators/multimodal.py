@@ -80,17 +80,15 @@ def extract_features(
     def _real_feature(payload: bytes) -> list[float]:
         import numpy as np
 
-        if payload[:2] == b"BM":
-            w, h, rgb = decode_bmp(payload)
-            px = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.float64)
-            lum = px @ np.array([0.299, 0.587, 0.114])
-            hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
-        elif payload[:4] == b"RIFF":
+        if payload[:4] == b"RIFF":
             _ch, _sr, samples = decode_wav(payload)
             hist, _ = np.histogram(samples.mean(axis=1), bins=dim, range=(-1.0, 1.0))
         else:
-            decode_image(payload)  # raises with the sniffed format name
-            raise AssertionError("unreachable")
+            # BMP/PNG/GIF/JPEG all decode natively now
+            _w, _h, rgb = decode_image(payload)
+            px = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.float64)
+            lum = px @ np.array([0.299, 0.587, 0.114])
+            hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
         total = hist.sum() or 1
         return [float(x) for x in hist / total]
 
@@ -464,21 +462,25 @@ def decode_gif(b: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Image decode kernel: REAL for uncompressed BMP (``decode_bmp``),
-    PNG (``decode_png`` — stdlib zlib + numpy unfiltering) and GIF
-    (``decode_gif`` — pure-python LZW); JPEG still needs an image
-    library not present in this container and raises with the sniffed
-    format name."""
+    """Image decode kernel — REAL for every common format, no media
+    library anywhere: uncompressed BMP (``decode_bmp``), PNG
+    (``decode_png`` — stdlib zlib + numpy unfiltering), GIF
+    (``decode_gif`` — pure-python LZW), and baseline JPEG
+    (``jpeg_lite.decode_jpeg`` — Huffman scan + numpy IDCT; progressive
+    and arithmetic-coded JPEG refuse loudly)."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if payload and payload[:4] == b"GIF8":
         return decode_gif(payload)
-    fmt = "jpeg" if payload and payload[:2] == b"\xff\xd8" else "unknown"
+    if payload and payload[:2] == b"\xff\xd8":
+        from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"decoding {fmt} requires an image library (e.g. Pillow) not present "
-        "in this environment; BMP, PNG and GIF decode natively"
+        "unknown image payload (not BMP/PNG/GIF/JPEG) — all four decode "
+        "natively here, no image library needed"
     )
 
 

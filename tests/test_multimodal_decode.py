@@ -97,8 +97,12 @@ def test_bmp_errors():
     rle[30] = 1  # compression = BI_RLE8
     with pytest.raises(ValueError, match="BI_RGB"):
         decode_bmp(bytes(rle))
-    with pytest.raises(NotImplementedError, match="png"):
+    # PNG now decodes natively; a header-only stub (no IDAT) fails
+    # HONESTLY as malformed, and unknown payloads name the contract
+    with pytest.raises(ValueError):
         decode_image(make_test_media("png", 4, 4))
+    with pytest.raises(NotImplementedError, match="BMP/PNG/GIF/JPEG"):
+        decode_image(b"\x00\x01nothing")
 
 
 def test_wav_16bit_exact():
@@ -187,14 +191,15 @@ def test_extract_features_real_histograms(spark):
     # all-zero audio: amplitude 0 falls in the bin containing 0 (bin 8 of [-1,1))
     assert got["aud"][8] == pytest.approx(1.0)
 
-    png = spark.createDataFrame(
-        [("p", bytearray(make_test_media("png", 4, 4)))], "media_id string, payload binary"
-    )
-    from py4j.protocol import Py4JJavaError
+    # a REAL (tiny, gray) PNG runs through the same histogram kernel now
+    from tests.test_multimodal_decode import _png_encode  # self-import ok
 
-    with pytest.raises(Exception) as ei:
-        extract_features(png).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+    png_payload = _png_encode(bytes([0, 0, 0] * 4), 2, 2, color=2)
+    png = spark.createDataFrame(
+        [("p", bytearray(png_payload))], "media_id string, payload binary"
+    )
+    got_p = {r.media_id: r.feature for r in extract_features(png, dim=16).collect()}
+    assert got_p["p"][0] == pytest.approx(1.0)
 
 
 def test_null_payloads_yield_null_rows(spark):
@@ -599,3 +604,216 @@ def test_gif_and_png_feed_dhash_dedup(spark):
     )
     hashes = [r.dhash for r in image_dhash(df, id_col="media_id").collect()]
     assert hashes[0] is not None and hashes[0] == hashes[1]
+
+
+# ------------------------------------------------------------------ jpeg
+
+
+def _jpeg_encode(rgb, w, h, *, sub=(1, 1), gray=False, restart=0):
+    """Test-side BASELINE JPEG encoder written from T.81 (forward DCT,
+    flat quant, simple canonical Huffman tables declared via DHT) —
+    independent of the decoder implementation."""
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import _A, ZIGZAG
+
+    Q = np.full(64, 8, np.int64)  # flat table keeps loss predictable
+    Q[0] = 4
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+    dc_code = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    ycc = [
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2],
+        -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128,
+        0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128,
+    ]
+    if gray:
+        planes, factors = [ycc[0]], [(1, 1)]
+    else:
+        sh, sv = sub
+
+        def pool(p):
+            hh, ww = -(-h // sv) * sv, -(-w // sh) * sh
+            pad = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+            return pad.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+        planes = [ycc[0], pool(ycc[1]), pool(ycc[2])]
+        factors = [(sh, sv), (1, 1), (1, 1)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th = -(-h // (8 * vmax)) * fv * 8
+        tw = -(-w // (8 * hmax)) * fh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        padded.append(pp - 128.0)
+
+    bits = []
+
+    def put(nbits, code):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(t, v if v > 0 else v + (1 << t) - 1)
+
+    def flush_to_bytes():
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i:i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    scan = bytearray()
+    preds = [0] * len(planes)
+    mcux = padded[0].shape[1] // (8 * factors[0][0])
+    mcuy = padded[0].shape[0] // (8 * factors[0][1])
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_n and mcu_n % restart == 0:
+                scan += flush_to_bytes()
+                scan += bytes([0xFF, 0xD0 + ((mcu_n // restart - 1) % 8)])
+                preds = [0] * len(planes)
+            for ci, (p, (fh, fv)) in enumerate(zip(padded, factors)):
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0, x0 = (my * fv + by) * 8, (mx * fh + bx) * 8
+                        F = _A @ p[y0:y0 + 8, x0:x0 + 8] @ _A.T
+                        zz = np.round(F.reshape(64)[ZIGZAG] / Q).astype(np.int64)
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        t = 0 if diff == 0 else int(abs(diff)).bit_length()
+                        put(*dc_code[t])
+                        put_val(diff, t)
+                        k = 1
+                        while k < 64:
+                            run = 0
+                            while k < 64 and zz[k] == 0:
+                                run += 1
+                                k += 1
+                            if k == 64:
+                                put(*ac_code[0x00])  # EOB
+                                break
+                            while run >= 16:
+                                put(*ac_code[0xF0])
+                                run -= 16
+                            v = int(zz[k])
+                            s_cat = int(abs(v)).bit_length()
+                            put(*ac_code[(run << 4) | s_cat])
+                            put_val(v, s_cat)
+                            k += 1
+            mcu_n += 1
+    scan += flush_to_bytes()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in Q))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits[:16]) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits[:16]) + bytes(ac_syms))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_decode_baseline():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_image
+
+    # solid color: DC-only blocks decode near-exactly
+    w, h = 16, 16
+    solid = bytes([120, 200, 64]) * (w * h)
+    gw, gh, got = decode_image(_jpeg_encode(solid, w, h))
+    assert (gw, gh) == (w, h)
+    a = np.frombuffer(got, np.uint8).astype(int).reshape(h, w, 3)
+    want = np.array([120, 200, 64])
+    assert np.abs(a - want).max() <= 3
+
+    # smooth gradient round-trips above 30 dB PSNR, 4:2:0 subsampling
+    w2, h2 = 24, 16
+    grad = bytearray()
+    for r in range(h2):
+        for c in range(w2):
+            grad += bytes([(c * 10) % 256, (r * 12) % 256, ((r + c) * 5) % 256])
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        _, _, got2 = decode_image(_jpeg_encode(bytes(grad), w2, h2, sub=sub))
+        x = np.frombuffer(bytes(grad), np.uint8).astype(float)
+        yhat = np.frombuffer(got2, np.uint8).astype(float)
+        mse = float(np.mean((x - yhat) ** 2))
+        psnr = 10 * np.log10(255 ** 2 / mse)
+        assert psnr > (30 if sub == (1, 1) else 20), (sub, psnr)
+
+    # grayscale frame
+    _, _, gotg = decode_image(_jpeg_encode(solid, w, h, gray=True))
+    g = np.frombuffer(gotg, np.uint8).reshape(h, w, 3)
+    lum = 0.299 * 120 + 0.587 * 200 + 0.114 * 64
+    assert abs(int(g[0, 0, 0]) - lum) <= 3 and (g[:, :, 0] == g[:, :, 1]).all()
+
+    # restart markers reset DC predictors
+    _, _, gotr = decode_image(_jpeg_encode(bytes(grad), w2, h2, restart=2))
+    assert np.abs(
+        np.frombuffer(gotr, np.uint8).astype(int)
+        - np.frombuffer(bytes(grad), np.uint8).astype(int)
+    ).mean() < 12
+
+    # progressive refuses loudly
+    import pytest as _pytest
+
+    b = bytearray(_jpeg_encode(solid, w, h))
+    i = b.index(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="BASELINE"):
+        decode_image(bytes(b))
+
+
+def test_jpeg_and_png_feed_dhash(spark):
+    """The same picture saved lossless (PNG) and lossy (JPEG) collides
+    under perceptual dHash — the cross-format near-dup case the decoder
+    family exists for."""
+    from aws_sdk_pandas_spark.operators.multimodal import image_dhash
+
+    w, h = 32, 24
+    rgb = bytearray()
+    for r in range(h):
+        for c in range(w):
+            v = 255 if (c // 8 + r // 8) % 2 else 30  # checkerboard
+            rgb += bytes([v, v, v])
+    png = _png_encode(bytes(rgb), w, h, color=2, filters=[0] * h)
+    jpg = _jpeg_encode(bytes(rgb), w, h)
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg)], "media_id bigint, payload binary"
+    )
+    hs = [r.dhash for r in image_dhash(df, id_col="media_id").collect()]
+    assert hs[0] is not None and hs[0] == hs[1]
