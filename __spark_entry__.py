@@ -5903,6 +5903,51 @@ def _q_multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode under the hash gate
+    (operators/multimodal.decode_png — stdlib zlib inflate + scanline
+    unfiltering): a deterministic 4x4 REAL PNG is synthesized per
+    document with pixel byte i of doc d = (d*11 + i*17) % 256, decoded
+    by the pure-python decoder, and the mean recomputed by DuckDB from
+    the same arithmetic.  PNG is lossless, so any inflate, filter, or
+    channel-order bug shifts the mean exactly."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_pixel_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "png", 4, 4,
+                            pixels=bytes((int(d) * 11 + i * 17) % 256 for i in range(48)),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_pixel_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container parsing under the hash gate
     (operators/multimodal.video_metadata): a deterministic MP4 is
@@ -6286,6 +6331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
+        "multimodal_png_pixel_stats": _q_multimodal_png_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
         "lakelite_stream_source": _q_lakelite_stream_source,
         "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
@@ -8022,6 +8068,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bmp_pixel_stats": """
             SELECT d.doc_id, 4 AS width, 4 AS height,
                    CAST(ROUND(AVG((d.doc_id * 7 + r.i * 13) % 256), 6) AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(48)) AS i) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_png_pixel_stats": """
+            SELECT d.doc_id, 4 AS width, 4 AS height,
+                   CAST(ROUND(AVG((d.doc_id * 11 + r.i * 17) % 256), 6) AS DOUBLE) AS mean_pixel
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  (SELECT unnest(range(48)) AS i) r
             GROUP BY d.doc_id

@@ -1200,12 +1200,34 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
     import struct as _s
 
     if fmt == "png":
-        return (
+        hdr = (
             b"\x89PNG\r\n\x1a\n"
             + _s.pack(">I", 13)
             + b"IHDR"
             + _s.pack(">II", width, height)
             + b"\x08\x02\x00\x00\x00"
+        )
+        pixels = kw.get("pixels")  # RGB bytes row-major -> a REAL png
+        if pixels is None:
+            return hdr  # header-only stub (dimension-parse fixtures)
+        import zlib as _z
+
+        def _chunk(ctype: bytes, data: bytes) -> bytes:
+            body = ctype + data
+            return _s.pack(">I", len(data)) + body + _s.pack(
+                ">I", _z.crc32(body) & 0xFFFFFFFF
+            )
+
+        stride = width * 3
+        raw = b"".join(
+            b"\x00" + bytes(pixels[r * stride : (r + 1) * stride])
+            for r in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", _s.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", _z.compress(raw))
+            + _chunk(b"IEND", b"")
         )
     if fmt == "gif":
         return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00\x00\x00"
