@@ -817,3 +817,54 @@ def test_jpeg_and_png_feed_dhash(spark):
     )
     hs = [r.dhash for r in image_dhash(df, id_col="media_id").collect()]
     assert hs[0] is not None and hs[0] == hs[1]
+
+
+def test_png_gif_roundtrip_property():
+    """Hypothesis: random pixels, dimensions, and filter choices
+    round-trip losslessly through both pure-python decoders."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_gif, decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 10),
+        st.lists(st.integers(0, 4), min_size=10, max_size=10),
+        st.randoms(use_true_random=False),
+    )
+    def run(w, h, filters, rng):
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        b = _png_encode(px, w, h, color=2, filters=filters[:h] + [0] * max(0, h - len(filters)))
+        gw, gh, got = decode_png(b)
+        assert (gw, gh, got) == (w, h, px)
+        pal = bytes(rng.randrange(256) for _ in range(24))  # 8 colors
+        idx = [rng.randrange(8) for _ in range(w * h)]
+        g = _gif_encode(idx, w, h, pal, min_code=3)
+        gw2, gh2, got2 = decode_gif(g)
+        assert (gw2, gh2) == (w, h)
+        assert got2 == bytes(pal[i * 3 + k] for i in idx for k in range(3))
+
+    run()
+
+
+def test_jpeg_solid_blocks_property():
+    """Hypothesis: random solid colors survive JPEG (DC-only blocks are
+    near-exact for any color at any MCU-aligned size)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+           st.sampled_from([(8, 8), (16, 8), (16, 16)]))
+    def run(r, g, b, wh):
+        w, h = wh
+        rgb = bytes([r, g, b]) * (w * h)
+        _, _, got = decode_jpeg(_jpeg_encode(rgb, w, h))
+        arr = np.frombuffer(got, np.uint8).astype(int).reshape(h, w, 3)
+        assert np.abs(arr - np.array([r, g, b])).max() <= 4
+
+    run()
