@@ -671,22 +671,37 @@ def read_delta_log(
             "'name'), or 3 with the deletionVectors/columnMapping features "
             "only (no v2 checkpoints / timestampNtz)"
         )
-    if cm_mode not in (None, "none", "name"):
+    if cm_mode not in (None, "none", "name", "id"):
         raise InvalidArgument(
-            f"delta.columnMapping.mode {cm_mode!r} is not supported — "
-            "'id' mode needs parquet field-id resolution; only 'name' "
-            "mode (physical-name files) reads here"
+            f"unknown delta.columnMapping.mode {cm_mode!r}"
         )
     schema_json = json.loads(meta["schemaString"])
     schema = T.StructType.fromJson(schema_json)
-    # column mapping 'name': files store PHYSICAL column names; the
-    # logical->physical map lives in the schema field metadata
+    # column mapping: files store PHYSICAL column names; 'name' mode
+    # renames them back from the schemaString metadata, 'id' mode reads
+    # through Spark's native parquet field-id resolution (the files
+    # carry parquet field ids equal to delta.columnMapping.id)
     phys: dict[str, str] = {}
-    if cm_mode == "name":
-        for f in schema_json.get("fields", []):
-            pn = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
-            if pn:
-                phys[f["name"]] = pn
+    field_ids: dict[str, int] = {}
+    for f in schema_json.get("fields", []):
+        md = f.get("metadata") or {}
+        if md.get("delta.columnMapping.physicalName"):
+            phys[f["name"]] = md["delta.columnMapping.physicalName"]
+        if md.get("delta.columnMapping.id") is not None:
+            field_ids[f["name"]] = int(md["delta.columnMapping.id"])
+    # phys stays populated in BOTH modes (partitionValues are keyed by
+    # physical name whenever column mapping is on); renames apply only
+    # in 'name' mode, id-mode scans resolve by field id below
+    if cm_mode == "id":
+        missing_ids = [
+            f.name for f in schema.fields if f.name not in field_ids
+        ]
+        if missing_ids:
+            raise InvalidArgument(
+                f"columnMapping mode 'id' but fields {missing_ids} carry "
+                "no delta.columnMapping.id"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     pcols = list(meta.get("partitionColumns") or [])
     root = _local(path)
 
@@ -737,8 +752,21 @@ def read_delta_log(
         # mergeSchema: schema evolution leaves older files without the
         # newer columns; the metaData schema is authoritative and the
         # per-file gaps read as nulls
-        part = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
-        if phys:
+        if cm_mode == "id":
+            read_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, True,
+                        {"parquet.field.id": field_ids[f.name]},
+                    )
+                    for f in schema.fields
+                    if f.name not in pcols
+                ]
+            )
+            part = spark.read.schema(read_schema).parquet(*sorted(files))
+        else:
+            part = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+        if cm_mode == "name" and phys:
             for logical, physical in phys.items():
                 if physical in part.columns and logical not in part.columns:
                     part = part.withColumnRenamed(physical, logical)

@@ -599,13 +599,56 @@ def test_column_mapping_name_mode(spark, tmp_path):
     got = sorted(tuple(r) for r in delta_log.read_delta_log(spark, root).collect())
     assert got == [(1, "x", "p1"), (2, "y", "p1")]
     assert delta_log.read_delta_log(spark, root).columns == ["k", "name", "part"]
-    # 'id' mode stays refused
-    import re as _re
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """columnMapping mode 'id': data columns resolve by PARQUET FIELD ID
+    (arbitrary physical names in the files), via Spark's native field-id
+    matching — the schemaString's delta.columnMapping.id drives it."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    ws = T.StructType([
+        T.StructField("xyz-1", T.IntegerType(), True, {"parquet.field.id": 7}),
+        T.StructField("xyz-2", T.StringType(), True, {"parquet.field.id": 9}),
+    ])
+    spark.createDataFrame([(1, "x"), (2, "y")], ws).coalesce(1) \
+        .write.parquet(os.path.join(root, "fa"))
+    fa = "fa/" + next(
+        f for f in os.listdir(os.path.join(root, "fa")) if f.endswith(".parquet")
+    )
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 7,
+                      "delta.columnMapping.physicalName": "xyz-1"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 9,
+                      "delta.columnMapping.physicalName": "xyz-2"}},
+    ]})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "cm-2", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_str, "partitionColumns": [],
+                          "configuration": {"delta.columnMapping.mode": "id"},
+                          "createdTime": 0}},
+            {"add": {"path": fa, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    got = delta_log.read_delta_log(spark, root)
+    assert got.columns == ["k", "name"]
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "x"), (2, "y")]
+    # missing columnMapping.id metadata refuses loudly
+    bad_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}}]})
     with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"metaData": {
-            "id": "cm-1", "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema_str, "partitionColumns": ["part"],
+            "id": "cm-2", "format": {"provider": "parquet", "options": {}},
+            "schemaString": bad_schema, "partitionColumns": [],
             "configuration": {"delta.columnMapping.mode": "id"},
             "createdTime": 0}}) + "\n")
-    with pytest.raises(InvalidArgument, match="'id' mode"):
+    with pytest.raises(InvalidArgument, match="no delta.columnMapping.id"):
         delta_log.read_delta_log(spark, root)
