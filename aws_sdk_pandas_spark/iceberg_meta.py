@@ -1075,11 +1075,46 @@ def read_iceberg_meta(
 
     pcol_names = {c for parts in group_parts.values() for c, _t, _v in parts}
     data_fields = [f for f in st.fields if f.name not in pcol_names]
+
+    # the Iceberg spec resolves parquet columns BY FIELD ID, not name —
+    # engine-written files always carry ids, so renamed columns still
+    # read correctly; lakelite's own files carry none and resolve by
+    # name.  Sniff one footer to pick the mode.
+    by_field_id = False
+    try:
+        import pyarrow.parquet as pq
+
+        first = next(iter(sorted(next(iter(groups.values())))))
+        arrow_schema = pq.ParquetFile(first).schema_arrow
+        by_field_id = any(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in arrow_schema
+        )
+    except Exception:  # pragma: no cover - defensive
+        by_field_id = False
+    if by_field_id:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, True,
+                    {"parquet.field.id": name_to_id[f.name]},
+                )
+                for f in st.fields
+                if f.name not in pcol_names
+            ]
+        )
+
     scans = []
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
-        part = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(groups[key])
-        )
+        if by_field_id:
+            part = spark.read.schema(read_schema).parquet(*sorted(groups[key]))
+        else:
+            part = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(groups[key])
+            )
         if deletes is not None or eq_deletes:
             part = (
                 part.withColumn("__fp", norm(F.col("_metadata.file_path")))

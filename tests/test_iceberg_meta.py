@@ -750,6 +750,78 @@ def test_reader_applies_equality_deletes(spark, tmp_path):
     ).count() == 3
 
 
+def test_reader_resolves_by_parquet_field_id(spark, tmp_path):
+    """Engine-written files carry parquet field ids; the spec says
+    resolve columns by ID, not name — so a table whose columns were
+    RENAMED after write still reads correctly."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    ws = T.StructType([
+        T.StructField("old_k", T.IntegerType(), True, {"parquet.field.id": 1}),
+        T.StructField("old_name", T.StringType(), True, {"parquet.field.id": 2}),
+    ])
+    spark.createDataFrame([(1, "a"), (2, "b")], ws).coalesce(1) \
+        .write.parquet(os.path.join(root, "data"))
+    dfile = next(
+        os.path.join(root, "data", f)
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    )
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ]}, "field-id": 2},
+        ],
+    }
+    mpath = os.path.join(root, "metadata", "m0.avro")
+    avro_ocf.write_container(
+        mpath, entry_schema,
+        [{"status": 1, "snapshot_id": 6, "data_file": {
+            "file_path": dfile, "file_format": "PARQUET", "partition": {},
+            "record_count": 2, "file_size_in_bytes": os.path.getsize(dfile)}}],
+        metadata={"partition-spec": "[]", "format-version": "1",
+                  "content": "data"},
+    )
+    # the TABLE schema renamed both columns; ids are authoritative
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000003",
+        "location": root, "last-updated-ms": 1, "last-column-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "renamed_k", "required": False, "type": "int"},
+            {"id": 2, "name": "renamed_name", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [], "properties": {},
+        "current-snapshot-id": 6,
+        "snapshots": [{"snapshot-id": 6, "timestamp-ms": 1,
+                       "manifests": [mpath]}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = iceberg_meta.read_iceberg_meta(spark, root)
+    assert got.columns == ["renamed_k", "renamed_name"]
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
 def test_reader_handles_transformed_partitions(spark, tmp_path):
     """bucket[N]/day-style transformed partitions: the derived value in
     the manifest partition struct is NOT injected — the source column
