@@ -822,7 +822,18 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
         "last-partition-id": last_partition_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        # lakelite data files carry no parquet field ids; the spec's
+        # name-mapping property tells strict engines how to resolve
+        # id-less columns, so tables exported here read everywhere
+        "properties": {
+            "write.format.default": "parquet",
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in body["fields"]
+                ]
+            ),
+        },
         "current-snapshot-id": snap_id,
         "snapshots": (prev_meta["snapshots"] if prev_meta else []) + [snapshot],
         "snapshot-log": (prev_meta["snapshot-log"] if prev_meta else [])

@@ -902,3 +902,21 @@ def test_reader_refuses_unsupported_features(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(InvalidArgument, match="format-version"):
         iceberg_meta.read_iceberg_meta(spark, p)
+
+
+def test_metadata_carries_name_mapping(spark, tmp_path):
+    """Exported tables declare schema.name-mapping.default so strict
+    engines can resolve lakelite's id-less parquet columns."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
+    lakehouse.convert_to_iceberg(p)
+    meta = iceberg_meta._load_metadata(p)
+    nm = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert {m["names"][0]: m["field-id"] for m in nm} == {
+        f["name"]: f["id"] for f in schema["fields"]
+    }
