@@ -865,6 +865,65 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
     return True
 
 
+def expire_snapshots(path: str, *, keep_last: int = 1) -> dict[str, int]:
+    """Iceberg table maintenance: drop all but the last ``keep_last``
+    snapshots from the CURRENT metadata and delete the expired
+    snapshots' manifest lists and (now-unreferenced) manifests — the
+    ``expireSnapshots`` analog.  Metadata-plane only: DATA files are
+    lakelite's to reclaim (``lakehouse_shim.vacuum``), so nothing here
+    can lose rows.  The current metadata file is rewritten atomically
+    in place, which keeps the lakelite-version <-> metadata-version
+    export mapping intact (the next commit builds on the pruned state);
+    older metadata files keep their names but can no longer resolve the
+    expired snapshots — the same contract real Iceberg expiration has."""
+    if keep_last < 1:
+        raise InvalidArgument("keep_last must be >= 1")
+    d = _meta_dir(path)
+    hint = os.path.join(d, "version-hint.text")
+    with open(hint) as fh:
+        mv = int(fh.read().strip())
+    meta_file = os.path.join(d, f"v{mv}.metadata.json")
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    retained = snaps[-keep_last:]
+    retained_ids = {s["snapshot-id"] for s in retained}
+    if meta["current-snapshot-id"] not in retained_ids:
+        raise InvalidArgument("cannot expire the current snapshot")
+    removed = [s for s in snaps if s["snapshot-id"] not in retained_ids]
+
+    kept_manifests: set[str] = set()
+    for s in retained:
+        _s, _m, mlist = avro_ocf.read_container(_local(s["manifest-list"]))
+        kept_manifests |= {_local(m["manifest_path"]) for m in mlist}
+    deleted = 0
+    for s in removed:
+        lp = _local(s["manifest-list"])
+        if os.path.exists(lp):
+            _s, _m, mlist = avro_ocf.read_container(lp)
+            for m in mlist:
+                mp = _local(m["manifest_path"])
+                if mp not in kept_manifests and os.path.exists(mp):
+                    os.unlink(mp)
+                    deleted += 1
+            os.unlink(lp)
+            deleted += 1
+
+    meta["snapshots"] = retained
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in retained_ids
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    tmp = meta_file + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_file)
+    return {"expired_snapshots": len(removed), "deleted_files": deleted}
+
+
 def export_table(path: str) -> int:
     """Backfill Iceberg metadata for every lakelite version; returns the
     number of snapshots written.  The ``convert_to_iceberg`` analog of

@@ -920,3 +920,41 @@ def test_metadata_carries_name_mapping(spark, tmp_path):
     assert {m["names"][0]: m["field-id"] for m in nm} == {
         f["name"]: f["id"] for f in schema["fields"]
     }
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Maintenance: expired snapshots leave the metadata, their manifest
+    lists/manifests are deleted, the current snapshot keeps reading, and
+    the NEXT lakelite commit builds on the pruned metadata (no
+    resurrection)."""
+    p = str(tmp_path / "t")
+    shim.write(_df(spark, [(1, "a", "en")]).coalesce(1), p, mode="overwrite")
+    shim.write(_df(spark, [(2, "b", "fr")]).coalesce(1), p, mode="append")
+    shim.write(_df(spark, [(3, "c", "de")]).coalesce(1), p, mode="append")
+    lakehouse.convert_to_iceberg(p)
+    meta = iceberg_meta._load_metadata(p)
+    old_snap = meta["snapshots"][0]["snapshot-id"]
+    old_list = iceberg_meta._local(meta["snapshots"][0]["manifest-list"])
+
+    res = iceberg_meta.expire_snapshots(p, keep_last=1)
+    assert res["expired_snapshots"] == 2
+    assert not os.path.exists(old_list)
+    assert not os.path.exists(
+        os.path.join(iceberg_meta._meta_dir(p), "icm-00000000-data.avro")
+    )
+    # current still reads all three rows
+    assert iceberg_meta.read_iceberg_meta(spark, p).count() == 3
+    with pytest.raises(InvalidArgument, match="not found"):
+        iceberg_meta.read_iceberg_meta(spark, p, snapshot_id=old_snap)
+
+    # the next commit exports on top of the PRUNED metadata
+    shim.write(_df(spark, [(4, "d", "en")]).coalesce(1), p, mode="append")
+    meta2 = iceberg_meta._load_metadata(p)
+    assert len(meta2["snapshots"]) == 2  # retained + the new one
+    assert iceberg_meta.read_iceberg_meta(spark, p).count() == 4
+    # idempotent no-op when nothing to expire beyond keep_last
+    assert iceberg_meta.expire_snapshots(p, keep_last=2) == {
+        "expired_snapshots": 0, "deleted_files": 0,
+    }
+    with pytest.raises(InvalidArgument, match="keep_last"):
+        iceberg_meta.expire_snapshots(p, keep_last=0)
