@@ -137,6 +137,8 @@ def _translate_expr(expr: str, known_vars: set[str]) -> str:
     _graph_fn("id", lambda v: f"{v}_id")
     _graph_fn("type", lambda v: f"{v}_label")
     _graph_fn("labels", lambda v: f"array({v}_label)")
+    # length(p) on a bound path/relationship-list variable = hop count
+    _graph_fn("length", lambda v: f"size({v}_id)")
 
     # Cypher scalar functions -> Spark SQL equivalents (names only —
     # arguments pass through; the list covers what openCypher users
@@ -588,6 +590,50 @@ def _compile_chain(
     return cur, known, fixed_eids, seg_arrays
 
 
+def _compile_shortest_path(
+    pvar: str | None,
+    inner: str,
+    vertices: DataFrame,
+    edges: DataFrame,
+    seg_offset: int,
+    tag: str,
+) -> tuple[DataFrame, set[str], list[str], list[str]]:
+    """``[p =] shortestPath((a)-[:T*lo..hi]->(b))``: ONE minimal-length
+    trail per endpoint pair (openCypher returns an arbitrary shortest;
+    this picks the lexicographically-smallest edge-id list at the
+    minimal length, so results are deterministic and oracle-checkable).
+    Compiles the inner var-length pattern, then a single window keeps
+    row_number 1 per (a_id, b_id) ordered by (path length, edge-id
+    list).  ``p`` binds the edge-id LIST like a var-length edge
+    variable — ``length(p)``/``size(p)`` give the hop count.  The hop
+    bound comes from the pattern's ``*lo..hi`` (Cypher's unbounded ``*``
+    is refused by the var-length range rule — state the bound)."""
+    from pyspark.sql.window import Window as _W
+
+    nodes, hops = _parse_pattern(inner, tag)
+    if len(nodes) != 2 or len(hops) != 1 or hops[0][3] is None:
+        raise InvalidArgument(
+            "shortestPath supports a single var-length relationship "
+            "pattern: shortestPath((a)-[:T*1..8]->(b))"
+        )
+    df, known, fixed, segs = _compile_chain(inner, vertices, edges, seg_offset, tag)
+    [arr] = segs
+    a_var, b_var = nodes[0][0], nodes[-1][0]
+    w = _W.partitionBy(f"{a_var}_id", f"{b_var}_id").orderBy(
+        F.size(arr).asc(), F.col(arr).asc()
+    )
+    df = (
+        df.withColumn("__sp_rn", F.row_number().over(w))
+        .where(F.col("__sp_rn") == 1)
+        .drop("__sp_rn")
+    )
+    if pvar is not None:
+        df = df.withColumnRenamed(arr, f"{pvar}_id")
+        segs = [f"{pvar}_id"]
+        known = set(known) | {pvar}
+    return df, known, fixed, segs
+
+
 def _col_owner(col: str, all_vars: set[str]) -> str | None:
     """Which variable owns a ``<var>_<prop>`` column, resolving prefix
     ambiguity by LONGEST variable-name match: with vars {a, a_b}, column
@@ -769,9 +815,19 @@ def compile_opencypher(query: str, vertices: DataFrame, edges: DataFrame) -> Dat
             seg_arrays: list[str] = []
             for chain in chains:
                 chain_counter += 1
-                df2, k2, e2, a2 = _compile_chain(
-                    chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
+                spm = re.match(
+                    r"^(?:(\w+)\s*=\s*)?shortestPath\s*\((.*)\)\s*$",
+                    chain.strip(), re.I | re.S,
                 )
+                if spm:
+                    df2, k2, e2, a2 = _compile_shortest_path(
+                        spm.group(1), spm.group(2), vertices, edges,
+                        seg_counter, tag=f"c{chain_counter}_",
+                    )
+                else:
+                    df2, k2, e2, a2 = _compile_chain(
+                        chain, vertices, edges, seg_counter, tag=f"c{chain_counter}_"
+                    )
                 seg_counter += len(a2)
                 chain_lists = {a[:-3] for a in a2 if not a.startswith("__eids")}
                 dup_vars = cknown & k2

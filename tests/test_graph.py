@@ -1679,6 +1679,33 @@ def test_sparql_multi_var_values(foaf):
         ))
 
 
+def test_cypher_shortest_path(modern):
+    """[p =] shortestPath((a)-[*lo..hi]->(b)): one minimal-length trail
+    per endpoint pair, deterministic tiebreak, p binds the edge-id list
+    and length(p) gives the hop count."""
+    q = (
+        "MATCH p = shortestPath((a:person {name: 'marko'})-[*1..3]->(b:software)) "
+        "RETURN b.name AS s, length(p) AS hops ORDER BY s"
+    )
+    got = [(r.s, r.hops) for r in _cy(modern, q).collect()]
+    assert got == [("lop", 1), ("ripple", 2)]
+    # the chosen path's edges: direct created for lop, via josh for ripple
+    q2 = (
+        "MATCH p = shortestPath((a {name: 'marko'})-[*1..3]->(b {name: 'ripple'})) "
+        "RETURN p"
+    )
+    assert [list(r.p) for r in _cy(modern, q2).collect()] == [["e2", "e4"]]
+    # without a path variable the pruning still applies (one row per pair)
+    q3 = (
+        "MATCH shortestPath((a:person)-[:created*1..2]->(b {name: 'lop'})) "
+        "RETURN a.name AS n ORDER BY n"
+    )
+    assert [r.n for r in _cy(modern, q3).collect()] == ["josh", "marko", "peter"]
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="single var-length"):
+        _cy(modern, "MATCH p = shortestPath((a)-[:knows]->(b)) RETURN p")
+
+
 def test_cypher_scalar_functions(modern):
     """toUpper/toLower/toString/toInteger/toFloat (Spark-cast
     semantics), head/last on collected lists."""
