@@ -283,7 +283,15 @@ def write_container(
 def read_container(path: str) -> tuple[dict | list | str, dict[str, bytes], list[dict]]:
     """Read an Avro OCF; returns (parsed schema, file metadata, records)."""
     with open(path, "rb") as fh:
-        buf = fh.read()
+        return read_container_bytes(fh.read(), name=path)
+
+
+def read_container_bytes(
+    buf: bytes, *, name: str = "<bytes>", header_only: bool = False
+) -> tuple[dict | list | str, dict[str, bytes], list[dict]]:
+    """Read an Avro OCF from memory (the distributed-read path: Spark's
+    binaryFile ships whole containers to executors)."""
+    path = name
     if buf[:4] != MAGIC:
         raise InvalidArgument(f"not an Avro object container file: {path!r}")
     pos = 4
@@ -306,6 +314,8 @@ def read_container(path: str) -> tuple[dict | list | str, dict[str, bytes], list
     sync = buf[pos : pos + SYNC_SIZE]
     pos += SYNC_SIZE
     records: list[dict] = []
+    if header_only:
+        return schema, meta, records
     while pos < len(buf):
         n, pos = decode_long(buf, pos)
         size, pos = decode_long(buf, pos)

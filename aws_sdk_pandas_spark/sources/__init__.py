@@ -23,6 +23,7 @@ from aws_sdk_pandas_spark.sources.layout import (
     discover_partitions,
 )
 from aws_sdk_pandas_spark.sources.copy import copy_objects, merge_datasets
+from aws_sdk_pandas_spark.sources.avro import read_avro, to_avro
 from aws_sdk_pandas_spark.sources.excel import read_excel, to_excel
 from aws_sdk_pandas_spark.sources.orc import (
     read_orc,
@@ -63,6 +64,8 @@ __all__ = [
     "read_parquet_pruned",
     "copy_objects",
     "merge_datasets",
+    "read_avro",
+    "to_avro",
     "read_excel",
     "select_query",
     "to_excel",

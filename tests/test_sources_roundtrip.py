@@ -332,3 +332,41 @@ def test_prune_files_keeps_unknown_stats(spark, tmp_path):
         "k__max", F.lit(None).cast("long")
     )
     assert sources.prune_files(null_stats, {"k": (100, 200)}) != []
+
+
+def test_avro_distributed_roundtrip(spark, tmp_path):
+    """to_avro writes a real OCF (deflate) the JAVA Avro library can
+    read; read_avro decodes a directory of containers DISTRIBUTED (one
+    task per file) with the schema from the embedded writer schema."""
+    import os
+
+    from aws_sdk_pandas_spark import sources
+
+    df = spark.createDataFrame(
+        [
+            (1, "héllo", 2.5, True, [1, 2], {"a": 10}),
+            (2, None, None, False, [], {}),
+        ],
+        "k long, s string, x double, b boolean, arr array<long>, m map<string,long>",
+    )
+    d = str(tmp_path / "avdir")
+    os.makedirs(d)
+    sources.to_avro(df.where("k = 1"), f"{d}/a.avro")
+    sources.to_avro(df.where("k = 2"), f"{d}/b.avro")
+
+    back = sources.read_avro(spark, d)
+    rows = {r.k: r for r in back.collect()}
+    assert rows[1].s == "héllo" and rows[1].x == 2.5 and rows[1].b is True
+    assert list(rows[1].arr) == [1, 2] and dict(rows[1].m) == {"a": 10}
+    assert rows[2].s is None and list(rows[2].arr) == []
+    # one input task per container file (distributed by construction)
+    assert back.rdd.getNumPartitions() >= 1
+
+    # cross-implementation: Java Avro reads the file we wrote
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(f"{d}/a.avro"),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert dfr.hasNext() and dfr.next().get("k") == 1
+    dfr.close()
