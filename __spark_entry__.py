@@ -2836,6 +2836,39 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source under the hash gate (sources/avro + the stdlib OCF
+    codec): orders split across TWO container files, read back
+    DISTRIBUTED (one task per file) and aggregated.  A codec, union,
+    or schema-mapping bug changes values and hash-mismatches against
+    DuckDB on the parquet directly."""
+    import os
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_avro, read_parquet, to_avro
+
+    orders = (
+        read_parquet(spark, f"{sf_dir}/orders.parquet")
+        .where("o_orderkey <= 800")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    d = tempfile.mkdtemp(prefix="asps-avro-")
+    os.makedirs(d, exist_ok=True)
+    to_avro(orders.where("o_orderkey % 2 = 0"), f"{d}/even.avro")
+    to_avro(orders.where("o_orderkey % 2 = 1"), f"{d}/odd.avro")
+    back = read_avro(spark, d)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _q_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excel I/O under the hash gate (sources/excel + the stdlib
     SpreadsheetML codec xlsx_lite — no openpyxl in this container): the
@@ -6409,6 +6442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate_bloom": _q_decontaminate_bloom,
         "docs_curation_funnel": _q_curation_funnel,
         "excel_roundtrip": _q_excel_roundtrip,
+        "avro_roundtrip": _q_avro_roundtrip,
         "doc_novelty_scores": _q_novelty_scores,
         "docs_training_order": _q_training_order,
         "events_normalize_robust": _q_normalize_robust,
@@ -7847,6 +7881,13 @@ def oracle_sql() -> dict[str, str]:
                        AS value_robust
             FROM events
             ORDER BY event_id
+        """,
+        "avro_roundtrip": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders WHERE o_orderkey <= 800
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "excel_roundtrip": """
             SELECT o_orderstatus, COUNT(*) AS n,
