@@ -57,7 +57,7 @@ def _spark_type(avro: Any) -> tuple[T.DataType, bool]:
         return (
             T.StructType(
                 [
-                    T.StructField(f["name"], *_spark_type_swap(f["type"]))
+                    T.StructField(f["name"], *_spark_type(f["type"]))
                     for f in avro["fields"]
                 ]
             ),
@@ -78,11 +78,6 @@ def _spark_type(avro: Any) -> tuple[T.DataType, bool]:
     raise InvalidArgument(f"unsupported Avro type {avro!r}")
 
 
-def _spark_type_swap(avro: Any) -> tuple[T.DataType, bool]:
-    dt, nullable = _spark_type(avro)
-    return dt, nullable
-
-
 def read_avro(spark: SparkSession, path: str, **_ignored: Any) -> DataFrame:
     """Distributed Avro read: one task per container file."""
     import pandas as pd
@@ -96,7 +91,7 @@ def read_avro(spark: SparkSession, path: str, **_ignored: Any) -> DataFrame:
         raise InvalidArgument("read_avro needs a record-typed writer schema")
     st = T.StructType(
         [
-            T.StructField(f["name"], *_spark_type_swap(f["type"]))
+            T.StructField(f["name"], *_spark_type(f["type"]))
             for f in schema_json["fields"]
         ]
     )
@@ -144,9 +139,14 @@ def to_avro(
         if isinstance(dt, T.MapType):
             return {"type": "map", "values": _opt(dt.valueType, dt.valueContainsNull)}
         if isinstance(dt, T.StructType):
+            import hashlib as _hl
+
+            # stable name: python hash() is process-salted and would
+            # make output bytes differ between runs
+            stem = _hl.md5(dt.simpleString().encode()).hexdigest()[:8]
             return {
                 "type": "record",
-                "name": f"r{abs(hash(dt.simpleString())) % 10_000}",
+                "name": f"r{stem}",
                 "fields": [
                     {"name": f.name, "type": _opt(f.dataType, f.nullable),
                      "default": None} if f.nullable else
