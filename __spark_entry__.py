@@ -5981,6 +5981,52 @@ def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF (LZW) decode under the hash gate
+    (operators/multimodal.decode_gif): a deterministic 4x4 REAL GIF is
+    synthesized per document — palette byte j = (j*29 + 5) % 256, pixel
+    index i = (d*3 + i*7) % 4 — LZW-decoded by the pure-python decoder,
+    and the mean pixel recomputed by DuckDB from the same arithmetic.
+    GIF is lossless, so any LZW, color-table, or packing bug shifts the
+    mean exactly."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_pixel_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+    palette = bytes((j * 29 + 5) % 256 for j in range(12))
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "gif", 4, 4, palette=palette,
+                            indexes=[(int(d) * 3 + i * 7) % 4 for i in range(16)],
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_pixel_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container parsing under the hash gate
     (operators/multimodal.video_metadata): a deterministic MP4 is
@@ -6365,6 +6411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
+        "multimodal_gif_pixel_stats": _q_multimodal_gif_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
         "lakelite_stream_source": _q_lakelite_stream_source,
         "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
@@ -8111,6 +8158,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(AVG((d.doc_id * 7 + r.i * 13) % 256), 6) AS DOUBLE) AS mean_pixel
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  (SELECT unnest(range(48)) AS i) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_gif_pixel_stats": """
+            SELECT d.doc_id, 4 AS width, 4 AS height,
+                   CAST(ROUND(AVG(
+                       ((((d.doc_id * 3 + p.i * 7) % 4) * 3 + c.k) * 29 + 5) % 256
+                   ), 6) AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(16)) AS i) p,
+                 (SELECT unnest(range(3)) AS k) c
             GROUP BY d.doc_id
             ORDER BY d.doc_id
         """,

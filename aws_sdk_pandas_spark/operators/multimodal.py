@@ -1230,7 +1230,59 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
             + _chunk(b"IEND", b"")
         )
     if fmt == "gif":
-        return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00\x00\x00"
+        idx = kw.get("indexes")  # palette indexes row-major -> a REAL gif
+        pal = kw.get("palette")
+        if idx is None:
+            return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00\x00\x00"
+        n_colors = len(pal) // 3
+        size_bits = max(1, (n_colors - 1).bit_length()) - 1
+        min_code = max(2, (n_colors - 1).bit_length())
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width_b = min_code + 1
+        bits: list[int] = []
+
+        def emit(code: int) -> None:
+            for i in range(width_b):
+                bits.append((code >> i) & 1)
+
+        emit(clear)
+        cur: tuple = ()
+        for k in idx:
+            nxt = cur + (int(k),)
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width_b) + 1 and width_b < 12:
+                width_b += 1
+            cur = (int(k),)
+        if cur:
+            emit(table[cur])
+            next_code += 1
+            if next_code == (1 << width_b) + 1 and width_b < 12:
+                width_b += 1
+        emit(eoi)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                byte |= bit << j
+            data.append(byte)
+        out = bytearray(b"GIF89a")
+        out += _s.pack("<HH", width, height)
+        out += bytes([0x80 | size_bits, 0, 0])
+        out += bytes(pal) + b"\x00" * (3 * ((2 << size_bits) - n_colors))
+        out += b"\x2c" + b"\x00" * 4 + _s.pack("<HH", width, height) + b"\x00"
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
     if fmt == "bmp":
         pixels = kw.get("pixels")  # RGB bytes, row-major TOP-DOWN
         if pixels is None:
