@@ -335,6 +335,21 @@ class _Traversal:
         self.kind = "E"
         self._append_path()
 
+    def _hop_both_e(self, elabels: list[Any]) -> None:
+        """bothE(): edges incident in either orientation, remembering the
+        traverser's ORIGIN vertex so otherV() can pick the far endpoint
+        (a self-loop yields the edge twice, per TinkerPop)."""
+        if self.kind != "V":
+            raise InvalidArgument("bothE step requires a vertex stream")
+        tags = self._tag_cols()
+        e = _labels_filter(self.edges, elabels)
+        cur = self.df.select(F.col("~id").alias("__cur"), *tags)
+        out_o = cur.join(e, cur["__cur"] == e["~from"])
+        in_o = cur.join(e, cur["__cur"] == e["~to"])
+        self.df = out_o.unionByName(in_o).withColumnRenamed("__cur", "__came_from")
+        self.kind = "E"
+        self._append_path()
+
     def _edge_vertex(self, end: str) -> None:
         if self.kind != "E":
             raise InvalidArgument(f"{end}V step requires an edge stream")
@@ -382,10 +397,30 @@ class _Traversal:
             self._hop_e(args, "out")
         elif name == "inE":
             self._hop_e(args, "in")
+        elif name == "bothE":
+            self._hop_both_e(args)
         elif name == "inV":
             self._edge_vertex("in")
         elif name == "outV":
             self._edge_vertex("out")
+        elif name == "otherV":
+            # the endpoint the traverser did NOT come from; only a
+            # bothE() stream carries the origin
+            if self.kind != "E" or "__came_from" not in self.df.columns:
+                raise InvalidArgument(
+                    "otherV() requires a bothE() edge stream (outE/inE "
+                    "already fix the direction — use inV/outV there)"
+                )
+            tags = self._tag_cols()
+            nid = F.when(
+                F.col("`~from`") == F.col("__came_from"), F.col("`~to`")
+            ).otherwise(F.col("`~from`"))
+            cur = self.df.select(nid.alias("__nid"), *tags)
+            self.df = cur.join(
+                self.vertices, cur["__nid"] == self.vertices["~id"]
+            ).drop("__nid")
+            self.kind = "V"
+            self._append_path()
         elif name == "values":
             if not args:
                 raise InvalidArgument("values() needs at least one property; use valueMap()")

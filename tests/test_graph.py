@@ -1047,6 +1047,23 @@ def test_gremlin_repeat_times(modern):
         _g(modern, "g.V().repeat(repeat(out()).times(2)).times(2).count()")
 
 
+def test_gremlin_bothe_otherv(modern):
+    """bothE()/otherV(): edges in either orientation, then the far
+    endpoint — josh's neighborhood via any edge."""
+    q = "g.V().has('name', 'josh').bothE().otherV().values('name')"
+    got = sorted(r[0] for r in _g(modern, q).collect())
+    assert got == ["lop", "marko", "ripple"]
+    # label-filtered bothE and edge-property filter still compose
+    q2 = "g.V().has('name', 'josh').bothE('created').has('weight', gt(0.5)).otherV().values('name')"
+    assert sorted(r[0] for r in _g(modern, q2).collect()) == ["ripple"]
+    # undirected degree via bothE count
+    q3 = "g.V().has('name', 'marko').bothE().count()"
+    assert _g(modern, q3).first()[0] == 3
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with pytest.raises(InvalidArgument, match="bothE"):
+        _g(modern, "g.V().outE().otherV()")
+
+
 def test_gremlin_project_and_element_map(modern):
     # project with by-modulators cycled round-robin
     q = "g.V().hasLabel('person').project('n', 'a').by('name').by('age')"
