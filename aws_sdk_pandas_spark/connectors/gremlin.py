@@ -493,6 +493,27 @@ class _Traversal:
         elif name == "count":
             self.df = self.df.agg(F.count(F.lit(1)).alias("count"))
             self.kind = "value"
+        elif name == "fold":
+            # the whole stream folded to ONE list row; TinkerPop keeps
+            # arrival order, which a distributed stream doesn't have —
+            # sorted for determinism (documented, oracle-checkable)
+            col = (
+                self.df.columns[0]
+                if self.kind == "value" and len(self.df.columns) == 1
+                else "~id"
+            )
+            if col not in self.df.columns:
+                raise InvalidArgument("fold() requires a value or element stream")
+            self.df = self.df.agg(
+                F.array_sort(F.collect_list(F.col(f"`{col}`"))).alias("folded")
+            )
+            self.kind = "value"
+        elif name == "unfold":
+            if len(self.df.columns) != 1:
+                raise InvalidArgument("unfold() requires a single-column stream")
+            col = self.df.columns[0]
+            self.df = self.df.select(F.explode(F.col(f"`{col}`")).alias("value"))
+            self.kind = "value"
         elif name in ("sum", "mean", "min", "max"):
             if self.kind != "value" or len(self.df.columns) != 1:
                 raise InvalidArgument(

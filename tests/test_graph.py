@@ -1047,6 +1047,18 @@ def test_gremlin_repeat_times(modern):
         _g(modern, "g.V().repeat(repeat(out()).times(2)).times(2).count()")
 
 
+def test_gremlin_fold_unfold(modern):
+    q = "g.V().hasLabel('software').values('name').fold()"
+    [r] = _g(modern, q).collect()
+    assert list(r.folded) == ["lop", "ripple"]
+    # element stream folds its ids
+    q2 = "g.V().hasLabel('software').fold()"
+    assert list(_g(modern, q2).first().folded) == ["lop", "ripple"]
+    # the fold/unfold round trip
+    q3 = "g.V().hasLabel('software').values('name').fold().unfold()"
+    assert sorted(r.value for r in _g(modern, q3).collect()) == ["lop", "ripple"]
+
+
 def test_gremlin_bothe_otherv(modern):
     """bothE()/otherV(): edges in either orientation, then the far
     endpoint — josh's neighborhood via any edge."""
