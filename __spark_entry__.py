@@ -6124,6 +6124,65 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FFT front end under the hash gate
+    (operators/multimodal.audio_spectral_features): each document gets a
+    pure int16 sine placed EXACTLY on an FFT bin — freq(d) = 8*(10 +
+    d%40) Hz at sr=8192 with frame_len=1024 gives 8 Hz bins — so the
+    Hann-windowed mean power spectrum provably peaks at that bin and
+    ``dominant_freq_hz`` equals the analytic bin frequency, which the
+    oracle recomputes in closed form without decoding anything.  A wrong
+    window, an off-by-one bin index, or a broken decode all
+    hash-mismatch."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_spectral_features,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 150")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(2048, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                freq = 8.0 * (10 + int(d) % 40)
+                pcm = np.round(
+                    0.5 * 32767.0 * np.sin(2.0 * np.pi * freq * t / 8192.0)
+                ).astype(np.int16)
+                payloads.append(
+                    make_test_media(
+                        "wav", sample_rate=8192, channels=1, bits=16,
+                        data=pcm.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        audio_spectral_features(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "sample_rate",
+            "n_frames",
+            F.round("dominant_freq_hz", 6).alias("dominant_freq_hz"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed under the hash gate (lakehouse_shim.table_changes,
     the Delta CDF analog): orders v0 -> MERGE of derived updates+inserts,
@@ -6422,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_skipping_pruned_agg": _q_lakehouse_skipping,
         "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
+        "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
@@ -8201,6 +8261,13 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(range(64)) AS j) r
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "multimodal_audio_spectral": """
+            SELECT doc_id, 8192 AS sample_rate, CAST(2048 AS BIGINT) AS n_frames,
+                   CAST(8 * (10 + doc_id % 40) AS DOUBLE) AS dominant_freq_hz
+            FROM documents
+            WHERE doc_id < 150
+            ORDER BY doc_id
         """,
         "graph_gremlin_out_counts": """
             SELECT event_type AS "~id", COUNT(*) AS count

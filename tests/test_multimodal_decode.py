@@ -868,3 +868,97 @@ def test_jpeg_solid_blocks_property():
         assert np.abs(arr - np.array([r, g, b])).max() <= 4
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# audio_spectral_features: real FFT front end over the native WAV decode
+# ---------------------------------------------------------------------------
+
+
+def _sine_wav(freq_hz: float, sr: int = 8192, n: int = 8192, amp: float = 0.5) -> bytes:
+    import numpy as np
+
+    t = np.arange(n, dtype=np.float64)
+    pcm = np.round(amp * 32767.0 * np.sin(2.0 * math.pi * freq_hz * t / sr)).astype(
+        np.int16
+    )
+    return make_test_media(
+        "wav", sample_rate=sr, channels=1, bits=16, data=pcm.tobytes()
+    )
+
+
+def test_spectral_sine_peak_exact_bin(spark):
+    """A pure sine placed EXACTLY on an FFT bin (sr=8192, frame_len=1024
+    -> 8 Hz bins; 440 is not a multiple of 8, 440.0->use 55*8=440... is):
+    the Hann-windowed spectrum peaks at that bin, so dominant_freq_hz is
+    the exact bin frequency; centroid lands within a bin width."""
+    from aws_sdk_pandas_spark.operators.multimodal import audio_spectral_features
+
+    freq = 55 * 8.0  # exactly bin 55 at 8 Hz resolution
+    df = spark.createDataFrame(
+        [("tone", bytearray(_sine_wav(freq)))], "media_id string, payload binary"
+    )
+    r = audio_spectral_features(df).first()
+    assert r.sample_rate == 8192 and r.n_frames == 8192
+    assert r.dominant_freq_hz == freq
+    assert abs(r.spectral_centroid_hz - freq) < 8.0
+    assert r.spectral_rolloff_hz == pytest.approx(freq, abs=8.0)
+    assert r.spectral_flatness < 0.05  # a tone is maximally peaky
+    assert len(r.mel_energies) == 16
+
+
+def test_spectral_flatness_separates_noise_from_tone(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_spectral_features
+
+    rng = np.random.RandomState(7)
+    noise = np.round(0.5 * 32767.0 * (2.0 * rng.rand(8192) - 1.0)).astype(np.int16)
+    noise_wav = make_test_media(
+        "wav", sample_rate=8192, channels=1, bits=16, data=noise.tobytes()
+    )
+    df = spark.createDataFrame(
+        [("tone", bytearray(_sine_wav(440.0))), ("noise", bytearray(noise_wav))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_spectral_features(df).collect()}
+    assert rows["noise"].spectral_flatness > 10 * rows["tone"].spectral_flatness
+    assert rows["noise"].spectral_bandwidth_hz > rows["tone"].spectral_bandwidth_hz
+
+
+def test_spectral_mel_peak_covers_tone(spark):
+    """The argmax mel band's triangular filter must cover the tone's
+    frequency — checked against an independent reconstruction of the
+    HTK mel breakpoints."""
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_spectral_features
+
+    freq, sr, n_mels = 1000.0, 8192, 16
+    df = spark.createDataFrame(
+        [("t", bytearray(_sine_wav(freq)))], "media_id string, payload binary"
+    )
+    r = audio_spectral_features(df, n_mels=n_mels).first()
+    band = int(np.argmax(r.mel_energies))
+    mel_pts = np.linspace(0.0, 2595.0 * math.log10(1.0 + sr / 2.0 / 700.0), n_mels + 2)
+    hz = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    assert hz[band] <= freq <= hz[band + 2]
+
+
+def test_spectral_null_silent_and_short_clips(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_spectral_features
+
+    silent = make_test_media(
+        "wav", sample_rate=8000, channels=1, bits=16, n_frames=2000
+    )
+    short = _sine_wav(400.0, sr=8000, n=100)  # < frame_len: zero-padded
+    df = spark.createDataFrame(
+        [("null", None), ("silent", bytearray(silent)), ("short", bytearray(short))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_spectral_features(df).collect()}
+    assert rows["null"].dominant_freq_hz is None and rows["null"].sample_rate is None
+    assert rows["silent"].dominant_freq_hz is None
+    assert rows["silent"].n_frames == 2000  # row passes through
+    assert rows["short"].dominant_freq_hz is not None
+    assert abs(rows["short"].dominant_freq_hz - 400.0) < 90.0  # padded-frame smear
