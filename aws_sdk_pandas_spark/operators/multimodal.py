@@ -1031,7 +1031,7 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | wav | unknown."""
+    png | gif | bmp | jpeg | wav | flac | ogg | mp3 | unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -1043,6 +1043,13 @@ def sniff_format(col) -> "F.Column":
         )
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
+        .when(F.substring(c, 1, 4) == F.lit(b"fLaC"), "flac")
+        .when(F.substring(c, 1, 4) == F.lit(b"OggS"), "ogg")
+        .when(
+            (F.substring(c, 1, 3) == F.lit(b"ID3"))
+            | ((_be_u(c, 1, 1) == 255) & (_be_u(c, 2, 1) >= 224)),
+            "mp3",
+        )
         .otherwise("unknown")
     )
 
@@ -1166,20 +1173,168 @@ def _wav_meta_py(b: bytes | None) -> tuple | None:
     return (ch, sr, bits, dur)
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3): bitrates in
+# kbps by (version-group, layer), sample rates by version.
+_MP3_BITRATES = {
+    ("1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_meta_py(b: bytes | None) -> tuple | None:
+    """MP3 header parse: skip ID3v2 (syncsafe size, optional footer), find
+    the first MPEG frame sync within 64 KiB, decode version/layer/bitrate/
+    sample-rate/channel-mode, honor a Xing/Info VBR header's frame count
+    for duration, else estimate CBR duration from payload size.  Returns
+    (channels, sample_rate, bits=None, duration_ms, codec, bitrate_kbps)."""
+    if not b or len(b) < 4:
+        return None
+    i = 0
+    if b[0:3] == b"ID3" and len(b) >= 10:
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        i = 10 + size + (10 if b[5] & 0x10 else 0)
+    n = len(b)
+    limit = min(n - 4, i + 65536)
+    while i <= limit:
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            vbits = (b[i + 1] >> 3) & 3  # 0=2.5, 2=MPEG2, 3=MPEG1
+            lbits = (b[i + 1] >> 1) & 3  # 3=L1, 2=L2, 1=L3
+            bridx = (b[i + 2] >> 4) & 0xF
+            sridx = (b[i + 2] >> 2) & 3
+            if vbits == 1 or lbits == 0 or bridx in (0, 15) or sridx == 3:
+                i += 1
+                continue
+            layer = 4 - lbits
+            vgroup = "1" if vbits == 3 else "2"
+            bitrate = _MP3_BITRATES[(vgroup, layer)][bridx]
+            sr = _MP3_RATES[vbits][sridx]
+            pad = (b[i + 2] >> 1) & 1
+            if layer == 1:
+                flen = (12 * bitrate * 1000 // sr + pad) * 4
+            elif layer == 2 or vbits == 3:
+                flen = 144 * bitrate * 1000 // sr + pad
+            else:
+                flen = 72 * bitrate * 1000 // sr + pad
+            # a raw sync pattern appears in arbitrary binary all the time:
+            # only accept if the NEXT frame's sync is where this frame's
+            # length says it must be (or the payload ends within one frame)
+            j = i + flen
+            if j + 1 < n and not (b[j] == 0xFF and (b[j + 1] & 0xE0) == 0xE0):
+                i += 1
+                continue
+            mono = ((b[i + 3] >> 6) & 3) == 3
+            ch = 1 if mono else 2
+            spf = 384 if layer == 1 else (
+                1152 if (layer == 2 or vbits == 3) else 576
+            )
+            # Xing/Info header (VBR): side-info offset by version/mode
+            xing_off = i + 4 + ((17 if mono else 32) if vbits == 3 else (9 if mono else 17))
+            dur = None
+            if xing_off + 12 <= n and b[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+                flags = int.from_bytes(b[xing_off + 4 : xing_off + 8], "big")
+                if flags & 1:
+                    frames = int.from_bytes(b[xing_off + 8 : xing_off + 12], "big")
+                    dur = frames * spf * 1000 // sr
+            if dur is None and bitrate:
+                dur = (n - i) * 8 // bitrate  # CBR estimate, kbps == bits/ms
+            return (ch, sr, None, dur, "mp3", bitrate)
+        i += 1
+    return None
+
+
+def _flac_meta_py(b: bytes | None) -> tuple | None:
+    """FLAC STREAMINFO parse (the mandatory first metadata block):
+    (channels, sample_rate, bits, duration_ms, 'flac', None)."""
+    if not b or len(b) < 42 or b[0:4] != b"fLaC":
+        return None
+    # block header: 1 byte (last|type), 3 bytes length; STREAMINFO type 0
+    if b[4] & 0x7F != 0:
+        return None
+    s = b[8:42]
+    sr = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+    ch = ((s[12] >> 1) & 0x7) + 1
+    bits = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1
+    total = ((s[13] & 0x0F) << 32) | int.from_bytes(s[14:18], "big")
+    dur = total * 1000 // sr if sr and total else None
+    return (ch, sr, bits, dur, "flac", None)
+
+
+def _ogg_meta_py(b: bytes | None) -> tuple | None:
+    """Ogg first-page codec ident (OpusHead / vorbis) + LAST page granule
+    position for duration (bounded tail search): (channels, sample_rate,
+    None, duration_ms, codec, None).  Opus granules are 48 kHz samples
+    minus the pre-skip regardless of the input rate (RFC 7845)."""
+    if not b or len(b) < 58 or b[0:4] != b"OggS":
+        return None
+    seg_count = b[26]
+    body = 27 + seg_count
+    first = b[body : body + 4096]
+    tail = b[max(0, len(b) - 65536) :]
+    last_page = tail.rfind(b"OggS")
+    granule = (
+        int.from_bytes(tail[last_page + 6 : last_page + 14], "little")
+        if last_page >= 0 and last_page + 14 <= len(tail)
+        else None
+    )
+    if first[0:8] == b"OpusHead":
+        ch = first[9]
+        pre_skip = int.from_bytes(first[10:12], "little")
+        sr = int.from_bytes(first[12:16], "little")
+        dur = (
+            max(0, granule - pre_skip) * 1000 // 48000 if granule is not None else None
+        )
+        return (ch, sr, None, dur, "opus", None)
+    if first[0:7] == b"\x01vorbis":
+        ch = first[11]
+        sr = int.from_bytes(first[12:16], "little")
+        dur = granule * 1000 // sr if granule is not None and sr else None
+        return (ch, sr, None, dur, "vorbis", None)
+    return None
+
+
+def _audio_meta_py(b: bytes | None) -> tuple:
+    """Route on magic bytes across every common audio container."""
+    for parser in (_wav_meta_py, _flac_meta_py, _ogg_meta_py, _mp3_meta_py):
+        got = parser(b)
+        if got is not None:
+            if parser is _wav_meta_py:
+                ch, sr, bits, _dur = got
+                kbps = sr * ch * bits // 1000 if (ch and sr and bits) else None
+                return got + ("pcm", kbps)
+            return got
+    return (None, None, None, None, None, None)
+
+
 def audio_metadata(
     df: DataFrame, payload_col: str = "payload", *, out_prefix: str = "audio"
 ) -> DataFrame:
     """Adds ``<prefix>_channels``, ``<prefix>_sample_rate``,
-    ``<prefix>_bits``, ``<prefix>_duration_ms`` parsed from WAV/RIFF
-    headers (chunk walk — fmt/data chunks are not at fixed offsets, so
-    this is one Arrow-batched kernel; non-WAV rows short-circuit on the
-    12-byte magic).  Feeds ``chunk_audio_plan`` with real metadata
-    instead of caller-supplied columns."""
-    @F.pandas_udf("channels int, sample_rate int, bits int, duration_ms bigint")
+    ``<prefix>_bits``, ``<prefix>_duration_ms``, ``<prefix>_codec``,
+    ``<prefix>_bitrate_kbps`` parsed from the audio container header —
+    WAV/RIFF (chunk walk), MP3 (ID3v2 skip + MPEG frame header + Xing
+    VBR frame count), FLAC (STREAMINFO) and Ogg Opus/Vorbis (ident page
+    + last-page granule duration).  Headers are not at fixed offsets, so
+    this is one Arrow-batched kernel; unknown rows yield NULLs.  Feeds
+    ``chunk_audio_plan`` with real metadata instead of caller-supplied
+    columns.  Compressed BITSTREAM decode (MP3/FLAC/Ogg samples) still
+    needs an audio library — only the container metadata parses here."""
+    @F.pandas_udf(
+        "channels int, sample_rate int, bits int, duration_ms bigint, "
+        "codec string, bitrate_kbps int"
+    )
     def _meta(payloads: pd.Series) -> pd.DataFrame:
-        rows = [_wav_meta_py(p) or (None, None, None, None) for p in payloads]
+        rows = [_audio_meta_py(p) for p in payloads]
         return pd.DataFrame(
-            rows, columns=["channels", "sample_rate", "bits", "duration_ms"]
+            rows,
+            columns=[
+                "channels", "sample_rate", "bits", "duration_ms",
+                "codec", "bitrate_kbps",
+            ],
         )
 
     m = _meta(F.col(payload_col))
@@ -1188,6 +1343,8 @@ def audio_metadata(
         .withColumn(f"{out_prefix}_sample_rate", m["sample_rate"])
         .withColumn(f"{out_prefix}_bits", m["bits"])
         .withColumn(f"{out_prefix}_duration_ms", m["duration_ms"])
+        .withColumn(f"{out_prefix}_codec", m["codec"])
+        .withColumn(f"{out_prefix}_bitrate_kbps", m["bitrate_kbps"])
     )
 
 
@@ -1509,4 +1666,78 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
         trak = box(b"trak", tkhd + mdia)
         moov = box(b"moov", mvhd + trak)
         return ftyp + moov + box(b"mdat", b"\x00" * 16)
+    if fmt == "mp3":
+        # MPEG1 Layer III CBR frames (header-valid, silent payload); an
+        # optional ID3v2 tag and an optional Xing VBR frame count
+        sr = kw.get("sample_rate", 44100)
+        bitrate = kw.get("bitrate_kbps", 128)
+        mono = kw.get("channels", 2) == 1
+        n_mp3_frames = kw.get("mp3_frames", 4)
+        sr_idx = {44100: 0, 48000: 1, 32000: 2}[sr]
+        br_idx = _MP3_BITRATES[("1", 3)].index(bitrate)
+        frame_len = 144 * bitrate * 1000 // sr  # no padding bit
+        hdr4 = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00]
+        )
+        frame = hdr4 + b"\x00" * (frame_len - 4)
+        out = bytearray()
+        tag = kw.get("id3_size")
+        if tag is not None:
+            out += b"ID3\x04\x00\x00" + bytes(
+                [(tag >> 21) & 0x7F, (tag >> 14) & 0x7F, (tag >> 7) & 0x7F, tag & 0x7F]
+            ) + b"\x00" * tag
+        xing = kw.get("xing_frames")
+        if xing is not None:
+            side = 17 if mono else 32
+            body = bytearray(b"\x00" * side)
+            body += b"Xing" + _s.pack(">II", 1, xing)  # flags: FRAMES only
+            body += b"\x00" * (frame_len - 4 - len(body))
+            out += hdr4 + bytes(body)
+        out += frame * n_mp3_frames
+        return bytes(out)
+    if fmt == "flac":
+        sr = kw.get("sample_rate", 44100)
+        ch = kw.get("channels", 2)
+        bits = kw.get("bits", 16)
+        total = kw.get("total_samples", sr)  # 1 second default
+        s = bytearray(34)
+        s[0:10] = _s.pack(">HHIH", 4096, 4096, 0, 0)  # block/frame sizes (10B)
+        s[10] = (sr >> 12) & 0xFF
+        s[11] = (sr >> 4) & 0xFF
+        s[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+        s[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+        s[14:18] = _s.pack(">I", total & 0xFFFFFFFF)
+        # bytes 18..34: MD5 of unencoded audio (zeros = unknown)
+        return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(s)
+    if fmt == "ogg":
+        codec = kw.get("codec", "opus")
+        sr = kw.get("sample_rate", 48000)
+        ch = kw.get("channels", 2)
+        granule = kw.get("granule", 48000)
+        pre_skip = kw.get("pre_skip", 312)
+
+        def page(body: bytes, gran: int, seq: int, htype: int) -> bytes:
+            segs = []
+            rem = len(body)
+            while rem >= 255:
+                segs.append(255)
+                rem -= 255
+            segs.append(rem)
+            return (
+                b"OggS\x00" + bytes([htype]) + _s.pack("<q", gran)
+                + _s.pack("<III", 1, seq, 0) + bytes([len(segs)]) + bytes(segs)
+                + body
+            )
+
+        if codec == "opus":
+            ident = (
+                b"OpusHead\x01" + bytes([ch]) + _s.pack("<H", pre_skip)
+                + _s.pack("<I", sr) + _s.pack("<h", 0) + b"\x00"
+            )
+        else:
+            ident = (
+                b"\x01vorbis" + _s.pack("<I", 0) + bytes([ch]) + _s.pack("<I", sr)
+                + _s.pack("<iii", -1, -1, -1) + b"\xb8\x01"
+            )
+        return page(ident, 0, 0, 0x02) + page(b"\x00" * 32, granule, 1, 0x04)
     raise ValueError(f"unknown test media format: {fmt}")

@@ -962,3 +962,125 @@ def test_spectral_null_silent_and_short_clips(spark):
     assert rows["silent"].n_frames == 2000  # row passes through
     assert rows["short"].dominant_freq_hz is not None
     assert abs(rows["short"].dominant_freq_hz - 400.0) < 90.0  # padded-frame smear
+
+
+# ---------------------------------------------------------------------------
+# audio_metadata: MP3 / FLAC / Ogg container headers (stdlib parsing)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_metadata_mp3_cbr_and_id3(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata
+
+    plain = make_test_media("mp3", sample_rate=44100, bitrate_kbps=128, mp3_frames=8)
+    tagged = make_test_media(
+        "mp3", sample_rate=32000, bitrate_kbps=64, channels=1,
+        mp3_frames=8, id3_size=500,
+    )
+    df = spark.createDataFrame(
+        [("plain", bytearray(plain)), ("tagged", bytearray(tagged))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_metadata(df).collect()}
+    p = rows["plain"]
+    assert (p.audio_codec, p.audio_channels, p.audio_sample_rate) == ("mp3", 2, 44100)
+    assert p.audio_bitrate_kbps == 128
+    # 8 MPEG1-L3 frames = 8*1152/44100 s ~ 209 ms; CBR estimate from size
+    assert abs(p.audio_duration_ms - 8 * 1152 * 1000 / 44100) < 30
+    t = rows["tagged"]
+    assert (t.audio_codec, t.audio_channels, t.audio_sample_rate) == ("mp3", 1, 32000)
+    assert t.audio_bitrate_kbps == 64
+
+
+def test_audio_metadata_mp3_xing_vbr(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata
+
+    b = make_test_media(
+        "mp3", sample_rate=48000, bitrate_kbps=96, mp3_frames=2, xing_frames=1000
+    )
+    df = spark.createDataFrame([("x", bytearray(b))], "media_id string, payload binary")
+    r = audio_metadata(df).first()
+    # Xing frame count wins over the CBR size estimate
+    assert r.audio_duration_ms == 1000 * 1152 * 1000 // 48000
+
+
+def test_audio_metadata_flac_streaminfo(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata
+
+    b = make_test_media(
+        "flac", sample_rate=96000, channels=6, bits=24, total_samples=96000 * 7
+    )
+    df = spark.createDataFrame([("f", bytearray(b))], "media_id string, payload binary")
+    r = audio_metadata(df).first()
+    assert (r.audio_codec, r.audio_channels, r.audio_sample_rate, r.audio_bits) == (
+        "flac", 6, 96000, 24,
+    )
+    assert r.audio_duration_ms == 7000
+
+
+def test_audio_metadata_ogg_opus_and_vorbis(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata
+
+    opus = make_test_media(
+        "ogg", codec="opus", channels=2, sample_rate=44100,
+        granule=96312, pre_skip=312,
+    )
+    vorb = make_test_media(
+        "ogg", codec="vorbis", channels=1, sample_rate=22050, granule=44100
+    )
+    df = spark.createDataFrame(
+        [("o", bytearray(opus)), ("v", bytearray(vorb))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_metadata(df).collect()}
+    o = rows["o"]
+    # Opus: input rate preserved in the header; duration on the 48kHz clock
+    assert (o.audio_codec, o.audio_channels, o.audio_sample_rate) == ("opus", 2, 44100)
+    assert o.audio_duration_ms == (96312 - 312) * 1000 // 48000  # exactly 2s
+    v = rows["v"]
+    assert (v.audio_codec, v.audio_channels, v.audio_sample_rate) == (
+        "vorbis", 1, 22050,
+    )
+    assert v.audio_duration_ms == 2000
+
+
+def test_audio_metadata_wav_and_unknown_rows(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata, sniff_format
+
+    wav = make_test_media("wav", sample_rate=16000, channels=2, bits=16, n_frames=8000)
+    junk = b"\x00\x01\x02\x03" * 64
+    df = spark.createDataFrame(
+        [("w", bytearray(wav)), ("j", bytearray(junk)), ("n", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_metadata(df).collect()}
+    w = rows["w"]
+    assert (w.audio_codec, w.audio_duration_ms, w.audio_bitrate_kbps) == (
+        "pcm", 500, 512,
+    )
+    assert rows["j"].audio_codec is None and rows["n"].audio_codec is None
+
+
+def test_sniff_format_audio_containers(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import sniff_format
+
+    rows = [
+        ("flac", bytearray(make_test_media("flac"))),
+        ("ogg", bytearray(make_test_media("ogg"))),
+        ("mp3", bytearray(make_test_media("mp3"))),
+        ("id3", bytearray(make_test_media("mp3", id3_size=64))),
+        ("wav", bytearray(make_test_media("wav"))),
+    ]
+    df = spark.createDataFrame(rows, "expect string, payload binary")
+    got = df.select("expect", sniff_format("payload").alias("got")).collect()
+    for r in got:
+        assert r.got == ("mp3" if r.expect == "id3" else r.expect), r
+
+
+def test_mp3_sync_needs_consecutive_frames():
+    from aws_sdk_pandas_spark.operators.multimodal import _mp3_meta_py
+
+    # a lone sync pattern inside junk with no second frame where the
+    # length field says -> rejected, not misparsed
+    junk = b"\x12" * 100 + b"\xff\xfb\x92\x00" + b"\x34" * 2000
+    assert _mp3_meta_py(junk) is None
