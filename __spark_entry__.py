@@ -7368,13 +7368,18 @@ def oracle_sql() -> dict[str, str]:
             ), freq AS (
                 SELECT g, COUNT(*) AS c FROM gr GROUP BY g
             )
-            SELECT gr.doc_id, COUNT(*) AS n_grams,
-                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-                   CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                              / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
-            FROM gr JOIN freq USING (g)
-            GROUP BY gr.doc_id
-            ORDER BY doc_id
+            , sc AS (
+                SELECT gr.doc_id, COUNT(*) AS n_grams,
+                       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                       CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+                FROM gr JOIN freq USING (g)
+                GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+                   COALESCE(sc.n_novel, 0) AS n_novel, sc.novelty
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "docs_training_order": """
             SELECT doc_id,
@@ -8852,14 +8857,22 @@ def oracle_sql() -> dict[str, str]:
             ), cnt AS (
                 SELECT doc_id, token, COUNT(*) AS c
                 FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), sc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct,
+                       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_token_frac,
+                       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
+                FROM cnt
+                GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(SUM(c) AS BIGINT) AS n_tokens,
-                   COUNT(*) AS n_distinct,
-                   ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_token_frac,
-                   ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
-            FROM cnt
-            GROUP BY doc_id
+            -- LEFT JOIN from documents: every doc gets a row (the
+            -- operator's row-preservation contract for degenerate texts)
+            SELECT d.doc_id,
+                   COALESCE(sc.n_tokens, 0) AS n_tokens,
+                   COALESCE(sc.n_distinct, 0) AS n_distinct,
+                   sc.dup_token_frac, sc.top_token_frac
+            FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY doc_id
         """,
         "docs_hash_split": """
@@ -9227,12 +9240,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
                 FROM documents WHERE length(trim(text)) > 0
             ), total AS (SELECT COUNT(*) AS n FROM toks),
-            vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
-            SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(AVG(LOG10(tf / (SELECT n * 1.0 FROM total))), 6) AS logprob
-            FROM toks JOIN vocab USING (tok)
-            GROUP BY doc_id
-            ORDER BY doc_id
+            vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+            sc AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       ROUND(AVG(LOG10(tf / (SELECT n * 1.0 FROM total))), 6) AS logprob
+                FROM toks JOIN vocab USING (tok)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.logprob
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "docs_curation_pipeline": """
             WITH RECURSIVE fp AS (

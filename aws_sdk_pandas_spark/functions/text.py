@@ -113,9 +113,22 @@ def document_fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash(
+    col: Column | str, base: int = 31, mod: int = 297528130221121781
+) -> Column:
     """Polynomial rolling hash of the normalized text (JVM-side aggregate
-    over the char array) — the 64-bit fingerprint variant."""
+    over the char array) — the integer fingerprint variant.
+
+    The accumulator stays in ``[0, mod)`` and each step computes
+    ``acc*base + char`` BEFORE reducing, so ``(mod-1)*base + 255`` must
+    fit in int64 or ANSI mode raises ARITHMETIC_OVERFLOW mid-corpus on
+    ordinary text.  The default is the largest 59-bit prime that is safe
+    for base 31; custom (base, mod) pairs are validated up front."""
+    if (mod - 1) * base + 255 >= (1 << 63):
+        raise ValueError(
+            f"rolling_hash(base={base}, mod={mod}) would overflow int64: "
+            f"need (mod-1)*base + 255 < 2^63 — use a smaller modulus"
+        )
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     chars = F.split(normalized, "")

@@ -270,9 +270,15 @@ def minhash_duplicates(
         pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__h": "h_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__h": "h_b"}), "id_b")
         .withColumn(
+            # try_divide: two degenerate documents (no shingles at all —
+            # NULL/empty/shorter-than-k text) can collide in banding with
+            # empty shingle sets; 0/0 must read NULL (pair filtered out),
+            # not raise DIVIDE_BY_ZERO under ANSI mode mid-corpus
             "jaccard",
-            F.size(F.array_intersect("h_a", "h_b"))
-            / F.size(F.array_union("h_a", "h_b")),
+            F.try_divide(
+                F.size(F.array_intersect("h_a", "h_b")),
+                F.size(F.array_union("h_a", "h_b")),
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -388,8 +394,13 @@ def minhash_match_against(
         )
         .join(index.select(F.col("id").alias("index_id"), F.col("h").alias("h_i")), "index_id")
         .withColumn(
+            # try_divide for the same degenerate-collision case as
+            # minhash_duplicates: 0/0 reads NULL, never DIVIDE_BY_ZERO
             "jaccard",
-            F.size(F.array_intersect("h_n", "h_i")) / F.size(F.array_union("h_n", "h_i")),
+            F.try_divide(
+                F.size(F.array_intersect("h_n", "h_i")),
+                F.size(F.array_union("h_n", "h_i")),
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))

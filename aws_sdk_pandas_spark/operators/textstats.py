@@ -123,6 +123,11 @@ def repetition_signals(
     ``(doc, token)`` then ``doc`` — linear in corpus size, never holds a
     whole document's vocabulary on one executor thread beyond the
     per-group aggregate state.  No Python in the plan.
+
+    EVERY input document gets a row: NULL/empty/whitespace-only texts
+    tokenize to nothing and read ``n_tokens = 0`` with NULL fractions —
+    a score table missing doc_ids silently drops documents the moment a
+    curation pipeline inner-joins it back onto the corpus.
     """
     per_token = (
         _ensure_parallelism(
@@ -133,17 +138,22 @@ def repetition_signals(
         .groupBy("__id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return per_token.groupBy("__id").agg(
+    scored = per_token.groupBy("__id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_token_frac"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
-    ).select(
-        F.col("__id").alias(id_col),
-        "n_tokens",
-        "n_distinct",
-        "dup_token_frac",
-        "top_token_frac",
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "dup_token_frac",
+            "top_token_frac",
+        )
     )
 
 
@@ -164,7 +174,9 @@ def unigram_logprob_score(
     frequency table is vocabulary-sized — broadcast it; the corpus text
     is scanned once per pass and never collected.
 
-    Returns ``id_col, n_tokens, logprob`` (logprob NULL for empty docs).
+    Returns ``id_col, n_tokens, logprob``; EVERY input document gets a
+    row — NULL/empty docs read ``n_tokens = 0, logprob NULL`` rather
+    than vanishing from the score table.
     """
     from aws_sdk_pandas_spark.functions.text import tokens
 
@@ -183,9 +195,16 @@ def unigram_logprob_score(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("__lp"), round_to).alias("logprob"),
         )
-        .select(F.col("__id").alias(id_col), "n_tokens", "logprob")
     )
-    return scored
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "logprob",
+        )
+    )
 
 
 def chunk_documents(
@@ -388,8 +407,10 @@ def novelty_score(
     signal alongside the Gopher repetition rules (which are
     *within*-document; this is the *cross*-document complement).
 
-    Returns ``id_col, n_grams, n_novel, novelty`` (documents shorter than
-    ``n`` tokens have no grams and are absent).
+    Returns ``id_col, n_grams, n_novel, novelty``; EVERY input document
+    gets a row — documents shorter than ``n`` tokens have no grams and
+    read ``n_grams = 0`` with NULL novelty (no evidence either way)
+    instead of vanishing from the score table.
 
     Scale shape: the corpus is exploded to (doc, gram-hash) once, the
     corpus-wide gram document-frequency is one map-side-combinable
@@ -418,7 +439,16 @@ def novelty_score(
         )
         .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
     )
-    return out.select(F.col("__id").alias(id_col), "n_grams", "n_novel", "novelty")
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(out, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            "novelty",
+        )
+    )
 
 
 def summarize_corpus(

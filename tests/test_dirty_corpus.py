@@ -1,0 +1,161 @@
+"""Adversarial-corpus sweep: every per-document text operator must
+survive web-scale dirt — NULL text, empty/whitespace-only strings, CJK
+with no spaces, RTL scripts, combining diacritics, emoji, control
+characters, single huge tokens, thousands of short lines — WITHOUT
+crashing and WITHOUT silently dropping documents.
+
+The row-preservation contract matters at 100 TB: a score table missing
+a doc_id turns into silent data loss the moment a curation pipeline
+inner-joins scores back onto the corpus.  Per-document scorers must
+emit one row per input document (zero counts / NULL scores for
+degenerate docs), not a row per document-that-happened-to-tokenize.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DIRTY = [
+    (0, None),
+    (1, ""),
+    (2, "   \n\t   \n"),
+    (3, "a"),
+    (4, "😀🎉🚀 " * 50),
+    (5, "中文文本没有空格也没有标点符号" * 20),
+    (6, "مرحبا بالعالم هذا نص عربي " * 30),
+    (7, "été café naïve " * 20),
+    (8, "x" * 200_000),
+    (9, ("word " * 200 + "\n") * 50),
+    (10, "\x00\x01\x02 control \x07 chars \x1b[0m"),
+    (11, "Normal english text, with several sentences. It reads fine! Yes?"),
+    (12, "a\nb\nc\n" * 3000),
+]
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(DIRTY, "doc_id bigint, text string").cache()
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+ALL_IDS = sorted(d for d, _t in DIRTY)
+
+
+def test_column_functions_survive(dirty):
+    """Every scalar text Column function: no crash, one row per doc."""
+    from aws_sdk_pandas_spark.functions import text as tx
+
+    out = dirty.select(
+        "doc_id",
+        tx.language_id("text").alias("lang"),
+        tx.quality_score("text").alias("q"),
+        tx.token_count("text").alias("ntok"),
+        tx.bpe_token_estimate("text").alias("bpe"),
+        tx.punctuation_ratio("text").alias("punct"),
+        tx.stopword_ratio("text").alias("stop"),
+        tx.mean_word_length("text").alias("mwl"),
+        tx.document_fingerprint("text").alias("fp"),
+        tx.redact_pii("text").alias("red"),
+        tx.strip_html("text").alias("html"),
+        tx.collapse_repeated_lines("text").alias("coll"),
+        tx.encoding_issues("text").alias("enc"),
+        tx.rolling_hash("text").alias("rh"),
+    ).collect()
+    assert sorted(r.doc_id for r in out) == ALL_IDS
+
+
+def test_readability_and_compression_preserve_rows(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import compression_ratio, readability
+
+    r = readability(dirty, id_col="doc_id", text_col="text")
+    assert _ids(r) == ALL_IDS
+    c = compression_ratio(dirty)
+    assert _ids(c) == ALL_IDS
+    by_id = {x.doc_id: x.zlib_ratio for x in c.collect()}
+    assert by_id[0] is None and by_id[1] is None  # NULL/empty -> NULL
+    assert by_id[8] is not None and by_id[8] < 0.05  # 'x'*200k compresses away
+
+
+def test_repetition_signals_preserve_rows(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import repetition_signals
+
+    out = repetition_signals(dirty, id_col="doc_id", text_col="text")
+    assert _ids(out) == ALL_IDS
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_tokens == 0 and rows[0].dup_token_frac is None
+    assert rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 0  # whitespace-only has no tokens
+    assert rows[9].n_tokens == 200 * 50 and rows[9].top_token_frac == 1.0
+
+
+def test_unigram_logprob_preserves_rows(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import unigram_logprob_score
+
+    out = unigram_logprob_score(dirty, "doc_id", "text")
+    assert _ids(out) == ALL_IDS
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_tokens == 0 and rows[0].logprob is None
+    assert rows[11].logprob is not None
+
+
+def test_novelty_score_preserves_rows(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import novelty_score
+
+    out = novelty_score(dirty, id_col="doc_id", text_col="text")
+    assert _ids(out) == ALL_IDS
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_grams == 0 and rows[0].novelty is None
+    assert rows[3].n_grams == 0  # single token < n -> no grams, row kept
+
+
+def test_corpus_dedup_family_null_passthrough(dirty):
+    """Regression net for the round-3 NULL-loss fix: corpus-level dedup
+    keeps every doc."""
+    from aws_sdk_pandas_spark.operators.dedup import (
+        dedup_lines,
+        remove_repeated_passages,
+    )
+
+    out = dedup_lines(dirty, id_col="doc_id", text_col="text")
+    assert _ids(out) == ALL_IDS
+    out2 = remove_repeated_passages(dirty, id_col="doc_id", text_col="text")
+    assert _ids(out2) == ALL_IDS
+
+
+def test_minhash_and_fingerprint_dedup_survive(dirty):
+    from aws_sdk_pandas_spark.operators.dedup import (
+        dedup_fingerprint,
+        minhash_duplicates,
+    )
+
+    # minhash pairs: no crash on degenerate docs; huge/emoji docs fine
+    pairs = minhash_duplicates(
+        dirty, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    pairs.count()  # just must not raise
+    kept = dedup_fingerprint(dirty, text_col="text", id_col="doc_id")
+    # every distinct normalized text keeps one representative
+    assert len(_ids(kept)) >= 10
+
+
+def test_chunk_and_quality_pipeline_survive(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import (
+        chunk_documents,
+        summarize_corpus,
+    )
+
+    chunks = chunk_documents(dirty, id_col="doc_id", text_col="text")
+    chunks.count()  # must not raise
+    summary = summarize_corpus(dirty, text_col="text")
+    summary.collect()
+
+
+def test_tfidf_and_collocations_survive(dirty):
+    from aws_sdk_pandas_spark.operators.textstats import collocations, tfidf_top_terms
+
+    tfidf_top_terms(dirty, id_col="doc_id", text_col="text", k=3).count()
+    collocations(dirty, text_col="text", min_count=2).count()

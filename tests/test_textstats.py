@@ -204,7 +204,7 @@ def test_novelty_score_matches_brute_force(spark):
         ("a", "the quick brown fox jumps over the lazy dog"),
         ("b", "the quick brown fox sat very still today friend"),
         ("c", "completely different words appear in this one here"),
-        ("d", "too short"),  # < 3 tokens -> no grams -> absent
+        ("d", "too short"),  # < 3 tokens -> no grams -> zero-count row
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = {r.doc_id: (r.n_grams, r.n_novel) for r in novelty_score(df, n=3).collect()}
@@ -214,7 +214,7 @@ def test_novelty_score_matches_brute_force(spark):
         w = t.split()
         return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
 
-    gsets = {d: grams(t) for d, t in rows if len(t.split()) >= 3}
+    gsets = {d: grams(t) for d, t in rows}
     from collections import Counter
 
     freq = Counter(g for s in gsets.values() for g in s)
@@ -222,7 +222,9 @@ def test_novelty_score_matches_brute_force(spark):
         d: (len(s), sum(1 for g in s if freq[g] == 1)) for d, s in gsets.items()
     }
     assert got == want
-    assert "d" not in got
+    # the short doc keeps its row (zero grams, NULL novelty) — a missing
+    # doc_id would silently drop the doc from an inner-joined pipeline
+    assert got["d"] == (0, 0)
 
 
 def test_summarize_corpus(spark):
