@@ -52,6 +52,10 @@ Trino / Athena                              Spark SQL
                                             constant AND dynamic delimiters)
 ``from_unixtime(x)``                        ``timestamp_seconds(x)`` (Spark's
                                             same-named fn returns a STRING)
+``from_unixtime(x, zone)``                  ``from_utc_timestamp(
+                                            timestamp_seconds(x), zone)`` —
+                                            the instant at that zone's wall
+                                            clock (Spark has no timestamptz)
 ``date_parse(s, '%Y-%m-%d')``               ``to_timestamp(s, 'yyyy-MM-dd')``
                                             (MySQL %-tokens mapped; unknown
                                             tokens raise)
@@ -73,7 +77,7 @@ array so the last output column is Trino's 1-based position (arrays,
 multi-arrays over the max length, and maps via map_keys/map_values).
 Unsupported Trino constructs that have no mechanical Spark equivalent
 (``TRY`` around anything beyond CAST/arithmetic/element_at,
-``from_unixtime(x, zone)``, 3-arg weighted ``approx_percentile``) raise
+``from_unixtime(x, hours, minutes)``, 3-arg weighted ``approx_percentile``) raise
 ``InvalidArgument`` with the manual rewrite to use — a loud error beats
 a silently different answer.
 
@@ -533,8 +537,12 @@ def trino_to_spark_sql(sql: str) -> str:
 
     # from_unixtime(x) -> timestamp_seconds(x): Spark's same-named
     # function returns a formatted STRING, Trino's a timestamp — a
-    # silent type change downstream.  The (unixtime, zone) variant has
-    # no mechanical equivalent.
+    # silent type change downstream.  from_unixtime(x, zone) ->
+    # from_utc_timestamp(timestamp_seconds(x), zone): the same instant
+    # rendered at that zone's wall clock, which is what every field
+    # extraction (hour/date/...) downstream observes in Trino; Spark
+    # has no timestamptz, so the zone is baked into the naive value.
+    # The 3-arg (unixtime, hours, minutes) offset variant stays refused.
     while True:
         m = re.search(r"\bfrom_unixtime\s*\(", s, re.I)
         if not m:
@@ -543,15 +551,25 @@ def trino_to_spark_sql(sql: str) -> str:
         close_pos = _find_close(s, open_pos)
         inner = s[open_pos + 1 : close_pos]
         depth = 0
-        if any(
-            (depth := depth + (c == "(") - (c == ")")) == 0 and c == ","
-            for c in inner
-        ):
+        commas = []
+        for i, c in enumerate(inner):
+            depth += c == "("
+            depth -= c == ")"
+            if c == "," and depth == 0:
+                commas.append(i)
+        if len(commas) >= 2:
             raise InvalidArgument(
-                "from_unixtime(unixtime, zone) has no mechanical Spark "
-                "equivalent; rewrite with timestamp_seconds + from_utc_timestamp"
+                "from_unixtime(unixtime, hours, minutes) has no mechanical "
+                "Spark equivalent; rewrite the offset as a zone string and "
+                "use from_unixtime(unixtime, zone)"
             )
-        s = s[: m.start()] + f"timestamp_seconds({inner})" + s[close_pos + 1 :]
+        if commas:
+            ts = inner[: commas[0]].strip()
+            zone = inner[commas[0] + 1 :].strip()
+            repl = f"from_utc_timestamp(timestamp_seconds({ts}), {zone})"
+        else:
+            repl = f"timestamp_seconds({inner})"
+        s = s[: m.start()] + repl + s[close_pos + 1 :]
 
     # split(s, d[, n]): Trino delimiters are LITERAL, Spark's are Java
     # regex — split(s, '.') silently explodes per character.  \Q...\E

@@ -193,8 +193,17 @@ def test_from_unixtime_and_date_parse(spark):
 
     assert row.t == datetime.datetime(1970, 1, 2, 0, 0)  # a TIMESTAMP, not a string
     assert row.p == datetime.datetime(2021, 7, 4, 12, 30, 5)
-    with pytest.raises(InvalidArgument, match="zone"):
-        tx("SELECT from_unixtime(0, 'UTC') FROM t")
+    # 2-arg zone form: the instant rendered at that zone's wall clock
+    zoned = read_sql_query(
+        spark,
+        "SELECT from_unixtime(86400, 'America/New_York') AS t,"
+        "       from_unixtime(86400, 'Asia/Tokyo') AS t2",
+        dialect="trino",
+    ).first()
+    assert zoned.t == datetime.datetime(1970, 1, 1, 19, 0)   # UTC-5
+    assert zoned.t2 == datetime.datetime(1970, 1, 2, 9, 0)   # UTC+9
+    with pytest.raises(InvalidArgument, match="offset"):
+        tx("SELECT from_unixtime(0, 5, 30) FROM t")
     with pytest.raises(InvalidArgument, match="no Spark mapping"):
         tx("SELECT date_parse(s, '%Q') FROM t")
     with pytest.raises(InvalidArgument, match="string-literal format"):
