@@ -5346,6 +5346,27 @@ def _q_gremlin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gremlin_branch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-traverser branch scope under the hash gate
+    (connectors/gremlin.py — limit/range inside union/coalesce bound
+    each SOURCE's results via a window over the carried source id, with
+    the deterministic ascending-~id pick): per user, the smallest and
+    second-smallest event-type targets; the oracle is a ROW_NUMBER over
+    (user, event_type).  A global (stream-wide) limit would collapse the
+    whole result to one or two rows and hash-mismatch."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().hasLabel('user')"
+        ".union(out('did').limit(1), out('did').range(1, 2))"
+        ".groupCount().by('~id')",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trino/Athena dialect translation under the hash gate
     (sql_dialect.trino_to_spark_sql via read_sql_query(dialect='trino'),
@@ -6483,6 +6504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
+        "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
@@ -8284,6 +8306,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS count
             FROM events
             WHERE value > 50
+        """,
+        "graph_gremlin_branch_limit": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_type
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_type AS "~id", COUNT(*) AS count
+            FROM ranked WHERE rn <= 2
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "graph_gremlin_select": """
             SELECT concat('u', CAST(user_id AS VARCHAR)) AS u,

@@ -363,15 +363,55 @@ class _Traversal:
     # -- terminals / modulated steps ----------------------------------------
     def apply(self, name: str, args: list[Any], bys: list[list[Any]] | None) -> None:
         by = bys[0] if bys else None
-        if self.in_branch and name in ("limit", "range", "order"):
-            # TinkerPop branch semantics are per source traverser; this
-            # compiler runs each branch once over the whole stream, so a
-            # global-scope step inside one would silently apply corpus-wide
+        if self.in_branch and name in ("limit", "range"):
+            # TinkerPop branch semantics are per SOURCE traverser: the
+            # branch's traversal is seeded once per incoming element, so
+            # limit/range bound each source's results, not the stream.
+            # The source ~id rides the branch as __tag___wsrc — a window
+            # partitioned by it gives per-traverser semantics without
+            # per-element execution.  TinkerPop's pick among results is
+            # arbitrary; ordering by the element id (then remaining
+            # columns) makes it deterministic and oracle-checkable.
+            if "__tag___wsrc" not in self.df.columns:
+                raise InvalidArgument(
+                    f"{name}() inside this branch lost the source tag "
+                    "(aggregates/select inside branches are not traversals)"
+                )
+            if name == "limit":
+                lo, hi = 0, int(args[0])
+            else:
+                if len(args) != 2:
+                    raise InvalidArgument("range(low, high) needs two integers")
+                lo, hi = int(args[0]), int(args[1])
+                if not (0 <= lo < hi):
+                    raise InvalidArgument("range(low, high) needs 0 <= low < high")
+            from pyspark.sql.window import Window as _W
+
+            order_cols = (
+                [F.col("`~id`").asc()]
+                if "~id" in self.df.columns
+                else [
+                    F.col(f"`{c}`").asc()
+                    for c in self.df.columns
+                    if not c.startswith("__")
+                ]
+            )
+            w = _W.partitionBy("__tag___wsrc").orderBy(*order_cols)
+            self.df = (
+                self.df.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+                .drop("__rn")
+            )
+            return
+        if self.in_branch and name == "order":
+            # order is meaningless per-branch here: the per-traverser
+            # limit/range above already pick deterministically (by ~id),
+            # and the branch's output order is re-merged anyway
             raise InvalidArgument(
-                f"{name}() inside where/not/coalesce/optional/union is not "
-                "supported: it is a global-scope step and would apply to the "
-                "whole stream, not per source traverser; apply it outside "
-                "the branch"
+                "order() inside where/not/coalesce/optional/union is not "
+                "supported: branch results re-merge unordered; order the "
+                "stream outside the branch (per-traverser limit/range "
+                "inside branches pick by ascending ~id)"
             )
         if name == "hasLabel":
             self.df = _labels_filter(self.df, args)
@@ -544,13 +584,22 @@ class _Traversal:
             kinds = set()
             try:
                 for fr in frags:
-                    t2 = _Traversal(self.kind, self.df, self.vertices, self.edges)
+                    # the source ~id rides each branch (like coalesce) so
+                    # per-traverser limit/range work inside union too
+                    t2 = _Traversal(
+                        self.kind,
+                        self.df.withColumn("__tag___wsrc", F.col("`~id`")),
+                        self.vertices,
+                        self.edges,
+                    )
                     t2.tags = dict(self.tags)
+                    t2.tags["__wsrc"] = self.kind
                     t2.in_branch = True
                     for n2, a2, b2 in _expand_and_fold(_parse("g." + fr)):
                         t2.apply(n2, a2, b2)
                     kinds.add(t2.kind)
-                    out = t2.df if out is None else out.unionByName(t2.df)
+                    df2 = t2.df.drop("__tag___wsrc")
+                    out = df2 if out is None else out.unionByName(df2)
             except InvalidArgument:
                 raise
             except Exception as exc:

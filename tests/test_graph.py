@@ -1875,22 +1875,44 @@ def test_gremlin_has_not_missing_property(modern):
     assert _g(modern, "g.E().hasNot('no_such_prop').count()").first()[0] == 6
 
 
-def test_gremlin_global_steps_rejected_inside_branches(modern):
-    """round-3 advice: limit/range/order are global-scope steps — inside
-    a branch they would cut the whole stream, so they are refused."""
+def test_gremlin_limit_range_inside_branches_are_per_traverser(modern):
+    """round-3 advice follow-through: limit/range inside a branch follow
+    TinkerPop's per-SOURCE-traverser scope (a window over the carried
+    source id), never cutting the whole stream; the pick among a
+    source's results is deterministic (ascending ~id)."""
+    # josh created {lop, ripple}: limit(1) keeps ONE per person, not one
+    # globally — marko/josh/peter each still produce a row
+    q = (
+        "g.V().hasLabel('person')"
+        ".coalesce(out('created').limit(1), out('knows')).values('name')"
+    )
+    assert sorted(r[0] for r in _g(modern, q).collect()) == ["lop", "lop", "lop"]
+    # union: knows-branch limited per source, created-branch unlimited
+    q2 = "g.V('marko').union(out('knows').limit(1), out('created')).values('name')"
+    assert sorted(r[0] for r in _g(modern, q2).collect()) == ["josh", "lop"]
+    # range(1, 2): the SECOND result per source (by ~id); sources whose
+    # branch yields fewer rows pass through optional() unchanged
+    q3 = (
+        "g.V().hasLabel('person')"
+        ".optional(out('knows').range(1, 2)).values('name')"
+    )
+    assert sorted(r[0] for r in _g(modern, q3).collect()) == [
+        "josh", "peter", "vadas", "vadas",
+    ]
+    # where(...limit(1)) == where(...): existence is per source anyway
+    q4 = "g.V().where(out('created').limit(1)).values('name')"
+    assert sorted(r[0] for r in _g(modern, q4).collect()) == [
+        "josh", "marko", "peter",
+    ]
+
+
+def test_gremlin_order_still_rejected_inside_branches(modern):
     import pytest as _pytest
 
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
-    for q in (
-        "g.V().coalesce(out('created').limit(1), out('knows')).count()",
-        "g.V().optional(out('knows').range(0, 1)).count()",
-        "g.V().union(out('created'), out('knows').order().by('name')).count()",
-        "g.V().where(out('knows').limit(1)).count()",
-        "g.V().not(out('created').limit(2)).count()",
-    ):
-        with _pytest.raises(InvalidArgument, match="global-scope"):
-            _g(modern, q)
+    with _pytest.raises(InvalidArgument, match="outside the branch"):
+        _g(modern, "g.V().union(out('created'), out('knows').order().by('name')).count()")
 
 
 # ---------------------------------------------------------------------------
