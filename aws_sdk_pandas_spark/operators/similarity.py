@@ -58,6 +58,10 @@ def knn_brute_force(
     out = df
     if where is not None:
         out = out.where(where)
+    # NULL vectors give NULL distance, and Spark sorts NULLs FIRST
+    # ascending — without this filter a dirty corpus's NULL-embedding
+    # rows would silently occupy the top-k
+    out = out.where(F.col(vector_col).isNotNull())
     out = out.withColumn("distance", F.round(_distance(metric, F.col(vector_col), q), 6))
     return out.select(id_col, "distance").orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
 
@@ -152,14 +156,25 @@ def query_vectors(
 def _as_ml_vectors(df: DataFrame, vector_col: str, normalize: bool) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
-    c = F.col(vector_col)
+    # MLlib stages (LSH, KMeans) raise on NULL features; a dirty corpus's
+    # NULL-embedding rows are excluded from index and query sides alike.
+    # The filter alone is NOT enough: Catalyst merges it with MLlib's own
+    # hash/distance predicates into one Filter whose common-subexpression
+    # pass evaluates the vector UDFs EAGERLY, before the null conjunct —
+    # so dropped rows also get a valid placeholder (zeros of the probed
+    # dimension) the eager evaluation can hash without an NPE.
+    df = df.where(F.col(vector_col).isNotNull())
+    probe = df.select(F.size(vector_col)).first()
+    dim = probe[0] if probe is not None else 1
+    c = F.coalesce(
+        F.col(vector_col).cast("array<double>"),
+        F.array_repeat(F.lit(0.0), dim),
+    )
     if normalize:
         from aws_sdk_pandas_spark.functions.vectors import l2_norm
 
         norm = l2_norm(c)
-        c = F.when(norm > 0, F.transform(c, lambda x: x.cast("double") / norm)).otherwise(
-            F.transform(c, lambda x: x.cast("double"))
-        )
+        c = F.when(norm > 0, F.transform(c, lambda x: x / norm)).otherwise(c)
     return df.withColumn("__vec", array_to_vector(c))
 
 
@@ -346,10 +361,12 @@ def knn_batch(
 
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vector_col).alias("__qv")
-    )
+    ).where(F.col("__qv").isNotNull())
+    # NULL corpus vectors would rank first per query (NULL distance
+    # sorts ahead of every real one) — exclude them up front
     paired = corpus.select(
         F.col(id_col), F.col(vector_col).alias("__cv")
-    ).crossJoin(F.broadcast(q))
+    ).where(F.col("__cv").isNotNull()).crossJoin(F.broadcast(q))
     dist = _distance(metric, F.col("__cv"), F.col("__qv"))
     w = Window.partitionBy("__qid").orderBy(
         F.col("distance").asc(), F.col(id_col).asc()
@@ -419,7 +436,13 @@ def build_pq_index(
 
     if metric not in ("cosine", "euclidean"):
         raise InvalidArgument(f"unknown metric {metric!r} (cosine|euclidean)")
-    dim = len(df.select(vector_col).first()[0])
+    # NULL vectors cannot be encoded (and would crash the trainer's
+    # numpy stack) — excluded from the index like every other knn path
+    df = df.where(F.col(vector_col).isNotNull())
+    first = df.select(vector_col).first()
+    if first is None:
+        raise InvalidArgument("build_pq_index: no non-NULL vectors to index")
+    dim = len(first[0])
     if dim % m:
         raise InvalidArgument(f"vector dim {dim} not divisible by m={m}")
     sub = dim // m

@@ -159,3 +159,59 @@ def test_tfidf_and_collocations_survive(dirty):
 
     tfidf_top_terms(dirty, id_col="doc_id", text_col="text", k=3).count()
     collocations(dirty, text_col="text", min_count=2).count()
+
+
+def test_remove_repeated_spans_preserves_rows(dirty):
+    from aws_sdk_pandas_spark.operators.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(dirty, id_col="doc_id", text_col="text")
+    assert _ids(out) == ALL_IDS
+
+
+def test_knn_family_ignores_null_embeddings(spark):
+    """NULL embeddings must never crash an index build or — worse —
+    rank first in a top-k (NULL distance sorts ahead of every real one
+    in ascending order)."""
+    from aws_sdk_pandas_spark.operators.dedup import embedding_duplicates
+    from aws_sdk_pandas_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        knn_batch,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    rows = [(f"v{i}", [float(i), float(i % 3), 1.0, 0.5]) for i in range(20)]
+    rows += [("null1", None), ("null2", None)]
+    df = spark.createDataFrame(rows, "key string, vector array<float>")
+
+    got = knn_brute_force(df, [1.0, 1.0, 1.0, 0.5], k=5).collect()
+    assert len(got) == 5
+    assert all(r.key.startswith("v") and r.distance is not None for r in got)
+
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 1.0, 1.0, 0.5]), ("qnull", None)],
+        "query_id string, vector array<float>",
+    )
+    batch = knn_batch(df, queries, k=3).collect()
+    assert {r.query_id for r in batch} == {"q1"}  # NULL query contributes nothing
+    assert all(r.key.startswith("v") for r in batch)
+
+    assigned, centroids = build_ivf_index(df, vector_col="vector", n_clusters=2)
+    ivf = knn_ivf(assigned, centroids, [1.0, 1.0, 1.0, 0.5], k=3, n_probe=2)
+    assert all(r.key.startswith("v") for r in ivf.collect())
+
+    encoded, cb = build_pq_index(df, m=2, bits=2, train_sample=64)
+    assert encoded.where("key like 'null%'").count() == 0
+
+    pairs = embedding_duplicates(df, id_col="key", vector_col="vector", threshold=0.5)
+    assert all(
+        r.id_a.startswith("v") and r.id_b.startswith("v") for r in pairs.collect()
+    )
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([("a", None)], "key string, vector array<float>")
+    with _pytest.raises(InvalidArgument, match="no non-NULL vectors"):
+        build_pq_index(empty, m=2, bits=2)
