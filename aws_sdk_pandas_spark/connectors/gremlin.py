@@ -368,10 +368,13 @@ class _Traversal:
             # branch's traversal is seeded once per incoming element, so
             # limit/range bound each source's results, not the stream.
             # The source ~id rides the branch as __tag___wsrc — a window
-            # partitioned by it gives per-traverser semantics without
-            # per-element execution.  TinkerPop's pick among results is
-            # arbitrary; ordering by the element id (then remaining
-            # columns) makes it deterministic and oracle-checkable.
+            # partitioned by it gives per-source semantics without
+            # per-element execution.  Two deliberate determinism choices
+            # (documented, oracle-checkable): TinkerPop's arbitrary pick
+            # becomes the ascending-~id one, and DUPLICATE traversers at
+            # the same source element share one bound (the window keys on
+            # the element id, so the bound is per DISTINCT source — strict
+            # TinkerPop would give each duplicate its own limit).
             if "__tag___wsrc" not in self.df.columns:
                 raise InvalidArgument(
                     f"{name}() inside this branch lost the source tag "
@@ -387,15 +390,18 @@ class _Traversal:
                     raise InvalidArgument("range(low, high) needs 0 <= low < high")
             from pyspark.sql.window import Window as _W
 
-            order_cols = (
-                [F.col("`~id`").asc()]
-                if "~id" in self.df.columns
-                else [
-                    F.col(f"`{c}`").asc()
-                    for c in self.df.columns
-                    if not c.startswith("__")
+            # total deterministic order: result ~id first, then every
+            # remaining column (ties between duplicate rows that differ
+            # only in carried tags must not flip across runs)
+            first = ["~id"] if "~id" in self.df.columns else []
+            order_cols = [
+                F.col(f"`{c}`").asc_nulls_first()
+                for c in first
+                + [
+                    c for c in self.df.columns
+                    if c not in first and c != "__tag___wsrc"
                 ]
-            )
+            ]
             w = _W.partitionBy("__tag___wsrc").orderBy(*order_cols)
             self.df = (
                 self.df.withColumn("__rn", F.row_number().over(w))

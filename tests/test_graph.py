@@ -1988,12 +1988,42 @@ def test_gremlin_random_programs_match_naive_evaluator(spark):
             cur = [x for x in cur if vmap[x][1] == lab]
         for _ in range(rng.randint(2, 3)):
             step = rng.choice(
-                ["out", "in", "both", "has_gt", "has_not", "where_out", "not_out", "dedup"]
+                [
+                    "out", "in", "both", "has_gt", "has_not", "where_out",
+                    "not_out", "dedup", "coalesce_limit", "union_limit",
+                    "optional_range",
+                ]
             )
             if step in ("out", "in", "both"):
                 lbl = rng.choice(["t1", "t2"])
                 q += f".{step}('{lbl}')"
                 cur = hop(cur, step, lbl)
+            elif step in ("coalesce_limit", "union_limit", "optional_range"):
+                # branch-scope limit/range semantics are per DISTINCT
+                # source — dedup first so the naive model is exact
+                q += ".dedup()"
+                cur = sorted(set(cur))
+                l1, l2 = rng.choice(["t1", "t2"]), rng.choice(["t1", "t2"])
+
+                def outs(x, lbl):
+                    return sorted(t for el, t in out_adj.get(x, []) if el == lbl)
+
+                nxt = []
+                if step == "coalesce_limit":
+                    q += f".coalesce(out('{l1}').limit(1), out('{l2}'))"
+                    for x in cur:
+                        b1 = outs(x, l1)[:1]
+                        nxt += b1 if b1 else outs(x, l2)
+                elif step == "union_limit":
+                    q += f".union(out('{l1}').limit(1), out('{l2}'))"
+                    for x in cur:
+                        nxt += outs(x, l1)[:1] + outs(x, l2)
+                else:
+                    q += f".optional(out('{l1}').range(1, 2))"
+                    for x in cur:
+                        ts = outs(x, l1)
+                        nxt += ts[1:2] if len(ts) >= 2 else [x]
+                cur = nxt
             elif step == "has_gt":
                 n = rng.randint(20, 55)
                 q += f".has('age', gt({n}))"
@@ -2156,3 +2186,25 @@ def test_cypher_graph_functions(modern):
     # a property named like a function is untouched (id_x etc. unaffected)
     q5 = "MATCH (p:person) RETURN p.name AS id ORDER BY id LIMIT 1"
     assert _cy(modern, q5).first().id == "josh"
+
+
+def test_gremlin_branch_limit_duplicate_traversers_share_bound(modern):
+    """Documented determinism choice: the per-source window keys on the
+    element ~id, so duplicate traversers at the same element share ONE
+    bound (strict TinkerPop would give each its own limit).  both('knows')
+    puts two traversers on marko (via vadas and josh edges reversed? no —
+    marko knows vadas and josh, so vadas and josh each get one traverser,
+    and marko gets two from the reverse orientation)."""
+    # marko appears twice after both('knows') from vadas+josh; limit(1)
+    # inside the branch keeps one created-target PER DISTINCT source
+    q = (
+        "g.V().hasLabel('person').both('knows')"
+        ".coalesce(out('created').limit(1), out('knows')).values('name')"
+    )
+    got = sorted(r[0] for r in _g(modern, q).collect())
+    # stream after both('knows'): vadas, josh (from marko), marko, marko.
+    # josh -> created {lop,ripple} -> limit per distinct source -> lop;
+    # marko (x2 traversers, ONE distinct source) -> created {lop} -> one
+    # lop total (the documented collapse); vadas -> no created ->
+    # knows-branch: vadas knows nobody -> dropped
+    assert got == ["lop", "lop"]
