@@ -6145,6 +6145,64 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_SYNTH = """
+    concat('https://',
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ''
+                WHEN 1 THEN 'www.' ELSE 'a.b.' END,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'alpha.com'
+                WHEN 1 THEN 'beta.co.uk'
+                WHEN 2 THEN 'gamma.org' ELSE 'delta.co.jp' END,
+           '/p', CAST(doc_id % 5 AS STRING),
+           CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END)
+"""
+
+
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance features under the hash gate
+    (operators/weburl.url_features — try_parse_url + PSL-lite registered
+    domain, pure codegen): URLs synthesized from doc_id land on known
+    domains/subdomain depths/tracking flags, so the oracle re-derives
+    every feature in closed form; a wrong suffix rule (beta.co.uk
+    splitting to co.uk) or a host-vs-domain mixup hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.weburl import url_features
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 400")
+        .selectExpr("doc_id", f"{_URL_SYNTH} AS url")
+    )
+    return (
+        url_features(docs)
+        .select(
+            "doc_id", "url_domain", "url_subdomain_depth",
+            "url_path_depth", "url_has_tracking",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain corpus cap under the hash gate
+    (operators/weburl.cap_domains — the C4/RefinedWeb anti-monoculture
+    step): the md5-keyed pick is engine-rederivable, so the oracle
+    reproduces the EXACT kept set with ROW_NUMBER over the same key; a
+    different ordering, an off-by-one cap, or a NULL-domain funnel all
+    hash-mismatch."""
+    from aws_sdk_pandas_spark.operators.weburl import cap_domains
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", f"{_URL_SYNTH} AS url")
+    )
+    return (
+        cap_domains(docs, max_per_domain=25, id_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FFT front end under the hash gate
     (operators/multimodal.audio_spectral_features): each document gets a
@@ -6503,6 +6561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
+        "docs_url_features": _q_url_features,
+        "docs_url_domain_caps": _q_url_domain_caps,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
         "graph_gremlin_select": _q_gremlin_select,
@@ -8294,6 +8354,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * (10 + doc_id % 40) AS DOUBLE) AS dominant_freq_hz
             FROM documents
             WHERE doc_id < 150
+            ORDER BY doc_id
+        """,
+        "docs_url_features": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'alpha.com'
+                        WHEN 1 THEN 'beta.co.uk'
+                        WHEN 2 THEN 'gamma.org' ELSE 'delta.co.jp' END
+                       AS url_domain,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0
+                        WHEN 1 THEN 1 ELSE 2 END AS INT)
+                       AS url_subdomain_depth,
+                   CAST(1 AS INT) AS url_path_depth,
+                   (doc_id % 6 = 0) AS url_has_tracking
+            FROM documents
+            WHERE doc_id < 400
+            ORDER BY doc_id
+        """,
+        "docs_url_domain_caps": """
+            WITH synth AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'alpha.com'
+                            WHEN 1 THEN 'beta.co.uk'
+                            WHEN 2 THEN 'gamma.org' ELSE 'delta.co.jp' END
+                           AS domain,
+                       md5('42|' || CAST(doc_id AS VARCHAR)) AS pick
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY domain
+                           ORDER BY pick, CAST(doc_id AS VARCHAR)
+                       ) AS rn
+                FROM synth
+            )
+            SELECT doc_id FROM ranked WHERE rn <= 25
             ORDER BY doc_id
         """,
         "graph_gremlin_out_counts": """

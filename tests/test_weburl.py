@@ -1,0 +1,130 @@
+"""URL / domain analytics: registered-domain (PSL-lite) correctness,
+subdomain blocklist semantics, deterministic domain caps, and the
+NULL/dirty-URL passthrough contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from aws_sdk_pandas_spark.operators.weburl import (
+    cap_domains,
+    domain_stats,
+    filter_domains,
+    url_features,
+)
+
+URLS = [
+    (0, "https://www.example.com/a/b/c?x=1"),
+    (1, "http://example.com/"),
+    (2, "https://ads.tracker.example.com/p?utm_source=mail"),
+    (3, "https://news.bbc.co.uk/world/europe"),
+    (4, "https://bbc.co.uk/"),
+    (5, "http://192.168.10.1/admin"),
+    (6, "ftp://files.archive.org/pub"),
+    (7, None),
+    (8, "not a url at all"),
+    (9, "https://localhost/x"),
+    (10, "https://sub.shop.example.co.jp/item?gclid=abc&x=2"),
+]
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame(URLS, "doc_id bigint, url string")
+
+
+def test_url_features_registered_domain_and_depths(urls):
+    rows = {r.doc_id: r for r in url_features(urls).collect()}
+    assert rows[0].url_domain == "example.com"
+    assert rows[0].url_host == "www.example.com"
+    assert rows[0].url_subdomain_depth == 1
+    assert rows[0].url_path_depth == 3
+    assert rows[0].url_scheme == "https"
+    assert rows[1].url_domain == "example.com" and rows[1].url_subdomain_depth == 0
+    assert rows[2].url_domain == "example.com" and rows[2].url_subdomain_depth == 2
+    assert rows[2].url_has_tracking is True
+    assert rows[0].url_has_tracking is False
+    # PSL-lite: co.uk is a public suffix -> registered domain is 3 labels
+    assert rows[3].url_domain == "bbc.co.uk" and rows[3].url_subdomain_depth == 1
+    assert rows[4].url_domain == "bbc.co.uk" and rows[4].url_subdomain_depth == 0
+    # IP hosts pass through unsplit
+    assert rows[5].url_domain == "192.168.10.1" and rows[5].url_is_ip is True
+    assert rows[6].url_scheme == "ftp" and rows[6].url_domain == "archive.org"
+    # NULL and junk URLs: row present, features NULL
+    assert rows[7].url_domain is None and rows[7].url_host is None
+    assert rows[8].url_domain is None
+    assert rows[9].url_domain == "localhost"  # single label passes through
+    assert rows[10].url_domain == "example.co.jp"
+    assert rows[10].url_has_tracking is True
+    assert sorted(rows) == list(range(11))  # every row preserved
+
+
+def test_domain_stats_share(urls):
+    stats = {r.domain: r for r in domain_stats(urls).collect()}
+    assert stats["example.com"].n_docs == 3
+    assert stats["example.com"].n_hosts == 3
+    assert stats["bbc.co.uk"].n_docs == 2
+    # 9 docs have a parseable host (only NULL and junk drop out)
+    assert abs(stats["example.com"].share - 3 / 9) < 1e-6
+
+
+def test_filter_domains_block_includes_subdomains(urls):
+    kept = filter_domains(urls, ["example.com"], mode="block")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # docs 0,1,2 blocked (incl. ads.tracker subdomain); NULL/junk kept
+    assert ids == [3, 4, 5, 6, 7, 8, 9, 10]
+    assert kept.columns == ["doc_id", "url"]  # helper columns dropped
+
+    allowed = filter_domains(urls, ["bbc.co.uk", "example.co.jp"], mode="allow")
+    assert sorted(r.doc_id for r in allowed.select("doc_id").collect()) == [3, 4, 10]
+    with pytest.raises(ValueError, match="block"):
+        filter_domains(urls, ["x.com"], mode="whatever")
+
+
+def test_cap_domains_deterministic_and_null_passthrough(spark):
+    rows = [(i, f"https://d{i % 3}.example.com/p{i}") for i in range(30)]
+    rows += [(100, None), (101, "junk")]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    capped = cap_domains(df, max_per_domain=5, id_col="doc_id")
+    got = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    # all 30 share example.com -> 5 kept; NULL/junk rows always pass
+    assert len(got) == 7 and 100 in got and 101 in got
+
+    # the pick is md5-deterministic: recompute the expected winners
+    def key(i):
+        return (hashlib.md5(f"42|{i}".encode()).hexdigest(), str(i))
+
+    want = sorted(sorted(range(30), key=key)[:5]) + [100, 101]
+    assert got == sorted(want)
+    # and stable across reruns
+    again = sorted(r.doc_id for r in cap_domains(
+        df, max_per_domain=5, id_col="doc_id"
+    ).select("doc_id").collect())
+    assert again == got
+
+
+def test_cap_domains_caps_each_domain_independently(spark):
+    rows = [(i, f"https://site{i % 4}.net/x") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    capped = cap_domains(df, max_per_domain=3, id_col="doc_id")
+    feats = url_features(capped)
+    per = feats.groupBy("url_domain").count().collect()
+    assert {r["count"] for r in per} == {3}
+    assert len(per) == 4
+
+
+def test_weburl_plans_are_pure_jvm(urls, spark):
+    """No Python anywhere: url_features is map-only codegen; cap_domains
+    is one keyed window."""
+    from aws_sdk_pandas_spark.plans import assert_scale_safe, formatted_plan
+
+    f = url_features(urls)
+    assert_scale_safe(f)
+    assert "BatchEvalPython" not in formatted_plan(f)
+    assert "ArrowEvalPython" not in formatted_plan(f)
+    c = cap_domains(urls, max_per_domain=2, id_col="doc_id")
+    assert_scale_safe(c)
+    plan = formatted_plan(c)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
