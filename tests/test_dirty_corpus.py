@@ -215,3 +215,79 @@ def test_knn_family_ignores_null_embeddings(spark):
     empty = spark.createDataFrame([("a", None)], "key string, vector array<float>")
     with _pytest.raises(InvalidArgument, match="no non-NULL vectors"):
         build_pq_index(empty, m=2, bits=2)
+
+
+def test_timeseries_family_survives_null_ts_and_values(spark):
+    """Timeseries operators over dirty event data: NULL timestamps and
+    NULL values must not crash, must not invent buckets, and must not
+    flag phantom anomalies."""
+    import datetime as dt
+
+    from aws_sdk_pandas_spark.operators.timeseries import (
+        detect_anomalies_rolling,
+        ewma,
+        resample_interpolate,
+        resample_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):
+        rows.append(("a", base + dt.timedelta(minutes=7 * i), float(i % 9)))
+    rows += [
+        ("a", None, 5.0),          # NULL timestamp
+        ("a", base, None),          # NULL value
+        ("b", base, 1.0),           # singleton group
+        ("c", None, None),          # group with ONLY a null row
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, value double")
+
+    locf = resample_locf(df, time_col="ts", value_col="value", by=["grp"], step="1 hour")
+    got = locf.collect()
+    assert all(r.bucket is not None for r in got)  # no phantom NULL bucket
+    assert {r.grp for r in got} <= {"a", "b"}  # all-NULL group has no grid
+
+    interp = resample_interpolate(
+        df, time_col="ts", value_col="value", by=["grp"], step="1 hour"
+    )
+    assert all(r.bucket is not None for r in interp.collect())
+
+    anom = detect_anomalies_rolling(
+        df, ts_col="ts", value_col="value", by=["grp"], window_seconds=3600
+    )
+    flagged = [r for r in anom.collect() if r.anomaly_flag]
+    assert flagged == []  # uniform-ish series + dirt -> nothing flagged
+
+    e = ewma(df, ts_col="ts", value_col="value", by=["grp"], alpha=0.3)
+    e.collect()  # must not raise
+
+
+def test_asof_join_null_keys_and_times(spark):
+    """As-of join with NULL on-values and NULL by-keys: left rows are
+    never lost (left-join contract), NULL on-values simply match
+    nothing."""
+    import datetime as dt
+
+    from aws_sdk_pandas_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            ("k1", t0 + dt.timedelta(minutes=10), 1),
+            ("k1", None, 2),          # NULL as-of time
+            (None, t0, 3),            # NULL group key
+            ("k9", t0, 4),            # group absent from right
+        ],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("k1", t0, 100.0), ("k1", t0 + dt.timedelta(minutes=5), 200.0)],
+        "k string, ts timestamp, price double",
+    )
+    out = asof_join(left, right, on="ts", by=["k"]).collect()
+    rows = {r.lid: r for r in out}
+    assert sorted(rows) == [1, 2, 3, 4]  # every left row survives
+    assert rows[1].price == 200.0        # nearest at-or-before
+    assert rows[2].price is None         # NULL time matches nothing
+    assert rows[3].price is None         # NULL key matches nothing
+    assert rows[4].price is None
