@@ -6203,6 +6203,32 @@ def _q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup under the hash gate
+    (operators/weburl.normalize_urls + dedup_urls): four synthetic
+    variants of each of 50 logical URLs — host-case, default-port +
+    tracking params, fragment — must all normalize to one key, so the
+    kept set is exactly MIN(doc_id) per doc_id%50; a normalization miss
+    (a variant forming its own group) adds rows and hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.weburl import dedup_urls
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        """
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('https://www.site.com/page', CAST(doc_id % 50 AS STRING))
+          WHEN 1 THEN concat('HTTPS://WWW.Site.COM/page', CAST(doc_id % 50 AS STRING))
+          WHEN 2 THEN concat('https://www.site.com:443/page',
+                             CAST(doc_id % 50 AS STRING), '?utm_source=x&gclid=1')
+          ELSE concat('https://www.site.com/page',
+                      CAST(doc_id % 50 AS STRING), '#section')
+        END AS url
+        """,
+    )
+    return dedup_urls(docs, id_col="doc_id").select("doc_id").orderBy("doc_id")
+
+
 def _q_multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FFT front end under the hash gate
     (operators/multimodal.audio_spectral_features): each document gets a
@@ -6563,6 +6589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "docs_url_features": _q_url_features,
         "docs_url_domain_caps": _q_url_domain_caps,
+        "docs_url_dedup": _q_url_dedup,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
         "graph_gremlin_select": _q_gremlin_select,
@@ -8369,6 +8396,12 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 6 = 0) AS url_has_tracking
             FROM documents
             WHERE doc_id < 400
+            ORDER BY doc_id
+        """,
+        "docs_url_dedup": """
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY doc_id % 50
             ORDER BY doc_id
         """,
         "docs_url_domain_caps": """

@@ -216,3 +216,73 @@ def cap_domains(
         F.col("__rn") <= max_per_domain
     )
     return capped.drop("__rn", *[c for c in capped.columns if c.startswith("__u_")])
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    out_col: str = "url_norm",
+) -> DataFrame:
+    """Canonical URL form for URL-keyed dedup: lowercase scheme+host,
+    default ports stripped (:80 for http, :443 for https), fragment
+    dropped, tracking parameters (utm_*/gclid/fbclid/msclkid) removed
+    with other query params preserved in order, empty path read as '/'.
+    Pure codegen (try_parse_url + array built-ins); NULL/unparseable
+    URLs normalize to NULL."""
+    u = F.col(url_col)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    clean_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[a-z]+|gclid|fbclid|msclkid)="),
+        ),
+        "&",
+    )
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        F.when(F.coalesce(path, F.lit("")) == "", F.lit("/")).otherwise(path),
+        F.when(
+            query.isNotNull() & (clean_q != ""), F.concat(F.lit("?"), clean_q)
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme.isNotNull() & host.isNotNull(), norm)
+    )
+
+
+def dedup_urls(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE document per canonical URL (the refetch/mirror/tracking-
+    variant dedup that runs before any content hash): normalize, then
+    the smallest ``id_col`` per normalized URL wins — deterministic and
+    engine-rederivable.  Documents with NULL/unparseable URLs have no
+    canonical key and all pass through.  One keyed window, no global
+    sort."""
+    from pyspark.sql.window import Window
+
+    feats = normalize_urls(df, url_col, out_col="__norm")
+    part = F.coalesce(
+        F.col("__norm"),
+        F.concat(F.lit("\x00nourl\x00"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(part).orderBy(F.col(id_col).asc())
+    return (
+        feats.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__norm")
+    )

@@ -128,3 +128,43 @@ def test_weburl_plans_are_pure_jvm(urls, spark):
     assert_scale_safe(c)
     plan = formatted_plan(c)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_urls_canonical_form(spark):
+    from aws_sdk_pandas_spark.operators.weburl import normalize_urls
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&q=1#frag"),
+        (1, "https://www.example.com/A/b?q=1"),
+        (2, "http://example.com:80"),
+        (3, "http://example.com/"),
+        (4, "https://ex.com/p?utm_campaign=a&gclid=b&fbclid=c"),
+        (5, None),
+        (6, "junk"),
+        (7, "https://ex.com:8443/p"),  # non-default port preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r.doc_id: r.url_norm for r in normalize_urls(df).collect()}
+    assert got[0] == "https://www.example.com/A/b?q=1"
+    assert got[0] == got[1]  # variants collapse
+    assert got[2] == "http://example.com/" == got[3]
+    assert got[4] == "https://ex.com/p"  # all-tracking query dropped
+    assert got[5] is None and got[6] is None
+    assert got[7] == "https://ex.com:8443/p"
+
+
+def test_dedup_urls_keeps_min_id_per_canonical(spark):
+    from aws_sdk_pandas_spark.operators.weburl import dedup_urls
+
+    rows = [
+        (3, "https://www.Example.com/x?utm_source=a"),
+        (1, "https://www.example.com/x"),
+        (2, "https://www.example.com/x#top"),
+        (4, "https://other.com/y"),
+        (5, None),
+        (6, "junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    kept = sorted(r.doc_id for r in dedup_urls(df).select("doc_id").collect())
+    # canonical group {1,2,3} -> min id 1; NULL/junk rows pass through
+    assert kept == [1, 4, 5, 6]
