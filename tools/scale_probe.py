@@ -364,6 +364,65 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     ).count()
     timings["item_similarity"] = round(time.time() - t0, 2)
 
+    # domain cap + canonical-URL dedup (round 4): URLs synthesized from
+    # doc ids — domain cardinality grows with the corpus (disjoint id
+    # spaces per copy), so per-domain density stays constant while the
+    # window key space scales; both are one keyed window over a map-only
+    # projection
+    from aws_sdk_pandas_spark.operators.weburl import cap_domains, dedup_urls
+
+    docs_ids = _multiply(
+        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id"),
+        mult,
+        lambda d, i: d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000)),
+    ).selectExpr(
+        "doc_id",
+        "concat('https://', CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '' "
+        "WHEN 1 THEN 'www.' ELSE 'a.b.' END, 'd', CAST(doc_id % 2000 AS STRING), "
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+        "WHEN 2 THEN '.org' ELSE '.co.jp' END, '/p', CAST(doc_id % 7 AS STRING), "
+        "CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END) AS url",
+    )
+    t0 = time.time()
+    cap_domains(docs_ids, max_per_domain=20, id_col="doc_id").count()
+    timings["url_cap_domains"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    dedup_urls(docs_ids, id_col="doc_id").count()
+    timings["url_dedup"] = round(time.time() - t0, 2)
+
+    # audio spectral front end (round 4): one fixed-size synthetic WAV
+    # per document — decode + FFT work is strictly per-row (map-only
+    # Arrow kernel), the purest linear-scaling shape in the package
+    import struct as _struct
+    from typing import Iterator as _Iter
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_spectral_features,
+        make_test_media,
+    )
+
+    def _mk_wavs(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                vals = [((int(d) * 31 + j * 17) % 65536) - 32768 for j in range(2048)]
+                payloads.append(
+                    make_test_media(
+                        "wav", sample_rate=8192, channels=1, bits=16,
+                        data=_struct.pack(f"<{len(vals)}h", *vals),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = docs_ids.select("doc_id").mapInPandas(
+        _mk_wavs, schema="media_id string, payload binary"
+    )
+    t0 = time.time()
+    audio_spectral_features(media).select(F.sum("n_frames")).collect()
+    timings["audio_spectral"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     timings["_triangles"] = n_tri
     return timings
