@@ -6203,6 +6203,62 @@ def _q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONV_SYNTH = """
+    transform(sequence(1, 2 + CAST(doc_id % 3 AS INT) * 2), i -> struct(
+        CASE WHEN i % 2 = 1 OR (doc_id % 7 = 0 AND i = 2)
+             THEN 'user' ELSE 'assistant' END AS role,
+        CASE WHEN doc_id % 11 = 0 AND i = 1 THEN ''
+             WHEN i % 2 = 1
+             THEN concat('q', CAST(doc_id AS STRING), '-', CAST(i AS STRING))
+             ELSE concat('a', CAST(doc_id AS STRING), '-', CAST(i AS STRING))
+        END AS content))
+"""
+
+
+def _q_conv_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT validation under the hash gate
+    (operators/conversations.validate_conversations — JVM HOF rule
+    screen): conversations synthesized from doc_id carry analytically
+    planted defects (doc%7: a doubled user turn breaks alternation;
+    doc%11: an empty first content), so the oracle derives the exact
+    error-label list per row in closed form."""
+    from aws_sdk_pandas_spark.operators.conversations import validate_conversations
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 500")
+        .selectExpr("doc_id", f"{_CONV_SYNTH} AS conversation")
+    )
+    return (
+        validate_conversations(docs)
+        .select(
+            "doc_id",
+            "conv_valid",
+            F.array_join("conv_errors", ",").alias("errors"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_conv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair extraction under the hash gate
+    (operators/conversations.conversations_to_pairs): one row per
+    assistant turn with the FULL rendered context — the oracle rebuilds
+    role/content/context per position with list_transform, so a wrong
+    slice bound, a missed assistant turn, or a template drift all
+    hash-mismatch."""
+    from aws_sdk_pandas_spark.operators.conversations import conversations_to_pairs
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr("doc_id", f"{_CONV_SYNTH} AS conversation")
+    )
+    return conversations_to_pairs(docs).orderBy("doc_id", "turn_idx")
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup under the hash gate
     (operators/weburl.normalize_urls + dedup_urls): four synthetic
@@ -6590,6 +6646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_features": _q_url_features,
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
+        "docs_conv_validate": _q_conv_validate,
+        "docs_conv_pairs": _q_conv_pairs,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
         "graph_gremlin_select": _q_gremlin_select,
@@ -8403,6 +8461,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id % 50
             ORDER BY doc_id
+        """,
+        "docs_conv_validate": """
+            SELECT doc_id,
+                   (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS conv_valid,
+                   concat(
+                       CASE WHEN doc_id % 7 = 0 AND doc_id % 11 = 0
+                            THEN 'broken_alternation,empty_content'
+                            WHEN doc_id % 7 = 0 THEN 'broken_alternation'
+                            WHEN doc_id % 11 = 0 THEN 'empty_content'
+                            ELSE '' END,
+                       -- a 2-turn conversation (doc%3=0) whose second
+                       -- turn the %7 defect turned into 'user' has no
+                       -- assistant turn left at all
+                       CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0
+                            THEN ',no_assistant_turn' ELSE '' END
+                   ) AS errors
+            FROM documents
+            WHERE doc_id < 500
+            ORDER BY doc_id
+        """,
+        "docs_conv_pairs": """
+            WITH turns AS (
+                SELECT doc_id, CAST(unnest(range(1, 3 + (doc_id % 3) * 2)) AS INT) AS i
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   i AS turn_idx,
+                   array_to_string(list_transform(range(1, i), j ->
+                       (CASE WHEN j % 2 = 1 OR (doc_id % 7 = 0 AND j = 2)
+                             THEN 'user' ELSE 'assistant' END)
+                       || ': ' ||
+                       (CASE WHEN doc_id % 11 = 0 AND j = 1 THEN ''
+                             WHEN j % 2 = 1
+                             THEN 'q' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                             ELSE 'a' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                        END)), chr(10)) AS context,
+                   'a' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS response
+            FROM turns
+            WHERE i % 2 = 0 AND NOT (doc_id % 7 = 0 AND i = 2)
+            ORDER BY doc_id, turn_idx
         """,
         "docs_url_domain_caps": """
             WITH synth AS (
