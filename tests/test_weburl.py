@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from aws_sdk_pandas_spark.operators.weburl import (
@@ -168,3 +170,48 @@ def test_dedup_urls_keeps_min_id_per_canonical(spark):
     kept = sorted(r.doc_id for r in dedup_urls(df).select("doc_id").collect())
     # canonical group {1,2,3} -> min id 1; NULL/junk rows pass through
     assert kept == [1, 4, 5, 6]
+
+
+def test_normalize_urls_idempotent_property(spark):
+    """normalize(normalize(u)) == normalize(u) over randomized URL
+    soup (schemes x hosts x ports x paths x queries x fragments), and
+    every tracking/case/port/fragment variant of a base URL collapses
+    to the same canonical form."""
+    import random
+
+    from aws_sdk_pandas_spark.operators.weburl import normalize_urls
+
+    rng = random.Random(20260816)
+    hosts = ["Example.com", "www.EXAMPLE.com", "a.b.co.uk", "192.168.0.1"]
+    paths = ["", "/", "/x", "/x/y%20z", "/x/"]
+    queries = ["", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?gclid=g"]
+    frags = ["", "#f", "#a/b"]
+    urls = []
+    for i in range(120):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        urls.append(
+            (i, f"{scheme}://{rng.choice(hosts)}{port}{rng.choice(paths)}"
+                f"{rng.choice(queries)}{rng.choice(frags)}")
+        )
+    df = spark.createDataFrame(urls, "doc_id bigint, url string")
+    once = normalize_urls(df)
+    twice = normalize_urls(
+        once.select("doc_id", F.col("url_norm").alias("url")), out_col="url_norm2"
+    )
+    rows = twice.collect()
+    for r in rows:
+        assert r.url_norm2 == r.url, (r.url, r.url_norm2)
+
+    # variant collapse: same logical URL through every decoration
+    base = "https://shop.example.co.uk/item/42?color=red"
+    variants = [
+        base,
+        "HTTPS://SHOP.Example.CO.UK:443/item/42?color=red#reviews",
+        "https://shop.example.co.uk/item/42?utm_source=x&color=red&gclid=1",
+    ]
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(variants)], "doc_id bigint, url string"
+    )
+    forms = {r.url_norm for r in normalize_urls(vdf).collect()}
+    assert forms == {"https://shop.example.co.uk/item/42?color=red"}
