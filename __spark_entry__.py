@@ -6215,6 +6215,77 @@ _CONV_SYNTH = """
 """
 
 
+def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3/FLAC/Ogg container metadata under the hash gate
+    (operators/multimodal.audio_metadata — ID3v2 skip + MPEG frame
+    header + CBR duration, FLAC STREAMINFO bit unpack, Ogg Opus granule
+    duration): every synthesized parameter is integer arithmetic on
+    doc_id, so the oracle re-derives codec/channels/rate/duration in
+    closed form — including the MP3 frame-length -> byte-count -> CBR
+    duration chain."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_metadata,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 240")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 3
+                if kind == 0:
+                    payloads.append(
+                        make_test_media(
+                            "mp3", sample_rate=44100,
+                            bitrate_kbps=64 + 32 * (d % 3 + d // 3 % 2),
+                            channels=1 + d % 2, mp3_frames=4,
+                            id3_size=(100 if d % 5 == 0 else None),
+                        )
+                    )
+                elif kind == 1:
+                    payloads.append(
+                        make_test_media(
+                            "flac", sample_rate=48000, channels=1 + d % 2,
+                            bits=16 + 8 * (d % 2),
+                            total_samples=48000 * (1 + d % 5),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        make_test_media(
+                            "ogg", codec="opus", channels=1 + d % 2,
+                            sample_rate=48000, pre_skip=312,
+                            granule=312 + 48000 * (1 + d % 3),
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        audio_metadata(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "audio_codec", "audio_channels", "audio_sample_rate",
+            "audio_duration_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_conv_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat/SFT validation under the hash gate
     (operators/conversations.validate_conversations — JVM HOF rule
@@ -6646,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_features": _q_url_features,
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
+        "multimodal_audio_containers": _q_audio_containers,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
@@ -8460,6 +8532,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM documents
             GROUP BY doc_id % 50
+            ORDER BY doc_id
+        """,
+        "multimodal_audio_containers": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'mp3'
+                        WHEN 1 THEN 'flac' ELSE 'opus' END AS audio_codec,
+                   CAST(1 + doc_id % 2 AS INT) AS audio_channels,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                        ELSE 48000 END AS INT) AS audio_sample_rate,
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN
+                            -- CBR: frame_len(144*br*1000//sr) x 4 frames,
+                            -- bits / kbps == ms
+                            (((144 * (64 + 32 * ((doc_id // 3) % 2)) * 1000)
+                              // 44100) * 4 * 8)
+                              // (64 + 32 * ((doc_id // 3) % 2))
+                        WHEN 1 THEN (1 + doc_id % 5) * 1000
+                        ELSE (1 + doc_id % 3) * 1000
+                   END AS BIGINT) AS audio_duration_ms
+            FROM documents
+            WHERE doc_id < 240
             ORDER BY doc_id
         """,
         "docs_conv_validate": """
