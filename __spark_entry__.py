@@ -836,6 +836,37 @@ def _q_dq_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule_type")
 
 
+def _q_dq_ruleset_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended DQDL rule types under the hash gate (dq.evaluate_ruleset
+    round-4 additions): ColumnLength / IsPrimaryKey ride the single
+    aggregation pass, Entropy / UniqueValueRatio each add one bounded
+    value-count aggregation, Correlation is a co-moment in the main
+    pass, ColumnDataType reads the schema — the oracle recomputes every
+    value AND its pass verdict from the same definitions."""
+    from aws_sdk_pandas_spark import dq
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        dq.evaluate_ruleset(
+            events,
+            [
+                {"rule_type": "ColumnLength", "parameter": "event_type",
+                 "expression": "between 1 and 30"},
+                {"rule_type": "IsPrimaryKey", "parameter": "event_id"},
+                {"rule_type": "Entropy", "parameter": "event_type",
+                 "expression": "> 0.5"},
+                {"rule_type": "UniqueValueRatio", "parameter": "user_id",
+                 "expression": "between 0 and 1"},
+                {"rule_type": "Correlation", "parameter": "user_id value",
+                 "expression": "between -1 and 1"},
+            ],
+        )
+        .withColumn("value", F.round("value", 6))
+        .orderBy("rule_type")
+    )
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH self-join (rows-only:
     MLlib LSH is not SQL-expressible)."""
@@ -6718,6 +6749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
         "multimodal_audio_containers": _q_audio_containers,
+        "dq_ruleset_extended": _q_dq_ruleset_extended,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
@@ -7007,6 +7039,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'DistinctValuesCount', 'event_type', '= 5',
                        CAST(COUNT(DISTINCT event_type) AS DOUBLE),
                        COUNT(DISTINCT event_type) = 5 FROM events
+            ) t
+            ORDER BY rule_type
+        """,
+        "dq_ruleset_extended": """
+            SELECT * FROM (
+                SELECT 'ColumnLength' AS rule_type, 'event_type' AS parameter,
+                       'between 1 and 30' AS expression,
+                       ROUND(SUM(CASE WHEN length(event_type) BETWEEN 1 AND 30
+                                 THEN 1 ELSE 0 END)
+                             / CAST(GREATEST(COUNT(event_type), 1) AS DOUBLE), 6) AS value,
+                       SUM(CASE WHEN length(event_type) BETWEEN 1 AND 30
+                           THEN 1 ELSE 0 END) = COUNT(event_type) AS passed
+                FROM events
+                UNION ALL
+                SELECT 'IsPrimaryKey', 'event_id', '',
+                       ROUND(COUNT(DISTINCT event_id)
+                             / CAST(GREATEST(COUNT(*), 1) AS DOUBLE), 6),
+                       COUNT(DISTINCT event_id) = COUNT(*)
+                FROM events
+                UNION ALL
+                SELECT 'Entropy', 'event_type', '> 0.5',
+                       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6),
+                       (LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) > 0.5
+                FROM (SELECT COUNT(*) AS c FROM events
+                      WHERE event_type IS NOT NULL GROUP BY event_type)
+                UNION ALL
+                SELECT 'UniqueValueRatio', 'user_id', 'between 0 and 1',
+                       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             / CAST(GREATEST(COUNT(*), 1) AS DOUBLE), 6),
+                       (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        / CAST(GREATEST(COUNT(*), 1) AS DOUBLE)) BETWEEN 0 AND 1
+                FROM (SELECT COUNT(*) AS c FROM events
+                      WHERE user_id IS NOT NULL GROUP BY user_id)
+                UNION ALL
+                SELECT 'Correlation', 'user_id value', 'between -1 and 1',
+                       ROUND(CORR(user_id, value), 6),
+                       CORR(user_id, value) BETWEEN -1 AND 1
+                FROM events
             ) t
             ORDER BY rule_type
         """,

@@ -74,7 +74,8 @@ def create_ruleset(rules: list[dict[str, Any]] | list[Rule]) -> list[Rule]:
 _NEEDS_PARAM = {
     "Completeness", "Uniqueness", "ColumnValues", "Mean", "Sum",
     "StandardDeviation", "DistinctValuesCount", "ColumnExists",
-    "IsComplete", "IsUnique",
+    "IsComplete", "IsUnique", "ColumnLength", "IsPrimaryKey",
+    "Correlation", "Entropy", "UniqueValueRatio", "ColumnDataType",
 }
 
 
@@ -126,6 +127,33 @@ def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) ->
                     / F.greatest(F.count(F.col(p)), F.lit(1))
                 ).cast("double")
             )
+        elif t == "ColumnLength":
+            # fraction of non-null values whose STRING LENGTH satisfies
+            # the expression; the rule passes only when ALL do
+            pred = rule.expression.strip()
+            lc = F.length(F.col(p).cast("string"))
+            m = re.match(r"^between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)$", pred, re.IGNORECASE)
+            if m:
+                cond = lc.between(float(m.group(1)), float(m.group(2)))
+            else:
+                cond = F.expr(f"length(cast(`{p}` as string)) {pred}")
+            aggs.append(
+                (
+                    F.sum(F.when(cond, 1).otherwise(0))
+                    / F.greatest(F.count(F.col(p)), F.lit(1))
+                ).cast("double")
+            )
+        elif t == "IsPrimaryKey":
+            # distinct non-null / all rows: one NULL or one duplicate
+            # drops the ratio below 1
+            aggs.append(
+                (F.count_distinct(F.col(p)) / F.greatest(F.count(F.lit(1)), F.lit(1))).cast(
+                    "double"
+                )
+            )
+        elif t == "Correlation":
+            pa, pb = (p or "").split()
+            aggs.append(F.corr(F.col(pa), F.col(pb)).cast("double"))
         elif t == "Mean":
             aggs.append(F.avg(F.col(p)).cast("double"))
         elif t == "Sum":
@@ -136,6 +164,14 @@ def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) ->
             aggs.append(F.count_distinct(F.col(p)).cast("double"))
         elif t == "CustomSql":
             # scalar subquery evaluated separately (still one job each)
+            slots.append((None, rule))
+            continue
+        elif t in ("Entropy", "UniqueValueRatio"):
+            # value-DISTRIBUTION rules need a per-value count table (one
+            # extra keyed aggregation each — can't ride the single pass)
+            slots.append((None, rule))
+            continue
+        elif t == "ColumnDataType":
             slots.append((None, rule))
             continue
         else:
@@ -158,9 +194,50 @@ def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) ->
             passed = (
                 _parse_expression(rule.parameter)(value) if rule.parameter else value > 0
             )
-        elif t in ("IsComplete", "IsUnique"):
+        elif t in ("IsComplete", "IsUnique", "IsPrimaryKey"):
             value = float(agg_row[f"v{idx}"])
             passed = value == 1.0
+        elif t in ("ColumnValues", "ColumnLength"):
+            # DQDL semantics: the rule passes iff ALL (non-null) values
+            # satisfy the expression — the expression constrains the
+            # VALUES, so applying it to the fraction would let a 50%-in-
+            # range column "pass" a between-0-and-100 rule
+            value = float(agg_row[f"v{idx}"])
+            passed = value == 1.0
+        elif t == "ColumnDataType":
+            actual = dict(
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ).get(p)
+            want = rule.expression.strip().lstrip("=").strip().strip("\"'").lower()
+            value = 1.0 if (actual or "").lower() == want else 0.0
+            passed = value == 1.0
+        elif t == "Entropy":
+            counts = (
+                df.where(F.col(p).isNotNull()).groupBy(p).agg(F.count(F.lit(1)).alias("__c"))
+            )
+            row = counts.agg(
+                F.sum("__c").alias("__n"),
+                F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clogc"),
+            ).first()
+            import math as _math
+
+            value = (
+                float(_math.log(row["__n"]) - row["__clogc"] / row["__n"])
+                if row and row["__n"] else None
+            )
+            passed = _parse_expression(rule.expression)(value)
+        elif t == "UniqueValueRatio":
+            counts = (
+                df.where(F.col(p).isNotNull()).groupBy(p).agg(F.count(F.lit(1)).alias("__c"))
+            )
+            row = counts.agg(
+                (
+                    F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                    / F.greatest(F.count(F.lit(1)), F.lit(1))
+                ).cast("double").alias("__r")
+            ).first()
+            value = float(row["__r"]) if row and row["__r"] is not None else None
+            passed = _parse_expression(rule.expression)(value)
         else:
             value = agg_row[f"v{idx}"]
             value = float(value) if value is not None else None

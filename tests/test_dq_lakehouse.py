@@ -333,3 +333,61 @@ def test_sequence_gaps(spark):
         ("p0", 9, 11, 3),
         ("p1", 8, 8, 1),
     ]
+
+
+def test_dq_column_values_requires_all_to_pass(spark):
+    """DQDL semantics regression: the expression constrains the VALUES —
+    a column with half its values out of range must FAIL 'between'."""
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 500.0), (3, 60.0), (4, 700.0)], "id int, score double"
+    )
+    got = dq.evaluate_ruleset(
+        df,
+        [{"rule_type": "ColumnValues", "parameter": "score",
+          "expression": "between 0 and 100"}],
+    ).first()
+    assert got.value == 0.5 and got.passed is False
+
+
+def test_dq_extended_rule_types(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 10.0, 1),
+            (2, "beta", 20.0, 2),
+            (3, "beta", 30.0, 3),
+            (4, "gamma-long-name", 40.0, 4),
+            (5, None, 50.0, 5),
+        ],
+        "id int, name string, score double, rank int",
+    )
+    got = dq.evaluate_ruleset(
+        df,
+        [
+            {"rule_type": "ColumnLength", "parameter": "name", "expression": "between 1 and 10"},
+            {"rule_type": "IsPrimaryKey", "parameter": "id"},
+            {"rule_type": "IsPrimaryKey", "parameter": "name"},
+            {"rule_type": "Correlation", "parameter": "score rank", "expression": ">= 0.99"},
+            {"rule_type": "Entropy", "parameter": "name", "expression": "> 0.5"},
+            {"rule_type": "UniqueValueRatio", "parameter": "name", "expression": "between 0.6 and 0.7"},
+            {"rule_type": "ColumnDataType", "parameter": "id", "expression": "= \"int\""},
+            {"rule_type": "ColumnDataType", "parameter": "score", "expression": "= \"int\""},
+        ],
+    )
+    rows = {(r.rule_type, r.parameter): r for r in got.collect()}
+    # one name of length 15 -> not all lengths in [1, 10]
+    lr = rows[("ColumnLength", "name")]
+    assert lr.value == 0.75 and lr.passed is False
+    assert rows[("IsPrimaryKey", "id")].passed is True
+    # name: a NULL and a duplicate both break the key
+    assert rows[("IsPrimaryKey", "name")].passed is False
+    assert rows[("Correlation", "score rank")].passed is True
+    # entropy over {alpha:1, beta:2, gamma:1}: ln(4) - (2 ln 2)/4
+    want_h = math.log(4) - (2 * math.log(2)) / 4
+    assert abs(rows[("Entropy", "name")].value - want_h) < 1e-9
+    # 2 of 3 distinct values occur exactly once
+    assert abs(rows[("UniqueValueRatio", "name")].value - 2 / 3) < 1e-9
+    assert rows[("UniqueValueRatio", "name")].passed is True
+    assert rows[("ColumnDataType", "id")].passed is True
+    assert rows[("ColumnDataType", "score")].passed is False
