@@ -6317,6 +6317,33 @@ def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_preference_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/preference-pair screening under the hash gate
+    (operators/conversations.preference_stats): chosen/rejected strings
+    synthesized by formula, so identical-pair flags, length ratios and
+    token-jaccard are all closed-form in the oracle."""
+    from aws_sdk_pandas_spark.operators.conversations import preference_stats
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 400")
+        .selectExpr(
+            "doc_id",
+            "repeat('a', 5 + CAST(doc_id % 7 AS INT)) AS chosen",
+            "CASE WHEN doc_id % 6 = 0 THEN repeat('a', 5 + CAST(doc_id % 7 AS INT)) "
+            "ELSE repeat('b', 3 + CAST(doc_id % 5 AS INT)) END AS rejected",
+        )
+    )
+    return (
+        preference_stats(docs)
+        .select(
+            "doc_id", "pref_identical", "pref_len_ratio", "pref_token_jaccard"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_conv_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat/SFT validation under the hash gate
     (operators/conversations.validate_conversations — JVM HOF rule
@@ -6752,6 +6779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
+        "docs_preference_screen": _q_preference_screen,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
         "graph_gremlin_select": _q_gremlin_select,
@@ -8623,6 +8651,18 @@ def oracle_sql() -> dict[str, str]:
                    END AS BIGINT) AS audio_duration_ms
             FROM documents
             WHERE doc_id < 240
+            ORDER BY doc_id
+        """,
+        "docs_preference_screen": """
+            SELECT doc_id,
+                   (doc_id % 6 = 0) AS pref_identical,
+                   CAST(ROUND(CASE WHEN doc_id % 6 = 0 THEN 1.0
+                        ELSE (5 + doc_id % 7) / CAST(3 + doc_id % 5 AS DOUBLE)
+                   END, 6) AS DOUBLE) AS pref_len_ratio,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+                       AS pref_token_jaccard
+            FROM documents
+            WHERE doc_id < 400
             ORDER BY doc_id
         """,
         "docs_conv_validate": """

@@ -233,3 +233,39 @@ def conversations_to_pairs(
         context.alias("context"),
         F.col("__turn")["content"].alias("response"),
     )
+
+
+def preference_stats(
+    df: DataFrame,
+    *,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    out_prefix: str = "pref",
+) -> DataFrame:
+    """Per-row screens for preference (DPO/RLHF) pairs — the defects
+    that silently null a preference signal: adds
+    ``<prefix>_identical`` (chosen == rejected after whitespace
+    normalization — zero learning signal), ``<prefix>_empty_chosen`` /
+    ``<prefix>_empty_rejected``, ``<prefix>_len_ratio``
+    (chosen/rejected char length, NULL when rejected is empty — the
+    length-bias audit input), ``<prefix>_token_jaccard`` (vocabulary
+    overlap; near-1 pairs differ only in phrasing).  Map-only codegen;
+    rows are labeled, never dropped."""
+    from aws_sdk_pandas_spark.functions.text import token_jaccard
+
+    c = F.col(chosen_col)
+    r = F.col(rejected_col)
+    norm = lambda x: F.regexp_replace(F.trim(F.coalesce(x, F.lit(""))), r"\s+", " ")  # noqa: E731
+    return (
+        df.withColumn(f"{out_prefix}_identical", norm(c) == norm(r))
+        .withColumn(f"{out_prefix}_empty_chosen", norm(c) == "")
+        .withColumn(f"{out_prefix}_empty_rejected", norm(r) == "")
+        .withColumn(
+            f"{out_prefix}_len_ratio",
+            F.round(F.try_divide(F.length(norm(c)), F.length(norm(r))), 6),
+        )
+        .withColumn(
+            f"{out_prefix}_token_jaccard",
+            F.round(token_jaccard(norm(c), norm(r)), 6),
+        )
+    )

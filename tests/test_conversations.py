@@ -104,3 +104,25 @@ def test_conversations_to_pairs(convs):
     # tool conversation: both assistant turns extracted
     assert (7, 2) in by_key and (7, 4) in by_key
     assert by_key[(7, 4)].context.endswith("tool: result=4")
+
+
+def test_preference_stats(spark):
+    from aws_sdk_pandas_spark.operators.conversations import preference_stats
+
+    rows = [
+        (0, "the cat sat", "the cat  sat "),   # identical after ws-normalize
+        (1, "a good long answer here", "bad"),
+        (2, "", "something"),
+        (3, None, None),
+        (4, "same words shuffled here", "here shuffled words same"),
+    ]
+    df = spark.createDataFrame(rows, "pair_id bigint, chosen string, rejected string")
+    got = {r.pair_id: r for r in preference_stats(df).collect()}
+    assert got[0].pref_identical is True
+    assert got[1].pref_identical is False
+    assert got[1].pref_len_ratio == round(len("a good long answer here") / 3, 6)
+    assert got[2].pref_empty_chosen is True and got[2].pref_empty_rejected is False
+    assert got[3].pref_identical is True  # both empty after coalesce
+    assert got[3].pref_len_ratio is None  # 0/0 -> NULL, not a crash
+    assert got[4].pref_token_jaccard == 1.0  # same vocabulary
+    assert sorted(got) == [0, 1, 2, 3, 4]
