@@ -836,6 +836,59 @@ def _q_dq_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule_type")
 
 
+def _q_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI/RIFF video metadata under the hash gate
+    (operators/multimodal.parse_avi_py via video_metadata): per-doc AVIs
+    with fps/frame-count from doc_id, so duration follows the exact
+    integer chain uspf = 1e6 // fps, duration = frames * uspf / 1e6 —
+    the oracle recomputes it with the same floor division."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        make_test_media,
+        video_metadata,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 200")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    make_test_media(
+                        "avi", 64 + d % 5, 48 + d % 3,
+                        frames=[b"\xff\xd8"] * (10 + d % 20),
+                        fps=5 + d % 10,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        video_metadata(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "video_brand",
+            "video_timescale",
+            F.round("video_duration_seconds", 6).alias("video_duration_seconds"),
+            "video_width",
+            "video_height",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_dq_ruleset_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended DQDL rule types under the hash gate (dq.evaluate_ruleset
     round-4 additions): ColumnLength / IsPrimaryKey ride the single
@@ -6777,6 +6830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_dedup": _q_url_dedup,
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
+        "multimodal_avi_metadata": _q_avi_metadata,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7069,6 +7123,20 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT event_type) = 5 FROM events
             ) t
             ORDER BY rule_type
+        """,
+        "multimodal_avi_metadata": """
+            SELECT doc_id,
+                   'AVI ' AS video_brand,
+                   CAST(1000000 // (1000000 // (5 + doc_id % 10)) AS BIGINT)
+                       AS video_timescale,
+                   CAST(ROUND((10 + doc_id % 20)
+                              * (1000000 // (5 + doc_id % 10)) / 1000000.0, 6)
+                        AS DOUBLE) AS video_duration_seconds,
+                   CAST(64 + doc_id % 5 AS INT) AS video_width,
+                   CAST(48 + doc_id % 3 AS INT) AS video_height
+            FROM documents
+            WHERE doc_id < 200
+            ORDER BY doc_id
         """,
         "dq_ruleset_extended": """
             SELECT * FROM (

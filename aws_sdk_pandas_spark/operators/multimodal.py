@@ -1031,7 +1031,7 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | wav | flac | ogg | mp3 | unknown."""
+    png | gif | bmp | jpeg | wav | avi | flac | ogg | mp3 | unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -1040,6 +1040,11 @@ def sniff_format(col) -> "F.Column":
             (F.substring(c, 1, 4) == F.lit(b"RIFF"))
             & (F.substring(c, 9, 4) == F.lit(b"WAVE")),
             "wav",
+        )
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(c, 9, 4) == F.lit(b"AVI ")),
+            "avi",
         )
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
@@ -1425,6 +1430,139 @@ def parse_mp4_py(b: bytes | None) -> dict | None:
     return out
 
 
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for RIFF sub-chunks; LIST
+    chunks yield their list-type as fourcc with the body AFTER it."""
+    i = start
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        body_start, body_end = i + 8, min(i + 8 + clen, end)
+        if cid == b"LIST" and body_start + 4 <= end:
+            yield (b[body_start : body_start + 4], body_start + 4, body_end)
+        else:
+            yield (cid, body_start, body_end)
+        i = body_start + clen + (clen % 2)  # word-aligned
+
+
+def parse_avi_py(b: bytes | None) -> dict | None:
+    """AVI (RIFF) main-header parse: duration from avih's
+    dwMicroSecPerFrame x dwTotalFrames, stream types from each strl's
+    strh fourcc ('vids'/'auds'), frame size from avih."""
+    if not b or len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta: dict = {
+        "duration_seconds": None, "timescale": None, "n_tracks": None,
+        "track_types": [], "width": None, "height": None,
+        "major_brand": "AVI ",
+    }
+    for cid, s, e in _riff_chunks(b, 12, len(b)):
+        if cid != b"hdrl":
+            continue
+        for c2, s2, e2 in _riff_chunks(b, s, e):
+            if c2 == b"avih" and e2 - s2 >= 40:
+                uspf = int.from_bytes(b[s2 : s2 + 4], "little")
+                total = int.from_bytes(b[s2 + 16 : s2 + 20], "little")
+                streams = int.from_bytes(b[s2 + 24 : s2 + 28], "little")
+                meta["n_tracks"] = streams
+                meta["width"] = int.from_bytes(b[s2 + 32 : s2 + 36], "little")
+                meta["height"] = int.from_bytes(b[s2 + 36 : s2 + 40], "little")
+                if uspf:
+                    meta["timescale"] = 1_000_000 // uspf  # fps
+                    meta["duration_seconds"] = round(total * uspf / 1e6, 6)
+            elif c2 == b"strl":
+                for c3, s3, e3 in _riff_chunks(b, s2, e2):
+                    if c3 == b"strh" and e3 - s3 >= 4:
+                        meta["track_types"].append(
+                            b[s3 : s3 + 4].decode("ascii", "replace")
+                        )
+                        break
+    return meta
+
+
+def iter_avi_frames(b: bytes):
+    """Yield (frame_idx, payload bytes) for every video frame chunk
+    (``##dc`` compressed / ``##db`` uncompressed) in the movi list, in
+    stream order."""
+    if not b or len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    idx = 0
+    for cid, s, e in _riff_chunks(b, 12, len(b)):
+        if cid != b"movi":
+            continue
+        for c2, s2, e2 in _riff_chunks(b, s, e):
+            if len(c2) == 4 and c2[2:4] in (b"dc", b"db"):
+                yield idx, b[s2:e2]
+                idx += 1
+
+
+_VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_indices: list[int] | None = None,
+) -> DataFrame:
+    """REAL video frame decode with no media library: MJPEG-in-AVI
+    payloads are a RIFF walk to the ``movi`` frame chunks, each frame a
+    baseline JPEG the native ``jpeg_lite`` decoder handles (the
+    dominant capture format for webcams/dashcams and the one video
+    codec whose frames are decodable without codec state).  Emits one
+    row per (selected) frame with its dimensions and per-channel pixel
+    means — the shot-boundary / exposure screens of a video-curation
+    pipeline.  ``frame_indices`` limits decode to a sample (compose
+    with ``frame_sample_plan``); NULL/non-AVI payloads yield no frames
+    (screen with ``sniff_format``/``video_metadata`` first).  Map-only
+    Arrow-batched kernel; at 100 TB the cost is the scan plus per-frame
+    JPEG decode, nothing shuffles."""
+    import numpy as np
+
+    wanted = set(frame_indices) if frame_indices is not None else None
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                for idx, frame in iter_avi_frames(bytes(p)):
+                    if wanted is not None and idx not in wanted:
+                        continue
+                    w, h, rgb = decode_image(frame)
+                    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    means = a.astype(np.float64).mean(axis=(0, 1))
+                    out.append(
+                        (str(mid), idx, w, h,
+                         round(float(means[0]), 6),
+                         round(float(means[1]), 6),
+                         round(float(means[2]), 6))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _map, schema=_VIDEO_FRAME_SCHEMA
+    )
+
+
 def video_metadata(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1432,7 +1570,9 @@ def video_metadata(
     out_prefix: str = "video",
 ) -> DataFrame:
     """Adds ``<prefix>_duration_seconds/_timescale/_n_tracks/_track_types/
-    _width/_height/_brand`` parsed from ISO-BMFF payloads (MP4/MOV/M4A).
+    _width/_height/_brand`` parsed from ISO-BMFF payloads (MP4/MOV/M4A)
+    or AVI/RIFF payloads (brand ``'AVI '``, timescale = fps, track types
+    from each stream header's ``vids``/``auds`` fourcc).
 
     The box tree has variable positions, so like the JPEG-SOF walk this
     is ONE Arrow-batched kernel over the payload column (non-BMFF rows
@@ -1458,7 +1598,10 @@ def video_metadata(
     def _parse(payloads: pd.Series) -> pd.DataFrame:
         rows = []
         for p in payloads:
-            m = parse_mp4_py(bytes(p) if p is not None else None)
+            raw = bytes(p) if p is not None else None
+            m = parse_mp4_py(raw)
+            if m is None:
+                m = parse_avi_py(raw)
             if m is None:
                 rows.append((None, None, None, None, None, None, None))
             else:
@@ -1666,6 +1809,36 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
         trak = box(b"trak", tkhd + mdia)
         moov = box(b"moov", mvhd + trak)
         return ftyp + moov + box(b"mdat", b"\x00" * 16)
+    if fmt == "avi":
+        # minimal MJPEG AVI: RIFF(AVI ) > LIST(hdrl: avih + one strl/strh)
+        # + LIST(movi: one 00dc chunk per frame)
+        frames = kw.get("frames", [])  # pre-encoded JPEG bytes per frame
+        fps = kw.get("fps", 10)
+        uspf = 1_000_000 // fps
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + _s.pack("<I", len(body)) + body + pad
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        avih = chunk(
+            b"avih",
+            _s.pack(
+                "<14I",
+                uspf, 0, 0, 0, len(frames), 0, 1, 0,
+                width, height, 0, 0, 0, 0,
+            ),
+        )
+        strh = chunk(
+            b"strh",
+            b"vids" + b"MJPG" + b"\x00" * 48,
+        )
+        hdrl = lst(b"hdrl", avih + lst(b"strl", strh))
+        movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + _s.pack("<I", len(body)) + body
     if fmt == "mp3":
         # MPEG1 Layer III CBR frames (header-valid, silent payload); an
         # optional ID3v2 tag and an optional Xing VBR frame count

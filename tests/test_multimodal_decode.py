@@ -1084,3 +1084,52 @@ def test_mp3_sync_needs_consecutive_frames():
     # length field says -> rejected, not misparsed
     junk = b"\x12" * 100 + b"\xff\xfb\x92\x00" + b"\x34" * 2000
     assert _mp3_meta_py(junk) is None
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: real video frame decode via RIFF walk + jpeg_lite
+# ---------------------------------------------------------------------------
+
+
+def _solid_rgb(w, h, rgb):
+    return bytes(rgb) * (w * h)
+
+
+def test_avi_metadata_and_sniff(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import sniff_format, video_metadata
+
+    f0 = _jpeg_encode(_solid_rgb(16, 16, (200, 30, 90)), 16, 16)
+    avi = make_test_media("avi", 16, 16, frames=[f0] * 24, fps=12)
+    df = spark.createDataFrame(
+        [("v", bytearray(avi))], "media_id string, payload binary"
+    )
+    assert df.select(sniff_format("payload")).first()[0] == "avi"
+    r = video_metadata(df).first()
+    assert r.video_brand == "AVI "
+    assert r.video_timescale == 12          # fps
+    assert r.video_duration_seconds == pytest.approx(2.0, abs=1e-3)  # 1e6//12 rounding
+    assert (r.video_width, r.video_height) == (16, 16)
+    assert r.video_track_types == ["vids"] and r.video_n_tracks == 1
+
+
+def test_decode_video_frames_real_mjpeg(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import decode_video_frames
+
+    # three solid-color frames: decoded means must recover each color
+    colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+    frames = [_jpeg_encode(_solid_rgb(16, 16, c), 16, 16) for c in colors]
+    avi = make_test_media("avi", 16, 16, frames=frames, fps=5)
+    df = spark.createDataFrame(
+        [("v", bytearray(avi)), ("null", None)], "media_id string, payload binary"
+    )
+    rows = {r.frame_idx: r for r in decode_video_frames(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for i, (cr, cg, cb) in enumerate(colors):
+        r = rows[i]
+        assert (r.width, r.height) == (16, 16)
+        # baseline JPEG round-trip of a solid color is near-exact
+        assert abs(r.mean_r - cr) < 3 and abs(r.mean_g - cg) < 3
+        assert abs(r.mean_b - cb) < 3
+
+    sampled = decode_video_frames(df, frame_indices=[0, 2]).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
