@@ -889,6 +889,43 @@ def _q_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT cue extraction under the hash gate
+    (operators/multimodal.parse_subtitles — pure JVM split/HOF/regexp):
+    SRT documents synthesized from doc_id with analytic cue timings, so
+    the oracle recomputes cue_idx/start_ms/end_ms/text in closed form;
+    a timestamp-parse error of a single millisecond hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.multimodal import parse_subtitles
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS media_id",
+            """
+            concat_ws('\n\n', transform(
+                sequence(1, 1 + CAST(doc_id % 4 AS INT)), k -> concat(
+                    CAST(k AS STRING), '\n',
+                    '00:00:', lpad(CAST(((k - 1) * 2000 + doc_id % 997) DIV 1000
+                                   AS STRING), 2, '0'),
+                    ',', lpad(CAST(((k - 1) * 2000 + doc_id % 997) % 1000
+                              AS STRING), 3, '0'),
+                    ' --> ',
+                    '00:00:', lpad(CAST(((k - 1) * 2000 + doc_id % 997 + 1500) DIV 1000
+                                   AS STRING), 2, '0'),
+                    ',', lpad(CAST(((k - 1) * 2000 + doc_id % 997 + 1500) % 1000
+                              AS STRING), 3, '0'),
+                    '\n', 'line ', CAST(doc_id AS STRING), '-', CAST(k AS STRING)
+                ))) AS text
+            """,
+        )
+    )
+    return parse_subtitles(docs).orderBy(
+        F.col("media_id").cast("bigint"), "cue_idx"
+    )
+
+
 def _q_dq_ruleset_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended DQDL rule types under the hash gate (dq.evaluate_ruleset
     round-4 additions): ColumnLength / IsPrimaryKey ride the single
@@ -6831,6 +6868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
+        "docs_subtitle_cues": _q_subtitles,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7123,6 +7161,20 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT event_type) = 5 FROM events
             ) t
             ORDER BY rule_type
+        """,
+        "docs_subtitle_cues": """
+            WITH cues AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id,
+                       CAST(unnest(range(1, 2 + CAST(doc_id % 4 AS INT))) AS INT) AS k
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT media_id, k AS cue_idx,
+                   CAST((k - 1) * 2000 + doc_id % 997 AS BIGINT) AS start_ms,
+                   CAST((k - 1) * 2000 + doc_id % 997 + 1500 AS BIGINT) AS end_ms,
+                   'line ' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+                       AS text
+            FROM cues
+            ORDER BY doc_id, cue_idx
         """,
         "multimodal_avi_metadata": """
             SELECT doc_id,

@@ -1563,6 +1563,72 @@ def decode_video_frames(
     )
 
 
+def parse_subtitles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """SRT / WebVTT subtitle cues as rows — the transcript layer a
+    video-curation pipeline aligns against :func:`frame_sample_plan` /
+    :func:`decode_video_frames`: one row per cue with ``cue_idx``
+    (1-based document order), ``start_ms``, ``end_ms``, ``text``
+    (multi-line cue text joined with newlines).
+
+    Both formats parse with ONE rule set: blocks split on blank lines,
+    the cue's timing line is the one containing ``-->`` (SRT ``,`` and
+    VTT ``.`` millisecond separators both accepted), everything after
+    it is cue text, everything before it (SRT index / VTT cue id /
+    WEBVTT header) is ignored.  Blocks without a timing line (headers,
+    NOTE blocks) yield no cue.  Pure JVM: split + HOFs + regexp, one
+    posexplode — no UDF; NULL/cue-less documents yield no rows (this is
+    an extraction like ``conversations_to_pairs``, not a scorer).
+    """
+    ts_re = r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
+    line_re = ts_re + r"\s*-->\s*" + ts_re
+    norm = F.regexp_replace(F.col(text_col), "\r\n?", "\n")
+    blocks = F.split(norm, r"\n\s*\n+")
+    ex = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("__i", "__blk")
+    ).where(F.col("__blk").rlike(line_re))
+    lines = F.split(F.col("__blk"), "\n")
+    tspos = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.size(lines)),
+            lambda i: F.element_at(lines, i).rlike(line_re),
+        ),
+        1,
+    )
+    tsline = F.element_at(lines, tspos)
+
+    def ms(base: int) -> "F.Column":
+        h = F.regexp_extract(tsline, line_re, base + 1).cast("long")
+        m = F.regexp_extract(tsline, line_re, base + 2).cast("long")
+        s = F.regexp_extract(tsline, line_re, base + 3).cast("long")
+        mm = F.regexp_extract(tsline, line_re, base + 4).cast("long")
+        return h * 3_600_000 + m * 60_000 + s * 1000 + mm
+
+    cue_text = F.array_join(
+        F.slice(lines, tspos + 1, F.greatest(F.size(lines) - tspos, F.lit(0))),
+        "\n",
+    )
+    out = ex.select(
+        F.col(id_col),
+        F.col("__i").alias("__blk_order"),
+        ms(0).alias("start_ms"),
+        ms(4).alias("end_ms"),
+        # Spark's trim strips SPACES only — newline-padded cue tails
+        # need the regexp form
+        F.regexp_replace(cue_text, r"^\s+|\s+$", "").alias("text"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("__blk_order")
+    return out.withColumn("cue_idx", F.row_number().over(w)).select(
+        id_col, "cue_idx", "start_ms", "end_ms", "text"
+    )
+
+
 def video_metadata(
     df: DataFrame,
     payload_col: str = "payload",

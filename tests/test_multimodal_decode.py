@@ -1133,3 +1133,30 @@ def test_decode_video_frames_real_mjpeg(spark):
 
     sampled = decode_video_frames(df, frame_indices=[0, 2]).collect()
     assert sorted(r.frame_idx for r in sampled) == [0, 2]
+
+
+def test_parse_subtitles_srt_and_vtt(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import parse_subtitles
+
+    srt = (
+        "1\r\n00:00:01,000 --> 00:00:04,200\r\nHello world\r\n\r\n"
+        "2\r\n00:01:02,500 --> 00:01:05,000\r\nSecond cue\r\nwith two lines\r\n"
+    )
+    vtt = (
+        "WEBVTT\n\nintro-cue\n00:00:00.000 --> 00:00:02.000\nVTT first\n\n"
+        "NOTE a comment block\n\n00:10:00.000 --> 00:10:30.123\n42\n"
+    )
+    df = spark.createDataFrame(
+        [("a", srt), ("b", vtt), ("c", "no cues here"), ("d", None)],
+        "media_id string, text string",
+    )
+    rows = {(r.media_id, r.cue_idx): r for r in parse_subtitles(df).collect()}
+    assert rows[("a", 1)].start_ms == 1000 and rows[("a", 1)].end_ms == 4200
+    assert rows[("a", 1)].text == "Hello world"
+    assert rows[("a", 2)].start_ms == 62500
+    assert rows[("a", 2)].text == "Second cue\nwith two lines"
+    assert rows[("b", 1)].text == "VTT first"
+    # an all-digit cue text must NOT be mistaken for an SRT index
+    assert rows[("b", 2)].text == "42"
+    assert rows[("b", 2)].end_ms == 600_000 + 30_123
+    assert {k[0] for k in rows} == {"a", "b"}  # headers/NOTE/cueless drop
