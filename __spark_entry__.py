@@ -926,6 +926,59 @@ def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cue_frame_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-caption alignment under the hash gate
+    (operators/multimodal.align_cues_to_frames = frame_sample_plan x
+    parse_subtitles through the bucketed interval_join): both sides are
+    analytic in doc_id, so the oracle is the plain containment join —
+    a bucketing bug (a boundary frame dropped at a bucket edge)
+    hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        align_cues_to_frames,
+        frame_sample_plan,
+        parse_subtitles,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    base = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 250")
+    cues = parse_subtitles(
+        base.selectExpr(
+            "CAST(doc_id AS STRING) AS media_id",
+            """
+            concat_ws('\n\n', transform(
+                sequence(1, 1 + CAST(doc_id % 4 AS INT)), k -> concat(
+                    CAST(k AS STRING), '\n',
+                    '00:00:', lpad(CAST(((k - 1) * 2000 + doc_id % 997) DIV 1000
+                                   AS STRING), 2, '0'),
+                    ',', lpad(CAST(((k - 1) * 2000 + doc_id % 997) % 1000
+                              AS STRING), 3, '0'),
+                    ' --> ',
+                    '00:00:', lpad(CAST(((k - 1) * 2000 + doc_id % 997 + 1500) DIV 1000
+                                   AS STRING), 2, '0'),
+                    ',', lpad(CAST(((k - 1) * 2000 + doc_id % 997 + 1500) % 1000
+                              AS STRING), 3, '0'),
+                    '\n', 'line ', CAST(doc_id AS STRING), '-', CAST(k AS STRING)
+                ))) AS text
+            """,
+        )
+    )
+    frames = frame_sample_plan(
+        base.selectExpr(
+            "CAST(doc_id AS STRING) AS media_id",
+            "CAST(10000 AS BIGINT) AS duration_ms",
+        ),
+        every_ms=1000,
+    )
+    return (
+        align_cues_to_frames(frames, cues, bucket_width_ms=2000)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "sample_ts_ms", "cue_idx", "text",
+        )
+        .orderBy("doc_id", "sample_ts_ms", "cue_idx")
+    )
+
+
 def _q_dq_ruleset_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended DQDL rule types under the hash gate (dq.evaluate_ruleset
     round-4 additions): ColumnLength / IsPrimaryKey ride the single
@@ -6869,6 +6922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
         "docs_subtitle_cues": _q_subtitles,
+        "multimodal_cue_frame_align": _q_cue_frame_align,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7175,6 +7229,28 @@ def oracle_sql() -> dict[str, str]:
                        AS text
             FROM cues
             ORDER BY doc_id, cue_idx
+        """,
+        "multimodal_cue_frame_align": """
+            WITH cues AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, 2 + CAST(doc_id % 4 AS INT))) AS INT) AS cue_idx
+                FROM documents WHERE doc_id < 250
+            ), spans AS (
+                SELECT doc_id, cue_idx,
+                       (cue_idx - 1) * 2000 + doc_id % 997 AS s,
+                       (cue_idx - 1) * 2000 + doc_id % 997 + 1500 AS e
+                FROM cues
+            ), ts AS (
+                SELECT doc_id, unnest(range(0, 10001, 1000)) AS sample_ts_ms
+                FROM documents WHERE doc_id < 250
+            )
+            SELECT t.doc_id, t.sample_ts_ms, sp.cue_idx,
+                   'line ' || CAST(t.doc_id AS VARCHAR) || '-'
+                           || CAST(sp.cue_idx AS VARCHAR) AS text
+            FROM ts t JOIN spans sp
+              ON t.doc_id = sp.doc_id
+             AND t.sample_ts_ms BETWEEN sp.s AND sp.e
+            ORDER BY t.doc_id, t.sample_ts_ms, sp.cue_idx
         """,
         "multimodal_avi_metadata": """
             SELECT doc_id,

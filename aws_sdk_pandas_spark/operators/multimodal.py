@@ -1629,6 +1629,39 @@ def parse_subtitles(
     )
 
 
+def align_cues_to_frames(
+    frames: DataFrame,
+    cues: DataFrame,
+    *,
+    id_col: str = "media_id",
+    frame_ts_col: str = "sample_ts_ms",
+    bucket_width_ms: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """(frame, caption) training pairs: join each planned/decoded frame
+    timestamp to the subtitle cue(s) on screen at that instant
+    (``start_ms <= ts <= end_ms``, same media) — the image-text pair
+    extraction for contrastive/captioning data, composing
+    :func:`frame_sample_plan` (or :func:`decode_video_frames` joined to
+    timestamps) with :func:`parse_subtitles`.  Uses the bucketed
+    ``interval_join`` rewrite, so the range predicate runs as an
+    equi-join on (media, time bucket) — never a nested-loop join.
+    ``how='left'`` keeps caption-less frames with NULL cue columns (the
+    negatives a contrastive pipeline also needs)."""
+    from aws_sdk_pandas_spark.operators.rangejoin import interval_join
+
+    return interval_join(
+        frames,
+        cues,
+        point_col=frame_ts_col,
+        start_col="start_ms",
+        end_col="end_ms",
+        by=[id_col],
+        bucket_width=float(bucket_width_ms),
+        how=how,
+    )
+
+
 def video_metadata(
     df: DataFrame,
     payload_col: str = "payload",

@@ -1160,3 +1160,33 @@ def test_parse_subtitles_srt_and_vtt(spark):
     assert rows[("b", 2)].text == "42"
     assert rows[("b", 2)].end_ms == 600_000 + 30_123
     assert {k[0] for k in rows} == {"a", "b"}  # headers/NOTE/cueless drop
+
+
+def test_align_cues_to_frames(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        align_cues_to_frames,
+        frame_sample_plan,
+        parse_subtitles,
+    )
+
+    srt = (
+        "1\n00:00:00,000 --> 00:00:02,500\nfirst caption\n\n"
+        "2\n00:00:04,000 --> 00:00:06,000\nsecond caption\n"
+    )
+    cues = parse_subtitles(
+        spark.createDataFrame([("v", srt)], "media_id string, text string")
+    )
+    frames = frame_sample_plan(
+        spark.createDataFrame([("v", 6000)], "media_id string, duration_ms bigint"),
+        every_ms=1000,
+    )  # ts 0..6000
+    got = align_cues_to_frames(frames, cues).collect()
+    pairs = sorted((r.sample_ts_ms, r.text) for r in got)
+    assert pairs == [
+        (0, "first caption"), (1000, "first caption"), (2000, "first caption"),
+        (4000, "second caption"), (5000, "second caption"), (6000, "second caption"),
+    ]
+    # left join keeps the caption-less frame at 3000
+    left = align_cues_to_frames(frames, cues, how="left").collect()
+    ts3000 = [r for r in left if r.sample_ts_ms == 3000]
+    assert len(ts3000) == 1 and ts3000[0].text is None
