@@ -926,6 +926,65 @@ def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy screen under the hash gate
+    (operators/multimodal.image_exif — APP1/TIFF IFD walk): JPEGs carry
+    spec-built EXIF with orientation = 1 + doc%8 and a GPS IFD iff
+    doc%3 = 0, so the oracle derives both in closed form — the has_gps
+    flag is the signal that routes payloads to strip_image_metadata."""
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_exif, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .select("doc_id")
+    )
+
+    def _app1(orientation: int, gps: bool) -> bytes:
+        n = 2 if gps else 1
+        ifd = struct.pack("<H", n)
+        ifd += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", orientation) + b"\x00\x00"
+        body = b""
+        if gps:
+            gps_off = 8 + 2 + 12 * n + 4
+            ifd += struct.pack("<HHI", 0x8825, 4, 1) + struct.pack("<I", gps_off)
+            body = struct.pack("<H", 0)
+        ifd += b"\x00" * 4
+        tiff = b"II" + struct.pack("<HI", 42, 8) + ifd + body
+        payload = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = make_test_media("jpeg", 16, 16)
+                payloads.append(
+                    base[0:2] + _app1(1 + d % 8, d % 3 == 0) + base[2:]
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_exif(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "exif_orientation",
+            "exif_has_gps",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_cue_frame_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-caption alignment under the hash gate
     (operators/multimodal.align_cues_to_frames = frame_sample_plan x
@@ -6923,6 +6982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_metadata": _q_avi_metadata,
         "docs_subtitle_cues": _q_subtitles,
         "multimodal_cue_frame_align": _q_cue_frame_align,
+        "multimodal_image_exif": _q_image_exif,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7229,6 +7289,14 @@ def oracle_sql() -> dict[str, str]:
                        AS text
             FROM cues
             ORDER BY doc_id, cue_idx
+        """,
+        "multimodal_image_exif": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 8 AS INT) AS exif_orientation,
+                   (doc_id % 3 = 0) AS exif_has_gps
+            FROM documents
+            WHERE doc_id < 300
+            ORDER BY doc_id
         """,
         "multimodal_cue_frame_align": """
             WITH cues AS (

@@ -1629,6 +1629,181 @@ def parse_subtitles(
     )
 
 
+def _exif_py(b: bytes | None) -> tuple:
+    """JPEG APP1/EXIF parse (TIFF IFD walk, both byte orders):
+    (orientation, make, model, datetime, has_gps).  Bounded: IFD0 + the
+    Exif sub-IFD, entry counts capped, offsets validated."""
+    none = (None, None, None, None, None)
+    if not b or len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return none
+    i, n = 2, len(b)
+    tiff = None
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: no more headers
+            break
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10 : i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return none
+    bo = tiff[0:2]
+    if bo == b"II":
+        end = "little"
+    elif bo == b"MM":
+        end = "big"
+    else:
+        return none
+
+    def u(off: int, ln: int) -> int:
+        return int.from_bytes(tiff[off : off + ln], end)
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+        out: dict[int, tuple[int, int, bytes]] = {}
+        if off + 2 > len(tiff):
+            return out
+        count = min(u(off, 2), 256)
+        for k in range(count):
+            e = off + 2 + 12 * k
+            if e + 12 > len(tiff):
+                break
+            tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}.get(typ, 1) * cnt
+            val_off = e + 8 if size <= 4 else u(e + 8, 4)
+            if val_off + size > len(tiff):
+                continue
+            out[tag] = (typ, cnt, tiff[val_off : val_off + size])
+        return out
+
+    def ascii_of(v: tuple | None) -> str | None:
+        if v is None or v[0] != 2:
+            return None
+        return v[2].split(b"\x00")[0].decode("ascii", "replace").strip() or None
+
+    def short_of(v: tuple | None) -> int | None:
+        if v is None or v[0] not in (3, 4):
+            return None
+        return int.from_bytes(v[2][: 2 if v[0] == 3 else 4], end)
+
+    ifd0 = read_ifd(u(4, 4))
+    orientation = short_of(ifd0.get(0x0112))
+    make = ascii_of(ifd0.get(0x010F))
+    model = ascii_of(ifd0.get(0x0110))
+    dt = ascii_of(ifd0.get(0x0132))
+    exif_ptr = ifd0.get(0x8769)
+    if exif_ptr is not None and exif_ptr[0] == 4:
+        sub = read_ifd(int.from_bytes(exif_ptr[2][:4], end))
+        dt = ascii_of(sub.get(0x9003)) or dt
+    has_gps = 0x8825 in ifd0
+    return (orientation, make, model, dt, has_gps)
+
+
+def image_exif(
+    df: DataFrame, *, payload_col: str = "payload", out_prefix: str = "exif"
+) -> DataFrame:
+    """Adds ``<prefix>_orientation``, ``<prefix>_make``,
+    ``<prefix>_model``, ``<prefix>_datetime``, ``<prefix>_has_gps``
+    parsed from JPEG APP1/EXIF (TIFF IFD walk, both byte orders) —
+    ``has_gps`` is the privacy screen that routes payloads to
+    :func:`strip_image_metadata`.  Non-JPEG / EXIF-less rows read NULLs;
+    one Arrow-batched kernel (IFDs sit at variable offsets)."""
+    @F.pandas_udf(
+        "orientation int, make string, model string, datetime string, has_gps boolean"
+    )
+    def _meta(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_exif_py(bytes(p) if p is not None else None) for p in payloads]
+        return pd.DataFrame(
+            rows, columns=["orientation", "make", "model", "datetime", "has_gps"]
+        )
+
+    m = _meta(F.col(payload_col))
+    out = df
+    for name in ("orientation", "make", "model", "datetime", "has_gps"):
+        out = out.withColumn(f"{out_prefix}_{name}", m[name])
+    return out
+
+
+def _strip_jpeg_meta(b: bytes) -> bytes:
+    """Remove APP1..APP15 and COM segments (EXIF/XMP/IPTC/comments);
+    APP0/JFIF and every structural segment stay — the pixels never
+    re-encode."""
+    out = bytearray(b[0:2])
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xDA:
+            out += b[i:]
+            return bytes(out)
+        if 0xD0 <= marker <= 0xD7 or marker in (0xD8, 0x01):
+            out += b[i : i + 2]
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if not (0xE1 <= marker <= 0xEF or marker == 0xFE):
+            out += b[i : i + 2 + seglen]
+        i += 2 + seglen
+    return bytes(out)
+
+
+def _strip_png_meta(b: bytes) -> bytes:
+    """Remove tEXt/zTXt/iTXt/eXIf/tIME chunks; critical and rendering
+    chunks stay byte-identical."""
+    drop = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+    out = bytearray(b[0:8])
+    i, n = 8, len(b)
+    while i + 8 <= n:
+        clen = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        total = 12 + clen
+        if ctype not in drop:
+            out += b[i : i + total]
+        i += total
+    return bytes(out)
+
+
+def strip_image_metadata(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Privacy scrub for image payloads before they enter a training
+    corpus: JPEG APP1..APP15 + COM segments (EXIF incl. GPS, XMP, IPTC,
+    comments) and PNG tEXt/zTXt/iTXt/eXIf/tIME chunks are removed at the
+    SEGMENT level — pixel data passes through byte-identical, nothing
+    re-encodes.  Other formats pass through unchanged (BMP/GIF carry no
+    standard metadata segments).  Map-only Arrow kernel; ``out_col``
+    defaults to overwriting ``payload_col``."""
+    target = out_col or payload_col
+
+    @F.pandas_udf("binary")
+    def _strip(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            raw = bytes(p)
+            if raw[0:2] == b"\xff\xd8":
+                out.append(_strip_jpeg_meta(raw))
+            elif raw[0:8] == b"\x89PNG\r\n\x1a\n":
+                out.append(_strip_png_meta(raw))
+            else:
+                out.append(raw)
+        return pd.Series(out)
+
+    return df.withColumn(target, _strip(F.col(payload_col)))
+
+
 def align_cues_to_frames(
     frames: DataFrame,
     cues: DataFrame,

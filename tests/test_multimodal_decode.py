@@ -1190,3 +1190,124 @@ def test_align_cues_to_frames(spark):
     left = align_cues_to_frames(frames, cues, how="left").collect()
     ts3000 = [r for r in left if r.sample_ts_ms == 3000]
     assert len(ts3000) == 1 and ts3000[0].text is None
+
+
+# ---------------------------------------------------------------------------
+# EXIF parse + metadata stripping (privacy scrub)
+# ---------------------------------------------------------------------------
+
+
+def _exif_app1(*, orientation=None, make=None, model=None, dt=None,
+               gps=False, byte_order="II"):
+    """Test-side EXIF APP1 builder (TIFF IFD written from the spec)."""
+    import struct
+
+    end = "<" if byte_order == "II" else ">"
+    entries = []
+    extra = bytearray()
+
+    def add(tag, typ, cnt, val_bytes):
+        entries.append((tag, typ, cnt, val_bytes))
+
+    if make:
+        add(0x010F, 2, len(make) + 1, make.encode() + b"\x00")
+    if model:
+        add(0x0110, 2, len(model) + 1, model.encode() + b"\x00")
+    if orientation is not None:
+        add(0x0112, 3, 1, struct.pack(end + "H", orientation) + b"\x00\x00")
+    if dt:
+        add(0x0132, 2, len(dt) + 1, dt.encode() + b"\x00")
+    if gps:
+        add(0x8825, 4, 1, None)  # pointer patched below
+
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    data_off = 8 + ifd_size
+    body = bytearray()
+    ifd = bytearray(struct.pack(end + "H", n))
+    for tag, typ, cnt, vb in sorted(entries):
+        if tag == 0x8825:
+            gps_off = data_off + len(body)
+            body += struct.pack(end + "H", 0)  # empty GPS IFD
+            vb4 = struct.pack(end + "I", gps_off)
+        elif len(vb) <= 4:
+            vb4 = vb + b"\x00" * (4 - len(vb))
+        else:
+            vb4 = struct.pack(end + "I", data_off + len(body))
+            body += vb
+        ifd += struct.pack(end + "HHI", tag, typ, cnt) + vb4
+    ifd += b"\x00" * 4  # next-IFD = none
+    tiff = (
+        (b"II" if byte_order == "II" else b"MM")
+        + struct.pack(end + "H", 42) + struct.pack(end + "I", 8)
+        + bytes(ifd) + bytes(body)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def test_image_exif_parse(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import image_exif
+
+    rgb = _solid_rgb(8, 8, (10, 20, 30))
+    base = _jpeg_encode(rgb, 8, 8)
+    app1 = _exif_app1(orientation=6, make="TestCam", model="X100",
+                      dt="2024:01:02 03:04:05", gps=True)
+    with_exif = base[0:2] + app1 + base[2:]
+    app1_mm = _exif_app1(orientation=3, byte_order="MM")
+    with_mm = base[0:2] + app1_mm + base[2:]
+    df = spark.createDataFrame(
+        [("a", bytearray(with_exif)), ("b", bytearray(base)),
+         ("c", None), ("d", bytearray(with_mm))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in image_exif(df).collect()}
+    a = rows["a"]
+    assert (a.exif_orientation, a.exif_make, a.exif_model) == (6, "TestCam", "X100")
+    assert a.exif_datetime == "2024:01:02 03:04:05" and a.exif_has_gps is True
+    assert rows["b"].exif_orientation is None and rows["b"].exif_has_gps is None
+    assert rows["c"].exif_orientation is None
+    assert rows["d"].exif_orientation == 3  # big-endian TIFF
+
+
+def test_strip_image_metadata_jpeg_and_png(spark):
+    import zlib as _z
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_image,
+        image_exif,
+        strip_image_metadata,
+    )
+
+    rgb = _solid_rgb(8, 8, (200, 100, 50))
+    base = _jpeg_encode(rgb, 8, 8)
+    app1 = _exif_app1(orientation=6, gps=True, make="TestCam")
+    dirty_jpeg = base[0:2] + app1 + b"\xff\xfe\x00\x07hello" + base[2:]
+
+    png = make_test_media("png", 4, 2, pixels=bytes(range(24)))
+    # splice a tEXt chunk after IHDR (8-byte sig + 25-byte IHDR chunk)
+    import struct
+    text = b"tEXt" + b"Author\x00secret"
+    chunk = struct.pack(">I", len(text) - 4) + text + struct.pack(
+        ">I", _z.crc32(text) & 0xFFFFFFFF
+    )
+    dirty_png = png[:33] + chunk + png[33:]
+
+    df = spark.createDataFrame(
+        [("j", bytearray(dirty_jpeg)), ("p", bytearray(dirty_png)), ("n", None)],
+        "media_id string, payload binary",
+    )
+    clean = strip_image_metadata(df)
+    rows = {r.media_id: r.payload for r in clean.collect()}
+    assert rows["n"] is None
+    # EXIF + GPS gone, comment gone, pixels decode identically
+    got = image_exif(clean).where("media_id = 'j'").first()
+    assert got.exif_has_gps is None and got.exif_orientation is None
+    assert b"hello" not in bytes(rows["j"])
+    w, h, pix = decode_image(bytes(rows["j"]))
+    w0, h0, pix0 = decode_image(base)
+    assert (w, h, pix) == (w0, h0, pix0)
+    # PNG: tEXt removed, pixels identical
+    assert b"secret" not in bytes(rows["p"])
+    w, h, pix = decode_image(bytes(rows["p"]))
+    assert (w, h) == (4, 2) and pix == bytes(range(24))
