@@ -6846,6 +6846,25 @@ def _q_cypher_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cypher_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle patterns under the hash gate (connectors/opencypher.py —
+    a repeated node variable closes the chain back on its first binding
+    via alias + id-equality): (u)-[:did]->(t)<-[:did]-(u) counts ordered
+    pairs of DISTINCT events a user did of the same type (relationship
+    uniqueness excludes re-using one edge both ways), so the oracle is
+    sum(c*(c-1)) over the per-(user, type) count table."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_opencypher
+
+    vertices, edges = _gremlin_graph(spark, sf_dir)
+    return execute_opencypher(
+        {"root": ""},
+        "MATCH (u:user)-[:did]->(t:etype)<-[:did]-(u) "
+        "RETURN t AS etype, count(*) AS n ORDER BY etype",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
 def _q_cleanrooms_protected_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clean Rooms protected aggregation under the hash gate
     (cleanrooms.read_sql_query, reference: cleanrooms/_read.py:29): a
@@ -6988,6 +7007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_preference_screen": _q_preference_screen,
         "graph_gremlin_edge_filter": _q_gremlin_edge_filter,
         "graph_gremlin_branch_limit": _q_gremlin_branch_limit,
+        "graph_cypher_cycle": _q_cypher_cycle,
         "graph_gremlin_select": _q_gremlin_select,
         "graph_cypher_optional_match": _q_cypher_optional_match,
         "graph_cypher_with_pipeline": _q_cypher_with_pipeline,
@@ -8999,6 +9019,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS count
             FROM events
             WHERE value > 50
+        """,
+        "graph_cypher_cycle": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT event_type AS etype, CAST(SUM(c * (c - 1)) AS BIGINT) AS n
+            FROM c
+            GROUP BY event_type
+            HAVING SUM(c * (c - 1)) > 0
+            ORDER BY etype
         """,
         "graph_gremlin_branch_limit": """
             WITH ranked AS (

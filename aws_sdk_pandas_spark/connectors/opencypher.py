@@ -18,7 +18,10 @@ Supported grammar::
 
 - multiple patterns (comma) and multiple MATCH clauses join on their
   SHARED node variables (natural equi-join on the shared columns);
-  disconnected patterns produce Cypher's cartesian product
+  disconnected patterns produce Cypher's cartesian product; a node
+  variable REPEATED within one chain closes a cycle —
+  ``(a)-[:X]->(b)-[:Y]->(a)`` — compiled as a private alias plus an
+  id-equality filter back to the first binding
 - ``OPTIONAL MATCH`` compiles to a LEFT join on the shared variables;
   its WHERE participates in the matching (Cypher semantics), so it is
   applied before the left join and may only reference the optional
@@ -477,12 +480,22 @@ def _compile_chain(
             df = df.where(F.col(f"{var}_label") == label)
         return _apply_inline_props(df, var, props)
 
-    seen_vars = [v for v, _l, _p in nodes]
-    if len(set(seen_vars)) != len(seen_vars):
-        raise InvalidArgument(
-            "repeated node variables within one path chain are not supported; "
-            "split the pattern at the repeated variable into comma patterns"
-        )
+    # a repeated node variable closes a CYCLE in the chain —
+    # (a)-[:X]->(b)-[:Y]->(a) — Cypher's triangle/loop idiom.  Each
+    # re-occurrence compiles under a private alias and an id-equality
+    # filter back to the first binding; the alias columns are dropped.
+    seen_vars: set[str] = set()
+    dup_aliases: list[tuple[str, str]] = []  # (original, alias)
+    renamed = []
+    for var, label, props in nodes:
+        if var in seen_vars:
+            alias = f"__cyc{tag}{len(dup_aliases) + 1}"
+            dup_aliases.append((var, alias))
+            renamed.append((alias, label, props))
+        else:
+            seen_vars.add(var)
+            renamed.append((var, label, props))
+    nodes = renamed
 
     var0, label0, props0 = nodes[0]
     cur = node_frame(var0, label0, props0)
@@ -587,6 +600,10 @@ def _compile_chain(
         known.add(nvar)
         known.add(evar)
         prev = nvar
+    for orig, alias in dup_aliases:
+        cur = cur.where(F.col(f"{orig}_id") == F.col(f"{alias}_id"))
+        cur = cur.drop(*[c for c in cur.columns if c.startswith(f"{alias}_")])
+        known.discard(alias)
     return cur, known, fixed_eids, seg_arrays
 
 

@@ -377,8 +377,30 @@ def test_cypher_errors(modern):
         _cy(modern, "CREATE (n:thing) RETURN n")
     with pytest.raises(InvalidArgument, match="both <- and ->"):
         _cy(modern, "MATCH (a)<-[:x]->(b) RETURN a")
-    with pytest.raises(InvalidArgument, match="repeated node variables"):
-        _cy(modern, "MATCH (a)-[:x]->(a) RETURN a")
+
+
+def test_cypher_cycle_patterns(modern):
+    """A repeated node variable within one chain closes a cycle —
+    compiled as a private alias + id-equality back to the first
+    binding."""
+    # triangle: a knows b, b created c, a created the same c
+    rows = _cy(
+        modern,
+        "MATCH (a:person)-[:knows]->(b:person)-[:created]->(c)<-[:created]-(a) "
+        "RETURN a.name AS a, b.name AS b, c.name AS c",
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [("marko", "josh", "lop")]
+    # self-loop: no vertex knows itself in the modern graph
+    assert _cy(modern, "MATCH (a)-[:knows]->(a) RETURN a").count() == 0
+    # a label on the re-occurrence constrains the SAME binding: a person
+    # cannot equal a software vertex, so the cycle is empty
+    assert (
+        _cy(
+            modern,
+            "MATCH (a:person)-[:knows]->(b)-[:created]->(a:software) RETURN a",
+        ).count()
+        == 0
+    )
 
 
 # ---------------------------------------------------------------------------
