@@ -926,6 +926,55 @@ def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame parsing under the hash gate
+    (operators/multimodal.audio_tags): tag values are formulas of
+    doc_id, so the oracle re-derives title/artist/year in closed form;
+    a frame-size miscount (v2.3 plain vs v2.4 syncsafe) shifts every
+    following frame and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_tags, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 250")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    make_test_media(
+                        "mp3", mp3_frames=2,
+                        id3_frames={
+                            "TIT2": f"track-{d}",
+                            "TPE1": f"artist-{d % 12}",
+                            "TYER": str(1980 + d % 40),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        audio_tags(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "tag_title", "tag_artist", "tag_year",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF privacy screen under the hash gate
     (operators/multimodal.image_exif — APP1/TIFF IFD walk): JPEGs carry
@@ -7002,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_subtitle_cues": _q_subtitles,
         "multimodal_cue_frame_align": _q_cue_frame_align,
         "multimodal_image_exif": _q_image_exif,
+        "multimodal_audio_tags": _q_audio_tags,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7309,6 +7359,15 @@ def oracle_sql() -> dict[str, str]:
                        AS text
             FROM cues
             ORDER BY doc_id, cue_idx
+        """,
+        "multimodal_audio_tags": """
+            SELECT doc_id,
+                   'track-' || CAST(doc_id AS VARCHAR) AS tag_title,
+                   'artist-' || CAST(doc_id % 12 AS VARCHAR) AS tag_artist,
+                   CAST(1980 + doc_id % 40 AS VARCHAR) AS tag_year
+            FROM documents
+            WHERE doc_id < 250
+            ORDER BY doc_id
         """,
         "multimodal_image_exif": """
             SELECT doc_id,

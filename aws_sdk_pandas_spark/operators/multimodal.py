@@ -1302,6 +1302,72 @@ def _ogg_meta_py(b: bytes | None) -> tuple | None:
     return None
 
 
+_ID3_TEXT = {"TIT2": "title", "TPE1": "artist", "TALB": "album",
+             "TDRC": "year", "TYER": "year"}
+
+
+def _id3_tags_py(b: bytes | None) -> tuple:
+    """ID3v2.3/2.4 text frames: (title, artist, album, year).  Frame
+    sizes are syncsafe in v2.4, plain in v2.3; text encodings 0/1/2/3
+    (latin-1 / utf-16 BOM / utf-16be / utf-8) all decoded."""
+    none = (None, None, None, None)
+    if not b or len(b) < 10 or b[0:3] != b"ID3":
+        return none
+    ver = b[3]
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    end = min(10 + size, len(b))
+    out = {"title": None, "artist": None, "album": None, "year": None}
+    i = 10
+    while i + 10 <= end:
+        fid = b[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        if ver >= 4:
+            flen = (b[i + 4] << 21) | (b[i + 5] << 14) | (b[i + 6] << 7) | b[i + 7]
+        else:
+            flen = int.from_bytes(b[i + 4 : i + 8], "big")
+        body = b[i + 10 : i + 10 + flen]
+        key = _ID3_TEXT.get(fid.decode("ascii", "replace"))
+        if key and out[key] is None and body:
+            enc = body[0]
+            raw = body[1:]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")
+                elif enc == 2:
+                    text = raw.decode("utf-16-be")
+                else:
+                    text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                text = None
+            if text:
+                out[key] = text.split("\x00")[0].strip() or None
+        i += 10 + flen
+    return (out["title"], out["artist"], out["album"], out["year"])
+
+
+def audio_tags(
+    df: DataFrame, payload_col: str = "payload", *, out_prefix: str = "tag"
+) -> DataFrame:
+    """Adds ``<prefix>_title``, ``<prefix>_artist``, ``<prefix>_album``,
+    ``<prefix>_year`` from ID3v2 text frames (MP3's descriptive
+    metadata, next to :func:`audio_metadata`'s technical fields) — the
+    provenance/attribution layer of an audio-curation pipeline.
+    Non-ID3 rows read NULLs; one Arrow-batched kernel."""
+    @F.pandas_udf("title string, artist string, album string, year string")
+    def _tags(payloads: pd.Series) -> pd.DataFrame:
+        rows = [_id3_tags_py(bytes(p) if p is not None else None) for p in payloads]
+        return pd.DataFrame(rows, columns=["title", "artist", "album", "year"])
+
+    m = _tags(F.col(payload_col))
+    out = df
+    for name in ("title", "artist", "album", "year"):
+        out = out.withColumn(f"{out_prefix}_{name}", m[name])
+    return out
+
+
 def _audio_meta_py(b: bytes | None) -> tuple:
     """Route on magic bytes across every common audio container."""
     for parser in (_wav_meta_py, _flac_meta_py, _ogg_meta_py, _mp3_meta_py):
@@ -2128,6 +2194,16 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
         )
         frame = hdr4 + b"\x00" * (frame_len - 4)
         out = bytearray()
+        frames_kw = kw.get("id3_frames")  # {'TIT2': 'Song', ...} -> v2.3 tag
+        if frames_kw:
+            fr = bytearray()
+            for fid, text in frames_kw.items():
+                body = b"\x00" + text.encode("latin-1")  # enc 0 = latin-1 (v2.3)
+                fr += fid.encode("ascii") + _s.pack(">I", len(body)) + b"\x00\x00" + body
+            tag = len(fr)
+            out += b"ID3\x03\x00\x00" + bytes(
+                [(tag >> 21) & 0x7F, (tag >> 14) & 0x7F, (tag >> 7) & 0x7F, tag & 0x7F]
+            ) + bytes(fr)
         tag = kw.get("id3_size")
         if tag is not None:
             out += b"ID3\x04\x00\x00" + bytes(

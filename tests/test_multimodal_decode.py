@@ -1311,3 +1311,53 @@ def test_strip_image_metadata_jpeg_and_png(spark):
     assert b"secret" not in bytes(rows["p"])
     w, h, pix = decode_image(bytes(rows["p"]))
     assert (w, h) == (4, 2) and pix == bytes(range(24))
+
+
+def test_audio_tags_id3(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import audio_metadata, audio_tags
+
+    tagged = make_test_media(
+        "mp3", sample_rate=44100, bitrate_kbps=128, mp3_frames=4,
+        id3_frames={"TIT2": "My Song", "TPE1": "The Band",
+                    "TALB": "Album X", "TYER": "1999"},
+    )
+    plain = make_test_media("mp3", mp3_frames=4)
+    wav = make_test_media("wav")
+    df = spark.createDataFrame(
+        [("t", bytearray(tagged)), ("p", bytearray(plain)),
+         ("w", bytearray(wav)), ("n", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_tags(df).collect()}
+    t = rows["t"]
+    assert (t.tag_title, t.tag_artist, t.tag_album, t.tag_year) == (
+        "My Song", "The Band", "Album X", "1999",
+    )
+    assert rows["p"].tag_title is None and rows["w"].tag_title is None
+    assert rows["n"].tag_title is None
+    # the technical parse still skips the v2.3 tag correctly
+    m = audio_metadata(df).where("media_id = 't'").first()
+    assert (m.audio_codec, m.audio_sample_rate) == ("mp3", 44100)
+
+
+def test_audio_tags_utf16(spark):
+    import struct
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_tags
+
+    # hand-built v2.4 tag: TIT2 with utf-16 BOM text, syncsafe frame size
+    text = "Café ☕".encode("utf-16")
+    body = b"\x01" + text
+    frame = b"TIT2" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    ) + b"\x00\x00" + body
+    n = len(frame)
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    ) + frame
+    df = spark.createDataFrame(
+        [("x", bytearray(tag + b"\xff\xfb\x92\x00" + b"\x00" * 300))],
+        "media_id string, payload binary",
+    )
+    assert audio_tags(df).first().tag_title == "Café ☕"
