@@ -926,6 +926,57 @@ def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-curation gauntlet under the hash gate
+    (operators/multimodal.curate_media = sniff -> size gate -> dHash
+    near-dup collapse -> metadata scrub): 30 groups of byte-identical
+    BMPs (4 docs each) collapse at Hamming distance 0 to the group's
+    minimum doc_id — exactly MIN(doc_id) GROUP BY doc_id%30 in the
+    oracle; distinct groups use pseudorandom pixel patterns whose
+    dHashes were verified non-colliding at distance 0."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import curate_media, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 120")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = int(d) % 30
+                px = bytes(
+                    ((g * 37 + r * 11 + c * 7) * 13) % 256
+                    for r in range(16) for c in range(16) for _ in range(3)
+                )
+                payloads.append(make_test_media("bmp", 16, 16, pixels=px))
+            # zero-padded ids: the dedup keeper is the MIN STRING id, and
+            # padding makes string order equal numeric order
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(int).map("{:06d}".format),
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    kept = curate_media(
+        media, image_dedup_distance=0, audio_dedup_distance=None,
+        scrub_metadata=False,
+    )
+    return (
+        kept.select(F.col("media_id").cast("bigint").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_audio_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 text-frame parsing under the hash gate
     (operators/multimodal.audio_tags): tag values are formulas of
@@ -7052,6 +7103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_cue_frame_align": _q_cue_frame_align,
         "multimodal_image_exif": _q_image_exif,
         "multimodal_audio_tags": _q_audio_tags,
+        "multimodal_curate_media": _q_curate_media,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7359,6 +7411,13 @@ def oracle_sql() -> dict[str, str]:
                        AS text
             FROM cues
             ORDER BY doc_id, cue_idx
+        """,
+        "multimodal_curate_media": """
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            WHERE doc_id < 120
+            GROUP BY doc_id % 30
+            ORDER BY doc_id
         """,
         "multimodal_audio_tags": """
             SELECT doc_id,

@@ -1870,6 +1870,85 @@ def strip_image_metadata(
     return df.withColumn(target, _strip(F.col(payload_col)))
 
 
+def curate_media(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    formats: list[str] | None = None,
+    min_bytes: int = 64,
+    image_dedup_distance: int | None = 4,
+    audio_dedup_distance: int | None = 4,
+    scrub_metadata: bool = True,
+) -> DataFrame:
+    """The media-curation gauntlet as ONE call — the binary-column
+    analog of :func:`~aws_sdk_pandas_spark.operators.pipeline.
+    curate_corpus`:
+
+    1. format sniff (``format`` column added; NULL/undersized/unknown
+       payloads DROP — a media corpus keeps only what it can name)
+    2. optional ``formats`` whitelist
+    3. perceptual near-dup removal: images by dHash Hamming banding,
+       WAV audio by energy-envelope hash — the smallest id per
+       duplicate cluster survives (deterministic)
+    4. privacy scrub (:func:`strip_image_metadata`) of the survivors
+
+    Returns the surviving rows (original columns + ``format`` +
+    ``n_bytes``).  Scale shape: the sniff/size/whitelist stages are
+    pure codegen; dedup shuffles only (id, 8-byte hash) pairs through
+    the shared Hamming banding; the scrub is a map-only Arrow pass over
+    the survivors.
+    """
+    from aws_sdk_pandas_spark.operators.graph import connected_components
+
+    out = (
+        df.withColumn("format", sniff_format(payload_col))
+        .withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+        .where(
+            F.col(payload_col).isNotNull()
+            & (F.col("format") != "unknown")
+            & (F.col("n_bytes") >= min_bytes)
+        )
+    )
+    if formats is not None:
+        out = out.where(F.col("format").isin(list(formats)))
+
+    def _drop_dup_ids(pairs: DataFrame) -> DataFrame:
+        # cluster_id IS the minimum reachable id — the deterministic keeper
+        comps = connected_components(pairs)
+        return comps.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("__drop_id")
+        )
+
+    if image_dedup_distance is not None:
+        imgs = out.where(
+            F.col("format").isin(["png", "gif", "bmp", "jpeg"])
+        ).select(id_col, payload_col)
+        pairs = dedup_images_dhash(
+            imgs, payload_col=payload_col, id_col=id_col,
+            max_distance=image_dedup_distance,
+        )
+        out = out.join(
+            _drop_dup_ids(pairs),
+            out[id_col] == F.col("__drop_id"),
+            "left_anti",
+        )
+    if audio_dedup_distance is not None:
+        wavs = out.where(F.col("format") == "wav").select(id_col, payload_col)
+        pairs = dedup_audio_dhash(
+            wavs, payload_col=payload_col, id_col=id_col,
+            max_distance=audio_dedup_distance,
+        )
+        out = out.join(
+            _drop_dup_ids(pairs),
+            out[id_col] == F.col("__drop_id"),
+            "left_anti",
+        )
+    if scrub_metadata:
+        out = strip_image_metadata(out, payload_col=payload_col)
+    return out
+
+
 def align_cues_to_frames(
     frames: DataFrame,
     cues: DataFrame,

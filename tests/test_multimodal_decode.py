@@ -1361,3 +1361,49 @@ def test_audio_tags_utf16(spark):
         "media_id string, payload binary",
     )
     assert audio_tags(df).first().tag_title == "Café ☕"
+
+
+def test_curate_media_end_to_end(spark):
+    """The media gauntlet: junk dropped, near-dup images collapse to the
+    min id, EXIF stripped from survivors, audio deduped independently."""
+    import struct as _struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import curate_media, image_exif
+
+    base_px = bytes([((r * 16 + c) * 7) % 256 for r in range(16) for c in range(16)
+                     for _ in range(3)])
+    jpg = _jpeg_encode(base_px, 16, 16)
+    jpg_exif = jpg[0:2] + _exif_app1(orientation=6, gps=True) + jpg[2:]
+    png_same = make_test_media("png", 16, 16, pixels=base_px)  # same picture
+    other_px = bytes(reversed(base_px))
+    png_other = make_test_media("png", 16, 16, pixels=other_px)
+
+    pcm = np.round(0.4 * 32767 * np.sin(np.arange(4000) / 5.0)).astype(np.int16)
+    wav1 = make_test_media("wav", sample_rate=8000, channels=1, bits=16,
+                           data=pcm.tobytes())
+    wav2 = make_test_media("wav", sample_rate=8000, channels=1, bits=16,
+                           data=(pcm // 2).tobytes())  # gain change: near-dup
+
+    rows = [
+        ("a1", bytearray(jpg_exif)),
+        ("a2", bytearray(png_same)),     # image near-dup of a1
+        ("b", bytearray(png_other)),
+        ("w1", bytearray(wav1)),
+        ("w2", bytearray(wav2)),         # audio near-dup of w1
+        ("junk", bytearray(b"\x00\x01" * 100)),
+        ("tiny", bytearray(b"BM")),      # under min_bytes
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = curate_media(df)
+    kept = {r.media_id: r for r in out.collect()}
+    assert sorted(kept) == ["a1", "b", "w1"]
+    assert kept["a1"].format == "jpeg" and kept["w1"].format == "wav"
+    # survivors are scrubbed: the EXIF GPS is gone from a1's payload
+    scrubbed = image_exif(out).where("media_id = 'a1'").first()
+    assert scrubbed.exif_has_gps is None
+    # whitelist: audio-only corpus
+    audio_only = curate_media(df, formats=["wav"])
+    assert sorted(r.media_id for r in audio_only.collect()) == ["w1"]
