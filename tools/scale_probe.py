@@ -423,6 +423,39 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     audio_spectral_features(media).select(F.sum("n_frames")).collect()
     timings["audio_spectral"] = round(time.time() - t0, 2)
 
+    # conversation + subtitle operators (round 4): JVM HOF screens and
+    # one-explode extractions — map-only / single-window shapes
+    from aws_sdk_pandas_spark.operators.conversations import (
+        conversations_to_pairs,
+        validate_conversations,
+    )
+    from aws_sdk_pandas_spark.operators.multimodal import parse_subtitles
+
+    conv = docs_ids.selectExpr(
+        "doc_id",
+        "transform(sequence(1, 2 + CAST(doc_id % 6 AS INT) * 2), i -> struct("
+        "CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, "
+        "concat('turn ', CAST(doc_id AS STRING), '-', CAST(i AS STRING), ' ', "
+        "repeat('w ', 30)) AS content)) AS conversation",
+    )
+    t0 = time.time()
+    validate_conversations(conv).where("conv_valid").count()
+    timings["conv_validate"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    conversations_to_pairs(conv).count()
+    timings["conv_pairs"] = round(time.time() - t0, 2)
+    srt = docs_ids.selectExpr(
+        "CAST(doc_id AS STRING) AS media_id",
+        "concat_ws('\\n\\n', transform(sequence(1, 1 + CAST(doc_id % 8 AS INT)), "
+        "k -> concat(CAST(k AS STRING), '\\n00:00:', "
+        "lpad(CAST((k * 2) AS STRING), 2, '0'), ',000 --> 00:00:', "
+        "lpad(CAST((k * 2 + 1) AS STRING), 2, '0'), ',500\\ncue text ', "
+        "CAST(doc_id AS STRING)))) AS text",
+    )
+    t0 = time.time()
+    parse_subtitles(srt).count()
+    timings["subtitle_cues"] = round(time.time() - t0, 2)
+
     timings["_minhash_pairs"] = n_pairs
     timings["_triangles"] = n_tri
     return timings
