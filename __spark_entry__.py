@@ -926,6 +926,47 @@ def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window exact quantile under the hash gate
+    (operators/timeseries.rolling_quantile — ONE range-frame window):
+    the rolling median of event values over the trailing hour per event
+    type; the oracle is DuckDB's quantile_cont over the identical
+    microsecond RANGE frame (both engines interpolate)."""
+    from aws_sdk_pandas_spark.operators.timeseries import rolling_quantile
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        rolling_quantile(
+            ev, ts_col="ts", value_col="value", q=0.5,
+            by=["event_type"], window_seconds=3600, out_col="rq",
+        )
+        .select("event_id", "rq")
+        .orderBy("event_id")
+    )
+
+
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding under the hash gate
+    (operators/features.target_encode): per-category
+    (sum + m*prior)/(n + m) with the global prior broadcast back — the
+    oracle recomputes the same shrinkage in SQL."""
+    from aws_sdk_pandas_spark.operators.features import target_encode
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").withColumn(
+        "is_big", (F.col("o_totalprice") > 150000).cast("int")
+    )
+    return (
+        target_encode(
+            orders, cat_col="o_orderpriority", label_col="is_big",
+            smoothing=20.0, out_col="te",
+        )
+        .select("o_orderkey", "te")
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-curation gauntlet under the hash gate
     (operators/multimodal.curate_media = sniff -> size gate -> dHash
@@ -7104,6 +7145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_exif": _q_image_exif,
         "multimodal_audio_tags": _q_audio_tags,
         "multimodal_curate_media": _q_curate_media,
+        "events_rolling_quantile": _q_rolling_quantile,
+        "orders_target_encode": _q_target_encode,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7411,6 +7454,31 @@ def oracle_sql() -> dict[str, str]:
                        AS text
             FROM cues
             ORDER BY doc_id, cue_idx
+        """,
+        "events_rolling_quantile": """
+            SELECT event_id,
+                   CAST(ROUND(quantile_cont(value, 0.5) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ), 6) AS DOUBLE) AS rq
+            FROM events
+            ORDER BY event_id
+        """,
+        "orders_target_encode": """
+            WITH lab AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+                FROM orders
+            ), prior AS (SELECT AVG(y) AS p FROM lab),
+            cat AS (
+                SELECT o_orderpriority, SUM(y) AS s, COUNT(*) AS n
+                FROM lab GROUP BY o_orderpriority
+            )
+            SELECT l.o_orderkey,
+                   CAST(ROUND((c.s + 20.0 * pr.p) / (c.n + 20.0), 6) AS DOUBLE) AS te
+            FROM lab l JOIN cat c USING (o_orderpriority), prior pr
+            ORDER BY l.o_orderkey
         """,
         "multimodal_curate_media": """
             SELECT MIN(doc_id) AS doc_id
