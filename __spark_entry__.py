@@ -967,6 +967,21 @@ def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frequency_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding under the hash gate
+    (operators/features.frequency_encode): each category's row share,
+    recomputed by the oracle as a windowless count/total join."""
+    from aws_sdk_pandas_spark.operators.features import frequency_encode
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return (
+        frequency_encode(orders, cat_col="o_orderpriority", out_col="fe")
+        .select("o_orderkey", "fe")
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-curation gauntlet under the hash gate
     (operators/multimodal.curate_media = sniff -> size gate -> dHash
@@ -7147,6 +7162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_curate_media": _q_curate_media,
         "events_rolling_quantile": _q_rolling_quantile,
         "orders_target_encode": _q_target_encode,
+        "orders_frequency_encode": _q_frequency_encode,
         "docs_conv_validate": _q_conv_validate,
         "docs_conv_pairs": _q_conv_pairs,
         "docs_preference_screen": _q_preference_screen,
@@ -7464,6 +7480,18 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS DOUBLE) AS rq
             FROM events
             ORDER BY event_id
+        """,
+        "orders_frequency_encode": """
+            WITH cat AS (
+                SELECT o_orderpriority, COUNT(*) AS n FROM orders
+                WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+            ), tot AS (
+                SELECT COUNT(*) AS t FROM orders WHERE o_orderpriority IS NOT NULL
+            )
+            SELECT o.o_orderkey,
+                   CAST(ROUND(c.n / CAST(tt.t AS DOUBLE), 6) AS DOUBLE) AS fe
+            FROM orders o LEFT JOIN cat c USING (o_orderpriority), tot tt
+            ORDER BY o.o_orderkey
         """,
         "orders_target_encode": """
             WITH lab AS (
