@@ -2092,6 +2092,8 @@ def test_cypher_random_patterns_match_naive_evaluator(spark):
         vmap = {x[0]: x for x in verts}
 
         nhops = rng.randint(1, 2)
+        # sometimes close the chain back on a0 — the cycle idiom
+        cycle = nhops >= 2 and rng.random() < 0.4
         hops = []
         pat = "(a0"
         vlab0 = rng.choice([None, "person", "robot"])
@@ -2103,9 +2105,14 @@ def test_cypher_random_patterns_match_naive_evaluator(spark):
             direction = rng.choice(["out", "in", "any"])
             etxt = f"[:{elab}]" if elab else "[]"
             arrow = {"out": f"-{etxt}->", "in": f"<-{etxt}-", "any": f"-{etxt}-"}[direction]
-            vlab = rng.choice([None, "person", "robot"])
-            pat += f"{arrow}(a{h + 1}" + (f":{vlab}" if vlab else "") + ")"
-            hops.append((elab, direction, vlab))
+            last = h == nhops - 1
+            if cycle and last:
+                pat += f"{arrow}(a0)"
+                hops.append((elab, direction, None, True))
+            else:
+                vlab = rng.choice([None, "person", "robot"])
+                pat += f"{arrow}(a{h + 1}" + (f":{vlab}" if vlab else "") + ")"
+                hops.append((elab, direction, vlab, False))
         age_min = rng.randint(20, 55) if rng.random() < 0.5 else None
         where = f" WHERE a0.age > {age_min}" if age_min is not None else ""
         q = f"MATCH {pat}{where} RETURN count(*) AS n"
@@ -2133,15 +2140,18 @@ def test_cypher_random_patterns_match_naive_evaluator(spark):
         ]
         for s in starts:
             frontier = [(s, [])]
-            for elab, direction, vlab in hops:
+            for elab, direction, vlab, closes in hops:
                 nxt = []
                 for cur, used in frontier:
                     for eid, el, f, t in edges:
                         if eid in used:
                             continue
                         for _eid, src, dst in orientations(eid, el, f, t, elab, direction):
-                            if src == cur and node_ok(dst, vlab):
-                                nxt.append((dst, used + [eid]))
+                            if src != cur or not node_ok(dst, vlab):
+                                continue
+                            if closes and dst != s:  # cycle must return to a0
+                                continue
+                            nxt.append((dst, used + [eid]))
                 frontier = nxt
             count += len(frontier)
 
