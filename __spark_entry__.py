@@ -6746,6 +6746,37 @@ def _q_conv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations_to_pairs(docs).orderBy("doc_id", "turn_idx")
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier extraction under the hash gate
+    (operators/weburl.extract_sitemap_urls — JVM regexp + posexplode):
+    urlset XML synthesized from doc_id with lastmod on even positions,
+    so the oracle re-derives every (loc_idx, url, lastmod) row."""
+    from aws_sdk_pandas_spark.operators.weburl import extract_sitemap_urls
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr(
+            "doc_id",
+            """
+            concat('<urlset>', concat_ws('', transform(
+                sequence(1, 1 + CAST(doc_id % 5 AS INT)), j -> concat(
+                    '<url><loc>https://s.com/p', CAST(doc_id AS STRING),
+                    '-', CAST(j AS STRING), '</loc>',
+                    CASE WHEN j % 2 = 0
+                         THEN concat('<lastmod>2024-0', CAST(1 + j % 9 AS STRING),
+                                     '-01</lastmod>')
+                         ELSE '' END,
+                    '</url>'))), '</urlset>') AS xml
+            """,
+        )
+    )
+    return extract_sitemap_urls(docs, xml_col="xml", id_col="doc_id").orderBy(
+        "doc_id", "loc_idx"
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup under the hash gate
     (operators/weburl.normalize_urls + dedup_urls): four synthetic
@@ -7152,6 +7183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_features": _q_url_features,
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
+        "docs_sitemap_urls": _q_sitemap_urls,
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
@@ -9129,6 +9161,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id % 50
             ORDER BY doc_id
+        """,
+        "docs_sitemap_urls": """
+            WITH locs AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, 2 + CAST(doc_id % 5 AS INT))) AS INT) AS j
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id, j AS loc_idx,
+                   'https://s.com/p' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(j AS VARCHAR) AS url,
+                   CASE WHEN j % 2 = 0
+                        THEN '2024-0' || CAST(1 + j % 9 AS VARCHAR) || '-01'
+                   END AS lastmod
+            FROM locs
+            ORDER BY doc_id, loc_idx
         """,
         "multimodal_audio_containers": """
             SELECT doc_id,

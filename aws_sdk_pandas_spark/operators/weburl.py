@@ -286,3 +286,36 @@ def dedup_urls(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__norm")
     )
+
+
+def extract_sitemap_urls(
+    df: DataFrame,
+    *,
+    xml_col: str = "xml",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URLs from sitemap XML (urlset and sitemap-index documents both
+    use ``<loc>``): one row per location with its 1-based document
+    order and the ``<lastmod>`` that immediately follows it inside the
+    same ``<url>``/``<sitemap>`` block (NULL when absent) — the crawl
+    frontier extraction that feeds :func:`url_features` /
+    :func:`filter_domains`.  Pure JVM regexp + one posexplode; NULL /
+    loc-less documents yield no rows."""
+    block_re = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(block_re), F.lit(1))
+    ex = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("__i", "__blk")
+    )
+    loc = F.regexp_extract(F.col("__blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("__blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    return (
+        ex.where(loc != "")
+        .select(
+            F.col(id_col),
+            (F.col("__i") + 1).cast("int").alias("loc_idx"),
+            loc.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+    )

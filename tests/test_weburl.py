@@ -215,3 +215,29 @@ def test_normalize_urls_idempotent_property(spark):
     )
     forms = {r.url_norm for r in normalize_urls(vdf).collect()}
     assert forms == {"https://shop.example.co.uk/item/42?color=red"}
+
+
+def test_extract_sitemap_urls(spark):
+    from aws_sdk_pandas_spark.operators.weburl import extract_sitemap_urls
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.com/1</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>\n  https://a.com/2 </loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.com/sitemap1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<urlset></urlset>"), (4, None)],
+        "doc_id bigint, xml string",
+    )
+    rows = {(r.doc_id, r.loc_idx): r for r in extract_sitemap_urls(df).collect()}
+    assert rows[(1, 1)].url == "https://a.com/1"
+    assert rows[(1, 1)].lastmod == "2024-01-01"
+    assert rows[(1, 2)].url == "https://a.com/2" and rows[(1, 2)].lastmod is None
+    assert rows[(2, 1)].url == "https://a.com/sitemap1.xml"
+    assert {k[0] for k in rows} == {1, 2}
