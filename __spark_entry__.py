@@ -6746,6 +6746,36 @@ def _q_conv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations_to_pairs(docs).orderBy("doc_id", "turn_idx")
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML link extraction under the hash gate
+    (operators/weburl.extract_links — positional zip of two group
+    extractions): anchors and hrefs are formulas of doc_id, with inner
+    tags in odd-position anchors to exercise the strip."""
+    from aws_sdk_pandas_spark.operators.weburl import extract_links
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr(
+            "doc_id",
+            """
+            concat('<html>', concat_ws(' ', transform(
+                sequence(1, 1 + CAST(doc_id % 4 AS INT)), j -> concat(
+                    '<a href="https://l.com/', CAST(doc_id AS STRING), '/',
+                    CAST(j AS STRING), '">',
+                    CASE WHEN j % 2 = 1
+                         THEN concat('text <b>', CAST(j AS STRING), '</b>')
+                         ELSE concat('plain ', CAST(j AS STRING)) END,
+                    '</a>'))), '</html>') AS html
+            """,
+        )
+    )
+    return extract_links(docs, html_col="html", id_col="doc_id").orderBy(
+        "doc_id", "link_idx"
+    )
+
+
 def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap frontier extraction under the hash gate
     (operators/weburl.extract_sitemap_urls — JVM regexp + posexplode):
@@ -7184,6 +7214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
         "docs_sitemap_urls": _q_sitemap_urls,
+        "docs_extract_links": _q_extract_links,
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
@@ -9161,6 +9192,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id % 50
             ORDER BY doc_id
+        """,
+        "docs_extract_links": """
+            WITH links AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, 2 + CAST(doc_id % 4 AS INT))) AS INT) AS j
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id, j AS link_idx,
+                   'https://l.com/' || CAST(doc_id AS VARCHAR) || '/'
+                       || CAST(j AS VARCHAR) AS href,
+                   CASE WHEN j % 2 = 1 THEN 'text ' || CAST(j AS VARCHAR)
+                        ELSE 'plain ' || CAST(j AS VARCHAR) END AS anchor_text
+            FROM links
+            ORDER BY doc_id, link_idx
         """,
         "docs_sitemap_urls": """
             WITH locs AS (

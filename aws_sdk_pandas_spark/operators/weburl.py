@@ -319,3 +319,38 @@ def extract_sitemap_urls(
             F.when(lastmod != "", lastmod).alias("lastmod"),
         )
     )
+
+
+def extract_links(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hyperlinks from raw HTML: one row per ``<a href=...>`` with its
+    1-based document order, the href and the anchor TEXT (inner tags
+    stripped, whitespace collapsed; empty anchors read NULL) — the
+    link-graph extraction that feeds ``connectors/neptune.pagerank`` /
+    ``filter_domains`` over a web corpus.  Pure JVM: two group
+    extractions zipped positionally + one posexplode; NULL / link-less
+    documents yield no rows."""
+    a_re = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+    h = F.col(html_col)
+    hrefs = F.regexp_extract_all(h, F.lit(a_re), F.lit(1))
+    texts = F.regexp_extract_all(h, F.lit(a_re), F.lit(2))
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(hrefs.alias("href"), texts.alias("t"))).alias(
+            "__i", "__z"
+        ),
+    )
+    anchor = F.regexp_replace(
+        F.regexp_replace(F.col("__z")["t"], r"(?s)<[^>]*>", " "), r"\s+", " "
+    )
+    anchor = F.regexp_replace(anchor, r"^\s+|\s+$", "")
+    return ex.select(
+        F.col(id_col),
+        (F.col("__i") + 1).cast("int").alias("link_idx"),
+        F.col("__z")["href"].alias("href"),
+        F.when(anchor != "", anchor).alias("anchor_text"),
+    ).where(F.col("href") != "")

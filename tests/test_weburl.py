@@ -241,3 +241,28 @@ def test_extract_sitemap_urls(spark):
     assert rows[(1, 2)].url == "https://a.com/2" and rows[(1, 2)].lastmod is None
     assert rows[(2, 1)].url == "https://a.com/sitemap1.xml"
     assert {k[0] for k in rows} == {1, 2}
+
+
+def test_extract_links(spark):
+    from aws_sdk_pandas_spark.operators.weburl import extract_links
+
+    html = (
+        "<html><body>"
+        '<p>intro <a href="https://a.com/x">first <b>link</b></a> mid</p>'
+        "<a href='/relative' class=\"nav\">  second\n link </a>"
+        '<a href="https://c.com"></a>'
+        "<a name='anchor-no-href'>not a link</a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no links</p>"), (3, None)],
+        "doc_id bigint, html string",
+    )
+    rows = {(r.doc_id, r.link_idx): r for r in extract_links(df).collect()}
+    assert rows[(1, 1)].href == "https://a.com/x"
+    assert rows[(1, 1)].anchor_text == "first link"  # inner tags stripped
+    assert rows[(1, 2)].href == "/relative"
+    assert rows[(1, 2)].anchor_text == "second link"
+    assert rows[(1, 3)].href == "https://c.com"
+    assert rows[(1, 3)].anchor_text is None  # empty anchor
+    assert {k[0] for k in rows} == {1}
