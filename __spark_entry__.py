@@ -6746,6 +6746,36 @@ def _q_conv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations_to_pairs(docs).orderBy("doc_id", "turn_idx")
 
 
+def _q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing under the hash gate
+    (operators/weburl.parse_robots — REP group semantics via two
+    windows): a '*' group with doc-keyed rules plus a bot-specific
+    group, both re-derived in closed form by the oracle."""
+    from aws_sdk_pandas_spark.operators.weburl import parse_robots
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr(
+            "doc_id",
+            """
+            concat('User-agent: *\n',
+                   concat_ws('\n', transform(
+                       sequence(1, 1 + CAST(doc_id % 3 AS INT)), j -> concat(
+                           CASE WHEN j % 2 = 1 THEN 'Disallow: /p'
+                                ELSE 'Allow: /p' END,
+                           CAST(doc_id AS STRING), '/', CAST(j AS STRING)))),
+                   '\n\nUser-agent: bot', CAST(doc_id % 5 AS STRING),
+                   '\nDisallow: /all', CAST(doc_id AS STRING)) AS text
+            """,
+        )
+    )
+    return parse_robots(docs, text_col="text", id_col="doc_id").orderBy(
+        "doc_id", "user_agent", "rule_idx"
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link extraction under the hash gate
     (operators/weburl.extract_links — positional zip of two group
@@ -7215,6 +7245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_dedup": _q_url_dedup,
         "docs_sitemap_urls": _q_sitemap_urls,
         "docs_extract_links": _q_extract_links,
+        "docs_parse_robots": _q_parse_robots,
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
@@ -9192,6 +9223,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id % 50
             ORDER BY doc_id
+        """,
+        "docs_parse_robots": """
+            WITH star AS (
+                SELECT doc_id, '*' AS user_agent,
+                       CAST(unnest(range(1, 2 + CAST(doc_id % 3 AS INT))) AS INT)
+                           AS rule_idx
+                FROM documents WHERE doc_id < 300
+            ), star_rules AS (
+                SELECT doc_id, user_agent, rule_idx,
+                       CASE WHEN rule_idx % 2 = 1 THEN 'disallow' ELSE 'allow' END
+                           AS rule_type,
+                       '/p' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(rule_idx AS VARCHAR) AS path
+                FROM star
+            ), bot_rules AS (
+                SELECT doc_id,
+                       'bot' || CAST(doc_id % 5 AS VARCHAR) AS user_agent,
+                       CAST(1 AS INT) AS rule_idx,
+                       'disallow' AS rule_type,
+                       '/all' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT * FROM star_rules
+            UNION ALL
+            SELECT * FROM bot_rules
+            ORDER BY doc_id, user_agent, rule_idx
         """,
         "docs_extract_links": """
             WITH links AS (

@@ -354,3 +354,71 @@ def extract_links(
         F.col("__z")["href"].alias("href"),
         F.when(anchor != "", anchor).alias("anchor_text"),
     ).where(F.col("href") != "")
+
+
+def parse_robots(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """robots.txt rules as rows — the crawl-compliance table for a web
+    corpus: one row per (user-agent, rule) with ``user_agent``,
+    ``rule_type`` (``allow``/``disallow``), ``path`` and the rule's
+    1-based document order.  Grouping follows the REP: CONSECUTIVE
+    ``User-agent`` lines form one group; the rules that follow apply to
+    every agent of the group; comments (``#``) and unknown directives
+    are ignored; a rule before any ``User-agent`` line is dropped (it
+    binds no agent).  Pure JVM: one posexplode + two windows per
+    document + one in-document equi-join on the group id."""
+    from pyspark.sql.window import Window
+
+    lines = F.split(F.regexp_replace(F.col(text_col), "\r\n?", "\n"), "\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("__pos", "__raw")
+    ).select(
+        id_col,
+        "__pos",
+        F.regexp_replace(F.col("__raw"), r"#.*$", "").alias("__line"),
+    )
+    ua = F.regexp_extract(F.col("__line"), r"(?i)^\s*user-agent\s*:\s*(\S+)\s*$", 1)
+    rtype = F.lower(
+        F.regexp_extract(F.col("__line"), r"(?i)^\s*(allow|disallow)\s*:", 1)
+    )
+    rpath = F.regexp_extract(
+        F.col("__line"), r"(?i)^\s*(?:allow|disallow)\s*:\s*(\S*)\s*$", 1
+    )
+    ex = ex.select(
+        id_col, "__pos",
+        F.when(ua != "", ua).alias("__ua"),
+        F.when(rtype != "", rtype).alias("__rtype"),
+        F.when(rtype != "", rpath).alias("__rpath"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # a group STARTS at a UA line whose previous line is not a UA line
+    starts = (
+        F.col("__ua").isNotNull()
+        & F.lag("__ua").over(w).isNull()
+    ).cast("int")
+    ex = ex.withColumn("__grp", F.sum(starts).over(w))
+    uas = ex.where(F.col("__ua").isNotNull()).select(
+        F.col(id_col).alias("__id_u"),
+        F.col("__grp").alias("__g"),
+        F.col("__ua").alias("user_agent"),
+    )
+    rules = ex.where(
+        F.col("__rtype").isNotNull() & (F.col("__grp") > 0)
+    ).select(
+        id_col, "__pos", F.col("__grp").alias("__g"),
+        F.col("__rtype").alias("rule_type"), F.col("__rpath").alias("path"),
+    )
+    out = rules.join(
+        uas,
+        (rules[id_col] == uas["__id_u"]) & (rules["__g"] == uas["__g"]),
+    )
+    w2 = Window.partitionBy(id_col, "user_agent").orderBy("__pos")
+    return out.select(
+        rules[id_col].alias(id_col), "user_agent", "rule_type", "path", "__pos"
+    ).withColumn("rule_idx", F.row_number().over(w2)).select(
+        id_col, "user_agent", "rule_idx", "rule_type", "path"
+    )

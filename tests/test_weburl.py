@@ -266,3 +266,37 @@ def test_extract_links(spark):
     assert rows[(1, 3)].href == "https://c.com"
     assert rows[(1, 3)].anchor_text is None  # empty anchor
     assert {k[0] for k in rows} == {1}
+
+
+def test_parse_robots(spark):
+    from aws_sdk_pandas_spark.operators.weburl import parse_robots
+
+    robots = (
+        "# global rules\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /private\r\n"
+        "Allow: /private/ok\r\n"
+        "\r\n"
+        "User-agent: botA\r\n"
+        "User-agent: botB\r\n"   # consecutive UAs share the group
+        "Disallow: /\r\n"
+        "Crawl-delay: 10\r\n"    # unknown directive ignored
+        "Disallow: /tmp  # trailing comment\r\n"
+    )
+    orphan = "Disallow: /x\nUser-agent: z\nAllow: /y\n"
+    df = spark.createDataFrame(
+        [(1, robots), (2, orphan), (3, "no directives"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.doc_id, r.user_agent, r.rule_idx): (r.rule_type, r.path)
+            for r in parse_robots(df).collect()}
+    assert rows[(1, "*", 1)] == ("disallow", "/private")
+    assert rows[(1, "*", 2)] == ("allow", "/private/ok")
+    # both agents of the shared group got both rules
+    for agent in ("botA", "botB"):
+        assert rows[(1, agent, 1)] == ("disallow", "/")
+        assert rows[(1, agent, 2)] == ("disallow", "/tmp")
+    # the orphan rule before any UA binds nothing; z keeps its allow
+    assert rows[(2, "z", 1)] == ("allow", "/y")
+    assert len([k for k in rows if k[0] == 2]) == 1
+    assert not [k for k in rows if k[0] in (3, 4)]
