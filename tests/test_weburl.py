@@ -300,3 +300,56 @@ def test_parse_robots(spark):
     assert rows[(2, "z", 1)] == ("allow", "/y")
     assert len([k for k in rows if k[0] == 2]) == 1
     assert not [k for k in rows if k[0] in (3, 4)]
+
+
+def test_web_parsers_survive_dirty_input(spark):
+    """Adversarial input through the web parsers: huge unterminated
+    lines, case-soup directives, nested/malformed markup — no crashes,
+    no phantom rows."""
+    from aws_sdk_pandas_spark.operators.weburl import (
+        extract_links,
+        extract_sitemap_urls,
+        parse_robots,
+    )
+
+    dirty_robots = [
+        (1, "USER-AGENT:   SpIdEr  \nDISALLOW:/x\nallow: /y"),
+        (2, "User-agent: *\nDisallow:"),          # empty path = allow-all idiom
+        (3, "x" * 100_000),                        # one huge junk line
+        (4, "User-agent: *"),                      # group with no rules
+        (5, None),
+    ]
+    rrows = parse_robots(
+        spark.createDataFrame(dirty_robots, "doc_id bigint, text string")
+    ).collect()
+    got = {(r.doc_id, r.user_agent, r.rule_idx): (r.rule_type, r.path) for r in rrows}
+    assert got[(1, "SpIdEr", 1)] == ("disallow", "/x")  # case-insensitive directives
+    assert got[(1, "SpIdEr", 2)] == ("allow", "/y")
+    assert got[(2, "*", 1)] == ("disallow", "")
+    assert not [k for k in got if k[0] in (3, 4, 5)]
+
+    dirty_xml = [
+        (1, "<urlset><url><loc>https://a.com/" + "p" * 50_000 + "</loc></url></urlset>"),
+        (2, "<url><loc></loc></url>"),              # empty loc dropped
+        (3, "<loc>https://orphan.com</loc>"),       # loc outside url block
+    ]
+    srows = extract_sitemap_urls(
+        spark.createDataFrame(dirty_xml, "doc_id bigint, xml string")
+    ).collect()
+    assert len(srows) == 1 and srows[0].doc_id == 1 and len(srows[0].url) > 50_000
+
+    dirty_html = [
+        (1, "<a href=''>empty</a><a href='https://x.com'>" + "<i>" * 500 + "deep"),
+        (2, "<a href='https://y.com'>ok</a>" * 2000),  # 2000 links, one doc
+    ]
+    lrows = extract_links(
+        spark.createDataFrame(dirty_html, "doc_id bigint, html string")
+    ).collect()
+    by_doc = {}
+    for r in lrows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # unterminated deep anchor: no closing </a>, so no match — and the
+    # empty href is dropped
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 2000
+    assert all(r.href == "https://y.com" for r in by_doc[2])
