@@ -6746,6 +6746,41 @@ def _q_conv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversations_to_pairs(docs).orderBy("doc_id", "turn_idx")
 
 
+def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML page-metadata extraction under the hash gate
+    (operators/weburl.extract_page_meta): title/description/canonical/
+    og fields synthesized from doc_id (reversed attribute order on even
+    docs exercises both regexp directions); closed-form oracle."""
+    from aws_sdk_pandas_spark.operators.weburl import extract_page_meta
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 300")
+        .selectExpr(
+            "doc_id",
+            """
+            concat('<html lang="', CASE WHEN doc_id % 3 = 0 THEN 'en'
+                                        WHEN doc_id % 3 = 1 THEN 'de'
+                                        ELSE 'fr' END,
+                   '"><head><title>Doc ', CAST(doc_id AS STRING), '</title>',
+                   CASE WHEN doc_id % 2 = 0
+                        THEN concat('<meta content="og ', CAST(doc_id AS STRING),
+                                    '" property="og:title">')
+                        ELSE concat('<meta property="og:title" content="og ',
+                                    CAST(doc_id AS STRING), '">') END,
+                   '<link rel="canonical" href="https://c.com/',
+                   CAST(doc_id % 50 AS STRING), '"></head></html>') AS html
+            """,
+        )
+    )
+    return (
+        extract_page_meta(docs)
+        .select("doc_id", "page_title", "page_og_title", "page_canonical", "page_lang")
+        .orderBy("doc_id")
+    )
+
+
 def _q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing under the hash gate
     (operators/weburl.parse_robots — REP group semantics via two
@@ -7246,6 +7281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sitemap_urls": _q_sitemap_urls,
         "docs_extract_links": _q_extract_links,
         "docs_parse_robots": _q_parse_robots,
+        "docs_page_meta": _q_page_meta,
         "multimodal_audio_containers": _q_audio_containers,
         "dq_ruleset_extended": _q_dq_ruleset_extended,
         "multimodal_avi_metadata": _q_avi_metadata,
@@ -9222,6 +9258,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM documents
             GROUP BY doc_id % 50
+            ORDER BY doc_id
+        """,
+        "docs_page_meta": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS page_title,
+                   'og ' || CAST(doc_id AS VARCHAR) AS page_og_title,
+                   'https://c.com/' || CAST(doc_id % 50 AS VARCHAR)
+                       AS page_canonical,
+                   CASE WHEN doc_id % 3 = 0 THEN 'en'
+                        WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS page_lang
+            FROM documents
+            WHERE doc_id < 300
             ORDER BY doc_id
         """,
         "docs_parse_robots": """

@@ -422,3 +422,56 @@ def parse_robots(
     ).withColumn("rule_idx", F.row_number().over(w2)).select(
         id_col, "user_agent", "rule_idx", "rule_type", "path"
     )
+
+
+def extract_page_meta(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    out_prefix: str = "page",
+) -> DataFrame:
+    """Page-level metadata from raw HTML: ``<prefix>_title``,
+    ``<prefix>_description`` (meta name=description),
+    ``<prefix>_canonical`` (rel=canonical href — feed it to
+    :func:`dedup_urls` to collapse syndicated copies), ``<prefix>_og_title``
+    / ``<prefix>_og_type`` (OpenGraph) and ``<prefix>_lang`` (html lang
+    attribute).  First occurrence wins; attribute order inside the tags
+    is tolerated both ways; missing fields read NULL; whitespace
+    collapsed.  Pure codegen regexp — map-only."""
+    h = F.col(html_col)
+
+    def first(pattern: str) -> Column:
+        v = F.regexp_extract(h, pattern, 1)
+        v = F.regexp_replace(v, r"\s+", " ")
+        v = F.regexp_replace(v, r"^\s+|\s+$", "")
+        return F.when(v != "", v)
+
+    def meta(attr: str, key: str) -> Column:
+        # <meta name="description" content="..."> in either attr order
+        fwd = rf"""(?is)<meta\s[^>]*{attr}\s*=\s*["']{key}["'][^>]*content\s*=\s*["']([^"']*)["']"""
+        rev = rf"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*{attr}\s*=\s*["']{key}["']"""
+        return F.coalesce(first(fwd), first(rev))
+
+    return (
+        df.withColumn(
+            f"{out_prefix}_title", first(r"(?is)<title[^>]*>(.*?)</title>")
+        )
+        .withColumn(f"{out_prefix}_description", meta("name", "description"))
+        .withColumn(
+            f"{out_prefix}_canonical",
+            F.coalesce(
+                first(
+                    r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']"""
+                ),
+                first(
+                    r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']"""
+                ),
+            ),
+        )
+        .withColumn(f"{out_prefix}_og_title", meta("property", "og:title"))
+        .withColumn(f"{out_prefix}_og_type", meta("property", "og:type"))
+        .withColumn(
+            f"{out_prefix}_lang",
+            first(r"""(?is)<html\s[^>]*lang\s*=\s*["']([^"']*)["']"""),
+        )
+    )

@@ -353,3 +353,31 @@ def test_web_parsers_survive_dirty_input(spark):
     assert 1 not in by_doc
     assert len(by_doc[2]) == 2000
     assert all(r.href == "https://y.com" for r in by_doc[2])
+
+
+def test_extract_page_meta(spark):
+    from aws_sdk_pandas_spark.operators.weburl import extract_page_meta
+
+    html = (
+        '<html lang="en-US"><head>'
+        "<title>  My\n  Page  </title>"
+        '<meta name="description" content="A fine page">'
+        '<meta content="OG Title Here" property="og:title">'  # reversed attrs
+        '<meta property="og:type" content="article">'
+        '<link rel="canonical" href="https://example.com/real">'
+        "</head><body><title>second title ignored</title></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>bare</p>"), (3, None)],
+        "doc_id bigint, html string",
+    )
+    rows = {r.doc_id: r for r in extract_page_meta(df).collect()}
+    p = rows[1]
+    assert p.page_title == "My Page"
+    assert p.page_description == "A fine page"
+    assert p.page_canonical == "https://example.com/real"
+    assert p.page_og_title == "OG Title Here"  # reversed attribute order
+    assert p.page_og_type == "article"
+    assert p.page_lang == "en-US"
+    assert rows[2].page_title is None and rows[3].page_title is None
+    assert sorted(rows) == [1, 2, 3]  # rows pass through
