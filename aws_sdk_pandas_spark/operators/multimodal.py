@@ -1643,14 +1643,19 @@ def parse_subtitles(
 
     Both formats parse with ONE rule set: blocks split on blank lines,
     the cue's timing line is the one containing ``-->`` (SRT ``,`` and
-    VTT ``.`` millisecond separators both accepted), everything after
+    VTT ``.`` millisecond separators both accepted; the hours component
+    is optional per the WebVTT short form ``MM:SS.mmm``), everything after
     it is cue text, everything before it (SRT index / VTT cue id /
     WEBVTT header) is ignored.  Blocks without a timing line (headers,
     NOTE blocks) yield no cue.  Pure JVM: split + HOFs + regexp, one
     posexplode — no UDF; NULL/cue-less documents yield no rows (this is
     an extraction like ``conversations_to_pairs``, not a scorer).
     """
-    ts_re = r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
+    # the hours component is OPTIONAL per the WebVTT spec (MM:SS.mmm is
+    # the canonical short form most emitters produce for <1h media) —
+    # each timestamp still binds exactly 4 groups (hours empty when
+    # absent, coalesced to 0 in ms())
+    ts_re = r"(?:(\d{1,4}):)?(\d{2}):(\d{2})[,.](\d{3})"
     line_re = ts_re + r"\s*-->\s*" + ts_re
     norm = F.regexp_replace(F.col(text_col), "\r\n?", "\n")
     blocks = F.split(norm, r"\n\s*\n+")
@@ -1668,11 +1673,13 @@ def parse_subtitles(
     tsline = F.element_at(lines, tspos)
 
     def ms(base: int) -> "F.Column":
-        h = F.regexp_extract(tsline, line_re, base + 1).cast("long")
-        m = F.regexp_extract(tsline, line_re, base + 2).cast("long")
-        s = F.regexp_extract(tsline, line_re, base + 3).cast("long")
-        mm = F.regexp_extract(tsline, line_re, base + 4).cast("long")
-        return h * 3_600_000 + m * 60_000 + s * 1000 + mm
+        # a non-participating hours group extracts '' — coalesce to 0
+        # (ANSI mode: CAST('' AS LONG) would raise, so gate on != '')
+        def grp(i: int) -> "F.Column":
+            v = F.regexp_extract(tsline, line_re, base + i)
+            return F.coalesce(F.when(v != "", v).cast("long"), F.lit(0))
+
+        return grp(1) * 3_600_000 + grp(2) * 60_000 + grp(3) * 1000 + grp(4)
 
     cue_text = F.array_join(
         F.slice(lines, tspos + 1, F.greatest(F.size(lines) - tspos, F.lit(0))),

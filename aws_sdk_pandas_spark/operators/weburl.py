@@ -45,7 +45,11 @@ _TWO_LEVEL_SUFFIXES = [
 def _registered_domain(host: Column, suffixes: list[str]) -> Column:
     """Registered domain from a host: last two labels, or last three when
     the last two form a known public suffix; IP literals and single-label
-    hosts pass through unchanged."""
+    hosts pass through unchanged.  RFC-legal absolute-FQDN trailing dots
+    (``example.com.``) are stripped first so the dotted form groups with
+    its dotless twin instead of collapsing every such host into a bogus
+    ``com.`` domain."""
+    host = F.regexp_replace(host, r"\.+$", "")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last1 = F.element_at(parts, -1)
@@ -76,7 +80,11 @@ def url_features(
     Pure codegen; NULL / unparseable URLs read NULL features."""
     suffixes = _TWO_LEVEL_SUFFIXES + [s.lower() for s in (extra_suffixes or [])]
     u = F.col(url_col)
-    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # trailing-dot absolute FQDNs normalize to the dotless host so depth
+    # arithmetic and domain grouping agree with _registered_domain
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"\.+$", ""
+    )
     path = F.try_parse_url(u, F.lit("PATH"))
     query = F.try_parse_url(u, F.lit("QUERY"))
     domain = _registered_domain(host, suffixes)
@@ -224,7 +232,9 @@ def normalize_urls(
     *,
     out_col: str = "url_norm",
 ) -> DataFrame:
-    """Canonical URL form for URL-keyed dedup: lowercase scheme+host,
+    """Canonical URL form for URL-keyed dedup: lowercase scheme+host
+    (userinfo is case-SENSITIVE per RFC 3986 and passes through
+    unmodified), RFC absolute-FQDN trailing dots stripped from the host,
     default ports stripped (:80 for http, :443 for https), fragment
     dropped, tracking parameters (utm_*/gclid/fbclid/msclkid) removed
     with other query params preserved in order, empty path read as '/'.
@@ -232,13 +242,28 @@ def normalize_urls(
     URLs normalize to NULL."""
     u = F.col(url_col)
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
-    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    userinfo = F.try_parse_url(u, F.lit("USERINFO"))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"\.+$", ""
+    )
+    auth_raw = F.try_parse_url(u, F.lit("AUTHORITY"))
     path = F.try_parse_url(u, F.lit("PATH"))
     query = F.try_parse_url(u, F.lit("QUERY"))
-    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")).when(
-        scheme == "https", F.regexp_replace(auth, ":443$", "")
-    ).otherwise(auth)
+    # port from the authority tail (IPv6 literals are bracketed, so the
+    # first colon after ']' is the port separator and this regexp is safe)
+    port = F.regexp_extract(auth_raw, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    auth = F.concat(
+        F.when(
+            userinfo.isNotNull() & (userinfo != ""),
+            F.concat(userinfo, F.lit("@")),
+        ).otherwise(F.lit("")),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
     clean_q = F.array_join(
         F.filter(
             F.split(query, "&"),
@@ -334,15 +359,31 @@ def extract_links(
     ``filter_domains`` over a web corpus.  Pure JVM: two group
     extractions zipped positionally + one posexplode; NULL / link-less
     documents yield no rows."""
-    a_re = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+    # the closing quote is backreference-matched to the opening one so an
+    # apostrophe INSIDE a double-quoted href (ubiquitous on the real web)
+    # does not truncate the URL; unquoted hrefs (href=https://…) are the
+    # third alternation branch.  ONE pattern keeps the positional zip
+    # valid: group 1 = quote, 2 = quoted href, 3 = unquoted href,
+    # 4 = anchor
+    a_re = (
+        r"""(?is)<a\s[^>]*href\s*=\s*"""
+        r"""(?:(["'])((?:(?!\1).)*)\1|([^\s"'>]+))[^>]*>(.*?)</a>"""
+    )
     h = F.col(html_col)
-    hrefs = F.regexp_extract_all(h, F.lit(a_re), F.lit(1))
-    texts = F.regexp_extract_all(h, F.lit(a_re), F.lit(2))
+    hrefs_q = F.regexp_extract_all(h, F.lit(a_re), F.lit(2))
+    hrefs_u = F.regexp_extract_all(h, F.lit(a_re), F.lit(3))
+    texts = F.regexp_extract_all(h, F.lit(a_re), F.lit(4))
     ex = df.select(
         F.col(id_col),
-        F.posexplode(F.arrays_zip(hrefs.alias("href"), texts.alias("t"))).alias(
-            "__i", "__z"
-        ),
+        F.posexplode(
+            F.arrays_zip(
+                hrefs_q.alias("hq"), hrefs_u.alias("hu"), texts.alias("t")
+            )
+        ).alias("__i", "__z"),
+    )
+    # per match exactly one href branch participated (the other reads '')
+    href = F.when(F.col("__z")["hq"] != "", F.col("__z")["hq"]).otherwise(
+        F.col("__z")["hu"]
     )
     anchor = F.regexp_replace(
         F.regexp_replace(F.col("__z")["t"], r"(?s)<[^>]*>", " "), r"\s+", " "
@@ -351,7 +392,7 @@ def extract_links(
     return ex.select(
         F.col(id_col),
         (F.col("__i") + 1).cast("int").alias("link_idx"),
-        F.col("__z")["href"].alias("href"),
+        href.alias("href"),
         F.when(anchor != "", anchor).alias("anchor_text"),
     ).where(F.col("href") != "")
 
@@ -365,10 +406,12 @@ def parse_robots(
     """robots.txt rules as rows — the crawl-compliance table for a web
     corpus: one row per (user-agent, rule) with ``user_agent``,
     ``rule_type`` (``allow``/``disallow``), ``path`` and the rule's
-    1-based document order.  Grouping follows the REP: CONSECUTIVE
-    ``User-agent`` lines form one group; the rules that follow apply to
-    every agent of the group; comments (``#``) and unknown directives
-    are ignored; a rule before any ``User-agent`` line is dropped (it
+    1-based document order.  Grouping follows RFC 9309: a run of
+    ``User-agent`` lines forms one group even when blank lines,
+    comments (``#``) or unknown directives sit between them (only a
+    RULE line closes the startgroup run); the rules that follow apply
+    to every agent of the group; comments and unknown directives are
+    ignored; a rule before any ``User-agent`` line is dropped (it
     binds no agent).  Pure JVM: one posexplode + two windows per
     document + one in-document equi-join on the group id."""
     from pyspark.sql.window import Window
@@ -395,11 +438,21 @@ def parse_robots(
         F.when(rtype != "", rpath).alias("__rpath"),
     )
     w = Window.partitionBy(id_col).orderBy("__pos")
-    # a group STARTS at a UA line whose previous line is not a UA line
-    starts = (
-        F.col("__ua").isNotNull()
-        & F.lag("__ua").over(w).isNull()
-    ).cast("int")
+    # RFC 9309: blank/comment/unknown lines BETWEEN the User-agent lines
+    # of one group do not split it — a group STARTS at a UA line whose
+    # previous SIGNIFICANT line (UA or rule) is not a UA line
+    kind = F.when(F.col("__ua").isNotNull(), F.lit("ua")).when(
+        F.col("__rtype").isNotNull(), F.lit("rule")
+    )
+    ex = ex.withColumn("__kind", kind)
+    prev_kind = F.last("__kind", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = F.when(
+        (F.col("__kind") == "ua")
+        & (prev_kind.isNull() | (prev_kind != "ua")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     ex = ex.withColumn("__grp", F.sum(starts).over(w))
     uas = ex.where(F.col("__ua").isNotNull()).select(
         F.col(id_col).alias("__id_u"),
@@ -440,18 +493,41 @@ def extract_page_meta(
     collapsed.  Pure codegen regexp — map-only."""
     h = F.col(html_col)
 
-    def first(pattern: str) -> Column:
-        v = F.regexp_extract(h, pattern, 1)
+    def first(pattern: str, group: int = 1) -> Column:
+        v = F.regexp_extract(h, pattern, group)
         v = F.regexp_replace(v, r"\s+", " ")
         v = F.regexp_replace(v, r"^\s+|\s+$", "")
         return F.when(v != "", v)
 
-    def meta(attr: str, key: str) -> Column:
-        # <meta name="description" content="..."> in either attr order
-        fwd = rf"""(?is)<meta\s[^>]*{attr}\s*=\s*["']{key}["'][^>]*content\s*=\s*["']([^"']*)["']"""
-        rev = rf"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*{attr}\s*=\s*["']{key}["']"""
-        return F.coalesce(first(fwd), first(rev))
+    # attribute VALUES match their closing quote to the opening one via a
+    # backreference — an apostrophe inside a double-quoted value (e.g.
+    # content="the world's …", href=".../it's-here") must not truncate
+    # the extraction: a cut canonical would poison dedup_urls keys.
+    # Unquoted values (rel=canonical, lang=en) are accepted too — the
+    # quoted form is tried first so a doc mixing both prefers the
+    # quoted extraction.
+    # the value may not contain its own opening quote char ((?!\1) guard)
+    # — a lazy (.*?) would BACKTRACK across the tag's '>' under DOTALL
+    # and splice text from the next tag when the trailing context fails
+    _Q = r"""(["'])((?:(?!\1).)*)\1"""  # quoted value  -> relative group 2
+    _U = r"""([^\s"'>]+)"""  # unquoted value -> relative group 1
 
+    def attr_val(prefix: str, suffix: str = "") -> Column:
+        return F.coalesce(
+            first(rf"(?is){prefix}{_Q}{suffix}", 2),
+            first(rf"(?is){prefix}{_U}{suffix}", 1),
+        )
+
+    def meta(attr: str, key: str) -> Column:
+        # <meta name="description" content="..."> in either attr order;
+        # the KEY side tolerates quoted or bare forms
+        kf = rf"""{attr}\s*=\s*["']?{key}["']?(?=[\s"'>])"""
+        return F.coalesce(
+            attr_val(rf"""<meta\s[^>]*{kf}[^>]*content\s*=\s*"""),
+            attr_val(rf"""<meta\s[^>]*content\s*=\s*""", rf"""[^>]*{kf}"""),
+        )
+
+    canon_kf = r"""rel\s*=\s*["']?canonical["']?(?=[\s"'>])"""
     return (
         df.withColumn(
             f"{out_prefix}_title", first(r"(?is)<title[^>]*>(.*?)</title>")
@@ -460,11 +536,9 @@ def extract_page_meta(
         .withColumn(
             f"{out_prefix}_canonical",
             F.coalesce(
-                first(
-                    r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']"""
-                ),
-                first(
-                    r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']"""
+                attr_val(rf"""<link\s[^>]*{canon_kf}[^>]*href\s*=\s*"""),
+                attr_val(
+                    r"""<link\s[^>]*href\s*=\s*""", rf"""[^>]*{canon_kf}"""
                 ),
             ),
         )
@@ -472,6 +546,6 @@ def extract_page_meta(
         .withColumn(f"{out_prefix}_og_type", meta("property", "og:type"))
         .withColumn(
             f"{out_prefix}_lang",
-            first(r"""(?is)<html\s[^>]*lang\s*=\s*["']([^"']*)["']"""),
+            attr_val(r"""<html\s[^>]*lang\s*=\s*"""),
         )
     )

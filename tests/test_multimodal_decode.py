@@ -1407,3 +1407,35 @@ def test_curate_media_end_to_end(spark):
     # whitelist: audio-only corpus
     audio_only = curate_media(df, formats=["wav"])
     assert sorted(r.media_id for r in audio_only.collect()) == ["w1"]
+
+
+def test_parse_subtitles_vtt_optional_hours(spark):
+    """Round-4 verdict repro: WebVTT makes the hours component OPTIONAL
+    (MM:SS.mmm is the canonical short form for <1h media) — short-form
+    cues must parse, not silently drop."""
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        align_cues_to_frames,
+        parse_subtitles,
+    )
+
+    vtt = (
+        "WEBVTT\n\n"
+        "00:05.000 --> 00:10.000\nshort form cue\n\n"
+        "00:01:00.000 --> 00:01:05.500\nlong form cue\n\n"
+        "1:02:03.456 --> 1:02:04.000\nsingle-digit hour\n"
+    )
+    df = spark.createDataFrame([("m1", vtt)], "media_id string, text string")
+    rows = {r.cue_idx: r for r in parse_subtitles(df).collect()}
+    assert len(rows) == 3  # nothing dropped
+    assert (rows[1].start_ms, rows[1].end_ms) == (5_000, 10_000)
+    assert rows[1].text == "short form cue"
+    assert (rows[2].start_ms, rows[2].end_ms) == (60_000, 65_500)
+    assert rows[3].start_ms == 1 * 3_600_000 + 2 * 60_000 + 3 * 1000 + 456
+
+    # short-form cues reach the alignment join too
+    frames = spark.createDataFrame(
+        [("m1", 0, 6_000), ("m1", 1, 20_000)],
+        "media_id string, frame_idx int, sample_ts_ms bigint",
+    )
+    pairs = align_cues_to_frames(frames, parse_subtitles(df)).collect()
+    assert any(p.frame_idx == 0 for p in pairs)  # 6s lands in the 5-10s cue
