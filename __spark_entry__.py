@@ -6592,6 +6592,58 @@ def _q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Public Suffix List registered domains under the hash gate
+    (operators/weburl.load_psl + the longest-match algorithm as map-only
+    InSet codegen): six URL families synthesized from doc_id exercise
+    private-domain rules (user sites under github.io stay separate),
+    longest-match (co.uk over uk), wildcard rules (*.kawasaki.jp, *.ck),
+    an exception rule (!city.kawasaki.jp) and trailing-dot FQDN
+    normalization — the oracle re-derives every registered domain and
+    subdomain depth in closed form, so a wrong precedence order, a
+    wildcard off-by-one-label, or a dot-stripping miss hash-mismatches."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl, url_features
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    psl = load_psl(
+        [
+            "// ===BEGIN ICANN DOMAINS===",
+            "com", "org", "io", "uk", "co.uk", "jp",
+            "kawasaki.jp", "*.kawasaki.jp", "!city.kawasaki.jp",
+            "ck", "*.ck", "!www.ck",
+            "// ===END ICANN DOMAINS===",
+            "// ===BEGIN PRIVATE DOMAINS===",
+            "github.io",
+            "// ===END PRIVATE DOMAINS===",
+        ]
+    )
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 600")
+        .selectExpr(
+            "doc_id",
+            """
+            CASE CAST(doc_id % 6 AS INT)
+              WHEN 0 THEN concat('https://u', CAST(doc_id % 9 AS STRING),
+                                 '.github.io/p')
+              WHEN 1 THEN concat('https://news.site', CAST(doc_id % 7 AS STRING),
+                                 '.co.uk/x')
+              WHEN 2 THEN 'https://a.b.kawasaki.jp/x'
+              WHEN 3 THEN 'https://www.city.kawasaki.jp/x'
+              WHEN 4 THEN concat('https://www.ex', CAST(doc_id % 7 AS STRING),
+                                 '.com./x')
+              ELSE 'https://shop.example.ck/x'
+            END AS url
+            """,
+        )
+    )
+    return (
+        url_features(docs, psl=psl)
+        .select("doc_id", "url_domain", "url_subdomain_depth")
+        .orderBy("doc_id")
+    )
+
+
 _CONV_SYNTH = """
     transform(sequence(1, 2 + CAST(doc_id % 3 AS INT) * 2), i -> struct(
         CASE WHEN i % 2 = 1 OR (doc_id % 7 = 0 AND i = 2)
@@ -7276,6 +7328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "docs_url_features": _q_url_features,
+        "docs_url_psl_domains": _q_url_psl_domains,
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
         "docs_sitemap_urls": _q_sitemap_urls,
@@ -9258,6 +9311,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM documents
             GROUP BY doc_id % 50
+            ORDER BY doc_id
+        """,
+        "docs_url_psl_domains": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'u' || CAST(doc_id % 9 AS VARCHAR)
+                                 || '.github.io'
+                     WHEN 1 THEN 'site' || CAST(doc_id % 7 AS VARCHAR)
+                                 || '.co.uk'
+                     WHEN 2 THEN 'a.b.kawasaki.jp'
+                     WHEN 3 THEN 'city.kawasaki.jp'
+                     WHEN 4 THEN 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     ELSE 'shop.example.ck'
+                   END AS url_domain,
+                   CAST(CASE CAST(doc_id % 6 AS INT)
+                        WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 4 THEN 1
+                        ELSE 0 END AS INT) AS url_subdomain_depth
+            FROM documents
+            WHERE doc_id < 600
             ORDER BY doc_id
         """,
         "docs_page_meta": """

@@ -16,13 +16,20 @@ built-ins) — no UDF, scan-speed at any scale:
   domain, md5-deterministic pick (the anti-monoculture cap: one keyed
   window, engine-rederivable, no global sort)
 
-The registered-domain rule is deliberately a SMALL builtin suffix table
-(the frequent ccTLD second-level suffixes), not the full Mozilla Public
-Suffix List: the full PSL is a moving external dataset; pass
-``extra_suffixes`` to extend the table where a corpus needs more.
+The registered-domain rule defaults to a SMALL builtin suffix table
+(the frequent ccTLD second-level suffixes) so the operators are
+zero-dependency; where a corpus needs the REAL rules — ``github.io``
+subdomains are independent sites, ``*.ck`` wildcards, ``!www.ck``
+exceptions — pass ``psl=`` (a rules file path, the rule lines, or a
+pre-parsed :class:`PublicSuffixList`) and the full longest-match
+algorithm runs instead, still as pure map-only codegen (the rule sets
+compile to hash-set ``InSet`` lookups, one per label depth).
+``extra_suffixes`` extends the builtin table for quick one-offs.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +47,130 @@ _TWO_LEVEL_SUFFIXES = [
     "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
     "co.za", "co.nz", "co.il", "co.id", "co.th",
 ]
+
+
+@dataclass(frozen=True)
+class PublicSuffixList:
+    """Parsed Public Suffix List rules (publicsuffix.org/list format):
+    ``exact`` plain rules, ``wildcards`` the parents of ``*.`` rules,
+    ``exceptions`` the names of ``!`` rules, ``max_labels`` the longest
+    rule's label count.  Build with :func:`load_psl`."""
+
+    exact: frozenset
+    wildcards: frozenset
+    exceptions: frozenset
+    max_labels: int
+
+
+def load_psl(
+    rules: "str | list[str]", *, include_private: bool = True
+) -> PublicSuffixList:
+    """Parse Public Suffix List rules into :class:`PublicSuffixList`.
+
+    ``rules`` is either a path to a PSL-format text file (the one
+    public file at publicsuffix.org/list/public_suffix_list.dat) or the
+    rule lines themselves.  Follows the PSL wire format: ``//`` comment
+    lines and blanks skipped, each rule is the first whitespace-
+    delimited token, ``!`` marks an exception rule, ``*.`` a wildcard
+    rule.  ``include_private=False`` stops at the
+    ``===BEGIN PRIVATE DOMAINS===`` marker (ICANN section only — with
+    private domains EXCLUDED, ``github.io`` is one registered domain;
+    included, every ``user.github.io`` is its own)."""
+    if isinstance(rules, str):
+        with open(rules, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = list(rules)
+    exact, wildcards, exceptions = set(), set(), set()
+    in_private = False
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN PRIVATE DOMAINS===" in line:
+                in_private = True
+            elif "===END PRIVATE DOMAINS===" in line:
+                in_private = False
+            continue
+        if in_private and not include_private:
+            continue
+        rule = line.split()[0].lower().lstrip(".")
+        if rule.startswith("!"):
+            exceptions.add(rule[1:])
+        elif rule.startswith("*."):
+            wildcards.add(rule[2:])
+        elif rule == "*":
+            pass  # the implicit default rule — always in effect
+        else:
+            exact.add(rule)
+    max_labels = max(
+        [r.count(".") + 1 for r in exact]
+        + [r.count(".") + 2 for r in wildcards]
+        + [r.count(".") + 1 for r in exceptions]
+        + [1]
+    )
+    return PublicSuffixList(
+        frozenset(exact), frozenset(wildcards), frozenset(exceptions), max_labels
+    )
+
+
+def _registered_domain_psl(host: Column, psl: PublicSuffixList) -> Column:
+    """Registered domain under the FULL Public Suffix List algorithm
+    (longest matching rule wins; an exception rule beats all and makes
+    the matching name itself registrable; the implicit ``*`` rule makes
+    the last label public when nothing matches).  Pure map-only
+    codegen: one ``InSet`` membership probe per label depth, no join —
+    the rule sets ride to executors inside the plan.  IP literals
+    (v4 dotted / bracketed v6) and single-label hosts pass through; a
+    host that IS a public suffix has no registrable name and passes
+    through too."""
+    host = F.lower(F.regexp_replace(host, r"\.+$", ""))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$") | host.startswith(
+        "["
+    )
+
+    def sfx(k: int) -> Column:
+        return F.array_join(F.slice(parts, -k, k), ".")
+
+    def inset(col: Column, values: frozenset) -> Column:
+        return col.isin(*values) if values else F.lit(False)
+
+    # exception rules: the matching NAME is registrable -> public-suffix
+    # length is rule length minus one (at most one exception applies)
+    exc_len: Column = F.lit(None).cast("int")
+    for k in sorted({r.count(".") + 1 for r in psl.exceptions}, reverse=True):
+        rules_k = frozenset(r for r in psl.exceptions if r.count(".") + 1 == k)
+        exc_len = F.when((n >= k) & inset(sfx(k), rules_k), F.lit(k - 1)).otherwise(
+            exc_len
+        )
+    # longest normal/wildcard match: k labels are public when the last k
+    # form an exact rule, or the last k-1 form a wildcard rule's parent
+    norm_len: Column = F.lit(1)  # implicit '*' rule
+    for k in range(2, psl.max_labels + 1):
+        exact_k = frozenset(r for r in psl.exact if r.count(".") + 1 == k)
+        wild_k = frozenset(r for r in psl.wildcards if r.count(".") + 2 == k)
+        cond = (n >= k) & (
+            inset(sfx(k), exact_k) | inset(sfx(k - 1), wild_k)
+        )
+        norm_len = F.when(cond, F.lit(k)).otherwise(norm_len)
+    # 1-label exact rules only matter when they beat the implicit '*'
+    # at n == 1 boundary handling below, so norm_len already covers them
+    psl_len = F.coalesce(exc_len, norm_len)
+    return (
+        F.when(host.isNull() | is_ip | (n < 2), host)
+        .when(n <= psl_len, host)  # host IS a public suffix
+        .otherwise(
+            F.array_join(
+                F.slice(
+                    parts, -(psl_len + 1).cast("int"), (psl_len + 1).cast("int")
+                ),
+                ".",
+            )
+        )
+    )
 
 
 def _registered_domain(host: Column, suffixes: list[str]) -> Column:
@@ -65,20 +196,32 @@ def _registered_domain(host: Column, suffixes: list[str]) -> Column:
     )
 
 
+def _resolve_psl(psl) -> "PublicSuffixList | None":
+    if psl is None or isinstance(psl, PublicSuffixList):
+        return psl
+    return load_psl(psl)
+
+
 def url_features(
     df: DataFrame,
     url_col: str = "url",
     *,
     out_prefix: str = "url",
     extra_suffixes: list[str] | None = None,
+    psl: "PublicSuffixList | str | list[str] | None" = None,
 ) -> DataFrame:
     """Adds ``<prefix>_scheme``, ``<prefix>_host``, ``<prefix>_domain``
     (registered domain), ``<prefix>_subdomain_depth`` (labels left of the
     registered domain), ``<prefix>_path_depth``, ``<prefix>_is_ip``,
     ``<prefix>_has_tracking`` (utm_*/gclid/fbclid query params) — the
     per-document provenance columns every web-curation gate keys on.
-    Pure codegen; NULL / unparseable URLs read NULL features."""
+    Pure codegen; NULL / unparseable URLs read NULL features.
+
+    ``psl`` switches the registered-domain rule from the builtin
+    PSL-lite table to the FULL Public Suffix List longest-match
+    algorithm (see :func:`load_psl`); still map-only codegen."""
     suffixes = _TWO_LEVEL_SUFFIXES + [s.lower() for s in (extra_suffixes or [])]
+    psl_obj = _resolve_psl(psl)
     u = F.col(url_col)
     # trailing-dot absolute FQDNs normalize to the dotless host so depth
     # arithmetic and domain grouping agree with _registered_domain
@@ -87,7 +230,11 @@ def url_features(
     )
     path = F.try_parse_url(u, F.lit("PATH"))
     query = F.try_parse_url(u, F.lit("QUERY"))
-    domain = _registered_domain(host, suffixes)
+    domain = (
+        _registered_domain_psl(host, psl_obj)
+        if psl_obj is not None
+        else _registered_domain(host, suffixes)
+    )
     sub_depth = F.when(
         host.isNull() | domain.isNull(), F.lit(None).cast("int")
     ).otherwise(
@@ -131,13 +278,16 @@ def domain_stats(
     url_col: str = "url",
     *,
     extra_suffixes: list[str] | None = None,
+    psl: "PublicSuffixList | str | list[str] | None" = None,
 ) -> DataFrame:
     """Per-registered-domain corpus report: ``domain, n_docs, n_hosts,
     share`` (share of non-NULL-url docs), descending volume — the "is 1%
     of domains 90% of the corpus" screen that motivates
     :func:`cap_domains`.  One aggregation; the share divisor is a
     broadcast one-row total."""
-    feats = url_features(df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes)
+    feats = url_features(
+        df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes, psl=psl
+    )
     per = (
         feats.where(F.col("__u_domain").isNotNull())
         .groupBy(F.col("__u_domain").alias("domain"))
@@ -162,6 +312,7 @@ def filter_domains(
     url_col: str = "url",
     mode: str = "block",
     extra_suffixes: list[str] | None = None,
+    psl: "PublicSuffixList | str | list[str] | None" = None,
 ) -> DataFrame:
     """Drop (``mode='block'``) or keep (``mode='allow'``) documents whose
     REGISTERED domain is in ``domains`` — subdomains follow their
@@ -174,7 +325,9 @@ def filter_domains(
     if mode not in ("block", "allow"):
         raise ValueError("mode must be 'block' or 'allow'")
     wanted = [d.lower() for d in domains]
-    feats = url_features(df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes)
+    feats = url_features(
+        df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes, psl=psl
+    )
     hit = F.col("__u_domain").isin(wanted)
     cond = (
         (F.col("__u_domain").isNull() | ~hit)
@@ -194,6 +347,7 @@ def cap_domains(
     id_col: str = "doc_id",
     seed: int = 42,
     extra_suffixes: list[str] | None = None,
+    psl: "PublicSuffixList | str | list[str] | None" = None,
 ) -> DataFrame:
     """At most ``max_per_domain`` documents per registered domain — the
     anti-monoculture cap in the C4/RefinedWeb recipes (one domain's
@@ -206,7 +360,9 @@ def cap_domains(
 
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
-    feats = url_features(df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes)
+    feats = url_features(
+        df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes, psl=psl
+    )
     order = F.md5(
         F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

@@ -495,3 +495,104 @@ def test_parse_robots_blank_line_between_user_agents(spark):
     assert rows[(3, "a", 1)] == ("disallow", "/x")
     assert rows[(3, "d", 1)] == ("allow", "/z")
     assert (3, "a", 2) not in rows  # /z bound only to the new group
+
+
+_PSL_RULES = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "com", "org", "io", "uk", "co.uk", "jp",
+    "kawasaki.jp", "*.kawasaki.jp", "!city.kawasaki.jp",
+    "ck", "*.ck", "!www.ck",
+    "// ===END ICANN DOMAINS===",
+    "// ===BEGIN PRIVATE DOMAINS===",
+    "github.io", "s3.amazonaws.com",
+    "// ===END PRIVATE DOMAINS===",
+]
+
+
+def test_load_psl_parses_rule_classes(tmp_path):
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+
+    psl = load_psl(_PSL_RULES)
+    assert "co.uk" in psl.exact and "github.io" in psl.exact
+    assert "kawasaki.jp" in psl.wildcards and "ck" in psl.wildcards
+    assert "www.ck" in psl.exceptions
+    assert psl.max_labels == 3
+    # ICANN-only: private-domain rules excluded
+    icann = load_psl(_PSL_RULES, include_private=False)
+    assert "github.io" not in icann.exact and "co.uk" in icann.exact
+    # a file path loads identically
+    f = tmp_path / "psl.dat"
+    f.write_text("\n".join(_PSL_RULES), encoding="utf-8")
+    assert load_psl(str(f)) == psl
+
+
+def test_url_features_full_psl_longest_match(spark):
+    """Full-PSL registered domains: longest-match, wildcard rules,
+    exception rules, private domains, public-suffix passthrough."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+
+    psl = load_psl(_PSL_RULES)
+    rows = [
+        (1, "https://alice.github.io/p"),      # private rule: own domain
+        (2, "https://deep.sub.alice.github.io/p"),
+        (3, "https://news.bbc.co.uk/x"),       # longest match co.uk > uk
+        (4, "https://foo.bar.kawasaki.jp/x"),  # wildcard *.kawasaki.jp
+        (5, "https://www.city.kawasaki.jp/x"), # exception beats wildcard
+        (6, "https://www.ck/x"),               # exception !www.ck
+        (7, "https://shop.example.ck/x"),      # wildcard *.ck
+        (8, "https://github.io/x"),            # host IS a public suffix
+        (9, "http://10.0.0.1/x"),              # IP passthrough
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r.doc_id: r for r in url_features(df, psl=psl).collect()}
+    assert got[1].url_domain == "alice.github.io"
+    assert got[2].url_domain == "alice.github.io"
+    assert got[2].url_subdomain_depth == 2
+    assert got[3].url_domain == "bbc.co.uk"
+    assert got[4].url_domain == "foo.bar.kawasaki.jp"
+    assert got[5].url_domain == "city.kawasaki.jp"
+    assert got[5].url_subdomain_depth == 1
+    assert got[6].url_domain == "www.ck"
+    assert got[7].url_domain == "shop.example.ck"
+    assert got[8].url_domain == "github.io"  # no registrable part
+    assert got[9].url_domain == "10.0.0.1"
+    assert got[10].url_domain is None
+    # ICANN-only collapses all github.io subdomains into one domain
+    icann = load_psl(_PSL_RULES, include_private=False)
+    got2 = {r.doc_id: r.url_domain
+            for r in url_features(df, psl=icann).collect()}
+    assert got2[1] == "github.io" == got2[2]
+
+
+def test_cap_domains_with_private_psl(spark):
+    """The verdict's github.io scenario: with private-domain rules every
+    user site is its own registered domain and survives the cap; without
+    them the whole suffix collapses into one capped group."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+
+    rows = [(i, f"https://user{i % 5}.github.io/p{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    private = load_psl(_PSL_RULES)
+    kept = cap_domains(df, max_per_domain=2, id_col="doc_id", psl=private)
+    assert kept.count() == 10  # 5 user sites x cap 2
+    icann = load_psl(_PSL_RULES, include_private=False)
+    kept2 = cap_domains(df, max_per_domain=2, id_col="doc_id", psl=icann)
+    assert kept2.count() == 2  # one registered domain: github.io
+
+
+def test_psl_path_stays_map_only(spark):
+    """The full-PSL registered domain is still pure codegen — InSet
+    probes, no join, no Python."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+    from aws_sdk_pandas_spark.plans import assert_scale_safe, formatted_plan
+
+    psl = load_psl(_PSL_RULES)
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id bigint, url string"
+    )
+    f = url_features(df, psl=psl)
+    assert_scale_safe(f)
+    plan = formatted_plan(f)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
