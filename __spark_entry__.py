@@ -6592,6 +6592,89 @@ def _q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star INTEGRATION gate: the training-data families composed
+    into ONE flow, hash-checked end-to-end against a closed-form DuckDB
+    replay of the whole funnel —
+
+      lakelite table (2 append commits) -> lakelite STREAMING source
+      (Python DataSource, availableNow, version-offset micro-batches)
+      -> curate_corpus (fingerprint dedup + language whitelist + token
+      gates) -> cap_domains (registered-domain anti-monoculture cap,
+      md5-deterministic pick) -> render_conversations (chatml) ->
+      whitespace token accounting -> training_order (md5 epoch
+      permutation) -> pack_sequences (48-token prefix-sum packing).
+
+    Every per-stage operator is oracle-checked elsewhere; THIS gate pins
+    the composition: the final (doc_id, sft_tokens, position, seq_id)
+    accounting is only right if the stream delivered exactly the
+    committed rows, the curation kept exactly the oracle's survivors,
+    the cap picked the oracle's md5 winners, the chatml rendering
+    produced the analytic token count (contents are space-free, so
+    tokens = 2 per turn), and the permutation + running-sum packing
+    agree bit-for-bit."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import lakehouse_shim as shim
+    from aws_sdk_pandas_spark.functions.text import token_count
+    from aws_sdk_pandas_spark.operators.conversations import render_conversations
+    from aws_sdk_pandas_spark.operators.packing import pack_sequences
+    from aws_sdk_pandas_spark.operators.pipeline import curate_corpus
+    from aws_sdk_pandas_spark.operators.sampling import training_order
+    from aws_sdk_pandas_spark.operators.weburl import cap_domains
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.streaming.lakelite_source import (
+        LakeliteStreamDataSource,
+    )
+
+    base = tempfile.mkdtemp(prefix="asps-pipe-")
+    tbl, ck, out_dir = f"{base}/t", f"{base}/ck", f"{base}/out"
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    # two commits -> two stream micro-batches through the version offsets
+    shim.write(docs.where("doc_id % 2 = 0"), tbl, mode="overwrite")
+    shim.write(docs.where("doc_id % 2 = 1"), tbl)
+    try:
+        spark.dataSource.register(LakeliteStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    q = (
+        spark.readStream.format("lakelite_stream").option("path", tbl).load()
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out_dir)
+
+    enriched = streamed.selectExpr(
+        "doc_id", "lang", "text",
+        f"{_URL_SYNTH} AS url",
+        f"{_CONV_SYNTH} AS conversation",
+    )
+    curated = curate_corpus(
+        enriched,
+        lang_col="lang",
+        langs=["en", "de", "fr"],
+        min_tokens=10,
+        max_tokens=120,
+        near_dup=False,
+    )
+    capped = cap_domains(curated, max_per_domain=40, id_col="doc_id")
+    rendered = render_conversations(capped, out_col="__sft_text")
+    with_tok = rendered.withColumn("sft_tokens", token_count("__sft_text"))
+    ordered = training_order(with_tok, key_col="doc_id", seed=7, epoch=1)
+    packed = pack_sequences(ordered, "sft_tokens", 48, order_cols=["position"])
+    return packed.select(
+        "doc_id",
+        "sft_tokens",
+        F.col("position").cast("bigint").alias("position"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
 def _q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL Public Suffix List registered domains under the hash gate
     (operators/weburl.load_psl + the longest-match algorithm as map-only
@@ -7329,6 +7412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "docs_url_features": _q_url_features,
         "docs_url_psl_domains": _q_url_psl_domains,
+        "training_pipeline_sft": _q_training_pipeline_sft,
         "docs_url_domain_caps": _q_url_domain_caps,
         "docs_url_dedup": _q_url_dedup,
         "docs_sitemap_urls": _q_sitemap_urls,
@@ -9311,6 +9395,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM documents
             GROUP BY doc_id % 50
+            ORDER BY doc_id
+        """,
+        "training_pipeline_sft": """
+            WITH fp AS (
+                SELECT doc_id, lang, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                           '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS fp_rn
+                FROM documents
+            ), surv AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM fp
+                WHERE fp_rn = 1 AND lang IN ('en', 'de', 'fr')
+            ), gated AS (
+                SELECT doc_id FROM surv
+                WHERE n_tokens >= 10 AND n_tokens <= 120
+            ), capped AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY CASE CAST(doc_id % 4 AS INT)
+                                   WHEN 0 THEN 'alpha.com'
+                                   WHEN 1 THEN 'beta.co.uk'
+                                   WHEN 2 THEN 'gamma.org'
+                                   ELSE 'delta.co.jp' END
+                               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)),
+                                        CAST(doc_id AS VARCHAR)) AS rn
+                    FROM gated)
+                WHERE rn <= 40
+            ), tok AS (
+                -- chatml render of the synthesized conversation: contents
+                -- are space-free, so every turn is exactly 2 whitespace
+                -- tokens and turns = 2 + (doc_id % 3) * 2
+                SELECT doc_id,
+                       CAST(4 + 4 * CAST(doc_id % 3 AS INT) AS BIGINT)
+                           AS sft_tokens
+                FROM capped
+            ), ord AS (
+                SELECT doc_id, sft_tokens,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5('7|1|' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS position
+                FROM tok
+            )
+            SELECT doc_id, sft_tokens, CAST(position AS BIGINT) AS position,
+                   CAST(FLOOR((SUM(sft_tokens) OVER (ORDER BY position)
+                               - sft_tokens) / 48.0) AS BIGINT) AS seq_id
+            FROM ord
             ORDER BY doc_id
         """,
         "docs_url_psl_domains": """

@@ -550,6 +550,10 @@ class _Traversal:
             )
             if col not in self.df.columns:
                 raise InvalidArgument("fold() requires a value or element stream")
+            # remember what was folded so unfold() can restore an
+            # ELEMENT stream (g.V().fold().unfold().out() is valid
+            # TinkerPop) — ids rejoin their property rows on unfold
+            self._folded_kind = self.kind if col == "~id" else "value"
             self.df = self.df.agg(
                 F.array_sort(F.collect_list(F.col(f"`{col}`"))).alias("folded")
             )
@@ -559,7 +563,16 @@ class _Traversal:
                 raise InvalidArgument("unfold() requires a single-column stream")
             col = self.df.columns[0]
             self.df = self.df.select(F.explode(F.col(f"`{col}`")).alias("value"))
-            self.kind = "value"
+            folded = getattr(self, "_folded_kind", None)
+            if folded in ("V", "E"):
+                base = self.vertices if folded == "V" else self.edges
+                self.df = self.df.join(
+                    base, self.df["value"] == base["`~id`"], "inner"
+                ).drop("value")
+                self.kind = folded
+            else:
+                self.kind = "value"
+            self._folded_kind = None
         elif name in ("sum", "mean", "min", "max"):
             if self.kind != "value" or len(self.df.columns) != 1:
                 raise InvalidArgument(
