@@ -6963,7 +6963,9 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             concat('<html>', concat_ws(' ', transform(
                 sequence(1, 1 + CAST(doc_id % 4 AS INT)), j -> concat(
                     '<a href="https://l.com/', CAST(doc_id AS STRING), '/',
-                    CAST(j AS STRING), '">',
+                    CAST(j AS STRING),
+                    CASE WHEN j % 3 = 0 THEN '?x=1&amp;y=2' ELSE '' END,
+                    '">',
                     CASE WHEN j % 2 = 1
                          THEN concat('text <b>', CAST(j AS STRING), '</b>')
                          ELSE concat('plain ', CAST(j AS STRING)) END,
@@ -6992,8 +6994,13 @@ def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
             concat('<urlset>', concat_ws('', transform(
                 sequence(1, 1 + CAST(doc_id % 5 AS INT)), j -> concat(
-                    '<url><loc>https://s.com/p', CAST(doc_id AS STRING),
-                    '-', CAST(j AS STRING), '</loc>',
+                    '<url><loc>',
+                    CASE WHEN j % 4 = 0 THEN '<![CDATA[' ELSE '' END,
+                    'https://s.com/p', CAST(doc_id AS STRING),
+                    '-', CAST(j AS STRING),
+                    CASE WHEN j % 3 = 0 THEN '?a=1&amp;b=2' ELSE '' END,
+                    CASE WHEN j % 4 = 0 THEN ']]>' ELSE '' END,
+                    '</loc>',
                     CASE WHEN j % 2 = 0
                          THEN concat('<lastmod>2024-0', CAST(1 + j % 9 AS STRING),
                                      '-01</lastmod>')
@@ -9514,7 +9521,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, j AS link_idx,
                    'https://l.com/' || CAST(doc_id AS VARCHAR) || '/'
-                       || CAST(j AS VARCHAR) AS href,
+                       || CAST(j AS VARCHAR)
+                       || CASE WHEN j % 3 = 0 THEN '?x=1&y=2' ELSE '' END
+                       AS href,
                    CASE WHEN j % 2 = 1 THEN 'text ' || CAST(j AS VARCHAR)
                         ELSE 'plain ' || CAST(j AS VARCHAR) END AS anchor_text
             FROM links
@@ -9528,7 +9537,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, j AS loc_idx,
                    'https://s.com/p' || CAST(doc_id AS VARCHAR) || '-'
-                       || CAST(j AS VARCHAR) AS url,
+                       || CAST(j AS VARCHAR)
+                       || CASE WHEN j % 3 = 0 THEN '?a=1&b=2' ELSE '' END
+                       AS url,
                    CASE WHEN j % 2 = 0
                         THEN '2024-0' || CAST(1 + j % 9 AS VARCHAR) || '-01'
                    END AS lastmod

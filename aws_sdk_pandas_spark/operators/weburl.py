@@ -34,6 +34,30 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _xml_unescape(col: Column) -> Column:
+    """Decode the XML/HTML character entities that appear in attribute
+    values and XML text nodes — ``&amp;`` is MANDATORY escaping for
+    ``&`` in XML, so every sitemap ``<loc>`` and href with a multi-param
+    query string carries it; leaving it raw produces wrong URLs that
+    poison url_features/dedup_urls keys downstream.  Covers the five
+    XML named entities, the common numeric apostrophe/quote/amp forms
+    and ``&nbsp;``; exotic numeric character references pass through
+    unchanged (documented boundary).  Pure codegen literal replaces.
+
+    The ``&amp;`` family decodes LAST so double-escaped text stays
+    literal: ``&amp;lt;`` means the four characters ``&lt;`` and must
+    NOT cascade into ``<``."""
+    for pat, rep in [
+        ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#34;", '"'), ("&#x22;", '"'),
+        ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
+        ("&nbsp;", " "), ("&#160;", " "),
+        ("&#38;", "&"), ("&#x26;", "&"), ("&amp;", "&"),
+    ]:
+        col = F.replace(col, F.lit(pat), F.lit(rep))
+    return col
+
+
 # frequent two-level public suffixes (under these, the REGISTERED domain
 # is three labels: foo.co.uk) — extend per-call via extra_suffixes
 _TWO_LEVEL_SUFFIXES = [
@@ -480,17 +504,25 @@ def extract_sitemap_urls(
     order and the ``<lastmod>`` that immediately follows it inside the
     same ``<url>``/``<sitemap>`` block (NULL when absent) — the crawl
     frontier extraction that feeds :func:`url_features` /
-    :func:`filter_domains`.  Pure JVM regexp + one posexplode; NULL /
-    loc-less documents yield no rows."""
+    :func:`filter_domains`.  ``CDATA``-wrapped locations unwrap and XML
+    character entities decode (``&amp;`` is mandatory XML escaping, so
+    every multi-param query string in a sitemap carries it).  Pure JVM
+    regexp + one posexplode; NULL / loc-less documents yield no rows."""
     block_re = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
     blocks = F.regexp_extract_all(F.col(xml_col), F.lit(block_re), F.lit(1))
     ex = df.select(
         F.col(id_col), F.posexplode(blocks).alias("__i", "__blk")
     )
-    loc = F.regexp_extract(F.col("__blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
-    lastmod = F.regexp_extract(
-        F.col("__blk"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
-    )
+
+    def text_node(tag: str) -> Column:
+        v = F.regexp_extract(
+            F.col("__blk"), rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1
+        )
+        v = F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
+        return _xml_unescape(v)
+
+    loc = text_node("loc")
+    lastmod = text_node("lastmod")
     return (
         ex.where(loc != "")
         .select(
@@ -537,14 +569,17 @@ def extract_links(
             )
         ).alias("__i", "__z"),
     )
-    # per match exactly one href branch participated (the other reads '')
-    href = F.when(F.col("__z")["hq"] != "", F.col("__z")["hq"]).otherwise(
-        F.col("__z")["hu"]
+    # per match exactly one href branch participated (the other reads '');
+    # HTML entities decode (&amp; is ubiquitous in real hrefs)
+    href = _xml_unescape(
+        F.when(F.col("__z")["hq"] != "", F.col("__z")["hq"]).otherwise(
+            F.col("__z")["hu"]
+        )
     )
     anchor = F.regexp_replace(
         F.regexp_replace(F.col("__z")["t"], r"(?s)<[^>]*>", " "), r"\s+", " "
     )
-    anchor = F.regexp_replace(anchor, r"^\s+|\s+$", "")
+    anchor = F.regexp_replace(_xml_unescape(anchor), r"^\s+|\s+$", "")
     return ex.select(
         F.col(id_col),
         (F.col("__i") + 1).cast("int").alias("link_idx"),
@@ -572,7 +607,10 @@ def parse_robots(
     document + one in-document equi-join on the group id."""
     from pyspark.sql.window import Window
 
-    lines = F.split(F.regexp_replace(F.col(text_col), "\r\n?", "\n"), "\n")
+    # a UTF-8 BOM (ubiquitous on real robots.txt) must not make the
+    # first User-agent line unparseable — Google's parser tolerates it
+    body = F.regexp_replace(F.col(text_col), "^\\uFEFF", "")
+    lines = F.split(F.regexp_replace(body, "\r\n?", "\n"), "\n")
     ex = df.select(
         F.col(id_col), F.posexplode(lines).alias("__pos", "__raw")
     ).select(
@@ -651,6 +689,7 @@ def extract_page_meta(
 
     def first(pattern: str, group: int = 1) -> Column:
         v = F.regexp_extract(h, pattern, group)
+        v = _xml_unescape(v)  # &amp;/&quot;/&#39; etc. decode
         v = F.regexp_replace(v, r"\s+", " ")
         v = F.regexp_replace(v, r"^\s+|\s+$", "")
         return F.when(v != "", v)

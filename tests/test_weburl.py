@@ -596,3 +596,50 @@ def test_psl_path_stays_map_only(spark):
     plan = formatted_plan(f)
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_entity_decoding_cdata_and_bom(spark):
+    """Real-web input forms the extractors must normalize: XML character
+    entities (&amp; is MANDATORY XML escaping, so every multi-param
+    sitemap URL carries it), CDATA-wrapped <loc>, HTML entities in
+    hrefs/anchors/meta values, and a UTF-8 BOM on robots.txt."""
+    from aws_sdk_pandas_spark.operators.weburl import (
+        extract_links,
+        extract_page_meta,
+        extract_sitemap_urls,
+        parse_robots,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/p?x=1&amp;y=2</loc></url>"
+        "<url><loc><![CDATA[https://b.com/q?a=1&b=2]]></loc></url>"
+        "</urlset>"
+    )
+    srows = {r.loc_idx: r.url for r in extract_sitemap_urls(
+        spark.createDataFrame([(1, xml)], "doc_id bigint, xml string")
+    ).collect()}
+    assert srows[1] == "https://a.com/p?x=1&y=2"   # entity decoded
+    assert srows[2] == "https://b.com/q?a=1&b=2"   # CDATA unwrapped
+
+    html = (
+        '<a href="https://x.com/?a=1&amp;b=2">Tom &amp; Jerry &lt;3&#39;s</a>'
+        '<meta name="description" content="A &quot;fine&quot; page">'
+        '<meta property="og:title" content="Keep &amp;amp; literal">'
+    )
+    hdf = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    link = extract_links(hdf).collect()[0]
+    assert link.href == "https://x.com/?a=1&b=2"
+    assert link.anchor_text == "Tom & Jerry <3's"
+    meta = extract_page_meta(hdf).collect()[0]
+    assert meta.page_description == 'A "fine" page'
+    # double-escaped text stays literal: &amp;amp; means the text '&amp;'
+    assert meta.page_og_title == "Keep &amp; literal"
+
+    robots = "﻿User-agent: *\nDisallow: /x\n"
+    rrows = parse_robots(
+        spark.createDataFrame([(1, robots)], "doc_id bigint, text string")
+    ).collect()
+    assert [(r.user_agent, r.rule_type, r.path) for r in rrows] == [
+        ("*", "disallow", "/x")
+    ]
