@@ -390,6 +390,25 @@ def probe(spark, sf_dir: str, mult: int) -> dict[str, float]:
     dedup_urls(docs_ids, id_col="doc_id").count()
     timings["url_dedup"] = round(time.time() - t0, 2)
 
+    # full-PSL registered domains (round 5): the rule sets compile to
+    # InSet hash-set probes (one per label depth) — map-only, no join;
+    # a synthetic 1.2k-rule PSL stands in for the real ~9k-rule file
+    from aws_sdk_pandas_spark.operators.weburl import load_psl, url_features
+
+    psl_rules = (
+        [f"tld{i}" for i in range(400)]
+        + [f"co.tld{i}" for i in range(400)]
+        + [f"*.wild{i}.tld{i % 400}" for i in range(200)]
+        + [f"!ok.wild{i}.tld{i % 400}" for i in range(200)]
+        + ["com", "org", "co.uk", "github.io"]
+    )
+    psl_obj = load_psl(psl_rules)
+    t0 = time.time()
+    url_features(docs_ids, psl=psl_obj).where(
+        F.col("url_domain").isNotNull()
+    ).select(F.count_distinct("url_domain")).collect()
+    timings["url_psl_features"] = round(time.time() - t0, 2)
+
     # audio spectral front end (round 4): one fixed-size synthetic WAV
     # per document — decode + FFT work is strictly per-row (map-only
     # Arrow kernel), the purest linear-scaling shape in the package
