@@ -5336,6 +5336,42 @@ def _q_lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lakehouse_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via DELETION VECTORS under the hash gate
+    (lakehouse_shim.delete(use_deletion_vectors=True) — round-5 writer
+    side of the Delta DV protocol): customer written versioned, one
+    segment's keys deleted as roaring-bitmap DVs (zero data rewrite),
+    then read back through the FOREIGN Delta-log reader path
+    (delta_log.read_delta_log: protocol 3 readerFeatures
+    deletionVectors, z85+roaring decode, broadcast anti-join on
+    _metadata.row_index) — so the gate pins the DV encode, the log
+    export, AND the protocol-correct read, end to end against the same
+    relational anti-filter oracle as the CoW gate."""
+    import tempfile
+
+    from aws_sdk_pandas_spark import delta_log, lakehouse, lakehouse_shim
+
+    _load(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="asps-lakelite-dv-") + "/customer_tbl"
+    c = spark.sql("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer")
+    lakehouse.to_deltalake(c.repartition(8, "c_custkey"), path, mode="overwrite")
+    victims = c.where("c_mktsegment = 'MACHINERY'").select("c_custkey")
+    lakehouse_shim.delete(
+        spark, victims, path, ["c_custkey"], use_deletion_vectors=True
+    )
+    back = delta_log.read_delta_log(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF under the FULL hash gate (verdict item 5): with n_probe ==
     n_clusters every cluster is scanned, so knn_ivf provably equals
@@ -7466,6 +7502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "athena_trino_dialect": _q_trino_dialect,
         "lakehouse_time_travel": _q_lakehouse_time_travel,
         "lakehouse_delete_cow": _q_lakehouse_delete,
+        "lakehouse_delete_dv": _q_lakehouse_delete_dv,
         "events_funnel": lambda s, d: _sql(s, d, _EVENTS_FUNNEL),
         "events_retention_cohorts": _q_retention_cohorts,
         "asof_join_forward_tol": _q_asof_forward_tol,
@@ -10212,6 +10249,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
             FROM customer
             WHERE c_mktsegment <> 'BUILDING'
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "lakehouse_delete_dv": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+            FROM customer
+            WHERE c_mktsegment <> 'MACHINERY'
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
         """,

@@ -60,6 +60,17 @@ _OPS = {
     "compact": "OPTIMIZE",
 }
 
+# table protocol once any file carries a deletion vector: DV reads need
+# reader 3 + the readerFeatures entry, DV writes writer 7 + writerFeatures
+_DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
 
 def _local(path: str) -> str:
     if path.startswith("file:"):
@@ -142,17 +153,21 @@ def _add_action(root: str, entry: dict[str, Any]) -> dict[str, Any]:
     }
     if stats:
         add["stats"] = json.dumps(stats)
+    if entry.get("dv"):
+        add["deletionVector"] = dict(entry["dv"])
     return {"add": add}
 
 
 def _remove_action(entry: dict[str, Any], ts_ms: int) -> dict[str, Any]:
-    return {
-        "remove": {
-            "path": urllib.parse.quote(entry["path"].replace(os.sep, "/"), safe="/=%"),
-            "deletionTimestamp": ts_ms,
-            "dataChange": True,
-        }
+    remove: dict[str, Any] = {
+        "path": urllib.parse.quote(entry["path"].replace(os.sep, "/"), safe="/=%"),
+        "deletionTimestamp": ts_ms,
+        "dataChange": True,
     }
+    if entry.get("dv"):
+        # the remove names the LOGICAL file it retires: (path, dv)
+        remove["deletionVector"] = dict(entry["dv"])
+    return {"remove": remove}
 
 
 def export_commit(path: str, manifest: dict[str, Any]) -> bool:
@@ -191,8 +206,19 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
             }
         }
     ]
+    has_dv = any(e.get("dv") for e in manifest["files"])
+    prev_had_dv = any(e.get("dv") for e in (prev["files"] if prev else []))
     if v == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        if has_dv:
+            actions.append(_DV_PROTOCOL_ACTION)
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+    elif has_dv and not prev_had_dv:
+        # first DV-bearing commit upgrades the table protocol in place —
+        # sticky thereafter (replays keep the highest protocol seen)
+        actions.append(_DV_PROTOCOL_ACTION)
     schema_changed = prev is not None and (
         prev["schema"] != manifest["schema"]
         or prev["partition_cols"] != manifest["partition_cols"]
@@ -218,6 +244,13 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
         actions.append(_remove_action(prev_files[p], ts))
     for p in sorted(set(cur_files) - set(prev_files)):
         actions.append(_add_action(root, cur_files[p]))
+    # a file whose deletion vector changed is a LOGICAL replace: the
+    # spec'd pattern is remove(path, old dv) + add(path, new dv) in one
+    # commit (the remove precedes the add, so replay nets to the new dv)
+    for p in sorted(set(prev_files) & set(cur_files)):
+        if (prev_files[p].get("dv") or None) != (cur_files[p].get("dv") or None):
+            actions.append(_remove_action(prev_files[p], ts))
+            actions.append(_add_action(root, cur_files[p]))
 
     d = _delta_dir(path)
     os.makedirs(d, exist_ok=True)
@@ -481,6 +514,118 @@ _Z85_INV = {c: i for i, c in enumerate(_Z85)}
 _DV_MAGIC = 1681511377
 
 
+def _z85_encode(data: bytes) -> str:
+    """Z85 (RFC 32/ZeroMQ alphabet, the one Delta uses for DV descriptors)."""
+    if len(data) % 4:
+        raise InvalidArgument(f"Z85 encode needs a multiple of 4 bytes, got {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring32_encode(values: list[int]) -> bytes:
+    """Serialize sorted u32 values as a standard 32-bit roaring bitmap
+    (RoaringFormatSpec, SERIAL_COOKIE_NO_RUNCONTAINER layout: cookie,
+    container count, per-container key/cardinality descriptors, the
+    offset index, then array or bitmap container payloads — valid input
+    for any conforming reader, run containers are an optional
+    optimization we don't emit)."""
+    import struct as _s
+
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        if not 0 <= v < (1 << 32):
+            raise InvalidArgument(f"roaring32 value {v} out of range")
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    head = _s.pack("<II", 12346, n)
+    descr = b"".join(
+        _s.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    payloads = []
+    for k in keys:
+        lows = sorted(set(containers[k]))
+        if len(lows) != len(containers[k]):
+            raise InvalidArgument("roaring32 input must not contain duplicates")
+        if len(lows) <= 4096:  # array container
+            payloads.append(_s.pack(f"<{len(lows)}H", *lows))
+        else:  # bitmap container
+            words = [0] * 1024
+            for lo in lows:
+                words[lo >> 6] |= 1 << (lo & 63)
+            payloads.append(_s.pack("<1024Q", *words))
+    # offsets: byte position of each container payload from stream start
+    base = len(head) + len(descr) + 4 * n
+    offsets, pos = [], base
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    return (
+        head
+        + descr
+        + _s.pack(f"<{n}I", *offsets)
+        + b"".join(payloads)
+    )
+
+
+def _rbarray_encode(indexes: list[int]) -> bytes:
+    """Delta's RoaringBitmapArray 'portable' form: magic + number of
+    32-bit bitmaps (highest key + 1, empties included) + each bitmap in
+    RoaringFormatSpec order — the exact inverse of :func:`_rbarray_decode`."""
+    import struct as _s
+
+    idx = sorted(set(indexes))
+    if idx and idx[0] < 0:
+        raise InvalidArgument("deletion vector row indexes must be >= 0")
+    n_maps = (idx[-1] >> 32) + 1 if idx else 0
+    out = [_s.pack("<Iq", _DV_MAGIC, n_maps)]
+    by_high: dict[int, list[int]] = {}
+    for v in idx:
+        by_high.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    for high in range(n_maps):
+        out.append(_roaring32_encode(by_high.get(high, [])))
+    return b"".join(out)
+
+
+def write_dv_file(
+    root: str, indexes: list[int], *, prefix: str = "_dv"
+) -> dict[str, Any]:
+    """Write ONE deletion vector in Delta's on-disk 'u' storage layout
+    (``<root>/<prefix>/deletion_vector_<uuid>.bin``: format-version byte
+    1, then [int32 BE size | RoaringBitmapArray data | int32 BE CRC32])
+    and return the ``add.deletionVector`` descriptor — the exact shape
+    :func:`_dv_row_indexes` (and delta-rs / Delta Spark) resolve.
+    Metadata-plane work: cost is O(deleted rows in this file)."""
+    import struct as _s
+    import zlib as _z
+
+    data = _rbarray_encode(indexes)
+    u = uuid.uuid4()
+    d = os.path.join(root, prefix) if prefix else root
+    os.makedirs(d, exist_ok=True)
+    fpath = os.path.join(d, f"deletion_vector_{u}.bin")
+    blob = b"\x01" + _s.pack(">i", len(data)) + data + _s.pack(
+        ">I", _z.crc32(data) & 0xFFFFFFFF
+    )
+    with open(fpath, "wb") as fh:
+        fh.write(blob)
+    enc_prefix = (prefix.rstrip("/") + "/") if prefix else ""
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": enc_prefix + _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
+
+
 def _z85_decode(s: str) -> bytes:
     if len(s) % 5:
         raise InvalidArgument(f"Z85 length {len(s)} not a multiple of 5")
@@ -563,25 +708,33 @@ def _rbarray_decode(data: bytes) -> list[int]:
     return out
 
 
-def _dv_row_indexes(root: str, dv: dict) -> list[int]:
-    """Resolve one add.deletionVector descriptor to its row indexes."""
-    import struct as _s
-    import zlib as _z
-
+def dv_file_path(root: str, dv: dict) -> str | None:
+    """On-disk file of one deletionVector descriptor (None when the DV
+    is inline) — also the retention hook lakelite's vacuum uses to keep
+    live DV files."""
     st = dv.get("storageType")
     if st == "i":
-        data = _z85_decode(dv["pathOrInlineDv"])
-        return _rbarray_decode(data)
+        return None
     if st == "u":
         enc = dv["pathOrInlineDv"]
         prefix, uuid_z85 = enc[:-20], enc[-20:]
         u = uuid.UUID(bytes=_z85_decode(uuid_z85))
         fname = f"deletion_vector_{u}.bin"
-        fpath = os.path.join(root, prefix, fname) if prefix else os.path.join(root, fname)
-    elif st == "p":
-        fpath = _local(dv["pathOrInlineDv"])
-    else:
-        raise InvalidArgument(f"unknown deletion vector storageType {st!r}")
+        return os.path.join(root, prefix, fname) if prefix else os.path.join(root, fname)
+    if st == "p":
+        return _local(dv["pathOrInlineDv"])
+    raise InvalidArgument(f"unknown deletion vector storageType {st!r}")
+
+
+def _dv_row_indexes(root: str, dv: dict) -> list[int]:
+    """Resolve one add.deletionVector descriptor to its row indexes."""
+    import struct as _s
+    import zlib as _z
+
+    if dv.get("storageType") == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])
+        return _rbarray_decode(data)
+    fpath = dv_file_path(root, dv)
     if not os.path.exists(fpath):
         raise InvalidArgument(f"missing deletion vector file {fpath!r}")
     with open(fpath, "rb") as fh:

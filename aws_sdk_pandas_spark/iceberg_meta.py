@@ -700,6 +700,79 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
             }
         )
 
+    # ---- v2 merge-on-read POSITIONAL deletes from lakelite deletion
+    # vectors: a snapshot whose manifest has DV-bearing entries writes
+    # fresh position-delete parquet(s) (one per partition tuple)
+    # covering ALL current DVs.  Manifest lists are per-snapshot
+    # complete, so the previous snapshot's delete files simply drop out
+    # of the new list — O(deleted rows) metadata-plane work, no data
+    # rewrite; engines apply them under the spec's sequence rule
+    # (delete_seq >= data_seq holds: the delete carries this commit's
+    # seq, data files keep their original adds').
+    pos_delete_entries: list[dict] = []
+    dv_entries = [e for e in manifest["files"] if e.get("dv")]
+    if dv_entries:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aws_sdk_pandas_spark import delta_log as dl
+
+        dv_groups: dict[tuple, list[tuple[str, int]]] = {}
+        dv_parts: dict[tuple, dict] = {}
+        for e in dv_entries:
+            part = _part_record(e.get("partition_values") or {})
+            key = tuple(sorted(part.items()))
+            fp = "file://" + os.path.join(root, e["path"])
+            rows = dv_groups.setdefault(key, [])
+            dv_parts[key] = part
+            for ri in dl._dv_row_indexes(root, e["dv"]):
+                rows.append((fp, ri))
+        for gi, (key, rows) in enumerate(sorted(dv_groups.items())):
+            rows.sort()
+            dpath = os.path.join(d, f"icd-{v:08d}-{gi:04d}-pos-delete.parquet")
+            # reserved field ids per the Iceberg spec: 2147483546 =
+            # file_path, 2147483545 = pos
+            pa_schema = pa.schema(
+                [
+                    pa.field(
+                        "file_path", pa.string(), nullable=False,
+                        metadata={b"PARQUET:field_id": b"2147483546"},
+                    ),
+                    pa.field(
+                        "pos", pa.int64(), nullable=False,
+                        metadata={b"PARQUET:field_id": b"2147483545"},
+                    ),
+                ]
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": [r[0] for r in rows],
+                        "pos": [r[1] for r in rows],
+                    },
+                    schema=pa_schema,
+                ),
+                dpath,
+            )
+            pos_delete_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": "file://" + dpath,
+                        "file_format": "PARQUET",
+                        "partition": dv_parts[key],
+                        "record_count": len(rows),
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+            )
+
     meta_common = {
         "schema": json.dumps({"schema-id": schema_id, **body}),
         "schema-id": str(schema_id),
@@ -763,6 +836,35 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
                 "deleted_rows_count": sum(
                     e["data_file"]["record_count"] for e in deleted
                 ),
+                "partitions": None,
+            }
+        )
+    if pos_delete_entries:
+        posd_manifest = os.path.join(d, f"icm-{v:08d}-posdel.avro")
+        n = avro_ocf.write_container(
+            posd_manifest,
+            entry_schema,
+            pos_delete_entries,
+            metadata={**meta_common, "content": "deletes"},
+            sync=sync,
+        )
+        manifests.append(
+            {
+                "manifest_path": "file://" + posd_manifest,
+                "manifest_length": n,
+                "partition_spec_id": spec_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(pos_delete_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in pos_delete_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
                 "partitions": None,
             }
         )

@@ -304,14 +304,23 @@ def delete_from_iceberg_table(
     merge_cols: list[str],
     *,
     require_native: bool = False,
+    use_deletion_vectors: bool = False,
 ) -> None:
-    """reference: athena/_write_iceberg.py:715 ``delete_from_iceberg_table``."""
+    """reference: athena/_write_iceberg.py:715 ``delete_from_iceberg_table``.
+
+    ``use_deletion_vectors=True`` (lakelite path) deletes merge-on-read:
+    row-level deletion vectors instead of a copy-on-write rewrite; the
+    Iceberg sidecar exports them as v2 positional-delete files — the
+    shape Athena row-level DELETE writes."""
     from aws_sdk_pandas_spark.operators.merge import delete_from_table
 
     if not _use_native(spark, "iceberg", require_native):
         from aws_sdk_pandas_spark import lakehouse_shim
 
-        lakehouse_shim.delete(spark, df, _iceberg_table_path(spark, table), merge_cols)
+        lakehouse_shim.delete(
+            spark, df, _iceberg_table_path(spark, table), merge_cols,
+            use_deletion_vectors=use_deletion_vectors,
+        )
         return
     delete_from_table(spark, df, table, merge_cols)
 

@@ -576,6 +576,19 @@ def read(
     for e in entries:
         by_commit.setdefault(e["commit"], []).append(os.path.join(root, e["path"]))
 
+    # deletion vectors (MoR deletes): decode each touched file's bitmap
+    # to (abs file, row index) rows — metadata-plane, cardinality-bounded
+    # — and drop them with ONE broadcast anti-join after the union
+    dv_rows: list[tuple[str, int]] = []
+    dv_entries = [e for e in entries if e.get("dv")]
+    if dv_entries:
+        from aws_sdk_pandas_spark import delta_log as _dl
+
+        for e in dv_entries:
+            abs_p = os.path.abspath(os.path.join(root, e["path"]))
+            for ri in _dl._dv_row_indexes(root, e["dv"]):
+                dv_rows.append((abs_p, ri))
+
     parts = []
     for commit_rel, files in sorted(by_commit.items()):
         part = (
@@ -587,10 +600,25 @@ def read(
             # string surgery on the column (percent-encoded or relative
             # paths silently failed to match otherwise)
             part = part.withColumn("__lakelite_file", F.col("_metadata.file_path"))
+        if dv_rows:
+            part = part.withColumn(
+                "__dv_fp", F.col("_metadata.file_path")
+            ).withColumn("__dv_ri", F.col("_metadata.row_index"))
         parts.append(part)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
+    if dv_rows:
+        norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+        deletes = F.broadcast(
+            spark.createDataFrame(dv_rows, "__dfp string, __dpos long")
+        )
+        df = df.join(
+            deletes,
+            (norm(F.col("__dv_fp")) == norm(F.col("__dfp")))
+            & (F.col("__dv_ri") == F.col("__dpos")),
+            "left_anti",
+        ).drop("__dv_fp", "__dv_ri")
     if predicates:
         for c, op, val in predicates:
             col = F.col(c)
@@ -717,6 +745,17 @@ def _commit_or_rebase(
             base_paths = {e["path"] for e in base["files"]}
             win_paths = {e["path"] for e in winner["files"]}
             overlap = (base_paths - win_paths) & touched_paths
+            # a touched file the winner kept but CHANGED (e.g. gained a
+            # deletion vector) conflicts too: rebasing would clobber the
+            # winner's row-level deletes with ours — Delta's
+            # ConcurrentDeleteReadException
+            win_by_path = {e["path"]: e for e in winner["files"]}
+            base_by_path = {e["path"]: e for e in base["files"]}
+            overlap |= {
+                p
+                for p in touched_paths
+                if p in win_by_path and win_by_path[p] != base_by_path.get(p)
+            }
             if overlap:
                 raise InvalidArgument(
                     f"concurrent {mode_desc} conflict at {path!r}: "
@@ -897,11 +936,26 @@ def delete(
     keys: list[str],
     *,
     match_nulls: bool = False,
+    use_deletion_vectors: bool = False,
 ) -> dict[str, int]:
     """DELETE-by-key (reference: athena/_write_iceberg.py:715
     ``delete_from_iceberg_table``) with the same file-level CoW: files
-    with no matching key survive by reference."""
+    with no matching key survive by reference.
+
+    ``use_deletion_vectors=True`` switches to MERGE-ON-READ: touched
+    files are NOT rewritten — each gets a Delta-protocol deletion
+    vector (roaring bitmap of deleted row indexes, written in Delta's
+    on-disk DV layout) and survives by reference.  The sidecar Delta
+    log exports the DV descriptors with the reader-3/writer-7 protocol
+    upgrade, so delta-rs / Delta Spark read the delete; the sticky
+    Iceberg sidecar exports the same rows as v2 positional-delete
+    files.  Reads, CDF, and compaction apply DVs transparently
+    (compaction materializes them).  Choose DVs when deletes are small
+    relative to file sizes — O(deleted rows) metadata instead of
+    O(touched bytes) rewrite."""
     man = _read_manifest(path, latest_version(path))
+    if use_deletion_vectors:
+        return _delete_mor(spark, source, path, keys, man, match_nulls)
     touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
     src_keys = source.select(*keys).distinct()
     survivors = rewrite_input.join(
@@ -933,6 +987,97 @@ def delete(
         mode_desc="delete",
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
+
+
+def _delete_mor(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    man: dict[str, Any],
+    match_nulls: bool,
+) -> dict[str, int]:
+    """Merge-on-read DELETE: per touched file, union the matching row
+    indexes into its deletion vector (one Delta-layout DV file per
+    touched file under ``<table>/_dv/``) and commit a manifest that
+    keeps every data file by reference.  Metadata-plane cost:
+    O(deleted rows), zero data rewrite."""
+    from aws_sdk_pandas_spark import delta_log as dl
+
+    root = _local(path)
+    touched, untouched, _rewrite = _touched_files(spark, path, source, keys, match_nulls)
+    src_keys = source.select(*keys).distinct()
+    new_entries: list[dict[str, Any]] = []
+    rows_deleted = 0
+    if touched:
+        # matching (file, row_index) pairs, scanned from touched files
+        # only; rows already in a DV are excluded by the DV-aware read
+        # below, so re-deleting a row is a no-op (set union regardless)
+        by_commit: dict[str, list[str]] = {}
+        for e in touched:
+            by_commit.setdefault(e["commit"], []).append(
+                os.path.join(root, e["path"])
+            )
+        parts = []
+        for commit_rel, files in sorted(by_commit.items()):
+            parts.append(
+                spark.read.option("basePath", os.path.join(root, commit_rel))
+                .parquet(*files)
+                .withColumn("__f", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p, allowMissingColumns=True)
+        hits = (
+            scan.join(
+                F.broadcast(src_keys),
+                _key_cond(scan, src_keys, keys, match_nulls),
+                "leftsemi",
+            )
+            .select("__f", "__ri")
+            .collect()
+        )
+        per_file: dict[str, set[int]] = {}
+        for r in hits:
+            per_file.setdefault(_normalize_uri(r["__f"]), set()).add(int(r["__ri"]))
+        for e in touched:
+            abs_p = os.path.abspath(os.path.join(root, e["path"]))
+            new_idx = set(per_file.get(abs_p, ()))
+            old_idx = (
+                set(dl._dv_row_indexes(root, e["dv"])) if e.get("dv") else set()
+            )
+            rows_deleted += len(new_idx - old_idx)
+            merged = sorted(old_idx | new_idx)
+            entry = dict(e)
+            entry["dv"] = dl.write_dv_file(root, merged, prefix="_dv")
+            new_entries.append(entry)
+    _commit_or_rebase(
+        spark,
+        path,
+        {
+            "version": man["version"] + 1,
+            "mode": "delete",
+            "schema": man["schema"],
+            "partition_cols": man["partition_cols"],
+            "files": untouched + new_entries,
+            "stats_cols": man.get("stats_cols") or [],
+            "txns": _carry_txns(man, None, path=path),
+        },
+        man,
+        new_entries,
+        touched_paths={e["path"] for e in touched},
+        source_keys=src_keys,
+        keys=keys,
+        match_nulls=match_nulls,
+        mode_desc="delete",
+    )
+    return {
+        "files_rewritten": 0,
+        "files_kept": len(untouched),
+        "files_dv": len(new_entries),
+        "rows_deleted": rows_deleted,
+    }
 
 
 def compact(
@@ -1008,13 +1153,20 @@ def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
     """Delete data commit dirs referenced by NO kept manifest (the
     VACUUM analog; also reclaims orphans from crashed writes).  Keeping
     fewer versions truncates time travel, exactly as in Delta."""
+    from aws_sdk_pandas_spark import delta_log as _dl
+
     vs = _versions(path)
     kept = vs[-keep_versions:] if keep_versions > 0 else []
     root = _local(path)
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in kept:
         for e in _read_manifest(path, v)["files"]:
             referenced.add(e["commit"])
+            if e.get("dv"):
+                p = _dl.dv_file_path(root, e["dv"])
+                if p:
+                    referenced_dv.add(os.path.abspath(p))
     removed = []
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
@@ -1025,6 +1177,14 @@ def vacuum(path: str, *, keep_versions: int = 1) -> list[str]:
 
                 shutil.rmtree(os.path.join(root, rel))
                 removed.append(rel)
+    # deletion-vector bins referenced by no kept manifest
+    dv_dir = os.path.join(root, "_dv")
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            fp = os.path.abspath(os.path.join(dv_dir, f))
+            if fp not in referenced_dv:
+                os.remove(fp)
+                removed.append(os.path.join("_dv", f))
     for v in vs:
         if v not in kept:
             os.remove(os.path.join(_log_dir(path), f"v{v:08d}.json"))

@@ -54,9 +54,25 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, partition_values: dict):
+    def __init__(
+        self,
+        abs_path: str,
+        partition_values: dict,
+        skip_rows: "list[int] | None" = None,
+    ):
         self.abs_path = abs_path
         self.partition_values = partition_values
+        # row indexes removed by a deletion vector (resolved on the
+        # DRIVER — workers get the plain index list, no DV decode there)
+        self.skip_rows = skip_rows
+
+
+def _dv_indexes(root: str, entry: dict) -> "list[int] | None":
+    if not entry.get("dv"):
+        return None
+    from aws_sdk_pandas_spark import delta_log as dl
+
+    return dl._dv_row_indexes(root, entry["dv"])
 
 
 def _arrow_const(value, spark_type, n: int):
@@ -122,20 +138,43 @@ class _LakeliteStreamReader(DataSourceStreamReader):
             cur_files = {e["path"]: e for e in man["files"]}
             removed = set(prev_files) - set(cur_files)
             added = [cur_files[p] for p in sorted(set(cur_files) - set(prev_files))]
-            if removed and not self._ignore_changes:
+            # a kept file whose deletion vector changed is a row-level
+            # DELETE: same streaming contract as a rewrite (Delta's
+            # deletion-vector commits hit ignoreDeletes/ignoreChanges)
+            dv_changed = sorted(
+                p
+                for p in set(prev_files) & set(cur_files)
+                if (prev_files[p].get("dv") or None)
+                != (cur_files[p].get("dv") or None)
+            )
+            if (removed or dv_changed) and not self._ignore_changes:
                 if not (self._ignore_deletes and not added):
                     raise RuntimeError(
                         f"lakelite_stream: commit v{v} ({man.get('mode')}) "
-                        f"removed/rewrote {len(removed)} file(s); a streaming "
-                        "source cannot retract rows. Set ignoreChanges=true to "
+                        f"removed/rewrote {len(removed)} and row-level-deleted "
+                        f"from {len(dv_changed)} file(s); a streaming source "
+                        "cannot retract rows. Set ignoreChanges=true to "
                         "re-emit rewritten files (possible duplicates) or "
                         "ignoreDeletes=true for delete-only commits."
+                    )
+            if self._ignore_changes and dv_changed:
+                # re-emit the changed file's NEW version: the file minus
+                # its deleted rows (duplicates allowed, as documented)
+                for p in dv_changed:
+                    e = cur_files[p]
+                    out.append(
+                        _FilePartition(
+                            os.path.join(root, e["path"]),
+                            dict(e.get("partition_values") or {}),
+                            skip_rows=_dv_indexes(root, e) or [],
+                        )
                     )
             for e in added:
                 out.append(
                     _FilePartition(
                         os.path.join(root, e["path"]),
                         dict(e.get("partition_values") or {}),
+                        skip_rows=_dv_indexes(root, e),
                     )
                 )
         return out
@@ -152,6 +191,9 @@ class _LakeliteStreamReader(DataSourceStreamReader):
             partition.abs_path,
             columns=[c for c in file_cols if c in pq.read_schema(partition.abs_path).names],
         )
+        if getattr(partition, "skip_rows", None):
+            skip = set(partition.skip_rows)
+            tbl = tbl.take([i for i in range(tbl.num_rows) if i not in skip])
         n = tbl.num_rows
         arrays, names = [], []
         for f in self._schema.fields:
