@@ -821,6 +821,7 @@ def merge(
     merge_condition: str = "update",
     match_nulls: bool = False,
     precombine_key: str | None = None,
+    use_deletion_vectors: bool = False,
 ) -> dict[str, int]:
     """MERGE INTO semantics (reference: athena/_write_iceberg.py:297-420):
     matched target rows updated (or kept, ``merge_condition='ignore'``),
@@ -829,7 +830,16 @@ def merge(
     source batch and against the target row (redshift/_utils.py:186-199).
 
     File-level copy-on-write: only files containing matched keys are
-    rewritten.  Returns {'files_rewritten': n, 'files_kept': m}."""
+    rewritten.  Returns {'files_rewritten': n, 'files_kept': m}.
+
+    ``use_deletion_vectors=True`` runs the update path MERGE-ON-READ:
+    superseded target rows get deletion vectors (zero rewrite of
+    untouched rows in touched files) and only the surviving source rows
+    are written as new files — O(deleted rows + source rows) instead of
+    O(touched bytes).  One intentional divergence from the CoW path:
+    pre-existing duplicate-key rows whose key the source does NOT touch
+    stay untouched (the CoW precombine rewrite incidentally collapses
+    them because it rewrites whole files)."""
     if merge_condition not in ("update", "ignore"):
         raise InvalidArgument("merge_condition must be 'update' or 'ignore'")
 
@@ -878,6 +888,11 @@ def merge(
             mode_desc="merge",
         )
         return {"files_rewritten": 0, "files_kept": len(man["files"])}
+
+    if use_deletion_vectors:
+        return _merge_mor(
+            spark, source, path, keys, man, match_nulls, precombine_key
+        )
 
     touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
     target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
@@ -987,6 +1002,136 @@ def delete(
         mode_desc="delete",
     )
     return {"files_rewritten": len(touched), "files_kept": len(untouched)}
+
+
+def _merge_mor(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    man: dict[str, Any],
+    match_nulls: bool,
+    precombine_key: str | None,
+) -> dict[str, int]:
+    """Merge-on-read MERGE: superseded target rows (matched rows the
+    source out-versions — all of them when no precombine key) join
+    their file's deletion vector; surviving source rows land in new
+    files.  With a precombine key, the winner per key over (matched
+    target rows ∪ source rows) follows the SAME greatest-version-wins /
+    source-wins-ties rule as the CoW path, so a target row that
+    out-versions the source survives untouched and that source row is
+    dropped."""
+    from pyspark.sql import Window
+
+    from aws_sdk_pandas_spark import delta_log as dl
+
+    root = _local(path)
+    pcols = man["partition_cols"]
+    touched, untouched, _ = _touched_files(spark, path, source, keys, match_nulls)
+    target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    src = source.select(*target_cols)
+    src_keys = source.select(*keys).distinct()
+
+    doomed_rows: list = []
+    to_write = src
+    if touched:
+        by_commit: dict[str, list[str]] = {}
+        for e in touched:
+            by_commit.setdefault(e["commit"], []).append(
+                os.path.join(root, e["path"])
+            )
+        parts = []
+        for commit_rel, files in sorted(by_commit.items()):
+            parts.append(
+                spark.read.option("basePath", os.path.join(root, commit_rel))
+                .parquet(*files)
+                .withColumn("__f", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p, allowMissingColumns=True)
+        matched = scan.join(
+            F.broadcast(src_keys),
+            _key_cond(scan, src_keys, keys, match_nulls),
+            "leftsemi",
+        ).select(*target_cols, "__f", "__ri")
+        if precombine_key is None:
+            # the source row always supersedes: every matched target row
+            # is doomed, every source row is written
+            doomed_rows = matched.select("__f", "__ri").collect()
+        else:
+            tagged = matched.withColumn("__src", F.lit(0)).unionByName(
+                src.withColumn("__f", F.lit(None).cast("string"))
+                .withColumn("__ri", F.lit(None).cast("long"))
+                .withColumn("__src", F.lit(1))
+            )
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(precombine_key).desc_nulls_last(), F.col("__src").desc()
+            )
+            ranked = tagged.withColumn("__rn", F.row_number().over(w))
+            doomed_rows = (
+                ranked.where((F.col("__src") == 0) & (F.col("__rn") > 1))
+                .select("__f", "__ri")
+                .collect()
+            )
+            # source rows that lost to a target row are dropped; the
+            # unmatched ones trivially win their partition
+            to_write = (
+                ranked.where((F.col("__src") == 1) & (F.col("__rn") == 1))
+                .select(*target_cols)
+            )
+
+    per_file: dict[str, set[int]] = {}
+    for r in doomed_rows:
+        per_file.setdefault(_normalize_uri(r["__f"]), set()).add(int(r["__ri"]))
+    rows_deleted = 0
+    dv_entries: list[dict[str, Any]] = []
+    kept_touched: list[dict[str, Any]] = []
+    for e in touched:
+        abs_p = os.path.abspath(os.path.join(root, e["path"]))
+        new_idx = set(per_file.get(abs_p, ()))
+        if not new_idx:
+            kept_touched.append(e)  # matched keys lost to precombine
+            continue
+        old_idx = set(dl._dv_row_indexes(root, e["dv"])) if e.get("dv") else set()
+        rows_deleted += len(new_idx - old_idx)
+        entry = dict(e)
+        entry["dv"] = dl.write_dv_file(root, sorted(old_idx | new_idx), prefix="_dv")
+        dv_entries.append(entry)
+
+    _, new_entries = _write_commit(to_write, path, pcols)
+    if man.get("stats_cols"):
+        _collect_stats(spark, _local(path), new_entries, man["stats_cols"])
+    _commit_or_rebase(
+        spark,
+        path,
+        {
+            "version": man["version"] + 1,
+            "mode": "merge",
+            "schema": man["schema"],
+            "partition_cols": pcols,
+            "files": untouched + kept_touched + dv_entries + new_entries,
+            "stats_cols": man.get("stats_cols") or [],
+            "txns": _carry_txns(man, None, path=path),
+        },
+        man,
+        # kept_touched rides along: on a rebase the touched paths are
+        # dropped from the winner's list and re-added from THIS list, so
+        # entries we read-but-did-not-change must be in it too
+        kept_touched + dv_entries + new_entries,
+        touched_paths={e["path"] for e in touched},
+        source_keys=src_keys,
+        keys=keys,
+        match_nulls=match_nulls,
+        mode_desc="merge",
+    )
+    return {
+        "files_rewritten": 0,
+        "files_kept": len(untouched) + len(kept_touched),
+        "files_dv": len(dv_entries),
+        "rows_deleted": rows_deleted,
+    }
 
 
 def _delete_mor(

@@ -347,3 +347,50 @@ def test_dv_streaming_contract(spark, tmp_path):
     )
     # v0 emits all 20, v1 re-emits the file without k=5 -> 39 rows
     assert len(got) == 39 and got.count(5) == 1
+
+
+def test_dv_merge_mor_update_and_insert(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk_table(spark, p, n=30, parts=2)
+    src = spark.createDataFrame(
+        [(5, 99, "z"), (7, 98, "z"), (100, 1, "new")], "k int, v int, g string"
+    )
+    res = shim.merge(spark, src, p, ["k"], use_deletion_vectors=True)
+    assert res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 2  # old versions of 5 and 7
+    got = {r.k: (r.v, r.g) for r in shim.read(spark, p).collect()}
+    assert len(got) == 31
+    assert got[5] == (99, "z") and got[7] == (98, "z")
+    assert got[100] == (1, "new")
+    assert got[6] == (6, "a")  # untouched row in a touched file survives
+    # the foreign Delta reader agrees
+    got_d = {r.k: (r.v, r.g) for r in dl.read_delta_log(spark, p).collect()}
+    assert got_d == got
+
+
+def test_dv_merge_mor_precombine_target_wins(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string"
+    ).coalesce(1)
+    shim.write(df, p, mode="overwrite")
+    src = spark.createDataFrame(
+        [(1, 99, "upd"),   # source wins (99 > 10)
+         (2, 5, "stale"),  # TARGET wins (20 > 5): row survives untouched
+         (4, 1, "ins")],   # unmatched: inserted
+        "k int, ver int, val string",
+    )
+    res = shim.merge(
+        spark, src, p, ["k"], precombine_key="ver", use_deletion_vectors=True
+    )
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 1
+    got = {r.k: (r.ver, r.val) for r in shim.read(spark, p).collect()}
+    assert got == {
+        1: (99, "upd"), 2: (20, "x"), 3: (30, "x"), 4: (1, "ins")
+    }
+    # CoW merge on an identical twin table produces the same result
+    p2 = str(tmp_path / "t2")
+    shim.write(df, p2, mode="overwrite")
+    shim.merge(spark, src, p2, ["k"], precombine_key="ver")
+    got2 = {r.k: (r.ver, r.val) for r in shim.read(spark, p2).collect()}
+    assert got2 == got
