@@ -121,13 +121,30 @@ def load_psl(
             continue
         rule = line.split()[0].lower().lstrip(".")
         if rule.startswith("!"):
-            exceptions.add(rule[1:])
+            target, body = exceptions, rule[1:]
         elif rule.startswith("*."):
-            wildcards.add(rule[2:])
+            target, body = wildcards, rule[2:]
         elif rule == "*":
-            pass  # the implicit default rule — always in effect
+            continue  # the implicit default rule — always in effect
         else:
-            exact.add(rule)
+            target, body = exact, rule
+        target.add(body)
+        # the official PSL lists internationalized rules in UNICODE
+        # (e.g. 中国) while crawled hosts carry the punycode A-label
+        # (xn--fiqs8s) — index the punycode form too so real-file PSLs
+        # match real-web hosts
+        if any(ord(c) > 127 for c in body):
+            try:
+                target.add(
+                    ".".join(
+                        lbl.encode("idna").decode("ascii")
+                        if any(ord(c) > 127 for c in lbl)
+                        else lbl
+                        for lbl in body.split(".")
+                    )
+                )
+            except UnicodeError:
+                pass  # malformed IDN rule: keep the unicode form only
     max_labels = max(
         [r.count(".") + 1 for r in exact]
         + [r.count(".") + 2 for r in wildcards]

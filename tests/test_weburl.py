@@ -643,3 +643,21 @@ def test_entity_decoding_cdata_and_bom(spark):
     assert [(r.user_agent, r.rule_type, r.path) for r in rrows] == [
         ("*", "disallow", "/x")
     ]
+
+
+def test_load_psl_idn_rules_match_punycode_hosts(spark):
+    """The official PSL lists IDN rules in unicode; crawled hosts carry
+    punycode A-labels — both forms must match."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+
+    psl = load_psl(["com", "中国", "公司.cn"])
+    assert "xn--fiqs8s" in psl.exact  # punycode of 中国
+    assert "中国" in psl.exact
+    rows = [
+        (1, "https://site.xn--fiqs8s/x"),     # punycode TLD host
+        (2, "https://shop.xn--55qx5d.cn/y"),  # punycode 公司.cn
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r.doc_id: r.url_domain for r in url_features(df, psl=psl).collect()}
+    assert got[1] == "site.xn--fiqs8s"
+    assert got[2] == "shop.xn--55qx5d.cn"
