@@ -28,6 +28,10 @@ exercise):
     .coalesce(t1, t2, ...)                    first branch with results,
     .optional(t)                              per source element
     .union(t1, t2, ...)                       all branches, bag semantics
+    .repeat(t).times(n)                       bounded iteration (unrolled)
+    .repeat(t).emit().times(n)                emit levels 1..n (union of powers)
+    .emit().repeat(t).times(n)                emit levels 0..n
+    .identity()                               the no-op step
     .path()                                   -> array of traversed ~ids
     .simplePath()                             drop traversers that revisit
                                               an element (cycle filter)
@@ -363,6 +367,8 @@ class _Traversal:
     # -- terminals / modulated steps ----------------------------------------
     def apply(self, name: str, args: list[Any], bys: list[list[Any]] | None) -> None:
         by = bys[0] if bys else None
+        if name == "identity":
+            return  # the no-op step (also the level-0 emit branch)
         if self.in_branch and name in ("limit", "range"):
             # TinkerPop branch semantics are per SOURCE traverser: the
             # branch's traversal is seeded once per incoming element, so
@@ -806,27 +812,69 @@ class _Traversal:
         self.kind = "value"
 
 
+def _repeat_parts(
+    steps: list[tuple[str, list[Any]]], rep_i: int, times_i: int
+) -> tuple[str, list[tuple[str, list[Any]]], int]:
+    """Validate one repeat(frag)...times(n) pair -> (frag, parsed, n)."""
+    if times_i >= len(steps) or steps[times_i][0] != "times":
+        raise InvalidArgument("repeat(...) must be followed by .times(n)")
+    times_args = steps[times_i][1]
+    if len(times_args) != 1 or not isinstance(times_args[0], int):
+        raise InvalidArgument("times() needs one integer argument")
+    n_times = times_args[0]
+    if not (1 <= n_times <= 32):
+        raise InvalidArgument("times(n) supports 1 <= n <= 32")
+    frag = steps[rep_i][1][0]
+    inner = _parse("g." + frag)
+    if any(nm in ("repeat", "times", "emit") for nm, _a in inner):
+        raise InvalidArgument("nested repeat()/emit() is not supported")
+    return frag, inner, n_times
+
+
 def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
-    """repeat(...).times(n) unrolling + .by(...) modulator folding —
-    shared by the top-level compiler and where()/not() sub-traversals."""
+    """repeat(...).times(n) unrolling (+ emit() via the union-of-powers
+    rewrite: repeat(X).emit().times(n) == union(X, X.X, ..., X^n), and
+    emit().repeat(X).times(n) additionally emits level 0 through an
+    identity() branch) + .by(...) modulator folding — shared by the
+    top-level compiler and where()/not() sub-traversals."""
     expanded: list[tuple[str, list[Any]]] = []
     i = 0
     while i < len(steps):
         name, args = steps[i]
-        if name == "repeat":
-            if i + 1 >= len(steps) or steps[i + 1][0] != "times":
-                raise InvalidArgument("repeat(...) must be followed by .times(n)")
-            times_args = steps[i + 1][1]
-            if len(times_args) != 1 or not isinstance(times_args[0], int):
-                raise InvalidArgument("times() needs one integer argument")
-            n_times = times_args[0]
-            if not (1 <= n_times <= 32):
-                raise InvalidArgument("times(n) supports 1 <= n <= 32")
-            inner = _parse("g." + args[0])
-            if any(nm in ("repeat", "times") for nm, _a in inner):
-                raise InvalidArgument("nested repeat() is not supported")
-            expanded.extend(inner * n_times)
-            i += 2
+        if name == "emit" and i + 1 < len(steps) and steps[i + 1][0] == "repeat":
+            # emit().repeat(X).times(n): levels 0..n per source traverser
+            frag, _inner, n_times = _repeat_parts(steps, i + 1, i + 2)
+            branches = ["identity()"] + [
+                ".".join([frag] * k) for k in range(1, n_times + 1)
+            ]
+            expanded.append(("union", [", ".join(branches)]))
+            i += 3
+        elif name == "repeat":
+            emit_after = i + 1 < len(steps) and steps[i + 1][0] == "emit"
+            if emit_after:
+                # repeat(X).emit().times(n): levels 1..n
+                frag, inner, n_times = _repeat_parts(steps, i, i + 2)
+                if n_times == 1:
+                    expanded.extend(inner)
+                else:
+                    expanded.append(
+                        (
+                            "union",
+                            [", ".join(
+                                ".".join([frag] * k)
+                                for k in range(1, n_times + 1)
+                            )],
+                        )
+                    )
+                i += 3
+            else:
+                _frag, inner, n_times = _repeat_parts(steps, i, i + 1)
+                expanded.extend(inner * n_times)
+                i += 2
+        elif name == "emit":
+            raise InvalidArgument(
+                "emit() is only supported adjacent to repeat(...).times(n)"
+            )
         else:
             expanded.append((name, args))
             i += 1

@@ -2280,12 +2280,18 @@ def test_gremlin_random_programs_round4_steps(spark):
             cur = [x for x in cur if vmap[x][1] == lab]
         for _ in range(rng.randint(2, 3)):
             step = rng.choice(
-                ["out", "in", "both", "fold_unfold", "dedup", "union_limit"]
+                ["out", "in", "both", "fold_unfold", "dedup", "union_limit",
+                 "repeat_emit"]
             )
             if step in ("out", "in", "both"):
                 lbl = rng.choice(["t1", "t2"])
                 q += f".{step}('{lbl}')"
                 cur = hop(cur, step, lbl)
+            elif step == "repeat_emit":
+                lbl = rng.choice(["t1", "t2"])
+                q += f".repeat(out('{lbl}')).emit().times(2)"
+                lvl1 = hop(cur, "out", lbl)
+                cur = lvl1 + hop(lvl1, "out", lbl)
             elif step == "fold_unfold":
                 q += ".fold().unfold()"  # bag-preserving round trip
             elif step == "union_limit":
@@ -2410,3 +2416,35 @@ def test_cypher_random_with_and_shortestpath_match_naive(spark):
             {"root": ""}, q3, vertices=v, edges=e
         ).first().n
         assert got3 == pairs, f"seed {seed}: {q3}"
+
+
+def test_gremlin_repeat_emit(modern):
+    """repeat(t).emit().times(n) = levels 1..n; emit().repeat(t).times(n)
+    additionally emits level 0 — the union-of-powers rewrite (round 5)."""
+    # levels 1 and 2 from marko: {vadas, josh, lop} + {lop, ripple}
+    q = "g.V('marko').repeat(out()).emit().times(2).id()"
+    assert sorted(r[0] for r in _g(modern, q).collect()) == [
+        "josh", "lop", "lop", "ripple", "vadas",
+    ]
+    # emit-before includes the start traverser (level 0)
+    q2 = "g.V('marko').emit().repeat(out()).times(2).id()"
+    assert sorted(r[0] for r in _g(modern, q2).collect()) == [
+        "josh", "lop", "lop", "marko", "ripple", "vadas",
+    ]
+    # plain repeat unchanged: final level only
+    q3 = "g.V('marko').repeat(out()).times(2).id()"
+    assert sorted(r[0] for r in _g(modern, q3).collect()) == ["lop", "ripple"]
+    # identity is a usable step on its own
+    assert [r[0] for r in _g(modern, "g.V('lop').identity().id()").collect()] == ["lop"]
+    # composes with terminals and further steps
+    q4 = "g.V().emit().repeat(out('created')).times(1).count()"
+    assert _g(modern, q4).first()[0] == 6 + 4  # level 0 (all) + level 1 (edges)
+    q5 = "g.V('marko').repeat(out()).emit().times(2).dedup().id()"
+    assert sorted(r[0] for r in _g(modern, q5).collect()) == [
+        "josh", "lop", "ripple", "vadas",
+    ]
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="adjacent to repeat"):
+        _g(modern, "g.V().emit().out().count()")
