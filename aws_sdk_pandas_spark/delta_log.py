@@ -170,6 +170,153 @@ def _remove_action(entry: dict[str, Any], ts_ms: int) -> dict[str, Any]:
     return {"remove": remove}
 
 
+def _export_offset(path: str) -> int:
+    """Delta-version offset for tables imported with
+    :func:`convert_from_delta` (0 otherwise)."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    f = os.path.join(ls._log_dir(path), "delta_offset")
+    if os.path.exists(f):
+        with open(f) as fh:
+            return int(fh.read().strip())
+    return 0
+
+
+def convert_from_delta(path: str) -> dict[str, Any]:
+    """Adopt a FOREIGN Delta table (delta-rs / Delta Spark — including
+    deletion-vector-bearing tables) for lakelite WRITES: the latest
+    snapshot imports as lakelite manifest v0 (files by reference,
+    deletionVector descriptors carried verbatim — lakelite speaks the
+    same DV format) and a recorded version offset makes every later
+    lakelite commit continue the SAME ``_delta_log`` chain, so foreign
+    readers keep following the table.  This is the migration direction
+    the round-4 boundary refused.
+
+    Loud refusals (writing blind would corrupt the table for the
+    features' readers): column mapping in any mode, writer features
+    beyond deletionVectors (e.g. invariants/checkConstraints — we can't
+    enforce them), ``delta.appendOnly`` tables, and non-hive-layout
+    partitioned files (lakelite reads recover partition values from
+    ``k=v`` directory names).
+
+    Returns ``{"delta_version": N, "files": n, "dv_files": m}``."""
+    from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+    if ls.table_exists(path):
+        raise InvalidArgument(f"{path!r} is already a lakelite table")
+    vs = delta_versions(path)
+    ckpts = checkpoint_versions(path)
+    if not vs and not ckpts:
+        raise InvalidArgument(f"no Delta log under {path!r}")
+    latest = max(vs[-1] if vs else -1, ckpts[-1] if ckpts else -1)
+    json_set = set(vs)
+    if all(i in json_set for i in range(latest + 1)):
+        adds, meta, protocol = _replay(path, latest)
+    else:
+        usable = [
+            c
+            for c in ckpts
+            if all(i in json_set for i in range(c + 1, latest + 1))
+        ]
+        if not usable:
+            raise InvalidArgument(
+                f"Delta log at {path!r} is not contiguous and no checkpoint "
+                "covers the gap — cannot import a consistent snapshot"
+            )
+        c = max(usable)
+        adds, meta, protocol = _replay(
+            path, latest, start=c + 1, seed=_load_checkpoint(path, c)
+        )
+
+    config = meta.get("configuration") or {}
+    cm_mode = config.get("delta.columnMapping.mode")
+    if cm_mode not in (None, "none"):
+        raise InvalidArgument(
+            f"cannot adopt column-mapped Delta table (mode {cm_mode!r}): "
+            "lakelite writes logical column names"
+        )
+    if str(config.get("delta.appendOnly", "")).lower() == "true":
+        raise InvalidArgument(
+            "cannot adopt delta.appendOnly table: lakelite merge/delete "
+            "would violate the table contract"
+        )
+    mwv = int(protocol.get("minWriterVersion", 1))
+    wfeat = set(protocol.get("writerFeatures") or [])
+    if not (mwv <= 2 or (mwv == 7 and wfeat <= {"deletionVectors"})):
+        raise InvalidArgument(
+            f"cannot adopt Delta table with writer protocol {protocol}: "
+            "unsupported writer features (only deletionVectors is)"
+        )
+
+    root = _local(path)
+    pcols = list(meta.get("partitionColumns") or [])
+    entries: list[dict[str, Any]] = []
+    n_dv = 0
+    for a in adds.values():
+        rel = urllib.parse.unquote(a["path"])
+        if os.path.isabs(rel):
+            raise InvalidArgument(
+                f"cannot adopt table with absolute file path {rel!r}"
+            )
+        pv = dict(a.get("partitionValues") or {})
+        if pv:
+            segs = rel.split("/")
+            missing = [
+                k for k in pv if not any(s.startswith(f"{k}=") for s in segs)
+            ]
+            if missing:
+                raise InvalidArgument(
+                    f"cannot adopt non-hive-layout partitioned table: file "
+                    f"{rel!r} carries partition values for {missing} only in "
+                    "the log"
+                )
+        if not os.path.exists(os.path.join(root, rel)):
+            raise InvalidArgument(
+                f"Delta snapshot references missing data file {rel!r}"
+            )
+        entry: dict[str, Any] = {
+            "path": rel,
+            # basePath = table root: hive k=v dirs under it resolve the
+            # partition columns through Spark's partition discovery
+            "commit": "",
+            "partition_values": {k: pv.get(k) for k in pcols},
+        }
+        stats_raw = a.get("stats")
+        if stats_raw:
+            st = json.loads(stats_raw) if isinstance(stats_raw, str) else stats_raw
+            mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+            bounds = {
+                c: [mins.get(c), maxs.get(c)]
+                for c in set(mins) | set(maxs)
+            }
+            if bounds:
+                entry["stats"] = bounds
+        if a.get("deletionVector"):
+            entry["dv"] = dict(a["deletionVector"])
+            n_dv += 1
+        entries.append(entry)
+
+    os.makedirs(ls._log_dir(path), exist_ok=True)
+    # lakelite version v maps to Delta version v + latest: manifest v0
+    # IS the imported snapshot (its export is a no-op — that Delta
+    # commit already exists), v1 continues the chain at latest + 1
+    with open(os.path.join(ls._log_dir(path), "delta_offset"), "w") as fh:
+        fh.write(str(latest))
+    ls._commit_manifest(
+        path,
+        {
+            "version": 0,
+            "mode": "convert",
+            "schema": meta["schemaString"],
+            "partition_cols": pcols,
+            "files": entries,
+            "stats_cols": [],
+            "txns": {},
+        },
+    )
+    return {"delta_version": latest, "files": len(entries), "dv_files": n_dv}
+
+
 def export_commit(path: str, manifest: dict[str, Any]) -> bool:
     """Write the Delta commit file for one lakelite manifest (idempotent;
     returns True when a file was written).  A valid Delta log must be
@@ -180,10 +327,14 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
     from aws_sdk_pandas_spark import lakehouse_shim as ls
 
     v = int(manifest["version"])
-    final = _commit_file(path, v)
+    # a table imported from a foreign Delta log (convert_from_delta)
+    # continues that log: lakelite version v maps to Delta version
+    # v + offset (offset = the imported snapshot's Delta version)
+    off = _export_offset(path)
+    final = _commit_file(path, v + off)
     if os.path.exists(final):
         return False
-    if v > 0 and not os.path.exists(_commit_file(path, v - 1)):
+    if v > 0 and not os.path.exists(_commit_file(path, v - 1 + off)):
         have = set(ls._versions(path))
         if not all(i in have for i in range(v)):
             return False  # history vacuumed before first export
@@ -254,7 +405,7 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
 
     d = _delta_dir(path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{v:020d}.{uuid.uuid4().hex[:8]}.tmp")
+    tmp = os.path.join(d, f".{v + off:020d}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
@@ -265,9 +416,9 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
     os.unlink(tmp)
     # real Delta writers checkpoint every 10 commits so readers (and log
     # cleanup) never need the full JSON chain; best-effort sidecar
-    if (v + 1) % _CHECKPOINT_INTERVAL == 0:
+    if (v + off + 1) % _CHECKPOINT_INTERVAL == 0:
         try:
-            write_checkpoint(path, v)
+            write_checkpoint(path, v + off)
         except Exception as exc:  # pragma: no cover - defensive
             import warnings
 

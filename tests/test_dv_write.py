@@ -394,3 +394,168 @@ def test_dv_merge_mor_precombine_target_wins(spark, tmp_path):
     shim.merge(spark, src, p2, ["k"], precombine_key="ver")
     got2 = {r.k: (r.ver, r.val) for r in shim.read(spark, p2).collect()}
     assert got2 == got
+
+
+def _foreign_delta(spark, p, *, partitioned=False, dv_on_first=False,
+                   extra_config=None, protocol=None):
+    """Hand-write a minimal foreign (delta-rs-shaped) Delta table."""
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+    ]
+    if partitioned:
+        fields.append(
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}}
+        )
+    schema_str = json.dumps({"type": "struct", "fields": fields})
+
+    def _w(version, actions):
+        with open(
+            os.path.join(p, "_delta_log", f"{version:020d}.json"), "w"
+        ) as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def _data(rows, sub):
+        df = spark.createDataFrame(rows, "k int, v int").coalesce(1)
+        df.write.parquet(os.path.join(p, sub))
+        f = next(
+            x for x in os.listdir(os.path.join(p, sub)) if x.endswith(".parquet")
+        )
+        return f"{sub}/{f}"
+
+    if partitioned:
+        f0 = _data([(1, 10), (2, 20)], "part=a")
+        f1 = _data([(3, 30)], "part=b")
+        pv0, pv1 = {"part": "a"}, {"part": "b"}
+    else:
+        f0 = _data([(1, 10), (2, 20)], "d0")
+        f1 = _data([(3, 30)], "d1")
+        pv0 = pv1 = {}
+    prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    _w(0, [
+        {"protocol": prot},
+        {"metaData": {
+            "id": "foreign-id", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": ["part"] if partitioned else [],
+            "configuration": extra_config or {},
+        }},
+        {"add": {"path": f0, "partitionValues": pv0, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ])
+    add1 = {"path": f1, "partitionValues": pv1, "size": 1,
+            "modificationTime": 0, "dataChange": True}
+    acts = [{"add": add1}]
+    if dv_on_first:
+        # "foreign" DV deleting row 0 of f0 (k=1), in the std layout
+        dv = dl.write_dv_file(p, [0], prefix="fdv")
+        acts += [
+            {"remove": {"path": f0, "deletionTimestamp": 1, "dataChange": True}},
+            {"add": {"path": f0, "partitionValues": pv0, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": dv}},
+        ]
+    _w(1, acts)
+    return f0, f1
+
+
+def test_convert_from_delta_and_continue_chain(spark, tmp_path):
+    """Adopting a foreign DV-bearing Delta table: lakelite reads it,
+    appends/deletes continue the SAME _delta_log chain, and the foreign
+    reader keeps following."""
+    p = str(tmp_path / "foreign")
+    _foreign_delta(spark, p, dv_on_first=True)
+    res = dl.convert_from_delta(p)
+    assert res == {"delta_version": 1, "files": 2, "dv_files": 1}
+
+    # lakelite read == foreign-log read (k=1 deleted by the foreign DV)
+    ours = sorted(tuple(r) for r in shim.read(spark, p).collect())
+    assert ours == [(2, 20), (3, 30)]
+    assert ours == sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+
+    # append continues the chain at delta version 2
+    shim.write(spark.createDataFrame([(9, 90)], "k int, v int"), p)
+    assert dl.delta_versions(p) == [0, 1, 2]
+    got = sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert got == [(2, 20), (3, 30), (9, 90)]
+
+    # a DV delete of a FOREIGN file merges with its foreign DV
+    shim.delete(spark, _keys(spark, [2]), p, ["k"], use_deletion_vectors=True)
+    assert dl.delta_versions(p) == [0, 1, 2, 3]
+    got2 = sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert got2 == [(3, 30), (9, 90)]
+    assert got2 == sorted(tuple(r) for r in shim.read(spark, p).collect())
+    # the version-3 commit carries the spec'd remove+add-with-DV pair
+    acts = dl._read_actions(p, 3)
+    assert any("remove" in a for a in acts)
+    assert any(a.get("add", {}).get("deletionVector") for a in acts)
+
+
+def test_convert_from_delta_hive_partitioned(spark, tmp_path):
+    p = str(tmp_path / "foreign")
+    _foreign_delta(spark, p, partitioned=True)
+    res = dl.convert_from_delta(p)
+    assert res["files"] == 2
+    got = sorted(tuple(r) for r in shim.read(spark, p).collect())
+    assert got == [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")]
+    # partition-filter pruning works off the imported partition_values
+    only_b = shim.read(
+        spark, p, partition_filter=lambda pv: pv.get("part") == "b"
+    )
+    assert [tuple(r) for r in only_b.collect()] == [(3, 30, "b")]
+
+
+def test_convert_from_delta_refusals(spark, tmp_path):
+    # column mapping
+    p1 = str(tmp_path / "cm")
+    _foreign_delta(
+        spark, p1, extra_config={"delta.columnMapping.mode": "name"}
+    )
+    with pytest.raises(Exception, match="column-mapped"):
+        dl.convert_from_delta(p1)
+    # append-only contract
+    p2 = str(tmp_path / "ao")
+    _foreign_delta(spark, p2, extra_config={"delta.appendOnly": "true"})
+    with pytest.raises(Exception, match="appendOnly"):
+        dl.convert_from_delta(p2)
+    # unsupported writer features
+    p3 = str(tmp_path / "wf")
+    _foreign_delta(
+        spark, p3,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["invariants"]},
+    )
+    with pytest.raises(Exception, match="writer"):
+        dl.convert_from_delta(p3)
+    # non-hive layout with partition columns: values live only in the log
+    p4 = str(tmp_path / "flat")
+    os.makedirs(os.path.join(p4, "_delta_log"))
+    df = spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1)
+    df.write.parquet(os.path.join(p4, "flat0"))
+    f = next(x for x in os.listdir(os.path.join(p4, "flat0"))
+             if x.endswith(".parquet"))
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    with open(os.path.join(p4, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_str,
+                          "partitionColumns": ["part"], "configuration": {}}},
+            {"add": {"path": f"flat0/{f}", "partitionValues": {"part": "7"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="non-hive"):
+        dl.convert_from_delta(p4)
+    # already a lakelite table
+    p5 = str(tmp_path / "ll")
+    _mk_table(spark, p5, n=4, parts=1)
+    with pytest.raises(Exception, match="already"):
+        dl.convert_from_delta(p5)
