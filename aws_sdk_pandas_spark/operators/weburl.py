@@ -101,7 +101,8 @@ def load_psl(
     private domains EXCLUDED, ``github.io`` is one registered domain;
     included, every ``user.github.io`` is its own)."""
     if isinstance(rules, str):
-        with open(rules, encoding="utf-8") as fh:
+        # utf-8-sig: a BOM-prefixed file must not poison the first rule
+        with open(rules, encoding="utf-8-sig") as fh:
             lines = fh.read().splitlines()
     else:
         lines = list(rules)
