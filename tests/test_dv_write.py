@@ -336,10 +336,11 @@ def test_dv_streaming_contract(spark, tmp_path):
     # a DV commit is a row-level delete: the stream must refuse by default
     with pytest.raises(Exception, match="row-level-deleted|ignoreChanges"):
         drain(str(tmp_path / "o1"), str(tmp_path / "c1"))
-    # delete-only commit passes with ignoreDeletes (nothing re-emitted)
+    # delete-only commit passes with ignoreDeletes: the fresh checkpoint
+    # replays v0's 20 rows and the DV commit emits NOTHING
     assert drain(
         str(tmp_path / "o2"), str(tmp_path / "c2a"), {"ignoreDeletes": "true"}
-    ) == list(range(20)) or True  # fresh checkpoint replays v0 too
+    ) == list(range(20))
     # ignoreChanges re-emits the file MINUS its deleted rows
     got = drain(
         str(tmp_path / "o3"), str(tmp_path / "c3"),
