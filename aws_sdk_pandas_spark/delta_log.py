@@ -547,6 +547,30 @@ def write_checkpoint(path: str, version: int | None = None) -> str:
     return out
 
 
+def clean_log(path: str, *, keep_versions: int = 0) -> list[int]:
+    """Delta log retention (the metadata side of VACUUM): delete JSON
+    commit files fully covered by the newest parquet checkpoint — the
+    cleanup real Delta writers run so the log does not grow without
+    bound.  Readers recover through the checkpoint (the protocol's
+    recovery path, which :func:`read_delta_log` already follows);
+    ``keep_versions`` retains that many JSON commits BELOW the
+    checkpoint for extra time-travel headroom.  Returns the removed
+    versions.  No checkpoint -> nothing is removed (a truncated log
+    without a checkpoint would strand readers)."""
+    ckpts = checkpoint_versions(path)
+    if not ckpts:
+        return []
+    cut = ckpts[-1] - int(keep_versions)
+    removed = []
+    for v in delta_versions(path):
+        # the checkpoint itself covers version ckpt; JSON commits at or
+        # below (cut - ... ) are redundant for every supported read
+        if v < cut:
+            os.remove(_commit_file(path, v))
+            removed.append(v)
+    return removed
+
+
 def checkpoint_versions(path: str) -> list[int]:
     """Versions that have a parquet checkpoint (single-part or
     multi-part per the protocol's file-name patterns)."""

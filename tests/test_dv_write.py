@@ -560,3 +560,35 @@ def test_convert_from_delta_refusals(spark, tmp_path):
     _mk_table(spark, p5, n=4, parts=1)
     with pytest.raises(Exception, match="already"):
         dl.convert_from_delta(p5)
+
+
+def test_delta_clean_log_retention(spark, tmp_path):
+    """Log retention: JSON commits covered by the newest checkpoint are
+    removable; readers recover THROUGH the checkpoint (time travel below
+    the cut refuses loudly instead of misreading)."""
+    p = str(tmp_path / "t")
+    shim.write(spark.createDataFrame([(0, 0)], "k int, v int"), p, mode="overwrite")
+    for i in range(1, 12):
+        shim.write(spark.createDataFrame([(i, i)], "k int, v int"), p)
+    # the exporter checkpoints every 10 commits -> checkpoint at delta v9
+    assert dl.checkpoint_versions(p) == [9]
+    removed = dl.clean_log(p)
+    assert removed == list(range(9))
+    assert dl.delta_versions(p) == [9, 10, 11]
+    # latest read recovers through the checkpoint
+    assert dl.read_delta_log(spark, p).count() == 12
+    # time travel at/after the checkpoint works; below it refuses
+    assert dl.read_delta_log(spark, p, version=10).count() == 11
+    assert dl.read_delta_log(spark, p, version=9).count() == 10
+    with pytest.raises(Exception, match="not reachable"):
+        dl.read_delta_log(spark, p, version=5)
+    # keep_versions retains headroom below the checkpoint
+    p2 = str(tmp_path / "t2")
+    shim.write(spark.createDataFrame([(0, 0)], "k int, v int"), p2, mode="overwrite")
+    for i in range(1, 12):
+        shim.write(spark.createDataFrame([(i, i)], "k int, v int"), p2)
+    assert dl.clean_log(p2, keep_versions=3) == list(range(6))
+    assert dl.delta_versions(p2)[0] == 6
+    # and the table still accepts new commits afterwards
+    shim.write(spark.createDataFrame([(99, 99)], "k int, v int"), p2)
+    assert dl.read_delta_log(spark, p2).count() == 13
