@@ -1033,6 +1033,105 @@ def _q_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_pipeline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-side INTEGRATION gate (the multimodal analog of
+    training_pipeline_sft): curate_media survivorship drives the
+    downstream (frame, caption) pair extraction —
+
+      synthesized media (30 byte-identical BMP groups + planted junk
+      payloads) -> curate_media (sniff gate drops junk, dHash distance-0
+      collapse keeps each group's min id) -> frame_sample_plan over
+      per-survivor durations -> parse_subtitles over SHORT-FORM WebVTT
+      (MM:SS.mmm — the round-5 optional-hours fix is load-bearing here)
+      -> align_cues_to_frames (bucketed interval join) -> per-doc pair
+      accounting.
+
+    The oracle replays survivorship as MIN(doc_id) per group over
+    non-junk docs and the alignment as the plain containment join — a
+    sniff gate miss, a dedup keeper flip, a dropped short-form cue, or
+    a bucket-boundary bug all change the accounting and hash-mismatch."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        align_cues_to_frames,
+        curate_media,
+        frame_sample_plan,
+        make_test_media,
+        parse_subtitles,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 120")
+        .select("doc_id")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"\x00" * 40)  # junk: sniff drops it
+                    continue
+                g = d % 30
+                px = bytes(
+                    ((g * 37 + r * 11 + c * 7) * 13) % 256
+                    for r in range(16) for c in range(16) for _ in range(3)
+                )
+                payloads.append(make_test_media("bmp", 16, 16, pixels=px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(int).map("{:06d}".format),
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    kept = curate_media(
+        media, image_dedup_distance=0, audio_dedup_distance=None,
+        scrub_metadata=False,
+    )
+    surv = kept.select(F.col("media_id").cast("bigint").alias("doc_id"))
+
+    frames = frame_sample_plan(
+        surv.selectExpr(
+            "CAST(doc_id AS STRING) AS media_id",
+            "CAST(4000 + 2000 * CAST(doc_id % 3 AS INT) AS BIGINT) AS duration_ms",
+        ),
+        every_ms=1000,
+    )
+    cues = parse_subtitles(
+        surv.selectExpr(
+            "CAST(doc_id AS STRING) AS media_id",
+            """
+            concat('WEBVTT\n\n', concat_ws('\n\n', transform(
+                sequence(1, 2 + CAST(doc_id % 2 AS INT)), k -> concat(
+                    '00:', lpad(CAST((k - 1) * 1500 DIV 1000 AS STRING), 2, '0'),
+                    '.', lpad(CAST((k - 1) * 1500 % 1000 AS STRING), 3, '0'),
+                    ' --> ',
+                    '00:', lpad(CAST(((k - 1) * 1500 + 1000) DIV 1000 AS STRING), 2, '0'),
+                    '.', lpad(CAST(((k - 1) * 1500 + 1000) % 1000 AS STRING), 3, '0'),
+                    '\n', 'c', CAST(doc_id AS STRING), '-', CAST(k AS STRING)
+                )))) AS text
+            """,
+        )
+    )
+    pairs = align_cues_to_frames(frames, cues, bucket_width_ms=2000)
+    return (
+        pairs.groupBy(F.col("media_id").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("sample_ts_ms").cast("bigint").alias("ts_sum"),
+            F.sum("cue_idx").cast("bigint").alias("cue_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_audio_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 text-frame parsing under the hash gate
     (operators/multimodal.audio_tags): tag values are formulas of
@@ -7470,6 +7569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_exif": _q_image_exif,
         "multimodal_audio_tags": _q_audio_tags,
         "multimodal_curate_media": _q_curate_media,
+        "media_pipeline_pairs": _q_media_pipeline_pairs,
         "events_rolling_quantile": _q_rolling_quantile,
         "orders_target_encode": _q_target_encode,
         "orders_frequency_encode": _q_frequency_encode,
@@ -7818,6 +7918,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((c.s + 20.0 * pr.p) / (c.n + 20.0), 6) AS DOUBLE) AS te
             FROM lab l JOIN cat c USING (o_orderpriority), prior pr
             ORDER BY l.o_orderkey
+        """,
+        "media_pipeline_pairs": """
+            WITH surv AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM documents
+                WHERE doc_id < 120 AND doc_id % 13 <> 0
+                GROUP BY doc_id % 30
+            ), ts AS (
+                SELECT doc_id,
+                       unnest(range(0, 4000 + 2000 * CAST(doc_id % 3 AS INT) + 1,
+                                    1000)) AS sample_ts_ms
+                FROM surv
+            ), ks AS (
+                SELECT doc_id,
+                       unnest(range(1, 3 + CAST(doc_id % 2 AS INT))) AS k
+                FROM surv
+            ), spans AS (
+                SELECT doc_id, CAST(k AS INT) AS cue_idx,
+                       (k - 1) * 1500 AS st, (k - 1) * 1500 + 1000 AS en
+                FROM ks
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(t.sample_ts_ms) AS BIGINT) AS ts_sum,
+                   CAST(SUM(sp.cue_idx) AS BIGINT) AS cue_sum
+            FROM ts t JOIN spans sp
+              ON t.doc_id = sp.doc_id
+             AND t.sample_ts_ms BETWEEN sp.st AND sp.en
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
         """,
         "multimodal_curate_media": """
             SELECT MIN(doc_id) AS doc_id
