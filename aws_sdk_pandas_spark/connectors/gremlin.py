@@ -31,6 +31,11 @@ exercise):
     .repeat(t).times(n)                       bounded iteration (unrolled)
     .repeat(t).emit().times(n)                emit levels 1..n (union of powers)
     .emit().repeat(t).times(n)                emit levels 0..n
+    .repeat(t).until(p).times(n)              exit at the first level where p
+                                              holds; times(n) bounds the unroll
+                                              and emits the still-alive rest
+    .until(p).repeat(t).times(n)              p checked BEFORE each body run
+                                              (level 0 can exit)
     .identity()                               the no-op step
     .path()                                   -> array of traversed ~ids
     .simplePath()                             drop traversers that revisit
@@ -143,7 +148,7 @@ def _parse(query: str) -> list[tuple[str, list[Any]]]:
         name = s[i:j]
         if not name or j >= n or s[j] != "(":
             raise InvalidArgument(f"expected step call at position {i} in {query!r}")
-        if name in ("repeat", "where", "not", "coalesce", "optional", "union"):
+        if name in ("repeat", "where", "not", "coalesce", "optional", "union", "until"):
             # capture the inner traversal fragment verbatim (it is a
             # step chain, not a value): balanced-paren scan, quote-aware
             depth = 0
@@ -831,12 +836,39 @@ def _repeat_parts(
     return frag, inner, n_times
 
 
+def _until_branches(x: str, p: str, n: int, *, check_first: bool) -> list[str]:
+    """repeat/until as a union of LINEAR chains: a traverser exits at the
+    first level where the until-predicate holds (intermediate levels
+    carry a not(P) guard), and the times(n) bound emits whatever is
+    still alive after n iterations — TinkerPop's until-OR-times rule.
+
+    ``check_first`` = the until() BEFORE repeat() form (predicate checked
+    before each body run, so level 0 can exit)."""
+    branches: list[str] = []
+    if check_first:
+        branches.append(f"identity().where({p})")
+        for k in range(1, n):
+            branches.append(
+                ".".join([f"not({p})", x] * k) + f".where({p})"
+            )
+        branches.append(".".join([f"not({p})", x] * n))
+    else:
+        for k in range(1, n):
+            branches.append(
+                ".".join([x, f"not({p})"] * (k - 1) + [x, f"where({p})"])
+            )
+        branches.append(".".join([x, f"not({p})"] * (n - 1) + [x]))
+    return branches
+
+
 def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
     """repeat(...).times(n) unrolling (+ emit() via the union-of-powers
     rewrite: repeat(X).emit().times(n) == union(X, X.X, ..., X^n), and
     emit().repeat(X).times(n) additionally emits level 0 through an
-    identity() branch) + .by(...) modulator folding — shared by the
-    top-level compiler and where()/not() sub-traversals."""
+    identity() branch; + until(P) with a times(n) bound via a union of
+    guarded chains — exit at the first P level, times emits the rest)
+    + .by(...) modulator folding — shared by the top-level compiler and
+    where()/not() sub-traversals."""
     expanded: list[tuple[str, list[Any]]] = []
     i = 0
     while i < len(steps):
@@ -849,9 +881,23 @@ def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
             ]
             expanded.append(("union", [", ".join(branches)]))
             i += 3
+        elif name == "until" and i + 1 < len(steps) and steps[i + 1][0] == "repeat":
+            # until(P).repeat(X).times(n): predicate checked BEFORE each
+            # body run — level 0 can exit
+            frag, _inner, n_times = _repeat_parts(steps, i + 1, i + 2)
+            pred = args[0]
+            expanded.append(
+                (
+                    "union",
+                    [", ".join(
+                        _until_branches(frag, pred, n_times, check_first=True)
+                    )],
+                )
+            )
+            i += 3
         elif name == "repeat":
-            emit_after = i + 1 < len(steps) and steps[i + 1][0] == "emit"
-            if emit_after:
+            nxt = steps[i + 1][0] if i + 1 < len(steps) else None
+            if nxt == "emit":
                 # repeat(X).emit().times(n): levels 1..n
                 frag, inner, n_times = _repeat_parts(steps, i, i + 2)
                 if n_times == 1:
@@ -867,6 +913,23 @@ def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
                         )
                     )
                 i += 3
+            elif nxt == "until":
+                # repeat(X).until(P).times(n): predicate checked AFTER
+                # each body run; times bounds the unroll
+                if i + 2 >= len(steps) or steps[i + 2][0] != "times":
+                    raise InvalidArgument(
+                        "repeat(...).until(...) needs a .times(n) bound "
+                        "(this compiler unrolls statically — cap the depth)"
+                    )
+                frag, inner, n_times = _repeat_parts(steps, i, i + 2)
+                pred = steps[i + 1][1][0]
+                branches = _until_branches(frag, pred, n_times, check_first=False)
+                if len(branches) == 1:
+                    # times(1): the loop runs once and emits everything
+                    expanded.extend(inner)
+                else:
+                    expanded.append(("union", [", ".join(branches)]))
+                i += 3
             else:
                 _frag, inner, n_times = _repeat_parts(steps, i, i + 1)
                 expanded.extend(inner * n_times)
@@ -874,6 +937,10 @@ def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
         elif name == "emit":
             raise InvalidArgument(
                 "emit() is only supported adjacent to repeat(...).times(n)"
+            )
+        elif name == "until":
+            raise InvalidArgument(
+                "until() is only supported adjacent to repeat(...).times(n)"
             )
         else:
             expanded.append((name, args))

@@ -2448,3 +2448,34 @@ def test_gremlin_repeat_emit(modern):
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with _pytest.raises(InvalidArgument, match="adjacent to repeat"):
         _g(modern, "g.V().emit().out().count()")
+
+
+def test_gremlin_repeat_until(modern):
+    """repeat(t).until(p).times(n): a traverser exits at the FIRST level
+    where p holds (guarded-chain union rewrite, round 5); the times(n)
+    bound emits whatever is still alive — TinkerPop's until-OR-times."""
+    # walk out until software: lop exits at level 1; josh's lop/ripple
+    # at level 2; vadas dead-ends and disappears
+    q = "g.V('marko').repeat(out()).until(hasLabel('software')).times(3).id()"
+    assert sorted(r[0] for r in _g(modern, q).collect()) == [
+        "lop", "lop", "ripple",
+    ]
+    # until-first: an already-satisfying start exits at level 0
+    q2 = "g.V('lop').until(hasLabel('software')).repeat(out()).times(3).id()"
+    assert [r[0] for r in _g(modern, q2).collect()] == ["lop"]
+    # the times bound emits still-alive traversers (p not yet satisfied)
+    q3 = "g.V('marko').repeat(out()).until(hasLabel('software')).times(1).id()"
+    assert sorted(r[0] for r in _g(modern, q3).collect()) == [
+        "josh", "lop", "vadas",
+    ]
+    # predicate never satisfied + dead-ends: nothing survives the cap
+    q4 = ("g.V('marko').repeat(out('knows'))"
+          ".until(hasLabel('software')).times(2).id()")
+    assert _g(modern, q4).count() == 0
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+    with _pytest.raises(InvalidArgument, match="adjacent to repeat"):
+        _g(modern, "g.V().until(out()).out().count()")
+    with _pytest.raises(InvalidArgument, match="times"):
+        _g(modern, "g.V().repeat(out()).until(hasLabel('software')).count()")
