@@ -1734,7 +1734,8 @@ def _q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit("@example.com via https://ex.com/d/"),
         F.col("doc_id").cast("string"),
-        F.lit(" or 555-123-4567 at 192.168.0.1"),
+        F.lit(" or 555-123-4567 / (555) 987-6543 at 192.168.0.1"),
+        F.lit(" card 4111 1111 1111 1111 ssn 123-45-6789"),
     )
     red = redact_pii(aug)
     return docs.select(
@@ -8595,13 +8596,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT doc_id,
                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(
                            text || ' contact user' || CAST(doc_id AS VARCHAR)
                                 || '@example.com via https://ex.com/d/'
                                 || CAST(doc_id AS VARCHAR)
-                                || ' or 555-123-4567 at 192.168.0.1',
+                                || ' or 555-123-4567 / (555) 987-6543 at 192.168.0.1'
+                                || ' card 4111 1111 1111 1111 ssn 123-45-6789',
                            'https?://[^\s]+', '<URL>', 'g'),
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                           '\b\d(?:[ -]?\d){12,15}\b', '<CREDIT_CARD>', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                           '(?:\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
                            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
                        AS redacted
                 FROM documents

@@ -147,7 +147,16 @@ PII_PATTERNS: dict[str, str] = {
     # part of the URL, not double-redacted
     "url": r"https?://[^\s]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    # 13-16 digits with optional single space/dash separators (the
+    # written card forms), BEFORE the shorter digit patterns so a card
+    # is never half-eaten as a phone; no Luhn (regex-only scrub — a few
+    # long id numbers over-redact, which is the safe direction)
+    "credit_card": r"\b\d(?:[ -]?\d){12,15}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # dotted/dashed and the parenthesized-area-code written form; bare
+    # space-separated digit triples are NOT matched (too many false
+    # positives in numeric text)
+    "phone": r"(?:\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

@@ -49,7 +49,7 @@ def test_redact_pii_selected_kinds_only(spark):
     out = df.select(redact_pii("text", kinds=["email"]).alias("t")).first().t
     assert out == "<EMAIL> 1.2.3.4"
     with pytest.raises(ValueError):
-        redact_pii("text", kinds=["ssn"])
+        redact_pii("text", kinds=["passport"])  # unknown kind
 
 
 def test_extract_emails_and_urls(spark):
@@ -890,3 +890,26 @@ def test_curation_funnel_report(spark):
     )
     got = {r.stage: r.tokens for r in rep2.collect()}
     assert got == {"input": None, "en": None}
+
+
+def test_redact_pii_cards_ssn_and_paren_phones(spark):
+    """Round-5 PII kinds: written credit-card forms (13-16 digits with
+    single space/dash separators), SSNs, and parenthesized-area-code
+    phones — with false-positive guards for version strings and short
+    digit runs."""
+    rows = [
+        (1, "pay 4111 1111 1111 1111 or 4111-1111-1111-1111 ok"),
+        (2, "ssn 123-45-6789 and phone (555) 987-6543 plus (555)987-6543"),
+        (3, "version 1.2.3.4.5 build 12345678 order 555-123-4567"),
+        (4, "amex 3782 822463 10005"),  # 15 digits
+        (5, "a 20-digit id 12345678901234567890 stays"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r.i: r.t for r in df.select("i", redact_pii("text").alias("t")).collect()}
+    assert got[1] == "pay <CREDIT_CARD> or <CREDIT_CARD> ok"
+    assert got[2] == "ssn <SSN> and phone <PHONE> plus <PHONE>"
+    # 1.2.3.4 is eaten by the ipv4 rule (documented), 12345678 too short
+    # for a card, dashed phone still redacts
+    assert "12345678 order <PHONE>" in got[3]
+    assert got[4] == "amex <CREDIT_CARD>"
+    assert got[5] == "a 20-digit id 12345678901234567890 stays"
