@@ -74,16 +74,20 @@ def dedup_fingerprint(
 ) -> DataFrame:
     """Near-exact dedup on the normalized-content fingerprint
     (case/whitespace-insensitive).  Keeps the smallest id per fingerprint
-    when ``id_col`` given, else an arbitrary representative."""
+    when ``id_col`` given, else an arbitrary representative.
+
+    Skew shape: ONE hash aggregation with ``min_by`` (map-side partial
+    combine) — a boilerplate document duplicated a billion times costs
+    each task only its local min, never a single-task window funnel."""
     fp = document_fingerprint(F.col(text_col))
     with_fp = df.withColumn("__fp", fp)
     if id_col is None:
         return with_fp.dropDuplicates(["__fp"]).drop("__fp")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    cols = list(df.columns)
     return (
-        with_fp.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+        with_fp.groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
 
 

@@ -80,11 +80,20 @@ def curate_corpus(
         order = (
             [F.col(score_col).desc()] if score_col is not None else []
         ) + [F.col(id_col).asc()]
-        w = Window.partitionBy(lang_col).orderBy(*order)
+        # two-phase SALTED window: language partitions are few and huge
+        # (the worst window-skew shape), so phase 1 caps within each
+        # (lang, salt-of-id) bucket and phase 2 re-ranks the bounded
+        # survivors (≤ 64 × cap per language).  Identical result: each
+        # true top-cap row is within its own bucket's top cap.
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(64))
+        w1 = Window.partitionBy(F.col(lang_col), salt).orderBy(*order)
+        w2 = Window.partitionBy(lang_col).orderBy(*order)
         out = (
-            out.withColumn("__rn", F.row_number().over(w))
+            out.withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= cap_per_language)
+            .withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= cap_per_language)
-            .drop("__rn")
+            .drop("__rn1", "__rn")
         )
     return out
 

@@ -395,9 +395,16 @@ def cap_domains(
     anti-monoculture cap in the C4/RefinedWeb recipes (one domain's
     boilerplate otherwise dominates its language slice).  The kept subset
     is md5-deterministic (ordered by ``md5(seed|doc_id)``, doc_id
-    tie-break), so any engine re-derives the same pick; one keyed window
-    over (domain), no global sort.  Documents with NULL/unparseable URLs
-    have no domain to cap and all pass through."""
+    tie-break), so any engine re-derives the same pick.  Documents with
+    NULL/unparseable URLs have no domain to cap and all pass through.
+
+    Skew shape: a TWO-PHASE salted window — phase 1 keeps the cap
+    within each (domain, salt-of-id) bucket, phase 2 re-ranks the
+    bounded survivors (≤ 64 × cap rows per domain) — so a mega-domain
+    with a billion docs never funnels through one window task.  The
+    result is exactly the single-window pick: each of a domain's true
+    top-``max_per_domain`` rows is within its own bucket's top
+    ``max_per_domain``, so phase 1 can never drop a winner."""
     from pyspark.sql.window import Window
 
     if max_per_domain < 1:
@@ -408,20 +415,26 @@ def cap_domains(
     order = F.md5(
         F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
-    # NULL-domain rows become singleton partitions (keyed by their own
-    # id) instead of one giant NULL partition — a dirty corpus's
-    # unparseable URLs must not funnel through a single window task
-    part = F.coalesce(
-        F.col("__u_domain"),
-        F.concat(F.lit("\x00nodomain\x00"), F.col(id_col).cast("string")),
-    )
-    w = Window.partitionBy(part).orderBy(
+    keyed = feats.where(F.col("__u_domain").isNotNull())
+    passthrough = feats.where(F.col("__u_domain").isNull())
+    # the salt only spreads WORK — any deterministic function of the id
+    # works, correctness never depends on its distribution
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(64))
+    w1 = Window.partitionBy(F.col("__u_domain"), salt).orderBy(
         order.asc(), F.col(id_col).cast("string").asc()
     )
-    capped = feats.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= max_per_domain
+    w2 = Window.partitionBy("__u_domain").orderBy(
+        order.asc(), F.col(id_col).cast("string").asc()
     )
-    return capped.drop("__rn", *[c for c in capped.columns if c.startswith("__u_")])
+    capped = (
+        keyed.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= max_per_domain)
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= max_per_domain)
+        .drop("__rn1")
+    )
+    out = capped.drop("__rn").unionByName(passthrough)
+    return out.drop(*[c for c in out.columns if c.startswith("__u_")])
 
 
 def normalize_urls(
@@ -494,21 +507,22 @@ def dedup_urls(
     variant dedup that runs before any content hash): normalize, then
     the smallest ``id_col`` per normalized URL wins — deterministic and
     engine-rederivable.  Documents with NULL/unparseable URLs have no
-    canonical key and all pass through.  One keyed window, no global
-    sort."""
-    from pyspark.sql.window import Window
+    canonical key and all pass through.
 
+    Skew shape: ONE hash aggregation with ``min_by`` — partial
+    aggregates combine map-side, so a mirror-farm URL with a billion
+    copies costs each task only its local min instead of funneling the
+    whole key through one window task."""
     feats = normalize_urls(df, url_col, out_col="__norm")
-    part = F.coalesce(
-        F.col("__norm"),
-        F.concat(F.lit("\x00nourl\x00"), F.col(id_col).cast("string")),
+    cols = [c for c in feats.columns if c != "__norm"]
+    keyed = (
+        feats.where(F.col("__norm").isNotNull())
+        .groupBy("__norm")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
-    w = Window.partitionBy(part).orderBy(F.col(id_col).asc())
-    return (
-        feats.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__norm")
-    )
+    passthrough = feats.where(F.col("__norm").isNull()).drop("__norm")
+    return keyed.unionByName(passthrough)
 
 
 def extract_sitemap_urls(
