@@ -150,6 +150,13 @@ def validate_conversations(
             & ~F.exists(t, lambda x: x["role"] == "assistant"),
             "no_assistant_turn",
         ),
+        # NULL roles (incl. wholly-NULL turn structs) slip past the
+        # isin-based unknown_role check (NULL isin -> NULL, not true) —
+        # label them explicitly so no defect is silent
+        (
+            F.exists(t, lambda x: x["role"].isNull()),
+            "missing_role",
+        ),
     ]
     errors = F.filter(
         F.array(*[F.when(cond, F.lit(label)) for cond, label in checks]),
@@ -172,15 +179,21 @@ def render_conversations(
     turn) or ``plain`` (``role: content`` lines).  NULL conversations
     render NULL; NULL contents render as empty strings (the validation
     screen flags them — rendering must not invent text)."""
+    # roles coalesce like contents: a NULL-role (or wholly-NULL) turn
+    # renders as an EMPTY marker instead of silently vanishing — a
+    # dropped turn would desync token accounting from the conversation
+    # length that packing/stats key on (validation labels the defect)
     if template == "chatml":
         render_turn = lambda x: F.concat(  # noqa: E731
-            F.lit("<|im_start|>"), x["role"], F.lit("\n"),
+            F.lit("<|im_start|>"), F.coalesce(x["role"], F.lit("")),
+            F.lit("\n"),
             F.coalesce(x["content"], F.lit("")), F.lit("<|im_end|>"),
         )
         sep = "\n"
     elif template == "plain":
         render_turn = lambda x: F.concat(  # noqa: E731
-            x["role"], F.lit(": "), F.coalesce(x["content"], F.lit(""))
+            F.coalesce(x["role"], F.lit("")), F.lit(": "),
+            F.coalesce(x["content"], F.lit("")),
         )
         sep = "\n"
     else:

@@ -126,3 +126,45 @@ def test_preference_stats(spark):
     assert got[3].pref_len_ratio is None  # 0/0 -> NULL, not a crash
     assert got[4].pref_token_jaccard == 1.0  # same vocabulary
     assert sorted(got) == [0, 1, 2, 3, 4]
+
+
+def test_null_role_turns_labeled_and_rendered(spark):
+    """NULL roles (incl. wholly-NULL turn structs) must be LABELED by
+    validation and render as empty markers — not silently vanish from
+    the rendered text (token accounting must track conversation
+    length)."""
+    from pyspark.sql import types as T
+
+    from aws_sdk_pandas_spark.operators.conversations import (
+        render_conversations,
+        validate_conversations,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("conversation", T.ArrayType(T.StructType([
+            T.StructField("role", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]))),
+    ])
+    rows = spark.createDataFrame(
+        [
+            (1, [("user", "hi"), None, ("assistant", "yo")]),
+            (2, [(None, "x"), ("assistant", "a")]),
+            (3, [("user", "q"), ("assistant", "a")]),
+        ],
+        schema,
+    )
+    v = {r.doc_id: (r.conv_valid, list(r.conv_errors))
+         for r in validate_conversations(rows).collect()}
+    assert v[1][0] is False and "missing_role" in v[1][1]
+    assert v[2][0] is False and "missing_role" in v[2][1]
+    assert v[3] == (True, [])
+    rnd = {r.doc_id: r.text for r in render_conversations(rows).collect()}
+    # the NULL turn renders as an EMPTY marker, keeping 3 turns visible
+    assert rnd[1] == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>\n<|im_end|>\n"
+        "<|im_start|>assistant\nyo<|im_end|>"
+    )
+    assert rnd[2].startswith("<|im_start|>\nx<|im_end|>")
