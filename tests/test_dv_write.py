@@ -592,3 +592,26 @@ def test_delta_clean_log_retention(spark, tmp_path):
     # and the table still accepts new commits afterwards
     shim.write(spark.createDataFrame([(99, 99)], "k int, v int"), p2)
     assert dl.read_delta_log(spark, p2).count() == 13
+
+
+def test_dv_merge_mor_null_safe_keys(spark, tmp_path):
+    """MoR merge with match_nulls: a NULL-keyed target row is one
+    identity (Delta's <=>) — its old version joins the DV and the
+    source's NULL-keyed row lands as the new version."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "nullkey-old"), (3, "c")], "k int, v string"
+    ).coalesce(1)
+    shim.write(df, p, mode="overwrite")
+    src = spark.createDataFrame(
+        [(None, "nullkey-new"), (9, "ins")], "k int, v string"
+    )
+    res = shim.merge(
+        spark, src, p, ["k"], match_nulls=True, use_deletion_vectors=True
+    )
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 1
+    got = sorted(
+        (r.k if r.k is not None else -1, r.v)
+        for r in shim.read(spark, p).collect()
+    )
+    assert got == [(-1, "nullkey-new"), (1, "a"), (3, "c"), (9, "ins")]
