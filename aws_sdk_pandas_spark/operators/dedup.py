@@ -78,15 +78,28 @@ def dedup_fingerprint(
 
     Skew shape: ONE hash aggregation with ``min_by`` (map-side partial
     combine) — a boilerplate document duplicated a billion times costs
-    each task only its local min, never a single-task window funnel."""
+    each task only its local min, never a single-task window funnel.
+
+    The ``min_by`` order key is NULL-safe: a bare ``min_by(row, id)``
+    IGNORES rows whose id is NULL, so a group whose ids are ALL NULL
+    would aggregate to a NULL struct and expand to an all-NULL row —
+    silent content destruction on dirty input.  Ordering by
+    ``struct(id IS NULL, id, xxhash64(text))`` keeps every row in play
+    (non-NULL ids win, NULL-id groups keep a deterministic
+    content-hashed representative)."""
     fp = document_fingerprint(F.col(text_col))
     with_fp = df.withColumn("__fp", fp)
     if id_col is None:
         return with_fp.dropDuplicates(["__fp"]).drop("__fp")
     cols = list(df.columns)
+    order = F.struct(
+        F.col(id_col).isNull().alias("n"),
+        F.col(id_col).alias("i"),
+        F.xxhash64(F.col(text_col)).alias("t"),
+    )
     return (
         with_fp.groupBy("__fp")
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .agg(F.min_by(F.struct(*cols), order).alias("__row"))
         .select("__row.*")
     )
 

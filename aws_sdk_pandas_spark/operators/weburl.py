@@ -512,13 +512,25 @@ def dedup_urls(
     Skew shape: ONE hash aggregation with ``min_by`` — partial
     aggregates combine map-side, so a mirror-farm URL with a billion
     copies costs each task only its local min instead of funneling the
-    whole key through one window task."""
+    whole key through one window task.
+
+    The order key is NULL-safe: ``min_by(row, id)`` alone IGNORES
+    NULL-id rows, so a canonical-URL group whose ids are all NULL would
+    collapse to an all-NULL row.  ``struct(id IS NULL, id,
+    xxhash64(url))`` keeps a real, deterministic representative
+    (non-NULL ids still win; among NULL ids the smallest raw-URL hash
+    does)."""
     feats = normalize_urls(df, url_col, out_col="__norm")
     cols = [c for c in feats.columns if c != "__norm"]
+    order = F.struct(
+        F.col(id_col).isNull().alias("n"),
+        F.col(id_col).alias("i"),
+        F.xxhash64(F.col(url_col)).alias("t"),
+    )
     keyed = (
         feats.where(F.col("__norm").isNotNull())
         .groupBy("__norm")
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .agg(F.min_by(F.struct(*cols), order).alias("__row"))
         .select("__row.*")
     )
     passthrough = feats.where(F.col("__norm").isNull()).drop("__norm")
