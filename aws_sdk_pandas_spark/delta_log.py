@@ -15,20 +15,25 @@ ships neither delta-spark nor delta-rs:
   actions are the DIFF of consecutive manifests.  Version numbers match
   1:1 (reference behavior: awswrangler ``s3/_write_deltalake.py:129-133``
   writes the same log through delta-rs).
-- **Reader** (:func:`read_delta_log`): replays a checkpoint-less Delta
-  log — including one written by delta-rs or Delta Spark elsewhere —
-  into the same union-of-parquet-scans plan lakelite reads use.
-  Partition values come from the log's ``partitionValues`` (the
+- **Reader** (:func:`read_delta_log`): replays a Delta log — including
+  one written by delta-rs or Delta Spark elsewhere, checkpoint-seeded
+  or not — into the same union-of-parquet-scans plan lakelite reads
+  use.  Partition values come from the log's ``partitionValues`` (the
   protocol's rule: partition columns are NOT stored in data files),
-  cast to the ``metaData`` schema types.  Protocol features beyond
-  ``minReaderVersion=1`` (deletion vectors, column mapping, ...) are
-  refused loudly rather than mis-read.
+  cast to the ``metaData`` schema types.  Deletion vectors (reader 3)
+  and column mapping ('name' and 'id', reader 2/3) are supported;
+  anything beyond is refused loudly rather than mis-read.
+- **Adoption** (:func:`convert_from_delta`): a foreign table — DV-
+  bearing and/or name-column-mapped — imports as lakelite manifest v0
+  and later lakelite commits continue the SAME ``_delta_log`` chain.
 
 Scale notes: the exporter is driver-side metadata work proportional to
 the files TOUCHED by a commit (one ``os.stat`` + parquet-footer
 ``num_rows`` per added file), never to table size; the reader's plan is
 one parquet scan per distinct partition tuple, with column pruning and
-row-group pushdown intact because the files are plain parquet.
+row-group pushdown intact because the files are plain parquet; deletion
+vectors decode ON EXECUTORS (the driver ships O(files) descriptors) and
+drop via one anti-join, broadcast when small.
 """
 
 from __future__ import annotations
@@ -70,6 +75,43 @@ _DV_PROTOCOL_ACTION = {
         "writerFeatures": ["deletionVectors"],
     }
 }
+
+
+def _dv_upgrade_protocol(base: dict[str, Any] | None) -> dict[str, Any]:
+    """The protocol action for the first DV-bearing commit.  Upgrading a
+    LEGACY protocol to table features must enumerate every feature the
+    legacy reader/writer versions implied (PROTOCOL.md's upgrade rule)
+    — an adopted column-mapped table (reader 2 / writer 5) keeps its
+    columnMapping capability listed next to deletionVectors."""
+    if not base:
+        return {"protocol": dict(_DV_PROTOCOL_ACTION["protocol"])}
+    mrv = int(base.get("minReaderVersion", 1))
+    mwv = int(base.get("minWriterVersion", 1))
+    rfeat = set(base.get("readerFeatures") or [])
+    wfeat = set(base.get("writerFeatures") or [])
+    if mrv == 2:
+        rfeat.add("columnMapping")
+    if mwv < 7:
+        if mwv >= 2:
+            wfeat |= {"appendOnly", "invariants"}
+        if mwv >= 3:
+            wfeat.add("checkConstraints")
+        if mwv >= 4:
+            wfeat |= {"changeDataFeed", "generatedColumns"}
+        if mwv >= 5:
+            wfeat.add("columnMapping")
+        if mwv >= 6:
+            wfeat.add("identityColumns")
+    rfeat.add("deletionVectors")
+    wfeat.add("deletionVectors")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeat),
+            "writerFeatures": sorted(wfeat),
+        }
+    }
 
 
 def _local(path: str) -> str:
@@ -182,22 +224,66 @@ def _export_offset(path: str) -> int:
     return 0
 
 
+def _physical_type(t: Any) -> Any:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return {
+                "type": "struct",
+                "fields": [_physical_field(f) for f in t.get("fields", [])],
+            }
+        if t.get("type") == "array":
+            return {**t, "elementType": _physical_type(t["elementType"])}
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": _physical_type(t["keyType"]),
+                "valueType": _physical_type(t["valueType"]),
+            }
+    return t
+
+
+def _physical_field(f: dict[str, Any]) -> dict[str, Any]:
+    """One logical schemaString field -> its physical twin (the name the
+    parquet files actually carry), columnMapping metadata stripped."""
+    md = f.get("metadata") or {}
+    return {
+        "name": md.get("delta.columnMapping.physicalName", f["name"]),
+        "type": _physical_type(f["type"]),
+        "nullable": f.get("nullable", True),
+        "metadata": {},
+    }
+
+
 def convert_from_delta(path: str) -> dict[str, Any]:
     """Adopt a FOREIGN Delta table (delta-rs / Delta Spark — including
-    deletion-vector-bearing tables) for lakelite WRITES: the latest
-    snapshot imports as lakelite manifest v0 (files by reference,
-    deletionVector descriptors carried verbatim — lakelite speaks the
-    same DV format) and a recorded version offset makes every later
-    lakelite commit continue the SAME ``_delta_log`` chain, so foreign
-    readers keep following the table.  This is the migration direction
-    the round-4 boundary refused.
+    deletion-vector-bearing and NAME-column-mapped tables) for lakelite
+    WRITES: the latest snapshot imports as lakelite manifest v0 (files
+    by reference, deletionVector descriptors carried verbatim —
+    lakelite speaks the same DV format) and a recorded version offset
+    makes every later lakelite commit continue the SAME ``_delta_log``
+    chain, so foreign readers keep following the table.  This is the
+    migration direction the round-4 boundary refused.
+
+    ``delta.columnMapping.mode = 'name'`` (the delta-rs / Delta Spark
+    default for new tables) adopts via a column-mapping sidecar: inside
+    lakelite the table runs entirely on PHYSICAL column names (manifest
+    schema, partition values, stats — matching what the parquet files
+    and the protocol's physical-name rule for partitionValues/stats
+    already use), the lakelite entry points translate logical<->physical
+    at the boundary, and the exporter emits the original logical
+    ``schemaString``/``partitionColumns``/``configuration`` so foreign
+    readers keep resolving the mapping.  Schema evolution on adopted
+    mapped tables is refused (new columns need fresh physical names and
+    a ``maxColumnId`` bump).
 
     Loud refusals (writing blind would corrupt the table for the
-    features' readers): column mapping in any mode, writer features
-    beyond deletionVectors (e.g. invariants/checkConstraints — we can't
-    enforce them), ``delta.appendOnly`` tables, and non-hive-layout
-    partitioned files (lakelite reads recover partition values from
-    ``k=v`` directory names).
+    features' readers): column mapping mode 'id' (field-id resolution),
+    writer features beyond deletionVectors/columnMapping (e.g.
+    invariants/checkConstraints — we can't enforce them), declared
+    ``delta.invariants``, ``delta.enableChangeDataFeed`` (we don't
+    write ``_change_data``), ``delta.appendOnly`` tables, and
+    non-hive-layout partitioned files (lakelite reads recover partition
+    values from ``k=v`` directory names).
 
     Returns ``{"delta_version": N, "files": n, "dv_files": m}``."""
     from aws_sdk_pandas_spark import lakehouse_shim as ls
@@ -230,10 +316,45 @@ def convert_from_delta(path: str) -> dict[str, Any]:
 
     config = meta.get("configuration") or {}
     cm_mode = config.get("delta.columnMapping.mode")
-    if cm_mode not in (None, "none"):
+    schema_json = json.loads(meta["schemaString"])
+    cmap_sidecar: dict[str, Any] | None = None
+    if cm_mode == "name":
+        log2phys: dict[str, str] = {}
+        for f in schema_json.get("fields", []):
+            md = f.get("metadata") or {}
+            pn = md.get("delta.columnMapping.physicalName")
+            if not pn:
+                raise InvalidArgument(
+                    f"column-mapped table field {f['name']!r} carries no "
+                    "delta.columnMapping.physicalName"
+                )
+            log2phys[f["name"]] = pn
+        cmap_sidecar = {
+            "mode": "name",
+            "schemaString": meta["schemaString"],
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+            "configuration": dict(config),
+            "protocol": dict(protocol),
+            "log2phys": log2phys,
+        }
+    elif cm_mode not in (None, "none"):
         raise InvalidArgument(
             f"cannot adopt column-mapped Delta table (mode {cm_mode!r}): "
-            "lakelite writes logical column names"
+            "only mode 'name' is supported (mode 'id' resolves parquet "
+            "columns by field id, which lakelite's writers don't stamp)"
+        )
+    if any(
+        (f.get("metadata") or {}).get("delta.invariants")
+        for f in schema_json.get("fields", [])
+    ):
+        raise InvalidArgument(
+            "cannot adopt table with delta.invariants: lakelite writes "
+            "don't enforce them"
+        )
+    if str(config.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        raise InvalidArgument(
+            "cannot adopt table with delta.enableChangeDataFeed: lakelite "
+            "writes don't produce _change_data files"
         )
     if str(config.get("delta.appendOnly", "")).lower() == "true":
         raise InvalidArgument(
@@ -242,14 +363,25 @@ def convert_from_delta(path: str) -> dict[str, Any]:
         )
     mwv = int(protocol.get("minWriterVersion", 1))
     wfeat = set(protocol.get("writerFeatures") or [])
-    if not (mwv <= 2 or (mwv == 7 and wfeat <= {"deletionVectors"})):
+    allowed_feat = {"deletionVectors"} | (
+        {"columnMapping"} if cm_mode == "name" else set()
+    )
+    if not (
+        mwv <= 2
+        or (mwv == 5 and cm_mode == "name")
+        or (mwv == 7 and wfeat <= allowed_feat)
+    ):
         raise InvalidArgument(
             f"cannot adopt Delta table with writer protocol {protocol}: "
-            "unsupported writer features (only deletionVectors is)"
+            "unsupported writer features (only deletionVectors and "
+            "name-mode columnMapping are)"
         )
 
     root = _local(path)
     pcols = list(meta.get("partitionColumns") or [])
+    if cmap_sidecar is not None:
+        # lakelite runs the adopted table on PHYSICAL names throughout
+        pcols = [cmap_sidecar["log2phys"].get(c, c) for c in pcols]
     entries: list[dict[str, Any]] = []
     n_dv = 0
     for a in adds.values():
@@ -302,12 +434,25 @@ def convert_from_delta(path: str) -> dict[str, Any]:
     # commit already exists), v1 continues the chain at latest + 1
     with open(os.path.join(ls._log_dir(path), "delta_offset"), "w") as fh:
         fh.write(str(latest))
+    if cmap_sidecar is not None:
+        with open(os.path.join(ls._log_dir(path), ls._CMAP_FILE), "w") as fh:
+            json.dump(cmap_sidecar, fh)
+        manifest_schema = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    _physical_field(f) for f in schema_json.get("fields", [])
+                ],
+            }
+        )
+    else:
+        manifest_schema = meta["schemaString"]
     ls._commit_manifest(
         path,
         {
             "version": 0,
             "mode": "convert",
-            "schema": meta["schemaString"],
+            "schema": manifest_schema,
             "partition_cols": pcols,
             "files": entries,
             "stats_cols": [],
@@ -357,11 +502,18 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
             }
         }
     ]
+    # adopted column-mapped tables export the original LOGICAL
+    # schemaString/partitionColumns/configuration and preserve the
+    # foreign protocol — the manifest's physical names appear only
+    # where the protocol wants them (add/remove partitionValues, stats)
+    cmap = ls._cmap_load(path)
     has_dv = any(e.get("dv") for e in manifest["files"])
     prev_had_dv = any(e.get("dv") for e in (prev["files"] if prev else []))
     if v == 0:
         if has_dv:
-            actions.append(_DV_PROTOCOL_ACTION)
+            actions.append(_dv_upgrade_protocol(cmap["protocol"] if cmap else None))
+        elif cmap:
+            actions.append({"protocol": dict(cmap["protocol"])})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -369,7 +521,7 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
     elif has_dv and not prev_had_dv:
         # first DV-bearing commit upgrades the table protocol in place —
         # sticky thereafter (replays keep the highest protocol seen)
-        actions.append(_DV_PROTOCOL_ACTION)
+        actions.append(_dv_upgrade_protocol(cmap["protocol"] if cmap else None))
     schema_changed = prev is not None and (
         prev["schema"] != manifest["schema"]
         or prev["partition_cols"] != manifest["partition_cols"]
@@ -380,9 +532,15 @@ def export_commit(path: str, manifest: dict[str, Any]) -> bool:
                 "metaData": {
                     "id": _current_table_id(path) or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": manifest["schema"],
-                    "partitionColumns": list(manifest["partition_cols"]),
-                    "configuration": {},
+                    "schemaString": (
+                        cmap["schemaString"] if cmap else manifest["schema"]
+                    ),
+                    "partitionColumns": (
+                        list(cmap["partitionColumns"])
+                        if cmap
+                        else list(manifest["partition_cols"])
+                    ),
+                    "configuration": dict(cmap["configuration"]) if cmap else {},
                     "createdTime": ts,
                 }
             }
@@ -1041,7 +1199,7 @@ def read_delta_log(
     # log (protocol rule), so they are injected as typed literals per
     # group — one scan per distinct partition tuple
     groups: dict[tuple, list[str]] = {}
-    dv_rows: list[tuple[str, int]] = []
+    dv_entries: list[dict[str, Any]] = []
     for a in adds.values():
         pv = a.get("partitionValues") or {}
         # column mapping keys partitionValues by PHYSICAL name; accept
@@ -1053,10 +1211,7 @@ def read_delta_log(
         abs_file = rel if os.path.isabs(rel) else os.path.join(root, rel)
         groups.setdefault(key, []).append(abs_file)
         if a.get("deletionVector"):
-            # decode the deleted ROW INDEXES (metadata-plane work: one
-            # roaring bitmap per touched file, cardinality-bounded)
-            for ri in _dv_row_indexes(root, a["deletionVector"]):
-                dv_rows.append((abs_file, ri))
+            dv_entries.append({"path": abs_file, "dv": a["deletionVector"]})
 
     missing = [f for files in groups.values() for f in files if not os.path.exists(f)]
     if missing:
@@ -1065,12 +1220,12 @@ def read_delta_log(
             f"data file(s) (vacuumed away or external), e.g. {sorted(missing)[:2]}"
         )
 
-    deletes = None
-    if dv_rows:
-        norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
-        deletes = F.broadcast(
-            spark.createDataFrame(dv_rows, "__dfp string, __dpos long")
-        )
+    # deletion vectors decode ON EXECUTORS (the driver ships O(files)
+    # descriptors, never the row-index lists) and drop via one anti-join
+    # — broadcast when small, shuffled past the cardinality threshold
+    from aws_sdk_pandas_spark import lakehouse_shim as _ls
+
+    deletes, dv_card = _ls._dv_deletes_df(spark, root, dv_entries)
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
     parts = []
@@ -1099,16 +1254,8 @@ def read_delta_log(
                 if physical in part.columns and logical not in part.columns:
                     part = part.withColumnRenamed(physical, logical)
         if deletes is not None:
-            part = (
-                part.withColumn("__fp", norm(F.col("_metadata.file_path")))
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .join(
-                    deletes,
-                    (F.col("__fp") == norm(F.col("__dfp")))
-                    & (F.col("__ri") == F.col("__dpos")),
-                    "left_anti",
-                )
-                .drop("__fp", "__ri")
+            part = part.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+                "__ri", F.col("_metadata.row_index")
             )
         for f in data_fields:
             if f.name not in part.columns:
@@ -1118,8 +1265,17 @@ def read_delta_log(
             part = part.withColumn(
                 c, F.lit(val).cast(dt) if val is not None else F.lit(None).cast(dt)
             )
-        parts.append(part.select(*[f.name for f in schema.fields]))
+        sel = [f.name for f in schema.fields]
+        if deletes is not None:
+            sel += ["__fp", "__ri"]
+        parts.append(part.select(*sel))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if deletes is not None:
+        # ONE anti-join after the union so the DV decode runs once, not
+        # once per partition-tuple scan
+        df = _ls._drop_dv_rows(df, deletes, dv_card, "__fp", "__ri").drop(
+            "__fp", "__ri"
+        )
     return df.select(*columns) if columns else df

@@ -532,6 +532,53 @@ def _num_records(abs_file: str) -> int:
 # ------------------------------------------------------------------ export
 
 
+def _write_pos_delete_parquet(
+    dpath: str, data_fp: str, root: str, dv: dict
+) -> tuple[int, int]:
+    """Decode ONE deletion vector and stream it into ONE Iceberg
+    position-delete parquet (reserved field ids per the spec:
+    2147483546 = file_path, 2147483545 = pos).  Single file_path +
+    sorted indexes means the spec's (file_path, pos) sort holds by
+    construction.  Module-level and string-argument-only so executors
+    can run it (the distributed export path); bounded memory either
+    way — at most one file's deleted-row list, written in 1M-row
+    batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_sdk_pandas_spark import delta_log as dl
+
+    pa_schema = pa.schema(
+        [
+            pa.field(
+                "file_path", pa.string(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos", pa.int64(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    idx = dl._dv_row_indexes(root, dv)  # sorted by construction
+    writer = pq.ParquetWriter(dpath, pa_schema)
+    try:
+        for s in range(0, max(len(idx), 1), 1 << 20):
+            chunk = idx[s : s + (1 << 20)]
+            writer.write_table(
+                pa.table(
+                    {
+                        "file_path": [data_fp] * len(chunk),
+                        "pos": pa.array(chunk, type=pa.int64()),
+                    },
+                    schema=pa_schema,
+                )
+            )
+    finally:
+        writer.close()
+    return len(idx), os.path.getsize(dpath)
+
+
 def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
     """Write the Iceberg snapshot for one lakelite manifest (idempotent;
     returns True when metadata was written).  Gaps are backfilled from
@@ -702,58 +749,64 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
 
     # ---- v2 merge-on-read POSITIONAL deletes from lakelite deletion
     # vectors: a snapshot whose manifest has DV-bearing entries writes
-    # fresh position-delete parquet(s) (one per partition tuple)
-    # covering ALL current DVs.  Manifest lists are per-snapshot
-    # complete, so the previous snapshot's delete files simply drop out
-    # of the new list — O(deleted rows) metadata-plane work, no data
-    # rewrite; engines apply them under the spec's sequence rule
-    # (delete_seq >= data_seq holds: the delete carries this commit's
-    # seq, data files keep their original adds').
+    # fresh position-delete parquet(s) — ONE per DV-bearing data file,
+    # so each delete file covers a single file_path and the spec's
+    # (file_path, pos) sort holds trivially — covering ALL current DVs.
+    # Manifest lists are per-snapshot complete, so the previous
+    # snapshot's delete files simply drop out of the new list; engines
+    # apply them under the spec's sequence rule (delete_seq >= data_seq
+    # holds: the delete carries this commit's seq, data files keep
+    # their original adds').  The decode+write runs ON EXECUTORS when a
+    # SparkSession is active (export fires inside lakelite commits, so
+    # it always is in practice) — the driver handles O(files)
+    # descriptors; the sessionless fallback streams each DV through a
+    # bounded ParquetWriter, never holding more than one file's
+    # positions.
     pos_delete_entries: list[dict] = []
     dv_entries = [e for e in manifest["files"] if e.get("dv")]
     if dv_entries:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from aws_sdk_pandas_spark import delta_log as dl
-
-        dv_groups: dict[tuple, list[tuple[str, int]]] = {}
-        dv_parts: dict[tuple, dict] = {}
-        for e in dv_entries:
-            part = _part_record(e.get("partition_values") or {})
-            key = tuple(sorted(part.items()))
-            fp = "file://" + os.path.join(root, e["path"])
-            rows = dv_groups.setdefault(key, [])
-            dv_parts[key] = part
-            for ri in dl._dv_row_indexes(root, e["dv"]):
-                rows.append((fp, ri))
-        for gi, (key, rows) in enumerate(sorted(dv_groups.items())):
-            rows.sort()
-            dpath = os.path.join(d, f"icd-{v:08d}-{gi:04d}-pos-delete.parquet")
-            # reserved field ids per the Iceberg spec: 2147483546 =
-            # file_path, 2147483545 = pos
-            pa_schema = pa.schema(
-                [
-                    pa.field(
-                        "file_path", pa.string(), nullable=False,
-                        metadata={b"PARQUET:field_id": b"2147483546"},
-                    ),
-                    pa.field(
-                        "pos", pa.int64(), nullable=False,
-                        metadata={b"PARQUET:field_id": b"2147483545"},
-                    ),
-                ]
+        tasks = []  # (out path, data-file URI, dv json, partition record)
+        for gi, e in enumerate(sorted(dv_entries, key=lambda x: x["path"])):
+            tasks.append(
+                (
+                    os.path.join(d, f"icd-{v:08d}-{gi:04d}-pos-delete.parquet"),
+                    "file://" + os.path.join(root, e["path"]),
+                    json.dumps(e["dv"]),
+                    _part_record(e.get("partition_values") or {}),
+                )
             )
-            pq.write_table(
-                pa.table(
-                    {
-                        "file_path": [r[0] for r in rows],
-                        "pos": [r[1] for r in rows],
-                    },
-                    schema=pa_schema,
-                ),
-                dpath,
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            tdf = spark.createDataFrame(
+                [(dp, fp, dvj) for dp, fp, dvj, _p in tasks],
+                "__d string, __fp string, __dvj string",
             )
+            if len(tasks) > 1:
+                tdf = tdf.repartition(min(len(tasks), 64))
+
+            def gen(batches):
+                import pandas as pd  # runs in the Python worker
+
+                for pdf in batches:
+                    rows = []
+                    for dp, fp, dvj in zip(pdf["__d"], pdf["__fp"], pdf["__dvj"]):
+                        n, sz = _write_pos_delete_parquet(
+                            dp, fp, root, json.loads(dvj)
+                        )
+                        rows.append((dp, n, sz))
+                    yield pd.DataFrame(rows, columns=["__d", "__n", "__sz"])
+
+            stats = {
+                r["__d"]: (int(r["__n"]), int(r["__sz"]))
+                for r in tdf.mapInPandas(gen, "__d string, __n long, __sz long").collect()
+            }
+        else:
+            stats = {
+                dp: _write_pos_delete_parquet(dp, fp, root, json.loads(dvj))
+                for dp, fp, dvj, _p in tasks
+            }
+        for dp, _fp, _dvj, part in tasks:
+            n, sz = stats[dp]
             pos_delete_entries.append(
                 {
                     "status": 1,
@@ -762,11 +815,11 @@ def export_snapshot(path: str, manifest: dict[str, Any]) -> bool:
                     "file_sequence_number": seq,
                     "data_file": {
                         "content": 1,
-                        "file_path": "file://" + dpath,
+                        "file_path": "file://" + dp,
                         "file_format": "PARQUET",
-                        "partition": dv_parts[key],
-                        "record_count": len(rows),
-                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "partition": part,
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
                         "lower_bounds": None,
                         "upper_bounds": None,
                     },

@@ -87,6 +87,49 @@ def _log_dir(path: str) -> str:
     return os.path.join(_local(path), _LOG_DIR)
 
 
+_CMAP_FILE = "column_mapping.json"
+
+
+def _cmap_load(path: str) -> dict[str, Any] | None:
+    """Column-mapping sidecar written by ``convert_from_delta`` when
+    adopting a name-mapped foreign Delta table.  Inside lakelite the
+    table runs entirely on PHYSICAL column names (manifest schema,
+    partition dirs, stats, data files — so every internal path is
+    untouched); the sidecar carries the logical<->physical map, the
+    original logical schemaString (with its columnMapping metadata),
+    partitionColumns, configuration and protocol for the Delta-log
+    exporter, and the public entry points translate at the boundary."""
+    f = os.path.join(_log_dir(path), _CMAP_FILE)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _cmap_to_physical_df(df: DataFrame, cmap: dict[str, Any]) -> DataFrame:
+    """Rename any LOGICAL column present in the frame to its physical
+    name (unambiguous: physical names are col-<uuid>, never colliding
+    with logical ones; columns already physical pass through)."""
+    for logical, physical in cmap["log2phys"].items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, physical)
+    return df
+
+
+def _cmap_to_logical_df(df: DataFrame, cmap: dict[str, Any]) -> DataFrame:
+    for logical, physical in cmap["log2phys"].items():
+        if physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df
+
+
+def _cmap_names(names: list[str] | None, cmap: dict[str, Any]) -> list[str] | None:
+    if names is None:
+        return None
+    m = cmap["log2phys"]
+    return [m.get(n, n) for n in names]
+
+
 def table_exists(path: str) -> bool:
     d = _log_dir(path)
     return os.path.isdir(d) and any(
@@ -415,7 +458,23 @@ def write(
     if mode in ("error", "errorifexists", "ignore"):
         mode = "append" if not exists else mode
 
+    cmap = _cmap_load(path) if exists else None
+    if cmap is not None:
+        df = _cmap_to_physical_df(df, cmap)
+        partition_cols = _cmap_names(partition_cols, cmap)
+        stats_cols = _cmap_names(stats_cols, cmap)
+
     prev = _read_manifest(path, latest_version(path)) if exists else None
+    if cmap is not None and prev is not None:
+        phys_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+        if set(df.columns) != phys_cols:
+            raise InvalidArgument(
+                "schema change on a column-mapped table is not supported: "
+                "new columns need fresh physical names and a maxColumnId "
+                "bump in the foreign metaData "
+                f"(existing physical {sorted(phys_cols)} vs incoming "
+                f"{sorted(df.columns)})"
+            )
     if prev is not None and partition_cols is None:
         partition_cols = prev["partition_cols"]
 
@@ -531,6 +590,7 @@ def read(
     partition_filter: Callable[[dict[str, str | None]], bool] | None = None,
     predicates: list[tuple[str, str, Any]] | None = None,
     with_file_path: bool = False,
+    _raw_names: bool = False,
 ) -> DataFrame:
     """Snapshot (or time-travel) read.  ``partition_filter`` prunes
     manifest entries on the DRIVER before any scan is planned — the log
@@ -552,6 +612,21 @@ def read(
     man = _read_manifest(path, v)
     root = _local(path)
     entries = man["files"]
+    # adopted name-mapped tables run on PHYSICAL names internally; the
+    # public read speaks logical — translate inputs here, outputs at
+    # the end (_raw_names=True is the internal callers' view)
+    cmap = None if _raw_names else _cmap_load(path)
+    if cmap is not None:
+        m = cmap["log2phys"]
+        columns = _cmap_names(columns, cmap)
+        if predicates:
+            predicates = [(m.get(c, c), op, val) for c, op, val in predicates]
+        if partition_filter is not None:
+            phys2log = {p: l for l, p in m.items()}  # noqa: E741
+            user_filter = partition_filter
+            partition_filter = lambda pv: user_filter(  # noqa: E731
+                {phys2log.get(k, k): v2 for k, v2 in pv.items()}
+            )
     if partition_filter is not None:
         entries = [e for e in entries if partition_filter(e["partition_values"])]
     if predicates:
@@ -570,24 +645,19 @@ def read(
 
     if not entries:
         df = spark.createDataFrame([], full_schema)
-        return df.select(*columns) if columns else df
+        df = df.select(*columns) if columns else df
+        return _cmap_to_logical_df(df, cmap) if cmap else df
 
     by_commit: dict[str, list[str]] = {}
     for e in entries:
         by_commit.setdefault(e["commit"], []).append(os.path.join(root, e["path"]))
 
-    # deletion vectors (MoR deletes): decode each touched file's bitmap
-    # to (abs file, row index) rows — metadata-plane, cardinality-bounded
-    # — and drop them with ONE broadcast anti-join after the union
-    dv_rows: list[tuple[str, int]] = []
-    dv_entries = [e for e in entries if e.get("dv")]
-    if dv_entries:
-        from aws_sdk_pandas_spark import delta_log as _dl
-
-        for e in dv_entries:
-            abs_p = os.path.abspath(os.path.join(root, e["path"]))
-            for ri in _dl._dv_row_indexes(root, e["dv"]):
-                dv_rows.append((abs_p, ri))
+    # deletion vectors (MoR deletes): the driver ships O(files) DV
+    # descriptors; executors decode each file's bitmap into (file,
+    # row index) rows, dropped with ONE anti-join after the union
+    # (broadcast when small, shuffled past _DV_BROADCAST_MAX_ROWS —
+    # the driver never materializes the deleted-row list)
+    dv_deletes, dv_card = _dv_deletes_df(spark, root, entries)
 
     parts = []
     for commit_rel, files in sorted(by_commit.items()):
@@ -600,7 +670,7 @@ def read(
             # string surgery on the column (percent-encoded or relative
             # paths silently failed to match otherwise)
             part = part.withColumn("__lakelite_file", F.col("_metadata.file_path"))
-        if dv_rows:
+        if dv_deletes is not None:
             part = part.withColumn(
                 "__dv_fp", F.col("_metadata.file_path")
             ).withColumn("__dv_ri", F.col("_metadata.row_index"))
@@ -608,17 +678,10 @@ def read(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
-    if dv_rows:
-        norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
-        deletes = F.broadcast(
-            spark.createDataFrame(dv_rows, "__dfp string, __dpos long")
+    if dv_deletes is not None:
+        df = _drop_dv_rows(df, dv_deletes, dv_card, "__dv_fp", "__dv_ri").drop(
+            "__dv_fp", "__dv_ri"
         )
-        df = df.join(
-            deletes,
-            (norm(F.col("__dv_fp")) == norm(F.col("__dfp")))
-            & (F.col("__dv_ri") == F.col("__dpos")),
-            "left_anti",
-        ).drop("__dv_fp", "__dv_ri")
     if predicates:
         for c, op, val in predicates:
             col = F.col(c)
@@ -626,7 +689,8 @@ def read(
                 {"<": col < val, "<=": col <= val, ">": col > val,
                  ">=": col >= val, "=": col == val}[op]
             )
-    return df.select(*columns) if columns else df
+    df = df.select(*columns) if columns else df
+    return _cmap_to_logical_df(df, cmap) if cmap else df
 
 
 def history(path: str) -> list[dict[str, Any]]:
@@ -655,13 +719,13 @@ def _key_cond(left: DataFrame, right: DataFrame, keys: list[str], match_nulls: b
 
 def _touched_files(
     spark: SparkSession, path: str, source: DataFrame, keys: list[str], match_nulls: bool
-) -> tuple[list[dict[str, Any]], list[dict[str, Any]], DataFrame]:
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], DataFrame, dict[str, str]]:
     """Split the current manifest into (touched, untouched) by semi-joining
     the snapshot's _metadata.file_path against the source keys; return the
     rewrite input (rows of touched files only)."""
     man = _read_manifest(path, latest_version(path))
     root = _local(path)
-    snap = read(spark, path, with_file_path=True)
+    snap = read(spark, path, with_file_path=True, _raw_names=True)
     src_keys = source.select(*keys).distinct()
     hit = (
         snap.join(F.broadcast(src_keys), _key_cond(snap, src_keys, keys, match_nulls), "leftsemi")
@@ -692,7 +756,161 @@ def _touched_files(
     rewrite_input = snap.where(
         F.col("__lakelite_file").isin(raw_hits) if raw_hits else F.lit(False)
     ).drop("__lakelite_file")
-    return touched, untouched, rewrite_input
+    # manifest-relative path -> the RAW URI Spark reports for that file,
+    # so MoR paths can join on exact string equality (no URI surgery)
+    raw_by_path = {by_norm[_normalize_uri(u)]["path"]: u for u in raw_hits}
+    return touched, untouched, rewrite_input, raw_by_path
+
+
+# one decoded deletion vector above this many total rows stops being
+# broadcast in the anti-join and shuffles instead (a broadcast of 10^8
+# (path, pos) tuples would blow the driver/executor broadcast budget)
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _dv_deletes_df(
+    spark: SparkSession, root: str, entries: list[dict[str, Any]]
+) -> tuple[DataFrame | None, int]:
+    """The (file, row_index) rows named by the entries' deletion vectors,
+    decoded ON EXECUTORS: the driver ships only O(files) descriptors;
+    each partition opens and decodes its own bitmaps (the DV bins live
+    next to the data on shared storage, like the parquet itself).
+    Returns ``(DataFrame['__dfp','__dpos'], total_cardinality)`` with
+    ``__dfp`` the absolute local path, or ``(None, 0)`` with no DVs.
+    Peak per-task memory is ONE file's deleted-row list (bounded by
+    that file's row count), never the table-wide total."""
+    descs = [
+        (os.path.abspath(os.path.join(root, e["path"])), json.dumps(e["dv"]))
+        for e in entries
+        if e.get("dv")
+    ]
+    if not descs:
+        return None, 0
+    total = sum(int((e["dv"].get("cardinality")) or 0) for e in entries if e.get("dv"))
+    desc_df = spark.createDataFrame(descs, "__dfp string, __dvj string")
+    if len(descs) > 1:
+        desc_df = desc_df.repartition(min(len(descs), 64))
+
+    def decode(batches):
+        import pandas as pd  # runs in the Python worker
+
+        from aws_sdk_pandas_spark import delta_log as dl
+
+        for pdf in batches:
+            for fp, dvj in zip(pdf["__dfp"], pdf["__dvj"]):
+                idx = dl._dv_row_indexes(root, json.loads(dvj))
+                for s in range(0, len(idx), 1 << 20):  # cap Arrow batch size
+                    chunk = idx[s : s + (1 << 20)]
+                    yield pd.DataFrame(
+                        {
+                            "__dfp": [fp] * len(chunk),
+                            "__dpos": pd.Series(chunk, dtype="int64"),
+                        }
+                    )
+
+    return desc_df.mapInPandas(decode, "__dfp string, __dpos long"), total
+
+
+def _drop_dv_rows(
+    df: DataFrame, deletes: DataFrame, total_card: int, fp_col: str, ri_col: str
+) -> DataFrame:
+    """Anti-join the decoded deletion rows out of a scan that carries
+    raw ``_metadata`` file/position columns.  Small DVs broadcast; past
+    :data:`_DV_BROADCAST_MAX_ROWS` total rows the join shuffles on the
+    (file, position) key instead — either way no driver materialization."""
+    norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+    d = F.broadcast(deletes) if total_card <= _DV_BROADCAST_MAX_ROWS else deletes
+    return df.join(
+        d,
+        (norm(F.col(fp_col)) == F.col("__dfp")) & (F.col(ri_col) == F.col("__dpos")),
+        "left_anti",
+    )
+
+
+def _mor_scan(
+    spark: SparkSession, root: str, entries: list[dict[str, Any]]
+) -> DataFrame:
+    """Raw per-commit scan of the given manifest entries with ``__f``
+    (raw file URI) and ``__ri`` (row index) columns, MINUS rows already
+    deleted by the entries' existing deletion vectors — the live-row
+    view the MoR write paths must reason over.  Without the DV
+    anti-join, a previously-deleted 'ghost' row re-enters the
+    precombine window and can out-rank (silently drop) a source row
+    that should be inserted."""
+    by_commit: dict[str, list[str]] = {}
+    for e in entries:
+        by_commit.setdefault(e["commit"], []).append(os.path.join(root, e["path"]))
+    parts = []
+    for commit_rel, files in sorted(by_commit.items()):
+        parts.append(
+            spark.read.option("basePath", os.path.join(root, commit_rel))
+            .parquet(*files)
+            .withColumn("__f", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+    scan = parts[0]
+    for p in parts[1:]:
+        scan = scan.unionByName(p, allowMissingColumns=True)
+    deletes, card = _dv_deletes_df(spark, root, entries)
+    if deletes is not None:
+        scan = _drop_dv_rows(scan, deletes, card, "__f", "__ri")
+    return scan
+
+
+def _write_dvs_distributed(
+    spark: SparkSession,
+    root: str,
+    doomed: DataFrame,
+    touched: list[dict[str, Any]],
+    raw_by_path: dict[str, str],
+) -> dict[str, tuple[dict[str, Any], int]]:
+    """Write one merged deletion vector per hit file ON EXECUTORS:
+    ``doomed`` is a distributed ``(__f raw URI, __ri)`` frame; grouping
+    by file, each task decodes that file's EXISTING DV, unions the new
+    indexes, serializes the roaring bitmap and writes the new DV bin
+    (executor-side writes to table storage, like Delta's own DV
+    writers; bins orphaned by task retries are vacuumed).  The driver
+    collects only O(files) descriptors.  Returns
+    ``{manifest_path: (dv_descriptor, newly_deleted_count)}``."""
+    desc_rows = [
+        (
+            raw_by_path[e["path"]],
+            e["path"],
+            json.dumps(e["dv"]) if e.get("dv") else None,
+        )
+        for e in touched
+        if e["path"] in raw_by_path
+    ]
+    if not desc_rows:
+        return {}
+    desc = spark.createDataFrame(desc_rows, "__f string, __p string, __olddv string")
+    joined = doomed.join(F.broadcast(desc), "__f", "inner")
+
+    def per_file(pdf):
+        import pandas as pd  # runs in the Python worker
+
+        from aws_sdk_pandas_spark import delta_log as dl
+
+        p = pdf["__p"].iloc[0]
+        olddv = pdf["__olddv"].iloc[0]
+        old_idx = (
+            set(dl._dv_row_indexes(root, json.loads(olddv)))
+            if isinstance(olddv, str) and olddv
+            else set()
+        )
+        new_idx = {int(x) for x in pdf["__ri"]}
+        added = len(new_idx - old_idx)
+        d = dl.write_dv_file(root, sorted(old_idx | new_idx), prefix="_dv")
+        return pd.DataFrame(
+            {"__p": [p], "__dv": [json.dumps(d)], "__added": [added]}
+        )
+
+    res = (
+        joined.groupBy("__f")
+        .applyInPandas(per_file, "__p string, __dv string, __added long")
+        .collect()
+    )
+    return {r["__p"]: (json.loads(r["__dv"]), int(r["__added"])) for r in res}
 
 
 def _commit_or_rebase(
@@ -845,6 +1063,13 @@ def merge(
 
     from aws_sdk_pandas_spark.operators.merge import _precombine_latest
 
+    cmap = _cmap_load(path) if table_exists(path) else None
+    if cmap is not None:
+        # adopted name-mapped table: internals run on physical names
+        source = _cmap_to_physical_df(source, cmap)
+        keys = _cmap_names(keys, cmap)
+        if precombine_key is not None:
+            precombine_key = cmap["log2phys"].get(precombine_key, precombine_key)
     if precombine_key is not None:
         # applied BEFORE any write path — a first merge into a fresh
         # table must not be born with duplicate keys the same call would
@@ -859,7 +1084,7 @@ def merge(
 
     if merge_condition == "ignore":
         # insert-only fast path: no existing file read or rewritten
-        snap_keys = read(spark, path, columns=keys).distinct()
+        snap_keys = read(spark, path, columns=keys, _raw_names=True).distinct()
         inserts = source.join(
             snap_keys, _key_cond(source, snap_keys, keys, match_nulls), "left_anti"
         )
@@ -894,7 +1119,7 @@ def merge(
             spark, source, path, keys, man, match_nulls, precombine_key
         )
 
-    touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
+    touched, untouched, rewrite_input, _raw = _touched_files(spark, path, source, keys, match_nulls)
     target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
     src = source.select(*target_cols)
     if precombine_key is None:
@@ -968,10 +1193,14 @@ def delete(
     (compaction materializes them).  Choose DVs when deletes are small
     relative to file sizes — O(deleted rows) metadata instead of
     O(touched bytes) rewrite."""
+    cmap = _cmap_load(path) if table_exists(path) else None
+    if cmap is not None:
+        source = _cmap_to_physical_df(source, cmap)
+        keys = _cmap_names(keys, cmap)
     man = _read_manifest(path, latest_version(path))
     if use_deletion_vectors:
         return _delete_mor(spark, source, path, keys, man, match_nulls)
-    touched, untouched, rewrite_input = _touched_files(spark, path, source, keys, match_nulls)
+    touched, untouched, rewrite_input, _raw = _touched_files(spark, path, source, keys, match_nulls)
     src_keys = source.select(*keys).distinct()
     survivors = rewrite_input.join(
         F.broadcast(src_keys), _key_cond(rewrite_input, src_keys, keys, match_nulls), "left_anti"
@@ -1016,50 +1245,39 @@ def _merge_mor(
     """Merge-on-read MERGE: superseded target rows (matched rows the
     source out-versions — all of them when no precombine key) join
     their file's deletion vector; surviving source rows land in new
-    files.  With a precombine key, the winner per key over (matched
-    target rows ∪ source rows) follows the SAME greatest-version-wins /
-    source-wins-ties rule as the CoW path, so a target row that
-    out-versions the source survives untouched and that source row is
-    dropped."""
+    files.  With a precombine key, the winner per key over (LIVE
+    matched target rows ∪ source rows) follows the SAME
+    greatest-version-wins / source-wins-ties rule as the CoW path, so
+    a target row that out-versions the source survives untouched and
+    that source row is dropped.  The scan excludes rows already
+    deleted by existing DVs (``_mor_scan``) — a ghost row must not
+    out-rank a re-upsert of its own key — and the per-file DV
+    union/write runs on executors (``_write_dvs_distributed``): the
+    driver handles O(files) descriptors, never O(deleted rows)."""
     from pyspark.sql import Window
-
-    from aws_sdk_pandas_spark import delta_log as dl
 
     root = _local(path)
     pcols = man["partition_cols"]
-    touched, untouched, _ = _touched_files(spark, path, source, keys, match_nulls)
+    touched, untouched, _, raw_by_path = _touched_files(
+        spark, path, source, keys, match_nulls
+    )
     target_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
     src = source.select(*target_cols)
     src_keys = source.select(*keys).distinct()
 
-    doomed_rows: list = []
+    dv_results: dict[str, tuple[dict[str, Any], int]] = {}
     to_write = src
     if touched:
-        by_commit: dict[str, list[str]] = {}
-        for e in touched:
-            by_commit.setdefault(e["commit"], []).append(
-                os.path.join(root, e["path"])
-            )
-        parts = []
-        for commit_rel, files in sorted(by_commit.items()):
-            parts.append(
-                spark.read.option("basePath", os.path.join(root, commit_rel))
-                .parquet(*files)
-                .withColumn("__f", F.col("_metadata.file_path"))
-                .withColumn("__ri", F.col("_metadata.row_index"))
-            )
-        scan = parts[0]
-        for p in parts[1:]:
-            scan = scan.unionByName(p, allowMissingColumns=True)
+        scan = _mor_scan(spark, root, touched)
         matched = scan.join(
             F.broadcast(src_keys),
             _key_cond(scan, src_keys, keys, match_nulls),
             "leftsemi",
         ).select(*target_cols, "__f", "__ri")
         if precombine_key is None:
-            # the source row always supersedes: every matched target row
-            # is doomed, every source row is written
-            doomed_rows = matched.select("__f", "__ri").collect()
+            # the source row always supersedes: every live matched
+            # target row is doomed, every source row is written
+            doomed = matched.select("__f", "__ri")
         else:
             tagged = matched.withColumn("__src", F.lit(0)).unionByName(
                 src.withColumn("__f", F.lit(None).cast("string"))
@@ -1070,34 +1288,27 @@ def _merge_mor(
                 F.col(precombine_key).desc_nulls_last(), F.col("__src").desc()
             )
             ranked = tagged.withColumn("__rn", F.row_number().over(w))
-            doomed_rows = (
-                ranked.where((F.col("__src") == 0) & (F.col("__rn") > 1))
-                .select("__f", "__ri")
-                .collect()
-            )
+            doomed = ranked.where(
+                (F.col("__src") == 0) & (F.col("__rn") > 1)
+            ).select("__f", "__ri")
             # source rows that lost to a target row are dropped; the
             # unmatched ones trivially win their partition
             to_write = (
                 ranked.where((F.col("__src") == 1) & (F.col("__rn") == 1))
                 .select(*target_cols)
             )
+        dv_results = _write_dvs_distributed(spark, root, doomed, touched, raw_by_path)
 
-    per_file: dict[str, set[int]] = {}
-    for r in doomed_rows:
-        per_file.setdefault(_normalize_uri(r["__f"]), set()).add(int(r["__ri"]))
-    rows_deleted = 0
+    rows_deleted = sum(n for _, n in dv_results.values())
     dv_entries: list[dict[str, Any]] = []
     kept_touched: list[dict[str, Any]] = []
     for e in touched:
-        abs_p = os.path.abspath(os.path.join(root, e["path"]))
-        new_idx = set(per_file.get(abs_p, ()))
-        if not new_idx:
+        hit = dv_results.get(e["path"])
+        if hit is None:
             kept_touched.append(e)  # matched keys lost to precombine
             continue
-        old_idx = set(dl._dv_row_indexes(root, e["dv"])) if e.get("dv") else set()
-        rows_deleted += len(new_idx - old_idx)
         entry = dict(e)
-        entry["dv"] = dl.write_dv_file(root, sorted(old_idx | new_idx), prefix="_dv")
+        entry["dv"] = hit[0]
         dv_entries.append(entry)
 
     _, new_entries = _write_commit(to_write, path, pcols)
@@ -1145,57 +1356,34 @@ def _delete_mor(
     """Merge-on-read DELETE: per touched file, union the matching row
     indexes into its deletion vector (one Delta-layout DV file per
     touched file under ``<table>/_dv/``) and commit a manifest that
-    keeps every data file by reference.  Metadata-plane cost:
-    O(deleted rows), zero data rewrite."""
-    from aws_sdk_pandas_spark import delta_log as dl
-
+    keeps every data file by reference.  The matching (file, row_index)
+    pairs stay distributed end-to-end: ``_mor_scan`` drops rows already
+    in a DV, and the per-file union/serialize/write runs on executors —
+    the driver handles O(files) descriptors, never O(deleted rows)."""
     root = _local(path)
-    touched, untouched, _rewrite = _touched_files(spark, path, source, keys, match_nulls)
+    touched, untouched, _rewrite, raw_by_path = _touched_files(
+        spark, path, source, keys, match_nulls
+    )
     src_keys = source.select(*keys).distinct()
     new_entries: list[dict[str, Any]] = []
+    kept_touched: list[dict[str, Any]] = []
     rows_deleted = 0
     if touched:
-        # matching (file, row_index) pairs, scanned from touched files
-        # only; rows already in a DV are excluded by the DV-aware read
-        # below, so re-deleting a row is a no-op (set union regardless)
-        by_commit: dict[str, list[str]] = {}
+        scan = _mor_scan(spark, root, touched)
+        hits = scan.join(
+            F.broadcast(src_keys),
+            _key_cond(scan, src_keys, keys, match_nulls),
+            "leftsemi",
+        ).select("__f", "__ri")
+        dv_results = _write_dvs_distributed(spark, root, hits, touched, raw_by_path)
+        rows_deleted = sum(n for _, n in dv_results.values())
         for e in touched:
-            by_commit.setdefault(e["commit"], []).append(
-                os.path.join(root, e["path"])
-            )
-        parts = []
-        for commit_rel, files in sorted(by_commit.items()):
-            parts.append(
-                spark.read.option("basePath", os.path.join(root, commit_rel))
-                .parquet(*files)
-                .withColumn("__f", F.col("_metadata.file_path"))
-                .withColumn("__ri", F.col("_metadata.row_index"))
-            )
-        scan = parts[0]
-        for p in parts[1:]:
-            scan = scan.unionByName(p, allowMissingColumns=True)
-        hits = (
-            scan.join(
-                F.broadcast(src_keys),
-                _key_cond(scan, src_keys, keys, match_nulls),
-                "leftsemi",
-            )
-            .select("__f", "__ri")
-            .collect()
-        )
-        per_file: dict[str, set[int]] = {}
-        for r in hits:
-            per_file.setdefault(_normalize_uri(r["__f"]), set()).add(int(r["__ri"]))
-        for e in touched:
-            abs_p = os.path.abspath(os.path.join(root, e["path"]))
-            new_idx = set(per_file.get(abs_p, ()))
-            old_idx = (
-                set(dl._dv_row_indexes(root, e["dv"])) if e.get("dv") else set()
-            )
-            rows_deleted += len(new_idx - old_idx)
-            merged = sorted(old_idx | new_idx)
+            hit = dv_results.get(e["path"])
+            if hit is None:
+                kept_touched.append(e)  # every live match was already deleted
+                continue
             entry = dict(e)
-            entry["dv"] = dl.write_dv_file(root, merged, prefix="_dv")
+            entry["dv"] = hit[0]
             new_entries.append(entry)
     _commit_or_rebase(
         spark,
@@ -1205,12 +1393,14 @@ def _delete_mor(
             "mode": "delete",
             "schema": man["schema"],
             "partition_cols": man["partition_cols"],
-            "files": untouched + new_entries,
+            "files": untouched + kept_touched + new_entries,
             "stats_cols": man.get("stats_cols") or [],
             "txns": _carry_txns(man, None, path=path),
         },
         man,
-        new_entries,
+        # kept_touched rides along: on a rebase the touched paths are
+        # dropped from the winner's list and re-added from THIS list
+        kept_touched + new_entries,
         touched_paths={e["path"] for e in touched},
         source_keys=src_keys,
         keys=keys,
@@ -1219,7 +1409,7 @@ def _delete_mor(
     )
     return {
         "files_rewritten": 0,
-        "files_kept": len(untouched),
+        "files_kept": len(untouched) + len(kept_touched),
         "files_dv": len(new_entries),
         "rows_deleted": rows_deleted,
     }
@@ -1246,7 +1436,10 @@ def compact(
     any of them — a linear sort only ever skips on its leading column.
     Z-ordered compaction automatically records stats for those columns."""
     man = _read_manifest(path, latest_version(path))
-    df = read(spark, path)
+    cmap = _cmap_load(path)
+    if cmap is not None and zorder_by:
+        zorder_by = _cmap_names(zorder_by, cmap)
+    df = read(spark, path, _raw_names=True)
     stats_cols = list(man.get("stats_cols") or [])
     if zorder_by:
         from aws_sdk_pandas_spark.functions.zorder import zorder_key

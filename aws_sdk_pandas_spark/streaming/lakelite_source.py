@@ -58,21 +58,16 @@ class _FilePartition(InputPartition):
         self,
         abs_path: str,
         partition_values: dict,
-        skip_rows: "list[int] | None" = None,
+        dv: "dict | None" = None,
+        root: "str | None" = None,
     ):
         self.abs_path = abs_path
         self.partition_values = partition_values
-        # row indexes removed by a deletion vector (resolved on the
-        # DRIVER — workers get the plain index list, no DV decode there)
-        self.skip_rows = skip_rows
-
-
-def _dv_indexes(root: str, entry: dict) -> "list[int] | None":
-    if not entry.get("dv"):
-        return None
-    from aws_sdk_pandas_spark import delta_log as dl
-
-    return dl._dv_row_indexes(root, entry["dv"])
+        # deletion-vector DESCRIPTOR (O(1) metadata): the WORKER decodes
+        # the bitmap next to the data it reads — the driver never
+        # materializes a deleted-row list, matching the batch plane
+        self.dv = dv
+        self.root = root
 
 
 def _arrow_const(value, spark_type, n: int):
@@ -108,6 +103,12 @@ class _LakeliteStreamReader(DataSourceStreamReader):
         self._starting = int(options.get("startingversion", options.get("startingVersion", 0)))
         self._ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self._ignore_deletes = str(options.get("ignoredeletes", "false")).lower() == "true"
+        # logical -> physical column map for adopted name-mapped tables
+        # (loaded on the DRIVER; the pickled reader carries it to workers)
+        from aws_sdk_pandas_spark import lakehouse_shim as ls
+
+        cmap = ls._cmap_load(self._path)
+        self._log2phys: dict = cmap["log2phys"] if cmap else {}
 
     # -- offset protocol ----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -166,7 +167,8 @@ class _LakeliteStreamReader(DataSourceStreamReader):
                         _FilePartition(
                             os.path.join(root, e["path"]),
                             dict(e.get("partition_values") or {}),
-                            skip_rows=_dv_indexes(root, e) or [],
+                            dv=e.get("dv"),
+                            root=root,
                         )
                     )
             for e in added:
@@ -174,7 +176,8 @@ class _LakeliteStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(root, e["path"]),
                         dict(e.get("partition_values") or {}),
-                        skip_rows=_dv_indexes(root, e),
+                        dv=e.get("dv"),
+                        root=root,
                     )
                 )
         return out
@@ -184,23 +187,29 @@ class _LakeliteStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        l2p = getattr(self, "_log2phys", {})
         file_cols = [
-            f.name for f in self._schema.fields if f.name not in partition.partition_values
+            l2p.get(f.name, f.name)
+            for f in self._schema.fields
+            if l2p.get(f.name, f.name) not in partition.partition_values
         ]
         tbl = pq.read_table(
             partition.abs_path,
             columns=[c for c in file_cols if c in pq.read_schema(partition.abs_path).names],
         )
-        if getattr(partition, "skip_rows", None):
-            skip = set(partition.skip_rows)
+        if getattr(partition, "dv", None):
+            from aws_sdk_pandas_spark import delta_log as dl
+
+            skip = set(dl._dv_row_indexes(partition.root, partition.dv))
             tbl = tbl.take([i for i in range(tbl.num_rows) if i not in skip])
         n = tbl.num_rows
         arrays, names = [], []
         for f in self._schema.fields:
-            if f.name in partition.partition_values:
-                arrays.append(_arrow_const(partition.partition_values[f.name], f.dataType, n))
-            elif f.name in tbl.column_names:
-                arrays.append(tbl.column(f.name).combine_chunks())
+            phys = l2p.get(f.name, f.name)  # files/dirs carry physical names
+            if phys in partition.partition_values:
+                arrays.append(_arrow_const(partition.partition_values[phys], f.dataType, n))
+            elif phys in tbl.column_names:
+                arrays.append(tbl.column(phys).combine_chunks())
             else:  # schema evolution: older file lacks the column
                 arrays.append(pa.nulls(n))
             names.append(f.name)
@@ -228,6 +237,20 @@ class LakeliteStreamDataSource(DataSource):
         for c in man["partition_cols"]:
             if c not in schema.fieldNames():
                 schema = schema.add(c, T.StringType())
+        # adopted name-mapped tables: the stream speaks LOGICAL names
+        # like every other lakelite entry point (files stay physical;
+        # the per-partition reader translates)
+        cmap = ls._cmap_load(path)
+        if cmap is not None:
+            phys2log = {p: l for l, p in cmap["log2phys"].items()}  # noqa: E741
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        phys2log.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
         return schema
 
     def streamReader(self, schema: StructType) -> _LakeliteStreamReader:

@@ -49,6 +49,76 @@ def test_rbarray_encode_decode_property():
         assert dl._rbarray_decode(dl._rbarray_encode(idx)) == idx
 
 
+def test_write_dv_file_decodes_with_independent_spec_decoder(tmp_path):
+    """Spec closure in the WRITE direction (round-5 verdict item 4): a
+    decoder re-derived HERE from the Delta DV on-disk spec plus the
+    RoaringFormatSpec — zero calls into delta_log's own decode helpers
+    — must recover write_dv_file's exact index set through the full
+    framing: format-version byte, big-endian length, RoaringBitmapArray
+    magic + bitmap count, array AND bitmap containers, offset index,
+    big-endian CRC32."""
+    import struct
+    import zlib
+
+    root = str(tmp_path)
+    # cross the 4096-cardinality boundary (forces a BITMAP container in
+    # key 0), keep an ARRAY container in key 1, and spill into a second
+    # 32-bit roaring bitmap (index >= 2^32)
+    idx = sorted(set(range(5000)) | {70_000, 70_002, (1 << 32) + 7})
+    dv = dl.write_dv_file(root, idx, prefix="_dv")
+    assert dv["storageType"] == "u" and dv["cardinality"] == len(idx)
+    with open(dl.dv_file_path(root, dv), "rb") as fh:
+        blob = fh.read()
+
+    assert blob[0:1] == b"\x01"  # format version
+    off = dv["offset"]
+    (size,) = struct.unpack_from(">i", blob, off)
+    assert size == dv["sizeInBytes"]
+    data = blob[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    assert zlib.crc32(data) & 0xFFFFFFFF == crc
+    assert off + 4 + size + 4 == len(blob)  # nothing after the CRC
+
+    (magic,) = struct.unpack_from("<I", data, 0)
+    assert magic == 1681511377  # RoaringBitmapArray portable magic
+    (n_maps,) = struct.unpack_from("<q", data, 4)
+    assert n_maps == 2  # highest index >> 32 == 1, empties included
+    pos, out = 12, []
+    for high in range(n_maps):
+        base = pos  # offsets are relative to THIS bitmap's start
+        cookie, n = struct.unpack_from("<II", data, pos)
+        pos += 8
+        assert cookie == 12346  # SERIAL_COOKIE_NO_RUNCONTAINER
+        keys, cards = [], []
+        for _ in range(n):
+            k, c1 = struct.unpack_from("<HH", data, pos)
+            pos += 4
+            keys.append(k)
+            cards.append(c1 + 1)
+        offsets = struct.unpack_from(f"<{n}I", data, pos)
+        pos += 4 * n
+        for i in range(n):
+            assert base + offsets[i] == pos  # offset index is coherent
+            if cards[i] <= 4096:  # array container
+                vals = struct.unpack_from(f"<{cards[i]}H", data, pos)
+                pos += 2 * cards[i]
+            else:  # bitmap container: 2^16 bits as 1024 u64 words
+                words = struct.unpack_from("<1024Q", data, pos)
+                pos += 8192
+                vals = [
+                    (w_i << 6) | b
+                    for w_i, w in enumerate(words)
+                    for b in range(64)
+                    if (w >> b) & 1
+                ]
+                assert len(vals) == cards[i]
+            out.extend(
+                (high << 32) | (keys[i] << 16) | v for v in vals
+            )
+    assert pos == len(data)  # consumed exactly
+    assert out == idx
+
+
 def test_z85_encode_is_decode_inverse():
     import random
 
@@ -231,7 +301,7 @@ def test_dv_occ_same_file_conflicts_disjoint_rebases(spark, tmp_path):
     shim.delete(spark, _keys(spark, [0]), p, ["k"], use_deletion_vectors=True)
 
     # writer B (stale base) deletes from partition b: disjoint files -> rebase
-    touched_b, untouched_b, _ = shim._touched_files(
+    touched_b, untouched_b, _, _raw_b = shim._touched_files(
         spark, p, _keys(spark, [1]), ["k"], False
     )
     # build B's manifest against the STALE base to force the race
@@ -397,6 +467,59 @@ def test_dv_merge_mor_precombine_target_wins(spark, tmp_path):
     assert got2 == got
 
 
+def test_dv_merge_mor_ghost_row_does_not_outrank_reinsert(spark, tmp_path):
+    """Round-5 advisor finding (high): _merge_mor scanned touched files
+    RAW, so a row already deleted by an existing DV re-entered the
+    precombine window as a ghost and could out-rank the source row —
+    an upsert of a previously DV-deleted key with a LOWER precombine
+    value was silently dropped instead of inserted.  The live-row scan
+    (_mor_scan) must exclude existing DV rows; CoW agrees."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 50, "orig"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string"
+    ).coalesce(1)
+    shim.write(df, p, mode="overwrite")
+    # DV-delete key 1 (its ver=50 row becomes a ghost in the data file)
+    res = shim.delete(spark, _keys(spark, [1]), p, ["k"], use_deletion_vectors=True)
+    assert res["rows_deleted"] == 1
+    assert shim.read(spark, p).where("k = 1").count() == 0
+    # MoR-merge key 1 back with a LOWER precombine value (5 < 50),
+    # alongside a live key (2) so the file IS touched and the ghost
+    # enters the scan: the ghost must not win — key 1 is live again
+    src = spark.createDataFrame(
+        [(1, 5, "reborn"), (2, 25, "upd2")], "k int, ver int, val string"
+    )
+    shim.merge(spark, src, p, ["k"], precombine_key="ver", use_deletion_vectors=True)
+    got = {r.k: (r.ver, r.val) for r in shim.read(spark, p).collect()}
+    assert got == {1: (5, "reborn"), 2: (25, "upd2"), 3: (30, "x")}
+    # no-precombine variant: same reinsert contract
+    p2 = str(tmp_path / "t2")
+    shim.write(df, p2, mode="overwrite")
+    shim.delete(spark, _keys(spark, [1]), p2, ["k"], use_deletion_vectors=True)
+    shim.merge(spark, src, p2, ["k"], use_deletion_vectors=True)
+    got2 = {r.k: (r.ver, r.val) for r in shim.read(spark, p2).collect()}
+    assert got2 == {1: (5, "reborn"), 2: (25, "upd2"), 3: (30, "x")}
+    # the foreign Delta reader agrees with the shim reader
+    got_d = {r.k: (r.ver, r.val) for r in dl.read_delta_log(spark, p).collect()}
+    assert got_d == got
+
+
+def test_dv_delete_twice_same_key_is_noop_second_time(spark, tmp_path):
+    """Deleting a key whose rows are all already DV-deleted must be a
+    clean no-op commit (kept_touched path), not a crash or a bogus
+    rows_deleted count."""
+    p = str(tmp_path / "t")
+    _mk_table(spark, p, n=40)
+    r1 = shim.delete(spark, _keys(spark, [4, 5]), p, ["k"], use_deletion_vectors=True)
+    assert r1["rows_deleted"] == 2
+    r2 = shim.delete(spark, _keys(spark, [4, 5]), p, ["k"], use_deletion_vectors=True)
+    assert r2["rows_deleted"] == 0
+    assert shim.read(spark, p).count() == 38
+    assert sorted(r.k for r in shim.read(spark, p).where("k < 8").collect()) == [
+        0, 1, 2, 3, 6, 7
+    ]
+
+
 def _foreign_delta(spark, p, *, partitioned=False, dv_on_first=False,
                    extra_config=None, protocol=None):
     """Hand-write a minimal foreign (delta-rs-shaped) Delta table."""
@@ -509,14 +632,138 @@ def test_convert_from_delta_hive_partitioned(spark, tmp_path):
     assert [tuple(r) for r in only_b.collect()] == [(3, 30, "b")]
 
 
+def _foreign_mapped_delta(spark, p):
+    """Hand-write a foreign NAME-column-mapped Delta table (the delta-rs
+    / Delta Spark default for new tables): logical columns k/v/part map
+    to col-uuid physical names, parquet files and partition dirs carry
+    the PHYSICAL names, partitionValues are physical-keyed (the
+    protocol's column-mapping rule)."""
+    os.makedirs(os.path.join(p, "_delta_log"))
+    phys = {"k": "col-aaa1", "v": "col-bbb2", "part": "col-ccc3"}
+    fields = [
+        {
+            "name": n,
+            "type": "integer" if n in ("k", "v") else "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys[n],
+            },
+        }
+        for i, n in enumerate(["k", "v", "part"])
+    ]
+    schema_str = json.dumps({"type": "struct", "fields": fields})
+
+    def _data(rows, sub):
+        df = spark.createDataFrame(
+            rows, f"`{phys['k']}` int, `{phys['v']}` int"
+        ).coalesce(1)
+        df.write.parquet(os.path.join(p, sub))
+        f = next(
+            x for x in os.listdir(os.path.join(p, sub)) if x.endswith(".parquet")
+        )
+        return f"{sub}/{f}"
+
+    f0 = _data([(1, 10), (2, 20)], f"{phys['part']}=a")
+    f1 = _data([(3, 30)], f"{phys['part']}=b")
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "mapped-id",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": ["part"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }},
+            {"add": {"path": f0, "partitionValues": {phys["part"]: "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": f1, "partitionValues": {phys["part"]: "b"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    return phys
+
+
+def test_convert_from_delta_name_mapped(spark, tmp_path):
+    """Round-5 verdict item 3: adopt a NAME-column-mapped foreign table
+    for writes.  Lakelite speaks logical names at the boundary, runs
+    physical inside, and the continued _delta_log keeps the mapping
+    intact for foreign readers (read_delta_log resolves it)."""
+    p = str(tmp_path / "mapped")
+    phys = _foreign_mapped_delta(spark, p)
+    res = dl.convert_from_delta(p)
+    assert res["files"] == 2
+
+    # lakelite read speaks LOGICAL names
+    df = shim.read(spark, p)
+    assert set(df.columns) == {"k", "v", "part"}
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, 10, "a"), (2, 20, "a"), (3, 30, "b")
+    ]
+    # the foreign reader agrees (mapping resolved from the v0 metaData)
+    got_d = sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert got_d == [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")]
+    # logical partition filter and column pruning work at the boundary
+    only_b = shim.read(
+        spark, p, partition_filter=lambda pv: pv.get("part") == "b",
+        columns=["k", "part"],
+    )
+    assert [tuple(r) for r in only_b.collect()] == [(3, "b")]
+
+    # a lakelite MERGE with a LOGICAL source continues the chain
+    src = spark.createDataFrame(
+        [(2, 99, "a"), (9, 90, "b")], "k int, v int, part string"
+    )
+    shim.merge(spark, src, p, ["k"])
+    assert dl.delta_versions(p) == [0, 1]
+    got2 = sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert got2 == [(1, 10, "a"), (2, 99, "a"), (3, 30, "b"), (9, 90, "b")]
+    assert got2 == sorted(tuple(r) for r in shim.read(spark, p).collect())
+    # new add actions carry PHYSICAL partitionValues keys (protocol rule)
+    adds = [a["add"] for a in dl._read_actions(p, 1) if "add" in a]
+    assert adds and all(
+        set(a["partitionValues"]) == {phys["part"]} for a in adds
+    )
+
+    # DV delete with a logical key: protocol upgrade keeps columnMapping
+    shim.delete(spark, _keys(spark, [1]), p, ["k"], use_deletion_vectors=True)
+    prot = next(
+        a["protocol"] for a in dl._read_actions(p, 2) if "protocol" in a
+    )
+    assert "deletionVectors" in prot["readerFeatures"]
+    assert "columnMapping" in prot["readerFeatures"]
+    assert {"deletionVectors", "columnMapping"} <= set(prot["writerFeatures"])
+    got3 = sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert got3 == [(2, 99, "a"), (3, 30, "b"), (9, 90, "b")]
+    assert got3 == sorted(tuple(r) for r in shim.read(spark, p).collect())
+
+    # schema evolution on a mapped table is refused loudly
+    wide = spark.createDataFrame(
+        [(7, 70, "a", "x")], "k int, v int, part string, extra string"
+    )
+    with pytest.raises(Exception, match="column-mapped"):
+        shim.write(wide, p, schema_mode="merge")
+
+
 def test_convert_from_delta_refusals(spark, tmp_path):
-    # column mapping
+    # name-mode column mapping whose fields lack physicalName metadata
     p1 = str(tmp_path / "cm")
     _foreign_delta(
         spark, p1, extra_config={"delta.columnMapping.mode": "name"}
     )
-    with pytest.raises(Exception, match="column-mapped"):
+    with pytest.raises(Exception, match="column-mapped|physicalName"):
         dl.convert_from_delta(p1)
+    # id-mode column mapping (field-id parquet resolution): refused
+    p1b = str(tmp_path / "cmid")
+    _foreign_delta(
+        spark, p1b, extra_config={"delta.columnMapping.mode": "id"}
+    )
+    with pytest.raises(Exception, match="only mode 'name'"):
+        dl.convert_from_delta(p1b)
     # append-only contract
     p2 = str(tmp_path / "ao")
     _foreign_delta(spark, p2, extra_config={"delta.appendOnly": "true"})
