@@ -31,11 +31,21 @@ exercise):
     .repeat(t).times(n)                       bounded iteration (unrolled)
     .repeat(t).emit().times(n)                emit levels 1..n (union of powers)
     .emit().repeat(t).times(n)                emit levels 0..n
-    .repeat(t).until(p).times(n)              exit at the first level where p
-                                              holds; times(n) bounds the unroll
-                                              and emits the still-alive rest
-    .until(p).repeat(t).times(n)              p checked BEFORE each body run
+    .repeat(t).emit()                         transitive closure: emit EVERY
+    .emit().repeat(t)                         level (0.. for emit-first) until
+                                              the frontier dies out, iterated
+                                              to fixpoint (max-depth-32 guard)
+    .repeat(t).until(p)                       loop until p holds (checked AFTER
+                                              each body run), iterated to
+                                              fixpoint with a max-depth-32 guard
+    .until(p).repeat(t)                       p checked BEFORE each body run
                                               (level 0 can exit)
+    .repeat(t).until(p).times(n)              TinkerPop modulator rule: until()
+    .repeat(t).times(n).until(p)              and times() each SET the loop
+                                              predicate, LAST call wins — a
+                                              trailing times(n) overrides p
+                                              (pure n-times unroll) and a
+                                              trailing until(p) overrides n
     .identity()                               the no-op step
     .path()                                   -> array of traversed ~ids
     .simplePath()                             drop traversers that revisit
@@ -374,6 +384,12 @@ class _Traversal:
         by = bys[0] if bys else None
         if name == "identity":
             return  # the no-op step (also the level-0 emit branch)
+        if name == "repeat_until":
+            self._repeat_until(str(args[0]), str(args[1]), bool(args[2]))
+            return
+        if name == "repeat_emit":
+            self._repeat_emit(str(args[0]), bool(args[1]))
+            return
         if self.in_branch and name in ("limit", "range"):
             # TinkerPop branch semantics are per SOURCE traverser: the
             # branch's traversal is seeded once per incoming element, so
@@ -788,6 +804,97 @@ class _Traversal:
         else:
             raise InvalidArgument(f"unsupported gremlin step {name!r}")
 
+    def _run_fragment(self, kind: str, df: DataFrame, fragment: str) -> "_Traversal":
+        """Apply one traversal fragment to a frame as a sub-traversal
+        (the repeat-body/guard evaluator for the fixpoint loops)."""
+        t2 = _Traversal(kind, df, self.vertices, self.edges)
+        t2.tags = dict(self.tags)
+        for n2, a2, b2 in _expand_and_fold(_parse("g." + fragment)):
+            t2.apply(n2, a2, b2)
+        return t2
+
+    def _repeat_emit(self, frag: str, emit_first: bool, max_depth: int = 32) -> None:
+        """repeat(frag).emit() with NO times() bound: transitive closure
+        — every level's traversers are emitted AND keep looping until
+        the frontier dies out (no out-edges), with the same driver-loop
+        shape and max-depth guard as :meth:`_repeat_until`.
+        ``emit_first`` = the emit()-before-repeat() form (level 0 is
+        emitted too)."""
+        kind = self.kind
+        frontier = self.df.localCheckpoint()
+        emitted: list[tuple[DataFrame, str]] = []
+        if emit_first:
+            emitted.append((frontier, kind))
+        for depth in range(max_depth + 1):
+            if frontier.isEmpty():
+                break
+            if depth == max_depth:
+                raise InvalidArgument(
+                    f"repeat().emit() did not exhaust within {max_depth} "
+                    "levels: the frontier is still non-empty (likely a "
+                    "cycle) — add a .times(n) bound"
+                )
+            stepped = self._run_fragment(kind, frontier, frag)
+            kind = stepped.kind
+            frontier = stepped.df.localCheckpoint()
+            emitted.append((frontier, kind))
+        if not emitted:
+            # empty input with emit-last: type the result via one body run
+            t0 = self._run_fragment(self.kind, self.df.limit(0), frag)
+            emitted.append((t0.df, t0.kind))
+        out = emitted[0][0]
+        for d2, _k in emitted[1:]:
+            out = out.unionByName(d2)
+        self.df = out
+        self.kind = emitted[-1][1]
+
+    def _repeat_until(
+        self, frag: str, pred: str, check_first: bool, max_depth: int = 32
+    ) -> None:
+        """repeat(frag).until(pred) with NO times() bound: iterate to
+        fixpoint with a driver loop (the ``connected_components``
+        pattern) — each level runs the body once over the whole
+        frontier, splits exited (pred holds) from still-looping rows,
+        and stops when the frontier empties; ``localCheckpoint``
+        truncates lineage so level k does not replay levels 1..k-1.
+        ``check_first`` = the until()-before-repeat() form (predicate
+        checked before each body run, so level 0 can exit).  A frontier
+        still alive after ``max_depth`` levels raises loudly — an
+        emit-less cycle with an unsatisfiable predicate is genuinely
+        unbounded and a static cap beats a hung job."""
+        run = self._run_fragment
+        kind = self.kind
+        frontier = self.df
+        exited: list[tuple[DataFrame, str]] = []
+        if check_first:
+            exited.append((run(kind, frontier, f"where({pred})").df, kind))
+            frontier = run(kind, frontier, f"not({pred})").df
+        for depth in range(max_depth + 1):
+            frontier = frontier.localCheckpoint()
+            if frontier.isEmpty():
+                break
+            if depth == max_depth:
+                raise InvalidArgument(
+                    f"repeat().until() did not converge within {max_depth} "
+                    "iterations: the frontier is still non-empty (likely a "
+                    "cycle the predicate never satisfies) — add a .times(n) "
+                    "bound or a stronger until() predicate"
+                )
+            stepped = run(kind, frontier, frag)
+            kind = stepped.kind
+            exited.append((run(kind, stepped.df, f"where({pred})").df, kind))
+            frontier = run(kind, stepped.df, f"not({pred})").df
+        if not exited:
+            # empty input with check-last: type the empty result through
+            # one guarded body run so downstream steps see real columns
+            t0 = run(self.kind, self.df.limit(0), frag)
+            exited.append((run(t0.kind, t0.df, f"where({pred})").df, t0.kind))
+        out = exited[0][0]
+        for d2, _k in exited[1:]:
+            out = out.unionByName(d2)
+        self.df = out
+        self.kind = exited[-1][1]
+
     def _select(self, args: list[Any], bys: list[list[Any]] | None) -> None:
         """select('a','b')[.by(p1).by(p2)] — project step labels; with by
         modulators applied round-robin (TinkerPop's rule), each selected
@@ -817,6 +924,17 @@ class _Traversal:
         self.kind = "value"
 
 
+def _repeat_frag(
+    steps: list[tuple[str, list[Any]]], rep_i: int
+) -> tuple[str, list[tuple[str, list[Any]]]]:
+    """Validate one repeat(frag) body -> (frag, parsed steps)."""
+    frag = steps[rep_i][1][0]
+    inner = _parse("g." + frag)
+    if any(nm in ("repeat", "times", "emit") for nm, _a in inner):
+        raise InvalidArgument("nested repeat()/emit() is not supported")
+    return frag, inner
+
+
 def _repeat_parts(
     steps: list[tuple[str, list[Any]]], rep_i: int, times_i: int
 ) -> tuple[str, list[tuple[str, list[Any]]], int]:
@@ -829,118 +947,115 @@ def _repeat_parts(
     n_times = times_args[0]
     if not (1 <= n_times <= 32):
         raise InvalidArgument("times(n) supports 1 <= n <= 32")
-    frag = steps[rep_i][1][0]
-    inner = _parse("g." + frag)
-    if any(nm in ("repeat", "times", "emit") for nm, _a in inner):
-        raise InvalidArgument("nested repeat()/emit() is not supported")
+    frag, inner = _repeat_frag(steps, rep_i)
     return frag, inner, n_times
-
-
-def _until_branches(x: str, p: str, n: int, *, check_first: bool) -> list[str]:
-    """repeat/until as a union of LINEAR chains: a traverser exits at the
-    first level where the until-predicate holds (intermediate levels
-    carry a not(P) guard), and the times(n) bound emits whatever is
-    still alive after n iterations — TinkerPop's until-OR-times rule.
-
-    ``check_first`` = the until() BEFORE repeat() form (predicate checked
-    before each body run, so level 0 can exit)."""
-    branches: list[str] = []
-    if check_first:
-        branches.append(f"identity().where({p})")
-        for k in range(1, n):
-            branches.append(
-                ".".join([f"not({p})", x] * k) + f".where({p})"
-            )
-        branches.append(".".join([f"not({p})", x] * n))
-    else:
-        for k in range(1, n):
-            branches.append(
-                ".".join([x, f"not({p})"] * (k - 1) + [x, f"where({p})"])
-            )
-        branches.append(".".join([x, f"not({p})"] * (n - 1) + [x]))
-    return branches
 
 
 def _expand_and_fold(steps: list[tuple[str, list[Any]]]):
     """repeat(...).times(n) unrolling (+ emit() via the union-of-powers
     rewrite: repeat(X).emit().times(n) == union(X, X.X, ..., X^n), and
     emit().repeat(X).times(n) additionally emits level 0 through an
-    identity() branch; + until(P) with a times(n) bound via a union of
-    guarded chains — exit at the first P level, times emits the rest)
-    + .by(...) modulator folding — shared by the top-level compiler and
-    where()/not() sub-traversals."""
+    identity() branch) + .by(...) modulator folding — shared by the
+    top-level compiler and where()/not() sub-traversals.
+
+    until()/times() follow TinkerPop's modulator rule: each SETS the
+    single loop-break predicate and the LAST call wins — a trailing
+    times(n) turns repeat(X).until(P).times(n) into a pure n-times
+    unroll, and a trailing until(P) (or an unbounded until) compiles to
+    the ``repeat_until`` fixpoint step (driver loop, max-depth 32)."""
     expanded: list[tuple[str, list[Any]]] = []
     i = 0
     while i < len(steps):
         name, args = steps[i]
         if name == "emit" and i + 1 < len(steps) and steps[i + 1][0] == "repeat":
-            # emit().repeat(X).times(n): levels 0..n per source traverser
-            frag, _inner, n_times = _repeat_parts(steps, i + 1, i + 2)
-            branches = ["identity()"] + [
-                ".".join([frag] * k) for k in range(1, n_times + 1)
-            ]
-            expanded.append(("union", [", ".join(branches)]))
-            i += 3
+            if i + 2 < len(steps) and steps[i + 2][0] == "times":
+                # emit().repeat(X).times(n): levels 0..n per traverser
+                frag, _inner, n_times = _repeat_parts(steps, i + 1, i + 2)
+                branches = ["identity()"] + [
+                    ".".join([frag] * k) for k in range(1, n_times + 1)
+                ]
+                expanded.append(("union", [", ".join(branches)]))
+                i += 3
+            else:
+                # emit().repeat(X): transitive closure incl. level 0,
+                # iterated to fixpoint (frontier dies out or max-depth)
+                frag, _inner = _repeat_frag(steps, i + 1)
+                expanded.append(("repeat_emit", [frag, True]))
+                i += 2
         elif name == "until" and i + 1 < len(steps) and steps[i + 1][0] == "repeat":
-            # until(P).repeat(X).times(n): predicate checked BEFORE each
-            # body run — level 0 can exit
-            frag, _inner, n_times = _repeat_parts(steps, i + 1, i + 2)
+            # until(P).repeat(X)[.times(n)]: TinkerPop's modulator rule —
+            # until() and times() each SET the single loop-break
+            # predicate, LAST call wins.  A trailing times(n) therefore
+            # overrides P (pure n-times unroll, identical emit set to
+            # until(loops().is(n))); without one, iterate to fixpoint
+            # with the predicate checked BEFORE each body run.
             pred = args[0]
-            expanded.append(
-                (
-                    "union",
-                    [", ".join(
-                        _until_branches(frag, pred, n_times, check_first=True)
-                    )],
-                )
-            )
-            i += 3
+            if i + 2 < len(steps) and steps[i + 2][0] == "times":
+                _frag, inner, n_times = _repeat_parts(steps, i + 1, i + 2)
+                expanded.extend(inner * n_times)
+                i += 3
+            else:
+                frag, _inner = _repeat_frag(steps, i + 1)
+                expanded.append(("repeat_until", [frag, pred, True]))
+                i += 2
         elif name == "repeat":
             nxt = steps[i + 1][0] if i + 1 < len(steps) else None
             if nxt == "emit":
-                # repeat(X).emit().times(n): levels 1..n
-                frag, inner, n_times = _repeat_parts(steps, i, i + 2)
-                if n_times == 1:
-                    expanded.extend(inner)
-                else:
-                    expanded.append(
-                        (
-                            "union",
-                            [", ".join(
-                                ".".join([frag] * k)
-                                for k in range(1, n_times + 1)
-                            )],
+                if i + 2 < len(steps) and steps[i + 2][0] == "times":
+                    # repeat(X).emit().times(n): levels 1..n
+                    frag, inner, n_times = _repeat_parts(steps, i, i + 2)
+                    if n_times == 1:
+                        expanded.extend(inner)
+                    else:
+                        expanded.append(
+                            (
+                                "union",
+                                [", ".join(
+                                    ".".join([frag] * k)
+                                    for k in range(1, n_times + 1)
+                                )],
+                            )
                         )
-                    )
-                i += 3
-            elif nxt == "until":
-                # repeat(X).until(P).times(n): predicate checked AFTER
-                # each body run; times bounds the unroll
-                if i + 2 >= len(steps) or steps[i + 2][0] != "times":
-                    raise InvalidArgument(
-                        "repeat(...).until(...) needs a .times(n) bound "
-                        "(this compiler unrolls statically — cap the depth)"
-                    )
-                frag, inner, n_times = _repeat_parts(steps, i, i + 2)
-                pred = steps[i + 1][1][0]
-                branches = _until_branches(frag, pred, n_times, check_first=False)
-                if len(branches) == 1:
-                    # times(1): the loop runs once and emits everything
-                    expanded.extend(inner)
+                    i += 3
                 else:
-                    expanded.append(("union", [", ".join(branches)]))
-                i += 3
+                    # repeat(X).emit(): transitive closure, levels 1..,
+                    # iterated to fixpoint
+                    frag, _inner = _repeat_frag(steps, i)
+                    expanded.append(("repeat_emit", [frag, False]))
+                    i += 2
+            elif nxt == "until":
+                # repeat(X).until(P)[.times(n)]: a trailing times(n)
+                # OVERRIDES P (TinkerPop's last-modulator-wins rule);
+                # until-only iterates to fixpoint, predicate checked
+                # AFTER each body run
+                pred = steps[i + 1][1][0]
+                if i + 2 < len(steps) and steps[i + 2][0] == "times":
+                    _frag, inner, n_times = _repeat_parts(steps, i, i + 2)
+                    expanded.extend(inner * n_times)
+                    i += 3
+                else:
+                    frag, _inner = _repeat_frag(steps, i)
+                    expanded.append(("repeat_until", [frag, pred, False]))
+                    i += 2
             else:
-                _frag, inner, n_times = _repeat_parts(steps, i, i + 1)
-                expanded.extend(inner * n_times)
-                i += 2
+                frag, inner, n_times = _repeat_parts(steps, i, i + 1)
+                if i + 2 < len(steps) and steps[i + 2][0] == "until":
+                    # repeat(X).times(n).until(P): the trailing until(P)
+                    # overrides the times bound (last modulator wins)
+                    expanded.append(
+                        ("repeat_until", [frag, steps[i + 2][1][0], False])
+                    )
+                    i += 3
+                else:
+                    expanded.extend(inner * n_times)
+                    i += 2
         elif name == "emit":
             raise InvalidArgument(
                 "emit() is only supported adjacent to repeat(...).times(n)"
             )
         elif name == "until":
             raise InvalidArgument(
-                "until() is only supported adjacent to repeat(...).times(n)"
+                "until() is only supported adjacent to repeat(...)"
             )
         else:
             expanded.append((name, args))

@@ -2335,6 +2335,57 @@ def test_gremlin_random_programs_round4_steps(spark):
             )
 
 
+def test_gremlin_until_fixpoint_matches_naive(spark):
+    """Differential fuzz for the round-6 until-only fixpoint loop:
+    random DAGs (edges only from lower to higher vertex index, so every
+    loop converges and the naive bag evaluation terminates) x random
+    until()-before/after-repeat() programs — the compiled traverser bag
+    must equal the naive level-by-level evaluation."""
+    import random
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+
+    for seed in range(8):
+        rng = random.Random(5000 + seed)
+        nv = 10
+        verts = [
+            (f"v{i}", rng.choice(["person", "robot"]), f"n{i:02d}", None)
+            for i in range(nv)
+        ]
+        edges = []
+        for k in range(22):
+            a, b = sorted(rng.sample(range(nv), 2))
+            edges.append((f"e{k}", rng.choice(["t1", "t2"]), f"v{a}", f"v{b}"))
+        v, e = _frames(spark, verts, edges)
+        vmap = {x[0]: x for x in verts}
+        out_adj: dict[str, list[tuple[str, str]]] = {}
+        for _eid, el, f, t in edges:
+            out_adj.setdefault(f, []).append((el, t))
+
+        lbl = rng.choice(["t1", "t2"])
+        stop = rng.choice(["person", "robot"])
+        check_first = rng.random() < 0.5
+        if check_first:
+            q = f"g.V().until(hasLabel('{stop}')).repeat(out('{lbl}')).id()"
+        else:
+            q = f"g.V().repeat(out('{lbl}')).until(hasLabel('{stop}')).id()"
+
+        exited: list[str] = []
+        frontier = [x[0] for x in verts]
+        if check_first:
+            exited += [x for x in frontier if vmap[x][1] == stop]
+            frontier = [x for x in frontier if vmap[x][1] != stop]
+        while frontier:
+            frontier = [
+                t for x in frontier for el, t in out_adj.get(x, []) if el == lbl
+            ]
+            exited += [x for x in frontier if vmap[x][1] == stop]
+            frontier = [x for x in frontier if vmap[x][1] != stop]
+
+        rows = execute_gremlin({"root": ""}, q, vertices=v, edges=e).collect()
+        assert sorted(r[0] for r in rows) == sorted(exited), f"seed {seed}: {q}"
+
+
 def test_cypher_random_with_and_shortestpath_match_naive(spark):
     """Fuzzer extension to the round-4 Cypher surface: WITH pipeline
     modifiers (DISTINCT projection, aggregate + WHERE) and shortestPath
@@ -2451,31 +2502,104 @@ def test_gremlin_repeat_emit(modern):
 
 
 def test_gremlin_repeat_until(modern):
-    """repeat(t).until(p).times(n): a traverser exits at the FIRST level
-    where p holds (guarded-chain union rewrite, round 5); the times(n)
-    bound emits whatever is still alive — TinkerPop's until-OR-times."""
+    """repeat(t).until(p) iterates to fixpoint (driver loop, round 6):
+    a traverser exits at the FIRST level where p holds; no times()
+    bound needed.  With BOTH modulators, TinkerPop's rule applies —
+    until() and times() each SET the loop predicate, LAST call wins."""
     # walk out until software: lop exits at level 1; josh's lop/ripple
     # at level 2; vadas dead-ends and disappears
-    q = "g.V('marko').repeat(out()).until(hasLabel('software')).times(3).id()"
+    q = "g.V('marko').repeat(out()).until(hasLabel('software')).id()"
     assert sorted(r[0] for r in _g(modern, q).collect()) == [
         "lop", "lop", "ripple",
     ]
     # until-first: an already-satisfying start exits at level 0
-    q2 = "g.V('lop').until(hasLabel('software')).repeat(out()).times(3).id()"
+    q2 = "g.V('lop').until(hasLabel('software')).repeat(out()).id()"
     assert [r[0] for r in _g(modern, q2).collect()] == ["lop"]
-    # the times bound emits still-alive traversers (p not yet satisfied)
-    q3 = "g.V('marko').repeat(out()).until(hasLabel('software')).times(1).id()"
-    assert sorted(r[0] for r in _g(modern, q3).collect()) == [
-        "josh", "lop", "vadas",
-    ]
-    # predicate never satisfied + dead-ends: nothing survives the cap
-    q4 = ("g.V('marko').repeat(out('knows'))"
-          ".until(hasLabel('software')).times(2).id()")
+    # every-vertex fixpoint: marko 3 exits, josh 2, peter 1, rest 0
+    q3 = "g.V().repeat(out()).until(hasLabel('software')).count()"
+    assert _g(modern, q3).first()[0] == 6
+    # trailing times(n) OVERRIDES the until predicate (last call wins):
+    # pure out.out.out from marko reaches nothing at level 3
+    q4 = "g.V('marko').repeat(out()).until(hasLabel('software')).times(3).id()"
     assert _g(modern, q4).count() == 0
+    # ... and out.out emits level-2 survivors regardless of p
+    q5 = "g.V('marko').repeat(out()).until(hasLabel('person')).times(2).id()"
+    assert sorted(r[0] for r in _g(modern, q5).collect()) == ["lop", "ripple"]
+    # trailing until(p) OVERRIDES a times(n) bound: fixpoint again
+    q6 = "g.V('marko').repeat(out()).times(1).until(hasLabel('software')).id()"
+    assert sorted(r[0] for r in _g(modern, q6).collect()) == [
+        "lop", "lop", "ripple",
+    ]
+    # until-first with times override == pure unroll
+    q7 = "g.V('lop').until(hasLabel('software')).repeat(out()).times(1).id()"
+    assert _g(modern, q7).count() == 0  # lop has no out edges
     import pytest as _pytest
 
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
     with _pytest.raises(InvalidArgument, match="adjacent to repeat"):
         _g(modern, "g.V().until(out()).out().count()")
-    with _pytest.raises(InvalidArgument, match="times"):
-        _g(modern, "g.V().repeat(out()).until(hasLabel('software')).count()")
+
+
+def test_gremlin_repeat_emit_fixpoint(modern):
+    """repeat(t).emit() with NO times(): transitive closure — every
+    level's traversers are emitted and keep walking until the frontier
+    dies out (round 6)."""
+    q = "g.V('marko').repeat(out()).emit().id()"
+    assert sorted(r[0] for r in _g(modern, q).collect()) == [
+        "josh", "lop", "lop", "ripple", "vadas",
+    ]
+    # emit-first includes level 0
+    q2 = "g.V('lop').emit().repeat(out()).id()"
+    assert [r[0] for r in _g(modern, q2).collect()] == ["lop"]
+    q3 = "g.V('marko').emit().repeat(out('created')).id()"
+    assert sorted(r[0] for r in _g(modern, q3).collect()) == ["lop", "marko"]
+    # agrees with the bounded union-of-powers form at a saturating depth
+    q4 = "g.V('marko').repeat(out()).emit().times(3).id()"
+    assert sorted(r[0] for r in _g(modern, q4).collect()) == sorted(
+        r[0] for r in _g(modern, q).collect()
+    )
+
+
+def test_gremlin_repeat_emit_cycle_raises(spark):
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    v = spark.createDataFrame(
+        [("a", "person", "a"), ("b", "person", "b")],
+        "`~id` string, `~label` string, name string",
+    )
+    e = spark.createDataFrame(
+        [("e1", "knows", "a", "b"), ("e2", "knows", "b", "a")],
+        "`~id` string, `~label` string, `~from` string, `~to` string",
+    )
+    with _pytest.raises(InvalidArgument, match="did not exhaust"):
+        execute_gremlin(
+            {"root": ""}, "g.V('a').repeat(out()).emit().count()",
+            vertices=v, edges=e,
+        )
+
+
+def test_gremlin_repeat_until_nonconvergent_raises(spark):
+    """An emit-less cycle whose until-predicate never holds must raise
+    the max-depth guard, not hang."""
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+    from aws_sdk_pandas_spark.exceptions import InvalidArgument
+
+    v = spark.createDataFrame(
+        [("a", "person", "a"), ("b", "person", "b")],
+        "`~id` string, `~label` string, name string",
+    )
+    e = spark.createDataFrame(
+        [("e1", "knows", "a", "b"), ("e2", "knows", "b", "a")],
+        "`~id` string, `~label` string, `~from` string, `~to` string",
+    )
+    with _pytest.raises(InvalidArgument, match="did not converge"):
+        execute_gremlin(
+            {"root": ""},
+            "g.V('a').repeat(out()).until(hasLabel('software')).count()",
+            vertices=v, edges=e,
+        )
