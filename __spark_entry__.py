@@ -5699,6 +5699,149 @@ def _q_gremlin_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gremlin_until_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeat().until() iterated to FIXPOINT (round 6,
+    connectors/gremlin.py _repeat_until — TinkerPop's unbounded until,
+    a driver loop with per-level emptiness probes and a max-depth-32
+    guard, the connected_components pattern): over the customer ->
+    nation -> region containment DAG, ``until(hasLabel('region'))``
+    checked BEFORE each body run exits region vertices at level 0,
+    nations after one hop, customers after two — the loop converges
+    when the frontier empties, with no times() bound anywhere.  The
+    exit multiset is per-region (customers + nations + the region
+    itself), which the oracle recomputes relationally."""
+    from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    cid = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    nid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+    vertices = (
+        cust.select(cid.alias("~id")).withColumn("~label", F.lit("customer"))
+        .unionByName(
+            nat.select(nid.alias("~id")).withColumn("~label", F.lit("nation"))
+        )
+        .unionByName(
+            reg.select(rid.alias("~id")).withColumn("~label", F.lit("region"))
+        )
+    )
+    edges = cust.select(
+        F.concat(F.lit("ec"), F.col("c_custkey").cast("string")).alias("~id"),
+        F.lit("in").alias("~label"),
+        cid.alias("~from"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("~to"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("en"), F.col("n_nationkey").cast("string")).alias("~id"),
+            F.lit("in").alias("~label"),
+            nid.alias("~from"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("~to"),
+        )
+    )
+    return execute_gremlin(
+        {"root": ""},
+        "g.V().until(hasLabel('region')).repeat(out('in')).groupCount().by('~id')",
+        vertices=vertices,
+        edges=edges,
+    )
+
+
+def _q_lakehouse_convert_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAME-column-mapped Delta adoption under the hash gate (round 6,
+    delta_log.convert_from_delta mode 'name' + the lakelite boundary
+    translation): a foreign table whose parquet carries PHYSICAL
+    col-* names (reader 2 / writer 5, the delta-rs/Spark default for
+    new tables) is built from the nation table, adopted for writes,
+    MERGEd through lakelite with a LOGICAL-named source (two updates +
+    one insert), and read back through the FOREIGN reader
+    (read_delta_log resolves the mapping from the v0 metaData the
+    continued log preserves).  The oracle replays the merge
+    relationally over the same nation parquet."""
+    import json as json  # noqa: PLC0414 (local: module has no json import)
+    import os as _os
+    import tempfile
+
+    from aws_sdk_pandas_spark import delta_log, lakehouse_shim
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    base = tempfile.mkdtemp(prefix="asps-mapped-") + "/nation_tbl"
+    _os.makedirs(_os.path.join(base, "_delta_log"))
+    phys = {"n_nationkey": "col-k1", "n_name": "col-k2", "n_regionkey": "col-k3"}
+    nat.select(
+        F.col("n_nationkey").cast("long").alias(phys["n_nationkey"]),
+        F.col("n_name").alias(phys["n_name"]),
+        F.col("n_regionkey").cast("long").alias(phys["n_regionkey"]),
+    ).coalesce(1).write.parquet(_os.path.join(base, "d0"))
+    f0 = "d0/" + next(
+        x for x in _os.listdir(_os.path.join(base, "d0")) if x.endswith(".parquet")
+    )
+    fields = [
+        {
+            "name": n,
+            "type": "long" if n != "n_name" else "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys[n],
+            },
+        }
+        for i, n in enumerate(["n_nationkey", "n_name", "n_regionkey"])
+    ]
+    with open(_os.path.join(base, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "gate-mapped",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": f0,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    delta_log.convert_from_delta(base)
+    src = nat.where("n_nationkey < 2").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.concat(F.lit("UPD_"), F.col("n_name")).alias("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(99, "ZZZ_NEW", 0)], "n_nationkey long, n_name string, n_regionkey long"
+        )
+    )
+    lakehouse_shim.merge(spark, src, base, ["n_nationkey"])
+    back = delta_log.read_delta_log(spark, base)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("min_name"),
+            F.max("n_name").alias("max_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup under the hash gate (operators/dedup.py
     dedup_lines — the CCNet/RefinedWeb boilerplate pass: a line occurring
@@ -7538,6 +7681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_merge_roundtrip": _q_lakehouse_merge,
         "lakehouse_iceberg_snapshots": _q_lakehouse_iceberg_snapshots,
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
+        "graph_gremlin_until_fixpoint": _q_gremlin_until_fixpoint,
+        "lakehouse_convert_mapped": _q_lakehouse_convert_mapped,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
@@ -9816,6 +9961,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "graph_gremlin_until_fixpoint": """
+            WITH exits AS (
+                SELECT 'r' || CAST(n.n_regionkey AS VARCHAR) AS rid
+                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                UNION ALL
+                SELECT 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+                UNION ALL
+                SELECT 'r' || CAST(r_regionkey AS VARCHAR) FROM region
+            )
+            SELECT rid AS "~id", COUNT(*) AS count
+            FROM exits GROUP BY rid ORDER BY rid
+        """,
+        "lakehouse_convert_mapped": """
+            WITH merged AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                       CASE WHEN n_nationkey < 2 THEN 'UPD_' || n_name
+                            ELSE n_name END AS n_name,
+                       CAST(n_regionkey AS BIGINT) AS n_regionkey
+                FROM nation
+                UNION ALL
+                SELECT 99, 'ZZZ_NEW', 0
+            )
+            SELECT n_regionkey, COUNT(*) AS n,
+                   MIN(n_name) AS min_name, MAX(n_name) AS max_name
+            FROM merged GROUP BY n_regionkey ORDER BY n_regionkey
         """,
         "graph_gremlin_edge_filter": """
             SELECT COUNT(DISTINCT user_id) AS count

@@ -398,6 +398,13 @@ def cap_domains(
     tie-break), so any engine re-derives the same pick.  Documents with
     NULL/unparseable URLs have no domain to cap and all pass through.
 
+    NULL ids get a per-row URL-based sentinel key: without one,
+    ``concat_ws`` skips the NULL (every NULL-id row draws the SAME md5,
+    a full tie — nondeterministic picks) and ``xxhash64(NULL)`` is a
+    constant (every NULL-id row lands in ONE salt bucket — the exact
+    skew funnel the salting exists to prevent).  With the sentinel the
+    pick is deterministic and the salt spreads by URL.
+
     Skew shape: a TWO-PHASE salted window — phase 1 keeps the cap
     within each (domain, salt-of-id) bucket, phase 2 re-ranks the
     bounded survivors (≤ 64 × cap rows per domain) — so a mega-domain
@@ -412,20 +419,20 @@ def cap_domains(
     feats = url_features(
         df, url_col, out_prefix="__u", extra_suffixes=extra_suffixes, psl=psl
     )
-    order = F.md5(
-        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+    sid = F.coalesce(
+        F.col(id_col).cast("string"),
+        F.concat(F.lit("\x00nullid\x00"), F.col(url_col)),
     )
+    order = F.md5(F.concat_ws("|", F.lit(str(seed)), sid))
     keyed = feats.where(F.col("__u_domain").isNotNull())
     passthrough = feats.where(F.col("__u_domain").isNull())
     # the salt only spreads WORK — any deterministic function of the id
     # works, correctness never depends on its distribution
-    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(64))
+    salt = F.pmod(F.xxhash64(sid), F.lit(64))
     w1 = Window.partitionBy(F.col("__u_domain"), salt).orderBy(
-        order.asc(), F.col(id_col).cast("string").asc()
+        order.asc(), sid.asc()
     )
-    w2 = Window.partitionBy("__u_domain").orderBy(
-        order.asc(), F.col(id_col).cast("string").asc()
-    )
+    w2 = Window.partitionBy("__u_domain").orderBy(order.asc(), sid.asc())
     capped = (
         keyed.withColumn("__rn1", F.row_number().over(w1))
         .where(F.col("__rn1") <= max_per_domain)

@@ -108,6 +108,25 @@ def main() -> None:
     # repetitions of one query all land inside the same slow window —
     # spreading a query's repetitions across the full sweep gives each
     # one an independent shot at an unthrottled window
+    # fixed-work calibration: a constant hash-aggregation loop whose cost
+    # is independent of SF and of this repo's code.  Round-5 adjudication
+    # showed the HOST's baseline speed drifts ~1.4x between rounds on
+    # byte-identical query code; dividing suite totals by calibration_s
+    # normalizes cross-round comparisons mechanically instead of by
+    # re-running.  min-of-3, interleaving-immune (pure CPU, no IO).
+    def _calibrate() -> float:
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            # pmod bounds the addends so the ANSI sum can't overflow
+            spark.range(40_000_000).select(
+                F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)))
+            ).collect()
+            t = min(t, time.time() - t0)
+        return t
+
+    calibration_s = _calibrate()
+
     best: dict[str, float] = {name: float("inf") for name in _BENCH_QUERIES}
     first: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -144,6 +163,10 @@ def main() -> None:
                     n: round(first[n], 3) for n in _BENCH_QUERIES
                 },
                 "single_pass_total": round(sum(first.values()), 3),
+                # fixed-work host-speed reference: compare rounds via
+                # value / calibration_s to cancel host drift
+                "calibration_s": round(calibration_s, 3),
+                "value_per_calibration": round(total / calibration_s, 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -337,3 +337,31 @@ def test_dedup_keep_one_all_null_id_group_survives(spark):
         rows = dedup_urls(only_null.repartition(n), url_col="url", id_col="doc_id").collect()
         picks.add(tuple(sorted(r.url for r in rows)))
     assert len(picks) == 1
+
+
+def test_cap_domains_null_ids_deterministic(spark):
+    """Round-5 verdict item 7: with NULL ids, cap_domains' md5 order key
+    degenerated to one value (concat_ws skips NULLs) and the salt to one
+    bucket (xxhash64(NULL) is a constant) — nondeterministic picks.  The
+    URL-based sentinel makes repeated runs pick the identical subset,
+    the cap still holds, and non-NULL ids pick exactly as before."""
+    from aws_sdk_pandas_spark.operators.weburl import cap_domains
+
+    rows = [(None, f"https://big.com/p{i}") for i in range(40)]
+    rows += [(i, f"https://big.com/q{i}") for i in range(10)]
+    rows += [(None, "https://tiny.org/only")]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+
+    picks = set()
+    for n in (1, 4, 7):
+        got = cap_domains(
+            df.repartition(n), max_per_domain=5, url_col="url", id_col="doc_id"
+        ).collect()
+        urls = tuple(sorted(r.url for r in got))
+        picks.add(urls)
+        by_dom = {}
+        for r in got:
+            dom = "big.com" if "big.com" in r.url else "tiny.org"
+            by_dom[dom] = by_dom.get(dom, 0) + 1
+        assert by_dom["big.com"] == 5 and by_dom["tiny.org"] == 1
+    assert len(picks) == 1  # identical pick every run/partitioning

@@ -782,3 +782,41 @@ def test_lakelite_stream_source_microbatches(spark, tmp_path):
     q2.awaitTermination(180)
     rows = {tuple(r) for r in spark.read.parquet(out2).select("k", "g", "v").collect()}
     assert (1, "a", 99) in rows  # the post-merge value streamed through
+
+
+def test_lakelite_stream_source_name_mapped_table(spark, tmp_path):
+    """The streaming source over an ADOPTED name-column-mapped table
+    (round 6) speaks LOGICAL names like every other lakelite entry
+    point: the schema renames physical->logical, the per-partition
+    reader resolves parquet columns and hive partition dirs by their
+    PHYSICAL names."""
+    from tests.test_dv_write import _foreign_mapped_delta
+    from aws_sdk_pandas_spark import delta_log as dl
+    from aws_sdk_pandas_spark import lakehouse_shim as shim
+    from aws_sdk_pandas_spark.streaming.lakelite_source import (
+        LakeliteStreamDataSource,
+    )
+
+    p = str(tmp_path / "mapped")
+    _foreign_mapped_delta(spark, p)
+    dl.convert_from_delta(p)
+    # one lakelite commit on top (logical-named source) -> 2 micro-batches
+    shim.write(
+        spark.createDataFrame([(9, 90, "b")], "k int, v int, part string"), p
+    )
+
+    spark.dataSource.register(LakeliteStreamDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.format("lakelite_stream").option("path", p).load()
+    assert set(stream.columns) == {"k", "v", "part"}  # logical names
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out).select("k", "v", "part").collect()}
+    assert got == {(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (9, 90, "b")}

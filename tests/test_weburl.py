@@ -526,6 +526,25 @@ def test_load_psl_parses_rule_classes(tmp_path):
     assert load_psl(str(f)) == psl
 
 
+def test_load_psl_crlf_and_tab_indented_comments(tmp_path):
+    """Dirty wire shapes of the one public PSL file: Windows CRLF line
+    endings, tab-indented comment lines, a UTF-8 BOM, and trailing
+    whitespace after rules must all parse to the same PSL as the clean
+    LF form (round-5 verdict item 8)."""
+    from aws_sdk_pandas_spark.operators.weburl import load_psl
+
+    clean = load_psl(_PSL_RULES)
+    dirty = "\r\n".join(
+        ["\t// tab-indented comment", *[r + " \t" for r in _PSL_RULES], ""]
+    )
+    f = tmp_path / "psl_crlf.dat"
+    f.write_bytes(b"\xef\xbb\xbf" + dirty.encode("utf-8"))
+    assert load_psl(str(f)) == clean
+    assert load_psl(str(f), include_private=False) == load_psl(
+        _PSL_RULES, include_private=False
+    )
+
+
 def test_url_features_full_psl_longest_match(spark):
     """Full-PSL registered domains: longest-match, wildcard rules,
     exception rules, private domains, public-suffix passthrough."""
