@@ -5760,7 +5760,7 @@ def _q_lakehouse_convert_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read_delta_log resolves the mapping from the v0 metaData the
     continued log preserves).  The oracle replays the merge
     relationally over the same nation parquet."""
-    import json as json  # noqa: PLC0414 (local: module has no json import)
+    import json
     import os as _os
     import tempfile
 
@@ -5839,6 +5839,88 @@ def _q_lakehouse_convert_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_name").alias("max_name"),
         )
         .orderBy("n_regionkey")
+    )
+
+
+def _q_docs_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard sink/source under the hash gate (round 6,
+    sources/webdataset.py): documents write as one tar per
+    content-deterministic shard (txt + cls members per sample, stdlib
+    tarfile, byte-deterministic), read back through the
+    partition-per-tar source with the sample pivot, and re-aggregate —
+    the tar layer must cancel exactly, so the oracle is the DIRECT
+    relational aggregate over the same documents table."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.webdataset import (
+        read_webdataset,
+        to_webdataset,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="asps-wds-") + "/wds"
+    to_webdataset(
+        docs.select(
+            F.col("doc_id").alias("key"),
+            F.col("text"),
+            F.col("lang").alias("cls"),
+        ),
+        out,
+        key_col="key",
+        columns={"txt": "text", "cls": "cls"},
+        n_shards=8,
+    )
+    back = read_webdataset(spark, out, samples=True)
+    return (
+        back.select(
+            F.col("key").cast("long").alias("doc_id"),
+            F.decode(F.element_at("parts", "cls"), "utf-8").alias("lang"),
+            F.length(F.decode(F.element_at("parts", "txt"), "utf-8")).alias("__len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("total_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring under the hash gate
+    (round 6, operators/lm_quality.py): a smoothed bigram LM trains on
+    the 80% reference slice (doc_id % 10 < 8) with BINDING top-k caps
+    (400 unigrams / 1500 bigrams, count-desc token-asc ties), every
+    document scores exp(-avg ln P(w2|w1)) through two broadcast joins,
+    and the gate hashes per-language doc counts, mean cross-entropy
+    (rounded; numerically tame) and total scored bigrams.  The oracle
+    replays the ENTIRE train->cap->score pipeline relationally."""
+    from aws_sdk_pandas_spark.operators.lm_quality import (
+        perplexity,
+        train_bigram_lm,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(
+        docs.where("doc_id % 10 < 8"),
+        "text",
+        top_k_unigrams=400,
+        top_k_bigrams=1500,
+        alpha=0.1,
+    )
+    scored = perplexity(docs, lm)
+    return (
+        scored.where(F.col("ppl_xent").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl_xent"), 4).alias("avg_xent"),
+            F.sum("ppl_n_bigrams").alias("n_bigrams"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -7683,6 +7765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gremlin_out_counts": _q_gremlin_out_counts,
         "graph_gremlin_until_fixpoint": _q_gremlin_until_fixpoint,
         "lakehouse_convert_mapped": _q_lakehouse_convert_mapped,
+        "docs_lm_perplexity": _q_docs_lm_perplexity,
+        "docs_webdataset_roundtrip": _q_docs_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
@@ -9973,6 +10057,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rid AS "~id", COUNT(*) AS count
             FROM exits GROUP BY rid ORDER BY rid
+        """,
+        "docs_webdataset_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_lm_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(list_transform(
+                           string_split_regex(trim(text), '\s+'),
+                           t -> lower(t)), t -> t <> '') AS w
+                FROM documents
+            ), train_uni AS (
+                SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 10 < 8
+            ), uni AS (
+                SELECT w1, c1 FROM (
+                    SELECT w1, COUNT(*) AS c1,
+                           ROW_NUMBER() OVER (
+                               ORDER BY COUNT(*) DESC, w1 ASC) AS rn
+                    FROM train_uni GROUP BY w1
+                ) WHERE rn <= 400
+            ), pairs AS (
+                SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+                FROM toks, UNNEST(range(1, len(w))) AS u(i)
+                WHERE len(w) >= 2
+            ), big AS (
+                SELECT w1, w2, c2 FROM (
+                    SELECT w1, w2, COUNT(*) AS c2,
+                           ROW_NUMBER() OVER (
+                               ORDER BY COUNT(*) DESC, w1 ASC, w2 ASC) AS rn
+                    FROM pairs WHERE doc_id % 10 < 8 GROUP BY w1, w2
+                ) WHERE rn <= 1500
+            ), v AS (SELECT COUNT(*) AS vs FROM uni),
+            scored AS (
+                SELECT p.doc_id, p.lang,
+                       ln((COALESCE(b.c2, 0) + 0.1)
+                          / (COALESCE(u.c1, 0) + 0.1 * v.vs)) AS logp
+                FROM pairs p
+                LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+                LEFT JOIN uni u ON p.w1 = u.w1
+                CROSS JOIN v
+            ), per_doc AS (
+                SELECT doc_id, lang, -AVG(logp) AS xent, COUNT(*) AS nb
+                FROM scored GROUP BY doc_id, lang
+            )
+            SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(xent), 4) AS avg_xent,
+                   CAST(SUM(nb) AS BIGINT) AS n_bigrams
+            FROM per_doc GROUP BY lang ORDER BY lang
         """,
         "lakehouse_convert_mapped": """
             WITH merged AS (

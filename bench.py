@@ -118,8 +118,9 @@ def main() -> None:
         t = float("inf")
         for _ in range(3):
             t0 = time.time()
+            # big enough to be CPU-dominated (not job-scheduling noise);
             # pmod bounds the addends so the ANSI sum can't overflow
-            spark.range(40_000_000).select(
+            spark.range(400_000_000).select(
                 F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)))
             ).collect()
             t = min(t, time.time() - t0)

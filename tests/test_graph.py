@@ -2385,6 +2385,33 @@ def test_gremlin_until_fixpoint_matches_naive(spark):
         rows = execute_gremlin({"root": ""}, q, vertices=v, edges=e).collect()
         assert sorted(r[0] for r in rows) == sorted(exited), f"seed {seed}: {q}"
 
+        # TinkerPop last-modulator-wins: appending .times(2) overrides p
+        # (pure 2-level unroll), whatever the until position was
+        q_t = q.replace(".id()", ".times(2).id()")
+        lvl1 = [
+            t
+            for x in (y[0] for y in verts)
+            for el, t in out_adj.get(x, [])
+            if el == lbl
+        ]
+        lvl2 = [
+            t for x in lvl1 for el, t in out_adj.get(x, []) if el == lbl
+        ]
+        rows_t = execute_gremlin({"root": ""}, q_t, vertices=v, edges=e).collect()
+        assert sorted(r[0] for r in rows_t) == sorted(lvl2), f"seed {seed}: {q_t}"
+
+        # repeat(X).emit() transitive closure vs naive all-levels walk
+        q_e = f"g.V().repeat(out('{lbl}')).emit().id()"
+        all_levels: list[str] = []
+        cur = [x[0] for x in verts]
+        while cur:
+            cur = [t for x in cur for el, t in out_adj.get(x, []) if el == lbl]
+            all_levels += cur
+        rows_e = execute_gremlin({"root": ""}, q_e, vertices=v, edges=e).collect()
+        assert sorted(r[0] for r in rows_e) == sorted(all_levels), (
+            f"seed {seed}: {q_e}"
+        )
+
 
 def test_cypher_random_with_and_shortestpath_match_naive(spark):
     """Fuzzer extension to the round-4 Cypher surface: WITH pipeline
