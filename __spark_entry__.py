@@ -5888,6 +5888,50 @@ def _q_docs_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_megatron_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Megatron indexed-dataset sink/source under the hash gate (round
+    6, sources/megatron.py — the MMIDIDX .bin/.idx trainer format):
+    token sequences synthesized ANALYTICALLY from doc_id (length
+    doc_id%7+1, values doc_id%1000+i, uint16-encodable by construction)
+    write as one bin/idx pair per content-deterministic shard, read
+    back through the partition-per-shard source, and re-aggregate —
+    the binary layer must cancel exactly against the closed-form
+    oracle."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.megatron import (
+        read_megatron,
+        to_megatron,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.expr(
+            "transform(sequence(0, CAST(doc_id % 7 AS INT)), "
+            "i -> CAST(doc_id % 1000 + i AS INT))"
+        ).alias("tokens"),
+    )
+    out = tempfile.mkdtemp(prefix="asps-mmidx-") + "/mm"
+    to_megatron(toks, out, key_col="key", dtype="uint16", n_shards=8)
+    back = read_megatron(spark, out)
+    return (
+        back.select(
+            F.size("tokens").alias("len"),
+            F.expr(
+                "aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + t)"
+            ).alias("__s"),
+        )
+        .groupBy("len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__s").alias("sum_tokens"),
+        )
+        .orderBy("len")
+    )
+
+
 def _q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM quality scoring under the hash gate
     (round 6, operators/lm_quality.py): a smoothed bigram LM trains on
@@ -7767,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_convert_mapped": _q_lakehouse_convert_mapped,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_webdataset_roundtrip": _q_docs_webdataset_roundtrip,
+        "docs_megatron_roundtrip": _q_docs_megatron_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
@@ -10057,6 +10102,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rid AS "~id", COUNT(*) AS count
             FROM exits GROUP BY rid ORDER BY rid
+        """,
+        "docs_megatron_roundtrip": """
+            WITH d AS (
+                SELECT doc_id % 7 + 1 AS len,
+                       (doc_id % 7 + 1) * (doc_id % 1000)
+                       + ((doc_id % 7 + 1) * (doc_id % 7)) // 2 AS s
+                FROM documents
+            )
+            SELECT CAST(len AS INT) AS len, COUNT(*) AS n_seqs,
+                   CAST(SUM(s) AS BIGINT) AS sum_tokens
+            FROM d GROUP BY len ORDER BY len
         """,
         "docs_webdataset_roundtrip": """
             SELECT lang, COUNT(*) AS n_docs,
