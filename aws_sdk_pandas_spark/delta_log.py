@@ -242,6 +242,27 @@ def _physical_type(t: Any) -> Any:
     return t
 
 
+def _nested_renames(t: Any) -> list[str]:
+    """Nested fields whose columnMapping physicalName DIFFERS from their
+    logical name (a no-op physicalName == name is harmless)."""
+    out: list[str] = []
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            for f in t.get("fields", []):
+                pn = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if pn and pn != f["name"]:
+                    out.append(f"{f['name']}->{pn}")
+                out.extend(_nested_renames(f["type"]))
+        elif t.get("type") == "array":
+            out.extend(_nested_renames(t.get("elementType")))
+        elif t.get("type") == "map":
+            out.extend(_nested_renames(t.get("keyType")))
+            out.extend(_nested_renames(t.get("valueType")))
+    return out
+
+
 def _physical_field(f: dict[str, Any]) -> dict[str, Any]:
     """One logical schemaString field -> its physical twin (the name the
     parquet files actually carry), columnMapping metadata stripped."""
@@ -329,6 +350,16 @@ def convert_from_delta(path: str) -> dict[str, Any]:
                     "delta.columnMapping.physicalName"
                 )
             log2phys[f["name"]] = pn
+            nested = _nested_renames(f["type"])
+            if nested:
+                # the boundary translation (and read_delta_log's rename)
+                # is top-level: silently exposing physical INNER names
+                # would be a wrong answer, so refuse loudly
+                raise InvalidArgument(
+                    f"column-mapped table field {f['name']!r} renames NESTED "
+                    f"fields (e.g. {nested[0]}): only top-level name mapping "
+                    "is supported for adoption"
+                )
         cmap_sidecar = {
             "mode": "name",
             "schemaString": meta["schemaString"],

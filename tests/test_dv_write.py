@@ -764,6 +764,34 @@ def test_convert_from_delta_refusals(spark, tmp_path):
     )
     with pytest.raises(Exception, match="only mode 'name'"):
         dl.convert_from_delta(p1b)
+    # name-mode with a NESTED physical rename: refused (both this repo's
+    # readers translate top-level only — exposing physical inner names
+    # would be a silent wrong answer)
+    p1c = str(tmp_path / "cmnest")
+    os.makedirs(os.path.join(p1c, "_delta_log"))
+    nested_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-a"}},
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-b"},
+         "type": {"type": "struct", "fields": [
+             {"name": "inner", "type": "integer", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-c"}},
+         ]}},
+    ]})
+    with open(os.path.join(p1c, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "n", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": nested_schema, "partitionColumns": [],
+                          "configuration": {"delta.columnMapping.mode": "name"}}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="NESTED"):
+        dl.convert_from_delta(p1c)
     # append-only contract
     p2 = str(tmp_path / "ao")
     _foreign_delta(spark, p2, extra_config={"delta.appendOnly": "true"})
