@@ -299,6 +299,8 @@ def convert_from_delta(path: str) -> dict[str, Any]:
 
     Loud refusals (writing blind would corrupt the table for the
     features' readers): column mapping mode 'id' (field-id resolution),
+    NESTED physical renames (both readers translate top-level only —
+    surfacing physical inner names would be a silent wrong answer),
     writer features beyond deletionVectors/columnMapping (e.g.
     invariants/checkConstraints — we can't enforce them), declared
     ``delta.invariants``, ``delta.enableChangeDataFeed`` (we don't

@@ -72,12 +72,20 @@ class NgramLM:
     ``unigrams``: (w1, c1); ``bigrams``: (w1, w2, c2); ``vocab_size`` =
     rows kept in ``unigrams`` (the add-alpha denominator); ``alpha`` =
     the smoothing mass.  Both frames are deterministic (top-k by
-    count desc, token asc) so a re-train reproduces the same model."""
+    count desc, token asc) so a re-train reproduces the same model.
+    The frames come back PERSISTED from :func:`train_bigram_lm` (the
+    model is the one artifact every scoring action reuses — without
+    caching, each join would replay the train aggregation + global
+    top-k sort); call :meth:`unpersist` when done."""
 
     unigrams: DataFrame
     bigrams: DataFrame
     vocab_size: int
     alpha: float
+
+    def unpersist(self) -> None:
+        self.unigrams.unpersist()
+        self.bigrams.unpersist()
 
 
 def train_bigram_lm(
@@ -112,8 +120,13 @@ def train_bigram_lm(
         .orderBy(F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k_bigrams)
     )
+    # persist the model: every scoring action joins it, and without the
+    # cache each join replays the train aggregation + top-k global sort
+    unigrams = unigrams.persist()
+    bigrams = bigrams.persist()
     # the vocab size is a model CONSTANT (the smoothing denominator);
-    # counting the capped unigram table is O(top_k)
+    # counting the capped unigram table is O(top_k) and materializes
+    # the persisted unigrams as a side effect
     vocab_size = unigrams.count()
     return NgramLM(
         unigrams=unigrams, bigrams=bigrams, vocab_size=vocab_size, alpha=alpha

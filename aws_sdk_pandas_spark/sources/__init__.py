@@ -25,6 +25,8 @@ from aws_sdk_pandas_spark.sources.layout import (
 from aws_sdk_pandas_spark.sources.copy import copy_objects, merge_datasets
 from aws_sdk_pandas_spark.sources.avro import read_avro, to_avro
 from aws_sdk_pandas_spark.sources.excel import read_excel, to_excel
+from aws_sdk_pandas_spark.sources.megatron import read_megatron, to_megatron
+from aws_sdk_pandas_spark.sources.webdataset import read_webdataset, to_webdataset
 from aws_sdk_pandas_spark.sources.orc import (
     read_orc,
     read_orc_metadata,
@@ -67,6 +69,10 @@ __all__ = [
     "read_avro",
     "to_avro",
     "read_excel",
+    "read_megatron",
+    "read_webdataset",
+    "to_megatron",
+    "to_webdataset",
     "select_query",
     "to_excel",
     "wait_objects_exist",
