@@ -5932,6 +5932,67 @@ def _q_docs_megatron_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_pipeline_megatron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet->trainer tail end to end under ONE hash gate (round
+    6): analytic per-doc token arrays -> ``pack_sequences`` (budget-64
+    running-sum packing, unsharded global order for oracle determinism
+    — the ``by=`` shard keys are the documented scale path) -> per-
+    sequence concatenation in doc order -> ``to_megatron`` shard pairs
+    -> read back through the MMIDIDX source -> per-sequence stats.  The
+    oracle replays the window, the concatenation and the closed-form
+    token sums relationally; the binary trainer format must cancel
+    exactly."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.operators.packing import pack_sequences
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.megatron import (
+        read_megatron,
+        to_megatron,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("CAST(doc_id % 7 + 1 AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "transform(sequence(0, CAST(doc_id % 7 AS INT)), "
+            "i -> CAST(doc_id % 1000 + i AS INT))"
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(docs, "n_tok", 64, order_cols=["doc_id"])
+    seqs = packed.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tokens"))),
+                lambda x: x["tokens"],
+            )
+        ).alias("tokens")
+    )
+    out = tempfile.mkdtemp(prefix="asps-mmpipe-") + "/mm"
+    to_megatron(
+        seqs.select(F.col("seq_id").cast("string").alias("key"), "tokens"),
+        out,
+        key_col="key",
+        dtype="uint16",
+        n_shards=4,
+    )
+    back = read_megatron(spark, out)
+    return (
+        back.select(
+            F.size("tokens").alias("seq_len"),
+            F.expr(
+                "aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + t)"
+            ).alias("__s"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__s").alias("total_tokens"),
+        )
+        .orderBy("seq_len")
+    )
+
+
 def _q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM quality scoring under the hash gate
     (round 6, operators/lm_quality.py): a smoothed bigram LM trains on
@@ -7812,6 +7873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_webdataset_roundtrip": _q_docs_webdataset_roundtrip,
         "docs_megatron_roundtrip": _q_docs_megatron_roundtrip,
+        "training_pipeline_megatron": _q_training_pipeline_megatron,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
@@ -10102,6 +10164,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rid AS "~id", COUNT(*) AS count
             FROM exits GROUP BY rid ORDER BY rid
+        """,
+        "training_pipeline_megatron": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 7 + 1 AS BIGINT) AS n,
+                       (doc_id % 7 + 1) * (doc_id % 1000)
+                       + ((doc_id % 7 + 1) * (doc_id % 7)) // 2 AS s
+                FROM documents
+            ), p AS (
+                SELECT doc_id, n, s,
+                       CAST(FLOOR(
+                           (SUM(n) OVER (ORDER BY doc_id) - n) / 64.0
+                       ) AS BIGINT) AS seq_id
+                FROM d
+            ), seqs AS (
+                SELECT seq_id,
+                       CAST(SUM(n) AS INT) AS seq_len,
+                       CAST(SUM(s) AS BIGINT) AS s
+                FROM p GROUP BY seq_id
+            )
+            SELECT seq_len, COUNT(*) AS n_seqs,
+                   CAST(SUM(s) AS BIGINT) AS total_tokens
+            FROM seqs GROUP BY seq_len ORDER BY seq_len
         """,
         "docs_megatron_roundtrip": """
             WITH d AS (
