@@ -108,6 +108,13 @@ def to_webdataset(
     rows = df.select(*sel)
     if rows.where(F.col("__key").isNull()).limit(1).count():
         raise InvalidArgument("NULL sample keys cannot name tar members")
+    # the WebDataset loader splits key/extension at the FIRST dot of the
+    # basename, so a dotted key would silently re-split on read
+    if rows.where(F.col("__key").contains(".")).limit(1).count():
+        raise InvalidArgument(
+            "sample keys must not contain '.' (WebDataset splits the "
+            "basename at the FIRST dot; a dotted key would re-split)"
+        )
 
     root = path
     prefix = name_prefix
@@ -186,9 +193,13 @@ def read_webdataset(
                         if not info.isfile():
                             continue
                         name = info.name
-                        base, dot, ext = name.rpartition(".")
-                        if not dot:
-                            base, ext = name, ""
+                        # WebDataset rule: key = path + basename up to
+                        # the FIRST dot OF THE BASENAME, extension = the
+                        # rest ('d.v1/x.json.gz' -> key 'd.v1/x', ext
+                        # 'json.gz')
+                        dirpart, _, fname = name.rpartition("/")
+                        stem, dot, ext = fname.partition(".")
+                        base = f"{dirpart}/{stem}" if dirpart else stem
                         fh = tf.extractfile(info)
                         keys.append(base)
                         exts.append(ext)

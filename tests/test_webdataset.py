@@ -97,15 +97,29 @@ def test_contracts_and_external_tar(spark, tmp_path):
     with pytest.raises(InvalidArgument, match="no .tar shards"):
         read_webdataset(spark, str(tmp_path / "missing"))
 
-    # a tar written by a FOREIGN tool (plain tarfile here) reads fine,
-    # including an extension-less member and a subdirectory entry
+    # dotted keys refused: the WebDataset loader splits the basename at
+    # its FIRST dot, so 'doc.1' would silently re-split on read
+    dotted = spark.createDataFrame([("doc.1", "t")], "key string, text string")
+    with pytest.raises(InvalidArgument, match="FIRST dot"):
+        to_webdataset(dotted, out, key_col="key", columns={"txt": "text"})
+
+    # a tar written by a FOREIGN tool (plain tarfile here) reads fine:
+    # extension-less members, multi-dot extensions split at the FIRST
+    # basename dot (the webdataset loader rule), dotted directory parts,
+    # and directory entries skipped
     ext_dir = tmp_path / "ext"
     ext_dir.mkdir()
     t = str(ext_dir / "other.tar")
     with tarfile.open(t, "w") as tf:
         import io
 
-        for name, data in [("a.txt", b"alpha"), ("a.cls", b"7"), ("noext", b"n")]:
+        for name, data in [
+            ("a.txt", b"alpha"),
+            ("a.cls", b"7"),
+            ("noext", b"n"),
+            ("b.json.gz", b"zipped"),
+            ("d.v1/c.txt", b"subdir"),
+        ]:
             info = tarfile.TarInfo(name)
             info.size = len(data)
             tf.addfile(info, io.BytesIO(data))
@@ -114,5 +128,6 @@ def test_contracts_and_external_tar(spark, tmp_path):
         tf.addfile(d)  # directory entry skipped
     rows = {(r.key, r.ext): bytes(r.data) for r in read_webdataset(spark, t).collect()}
     assert rows == {
-        ("a", "txt"): b"alpha", ("a", "cls"): b"7", ("noext", ""): b"n"
+        ("a", "txt"): b"alpha", ("a", "cls"): b"7", ("noext", ""): b"n",
+        ("b", "json.gz"): b"zipped", ("d.v1/c", "txt"): b"subdir",
     }
