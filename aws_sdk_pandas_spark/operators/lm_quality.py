@@ -44,25 +44,51 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: Column) -> Column:
-    """Lowercase whitespace tokens, empties dropped (NULL text -> NULL)."""
-    return F.filter(
-        F.transform(F.split(F.trim(text_col), r"\s+"), lambda t: F.lower(t)),
-        lambda t: t != "",
+    """Lowercase whitespace tokens, empties dropped (NULL text -> NULL).
+    Whole-codegen formulation: lowercasing the STRING before the split
+    equals lowercasing per token (case mapping never creates
+    whitespace), and a ``\\s``-trimmed non-blank string split on
+    ``\\s+`` has no empty tokens — so the per-token transform/filter
+    lambdas (which run interpreted) are unnecessary; blank text gets
+    the empty array via one guard.  The trim is regexp-based: ``trim``
+    strips SPACES only, and a tab-padded document would otherwise leak
+    empty tokens."""
+    t = F.regexp_replace(text_col, r"^\s+|\s+$", "")
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(t), r"\s+")
     )
 
 
 def _pairs(toks: Column) -> Column:
-    """Adjacent-token (w1, w2) structs; fewer than 2 tokens -> empty."""
+    """Adjacent-token pair structs (fields ``0``/``1``); fewer than 2
+    tokens -> empty.  ``arrays_zip`` over two slices stays inside
+    whole-stage codegen — the earlier transform/element_at lambda ran
+    interpreted and re-evaluated its captured tokenization per element
+    (O(tokens^2) per document, measured 7-20x slower end to end).
+
+    Pass a MATERIALIZED column reference (see :func:`_pair_rows`), not
+    the raw tokenization expression."""
     return F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+
+
+def _pair_rows(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+    """(extra..., w1, w2) rows of adjacent token pairs, with the token
+    array staged through a real column so the pair expression reads a
+    row field instead of re-tokenizing."""
+    toked = df.select(*extra, _tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        *extra, F.explode(_pairs(F.col("__toks"))).alias("__p")
+    ).select(
+        *extra,
+        F.col("__p.0").alias("w1"),
+        F.col("__p.1").alias("w2"),
+    )
 
 
 @dataclass(frozen=True)
@@ -111,9 +137,7 @@ def train_bigram_lm(
         .orderBy(F.col("c1").desc(), F.col("w1").asc())
         .limit(top_k_unigrams)
     )
-    pair_rows = df.select(
-        F.explode(_pairs(_tokens(F.col(text_col)))).alias("p")
-    ).select("p.w1", "p.w2")
+    pair_rows = _pair_rows(df, text_col, [])
     bigrams = (
         pair_rows.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -151,10 +175,9 @@ def perplexity(
     dirty-corpus net exists to catch."""
     if lm.vocab_size < 1:
         raise ValueError("model has an empty vocabulary")
-    pairs = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_pairs(_tokens(F.col(text_col)))).alias("p"),
-    ).select("__id", "p.w1", "p.w2")
+    pairs = _pair_rows(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, ["__id"]
+    )
     joined = pairs.join(F.broadcast(lm.bigrams), ["w1", "w2"], "left").join(
         F.broadcast(lm.unigrams), ["w1"], "left"
     )
