@@ -741,6 +741,17 @@ def test_convert_from_delta_name_mapped(spark, tmp_path):
     assert got3 == [(2, 99, "a"), (3, 30, "b"), (9, 90, "b")]
     assert got3 == sorted(tuple(r) for r in shim.read(spark, p).collect())
 
+    # compact materializes the DVs and stays mapped: both readers agree
+    shim.compact(spark, p)
+    got4 = sorted(tuple(r) for r in shim.read(spark, p).collect())
+    assert got4 == got3
+    assert got4 == sorted(tuple(r) for r in dl.read_delta_log(spark, p).collect())
+    assert set(shim.read(spark, p).columns) == {"k", "v", "part"}
+
+    # a lakelite append with a LOGICAL frame keeps working post-compact
+    shim.write(spark.createDataFrame([(7, 70, "a")], "k int, v int, part string"), p)
+    assert shim.read(spark, p).where("k = 7").count() == 1
+
     # schema evolution on a mapped table is refused loudly
     wide = spark.createDataFrame(
         [(7, 70, "a", "x")], "k int, v int, part string, extra string"
