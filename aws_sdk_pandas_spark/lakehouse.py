@@ -158,7 +158,20 @@ def convert_to_iceberg(path: str) -> int:
     ``add_files``/migrate analog of :func:`convert_to_delta`.  Returns
     the number of snapshots written.  After this, every subsequent
     lakelite commit keeps the Iceberg metadata current (sticky sidecar)
-    and :func:`read_iceberg` reads through it."""
+    and :func:`read_iceberg` reads through it.
+
+    There is deliberately no ``convert_FROM_iceberg`` adoption
+    counterpart to :func:`delta_log.convert_from_delta`: foreign Delta
+    tables are path-addressed (continuing their ``_delta_log`` chain in
+    place is the correct contract, and this repo does), but foreign
+    Iceberg tables are CATALOG-managed — their current-metadata pointer
+    lives in the catalog, not the directory, so directory-level
+    adoption either orphans the catalog's view or silently races it.
+    Foreign Iceberg tables are fully READABLE
+    (:func:`iceberg_meta.read_iceberg_meta` walks metadata.json ->
+    manifest lists -> manifests, incl. v2 positional and equality
+    deletes); migrating one to lakelite ownership is an explicit
+    read + write, not an in-place adoption."""
     from aws_sdk_pandas_spark import iceberg_meta
 
     return iceberg_meta.export_table(path)

@@ -207,6 +207,12 @@ def read_megatron(spark: SparkSession, path: str) -> DataFrame:
                 if code not in _CODE2NP:
                     raise InvalidArgument(f"{idx_path!r}: unknown dtype code {code}")
                 np_dt = np.dtype(_CODE2NP[code])
+                if np_dt.kind == "f":
+                    raise InvalidArgument(
+                        f"{idx_path!r}: {np_dt.name} payload is not token "
+                        "ids — reading it as array<long> would silently "
+                        "truncate"
+                    )
                 n, _docs = struct.unpack_from("<QQ", blob, 18)
                 off = 34
                 sizes = np.frombuffer(blob, dtype=np.int32, count=n, offset=off)

@@ -118,6 +118,21 @@ def test_dtype_range_and_dirty_refusals(spark, tmp_path):
         to_megatron(ok, out, key_col="key", dtype="complex128")
     with pytest.raises(InvalidArgument, match="no .idx"):
         read_megatron(spark, str(tmp_path / "missing"))
+    # a float-payload foreign shard is not token ids: refuse, don't truncate
+    import struct as _s
+
+    fdir = tmp_path / "fl"
+    fdir.mkdir()
+    with open(fdir / "f-000000.idx", "wb") as fh:
+        fh.write(b"MMIDIDX\x00\x00" + _s.pack("<Q", 1) + _s.pack("<B", 6)
+                 + _s.pack("<QQ", 1, 1)
+                 + np.asarray([1], np.int32).tobytes()
+                 + np.asarray([0], np.int64).tobytes()
+                 + np.asarray([0, 1], np.int64).tobytes())
+    with open(fdir / "f-000000.bin", "wb") as fh:
+        fh.write(np.asarray([1.5], np.float32).tobytes())
+    with pytest.raises(Exception, match="not token ids"):
+        read_megatron(spark, str(fdir)).collect()
     # empty sequences are legal (zero-length docs exist in real corpora)
     empty = spark.createDataFrame(
         [("a", []), ("b", [5])], "key string, tokens array<int>"
