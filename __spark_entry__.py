@@ -5993,6 +5993,68 @@ def _q_training_pipeline_megatron(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_media_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payloads THROUGH the WebDataset wire format under the
+    hash gate (round 6): analytic PNG headers + JSON sidecar metadata
+    per sample write as tar shards (binary member + text member per
+    key), read back through the samples pivot, decode dimensions with
+    the REAL header parser (multimodal.image_dimensions), and
+    cross-check the JSON sidecar against the decoded width — the tar
+    layer and the byte-level parse must both cancel against the
+    closed-form oracle."""
+    import tempfile
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_dimensions
+    from aws_sdk_pandas_spark.sources import read_parquet
+    from aws_sdk_pandas_spark.sources.webdataset import (
+        read_webdataset,
+        to_webdataset,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    def be4(col):  # 4 big-endian bytes of an int, JVM-side
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    w = F.col("doc_id") % 1920 + 1
+    h = F.col("doc_id") % 1080 + 1
+    payload = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), be4(F.lit(13)), F.lit(b"IHDR"), be4(w), be4(h)
+    )
+    meta = F.concat(F.lit('{"w": '), w.cast("string"), F.lit("}"))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        payload.alias("img"),
+        meta.alias("meta"),
+    )
+    out = tempfile.mkdtemp(prefix="asps-wdsmedia-") + "/wds"
+    to_webdataset(
+        media, out, key_col="key", columns={"png": "img", "json": "meta"},
+        n_shards=8,
+    )
+    back = read_webdataset(spark, out, samples=True)
+    frames = back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.element_at("parts", "png").alias("payload"),
+        F.get_json_object(
+            F.decode(F.element_at("parts", "json"), "utf-8"), "$.w"
+        ).cast("long").alias("__meta_w"),
+    )
+    return (
+        image_dimensions(frames, jpeg=False)
+        .groupBy("img_format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("img_width").alias("sum_w"),
+            F.sum("img_height").alias("sum_h"),
+            F.sum(
+                F.when(F.col("__meta_w") == F.col("img_width"), 1).otherwise(0)
+            ).alias("meta_matches"),
+        )
+        .orderBy("img_format")
+    )
+
+
 def _q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM quality scoring under the hash gate
     (round 6, operators/lm_quality.py): a smoothed bigram LM trains on
@@ -7874,6 +7936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_webdataset_roundtrip": _q_docs_webdataset_roundtrip,
         "docs_megatron_roundtrip": _q_docs_megatron_roundtrip,
         "training_pipeline_megatron": _q_training_pipeline_megatron,
+        "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
@@ -10164,6 +10227,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rid AS "~id", COUNT(*) AS count
             FROM exits GROUP BY rid ORDER BY rid
+        """,
+        "media_webdataset_roundtrip": """
+            SELECT 'png' AS img_format, COUNT(*) AS n,
+                   CAST(SUM(doc_id % 1920 + 1) AS BIGINT) AS sum_w,
+                   CAST(SUM(doc_id % 1080 + 1) AS BIGINT) AS sum_h,
+                   COUNT(*) AS meta_matches
+            FROM documents
         """,
         "training_pipeline_megatron": """
             WITH d AS (
