@@ -1,24 +1,45 @@
-"""Pure-python/numpy BASELINE JPEG decoder (ITU-T T.81 / JFIF).
+"""Pure-python/numpy JPEG decoder (ITU-T T.81 / JFIF): BASELINE and
+PROGRESSIVE (Huffman) modes.
 
-The container ships no image library, but baseline sequential JPEG is
-mechanically decodable with nothing beyond numpy: segment walk -> DQT
-quantization tables + DHT canonical Huffman tables -> SOF0 frame
-geometry/sampling factors -> SOS entropy-coded scan (bit reader with
-0xFF00 stuffing and restart-marker support) -> per-MCU block decode
-(DC predictor + AC run/length, zigzag, dequant) -> separable IDCT via
-one precomputed 8x8 basis matmul -> chroma upsampling -> BT.601 full
-range YCbCr->RGB.
+The container ships no image library, but Huffman-coded JPEG is
+mechanically decodable with nothing beyond numpy.  The decoder is one
+scan engine over per-component COEFFICIENT BUFFERS:
 
-Honest limits, refused loudly rather than mis-decoded: progressive
-(SOF2) and arithmetic-coded (SOF9+) scans, 12-bit precision, and
-4-component (CMYK/Adobe) color.
+- segment walk -> DQT quantization tables + DHT canonical Huffman
+  tables -> SOF0/1 (baseline) or SOF2 (progressive) frame geometry and
+  sampling factors -> one or more SOS scans;
+- every scan (interleaved MCU order when it carries several
+  components, the component's own block grid when it carries one)
+  decodes into int32 ``(block_row, block_col, 64)`` coefficient
+  arrays: baseline scans write DC+AC in one pass, progressive scans
+  apply spectral selection (``Ss..Se`` bands) and successive
+  approximation (DC first/refine via the ``Al``-shifted predictor and
+  per-block refinement bits; AC first scans with EOB-run symbols; AC
+  refinement scans with the T.81 G.1.2.3 correction-bit walk);
+- restart markers byte-align the entropy reader and reset DC
+  predictors AND the EOB run in every mode;
+- after the last scan: one BATCHED dequant + separable IDCT per
+  component (a single ``(rows, cols, 8, 8)`` matmul against the
+  precomputed basis — no per-block Python loop), chroma upsampling,
+  crop, BT.601 full-range YCbCr->RGB.
 
-Validated in ``tests/test_multimodal_decode.py`` against an INDEPENDENT
-test-side encoder (forward DCT + the T.81 Annex K example tables,
-written from the spec): solid blocks decode near-exactly (DC-only
-path), gradients round-trip above 30 dB PSNR, 4:2:0 subsampling and
-grayscale frames are exercised, and the same picture saved as PNG and
-JPEG collides under perceptual dHash.
+A progressive stream truncated after any scan prefix still decodes
+(coarser picture) — exactly the format's design — because missing
+refinement scans simply leave low-order coefficient bits at zero.
+
+Honest limits, refused loudly rather than mis-decoded: arithmetic
+coding (SOF9+), hierarchical and lossless modes, 12-bit precision,
+and 4-component (CMYK/Adobe) color.
+
+Validated in ``tests/test_multimodal_decode.py`` against INDEPENDENT
+test-side encoders written from the spec (forward DCT + canonical
+Huffman emission): the baseline paths round-trip solid blocks
+near-exactly and gradients above 30 dB PSNR, and the progressive
+paths must reproduce the baseline decode of the SAME quantized
+coefficients BIT-EXACTLY — spectral-selection-only scripts,
+successive-approximation scripts (DC+AC first/refine), restart
+markers inside progressive scans, and truncated-prefix decodes are
+all exercised.
 """
 
 from __future__ import annotations
@@ -122,16 +143,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
-    """Baseline JPEG -> ``(width, height, rgb_bytes)`` top-down RGB."""
+    """Baseline or progressive (Huffman) JPEG -> ``(width, height,
+    rgb_bytes)`` top-down RGB."""
     if not b or len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None
+    frame: dict | None = None
+    coeffs: list[np.ndarray] = []
     restart_interval = 0
-    while pos + 4 <= len(b):
+    scanned = False
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             pos += 1
             continue
@@ -162,9 +186,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -177,71 +203,242 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coeffs = []
+            for c in comps:
+                # non-interleaved scans cover the component's OWN grid:
+                # ceil(ceil(dim * sampling / max_sampling) / 8) blocks
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["nbx"] = -(-cw // 8)
+                c["nby"] = -(-ch // 8)
+                coeffs.append(
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                )
+            frame = {
+                "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": mcux, "mcuy": mcuy, "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only BASELINE sequential JPEG decodes here "
-                f"(SOF marker 0xff{marker:02x} is progressive/arithmetic/"
-                "lossless)"
+                "only Huffman baseline/progressive JPEG decodes here "
+                f"(SOF marker 0xff{marker:02x} is arithmetic/lossless/"
+                "hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
-            w, h, comps = frame
-            ns = seg[0]
-            sel = {}
-            for si in range(ns):
-                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            scan = [dict(c, dc=sel[c["id"]][0], ac=sel[c["id"]][1]) for c in comps]
-            data_pos = pos + seglen
-            return _decode_scan(
-                b, data_pos, w, h, scan, qt, huff_dc, huff_ac, restart_interval
-            )
+            try:
+                pos = _decode_scan(
+                    b, pos + seglen, seg, frame, coeffs,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            except IndexError as exc:
+                raise ValueError("truncated JPEG scan") from exc
+            except _Restart as exc:
+                raise ValueError("unexpected restart marker") from exc
+            scanned = True
+            continue
         pos += seglen
-    raise ValueError("JPEG has no scan")
+    if frame is None or not scanned:
+        raise ValueError("JPEG has no scan")
+    return _finish(frame, coeffs, qt)
 
 
-def _decode_scan(b, pos, w, h, comps, qt, huff_dc, huff_ac, ri):
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in comps
-    ]
-    reader = _BitReader(b, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and mcu_count and mcu_count % ri == 0:
-                reader.align_restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        try:
-                            blk, preds[ci] = _decode_block(
-                                reader, huff_dc[c["dc"]], huff_ac[c["ac"]],
-                                q, preds[ci],
-                            )
-                        except _Restart as exc:  # pragma: no cover - defensive
-                            raise ValueError("unexpected restart marker") from exc
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
-    # upsample to full resolution, crop, color-convert
+def _decode_scan(b, data_pos, seg, frame, coeffs, huff_dc, huff_ac, ri):
+    """Decode one entropy-coded scan into the coefficient buffers;
+    returns the byte position of the next marker after the scan."""
+    comps = frame["comps"]
+    ns = seg[0]
+    id2ix = {c["id"]: i for i, c in enumerate(comps)}
+    scomp = []  # (component index, dc table, ac table)
+    for si in range(ns):
+        cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+        if cs not in id2ix:
+            raise ValueError(f"scan references unknown component {cs}")
+        scomp.append((id2ix[cs], tt >> 4, tt & 0x0F))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must carry one component")
+        if ss > 63 or se > 63 or se < ss:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    else:
+        # baseline: the header carries Ss=0 Se=63 Ah=Al=0 by definition
+        ss, se, ah, al = 0, 63, 0, 0
+
+    reader = _BitReader(b, data_pos)
+    state = {"eob": 0}
+    preds = [0] * len(scomp)
+
+    def unit(si, blk):
+        _decode_unit(
+            reader, blk, ss, se, ah, al,
+            huff_dc.get(scomp[si][1]), huff_ac.get(scomp[si][2]),
+            preds, si, state,
+        )
+
+    if ns == 1:
+        # non-interleaved: the component's own block grid, 1 block = 1 MCU
+        ci = scomp[0][0]
+        c = comps[ci]
+        buf = coeffs[ci]
+        n = 0
+        for byi in range(c["nby"]):
+            for bxi in range(c["nbx"]):
+                if ri and n and n % ri == 0:
+                    reader.align_restart()
+                    preds[:] = [0] * len(scomp)
+                    state["eob"] = 0
+                unit(0, buf[byi, bxi])
+                n += 1
+    else:
+        mcun = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if ri and mcun and mcun % ri == 0:
+                    reader.align_restart()
+                    preds[:] = [0] * len(scomp)
+                    state["eob"] = 0
+                for si, (ci, _, _) in enumerate(scomp):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit(si, coeffs[ci][my * c["v"] + by, mx * c["h"] + bx])
+                mcun += 1
+
+    # skip entropy padding to the next marker (multi-scan streams)
+    pos = reader.p
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            break
+        pos += 1
+    return pos
+
+
+def _decode_unit(reader, blk, ss, se, ah, al, dc_lut, ac_lut, preds, si, state):
+    """Decode one block's contribution from the current scan."""
+    if ss == 0:
+        if ah == 0:  # DC first (or the DC half of a baseline scan)
+            if dc_lut is None:
+                raise ValueError("scan references a missing DC Huffman table")
+            t = reader.huff(dc_lut)
+            diff = _extend(reader.bits(t), t) if t else 0
+            preds[si] += diff
+            blk[0] = preds[si] << al
+        else:  # DC refinement: one bit per block
+            if reader.bit():
+                blk[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+    if ac_lut is None:
+        raise ValueError("scan references a missing AC Huffman table")
+    if ah == 0:
+        _ac_first(reader, blk, k, se, al, ac_lut, state)
+    else:
+        _ac_refine(reader, blk, k, se, al, ac_lut, state)
+
+
+def _ac_first(reader, blk, k, se, al, ac_lut, state):
+    """AC coefficients at approximation level ``al`` (baseline AC is
+    the al=0, band 1..63 case); EOB-run symbols span blocks."""
+    if state["eob"] > 0:
+        state["eob"] -= 1
+        return
+    while k <= se:
+        rs = reader.huff(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            # EOBn: run of 2^r + extension blocks ending at this one
+            state["eob"] = (1 << r) - 1
+            if r:
+                state["eob"] += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, blk, k, se, al, ac_lut, state):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±1<<al, every already-nonzero
+    coefficient crossed on the way consumes one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    if state["eob"] == 0:
+        while k <= se:
+            rs = reader.huff(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eob"] = (1 << r)
+                    if r:
+                        state["eob"] += reader.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan coefficient size != 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eob"] > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        state["eob"] -= 1
+
+
+def _finish(frame, coeffs, qt):
+    """Batched dequant + IDCT of every component, upsample, crop,
+    color-convert."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c, p in zip(comps, planes):
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        full.append(p[:h, :w])
+    for c, buf in zip(comps, coeffs):
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        dq = buf * qt[c["tq"]][None, None, :]
+        nby, nbx = buf.shape[0], buf.shape[1]
+        f = np.zeros((nby, nbx, 64), np.float64)
+        f[:, :, ZIGZAG] = dq
+        f = f.reshape(nby, nbx, 8, 8)
+        blocks = _A.T @ f @ _A  # broadcasts over (nby, nbx)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         ych = np.clip(full[0] + 128.0, 0, 255)
         rgb = np.repeat(ych[:, :, None], 3, axis=2)
@@ -256,30 +453,3 @@ def _decode_scan(b, pos, w, h, comps, qt, huff_dc, huff_ac, ri):
     return int(w), int(h), np.ascontiguousarray(
         (rgb + 0.5).astype(np.uint8)
     ).tobytes()
-
-
-def _decode_block(reader, dc_lut, ac_lut, q, pred):
-    coeffs = np.zeros(64, np.int32)
-    t = reader.huff(dc_lut)
-    diff = _extend(reader.bits(t), t) if t else 0
-    pred += diff
-    coeffs[0] = pred
-    k = 1
-    while k < 64:
-        rs = reader.huff(ac_lut)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run overflows block")
-        coeffs[k] = _extend(reader.bits(s), s)
-        k += 1
-    dq = coeffs * q
-    blk8 = np.zeros(64, np.float64)
-    blk8[ZIGZAG] = dq
-    f = blk8.reshape(8, 8)
-    return _A.T @ f @ _A, pred

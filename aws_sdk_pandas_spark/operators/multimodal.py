@@ -465,9 +465,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode kernel — REAL for every common format, no media
     library anywhere: uncompressed BMP (``decode_bmp``), PNG
     (``decode_png`` — stdlib zlib + numpy unfiltering), GIF
-    (``decode_gif`` — pure-python LZW), and baseline JPEG
-    (``jpeg_lite.decode_jpeg`` — Huffman scan + numpy IDCT; progressive
-    and arithmetic-coded JPEG refuse loudly)."""
+    (``decode_gif`` — pure-python LZW), and baseline AND progressive
+    JPEG (``jpeg_lite.decode_jpeg`` — Huffman scans incl. spectral
+    selection / successive approximation + batched numpy IDCT;
+    arithmetic-coded and lossless JPEG refuse loudly)."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":

@@ -788,14 +788,443 @@ def test_jpeg_decode_baseline():
         - np.frombuffer(bytes(grad), np.uint8).astype(int)
     ).mean() < 12
 
-    # progressive refuses loudly
+    # arithmetic-coded SOF9 refuses loudly (progressive SOF2 decodes
+    # for real now — tests below)
     import pytest as _pytest
 
     b = bytearray(_jpeg_encode(solid, w, h))
     i = b.index(b"\xff\xc0")
-    b[i + 1] = 0xC2
-    with _pytest.raises(ValueError, match="BASELINE"):
+    b[i + 1] = 0xC9
+    with _pytest.raises(ValueError, match="arithmetic"):
         decode_image(bytes(b))
+
+
+def _jpeg_encode_progressive(
+    rgb, w, h, *, sub=(1, 1), gray=False, script="sa", restart=0,
+    truncate_after=None,
+):
+    """Test-side PROGRESSIVE JPEG encoder written from T.81 G.1.2 —
+    independent of the decoder implementation.  ``script="spectral"``
+    emits spectral-selection-only scans (Ah=Al=0); ``script="sa"`` adds
+    successive approximation: DC first at Al=1 + DC refinement, AC
+    first scans at Al=1 + AC refinement scans with EOB-run
+    accumulation and interleaved correction bits (G.1.2.3)."""
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import _A, ZIGZAG
+
+    Q = np.full(64, 8, np.int64)
+    Q[0] = 4
+
+    dc_syms = list(range(12))
+    ac_syms = (
+        [0x00]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [0xF0]
+        + [r << 4 for r in range(1, 15)]  # EOBn run-length symbols
+    )
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_code = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    ycc = [
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2],
+        -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128,
+        0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128,
+    ]
+    if gray:
+        planes, factors = [ycc[0]], [(1, 1)]
+    else:
+        sh_, sv_ = sub
+
+        def pool(p):
+            hh, ww = -(-h // sv_) * sv_, -(-w // sh_) * sh_
+            pad = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+            return pad.reshape(hh // sv_, sv_, ww // sh_, sh_).mean(axis=(1, 3))
+
+        planes = [ycc[0], pool(ycc[1]), pool(ycc[2])]
+        factors = [(sh_, sv_), (1, 1), (1, 1)]
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    blocks = []  # per comp: (nby_padded, nbx_padded, 64) quantized zigzag
+    own = []  # per comp: the component's OWN block grid (nby, nbx)
+    for p, (fh, fv) in zip(planes, factors):
+        th = -(-h // (8 * vmax)) * fv * 8
+        tw = -(-w // (8 * hmax)) * fh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge") - 128.0
+        nby, nbx = th // 8, tw // 8
+        zz = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                Fq = _A @ pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _A.T
+                zz[by, bx] = np.round(Fq.reshape(64)[ZIGZAG] / Q)
+        blocks.append(zz)
+        cw = -(-w * fh // hmax)
+        ch = -(-h * fv // vmax)
+        own.append((-(-ch // 8), -(-cw // 8)))
+
+    bits = []
+
+    def put(nbits, code):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(t, v if v > 0 else v + (1 << t) - 1)
+
+    def flush_to_bytes():
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    def rst(n):
+        return bytes([0xFF, 0xD0 + (n % 8)])
+
+    def mcu_groups():
+        """Interleaved MCU block order over ALL components (DC scans)."""
+        mcuy_ = blocks[0].shape[0] // factors[0][1]
+        mcux_ = blocks[0].shape[1] // factors[0][0]
+        groups = []
+        for my in range(mcuy_):
+            for mx in range(mcux_):
+                g = []
+                for ci, (fh, fv) in enumerate(factors):
+                    for by in range(fv):
+                        for bx in range(fh):
+                            g.append((ci, my * fv + by, mx * fh + bx))
+                groups.append(g)
+        return groups
+
+    def dc_scan(al):
+        out_ = bytearray()
+        preds = [0] * ncomp
+        for n, g in enumerate(mcu_groups()):
+            if restart and n and n % restart == 0:
+                out_ += flush_to_bytes()
+                out_ += rst(n // restart - 1)
+                preds = [0] * ncomp
+            for ci, by, bx in g:
+                v = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = 0 if diff == 0 else abs(diff).bit_length()
+                put(*dc_code[t])
+                put_val(diff, t)
+        out_ += flush_to_bytes()
+        return bytes(out_)
+
+    def dc_refine_scan(al):
+        out_ = bytearray()
+        for n, g in enumerate(mcu_groups()):
+            if restart and n and n % restart == 0:
+                out_ += flush_to_bytes()
+                out_ += rst(n // restart - 1)
+            for ci, by, bx in g:
+                put(1, (int(blocks[ci][by, bx, 0]) >> al) & 1)
+        out_ += flush_to_bytes()
+        return bytes(out_)
+
+    def ac_scan(ci, ss, se, al):
+        out_ = bytearray()
+        nby, nbx = own[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                put(*ac_code[r << 4 if r else 0x00])
+                if r:
+                    put(r, take - (1 << r))
+                eobrun -= take
+
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and n and n % restart == 0:
+                    flush_eob()
+                    out_ += flush_to_bytes()
+                    out_ += rst(n // restart - 1)
+                n += 1
+                vals = [int(v) for v in blocks[ci][by, bx, ss : se + 1]]
+                tv = [(1 if v > 0 else -1) * (abs(v) >> al) for v in vals]
+                if not any(tv):
+                    eobrun += 1
+                    continue
+                flush_eob()
+                last_nz = max(i for i, v in enumerate(tv) if v)
+                run = 0
+                for v in tv[: last_nz + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_code[0xF0])
+                        run -= 16
+                    s = abs(v).bit_length()
+                    put(*ac_code[(run << 4) | s])
+                    put_val(v, s)
+                    run = 0
+                if last_nz < len(tv) - 1:
+                    eobrun += 1
+        flush_eob()
+        out_ += flush_to_bytes()
+        return bytes(out_)
+
+    def ac_refine_scan(ci, ss, se, al):
+        out_ = bytearray()
+        nby, nbx = own[ci]
+        eobrun = 0
+        pend = []  # correction bits buffered across the current EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if not eobrun:
+                assert not pend
+                return
+            r = min(14, eobrun.bit_length() - 1)
+            assert eobrun < (1 << (r + 1)), "test encoder: EOB run too long"
+            put(*ac_code[r << 4 if r else 0x00])
+            if r:
+                put(r, eobrun - (1 << r))
+            for bbit in pend:
+                put(1, bbit)
+            pend = []
+            eobrun = 0
+
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and n and n % restart == 0:
+                    flush_eob()
+                    out_ += flush_to_bytes()
+                    out_ += rst(n // restart - 1)
+                n += 1
+                vals = [int(v) for v in blocks[ci][by, bx, ss : se + 1]]
+                t = [abs(v) >> al for v in vals]
+                eobk = -1
+                for i, tvv in enumerate(t):
+                    if tvv == 1:
+                        eobk = i
+                if eobk < 0:
+                    # whole block joins the EOB run; its correction bits
+                    # ride along in block order
+                    eobrun += 1
+                    pend += [
+                        (abs(v) >> al) & 1 for v, tvv in zip(vals, t) if tvv > 1
+                    ]
+                    continue
+                flush_eob()
+                run = 0
+                local = []
+                for v, tvv in zip(vals, t):
+                    if tvv == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_code[0xF0])
+                        for bbit in local:
+                            put(1, bbit)
+                        local = []
+                        run -= 16
+                    if tvv > 1:
+                        local.append((abs(v) >> al) & 1)
+                        continue
+                    put(*ac_code[(run << 4) | 1])
+                    put(1, 1 if v > 0 else 0)
+                    for bbit in local:
+                        put(1, bbit)
+                    local = []
+                    run = 0
+                if run > 0 or local:
+                    eobrun += 1
+                    pend += local
+        flush_eob()
+        out_ += flush_to_bytes()
+        return bytes(out_)
+
+    if script == "spectral":
+        plan = [("dc", 0, 0)]
+        for ci in range(ncomp):
+            plan += [("ac", ci, 1, 5, 0), ("ac", ci, 6, 63, 0)]
+    elif script == "sa":
+        plan = [("dc", 0, 1)]
+        for ci in range(ncomp):
+            plan += [("ac", ci, 1, 5, 1), ("ac", ci, 6, 63, 1)]
+        plan += [("dcr", 1, 0)]
+        for ci in range(ncomp):
+            plan += [("acr", ci, 1, 63, 1, 0)]
+    else:
+        plan = script
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in Q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits[:16]) + bytes(dc_syms))
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    scans = plan if truncate_after is None else plan[:truncate_after]
+    for sc in scans:
+        if sc[0] == "dc":
+            _, ah, al = sc
+            sos = bytes([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([0, 0, (ah << 4) | al])
+            out += seg(0xDA, sos) + dc_scan(al)
+        elif sc[0] == "dcr":
+            _, ah, al = sc
+            sos = bytes([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([0, 0, (ah << 4) | al])
+            out += seg(0xDA, sos) + dc_refine_scan(al)
+        elif sc[0] == "ac":
+            _, ci, ss, se, al = sc
+            sos = bytes([1, ci + 1, 0x00, ss, se, al])
+            out += seg(0xDA, sos) + ac_scan(ci, ss, se, al)
+        elif sc[0] == "acr":
+            _, ci, ss, se, ah, al = sc
+            sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos) + ac_refine_scan(ci, ss, se, al)
+        else:  # pragma: no cover - script typo guard
+            raise AssertionError(sc)
+    return out + b"\xff\xd9"
+
+
+def _prog_test_image(w, h):
+    """Gradient left third, checkerboard middle (big AC magnitudes ->
+    refinement correction bits), solid right third (all-zero AC blocks
+    -> EOB-run accumulation)."""
+    px = bytearray()
+    for r in range(h):
+        for c in range(w):
+            if c < w // 3:
+                px += bytes([(c * 10) % 256, (r * 12) % 256, ((r + c) * 5) % 256])
+            elif c < 2 * w // 3:
+                v = 230 if (r + c) % 2 == 0 else 25
+                px += bytes([v, v, v])
+            else:
+                px += bytes([180, 90, 40])
+    return bytes(px)
+
+
+def test_jpeg_progressive_spectral_selection_matches_baseline():
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 48, 16
+    img = _prog_test_image(w, h)
+    for sub, gray in (((1, 1), False), ((2, 2), False), ((2, 1), False),
+                      ((1, 1), True)):
+        base = _jpeg_encode(img, w, h, sub=sub, gray=gray)
+        prog = _jpeg_encode_progressive(
+            img, w, h, sub=sub, gray=gray, script="spectral"
+        )
+        assert decode_jpeg(prog) == decode_jpeg(base), (sub, gray)
+
+
+def test_jpeg_progressive_successive_approximation_matches_baseline():
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 48, 16
+    img = _prog_test_image(w, h)
+    for sub, gray in (((1, 1), False), ((2, 2), False), ((1, 1), True)):
+        base = _jpeg_encode(img, w, h, sub=sub, gray=gray)
+        prog = _jpeg_encode_progressive(img, w, h, sub=sub, gray=gray)
+        assert decode_jpeg(prog) == decode_jpeg(base), (sub, gray)
+
+
+def test_jpeg_progressive_restart_markers():
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 48, 16
+    img = _prog_test_image(w, h)
+    base = _jpeg_encode(img, w, h)
+    for script in ("spectral", "sa"):
+        prog = _jpeg_encode_progressive(img, w, h, script=script, restart=3)
+        assert decode_jpeg(prog) == decode_jpeg(base), script
+
+
+def test_jpeg_progressive_truncated_prefix_decodes():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 16, 16
+    solid = bytes([120, 200, 64]) * (w * h)
+    full = np.frombuffer(
+        decode_jpeg(_jpeg_encode_progressive(solid, w, h))[2], np.uint8
+    ).astype(int)
+    # DC-only prefix (Al=1): coarse but recognizably the same color
+    for k in (1, 3, 5):
+        ww, hh, got = decode_jpeg(
+            _jpeg_encode_progressive(solid, w, h, truncate_after=k)
+        )
+        assert (ww, hh) == (w, h)
+        a = np.frombuffer(got, np.uint8).astype(int)
+        assert np.abs(a - full).max() <= 24, k
+
+
+def test_jpeg_progressive_through_decode_image(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_image
+
+    w, h = 24, 16
+    img = _prog_test_image(w, h)
+    gw, gh, got = decode_image(_jpeg_encode_progressive(img, w, h))
+    assert (gw, gh) == (w, h)
+    x = np.frombuffer(img, np.uint8).astype(float)
+    yhat = np.frombuffer(got, np.uint8).astype(float)
+    mse = float(np.mean((x - yhat) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 20
+
+
+def test_jpeg_progressive_malformed_scans_refuse():
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 16, 16
+    solid = bytes([120, 200, 64]) * (w * h)
+    good = _jpeg_encode_progressive(solid, w, h)
+    # a progressive DC scan whose header claims Se=63 is malformed
+    b = bytearray(good)
+    i = b.index(b"\xff\xda")
+    seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+    b[i + 2 + seglen - 2] = 63  # Se byte of the DC scan header
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(b))
+    # truncated mid-scan entropy data reads as truncation, not garbage
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
 
 
 def test_jpeg_and_png_feed_dhash(spark):
