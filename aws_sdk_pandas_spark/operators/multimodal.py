@@ -465,10 +465,12 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode kernel — REAL for every common format, no media
     library anywhere: uncompressed BMP (``decode_bmp``), PNG
     (``decode_png`` — stdlib zlib + numpy unfiltering), GIF
-    (``decode_gif`` — pure-python LZW), and baseline AND progressive
+    (``decode_gif`` — pure-python LZW), baseline AND progressive
     JPEG (``jpeg_lite.decode_jpeg`` — Huffman scans incl. spectral
     selection / successive approximation + batched numpy IDCT;
-    arithmetic-coded and lossless JPEG refuse loudly)."""
+    arithmetic-coded and lossless JPEG refuse loudly), and striped
+    TIFF (``tiff_lite.decode_tiff`` — none/LZW/deflate/PackBits,
+    predictor 2, gray/RGB/palette, both byte orders)."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -479,9 +481,13 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload and payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "unknown image payload (not BMP/PNG/GIF/JPEG) — all four decode "
-        "natively here, no image library needed"
+        "unknown image payload (not BMP/PNG/GIF/JPEG/TIFF) — all five "
+        "decode natively here, no image library needed"
     )
 
 
@@ -1032,10 +1038,17 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | wav | avi | flac | ogg | mp3 | unknown."""
+    png | gif | bmp | jpeg | tiff | wav | avi | flac | ogg | mp3 |
+    unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(
+            F.substring(c, 1, 4).isin(
+                F.lit(b"II\x2a\x00"), F.lit(b"MM\x00\x2a")
+            ),
+            "tiff",
+        )
         .when(F.substring(c, 1, 6).isin(F.lit(b"GIF87a"), F.lit(b"GIF89a")), "gif")
         .when(
             (F.substring(c, 1, 4) == F.lit(b"RIFF"))
@@ -1105,12 +1118,12 @@ def image_dimensions(
     PNG (IHDR, big-endian at offset 16), GIF (logical screen, little-
     endian at 6) and BMP (BITMAPINFOHEADER, little-endian int32 at 18,
     negative height = top-down orientation) are fixed-offset: pure
-    codegen expressions, the scan never leaves the JVM.  JPEG dimensions
-    live in a variable-position SOF segment — with ``jpeg=True`` one
-    Arrow-batched kernel walks the segments, short-circuiting instantly
-    on non-JPEG rows (the magic check is the first two bytes), so the
-    cost is the Arrow transfer of the payload column, paid only when
-    the caller asks for JPEG support.
+    codegen expressions, the scan never leaves the JVM.  JPEG and TIFF
+    dimensions live at variable positions (SOF segment / IFD entries) —
+    with ``jpeg=True`` one Arrow-batched kernel walks both,
+    short-circuiting instantly on other rows (the magic check is the
+    first bytes), so the cost is the Arrow transfer of the payload
+    column, paid only when the caller asks for header-walk formats.
     """
     c = F.col(payload_col)
     fmt = sniff_format(c)
@@ -1136,22 +1149,26 @@ def image_dimensions(
         .withColumn(f"{out_prefix}_height", height.cast("int"))
     )
     if jpeg:
+        from aws_sdk_pandas_spark.operators.tiff_lite import tiff_dims
+
         @F.pandas_udf("width int, height int")
-        def _jpeg_dims(payloads: pd.Series) -> pd.DataFrame:
-            dims = [_jpeg_dims_py(p) for p in payloads]
+        def _walk_dims(payloads: pd.Series) -> pd.DataFrame:
+            dims = [
+                tiff_dims(p)
+                if p is not None and p[:2] in (b"II", b"MM")
+                else _jpeg_dims_py(p)
+                for p in payloads
+            ]
             return pd.DataFrame({"width": [d[0] for d in dims], "height": [d[1] for d in dims]})
 
-        jd = _jpeg_dims(c)
+        jd = _walk_dims(c)
+        walked = F.col(f"{out_prefix}_format").isin("jpeg", "tiff")
         out = out.withColumn(
             f"{out_prefix}_width",
-            F.when(F.col(f"{out_prefix}_format") == "jpeg", jd["width"]).otherwise(
-                F.col(f"{out_prefix}_width")
-            ),
+            F.when(walked, jd["width"]).otherwise(F.col(f"{out_prefix}_width")),
         ).withColumn(
             f"{out_prefix}_height",
-            F.when(F.col(f"{out_prefix}_format") == "jpeg", jd["height"]).otherwise(
-                F.col(f"{out_prefix}_height")
-            ),
+            F.when(walked, jd["height"]).otherwise(F.col(f"{out_prefix}_height")),
         )
     return out
 

@@ -1868,3 +1868,371 @@ def test_parse_subtitles_vtt_optional_hours(spark):
     )
     pairs = align_cues_to_frames(frames, parse_subtitles(df)).collect()
     assert any(p.frame_idx == 0 for p in pairs)  # 6s lands in the 5-10s cue
+
+
+# ---------------------------------------------------------------- TIFF
+
+
+def _tiff_lzw_encode(data):
+    """Test-side TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first
+    codes, Clear=256/EOI=257, EARLY code-width change (width bumps when
+    the next free code reaches 2^width - 1), table reset at 4094."""
+    bits = []
+    width = 9
+
+    def emit(code):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # the decoder lags one table entry behind the encoder, so its
+        # early change (bump at table length 2^w - 1) lines up with the
+        # encoder bumping one entry later, at 2^w
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i : i + 8]:
+            byte = (byte << 1) | bit
+        out.append(byte)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_encode(
+    pixels,
+    w,
+    h,
+    *,
+    photometric=2,
+    compression=1,
+    endian="little",
+    rows_per_strip=None,
+    predictor=1,
+    palette=None,
+    spp=None,
+):
+    """Test-side TIFF 6.0 encoder (striped, chunky) — independent of
+    the decoder implementation.  ``pixels`` is raw sample bytes
+    (w*h*spp); ``palette`` is 256 (r, g, b) 8-bit triples for
+    photometric 3."""
+    import struct
+    import zlib as _zlib
+
+    if spp is None:
+        spp = 3 if photometric == 2 else 1
+    assert len(pixels) == w * h * spp
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+
+    strips = []
+    r = 0
+    while r < h:
+        nrows = min(rps, h - r)
+        raw = bytearray(pixels[r * row_bytes : (r + nrows) * row_bytes])
+        if predictor == 2:
+            for rr in range(nrows):
+                row = raw[rr * row_bytes : (rr + 1) * row_bytes]
+                diff = bytearray(row)
+                for x in range(row_bytes - 1, spp - 1, -1):
+                    diff[x] = (row[x] - row[x - spp]) & 0xFF
+                raw[rr * row_bytes : (rr + 1) * row_bytes] = diff
+        raw = bytes(raw)
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 8:
+            strips.append(_zlib.compress(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise AssertionError(compression)
+        r += nrows
+
+    lt = endian == "little"
+    fc = "<" if lt else ">"
+    pos = 8
+    strip_offsets = []
+    body = bytearray()
+    for s in strips:
+        strip_offsets.append(pos)
+        body += s
+        if len(s) % 2:
+            body += b"\x00"
+            pos += 1
+        pos += len(s)
+    ifd_off = pos
+
+    # (tag, type, values)
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+        (284, 3, [1]),
+    ]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+    if palette is not None:
+        cmap = (
+            [c[0] * 257 for c in palette]
+            + [c[1] * 257 for c in palette]
+            + [c[2] * 257 for c in palette]
+        )
+        entries.append((320, 3, cmap))
+    entries.sort()
+
+    tsize = {3: 2, 4: 4}
+    tfmt = {3: "H", 4: "I"}
+    ifd_len = 2 + 12 * len(entries) + 4
+    over_off = ifd_off + ifd_len
+    overflow = bytearray()
+    ifd = struct.pack(fc + "H", len(entries))
+    for tag, typ, vals in entries:
+        packed = b"".join(struct.pack(fc + tfmt[typ], v) for v in vals)
+        ifd += struct.pack(fc + "HHI", tag, typ, len(vals))
+        if len(packed) <= 4:
+            ifd += packed + b"\x00" * (4 - len(packed))
+        else:
+            ifd += struct.pack(fc + "I", over_off + len(overflow))
+            overflow += packed
+    ifd += struct.pack(fc + "I", 0)
+
+    header = (b"II" if lt else b"MM") + struct.pack(fc + "HI", 42, ifd_off)
+    return header + bytes(body) + ifd + bytes(overflow)
+
+
+def _rand_bytes(n, seed=0):
+    import numpy as np
+
+    return np.random.RandomState(seed).randint(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def test_tiff_decode_compression_matrix():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    w, h = 21, 13  # odd sizes: short last strip, odd row bytes
+    rgb = _rand_bytes(w * h * 3, seed=1)
+    gray = _rand_bytes(w * h, seed=2)
+    want_gray = np.repeat(
+        np.frombuffer(gray, np.uint8).reshape(h, w)[:, :, None], 3, axis=2
+    ).tobytes()
+    for endian in ("little", "big"):
+        for comp in (1, 5, 8, 32773):
+            t = _tiff_encode(
+                rgb, w, h, compression=comp, endian=endian, rows_per_strip=5
+            )
+            assert decode_tiff(t) == (w, h, rgb), (endian, comp, "rgb")
+            t = _tiff_encode(
+                gray, w, h, photometric=1, compression=comp, endian=endian,
+                rows_per_strip=4,
+            )
+            assert decode_tiff(t) == (w, h, want_gray), (endian, comp, "gray")
+
+
+def test_tiff_white_is_zero_inverts():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    w, h = 9, 4
+    gray = _rand_bytes(w * h, seed=3)
+    inv = (255 - np.frombuffer(gray, np.uint8)).reshape(h, w)
+    want = np.repeat(inv[:, :, None], 3, axis=2).tobytes()
+    assert decode_tiff(_tiff_encode(gray, w, h, photometric=0)) == (w, h, want)
+
+
+def test_tiff_predictor2_lzw_and_deflate():
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    w, h = 33, 11
+    rgb = _rand_bytes(w * h * 3, seed=4)
+    for comp in (5, 8):
+        t = _tiff_encode(
+            rgb, w, h, compression=comp, predictor=2, rows_per_strip=3
+        )
+        assert decode_tiff(t) == (w, h, rgb), comp
+    # predictor also applies to grayscale (spp=1 differencing)
+    gray = _rand_bytes(w * h, seed=5)
+    t = _tiff_encode(gray, w, h, photometric=1, compression=5, predictor=2)
+    got = decode_tiff(t)
+    assert got[2][::3] == gray
+
+
+def test_tiff_palette_and_alpha():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    w, h = 16, 8
+    idx = _rand_bytes(w * h, seed=6)
+    palette = [((i * 7) % 256, (i * 13) % 256, (i * 29) % 256) for i in range(256)]
+    t = _tiff_encode(idx, w, h, photometric=3, palette=palette, compression=5)
+    lut = np.array(palette, np.uint8)
+    want = lut[np.frombuffer(idx, np.uint8).reshape(h, w)].tobytes()
+    assert decode_tiff(t) == (w, h, want)
+
+    # RGBA: 4 samples/pixel, alpha dropped
+    rgba = _rand_bytes(w * h * 4, seed=7)
+    t = _tiff_encode(rgba, w, h, photometric=2, spp=4, compression=32773)
+    a = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
+    assert decode_tiff(t) == (w, h, a[:, :, :3].tobytes())
+
+
+def test_tiff_lzw_table_reset_on_large_image():
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    # 64x64 RGB random: ~12 KiB of incompressible data drives the LZW
+    # table past the 511/1023/2047 early-change points AND the 4094
+    # reset — the whole width schedule is exercised
+    w, h = 64, 64
+    rgb = _rand_bytes(w * h * 3, seed=8)
+    t = _tiff_encode(rgb, w, h, compression=5)
+    assert decode_tiff(t) == (w, h, rgb)
+
+
+def test_tiff_refusals():
+    import struct
+
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
+
+    w, h = 8, 8
+    good = _tiff_encode(_rand_bytes(w * h * 3, seed=9), w, h)
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX" + good[2:])
+    # 16-bit samples refuse: patch BitsPerSample (tag 258) SHORT values
+    b = bytearray(good)
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    n = struct.unpack("<H", good[ifd_off : ifd_off + 2])[0]
+    for ei in range(n):
+        e = ifd_off + 2 + 12 * ei
+        tag = struct.unpack("<H", b[e : e + 2])[0]
+        if tag == 258:
+            voff = struct.unpack("<I", b[e + 8 : e + 12])[0]
+            for s in range(3):
+                b[voff + 2 * s : voff + 2 * s + 2] = struct.pack("<H", 16)
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_tiff(bytes(b))
+    # tiled layout refuses: add a TileWidth (322) entry by rewriting
+    # the planar-config tag id
+    b = bytearray(good)
+    for ei in range(n):
+        e = ifd_off + 2 + 12 * ei
+        if struct.unpack("<H", b[e : e + 2])[0] == 284:
+            b[e : e + 2] = struct.pack("<H", 322)
+    with _pytest.raises(ValueError, match="tiled"):
+        decode_tiff(bytes(b))
+    # unsupported compression (CCITT G4 = 4)
+    b = bytearray(good)
+    for ei in range(n):
+        e = ifd_off + 2 + 12 * ei
+        if struct.unpack("<H", b[e : e + 2])[0] == 259:
+            b[e + 8 : e + 10] = struct.pack("<H", 4)
+    with _pytest.raises(ValueError, match="compression 4"):
+        decode_tiff(bytes(b))
+
+
+def test_tiff_through_decode_images_and_metadata(spark):
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_images,
+        image_dimensions,
+        image_pixel_stats,
+        sniff_format,
+    )
+    import pyspark.sql.functions as F
+
+    w, h = 12, 6
+    rgb = _rand_bytes(w * h * 3, seed=10)
+    t_le = _tiff_encode(rgb, w, h, compression=5, endian="little")
+    t_be = _tiff_encode(rgb, w, h, compression=32773, endian="big")
+    df = spark.createDataFrame(
+        [("a", bytearray(t_le)), ("b", bytearray(t_be)), ("junk", bytearray(b"nope"))],
+        "media_id string, payload binary",
+    )
+    fmts = {
+        r.media_id: r.fmt
+        for r in df.select("media_id", sniff_format("payload").alias("fmt")).collect()
+    }
+    assert fmts == {"a": "tiff", "b": "tiff", "junk": "unknown"}
+
+    meta = {
+        r.media_id: (r.img_format, r.img_width, r.img_height)
+        for r in image_dimensions(df).collect()
+    }
+    assert meta["a"] == ("tiff", w, h)
+    assert meta["b"] == ("tiff", w, h)
+
+    imgs = df.where(sniff_format("payload") == "tiff")  # screen-first contract
+    decoded = {r.media_id: r for r in decode_images(imgs).collect()}
+    assert bytes(decoded["a"].pixels) == rgb and decoded["a"].width == w
+    assert bytes(decoded["b"].pixels) == rgb
+
+    stats = {r.media_id: r for r in image_pixel_stats(imgs).collect()}
+    a = np.frombuffer(rgb, np.uint8).astype(float).reshape(-1, 3)
+    assert abs(stats["a"].mean_r - a[:, 0].mean()) < 1e-6
+    assert abs(stats["b"].mean_b - a[:, 2].mean()) < 1e-6
