@@ -485,9 +485,18 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from aws_sdk_pandas_spark.operators.tiff_lite import decode_tiff
 
         return decode_tiff(payload)
+    if (
+        payload
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unknown image payload (not BMP/PNG/GIF/JPEG/TIFF) — all five "
-        "decode natively here, no image library needed"
+        "unknown image payload (not BMP/PNG/GIF/JPEG/TIFF/WebP) — all "
+        "six decode natively here, no image library needed"
     )
 
 
@@ -1038,8 +1047,8 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | tiff | wav | avi | flac | ogg | mp3 |
-    unknown."""
+    png | gif | bmp | jpeg | tiff | webp | wav | avi | flac | ogg |
+    mp3 | unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -1059,6 +1068,11 @@ def sniff_format(col) -> "F.Column":
             (F.substring(c, 1, 4) == F.lit(b"RIFF"))
             & (F.substring(c, 9, 4) == F.lit(b"AVI ")),
             "avi",
+        )
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(c, 9, 4) == F.lit(b"WEBP")),
+            "webp",
         )
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")

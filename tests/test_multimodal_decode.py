@@ -2236,3 +2236,608 @@ def test_tiff_through_decode_images_and_metadata(spark):
     a = np.frombuffer(rgb, np.uint8).astype(float).reshape(-1, 3)
     assert abs(stats["a"].mean_r - a[:, 0].mean()) < 1e-6
     assert abs(stats["b"].mean_b - a[:, 2].mean()) < 1e-6
+
+
+# ---------------------------------------------------------------- WebP
+
+
+class _VP8LBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, n, v):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def write_code(self, length, code):
+        # prefix-code bits go MSB-of-code-first into the LSB-first stream
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                byte |= bit << j
+            out.append(byte)
+        return bytes(out)
+
+
+def _vp8l_lengths(used_syms):
+    """Balanced COMPLETE canonical code lengths for the used symbols
+    (shorter codes to lower symbols); {} -> caller handles."""
+    k = len(used_syms)
+    assert k >= 2
+    L = max(1, (k - 1).bit_length())
+    n1 = (1 << L) - k  # symbols that get length L-1
+    lengths = {}
+    for i, s in enumerate(sorted(used_syms)):
+        lengths[s] = (L - 1) if (i < n1 and L > 1) else L
+    return lengths
+
+
+def _vp8l_canonical(lengths_by_sym):
+    """Same canonical assignment as the decoder: increasing (length,
+    symbol)."""
+    codes = {}
+    code = 0
+    last = 0
+    for ln, sym in sorted((ln, s) for s, ln in lengths_by_sym.items()):
+        code <<= ln - last
+        last = ln
+        codes[sym] = (ln, code)
+        code += 1
+    return codes
+
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15]
+
+
+def _vp8l_write_prefix_code(bw, lengths_by_sym, alphabet, *,
+                            use_max_symbol=False):
+    """Emit one prefix code: simple form when possible, else the
+    code-length-code machinery with 16/17/18 runs."""
+    used = sorted(lengths_by_sym)
+    if len(used) <= 2 and all(s <= 255 for s in used):
+        bw.write(1, 1)  # simple
+        bw.write(1, len(used) - 1)
+        bw.write(1, 1)  # first symbol as 8 bits
+        bw.write(8, used[0])
+        if len(used) == 2:
+            bw.write(8, used[1])
+        return
+    bw.write(1, 0)  # normal
+    lengths = [lengths_by_sym.get(s, 0) for s in range(alphabet)]
+    # RLE the lengths into code-length symbols
+    stream = []  # (symbol, extra_val, extra_bits)
+    i = 0
+    last_nonzero = max(s for s in range(alphabet) if lengths[s])
+    end = alphabet if not use_max_symbol else last_nonzero + 1
+    prev = 8
+    while i < end:
+        if lengths[i] == 0:
+            run = 0
+            while i + run < end and lengths[i + run] == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                take = min(left, 138)
+                stream.append((18, take - 11, 7))
+                left -= take
+            while left >= 3:
+                take = min(left, 10)
+                stream.append((17, take - 3, 3))
+                left -= take
+            for _ in range(left):
+                stream.append((0, 0, 0))
+            i += run
+            continue
+        v = lengths[i]
+        stream.append((v, 0, 0))
+        prev = v
+        i += 1
+        rep = 0
+        while i + rep < end and lengths[i + rep] == v:
+            rep += 1
+        left = rep
+        while left >= 3:
+            take = min(left, 6)
+            stream.append((16, take - 3, 2))
+            left -= take
+        for _ in range(left):
+            stream.append((v, 0, 0))
+        i += rep
+    cl_used = sorted({s for s, _, _ in stream})
+    if len(cl_used) == 1:
+        cl_lengths = {cl_used[0]: 1}  # incomplete 1-symbol codes are
+        # not representable with 3-bit lengths alone; give it length 1
+        # and burn one bit per symbol -- the decoder treats a
+        # single-length-1 code as... (not complete). Use two symbols.
+        # Safer: force a second dummy symbol of equal length.
+        dummy = 0 if cl_used[0] != 0 else 1
+        cl_lengths = {cl_used[0]: 1, dummy: 1}
+    else:
+        cl_lengths = _vp8l_lengths(cl_used)
+    num_cl = max(_VP8L_CL_ORDER.index(s) for s in cl_lengths) + 1
+    num_cl = max(num_cl, 4)
+    bw.write(4, num_cl - 4)
+    for s in _VP8L_CL_ORDER[:num_cl]:
+        bw.write(3, cl_lengths.get(s, 0))
+    if use_max_symbol:
+        bw.write(1, 1)
+        max_symbol = len(stream)
+        nbits_sel = 0
+        while (2 + 2 * nbits_sel) < (max_symbol - 2).bit_length():
+            nbits_sel += 1
+        bw.write(3, nbits_sel)
+        bw.write(2 + 2 * nbits_sel, max_symbol - 2)
+    else:
+        bw.write(1, 0)
+    cl_codes = _vp8l_canonical(cl_lengths)
+    for s, ev, eb in stream:
+        bw.write_code(*cl_codes[s])
+        if eb:
+            bw.write(eb, ev)
+
+
+def _vp8l_lz77_sym(v):
+    """Inverse of the decoder's length/distance prefix-value coding."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for sym in range(4, 40):
+        extra = (sym - 2) >> 1
+        off = (2 + (sym & 1)) << extra
+        if off <= v - 1 < off + (1 << extra):
+            return sym, v - 1 - off, extra
+    raise AssertionError(v)
+
+
+def _vp8l_dist_code(d, w):
+    """Prefer a 2D neighborhood code (1..120) when the distance maps to
+    one for this width — exercises the decoder's DIST_MAP branch."""
+    from aws_sdk_pandas_spark.operators.webp_lite import DIST_MAP
+
+    for i, (dx, dy) in enumerate(DIST_MAP):
+        if max(1, dy * w + dx) == d:
+            return i + 1
+    return d + 120
+
+
+def _vp8l_write_entropy_image(bw, px, w, h, *, cache_bits=0, lz77=False,
+                              meta=False, use_max_symbol=False,
+                              level0=False):
+    """Encode pixels (list of ARGB ints) as one entropy-coded image."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(4, cache_bits)
+    else:
+        bw.write(1, 0)
+    if level0 and not meta:
+        bw.write(1, 0)  # no meta prefix image
+    if meta:
+        assert level0
+        # trivial meta prefix image: every block -> group 0, through
+        # the real meta machinery
+        bw.write(1, 1)
+        bw.write(3, 5)  # size_bits 7 -> blocks of 128
+        mw = (w + 127) >> 7
+        mh = (h + 127) >> 7
+        _vp8l_write_entropy_image(bw, [0xFF000000] * (mw * mh), mw, mh)
+
+    # plan the symbol stream (cache state is deterministic, two passes)
+    def plan():
+        cache = [0] * (1 << cache_bits) if cache_bits else None
+        ops = []
+        i = 0
+        n = len(px)
+        while i < n:
+            if lz77 and i > 0:
+                best_run, best_d = 0, 1
+                for d in (1, w):
+                    if d > i:
+                        continue
+                    run = 0
+                    while i + run < n and px[i + run] == px[i + run - d] and run < 4096:
+                        run += 1
+                    if run > best_run:
+                        best_run, best_d = run, d
+                if best_run >= 3:
+                    ops.append(("ref", best_run, best_d))
+                    if cache is not None:
+                        for j in range(i, i + best_run):
+                            v = px[j]
+                            cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+                    i += best_run
+                    continue
+            v = px[i]
+            if cache is not None:
+                hidx = (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+                if cache[hidx] == v:
+                    ops.append(("cache", hidx))
+                    i += 1
+                    continue
+                cache[hidx] = v
+            ops.append(("lit", v))
+            i += 1
+        return ops
+
+    ops = plan()
+    greens, reds, blues, alphas, dists = {}, {}, {}, {}, {}
+
+    def bump(d, s):
+        d[s] = d.get(s, 0) + 1
+
+    for op in ops:
+        if op[0] == "lit":
+            v = op[1]
+            bump(greens, (v >> 8) & 0xFF)
+            bump(reds, (v >> 16) & 0xFF)
+            bump(blues, v & 0xFF)
+            bump(alphas, (v >> 24) & 0xFF)
+        elif op[0] == "ref":
+            bump(greens, 256 + _vp8l_lz77_sym(op[1])[0])
+            bump(dists, _vp8l_lz77_sym(_vp8l_dist_code(op[2], w))[0])
+        else:
+            bump(greens, 280 + op[1])
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    def code_for(hist, alphabet):
+        used = sorted(hist)
+        if not used:
+            return {0: 1}, None  # unused code: simple single-symbol 0
+        if len(used) == 1:
+            return {used[0]: 1}, None
+        return _vp8l_lengths(used), None
+
+    for hist, alphabet in (
+        (greens, 256 + 24 + cache_size),
+        (reds, 256),
+        (blues, 256),
+        (alphas, 256),
+        (dists, 40),
+    ):
+        lengths, _ = code_for(hist, alphabet)
+        _vp8l_write_prefix_code(
+            bw, lengths, alphabet,
+            use_max_symbol=use_max_symbol and len(lengths) > 2,
+        )
+        hist["__codes__"] = _vp8l_canonical(lengths) if len(lengths) >= 2 else {
+            s: (0, 0) for s in lengths
+        }
+
+    def emit(hist, sym):
+        ln, code = hist["__codes__"][sym]
+        if ln:
+            bw.write_code(ln, code)
+
+    for op in ops:
+        if op[0] == "lit":
+            v = op[1]
+            emit(greens, (v >> 8) & 0xFF)
+            emit(reds, (v >> 16) & 0xFF)
+            emit(blues, v & 0xFF)
+            emit(alphas, (v >> 24) & 0xFF)
+        elif op[0] == "ref":
+            lsym, lev, leb = _vp8l_lz77_sym(op[1])
+            emit(greens, 256 + lsym)
+            if leb:
+                bw.write(leb, lev)
+            dsym, dev, deb = _vp8l_lz77_sym(_vp8l_dist_code(op[2], w))
+            emit(dists, dsym)
+            if deb:
+                bw.write(deb, dev)
+        else:
+            emit(greens, 280 + op[1])
+
+
+def _webp_encode(
+    rgb,
+    w,
+    h,
+    *,
+    transforms=(),
+    cache_bits=0,
+    lz77=False,
+    meta=False,
+    use_max_symbol=False,
+    predictor_mode=2,
+    container="simple",
+):
+    """Test-side VP8L encoder written from the WebP Lossless Bitstream
+    Specification — independent of the decoder implementation.
+    ``transforms`` is an ordered subset of ("subtract_green",
+    "predictor", "palette")."""
+    px = []
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        px.append(0xFF000000 | (r << 16) | (g << 8) | b)
+
+    bw = _VP8LBitWriter()
+    bw.write(8, 0x2F)
+    bw.write(14, w - 1)
+    bw.write(14, h - 1)
+    bw.write(1, 0)
+    bw.write(3, 0)
+
+    cur_w = w
+    for t in transforms:
+        bw.write(1, 1)
+        if t == "subtract_green":
+            bw.write(2, 2)
+            px = [
+                (p & 0xFF00FF00)
+                | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+                | ((((p >> 0) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+                for p in px
+            ]
+        elif t == "predictor":
+            bw.write(2, 0)
+            bs = 4
+            bw.write(3, bs - 2)
+            tw = (cur_w + (1 << bs) - 1) >> bs
+            th = (h + (1 << bs) - 1) >> bs
+            _vp8l_write_entropy_image(
+                bw, [0xFF000000 | (predictor_mode << 8)] * (tw * th), tw, th
+            )
+            from aws_sdk_pandas_spark.operators.webp_lite import _predict
+
+            res = []
+            for i in range(cur_w * h):
+                x, y = i % cur_w, i // cur_w
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px[i - 1]
+                elif x == 0:
+                    pred = px[i - cur_w]
+                else:
+                    pred = _predict(
+                        predictor_mode, px[i - 1], px[i - cur_w],
+                        px[i - cur_w - 1], px[i - cur_w + 1],
+                    )
+                d = 0
+                for shift in (0, 8, 16, 24):
+                    d |= ((((px[i] >> shift) & 0xFF) - ((pred >> shift) & 0xFF)) & 0xFF) << shift
+                res.append(d)
+            px = res
+        elif t == "palette":
+            bw.write(2, 3)
+            colors = []
+            seen = {}
+            for p in px:
+                if p not in seen:
+                    seen[p] = len(colors)
+                    colors.append(p)
+            assert len(colors) <= 256
+            bw.write(8, len(colors) - 1)
+            deltas = []
+            prev = 0
+            for c in colors:
+                d = 0
+                for shift in (0, 8, 16, 24):
+                    d |= ((((c >> shift) & 0xFF) - ((prev >> shift) & 0xFF)) & 0xFF) << shift
+                deltas.append(d)
+                prev = c
+            _vp8l_write_entropy_image(bw, deltas, len(colors), 1)
+            n = len(colors)
+            wb = 3 if n <= 2 else (2 if n <= 4 else (1 if n <= 16 else 0))
+            idx = [seen[p] for p in px]
+            if wb:
+                per = 1 << wb
+                bits = 8 >> wb
+                pw = (cur_w + per - 1) >> wb
+                packed = []
+                for y in range(h):
+                    for bx in range(pw):
+                        v = 0
+                        for k in range(per):
+                            x = bx * per + k
+                            if x < cur_w:
+                                v |= idx[y * cur_w + x] << (k * bits)
+                        packed.append(0xFF000000 | (v << 8))
+                px = packed
+                cur_w = pw
+            else:
+                px = [0xFF000000 | (i << 8) for i in idx]
+        else:
+            raise AssertionError(t)
+    bw.write(1, 0)  # no more transforms
+
+    _vp8l_write_entropy_image(
+        bw, px, cur_w, h, cache_bits=cache_bits, lz77=lz77, meta=meta,
+        use_max_symbol=use_max_symbol, level0=True,
+    )
+    payload = bw.tobytes()
+
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    if container == "vp8x":
+        vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+        chunk = vp8x + chunk
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_webp_lossless_literal_roundtrip_exact():
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    w, h = 23, 9
+    rgb = _rand_bytes(w * h * 3, seed=11)
+    assert decode_webp(_webp_encode(rgb, w, h)) == (w, h, rgb)
+    # extended container finds the VP8L chunk too
+    assert decode_webp(_webp_encode(rgb, w, h, container="vp8x")) == (w, h, rgb)
+
+
+def test_webp_lossless_cache_lz77_meta_roundtrip():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    w, h = 40, 17
+    # repetitive image: runs (LZ77) + recurring colors (cache hits)
+    px = bytearray()
+    pal = [(10, 200, 30), (200, 10, 30), (0, 0, 0), (255, 255, 255)]
+    for y in range(h):
+        for x in range(w):
+            px += bytes(pal[(x // 7 + y // 3) % 4])
+    rgb = bytes(px)
+    for kwargs in (
+        {"cache_bits": 4},
+        {"lz77": True},
+        {"cache_bits": 6, "lz77": True},
+        {"meta": True},
+        {"use_max_symbol": True},
+        {"cache_bits": 3, "lz77": True, "meta": True, "use_max_symbol": True},
+    ):
+        assert decode_webp(_webp_encode(rgb, w, h, **kwargs)) == (w, h, rgb), kwargs
+
+
+def test_webp_lossless_transforms_roundtrip():
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    w, h = 19, 12
+    rgb = _rand_bytes(w * h * 3, seed=12)
+    for transforms in (
+        ("subtract_green",),
+        ("predictor",),
+        ("subtract_green", "predictor"),
+    ):
+        got = decode_webp(_webp_encode(rgb, w, h, transforms=transforms))
+        assert got == (w, h, rgb), transforms
+    # every predictor mode inverts exactly
+    for mode in range(14):
+        got = decode_webp(
+            _webp_encode(rgb, w, h, transforms=("predictor",),
+                         predictor_mode=mode)
+        )
+        assert got == (w, h, rgb), mode
+
+
+def test_webp_lossless_palette_roundtrip():
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    for n_colors, w, h in ((2, 21, 5), (4, 13, 7), (16, 10, 10), (200, 30, 20)):
+        pal = [
+            ((i * 37) % 256, (i * 101) % 256, (i * 11) % 256)
+            for i in range(n_colors)
+        ]
+        idx = [
+            (x * 7 + y * 3 + (x * y) % n_colors) % n_colors
+            for y in range(h)
+            for x in range(w)
+        ]
+        rgb = b"".join(bytes(pal[i]) for i in idx)
+        got = decode_webp(_webp_encode(rgb, w, h, transforms=("palette",)))
+        assert got == (w, h, rgb), n_colors
+
+
+def test_webp_predictor_and_color_delta_golden():
+    """Hand-derived spec vectors, independent of both encoder and
+    decoder plumbing."""
+    from aws_sdk_pandas_spark.operators.webp_lite import _ct_delta, _predict
+
+    L = 0xFF102030
+    T = 0xFF405060
+    TL = 0xFF010203
+    TR = 0xFF808080
+    assert _predict(1, L, T, TL, TR) == L
+    assert _predict(2, L, T, TL, TR) == T
+    # avg(L, T): channels (0x10+0x40)/2=0x28, (0x20+0x50)/2=0x38, (0x30+0x60)/2=0x48
+    assert _predict(7, L, T, TL, TR) == 0xFF283848
+    # ClampAddSubtractFull: L + T - TL = 0x10+0x40-0x01=0x4f, 0x20+0x50-0x02=0x6e, 0x30+0x60-0x03=0x8d
+    assert _predict(12, L, T, TL, TR) == 0xFF4F6E8D
+    # Select: sum|T-TL| = 0x3f+0x4e+0x5d, sum|L-TL| = 0xf+0x1e+0x2d -> T
+    assert _predict(11, L, T, TL, TR) == T
+    # clamping kicks in
+    assert _predict(12, 0xFFFF0000, 0xFFFF0000, 0xFF000000, 0) == 0xFFFF0000
+    # ColorTransformDelta: int8 * int8 >> 5 (arithmetic)
+    assert _ct_delta(0x10, 0x20) == (16 * 32) >> 5
+    assert _ct_delta(0xF0, 0x20) == (-16 * 32) >> 5  # 0xf0 = -16
+    assert _ct_delta(0x80, 0x7F) == (-128 * 127) >> 5
+    assert _ct_delta(0, 0xFF) == 0
+
+
+def test_webp_color_transform_inverse_unit():
+    """Drive _inv_color_transform directly with a hand-built element."""
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.webp_lite import (
+        _ct_delta,
+        _inv_color_transform,
+    )
+
+    g2r, g2b, r2b = 0x12, 0xF3, 0x07
+    elem = (r2b << 16) | (g2b << 8) | g2r
+    # forward transform of one pixel (spec: deltas SUBTRACTED forward;
+    # red_to_blue keys on the ORIGINAL red — the inverse adds back
+    # green_to_red first, so its reconstructed red equals the original)
+    a, r, g, b = 0xFF, 0x55, 0x66, 0x77
+    fr = (r - _ct_delta(g2r, g)) & 0xFF
+    fb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+    px = np.array([(a << 24) | (fr << 16) | (g << 8) | fb], np.uint32)
+    _inv_color_transform(px, 1, 1, 2, np.array([[elem]], np.uint32))
+    assert int(px[0]) == (a << 24) | (r << 16) | (g << 8) | b
+
+
+def test_webp_refusals_and_sniff(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_image,
+        sniff_format,
+    )
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    # lossy VP8 refuses loudly
+    payload = b"\x00" * 10
+    lossy = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP" + \
+        b"VP8 " + struct.pack("<I", len(payload)) + payload
+    with _pytest.raises(ValueError, match="lossy"):
+        decode_webp(lossy)
+    with _pytest.raises(ValueError, match="no VP8L"):
+        decode_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+
+    w, h = 8, 5
+    rgb = _rand_bytes(w * h * 3, seed=13)
+    good = _webp_encode(rgb, w, h)
+    assert decode_image(good) == (w, h, rgb)
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(lossy))],
+        "media_id string, payload binary",
+    )
+    fmts = {
+        r.media_id: r.fmt
+        for r in df.select(
+            "media_id", sniff_format("payload").alias("fmt")
+        ).collect()
+    }
+    assert fmts == {"a": "webp", "b": "webp"}
+    # truncated stream refuses, never loops
+    with _pytest.raises(ValueError):
+        decode_webp(good[: len(good) - 6])
+
+
+def test_webp_lz77_2d_distance_codes():
+    from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
+
+    # identical rows: the whole image past row 0 is one backward ref at
+    # distance == width, which the encoder emits as 2D code (0, 1);
+    # horizontal runs inside row 0 use 2D code (1, 0)
+    w, h = 31, 14
+    row = (_rand_bytes(8 * 3, seed=14) * 4)[: w * 3]
+    rgb = row * h
+    got = decode_webp(_webp_encode(rgb, w, h, lz77=True))
+    assert got == (w, h, rgb)
+    # a width where dist == w also matches a diagonal map entry
+    for w2 in (2, 7, 9, 16):
+        row2 = (_rand_bytes(4 * 3, seed=15) * 8)[: w2 * 3]
+        rgb2 = row2 * 6
+        assert decode_webp(_webp_encode(rgb2, w2, 6, lz77=True)) == (w2, 6, rgb2)
