@@ -6919,6 +6919,104 @@ def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode under the hash gate
+    (operators/tiff_lite.decode_tiff — IFD walk, strip assembly): a
+    deterministic 4x4 uncompressed little-endian RGB TIFF is
+    SYNTHESIZED per document — pixel byte i of doc d is
+    (d*13 + i*23) % 256 — run through the real decoder and pixel-stats
+    kernel, and the mean recomputed by DuckDB from the same
+    arithmetic.  An IFD-offset, strip, sample-order, or photometric
+    bug in the decoder shifts the mean and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_pixel_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "tiff", 4, 4,
+                            pixels=bytes((int(d) * 13 + i * 23) % 256 for i in range(48)),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_pixel_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode under the hash gate
+    (operators/webp_lite.decode_webp — VP8L bit reader, simple prefix
+    codes, literal pixel decode): a deterministic 4x4 VP8L file is
+    SYNTHESIZED per document — each channel draws from two values
+    selected by per-pixel bits (green: i%2 of {(d*3)%256,
+    (d*3+91)%256}; red: (i//2)%2 of {(d*5)%256, (d*5+47)%256}; blue:
+    (i//4)%2 of {(d*7)%256, (d*7+123)%256}) — decoded by the real
+    decoder, mean recomputed by DuckDB from the same arithmetic.
+    WebP lossless is exact, so any bit-order, prefix-code, or channel
+    bug shifts the mean and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import image_pixel_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+    selectors = [(i % 2, (i // 2) % 2, (i // 4) % 2) for i in range(16)]
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "payload": [
+                        make_test_media(
+                            "webp", 4, 4,
+                            greens=((int(d) * 3) % 256, (int(d) * 3 + 91) % 256),
+                            reds=((int(d) * 5) % 256, (int(d) * 5 + 47) % 256),
+                            blues=((int(d) * 7) % 256, (int(d) * 7 + 123) % 256),
+                            selectors=selectors,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        image_pixel_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate
     (operators/multimodal.decode_gif): a deterministic 4x4 REAL GIF is
@@ -7938,6 +8036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_megatron": _q_training_pipeline_megatron,
         "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "multimodal_tiff_pixel_stats": _q_multimodal_tiff_stats,
+        "multimodal_webp_pixel_stats": _q_multimodal_webp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
         "multimodal_gif_pixel_stats": _q_multimodal_gif_stats,
@@ -9903,6 +10003,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(AVG((d.doc_id * 7 + r.i * 13) % 256), 6) AS DOUBLE) AS mean_pixel
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  (SELECT unnest(range(48)) AS i) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_tiff_pixel_stats": """
+            SELECT d.doc_id, 4 AS width, 4 AS height,
+                   CAST(ROUND(AVG((d.doc_id * 13 + r.i * 23) % 256), 6) AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(48)) AS i) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_webp_pixel_stats": """
+            SELECT d.doc_id, 4 AS width, 4 AS height,
+                   CAST(ROUND(AVG(
+                       ( (d.doc_id * 3 + 91 * (p.i % 2)) % 256
+                       + (d.doc_id * 5 + 47 * ((p.i // 2) % 2)) % 256
+                       + (d.doc_id * 7 + 123 * ((p.i // 4) % 2)) % 256
+                       ) / 3.0
+                   ), 6) AS DOUBLE) AS mean_pixel
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(16)) AS i) p
             GROUP BY d.doc_id
             ORDER BY d.doc_id
         """,

@@ -2091,7 +2091,7 @@ def video_metadata(
 
 def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
     """Minimal valid headers for tests and gate fixtures (deterministic,
-    stdlib-only): png | gif | bmp | jpeg | wav | mp4."""
+    stdlib-only): png | gif | bmp | jpeg | tiff | webp | wav | mp4."""
     import struct as _s
 
     if fmt == "png":
@@ -2211,6 +2211,86 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
             len(data), 2835, 2835, 0, 0,
         )
         return hdr + info + data
+    if fmt == "tiff":
+        # full decodable uncompressed little-endian striped RGB TIFF
+        pixels = bytes(kw["pixels"])
+        assert len(pixels) == width * height * 3
+        strip_off = 8
+        pad = b"\x00" if len(pixels) % 2 else b""
+        ifd_off = strip_off + len(pixels) + len(pad)
+        # (tag, type, count, inline-or-offset); BitsPerSample overflows
+        bits_off = ifd_off + 2 + 12 * 10 + 4
+        entries = [
+            (256, 4, 1, width),
+            (257, 4, 1, height),
+            (258, 3, 3, bits_off),
+            (259, 3, 1, 1),
+            (262, 3, 1, 2),
+            (273, 4, 1, strip_off),
+            (277, 3, 1, 3),
+            (278, 4, 1, height),
+            (279, 4, 1, len(pixels)),
+            (284, 3, 1, 1),
+        ]
+        ifd = _s.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += _s.pack("<HHI", tag, typ, cnt)
+            ifd += _s.pack("<I", val) if typ == 4 or cnt > 1 else _s.pack("<HH", val, 0)
+        ifd += _s.pack("<I", 0)
+        return (
+            b"II\x2a\x00" + _s.pack("<I", ifd_off) + pixels + pad + ifd
+            + _s.pack("<HHH", 8, 8, 8)
+        )
+    if fmt == "webp":
+        # full decodable VP8L lossless: literal pixels through SIMPLE
+        # 2-symbol prefix codes (each channel limited to two values);
+        # selectors[i] = (green_bit, red_bit, blue_bit) per pixel
+        greens, reds, blues = kw["greens"], kw["reds"], kw["blues"]
+        selectors = kw["selectors"]
+        assert len(selectors) == width * height
+        wbits: list[int] = []
+
+        def _w(n: int, v: int) -> None:
+            for i in range(n):
+                wbits.append((v >> i) & 1)
+
+        _w(8, 0x2F)
+        _w(14, width - 1)
+        _w(14, height - 1)
+        _w(1, 0)  # alpha hint
+        _w(3, 0)  # version
+        _w(1, 0)  # no transforms
+        _w(1, 0)  # no color cache
+        _w(1, 0)  # no meta prefix image
+
+        def _simple(syms: tuple) -> None:
+            _w(1, 1)
+            _w(1, len(syms) - 1)
+            _w(1, 1)  # first symbol as 8 bits
+            _w(8, syms[0])
+            if len(syms) == 2:
+                _w(8, syms[1])
+
+        _simple(tuple(greens))
+        _simple(tuple(reds))
+        _simple(tuple(blues))
+        _simple((255,))  # alpha
+        _simple((0,))  # distance (unused)
+        for gb, rb, bb in selectors:
+            _w(1, gb)
+            _w(1, rb)
+            _w(1, bb)
+        payload = bytearray()
+        for i in range(0, len(wbits), 8):
+            byte = 0
+            for j, bit in enumerate(wbits[i : i + 8]):
+                byte |= bit << j
+            payload.append(byte)
+        chunk = b"VP8L" + _s.pack("<I", len(payload)) + bytes(payload)
+        if len(payload) % 2:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + _s.pack("<I", len(body)) + body
     if fmt == "jpeg":
         app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", height, width) + b"\x01\x11\x00"
