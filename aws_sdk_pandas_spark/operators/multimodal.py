@@ -232,16 +232,76 @@ def decode_wav(b: bytes):
     return ch, sr, samples[: frames * ch].reshape(frames, ch)
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(sl, nrows, stride, bpp):
+    """Undo the five PNG scanline filters: Sub is a modular cumsum over
+    byte lanes, Up a vector add, Average/Paeth a per-pixel walk with
+    vectorized lanes.  ``sl`` is (nrows, stride+1) with the filter byte
+    in column 0; ``bpp`` is the filter's byte offset to 'left'."""
+    import numpy as np
+
+    out = np.zeros((nrows, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    npx = stride // bpp
+    for r in range(nrows):
+        cur = sl[r, 1:].copy()
+        ft = int(sl[r, 0])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: x_i = raw_i + x_{i-bpp} -> lane-wise cumsum
+            lanes = cur[: npx * bpp].reshape(npx, bpp).astype(np.uint64)
+            head = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8)
+            cur[: npx * bpp] = head.reshape(npx * bpp)
+        elif ft == 2:  # Up
+            cur = cur + prev  # uint8 wraps = mod 256, the spec rule
+        elif ft == 3:  # Average
+            a = np.zeros(bpp, np.uint16)
+            up = prev.astype(np.uint16)
+            for x in range(npx):
+                s = slice(x * bpp, (x + 1) * bpp)
+                a = ((a + up[s]) >> 1).astype(np.uint16)
+                px = (cur[s].astype(np.uint16) + a) & 0xFF
+                cur[s] = px.astype(np.uint8)
+                a = px
+        elif ft == 4:  # Paeth
+            a = np.zeros(bpp, np.int32)
+            c = np.zeros(bpp, np.int32)
+            up = prev.astype(np.int32)
+            for x in range(npx):
+                s = slice(x * bpp, (x + 1) * bpp)
+                bb = up[s]
+                p = a + bb - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c)
+                )
+                px = (cur[s].astype(np.int32) + pred) & 0xFF
+                cur[s] = px.astype(np.uint8)
+                a, c = px, bb
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+        prev = out[r]
+    return out
+
+
 def decode_png(b: bytes) -> tuple[int, int, bytes]:
-    """REAL pure-python/numpy PNG decode — 8-bit depth, color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  PNG is stdlib-decodable: chunks -> concatenated
-    IDAT -> ``zlib`` inflate -> per-scanline unfilter (the spec's five
-    filters; Sub is a modular cumsum over byte lanes, Up a vector add,
-    Average/Paeth a per-pixel walk with vectorized lanes).  Returns
-    ``(width, height, rgb_bytes)`` row-major top-down RGB (alpha
-    dropped), matching ``decode_bmp``'s convention.  16-bit depth and
-    Adam7 interlacing refuse loudly."""
+    """REAL pure-python/numpy PNG decode — every legal depth/color
+    combination: depths 1/2/4 (gray + palette), 8 and 16 (all color
+    types 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA), both
+    non-interlaced and Adam7-interlaced (each of the seven passes is
+    its own filtered sub-image, unfiltered independently and scattered
+    into the canvas).  PNG is stdlib-decodable: chunks -> concatenated
+    IDAT -> ``zlib`` inflate -> per-scanline unfilter
+    (:func:`_png_unfilter`).  Returns ``(width, height, rgb_bytes)``
+    row-major top-down RGB (alpha dropped, 16-bit scaled to the high
+    byte, sub-byte gray scaled to full range), matching
+    ``decode_bmp``'s convention."""
     import struct as _s
     import zlib as _z
 
@@ -270,77 +330,85 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
             break
     if w is None:
         raise ValueError("PNG has no IHDR")
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG is not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if color not in legal:
         raise ValueError(f"unsupported PNG color type {color}")
+    if depth not in legal[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = _z.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+
+    samples = np.zeros((h, w, channels), np.uint16)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = 0 if w <= x0 else (w - x0 - 1) // dx + 1
+        ph = 0 if h <= y0 else (h - y0 - 1) // dy + 1
+        if pw == 0 or ph == 0:
+            continue
+        bits_px = channels * depth
+        stride = (pw * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)
+        need = ph * (stride + 1)
+        if rpos + need > len(raw):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, "
+                f"expected at least {rpos + need}"
+            )
+        sl = np.frombuffer(
+            raw[rpos : rpos + need], np.uint8
+        ).reshape(ph, stride + 1)
+        rpos += need
+        flat = _png_unfilter(sl, ph, stride, bpp)
+        if depth == 8:
+            sp = flat.reshape(ph, pw, channels).astype(np.uint16)
+        elif depth == 16:
+            sp = (
+                flat.reshape(ph, pw * channels, 2).astype(np.uint16)[:, :, 0] << 8
+            ) | flat.reshape(ph, pw * channels, 2)[:, :, 1]
+            sp = sp.reshape(ph, pw, channels)
+        else:  # 1/2/4-bit, single channel
+            bits = np.unpackbits(flat, axis=1)  # MSB first, the spec order
+            groups = bits[:, : (stride * 8 // depth) * depth].reshape(
+                ph, -1, depth
+            )
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (groups * weights).sum(axis=2).astype(np.uint16)
+            sp = vals[:, :pw].reshape(ph, pw, 1)
+        samples[y0::dy, x0::dx] = sp
+    if rpos != len(raw):
         raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, expected {h * (stride + 1)}"
+            f"PNG scanline data is {len(raw)} bytes, expected {rpos}"
         )
-    sl = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    filters = sl[:, 0]
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    bpp = channels
-    for r in range(h):
-        cur = sl[r, 1:].copy()
-        ft = int(filters[r])
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub: x_i = raw_i + x_{i-bpp} -> lane-wise cumsum mod 256
-            lanes = cur.reshape(w, bpp).astype(np.uint64)
-            cur = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up
-            cur = cur + prev  # uint8 wraps = mod 256, the spec rule
-        elif ft == 3:  # Average
-            cur = cur.copy()
-            a = np.zeros(bpp, np.uint16)
-            up = prev.astype(np.uint16)
-            for x in range(w):
-                s = slice(x * bpp, (x + 1) * bpp)
-                a = ((a + up[s]) >> 1).astype(np.uint16)
-                px = (cur[s].astype(np.uint16) + a) & 0xFF
-                cur[s] = px.astype(np.uint8)
-                a = px
-        elif ft == 4:  # Paeth
-            cur = cur.copy()
-            a = np.zeros(bpp, np.int32)
-            c = np.zeros(bpp, np.int32)
-            up = prev.astype(np.int32)
-            for x in range(w):
-                s = slice(x * bpp, (x + 1) * bpp)
-                bb = up[s]
-                p = a + bb - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c)
-                )
-                px = (cur[s].astype(np.int32) + pred) & 0xFF
-                cur[s] = px.astype(np.uint8)
-                a, c = px, bb
+
+    if depth == 16:
+        eight = (samples >> 8).astype(np.uint8)
+    elif depth == 8:
+        eight = samples.astype(np.uint8)
+    else:
+        if color == 3:
+            eight = samples.astype(np.uint8)  # palette indexes
         else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[r] = cur
-        prev = out[r]
+            eight = (samples * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if color == 2:
-        rgb = out.reshape(h, w, 3)
+        rgb = eight
     elif color == 6:
-        rgb = out.reshape(h, w, 4)[:, :, :3]
+        rgb = eight[:, :, :3]
     elif color == 0:
-        rgb = np.repeat(out.reshape(h, w, 1), 3, axis=2)
+        rgb = np.repeat(eight, 3, axis=2)
     elif color == 4:
-        rgb = np.repeat(out.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+        rgb = np.repeat(eight[:, :, :1], 3, axis=2)
     else:  # palette
         if plte is None:
             raise ValueError("paletted PNG without PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        rgb = pal[out.reshape(h, w)]
+        idx = eight.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index beyond PLTE")
+        rgb = pal[idx]
     return int(w), int(h), np.ascontiguousarray(rgb).tobytes()
 
 

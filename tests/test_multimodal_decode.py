@@ -459,13 +459,18 @@ def test_png_decode_all_filters_and_color_types():
     )
     assert gotp == bytes(pal[i * 3 + k] for i in idx for k in range(3))
 
-    # refusals
+    # refusals: an illegal depth/color combination, and a 16-bit header
+    # over 8-bit data (scanline arithmetic catches the lie)
     import struct as _s
     import pytest as _pytest
 
     bad = bytearray(_png_encode(px, w, h, color=2))
-    _s.pack_into(">B", bad, 8 + 8 + 8, 16)  # depth byte inside IHDR
-    with _pytest.raises(ValueError, match="bit depth"):
+    _s.pack_into(">B", bad, 8 + 8 + 8, 3)  # depth byte inside IHDR
+    with _pytest.raises(ValueError, match="illegal PNG depth"):
+        decode_png(bytes(bad))
+    bad = bytearray(_png_encode(px, w, h, color=2))
+    _s.pack_into(">B", bad, 8 + 8 + 8, 16)
+    with _pytest.raises(ValueError, match="scanline"):
         decode_png(bytes(bad))
 
 
@@ -2841,3 +2846,171 @@ def test_webp_lz77_2d_distance_codes():
         row2 = (_rand_bytes(4 * 3, seed=15) * 8)[: w2 * 3]
         rgb2 = row2 * 6
         assert decode_webp(_webp_encode(rgb2, w2, 6, lz77=True)) == (w2, 6, rgb2)
+
+
+# ----------------------------------------------- PNG: depths + Adam7
+
+
+def _png_encode_v2(samples, w, h, *, color=2, depth=8, interlace=False,
+                   palette=None, filter_cycle=(0, 1, 2, 3, 4)):
+    """Generalized test-side PNG encoder (pure ints, independent of the
+    numpy decoder): any legal depth (1/2/4/8/16), all color types,
+    optional Adam7 pass splitting — each pass filtered independently
+    with the spec's filter functions over byte-packed scanlines."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    assert len(samples) == w * h * ch
+
+    def pack_row(vals):
+        if depth == 8:
+            return list(vals)
+        if depth == 16:
+            out = []
+            for v in vals:
+                out += [v >> 8, v & 0xFF]
+            return out
+        bits = []
+        for v in vals:
+            for i in range(depth - 1, -1, -1):
+                bits.append((v >> i) & 1)
+        while len(bits) % 8:
+            bits.append(0)
+        return [
+            sum(bit << (7 - j) for j, bit in enumerate(bits[i : i + 8]))
+            for i in range(0, len(bits), 8)
+        ]
+
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    passes = adam7 if interlace else [(0, 0, 1, 1)]
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        pw = 0 if w <= x0 else (w - x0 - 1) // dx + 1
+        ph = 0 if h <= y0 else (h - y0 - 1) // dy + 1
+        if pw == 0 or ph == 0:
+            continue
+        prev = None
+        for ry in range(ph):
+            y = y0 + ry * dy
+            vals = []
+            for rx in range(pw):
+                x = x0 + rx * dx
+                vals += samples[(y * w + x) * ch : (y * w + x) * ch + ch]
+            row = pack_row(vals)
+            pr = prev if prev is not None else [0] * len(row)
+            ft = filter_cycle[fi % len(filter_cycle)]
+            fi += 1
+            raw.append(ft)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = pr[i]
+                c = pr[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    f = row[i]
+                elif ft == 1:
+                    f = row[i] - a
+                elif ft == 2:
+                    f = row[i] - b
+                elif ft == 3:
+                    f = row[i] - (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    f = row[i] - pred
+                raw.append(f & 0xFF)
+            prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0),
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_16bit_depths():
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_png
+
+    rng = random.Random(21)
+    w, h = 9, 6
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        samples = [rng.randrange(65536) for _ in range(w * h * ch)]
+        got = decode_png(_png_encode_v2(samples, w, h, color=color, depth=16))
+        eight = [v >> 8 for v in samples]
+        if color == 0:
+            want = bytes(v for v in eight for _ in range(3))
+        elif color == 2:
+            want = bytes(eight)
+        elif color == 4:
+            want = bytes(eight[i] for i in range(0, len(eight), 2) for _ in range(3))
+        else:
+            want = bytes(
+                v for i, v in enumerate(eight) if i % 4 != 3
+            )
+        assert got == (w, h, want), color
+
+
+def test_png_sub_byte_depths():
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_png
+
+    rng = random.Random(22)
+    w, h = 11, 7  # odd width: partial final byte per scanline
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        g = [rng.randrange(mx + 1) for _ in range(w * h)]
+        got = decode_png(_png_encode_v2(g, w, h, color=0, depth=depth))
+        want = bytes(v * 255 // mx for v in g for _ in range(3))
+        assert got == (w, h, want), depth
+        # palette at the same depth
+        pal = bytes(rng.randrange(256) for _ in range(3 * (mx + 1)))
+        got = decode_png(
+            _png_encode_v2(g, w, h, color=3, depth=depth, palette=pal)
+        )
+        want = bytes(pal[i * 3 + k] for i in g for k in range(3))
+        assert got == (w, h, want), ("palette", depth)
+
+
+def test_png_adam7_interlace():
+    import random
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_png
+
+    rng = random.Random(23)
+    # odd dims exercise partial passes; tiny dims leave passes empty
+    for w, h in ((13, 11), (8, 8), (3, 2), (1, 1), (16, 5)):
+        px = [rng.randrange(256) for _ in range(w * h * 3)]
+        plain = decode_png(_png_encode_v2(px, w, h, color=2, depth=8))
+        inter = decode_png(
+            _png_encode_v2(px, w, h, color=2, depth=8, interlace=True)
+        )
+        assert inter == plain == (w, h, bytes(px)), (w, h)
+    # interlace composes with 16-bit and sub-byte palette
+    w, h = 10, 9
+    g16 = [rng.randrange(65536) for _ in range(w * h)]
+    got = decode_png(_png_encode_v2(g16, w, h, color=0, depth=16, interlace=True))
+    assert got == (w, h, bytes(v >> 8 for v in g16 for _ in range(3)))
+    pal = bytes(rng.randrange(256) for _ in range(48))
+    idx = [rng.randrange(16) for _ in range(w * h)]
+    got = decode_png(
+        _png_encode_v2(idx, w, h, color=3, depth=4, palette=pal, interlace=True)
+    )
+    assert got == (w, h, bytes(pal[i * 3 + k] for i in idx for k in range(3)))
