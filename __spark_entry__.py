@@ -7160,6 +7160,48 @@ def _q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode under the hash gate
+    (operators/flac_lite.decode_flac + audio_pcm_stats): a
+    deterministic 64-frame 16-bit mono FLAC per document — sample j of
+    doc d is ((d*29 + j*23) % 65536) - 32768, carried in a VERBATIM
+    subframe with real header CRC-8 / frame CRC-16 — decoded by the
+    native FLAC decoder, normalized, and its RMS recomputed by DuckDB
+    in double precision from the same formula.  A bit-reader, subframe,
+    or CRC bug shifts the stats and hash-mismatches."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import audio_pcm_stats, make_test_media
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                vals = [((int(d) * 29 + j * 23) % 65536) - 32768 for j in range(64)]
+                payloads.append(
+                    make_test_media("flac", sample_rate=16000, samples=vals)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str), "payload": payloads})
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        audio_pcm_stats(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "channels",
+            "sample_rate",
+            "n_frames",
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _URL_SYNTH = """
     concat('https://',
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ''
@@ -8051,6 +8093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_skipping_pruned_agg": _q_lakehouse_skipping,
         "lakehouse_cdf_changes": _q_lakehouse_cdf,
         "multimodal_wav_pcm_stats": _q_multimodal_wav_stats,
+        "multimodal_flac_pcm_stats": _q_multimodal_flac_stats,
         "multimodal_audio_spectral": _q_multimodal_audio_spectral,
         "docs_url_features": _q_url_features,
         "docs_url_psl_domains": _q_url_psl_domains,
@@ -10062,6 +10105,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS BIGINT) AS n_frames,
                    CAST(ROUND(sqrt(AVG(
                        POW((((d.doc_id * 31 + r.j * 17) % 65536) - 32768) / 32768.0, 2)
+                   )), 6) AS DOUBLE) AS rms
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 (SELECT unnest(range(64)) AS j) r
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "multimodal_flac_pcm_stats": """
+            SELECT d.doc_id, 1 AS channels, 16000 AS sample_rate,
+                   CAST(64 AS BIGINT) AS n_frames,
+                   CAST(ROUND(sqrt(AVG(
+                       POW((((d.doc_id * 29 + r.j * 23) % 65536) - 32768) / 32768.0, 2)
                    )), 6) AS DOUBLE) AS rms
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
                  (SELECT unnest(range(64)) AS j) r

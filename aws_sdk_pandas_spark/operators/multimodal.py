@@ -80,8 +80,8 @@ def extract_features(
     def _real_feature(payload: bytes) -> list[float]:
         import numpy as np
 
-        if payload[:4] == b"RIFF":
-            _ch, _sr, samples = decode_wav(payload)
+        if payload[:4] == b"RIFF" or payload[:4] == b"fLaC":
+            _ch, _sr, samples = decode_audio(payload)
             hist, _ = np.histogram(samples.mean(axis=1), bins=dim, range=(-1.0, 1.0))
         else:
             # BMP/PNG/GIF/JPEG all decode natively now
@@ -230,6 +230,20 @@ def decode_wav(b: bytes):
         raise ValueError(f"unsupported PCM bit depth {bits}")
     frames = len(samples) // ch
     return ch, sr, samples[: frames * ch].reshape(frames, ch)
+
+
+def decode_audio(b: bytes):
+    """Audio decode kernel dispatch by magic: PCM WAV
+    (``decode_wav``) or FLAC (``flac_lite.decode_flac`` — REAL native
+    decode: rice residuals, fixed+LPC predictors, stereo
+    decorrelation, CRC-verified frames).  Same ``(channels,
+    sample_rate, (n, ch) float32)`` contract either way, so pcm
+    stats / dHash dedup / spectral features run on both formats."""
+    if b and bytes(b[:4]) == b"fLaC":
+        from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
+
+        return decode_flac(bytes(b))
+    return decode_wav(b)
 
 
 _ADAM7 = [
@@ -806,7 +820,7 @@ def audio_dhash(
         def one(p):
             if p is None:
                 return None
-            _ch, _sr, samples = decode_wav(bytes(p))
+            _ch, _sr, samples = decode_audio(bytes(p))
             mono = samples.astype(np.float64).mean(axis=1)
             n = mono.shape[0]
             if n == 0:
@@ -878,7 +892,7 @@ def audio_pcm_stats(
                 if p is None:
                     out.append((str(mid),) + (None,) * 6)
                     continue
-                ch, sr, samples = decode_wav(bytes(p))
+                ch, sr, samples = decode_audio(bytes(p))
                 # float64 reductions: keeps the stats bit-comparable to a
                 # double-precision recomputation (the oracle gate)
                 mono = samples.astype(np.float64).mean(axis=1)
@@ -992,7 +1006,7 @@ def audio_spectral_features(
                 if p is None:
                     out.append((str(mid), None, None) + (None,) * 6)
                     continue
-                _ch, sr, samples = decode_wav(bytes(p))
+                _ch, sr, samples = decode_audio(bytes(p))
                 mono = samples.astype(np.float64).mean(axis=1)
                 n = mono.shape[0]
                 if n < frame_len:
@@ -2359,6 +2373,63 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
             chunk += b"\x00"
         body = b"WEBP" + chunk
         return b"RIFF" + _s.pack("<I", len(body)) + body
+    if fmt == "flac" and "samples" in kw:
+        # full decodable FLAC: one frame of VERBATIM 16-bit samples
+        # (without samples= the metadata-only STREAMINFO stub below is
+        # returned instead)
+        from aws_sdk_pandas_spark.operators.flac_lite import _crc8, _crc16
+
+        sr = kw.get("sample_rate", 16000)
+        samples = kw["samples"]  # list of signed 16-bit ints, mono
+        n = len(samples)
+
+        wbits: list[int] = []
+
+        def _wb(nb: int, v: int) -> None:
+            for i in range(nb - 1, -1, -1):
+                wbits.append((v >> i) & 1)
+
+        def _flush() -> bytes:
+            outb = bytearray()
+            for i in range(0, len(wbits), 8):
+                byte = 0
+                for bit in wbits[i : i + 8]:
+                    byte = (byte << 1) | bit
+                outb.append(byte)
+            wbits.clear()
+            return bytes(outb)
+
+        _wb(16, n)
+        _wb(16, n)
+        _wb(24, 0)
+        _wb(24, 0)
+        _wb(20, sr)
+        _wb(3, 0)  # mono
+        _wb(5, 15)  # 16-bit
+        _wb(36, n)
+        info = _flush() + b"\x00" * 16
+        out = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+        _wb(14, 0x3FFE)
+        _wb(2, 0)  # reserved + fixed blocksize
+        _wb(4, 7)  # 16-bit explicit blocksize
+        _wb(4, 0)  # sample rate from STREAMINFO
+        _wb(4, 0)  # mono independent
+        _wb(3, 4)  # 16-bit samples
+        _wb(1, 0)
+        _wb(8, 0)  # frame number 0
+        _wb(16, n - 1)
+        hdr = _flush()
+        hdr += bytes([_crc8(hdr)])
+        _wb(1, 0)  # subframe padding bit
+        _wb(6, 1)  # type VERBATIM
+        _wb(1, 0)  # no wasted bits
+        for v in samples:
+            _wb(16, v & 0xFFFF)
+        while len(wbits) % 8:
+            wbits.append(0)
+        frame = hdr + _flush()
+        return out + frame + _crc16(frame).to_bytes(2, "big")
     if fmt == "jpeg":
         app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", height, width) + b"\x01\x11\x00"

@@ -3014,3 +3014,345 @@ def test_png_adam7_interlace():
         _png_encode_v2(idx, w, h, color=3, depth=4, palette=pal, interlace=True)
     )
     assert got == (w, h, bytes(pal[i * 3 + k] for i in idx for k in range(3)))
+
+
+# ---------------------------------------------------------------- FLAC
+
+
+class _FlacBW:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, n, v):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def sw(self, n, v):
+        self.w(n, v & ((1 << n) - 1))
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
+
+def _flac_crc8(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8(bw, v):
+    if v < 0x80:
+        bw.w(8, v)
+        return
+    assert v < 0x800
+    bw.w(8, 0xC0 | (v >> 6))
+    bw.w(8, 0x80 | (v & 0x3F))
+
+
+def _flac_rice_residual(bw, res, porder, *, escape_raw=None):
+    """Rice-code a residual sequence with 4-bit params; escape_raw
+    forces escape partitions of that raw width."""
+    bw.w(2, 0)  # 4-bit rice method
+    bw.w(4, porder)
+    partitions = 1 << porder
+    n_total = None  # partition sizes handled by caller splitting
+    # caller passes res already split per partition
+    for part in res:
+        if escape_raw is not None:
+            bw.w(4, 15)
+            bw.w(5, escape_raw)
+            for v in part:
+                bw.sw(escape_raw, v)
+            continue
+        zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v << 1) - 1) for v in part]
+        zig = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in part]
+        mx = max(zig) if part else 0
+        param = max(0, mx.bit_length() - 3)
+        assert param < 15
+        bw.w(4, param)
+        for v in zig:
+            q = v >> param
+            for _ in range(q):
+                bw.w(1, 0)
+            bw.w(1, 1)
+            if param:
+                bw.w(param, v & ((1 << param) - 1))
+
+
+def _flac_subframe(bw, samples, bps, kind, *, porder=0, wasted=0,
+                   escape_raw=None):
+    n = len(samples)
+    bw.w(1, 0)
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in samples)
+        samples = [v >> wasted for v in samples]
+        bps -= wasted
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        bw.w(6, 0)
+        _w_wasted(bw, wasted)
+        bw.sw(bps, samples[0])
+        return
+    if kind == "verbatim":
+        bw.w(6, 1)
+        _w_wasted(bw, wasted)
+        for v in samples:
+            bw.sw(bps, v)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[-1])
+        coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+        bw.w(6, 8 + order)
+        _w_wasted(bw, wasted)
+        for v in samples[:order]:
+            bw.sw(bps, v)
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+    elif kind == "lpc":
+        order, prec, shift = 2, 5, 1
+        coefs = [3, -1]
+        bw.w(6, 32 + order - 1)
+        _w_wasted(bw, wasted)
+        for v in samples[:order]:
+            bw.sw(bps, v)
+        bw.w(4, prec - 1)
+        bw.sw(5, shift)
+        for c in coefs:
+            bw.sw(prec, c)
+        res = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+    else:
+        raise AssertionError(kind)
+    per = n >> porder
+    parts = []
+    start = 0
+    for pi in range(1 << porder):
+        cnt = per - order if pi == 0 else per
+        parts.append(res[start : start + cnt])
+        start += cnt
+    _flac_rice_residual(bw, parts, porder, escape_raw=escape_raw)
+
+
+def _w_wasted(bw, wasted):
+    if wasted:
+        bw.w(1, 1)
+        for _ in range(wasted - 1):
+            bw.w(1, 0)
+        bw.w(1, 1)
+    else:
+        bw.w(1, 0)
+
+
+def _flac_encode(chans, sr, bits, *, blocksize=192, mode="independent",
+                 kind="fixed1", porder=0, wasted=0, escape_raw=None):
+    """Test-side FLAC encoder written from the xiph spec — independent
+    of the decoder (own CRC tables, rice coder, predictors)."""
+    import struct
+
+    ch = len(chans)
+    n_total = len(chans[0])
+    out = bytearray(b"fLaC")
+    info = _FlacBW()
+    info.w(16, blocksize)
+    info.w(16, blocksize)
+    info.w(24, 0)
+    info.w(24, 0)
+    info.w(20, sr)
+    info.w(3, ch - 1)
+    info.w(5, bits - 1)
+    info.w(36, n_total)
+    body = info.tobytes() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    ss_map = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+    frame_idx = 0
+    for start in range(0, n_total, blocksize):
+        n = min(blocksize, n_total - start)
+        bw = _FlacBW()
+        bw.w(14, 0x3FFE)
+        bw.w(1, 0)
+        bw.w(1, 0)  # fixed blocksize
+        bw.w(4, 7)  # 16-bit explicit blocksize
+        bw.w(4, 0)  # sample rate from STREAMINFO
+        chmap = {"independent": ch - 1, "left-side": 8, "right-side": 9,
+                 "mid-side": 10}
+        bw.w(4, chmap[mode])
+        bw.w(3, ss_map.get(bits, 0))
+        bw.w(1, 0)
+        _flac_utf8(bw, frame_idx)
+        bw.w(16, n - 1)
+        hdr = bw.tobytes()
+        bw2 = _FlacBW()
+        bw2.w(8, _flac_crc8(hdr))
+
+        blocks = [c[start : start + n] for c in chans]
+        if mode == "independent":
+            subs = [(b_, bits) for b_ in blocks]
+        elif mode == "left-side":
+            side = [l - r for l, r in zip(blocks[0], blocks[1])]
+            subs = [(blocks[0], bits), (side, bits + 1)]
+        elif mode == "right-side":
+            side = [l - r for l, r in zip(blocks[0], blocks[1])]
+            subs = [(side, bits + 1), (blocks[1], bits)]
+        else:
+            side = [l - r for l, r in zip(blocks[0], blocks[1])]
+            mid = [(l + r) >> 1 for l, r in zip(blocks[0], blocks[1])]
+            subs = [(mid, bits), (side, bits + 1)]
+        for samples, bps in subs:
+            k = kind
+            if k.startswith("fixed") and len(set(samples)) == 1:
+                k = "constant"
+            _flac_subframe(bw2, samples, bps, k, porder=porder,
+                           wasted=wasted, escape_raw=escape_raw)
+        bw2.align()
+        frame_wo_crc16 = hdr + bw2.tobytes()
+        out += frame_wo_crc16 + struct.pack(">H", _flac_crc16(frame_wo_crc16))
+        frame_idx += 1
+    return bytes(out)
+
+
+def _flac_test_signal(n, ch, bits, seed=0, wasted=0):
+    import math
+    import random
+
+    rng = random.Random(seed)
+    lim = (1 << (bits - 1)) - 1
+    chans = []
+    for c in range(ch):
+        vals = []
+        for i in range(n):
+            v = int(lim * 0.6 * math.sin(i * (0.03 + 0.01 * c))) + rng.randrange(-40, 41)
+            v = max(-lim - 1, min(lim, v))
+            vals.append((v >> wasted) << wasted)
+        chans.append(vals)
+    return chans
+
+
+def test_flac_decode_roundtrip_matrix():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
+
+    n, sr, bits = 500, 16000, 16
+    chans = _flac_test_signal(n, 2, bits, seed=1)
+    want = (np.array(chans, np.float64).T / (1 << (bits - 1))).astype(np.float32)
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        for kind in ("verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "lpc"):
+            ch, got_sr, got = decode_flac(
+                _flac_encode(chans, sr, bits, mode=mode, kind=kind)
+            )
+            assert (ch, got_sr) == (2, sr)
+            assert got.shape == (n, 2)
+            assert (got == want).all(), (mode, kind)
+
+
+def test_flac_rice_partitions_escapes_wasted():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
+
+    n, sr, bits = 512, 44100, 16
+    chans = _flac_test_signal(n, 1, bits, seed=2)
+    want = (np.array(chans, np.float64).T / (1 << (bits - 1))).astype(np.float32)
+    # partition orders
+    for porder in (0, 1, 2, 4):
+        _, _, got = decode_flac(
+            _flac_encode(chans, sr, bits, blocksize=256, kind="fixed2",
+                         porder=porder)
+        )
+        assert (got == want).all(), porder
+    # escape partitions: raw 17-bit residuals
+    _, _, got = decode_flac(
+        _flac_encode(chans, sr, bits, kind="fixed1", escape_raw=17)
+    )
+    assert (got == want).all()
+    # wasted bits
+    chw = _flac_test_signal(n, 1, bits, seed=3, wasted=3)
+    wantw = (np.array(chw, np.float64).T / (1 << (bits - 1))).astype(np.float32)
+    _, _, got = decode_flac(_flac_encode(chw, sr, bits, kind="fixed1", wasted=3))
+    assert (got == wantw).all()
+    # constant blocks + 8-bit depth
+    const = [[37] * 300]
+    _, _, got = decode_flac(_flac_encode(const, 8000, 8, kind="fixed1"))
+    assert (got == np.float32(37 / 128.0)).all()
+
+
+def test_flac_crc_verification():
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
+
+    chans = _flac_test_signal(300, 1, 16, seed=4)
+    good = _flac_encode(chans, 16000, 16)
+    decode_flac(good)
+    bad = bytearray(good)
+    bad[-1] ^= 0x01  # last CRC-16 byte
+    with _pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(bad))
+    # flip a bit inside the first frame header -> CRC-8 catches it
+    hdr_pos = good.index(b"\xff\xf8", 42)
+    bad = bytearray(good)
+    bad[hdr_pos + 3] ^= 0x40  # channel-assignment bits
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_flac_equals_wav_through_audio_kernels(spark):
+    """The SAME PCM through WAV and FLAC must produce IDENTICAL pcm
+    stats and audio dHash — a cross-format consistency check that
+    doesn't trust either codec in isolation."""
+    import struct
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_dhash,
+        audio_pcm_stats,
+        make_test_media,
+        sniff_format,
+    )
+
+    chans = _flac_test_signal(400, 1, 16, seed=5)
+    pcm = struct.pack(f"<{len(chans[0])}h", *chans[0])
+    wav = make_test_media("wav", sample_rate=16000, channels=1, bits=16, data=pcm)
+    flac = _flac_encode(chans, 16000, 16, kind="fixed2")
+    df = spark.createDataFrame(
+        [("w", bytearray(wav)), ("f", bytearray(flac))],
+        "media_id string, payload binary",
+    )
+    fmts = {
+        r.media_id: r.fmt
+        for r in df.select("media_id", sniff_format("payload").alias("fmt")).collect()
+    }
+    assert fmts == {"w": "wav", "f": "flac"}
+    stats = {r.media_id: r for r in audio_pcm_stats(df).collect()}
+    for field in ("channels", "sample_rate", "n_frames", "rms", "peak",
+                  "zero_crossing_rate"):
+        assert getattr(stats["w"], field) == getattr(stats["f"], field), field
+    hashes = {r.media_id: r.adhash for r in audio_dhash(df).collect()}
+    assert hashes["w"] == hashes["f"]
