@@ -27,9 +27,11 @@ A progressive stream truncated after any scan prefix still decodes
 (coarser picture) — exactly the format's design — because missing
 refinement scans simply leave low-order coefficient bits at zero.
 
+Both 8- and 12-bit sample precision decode (12-bit: 2048 level
+shift, 16-bit quantization tables, output scaled to 8-bit RGB).
 Honest limits, refused loudly rather than mis-decoded: arithmetic
-coding (SOF9+), hierarchical and lossless modes, 12-bit precision,
-and 4-component (CMYK/Adobe) color.
+coding (SOF9+), hierarchical and lossless modes, and 4-component
+(CMYK/Adobe) color.
 
 Validated in ``tests/test_multimodal_decode.py`` against INDEPENDENT
 test-side encoders written from the spec (forward DCT + canonical
@@ -192,7 +194,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -221,6 +223,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             frame = {
                 "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
                 "mcux": mcux, "mcuy": mcuy, "progressive": marker == 0xC2,
+                "prec": prec,
             }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -439,17 +442,21 @@ def _finish(frame, coeffs, qt):
         plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(plane[:h, :w])
+    level = 1 << (frame["prec"] - 1)  # 128 for 8-bit, 2048 for 12-bit
+    maxv = (1 << frame["prec"]) - 1
     if len(full) == 1:
-        ych = np.clip(full[0] + 128.0, 0, 255)
+        ych = np.clip(full[0] + float(level), 0, maxv)
         rgb = np.repeat(ych[:, :, None], 3, axis=2)
     else:
-        y = full[0] + 128.0
+        y = full[0] + float(level)
         cb = full[1]
         cr = full[2]
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         bl = y + 1.772 * cb
-        rgb = np.clip(np.stack([r, g, bl], axis=2), 0, 255)
+        rgb = np.clip(np.stack([r, g, bl], axis=2), 0, maxv)
+    if frame["prec"] != 8:
+        rgb = rgb * (255.0 / maxv)
     return int(w), int(h), np.ascontiguousarray(
         (rgb + 0.5).astype(np.uint8)
     ).tobytes()

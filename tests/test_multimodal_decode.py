@@ -3356,3 +3356,113 @@ def test_flac_equals_wav_through_audio_kernels(spark):
         assert getattr(stats["w"], field) == getattr(stats["f"], field), field
     hashes = {r.media_id: r.adhash for r in audio_dhash(df).collect()}
     assert hashes["w"] == hashes["f"]
+
+
+def _jpeg_encode12_gray(samples, w, h):
+    """Test-side 12-bit BASELINE grayscale JPEG encoder (T.81 extended
+    precision: 2048 level shift, 16-bit DQT, DC categories up to 15) —
+    independent of the decoder."""
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import _A, ZIGZAG
+
+    Q = np.full(64, 32, np.int64)
+    Q[0] = 16
+
+    dc_syms = list(range(16))
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0xF0]
+    dc_code = {sym: (5, i) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (9, i) for i, sym in enumerate(ac_syms)}
+
+    p = np.asarray(samples, np.float64).reshape(h, w)
+    th, tw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(p, ((0, th - h), (0, tw - w)), mode="edge") - 2048.0
+
+    bits = []
+
+    def put(nbits, code):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(t, v if v > 0 else v + (1 << t) - 1)
+
+    pred = 0
+    for by in range(th // 8):
+        for bx in range(tw // 8):
+            F_ = _A @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _A.T
+            zz = np.round(F_.reshape(64)[ZIGZAG] / Q).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            put(*dc_code[t])
+            put_val(diff, t)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    put(*ac_code[0x00])
+                    break
+                while run >= 16:
+                    put(*ac_code[0xF0])
+                    run -= 16
+                v = int(zz[k])
+                s_cat = abs(v).bit_length()
+                put(*ac_code[(run << 4) | s_cat])
+                put_val(v, s_cat)
+                k += 1
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i : i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    dqt = bytes([0x10]) + b"".join(struct.pack(">H", int(x)) for x in Q)
+    out += seg(0xDB, dqt)
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [0] * 16
+    dc_bits[4] = 16
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + bytes(scan) + b"\xff\xd9"
+
+
+def test_jpeg_12bit_precision():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 16, 16
+    # solid 12-bit value: DC-only, decodes near-exactly then scales /16
+    solid = [3000] * (w * h)
+    gw, gh, got = decode_jpeg(_jpeg_encode12_gray(solid, w, h))
+    assert (gw, gh) == (w, h)
+    a = np.frombuffer(got, np.uint8).reshape(h, w, 3)
+    assert abs(int(a[3, 3, 0]) - round(3000 * 255 / 4095)) <= 2
+    assert (a[:, :, 0] == a[:, :, 1]).all()
+
+    # 12-bit gradient survives above 30 dB PSNR at 8-bit output scale
+    grad = [(x * 200 + y * 37) % 4096 for y in range(h) for x in range(w)]
+    _, _, got2 = decode_jpeg(_jpeg_encode12_gray(grad, w, h))
+    want = np.array(grad, np.float64).reshape(h, w) * 255 / 4095
+    y8 = np.frombuffer(got2, np.uint8).reshape(h, w, 3)[:, :, 0].astype(float)
+    mse = float(np.mean((want - y8) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 25, mse
