@@ -198,6 +198,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if w <= 0 or h <= 0 or w * h > 1 << 28:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")

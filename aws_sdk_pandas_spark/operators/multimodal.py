@@ -353,7 +353,21 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = _z.decompress(bytes(idat))
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    # bound the inflate by what the geometry can legally need — a
+    # crafted IDAT cannot expand past the scanline budget
+    budget = 0
+    for _x0, _y0, _dx, _dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        _pw = 0 if w <= _x0 else (w - _x0 - 1) // _dx + 1
+        _ph = 0 if h <= _y0 else (h - _y0 - 1) // _dy + 1
+        if _pw and _ph:
+            budget += _ph * ((_pw * channels * depth + 7) // 8 + 1)
+    try:
+        _d = _z.decompressobj()
+        raw = _d.decompress(bytes(idat), budget + 64)
+    except _z.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
 
     samples = np.zeros((h, w, channels), np.uint16)
     passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
@@ -426,7 +440,7 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
     return int(w), int(h), np.ascontiguousarray(rgb).tobytes()
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int | None = None) -> list[int]:
     """GIF-variant LZW: variable code width starting min+1, CLEAR
     resets the table, EOI terminates; emitted codes index a growing
     dictionary of index strings."""
@@ -464,6 +478,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 entry = prev + [prev[0]]
                 table.append(entry)
             out.extend(entry)
+            if max_out is not None and len(out) >= max_out:
+                return out  # decompression-bomb guard: image is full
             prev = entry
             if len(table) == (1 << width) and width < 12:
                 width += 1
@@ -516,7 +532,9 @@ def decode_gif(b: bytes) -> tuple[int, int, bytes]:
                 ln = b[pos]
                 data += b[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            idx = _gif_lzw_decode(bytes(data), min_code)
+            if w * h > 1 << 28:
+                raise ValueError(f"implausible GIF dimensions {w}x{h}")
+            idx = _gif_lzw_decode(bytes(data), min_code, max_out=w * h)
             if len(idx) < w * h:
                 raise ValueError(
                     f"GIF LZW stream yields {len(idx)} pixels, need {w * h}"

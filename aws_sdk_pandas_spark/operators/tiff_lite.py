@@ -35,7 +35,7 @@ import numpy as np
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
-def _tiff_lzw_decode(data: bytes) -> bytes:
+def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
     """TIFF-variant LZW: MSB-first bit packing, 9-bit initial codes,
     Clear=256 / EOI=257, and the early code-width change (the width
     bumps when the table reaches 2^width - 1 entries, one code earlier
@@ -79,6 +79,8 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
             else:
                 raise ValueError("LZW code beyond table")
             out += entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)  # decompression-bomb guard: strip full
             prev = entry
             if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
@@ -187,6 +189,8 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
     if 339 in ifd and any(x not in (1,) for x in _ints(ifd[339], end)):
         raise ValueError("non-unsigned TIFF sample format is not supported")
     rows_per_strip = one(278, h)
+    if 273 not in ifd or 279 not in ifd:
+        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
     offsets = _ints(ifd[273], end)
     counts = _ints(ifd[279], end)
     if len(offsets) != len(counts):
@@ -201,12 +205,17 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
         raw = b[off : off + cnt]
         if len(raw) < cnt:
             raise ValueError("TIFF strip overruns file")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        budget = max(0, nrows) * row_bytes
         if compression == 1:
             data = raw
         elif compression == 5:
-            data = _tiff_lzw_decode(raw)
+            data = _tiff_lzw_decode(raw, max_out=budget)
         elif compression in (8, 32946):
-            data = zlib.decompress(raw)
+            try:
+                data = zlib.decompressobj().decompress(raw, budget + 64)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF deflate strip: {exc}") from exc
         elif compression == 32773:
             data = _packbits_decode(raw)
         else:
@@ -214,7 +223,6 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
                 f"TIFF compression {compression} is not supported "
                 "(none/LZW/deflate/PackBits decode here)"
             )
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
         if nrows <= 0 or len(data) < nrows * row_bytes:
             raise ValueError("TIFF strip decodes short")
         strip = np.frombuffer(

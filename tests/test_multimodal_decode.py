@@ -3466,3 +3466,112 @@ def test_jpeg_12bit_precision():
     y8 = np.frombuffer(got2, np.uint8).reshape(h, w, 3)[:, :, 0].astype(float)
     mse = float(np.mean((want - y8) ** 2))
     assert 10 * np.log10(255**2 / mse) > 25, mse
+
+
+# ------------------------------------------- decoder mutation fuzzing
+
+
+def test_decoder_mutation_fuzz():
+    """Deterministic byte-flip / truncate / splice fuzzing over every
+    codec: a mutated file must either decode to a well-formed result
+    or raise ValueError/NotImplementedError — never hang, never leak a
+    low-level exception, never return a malformed pixel buffer."""
+    import random
+
+    from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_image,
+        make_test_media,
+    )
+
+    rng = random.Random(42)
+    w, h = 12, 9
+    rgb = _rand_bytes(w * h * 3, seed=30)
+    files = {
+        "bmp": make_test_media("bmp", w, h, pixels=rgb),
+        "png": _png_encode_v2(list(rgb), w, h, color=2, depth=8),
+        "png16i": _png_encode_v2(
+            [rng.randrange(65536) for _ in range(w * h)], w, h, color=0,
+            depth=16, interlace=True,
+        ),
+        "jpeg": _jpeg_encode(rgb, w, h),
+        "jpegp": _jpeg_encode_progressive(rgb, w, h),
+        "tiff": _tiff_encode(rgb, w, h, compression=5, rows_per_strip=4),
+        "webp": _webp_encode(
+            rgb, w, h, transforms=("subtract_green", "predictor"),
+            lz77=True, cache_bits=3,
+        ),
+        "flac": _flac_encode(
+            _flac_test_signal(200, 2, 16, seed=32), 16000, 16,
+            mode="mid-side", kind="fixed2",
+        ),
+    }
+    for name, blob in files.items():
+        dec = decode_flac if name == "flac" else decode_image
+        for _trial in range(60):
+            b = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                b = b[: rng.randrange(1, len(b))]
+            else:
+                i = rng.randrange(len(b))
+                b[i : i + 4] = bytes(rng.randrange(256) for _ in range(4))
+            try:
+                out = dec(bytes(b))
+                if name != "flac":
+                    ww, hh, px = out
+                    assert isinstance(px, bytes) and len(px) == ww * hh * 3
+            except (ValueError, NotImplementedError):
+                pass  # loud refusal is the contract for corrupt input
+
+
+def test_decoder_decompression_bombs_bounded():
+    """Crafted high-ratio streams with small claimed dimensions must
+    not expand past the geometry budget."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_png
+    from aws_sdk_pandas_spark.operators.tiff_lite import (
+        _tiff_lzw_decode,
+        decode_tiff,
+    )
+
+    # PNG claiming 2x2 but carrying 10 MB of zeros: the bounded inflate
+    # stops at the scanline budget and the length check refuses
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="scanline"):
+        decode_png(bomb)
+    # implausible dimensions refuse before any allocation
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_png(huge)
+
+    # TIFF LZW expanding past its strip budget is cut at the budget
+    runs = _tiff_lzw_encode(b"\x07" * 100000)
+    assert len(_tiff_lzw_decode(runs, max_out=1000)) <= 1000 + 4096
+    # and a strip claiming tiny dims over that stream decodes-short
+    t = bytearray(_tiff_encode(b"\x07" * 12, 2, 2, compression=5))
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(t[:40]))  # truncated IFD refuses
