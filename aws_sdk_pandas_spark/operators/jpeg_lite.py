@@ -28,10 +28,12 @@ A progressive stream truncated after any scan prefix still decodes
 refinement scans simply leave low-order coefficient bits at zero.
 
 Both 8- and 12-bit sample precision decode (12-bit: 2048 level
-shift, 16-bit quantization tables, output scaled to 8-bit RGB).
-Honest limits, refused loudly rather than mis-decoded: arithmetic
-coding (SOF9+), hierarchical and lossless modes, and 4-component
-(CMYK/Adobe) color.
+shift, 16-bit quantization tables, output scaled to 8-bit RGB), and
+4-component color decodes as CMYK (bare files, stored direct) or
+Adobe CMYK/YCCK (APP14 marker: Adobe-inverted storage; transform 2
+YCC-codes the chroma) -> RGB via (255-C)(255-K)/255.  Honest limits,
+refused loudly rather than mis-decoded: arithmetic coding (SOF9+)
+and the hierarchical and lossless modes.
 
 Validated in ``tests/test_multimodal_decode.py`` against INDEPENDENT
 test-side encoders written from the spec (forward DCT + canonical
@@ -157,6 +159,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     coeffs: list[np.ndarray] = []
     restart_interval = 0
     scanned = False
+    adobe_transform: int | None = None
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             pos += 1
@@ -201,7 +204,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             if w <= 0 or h <= 0 or w * h > 1 << 28:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
             comps = []
             for ci in range(ncomp):
@@ -236,6 +239,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) >= 12 else 0
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
@@ -253,6 +258,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
         pos += seglen
     if frame is None or not scanned:
         raise ValueError("JPEG has no scan")
+    frame["adobe_transform"] = adobe_transform
     return _finish(frame, coeffs, qt)
 
 
@@ -446,7 +452,30 @@ def _finish(frame, coeffs, qt):
         full.append(plane[:h, :w])
     level = 1 << (frame["prec"] - 1)  # 128 for 8-bit, 2048 for 12-bit
     maxv = (1 << frame["prec"]) - 1
-    if len(full) == 1:
+    if len(full) == 4:
+        # CMYK / YCCK: Adobe files (APP14 present) store INVERTED
+        # values (255-C ...); transform 2 additionally YCC-codes the
+        # first three channels.  RGB = (255-C)(255-K)/255 — with the
+        # Adobe inversion that is stored_c * stored_k / 255 directly.
+        t = frame["adobe_transform"]
+        if t == 2:  # YCCK
+            y = full[0] + float(level)
+            cb = full[1]
+            cr = full[2]
+            cmy_inv = np.stack(
+                [y + 1.402 * cr,
+                 y - 0.344136 * cb - 0.714136 * cr,
+                 y + 1.772 * cb], axis=2,
+            )
+        else:
+            cmy_inv = np.stack(full[:3], axis=2) + float(level)
+            if t is None:  # bare CMYK: stored uninverted
+                cmy_inv = maxv - cmy_inv
+        kk = np.clip(full[3] + float(level), 0, maxv)
+        if t is None:
+            kk = maxv - kk
+        rgb = np.clip(cmy_inv, 0, maxv) * (kk / maxv)[:, :, None]
+    elif len(full) == 1:
         ych = np.clip(full[0] + float(level), 0, maxv)
         rgb = np.repeat(ych[:, :, None], 3, axis=2)
     else:

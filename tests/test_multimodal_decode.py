@@ -3575,3 +3575,147 @@ def test_decoder_decompression_bombs_bounded():
     t = bytearray(_tiff_encode(b"\x07" * 12, 2, 2, compression=5))
     with _pytest.raises(ValueError):
         decode_tiff(bytes(t[:40]))  # truncated IFD refuses
+
+
+def _jpeg_encode_cmyk(cmyk, w, h, *, adobe=True, ycck=False):
+    """Test-side 4-component JPEG encoder (T.81 + Adobe APP14
+    conventions), independent of the decoder: ``cmyk`` is direct
+    (uninverted) C,M,Y,K bytes; Adobe files store inverted samples and
+    transform 2 additionally YCC-codes the first three channels."""
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import _A, ZIGZAG
+
+    Q = np.full(64, 8, np.int64)
+    Q[0] = 4
+    dc_syms = list(range(12))
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    dc_code = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    arr = np.frombuffer(bytes(cmyk), np.uint8).reshape(h, w, 4).astype(np.float64)
+    if adobe:
+        arr = 255.0 - arr  # Adobe-inverted storage
+    assert ycck is False or adobe, "YCCK is an Adobe transform"
+    if ycck:
+        r_, g_, b_ = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128,
+            arr[:, :, 3],
+        ]
+    else:
+        planes = [arr[:, :, i] for i in range(4)]
+
+    th, tw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, th - h), (0, tw - w)), mode="edge") - 128.0
+        for p in planes
+    ]
+
+    bits = []
+
+    def put(nbits, code):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(t, v if v > 0 else v + (1 << t) - 1)
+
+    preds = [0] * 4
+    for by in range(th // 8):
+        for bx in range(tw // 8):
+            for ci, p in enumerate(planes):
+                F_ = _A @ p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _A.T
+                zz = np.round(F_.reshape(64)[ZIGZAG] / Q).astype(np.int64)
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                t = 0 if diff == 0 else abs(diff).bit_length()
+                put(*dc_code[t])
+                put_val(diff, t)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        put(*ac_code[0x00])
+                        break
+                    while run >= 16:
+                        put(*ac_code[0xF0])
+                        run -= 16
+                    v = int(zz[k])
+                    s_cat = abs(v).bit_length()
+                    put(*ac_code[(run << 4) | s_cat])
+                    put_val(v, s_cat)
+                    k += 1
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i : i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    if adobe:
+        out += seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0),
+        )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in Q))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8) + bytes(ac_syms))
+    sos = bytes([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + bytes(scan) + b"\xff\xd9"
+
+
+def test_jpeg_cmyk_and_ycck():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.jpeg_lite import decode_jpeg
+
+    w, h = 16, 16
+
+    def want_rgb(cmyk):
+        a = np.frombuffer(bytes(cmyk), np.uint8).reshape(h, w, 4).astype(float)
+        return (255.0 - a[:, :, :3]) * (255.0 - a[:, :, 3:4]) / 255.0
+
+    # solid patch: DC-only, all three conventions land near the formula
+    solid = bytes([60, 120, 30, 40]) * (w * h)
+    for kwargs in ({"adobe": False}, {"adobe": True}, {"adobe": True, "ycck": True}):
+        gw, gh, got = decode_jpeg(_jpeg_encode_cmyk(solid, w, h, **kwargs))
+        assert (gw, gh) == (w, h)
+        a = np.frombuffer(got, np.uint8).astype(float).reshape(h, w, 3)
+        assert np.abs(a - want_rgb(solid)).max() <= 4, kwargs
+
+    # gradient: PSNR against the formula output
+    grad = bytearray()
+    for y in range(h):
+        for x in range(w):
+            grad += bytes([(x * 9) % 256, (y * 11) % 256, ((x + y) * 5) % 256,
+                           (x * y) % 128])
+    for kwargs in ({"adobe": True}, {"adobe": True, "ycck": True}):
+        _, _, got = decode_jpeg(_jpeg_encode_cmyk(bytes(grad), w, h, **kwargs))
+        a = np.frombuffer(got, np.uint8).astype(float).reshape(h, w, 3)
+        mse = float(np.mean((a - want_rgb(bytes(grad))) ** 2))
+        assert 10 * np.log10(255**2 / mse) > 22, (kwargs, mse)
