@@ -6919,6 +6919,100 @@ def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable fastText-style quality classifier
+    (operators/classifier.py): train on the even-doc_id half of the
+    documents table with label = "the token 'spark' appears", score
+    the held-out odd half — the classifier must DISCOVER the
+    discriminative token among the shared vocabulary.  Rows-only (the optimizer is float-summation iterative — not
+    SQL-replayable); the hash-checked companion is
+    ``docs_quality_classifier_invariants``."""
+    from aws_sdk_pandas_spark.operators.classifier import (
+        apply_text_classifier,
+        train_text_classifier,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 600")
+        .select(
+            "doc_id",
+            "text",
+            F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+            .alias("has_tok"),
+        )
+    )
+    train = docs.where("doc_id % 2 = 0").withColumn(
+        "label", F.col("has_tok").cast("int")
+    )
+    model = train_text_classifier(
+        train, dim=1 << 13, iterations=12, learning_rate=2.0
+    )
+    held = docs.where("doc_id % 2 = 1")
+    return (
+        apply_text_classifier(held, model)
+        .select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion for the trainable classifier: the planted
+    token signal must be LEARNED — held-out documents containing the
+    token score higher on average than those without (with margin),
+    held-out accuracy at the 0.5 threshold beats 0.75, and every score
+    is a valid probability.  Recomputed from scratch each run; a
+    featurization or optimizer regression flips the booleans and the
+    oracle is the literal expected row."""
+    from aws_sdk_pandas_spark.operators.classifier import (
+        apply_text_classifier,
+        train_text_classifier,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 600")
+        .select(
+            "doc_id",
+            "text",
+            F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+            .alias("has_tok"),
+        )
+    )
+    train = docs.where("doc_id % 2 = 0").withColumn(
+        "label", F.col("has_tok").cast("int")
+    )
+    model = train_text_classifier(
+        train, dim=1 << 13, iterations=12, learning_rate=2.0
+    )
+    held = docs.where("doc_id % 2 = 1")
+    row = (
+        apply_text_classifier(held, model)
+        .agg(
+            F.avg(F.when(F.col("has_tok"), F.col("quality_score"))).alias("p_en"),
+            F.avg(F.when(~F.col("has_tok"), F.col("quality_score"))).alias("p_other"),
+            F.avg(
+                (
+                    (F.col("quality_score") > 0.5) == F.col("has_tok")
+                ).cast("double")
+            ).alias("acc"),
+            F.min("quality_score").alias("lo"),
+            F.max("quality_score").alias("hi"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [(
+            bool(row["p_en"] > row["p_other"] + 0.2),
+            bool(row["acc"] > 0.75),
+            bool(0.0 <= row["lo"] and row["hi"] <= 1.0),
+        )],
+        "separation_ok boolean, accuracy_ok boolean, scores_valid boolean",
+    )
+
+
 def _q_multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode under the hash gate
     (operators/tiff_lite.decode_tiff — IFD walk, strip assembly): a
@@ -8078,6 +8172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_megatron": _q_training_pipeline_megatron,
         "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "docs_quality_classifier": _q_quality_classifier,
+        "docs_quality_classifier_invariants": _q_quality_classifier_invariants,
         "multimodal_tiff_pixel_stats": _q_multimodal_tiff_stats,
         "multimodal_webp_pixel_stats": _q_multimodal_webp_stats,
         "multimodal_mp4_metadata": _q_multimodal_mp4_metadata,
@@ -10048,6 +10144,9 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(range(48)) AS i) r
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "docs_quality_classifier_invariants": """
+            SELECT TRUE AS separation_ok, TRUE AS accuracy_ok, TRUE AS scores_valid
         """,
         "multimodal_tiff_pixel_stats": """
             SELECT d.doc_id, 4 AS width, 4 AS height,
