@@ -6919,6 +6919,57 @@ def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/privacy.k_anonymity_report):
+    equivalence classes over (o_orderstatus, o_orderpriority) with
+    o_custkey as the sensitive attribute — one aggregation + a one-row
+    fold, recomputed closed-form by DuckDB."""
+    from aws_sdk_pandas_spark.operators.privacy import k_anonymity_report
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return k_anonymity_report(
+        orders, ["o_orderstatus", "o_orderpriority"], k=10,
+        sensitive_col="o_custkey",
+    )
+
+
+def _q_suppress_small_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement (operators/privacy.suppress_small_classes):
+    rows in quasi classes (o_orderpriority, o_custkey % 997) smaller
+    than 5 are dropped; the oracle recomputes the kept set with a
+    HAVING semi-join."""
+    from aws_sdk_pandas_spark.operators.privacy import suppress_small_classes
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_custkey") % 997).alias("cust_bucket"),
+    )
+    return (
+        suppress_small_classes(orders, ["o_orderpriority", "cust_bucket"], k=5)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def _q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private aggregate release
+    (operators/privacy.dp_aggregate): per-event-type noisy SUM(value)
+    with md5-deterministic Laplace noise (sensitivity 10, epsilon 2,
+    seed 42) — the oracle re-derives the identical noise from the same
+    md5 stream, closing the loop on reproducible DP releases."""
+    from aws_sdk_pandas_spark.operators.privacy import dp_aggregate
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return dp_aggregate(
+        events, ["event_type"], "value", agg="sum",
+        epsilon=2.0, sensitivity=10.0, seed=42,
+    ).orderBy("event_type")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable fastText-style quality classifier
     (operators/classifier.py): train on the even-doc_id half of the
@@ -8172,6 +8223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_megatron": _q_training_pipeline_megatron,
         "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "orders_k_anonymity": _q_k_anonymity,
+        "orders_suppress_small_classes": _q_suppress_small_classes,
+        "events_dp_release": _q_dp_release,
         "docs_quality_classifier": _q_quality_classifier,
         "docs_quality_classifier_invariants": _q_quality_classifier_invariants,
         "multimodal_tiff_pixel_stats": _q_multimodal_tiff_stats,
@@ -10144,6 +10198,52 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(range(48)) AS i) r
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "orders_k_anonymity": """
+            WITH cls AS (
+                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                       COUNT(DISTINCT COALESCE(CAST(o_custkey AS VARCHAR), '__null__')) AS l
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_classes,
+                   MIN(n) AS min_class_size,
+                   CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+                   CAST(ROUND(SUM(CASE WHEN n < 10 THEN n ELSE 0 END)
+                              / CAST(SUM(n) AS DOUBLE), 6) AS DOUBLE) AS pct_rows_below_k,
+                   MIN(n) >= 10 AS is_k_anonymous,
+                   CAST(MIN(l) AS INT) AS l_diversity
+            FROM cls
+        """,
+        "orders_suppress_small_classes": """
+            WITH q AS (
+                SELECT o_orderkey, o_orderpriority, o_custkey % 997 AS cust_bucket
+                FROM orders
+            ), keep AS (
+                SELECT o_orderpriority, cust_bucket
+                FROM q GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            )
+            SELECT q.o_orderkey
+            FROM q JOIN keep USING (o_orderpriority, cust_bucket)
+            ORDER BY o_orderkey
+        """,
+        "events_dp_release": """
+            WITH g AS (
+                SELECT event_type, CAST(SUM(value) AS DOUBLE) AS t
+                FROM events GROUP BY 1
+            ), u AS (
+                SELECT event_type, t,
+                       CAST(('0x' || substring(md5(event_type || ':42'), 1, 8))::BIGINT AS DOUBLE)
+                           / 4294967296.0 AS u
+                FROM g
+            )
+            SELECT event_type,
+                   CAST(ROUND(t + (-(10.0 / 2.0)) * SIGN(u - 0.5) *
+                        LN(CASE WHEN 1 - 2 * ABS(u - 0.5) <= 0 THEN 1e-12
+                                ELSE 1 - 2 * ABS(u - 0.5) END), 6) AS DOUBLE)
+                       AS sum_value_dp
+            FROM u
+            ORDER BY event_type
         """,
         "docs_quality_classifier_invariants": """
             SELECT TRUE AS separation_ok, TRUE AS accuracy_ok, TRUE AS scores_valid
