@@ -6737,6 +6737,50 @@ def _q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash dedup under the hash gate
+    (operators/multimodal.dedup_images_phash): per document one of 5
+    deterministic 24x24 stripe patterns (group = doc_id % 5, pixel p
+    value = (g*37 + p*(2g+3)) % 256 on all channels) — byte-identical
+    within a group, >=24 pHash bits apart across groups (verified), so
+    with max_distance=4 the EXACT pair set is every same-group pair at
+    hamming 0; the oracle enumerates it in closed form.  Pins decode,
+    the 32-point DCT basis, median thresholding, bit packing AND the
+    banded Hamming join at once (a drift in any produces nonzero
+    hammings or missing pairs)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        dedup_images_phash,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 60").select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = int(d) % 5
+                px = bytes(
+                    v
+                    for p in range(576)
+                    for v in [((g * 37) + p * (2 * g + 3)) % 256] * 3
+                )
+                payloads.append(make_test_media("bmp", 24, 24, pixels=px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = ids.mapInPandas(_mk, schema="doc_id long, payload binary")
+    return (
+        dedup_images_phash(media, id_col="doc_id", max_distance=4)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_lakelite_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python-DataSource streaming SOURCE over a lakelite table under the
     hash gate (streaming/lakelite_source.py — manifest versions are the
@@ -8234,6 +8278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_pixel_stats": _q_multimodal_png_stats,
         "multimodal_gif_pixel_stats": _q_multimodal_gif_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
+        "multimodal_image_phash_dups": _q_image_phash_dups,
         "lakelite_stream_source": _q_lakelite_stream_source,
         "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
@@ -10167,6 +10212,13 @@ def oracle_sql() -> dict[str, str]:
             FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 8
+            ORDER BY id_a, id_b
+        """,
+        "multimodal_image_phash_dups": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
             ORDER BY id_a, id_b
         """,
         "multimodal_image_dhash_dups": """

@@ -812,6 +812,83 @@ def dedup_images_dhash(
     )
 
 
+def image_phash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image — the frequency-domain
+    sibling of ``image_dhash`` and the standard SECOND signal for image
+    near-dup (dHash keys on local gradients and misses recompression /
+    smoothing that pHash absorbs): REAL decode -> grayscale -> box
+    average to 32x32 -> orthonormal 2D DCT-II (one 32-point basis
+    matmul each side) -> the low-frequency 8x8 block -> one bit per
+    coefficient above the block median (the imagehash/pHash convention,
+    median over all 64 incl. DC), packed 64-bit row-major LSB-first.
+    Arrow-batched pandas UDF, map-only; NULL payloads hash to NULL."""
+    import numpy as np
+
+    n32 = 32
+    basis = np.array(
+        [
+            [
+                (np.sqrt(1 / n32) if u == 0 else np.sqrt(2 / n32))
+                * np.cos((2 * x + 1) * u * np.pi / (2 * n32))
+                for x in range(n32)
+            ]
+            for u in range(n32)
+        ]
+    )
+
+    @F.pandas_udf("long")
+    def _phash(payloads: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None:
+                return None
+            w, h, rgb = decode_image(bytes(p))
+            a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).mean(axis=2)
+            ri = (np.arange(h) * n32) // h
+            ci = (np.arange(w) * n32) // w
+            acc = np.zeros((n32, n32))
+            cnt = np.zeros((n32, n32))
+            np.add.at(acc, (ri[:, None], ci[None, :]), a)
+            np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+            g = acc / np.maximum(cnt, 1.0)
+            low = (basis @ g @ basis.T)[:8, :8]
+            med = np.median(low)
+            bits = (low > med).reshape(-1)
+            v = 0
+            for k in np.nonzero(bits)[0]:
+                v |= 1 << int(k)
+            return int(np.uint64(v).astype(np.int64))
+
+        return payloads.apply(one)
+
+    return df.withColumn(out_col, _phash(F.col(payload_col)))
+
+
+def dedup_images_phash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance <=
+    ``max_distance`` — same pigeonhole-banded shape as
+    ``dedup_images_dhash`` (``max_distance+1`` band equi-joins + exact
+    popcount verify, never all-pairs; the shuffle carries only
+    (id, 8-byte hash) rows)."""
+    from aws_sdk_pandas_spark.operators.dedup import hamming_band_pairs
+
+    sigs = image_phash(df, payload_col=payload_col, id_col=id_col).select(
+        id_col, "phash"
+    )
+    return hamming_band_pairs(sigs, id_col, "phash", radius=max_distance, bits=64)
+
+
 def audio_dhash(
     df: DataFrame,
     *,
