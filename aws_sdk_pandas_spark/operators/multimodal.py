@@ -80,11 +80,14 @@ def extract_features(
     def _real_feature(payload: bytes) -> list[float]:
         import numpy as np
 
-        if payload[:4] == b"RIFF" or payload[:4] == b"fLaC":
+        # RIFF alone is ambiguous: WAVE is audio, WEBP is an image,
+        # AVI is video — route on the form type, not the container
+        is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        if is_wav or payload[:4] == b"fLaC":
             _ch, _sr, samples = decode_audio(payload)
             hist, _ = np.histogram(samples.mean(axis=1), bins=dim, range=(-1.0, 1.0))
         else:
-            # BMP/PNG/GIF/JPEG all decode natively now
+            # BMP/PNG/GIF/JPEG/TIFF/WebP all decode natively now
             _w, _h, rgb = decode_image(payload)
             px = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.float64)
             lum = px @ np.array([0.299, 0.587, 0.114])

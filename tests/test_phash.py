@@ -120,3 +120,41 @@ def test_dedup_images_phash_pairs(spark):
              for r in dedup_images_phash(df, max_distance=8).collect()}
     assert ("1", "2") in pairs and pairs[("1", "2")] <= 8
     assert ("1", "3") not in pairs and ("2", "3") not in pairs
+
+
+def test_extract_features_routes_riff_by_form_type(spark):
+    """RIFF is WAVE *and* WEBP: features must route WebP to the image
+    path and WAV/FLAC to the audio path."""
+    import struct
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_multimodal_decode import (
+        _flac_encode,
+        _flac_test_signal,
+        _webp_encode,
+    )
+
+    from aws_sdk_pandas_spark.operators.multimodal import extract_features
+
+    w, h = 16, 12
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    chans = _flac_test_signal(300, 1, 16, seed=6)
+    pcm = struct.pack(f"<{len(chans[0])}h", *chans[0])
+    from aws_sdk_pandas_spark.operators.multimodal import make_test_media
+
+    df = spark.createDataFrame(
+        [
+            ("webp", bytearray(_webp_encode(rgb, w, h))),
+            ("wav", bytearray(make_test_media(
+                "wav", sample_rate=16000, channels=1, bits=16, data=pcm))),
+            ("flac", bytearray(_flac_encode(chans, 16000, 16))),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r.feature for r in extract_features(df, dim=16).collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    # identical PCM through WAV and FLAC produces the identical histogram
+    assert rows["wav"] == rows["flac"]
+    # the image histogram is over luminance, not amplitude: different
+    assert rows["webp"] != rows["wav"]
