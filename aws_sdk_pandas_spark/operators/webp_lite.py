@@ -520,6 +520,7 @@ def decode_webp(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a WebP payload")
     i = 12
     saw_lossy = False
+    saw_anim = False
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         clen = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -527,7 +528,14 @@ def decode_webp(b: bytes) -> tuple[int, int, bytes]:
             return decode_vp8l(b[i + 8 : i + 8 + clen])
         if cid == b"VP8 ":
             saw_lossy = True
+        if cid in (b"ANIM", b"ANMF"):
+            saw_anim = True
         i += 8 + clen + (clen % 2)
+    if saw_anim:
+        raise ValueError(
+            "animated WebP is not supported (frames live inside ANMF "
+            "chunks; sample still frames upstream)"
+        )
     if saw_lossy:
         raise ValueError(
             "lossy WebP (VP8) needs a full keyframe codec — only "
