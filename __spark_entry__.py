@@ -4586,6 +4586,41 @@ def _q_eval_isotonic_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (operators/retrieval.ranking_metrics):
+    per-source ranked lists (rank = doc_id order, top 10) scored
+    against graded judgments (doc_id % 4 -> rel 2/1/0/0) — the oracle
+    replays precision/recall/MRR/nDCG@10 closed-form with DuckDB
+    windows."""
+    from pyspark.sql.window import Window
+
+    from aws_sdk_pandas_spark.operators.retrieval import ranking_metrics
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
+        .where("doc_id < 400")
+        .select("doc_id", "source")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    results = (
+        docs.select(
+            F.col("source").alias("query_id"),
+            F.col("doc_id"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where("rank <= 10")
+    )
+    qrels = docs.select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, 2.0)
+        .when(F.col("doc_id") % 4 == 1, 1.0)
+        .alias("rel"),
+    ).where("rel > 0")
+    return ranking_metrics(results, qrels, k=10).orderBy("query_id")
+
+
 def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-identification risk gate (dq.k_anonymity): equivalence
     classes over (nation, segment) quasi-identifiers in one map-side
@@ -8267,6 +8302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_megatron": _q_training_pipeline_megatron,
         "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
+        "docs_ranking_metrics": _q_ranking_metrics,
         "orders_k_anonymity": _q_k_anonymity,
         "orders_suppress_small_classes": _q_suppress_small_classes,
         "events_dp_release": _q_dp_release,
@@ -10250,6 +10286,55 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(range(48)) AS i) r
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "docs_ranking_metrics": """
+            WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 400),
+            res AS (
+                SELECT source AS q, doc_id AS doc,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+                FROM d QUALIFY rank <= 10
+            ),
+            qr AS (
+                SELECT source AS q, doc_id AS doc,
+                       CASE doc_id % 4 WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 END AS rel
+                FROM d WHERE doc_id % 4 IN (0, 1)
+            ),
+            j AS (
+                SELECT res.q, res.rank, COALESCE(qr.rel, 0.0) AS rel
+                FROM res LEFT JOIN qr ON res.q = qr.q AND res.doc = qr.doc
+            ),
+            pq AS (
+                SELECT q,
+                       SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                       MIN(CASE WHEN rel > 0 THEN rank END) AS first,
+                       SUM((POW(2.0, rel) - 1) / LOG2(rank + 1)) AS dcg
+                FROM j GROUP BY q
+            ),
+            ideal AS (
+                SELECT q,
+                       SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+                       SUM(CASE WHEN irank <= 10 AND rel > 0
+                                THEN (POW(2.0, rel) - 1) / LOG2(irank + 1)
+                                ELSE 0 END) AS idcg
+                FROM (
+                    SELECT q, doc, rel,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q ORDER BY rel DESC, doc ASC
+                           ) AS irank
+                    FROM qr
+                ) GROUP BY q
+            )
+            SELECT COALESCE(pq.q, ideal.q) AS query_id,
+                   CAST(ROUND(COALESCE(hits, 0) / 10.0, 6) AS DOUBLE) AS precision_at_k,
+                   CAST(ROUND(CASE WHEN n_rel > 0
+                              THEN COALESCE(hits, 0) / CAST(n_rel AS DOUBLE) END, 6)
+                        AS DOUBLE) AS recall_at_k,
+                   CAST(ROUND(COALESCE(1.0 / first, 0.0), 6) AS DOUBLE) AS mrr_at_k,
+                   CAST(ROUND(CASE WHEN idcg > 0
+                              THEN COALESCE(dcg, 0.0) / idcg END, 6)
+                        AS DOUBLE) AS ndcg_at_k
+            FROM pq FULL OUTER JOIN ideal ON pq.q = ideal.q
+            ORDER BY query_id
         """,
         "orders_k_anonymity": """
             WITH cls AS (

@@ -148,3 +148,103 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     )
     return fused.limit(top_k) if top_k is not None else fused
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranked-retrieval evaluation per query — the IR scorecard a RAG
+    index needs before it ships: ``precision_at_k``, ``recall_at_k``
+    (denominator = ALL judged-relevant docs for the query, retrieved or
+    not), ``mrr_at_k`` (reciprocal of the first relevant rank within
+    k), and graded ``ndcg_at_k`` (DCG with (2^rel - 1)/log2(rank+1)
+    gains against the ideal ordering of the query's judgments).
+
+    ``results`` is the ranked list (query, doc, rank — 1-based);
+    ``qrels`` the judgments (query, doc, graded rel >= 0; unjudged
+    retrieved docs count rel 0).  Queries with NO relevant judgments
+    get NULL recall/ndcg (0/0 is undefined, not zero — dropping or
+    zeroing them silently is how leaderboards lie).
+
+    Scale shape: one left join of the (already top-k-bounded) results
+    against the judgments, windows partitioned per query over at most
+    k rows, one aggregation per side — never a cross join; macro
+    averages are one more tiny aggregation away.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    res = results.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("long").alias("__rank"),
+    ).where(F.col("__rank") <= k)
+    judg = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    joined = res.join(judg, ["__q", "__d"], "left").withColumn(
+        "__rel", F.coalesce(F.col("__rel"), F.lit(0.0))
+    )
+    per_q = joined.groupBy("__q").agg(
+        F.sum((F.col("__rel") > 0).cast("int")).alias("__hits"),
+        F.min(F.when(F.col("__rel") > 0, F.col("__rank"))).alias("__first"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rel")) - 1)
+            / F.log2(F.col("__rank") + 1)
+        ).alias("__dcg"),
+    )
+    ideal_w = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc()
+    )
+    ideal = (
+        judg.withColumn("__irank", F.row_number().over(ideal_w))
+        .groupBy("__q")
+        .agg(
+            F.sum((F.col("__rel") > 0).cast("long")).alias("__n_rel"),
+            F.sum(
+                F.when(
+                    (F.col("__irank") <= k) & (F.col("__rel") > 0),
+                    (F.pow(F.lit(2.0), F.col("__rel")) - 1)
+                    / F.log2(F.col("__irank") + 1),
+                ).otherwise(0.0)
+            ).alias("__idcg"),
+        )
+    )
+    out = per_q.join(ideal, "__q", "full_outer").select(
+        F.col("__q").alias(query_col),
+        F.round(
+            F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k)), 6
+        ).alias("precision_at_k"),
+        F.round(
+            F.when(
+                F.col("__n_rel") > 0,
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n_rel"),
+            ),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(
+                F.when(F.col("__first").isNotNull(), 1.0 / F.col("__first")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr_at_k"),
+        F.round(
+            F.when(
+                F.col("__idcg") > 0,
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+            ),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+    return out

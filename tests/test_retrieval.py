@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_sdk_pandas_spark.operators.retrieval import bm25_scores, rrf_fuse
@@ -79,3 +80,55 @@ def test_rrf_explicit_rank_column(spark):
     got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b]).collect()}
     assert got[2] == round(1 / 62 + 1 / 61, 6)
     assert got[1] == round(1 / 61, 6)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """nDCG/MRR/precision/recall@k against hand-worked values."""
+    import math
+
+    from aws_sdk_pandas_spark.operators.retrieval import ranking_metrics
+
+    results = spark.createDataFrame(
+        # q1: ranked d1..d4; q2: d9 then d5; q3 retrieves only junk
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3), ("q1", "d4", 4),
+         ("q2", "d9", 1), ("q2", "d5", 2),
+         ("q3", "dx", 1)],
+        "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # q1: d2 rel 2, d3 rel 1, d7 rel 3 (never retrieved)
+        [("q1", "d2", 2), ("q1", "d3", 1), ("q1", "d7", 3),
+         ("q2", "d5", 1),
+         ("q4", "d1", 1)],  # query with judgments but no results
+        "query_id string, doc_id string, rel int",
+    )
+    got = {r.query_id: r for r in
+           ranking_metrics(results, qrels, k=3).collect()}
+
+    r1 = got["q1"]
+    assert r1.precision_at_k == pytest.approx(2 / 3)
+    assert r1.recall_at_k == pytest.approx(2 / 3)
+    assert r1.mrr_at_k == pytest.approx(0.5)
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert r1.ndcg_at_k == pytest.approx(dcg / idcg, abs=1e-6)
+
+    r2 = got["q2"]
+    assert r2.precision_at_k == pytest.approx(1 / 3)
+    assert r2.recall_at_k == pytest.approx(1.0)
+    assert r2.mrr_at_k == pytest.approx(0.5)
+    assert r2.ndcg_at_k == pytest.approx((1 / math.log2(3)) / 1.0, abs=1e-6)
+
+    # q3: no judged-relevant docs at all -> recall/ndcg NULL, not zero
+    r3 = got["q3"]
+    assert r3.precision_at_k == 0.0 and r3.mrr_at_k == 0.0
+    assert r3.recall_at_k is None and r3.ndcg_at_k is None
+
+    # q4: judged but nothing retrieved -> zeros (and recall 0)
+    r4 = got["q4"]
+    assert r4.precision_at_k == 0.0 and r4.recall_at_k == 0.0
+    assert r4.mrr_at_k == 0.0 and r4.ndcg_at_k == 0.0
+
+    # ranks beyond k are ignored
+    deep = ranking_metrics(results, qrels, k=1).collect()
+    assert {r.query_id: r.precision_at_k for r in deep}["q1"] == 0.0
