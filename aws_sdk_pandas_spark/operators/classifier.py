@@ -32,6 +32,19 @@ not bit-exactly — documented here and pinned by a tolerance test, not
 a hash gate (the driver gate for this family is rows-only plus an
 invariants gate asserting the planted signal is learned).
 
+Relationship to ``textstats.fit_hashed_ngram_classifier`` /
+``hashed_ngram_score``: that pair trains an MLlib logistic head on a
+BOUNDED SAMPLE (dense count-normalized vectors, thousands of docs)
+and applies it JVM-only — the right tool when a small seed set
+defines quality.  This module is the corpus-scale trainer for when
+the labels themselves live at scale (heuristic labels over the whole
+corpus, distillation from an expensive scorer): MLlib-free
+distributed full-batch GD whose per-iteration cost is bounded by
+``dim`` rather than by a sample budget, with an exactly-replayable
+update rule (pinned against serial numpy to 1e-9) and frozen-model
+persistence.  Featurization differs accordingly: binary distinct
+features here (presence), count-normalized there (frequency).
+
 Reference parity anchor: the reference has no trainable classifier
 (quality filtering is Athena-UDF territory); beyond-reference, in the
 same family as ``lm_quality`` (generative scorer) — this is the
