@@ -9376,7 +9376,7 @@ def oracle_sql() -> dict[str, str]:
                                 || ' or 555-123-4567 / (555) 987-6543 at 192.168.0.1'
                                 || ' card 4111 1111 1111 1111 ssn 123-45-6789',
                            'https?://[^\s]+', '<URL>', 'g'),
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                            '\b\d(?:[ -]?\d){12,15}\b', '<CREDIT_CARD>', 'g'),
                            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
                            '(?:\(\d{3}\)[ ]?|\b\d{3}[-.])\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),

@@ -365,3 +365,23 @@ def test_cap_domains_null_ids_deterministic(spark):
             by_dom[dom] = by_dom.get(dom, 0) + 1
         assert by_dom["big.com"] == 5 and by_dom["tiny.org"] == 1
     assert len(picks) == 1  # identical pick every run/partitioning
+
+
+def test_redact_pii_linear_on_adversarial_runs(spark):
+    """A 200 KB unbroken letter run (no '@' ever) must scrub in linear
+    time — the unbounded email local-part class used to rescan every
+    position (O(n^2), ~45s for this input); the RFC-bounded pattern
+    caps the per-position probe."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from aws_sdk_pandas_spark.functions.text import redact_pii
+
+    evil = "a" * 200_000 + " user@example.com " + "9" * 100_000
+    df = spark.createDataFrame([(evil,)], "text string")
+    t0 = time.time()
+    out = df.select(redact_pii("text").alias("r")).first().r
+    assert time.time() - t0 < 30  # quadratic form needed minutes
+    assert "<EMAIL>" in out and "user@example.com" not in out
+    assert "a" * 1000 in out  # the letter run itself survives
