@@ -2,15 +2,20 @@
 columns with typed metadata, processed by Arrow-batched pandas functions
 over ``mapInPandas``.
 
-Decode kernels: REAL pure-python/numpy decoders for the formats whose
-encodings are raw enough to need no media library — uncompressed BMP
-(``decode_bmp``: 24/32-bit + 8-bit palette, padding, bottom-up/top-down)
-and PCM WAV (``decode_wav``: 8/16/32-bit, normalized float32) — feeding
-real pixel/PCM statistics and histogram features.  Compressed formats
-(PNG/GIF/JPEG pixel data) still need an image library this container
-doesn't ship: those raise ``NotImplementedError`` with the sniffed
-format name unless ``fake=True`` substitutes a deterministic fake that
-exercises the Spark plumbing (schema, batching, partitioning).
+Decode kernels: REAL pure-python/numpy decoders for EVERY common
+format, no media library anywhere — BMP (``decode_bmp``), PNG
+(``decode_png``: all legal depths 1/2/4/8/16, all color types, Adam7
+interlace), GIF (``decode_gif``: LZW + interlace), JPEG baseline and
+progressive incl. 12-bit and CMYK/YCCK (``jpeg_lite``), striped TIFF
+(``tiff_lite``), WebP lossless (``webp_lite``), PCM WAV
+(``decode_wav``) and FLAC (``flac_lite``; ``decode_audio`` dispatches
+by magic) — feeding real pixel/PCM statistics, histogram features,
+dHash/pHash dedup and spectral features.  Every decoder is
+mutation-fuzzed and decompression-bomb-guarded (corrupt input refuses
+with ``ValueError``, never hangs or mis-decodes); the remaining
+honest refusals are codec-state formats (lossy VP8, MP3/Vorbis audio,
+H.264) and arithmetic-coded JPEG.  ``fake=True`` on the feature
+kernel substitutes a deterministic fake for plumbing-only tests.
 """
 
 from __future__ import annotations
