@@ -41,8 +41,6 @@ release are beyond-reference, same family.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
