@@ -171,7 +171,11 @@ def ranking_metrics(
     ``qrels`` the judgments (query, doc, graded rel >= 0; unjudged
     retrieved docs count rel 0).  Queries with NO relevant judgments
     get NULL recall/ndcg (0/0 is undefined, not zero — dropping or
-    zeroing them silently is how leaderboards lie).
+    zeroing them silently is how leaderboards lie).  Both inputs are
+    expected unique per (query, doc) — duplicate judgment rows would
+    fan out the join and duplicate result rows double-count, the same
+    contract trec_eval enforces; dedupe upstream if your lists can
+    repeat.
 
     Scale shape: one left join of the (already top-k-bounded) results
     against the judgments, windows partitioned per query over at most
