@@ -6998,21 +6998,6 @@ def _q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity release audit (operators/privacy.k_anonymity_report):
-    equivalence classes over (o_orderstatus, o_orderpriority) with
-    o_custkey as the sensitive attribute — one aggregation + a one-row
-    fold, recomputed closed-form by DuckDB."""
-    from aws_sdk_pandas_spark.operators.privacy import k_anonymity_report
-    from aws_sdk_pandas_spark.sources import read_parquet
-
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
-    return k_anonymity_report(
-        orders, ["o_orderstatus", "o_orderpriority"], k=10,
-        sensitive_col="o_custkey",
-    )
-
-
 def _q_suppress_small_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity enforcement (operators/privacy.suppress_small_classes):
     rows in quasi classes (o_orderpriority, o_custkey % 997) smaller
@@ -8303,7 +8288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webdataset_roundtrip": _q_media_webdataset_roundtrip,
         "multimodal_bmp_pixel_stats": _q_multimodal_bmp_stats,
         "docs_ranking_metrics": _q_ranking_metrics,
-        "orders_k_anonymity": _q_k_anonymity,
         "orders_suppress_small_classes": _q_suppress_small_classes,
         "events_dp_release": _q_dp_release,
         "docs_quality_classifier": _q_quality_classifier,
@@ -10335,22 +10319,6 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS ndcg_at_k
             FROM pq FULL OUTER JOIN ideal ON pq.q = ideal.q
             ORDER BY query_id
-        """,
-        "orders_k_anonymity": """
-            WITH cls AS (
-                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-                       COUNT(DISTINCT COALESCE(CAST(o_custkey AS VARCHAR), '__null__')) AS l
-                FROM orders GROUP BY 1, 2
-            )
-            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
-                   COUNT(*) AS n_classes,
-                   MIN(n) AS min_class_size,
-                   CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
-                   CAST(ROUND(SUM(CASE WHEN n < 10 THEN n ELSE 0 END)
-                              / CAST(SUM(n) AS DOUBLE), 6) AS DOUBLE) AS pct_rows_below_k,
-                   MIN(n) >= 10 AS is_k_anonymous,
-                   CAST(MIN(l) AS INT) AS l_diversity
-            FROM cls
         """,
         "orders_suppress_small_classes": """
             WITH q AS (

@@ -9,12 +9,11 @@ reference enforces it server-side via the analysis-rule JSON,
 operators here quantify and bound what the QUASI-identifiers still
 leak before a table leaves the boundary.
 
-- :func:`k_anonymity_report` — the release audit: equivalence-class
-  statistics over the quasi-identifier columns (minimum class size,
-  rows in classes below k, optional l-diversity of a sensitive
-  column).  ONE aggregation keyed by the quasi columns + a one-row
-  fold; NULL quasi values form their own class (NULL-keyed grouping —
-  a NULL ZIP is still a ZIP value to a linkage attacker).
+The AUDIT side of this story already lives in ``dq.py``
+(``k_anonymity`` / ``risky_classes`` / ``l_diversity``, gates
+``customer_k_anonymity`` etc.) — this module deliberately adds only
+what that family lacks:
+
 - :func:`suppress_small_classes` — the enforcement sibling: drop (or
   NULL out the quasi columns of) every row whose equivalence class is
   smaller than k.  Aggregation + broadcast-threshold semi/anti join
@@ -46,52 +45,6 @@ from pyspark.sql import functions as F
 
 from aws_sdk_pandas_spark.exceptions import InvalidArgument
 from aws_sdk_pandas_spark.operators.sampling import _md5_uniform
-
-
-def k_anonymity_report(
-    df: DataFrame,
-    quasi_cols: list[str],
-    *,
-    k: int = 5,
-    sensitive_col: str | None = None,
-) -> DataFrame:
-    """One-row k-anonymity audit over the quasi-identifier columns:
-    ``n_rows``, ``n_classes``, ``min_class_size``, ``rows_below_k``,
-    ``pct_rows_below_k`` (rounded to 6), ``is_k_anonymous``; with
-    ``sensitive_col`` also ``l_diversity`` (the minimum count of
-    DISTINCT sensitive values in any class — NULL sensitive values
-    count as a value) — the l in "l-diverse"."""
-    if not quasi_cols:
-        raise InvalidArgument("quasi_cols must name at least one column")
-    if k < 1:
-        raise InvalidArgument("k must be >= 1")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    if sensitive_col is not None:
-        aggs.append(
-            F.size(F.collect_set(F.coalesce(
-                F.col(sensitive_col).cast("string"), F.lit("__null__")
-            ))).alias("__l")
-        )
-    classes = df.groupBy(*quasi_cols).agg(*aggs)
-    folds = [
-        F.sum("__n").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_classes"),
-        F.min("__n").alias("min_class_size"),
-        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
-            "rows_below_k"
-        ),
-    ]
-    if sensitive_col is not None:
-        folds.append(F.min("__l").alias("l_diversity"))
-    out = classes.agg(*folds).withColumn(
-        "pct_rows_below_k",
-        F.round(F.col("rows_below_k") / F.col("n_rows"), 6),
-    ).withColumn("is_k_anonymous", F.col("min_class_size") >= k)
-    cols = ["n_rows", "n_classes", "min_class_size", "rows_below_k",
-            "pct_rows_below_k", "is_k_anonymous"]
-    if sensitive_col is not None:
-        cols.append("l_diversity")
-    return out.select(*cols)
 
 
 def suppress_small_classes(

@@ -6,7 +6,6 @@ import pytest
 from aws_sdk_pandas_spark.exceptions import InvalidArgument
 from aws_sdk_pandas_spark.operators.privacy import (
     dp_aggregate,
-    k_anonymity_report,
     suppress_small_classes,
 )
 
@@ -27,24 +26,6 @@ def _people(spark):
     return spark.createDataFrame(
         rows, "id long, zip string, age_band string, disease string"
     )
-
-
-def test_k_anonymity_report_exact(spark):
-    r = k_anonymity_report(
-        _people(spark), ["zip", "age_band"], k=2, sensitive_col="disease"
-    ).first()
-    assert r.n_rows == 8 and r.n_classes == 4
-    assert r.min_class_size == 1 and r.rows_below_k == 1
-    assert r.pct_rows_below_k == pytest.approx(0.125)
-    assert not r.is_k_anonymous
-    # l-diversity: the (10001, 40s) singleton has 1 distinct disease;
-    # NULL diseases count as a value
-    assert r.l_diversity == 1
-    r3 = k_anonymity_report(_people(spark), ["age_band"], k=2).first()
-    # 40s is a singleton band: coarsening to age_band alone still fails
-    assert not r3.is_k_anonymous and r3.n_classes == 2 and r3.rows_below_k == 1
-    r4 = k_anonymity_report(_people(spark).where("age_band = '30s'"), ["age_band"], k=2).first()
-    assert r4.is_k_anonymous and r4.min_class_size == 7
 
 
 def test_suppress_small_classes_modes(spark):
