@@ -151,14 +151,75 @@ _DECODED_IMAGE_SCHEMA = T.StructType(
 )
 
 
-def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
-    """REAL pure-python/numpy BMP decode — uncompressed (BI_RGB) 24/32-bit
-    and 8-bit-paletted Windows bitmaps, bottom-up or top-down.  Returns
-    ``(width, height, rgb_bytes)`` with pixels row-major top-down RGB.
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
+    """RLE8/RLE4 index-image decode (rows bottom-up, as the format
+    stores them): encoded runs, end-of-line (0,0), end-of-bitmap
+    (0,1), delta (0,2,dx,dy) and word-padded absolute runs."""
+    import numpy as np
 
-    No media library needed: the format is a fixed header + padded raw
-    rows, so frombuffer+reshape decodes it exactly (BGR(A)->RGB channel
-    flip, 4-byte row padding stripped, vertical flip for bottom-up)."""
+    img = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if four_bit:
+                hi, lo = v >> 4, v & 0x0F
+                for k in range(c):
+                    if x < w:
+                        img[y, x] = hi if k % 2 == 0 else lo
+                    x += 1
+            else:
+                end = min(x + c, w)
+                if x < w:
+                    img[y, x:end] = v
+                x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of v pixels, padded to a word boundary
+            nbytes = (v + 1) // 2 if four_bit else v
+            padded = nbytes + (nbytes % 2)
+            if i + padded > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            if four_bit:
+                for k in range(v):
+                    byte = data[i + (k // 2)]
+                    val = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                    if x < w and y < h:
+                        img[y, x] = val
+                    x += 1
+            else:
+                end = min(x + v, w)
+                if x < w and y < h:
+                    img[y, x:end] = np.frombuffer(
+                        data, np.uint8, count=end - x, offset=i
+                    )
+                x += v
+            i += padded
+    return img
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-python/numpy BMP decode — uncompressed (BI_RGB)
+    24/32-bit and 1/4/8-bit-paletted Windows bitmaps plus RLE8/RLE4
+    compression, bottom-up or top-down.  Returns ``(width, height,
+    rgb_bytes)`` with pixels row-major top-down RGB.
+
+    No media library needed: the uncompressed format is a fixed header
+    + padded raw rows (frombuffer+reshape, BGR(A)->RGB flip, padding
+    stripped, vertical flip for bottom-up); sub-byte palettes unpack
+    MSB-first; RLE streams decode run-by-run with end-of-line/bitmap
+    and delta escapes."""
     import numpy as np
 
     if not b or len(b) < 54 or b[:2] != b"BM":
@@ -169,11 +230,37 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     h = int.from_bytes(b[22:26], "little", signed=True)
     bpp = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
-    if compression != 0:
-        raise ValueError(f"only uncompressed BI_RGB supported (compression={compression})")
+    if compression not in (0, 1, 2):
+        raise ValueError(
+            f"only BI_RGB / BI_RLE8 / BI_RLE4 decode here (compression={compression})"
+        )
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
     top_down, height = h < 0, abs(h)
+
+    def palette(default_colors):
+        n_colors = int.from_bytes(b[46:50], "little") or default_colors
+        return np.frombuffer(
+            b, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, 2::-1]
+
+    if compression:  # RLE: always bottom-up, paletted
+        if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+            raise ValueError(
+                f"BMP RLE{8 if compression == 1 else 4} needs matching "
+                f"depth, got {bpp}"
+            )
+        if top_down:
+            raise ValueError("RLE BMPs are bottom-up by definition")
+        idx = _bmp_rle_decode(
+            b[data_offset:], w, height, four_bit=(compression == 2)
+        )
+        pal = palette(256 if bpp == 8 else 16)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP RLE index beyond palette")
+        arr = pal[idx][::-1]  # stream rows are bottom-up
+        return w, height, np.ascontiguousarray(arr).tobytes()
+
     row_size = ((w * bpp + 31) // 32) * 4
     need = data_offset + row_size * height
     if len(b) < need:
@@ -186,11 +273,16 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     elif bpp == 32:
         arr = rows[:, : w * 4].reshape(height, w, 4)[:, :, 2::-1]
     elif bpp == 8:
-        n_colors = int.from_bytes(b[46:50], "little") or 256
-        pal = np.frombuffer(
-            b, np.uint8, count=n_colors * 4, offset=14 + hdr_size
-        ).reshape(n_colors, 4)[:, 2::-1]
-        arr = pal[rows[:, :w]]
+        arr = palette(256)[rows[:, :w]]
+    elif bpp in (1, 4):
+        bits = np.unpackbits(rows, axis=1)  # MSB-first, the BMP order
+        groups = bits[:, : (row_size * 8 // bpp) * bpp].reshape(height, -1, bpp)
+        weights = 1 << np.arange(bpp - 1, -1, -1)
+        idx = (groups * weights).sum(axis=2)[:, :w]
+        pal = palette(2 if bpp == 1 else 16)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index beyond table")
+        arr = pal[idx]
     else:
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     if not top_down:
