@@ -661,6 +661,140 @@ def decode_gif(b: bytes) -> tuple[int, int, bytes]:
     raise ValueError(f"GIF has no image frame ({sw}x{sh} screen)")
 
 
+def decode_gif_frames(
+    b: bytes, frame_indices: list[int] | None = None
+) -> list[tuple[int, int, bytes]]:
+    """Animated-GIF frame extraction with REAL compositing: every
+    frame is rendered onto the logical screen — sub-rectangle
+    placement, local color tables, interlacing, transparency
+    (transparent pixels leave the canvas as-is), and the disposal
+    methods (1 leave, 2 restore-to-background, 3 restore-to-previous)
+    — so frame k is the picture a viewer actually sees, not the raw
+    delta patch.  Returns ``[(frame_idx, delay_ms, rgb_bytes)]`` at
+    the logical-screen size; ``frame_indices`` limits the OUTPUT (all
+    prior frames still composite — animation is stateful by design).
+    """
+    import numpy as np
+
+    if not b or len(b) < 13 or b[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    if sw * sh > 1 << 26 or sw == 0 or sh == 0:
+        raise ValueError(f"implausible GIF screen {sw}x{sh}")
+    packed = b[10]
+    bg_index = b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if gct is not None and bg_index * 3 + 3 <= len(gct):
+        bg = np.frombuffer(gct, np.uint8)[bg_index * 3 : bg_index * 3 + 3]
+    else:
+        bg = np.zeros(3, np.uint8)
+    canvas = np.tile(bg, (sh, sw, 1)).astype(np.uint8)
+    wanted = set(frame_indices) if frame_indices is not None else None
+    stop_after = max(wanted) if wanted else None
+    frames: list[tuple[int, int, bytes]] = []
+    fidx = 0
+    disposal, delay_ms, transparent = 0, 0, None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            pos += 2
+            sub0 = None
+            while pos < len(b) and b[pos] != 0:
+                if sub0 is None:
+                    sub0 = b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            pos += 1
+            if label == 0xF9 and sub0 is not None and len(sub0) >= 4:
+                flags = sub0[0]
+                disposal = (flags >> 2) & 0x07
+                delay_ms = int.from_bytes(sub0[1:3], "little") * 10
+                transparent = sub0[3] if flags & 0x01 else None
+        elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # sub-block terminator
+            if w * h > 1 << 26:
+                raise ValueError(f"implausible GIF frame {w}x{h}")
+            idx = _gif_lzw_decode(bytes(data), min_code, max_out=w * h)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF LZW stream yields {len(idx)} pixels, need {w * h}"
+                )
+            arr = np.asarray(idx[: w * h], np.int64).reshape(h, w)
+            if ipacked & 0x40:
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index exceeds color table")
+            # clip the frame rect to the logical screen
+            fh = min(h, sh - top) if top < sh else 0
+            fw = min(w, sw - left) if left < sw else 0
+            if fh > 0 and fw > 0:
+                region = canvas[top : top + fh, left : left + fw]
+                prev = region.copy() if disposal == 3 else None
+                sub = arr[:fh, :fw]
+                rgb = pal[sub]
+                if transparent is not None:
+                    mask = sub != transparent
+                    region[mask] = rgb[mask]
+                else:
+                    region[:, :] = rgb
+                if wanted is None or fidx in wanted:
+                    frames.append(
+                        (fidx, delay_ms, np.ascontiguousarray(canvas).tobytes())
+                    )
+                if disposal == 2:
+                    canvas[top : top + fh, left : left + fw] = bg
+                elif disposal == 3 and prev is not None:
+                    canvas[top : top + fh, left : left + fw] = prev
+            elif wanted is None or fidx in wanted:
+                frames.append(
+                    (fidx, delay_ms, np.ascontiguousarray(canvas).tobytes())
+                )
+            fidx += 1
+            disposal, delay_ms, transparent = 0, 0, None
+            if stop_after is not None and fidx > stop_after:
+                break
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames and (wanted is None or not wanted):
+        raise ValueError(f"GIF has no image frame ({sw}x{sh} screen)")
+    return frames
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode kernel — REAL for every common format, no media
     library anywhere: uncompressed BMP (``decode_bmp``), PNG
@@ -1899,10 +2033,14 @@ def decode_video_frames(
     row per (selected) frame with its dimensions and per-channel pixel
     means — the shot-boundary / exposure screens of a video-curation
     pipeline.  ``frame_indices`` limits decode to a sample (compose
-    with ``frame_sample_plan``); NULL/non-AVI payloads yield no frames
+    with ``frame_sample_plan``); animated GIFs decode through the SAME
+    kernel (``decode_gif_frames`` — full compositing: disposal
+    methods, transparency, sub-rectangle patches), so one
+    frame-sampling path covers both decodable animation formats;
+    NULL/other payloads yield no frames
     (screen with ``sniff_format``/``video_metadata`` first).  Map-only
     Arrow-batched kernel; at 100 TB the cost is the scan plus per-frame
-    JPEG decode, nothing shuffles."""
+    decode, nothing shuffles."""
     import numpy as np
 
     wanted = set(frame_indices) if frame_indices is not None else None
@@ -1913,10 +2051,24 @@ def decode_video_frames(
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue
-                for idx, frame in iter_avi_frames(bytes(p)):
-                    if wanted is not None and idx not in wanted:
-                        continue
-                    w, h, rgb = decode_image(frame)
+                pb = bytes(p)
+                if pb[:4] == b"GIF8":
+                    gw = int.from_bytes(pb[6:8], "little")
+                    gh = int.from_bytes(pb[8:10], "little")
+                    decoded = [
+                        (idx, gw, gh, rgb)
+                        for idx, _delay, rgb in decode_gif_frames(
+                            pb, frame_indices
+                        )
+                    ]
+                else:
+                    decoded = []
+                    for idx, frame in iter_avi_frames(pb):
+                        if wanted is not None and idx not in wanted:
+                            continue
+                        w, h, rgb = decode_image(frame)
+                        decoded.append((idx, w, h, rgb))
+                for idx, w, h, rgb in decoded:
                     a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
                     means = a.astype(np.float64).mean(axis=(0, 1))
                     out.append(

@@ -3846,3 +3846,139 @@ def test_bmp_rle_refusals():
         decode_bmp(_bmp_paletted(4, 2, 8, pal, bytes([0, 2, 1]), compression=1))
     with _pytest.raises(ValueError, match="compression=3"):
         decode_bmp(_bmp_paletted(4, 2, 8, pal, b"\x00\x01", compression=3))
+
+
+# -------------------------------------------------- GIF: animation
+
+
+def _gif_encode_anim(sw, sh, palette, frames):
+    """Multi-frame GIF89a writer (independent of the decoder): each
+    frame = dict(left, top, w, h, indexes, delay_cs=0, disposal=0,
+    transparent=None, interlace=False)."""
+    import struct
+
+    n_colors = len(palette) // 3
+    size_bits = max(1, (n_colors - 1).bit_length()) - 1
+    min_code = max(2, (n_colors - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | size_bits, 0, 0])
+    out += bytes(palette) + b"\x00" * (3 * ((2 << size_bits) - n_colors))
+    for fr in frames:
+        flags = (fr.get("disposal", 0) & 7) << 2
+        if fr.get("transparent") is not None:
+            flags |= 1
+        out += bytes([0x21, 0xF9, 4, flags])
+        out += struct.pack("<H", fr.get("delay_cs", 0))
+        out += bytes([fr.get("transparent") or 0, 0])
+        out += bytes([0x2C])
+        out += struct.pack("<HHHH", fr["left"], fr["top"], fr["w"], fr["h"])
+        out += bytes([0x40 if fr.get("interlace") else 0])
+        out += bytes([min_code])
+        data, _codes = _gif_lzw_encode(fr["indexes"], min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_gif_frames
+
+    pal = bytes([0, 0, 0,  255, 0, 0,  0, 255, 0,  0, 0, 255])  # k,r,g,b
+    sw, sh = 6, 4
+    frames = [
+        # frame 0: full screen of color 1 (red), disposal 1 (leave)
+        {"left": 0, "top": 0, "w": sw, "h": sh,
+         "indexes": [1] * (sw * sh), "disposal": 1, "delay_cs": 5},
+        # frame 1: 2x2 green patch at (2,1) with one transparent pixel
+        # (index 0 declared transparent) -> red shows through there
+        {"left": 2, "top": 1, "w": 2, "h": 2,
+         "indexes": [2, 0, 2, 2], "transparent": 0, "disposal": 1},
+        # frame 2: 2x1 blue patch at (0,0), disposal 2 -> its region
+        # resets to background AFTER this frame
+        {"left": 0, "top": 0, "w": 2, "h": 1,
+         "indexes": [3, 3], "disposal": 2},
+        # frame 3: full-frame no-op patch (all transparent) shows the
+        # post-disposal canvas
+        {"left": 0, "top": 0, "w": sw, "h": sh,
+         "indexes": [0] * (sw * sh), "transparent": 0},
+    ]
+    blob = _gif_encode_anim(sw, sh, pal, frames)
+    got = decode_gif_frames(blob)
+    assert [f[0] for f in got] == [0, 1, 2, 3]
+    assert got[0][1] == 50  # delay 5cs -> 50ms
+
+    def grid(rgb):
+        return np.frombuffer(rgb, np.uint8).reshape(sh, sw, 3)
+
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    g0 = grid(got[0][2])
+    assert (g0 == red).all()
+    g1 = grid(got[1][2])
+    assert tuple(g1[1, 2]) == green and tuple(g1[2, 2]) == green
+    assert tuple(g1[1, 3]) == red  # transparent pixel: red shows through
+    assert tuple(g1[2, 3]) == green
+    g2 = grid(got[2][2])
+    assert tuple(g2[0, 0]) == blue and tuple(g2[0, 1]) == blue
+    g3 = grid(got[3][2])
+    # disposal 2 restored (0,0)-(0,1) to the BACKGROUND color (index 0)
+    assert tuple(g3[0, 0]) == (0, 0, 0) and tuple(g3[0, 1]) == (0, 0, 0)
+    assert tuple(g3[1, 2]) == green  # frame-1 patch persisted
+
+    # frame selection: only frame 3, still correctly composited
+    sel = decode_gif_frames(blob, frame_indices=[3])
+    assert len(sel) == 1 and sel[0][0] == 3
+    assert sel[0][2] == got[3][2]
+
+
+def test_gif_animation_disposal_previous():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_gif_frames
+
+    pal = bytes([10, 10, 10,  200, 0, 0,  0, 200, 0])
+    sw, sh = 4, 3
+    frames = [
+        {"left": 0, "top": 0, "w": sw, "h": sh, "indexes": [1] * 12,
+         "disposal": 1},
+        # disposal 3: after showing the green patch, restore what was
+        # underneath
+        {"left": 1, "top": 1, "w": 2, "h": 1, "indexes": [2, 2],
+         "disposal": 3},
+        {"left": 0, "top": 0, "w": 1, "h": 1, "indexes": [2]},
+    ]
+    got = decode_gif_frames(_gif_encode_anim(sw, sh, pal, frames))
+
+    def grid(rgb):
+        return np.frombuffer(rgb, np.uint8).reshape(sh, sw, 3)
+
+    assert tuple(grid(got[1][2])[1, 1]) == (0, 200, 0)
+    g2 = grid(got[2][2])
+    assert tuple(g2[1, 1]) == (200, 0, 0)  # restored to previous (red)
+    assert tuple(g2[0, 0]) == (0, 200, 0)  # frame 2's own patch
+
+
+def test_gif_animation_through_video_frames_kernel(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import decode_video_frames
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    sw, sh = 4, 4
+    frames = [
+        {"left": 0, "top": 0, "w": sw, "h": sh, "indexes": [1] * 16},
+        {"left": 0, "top": 0, "w": sw, "h": sh, "indexes": [0] * 16},
+    ]
+    blob = _gif_encode_anim(sw, sh, pal, frames)
+    df = spark.createDataFrame(
+        [("g", bytearray(blob))], "media_id string, payload binary"
+    )
+    rows = {r.frame_idx: r for r in decode_video_frames(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].mean_r == 255.0 and rows[1].mean_r == 0.0
+    assert rows[0].width == sw and rows[0].height == sh
+    sampled = decode_video_frames(df, frame_indices=[1]).collect()
+    assert len(sampled) == 1 and sampled[0].frame_idx == 1
