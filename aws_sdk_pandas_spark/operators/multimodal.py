@@ -88,7 +88,8 @@ def extract_features(
         # RIFF alone is ambiguous: WAVE is audio, WEBP is an image,
         # AVI is video — route on the form type, not the container
         is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-        if is_wav or payload[:4] == b"fLaC":
+        is_aiff = payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC")
+        if is_wav or is_aiff or payload[:4] == b"fLaC":
             _ch, _sr, samples = decode_audio(payload)
             hist, _ = np.histogram(samples.mean(axis=1), bins=dim, range=(-1.0, 1.0))
         else:
@@ -332,17 +333,107 @@ def decode_wav(b: bytes):
     return ch, sr, samples[: frames * ch].reshape(frames, ch)
 
 
+def decode_aiff(b: bytes):
+    """REAL pure-python/numpy AIFF decode — the big-endian PCM sibling
+    of WAV (the archival format of older speech corpora): FORM/AIFF
+    chunk walk, COMM (channels, frames, bits, and the sample rate as
+    an 80-bit IEEE-754 EXTENDED float — sign, 15-bit exponent, 64-bit
+    explicit-integer-bit mantissa), SSND offset/blockSize skip, then
+    big-endian SIGNED PCM (8-bit included — AIFF 8-bit is signed where
+    WAV's is unsigned).  AIFC is accepted only for the uncompressed
+    ``NONE``/``sowt`` codecs (``sowt`` = little-endian samples).
+    Returns ``decode_wav``'s ``(channels, sample_rate, (n, ch)
+    float32)`` contract."""
+    import numpy as np
+
+    if not b or len(b) < 12 or b[0:4] != b"FORM" or b[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        raise ValueError("not an AIFF payload")
+    is_aifc = b[8:12] == b"AIFC"
+    i, n = 12, len(b)
+    ch = bits = None
+    rate = None
+    little = False
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "big")
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"COMM" and len(body) >= 18:
+            ch = int.from_bytes(body[0:2], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            ext = body[8:18]  # 80-bit extended float sample rate
+            sign = -1.0 if ext[0] & 0x80 else 1.0
+            exp = ((ext[0] & 0x7F) << 8) | ext[1]
+            mant = int.from_bytes(ext[2:10], "big")
+            if exp == 0 and mant == 0:
+                rate = 0.0
+            else:
+                rate = sign * mant * 2.0 ** (exp - 16383 - 63)
+            if is_aifc and len(body) >= 22:
+                codec = body[18:22]
+                if codec == b"sowt":
+                    little = True
+                elif codec != b"NONE":
+                    raise ValueError(
+                        f"compressed AIFC codec {codec!r} is not supported "
+                        "(NONE/sowt decode here)"
+                    )
+        elif cid == b"SSND" and len(body) >= 8:
+            offset = int.from_bytes(body[0:4], "big")
+            data = body[8 + offset :]
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if ch is None or not rate or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunks")
+    end = "<" if little else ">"
+    if bits == 16:
+        raw = np.frombuffer(data, f"{end}i2", count=len(data) // 2)
+        samples = raw.astype(np.float32) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(data, np.int8)  # AIFF 8-bit is SIGNED
+        samples = raw.astype(np.float32) / 128.0
+    elif bits == 32:
+        raw = np.frombuffer(data, f"{end}i4", count=len(data) // 4)
+        samples = raw.astype(np.float32) / 2147483648.0
+    elif bits == 24:
+        usable = (len(data) // 3) * 3
+        tri = np.frombuffer(data, np.uint8, count=usable).reshape(-1, 3)
+        if little:
+            v = (
+                tri[:, 0].astype(np.int64)
+                | (tri[:, 1].astype(np.int64) << 8)
+                | (tri[:, 2].astype(np.int64) << 16)
+            )
+        else:
+            v = (
+                (tri[:, 0].astype(np.int64) << 16)
+                | (tri[:, 1].astype(np.int64) << 8)
+                | tri[:, 2].astype(np.int64)
+            )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = (v / float(1 << 23)).astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    frames = len(samples) // ch
+    return ch, int(round(rate)), samples[: frames * ch].reshape(frames, ch)
+
+
 def decode_audio(b: bytes):
     """Audio decode kernel dispatch by magic: PCM WAV
-    (``decode_wav``) or FLAC (``flac_lite.decode_flac`` — REAL native
-    decode: rice residuals, fixed+LPC predictors, stereo
+    (``decode_wav``), AIFF/AIFC (``decode_aiff`` — big-endian PCM,
+    80-bit extended-float rates) or FLAC (``flac_lite.decode_flac`` —
+    REAL native decode: rice residuals, fixed+LPC predictors, stereo
     decorrelation, CRC-verified frames).  Same ``(channels,
-    sample_rate, (n, ch) float32)`` contract either way, so pcm
-    stats / dHash dedup / spectral features run on both formats."""
-    if b and bytes(b[:4]) == b"fLaC":
+    sample_rate, (n, ch) float32)`` contract every way, so pcm
+    stats / dHash dedup / spectral features run on all three."""
+    pb = bytes(b[:12]) if b else b""
+    if pb[:4] == b"fLaC":
         from aws_sdk_pandas_spark.operators.flac_lite import decode_flac
 
         return decode_flac(bytes(b))
+    if pb[:4] == b"FORM" and pb[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(bytes(b))
     return decode_wav(b)
 
 
@@ -1458,8 +1549,8 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | tiff | webp | wav | avi | flac | ogg |
-    mp3 | unknown."""
+    png | gif | bmp | jpeg | tiff | webp | wav | aiff | avi | flac |
+    ogg | mp3 | unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -1488,6 +1579,11 @@ def sniff_format(col) -> "F.Column":
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
         .when(F.substring(c, 1, 4) == F.lit(b"fLaC"), "flac")
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"FORM"))
+            & F.substring(c, 9, 4).isin(F.lit(b"AIFF"), F.lit(b"AIFC")),
+            "aiff",
+        )
         .when(F.substring(c, 1, 4) == F.lit(b"OggS"), "ogg")
         .when(
             (F.substring(c, 1, 3) == F.lit(b"ID3"))

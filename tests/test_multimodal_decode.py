@@ -3982,3 +3982,105 @@ def test_gif_animation_through_video_frames_kernel(spark):
     assert rows[0].width == sw and rows[0].height == sh
     sampled = decode_video_frames(df, frame_indices=[1]).collect()
     assert len(sampled) == 1 and sampled[0].frame_idx == 1
+
+
+# -------------------------------------------------------------- AIFF
+
+
+def _aiff_encode(chans, sr, bits, *, aifc_codec=None):
+    """Test-side AIFF/AIFC writer (independent of the decoder): COMM
+    with the 80-bit extended-float sample rate built from first
+    principles, SSND big-endian PCM (or little-endian for sowt)."""
+    import struct
+
+    ch = len(chans)
+    n_frames = len(chans[0])
+    # 80-bit extended float for the rate
+    import math
+
+    if sr == 0:
+        ext = bytes(10)
+    else:
+        e = math.floor(math.log2(sr))
+        mant = int(sr / 2.0**e * (1 << 63))
+        ext = struct.pack(">HQ", 16383 + e, mant)
+    comm = struct.pack(">hIh", ch, n_frames, bits) + ext
+    if aifc_codec:
+        comm += aifc_codec + b"\x0dnot compressed"  # pascal-ish name pad
+        if len(comm) % 2:
+            comm += b"\x00"
+    little = aifc_codec == b"sowt"
+    fmt = {8: "b", 16: "h", 32: "i"}[bits]
+    endch = "<" if little else ">"
+    inter = []
+    for f in range(n_frames):
+        for c in range(ch):
+            inter.append(chans[c][f])
+    pcm = struct.pack(f"{endch}{len(inter)}{fmt}", *inter)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+
+    def chunk(cid, body):
+        out = cid + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            out += b"\x00"
+        return out
+
+    form = (b"AIFC" if aifc_codec else b"AIFF") + chunk(b"COMM", comm) + chunk(
+        b"SSND", ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def test_aiff_decode_and_wav_equivalence(spark):
+    import struct
+
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        audio_pcm_stats,
+        decode_aiff,
+        make_test_media,
+        sniff_format,
+    )
+
+    chans = _flac_test_signal(300, 2, 16, seed=8)
+    blob = _aiff_encode(chans, 44100, 16)
+    ch, sr, samples = decode_aiff(blob)
+    assert (ch, sr) == (2, 44100) and samples.shape == (300, 2)
+    want = (np.array(chans, np.float64).T / 32768.0).astype(np.float32)
+    assert (samples == want).all()
+
+    # 8-bit AIFF is SIGNED (unlike WAV)
+    mono8 = [[-128, -1, 0, 1, 127]]
+    _, _, s8 = decode_aiff(_aiff_encode(mono8, 8000, 8))
+    assert list(s8[:, 0]) == [v / 128.0 for v in mono8[0]]
+
+    # AIFC sowt = little-endian samples, same values
+    _, _, s_sowt = decode_aiff(_aiff_encode(chans, 44100, 16, aifc_codec=b"sowt"))
+    assert (s_sowt == want).all()
+
+    # the same PCM as WAV and AIFF produces identical kernel stats
+    inter = []
+    for f in range(300):
+        for c in range(2):
+            inter.append(chans[c][f])
+    wav = make_test_media(
+        "wav", sample_rate=44100, channels=2, bits=16,
+        data=struct.pack(f"<{len(inter)}h", *inter),
+    )
+    df = spark.createDataFrame(
+        [("w", bytearray(wav)), ("a", bytearray(blob))],
+        "media_id string, payload binary",
+    )
+    fmts = {r.media_id: r.f for r in
+            df.select("media_id", sniff_format("payload").alias("f")).collect()}
+    assert fmts == {"w": "wav", "a": "aiff"}
+    stats = {r.media_id: r for r in audio_pcm_stats(df).collect()}
+    assert stats["w"].rms == stats["a"].rms
+    assert stats["w"].n_frames == stats["a"].n_frames == 300
+
+    # compressed AIFC refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codec"):
+        decode_aiff(_aiff_encode(chans, 44100, 16, aifc_codec=b"ulaw"))
