@@ -886,6 +886,51 @@ def decode_gif_frames(
     return frames
 
 
+def decode_ico(b: bytes) -> tuple[int, int, bytes]:
+    """ICO/CUR icon container decode: ICONDIR walk, the LARGEST image
+    entry wins; entries embed either a whole PNG (decoded by
+    ``decode_png``) or a headerless DIB (BITMAPINFOHEADER with DOUBLED
+    height for the XOR+AND mask planes — a synthetic BMP file header
+    is prepended and the mask plane ignored, matching the alpha-drop
+    convention of every decoder here)."""
+    import struct as _s
+
+    if len(b) < 6 or b[0:2] != b"\x00\x00" or b[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        raise ValueError("not an ICO/CUR payload")
+    count = int.from_bytes(b[4:6], "little")
+    if count == 0:
+        raise ValueError("ICO has no images")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(b):
+            raise ValueError("truncated ICO directory")
+        w = b[e] or 256
+        h = b[e + 1] or 256
+        size = int.from_bytes(b[e + 8 : e + 12], "little")
+        off = int.from_bytes(b[e + 12 : e + 16], "little")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    img = b[off : off + size]
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(img)
+    if len(img) < 40:
+        raise ValueError("truncated ICO image data")
+    hdr_size = int.from_bytes(img[0:4], "little")
+    height2 = int.from_bytes(img[8:12], "little", signed=True)
+    # halve the doubled XOR+AND height and synthesize a BMP file header
+    patched = bytearray(img)
+    _s.pack_into("<i", patched, 8, height2 // 2)
+    bpp = int.from_bytes(img[14:16], "little")
+    n_colors = int.from_bytes(img[32:36], "little")
+    if not n_colors and bpp <= 8:
+        n_colors = 1 << bpp
+    data_offset = 14 + hdr_size + 4 * n_colors
+    fh = b"BM" + _s.pack("<IHHI", 14 + len(patched), 0, 0, data_offset)
+    return decode_bmp(fh + bytes(patched))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode kernel — REAL for every common format, no media
     library anywhere: uncompressed BMP (``decode_bmp``), PNG
@@ -919,9 +964,11 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from aws_sdk_pandas_spark.operators.webp_lite import decode_webp
 
         return decode_webp(payload)
+    if payload and payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return decode_ico(payload)
     raise NotImplementedError(
-        "unknown image payload (not BMP/PNG/GIF/JPEG/TIFF/WebP) — all "
-        "six decode natively here, no image library needed"
+        "unknown image payload (not BMP/PNG/GIF/JPEG/TIFF/WebP/ICO) — "
+        "all seven decode natively here, no image library needed"
     )
 
 
@@ -1549,8 +1596,8 @@ def _le_u(col, pos: int, n: int):
 
 def sniff_format(col) -> "F.Column":
     """Container format from magic bytes — pure JVM, no UDF:
-    png | gif | bmp | jpeg | tiff | webp | wav | aiff | avi | flac |
-    ogg | mp3 | unknown."""
+    png | gif | bmp | jpeg | tiff | webp | ico | wav | aiff | avi |
+    flac | ogg | mp3 | unknown."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -1589,6 +1636,12 @@ def sniff_format(col) -> "F.Column":
             (F.substring(c, 1, 3) == F.lit(b"ID3"))
             | ((_be_u(c, 1, 1) == 255) & (_be_u(c, 2, 1) >= 224)),
             "mp3",
+        )
+        .when(
+            F.substring(c, 1, 4).isin(
+                F.lit(b"\x00\x00\x01\x00"), F.lit(b"\x00\x00\x02\x00")
+            ),
+            "ico",
         )
         .otherwise("unknown")
     )

@@ -4084,3 +4084,52 @@ def test_aiff_decode_and_wav_equivalence(spark):
 
     with _pytest.raises(ValueError, match="codec"):
         decode_aiff(_aiff_encode(chans, 44100, 16, aifc_codec=b"ulaw"))
+
+
+def test_ico_decode_png_and_dib_entries():
+    import struct
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_ico,
+        decode_image,
+        make_test_media,
+    )
+
+    # PNG-embedded icon: two entries, the larger (a real PNG) wins
+    w, h = 12, 10
+    rgb = _rand_bytes(w * h * 3, seed=40)
+    png = _png_encode_v2(list(rgb), w, h, color=2)
+    small = _png_encode_v2([0, 0, 0] * 4, 2, 2, color=2)
+
+    def ico(entries):
+        out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", len(entries)))
+        off = 6 + 16 * len(entries)
+        for ew, eh, data in entries:
+            out += bytes([ew % 256, eh % 256, 0, 0])
+            out += struct.pack("<HHII", 1, 32, len(data), off)
+            off += len(data)
+        for _, _, data in entries:
+            out += data
+        return bytes(out)
+
+    blob = ico([(2, 2, small), (w, h, png)])
+    assert decode_ico(blob) == (w, h, rgb)
+    assert decode_image(blob) == (w, h, rgb)
+
+    # DIB-embedded icon: headerless BMP with doubled height + AND mask
+    bw, bh = 8, 6
+    brgb = _rand_bytes(bw * bh * 3, seed=41)
+    bmp = make_test_media("bmp", bw, bh, pixels=brgb)
+    info = bytearray(bmp[14:])  # strip the file header
+    struct.pack_into("<i", info, 8, bh * 2)  # doubled height
+    and_mask = b"\x00" * (((bw + 31) // 32) * 4 * bh)
+    dib = bytes(info) + and_mask
+    blob2 = ico([(bw, bh, dib)])
+    assert decode_ico(blob2) == (bw, bh, brgb)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"\x01\x00\x01\x00\x00\x00")
+    with _pytest.raises(ValueError, match="no images"):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
