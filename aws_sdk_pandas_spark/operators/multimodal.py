@@ -495,6 +495,56 @@ def _png_unfilter(sl, nrows, stride, bpp):
     return out
 
 
+def _png_pass_decode(raw, w, h, depth, color, channels, interlace):
+    """Inflated scanline stream -> (h, w, channels) uint16 samples
+    (shared by whole-image PNG decode and per-frame APNG decode)."""
+    import numpy as np
+
+    samples = np.zeros((h, w, channels), np.uint16)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = 0 if w <= x0 else (w - x0 - 1) // dx + 1
+        ph = 0 if h <= y0 else (h - y0 - 1) // dy + 1
+        if pw == 0 or ph == 0:
+            continue
+        bits_px = channels * depth
+        stride = (pw * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)
+        need = ph * (stride + 1)
+        if rpos + need > len(raw):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, "
+                f"expected at least {rpos + need}"
+            )
+        sl = np.frombuffer(
+            raw[rpos : rpos + need], np.uint8
+        ).reshape(ph, stride + 1)
+        rpos += need
+        flat = _png_unfilter(sl, ph, stride, bpp)
+        if depth == 8:
+            sp = flat.reshape(ph, pw, channels).astype(np.uint16)
+        elif depth == 16:
+            sp = (
+                flat.reshape(ph, pw * channels, 2).astype(np.uint16)[:, :, 0] << 8
+            ) | flat.reshape(ph, pw * channels, 2)[:, :, 1]
+            sp = sp.reshape(ph, pw, channels)
+        else:  # 1/2/4-bit, single channel
+            bits = np.unpackbits(flat, axis=1)  # MSB first, the spec order
+            groups = bits[:, : (stride * 8 // depth) * depth].reshape(
+                ph, -1, depth
+            )
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (groups * weights).sum(axis=2).astype(np.uint16)
+            sp = vals[:, :pw].reshape(ph, pw, 1)
+        samples[y0::dy, x0::dx] = sp
+    if rpos != len(raw):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected {rpos}"
+        )
+    return samples
+
+
 def decode_png(b: bytes) -> tuple[int, int, bytes]:
     """REAL pure-python/numpy PNG decode — every legal depth/color
     combination: depths 1/2/4 (gray + palette), 8 and 16 (all color
@@ -560,48 +610,7 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
     except _z.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
 
-    samples = np.zeros((h, w, channels), np.uint16)
-    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
-    rpos = 0
-    for x0, y0, dx, dy in passes:
-        pw = 0 if w <= x0 else (w - x0 - 1) // dx + 1
-        ph = 0 if h <= y0 else (h - y0 - 1) // dy + 1
-        if pw == 0 or ph == 0:
-            continue
-        bits_px = channels * depth
-        stride = (pw * bits_px + 7) // 8
-        bpp = max(1, bits_px // 8)
-        need = ph * (stride + 1)
-        if rpos + need > len(raw):
-            raise ValueError(
-                f"PNG scanline data is {len(raw)} bytes, "
-                f"expected at least {rpos + need}"
-            )
-        sl = np.frombuffer(
-            raw[rpos : rpos + need], np.uint8
-        ).reshape(ph, stride + 1)
-        rpos += need
-        flat = _png_unfilter(sl, ph, stride, bpp)
-        if depth == 8:
-            sp = flat.reshape(ph, pw, channels).astype(np.uint16)
-        elif depth == 16:
-            sp = (
-                flat.reshape(ph, pw * channels, 2).astype(np.uint16)[:, :, 0] << 8
-            ) | flat.reshape(ph, pw * channels, 2)[:, :, 1]
-            sp = sp.reshape(ph, pw, channels)
-        else:  # 1/2/4-bit, single channel
-            bits = np.unpackbits(flat, axis=1)  # MSB first, the spec order
-            groups = bits[:, : (stride * 8 // depth) * depth].reshape(
-                ph, -1, depth
-            )
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            vals = (groups * weights).sum(axis=2).astype(np.uint16)
-            sp = vals[:, :pw].reshape(ph, pw, 1)
-        samples[y0::dy, x0::dx] = sp
-    if rpos != len(raw):
-        raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, expected {rpos}"
-        )
+    samples = _png_pass_decode(raw, w, h, depth, color, channels, interlace)
 
     if depth == 16:
         eight = (samples >> 8).astype(np.uint8)
@@ -750,6 +759,144 @@ def decode_gif(b: bytes) -> tuple[int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError(f"GIF has no image frame ({sw}x{sh} screen)")
+
+
+def decode_apng_frames(
+    b: bytes, frame_indices: list[int] | None = None
+) -> list[tuple[int, int, bytes]]:
+    """Animated-PNG (APNG) frame extraction with REAL compositing:
+    acTL/fcTL/fdAT chunk walk, each frame its own deflate stream
+    decoded by the shared PNG scanline machinery at the frame's
+    sub-rectangle, then composed onto an RGBA canvas per the frame's
+    ``blend_op`` (SOURCE replaces, OVER alpha-composites) and
+    ``dispose_op`` (none / region-to-transparent / restore-previous).
+    Returns ``[(frame_idx, delay_ms, rgb_bytes)]`` at canvas size
+    (alpha dropped at the end, like every decoder here).  A PNG
+    without acTL yields its single still as frame 0."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    if not b or len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = color = interlace = None
+    plte = None
+    animated = False
+    frames_meta: list[dict] = []
+    cur = None
+    idat_is_frame = False
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = _s.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, _c, _f, interlace = _s.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"acTL":
+            animated = True
+        elif ctype == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("truncated APNG fcTL chunk")
+            (_seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = _s.unpack(
+                ">IIIIIHHBB", data
+            )
+            cur = {
+                "w": fw, "h": fh, "x": fx, "y": fy,
+                "delay_ms": int(dnum * 1000 / (dden or 100)),
+                "dispose": dispose, "blend": blend, "data": bytearray(),
+            }
+            frames_meta.append(cur)
+            idat_is_frame = not idat  # fcTL before IDAT claims IDAT
+        elif ctype == b"IDAT":
+            idat += data
+            if cur is not None and idat_is_frame:
+                cur["data"] += data
+        elif ctype == b"fdAT":
+            if cur is None:
+                raise ValueError("APNG fdAT before any fcTL")
+            cur["data"] += data[4:]  # strip the sequence number
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR")
+    if not animated or not frames_meta:
+        fw, fh, rgb = decode_png(b)
+        if frame_indices is not None and 0 not in frame_indices:
+            return []
+        return [(0, 0, rgb)]
+    frames_meta = [f for f in frames_meta if f["data"]]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+
+    def to_rgba(samples, fh_, fw_):
+        if depth == 16:
+            eight = (samples >> 8).astype(np.uint8)
+        elif depth == 8 or color == 3:
+            eight = samples.astype(np.uint8)
+        else:
+            eight = (samples * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        out = np.zeros((fh_, fw_, 4), np.uint8)
+        if color == 0:
+            out[:, :, :3] = eight
+            out[:, :, 3] = 255
+        elif color == 2:
+            out[:, :, :3] = eight
+            out[:, :, 3] = 255
+        elif color == 3:
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            idxs = eight.reshape(fh_, fw_)
+            if int(idxs.max(initial=0)) >= len(pal):
+                raise ValueError("APNG palette index beyond PLTE")
+            out[:, :, :3] = pal[idxs]
+            out[:, :, 3] = 255
+        elif color == 4:
+            out[:, :, :3] = eight[:, :, :1]
+            out[:, :, 3] = eight[:, :, 1]
+        else:
+            out[:, :, :] = eight
+        return out
+
+    canvas = np.zeros((h, w, 4), np.uint8)
+    wanted = set(frame_indices) if frame_indices is not None else None
+    stop_after = max(wanted) if wanted else None
+    out_frames: list[tuple[int, int, bytes]] = []
+    for fidx, f in enumerate(frames_meta):
+        fw_, fh_, fx, fy = f["w"], f["h"], f["x"], f["y"]
+        if fx + fw_ > w or fy + fh_ > h:
+            raise ValueError("APNG frame rect outside the canvas")
+        raw = _z.decompress(bytes(f["data"]))
+        samples = _png_pass_decode(raw, fw_, fh_, depth, color, channels, interlace)
+        rgba = to_rgba(samples, fh_, fw_)
+        region = canvas[fy : fy + fh_, fx : fx + fw_]
+        prev = region.copy() if f["dispose"] == 2 else None
+        if f["blend"] == 0 or fidx == 0:  # SOURCE (first frame always)
+            region[:, :, :] = rgba
+        else:  # OVER
+            sa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1 - sa)
+            safe = np.maximum(oa, 1e-12)
+            oc = (
+                rgba[:, :, :3] * sa + region[:, :, :3] * da * (1 - sa)
+            ) / safe
+            region[:, :, :3] = (oc + 0.5).astype(np.uint8)
+            region[:, :, 3] = (oa[:, :, 0] * 255 + 0.5).astype(np.uint8)
+        if wanted is None or fidx in wanted:
+            out_frames.append(
+                (fidx, f["delay_ms"],
+                 np.ascontiguousarray(canvas[:, :, :3]).tobytes())
+            )
+        if f["dispose"] == 1:  # region to transparent black
+            canvas[fy : fy + fh_, fx : fx + fw_] = 0
+        elif f["dispose"] == 2 and prev is not None:
+            canvas[fy : fy + fh_, fx : fx + fw_] = prev
+        if stop_after is not None and fidx >= stop_after:
+            break
+    return out_frames
 
 
 def decode_gif_frames(
@@ -2201,7 +2348,13 @@ def decode_video_frames(
                 if p is None:
                     continue
                 pb = bytes(p)
-                if pb[:4] == b"GIF8":
+                if pb[:8] == b"\x89PNG\r\n\x1a\n":
+                    decoded = []
+                    for idx, _delay, rgb in decode_apng_frames(pb, frame_indices):
+                        gw = int.from_bytes(pb[16:20], "big")
+                        gh = int.from_bytes(pb[20:24], "big")
+                        decoded.append((idx, gw, gh, rgb))
+                elif pb[:4] == b"GIF8":
                     gw = int.from_bytes(pb[6:8], "little")
                     gh = int.from_bytes(pb[8:10], "little")
                     decoded = [

@@ -4133,3 +4133,129 @@ def test_ico_decode_png_and_dib_entries():
         decode_ico(b"\x01\x00\x01\x00\x00\x00")
     with _pytest.raises(ValueError, match="no images"):
         decode_ico(b"\x00\x00\x01\x00\x00\x00")
+
+
+# -------------------------------------------------------------- APNG
+
+
+def _apng_encode(w, h, frames, *, color=6, depth=8):
+    """Test-side APNG writer (independent of the decoder): acTL + per
+    frame fcTL and IDAT/fdAT (filter 0 rows, zlib).  ``frames`` =
+    list of dict(x, y, w, h, pixels(channel bytes), delay_num=1,
+    delay_den=10, dispose=0, blend=0)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fw, fh = f["w"], f["h"]
+        out += chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, f.get("x", 0), f.get("y", 0),
+                f.get("delay_num", 1), f.get("delay_den", 10),
+                f.get("dispose", 0), f.get("blend", 0),
+            ),
+        )
+        seq += 1
+        raw = bytearray()
+        stride = fw * ch
+        px = f["pixels"]
+        for r in range(fh):
+            raw.append(0)
+            raw += bytes(px[r * stride : (r + 1) * stride])
+        z = zlib.compress(bytes(raw))
+        if i == 0:
+            out += chunk(b"IDAT", z)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_apng_compositing_and_dispose():
+    import numpy as np
+
+    from aws_sdk_pandas_spark.operators.multimodal import decode_apng_frames
+
+    w, h = 6, 4
+    red = [255, 0, 0, 255]
+    green_half = [0, 255, 0, 128]
+    blue = [0, 0, 255, 255]
+    frames = [
+        {"w": w, "h": h, "pixels": red * (w * h), "delay_num": 3,
+         "delay_den": 100},
+        # 2x2 half-transparent green at (2,1), OVER blending,
+        # dispose 2 (restore previous after)
+        {"w": 2, "h": 2, "x": 2, "y": 1, "pixels": green_half * 4,
+         "blend": 1, "dispose": 2},
+        # 2x1 opaque blue at (0,0), SOURCE, dispose 1 (to transparent)
+        {"w": 2, "h": 1, "x": 0, "y": 0, "pixels": blue * 2, "blend": 0,
+         "dispose": 1},
+        # full no-op frame: transparent everywhere, OVER (canvas shows
+        # through)
+        {"w": w, "h": h, "pixels": [0, 0, 0, 0] * (w * h), "blend": 1},
+    ]
+    got = decode_apng_frames(_apng_encode(w, h, frames))
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    assert got[0][1] == 30  # 3/100 s
+
+    def grid(rgb):
+        return np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+
+    assert (grid(got[0][2]) == (255, 0, 0)).all()
+    g1 = grid(got[1][2])
+    # OVER: (0,255,0,a=128/255) over opaque red
+    sa = 128 / 255.0
+    want_r = round(0 * sa + 255 * (1 - sa) + 0.5)
+    want_g = round(255 * sa + 0.5)
+    got_px = tuple(int(v) for v in g1[1, 2])
+    assert abs(got_px[0] - want_r) <= 1 and abs(got_px[1] - want_g) <= 1
+    assert tuple(g1[0, 0]) == (255, 0, 0)  # outside the patch
+    g2 = grid(got[2][2])
+    assert tuple(g2[0, 0]) == (0, 0, 255)
+    assert tuple(g2[1, 2]) == (255, 0, 0)  # dispose 2 restored the blend
+    g3 = grid(got[3][2])
+    assert tuple(g3[0, 0]) == (0, 0, 0)  # dispose 1 left transparent black
+    assert tuple(g3[2, 2]) == (255, 0, 0)
+
+    # frame selection composites correctly
+    sel = decode_apng_frames(_apng_encode(w, h, frames), frame_indices=[2])
+    assert len(sel) == 1 and sel[0][2] == got[2][2]
+
+
+def test_apng_still_png_is_frame_zero(spark):
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_apng_frames,
+        decode_video_frames,
+    )
+
+    w, h = 5, 3
+    rgb = _rand_bytes(w * h * 3, seed=50)
+    png = _png_encode_v2(list(rgb), w, h, color=2)
+    got = decode_apng_frames(png)
+    assert got == [(0, 0, rgb)]
+
+    # the video kernel covers APNG too
+    frames = [
+        {"w": 4, "h": 4, "pixels": [255, 255, 255, 255] * 16},
+        {"w": 4, "h": 4, "pixels": [0, 0, 0, 255] * 16},
+    ]
+    blob = _apng_encode(4, 4, frames)
+    df = spark.createDataFrame(
+        [("a", bytearray(blob))], "media_id string, payload binary"
+    )
+    rows = {r.frame_idx: r for r in decode_video_frames(df).collect()}
+    assert rows[0].mean_r == 255.0 and rows[1].mean_r == 0.0
