@@ -6772,6 +6772,59 @@ def _q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-media frame decode under the hash gate
+    (operators/multimodal.decode_gif_frames through
+    decode_video_frames): per document a REAL 2-frame 4x4 animated GIF
+    is synthesized — frame f's pixels all use palette index
+    (doc_id + f) % 4 of a palette whose color i is (i*60, i*50, i*40)
+    — LZW-decoded, composited and mean-reduced by the real kernel, and
+    the per-frame channel means recomputed closed-form by DuckDB.  A
+    compositing, palette, frame-order, or LZW bug shifts the means."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aws_sdk_pandas_spark.operators.multimodal import (
+        decode_video_frames,
+        make_test_media,
+    )
+    from aws_sdk_pandas_spark.sources import read_parquet
+
+    ids = read_parquet(spark, f"{sf_dir}/documents.parquet").where("doc_id < 120").select("doc_id")
+    pal = bytes(v for i in range(4) for v in (i * 60, i * 50, i * 40))
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    make_test_media(
+                        "gif", 4, 4, palette=pal,
+                        frames=[[(d + f) % 4] * 16 for f in range(2)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = ids.mapInPandas(_mk, schema="media_id string, payload binary")
+    return (
+        decode_video_frames(media)
+        .select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            "frame_idx",
+            "width",
+            "height",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual-hash dedup under the hash gate
     (operators/multimodal.dedup_images_phash): per document one of 5
@@ -8299,6 +8352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_pixel_stats": _q_multimodal_gif_stats,
         "multimodal_image_dhash_dups": _q_image_dhash_dups,
         "multimodal_image_phash_dups": _q_image_phash_dups,
+        "multimodal_gif_animation_frames": _q_gif_animation_frames,
         "lakelite_stream_source": _q_lakelite_stream_source,
         "multimodal_audio_dhash_dups": _q_audio_dhash_dups,
         "cleanrooms_protected_agg": _q_cleanrooms_protected_agg,
@@ -10233,6 +10287,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 8
             ORDER BY id_a, id_b
+        """,
+        "multimodal_gif_animation_frames": """
+            SELECT d.doc_id, f.f AS frame_idx, 4 AS width, 4 AS height,
+                   CAST(ROUND(((d.doc_id + f.f) % 4) * 60.0, 6) AS DOUBLE) AS mean_r,
+                   CAST(ROUND(((d.doc_id + f.f) % 4) * 50.0, 6) AS DOUBLE) AS mean_g,
+                   CAST(ROUND(((d.doc_id + f.f) % 4) * 40.0, 6) AS DOUBLE) AS mean_b
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d,
+                 (SELECT unnest(range(2)) AS f) f
+            ORDER BY doc_id, frame_idx
         """,
         "multimodal_image_phash_dups": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)

@@ -2858,56 +2858,68 @@ def make_test_media(fmt: str, width: int = 0, height: int = 0, **kw) -> bytes:
     if fmt == "gif":
         idx = kw.get("indexes")  # palette indexes row-major -> a REAL gif
         pal = kw.get("palette")
-        if idx is None:
+        frames = kw.get("frames")  # list of full-screen index lists
+        if idx is None and frames is None:
             return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00\x00\x00"
         n_colors = len(pal) // 3
         size_bits = max(1, (n_colors - 1).bit_length()) - 1
         min_code = max(2, (n_colors - 1).bit_length())
         clear, eoi = 1 << min_code, (1 << min_code) + 1
-        table = {(i,): i for i in range(clear)}
-        next_code = eoi + 1
-        width_b = min_code + 1
-        bits: list[int] = []
 
-        def emit(code: int) -> None:
-            for i in range(width_b):
-                bits.append((code >> i) & 1)
+        def lzw(seq):
+            bits: list[int] = []
+            nonlocal_width = [min_code + 1]
 
-        emit(clear)
-        cur: tuple = ()
-        for k in idx:
-            nxt = cur + (int(k),)
-            if nxt in table:
-                cur = nxt
-                continue
-            emit(table[cur])
-            table[nxt] = next_code
-            next_code += 1
-            if next_code == (1 << width_b) + 1 and width_b < 12:
-                width_b += 1
-            cur = (int(k),)
-        if cur:
-            emit(table[cur])
-            next_code += 1
-            if next_code == (1 << width_b) + 1 and width_b < 12:
-                width_b += 1
-        emit(eoi)
-        data = bytearray()
-        for i in range(0, len(bits), 8):
-            byte = 0
-            for j, bit in enumerate(bits[i : i + 8]):
-                byte |= bit << j
-            data.append(byte)
+            def emit2(code):
+                for i in range(nonlocal_width[0]):
+                    bits.append((code >> i) & 1)
+
+            emit2(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            cur: tuple = ()
+            for k in seq:
+                nxt = cur + (int(k),)
+                if nxt in table:
+                    cur = nxt
+                    continue
+                emit2(table[cur])
+                table[nxt] = next_code
+                next_code += 1
+                if next_code == (1 << nonlocal_width[0]) + 1 and nonlocal_width[0] < 12:
+                    nonlocal_width[0] += 1
+                cur = (int(k),)
+            if cur:
+                emit2(table[cur])
+                next_code += 1
+                if next_code == (1 << nonlocal_width[0]) + 1 and nonlocal_width[0] < 12:
+                    nonlocal_width[0] += 1
+            emit2(eoi)
+            data = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = 0
+                for j, bit in enumerate(bits[i : i + 8]):
+                    byte |= bit << j
+                data.append(byte)
+            return bytes(data)
+
         out = bytearray(b"GIF89a")
         out += _s.pack("<HH", width, height)
         out += bytes([0x80 | size_bits, 0, 0])
         out += bytes(pal) + b"\x00" * (3 * ((2 << size_bits) - n_colors))
-        out += b"\x2c" + b"\x00" * 4 + _s.pack("<HH", width, height) + b"\x00"
-        out += bytes([min_code])
-        for i in range(0, len(data), 255):
-            chunk = data[i : i + 255]
-            out += bytes([len(chunk)]) + chunk
-        out += b"\x00\x3b"
+        for fi, seq in enumerate(frames if frames is not None else [idx]):
+            if frames is not None:  # graphic control ext with delay
+                out += bytes([0x21, 0xF9, 4, 0])
+                out += _s.pack("<H", kw.get("delay_cs", 4))
+                out += b"\x00\x00"
+            out += b"\x2c" + b"\x00" * 4 + _s.pack("<HH", width, height) + b"\x00"
+            out += bytes([min_code])
+            data = lzw(seq)
+            for i in range(0, len(data), 255):
+                chunk = data[i : i + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
         return bytes(out)
     if fmt == "bmp":
         pixels = kw.get("pixels")  # RGB bytes, row-major TOP-DOWN
