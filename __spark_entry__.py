@@ -700,7 +700,11 @@ def _q_vectors_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/asps_vec_idx_{sf_tag}"
-    V.create_vector_index(spark, path, dimension=len(emb.select("embedding").first()[0]))
+    # ONE probe job serves both the dimension and the query vector (the
+    # dimension of any row equals the dimension of row 0); previously two
+    # separate full-scan-shaped jobs ran back to back
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    V.create_vector_index(spark, path, dimension=len(q))
     V.put_vectors_from_df(
         emb.select(
             F.col("vec_id").cast("string").alias("key"),
@@ -710,7 +714,6 @@ def _q_vectors_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         mode="overwrite",
     )
-    q = emb.where("vec_id = 0").select("embedding").first()[0]
     return V.query_vectors(
         spark,
         path,

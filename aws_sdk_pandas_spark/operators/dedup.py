@@ -265,10 +265,24 @@ def minhash_duplicates(
 
     sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
     min_match = max(0, int(math.ceil((threshold - 3.0 * sigma) * num_hashes)))
+    # the signature rides along POSITION-TAGGED (sig[i]*num_hashes + i,
+    # a per-position bijection): the pair prefilter can then count
+    # agreeing components with ONE native array_intersect instead of an
+    # interpreted zip_with+filter+size lambda chain per pair — measured
+    # ~7s executor time in that stage at sf0.1 before, dominated by
+    # per-element lambda interpretation (guide §4.1: prefer built-ins).
+    # Band buckets hash the RAW sig slices, so bucket values (and the
+    # stored-index band layout in minhash_match_against) are unchanged.
+    tagged = F.transform(
+        "__sig", lambda x, i: x * F.lit(num_hashes).cast("long") + i
+    )
     buckets = base.select(
-        F.col("__id"), F.col("__sig"), F.explode(band_structs).alias("bb")
+        F.col("__id"), tagged.alias("__tsig"), F.explode(band_structs).alias("bb")
     ).select(
-        "__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        "__id",
+        F.col("__tsig").alias("__sig"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
     # candidate pairs via group-and-combine (ONE aggregation; a self-join
@@ -384,8 +398,19 @@ def minhash_match_against(
                 for b in range(bands)
             ]
         )
-        return side.select("id", "sig", F.explode(structs).alias("bb")).select(
-            "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        # carry the sig POSITION-TAGGED (sig[i]*num_hashes + i) so the
+        # prefilter is one native array_intersect per candidate instead
+        # of an interpreted zip_with lambda chain (same rewrite as
+        # minhash_duplicates); bucket hashes stay on the RAW slices, so
+        # stored indexes built before this change keep matching.
+        tagged = F.transform(
+            "sig", lambda x, i: x * F.lit(num_hashes).cast("long") + i
+        )
+        return side.select("id", tagged.alias("__tsig"), F.explode(structs).alias("bb")).select(
+            "id",
+            F.col("__tsig").alias("sig"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
 
     sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
@@ -397,10 +422,7 @@ def minhash_match_against(
     )
     candidates = (
         n_side.join(i_side, ["band", "bucket"])
-        .withColumn(
-            "__match",
-            F.size(F.filter(F.zip_with("sig_n", "sig_i", lambda a, b: a == b), lambda x: x)),
-        )
+        .withColumn("__match", F.size(F.array_intersect("sig_n", "sig_i")))
         .where(F.col("__match") >= min_match)
         .select("new_id", "index_id")
         .dropDuplicates(["new_id", "index_id"])
@@ -431,9 +453,13 @@ def _sig_filtered_pairs_from_buckets(
     """Within-bucket ordered id pairs whose signatures agree on at least
     ``min_match`` components.  One aggregation per (band, bucket): collect
     sorted (id, sig) structs, explode the upper-triangle pairs, computing
-    the signature-agreement count inline (zip_with over the two
-    num_hashes-long arrays — O(num_hashes) per pair, in the same stage).
-    ``max_group`` caps quadratic blowup from a degenerate hot bucket."""
+    the signature-agreement count inline.  ``buckets.__sig`` must be
+    POSITION-TAGGED (``sig[i]*num_hashes + i``): agreement is then ONE
+    native ``array_intersect`` per pair (tags are unique within an array,
+    and tag equality <=> same position AND same value) instead of an
+    interpreted zip_with lambda chain — O(num_hashes) native hash-set ops
+    per pair, in the same stage.  ``max_group`` caps quadratic blowup
+    from a degenerate hot bucket."""
     groups = (
         buckets.groupBy("band", "bucket")
         .agg(
@@ -457,11 +483,7 @@ def _sig_filtered_pairs_from_buckets(
                     lambda y: F.struct(
                         x["i"].alias("id_a"),
                         y["i"].alias("id_b"),
-                        F.size(
-                            F.filter(
-                                F.zip_with(x["s"], y["s"], lambda p, q: p == q), lambda v: v
-                            )
-                        ).alias("match"),
+                        F.size(F.array_intersect(x["s"], y["s"])).alias("match"),
                     ),
                 ),
                 lambda p: p["match"] >= F.lit(min_match),
@@ -669,7 +691,13 @@ def _ngram_hash_kernel(n: int):
         ]
         return pd.Series(out)
 
-    return _kernel
+    # asNondeterministic (guide §4.4): downstream ``explode(kernel(...))``
+    # implies a ``size(...) > 0`` filter which the optimizer pushes below
+    # the parallelism repartition, DUPLICATING the kernel — the plan had
+    # two ArrowEvalPython nodes and every document was shingled+hashed
+    # twice.  The kernel is pure; the marker only pins it to one
+    # evaluation above the exchange.
+    return _kernel.asNondeterministic()
 
 
 def ngram_jaccard_duplicates(

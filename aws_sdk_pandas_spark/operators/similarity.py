@@ -31,8 +31,35 @@ from aws_sdk_pandas_spark.functions.vectors import (
 )
 
 
-def _distance(metric: str, vec_col: Column, query: Column) -> Column:
+def _distance(
+    metric: str,
+    vec_col: Column,
+    query: Column,
+    query_values: Sequence[float] | None = None,
+) -> Column:
     if metric == "cosine":
+        if query_values is not None:
+            # the query vector is a CONSTANT: its L2 norm is too, but the
+            # optimizer does not fold an `aggregate()` over a literal
+            # array, so without this every row paid a full interpreted
+            # fold over the query (one third of the per-row lambda work).
+            # Replicate the JVM fold exactly — left-to-right double
+            # accumulation over float32 values — so the result is
+            # bit-identical to l2_norm(query_literal).
+            import math
+
+            import numpy as np
+
+            acc = 0.0
+            for v in query_values:
+                d = float(np.float32(v))
+                acc += d * d
+            q_norm = math.sqrt(acc)
+            from aws_sdk_pandas_spark.functions.vectors import dot_product, l2_norm
+
+            return F.lit(1.0) - dot_product(vec_col, query) / (
+                l2_norm(vec_col) * F.lit(q_norm)
+            )
         return F.lit(1.0) - cosine_similarity(vec_col, query)
     if metric == "euclidean":
         return euclidean_distance(vec_col, query)
@@ -62,7 +89,10 @@ def knn_brute_force(
     # ascending — without this filter a dirty corpus's NULL-embedding
     # rows would silently occupy the top-k
     out = out.where(F.col(vector_col).isNotNull())
-    out = out.withColumn("distance", F.round(_distance(metric, F.col(vector_col), q), 6))
+    out = out.withColumn(
+        "distance",
+        F.round(_distance(metric, F.col(vector_col), q, query_values=query_vector), 6),
+    )
     return out.select(id_col, "distance").orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
 
 

@@ -62,14 +62,13 @@ def describe_vector_index(spark: SparkSession, path: str) -> dict[str, Any]:
         raise InvalidArgument(f"no vector index at {path}")
     stream = jvm_fs.open(jpath)
     try:
-        data = bytearray()
-        b = stream.read()
-        while b >= 0:
-            data.append(b)
-            b = stream.read()
+        # bulk read: the byte-at-a-time loop was one py4j round trip PER
+        # BYTE (~100 driver<->JVM calls for a sidecar, ~50-100 ms each
+        # describe); readAllBytes ships the whole file in one call
+        data = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    return json.loads(data.decode("utf-8"))
 
 
 def _write_sidecar(spark: SparkSession, path: str, props: dict[str, Any]) -> None:

@@ -107,7 +107,11 @@ def main() -> None:
     spark.stop()  # flush event log
 
     # ---- parse event log ----
-    logs = [os.path.join(EVENT_DIR, f) for f in os.listdir(EVENT_DIR)]
+    logs = []
+    for root, _dirs, files in os.walk(EVENT_DIR):
+        for f in files:
+            if "appstatus" not in f:
+                logs.append(os.path.join(root, f))
     report: dict[str, dict] = {}
     stage_to_group: dict[int, str] = {}
     stage_submit: dict[int, float] = {}
