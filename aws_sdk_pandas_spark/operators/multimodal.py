@@ -1299,7 +1299,11 @@ def image_dhash(
 
         return payloads.apply(one)
 
-    return df.withColumn(out_col, _dhash(F.col(payload_col)))
+    # asNondeterministic (optimization guide §4.4): the banding join's
+    # implied isnotnull filter on the hash column was pushed below this
+    # node and DUPLICATED it — every payload was decoded and hashed
+    # twice.  The kernel is pure; the marker pins one evaluation.
+    return df.withColumn(out_col, _dhash.asNondeterministic()(F.col(payload_col)))
 
 
 def dedup_images_dhash(
@@ -1385,7 +1389,11 @@ def image_phash(
 
         return payloads.apply(one)
 
-    return df.withColumn(out_col, _phash(F.col(payload_col)))
+    # asNondeterministic (optimization guide §4.4): the banding join's
+    # implied isnotnull filter on the hash column was pushed below this
+    # node and DUPLICATED it — every payload was decoded and hashed
+    # twice.  The kernel is pure; the marker pins one evaluation.
+    return df.withColumn(out_col, _phash.asNondeterministic()(F.col(payload_col)))
 
 
 def dedup_images_phash(
@@ -1453,7 +1461,11 @@ def audio_dhash(
 
         return payloads.apply(one)
 
-    return df.withColumn(out_col, _ahash(F.col(payload_col)))
+    # asNondeterministic (optimization guide §4.4): the banding join's
+    # implied isnotnull filter on the hash column was pushed below this
+    # node and DUPLICATED it — every payload was decoded and hashed
+    # twice.  The kernel is pure; the marker pins one evaluation.
+    return df.withColumn(out_col, _ahash.asNondeterministic()(F.col(payload_col)))
 
 
 def dedup_audio_dhash(

@@ -52,7 +52,20 @@ def main() -> int:
         if "CartesianProduct" in plan:
             smells.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan:
-            smells.append("NESTED-LOOP-JOIN")
+            # a cross join whose build side is a no-grouping aggregate is
+            # the deliberate one-row totals/span broadcast (attach a global
+            # scalar to every row) — constant-size build at any data scale,
+            # not a smell.  Flag only NLJs without such a build side nearby.
+            lines = plan.splitlines()
+            suspicious = False
+            for i, ln in enumerate(lines):
+                if "BroadcastNestedLoopJoin" not in ln:
+                    continue
+                ctx = "\n".join(lines[i : i + 20])
+                if "HashAggregate(keys=[]" not in ctx and "keys=[], functions=[" not in ctx:
+                    suspicious = True
+            if suspicious:
+                smells.append("NESTED-LOOP-JOIN")
         # §4.4 duplicated-UDF detection: same `<fn>(...)#<exprid>` result id
         # evaluated by more than one Arrow/Batch eval node.  InMemoryRelation
         # blocks print their (already materialized) lineage too — strip those
