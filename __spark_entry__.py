@@ -3661,12 +3661,38 @@ def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    # carry |s| so pairs can be pre-filtered on the PROVABLE size bound
+    # below before any set op runs
+    szd = sh.select("doc_id", "s", F.size("s").alias("n"))
+    a = szd.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = szd.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    # ``s`` arrays are sets (array_distinct / single element), so
+    # |A∪B| = |A| + |B| − |A∩B| exactly — the arithmetic replaces a
+    # per-pair array_union materialization over ~2.5k-string arrays.
+    shared = F.size(F.array_intersect("sa", "sb"))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
+    # implied predicate: j = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so a
+    # pair can only reach j >= 0.6 when least(na,nb) >= 0.6*greatest —
+    # filtering on sizes FIRST skips the expensive intersect for the
+    # vast majority of pairs without changing the surviving set (it is
+    # exactly the pairs the j >= 0.6 filter would drop anyway).  The
+    # brute-force ORACLE semantics are untouched: every size-compatible
+    # pair still gets the exact char-shingle set arithmetic the DuckDB
+    # side replays.
+    size_ok = F.least("na", "nb") >= F.lit(0.6) * F.greatest("na", "nb")
+    # the bounded all-pairs join plans as a broadcast nested loop whose
+    # parallelism is the STREAM side's partition count — a single-split
+    # sample file would run all ~80k set intersections on one core, so
+    # spread the stream side over the cluster (sample is bounded at 400
+    # docs by construction, so the broadcast side is bounded too)
     brute = (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(b))
+        .where((F.col("id_a") < F.col("id_b")) & size_ok)
         .select("id_a", "id_b", jac.alias("j"))
         .where(F.col("j") >= 0.6)
         .persist()
@@ -3676,12 +3702,14 @@ def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_common = lsh.join(brute, ["id_a", "id_b"]).count()
     # precision with margin: LSH verifies on hashed byte-shingles, the
     # truth is char-shingles — identical on this ASCII sample except at
-    # the threshold boundary
+    # the threshold boundary.  jc is only consumed for pairs LSH
+    # reported, so attach shingle sets to THOSE pairs (two broadcast
+    # joins over |lsh| rows) instead of re-running the full cross join.
     n_imprecise = (
-        lsh.join(
-            a.crossJoin(b).select("id_a", "id_b", jac.alias("jc")),
-            ["id_a", "id_b"],
-        )
+        lsh.select("id_a", "id_b")
+        .join(a.select("id_a", "sa", "na"), "id_a")
+        .join(b.select("id_b", "sb", "nb"), "id_b")
+        .select("id_a", "id_b", jac.alias("jc"))
         .where(F.col("jc") < 0.55)
         .count()
     )

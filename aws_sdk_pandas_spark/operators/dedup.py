@@ -300,15 +300,20 @@ def minhash_duplicates(
     verified = (
         pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__h": "h_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__h": "h_b"}), "id_b")
+        .withColumn("__shared", F.size(F.array_intersect("h_a", "h_b")))
         .withColumn(
+            # ``h`` arrays are np.unique outputs (true sets), so
+            # |A∪B| = |A|+|B|−|A∩B| exactly — arithmetic instead of a
+            # second per-pair set materialization (array_union allocated
+            # a ~|A|+|B| array per candidate).
             # try_divide: two degenerate documents (no shingles at all —
             # NULL/empty/shorter-than-k text) can collide in banding with
             # empty shingle sets; 0/0 must read NULL (pair filtered out),
             # not raise DIVIDE_BY_ZERO under ANSI mode mid-corpus
             "jaccard",
             F.try_divide(
-                F.size(F.array_intersect("h_a", "h_b")),
-                F.size(F.array_union("h_a", "h_b")),
+                F.col("__shared"),
+                F.size("h_a") + F.size("h_b") - F.col("__shared"),
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -432,13 +437,15 @@ def minhash_match_against(
             new_base.select(F.col("id").alias("new_id"), F.col("h").alias("h_n")), "new_id"
         )
         .join(index.select(F.col("id").alias("index_id"), F.col("h").alias("h_i")), "index_id")
+        .withColumn("__shared", F.size(F.array_intersect("h_n", "h_i")))
         .withColumn(
-            # try_divide for the same degenerate-collision case as
-            # minhash_duplicates: 0/0 reads NULL, never DIVIDE_BY_ZERO
+            # sets, so |A∪B| = |A|+|B|−|A∩B| (see minhash_duplicates);
+            # try_divide for the same degenerate-collision case:
+            # 0/0 reads NULL, never DIVIDE_BY_ZERO
             "jaccard",
             F.try_divide(
-                F.size(F.array_intersect("h_n", "h_i")),
-                F.size(F.array_union("h_n", "h_i")),
+                F.col("__shared"),
+                F.size("h_n") + F.size("h_i") - F.col("__shared"),
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -846,23 +846,64 @@ def diverse_subset(
 
     sid, svec, sdist = farthest(dist_fn(F.col("__v"), vector_literal(centroid)))
     chosen = [(sid, svec, 0.0)]  # seed's sel_distance defined as 0
-    while len(chosen) < k:
-        min_d = None
-        for _, cv, _ in chosen:
-            dd = dist_fn(F.col("__v"), vector_literal(cv))
-            min_d = dd if min_d is None else F.least(min_d, dd)
-        already = [c[0] for c in chosen]
-        row = (
-            base.where(~F.col("__id").isin(already))
-            .select("__id", "__v", min_d.alias("__d"))
-            .orderBy(F.col("__d").desc(), F.col("__id").asc())
-            .limit(1)
-            .collect()
-        )
-        if not row:
-            break
-        r = row[0]
-        chosen.append((r["__id"], [float(x) for x in r["__v"]], float(r["__d"])))
+    # Incremental farthest-first: carry each row's min-distance-to-chosen
+    # as a CACHED column and fold in ONE new center per round —
+    # ``least(prev, dist(v, new))`` associates exactly like the
+    # left-to-right least-chain the naive form built, and ``least`` is
+    # exact, so every pick and sel_distance is bit-identical.  The naive
+    # form re-evaluated ALL i distance folds per round (O(n·k²) lambda
+    # work) and inlined i 64-float literals into one expression tree,
+    # whose analysis/codegen cost grew quadratically and dominated
+    # wall-clock (measured 29.7s for k=16 at sf0.01; guide §7.3: giant
+    # expression trees built in loops are a driver-side bottleneck).
+    spark = df.sparkSession
+    cur = base.select(
+        "__id", "__v", dist_fn(F.col("__v"), vector_literal(svec)).alias("__d")
+    ).persist()
+    prev = None
+    try:
+        while len(chosen) < k:
+            already = [c[0] for c in chosen]
+            # this pick materializes cur's cache (built lazily from the
+            # still-persisted predecessor), so no separate count() job
+            row = (
+                cur.where(~F.col("__id").isin(already))
+                .orderBy(F.col("__d").desc(), F.col("__id").asc())
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not row:
+                break
+            r = row[0]
+            cvec = [float(x) for x in r["__v"]]
+            chosen.append((r["__id"], cvec, float(r["__d"])))
+            if len(chosen) >= k:
+                break
+            # the new center joins in as a ONE-ROW broadcast instead of 64
+            # inlined literals: the distance fold's generated code is then
+            # byte-identical across rounds and Spark's codegen cache hits —
+            # with literals every round paid a fresh whole-stage compile
+            # (~0.5s/round measured, larger than the actual 500-row scan)
+            cdf = spark.createDataFrame([(cvec,)], "__c array<float>")
+            nxt = (
+                cur.crossJoin(F.broadcast(cdf))
+                .select(
+                    "__id",
+                    "__v",
+                    F.least(
+                        F.col("__d"), dist_fn(F.col("__v"), F.col("__c"))
+                    ).alias("__d"),
+                )
+                .persist()
+            )
+            prev, cur = cur, nxt
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     spark = df.sparkSession
     sel = spark.createDataFrame(
         [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)],

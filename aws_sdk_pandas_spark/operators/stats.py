@@ -586,23 +586,33 @@ def bootstrap_ci(
     rid = F.col(id_col)
     base = df.where(x.isNotNull() & rid.isNotNull())
 
-    def _w(b):
+    def _w(b, rid_col):
         from .sampling import _md5_uniform
 
         # md5("rid:b:seed") via the ONE canonical hash-to-uniform
-        u = _md5_uniform(F.concat_ws(":", rid.cast("string"), b.cast("string")), seed)
+        u = _md5_uniform(
+            F.concat_ws(":", rid_col.cast("string"), b.cast("string")), seed
+        )
         w = F.lit(9)
         for k in range(len(_POISSON1_CUM) - 1, -1, -1):
             w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
         return w.cast("double")
 
+    # the replicate expansion is B md5 evaluations PER ROW — compute-
+    # dense map work that must not serialize on a handful of input
+    # splits (guide §2.5 input skew: a single compacted file would run
+    # the whole expansion on one core; at real scale the scan already
+    # exceeds default parallelism and this is a no-op)
+    from .dedup import _ensure_parallelism
+
     rep = (
-        base.select(
-            x.alias("__x"),
+        _ensure_parallelism(base.select(x.alias("__x"), rid.alias("__rid")))
+        .select(
+            "__x",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(B - 1)),
-                    lambda b: F.struct(b.alias("b"), _w(b).alias("w")),
+                    lambda b: F.struct(b.alias("b"), _w(b, F.col("__rid")).alias("w")),
                 )
             ).alias("e"),
         )

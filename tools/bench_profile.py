@@ -26,9 +26,10 @@ EVENT_DIR = "/tmp/asps_spark_events"
 
 
 def main() -> None:
+    import shutil
+
+    shutil.rmtree(EVENT_DIR, ignore_errors=True)
     os.makedirs(EVENT_DIR, exist_ok=True)
-    for f in os.listdir(EVENT_DIR):
-        os.unlink(os.path.join(EVENT_DIR, f))
 
     import __spark_entry__ as entrymod
     import aws_sdk_pandas_spark as asps
@@ -40,6 +41,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENT_DIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     sc = spark.sparkContext
