@@ -446,6 +446,14 @@ def profile_table(
     ``True`` uses exact ``countDistinct`` — portable/audit mode, but
     each distinct count is its own expand at scale.
     """
+    # audit mode multiplies every row ~#distinct-aggs times through an
+    # Expand before the partial aggregation — compute-dense map work that
+    # must not serialize on a single input split (no-op at real scale,
+    # where scans carry more partitions than cores; guide §2.5)
+    if exact_distinct:
+        from aws_sdk_pandas_spark.operators.dedup import _ensure_parallelism
+
+        df = _ensure_parallelism(df)
     cols = columns or df.columns
     types = dict(df.dtypes)
     # exact names, not prefixes: 'interval day to second'.startswith('int')
