@@ -136,6 +136,12 @@ def train_text_classifier(
     if iterations < 1:
         raise InvalidArgument("iterations must be >= 1")
     spark = df.sparkSession
+    # intercept-as-feature: every document gets sentinel feature -1 (real
+    # ids are in [0, dim)), the bias rides in the weight table as the -1
+    # row, and the single per-feature gradient aggregation yields the bias
+    # gradient as the -1 group — ONE pass over the persisted rows and ONE
+    # job per iteration, where the bias previously cost a second job that
+    # recomputed the whole scoring subtree for one global sum
     feats = (
         df.select(
             F.col(label_col).cast("double").alias("__y"),
@@ -145,12 +151,14 @@ def train_text_classifier(
         .select(
             F.monotonically_increasing_id().alias("__doc"),
             "__y",
-            "__f",
+            F.concat("__f", F.array(F.lit(-1).cast("long"))).alias("__f"),
         )
-        .select("__doc", "__y", F.explode_outer("__f").alias("feature"))
+        .select("__doc", "__y", F.explode("__f").alias("feature"))
         .persist()
     )
-    n_docs = feats.select("__doc").distinct().count()
+    # every doc carries exactly one sentinel row, so doc count is a plain
+    # filtered count — no distinct shuffle
+    n_docs = feats.where(F.col("feature") == -1).count()
     if n_docs == 0:
         feats.unpersist()
         raise InvalidArgument("no trainable rows (labels must be 0/1)")
@@ -158,8 +166,11 @@ def train_text_classifier(
     w = np.zeros(dim, np.float64)
     b = 0.0
     for _ in range(iterations):
+        # the -1 bias row is always present so the sigmoid's +b happens
+        # inside the same per-doc weight sum (every doc carries feature -1)
         wf = spark.createDataFrame(
-            [(int(i), float(w[i])) for i in np.flatnonzero(w)] or [(0, 0.0)],
+            [(-1, float(b))]
+            + [(int(i), float(w[i])) for i in np.flatnonzero(w)],
             "feature bigint, weight double",
         )
         scored = (
@@ -169,22 +180,23 @@ def train_text_classifier(
             .select(
                 "__doc",
                 "__y",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") + F.lit(b)))))
-                .alias("__p"),
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s")))).alias("__p"),
             )
             .select("__doc", (F.col("__p") - F.col("__y")).alias("__r"))
         )
         grad_rows = (
             feats.join(scored, "__doc")
-            .where(F.col("feature").isNotNull())
             .groupBy("feature")
             .agg(F.sum("__r").alias("g"))
             .collect()
         )
-        bias_grad = scored.agg(F.sum("__r")).first()[0] or 0.0
         g = np.zeros(dim, np.float64)
+        bias_grad = 0.0
         for row in grad_rows:
-            g[row["feature"]] = row["g"]
+            if row["feature"] == -1:
+                bias_grad = row["g"] or 0.0
+            else:
+                g[row["feature"]] = row["g"]
         w -= learning_rate * (g / n_docs + l2 * w)
         b -= learning_rate * (bias_grad / n_docs)
     feats.unpersist()
