@@ -55,7 +55,29 @@ def deletion_variants(col: Column, max_distance: int) -> Column:
     v1 = _del1(col)
     out = F.array_union(F.array(col), v1)
     if max_distance == 2:
-        v2 = F.flatten(F.transform(v1, _del1))
+        # delete the unordered position pair {i, j} (i < j) directly:
+        # C(L,2) three-substr concats instead of L*(L-1) strings from
+        # deleting-one-of-each-del1 (which built every pair twice and
+        # then paid array_distinct over the doubled array).  Deleting
+        # i-then-j equals deleting {i,j} in one step, so the SET of
+        # variants is identical.
+        s = col
+        v2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.length(s)),
+                    lambda j: F.concat(
+                        s.substr(F.lit(1), i - 1),
+                        s.substr(i + 1, j - i - 1),
+                        s.substr(j + 1, F.length(s)),
+                    ),
+                ),
+            )
+        )
+        # sequence(1, L-1) flips to a descending range when L < 2;
+        # strings that short have no two positions to delete anyway
+        v2 = F.when(F.length(s) >= 2, v2).otherwise(F.array().cast("array<string>"))
         out = F.array_union(out, F.array_distinct(v2))
     return out
 

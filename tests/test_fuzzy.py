@@ -33,6 +33,22 @@ def test_deletion_variants(spark):
     assert got[""] == [""]
 
 
+def test_deletion_variants_match_brute_force(spark):
+    # the C(L,2) pair-deletion form must equal delete-i-then-j brute force
+    # on repeated-char, short, and longer strings alike
+    strings = ["ab", "aa", "aabb", "banana", "mississippi", "promise pale tan"]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r.s: sorted(r.v) for r in df.select(
+        "s", deletion_variants(F.col("s"), 2).alias("v")).collect()}
+    for s in strings:
+        want = {s}
+        for i in range(len(s)):
+            want.add(s[:i] + s[i + 1:])
+        for i, j in itertools.combinations(range(len(s)), 2):
+            want.add("".join(c for k, c in enumerate(s) if k not in (i, j)))
+        assert got[s] == sorted(want), s
+
+
 def test_fuzzy_join_equals_brute_force(spark):
     names = [
         "cold plate", "old plate", "gold plate", "cold slate", "red widget",
