@@ -244,6 +244,14 @@ def build_rag_index(
         F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
     )
     emb = embed_texts(chunks, "chunk_text", out_col="embedding", dim=dim, embed_fn=embed_fn)
+    # materialize the chunk->embed chain ONCE: KMeans fit (dim probe +
+    # seeded init + iterations) and the assignment transform each
+    # re-derive their input plan, so without this barrier the embedding
+    # kernel runs 2-3x over the whole corpus.  localCheckpoint keeps
+    # partitioning and row order, so the seeded fit (and therefore every
+    # assignment) is unchanged; the storage cost equals the internal
+    # persist KMeans does anyway.
+    emb = emb.localCheckpoint()
     return build_ivf_index(emb, vector_col="embedding", n_clusters=n_clusters, seed=seed)
 
 
