@@ -354,7 +354,6 @@ def global_prefix_sum(
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col and out_col lists must have the same length")
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
     # localCheckpoint is CORRECTNESS, not cache: repartitionByRange picks
     # its boundaries by sampling with an RDD-id-dependent seed, so the
@@ -364,11 +363,22 @@ def global_prefix_sum(
     # another (observed: wrong KS cumulative counts at 8 partitions).
     # Materializing pins ONE assignment for both phases; the two-phase
     # algorithm reads r twice anyway, so this also saves the recompute.
-    r = (
-        df.repartitionByRange(n, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    #
+    # Partition count: when the caller does not pin one, leave it to AQE
+    # (repartitionByRange WITHOUT an explicit count marks the shuffle as
+    # coalescible) so the range shuffle is sized by bytes — few
+    # partitions for a small distinct-value table, shuffle.partitions
+    # for a big one — instead of a constant that over-partitions small
+    # inputs and under-partitions huge ones.  AQE merges only ADJACENT
+    # range partitions, so partition i's keys still all precede
+    # partition i+1's and the offset arithmetic below is unchanged for
+    # any total order.
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
     )
+    r = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     # per-partition totals -> driver (n rows) -> exclusive offsets
     totals = {
         row["__pid"]: [row[f"__t{i}"] or 0 for i in range(len(value_cols))]
@@ -387,8 +397,6 @@ def global_prefix_sum(
         if t:
             acc = [a + v for a, v in zip(acc, t)]
     typ = "double" if flt else "bigint"
-    schema = "__pid int, " + ", ".join(f"__off{i} {typ}" for i in range(len(value_cols)))
-    off_df = spark.createDataFrame(offsets, schema) if offsets else None
     # ROWS frame, not the default RANGE: RANGE gives tied order keys one
     # shared inclusive sum, so duplicate keys would collapse to the same
     # running total instead of consecutive ones
@@ -400,7 +408,31 @@ def global_prefix_sum(
     out = r
     for i, c in enumerate(value_cols):
         out = out.withColumn(f"__local{i}", F.sum(c).over(w))
-    if off_df is not None:
+    if offsets and len(offsets) <= 64:
+        # few partitions (the common case now that AQE sizes the range
+        # shuffle): attach each partition's offset as a JVM literal-map
+        # lookup.  createDataFrame(local_list) would parallelize the
+        # handful of rows across defaultParallelism slices and launch a
+        # Python worker PER SLICE just to deserialize them (measured:
+        # 32 tasks x ~200 ms per prefix-sum pass), then pay a broadcast
+        # exchange + join — all replaced by a constant-folded lookup.
+        for i, oc in enumerate(out_cols):
+            kv = []
+            for off in offsets:
+                kv += [F.lit(off[0]), F.lit(off[1 + i]).cast(typ)]
+            out = out.withColumn(
+                oc, F.col(f"__local{i}") + F.create_map(*kv)[F.col("__pid")]
+            )
+    elif offsets:
+        # many partitions: a literal map would bloat the expression tree
+        # (guide on giant plans), so keep the broadcast join — built from
+        # ONE slice so exactly one Python worker ships the local rows
+        schema = "__pid int, " + ", ".join(
+            f"__off{i} {typ}" for i in range(len(value_cols))
+        )
+        off_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(offsets, 1), schema
+        )
         out = out.join(F.broadcast(off_df), "__pid")
         for i, oc in enumerate(out_cols):
             out = out.withColumn(oc, F.col(f"__local{i}") + F.col(f"__off{i}"))

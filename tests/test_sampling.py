@@ -484,3 +484,36 @@ def test_global_prefix_sum_float_values(spark):
     for i, v in rows:
         acc += v
         assert abs(got[i] - acc) < 1e-9
+
+
+def test_global_prefix_sum_offset_paths(spark):
+    """The two offset-attachment paths agree with serial replay: the
+    literal-map lookup (few partitions — the AQE-sized default) and the
+    broadcast join (num_partitions > 64 forces offsets past the literal
+    threshold)."""
+    import random
+
+    from aws_sdk_pandas_spark.operators.sampling import global_prefix_sum
+
+    random.seed(11)
+    rows = [(i, random.randint(1, 9)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, cost long").repartition(16)
+    acc, expected = 0, {}
+    for i, c in sorted(rows):
+        acc += c
+        expected[i] = acc
+    # default: AQE sizes the range shuffle (locally coalesces to few
+    # partitions -> literal-map path)
+    got_default = {
+        r.id: r.running_total
+        for r in global_prefix_sum(df, "cost", [F.col("id").asc()]).collect()
+    }
+    assert got_default == expected
+    # forced wide: > 64 range partitions -> broadcast-join path
+    got_wide = {
+        r.id: r.running_total
+        for r in global_prefix_sum(
+            df, "cost", [F.col("id").asc()], num_partitions=80
+        ).collect()
+    }
+    assert got_wide == expected
