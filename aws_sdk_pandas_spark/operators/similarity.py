@@ -886,8 +886,13 @@ def diverse_subset(
             # inlined literals: the distance fold's generated code is then
             # byte-identical across rounds and Spark's codegen cache hits —
             # with literals every round paid a fresh whole-stage compile
-            # (~0.5s/round measured, larger than the actual 500-row scan)
-            cdf = spark.createDataFrame([(cvec,)], "__c array<float>")
+            # (~0.5s/round measured, larger than the actual 500-row scan).
+            # ONE slice: the default createDataFrame(list) would spread
+            # this single row across defaultParallelism slices and launch
+            # a Python worker per slice, every round.
+            cdf = spark.createDataFrame(
+                spark.sparkContext.parallelize([(cvec,)], 1), "__c array<float>"
+            )
             nxt = (
                 cur.crossJoin(F.broadcast(cdf))
                 .select(
@@ -906,7 +911,9 @@ def diverse_subset(
             prev.unpersist()
     spark = df.sparkSession
     sel = spark.createDataFrame(
-        [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)],
+        spark.sparkContext.parallelize(
+            [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)], 1
+        ),
         f"__id {df.schema[id_col].dataType.simpleString()}, sel_order int, sel_distance double",
     )
     return (
