@@ -246,7 +246,8 @@ def evaluate_ruleset(df: DataFrame, rules: list[dict[str, Any]] | list[Rule]) ->
             (t, p, rule.expression, value, bool(passed))
         )
     return spark.createDataFrame(
-        results, "rule_type string, parameter string, expression string, value double, passed boolean"
+        spark.sparkContext.parallelize(results, 1),
+        "rule_type string, parameter string, expression string, value double, passed boolean",
     )
 
 
@@ -494,7 +495,7 @@ def profile_table(
             )
         )
     return df.sparkSession.createDataFrame(
-        out_rows,
+        df.sparkSession.sparkContext.parallelize(out_rows, 1),
         "column string, dtype string, n_rows bigint, n_nonnull bigint, "
         "completeness double, n_distinct bigint, min_value double, "
         "max_value double, avg_value double, p50_value double",
@@ -538,7 +539,7 @@ def suggest_keys(
         for c in cols
     ]
     return spark.createDataFrame(
-        out,
+        spark.sparkContext.parallelize(out, 1),
         "column string, n_rows bigint, n_distinct bigint, n_nulls bigint, "
         "uniqueness double, is_candidate_key boolean",
     )
@@ -569,14 +570,17 @@ def fk_containment(
     n_match = matched.count()
     spark = child.sparkSession
     return spark.createDataFrame(
-        [
-            (
-                n_child,
-                n_match,
-                round(n_match / n_child, 6) if n_child else 1.0,
-                n_child - n_match,
-            )
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (
+                    n_child,
+                    n_match,
+                    round(n_match / n_child, 6) if n_child else 1.0,
+                    n_child - n_match,
+                )
+            ],
+            1,
+        ),
         "n_child_keys bigint, n_matched bigint, containment double, n_orphans bigint",
     )
 
@@ -727,7 +731,7 @@ def near_zero_variance(
             )
         )
     return spark.createDataFrame(
-        out,
+        spark.sparkContext.parallelize(out, 1),
         "column string, n bigint, n_distinct bigint, top_value string, "
         "freq_ratio double, unique_pct double, nzv boolean",
     )

@@ -259,7 +259,9 @@ def save_bloom(bloom: BloomFilter, path: str, spark=None) -> None:
             "no active SparkSession on this thread — pass save_bloom(..., spark=...)"
         )
     df = spark.createDataFrame(
-        [(bloom.m_bits, bloom.k, bloom.n_items, bloom.words)],
+        spark.sparkContext.parallelize(
+            [(bloom.m_bits, bloom.k, bloom.n_items, bloom.words)], 1
+        ),
         "m_bits long, k int, n_items long, words array<long>",
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)

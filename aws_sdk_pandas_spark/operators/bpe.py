@@ -192,7 +192,10 @@ def save_bpe(merges: list[tuple[str, str]], path: str, spark=None) -> None:
     if spark is None:
         raise RuntimeError("no active SparkSession — pass save_bpe(..., spark=...)")
     df = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+        spark.sparkContext.parallelize(
+            [(i, a, b) for i, (a, b) in enumerate(merges)], 1
+        ),
+        "rank int, a string, b string",
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -1256,8 +1256,10 @@ def semantic_dedup(
     assigned, centroids = build_ivf_index(
         df, vector_col=vector_col, n_clusters=n_clusters, metric="cosine", seed=seed
     )
-    centroid_df = assigned.sparkSession.createDataFrame(
-        [(int(c), v) for c, v in centroids], "__cluster int, __centroid array<float>"
+    spark = assigned.sparkSession
+    centroid_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(int(c), v) for c, v in centroids], 1),
+        "__cluster int, __centroid array<float>",
     )
     scored = (
         assigned.join(F.broadcast(centroid_df), "__cluster")

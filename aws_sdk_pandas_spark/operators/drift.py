@@ -166,7 +166,9 @@ def psi_numeric(
     }
     spark = df_base.sparkSession
     bounds = spark.createDataFrame(
-        [(i, lo, hi) for i, (lo, hi) in lo_hi.items()],
+        spark.sparkContext.parallelize(
+            [(i, lo, hi) for i, (lo, hi) in lo_hi.items()], 1
+        ),
         "bin int, lo double, hi double",
     )
     base_c = binned(df_base).withColumnRenamed("c", "cb")

@@ -287,7 +287,10 @@ def hashed_ngram_score(
     spark = df.sparkSession
     if isinstance(weights, dict):
         weights = spark.createDataFrame(
-            [(int(b), float(w)) for b, w in weights.items()], "bucket int, weight double"
+            spark.sparkContext.parallelize(
+                [(int(b), float(w)) for b, w in weights.items()], 1
+            ),
+            "bucket int, weight double",
         )
     wdf = weights.select(
         F.col("bucket").cast("long").alias("__bucket"), F.col("weight").alias("__w")
@@ -389,7 +392,10 @@ def fit_hashed_ngram_classifier(
     rows = [(int(i), float(co[int(i)])) for i in co.indices] if hasattr(co, "indices") else [
         (i, float(v)) for i, v in enumerate(co) if v != 0.0
     ]
-    weights_df = spark.createDataFrame(rows or [(0, 0.0)], "bucket int, weight double")
+    weights_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [(0, 0.0)], 1),
+        "bucket int, weight double",
+    )
     return weights_df, float(model.intercept)
 
 

@@ -673,8 +673,12 @@ def drift_monitor_stream(
             .persist()
         )
         t_batch = ca.agg(F.sum("n_a")).first()[0] or 0
+        # one slice: the default path would spread these local rows over
+        # defaultParallelism slices, launching a Python worker per slice
+        # EVERY micro-batch
         base_counts = spark.createDataFrame(
-            base_hist or [(0, 0)], "bucket long, n_b long"
+            spark.sparkContext.parallelize(base_hist or [(0, 0)], 1),
+            "bucket long, n_b long",
         )
         j = (
             all_buckets.join(ca, "bucket", "left")
@@ -692,7 +696,9 @@ def drift_monitor_stream(
             F.sum((p - q) * F.log(p / q)).alias("psi_total"),
         ).first()
         metrics = spark.createDataFrame(
-            [(int(batch_id), int(n_docs), float(row["js_total"]), float(row["psi_total"]))],
+            spark.sparkContext.parallelize(
+                [(int(batch_id), int(n_docs), float(row["js_total"]), float(row["psi_total"]))], 1
+            ),
             "batch_id long, n_docs long, js_total double, psi_total double",
         )
         write_dataset(metrics, metrics_path, "parquet", mode="append")
