@@ -469,16 +469,19 @@ def build_pq_index(
     # NULL vectors cannot be encoded (and would crash the trainer's
     # numpy stack) — excluded from the index like every other knn path
     df = df.where(F.col(vector_col).isNotNull())
-    first = df.select(vector_col).first()
-    if first is None:
+    # ONE column-pruned job for row count + dimension (the separate
+    # first() probe and count() each re-derived the input chain)
+    probe = df.agg(
+        F.count(F.lit(1)).alias("__n"), F.first(F.size(vector_col)).alias("__dim")
+    ).first()
+    n = int(probe["__n"])
+    if n == 0:
         raise InvalidArgument("build_pq_index: no non-NULL vectors to index")
-    dim = len(first[0])
+    dim = int(probe["__dim"])
     if dim % m:
         raise InvalidArgument(f"vector dim {dim} not divisible by m={m}")
     sub = dim // m
     k = 1 << bits
-
-    n = df.count()
     frac = min(1.0, train_sample / max(n, 1))
     sample = df.select(vector_col) if frac >= 1.0 else df.select(vector_col).sample(frac, seed=seed)
     x = np.array(sample.toPandas()[vector_col].tolist(), dtype=np.float64)
