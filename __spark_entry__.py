@@ -3276,7 +3276,9 @@ def _q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs(r.v - ev[r.j]) <= 1e-3 * max(abs(ev[r.j]), 1e-9) for r in proj_stats
     )
     return spark.createDataFrame(
-        [(64, 64, float(round(ev.sum(), 6)), orthonormal_ok, desc_ok, bool(proj_var_ok))],
+        spark.sparkContext.parallelize(
+            [(64, 64, float(round(ev.sum(), 6)), orthonormal_ok, desc_ok, bool(proj_var_ok))], 1
+        ),
         "d int, k int, total_var double, orthonormal_ok boolean, "
         "variance_desc_ok boolean, proj_var_ok boolean",
     )
@@ -3717,7 +3719,9 @@ def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute.unpersist()
     lsh.unpersist()
     return spark.createDataFrame(
-        [(int(n_brute), bool(recall_ok), bool(n_imprecise == 0))],
+        spark.sparkContext.parallelize(
+            [(int(n_brute), bool(recall_ok), bool(n_imprecise == 0))], 1
+        ),
         "n_brute_pairs bigint, recall_ok boolean, precision_ok boolean",
     )
 
@@ -4749,15 +4753,18 @@ def _q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     m = fit_ols(li, x_cols=["l_quantity", "l_discount"], y_col="l_extendedprice")
     return spark.createDataFrame(
-        [
-            (
-                round(m["coef"][0], 6),
-                round(m["coef"][1], 6),
-                round(m["intercept"], 6),
-                round(m["r2"], 6),
-                m["n"],
-            )
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (
+                    round(m["coef"][0], 6),
+                    round(m["coef"][1], 6),
+                    round(m["intercept"], 6),
+                    round(m["r2"], 6),
+                    m["n"],
+                )
+            ],
+            1,
+        ),
         "coef_quantity double, coef_discount double, intercept double, "
         "r2 double, n bigint",
     )
@@ -4947,7 +4954,9 @@ def _q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="rid", alpha=0.1, calib_frac=0.3, seed=42,
     )
     return spark.createDataFrame(
-        [(round(m["q"], 4), m["alpha"], m["n_train"], m["n_calib"])],
+        spark.sparkContext.parallelize(
+            [(round(m["q"], 4), m["alpha"], m["n_train"], m["n_calib"])], 1
+        ),
         "q double, alpha double, n_train bigint, n_calib bigint",
     )
 
@@ -5576,6 +5585,10 @@ def _q_knn_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where("vec_id = 0").select("embedding").first()[0]
     corpus = emb.where("vec_id <> 0")
     assigned, centroids = build_ivf_index(corpus, vector_col="embedding", n_clusters=8)
+    # four consumers below (brute + three probes): materialize the KMeans
+    # assignment chain once — checkpoint preserves values and order, so
+    # every probe result is unchanged
+    assigned = assigned.localCheckpoint()
     brute = [
         (r[0], r[1])
         for r in knn_brute_force(
@@ -5596,7 +5609,9 @@ def _q_knn_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     mono_ok = recall[2] <= recall[4] <= recall[8]
     fullprobe_exact = got[8] == brute
     return spark.createDataFrame(
-        [(10, bool(mono_ok), bool(fullprobe_exact))],
+        spark.sparkContext.parallelize(
+            [(10, bool(mono_ok), bool(fullprobe_exact))], 1
+        ),
         "k int, recall_monotone_ok boolean, fullprobe_exact_ok boolean",
     )
 
@@ -5701,7 +5716,9 @@ def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return spark.createDataFrame(
-        [(10, bool(mismatch == 0), bool(batched == brute))],
+        spark.sparkContext.parallelize(
+            [(10, bool(mismatch == 0), bool(batched == brute))], 1
+        ),
         "k int, embed_deterministic_ok boolean, batch_equals_brute_ok boolean",
     )
 
@@ -5892,7 +5909,8 @@ def _q_lakehouse_convert_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("long").alias("n_regionkey"),
     ).unionByName(
         spark.createDataFrame(
-            [(99, "ZZZ_NEW", 0)], "n_nationkey long, n_name string, n_regionkey long"
+            spark.sparkContext.parallelize([(99, "ZZZ_NEW", 0)], 1),
+            "n_nationkey long, n_name string, n_regionkey long",
         )
     )
     lakehouse_shim.merge(spark, src, base, ["n_nationkey"])
@@ -7203,11 +7221,14 @@ def _q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFr
         .first()
     )
     return spark.createDataFrame(
-        [(
-            bool(row["p_en"] > row["p_other"] + 0.2),
-            bool(row["acc"] > 0.75),
-            bool(0.0 <= row["lo"] and row["hi"] <= 1.0),
-        )],
+        spark.sparkContext.parallelize(
+            [(
+                bool(row["p_en"] > row["p_other"] + 0.2),
+                bool(row["acc"] > 0.75),
+                bool(0.0 <= row["lo"] and row["hi"] <= 1.0),
+            )],
+            1,
+        ),
         "separation_ok boolean, accuracy_ok boolean, scores_valid boolean",
     )
 
