@@ -52,19 +52,58 @@ def main() -> int:
         if "CartesianProduct" in plan:
             smells.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan:
-            # a cross join whose build side is a no-grouping aggregate is
+            # a cross join whose BUILD side is a no-grouping aggregate is
             # the deliberate one-row totals/span broadcast (attach a global
             # scalar to every row) — constant-size build at any data scale,
-            # not a smell.  Flag only NLJs without such a build side nearby.
+            # not a smell.  Extract the actual build subtree by the plan
+            # tree's indentation (a fixed line window fails when the
+            # stream side is deep) and check it for a keys=[] aggregate.
+            # A second deliberate family broadcasts a side bounded by the
+            # OPERATOR's contract rather than an aggregate (a query set, a
+            # capped eval set, an anchor set) — whitelisted by name below,
+            # with the contract reference.
+            BOUNDED_BUILD_OK = {
+                "emb_knn_batch",          # broadcast(queries): |Q| bounded by construction (knn_batch docstring)
+                "docs_decontaminate_embedding",  # eval set, max_eval-guarded (decontaminate_by_embedding)
+                "emb_hard_negatives",     # anchor set broadcast, bounded by the sampled anchors
+                "events_ab_test",         # build = control-variant aggregate row (one row per variant)
+                "events_ratio_ab_test",   # same: variant-keyed aggregate, cardinality = variants
+            }
             lines = plan.splitlines()
             suspicious = False
             for i, ln in enumerate(lines):
                 if "BroadcastNestedLoopJoin" not in ln:
                     continue
-                ctx = "\n".join(lines[i : i + 20])
-                if "HashAggregate(keys=[]" not in ctx and "keys=[], functions=[" not in ctx:
+                t = ln.index("BroadcastNestedLoopJoin") - 3  # child-marker col
+                # direct children carry ":-"/"+-" at column t+3
+                kids = [
+                    j
+                    for j in range(i + 1, len(lines))
+                    if len(lines[j]) > t + 4 and lines[j][t + 3 : t + 5] in (":-", "+-")
+                ]
+                build_right = "BuildLeft" not in ln
+                if not kids:
                     suspicious = True
-            if suspicious:
+                    continue
+                start = kids[-1] if build_right and len(kids) > 1 else kids[0]
+                # subtree of the last child runs until a marker STRICTLY
+                # left of the children's marker column (a sibling or
+                # ancestor elsewhere in the tree)
+                def _marker_col(s: str) -> int:
+                    cols = [s.find(":-"), s.find("+-")]
+                    cols = [c for c in cols if c >= 0]
+                    return min(cols) if cols else -1
+
+                end = len(lines)
+                for j in range(start + 1, len(lines)):
+                    mc = _marker_col(lines[j])
+                    if 0 <= mc < t + 3:
+                        end = j
+                        break
+                build = "\n".join(lines[start:end])
+                if "keys=[]" not in build:
+                    suspicious = True
+            if suspicious and name not in BOUNDED_BUILD_OK:
                 smells.append("NESTED-LOOP-JOIN")
         # §4.4 duplicated-UDF detection: same `<fn>(...)#<exprid>` result id
         # evaluated by more than one Arrow/Batch eval node.  InMemoryRelation
