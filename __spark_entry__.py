@@ -669,7 +669,11 @@ def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     cut = docs.selectExpr("percentile(doc_id, 0.9) AS c").first()["c"]
-    index = build_minhash_index(docs.where(F.col("doc_id") < cut))
+    # the operator's contract is a MATERIALIZED index ("WRITE this as a
+    # parquet dataset once") — match_against reads it twice (band keys +
+    # shingle verification), so an in-memory lazy index would re-shingle
+    # the 90% corpus twice; checkpoint stands in for the stored dataset
+    index = build_minhash_index(docs.where(F.col("doc_id") < cut)).localCheckpoint()
     new_docs = docs.where(F.col("doc_id") >= cut)
     return minhash_match_against(index, new_docs, threshold=0.5)
 
