@@ -607,6 +607,13 @@ def hamming_band_pairs(
     bits) — never an O(n^2) comparison — then exact verification via
     ``bit_count(a XOR b) <= radius`` (JVM-side POPCNT).
     Returns ``id_a, id_b, hamming``."""
+    # both self-join sides derive from ``sigs`` — without materializing
+    # it, the upstream signature producer (for image/audio dedup a REAL
+    # decode+hash Arrow kernel over every payload) runs once PER SIDE.
+    # The persisted frame is (id, one 64-bit hash): tiny at any scale,
+    # same persist-and-share shape as minhash_duplicates.
+    sigs = sigs.select(F.col(id_col), F.col(hash_col)).persist()
+    sigs.count()
     if radius == 0:
         l = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col))
         r = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col))
