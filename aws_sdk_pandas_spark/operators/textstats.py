@@ -49,15 +49,20 @@ def benchmark_contamination(
     eval_grams = (
         eval_df.select(F.explode(kernel(F.col(text_col))).alias("gram")).distinct()
     )
-    hits = (
-        corpus.join(eval_grams, "gram", "left_semi")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE pass computes totals and hits together: a left join against the
+    # DISTINCT eval gram set cannot multiply corpus rows, so count(1) per
+    # doc is the gram total and count(__hit) (non-NULL = matched) equals
+    # the former semi-join count — the separate `totals` aggregation
+    # re-ran the n-gram kernel over the whole corpus a second time.
+    marked = corpus.join(
+        eval_grams.withColumn("__hit", F.lit(1)), "gram", "left"
     )
-    totals = corpus.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
     out = (
-        totals.join(hits, "__id", "left")
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
         .withColumn("overlap", F.round(F.col("n_hit") / F.col("n_grams"), 6))
         .where(F.col("overlap") >= threshold)
     )

@@ -106,9 +106,13 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_contamination_semi_join_no_cartesian(spark, sf_dir):
-    """The decontamination overlap count must be a gram-keyed semi join —
-    never a doc-by-doc comparison."""
+def test_contamination_gram_join_no_cartesian(spark, sf_dir):
+    """The decontamination overlap count must be a gram-keyed equi join
+    (one left join against the distinct eval gram set computes totals AND
+    hits in a single corpus pass) — never a doc-by-doc comparison, and
+    never a second kernel evaluation for the totals."""
+    import re
+
     from aws_sdk_pandas_spark.operators.textstats import benchmark_contamination
 
     docs = sources.read_parquet(spark, f"{sf_dir}/documents.parquet")
@@ -118,7 +122,9 @@ def test_contamination_semi_join_no_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan  # gram-keyed equi join carrying the hit flag
+    # one kernel evaluation per lineage: corpus side + eval side = 2
+    assert len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)) == 2
 
 
 def test_uniform_sample_k_is_take_ordered(spark, sf_dir):
