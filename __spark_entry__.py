@@ -1344,16 +1344,23 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click joined to the user's latest prior purchase
     (union + one window shuffle, no non-equi join; operators/asof.py).
-    Oracle: DuckDB native ASOF LEFT JOIN."""
-    from aws_sdk_pandas_spark.operators.asof import asof_join
+    Oracle: DuckDB native ASOF LEFT JOIN.
+
+    Single-scan split (asof_join_split): the two-frame form planned TWO
+    FileScans over events (clicks + purchases filters) — a doubled read
+    of the largest table at scale (guide §6)."""
+    from aws_sdk_pandas_spark.operators.asof import asof_join_split
     from aws_sdk_pandas_spark.sources import read_parquet
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    clicks = ev.where(F.col("event_type") == "click")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    j = asof_join_split(
+        ev,
+        on="ts",
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        right_cols=["user_id", "ts", "value"],
+        by=["user_id"],
     )
-    j = asof_join(clicks, purchases, on="ts", by=["user_id"])
     return j.select(
         "event_id",
         "ts",
@@ -1812,19 +1819,18 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of with tolerance: each click joined to the user's NEXT
     purchase within 24h (operators/asof.py direction='forward',
-    tolerance).  Oracle: DuckDB ASOF with <= plus an interval guard."""
-    from aws_sdk_pandas_spark.operators.asof import asof_join
+    tolerance).  Oracle: DuckDB ASOF with <= plus an interval guard.
+    Single-scan split — see _q_asof_join."""
+    from aws_sdk_pandas_spark.operators.asof import asof_join_split
     from aws_sdk_pandas_spark.sources import read_parquet
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    clicks = ev.where(F.col("event_type") == "click")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    j = asof_join(
-        clicks,
-        purchases,
+    j = asof_join_split(
+        ev,
         on="ts",
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        right_cols=["user_id", "ts", "value"],
         by=["user_id"],
         direction="forward",
         tolerance="INTERVAL 24 HOURS",

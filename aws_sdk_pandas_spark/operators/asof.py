@@ -43,16 +43,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by or [])
 
+    left_cols = list(left.columns)
     right_payload = [c for c in right.columns if c not in by]
-    out_names = {
-        c: (c + suffix if c in left.columns else c) for c in right_payload
-    }
 
     lhs = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
         F.lit(None).cast(
             right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
         ).alias("__r"),
@@ -62,11 +60,78 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(
-            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+            left.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
         ).alias("__l"),
         F.struct(*right_payload).alias("__r"),
     )
     both = lhs.unionByName(rhs)
+    return _asof_from_union(
+        both, by=by, direction=direction, tolerance=tolerance,
+        left_cols=left_cols, right_payload=right_payload, suffix=suffix,
+    )
+
+
+def asof_join_split(
+    events: DataFrame,
+    *,
+    on: str,
+    left_pred: Column,
+    right_pred: Column,
+    right_cols: list[str],
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join where BOTH sides are row-subsets of one source frame —
+    ``asof_join(events.where(left_pred), events.where(right_pred)
+    .select(right_cols))`` computed from a SINGLE scan.
+
+    The two-frame form plans two FileScans over the same table (Catalyst
+    does not share subplans), i.e. a doubled read of what is typically
+    the largest table (guide §6: read less).  Here each row is routed to
+    the left or right role with one CASE projection and the rest of the
+    pipeline (one window shuffle) is shared with ``asof_join``.
+
+    ``left_pred`` / ``right_pred`` must be disjoint: a row matching both
+    is treated as a LEFT row only (the two-frame form would duplicate it
+    into both roles).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by or [])
+    left_cols = list(events.columns)
+    right_payload = [c for c in right_cols if c not in by]
+
+    is_left = F.when(left_pred, F.lit(1)).when(right_pred, F.lit(0))
+    both = events.where(left_pred | right_pred).select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__t"),
+        is_left.alias("__is_left"),
+        F.when(is_left == 1, F.struct(*[F.col(c) for c in left_cols])).alias("__l"),
+        F.when(is_left == 0, F.struct(*[F.col(c) for c in right_payload])).alias("__r"),
+    )
+    return _asof_from_union(
+        both, by=by, direction=direction, tolerance=tolerance,
+        left_cols=left_cols, right_payload=right_payload, suffix=suffix,
+    )
+
+
+def _asof_from_union(
+    both: DataFrame,
+    *,
+    by: list[str],
+    direction: str,
+    tolerance: Column | str | None,
+    left_cols: list[str],
+    right_payload: list[str],
+    suffix: str,
+) -> DataFrame:
+    """Shared tail of the as-of pipeline: one window over the combined
+    (left+right) rows, tolerance guard, unpack."""
+    out_names = {
+        c: (c + suffix if c in left_cols else c) for c in right_payload
+    }
 
     # at equal timestamps a right row must be visible to a left row
     # (>= / <= are inclusive), so right (0) sorts toward the window start
@@ -103,7 +168,7 @@ def asof_join(
         )
 
     return matched.select(
-        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__l.{c}").alias(c) for c in left_cols],
         *[F.col(f"__m.{c}").alias(out_names[c]) for c in right_payload],
     )
 

@@ -226,10 +226,22 @@ def minhash_duplicates(
         raise ValueError("num_hashes must be divisible by bands")
 
     kernel = _text_minhash_kernel(num_hashes, shingle_k, seed)
+    # the signature rides along POSITION-TAGGED (sig[i]*num_hashes + i,
+    # a per-position bijection): the pair prefilter can then count
+    # agreeing components with ONE native array_intersect instead of an
+    # interpreted zip_with+filter+size lambda chain per pair (guide §4.1).
+    # The tagged column is materialized INSIDE the persisted frame: left
+    # as a projection over the cache, the optimizer collapses it past the
+    # banding explode and re-evaluates the 64-lambda transform once per
+    # exploded row (bands x per doc) instead of once per doc.
+    tagged = F.transform(
+        "__sig", lambda x, i: x * F.lit(num_hashes).cast("long") + i
+    )
     base = (
         _ensure_parallelism(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
         .withColumn("__hs", kernel(F.col("__text")))
         .select("__id", F.col("__hs.h").alias("__h"), F.col("__hs.sig").alias("__sig"))
+        .withColumn("__tsig", tagged)
         # consumed by banding AND twice by verification: persist so the
         # kernel runs once (spills to disk if large)
         .persist()
@@ -265,19 +277,10 @@ def minhash_duplicates(
 
     sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
     min_match = max(0, int(math.ceil((threshold - 3.0 * sigma) * num_hashes)))
-    # the signature rides along POSITION-TAGGED (sig[i]*num_hashes + i,
-    # a per-position bijection): the pair prefilter can then count
-    # agreeing components with ONE native array_intersect instead of an
-    # interpreted zip_with+filter+size lambda chain per pair — measured
-    # ~7s executor time in that stage at sf0.1 before, dominated by
-    # per-element lambda interpretation (guide §4.1: prefer built-ins).
     # Band buckets hash the RAW sig slices, so bucket values (and the
     # stored-index band layout in minhash_match_against) are unchanged.
-    tagged = F.transform(
-        "__sig", lambda x, i: x * F.lit(num_hashes).cast("long") + i
-    )
     buckets = base.select(
-        F.col("__id"), tagged.alias("__tsig"), F.explode(band_structs).alias("bb")
+        F.col("__id"), F.col("__tsig"), F.explode(band_structs).alias("bb")
     ).select(
         "__id",
         F.col("__tsig").alias("__sig"),
@@ -403,17 +406,9 @@ def minhash_match_against(
                 for b in range(bands)
             ]
         )
-        # carry the sig POSITION-TAGGED (sig[i]*num_hashes + i) so the
-        # prefilter is one native array_intersect per candidate instead
-        # of an interpreted zip_with lambda chain (same rewrite as
-        # minhash_duplicates); bucket hashes stay on the RAW slices, so
-        # stored indexes built before this change keep matching.
-        tagged = F.transform(
-            "sig", lambda x, i: x * F.lit(num_hashes).cast("long") + i
-        )
-        return side.select("id", tagged.alias("__tsig"), F.explode(structs).alias("bb")).select(
+        return side.select("id", "sig", F.explode(structs).alias("bb")).select(
             "id",
-            F.col("__tsig").alias("sig"),
+            "sig",
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )
@@ -421,13 +416,27 @@ def minhash_match_against(
     sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
     min_match = max(0, int(math.ceil((threshold - 3.0 * sigma) * num_hashes)))
 
+    # the prefilter counts agreeing components via POSITION-TAGGED sigs
+    # (sig[i]*num_hashes + i, a per-position bijection): tag equality <=>
+    # same position AND same value, so ONE native array_intersect per
+    # candidate replaces an interpreted zip_with lambda chain (guide
+    # §4.1).  Tagging is applied AFTER the band join, once per CANDIDATE
+    # pair: tagging before the explode re-ran the 64-lambda transform
+    # once per exploded row (bands x per doc, the optimizer collapses the
+    # projection into the Generate), and bucket collisions are far rarer
+    # than band rows.  Raw sigs ride the shuffle (same bytes either way);
+    # bucket hashes stay on the RAW slices, so stored indexes built
+    # before this change keep matching.
+    def _tag(col: str) -> Column:
+        return F.transform(col, lambda x, i: x * F.lit(num_hashes).cast("long") + i)
+
     n_side = band_keys(new_base).withColumnsRenamed({"id": "new_id", "sig": "sig_n"})
     i_side = band_keys(index.select("id", "sig")).withColumnsRenamed(
         {"id": "index_id", "sig": "sig_i"}
     )
     candidates = (
         n_side.join(i_side, ["band", "bucket"])
-        .withColumn("__match", F.size(F.array_intersect("sig_n", "sig_i")))
+        .withColumn("__match", F.size(F.array_intersect(_tag("sig_n"), _tag("sig_i"))))
         .where(F.col("__match") >= min_match)
         .select("new_id", "index_id")
         .dropDuplicates(["new_id", "index_id"])
@@ -466,13 +475,19 @@ def _sig_filtered_pairs_from_buckets(
     and tag equality <=> same position AND same value) instead of an
     interpreted zip_with lambda chain — O(num_hashes) native hash-set ops
     per pair, in the same stage.  ``max_group`` caps quadratic blowup
-    from a degenerate hot bucket."""
+    from a degenerate hot bucket.
+
+    ``collect_list``, not ``collect_set``: each document contributes
+    exactly one row per band, so within a (band, bucket) group the
+    (id, sig) structs are already distinct — the sorted arrays are
+    identical, and the list variant skips hashing every ~0.5 KB struct
+    into a dedup set during both aggregation phases."""
     groups = (
         buckets.groupBy("band", "bucket")
         .agg(
             F.slice(
                 F.array_sort(
-                    F.collect_set(F.struct(F.col("__id").alias("i"), F.col("__sig").alias("s")))
+                    F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__sig").alias("s")))
                 ),
                 1,
                 max_group,

@@ -6,7 +6,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from aws_sdk_pandas_spark.operators.asof import asof_join
+from aws_sdk_pandas_spark.operators.asof import asof_join, asof_join_split
 
 
 def _ts(s: str) -> datetime:
@@ -96,6 +96,66 @@ def test_column_name_collision_suffix(spark):
     left, right = _frames(spark)
     cols = asof_join(left, right, on="ts", by=["user"]).columns
     assert cols == ["id", "user", "ts", "tag", "ts_right", "price"]
+
+
+def _split_source(spark):
+    """One frame holding both roles, discriminated by ``kind``."""
+    return spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00"), "L", None),
+            (2, "u1", _ts("2024-01-01T12:00:00"), "L", None),
+            (3, "u2", _ts("2024-01-01T09:00:00"), "L", None),
+            (4, "u1", _ts("2024-01-01T09:30:00"), "R", 10.0),
+            (5, "u1", _ts("2024-01-01T11:00:00"), "R", 20.0),
+            (6, "u2", _ts("2024-01-01T11:00:00"), "R", 30.0),
+            (7, "u2", _ts("2024-01-01T11:30:00"), "X", 99.0),  # neither role
+        ],
+        "id bigint, user string, ts timestamp, kind string, price double",
+    )
+
+
+def test_split_matches_two_frame_form(spark):
+    """asof_join_split == asof_join(events.where(lp), events.where(rp)
+    .select(right_cols)) for every direction/tolerance combination."""
+    ev = _split_source(spark)
+    lp = F.col("kind") == "L"
+    rp = F.col("kind") == "R"
+    right_cols = ["user", "ts", "price"]
+    for kw in (
+        {},
+        {"direction": "forward"},
+        {"tolerance": "INTERVAL 45 MINUTES"},
+        {"direction": "forward", "tolerance": "INTERVAL 45 MINUTES"},
+    ):
+        two = asof_join(
+            ev.where(lp), ev.where(rp).select(*right_cols), on="ts", by=["user"], **kw
+        )
+        one = asof_join_split(
+            ev, on="ts", left_pred=lp, right_pred=rp, right_cols=right_cols,
+            by=["user"], **kw
+        )
+        assert one.columns == two.columns
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, one.collect())) == sorted(map(key, two.collect())), kw
+
+
+def test_split_single_scan(spark, tmp_path):
+    """The point of the split form: ONE scan of the source feeds both
+    roles (the two-frame form plans two)."""
+    ev = _split_source(spark)
+    path = str(tmp_path / "ev.parquet")
+    ev.write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+    out = asof_join_split(
+        src,
+        on="ts",
+        left_pred=F.col("kind") == "L",
+        right_pred=F.col("kind") == "R",
+        right_cols=["user", "ts", "price"],
+        by=["user"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
 
 
 def test_attribute_conversions_models(spark):

@@ -1,8 +1,8 @@
-"""Capture `.explain("formatted")` for headline queries into plans/r06/.
+"""Capture `.explain("formatted")` for headline queries into plans/r07/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix = "before" | "after" (file name part)
-Writes plans/r06/<query>_<suffix>.txt
+Writes plans/r07/<query>_<suffix>.txt
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = asps.get_spark(app_name="capture-plans")
     qs = entrymod.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r07")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
