@@ -344,31 +344,45 @@ def pagerank(
 
     Scale shape: the edge list persists once with its out-degree
     attached; each iteration is ONE shuffle (contributions grouped by
-    destination) plus two bounded driver actions (dangling mass — a
-    1-row aggregate — and the L1 delta for convergence).  Rank frames
-    localCheckpoint per round so the plan never grows with the
-    iteration count — the same pattern as
+    destination) and ONE driver action — a single bounded aggregate
+    that materializes the round's lazily-checkpointed rank frame and
+    returns both the L1 convergence delta and (via the per-vertex
+    dangling flag riding the frame) the NEXT round's dangling mass.
+    Rank frames localCheckpoint per round so the plan never grows with
+    the iteration count — the same pattern as
     ``operators.graph.connected_components``.
     """
     validate_edges(edges)
     e = edges.select(F.col("~from").alias("src"), F.col("~to").alias("dst"))
+    # the dangling marker rides the rank frame as a per-vertex flag so
+    # the NEXT round's dangling mass comes out of the SAME bounded
+    # aggregate as the convergence delta — the separate
+    # dangling-join-sum action per round is gone (guide §5.2: one
+    # driver action per iteration).
+    srcs = e.select(F.col("src").alias("id")).distinct()
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(srcs.withColumn("__out", F.lit(True)), "id", "left")
+        .select("id", F.coalesce("__out", F.lit(False)).alias("__has_out"))
         .persist()
     )
-    n = verts.count()
+    head = verts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("__has_out"), 1).otherwise(0)).alias("nd"),
+    ).first()
+    n, n_dangling = head["n"], head["nd"] or 0
     if n == 0:
         return verts.select(F.col("id").alias("~id"), F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = e.join(out_deg, "src").persist()
-    e_deg.count()
 
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    dangling = verts.join(
-        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).persist()
+    ranks = verts.select(
+        "id", "__has_out", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
+    verts.unpersist()
+    d_mass = n_dangling * (1.0 / n)
 
     for _ in range(max_iter):
         contribs = (
@@ -377,29 +391,34 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        d_mass = (
-            dangling.join(ranks, "id").agg(F.sum("rank")).first()[0] or 0.0
-        )
         base = (1.0 - damping) / n + damping * d_mass / n
+        # ranks is verts-complete by induction (initialized from verts,
+        # rebuilt by a left join that keeps every rank row), so no extra
+        # join against the vertex universe is needed per round.
         updated = (
-            verts.join(contribs, "id", "left")
-            .join(ranks.withColumnRenamed("rank", "__old"), "id")
+            ranks.withColumnRenamed("rank", "__old")
+            .join(contribs, "id", "left")
             .select(
                 "id",
+                "__has_out",
                 (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
                     "rank"
                 ),
                 "__old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        delta = updated.agg(F.sum(F.abs(F.col("rank") - F.col("__old")))).first()[0]
+        # ONE action: materializes the (lazy) checkpoint, the L1
+        # convergence delta, AND the next round's dangling mass.
+        row = updated.agg(
+            F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("delta"),
+            F.sum(F.when(~F.col("__has_out"), F.col("rank"))).alias("dm"),
+        ).first()
+        delta, d_mass = row["delta"], row["dm"] or 0.0
         ranks = updated.drop("__old")
         if delta is not None and delta < tol:
             break
-    verts.unpersist()
     e_deg.unpersist()
-    dangling.unpersist()
     return ranks.select(F.col("id").alias("~id"), "rank")
 
 
@@ -580,6 +599,9 @@ def label_propagation(
             .where(F.col("__rn") == 1)
             .select(F.col("u").alias("id"), F.col("label").alias("__new"))
         )
+        # eager=False: the convergence count is the first action over
+        # the frame, so one job materializes the checkpoint AND counts
+        # (2 -> 1 actions per round)
         updated = (
             labels.join(best, "id", "left")
             .select(
@@ -587,7 +609,7 @@ def label_propagation(
                 F.col("label").alias("__old"),
                 F.coalesce("__new", F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.where(F.col("label") != F.col("__old")).count()
         labels = updated.drop("__old")

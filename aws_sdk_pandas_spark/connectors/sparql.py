@@ -444,8 +444,13 @@ def _path_identity(triples_df: DataFrame) -> DataFrame:
 def _path_closure(base: DataFrame) -> DataFrame:
     """Transitive closure of the distinct pair set by iterative doubling
     (T <- T ∪ T∘T): log2(diameter) rounds, each one equi-join + distinct;
-    lineage truncated per round so the plan stays flat."""
-    t = base.distinct().localCheckpoint(eager=True)
+    lineage truncated per round so the plan stays flat.
+
+    Checkpoints are lazy (eager=False): the convergence count that
+    immediately follows each one is its first action, so ONE job per
+    round both materializes the checkpoint and counts — the eager form
+    paid a separate materialization job (2 -> 1 actions/round)."""
+    t = base.distinct().localCheckpoint(eager=False)
     n = t.count()
     for _ in range(_CLOSURE_MAX_ROUNDS):
         comp = (
@@ -453,7 +458,7 @@ def _path_closure(base: DataFrame) -> DataFrame:
             .join(t.alias("b"), F.col("a.o") == F.col("b.s"))
             .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
         )
-        t2 = t.unionByName(comp).distinct().localCheckpoint(eager=True)
+        t2 = t.unionByName(comp).distinct().localCheckpoint(eager=False)
         n2 = t2.count()
         if n2 == n:
             return t2
@@ -467,8 +472,12 @@ def _path_reach(base: DataFrame, seeds: DataFrame) -> DataFrame:
     """Closure restricted to the given start nodes: frontier BFS — the
     k-hop pattern, one equi-join per round over the (shrinking) frontier."""
     base = base.distinct()
+    # all checkpoints lazy: each round's single count() action
+    # materializes the round's ``new`` frontier AND (as part of the
+    # subtract's lineage) the previous round's lazily-checkpointed
+    # ``reached`` union — one action per round instead of three.
     frontier = (
-        seeds.join(base, "s").select("s", "o").distinct().localCheckpoint(eager=True)
+        seeds.join(base, "s").select("s", "o").distinct().localCheckpoint(eager=False)
     )
     reached = frontier
     for _ in range(_CLOSURE_MAX_ROUNDS * 8):
@@ -478,10 +487,10 @@ def _path_reach(base: DataFrame, seeds: DataFrame) -> DataFrame:
             .select("s", "o")
             .distinct()
         )
-        new = step.subtract(reached).localCheckpoint(eager=True)
+        new = step.subtract(reached).localCheckpoint(eager=False)
         if new.count() == 0:
             return reached
-        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        reached = reached.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     raise InvalidArgument(
         f"property-path closure did not converge in {_CLOSURE_MAX_ROUNDS * 8} BFS rounds"

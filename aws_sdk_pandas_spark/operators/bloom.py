@@ -187,6 +187,32 @@ def bloom_semi_join(
     return df.where(~test).unionByName(positive.join(keys, on, "left_anti"))
 
 
+def prepare_decontamination(
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, BloomFilter]:
+    """The eager half of :func:`decontaminate`: the distinct eval gram
+    set (persisted — the bloom build counts it, the bit aggregation scans
+    it, and the exact-verify join probes it) plus its Bloom filter.
+
+    It depends ONLY on ``eval_df``, so pipeline compositions can run it
+    in a background thread (guide §2.6: overlap independent jobs) while
+    corpus-side stages occupy the cluster — the bloom build's two driver
+    actions otherwise serialize after the whole curation chain.
+
+    Caller owns the returned frame's cache: unpersist after the
+    decontaminated output is materialized."""
+    grams = _word_ngrams(F.col(text_col), n)
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("g")).distinct().persist()
+    )
+    bloom = build_bloom(eval_grams, "g", fpp=fpp)
+    return eval_grams, bloom
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -197,6 +223,7 @@ def decontaminate(
     fpp: float = 0.01,
     mode: str | None = None,
     flag: bool = False,
+    prepared: tuple[DataFrame, BloomFilter] | None = None,
 ) -> DataFrame:
     """Eval-set decontamination by exact word n-gram match (the GPT-3 /
     PaLM recipe: drop any training document sharing an n-gram with the
@@ -212,8 +239,11 @@ def decontaminate(
     contaminated id set.
     """
     grams = _word_ngrams(F.col(text_col), n)
-    eval_grams = eval_df.select(F.explode(grams).alias("g")).distinct()
-    bloom = build_bloom(eval_grams, "g", fpp=fpp)
+    if prepared is not None:
+        eval_grams, bloom = prepared
+    else:
+        eval_grams = eval_df.select(F.explode(grams).alias("g")).distinct()
+        bloom = build_bloom(eval_grams, "g", fpp=fpp)
     corpus_grams = corpus.select(
         F.col(id_col).alias("__id"), F.explode(grams).alias("g")
     )

@@ -52,7 +52,11 @@ def connected_components(
         # carry old and new labels in ONE frame: the convergence check is
         # then a filter-count on the checkpointed result instead of a
         # second full join against the previous labels (halves the
-        # per-iteration shuffle work)
+        # per-iteration shuffle work).  eager=False: the count below is
+        # the first action over the frame, so ONE job both materializes
+        # the checkpoint and computes the count — the eager default
+        # spent a separate materialization job per round (2 -> 1
+        # actions/iter).
         updated = (
             labels.join(nbr, labels["id"] == nbr["a"], "left")
             .select(
@@ -62,7 +66,7 @@ def connected_components(
                     labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.where(F.col("label") != F.col("__old")).count()
         labels = updated.drop("__old")

@@ -147,6 +147,26 @@ def build_training_corpus(
     (md5-keyed) — the same corpus rebuilds the same shards on any
     engine.
     """
+    prep_future = None
+    if eval_df is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from aws_sdk_pandas_spark.operators.bloom import prepare_decontamination
+
+        # the eval-gram Bloom build depends ONLY on eval_df: submit it
+        # now so its jobs back-fill executors idled by the curation
+        # stages' barriers (guide §2.6 — overlap independent jobs)
+        # instead of serializing after the whole curation chain.
+        _pool = ThreadPoolExecutor(max_workers=1)
+        prep_future = _pool.submit(
+            prepare_decontamination,
+            eval_df,
+            text_col=text_col,
+            n=decontaminate_n,
+            fpp=decontaminate_fpp,
+        )
+        _pool.shutdown(wait=False)
+
     out = curate_corpus(
         docs,
         id_col=id_col,
@@ -171,6 +191,7 @@ def build_training_corpus(
             text_col=text_col,
             n=decontaminate_n,
             fpp=decontaminate_fpp,
+            prepared=prep_future.result(),
         )
     if split_weights is not None:
         from aws_sdk_pandas_spark.operators.sampling import leakage_free_split
