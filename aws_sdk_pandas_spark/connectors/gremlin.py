@@ -882,8 +882,15 @@ class _Traversal:
                 )
             stepped = run(kind, frontier, frag)
             kind = stepped.kind
-            exited.append((run(kind, stepped.df, f"where({pred})").df, kind))
-            frontier = run(kind, stepped.df, f"not({pred})").df
+            # lazy checkpoint of the body output: BOTH the exited
+            # (where(pred)) and looping (not(pred)) branches read it, and
+            # unmaterialized each would re-run the body — 2 body
+            # evaluations per level.  The next round's eager frontier
+            # checkpoint materializes it as a side effect (the frontier
+            # is a filter over it), so no extra job is spent.
+            sdf = stepped.df.localCheckpoint(eager=False)
+            exited.append((run(kind, sdf, f"where({pred})").df, kind))
+            frontier = run(kind, sdf, f"not({pred})").df
         if not exited:
             # empty input with check-last: type the empty result through
             # one guarded body run so downstream steps see real columns

@@ -322,6 +322,13 @@ def minhash_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # eagerly materialize the (pair-set-sized, corpus-independent) result
+    # so the base cache can be RELEASED at operator exit instead of
+    # pinning a CacheManager entry for the session's lifetime; the
+    # caller's action then scans the checkpointed pairs.  No extra pass:
+    # the work the caller's first action would have done happens here.
+    verified = verified.localCheckpoint()
+    base.unpersist()
     return verified
 
 
@@ -376,6 +383,17 @@ def minhash_match_against(
 
     Scale shape: the corpus-side shuffle carries (id, 8-byte band keys)
     only; shingle sets move only for pairs surviving the prefilter.
+
+    Index compatibility note: the candidate prefilter position-tags
+    stored signatures as ``sig[i]*num_hashes + i``, which is only
+    overflow-safe because ``_text_minhash_kernel`` bounds every
+    component below 2^31 (mod the Mersenne prime).  An index whose
+    ``sig`` column was produced by anything other than
+    :func:`build_minhash_index` with full-range 64-bit values would
+    overflow the long multiply (an error under ANSI mode, silent tag
+    collisions otherwise) — indexes must come from the same kernel
+    family, which the (num_hashes, shingle_k, seed) contract already
+    implies.
     """
     import math
 
@@ -460,6 +478,10 @@ def minhash_match_against(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    # same release-at-exit shape as minhash_duplicates: materialize the
+    # small match set, free the new-batch cache.
+    verified = verified.localCheckpoint()
+    new_base.unpersist()
     return verified
 
 
@@ -625,10 +647,13 @@ def hamming_band_pairs(
     # both self-join sides derive from ``sigs`` — without materializing
     # it, the upstream signature producer (for image/audio dedup a REAL
     # decode+hash Arrow kernel over every payload) runs once PER SIDE.
-    # The persisted frame is (id, one 64-bit hash): tiny at any scale,
-    # same persist-and-share shape as minhash_duplicates.
-    sigs = sigs.select(F.col(id_col), F.col(hash_col)).persist()
-    sigs.count()
+    # The materialized frame is (id, one 64-bit hash): tiny at any
+    # scale.  localCheckpoint, not persist: both consumers read every
+    # column (no columnar pruning to lose) and the blocks free
+    # automatically when the result frame is dropped, where a persist
+    # would pin a CacheManager entry until an explicit unpersist —
+    # sessions sweeping many registry queries accumulated those.
+    sigs = sigs.select(F.col(id_col), F.col(hash_col)).localCheckpoint()
     if radius == 0:
         l = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col))
         r = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col))
@@ -725,7 +750,10 @@ def _ngram_hash_kernel(n: int):
     # the parallelism repartition, DUPLICATING the kernel — the plan had
     # two ArrowEvalPython nodes and every document was shingled+hashed
     # twice.  The kernel is pure; the marker only pins it to one
-    # evaluation above the exchange.
+    # evaluation above the exchange.  Trade-off: the marker also blocks
+    # pushing OTHER filters past the kernel for every consumer — a
+    # caller that wants to hash only a subset must pre-filter its input
+    # DataFrame explicitly (cheap rows-in, not a correctness issue).
     return _kernel.asNondeterministic()
 
 
@@ -764,11 +792,14 @@ def ngram_jaccard_duplicates(
         .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .where((F.col("__df") > 1) & (F.col("__df") <= cap))
         .drop("__df")
-        # both join sides scan this; persist so the Python kernel and the
-        # gram shuffle run once (the filtered posting table is 3 longs/row)
-        .persist()
+        # both join sides scan this; materialize so the Python kernel and
+        # the gram shuffle run once (the filtered posting table is 3
+        # longs/row).  localCheckpoint instead of persist+count: both
+        # consumers read every column (nothing for columnar pruning to
+        # win) and the blocks free automatically when the result frame
+        # is dropped instead of pinning a CacheManager entry.
+        .localCheckpoint()
     )
-    grams.count()  # materialize before the join fans out
 
     a = grams.select("gram", F.col("__id").alias("id_a"), F.col("__ng").alias("na"))
     b = grams.select("gram", F.col("__id").alias("id_b"), F.col("__ng").alias("nb"))

@@ -1303,6 +1303,9 @@ def image_dhash(
     # implied isnotnull filter on the hash column was pushed below this
     # node and DUPLICATED it — every payload was decoded and hashed
     # twice.  The kernel is pure; the marker pins one evaluation.
+    # Trade-off: the marker also blocks pushing OTHER filters below the
+    # kernel for every consumer — callers that hash only a subset must
+    # pre-filter the input DataFrame explicitly.
     return df.withColumn(out_col, _dhash.asNondeterministic()(F.col(payload_col)))
 
 
@@ -1393,6 +1396,9 @@ def image_phash(
     # implied isnotnull filter on the hash column was pushed below this
     # node and DUPLICATED it — every payload was decoded and hashed
     # twice.  The kernel is pure; the marker pins one evaluation.
+    # Trade-off: the marker also blocks pushing OTHER filters below the
+    # kernel for every consumer — callers that hash only a subset must
+    # pre-filter the input DataFrame explicitly.
     return df.withColumn(out_col, _phash.asNondeterministic()(F.col(payload_col)))
 
 
@@ -1465,6 +1471,9 @@ def audio_dhash(
     # implied isnotnull filter on the hash column was pushed below this
     # node and DUPLICATED it — every payload was decoded and hashed
     # twice.  The kernel is pure; the marker pins one evaluation.
+    # Trade-off: the marker also blocks pushing OTHER filters below the
+    # kernel for every consumer — callers that hash only a subset must
+    # pre-filter the input DataFrame explicitly.
     return df.withColumn(out_col, _ahash.asNondeterministic()(F.col(payload_col)))
 
 

@@ -912,7 +912,6 @@ def diverse_subset(
         cur.unpersist()
         if prev is not None:
             prev.unpersist()
-    spark = df.sparkSession
     sel = spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)], 1

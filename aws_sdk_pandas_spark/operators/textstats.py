@@ -185,10 +185,13 @@ def unigram_logprob_score(
     """
     from aws_sdk_pandas_spark.functions.text import tokens
 
+    # lazy localCheckpoint instead of persist+count: the count below is
+    # the single job that materializes it, and the blocks are released
+    # by the ContextCleaner when the result frame is dropped (a persist
+    # would sit in the CacheManager until an explicit unpersist).
     toks = (
         df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    ).persist()
-    toks.count()
+    ).localCheckpoint(eager=False)
 
     total = toks.count()
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
