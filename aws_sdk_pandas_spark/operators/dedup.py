@@ -322,13 +322,14 @@ def minhash_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    # eagerly materialize the (pair-set-sized, corpus-independent) result
-    # so the base cache can be RELEASED at operator exit instead of
-    # pinning a CacheManager entry for the session's lifetime; the
-    # caller's action then scans the checkpointed pairs.  No extra pass:
-    # the work the caller's first action would have done happens here.
-    verified = verified.localCheckpoint()
-    base.unpersist()
+    # The base cache is caller-owned: the returned plan scans it lazily,
+    # so it cannot be unpersisted here.  An eager result checkpoint +
+    # unpersist was tried and REVERTED: driving the pipeline through
+    # RDD materialization re-ran the banding map once for the broadcast
+    # branch and once for the checkpoint job (no AQE stage reuse),
+    # +0.4s at sf0.1 (alternating A/B).  A long-lived session that runs
+    # this operator many times should spark.catalog.clearCache()
+    # periodically.
     return verified
 
 
@@ -478,10 +479,8 @@ def minhash_match_against(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    # same release-at-exit shape as minhash_duplicates: materialize the
-    # small match set, free the new-batch cache.
-    verified = verified.localCheckpoint()
-    new_base.unpersist()
+    # new_base cache is caller-owned (see minhash_duplicates: the eager
+    # release-at-exit variant re-ran shared exchanges and was reverted).
     return verified
 
 
@@ -648,12 +647,14 @@ def hamming_band_pairs(
     # it, the upstream signature producer (for image/audio dedup a REAL
     # decode+hash Arrow kernel over every payload) runs once PER SIDE.
     # The materialized frame is (id, one 64-bit hash): tiny at any
-    # scale.  localCheckpoint, not persist: both consumers read every
-    # column (no columnar pruning to lose) and the blocks free
-    # automatically when the result frame is dropped, where a persist
-    # would pin a CacheManager entry until an explicit unpersist —
-    # sessions sweeping many registry queries accumulated those.
-    sigs = sigs.select(F.col(id_col), F.col(hash_col)).localCheckpoint()
+    # scale.  persist+count, NOT localCheckpoint: the checkpoint variant
+    # was measured +0.33s on multimodal_image_dhash_dups at sf0.1
+    # (alternating A/B, 3 rounds) — driving materialization through the
+    # RDD path does not share AQE exchange stages with the banding
+    # join's broadcast build, so the decode+hash kernel re-ran.
+    # Cache lifetime is caller-owned (clearCache() in long sessions).
+    sigs = sigs.select(F.col(id_col), F.col(hash_col)).persist()
+    sigs.count()
     if radius == 0:
         l = sigs.select(F.col(id_col).alias("id_a"), F.col(hash_col))
         r = sigs.select(F.col(id_col).alias("id_b"), F.col(hash_col))
@@ -792,14 +793,16 @@ def ngram_jaccard_duplicates(
         .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .where((F.col("__df") > 1) & (F.col("__df") <= cap))
         .drop("__df")
-        # both join sides scan this; materialize so the Python kernel and
-        # the gram shuffle run once (the filtered posting table is 3
-        # longs/row).  localCheckpoint instead of persist+count: both
-        # consumers read every column (nothing for columnar pruning to
-        # win) and the blocks free automatically when the result frame
-        # is dropped instead of pinning a CacheManager entry.
-        .localCheckpoint()
+        # both join sides scan this; persist so the Python kernel and the
+        # gram shuffle run once (the filtered posting table is 3 longs/row).
+        # persist, NOT localCheckpoint: the checkpoint variant re-ran the
+        # kernel+window subtree (8.1s executor) because the RDD
+        # materialization path does not share AQE exchange stages with
+        # the downstream join's broadcast build — measured +0.45s at
+        # sf0.1, reverted.  Cache lifetime is caller-owned.
+        .persist()
     )
+    grams.count()  # materialize before the join fans out
 
     a = grams.select("gram", F.col("__id").alias("id_a"), F.col("__ng").alias("na"))
     b = grams.select("gram", F.col("__id").alias("id_b"), F.col("__ng").alias("nb"))

@@ -185,13 +185,15 @@ def unigram_logprob_score(
     """
     from aws_sdk_pandas_spark.functions.text import tokens
 
-    # lazy localCheckpoint instead of persist+count: the count below is
-    # the single job that materializes it, and the blocks are released
-    # by the ContextCleaner when the result frame is dropped (a persist
-    # would sit in the CacheManager until an explicit unpersist).
+    # persist, materialized by the single `total` count below (round 6
+    # ran a second, redundant count job here).  persist, NOT a lazy
+    # localCheckpoint: the checkpoint variant measured ~10% slower on
+    # doc_unigram_logprob at sf0.1 (alternating A/B) — the RDD
+    # materialization path does not share AQE exchange stages with the
+    # downstream join.  Cache lifetime is caller-owned.
     toks = (
         df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     total = toks.count()
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
