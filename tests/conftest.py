@@ -38,6 +38,22 @@ def spark():
     yield spark
 
 
+def pytest_collection_modifyitems(config, items):
+    """Front-load the DuckDB oracle-parity gates (and the driver-contract
+    checks) so a time-capped CI/verify run sees the strongest correctness
+    signal before the slow graph/lakehouse tails.  Tests are
+    order-independent (one session-scoped SparkSession, hermetic tmp
+    warehouses); this only changes WHICH signal a truncated run shows.
+    Relative order within each tier is preserved (stable sort)."""
+    front = ("test_oracle_parity.py", "test_behavior.py", "test_plan_quality.py")
+
+    def tier(item) -> int:
+        name = os.path.basename(str(item.fspath))
+        return front.index(name) if name in front else len(front)
+
+    items.sort(key=tier)
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
