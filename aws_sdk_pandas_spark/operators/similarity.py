@@ -850,34 +850,69 @@ def diverse_subset(
     sid, svec, sdist = farthest(dist_fn(F.col("__v"), vector_literal(centroid)))
     chosen = [(sid, svec, 0.0)]  # seed's sel_distance defined as 0
     # Incremental farthest-first: carry each row's min-distance-to-chosen
-    # as a CACHED column and fold in ONE new center per round —
-    # ``least(prev, dist(v, new))`` associates exactly like the
-    # left-to-right least-chain the naive form built, and ``least`` is
-    # exact, so every pick and sel_distance is bit-identical.  The naive
-    # form re-evaluated ALL i distance folds per round (O(n·k²) lambda
-    # work) and inlined i 64-float literals into one expression tree,
-    # whose analysis/codegen cost grew quadratically and dominated
-    # wall-clock (measured 29.7s for k=16 at sf0.01; guide §7.3: giant
-    # expression trees built in loops are a driver-side bottleneck).
+    # and fold in ONE new center per round — ``least(prev, dist(v, new))``
+    # associates exactly like the left-to-right least-chain the naive form
+    # built, and ``least`` is exact, so every pick and sel_distance is
+    # bit-identical.  The naive form re-evaluated ALL i distance folds per
+    # round (O(n·k²) lambda work) and inlined i 64-float literals into one
+    # expression tree, whose analysis/codegen cost grew quadratically and
+    # dominated wall-clock (measured 29.7s for k=16 at sf0.01; guide §7.3:
+    # giant expression trees built in loops are a driver-side bottleneck).
+    #
+    # Each round's frame is materialized with a LAZY ``localCheckpoint``
+    # (the pick's collect is the materializing action — no extra job),
+    # NOT ``persist()``: a persist chain keeps the full logical lineage,
+    # so round n's pick re-analyzed/re-planned an n-deep crossJoin tree
+    # and per-round wall grew superlinearly (0.35s → 4s by round 15,
+    # ~15s total at sf0.01); the checkpoint truncates the plan to a
+    # constant-size scan and rounds stay flat (~0.35s, total ~5.8s).
+    # Fault-tolerance trade per guide §5: a lost executor cannot
+    # recompute a checkpointed round — acceptable for a k-round driver
+    # loop that simply re-runs on failure.
     spark = df.sparkSession
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set:
+        # JavaSparkContext.getPersistentRDDs (public API) — used to free
+        # each round's checkpointed blocks deterministically; the
+        # DataFrame API exposes no unpersist handle for localCheckpoint.
+        try:
+            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        except Exception:  # pragma: no cover - cleanup is best-effort
+            return set()
+
+    def _free(ids: set) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                r = jmap.get(i)
+                if r is not None:
+                    r.unpersist(False)
+        except Exception:  # pragma: no cover - cleanup is best-effort
+            pass
+
+    seen_ids = _persistent_ids()
+    round_ids: list[set] = []  # per-round checkpoint block ids, oldest first
     cur = base.select(
         "__id", "__v", dist_fn(F.col("__v"), vector_literal(svec)).alias("__d")
-    ).persist()
-    prev = None
+    ).localCheckpoint(eager=False)
     try:
         while len(chosen) < k:
             already = [c[0] for c in chosen]
-            # this pick materializes cur's cache (built lazily from the
-            # still-persisted predecessor), so no separate count() job
+            # this pick materializes cur's checkpoint (built from the
+            # predecessor's still-live blocks), so no separate count() job
             row = (
                 cur.where(~F.col("__id").isin(already))
                 .orderBy(F.col("__d").desc(), F.col("__id").asc())
                 .limit(1)
                 .collect()
             )
-            if prev is not None:
-                prev.unpersist()
-                prev = None
+            # cur is now self-contained: release every older round's blocks
+            now_ids = _persistent_ids()
+            round_ids.append(now_ids - seen_ids)
+            seen_ids = now_ids
+            while len(round_ids) > 1:
+                _free(round_ids.pop(0))
             if not row:
                 break
             r = row[0]
@@ -896,7 +931,7 @@ def diverse_subset(
             cdf = spark.createDataFrame(
                 spark.sparkContext.parallelize([(cvec,)], 1), "__c array<float>"
             )
-            nxt = (
+            cur = (
                 cur.crossJoin(F.broadcast(cdf))
                 .select(
                     "__id",
@@ -905,13 +940,11 @@ def diverse_subset(
                         F.col("__d"), dist_fn(F.col("__v"), F.col("__c"))
                     ).alias("__d"),
                 )
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            prev, cur = cur, nxt
     finally:
-        cur.unpersist()
-        if prev is not None:
-            prev.unpersist()
+        for ids in round_ids:
+            _free(ids)
     sel = spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(c[0], i, round(c[2], 6)) for i, c in enumerate(chosen)], 1
