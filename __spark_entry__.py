@@ -3674,8 +3674,12 @@ def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # carry |s| so pairs can be pre-filtered on the PROVABLE size bound
-    # below before any set op runs
-    szd = sh.select("doc_id", "s", F.size("s").alias("n"))
+    # below before any set op runs.  Persist: the shingle derivation
+    # (sequence/transform/array_distinct over every doc) is consumed by
+    # FOUR lineages below (brute stream + broadcast sides, precision's
+    # two attach joins) and re-ran for each — one cached copy of 400
+    # small arrays serves them all (guide §5, intra-query reuse).
+    szd = sh.select("doc_id", "s", F.size("s").alias("n")).persist()
     a = szd.select(
         F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("n").alias("na")
     )
@@ -3709,25 +3713,59 @@ def _q_minhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("j") >= 0.6)
         .persist()
     )
-    n_brute = brute.count()
     lsh = minhash_duplicates(docs, threshold=0.6).persist()
-    n_common = lsh.join(brute, ["id_a", "id_b"]).count()
+    # the brute-force oracle and the LSH path are INDEPENDENT until the
+    # recall join: materialize both concurrently (guide §2.6 — two jobs
+    # in flight back-fill each other's stage tails) instead of the old
+    # brute.count() -> lsh-join-count serial chain
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _count_brute() -> int:
+        spark.sparkContext.setJobDescription("minhash_selfcheck: brute oracle")
+        return brute.count()
+
+    def _mat_lsh() -> int:
+        spark.sparkContext.setJobDescription("minhash_selfcheck: lsh path")
+        return lsh.count()
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fb, _fl = _pool.submit(_count_brute), _pool.submit(_mat_lsh)
+        n_brute = _fb.result()
+        _fl.result()
     # precision with margin: LSH verifies on hashed byte-shingles, the
     # truth is char-shingles — identical on this ASCII sample except at
     # the threshold boundary.  jc is only consumed for pairs LSH
     # reported, so attach shingle sets to THOSE pairs (two broadcast
     # joins over |lsh| rows) instead of re-running the full cross join.
-    n_imprecise = (
+    # The recall intersection rides the SAME frame as a left-join flag
+    # (both sides are distinct (id_a,id_b) pairs, so the flag join has
+    # multiplicity 1 and sum(flag) == the old inner-join count): one
+    # aggregation returns n_common and n_imprecise together instead of
+    # two sequential count() actions.
+    agg_row = (
         lsh.select("id_a", "id_b")
         .join(a.select("id_a", "sa", "na"), "id_a")
         .join(b.select("id_b", "sb", "nb"), "id_b")
-        .select("id_a", "id_b", jac.alias("jc"))
-        .where(F.col("jc") < 0.55)
-        .count()
+        .join(
+            brute.select("id_a", "id_b", F.lit(1).alias("__in_brute")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(jac.alias("jc"), "__in_brute")
+        .agg(
+            F.sum(F.when(F.col("__in_brute").isNotNull(), 1).otherwise(0)).alias(
+                "nc"
+            ),
+            F.sum(F.when(F.col("jc") < 0.55, 1).otherwise(0)).alias("ni"),
+        )
+        .collect()[0]
     )
+    n_common = int(agg_row["nc"] or 0)
+    n_imprecise = int(agg_row["ni"] or 0)
     recall_ok = (n_brute == 0) or (n_common / n_brute >= 0.7)
     brute.unpersist()
     lsh.unpersist()
+    szd.unpersist()
     return spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(int(n_brute), bool(recall_ok), bool(n_imprecise == 0))], 1
