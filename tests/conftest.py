@@ -65,13 +65,20 @@ def people_df(spark):
     miniature of the reference's 16-column fixture (tests/_utils.py:120)."""
     from datetime import date
 
+    # ONE slice: the default path spreads 5 rows over defaultParallelism
+    # Python-RDD slices and every downstream action pays a Python-worker
+    # round trip per slice (worst through coalesce(1): ~150 ms x 32,
+    # sequential).  Same rows, same schema, order preserved.
     return spark.createDataFrame(
-        [
-            (1, "alice", 10.5, date(2024, 1, 1), "us"),
-            (2, "bob", None, date(2024, 1, 2), "us"),
-            (3, "carol", 7.25, date(2024, 2, 1), "de"),
-            (4, None, 0.0, date(2024, 2, 2), "de"),
-            (5, "eve", -3.5, date(2024, 3, 1), "fr"),
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (1, "alice", 10.5, date(2024, 1, 1), "us"),
+                (2, "bob", None, date(2024, 1, 2), "us"),
+                (3, "carol", 7.25, date(2024, 2, 1), "de"),
+                (4, None, 0.0, date(2024, 2, 2), "de"),
+                (5, "eve", -3.5, date(2024, 3, 1), "fr"),
+            ],
+            1,
+        ),
         "id bigint, name string, score double, d date, country string",
     )

@@ -17,8 +17,21 @@ from aws_sdk_pandas_spark import delta_log, lakehouse, lakehouse_shim as shim
 from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
 
+
+def _df1(spark, rows, schema):
+    # ONE slice — a multi-slice local frame pays one Python-worker round
+    # trip per slice per consuming action through coalesce(1) (measured
+    # ~150 ms x defaultParallelism); same rows, same order, one file
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _df(spark, rows, schema="k int, part string, v int"):
-    return spark.createDataFrame(rows, schema)
+    # ONE slice: createDataFrame(list) spreads a handful of rows over
+    # defaultParallelism Python-RDD slices, and the .coalesce(1) most
+    # callers add then pays one sequential Python-worker round trip PER
+    # SLICE per action (~5s for 32 slices, measured) — same data, same
+    # single output file, ~20x faster per write
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
 def _actions(path, version):
@@ -132,7 +145,7 @@ def test_txn_action_and_schema_change_metadata(spark, tmp_path):
     txn = next(a["txn"] for a in a1 if "txn" in a)
     assert txn == {"appId": "appX", "version": 7}
     # schema evolution emits a fresh metaData with the SAME table id
-    wider = spark.createDataFrame([(3, "c", 3, "x")], "k int, part string, v int, extra string")
+    wider = _df1(spark, [(3, "c", 3, "x")], "k int, part string, v int, extra string")
     shim.write(wider, p, schema_mode="merge")
     id0 = next(a["metaData"]["id"] for a in _actions(p, 0) if "metaData" in a)
     m2 = next(a["metaData"] for a in _actions(p, 2) if "metaData" in a)
@@ -172,8 +185,8 @@ def test_foreign_delta_log_roundtrip(spark, tmp_path):
     p = str(tmp_path / "foreign")
     os.makedirs(os.path.join(p, "_delta_log"))
     # data files in a FLAT layout (no hive dirs) — the protocol allows it
-    df_a = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
-    df_b = spark.createDataFrame([(3, 30)], "k int, v int")
+    df_a = _df1(spark, [(1, 10), (2, 20)], "k int, v int")
+    df_b = _df1(spark, [(3, 30)], "k int, v int")
     df_a.coalesce(1).write.parquet(os.path.join(p, "fa"))
     df_b.coalesce(1).write.parquet(os.path.join(p, "fb"))
     fa = next(f for f in os.listdir(os.path.join(p, "fa")) if f.endswith(".parquet"))
@@ -249,8 +262,8 @@ def test_foreign_checkpoint_seeds_replay(spark, tmp_path):
 
     p = str(tmp_path / "ckpt_table")
     os.makedirs(os.path.join(p, "_delta_log"))
-    df_a = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
-    df_b = spark.createDataFrame([(3, 30)], "k int, v int")
+    df_a = _df1(spark, [(1, 10), (2, 20)], "k int, v int")
+    df_b = _df1(spark, [(3, 30)], "k int, v int")
     df_a.coalesce(1).write.parquet(os.path.join(p, "fa"))
     df_b.coalesce(1).write.parquet(os.path.join(p, "fb"))
     fa = "fa/" + next(f for f in os.listdir(os.path.join(p, "fa")) if f.endswith(".parquet"))
@@ -412,9 +425,8 @@ def test_deletion_vectors_inline_and_file(spark, tmp_path):
 
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "_delta_log"))
-    spark.createDataFrame(
-        [(i, f"r{i}") for i in range(6)], "k int, name string"
-    ).coalesce(1).write.parquet(os.path.join(root, "files"))
+    _df1(spark, [(i, f"r{i}") for i in range(6)], "k int, name string") \
+        .write.parquet(os.path.join(root, "files"))
     rel = "files/" + next(
         f for f in os.listdir(os.path.join(root, "files"))
         if f.endswith(".parquet")
@@ -522,9 +534,7 @@ def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
     import json
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "_delta_log"))
-    spark.createDataFrame(
-        [(i, f"r{i}") for i in range(4)], "k int, name string"
-    ).coalesce(1).write.parquet(os.path.join(root, "files"))
+    _df1(spark, [(i, f"r{i}") for i in range(4)], "k int, name string").write.parquet(os.path.join(root, "files"))
     rel = "files/" + next(
         f for f in os.listdir(os.path.join(root, "files"))
         if f.endswith(".parquet")
@@ -568,9 +578,7 @@ def test_column_mapping_name_mode(spark, tmp_path):
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "_delta_log"))
     # physical-named files, flat layout, partition column NOT in files
-    spark.createDataFrame(
-        [(1, "x"), (2, "y")], "`col-aaa` int, `col-bbb` string"
-    ).coalesce(1).write.parquet(os.path.join(root, "fa"))
+    _df1(spark, [(1, "x"), (2, "y")], "`col-aaa` int, `col-bbb` string").write.parquet(os.path.join(root, "fa"))
     fa = "fa/" + next(
         f for f in os.listdir(os.path.join(root, "fa")) if f.endswith(".parquet")
     )
@@ -614,7 +622,7 @@ def test_column_mapping_id_mode(spark, tmp_path):
         T.StructField("xyz-1", T.IntegerType(), True, {"parquet.field.id": 7}),
         T.StructField("xyz-2", T.StringType(), True, {"parquet.field.id": 9}),
     ])
-    spark.createDataFrame([(1, "x"), (2, "y")], ws).coalesce(1) \
+    _df1(spark, [(1, "x"), (2, "y")], ws) \
         .write.parquet(os.path.join(root, "fa"))
     fa = "fa/" + next(
         f for f in os.listdir(os.path.join(root, "fa")) if f.endswith(".parquet")

@@ -30,8 +30,15 @@ def _mk_table(spark, p, n=100, parts=2):
     return df
 
 
+def _df1(spark, rows, schema):
+    # ONE slice — a multi-slice local frame pays one Python-worker round
+    # trip per slice per consuming action (~150 ms x defaultParallelism
+    # through coalesce(1), measured); same rows, same order, one file
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _keys(spark, ids):
-    return spark.createDataFrame([(int(i),) for i in ids], "k int")
+    return _df1(spark, [(int(i),) for i in ids], "k int")
 
 
 def test_rbarray_encode_decode_property():
@@ -423,8 +430,7 @@ def test_dv_streaming_contract(spark, tmp_path):
 def test_dv_merge_mor_update_and_insert(spark, tmp_path):
     p = str(tmp_path / "t")
     _mk_table(spark, p, n=30, parts=2)
-    src = spark.createDataFrame(
-        [(5, 99, "z"), (7, 98, "z"), (100, 1, "new")], "k int, v int, g string"
+    src = _df1(spark, [(5, 99, "z"), (7, 98, "z"), (100, 1, "new")], "k int, v int, g string"
     )
     res = shim.merge(spark, src, p, ["k"], use_deletion_vectors=True)
     assert res["files_rewritten"] == 0
@@ -441,12 +447,10 @@ def test_dv_merge_mor_update_and_insert(spark, tmp_path):
 
 def test_dv_merge_mor_precombine_target_wins(spark, tmp_path):
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(1, 10, "x"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string"
-    ).coalesce(1)
+    df = _df1(
+        spark, [(1, 10, "x"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string")
     shim.write(df, p, mode="overwrite")
-    src = spark.createDataFrame(
-        [(1, 99, "upd"),   # source wins (99 > 10)
+    src = _df1(spark, [(1, 99, "upd"),   # source wins (99 > 10)
          (2, 5, "stale"),  # TARGET wins (20 > 5): row survives untouched
          (4, 1, "ins")],   # unmatched: inserted
         "k int, ver int, val string",
@@ -475,9 +479,8 @@ def test_dv_merge_mor_ghost_row_does_not_outrank_reinsert(spark, tmp_path):
     value was silently dropped instead of inserted.  The live-row scan
     (_mor_scan) must exclude existing DV rows; CoW agrees."""
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(1, 50, "orig"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string"
-    ).coalesce(1)
+    df = _df1(
+        spark, [(1, 50, "orig"), (2, 20, "x"), (3, 30, "x")], "k int, ver int, val string")
     shim.write(df, p, mode="overwrite")
     # DV-delete key 1 (its ver=50 row becomes a ghost in the data file)
     res = shim.delete(spark, _keys(spark, [1]), p, ["k"], use_deletion_vectors=True)
@@ -486,8 +489,7 @@ def test_dv_merge_mor_ghost_row_does_not_outrank_reinsert(spark, tmp_path):
     # MoR-merge key 1 back with a LOWER precombine value (5 < 50),
     # alongside a live key (2) so the file IS touched and the ghost
     # enters the scan: the ghost must not win — key 1 is live again
-    src = spark.createDataFrame(
-        [(1, 5, "reborn"), (2, 25, "upd2")], "k int, ver int, val string"
+    src = _df1(spark, [(1, 5, "reborn"), (2, 25, "upd2")], "k int, ver int, val string"
     )
     shim.merge(spark, src, p, ["k"], precombine_key="ver", use_deletion_vectors=True)
     got = {r.k: (r.ver, r.val) for r in shim.read(spark, p).collect()}
@@ -542,7 +544,7 @@ def _foreign_delta(spark, p, *, partitioned=False, dv_on_first=False,
                 fh.write(json.dumps(a) + "\n")
 
     def _data(rows, sub):
-        df = spark.createDataFrame(rows, "k int, v int").coalesce(1)
+        df = _df1(spark, rows, "k int, v int")
         df.write.parquet(os.path.join(p, sub))
         f = next(
             x for x in os.listdir(os.path.join(p, sub)) if x.endswith(".parquet")
@@ -655,9 +657,7 @@ def _foreign_mapped_delta(spark, p):
     schema_str = json.dumps({"type": "struct", "fields": fields})
 
     def _data(rows, sub):
-        df = spark.createDataFrame(
-            rows, f"`{phys['k']}` int, `{phys['v']}` int"
-        ).coalesce(1)
+        df = _df1(spark, rows, f"`{phys['k']}` int, `{phys['v']}` int")
         df.write.parquet(os.path.join(p, sub))
         f = next(
             x for x in os.listdir(os.path.join(p, sub)) if x.endswith(".parquet")
@@ -820,7 +820,7 @@ def test_convert_from_delta_refusals(spark, tmp_path):
     # non-hive layout with partition columns: values live only in the log
     p4 = str(tmp_path / "flat")
     os.makedirs(os.path.join(p4, "_delta_log"))
-    df = spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1)
+    df = _df1(spark, [(1, 10)], "k int, v int")
     df.write.parquet(os.path.join(p4, "flat0"))
     f = next(x for x in os.listdir(os.path.join(p4, "flat0"))
              if x.endswith(".parquet"))
@@ -853,7 +853,7 @@ def test_delta_clean_log_retention(spark, tmp_path):
     removable; readers recover THROUGH the checkpoint (time travel below
     the cut refuses loudly instead of misreading)."""
     p = str(tmp_path / "t")
-    shim.write(spark.createDataFrame([(0, 0)], "k int, v int"), p, mode="overwrite")
+    shim.write(_df1(spark, [(0, 0)], "k int, v int"), p, mode="overwrite")
     for i in range(1, 12):
         shim.write(spark.createDataFrame([(i, i)], "k int, v int"), p)
     # the exporter checkpoints every 10 commits -> checkpoint at delta v9
@@ -885,9 +885,8 @@ def test_dv_merge_mor_null_safe_keys(spark, tmp_path):
     identity (Delta's <=>) — its old version joins the DV and the
     source's NULL-keyed row lands as the new version."""
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(1, "a"), (None, "nullkey-old"), (3, "c")], "k int, v string"
-    ).coalesce(1)
+    df = _df1(
+        spark, [(1, "a"), (None, "nullkey-old"), (3, "c")], "k int, v string")
     shim.write(df, p, mode="overwrite")
     src = spark.createDataFrame(
         [(None, "nullkey-new"), (9, "ins")], "k int, v string"

@@ -7,9 +7,18 @@ import pytest
 from aws_sdk_pandas_spark.operators.graph import connected_components, dedup_clusters
 
 
+
+def _cdf(spark, data, schema=None):
+    """createDataFrame over ONE slice: a tiny local frame otherwise spreads
+    over defaultParallelism Python-RDD slices and every fixpoint action that
+    references it pays a Python-worker round trip per slice (measured
+    ~150 ms x 32 through single-task consumers).  Same rows, same order."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+
+
 def test_chain_and_separate_components(spark):
     # chain 1-2-3-4 (diameter 3, needs multi-round propagation) + pair 10-11
-    pairs = spark.createDataFrame(
+    pairs = _cdf(spark, 
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
     )
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
@@ -17,7 +26,7 @@ def test_chain_and_separate_components(spark):
 
 
 def test_representatives(spark):
-    pairs = spark.createDataFrame([(5, 7), (7, 6)], "id_a bigint, id_b bigint")
+    pairs = _cdf(spark, [(5, 7), (7, 6)], "id_a bigint, id_b bigint")
     rows = dedup_clusters(pairs).collect()
     reps = {r.id for r in rows if r.is_representative}
     assert reps == {5}
@@ -30,11 +39,11 @@ def test_dedup_keep_best(spark):
     from aws_sdk_pandas_spark.operators.graph import dedup_keep_best
     from pyspark.sql import functions as F
 
-    docs = spark.createDataFrame(
+    docs = _cdf(spark, 
         [(1, 10), (2, 30), (3, 20), (4, 99), (5, 7)], "doc_id bigint, score bigint"
     )
     # {1,2,3} one cluster (2 wins on score), {4} and {5} unpaired
-    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    pairs = _cdf(spark, [(1, 2), (2, 3)], "id_a bigint, id_b bigint")
     kept = sorted(r.doc_id for r in dedup_keep_best(docs, pairs, score_col="score").collect())
     assert kept == [2, 4, 5]
     # no score: minimum id wins
@@ -49,7 +58,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
     # graph with a dangling node (d) and a hub (a)
     pairs = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"), ("c", "d"), ("e", "a")]
-    edges = spark.createDataFrame(
+    edges = _cdf(spark, 
         [(f"e{i}", "link", s, t) for i, (s, t) in enumerate(pairs)],
         "`~id` string, `~label` string, `~from` string, `~to` string",
     )
@@ -80,7 +89,7 @@ def _edge_frame(spark, pairs):
     from pyspark.sql import functions as F
 
     return (
-        spark.createDataFrame(pairs, "f string, t string")
+        _cdf(spark, pairs, "f string, t string")
         .select(
             F.concat_ws("-", "f", "t").alias("~id"),
             F.lit("e").alias("~label"),
@@ -177,7 +186,7 @@ def test_label_propagation_splits_cliques(spark):
 
 @pytest.fixture()
 def modern(spark):
-    vertices = spark.createDataFrame(
+    vertices = _cdf(spark, 
         [
             ("marko", "person", "marko", 29, None),
             ("vadas", "person", "vadas", 27, None),
@@ -188,7 +197,7 @@ def modern(spark):
         ],
         "`~id` string, `~label` string, name string, age int, lang string",
     )
-    edges = spark.createDataFrame(
+    edges = _cdf(spark, 
         [
             ("e1", "knows", "marko", "vadas", 0.5),
             ("e2", "knows", "marko", "josh", 1.0),
@@ -432,7 +441,7 @@ def foaf(spark):
         ("josh", f"{_FOAF}created", "lop"),
         ("peter", f"{_FOAF}created", "lop"),
     ]
-    return spark.createDataFrame(rows, "s string, p string, o string")
+    return _cdf(spark, rows, "s string, p string, o string")
 
 
 def _sp(foaf, q):
@@ -788,7 +797,7 @@ def test_sparql_bgp_matches_naive_evaluator(spark):
             (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
             for _ in range(rng.randint(1, 14))
         ]
-        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        tdf = _cdf(spark, triples, "s string, p string, o string")
         n_pat = rng.randint(1, 3)
         vars_pool = ["?a", "?b", "?c"]
         patterns = []
@@ -837,7 +846,7 @@ def test_sparql_exists_matches_naive_evaluator(spark):
             (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
             for _ in range(rng.randint(2, 12))
         ]
-        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        tdf = _cdf(spark, triples, "s string, p string, o string")
         outer = [("?a", rng.choice(preds), "?b")]
         # block shares ?b; its second position varies, third is existential
         block = [("?b", rng.choice(preds), "?c")]
@@ -940,7 +949,7 @@ def test_sparql_unbound_compatible_join_matches_naive(spark):
             (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
             for _ in range(rng.randint(2, 12))
         ]
-        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        tdf = _cdf(spark, triples, "s string, p string, o string")
 
         # partial union joined to a BGP: branches bind different vars
         b1 = [("?a", rng.choice(preds), "?b")]
@@ -1024,7 +1033,7 @@ def test_sparql_union_matches_naive_evaluator(spark):
             (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
             for _ in range(rng.randint(2, 12))
         ]
-        tdf = spark.createDataFrame(triples, "s string, p string, o string")
+        tdf = _cdf(spark, triples, "s string, p string, o string")
         def rand_branch():
             # both branches bind exactly ?a and ?b
             mid = rng.choice(preds)
@@ -1347,7 +1356,7 @@ def test_sparql_property_paths_seq_alt_inv(foaf):
 def test_sparql_property_path_closures(spark):
     from aws_sdk_pandas_spark.connectors.neptune import execute_sparql
 
-    chain = spark.createDataFrame(
+    chain = _cdf(spark, 
         [("a", "n", "b"), ("b", "n", "c"), ("c", "n", "d"), ("x", "m", "y")],
         "s string, p string, o string",
     )
@@ -1562,10 +1571,10 @@ def test_compilers_agree_on_random_graphs(spark):
         # be reused within a 2-walk), so the trail/walk split is exercised
         loop_v = rng.choice(verts)
         edge_rows.append(("e_loop", "t", loop_v, loop_v))
-        v = spark.createDataFrame(
+        v = _cdf(spark, 
             [(x, "node") for x in verts], "`~id` string, `~label` string"
         )
-        e = spark.createDataFrame(
+        e = _cdf(spark, 
             edge_rows, "`~id` string, `~label` string, `~from` string, `~to` string"
         )
         a = e.select(
@@ -1964,10 +1973,10 @@ def _rand_graph(rng, nv=10, ne=26):
 
 
 def _frames(spark, verts, edges):
-    v = spark.createDataFrame(
+    v = _cdf(spark, 
         verts, "`~id` string, `~label` string, name string, age int"
     )
-    e = spark.createDataFrame(
+    e = _cdf(spark, 
         edges, "`~id` string, `~label` string, `~from` string, `~to` string"
     )
     return v, e
@@ -2593,11 +2602,11 @@ def test_gremlin_repeat_emit_cycle_raises(spark):
     from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
-    v = spark.createDataFrame(
+    v = _cdf(spark, 
         [("a", "person", "a"), ("b", "person", "b")],
         "`~id` string, `~label` string, name string",
     )
-    e = spark.createDataFrame(
+    e = _cdf(spark, 
         [("e1", "knows", "a", "b"), ("e2", "knows", "b", "a")],
         "`~id` string, `~label` string, `~from` string, `~to` string",
     )
@@ -2616,11 +2625,11 @@ def test_gremlin_repeat_until_nonconvergent_raises(spark):
     from aws_sdk_pandas_spark.connectors.neptune import execute_gremlin
     from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
-    v = spark.createDataFrame(
+    v = _cdf(spark, 
         [("a", "person", "a"), ("b", "person", "b")],
         "`~id` string, `~label` string, name string",
     )
-    e = spark.createDataFrame(
+    e = _cdf(spark, 
         [("e1", "knows", "a", "b"), ("e2", "knows", "b", "a")],
         "`~id` string, `~label` string, `~from` string, `~to` string",
     )

@@ -28,8 +28,18 @@ from aws_sdk_pandas_spark import avro_ocf, iceberg_meta, lakehouse, lakehouse_sh
 from aws_sdk_pandas_spark.exceptions import InvalidArgument
 
 
+
+def _df1(spark, rows, schema):
+    # ONE slice — a multi-slice local frame pays one Python-worker round
+    # trip per slice per consuming action through coalesce(1) (measured
+    # ~150 ms x defaultParallelism); same rows, same order, one file
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _df(spark, rows, schema="k int, name string, lang string"):
-    return spark.createDataFrame(rows, schema)
+    # ONE slice — see test_delta_log._df: a multi-slice local frame costs
+    # one Python-worker round trip per slice per action through coalesce(1)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
 def _sorted_rows(df):
@@ -360,9 +370,7 @@ def test_manifest_column_bounds_and_java_readability(spark, tmp_path):
     import struct
 
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(5, "alpha", "en"), (42, "zulu", "en")], "k int, name string, lang string"
-    ).coalesce(1)
+    df = _df1(spark, [(5, "alpha", "en"), (42, "zulu", "en")], "k int, name string, lang string")
     shim.write(df, p, mode="overwrite", stats_cols=["k", "name"])
     lakehouse.convert_to_iceberg(p)
 
@@ -406,7 +414,7 @@ def test_schema_evolution_preserves_field_ids(spark, tmp_path):
     p = str(tmp_path / "t")
     shim.write(_df(spark, [(1, "a", "en")]), p, mode="overwrite")
     shim.write(
-        spark.createDataFrame([(2, "b", "fr", 9)],
+        _df1(spark, [(2, "b", "fr", 9)],
                               "k int, name string, lang string, extra int"),
         p, mode="append", schema_mode="merge",
     )
@@ -478,8 +486,8 @@ def test_reader_handles_foreign_v1_table(spark, tmp_path):
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "metadata"))
     # one plain parquet data file
-    spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string") \
-        .coalesce(1).write.parquet(os.path.join(root, "data"))
+    _df1(spark, [(1, "a"), (2, "b")], "k int, name string") \
+        .write.parquet(os.path.join(root, "data"))
     dfile = next(
         os.path.join(root, "data", f)
         for f in os.listdir(os.path.join(root, "data"))
@@ -545,10 +553,11 @@ def test_reader_applies_positional_deletes(spark, tmp_path):
     import json as _json
 
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
+    df = _df1(
+        spark,
         [(1, "a", "en"), (2, "b", "en"), (3, "c", "en")],
         "k int, name string, lang string",
-    ).coalesce(1)
+    )
     shim.write(df.orderBy("k"), p, mode="overwrite")
     lakehouse.convert_to_iceberg(p)
     meta = iceberg_meta._load_metadata(p)
@@ -574,9 +583,8 @@ def test_reader_applies_positional_deletes(spark, tmp_path):
 
     # delete parquet (file_path, pos): remove row at position 1
     del_parquet = os.path.join(d, "del-0.parquet")
-    spark.createDataFrame(
-        [(data_uri, 1)], "file_path string, pos long"
-    ).coalesce(1).write.mode("overwrite").parquet(del_parquet + ".dir")
+    _df1(spark, [(data_uri, 1)], "file_path string, pos long") \
+        .write.mode("overwrite").parquet(del_parquet + ".dir")
     inner = next(
         f for f in os.listdir(del_parquet + ".dir") if f.endswith(".parquet")
     )
@@ -654,10 +662,9 @@ def test_reader_applies_equality_deletes(spark, tmp_path):
     import json as _json
 
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
-        [(1, "a", "en"), (2, "b", "en"), (3, None, "en")],
+    df = _df1(spark, [(1, "a", "en"), (2, "b", "en"), (3, None, "en")],
         "k int, name string, lang string",
-    ).coalesce(1)
+    )
     shim.write(df.orderBy("k"), p, mode="overwrite")
     lakehouse.convert_to_iceberg(p)
     meta = iceberg_meta._load_metadata(p)
@@ -674,9 +681,8 @@ def test_reader_applies_equality_deletes(spark, tmp_path):
 
     # delete by name = NULL (null-safe must match) and by k = 2
     del_parquet = os.path.join(d, "eqdel-0.parquet")
-    spark.createDataFrame(
-        [(2, "b"), (3, None)], "k int, name string"
-    ).coalesce(1).write.mode("overwrite").parquet(del_parquet + ".dir")
+    _df1(spark, [(2, "b"), (3, None)], "k int, name string") \
+        .write.mode("overwrite").parquet(del_parquet + ".dir")
     inner = next(
         f for f in os.listdir(del_parquet + ".dir") if f.endswith(".parquet")
     )
@@ -765,7 +771,7 @@ def test_reader_resolves_by_parquet_field_id(spark, tmp_path):
         T.StructField("old_k", T.IntegerType(), True, {"parquet.field.id": 1}),
         T.StructField("old_name", T.StringType(), True, {"parquet.field.id": 2}),
     ])
-    spark.createDataFrame([(1, "a"), (2, "b")], ws).coalesce(1) \
+    _df1(spark, [(1, "a"), (2, "b")], ws) \
         .write.parquet(os.path.join(root, "data"))
     dfile = next(
         os.path.join(root, "data", f)
@@ -830,8 +836,8 @@ def test_reader_handles_transformed_partitions(spark, tmp_path):
 
     root = str(tmp_path / "t")
     os.makedirs(os.path.join(root, "metadata"))
-    spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string") \
-        .coalesce(1).write.parquet(os.path.join(root, "data"))
+    _df1(spark, [(1, "a"), (2, "b")], "k int, name string") \
+        .write.parquet(os.path.join(root, "data"))
     dfile = next(
         os.path.join(root, "data", f)
         for f in os.listdir(os.path.join(root, "data"))

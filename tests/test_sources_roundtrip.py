@@ -16,6 +16,14 @@ from aws_sdk_pandas_spark.exceptions import (
 )
 
 
+
+def _df1(spark, rows, schema):
+    # ONE slice — a multi-slice local frame pays one Python-worker round
+    # trip per slice per consuming action through coalesce(1) (measured
+    # ~150 ms x defaultParallelism); same rows, same order, one file
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _rows(df, *cols):
     cols = cols or tuple(sorted(df.columns))
     return sorted(tuple(r) for r in df.select(*cols).collect())
@@ -227,8 +235,7 @@ def test_all_null_column_roundtrip(spark, tmp_path):
     """SURVEY hard part 3: all-null columns must keep their declared type
     through write/read (the reference raises UndetectedType only when
     inferring from data; with an explicit schema nulls are fine)."""
-    df = spark.createDataFrame(
-        [(1, None), (2, None)], "id bigint, maybe string"
+    df = _df1(spark, [(1, None), (2, None)], "id bigint, maybe string"
     )
     path = str(tmp_path / "nulls")
     sources.to_parquet(df, path, dataset=True, mode="overwrite")
@@ -322,9 +329,7 @@ def test_file_stats_pruning_exact_and_effective(spark, tmp_path):
 
 def test_prune_files_keeps_unknown_stats(spark, tmp_path):
     out = str(tmp_path / "strs")
-    spark.createDataFrame(
-        [(1, "a"), (2, "b")], "k long, v string"
-    ).coalesce(1).write.parquet(out)
+    _df1(spark, [(1, "a"), (2, "b")], "k long, v string").write.parquet(out)
     stats = sources.collect_file_stats(spark, out)
     # nothing matches the range, but a file with NULL stats must survive
     import pandas as pd  # noqa: F401  (schema sanity only)

@@ -440,10 +440,15 @@ def test_near_dup_filter_stream_two_batches(spark, tmp_path):
     )
 
     # batch 1: doc 1 + its near-copy doc 2 (one char changed) + distinct doc 3
+    # ONE slice (coalesce(1) over a multi-slice local frame pays one
+    # sequential Python-worker round trip per slice per action)
     b1 = spark.createDataFrame(
-        [(1, base), (2, base + "!"), (3, alt)], "doc_id long, text string"
+        spark.sparkContext.parallelize(
+            [(1, base), (2, base + "!"), (3, alt)], 1
+        ),
+        "doc_id long, text string",
     )
-    b1.coalesce(1).write.mode("append").parquet(src)
+    b1.write.mode("append").parquet(src)
     q = streaming.near_dup_filter_stream(
         streaming.read_stream(spark, src, schema="doc_id long, text string"),
         out, idx, **kw,
@@ -454,9 +459,10 @@ def test_near_dup_filter_stream_two_batches(spark, tmp_path):
 
     # batch 2: near-copy of doc 1 again (index hit) + genuinely new doc 5
     b2 = spark.createDataFrame(
-        [(4, base + "?"), (5, third)], "doc_id long, text string"
+        spark.sparkContext.parallelize([(4, base + "?"), (5, third)], 1),
+        "doc_id long, text string",
     )
-    b2.coalesce(1).write.mode("append").parquet(src)
+    b2.write.mode("append").parquet(src)
     q = streaming.near_dup_filter_stream(
         streaming.read_stream(spark, src, schema="doc_id long, text string"),
         out, idx, **kw,
