@@ -391,6 +391,25 @@ def test_diverse_subset_matches_serial_greedy(spark):
     assert [r.vid for r in again] == chosen
 
 
+def test_diverse_subset_releases_round_checkpoints(spark):
+    """The farthest-first loop materializes each round with a lazy
+    localCheckpoint (constant-size plans instead of a growing persist
+    chain); every round's blocks must be freed by the time the operator
+    returns — a k-round loop must not leak k corpus copies into the
+    block manager."""
+    from aws_sdk_pandas_spark.operators.similarity import diverse_subset
+
+    rows = [(int(i), [float(i % 7), float(i % 5)]) for i in range(60)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "vid long, embedding array<double>"
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    out = diverse_subset(df, 6, id_col="vid", vector_col="embedding")
+    assert out.count() == 6
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked persistent RDDs: {after - before}"
+
+
 def test_embedding_health(spark):
     import math
 
