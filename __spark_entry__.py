@@ -5735,7 +5735,12 @@ def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_sdk_pandas_spark.vectors import embed_texts
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    e1 = embed_texts(docs, dim=32)
+    # e1 is persisted so the mapInPandas embed kernel runs ONCE for its plan;
+    # the determinism check still compares two INDEPENDENT evaluations (the
+    # cached e1 vs the freshly-planned e2).  Without the cache every consumer
+    # below (mismatch join, query probe, brute, batch) re-ran the kernel over
+    # the full corpus — ~4 evaluations for a 2-evaluation contract (guide §5).
+    e1 = embed_texts(docs, dim=32).persist()
     e2 = embed_texts(docs, dim=32)
     mismatch = (
         e1.alias("a")
@@ -5763,6 +5768,7 @@ def _q_semantic_knn_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .collect()
     ]
+    e1.unpersist()  # every consumer has collected; the returned frame is literal
     return spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(10, bool(mismatch == 0), bool(batched == brute))], 1
