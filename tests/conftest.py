@@ -17,6 +17,75 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _patch_local_frames(spark):
+    """Route simple list+schema ``createDataFrame`` calls through pandas.
+
+    The plain list path builds a pickled Python RDD, so EVERY action that
+    materializes the frame pays Python-worker round trips (~270 ms per
+    action measured at 32 cores); the pandas path ships the same rows as
+    one Arrow batch into a local relation (~40 ms) and never touches a
+    Python worker again.  Tests build ~500 such fixture frames.  Only the
+    trivially-safe shape is rerouted — list of flat tuples of scalar
+    values WITH an explicit schema (no Rows, no nested lists/dicts/
+    structs, no numpy scalars, no kwargs) — everything else falls through
+    to the stock path, so coercion semantics for the exotic cases are
+    unchanged.  Values are kept in object-dtype pandas columns so None
+    survives (a typed column would turn None into NaN/NaT).  A float NaN
+    also falls through: pandas treats object-column NaN as MISSING, so
+    the Arrow path would silently turn a real NaN value into NULL.
+    Plan-shape tests opt back into the stock path (``fast._orig``): a
+    pandas local frame plans as a constant-folded ``LocalRelation``,
+    which hides the scan/filter nodes those tests assert on.
+    """
+    import datetime
+    import decimal
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    orig = spark.createDataFrame
+    _SIMPLE = (bool, int, float, str, bytes, bytearray,
+               datetime.date, datetime.datetime, decimal.Decimal)
+
+    def fast(data, schema=None, **kw):
+        if (
+            not kw
+            and isinstance(schema, (str, StructType))
+            and isinstance(data, list)
+            and data
+            and all(
+                type(r) is tuple
+                and all(
+                    v is None
+                    or (type(v) in _SIMPLE
+                        and not (type(v) is float and math.isnan(v)))
+                    for v in r
+                )
+                for r in data
+            )
+        ):
+            ncol = len(data[0])
+            if ncol and all(len(r) == ncol for r in data):
+                pdf = pd.DataFrame(
+                    {i: pd.Series([r[i] for r in data], dtype=object) for i in range(ncol)}
+                )
+                names = (
+                    schema.fieldNames()
+                    if isinstance(schema, StructType)
+                    else None
+                )
+                if names is not None:
+                    pdf.columns = names
+                else:
+                    pdf.columns = [f"_{i}" for i in range(ncol)]
+                return orig(pdf, schema)
+        return orig(data, schema, **kw)
+
+    fast._orig = orig
+    spark.createDataFrame = fast
+
+
 @pytest.fixture(scope="session")
 def spark():
     import tempfile
@@ -35,6 +104,7 @@ def spark():
             ),
         },
     )
+    _patch_local_frames(spark)
     yield spark
 
 

@@ -16,6 +16,21 @@ import __spark_entry__ as entry
 from aws_sdk_pandas_spark import sources
 
 
+@pytest.fixture(autouse=True)
+def _stock_local_frames(spark):
+    """Plan-shape tests must build local frames the stock way: the
+    conftest pandas fast path plans them as a constant-folded
+    ``LocalRelation``, which hides the scan/filter/join nodes these
+    tests assert on."""
+    patched = spark.createDataFrame
+    orig = getattr(patched, "_orig", None)
+    if orig is not None:
+        spark.createDataFrame = orig
+    yield
+    if orig is not None:
+        spark.createDataFrame = patched
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
