@@ -4772,11 +4772,17 @@ def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_sdk_pandas_spark.sources import read_parquet
 
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    # persist the 3-column base: each chained encoder derives its stats
+    # AND prior subtrees from its INPUT plan, so the unpersisted chain
+    # re-planned the whole upstream per subtree — 15 parquet scans of
+    # orders in the executed plan (tools/scan_count_audit.py); one narrow
+    # cache collapses them to one scan at any scale (guide §5/§6).
+    # Lifetime is caller-owned (returned plan scans it lazily).
     base = o.select(
         "o_orderkey",
         "o_orderpriority",
         (F.col("o_orderstatus") == "F").cast("int").alias("__y"),
-    )
+    ).persist()
     out = target_encode(
         base, cat_col="o_orderpriority", label_col="__y",
         smoothing=10.0, out_col="te",
@@ -5783,17 +5789,28 @@ def _gremlin_graph(spark: SparkSession, sf_dir: str):
     from aws_sdk_pandas_spark.sources import read_parquet
 
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    users = (
-        ev.select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("~id"))
+    # ONE scan for both vertex classes: the union-of-two-distincts form
+    # read events twice (guide §6); exploding both candidate vertices per
+    # row and deduping in one pass yields the identical (~id, ~label) set
+    # (the arms can never collide across labels, so per-arm distinct ==
+    # combined distinct here).
+    vertices = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("~id"),
+                        F.lit("user").alias("~label"),
+                    ),
+                    F.struct(
+                        F.col("event_type").alias("~id"), F.lit("etype").alias("~label")
+                    ),
+                )
+            ).alias("v")
+        )
+        .select("v.*")
         .distinct()
-        .withColumn("~label", F.lit("user"))
     )
-    etypes = (
-        ev.select(F.col("event_type").alias("~id"))
-        .distinct()
-        .withColumn("~label", F.lit("etype"))
-    )
-    vertices = users.unionByName(etypes)
     edges = ev.select(
         F.col("event_id").cast("string").alias("~id"),
         F.lit("did").alias("~label"),
