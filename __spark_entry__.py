@@ -1417,7 +1417,12 @@ def _q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
         "o_orderkey", (F.col("o_orderkey") + F.lit(1_000_000_000)).cast("bigint")
     )
-    src = updates.unionByName(inserts)
+    # persist the update/insert delta: upsert_dataframe reads its source
+    # twice (anti-join build + inserted rows), so the unpersisted chain
+    # scanned orders 5x in one executed plan (tools/scan_count_audit.py);
+    # caching the (small) delta leaves 3 scans — the two delta filters
+    # and the anti-join's target pass.  Lifetime is caller-owned.
+    src = updates.unionByName(inserts).persist()
     merged = upsert_dataframe(orders, src, ["o_orderkey"])
     return merged.select(
         "o_orderkey",
@@ -5683,7 +5688,10 @@ def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_sdk_pandas_spark.operators.dedup import embedding_duplicates
     from aws_sdk_pandas_spark.sources import read_parquet
 
-    sl = read_parquet(spark, f"{sf_dir}/embeddings.parquet").where("vec_id < 400")
+    # the bounded 400-vector slice feeds the LSH pair generator AND both
+    # distance-recompute sides — persist so the (pushdown-filtered) scan
+    # runs once instead of 4x (tools/scan_count_audit.py)
+    sl = read_parquet(spark, f"{sf_dir}/embeddings.parquet").where("vec_id < 400").persist()
     cand = embedding_duplicates(sl, threshold=0.6, num_hash_tables=6).select("id_a", "id_b")
     va = sl.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va")

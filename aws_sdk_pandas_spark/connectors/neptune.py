@@ -439,11 +439,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Every stage is a keyed shuffle; nothing is driver-side.
     """
     validate_edges(edges)
+    # persist the deduplicated undirected edge list: the degree table
+    # (via a 2-arm unionAll) and the orientation join all re-derived it —
+    # 4 scans of the backing input plus 3 redundant distinct shuffles in
+    # one executed plan (tools/scan_count_audit.py).  One scan + one
+    # distinct shuffle builds the adjacency; every consumer reads the
+    # cache (guide §5).  Lifetime is caller-owned.
     und = (
         edges.select(F.col("~from").alias("u"), F.col("~to").alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("id"))

@@ -302,7 +302,13 @@ def detect_outliers_mad(
     with MAD 0/NULL yield no outliers.  ``robust_z`` is the scaled score.
     """
     by = list(by or [])
-    med = df.groupBy(*by).agg(F.median(value_col).alias("__med"))
+    # persist the per-group median table (bounded at |groups| rows — it
+    # broadcasts anyway): j1 is referenced by BOTH the MAD aggregation
+    # and the final filter, so an unpersisted med re-ran its full
+    # scan+aggregation once per reference (4 scans of the input; the
+    # 3 remaining passes are the algorithm's floor — median pass,
+    # deviation-median pass, filter pass).  Lifetime is caller-owned.
+    med = df.groupBy(*by).agg(F.median(value_col).alias("__med")).persist()
     j1 = df.join(F.broadcast(med), by) if by else df.crossJoin(F.broadcast(med))
     mad = j1.groupBy(*by).agg(
         F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
@@ -760,10 +766,18 @@ def volume_anomalies(
     """
     keys = list(by or [])
     d = F.col(ts_col).cast("date")
+    # persist the REDUCED (group, day) count table: it is bounded by
+    # |groups| x |days| at any data scale, and the day grid, the densify
+    # join, the median and the MAD subtrees all re-derived it from the
+    # raw scan — 8 scans of the input in one executed plan
+    # (tools/scan_count_audit.py).  One scan builds it; everything after
+    # operates on bounded rows (guide §5: cache the small proxy, not the
+    # payload).  Lifetime is caller-owned.
     observed = (
         df.where(d.isNotNull())
         .groupBy(*keys, d.alias("day"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
     )
     # densify: a TOTAL outage day produces no count row at all — the
     # worst anomaly this monitor exists for — so each group gets its
@@ -774,8 +788,11 @@ def volume_anomalies(
     grid = span.select(
         *keys, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
     )
-    counts = grid.join(observed, keys + ["day"], "left").withColumn(
-        "n_rows", F.coalesce(F.col("n_rows"), F.lit(0))
+    counts = (
+        grid.join(observed, keys + ["day"], "left")
+        .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
+        # read by the median agg, the MAD agg and the final projection
+        .persist()
     )
     stats = counts.groupBy(*keys).agg(
         F.percentile(F.col("n_rows"), F.lit(0.5)).alias("__med")

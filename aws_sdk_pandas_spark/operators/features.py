@@ -453,12 +453,19 @@ def frequency_encode(
     """
     out = out_col or f"{cat_col}_freq"
     c = F.col(cat_col)
+    # stats is category-bounded; persist it and derive the total as the
+    # EXACT integer sum of the per-category counts instead of a second
+    # full aggregation pass over the input (same filtered rows, so
+    # Σ __n ≡ the direct count; integer addition has no ordering hazard).
+    # Input scans 3 -> 2 (tools/scan_count_audit.py).  Lifetime
+    # caller-owned.
     stats = (
         df.where(c.isNotNull())
         .groupBy(c.alias("__cat"))
         .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
     )
-    tot = df.where(c.isNotNull()).agg(F.count(F.lit(1)).alias("__t"))
+    tot = stats.agg(F.sum("__n").alias("__t"))
     j = df.join(F.broadcast(stats), c == F.col("__cat"), "left").crossJoin(
         F.broadcast(tot)
     )

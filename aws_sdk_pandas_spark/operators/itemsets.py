@@ -205,6 +205,13 @@ def item_similarity(
             .where(F.col("__rn") <= cap_per_basket)
             .drop("__rn")
         )
+    # persist the deduplicated (basket, item) table: the basket count,
+    # the item marginals and BOTH pair-join sides re-derived it — 5 scans
+    # of the input plus 4 redundant distinct shuffles in one executed
+    # plan (tools/scan_count_audit.py).  One scan + one distinct shuffle
+    # builds it; every consumer reads the cache (guide §5).  Lifetime is
+    # caller-owned.
+    base = base.persist()
     n_baskets = base.agg(F.countDistinct("__b").alias("__nb"))
     items = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
     left = base.select(F.col("__b"), F.col("__i").alias("item_a"))

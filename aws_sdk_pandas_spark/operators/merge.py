@@ -80,6 +80,12 @@ def upsert_dataframe(
     if precombine_key is not None:
         source = _precombine_latest(source, keys, precombine_key)
 
+    # NOTE: source is read TWICE by construction (anti-join build side +
+    # the inserted rows).  A persist here was considered and rejected:
+    # the streaming upsert sink calls this per micro-batch and the
+    # returned plan is lazy, so the operator could never release the
+    # cache (one leaked entry per batch).  A caller whose source is
+    # expensive to derive should persist it (see the upsert_orders gate).
     cond = _key_cond(target, source, keys, match_nulls)
     surviving = target.join(source, cond, "left_anti")
     return surviving.unionByName(source.select(*target.columns))

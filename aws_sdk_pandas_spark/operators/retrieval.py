@@ -50,11 +50,22 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     q = [t.lower() for t in query_terms]
 
-    toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("__term"),
-    ).where(F.col("__term").isin(q))
+    # persist the query-filtered posting rows (bounded by docs x |Q|):
+    # the tf and document-frequency aggregations both consume them, and
+    # unpersisted each re-tokenized the whole corpus (3 full text scans
+    # in one executed plan, tools/scan_count_audit.py).  The corpus-stats
+    # pass keeps its own lineage untouched (float avgdl must aggregate
+    # the same way as before).  2 text passes = the floor without caching
+    # the corpus itself.  Lifetime is caller-owned.
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).alias("__dl"),
+            F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("__term"),
+        )
+        .where(F.col("__term").isin(q))
+        .persist()
+    )
 
     # per-(doc, term) frequency; dl rides along (constant within a doc)
     tf = toks.groupBy(id_col, "__term").agg(

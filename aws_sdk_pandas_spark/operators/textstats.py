@@ -438,12 +438,18 @@ def novelty_score(
     """
     from aws_sdk_pandas_spark.operators.bloom import _word_ngrams
 
+    # persist the (doc, gram-hash) posting table (16 bytes/gram — the
+    # same slim-posting shape ngram_jaccard_duplicates caches): the
+    # document-frequency aggregation AND the join-back both consume it,
+    # and unpersisted each re-shingled the whole corpus (2 full text
+    # scans; tools/scan_count_audit.py).  Lifetime is caller-owned.
     grams = (
         _ensure_parallelism(
             df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         )
         .select("__id", F.explode(_word_ngrams(F.col("__text"), n)).alias("g"))
         .select("__id", F.xxhash64("g").alias("gh"))
+        .persist()
     )
     freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
     out = (
@@ -592,20 +598,29 @@ def collocations(
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
     base = df.select(toks.alias("__t"), bigrams.alias("__b"))
-    pair = (
+    # The pair/unigram count tables are VOCABULARY-bounded; persist them
+    # and derive the corpus totals from their exact integer sums instead
+    # of a third full pass — the unpersisted shape re-tokenized the whole
+    # corpus once per consumer (4 scans: pair, w1-marginal, w2-marginal,
+    # totals; tools/scan_count_audit.py).  Σ n_pair over the UNFILTERED
+    # pair table is exactly the bigram total and Σ c the word total
+    # (integer sums — no float-order hazard), so two tokenize passes are
+    # the floor without caching the corpus itself.  Lifetime caller-owned.
+    pair_all = (
         base.select(F.explode("__b").alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
+        .persist()
     )
+    pair = pair_all.where(F.col("n_pair") >= min_count)
     uni = (
         base.select(F.explode("__t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    totals = base.agg(
-        F.sum(F.size("__t")).alias("__nw"),
-        F.sum(F.size("__b")).alias("__nb"),
+    totals = uni.agg(F.sum("c").alias("__nw")).crossJoin(
+        pair_all.agg(F.sum("n_pair").alias("__nb"))
     )
     j = (
         pair.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "__c1"), "w1")

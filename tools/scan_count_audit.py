@@ -67,21 +67,6 @@ def _scan_paths(plan: str) -> list[str]:
     """
     paths: list[str] = []
     seen_caches: set[str] = set()
-    lines = _drop_initial_plan_sections(plan.splitlines())
-    cache_depth: int | None = None
-    cache_buf: list[str] = []
-
-    def _flush_cache() -> None:
-        nonlocal cache_buf
-        if cache_buf:
-            # key on the normalized relation HEADER (schema + storage
-            # level): the same cache prints with fresh expression ids and
-            # width-truncated subtrees at each reference site
-            key = _ID_RE.sub("#", cache_buf[0].lstrip(" :+-"))
-            if key not in seen_caches:
-                seen_caches.add(key)
-                paths.extend(_extract(cache_buf))
-            cache_buf = []
 
     def _extract(ls: list[str]) -> list[str]:
         out = []
@@ -95,22 +80,55 @@ def _scan_paths(plan: str) -> list[str]:
                     break
         return out
 
-    outside: list[str] = []
-    for ln in lines:
-        d = _depth(ln)
-        if cache_depth is not None:
-            if d > cache_depth or not ln.strip():
-                cache_buf.append(ln)
-                continue
-            _flush_cache()
-            cache_depth = None
-        if "InMemoryRelation" in ln:
-            cache_depth = d
-            cache_buf = [ln]
-        else:
-            outside.append(ln)
-    _flush_cache()
-    paths.extend(_extract(outside))
+    def _walk(lines: list[str]) -> None:
+        """Count FileScans outside cache subtrees per occurrence; recurse
+        into each DISTINCT cache subtree once (nested caches dedup too)."""
+        cache_depth: int | None = None
+        cache_buf: list[str] = []
+        outside: list[str] = []
+
+        def _flush() -> None:
+            nonlocal cache_buf
+            if not cache_buf:
+                return
+            # The same cache prints at every reference site with fresh
+            # expression ids, RENAMED/pruned output columns, and
+            # width-truncated line tails — so neither the header nor the
+            # raw subtree text identifies it.  The OPERATOR SEQUENCE of
+            # the build subtree (first token per line, which truncation
+            # never cuts) plus the scanned paths does: renames/pruning
+            # change only arguments, not operators.  Two genuinely
+            # different caches sharing the exact sequence+paths would
+            # under-count — acceptable for an audit that must never
+            # over-report.
+            ops = ";".join(
+                ln.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+                for ln in cache_buf[1:]
+                if ln.strip()
+            )
+            key = ops + "|" + ",".join(sorted(_extract(cache_buf)))
+            if key not in seen_caches:
+                seen_caches.add(key)
+                _walk(cache_buf[1:])  # recurse into the build subtree
+            cache_buf = []
+
+        for ln in lines:
+            d = _depth(ln)
+            if cache_depth is not None:
+                if d > cache_depth or not ln.strip():
+                    cache_buf.append(ln)
+                    continue
+                _flush()
+                cache_depth = None
+            if "InMemoryRelation" in ln:
+                cache_depth = d
+                cache_buf = [ln]
+            else:
+                outside.append(ln)
+        _flush()
+        paths.extend(_extract(outside))
+
+    _walk(_drop_initial_plan_sections(plan.splitlines()))
     return paths
 
 
